@@ -1,0 +1,292 @@
+package graft
+
+/** DuckDB oracle SQL twins for [[GraftQueries]]. Keys match `queries` keys;
+  * queries absent here get the driver's weaker rows-only check (they are
+  * non-SQL-expressible: hash embeddings, xxhash64 simhash, seeded LSH
+  * planes, approximate IVF).
+  *
+  * DuckDB dialect notes baked in:
+  *  - `count(*) FILTER (WHERE ...)` instead of sum(int) (sum widens to
+  *    HUGEINT, which would not match Spark's BIGINT);
+  *  - vector math via `list_transform(range(1,65), ...)` double
+  *    accumulation (list_cosine_similarity is float32 — off by ~1e-7);
+  *  - `regexp_replace(..., 'g')` for replace-all;
+  *  - window sums CAST to BIGINT.
+  */
+object GraftOracles {
+
+  // exact-decimal money arithmetic, mirrored in GraftQueries.money/oneMinus
+  private val px = "CAST(l_extendedprice AS DECIMAL(12,4))"
+  private val revenue = s"$px * CAST((1 - l_discount) AS DECIMAL(6,4))"
+
+  /** shingle-set CTE used by the jaccard oracles */
+  private def shinglesCte(extraCols: String = "") =
+    s"""WITH sh AS (
+       |  SELECT doc_id$extraCols,
+       |    list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+       |      i -> substr(text, i::INT, 5))) AS s
+       |  FROM documents)""".stripMargin
+
+  private val cosineDouble =
+    """list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
+      |sqrt(list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)) *
+      |     list_sum(list_transform(range(1,65), i -> b.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)))""".stripMargin
+
+  private val l2sqToQv =
+    """list_sum(list_transform(range(1,65),
+      |  i -> (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE) * (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)))""".stripMargin
+
+  // text-analysis shared fragments
+  private val toks = """string_split_regex(trim(lower(text)), '\s+')"""
+  private val enStop = "['the','a','of','and','is','to','in']"
+
+  val all: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(12,4))),2) AS DOUBLE) AS sum_qty,
+         |  CAST(round(sum($px),2) AS DOUBLE) AS sum_base_price,
+         |  CAST(round(sum($revenue),2) AS DOUBLE) AS sum_disc_price,
+         |  CAST(round(sum($revenue * CAST((1 + l_tax) AS DECIMAL(6,4))),2) AS DOUBLE) AS sum_charge,
+         |  round(CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+         |  round(CAST(sum($px) AS DOUBLE) / count(*), 4) AS avg_price,
+         |  round(CAST(sum(CAST(l_discount AS DECIMAL(12,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
+         |  count(*) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q2_top_revenue_orders" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_date, c_name,
+         |  CAST(round(sum($revenue),2) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1997-01-01'
+         |GROUP BY 1,2,3 ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q3_nation_revenue" ->
+      s"""SELECT n_name, CAST(round(sum($revenue),2) AS DOUBLE) AS revenue, count(*) AS n_lineitems
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA' AND o_orderdate < TIMESTAMP '1999-01-01'
+         |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q4_forecast_revenue" ->
+      """SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(l_discount AS DECIMAL(12,4))),2) AS DOUBLE) AS revenue, count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.06 AND l_quantity < 24""".stripMargin,
+
+    "q5_top_customers_per_nation" ->
+      """SELECT n_name, rk, c_custkey, c_name, acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_name, round(c_acctbal,2) AS acctbal,
+        |    CAST(row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk
+        |  FROM customer) c
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE rk <= 3 ORDER BY n_name, rk""".stripMargin,
+
+    "q6_orders_rollup" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        |  coalesce(o_orderpriority,'ALL') AS priority,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(12,4))),2) AS DOUBLE) AS sum_totalprice
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+
+    "q7_segment_orders" ->
+      """WITH f AS (SELECT c_mktsegment,
+        |  EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_o
+        |  FROM customer c)
+        |SELECT c_mktsegment,
+        |  count(*) FILTER (WHERE has_o) AS n_with_orders,
+        |  count(*) FILTER (WHERE NOT has_o) AS n_without_orders
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q8_events_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q9_events_props" ->
+      """SELECT regexp_extract(props, '"k": (\d+)', 1)::INT % 10 AS k_bucket,
+        |  count(*) AS n_events, round(avg(value),4) AS avg_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q10_sessionize" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_session
+        |  FROM l),
+        |s AS (SELECT user_id,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM m)
+        |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q11_asof_purchase_click" ->
+      """SELECT p.user_id, p.event_id, c.event_id AS matched_event_id,
+        |  round(c.value,4) AS matched_value
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY 1,2""".stripMargin,
+
+    "collection_stats" ->
+      """SELECT (SELECT count(*) FROM documents) AS n_documents,
+        |  (SELECT count(DISTINCT source) FROM documents) AS n_sources,
+        |  (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
+        |  (SELECT count(*) FROM embeddings) AS n_embeddings""".stripMargin,
+
+    "where_dsl_filter" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('en','fr') AND n_chars > 200 AND source <> 'src3'
+        |ORDER BY doc_id""".stripMargin,
+
+    "chunk_docs" ->
+      """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |k AS (SELECT doc_id, text, n,
+        |    CASE WHEN n <= 120 THEN 1 ELSE CAST(ceil(n/100.0) AS INT) END AS total FROM b),
+        |c AS (SELECT doc_id, total, i,
+        |    CASE WHEN total = 1 THEN text
+        |         ELSE trim(substr(text, CAST(i*100+1 AS INT), 120)) END AS chunk
+        |  FROM k, unnest(range(0, total)) AS t(i))
+        |SELECT doc_id, CAST(i AS INT) AS chunk_index,
+        |  doc_id::VARCHAR || '_chunk_' || i::VARCHAR AS chunk_id,
+        |  chunk, CAST(total AS BIGINT) AS total_chunks
+        |FROM c ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "vec_knn" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, round($l2sqToQv, 6) AS distance
+         |FROM embeddings e, q ORDER BY distance, vec_id LIMIT 10""".stripMargin,
+
+    "vec_knn_filtered" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label, round($l2sqToQv, 6) AS distance
+         |FROM embeddings e, q WHERE label IN (1,2,3)
+         |ORDER BY distance, vec_id LIMIT 10""".stripMargin,
+
+    "vec_topk_join" ->
+      s"""WITH qs AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
+         |s AS (SELECT b.q_id, a.vec_id, round($cosineDouble, 6) AS cosine
+         |      FROM embeddings a, qs b),
+         |r AS (SELECT q_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM s)
+         |SELECT q_id, vec_id, cosine, rank FROM r WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    "rag_context" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id, round($l2sqToQv, 6) AS distance
+         |      FROM embeddings e, q ORDER BY distance, vec_id LIMIT 10),
+         |h AS (SELECT s.vec_id, s.distance,
+         |    '[Source: ' || d.source || ', Chunk: ' || d.doc_id::VARCHAR || '_chunk_0]'
+         |      || chr(10) || d.text || chr(10) AS piece
+         |  FROM s JOIN documents d ON d.doc_id = s.vec_id),
+         |cum AS (SELECT piece, distance, vec_id,
+         |    CAST(sum(length(piece)) OVER (ORDER BY distance, vec_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+         |  FROM h),
+         |kept AS (SELECT * FROM cum WHERE cum <= 2000)
+         |SELECT coalesce(string_agg(piece, chr(10) || '---' || chr(10) ORDER BY cum), '') AS context,
+         |  count(*) AS pieces_used, coalesce(max(cum), 0) AS context_chars
+         |FROM kept""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  count(*) OVER (PARTITION BY md5(text)) AS group_size,
+        |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_minhash" ->
+      s"""${shinglesCte()}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+         |ORDER BY 1,2""".stripMargin,
+
+    "dedup_ngram" ->
+      s"""${shinglesCte(", lang")}
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id AND a.lang = b.lang
+         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.6
+         |ORDER BY 1,2""".stripMargin,
+
+    "dedup_embedding" ->
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosineDouble, 6) AS cosine
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE round($cosineDouble, 6) >= 0.35
+         |ORDER BY 1,2""".stripMargin,
+
+    "text_stats" ->
+      s"""SELECT doc_id, length(text) AS n_chars_measured,
+         |  len($toks)::INT AS n_tokens,
+         |  round(list_sum(list_transform($toks, t -> length(t)))::DOUBLE / len($toks), 6) AS avg_token_len,
+         |  round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text), 6) AS punct_ratio,
+         |  round(len(list_filter($toks, t -> list_contains($enStop, t)))::DOUBLE / len($toks), 6) AS stopword_ratio,
+         |  round(len(list_distinct($toks))::DOUBLE / len($toks), 6) AS uniq_token_ratio,
+         |  floor(least(1.0,
+         |    0.4 * least(len($toks)::DOUBLE / 50.0, 1.0)
+         |    + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text))
+         |    + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))) * 1e6 + 0.5) / 1e6 AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "lang_id" ->
+      s"""WITH sc AS (SELECT doc_id, lang,
+         |  len(list_filter($toks, t -> list_contains($enStop, t))) AS s_en,
+         |  len(list_filter($toks, t -> list_contains(['el','la','de','que','y','los'], t))) AS s_es,
+         |  len(list_filter($toks, t -> list_contains(['le','la','les','de','et','un'], t))) AS s_fr,
+         |  len(list_filter($toks, t -> list_contains(['der','die','das','und','ist','ein'], t))) AS s_de,
+         |  len(list_filter($toks, t -> list_contains(['的','了','是','我','不'], t))) AS s_zh
+         |FROM documents)
+         |SELECT doc_id, lang AS lang_actual,
+         |  CASE WHEN greatest(s_en,s_es,s_fr,s_de,s_zh) = 0 THEN 'und'
+         |       WHEN s_en = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'en'
+         |       WHEN s_es = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'es'
+         |       WHEN s_fr = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'fr'
+         |       WHEN s_de = greatest(s_en,s_es,s_fr,s_de,s_zh) THEN 'de'
+         |       ELSE 'zh' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "doc_fingerprint" ->
+      s"""SELECT doc_id,
+         |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "quality_filter" ->
+      s"""WITH t AS (SELECT lang,
+         |  len($toks) AS n_tokens,
+         |  floor(least(1.0,
+         |    0.4 * least(len($toks)::DOUBLE / 50.0, 1.0)
+         |    + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text))
+         |    + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))) * 1e6 + 0.5) / 1e6 AS quality
+         |FROM documents)
+         |SELECT lang, count(*) AS n_docs FROM t
+         |WHERE quality >= 0.5 AND n_tokens >= 20
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "multimodal_meta" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+        |  sha256(text) AS content_sha
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "streaming_hourly" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS n_events, round(sum(value),4) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+  )
+}

@@ -1,0 +1,419 @@
+package graft
+
+import graft.embed.HashEmbedder
+import graft.functions.VectorFunctions._
+import graft.ingest.IngestPipeline
+import graft.multimodal.Multimodal
+import graft.operators.{AsOf, Dedup, Similarity}
+import graft.query.{Knn, WhereDsl}
+import graft.streaming.EventStream
+import graft.text.TextAnalysis
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The declared operator surface: every entry here is (a) a runnable Spark
+  * query over the harness tables and, where ANSI-SQL-expressible, (b)
+  * paired with a DuckDB oracle in [[GraftQueries.oracles]] that must
+  * hash-match.
+  *
+  * Conventions for oracle parity:
+  *  - every double output is `round(x, n)` on BOTH sides;
+  *  - every query ends in a deterministic ORDER BY;
+  *  - integer aggregates that DuckDB would widen to HUGEINT are produced
+  *    as BIGINT on both sides (count FILTER / CAST);
+  *  - vector math oracles use explicit double accumulation via
+  *    `list_transform(range(...))` (DuckDB's `list_*_similarity` functions
+  *    compute in float32 and do NOT match).
+  */
+object GraftQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // Money arithmetic runs in exact DECIMAL and is cast back to double only
+  // after the final round: double-sum noise (~1e-9) sits too close to the
+  // decimal half-boundaries of 2-decimal money data for cross-engine
+  // round() parity, and Spark's partial-agg merge order is nondeterministic.
+  private def money(c: org.apache.spark.sql.Column) = c.cast("decimal(12,4)")
+  private def oneMinus(c: org.apache.spark.sql.Column) = (lit(1.0) - c).cast("decimal(6,4)")
+  private def onePlus(c: org.apache.spark.sql.Column) = (lit(1.0) + c).cast("decimal(6,4)")
+
+  // ======================================================== relational core
+
+  /** TPC-H Q1 shape: scan-heavy aggregation; pushdown of the shipdate
+    * filter + 7-column read schema is the whole game at scale. */
+  val q1PricingSummary: Q = (s, d) => {
+    val qty = money(col("l_quantity"))
+    val px = money(col("l_extendedprice"))
+    val discPrice = px * oneMinus(col("l_discount"))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        round(sum(qty), 2).cast("double").as("sum_qty"),
+        round(sum(px), 2).cast("double").as("sum_base_price"),
+        round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
+        round(sum(discPrice * onePlus(col("l_tax"))), 2).cast("double").as("sum_charge"),
+        round(sum(qty).cast("double") / count(lit(1)), 4).as("avg_qty"),
+        round(sum(px).cast("double") / count(lit(1)), 4).as("avg_price"),
+        round(sum(money(col("l_discount"))).cast("double") / count(lit(1)), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q3 shape: selective dim filter -> fact join -> top-k. customer
+    * is broadcast (small dim); top-10 is TakeOrderedAndProject. */
+  val q2TopRevenueOrders: Q = (s, d) => {
+    val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1997-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("c_name"))
+      .agg(round(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))), 2)
+        .cast("double").as("revenue"))
+      .select(col("l_orderkey"), date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+        col("c_name"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5 shape: star join through region/nation (broadcast dims),
+    * revenue per nation. */
+  val q3NationRevenue: Q = (s, d) => {
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+    val n = Tables.nation(s, d)
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d).filter(col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+    l.join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(round(sum(money(col("l_extendedprice")) * oneMinus(col("l_discount"))), 2)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_lineitems"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6 shape: pure pushdown scan-aggregate, one row out. */
+  val q4ForecastRevenue: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(money(col("l_extendedprice")) * money(col("l_discount"))), 2)
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  /** Window ranking: top-3 customers by balance per nation. */
+  val q5TopCustomersPerNation: Q = (s, d) => {
+    val w = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("rk"), col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy("n_name", "rk")
+  }
+
+  /** ROLLUP grouping sets over orders. */
+  val q6OrdersRollup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(money(col("o_totalprice"))), 2).cast("double").as("sum_totalprice"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n_orders"), col("sum_totalprice"))
+      .orderBy("status", "priority")
+
+  /** Semi + anti join: customers with/without orders per segment. */
+  val q7SegmentOrders: Q = (s, d) => {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val withO = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+    val noO = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+    withO.join(noO, Seq("c_mktsegment"), "full_outer")
+      .select(col("c_mktsegment"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  // ========================================================== event stream
+
+  /** Tumbling-window aggregation (batch path; `streaming_hourly` runs the
+    * identical plan through Structured Streaming). */
+  val q8EventsHourly: Q = (s, d) =>
+    EventStream.windowedAgg(Tables.events(s, d))
+      .orderBy("window_start", "event_type")
+
+  /** JSON-ish props extraction + bucketed aggregate. */
+  val q9EventsProps: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k_bucket", regexp_extract(col("props"), "\"k\": (\\d+)", 1).cast("int") % 10)
+      .groupBy("k_bucket")
+      .agg(count(lit(1)).as("n_events"), round(avg("value"), 4).as("avg_value"))
+      .orderBy("k_bucket")
+
+  /** Sessionization: 30-min-gap sessions via lag + running sum — the
+    * batch twin of mapGroupsWithState sessionization. */
+  val q10Sessionize: Q = (s, d) => {
+    val wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val wrun = wl.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("prev_ts", lag("ts", 1).over(wl))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("double") - col("prev_ts").cast("double") > 1800.0, 1L).otherwise(0L))
+      .withColumn("session_id", sum("new_session").over(wrun))
+      .groupBy("user_id")
+      .agg(max("session_id").as("n_sessions"), count(lit(1)).as("n_events"))
+      .orderBy("user_id")
+  }
+
+  /** As-of join: each purchase matched to the user's most recent prior
+    * click (union+window implementation — no range-join blowup). */
+  val q11AsofPurchaseClick: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    AsOf.asofBackward(purchases, clicks, Seq("user_id"), "ts", Seq("event_id", "value"))
+      .filter(col("matched_event_id").isNotNull)
+      .select(col("user_id"), col("event_id"),
+        col("matched_event_id"), round(col("matched_value"), 4).as("matched_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ==================================================== reference surface
+
+  /** Collection stats (reference get_collection_stats / count). */
+  val collectionStats: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val emb = Tables.embeddings(s, d)
+    docs.agg(count(lit(1)).as("n_documents"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      .crossJoin(emb.agg(count(lit(1)).as("n_embeddings")))
+  }
+
+  /** Chroma-style where-DSL metadata filter, pushed into the scan. */
+  val whereDslFilter: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(WhereDsl.parse(
+        """{"$and":[{"lang":{"$in":["en","fr"]}},{"n_chars":{"$gt":200}},{"source":{"$ne":"src3"}}]}"""))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
+  /** The reference chunker over the documents table (chunk 120 / overlap 20
+    * so harness-sized texts produce multi-chunk output). */
+  val chunkDocs: Q = (s, d) =>
+    IngestPipeline.chunk(Tables.documents(s, d), "text", "doc_id", chunkSize = 120, overlap = 20)
+      .select(col("doc_id"), col("chunk_index"), col("chunk_id"), col("chunk"),
+        col("total_chunks").cast("long").as("total_chunks"))
+      .orderBy("doc_id", "chunk_index")
+
+  /** Full ingest pipeline: chunk -> metadata -> deterministic ids ->
+    * hash-embed. Embeddings are not SQL-expressible -> rows-only check;
+    * chunk/id/metadata parity is covered by `chunk_docs` + unit tests. */
+  val ingestPipeline: Q = (s, d) =>
+    IngestPipeline.ingestDocuments(Tables.documents(s, d), HashEmbedder(dim = 64))
+      .select(col("doc_id"), col("chunk_id"), col("chunk_index"), col("total_chunks"),
+        col("id"), round(sqrt(aggregate(transform(col("embedding"),
+          x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)), 4).as("embedding_norm"))
+      .orderBy("doc_id", "chunk_index")
+
+  /** kNN top-10 by squared L2 (Chroma's default space), query = vector 0. */
+  val vecKnn: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .withColumn("distance", round(l2Sq(col("embedding"), col("qv")), 6))
+      .orderBy("distance", "vec_id")
+      .limit(10)
+      .select("vec_id", "label", "distance")
+  }
+
+  /** kNN with a metadata where-DSL filter applied BEFORE ranking
+    * (filter-then-rank, reference search_for_rag semantics). */
+  val vecKnnFiltered: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(WhereDsl.parse("""{"label":{"$in":[1,2,3]}}"""))
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(q))
+      .withColumn("distance", round(l2Sq(col("embedding"), col("qv")), 6))
+      .orderBy("distance", "vec_id")
+      .limit(10)
+      .select("vec_id", "label", "distance")
+  }
+
+  /** Batched kNN join: 5 query vectors, top-10 each, exact cosine. */
+  val vecTopkJoin: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.bruteForceTopK(e, "embedding", "vec_id", q, "q_id", "q_vec", k = 10)
+      .withColumn("rank", col("rank").cast("long"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** IVF-flat approximate kNN (rows-only: approximate by construction; its
+    * recall against vec_topk_join is asserted in ScalaTest). */
+  val annIvf: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.ivfTopK(e, "embedding", "vec_id", q, "q_id", "q_vec",
+        k = 10, ncells = 16, nprobe = 4)
+      .orderBy("q_id", "rank")
+  }
+
+  /** Random-hyperplane LSH bucketing (the shuffle key for cosine near-dup
+    * at scale). Deterministic planes, rows-only. */
+  val annLshBuckets: Q = (s, d) =>
+    Similarity.cosineLshBuckets(Tables.embeddings(s, d), "embedding", nBits = 12)
+      .groupBy("lsh_bucket").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("lsh_bucket")
+
+  /** RAG context assembly: top-10 hits joined to their documents, greedy
+    * 2000-char prefix, "\n---\n" separator (reference get_context_for_rag). */
+  val ragContext: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val hits = e.crossJoin(broadcast(q))
+      .withColumn("distance", round(l2Sq(col("embedding"), col("qv")), 6))
+      .orderBy("distance", "vec_id")
+      .limit(10)
+      .join(Tables.documents(s, d), col("doc_id") === col("vec_id"))
+    val piece = format_string("[Source: %s, Chunk: %s_chunk_0]\n%s\n",
+      col("source"), col("doc_id"), col("text"))
+    Knn.assembleContext(hits, piece, Seq(col("distance"), col("vec_id")), maxLen = 2000)
+  }
+
+  // ========================================================== dedup family
+
+  /** Exact dedup via content hash. */
+  val dedupExact: Q = (s, d) =>
+    Dedup.exact(Tables.documents(s, d), "text", "doc_id")
+      .select("doc_id", "content_hash", "group_size", "canonical_id", "is_duplicate")
+      .orderBy("doc_id")
+
+  /** MinHash+LSH candidate generation, exact-Jaccard verified; the oracle
+    * is the full exact-Jaccard join, so this also proves LSH recall. */
+  val dedupMinhash: Q = (s, d) =>
+    Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
+        shingleSize = 5, bands = 32, rowsPerBand = 4, threshold = 0.8)
+      .orderBy("id_a", "id_b")
+
+  /** Exact n-gram Jaccard similarity join with language blocking and the
+    * lossless set-size prune. */
+  val dedupNgram: Q = (s, d) =>
+    Dedup.ngramJaccardJoin(Tables.documents(s, d), "text", "doc_id",
+        shingleSize = 5, threshold = 0.6, blockCol = Some("lang"))
+      .orderBy("id_a", "id_b")
+
+  /** SimHash near-dup pairs (hamming <= 3 over 64-bit token simhash).
+    * xxhash64 is Spark-specific -> rows-only; semantics unit-tested. */
+  val dedupSimhash: Q = (s, d) =>
+    Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+
+  /** Embedding-cosine near-dup pairs (exact all-pairs at harness scale;
+    * LSH-bucketed variant is the scale path). */
+  val dedupEmbedding: Q = (s, d) =>
+    Dedup.embeddingNearDup(Tables.embeddings(s, d), "embedding", "vec_id", threshold = 0.35)
+      .orderBy("id_a", "id_b")
+
+  // ========================================================= text analysis
+
+  /** Per-document statistics + composite quality score. */
+  val textStats: Q = (s, d) =>
+    TextAnalysis.textStats(Tables.documents(s, d))
+      .select(col("doc_id"), length(col("text")).as("n_chars_measured"),
+        col("n_tokens"), col("avg_token_len"), col("punct_ratio"),
+        col("stopword_ratio"), col("uniq_token_ratio"), col("quality"))
+      .orderBy("doc_id")
+
+  /** Heuristic language ID vs the labeled lang column. */
+  val langId: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("lang_actual"),
+        TextAnalysis.langId(col("text")).as("lang_pred"))
+      .orderBy("doc_id")
+
+  /** Order/duplication-invariant token-set fingerprint. */
+  val docFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), TextAnalysis.tokenSetFingerprint(col("text")).as("fingerprint"))
+      .orderBy("doc_id")
+
+  /** Quality filter composition: docs passing quality gates, per lang. */
+  val qualityFilter: Q = (s, d) =>
+    TextAnalysis.textStats(Tables.documents(s, d))
+      .filter(col("quality") >= 0.5 && col("n_tokens") >= 20)
+      .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+      .orderBy("lang")
+
+  // ==================================================== multimodal + stream
+
+  /** Multimodal plumbing: binary payload column -> batched per-partition
+    * feature extraction (decode step stubbed; see Multimodal). Oracle
+    * covers the content-addressed metadata (byte length + sha256). */
+  val multimodalMeta: Q = (s, d) =>
+    Multimodal.extractFeatures(
+        Multimodal.withBinaryPayload(Tables.documents(s, d), "text"), "payload")
+      .select(col("doc_id"), col("features.byte_len").as("byte_len"),
+        col("features.content_sha").as("content_sha"))
+      .orderBy("doc_id")
+
+  /** The q8 aggregation through Structured Streaming (readStream ->
+    * watermark -> window -> memory sink, AvailableNow). */
+  val streamingHourly: Q = (s, d) =>
+    EventStream.runStreamingWindowedAgg(s, s"$d/events.parquet",
+        queryName = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .orderBy("window_start", "event_type")
+
+  // =============================================================== registry
+
+  val all: Map[String, Q] = Map(
+    "q1_pricing_summary" -> q1PricingSummary,
+    "q2_top_revenue_orders" -> q2TopRevenueOrders,
+    "q3_nation_revenue" -> q3NationRevenue,
+    "q4_forecast_revenue" -> q4ForecastRevenue,
+    "q5_top_customers_per_nation" -> q5TopCustomersPerNation,
+    "q6_orders_rollup" -> q6OrdersRollup,
+    "q7_segment_orders" -> q7SegmentOrders,
+    "q8_events_hourly" -> q8EventsHourly,
+    "q9_events_props" -> q9EventsProps,
+    "q10_sessionize" -> q10Sessionize,
+    "q11_asof_purchase_click" -> q11AsofPurchaseClick,
+    "collection_stats" -> collectionStats,
+    "where_dsl_filter" -> whereDslFilter,
+    "chunk_docs" -> chunkDocs,
+    "ingest_pipeline" -> ingestPipeline,
+    "vec_knn" -> vecKnn,
+    "vec_knn_filtered" -> vecKnnFiltered,
+    "vec_topk_join" -> vecTopkJoin,
+    "ann_ivf" -> annIvf,
+    "ann_lsh_buckets" -> annLshBuckets,
+    "rag_context" -> ragContext,
+    "dedup_exact" -> dedupExact,
+    "dedup_minhash" -> dedupMinhash,
+    "dedup_ngram" -> dedupNgram,
+    "dedup_simhash" -> dedupSimhash,
+    "dedup_embedding" -> dedupEmbedding,
+    "text_stats" -> textStats,
+    "lang_id" -> langId,
+    "doc_fingerprint" -> docFingerprint,
+    "quality_filter" -> qualityFilter,
+    "multimodal_meta" -> multimodalMeta,
+    "streaming_hourly" -> streamingHourly,
+  )
+
+  // DuckDB oracle SQL — see GraftOracles
+  val oracles: Map[String, String] = GraftOracles.all
+}

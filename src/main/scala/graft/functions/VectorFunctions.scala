@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Vector distance/similarity primitives over `ARRAY<FLOAT>` columns.
+  *
+  * Two tiers:
+  *  1. [[VectorDistance]] — a native Catalyst `Expression` with
+  *     `doGenCode` (tight primitive loop, no per-element lambda dispatch,
+  *     stays inside whole-stage codegen). This is the hot path for kNN /
+  *     similarity-join at scale.
+  *  2. HOF fallbacks built from `zip_with`/`aggregate` — pure built-ins,
+  *     used to cross-check the expression in tests.
+  *
+  * Accumulation is double-precision left-to-right over the array order,
+  * which both DuckDB's `list_distance` family and a hand-rolled oracle can
+  * reproduce.
+  */
+object Metric extends Enumeration {
+  val L2Sq, Cosine, Dot = Value
+}
+
+case class VectorDistance(left: Expression, right: Expression, metric: String)
+    extends BinaryExpression {
+
+  // inputs are cast to ARRAY<FLOAT> at the Column-builder layer
+  // (VectorFunctions.floatVec), so no ExpectsInputTypes contract needed
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = s"vector_$metric"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = math.min(xs.numElements(), ys.numElements())
+    var i = 0
+    metric match {
+      case "l2sq" =>
+        var acc = 0.0
+        while (i < n) { val d = xs.getFloat(i).toDouble - ys.getFloat(i); acc += d * d; i += 1 }
+        acc
+      case "dot" =>
+        var acc = 0.0
+        while (i < n) { acc += xs.getFloat(i).toDouble * ys.getFloat(i); i += 1 }
+        acc
+      case "cosine" =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0
+        while (i < n) {
+          val x = xs.getFloat(i).toDouble; val y = ys.getFloat(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        if (na == 0.0 || nb == 0.0) 0.0 else dot / math.sqrt(na * nb)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      metric match {
+        case "l2sq" =>
+          val acc = ctx.freshName("acc")
+          val d = ctx.freshName("d")
+          s"""
+             |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+             |double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+             |  $acc += $d * $d;
+             |}
+             |${ev.value} = $acc;
+           """.stripMargin
+        case "dot" =>
+          val acc = ctx.freshName("acc")
+          s"""
+             |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+             |double $acc = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+             |}
+             |${ev.value} = $acc;
+           """.stripMargin
+        case "cosine" =>
+          val dot = ctx.freshName("dot")
+          val na = ctx.freshName("na")
+          val nb = ctx.freshName("nb")
+          val x = ctx.freshName("x")
+          val y = ctx.freshName("y")
+          s"""
+             |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+             |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+             |for (int $i = 0; $i < $n; $i++) {
+             |  double $x = (double) $a.getFloat($i);
+             |  double $y = (double) $b.getFloat($i);
+             |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+             |}
+             |${ev.value} = ($na == 0.0 || $nb == 0.0) ? 0.0 : $dot / java.lang.Math.sqrt($na * $nb);
+           """.stripMargin
+      }
+    })
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  private def asCol(e: Expression): Column = Bridge.column(e)
+  private def ex(c: Column): Expression = Bridge.expression(c)
+  private def floatVec(c: Column): Column = c.cast(ArrayType(FloatType))
+
+  /** Squared L2 distance (Chroma's default space — reference never
+    * overrides `hnsw:space`, see SURVEY §6). */
+  def l2Sq(a: Column, b: Column): Column =
+    asCol(VectorDistance(ex(floatVec(a)), ex(floatVec(b)), "l2sq"))
+
+  def cosine(a: Column, b: Column): Column =
+    asCol(VectorDistance(ex(floatVec(a)), ex(floatVec(b)), "cosine"))
+
+  def dot(a: Column, b: Column): Column =
+    asCol(VectorDistance(ex(floatVec(a)), ex(floatVec(b)), "dot"))
+
+  /** Literal query vector as an ARRAY<FLOAT> column. */
+  def vecLit(v: Array[Float]): Column =
+    array(v.map(x => lit(x)): _*).cast(ArrayType(FloatType))
+
+  // ---- HOF fallbacks (built-ins only; used for cross-checking) ----
+  def l2SqHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) *
+      (x.cast("double") - y.cast("double"))), lit(0.0), (acc, v) => acc + v)
+
+  def dotHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def cosineHof(a: Column, b: Column): Column = {
+    val d = dotHof(a, b)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")), lit(0.0), (p, v) => p + v)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")), lit(0.0), (p, v) => p + v)
+    when(na === 0.0 || nb === 0.0, 0.0).otherwise(d / sqrt(na * nb))
+  }
+
+  /** L2-normalize an ARRAY<FLOAT> column (BGE-style `normalize_embeddings`). */
+  def normalize(a: Column): Column = {
+    val nrm = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (p, v) => p + v))
+    when(nrm === 0.0, a).otherwise(transform(a, x => (x.cast("double") / nrm).cast("float")))
+  }
+}

@@ -1,0 +1,231 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, n-gram Jaccard (with lossless set-size pruning), and
+  * embedding-cosine near-dup.
+  *
+  * Scale design notes (the part that matters at 100 TB):
+  *  - exact dedup is a single hash-shuffle on a 32-byte digest, never on
+  *    the document text itself;
+  *  - MinHash-LSH shuffles (band_id, band_hash) pairs — tiny fixed-width
+  *    keys — and only exact-verifies candidate pairs, so the quadratic blow
+  *    -up is confined to hash-bucket collisions;
+  *  - the exact Jaccard join applies the |A|/|B| set-size ratio bound (a
+  *    LOSSLESS prune: J(A,B) <= min|A|,|B| / max|A|,|B|) before computing
+  *    any intersection;
+  *  - all signatures are computed with built-in codegen'd expressions
+  *    (xxhash64 / md5), no Scala closures in the per-row hot path.
+  */
+object Dedup {
+
+  /** Distinct character shingles (n-grams) of a text column — the set used
+    * for Jaccard similarity. Built-ins only (substring over a sequence), so
+    * the same definition is expressible in the DuckDB oracle.
+    */
+  def shingles(text: Column, n: Int = 5): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => substring(text, i, lit(n))))
+
+  /** The same distinct-shingle set as 64-bit hashes: set operations on
+    * fixed-width longs are several times cheaper than on strings, and
+    * |A∩B| is unchanged up to a ~2^-64 collision (the distinct-shingle
+    * universe of a corpus is far below birthday range).
+    */
+  def shingleHashes(text: Column, n: Int = 5): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => xxhash64(substring(text, i, lit(n)))))
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact dedup: md5 content hash, group, flag canonicals (min id wins).
+    * Output: one row per input row with (hash, group_size, is_canonical).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash"))
+    df.withColumn("content_hash", md5(col(textCol).cast("binary")))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
+  }
+
+  // ------------------------------------------------------------- minhash
+
+  /** MinHash band hashes in ONE pass over the shingle set (a UDF, not
+    * `perms` stacked aggregate expressions — codegen over 128 array
+    * aggregates per row compiles into an enormous method that falls out of
+    * JIT; the tight JVM loop is ~100x faster and touches each shingle
+    * once). Per shingle: one 64-bit base hash, then `perms` cheap
+    * 2-universal mixes (h*A_i+B_i); per band: mix of its rows' minima.
+    * Returns `bands` longs.
+    */
+  def minhashBandHashes(perms: Int, bands: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    require(perms % bands == 0)
+    val r = perms / bands
+    val rng = new scala.util.Random(0x5eed)
+    val as = Array.fill(perms)(rng.nextLong() | 1L)
+    val bs = Array.fill(perms)(rng.nextLong())
+    udf((shingles: Seq[Long]) => {
+      val mins = Array.fill(perms)(Long.MaxValue)
+      shingles.foreach { s =>
+        var h = s
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        var p = 0
+        while (p < perms) {
+          val v = h * as(p) + bs(p)
+          if (v < mins(p)) mins(p) = v
+          p += 1
+        }
+      }
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var acc = 0xcbf29ce484222325L
+        var j = 0
+        while (j < r) {
+          acc ^= mins(b * r + j); acc *= 0x100000001b3L
+          j += 1
+        }
+        out(b) = acc
+        b += 1
+      }
+      out
+    })
+  }
+
+  /** MinHash + LSH banding candidate generation + exact-Jaccard verify.
+    *
+    * bands*rowsPerBand permutations; a pair becomes a candidate if any band
+    * of their signatures matches; candidates are verified with EXACT
+    * Jaccard on the shingle sets so false positives never escape. With
+    * bands=32, rows=4 a pair at J=0.8 is missed with prob (1-0.8^4)^32 ~
+    * 5e-8 — effectively exact at the thresholds dedup uses.
+    *
+    * Output: (id_a, id_b, jaccard) pairs with jaccard >= threshold, id_a < id_b.
+    */
+  def minhashLsh(df: DataFrame, textCol: String, idCol: String,
+                 shingleSize: Int = 5, bands: Int = 32, rowsPerBand: Int = 4,
+                 threshold: Double = 0.8): DataFrame = {
+    val withSh = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+      .withColumn("_sh", shingleHashes(col("_text"), shingleSize))
+    // the banded relation carries ONLY (id, band, bandhash) — never the
+    // shingle arrays — so the LSH shuffle moves fixed-width keys; shingles
+    // are joined back just for the candidate pairs that need verification
+    val banded = withSh.select(col("_id"),
+      posexplode(minhashBandHashes(bands * rowsPerBand, bands)(col("_sh")))
+        .as(Seq("_band", "_bandhash")))
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a._band") === col("b._band") &&
+          col("a._bandhash") === col("b._bandhash") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val sh = withSh.select(col("_id"), col("_sh"))
+    val pairs = candidates
+      .join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+    verifyJaccard(pairs, threshold)
+  }
+
+  private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
+    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
+    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
+    pairs.withColumn("jaccard", round(inter / uni, 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------ exact jaccard
+
+  /** Exact n-gram Jaccard similarity join (self-join) with the lossless
+    * set-size ratio prune. Optional blocking column (e.g. language) —
+    * blocking IS a semantic restriction and is part of the operator's
+    * declared contract, not a silent approximation.
+    */
+  def ngramJaccardJoin(df: DataFrame, textCol: String, idCol: String,
+                       shingleSize: Int = 5, threshold: Double = 0.6,
+                       blockCol: Option[String] = None): DataFrame = {
+    val baseCols = Seq(col(idCol).as("_id"), shingleHashes(col(textCol), shingleSize).as("_sh")) ++
+      blockCol.map(c => col(c).as("_blk"))
+    val base = df.select(baseCols: _*).withColumn("_n", size(col("_sh")))
+    val joinCond = {
+      val idOrd = col("a._id") < col("b._id")
+      // lossless: J >= t requires t*max(|A|,|B|) <= min(|A|,|B|)
+      val sizeOk = col("a._n") >= col("b._n") * threshold &&
+        col("b._n") >= col("a._n") * threshold
+      blockCol match {
+        case Some(_) => idOrd && sizeOk && col("a._blk") === col("b._blk")
+        case None => idOrd && sizeOk
+      }
+    }
+    val pairs = base.as("a").join(base.as("b"), joinCond)
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a._sh").as("sh_a"), col("b._sh").as("sh_b"))
+    verifyJaccard(pairs, threshold)
+  }
+
+  // ------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over whitespace tokens: each token votes its xxhash64
+    * bits, signature bit = sign of the vote sum. Near-dups = pairs within
+    * `maxHamming`. Built-ins only: per-bit vote via aggregate over the
+    * token array.
+    */
+  def simhash(tokens: Column): Column = {
+    val hashes = transform(tokens, t => xxhash64(t))
+    // per-bit votes: for bit k, sum(+1/-1); bit k of result = vote>0
+    val bits = (0 until 64).map { k =>
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
+    * chunks (pigeonhole: hamming <= 3 guarantees one identical chunk), join
+    * on chunks, verify with bit_count(xor).
+    */
+  def simhashPairs(df: DataFrame, textCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sigs = df.select(col(idCol).as("_id"), simhash(toks).as("_sig"))
+    val banded = sigs.select(col("_id"), col("_sig"),
+      posexplode(array((0 until 4).map { b =>
+        shiftrightunsigned(col("_sig"), b * 16).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("_band", "_chunk")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a._band") === col("b._band") && col("a._chunk") === col("b._chunk") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a._sig").as("sig_a"), col("b._sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
+  // -------------------------------------------------- embedding near-dup
+
+  /** Embedding-cosine near-duplicate pairs. Exact all-pairs with id
+    * ordering; at scale swap the crossJoin for [[Similarity.cosineLsh]]
+    * bucketing — same verify step.
+    */
+  def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
+                       threshold: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", round(VectorFunctions.cosine(col("_va"), col("_vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

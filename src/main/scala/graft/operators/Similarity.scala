@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an `ARRAY<FLOAT>` embedding
+  * column. Three tiers:
+  *
+  *  1. [[bruteForceTopK]] — exact; broadcast the (small) query set over the
+  *     big collection, codegen'd cosine, per-query top-k via window rank.
+  *     The baseline every approximate method is measured against.
+  *  2. [[ivfTopK]] — IVF-flat: a coarse quantizer (centroids learned by a
+  *     few Lloyd iterations over a sample, all in DataFrames) partitions
+  *     the collection; queries probe only the `nprobe` nearest cells. At
+  *     100 TB this is the difference between scanning everything and
+  *     scanning nprobe/ncells of it, with the cell assignment stored as a
+  *     partition column.
+  *  3. [[cosineLshBuckets]] — random-hyperplane signatures; vectors sharing
+  *     a signature land in one bucket, giving a shuffle-key for
+  *     bucketed near-dup joins (used by Dedup.embeddingNearDup at scale).
+  */
+object Similarity {
+
+  /** Exact top-k per query. Queries must be small enough to broadcast —
+    * which is the realistic shape: thousands of probes against billions of
+    * vectors.
+    */
+  def bruteForceTopK(collection: DataFrame, vecCol: String, idCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int): DataFrame = {
+    val scored = collection.crossJoin(broadcast(queries))
+      .withColumn("cosine", round(cosine(col(vecCol), col(qVecCol)), 6))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** Deterministic k-means(ish) centroids: seed from the first `ncells`
+    * rows by id order, then `iters` Lloyd rounds as DataFrame aggregations
+    * (group by nearest centroid, average). Returns (cell_id, centroid).
+    */
+  def trainCentroids(collection: DataFrame, vecCol: String, idCol: String,
+                     ncells: Int, iters: Int = 2): DataFrame = {
+    var centroids = collection.orderBy(col(idCol)).limit(ncells)
+      .select(col(vecCol).as("centroid"))
+      .withColumn("cell_id", row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
+      .select("cell_id", "centroid")
+    var i = 0
+    while (i < iters) {
+      val assigned = assignCells(collection, vecCol, centroids)
+      centroids = assigned
+        .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("_pos", "_x")))
+        .groupBy("cell_id", "_pos").agg(avg("_x").as("_m"))
+        .groupBy("cell_id")
+        .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pairs"))
+        .select(col("cell_id"),
+          transform(col("_pairs"), p => p.getField("_m").cast("float")).as("centroid"))
+      i += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid assignment. Centroids are a driver-side handful
+    * (ncells x dim floats), so they become LITERAL vectors in one argmin
+    * projection — no crossJoin, no shuffle, no window; the assignment cost
+    * is exactly one codegen'd pass over the collection. Ties break to the
+    * lowest cell_id via struct ordering.
+    */
+  def assignCells(collection: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+    val cents: Array[(Int, Array[Float])] = centroids.orderBy("cell_id").collect().map { r =>
+      (r.getInt(0), r.getSeq[Float](1).toArray)
+    }
+    val candidates = cents.map { case (id, c) =>
+      struct(l2Sq(col(vecCol), vecLit(c)).as("d"), lit(id).as("cell_id"))
+    }
+    collection.withColumn("cell_id",
+      array_min(array(candidates.toIndexedSeq: _*)).getField("cell_id"))
+  }
+
+  /** IVF-flat search: probe the `nprobe` nearest cells per query, exact
+    * cosine inside the probed cells, top-k per query.
+    */
+  def ivfTopK(collection: DataFrame, vecCol: String, idCol: String,
+              queries: DataFrame, qIdCol: String, qVecCol: String,
+              k: Int, ncells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val centroids = trainCentroids(collection, vecCol, idCol, ncells)
+    val indexed = assignCells(collection, vecCol, centroids)
+    // cells to probe per query
+    val wq = Window.partitionBy(col(qIdCol)).orderBy(col("_qd"), col("cell_id"))
+    val probes = queries.crossJoin(broadcast(centroids))
+      .withColumn("_qd", l2Sq(col(qVecCol), col("centroid")))
+      .withColumn("_qrk", row_number().over(wq))
+      .filter(col("_qrk") <= nprobe)
+      .select(col(qIdCol), col(qVecCol), col("cell_id"))
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    indexed.join(broadcast(probes), Seq("cell_id"))
+      .withColumn("cosine", round(cosine(col(vecCol), col(qVecCol)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("cosine"), col("rank"))
+  }
+
+  /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) where h_i
+    * is a deterministic pseudo-random hyperplane derived from (i, seed).
+    * Same-signature vectors are cosine-close with high probability.
+    */
+  def cosineLshBuckets(df: DataFrame, vecCol: String, nBits: Int = 16,
+                       seed: Long = 42L, dim: Int = 64): DataFrame = {
+    val rng = new scala.util.Random(seed)
+    val planes: Array[Array[Float]] =
+      Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    val bits = (0 until nBits).map { i =>
+      when(dot(col(vecCol), vecLit(planes(i))) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    df.withColumn("lsh_bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
+  }
+}

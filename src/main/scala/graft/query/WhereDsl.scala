@@ -1,0 +1,67 @@
+package graft.query
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Translator for the Chroma-style metadata `where` filter DSL into a
+  * Catalyst `Column` predicate (reference surface: the `where=` parameter at
+  * /root/reference/src/PDFToChromaIngester.py:250-263 and
+  * /root/reference/src/RagWorkflow.py:44-45).
+  *
+  * Supported forms (the full DSL Chroma documents; reference callers only
+  * ever pass flat equality maps):
+  *   {"k": v}                       -> col(k) === v
+  *   {"k": {"$eq"|"$ne"|"$gt"|"$gte"|"$lt"|"$lte": v}}
+  *   {"k": {"$in"|"$nin": [v...]}}
+  *   {"$and"|"$or": [clause...]}
+  *   multiple keys in one object    -> conjunction
+  *
+  * Emitting plain `Column` predicates means Catalyst pushes the filter into
+  * the Parquet scan (row-group skipping) for free — the "filter before kNN"
+  * ordering the reference delegates to Chroma.
+  */
+object WhereDsl {
+
+  def parse(json: String): Column = toPredicate(JsonMethods.parse(json))
+
+  private def litOf(v: JValue): Column = v match {
+    case JString(s) => lit(s)
+    case JInt(i) => lit(i.toLong)
+    case JLong(l) => lit(l)
+    case JDouble(d) => lit(d)
+    case JDecimal(d) => lit(d.toDouble)
+    case JBool(b) => lit(b)
+    case other => throw new IllegalArgumentException(s"unsupported literal: $other")
+  }
+
+  private def toPredicate(j: JValue): Column = j match {
+    case JObject(fields) =>
+      fields.map {
+        case ("$and", JArray(cs)) => cs.map(toPredicate).reduce(_ && _)
+        case ("$or", JArray(cs)) => cs.map(toPredicate).reduce(_ || _)
+        case (k, JObject(List((op, v)))) => opPredicate(col(k), op, v)
+        case (k, v) => col(k) === litOf(v)
+      }.reduce(_ && _)
+    case other => throw new IllegalArgumentException(s"where clause must be an object, got $other")
+  }
+
+  private def opPredicate(c: Column, op: String, v: JValue): Column = op match {
+    case "$eq" => c === litOf(v)
+    case "$ne" => c =!= litOf(v)
+    case "$gt" => c > litOf(v)
+    case "$gte" => c >= litOf(v)
+    case "$lt" => c < litOf(v)
+    case "$lte" => c <= litOf(v)
+    case "$in" => v match {
+      case JArray(vs) => c.isin(vs.map(x => litOf(x)): _*)
+      case _ => throw new IllegalArgumentException("$in expects an array")
+    }
+    case "$nin" => v match {
+      case JArray(vs) => !c.isin(vs.map(x => litOf(x)): _*)
+      case _ => throw new IllegalArgumentException("$nin expects an array")
+    }
+    case other => throw new IllegalArgumentException(s"unsupported operator $other")
+  }
+}

@@ -1,0 +1,143 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for an LLM training-data pipeline:
+  * tokenization, quality scoring, language-ID, fingerprinting.
+  *
+  * Everything here is built from codegen'd `org.apache.spark.sql.functions`
+  * (no Scala UDFs), so whole-stage codegen covers the full pipeline and the
+  * same logic is expressible in ANSI SQL for the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenization of trimmed, lowercased text. */
+  def tokens(text: Column): Column =
+    split(trim(lower(text)), "\\s+")
+
+  /** Tiny per-language stopword profiles for the heuristic language-ID.
+    * Deterministic and SQL-expressible; real corpora would use char
+    * n-gram profiles (see [[charNgrams]]) — the scoring shape is the same.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "is", "to", "in"),
+    "es" -> Seq("el", "la", "de", "que", "y", "los"),
+    "fr" -> Seq("le", "la", "les", "de", "et", "un"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein"),
+    "zh" -> Seq("的", "了", "是", "我", "不"),
+  )
+
+  /** Number of tokens that appear in `words` (built-ins only). */
+  def profileScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+
+  /** Predicted language: argmax of profile scores; ties break by profile
+    * order (en first); all-zero scores → "und" (undetermined).
+    */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scores = LangProfiles.map { case (lang, ws) => lang -> profileScore(toks, ws) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first-match-wins on ties, profile order = priority order
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && s > 0, lit(lang)).otherwise(acc)
+    }
+  }
+
+  /** Character n-grams of the raw text (for fingerprinting / shingling). */
+  def charNgrams(text: Column, n: Int): Column =
+    transform(sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
+      i => substring(text, i, lit(n))) // substr is 1-based
+
+  /** Per-document text statistics + quality score.
+    * Columns: n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
+    * uniq_token_ratio, quality.
+    */
+  def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val nChars = length(t)
+    val punct = nChars - length(regexp_replace(t, "[\\.,;:!\\?]", ""))
+    val stop = profileScore(toks, LangProfiles.head._2)
+    val tokLenSum = aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+    // quality is computed from the UNrounded ratios: rounding intermediates
+    // to 6 decimals and then scaling by 0.3 manufactures exact decimal
+    // half-cases at the 6th digit, where Spark (binary-expansion HALF_UP)
+    // and other engines (scaled std::round) disagree.
+    val punctRatio = punct.cast("double") / nChars
+    val uniqRatio = size(array_distinct(toks)).cast("double") / nTok
+    df.withColumn("n_tokens", nTok)
+      .withColumn("avg_token_len", round(tokLenSum.cast("double") / nTok, 6))
+      .withColumn("punct_ratio", round(punctRatio, 6))
+      .withColumn("stopword_ratio", round(stop.cast("double") / nTok, 6))
+      .withColumn("uniq_token_ratio", round(uniqRatio, 6))
+      .withColumn("quality",
+        // floor(x*1e6+0.5)/1e6 instead of round(): pure IEEE ops, so any
+        // engine computing the same double input rounds identically (the
+        // weighted sum of rationals CAN terminate exactly on a decimal
+        // half, where round() implementations legitimately diverge)
+        floor(least(lit(1.0),
+          (lit(0.4) * least(nTok.cast("double") / 50.0, lit(1.0))) +
+          (lit(0.3) * (lit(1.0) - punctRatio)) +
+          (lit(0.3) * uniqRatio)) * 1e6 + 0.5) / 1e6)
+  }
+
+  /** Deterministic content fingerprint: md5 over the sorted distinct token
+    * set — invariant to token order and duplication, so re-shuffled or
+    * re-padded documents collide. SQL-expressible for the oracle.
+    */
+  def tokenSetFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** Karp-Rabin rolling-hash winnowing fingerprint (pure JVM; the classic
+    * MOSS scheme): hash every k-gram with a polynomial rolling hash, then
+    * keep the minimum hash of each window of w consecutive k-gram hashes
+    * (rightmost-min). Returns the distinct selected hashes, sorted.
+    */
+  def winnow(text: String, k: Int = 7, w: Int = 4): Array[Long] = {
+    if (text == null || text.length < k) return Array.empty
+    val Base = 257L
+    val Mod = (1L << 61) - 1
+    def mulmod(a: Long, b: Long): Long = {
+      // 61-bit modulus keeps a*b within 122 bits; use Math.multiplyHigh
+      val hi = Math.multiplyHigh(a, b)
+      val lo = a * b
+      // fold 2^64 ≡ 2^3 (mod 2^61-1): (hi<<3 | lo>>>61) + (lo & Mod)
+      var r = ((hi << 3) | (lo >>> 61)) + (lo & Mod)
+      if (r >= Mod) r -= Mod
+      r
+    }
+    val n = text.length
+    val nGrams = n - k + 1
+    val hashes = new Array[Long](nGrams)
+    var h = 0L
+    var pow = 1L // Base^(k-1)
+    var i = 0
+    while (i < k) {
+      h = (mulmod(h, Base) + text.charAt(i)) % Mod
+      if (i < k - 1) pow = mulmod(pow, Base)
+      i += 1
+    }
+    hashes(0) = h
+    i = 1
+    while (i < nGrams) {
+      h = (h - mulmod(text.charAt(i - 1), pow) % Mod + Mod) % Mod
+      h = (mulmod(h, Base) + text.charAt(i + k - 1)) % Mod
+      hashes(i) = h
+      i += 1
+    }
+    if (nGrams <= w) return Array(hashes.min)
+    val out = scala.collection.mutable.SortedSet.empty[Long]
+    i = 0
+    while (i + w <= nGrams) {
+      var m = hashes(i)
+      var j = i + 1
+      while (j < i + w) { if (hashes(j) <= m) m = hashes(j); j += 1 }
+      out += m
+      i += 1
+    }
+    out.toArray
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"),   // near dup
+    (4L, "completely different content about spark engines"),
+    (5L, "")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups identical content; min id is canonical") {
+    val out = Dedup.exact(docs, "text", "doc_id")
+      .select("doc_id", "group_size", "canonical_id", "is_duplicate")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(out.contains((1L, 2L, 1L, false)))
+    assert(out.contains((2L, 2L, 1L, true)))
+    assert(out.contains((3L, 1L, 3L, false)))
+  }
+
+  test("minhash LSH finds exact and near dups, never false positives after verify") {
+    val pairs = Dedup.minhashLsh(docs.filter($"doc_id" =!= 5), "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // identical => jaccard 1, always recalled
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("exact jaccard join matches brute-force jaccard") {
+    val out = Dedup.ngramJaccardJoin(docs.filter($"doc_id" =!= 5), "text", "doc_id", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList.sortBy(p => (p._1, p._2))
+    assert(out.map(p => (p._1, p._2)) == List((1L, 2L), (1L, 3L), (2L, 3L)))
+    assert(out.head._3 == 1.0)
+  }
+
+  test("size-ratio prune keeps qualifying pairs and drops impossible ones") {
+    val rng = new scala.util.Random(7)
+    def rand(n: Int) = (0 until n).map(_ => ('a' + rng.nextInt(26)).toChar).mkString
+    val base = rand(200)
+    val d2 = Seq(
+      (1L, base),
+      (2L, base + " tail"),   // near-identical => must survive the prune
+      (3L, rand(40))          // tiny distinct set => pruned/impossible vs 200-char docs
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardJoin(d2, "text", "doc_id", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("simhash: identical docs collide, near dups within small hamming") {
+    val pairs = Dedup.simhashPairs(docs.filter($"doc_id" =!= 5), "text", "doc_id", maxHamming = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    val identical = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(identical.exists(_._3 == 0))
+  }
+
+  test("embedding near-dup with cosine threshold") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0.99f, 0.1f, 0f)),
+      (3L, Array(0f, 1f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(vecs, "embedding", "vec_id", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.embed.HashEmbedder
+import graft.ingest.IngestPipeline
+import graft.multimodal.Multimodal
+import graft.store.VectorStore
+import org.apache.spark.sql.functions._
+
+/** End-to-end pipeline tests: ingest -> store -> read-back, embedder
+  * determinism, multimodal plumbing, streaming agg parity with batch.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hash embedder: deterministic, unit-norm, dim-sized") {
+    val e = HashEmbedder(dim = 64)
+    val v1 = e.encodeOne("hello world of vectors")
+    val v2 = e.encodeOne("hello world of vectors")
+    assert(v1.sameElements(v2))
+    assert(v1.length == 64)
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5)
+    assert(e.encodeOne("").forall(_ == 0f))
+    assert(e.encodeOne(null).forall(_ == 0f))
+    // prefix changes the embedding (passage:/query: asymmetry support)
+    val p = HashEmbedder(dim = 64, prefix = "passage: ").encodeOne("hello")
+    assert(!p.sameElements(e.encodeOne("hello")))
+  }
+
+  test("ingest pipeline produces aligned chunk records with embeddings") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val out = IngestPipeline.ingestDocuments(docs, HashEmbedder(dim = 32))
+    val rows = out.select("doc_id", "chunk_index", "chunk_id", "total_chunks", "id", "embedding").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("chunk_id") == s"${r.getAs[Long]("doc_id")}_chunk_${r.getAs[Int]("chunk_index")}")
+      assert(r.getAs[scala.collection.Seq[Float]]("embedding").size == 32)
+      assert(r.getAs[String]("id").length == 64) // sha256 hex
+    }
+    // deterministic ids: rerun gives identical ids
+    val ids1 = rows.map(_.getAs[String]("id")).sorted
+    val ids2 = IngestPipeline.ingestDocuments(docs, HashEmbedder(dim = 32))
+      .select("id").as[String].collect().sorted
+    assert(ids1.sameElements(ids2))
+  }
+
+  test("vector store: create/append/count/list/drop lifecycle") {
+    val root = java.nio.file.Files.createTempDirectory("graft_store").toString
+    val store = VectorStore(root)
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "doc")
+    store.create("c1", df)
+    assert(store.count(spark, "c1") == 2)
+    store.append("c1", df)
+    assert(store.count(spark, "c1") == 4) // append semantics (:189-193)
+    store.create("c1", df)
+    assert(store.count(spark, "c1") == 2) // overwrite semantics (:29-33)
+    store.create("c2", df)
+    assert(store.list() == Seq("c1", "c2"))
+    store.drop("c2")
+    assert(store.list() == Seq("c1"))
+  }
+
+  test("ingest report: blank docs counted as failures, kept in report") {
+    val docs = Seq((1L, "some text", "s1"), (2L, "   ", "s1"), (3L, "", "s2"))
+      .toDF("doc_id", "text", "source")
+    val rep = IngestPipeline.ingestReport(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(rep == Set(("s1", 2L, 1L, 1L), ("s2", 1L, 0L, 1L)))
+  }
+
+  test("binaryFile ingest path works on a real directory") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pdf").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.pdf"), "hello pdf " * 80)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.txt"), "not a pdf")
+    val out = IngestPipeline.ingestBinaryDir(spark, dir, HashEmbedder(dim = 16))
+    val files = out.select("filename").distinct().as[String].collect().toSet
+    assert(files == Set("a.pdf")) // glob filter excluded b.txt
+    assert(out.count() > 0)
+  }
+
+  test("multimodal: batched feature extraction over binary payloads") {
+    val df = Multimodal.withBinaryPayload(
+      Seq((1L, "hello"), (2L, "world!")).toDF("id", "text"), "text")
+    val out = Multimodal.extractFeatures(df, "payload")
+      .select($"id", $"features.byte_len", $"features.content_sha", $"features.width")
+      .collect()
+    assert(out.length == 2)
+    val r1 = out.find(_.getLong(0) == 1L).get
+    assert(r1.getLong(1) == 5L)
+    assert(r1.getString(2) == "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+    assert(r1.getInt(3) >= 64)
+  }
+
+  test("streaming windowed agg equals batch windowed agg") {
+    val batch = GraftQueries.q8EventsHourly(spark, sf).collect().toSet
+    val streamed = GraftQueries.streamingHourly(spark, sf).collect().toSet
+    assert(streamed == batch)
+  }
+}

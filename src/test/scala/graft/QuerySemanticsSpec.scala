@@ -1,0 +1,92 @@
+package graft
+
+import graft.operators.{AsOf, Similarity}
+import graft.query.{Knn, WhereDsl}
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the query-layer operators: where-DSL translation,
+  * kNN determinism, greedy context assembly (strict-prefix break), as-of
+  * join, IVF recall.
+  */
+class QuerySemanticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("where-DSL: equality, ops, $in, $and/$or") {
+    val df = Seq((1, "en", 100), (2, "fr", 300), (3, "de", 250)).toDF("id", "lang", "n")
+    def ids(json: String): Set[Int] =
+      df.filter(WhereDsl.parse(json)).select("id").as[Int].collect().toSet
+    assert(ids("""{"lang": "en"}""") == Set(1))
+    assert(ids("""{"n": {"$gte": 250}}""") == Set(2, 3))
+    assert(ids("""{"lang": {"$in": ["en","de"]}}""") == Set(1, 3))
+    assert(ids("""{"lang": {"$nin": ["en","de"]}}""") == Set(2))
+    assert(ids("""{"$or": [{"lang": "en"}, {"n": {"$gt": 280}}]}""") == Set(1, 2))
+    assert(ids("""{"$and": [{"n": {"$gt": 150}}, {"n": {"$lt": 280}}]}""") == Set(3))
+    assert(ids("""{"lang": {"$ne": "en"}, "n": {"$lte": 250}}""") == Set(3))
+  }
+
+  test("knn search: k results, ascending distance, filter-then-rank") {
+    val e = Tables.embeddings(spark, sf)
+    val qv = e.filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    val hits = Knn.search(e, "embedding", qv, k = 5, tieBreaker = Some($"vec_id"))
+      .select("vec_id", "distance").collect()
+    assert(hits.length == 5)
+    assert(hits.head.getLong(0) == 0L && hits.head.getDouble(1) == 0.0)
+    val ds = hits.map(_.getDouble(1)).toSeq
+    assert(ds == ds.sorted)
+    // filter-then-rank: excluded rows never appear
+    val filtered = Knn.search(e, "embedding", qv, k = 5,
+      where = Some($"label" === 3), tieBreaker = Some($"vec_id"))
+      .select("label").as[Int].collect()
+    assert(filtered.forall(_ == 3))
+  }
+
+  test("context assembly: greedy STRICT prefix — later shorter piece not admitted") {
+    val hits = Seq(
+      (1, 1.0, "a" * 100), (2, 2.0, "b" * 200), (3, 3.0, "c" * 250), (4, 4.0, "d" * 10)
+    ).toDF("id", "distance", "content")
+    // cap 350: piece1(100)+piece2(200)=300 fits; piece3(250) overflows =>
+    // BREAK; piece4(10) would fit but must NOT be admitted
+    val out = Knn.assembleContext(hits, col("content"), Seq(col("distance")), maxLen = 350)
+      .collect().head
+    assert(out.getAs[Long]("pieces_used") == 2L)
+    assert(out.getAs[Long]("context_chars") == 300L)
+    val ctx = out.getAs[String]("context")
+    assert(ctx == ("a" * 100) + "\n---\n" + ("b" * 200))
+  }
+
+  test("context assembly: empty hits -> empty context") {
+    val hits = Seq.empty[(Int, Double, String)].toDF("id", "distance", "content")
+    val out = Knn.assembleContext(hits, col("content"), Seq(col("distance")), 100).collect().head
+    assert(out.getAs[String]("context") == "")
+    assert(out.getAs[Long]("pieces_used") == 0L)
+  }
+
+  test("as-of join: most recent prior right row per key, inclusive") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3")).toDF("k", "t", "name")
+      .select($"k", timestamp_seconds($"t").as("ts"), $"name")
+    val right = Seq((1L, 8L, 100.0), (1L, 15L, 200.0), (1L, 20L, 300.0), (3L, 1L, 400.0))
+      .toDF("k", "t", "v")
+      .select($"k", timestamp_seconds($"t").as("ts"), $"v")
+    val out = AsOf.asofBackward(left, right, Seq("k"), "ts", Seq("v"))
+      .select($"k", $"name", $"matched_v").collect()
+      .map(r => (r.getLong(0), r.getString(1), if (r.isNullAt(2)) -1.0 else r.getDouble(2))).toSet
+    assert(out == Set(
+      (1L, "p1", 100.0),  // t=10 -> right t=8
+      (1L, "p2", 300.0),  // t=20 -> right t=20 (inclusive)
+      (2L, "p3", -1.0)    // no right rows for key 2
+    ))
+  }
+
+  test("IVF recall against brute force is reasonable") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
+    val exact = Similarity.bruteForceTopK(e, "embedding", "vec_id", q, "q_id", "q_vec", 10)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.ivfTopK(e, "embedding", "vec_id", q, "q_id", "q_vec", 10,
+      ncells = 8, nprobe = 4)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.3, s"IVF recall $recall too low even for nprobe=4/8 cells")
+    assert(approx.size == exact.size) // k rows per query either way
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.text.{Chunker, TextAnalysis}
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pyStrip matches python str.strip semantics incl. nbsp") {
+    assert(Chunker.pyStrip("  ab c  ") == "ab c")
+    assert(Chunker.pyStrip("\t\nx\r\n") == "x")
+    assert(Chunker.pyStrip(" y ") == "y")
+    assert(Chunker.pyStrip("   ") == "")
+    assert(Chunker.pyStrip("") == "")
+  }
+
+  test("textStats computes token counts and ratios") {
+    val df = Seq((1, "the cat sat, the cat ran.")).toDF("doc_id", "text")
+    val r = TextAnalysis.textStats(df).collect().head
+    assert(r.getAs[Int]("n_tokens") == 6)
+    assert(math.abs(r.getAs[Double]("uniq_token_ratio") - 0.666667) < 1e-6)
+    assert(r.getAs[Double]("punct_ratio") > 0)
+  }
+
+  test("langId picks profile with most hits, und when none") {
+    val df = Seq(
+      (1, "the cat and the dog"),
+      (2, "el perro y la casa de los gatos"),
+      (3, "xyzzy qwerty")
+    ).toDF("id", "text")
+    val out = df.select($"id", TextAnalysis.langId($"text").as("p")).as[(Int, String)].collect().toMap
+    assert(out(1) == "en")
+    assert(out(2) == "es")
+    assert(out(3) == "und")
+  }
+
+  test("token-set fingerprint is order and duplication invariant") {
+    val df = Seq((1, "b a c a"), (2, "c b a"), (3, "a b d")).toDF("id", "text")
+    val fps = df.select($"id", TextAnalysis.tokenSetFingerprint($"text").as("f"))
+      .as[(Int, String)].collect().toMap
+    assert(fps(1) == fps(2))
+    assert(fps(1) != fps(3))
+  }
+
+  test("winnow fingerprints: dup-invariance and shift tolerance") {
+    val a = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
+    val b = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog")
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+    // prefix edit preserves most selected hashes (winnowing locality)
+    val c = TextAnalysis.winnow("xx the quick brown fox jumps over the lazy dog")
+    val overlap = a.toSet.intersect(c.toSet).size.toDouble / a.length
+    assert(overlap > 0.6, s"winnow overlap $overlap")
+    // short strings
+    assert(TextAnalysis.winnow("abc", k = 7).isEmpty)
+    assert(TextAnalysis.winnow(null).isEmpty)
+  }
+
+  test("charNgrams produces n-grams in order") {
+    val out = spark.range(1).select(
+      TextAnalysis.charNgrams(lit("abcde"), 3).as("g")).as[Seq[String]].head()
+    assert(out == Seq("abc", "bcd", "cde"))
+  }
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val pairs = Seq(
+    (Array(1f, 2f, 3f), Array(4f, 5f, 6f)),
+    (Array(0f, 0f, 0f), Array(1f, 1f, 1f)),
+    (Array(1f, 0f, 0f), Array(1f, 0f, 0f)),
+    (Array(-1f, 2.5f, 0.5f), Array(3f, -0.25f, 8f))
+  ).toDF("a", "b")
+
+  test("codegen expression matches HOF fallback for all metrics") {
+    val df = pairs.select(
+      l2Sq($"a", $"b").as("e_l2"), l2SqHof($"a", $"b").as("h_l2"),
+      dot($"a", $"b").as("e_dot"), dotHof($"a", $"b").as("h_dot"),
+      cosine($"a", $"b").as("e_cos"), cosineHof($"a", $"b").as("h_cos"))
+    df.collect().foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12)
+      assert(math.abs(r.getDouble(2) - r.getDouble(3)) < 1e-12)
+      assert(math.abs(r.getDouble(4) - r.getDouble(5)) < 1e-12)
+    }
+  }
+
+  test("known values") {
+    val r = pairs.select(l2Sq($"a", $"b"), dot($"a", $"b"), cosine($"a", $"b")).collect()
+    assert(r(0).getDouble(0) == 27.0) // (3^2+3^2+3^2)
+    assert(r(0).getDouble(1) == 32.0) // 4+10+18
+    assert(r(2).getDouble(2) == 1.0)  // identical unit vectors
+    assert(r(1).getDouble(2) == 0.0)  // zero-norm guard
+  }
+
+  test("interpreted eval matches codegen (eval path via filter on literal)") {
+    // force interpreted path through a literal fold
+    val v = vecLit(Array(1f, 2f))
+    val out = spark.range(1).select(l2Sq(v, vecLit(Array(3f, 4f))).as("d")).head().getDouble(0)
+    assert(out == 8.0)
+  }
+
+  test("normalize produces unit vectors") {
+    val n = pairs.select(normalize($"a").as("n"))
+      .select(sqrt(aggregate(transform($"n", x => x * x), lit(0.0), (a, x) => a + x)))
+      .as[Double].collect()
+    assert(math.abs(n(0) - 1.0) < 1e-6)
+    assert(n(1) == 0.0) // zero vector stays zero
+  }
+
+  test("null inputs yield null") {
+    val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]])).toDF("a", "b")
+    assert(df.select(l2Sq($"a", $"b")).head().isNullAt(0))
+  }
+}
