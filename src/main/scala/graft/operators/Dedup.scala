@@ -32,15 +32,17 @@ object Dedup {
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
       i => substring(text, i, lit(n))))
 
-  /** The same distinct-shingle set as 64-bit hashes: set operations on
-    * fixed-width longs are several times cheaper than on strings, and
+  /** The same distinct-shingle set as SORTED 64-bit hashes: set operations
+    * on fixed-width longs are several times cheaper than on strings, and
     * |A∩B| is unchanged up to a ~2^-64 collision (the distinct-shingle
-    * universe of a corpus is far below birthday range).
+    * universe of a corpus is far below birthday range). Sorted so the
+    * pair-wise intersection is a zero-allocation merge scan
+    * ([[graft.functions.SortedArrayIntersectSize]]).
     */
   def shingleHashes(text: Column, n: Int = 5): Column =
-    array_distinct(transform(
+    array_sort(array_distinct(transform(
       sequence(lit(1), greatest(length(text) - (n - 1), lit(1))),
-      i => xxhash64(substring(text, i, lit(n)))))
+      i => xxhash64(substring(text, i, lit(n))))))
 
   // ---------------------------------------------------------------- exact
 
@@ -127,17 +129,30 @@ object Dedup {
           col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // broadcast the slim (id -> shingles) side: candidates keep their
+    // hash-partitioned parallelism and no shuffle of the pair stream
     val sh = withSh.select(col("_id"), col("_sh"))
     val pairs = candidates
-      .join(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b"), "id_b")
+      .join(broadcast(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a")), "id_a")
+      .join(broadcast(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b")), "id_b")
     verifyJaccard(pairs, threshold)
   }
 
   private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
-    val inter = size(array_intersect(col("sh_a"), col("sh_b"))).cast("double")
-    val uni = (size(col("sh_a")) + size(col("sh_b"))).cast("double") - inter
-    pairs.withColumn("jaccard", round(inter / uni, 6))
+    val inter = graft.functions.SetFunctions
+      .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double")
+    val sizes = (size(col("sh_a")) + size(col("sh_b"))).cast("double")
+    // j = i/(na+nb-i) >= t  <=>  i >= t(na+nb)/(1+t). Prefilter with a
+    // slightly slack t so the expensive merge scan runs ONCE per pair in
+    // the join/filter hot path (the exact rounded-jaccard predicate below
+    // would otherwise be collapsed into the join condition and evaluate
+    // the intersection twice); survivors are few, so recomputing for the
+    // exact check is free.
+    val tSlack = math.max(threshold - 1e-4, 0.0)
+    val prefilter = inter >= lit(tSlack) * sizes / (1.0 + tSlack)
+    val jaccard = round(inter / (sizes - inter), 6)
+    pairs.filter(prefilter)
+      .withColumn("jaccard", jaccard)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -165,7 +180,12 @@ object Dedup {
         case None => idOrd && sizeOk
       }
     }
-    val pairs = base.as("a").join(base.as("b"), joinCond)
+    // Broadcast the build side: a shuffled join on the blocking column
+    // collapses parallelism to #blocks (5 languages -> 5 tasks), while a
+    // broadcast build keeps the probe side at full input parallelism. An
+    // exact O(n^2)-per-block join only makes sense when one side fits in
+    // memory anyway — at true scale the LSH operators above are the path.
+    val pairs = base.as("a").join(broadcast(base.as("b")), joinCond)
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         col("a._sh").as("sh_a"), col("b._sh").as("sh_b"))
     verifyJaccard(pairs, threshold)
@@ -173,21 +193,33 @@ object Dedup {
 
   // ------------------------------------------------------------- simhash
 
-  /** 64-bit SimHash over whitespace tokens: each token votes its xxhash64
-    * bits, signature bit = sign of the vote sum. Near-dups = pairs within
-    * `maxHamming`. Built-ins only: per-bit vote via aggregate over the
-    * token array.
+  /** 64-bit SimHash over whitespace tokens: each token votes its hash
+    * bits, signature bit = sign of the vote sum. One pass per row in a
+    * tight JVM loop (64 stacked aggregate expressions — the "built-ins
+    * only" formulation — compile into a method too large for JIT, same
+    * pathology as the expression-stack minhash).
     */
-  def simhash(tokens: Column): Column = {
-    val hashes = transform(tokens, t => xxhash64(t))
-    // per-bit votes: for bit k, sum(+1/-1); bit k of result = vote>0
-    val bits = (0 until 64).map { k =>
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, k).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, shiftleft(lit(1L), k)).otherwise(lit(0L))
-    }
-    bits.reduce((a, b) => a.bitwiseOR(b))
-  }
+  val simhashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((tokens: Seq[String]) => {
+      val votes = new Array[Int](64)
+      tokens.foreach { t =>
+        var h = 0xcbf29ce484222325L
+        var i = 0
+        while (i < t.length) { h ^= t.charAt(i); h *= 0x100000001b3L; i += 1 }
+        h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
+        var k = 0
+        while (k < 64) {
+          if (((h >>> k) & 1L) == 1L) votes(k) += 1 else votes(k) -= 1
+          k += 1
+        }
+      }
+      var sig = 0L
+      var k = 0
+      while (k < 64) { if (votes(k) > 0) sig |= (1L << k); k += 1 }
+      sig
+    })
+
+  def simhash(tokens: Column): Column = simhashUdf(tokens)
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
     * chunks (pigeonhole: hamming <= 3 guarantees one identical chunk), join
@@ -201,16 +233,18 @@ object Dedup {
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("_sig"), b * 16).bitwiseAND(0xFFFFL)
       }: _*)).as(Seq("_band", "_chunk")))
+    // hamming is a single bit_count — evaluate it IN the join so skewed
+    // band buckets (common with low-entropy corpora) emit only surviving
+    // pairs; dropDuplicates then shuffles the small result, not the
+    // candidate stream
     banded.as("a")
       .join(banded.as("b"),
         col("a._band") === col("b._band") && col("a._chunk") === col("b._chunk") &&
-          col("a._id") < col("b._id"))
+          col("a._id") < col("b._id") &&
+          bit_count(col("a._sig").bitwiseXOR(col("b._sig"))) <= maxHamming)
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        col("a._sig").as("sig_a"), col("b._sig").as("sig_b"))
+        bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
-      .filter(col("hamming") <= maxHamming)
-      .select("id_a", "id_b", "hamming")
   }
 
   // -------------------------------------------------- embedding near-dup

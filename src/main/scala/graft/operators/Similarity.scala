@@ -87,7 +87,7 @@ object Similarity {
   def ivfTopK(collection: DataFrame, vecCol: String, idCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int, ncells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = trainCentroids(collection, vecCol, idCol, ncells)
+    val centroids = trainCentroids(collection, vecCol, idCol, ncells, iters = 1)
     val indexed = assignCells(collection, vecCol, centroids)
     // cells to probe per query
     val wq = Window.partitionBy(col(qIdCol)).orderBy(col("_qd"), col("cell_id"))
