@@ -288,5 +288,26 @@ object GraftOracles {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n_events, round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "streaming_sessions" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_session
+        |  FROM l),
+        |s AS (SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM m),
+        |g AS (SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |    count(*) AS n_events
+        |  FROM s GROUP BY 1,2),
+        |f AS (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS max_sid FROM g)
+        |SELECT user_id,
+        |  strftime(session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
+        |  n_events
+        |FROM f WHERE session_id < max_sid ORDER BY user_id, session_start""".stripMargin,
   )
 }

@@ -377,6 +377,25 @@ object GraftQueries {
         queryName = "graft_stream_" + java.util.UUID.randomUUID().toString.replace("-", ""))
       .orderBy("window_start", "event_type")
 
+  /** Stateful streaming sessionization (flatMapGroupsWithState with
+    * event-time timeout); emits CLOSED sessions. Oracle = the same
+    * closed-session definition in window SQL. */
+  val streamingSessions: Q = (s, d) =>
+    graft.streaming.Sessionize.run(s, s"$d/events.parquet",
+        "graft_sess_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .select(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        date_format(col("session_end"), "yyyy-MM-dd HH:mm:ss").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  /** LSH-bucketed cosine near-dup (the scale path for dedup_embedding;
+    * approximate by construction -> rows-only, recall asserted in tests). */
+  val dedupEmbeddingLsh: Q = (s, d) =>
+    Similarity.lshNearDupJoin(Tables.embeddings(s, d), "embedding", "vec_id",
+        threshold = 0.35, nBits = 8, nTables = 8)
+      .orderBy("id_a", "id_b")
+
   // =============================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -412,6 +431,8 @@ object GraftQueries {
     "quality_filter" -> qualityFilter,
     "multimodal_meta" -> multimodalMeta,
     "streaming_hourly" -> streamingHourly,
+    "streaming_sessions" -> streamingSessions,
+    "dedup_embedding_lsh" -> dedupEmbeddingLsh,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -119,4 +119,35 @@ object Similarity {
     }
     df.withColumn("lsh_bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
   }
+
+  /** LSH-bucketed cosine near-dup join — the scale path for
+    * [[graft.operators.Dedup.embeddingNearDup]]: `nTables` independent
+    * hyperplane signatures; vectors sharing a bucket in ANY table become
+    * candidates (recall boosts exponentially with tables), then exact
+    * cosine verifies. The shuffle key is (table, bucket) — fixed width —
+    * and the quadratic term is confined to per-bucket collision groups.
+    */
+  def lshNearDupJoin(df: DataFrame, vecCol: String, idCol: String,
+                     threshold: Double, nBits: Int = 8, nTables: Int = 8,
+                     dim: Int = 64): DataFrame = {
+    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val tables = (0 until nTables).map { t =>
+      cosineLshBuckets(base, "_v", nBits, seed = 42L + t, dim = dim)
+        .select(col("_id"), lit(t).as("_table"), col("lsh_bucket"))
+    }.reduce(_ unionByName _)
+    val candidates = tables.as("a")
+      .join(tables.as("b"),
+        col("a._table") === col("b._table") &&
+          col("a.lsh_bucket") === col("b.lsh_bucket") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val v = base
+    candidates
+      .join(broadcast(v.withColumnRenamed("_id", "id_a").withColumnRenamed("_v", "_va")), "id_a")
+      .join(broadcast(v.withColumnRenamed("_id", "id_b").withColumnRenamed("_v", "_vb")), "id_b")
+      .withColumn("cosine", round(cosine(col("_va"), col("_vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
 }

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import graft.streaming.Sessionize
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stateful streaming sessionization equals batch closed-session twin") {
+    val streamed = Sessionize.run(spark, s"$sf/events.parquet", "sess_test_parity")
+      .select($"user_id",
+        date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("s"),
+        date_format($"session_end", "yyyy-MM-dd HH:mm:ss").as("e"),
+        $"n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    val batch = Sessionize.closedSessionsBatch(Tables.events(spark, sf))
+      .select($"user_id",
+        date_format($"session_start", "yyyy-MM-dd HH:mm:ss").as("s"),
+        date_format($"session_end", "yyyy-MM-dd HH:mm:ss").as("e"),
+        $"n_events")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("sessionizer handles out-of-order events (driven through the engine)") {
+    // write an out-of-order event file; state update sorts by (ts, event_id)
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    Seq(
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 02:00:00"), 1L, "click", 1.0, "{}"),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:10:00"), 1L, "click", 1.0, "{}")
+    ).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/out")
+    // the harness events.parquet is a single FILE; reproduce that shape
+    val part = new java.io.File(s"$dir/out").listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, java.nio.file.Paths.get(s"$dir/ev.parquet"))
+    val out = Sessionize.run(spark, s"$dir/ev.parquet", "sess_test_ooo")
+      .select("user_id", "n_events").collect()
+    // events 1+2 form a closed session (event 3 is 110min later); the
+    // session containing event 3 stays open
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+  }
+
+  test("LSH near-dup join recall vs exact cosine join") {
+    val e = Tables.embeddings(spark, sf)
+    val exact = Dedup.embeddingNearDup(e, "embedding", "vec_id", 0.35)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshNearDupJoin(e, "embedding", "vec_id", 0.35, nBits = 8, nTables = 8)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // no false positives (exact verify step)
+    assert(approx.subsetOf(exact))
+    // recall: 8 tables x 8 bits at cos>=0.35 — moderate by construction;
+    // must be well above the random-bucketing floor
+    val recall = if (exact.isEmpty) 1.0 else (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.2, s"LSH recall $recall")
+  }
+}
