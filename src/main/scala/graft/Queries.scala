@@ -396,6 +396,17 @@ object GraftQueries {
         threshold = 0.35, nBits = 8, nTables = 8)
       .orderBy("id_a", "id_b")
 
+  /** HLL++ sketch vs exact distinct: approx_count_distinct is the sketch a
+    * 100 TB distinct-count runs on (mergeable, fixed memory). Sketch
+    * estimates are engine-specific -> rows-only; the exact column is the
+    * in-row ground truth (error bound asserted in tests). */
+  val q12DistinctSketch: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(countDistinct(col("l_partkey")).as("n_exact"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
+      .orderBy("l_returnflag")
+
   // =============================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -433,6 +444,7 @@ object GraftQueries {
     "streaming_hourly" -> streamingHourly,
     "streaming_sessions" -> streamingSessions,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
+    "q12_distinct_sketch" -> q12DistinctSketch,
   )
 
   // DuckDB oracle SQL — see GraftOracles

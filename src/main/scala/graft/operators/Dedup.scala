@@ -142,14 +142,13 @@ object Dedup {
     val inter = graft.functions.SetFunctions
       .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double")
     val sizes = (size(col("sh_a")) + size(col("sh_b"))).cast("double")
-    // j = i/(na+nb-i) >= t  <=>  i >= t(na+nb)/(1+t). Prefilter with a
-    // slightly slack t so the expensive merge scan runs ONCE per pair in
-    // the join/filter hot path (the exact rounded-jaccard predicate below
-    // would otherwise be collapsed into the join condition and evaluate
-    // the intersection twice); survivors are few, so recomputing for the
-    // exact check is free.
+    // Hot-path prefilter: early-exit threshold test at slightly-slack t
+    // (so the exact rounded-jaccard check below can't disagree at the
+    // boundary); it aborts the merge scan as soon as the decision is
+    // forced, and survivors — few — recompute the exact count.
     val tSlack = math.max(threshold - 1e-4, 0.0)
-    val prefilter = inter >= lit(tSlack) * sizes / (1.0 + tSlack)
+    val prefilter = graft.functions.SetFunctions
+      .jaccardAtLeast(col("sh_a"), col("sh_b"), tSlack)
     val jaccard = round(inter / (sizes - inter), 6)
     pairs.filter(prefilter)
       .withColumn("jaccard", jaccard)

@@ -43,6 +43,27 @@ class RagSearchSpec extends SparkSpec {
     assert(ctx.startsWith("[Source: "))
   }
 
+  test("jaccardAtLeast agrees with exact jaccard on random sorted sets") {
+    val rng = new scala.util.Random(11)
+    val rows = (0 until 300).map { _ =>
+      val a = (0 until rng.nextInt(60)).map(_ => rng.nextInt(80).toLong).distinct.sorted.toArray
+      val b = (0 until rng.nextInt(60)).map(_ => rng.nextInt(80).toLong).distinct.sorted.toArray
+      (a, b)
+    }
+    val df = rows.toDF("a", "b")
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val got = df.select(SetFunctions.jaccardAtLeast($"a", $"b", t)).as[Boolean].collect()
+      rows.zip(got).foreach { case ((a, b), res) =>
+        val inter = a.toSet.intersect(b.toSet).size
+        val uni = a.toSet.union(b.toSet).size
+        // uni==0 -> required count 0 -> vacuously true (never occurs for
+        // shingle sets, which are non-empty by construction)
+        val expect = if (uni == 0) true else inter.toDouble / uni >= t - 1e-12
+        assert(res == expect, s"t=$t a=${a.toList} b=${b.toList}")
+      }
+    }
+  }
+
   test("sorted intersect size matches array_intersect semantics") {
     val df = Seq(
       (Array(1L, 3L, 5L, 9L), Array(2L, 3L, 9L, 11L)),

@@ -1,0 +1,81 @@
+package graft
+
+import graft.operators.Skew
+import graft.store.VectorStore
+import org.apache.spark.sql.functions._
+
+/** Scale-posture tests: salted-join equivalence, sketch error bounds,
+  * partition pruning through the collection store.
+  */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted equi-join returns exactly the plain join result") {
+    val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
+    val dim = Tables.events(spark, sf).select("user_id").distinct()
+      .withColumn("user_tag", concat(lit("u"), col("user_id")))
+    val plain = ev.join(dim, Seq("user_id"))
+      .select("event_id", "user_tag").as[(Long, String)].collect().toSet
+    val salted = Skew.saltedEquiJoin(ev, dim, Seq("user_id"),
+        saltSource = col("event_id"), salts = 8)
+      .select("event_id", "user_tag").as[(Long, String)].collect().toSet
+    assert(salted == plain)
+    assert(salted.nonEmpty)
+  }
+
+  test("salted count-distinct equals exact count-distinct") {
+    val ev = Tables.events(spark, sf)
+    val exact = ev.groupBy("event_type").agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    val salted = Skew.saltedCountDistinct(ev, Seq("event_type"), "user_id",
+        saltsource = col("event_id"), salts = 8)
+      .as[(String, Long)].collect().toMap
+    assert(salted == exact)
+  }
+
+  test("approx_count_distinct sketch within declared error of exact") {
+    val rows = GraftQueries.q12DistinctSketch(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getLong(1).toDouble
+      val approx = r.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"${r.getString(0)}: approx=$approx exact=$exact")
+    }
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
+    spark.sql("DROP TABLE IF EXISTS users_bucketed")
+    Tables.events(spark, sf).select("event_id", "user_id", "value")
+      .write.bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("ev_bucketed")
+    Tables.events(spark, sf).select("user_id").distinct()
+      .withColumn("tag", concat(lit("u"), col("user_id")))
+      .write.bucketBy(8, "user_id").sortBy("user_id")
+      .mode("overwrite").saveAsTable("users_bucketed")
+    val joined = spark.table("ev_bucketed")
+      .join(spark.table("users_bucketed").hint("merge"), Seq("user_id"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // both sides report bucket-compatible output partitioning -> the merge
+    // join runs without a shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join still shuffles:\n$plan")
+    assert(joined.count() == spark.table("ev_bucketed").count())
+  }
+
+  test("partitioned collection write enables partition pruning") {
+    val root = java.nio.file.Files.createTempDirectory("graft_part").toString
+    val store = VectorStore(root)
+    store.create("docs", Tables.documents(spark, sf), partitionBy = Seq("lang"))
+    val scan = store.read(spark, "docs").filter($"lang" === "en")
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"))
+    // pruned scan must read only the en partition's rows
+    val enCount = Tables.documents(spark, sf).filter($"lang" === "en").count()
+    assert(scan.count() == enCount)
+    val partDirs = new java.io.File(s"$root/docs").listFiles().map(_.getName).filter(_.startsWith("lang="))
+    assert(partDirs.length >= 4) // one dir per language
+  }
+}
