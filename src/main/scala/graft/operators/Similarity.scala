@@ -43,37 +43,38 @@ object Similarity {
     * rows by id order, then `iters` Lloyd rounds as DataFrame aggregations
     * (group by nearest centroid, average). Returns (cell_id, centroid).
     */
-  def trainCentroids(collection: DataFrame, vecCol: String, idCol: String,
-                     ncells: Int, iters: Int = 2): DataFrame = {
-    var centroids = collection.orderBy(col(idCol)).limit(ncells)
-      .select(col(vecCol).as("centroid"))
-      .withColumn("cell_id", row_number().over(Window.orderBy(monotonically_increasing_id())) - 1)
-      .select("cell_id", "centroid")
-    var i = 0
-    while (i < iters) {
-      val assigned = assignCells(collection, vecCol, centroids)
-      centroids = assigned
+  /** Deterministic k-means(ish) centroids, returned driver-side (ncells x
+    * dim floats is bytes, not data): seed from the first `ncells` rows by
+    * id order, then `iters` Lloyd rounds — each round is ONE aggregation
+    * job over the collection with literal centroids; nothing in the plan
+    * ever re-derives centroid lineage.
+    */
+  def trainCentroidArrays(collection: DataFrame, vecCol: String, idCol: String,
+                          ncells: Int, iters: Int = 1): Array[(Int, Array[Float])] = {
+    var cents: Array[(Int, Array[Float])] =
+      collection.orderBy(col(idCol)).limit(ncells).select(col(vecCol)).collect()
+        .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+    var it = 0
+    while (it < iters) {
+      cents = withCellId(collection, vecCol, cents)
         .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("_pos", "_x")))
         .groupBy("cell_id", "_pos").agg(avg("_x").as("_m"))
         .groupBy("cell_id")
         .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pairs"))
         .select(col("cell_id"),
           transform(col("_pairs"), p => p.getField("_m").cast("float")).as("centroid"))
-      i += 1
+        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+      it += 1
     }
-    centroids
+    cents
   }
 
-  /** Nearest-centroid assignment. Centroids are a driver-side handful
-    * (ncells x dim floats), so they become LITERAL vectors in one argmin
-    * projection — no crossJoin, no shuffle, no window; the assignment cost
-    * is exactly one codegen'd pass over the collection. Ties break to the
-    * lowest cell_id via struct ordering.
+  /** Nearest-centroid assignment as one argmin projection over literal
+    * centroid vectors — no crossJoin, no shuffle, no window. Ties break to
+    * the lowest cell_id via struct ordering.
     */
-  def assignCells(collection: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
-    val cents: Array[(Int, Array[Float])] = centroids.orderBy("cell_id").collect().map { r =>
-      (r.getInt(0), r.getSeq[Float](1).toArray)
-    }
+  def withCellId(collection: DataFrame, vecCol: String,
+                 cents: Array[(Int, Array[Float])]): DataFrame = {
     val candidates = cents.map { case (id, c) =>
       struct(l2Sq(col(vecCol), vecLit(c)).as("d"), lit(id).as("cell_id"))
     }
@@ -81,21 +82,31 @@ object Similarity {
       array_min(array(candidates.toIndexedSeq: _*)).getField("cell_id"))
   }
 
+  /** DataFrame facade over [[trainCentroidArrays]] (API compat). */
+  def trainCentroids(collection: DataFrame, vecCol: String, idCol: String,
+                     ncells: Int, iters: Int = 1): DataFrame = {
+    val spark = collection.sparkSession
+    import spark.implicits._
+    trainCentroidArrays(collection, vecCol, idCol, ncells, iters)
+      .toSeq.map { case (id, c) => (id, c.toSeq) }.toDF("cell_id", "centroid")
+  }
+
   /** IVF-flat search: probe the `nprobe` nearest cells per query, exact
-    * cosine inside the probed cells, top-k per query.
+    * cosine inside the probed cells, top-k per query. Probe cells are
+    * picked with a sorted literal struct array (no window, no join).
     */
   def ivfTopK(collection: DataFrame, vecCol: String, idCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int, ncells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val centroids = trainCentroids(collection, vecCol, idCol, ncells, iters = 1)
-    val indexed = assignCells(collection, vecCol, centroids)
-    // cells to probe per query
-    val wq = Window.partitionBy(col(qIdCol)).orderBy(col("_qd"), col("cell_id"))
-    val probes = queries.crossJoin(broadcast(centroids))
-      .withColumn("_qd", l2Sq(col(qVecCol), col("centroid")))
-      .withColumn("_qrk", row_number().over(wq))
-      .filter(col("_qrk") <= nprobe)
-      .select(col(qIdCol), col(qVecCol), col("cell_id"))
+    val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, iters = 1)
+    val indexed = withCellId(collection, vecCol, cents)
+    val probeCandidates = cents.map { case (id, c) =>
+      struct(l2Sq(col(qVecCol), vecLit(c)).as("d"), lit(id).as("cell_id"))
+    }
+    val probes = queries.select(col(qIdCol), col(qVecCol),
+        explode(transform(
+          slice(array_sort(array(probeCandidates.toIndexedSeq: _*)), 1, nprobe),
+          s => s.getField("cell_id"))).as("cell_id"))
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("cosine").desc, col(idCol))
     indexed.join(broadcast(probes), Seq("cell_id"))

@@ -45,9 +45,18 @@ class ScaleSpec extends SparkSpec {
   }
 
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
-    val wh = spark.conf.get("spark.sql.warehouse.dir")
-    spark.sql("DROP TABLE IF EXISTS ev_bucketed")
-    spark.sql("DROP TABLE IF EXISTS users_bucketed")
+    // drop catalog entries AND their warehouse dirs (a previous killed JVM
+    // can leave the directory behind with a fresh in-memory catalog)
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    Seq("ev_bucketed", "users_bucketed").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      val d = new java.io.File(s"$wh/$t")
+      if (d.exists()) rm(d)
+    }
     Tables.events(spark, sf).select("event_id", "user_id", "value")
       .write.bucketBy(8, "user_id").sortBy("user_id")
       .mode("overwrite").saveAsTable("ev_bucketed")
