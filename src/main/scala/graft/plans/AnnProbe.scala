@@ -1,0 +1,112 @@
+package graft.plans
+
+import graft.functions.VectorDistance
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, In, Literal, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+
+/** ANN probe rewrite — the optimizer half of the IVF index (SURVEY §4.3
+  * item 3): when a query is
+  *
+  *   ORDER BY vector_l2sq(embedding, <literal query vector>) LIMIT k
+  *
+  * over a collection that carries a `cell_id` column (written by
+  * `Similarity.withCellId`) whose centroids are registered in
+  * [[AnnCatalog]], inject `WHERE cell_id IN (<nprobe nearest cells>)`
+  * below the sort. The top-k machinery (TakeOrderedAndProject) is
+  * untouched — the rewrite only shrinks the scanned fraction to
+  * ~nprobe/ncells, which is the difference between scanning 100 TB and
+  * scanning a few TB. Results become approximate in exactly the IVF sense
+  * (documented, opt-in via registration).
+  *
+  * Probe-cell selection runs at optimization time on the driver —
+  * centroids are ncells x dim floats.
+  *
+  * Registered per session either through
+  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
+  * `spark.experimental.extraOptimizations :+= AnnProbeRule`.
+  */
+object AnnCatalog {
+  @volatile private var centroids: Option[(Array[(Int, Array[Float])], Int)] = None
+
+  /** Register the session's IVF centroids (+ nprobe). */
+  def register(cents: Array[(Int, Array[Float])], nprobe: Int): Unit =
+    centroids = Some((cents, nprobe))
+
+  def clear(): Unit = centroids = None
+
+  def get: Option[(Array[(Int, Array[Float])], Int)] = centroids
+}
+
+object AnnProbeRule extends Rule[LogicalPlan] {
+
+  private def probeCells(qv: Array[Float], cents: Array[(Int, Array[Float])],
+                         nprobe: Int): Seq[Int] =
+    cents.map { case (id, c) =>
+      var acc = 0.0
+      var i = 0
+      val n = math.min(qv.length, c.length)
+      while (i < n) { val d = qv(i).toDouble - c(i); acc += d * d; i += 1 }
+      (acc, id)
+    }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSeq
+
+  private def literalVec(e: Expression): Option[Array[Float]] = e match {
+    case Literal(a: ArrayData, t) if t.sql.startsWith("ARRAY<FLOAT>") => Some(a.toFloatArray())
+    case _ => None
+  }
+
+  private def cellAttr(plan: LogicalPlan): Option[Attribute] =
+    plan.output.find(_.name == "cell_id")
+
+  /** Resolve the query vector behind the sort key: either the distance
+    * expression inline in the SortOrder, or an attribute whose alias in
+    * the child Project is the distance expression (the
+    * `withColumn("distance", ...).orderBy("distance")` shape).
+    */
+  private def queryVecOf(key: Expression, child: LogicalPlan): Option[Array[Float]] =
+    key match {
+      case VectorDistance(_, qv, "l2sq") => literalVec(qv)
+      case a: Attribute => child match {
+        case p: Project => p.projectList.collectFirst {
+          case al @ Alias(VectorDistance(_, qv, "l2sq"), _) if al.exprId == a.exprId => literalVec(qv)
+        }.flatten
+        case _ => None
+      }
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = AnnCatalog.get match {
+    case None => plan
+    case Some((cents, nprobe)) => plan.transformUp {
+      case g @ GlobalLimit(_, l @ LocalLimit(_,
+          s @ Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _)))
+          if cellAttr(child).isDefined && queryVecOf(key, child).isDefined &&
+            !alreadyProbed(child) =>
+        val cells = probeCells(queryVecOf(key, child).get, cents, nprobe)
+        val attr = cellAttr(child).get
+        val filter = Filter(In(attr, cells.map(c => Literal(c))), child)
+        g.copy(child = l.copy(child = s.copy(child = filter)))
+    }
+  }
+
+  // idempotence under the fixed-point batch: don't re-inject when ANY
+  // filter in the subtree already probes cell_id (pushdown may have moved
+  // the injected filter below a Project by the next iteration)
+  private def alreadyProbed(plan: LogicalPlan): Boolean = plan.exists {
+    case Filter(cond, _) => cond.exists {
+      case In(a: Attribute, _) => a.name == "cell_id"
+      case _ => false
+    }
+    case _ => false
+  }
+}
+
+/** `SparkSession.builder().withExtensions(new GraftExtensions)` — injects
+  * the ANN probe rewrite as an optimizer rule. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => AnnProbeRule)
+  }
+}

@@ -1,0 +1,99 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+import graft.plans.{AnnCatalog, AnnProbeRule}
+import org.apache.spark.sql.functions._
+
+/** The ANN probe optimizer rule: ORDER BY l2sq LIMIT k over an indexed
+  * collection gets a cell_id IN (...) probe filter injected below the
+  * sort, turning brute-force kNN into an IVF scan of nprobe/ncells of the
+  * data.
+  */
+class AnnProbeSpec extends SparkSpec {
+
+  override lazy val spark = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.experimental.extraOptimizations =
+      s.experimental.extraOptimizations :+ AnnProbeRule
+    s
+  }
+
+  private def indexed() = {
+    val e = Tables.embeddings(spark, sf)
+    val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 8)
+    (Similarity.withCellId(e, "embedding", cents), cents)
+  }
+
+  private def qv: Array[Float] = {
+    val s = spark; import s.implicits._
+    Tables.embeddings(spark, sf).filter(col("vec_id") === 0)
+      .select("embedding").as[Array[Float]].head()
+  }
+
+  test("rule injects probe filter for inline sort key and shrinks the scan") {
+    val (idx, cents) = indexed()
+    AnnCatalog.register(cents, nprobe = 2)
+    try {
+      val q = idx.orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(5)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("cell_id") && optimized.contains("IN ("),
+        s"probe filter not injected:\n$optimized")
+      val s = spark; import s.implicits._
+      val got = q.select("vec_id").as[Long].collect().toSet
+      assert(got.size == 5)
+      // the query's own vector (distance 0) lives in the nearest cell ->
+      // must survive the probe and rank first
+      assert(got.contains(0L))
+    } finally AnnCatalog.clear()
+  }
+
+  test("rule matches the withColumn(distance).orderBy shape too") {
+    val (idx, cents) = indexed()
+    AnnCatalog.register(cents, nprobe = 2)
+    try {
+      val q = idx.withColumn("distance", l2Sq(col("embedding"), vecLit(qv)))
+        .orderBy("distance").limit(5)
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("cell_id") && optimized.contains("IN ("),
+        s"probe filter not injected:\n$optimized")
+      assert(q.count() == 5)
+    } finally AnnCatalog.clear()
+  }
+
+  test("no registration -> no rewrite; unindexed plan untouched") {
+    AnnCatalog.clear()
+    val (idx, _) = indexed()
+    val q = idx.orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(5)
+    assert(!q.queryExecution.optimizedPlan.toString.contains("IN ("))
+    // plain collection without cell_id, with catalog registered
+    val (_, cents) = indexed()
+    AnnCatalog.register(cents, nprobe = 2)
+    try {
+      val plain = Tables.embeddings(spark, sf)
+        .orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(5)
+      assert(!plain.queryExecution.optimizedPlan.toString.contains("IN ("))
+      assert(plain.count() == 5)
+    } finally AnnCatalog.clear()
+  }
+
+  test("probed top-k equals brute force when probes cover the true cells") {
+    val (idx, cents) = indexed()
+    // nprobe = ncells -> probe everything -> exact result set
+    AnnCatalog.register(cents, nprobe = 8)
+    try {
+      val s = spark; import s.implicits._
+      val probed = idx.orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      AnnCatalog.clear()
+      val exact = idx.orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(10)
+        .select("vec_id").as[Long].collect().toSet
+      assert(probed == exact)
+    } finally AnnCatalog.clear()
+  }
+}
