@@ -351,6 +351,18 @@ object GraftQueries {
       .select(col("doc_id"), TextAnalysis.tokenSetFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Winnowing fingerprints (Karp-Rabin rolling hash + window minima, the
+    * MOSS scheme) — position-robust near-dup signatures. Pure-JVM kernel
+    * -> rows-only; dup-invariance and shift tolerance unit-tested. */
+  val docWinnow: Q = (s, d) => {
+    val winnowUdf = udf((t: String) => TextAnalysis.winnow(t))
+    Tables.documents(s, d)
+      .select(col("doc_id"), winnowUdf(col("text")).as("_fps"))
+      .select(col("doc_id"), size(col("_fps")).as("n_fingerprints"),
+        array_min(col("_fps")).as("min_fp"), array_max(col("_fps")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Quality filter composition: docs passing quality gates, per lang. */
   val qualityFilter: Q = (s, d) =>
     TextAnalysis.textStats(Tables.documents(s, d))
@@ -445,6 +457,7 @@ object GraftQueries {
     "streaming_sessions" -> streamingSessions,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "q12_distinct_sketch" -> q12DistinctSketch,
+    "doc_winnow" -> docWinnow,
   )
 
   // DuckDB oracle SQL — see GraftOracles

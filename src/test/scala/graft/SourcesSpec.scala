@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Source/sink breadth: csv and json round-trips on the documents shape
+  * (the engine is parquet-first; these prove the standard source matrix
+  * works through the same DataFrame surface).
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.documents(spark, sf).limit(50).cache()
+
+  test("csv sink/source round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    docs.write.mode("overwrite").option("header", "true").csv(s"$dir/docs")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val back = spark.read.option("header", "true").schema(schema).csv(s"$dir/docs")
+    assert(back.count() == docs.count())
+    val a = docs.select("doc_id", "text").as[(Long, String)].collect().toSet
+    val b = back.select("doc_id", "text").as[(Long, String)].collect().toSet
+    assert(a == b)
+  }
+
+  test("json sink/source round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
+    docs.write.mode("overwrite").json(s"$dir/docs")
+    val back = spark.read.json(s"$dir/docs")
+    assert(back.count() == docs.count())
+    val a = docs.select("doc_id", "n_chars").as[(Long, Long)].collect().toSet
+    val b = back.select("doc_id", "n_chars").as[(Long, Long)].collect().toSet
+    assert(a == b)
+  }
+
+  test("embeddings (nested array column) survive a json round trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_json_vec").toString
+    val e = Tables.embeddings(spark, sf).limit(20)
+    e.write.mode("overwrite").json(s"$dir/emb")
+    val back = spark.read.json(s"$dir/emb")
+      .select(col("vec_id"), col("embedding").cast(ArrayType(FloatType)))
+    val a = e.select("vec_id", "embedding").as[(Long, Seq[Float])].collect().toMap
+    val b = back.as[(Long, Seq[Float])].collect().toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (k, v) =>
+      v.zip(b(k)).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5) }
+    }
+  }
+}
