@@ -130,6 +130,34 @@ object GraftQueries {
         col("n_orders"), col("sum_totalprice"))
       .orderBy("status", "priority")
 
+  /** CUBE grouping sets over lineitem flags. */
+  val q13Cube: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"),
+        round(sum(money(col("l_quantity"))), 2).cast("double").as("sum_qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty"))
+      .orderBy("rflag", "lstatus")
+
+  /** The SQL surface: a correlated EXISTS subquery through spark.sql
+    * (TPC-H Q4 shape) — proves the engine's full SQL front-end works over
+    * the same tables. */
+  val q14SqlExists: Q = (s, d) => {
+    Tables.orders(s, d).createOrReplaceTempView("g_orders")
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem")
+    s.sql(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM g_orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM g_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
   /** Semi + anti join: customers with/without orders per segment. */
   val q7SegmentOrders: Q = (s, d) => {
     val c = Tables.customer(s, d)
@@ -458,6 +486,8 @@ object GraftQueries {
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "q12_distinct_sketch" -> q12DistinctSketch,
     "doc_winnow" -> docWinnow,
+    "q13_cube" -> q13Cube,
+    "q14_sql_exists" -> q14SqlExists,
   )
 
   // DuckDB oracle SQL — see GraftOracles
