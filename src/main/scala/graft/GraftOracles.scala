@@ -251,7 +251,7 @@ object GraftOracles {
          |ORDER BY 1,2""".stripMargin,
 
     "text_stats" ->
-      s"""SELECT doc_id, length(text) AS n_chars_measured,
+      s"""SELECT doc_id, length(text)::INT AS n_chars_measured,
          |  len($toks)::INT AS n_tokens,
          |  round(list_sum(list_transform($toks, t -> length(t)))::DOUBLE / len($toks), 6) AS avg_token_len,
          |  round((length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text), 6) AS punct_ratio,
