@@ -114,8 +114,13 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 5, bands: Int = 32, rowsPerBand: Int = 4,
                  threshold: Double = 0.8): DataFrame = {
+    // cache the shingle sets: the plan consumes them three times (banding
+    // + both sides of the verification join) and recomputing the
+    // hash+sort per consumer triples the dominant cost
     val withSh = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
       .withColumn("_sh", shingleHashes(col("_text"), shingleSize))
+      .drop("_text")
+      .cache()
     // the banded relation carries ONLY (id, band, bandhash) — never the
     // shingle arrays — so the LSH shuffle moves fixed-width keys; shingles
     // are joined back just for the candidate pairs that need verification
@@ -168,7 +173,8 @@ object Dedup {
                        blockCol: Option[String] = None): DataFrame = {
     val baseCols = Seq(col(idCol).as("_id"), shingleHashes(col(textCol), shingleSize).as("_sh")) ++
       blockCol.map(c => col(c).as("_blk"))
-    val base = df.select(baseCols: _*).withColumn("_n", size(col("_sh")))
+    // cached: consumed as probe side AND broadcast build side
+    val base = df.select(baseCols: _*).withColumn("_n", size(col("_sh"))).cache()
     val joinCond = {
       val idOrd = col("a._id") < col("b._id")
       // lossless: J >= t requires t*max(|A|,|B|) <= min(|A|,|B|)
