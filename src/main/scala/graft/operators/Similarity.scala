@@ -69,17 +69,33 @@ object Similarity {
     cents
   }
 
-  /** Nearest-centroid assignment as one argmin projection over literal
-    * centroid vectors — no crossJoin, no shuffle, no window. Ties break to
-    * the lowest cell_id via struct ordering.
+  /** Nearest-centroid assignment as one argmin pass — no crossJoin, no
+    * shuffle, no window. Centroids travel in the task closure and the
+    * argmin is a tight JVM kernel: an expression formulation (array_min
+    * over ncells literal-distance structs) generates ncells x dim of
+    * source per plan and pays seconds of janino compilation for every
+    * distinct plan that embeds it. Ties break to the lowest cell_id.
     */
   def withCellId(collection: DataFrame, vecCol: String,
                  cents: Array[(Int, Array[Float])]): DataFrame = {
-    val candidates = cents.map { case (id, c) =>
-      struct(l2Sq(col(vecCol), vecLit(c)).as("d"), lit(id).as("cell_id"))
-    }
-    collection.withColumn("cell_id",
-      array_min(array(candidates.toIndexedSeq: _*)).getField("cell_id"))
+    val sorted = cents.sortBy(_._1)
+    val assign = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      var best = -1
+      var bestD = Double.MaxValue
+      var c = 0
+      while (c < sorted.length) {
+        val cent = sorted(c)._2
+        var acc = 0.0
+        var i = 0
+        val n = math.min(arr.length, cent.length)
+        while (i < n) { val d = arr(i).toDouble - cent(i); acc += d * d; i += 1 }
+        if (acc < bestD) { bestD = acc; best = sorted(c)._1 }
+        c += 1
+      }
+      best
+    })
+    collection.withColumn("cell_id", assign(col(vecCol)))
   }
 
   /** DataFrame facade over [[trainCentroidArrays]] (API compat). */
@@ -100,13 +116,18 @@ object Similarity {
               k: Int, ncells: Int = 16, nprobe: Int = 4): DataFrame = {
     val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, iters = 1)
     val indexed = withCellId(collection, vecCol, cents)
-    val probeCandidates = cents.map { case (id, c) =>
-      struct(l2Sq(col(qVecCol), vecLit(c)).as("d"), lit(id).as("cell_id"))
-    }
+    val probeUdf = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      cents.map { case (id, c) =>
+        var acc = 0.0
+        var i = 0
+        val n = math.min(arr.length, c.length)
+        while (i < n) { val d = arr(i).toDouble - c(i); acc += d * d; i += 1 }
+        (acc, id)
+      }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2)
+    })
     val probes = queries.select(col(qIdCol), col(qVecCol),
-        explode(transform(
-          slice(array_sort(array(probeCandidates.toIndexedSeq: _*)), 1, nprobe),
-          s => s.getField("cell_id"))).as("cell_id"))
+      explode(probeUdf(col(qVecCol))).as("cell_id"))
     val w = Window.partitionBy(col(qIdCol))
       .orderBy(col("cosine").desc, col(idCol))
     indexed.join(broadcast(probes), Seq("cell_id"))
