@@ -40,6 +40,24 @@ class QuerySemanticsSpec extends SparkSpec {
     assert(filtered.forall(_ == 3))
   }
 
+  test("knn properties: |result| = min(k, n_after_filter); filter-then-rank ≡ rank-over-filtered") {
+    val e = Tables.embeddings(spark, sf)
+    val qv = e.filter($"vec_id" === 0).select("embedding").as[Array[Float]].head()
+    // k larger than the filtered candidate set
+    val nLabel3 = e.filter($"label" === 3).count()
+    val res = Knn.search(e, "embedding", qv, k = (nLabel3 + 100).toInt,
+      where = Some($"label" === 3), tieBreaker = Some($"vec_id"))
+    assert(res.count() == nLabel3)
+    // filter-then-rank equals ranking over a pre-filtered subset
+    val a = Knn.search(e, "embedding", qv, k = 7,
+        where = Some($"label" === 3), tieBreaker = Some($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    val b = Knn.search(e.filter($"label" === 3), "embedding", qv, k = 7,
+        tieBreaker = Some($"vec_id"))
+      .select("vec_id").as[Long].collect().toSeq
+    assert(a == b)
+  }
+
   test("context assembly: greedy STRICT prefix — later shorter piece not admitted") {
     val hits = Seq(
       (1, 1.0, "a" * 100), (2, 2.0, "b" * 200), (3, 3.0, "c" * 250), (4, 4.0, "d" * 10)
