@@ -45,6 +45,36 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
   }
 
+  test("streaming agg to a parquet sink with checkpoint (deployment shape)") {
+    val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("basePath", sf).option("pathGlobFilter", "events.parquet").parquet(sf)
+    val events = raw.withColumn("ts",
+      timestamp_micros(expr("ts DIV 1000")))
+    // append mode to files requires watermark-closed windows; AvailableNow
+    // emits the windows the final watermark has passed
+    val agg = graft.streaming.EventStream.windowedAgg(
+      events.withWatermark("ts", "10 minutes"))
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() > 0)
+    // emitted windows are a subset of the batch result, identical values
+    val batch = GraftQueries.q8EventsHourly(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val emitted = out.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(emitted.subsetOf(batch))
+  }
+
   test("LSH near-dup join recall vs exact cosine join") {
     val e = Tables.embeddings(spark, sf)
     val exact = Dedup.embeddingNearDup(e, "embedding", "vec_id", 0.35)
