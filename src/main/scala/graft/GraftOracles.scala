@@ -114,6 +114,29 @@ object GraftOracles {
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
 
+    "q15_interval_join" ->
+      """WITH l AS (SELECT user_id, ts, event_id,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events),
+        |m AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN prev_ts IS NULL OR ts - prev_ts > INTERVAL 1800 SECOND THEN 1 ELSE 0 END AS new_session
+        |  FROM l),
+        |s AS (SELECT user_id, ts,
+        |    CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |  FROM m),
+        |g AS (SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end
+        |  FROM s GROUP BY 1,2),
+        |closed AS (SELECT * FROM (SELECT *, max(session_id) OVER (PARTITION BY user_id) AS mx FROM g)
+        |  WHERE session_id < mx)
+        |SELECT c.user_id,
+        |  strftime(c.session_start, '%Y-%m-%d %H:%M:%S') AS session_start,
+        |  count(*) AS n_errors
+        |FROM closed c JOIN events e
+        |  ON e.user_id = c.user_id AND e.event_type = 'error'
+        | AND e.ts >= c.session_start AND e.ts <= c.session_end
+        |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
     "q7_segment_orders" ->
       """WITH f AS (SELECT c_mktsegment,
         |  EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_o

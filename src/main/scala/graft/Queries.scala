@@ -158,6 +158,21 @@ object GraftQueries {
         |ORDER BY o_orderpriority""".stripMargin)
   }
 
+  /** Interval containment join (bucketed): error events joined into the
+    * closed session windows of their user; errors per session. */
+  val q15IntervalJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val sessions = graft.streaming.Sessionize.closedSessionsBatch(ev)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("user_id", "ts", "event_id")
+    graft.operators.IntervalJoin.containmentJoin(
+        errors, sessions, Seq("user_id"), "ts", "session_start", "session_end")
+      .groupBy(col("user_id"),
+        date_format(col("session_start"), "yyyy-MM-dd HH:mm:ss").as("session_start"))
+      .agg(count(lit(1)).as("n_errors"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Semi + anti join: customers with/without orders per segment. */
   val q7SegmentOrders: Q = (s, d) => {
     val c = Tables.customer(s, d)
@@ -488,6 +503,7 @@ object GraftQueries {
     "doc_winnow" -> docWinnow,
     "q13_cube" -> q13Cube,
     "q14_sql_exists" -> q14SqlExists,
+    "q15_interval_join" -> q15IntervalJoin,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -95,6 +95,28 @@ class QuerySemanticsSpec extends SparkSpec {
     ))
   }
 
+  test("interval containment join: inclusive bounds, bucket-spanning intervals") {
+    import graft.operators.IntervalJoin
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val intervals = Seq(
+      (1L, ts(1000), ts(5000), "i1"),    // spans 2 hour-buckets
+      (1L, ts(10000), ts(10100), "i2"),
+      (2L, ts(0), ts(100000), "i3")      // spans many buckets
+    ).toDF("user_id", "session_start", "session_end", "name")
+    val points = Seq(
+      (1L, ts(1000), 1L),   // == start (inclusive)
+      (1L, ts(5000), 2L),   // == end (inclusive)
+      (1L, ts(5001), 3L),   // just outside
+      (1L, ts(10050), 4L),
+      (2L, ts(99999), 5L),
+      (3L, ts(1000), 6L)    // no interval for user 3
+    ).toDF("user_id", "ts", "event_id")
+    val out = IntervalJoin.containmentJoin(points, intervals, Seq("user_id"),
+        "ts", "session_start", "session_end", bucketSeconds = 3600)
+      .select($"name", $"p_event_id").as[(String, Long)].collect().toSet
+    assert(out == Set(("i1", 1L), ("i1", 2L), ("i2", 4L), ("i3", 5L)))
+  }
+
   test("IVF recall against brute force is reasonable") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter($"vec_id" < 3).select($"vec_id".as("q_id"), $"embedding".as("q_vec"))
