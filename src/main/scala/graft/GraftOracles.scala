@@ -320,6 +320,35 @@ object GraftOracles {
          |WHERE quality >= 0.5 AND n_tokens >= 20
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    "pipeline_clean_corpus" ->
+      s"""WITH q AS (SELECT doc_id,
+         |    floor(least(1.0,
+         |      0.4 * least(len($toks)::DOUBLE / 50.0, 1.0)
+         |      + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text))
+         |      + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))) * 1e6 + 0.5) / 1e6 AS quality
+         |  FROM documents),
+         |e AS (SELECT doc_id,
+         |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+         |  FROM documents),
+         |sh AS (SELECT doc_id,
+         |    list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+         |      i -> substr(text, i::INT, 5))) AS s
+         |  FROM documents),
+         |near AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8)
+         |SELECT d.doc_id, q.quality,
+         |  CASE WHEN q.quality < 0.3 THEN 'low_quality'
+         |       WHEN e.is_duplicate THEN 'exact_duplicate'
+         |       WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_duplicate'
+         |       ELSE 'kept' END AS decision,
+         |  (CASE WHEN q.quality < 0.3 THEN 'low_quality'
+         |       WHEN e.is_duplicate THEN 'exact_duplicate'
+         |       WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_duplicate'
+         |       ELSE 'kept' END) = 'kept' AS keep
+         |FROM documents d JOIN q USING (doc_id) JOIN e USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  sha256(text) AS content_sha

@@ -413,6 +413,32 @@ object GraftQueries {
       .groupBy("lang").agg(count(lit(1)).as("n_docs"))
       .orderBy("lang")
 
+  /** The composed cleaning pipeline a training-data run would ship:
+    * quality gate -> exact dedup (keep canonical) -> near-dup removal
+    * (MinHash-LSH, drop the higher id of each >=0.8 pair). One row per
+    * document with the keep decision and first-failing reason — the
+    * auditable form (filtering to kept docs is a trailing filter).
+    */
+  val pipelineCleanCorpus: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val stats = TextAnalysis.textStats(docs).select("doc_id", "quality")
+    val exact = Dedup.exact(docs, "text", "doc_id").select("doc_id", "is_duplicate")
+    val nearLosers = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.8)
+      .select(col("id_b").as("doc_id")).distinct()
+      .withColumn("near_dup", lit(true))
+    docs.select("doc_id")
+      .join(stats, "doc_id")
+      .join(exact, "doc_id")
+      .join(nearLosers, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("quality"),
+        when(col("quality") < 0.3, "low_quality")
+          .when(col("is_duplicate"), "exact_duplicate")
+          .when(coalesce(col("near_dup"), lit(false)), "near_duplicate")
+          .otherwise("kept").as("decision"))
+      .withColumn("keep", col("decision") === "kept")
+      .orderBy("doc_id")
+  }
+
   // ==================================================== multimodal + stream
 
   /** Multimodal plumbing: binary payload column -> batched per-partition
@@ -504,6 +530,7 @@ object GraftQueries {
     "q13_cube" -> q13Cube,
     "q14_sql_exists" -> q14SqlExists,
     "q15_interval_join" -> q15IntervalJoin,
+    "pipeline_clean_corpus" -> pipelineCleanCorpus,
   )
 
   // DuckDB oracle SQL — see GraftOracles
