@@ -349,6 +349,13 @@ object GraftOracles {
          |FROM documents d JOIN q USING (doc_id) JOIN e USING (doc_id)
          |ORDER BY doc_id""".stripMargin,
 
+    "ingest_report" ->
+      """SELECT source,
+        |  count(*) AS n_docs,
+        |  count(*) FILTER (WHERE length(trim(text)) > 0) AS n_success,
+        |  count(*) FILTER (WHERE length(trim(text)) = 0) AS n_failed
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "multimodal_meta" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
         |  sha256(text) AS content_sha

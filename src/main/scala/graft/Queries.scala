@@ -271,6 +271,12 @@ object GraftQueries {
           x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)), 4).as("embedding_norm"))
       .orderBy("doc_id", "chunk_index")
 
+  /** Ingest status report (reference ingest_directory result map + success
+    * tally): per-source doc counts with blank-text failures. */
+  val ingestReport: Q = (s, d) =>
+    IngestPipeline.ingestReport(Tables.documents(s, d))
+      .orderBy("source")
+
   /** kNN top-10 by squared L2 (Chroma's default space), query = vector 0. */
   val vecKnn: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
@@ -531,6 +537,7 @@ object GraftQueries {
     "q14_sql_exists" -> q14SqlExists,
     "q15_interval_join" -> q15IntervalJoin,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
+    "ingest_report" -> ingestReport,
   )
 
   // DuckDB oracle SQL — see GraftOracles

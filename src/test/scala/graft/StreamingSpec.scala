@@ -45,6 +45,24 @@ class StreamingSpec extends SparkSpec {
     assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
   }
 
+  test("sessionizer with event-time timeout emits at least the closed sessions") {
+    // timeout flushing depends on whether a final microbatch runs after
+    // the watermark advance; assert the invariant rather than the engine
+    // scheduling detail: closed-by-successor ⊆ emitted ⊆ all sessions
+    val emitted = Sessionize.run(spark, s"$sf/events.parquet", "sess_test_timeout",
+        useTimeout = true)
+      .select($"user_id", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val closed = Sessionize.closedSessionsBatch(Tables.events(spark, sf))
+      .select($"user_id", $"n_events").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val emittedCount = emitted.groupBy(identity).view.mapValues(_.size).toMap
+    val closedCount = closed.groupBy(identity).view.mapValues(_.size).toMap
+    closedCount.foreach { case (k, n) =>
+      assert(emittedCount.getOrElse(k, 0) >= n, s"closed session $k missing from timeout run")
+    }
+  }
+
   test("streaming agg to a parquet sink with checkpoint (deployment shape)") {
     val base = java.nio.file.Files.createTempDirectory("graft_sink").toString
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
