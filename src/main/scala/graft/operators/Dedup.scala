@@ -116,8 +116,12 @@ object Dedup {
                  threshold: Double = 0.8): DataFrame = {
     // cache the shingle sets: the plan consumes them three times (banding
     // + both sides of the verification join) and recomputing the
-    // hash+sort per consumer triples the dominant cost
+    // hash+sort per consumer triples the dominant cost. Repartition first:
+    // a single-file input is one partition and would compute every
+    // signature on one core.
+    val par = df.sparkSession.sparkContext.defaultParallelism
     val withSh = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+      .repartition(par)
       .withColumn("_sh", shingleHashes(col("_text"), shingleSize))
       .drop("_text")
       .cache()
@@ -173,8 +177,13 @@ object Dedup {
                        blockCol: Option[String] = None): DataFrame = {
     val baseCols = Seq(col(idCol).as("_id"), shingleHashes(col(textCol), shingleSize).as("_sh")) ++
       blockCol.map(c => col(c).as("_blk"))
-    // cached: consumed as probe side AND broadcast build side
-    val base = df.select(baseCols: _*).withColumn("_n", size(col("_sh"))).cache()
+    // cached: consumed as probe side AND broadcast build side. The probe
+    // side is repartitioned to the session parallelism — a single-file
+    // parquet input is ONE partition, which would run the whole
+    // pairs x merge-scan workload on one task under a broadcast join.
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val base = df.select(baseCols: _*).withColumn("_n", size(col("_sh")))
+      .repartition(par).cache()
     val joinCond = {
       val idOrd = col("a._id") < col("b._id")
       // lossless: J >= t requires t*max(|A|,|B|) <= min(|A|,|B|)
@@ -260,7 +269,10 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va"))
+    // probe side repartitioned: single-file inputs are one partition, and
+    // the broadcast nested-loop join would run all O(n^2) cosines serially
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va")).repartition(par)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", round(VectorFunctions.cosine(col("_va"), col("_vb")), 6))
