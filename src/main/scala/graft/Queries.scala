@@ -321,6 +321,26 @@ object GraftQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** kNN through the AnnProbeRule optimizer rewrite: index the collection
+    * (cell_id), register centroids, and run a plain ORDER BY l2sq LIMIT k
+    * — the injected rule turns it into an nprobe-cell scan. Approximate
+    * by construction -> rows-only; exactness-when-probing-all-cells is
+    * asserted in AnnProbeSpec. */
+  val annProbeKnn: Q = (s, d) => {
+    import graft.plans.{AnnCatalog, AnnProbeRule}
+    if (!s.experimental.extraOptimizations.contains(AnnProbeRule))
+      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ AnnProbeRule
+    val e = Tables.embeddings(s, d)
+    val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 16)
+    AnnCatalog.register(cents, nprobe = 4)
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    Similarity.withCellId(e, "embedding", cents)
+      .orderBy(l2Sq(col("embedding"), vecLit(qv)))
+      .limit(10)
+      .select("vec_id", "label", "cell_id")
+  }
+
   /** Random-hyperplane LSH bucketing (the shuffle key for cosine near-dup
     * at scale). Deterministic planes, rows-only. */
   val annLshBuckets: Q = (s, d) =>
@@ -538,6 +558,7 @@ object GraftQueries {
     "q15_interval_join" -> q15IntervalJoin,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "ingest_report" -> ingestReport,
+    "ann_probe_knn" -> annProbeKnn,
   )
 
   // DuckDB oracle SQL — see GraftOracles
