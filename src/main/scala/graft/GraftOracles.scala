@@ -137,6 +137,13 @@ object GraftOracles {
         | AND e.ts >= c.session_start AND e.ts <= c.session_end
         |GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
+    "q16_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q7_segment_orders" ->
       """WITH f AS (SELECT c_mktsegment,
         |  EXISTS(SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey) AS has_o

@@ -173,6 +173,17 @@ object GraftQueries {
       .orderBy("user_id", "session_start")
   }
 
+  /** Exact interpolated percentiles per group (Spark `percentile` ==
+    * SQL-standard quantile_cont). */
+  val q16Percentiles: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"))
+      .orderBy("l_returnflag")
+
   /** Semi + anti join: customers with/without orders per segment. */
   val q7SegmentOrders: Q = (s, d) => {
     val c = Tables.customer(s, d)
@@ -559,6 +570,7 @@ object GraftQueries {
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "ingest_report" -> ingestReport,
     "ann_probe_knn" -> annProbeKnn,
+    "q16_percentiles" -> q16Percentiles,
   )
 
   // DuckDB oracle SQL — see GraftOracles
