@@ -21,6 +21,9 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val dt = (System.nanoTime() - t0) / 1e9
+      // operators that cache intermediates (dedup shingle sets) would
+      // otherwise leak blocks into every later query's JVM
+      try spark.catalog.clearCache() catch { case _: Throwable => () }
       System.err.println(f"[bench] $name%-28s $dt%8.2fs")
       name -> dt
     }
