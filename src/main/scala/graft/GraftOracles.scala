@@ -310,6 +310,33 @@ object GraftOracles {
          |       ELSE 'zh' END AS lang_pred
          |FROM sc ORDER BY doc_id""".stripMargin,
 
+    "text_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |  list_filter(list_transform(range(0, greatest(len(tk)-3,0)+1),
+         |    i -> CASE WHEN len(tk[(i+1)::INT:(i+3)::INT]) = 3
+         |              THEN array_to_string(tk[(i+1)::INT:(i+3)::INT], ' ') END),
+         |    x -> x IS NOT NULL) AS g3,
+         |  list_filter(list_transform(range(0, greatest(len(tk)-2,0)+1),
+         |    i -> CASE WHEN len(tk[(i+1)::INT:(i+2)::INT]) = 2
+         |              THEN array_to_string(tk[(i+1)::INT:(i+2)::INT], ' ') END),
+         |    x -> x IS NOT NULL) AS g2
+         |FROM t)
+         |SELECT doc_id,
+         |  CASE WHEN len(g3) = 0 THEN 0.0
+         |       ELSE round(1.0 - len(list_distinct(g3))::DOUBLE / len(g3), 6) END AS rep3,
+         |  CASE WHEN len(g2) = 0 THEN 0.0
+         |       ELSE round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) END AS rep2
+         |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q17_asof_tolerance" ->
+      """SELECT p.user_id, p.event_id, c.event_id AS matched_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |WHERE p.ts - c.ts <= INTERVAL 3600 SECOND
+        |ORDER BY 1,2""".stripMargin,
+
     "doc_fingerprint" ->
       s"""SELECT doc_id,
          |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fingerprint

@@ -244,6 +244,19 @@ object GraftQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** As-of join with staleness tolerance: purchases matched to the most
+    * recent prior click ONLY if within 1 hour. */
+  val q17AsofTolerance: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+    val clicks = ev.filter(col("event_type") === "click")
+    AsOf.asofBackward(purchases, clicks, Seq("user_id"), "ts", Seq("event_id"),
+        toleranceSeconds = Some(3600.0))
+      .filter(col("matched_event_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("matched_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   // ==================================================== reference surface
 
   /** Collection stats (reference get_collection_stats / count). */
@@ -443,6 +456,14 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** Gopher-style repetition filter: trigram repetition ratio per doc. */
+  val textRepetition: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"),
+        TextAnalysis.repetitionRatio(col("text"), 2).as("rep2"))
+      .orderBy("doc_id")
+
   /** Quality filter composition: docs passing quality gates, per lang. */
   val qualityFilter: Q = (s, d) =>
     TextAnalysis.textStats(Tables.documents(s, d))
@@ -571,6 +592,8 @@ object GraftQueries {
     "ingest_report" -> ingestReport,
     "ann_probe_knn" -> annProbeKnn,
     "q16_percentiles" -> q16Percentiles,
+    "q17_asof_tolerance" -> q17AsofTolerance,
+    "text_repetition" -> textRepetition,
   )
 
   // DuckDB oracle SQL — see GraftOracles

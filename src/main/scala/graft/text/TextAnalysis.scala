@@ -84,6 +84,27 @@ object TextAnalysis {
           (lit(0.3) * uniqRatio)) * 1e6 + 0.5) / 1e6)
   }
 
+  /** Token n-grams (word shingles) as joined strings — tokens are
+    * whitespace-split so the space separator is unambiguous, and string
+    * grams keep the oracle expressible (nested-list distinct isn't
+    * portable). */
+  def tokenNgrams(toks: Column, n: Int): Column =
+    filter(
+      transform(sequence(lit(0), greatest(size(toks) - n, lit(0))),
+        i => when(size(slice(toks, i + 1, lit(n))) === n,
+          array_join(slice(toks, i + 1, lit(n)), " "))),
+      g => g.isNotNull)
+
+  /** Repetition ratio — the Gopher-style repetition filter signal:
+    * 1 - distinct_ngrams/total_ngrams over token n-grams. 0 = no repeated
+    * n-gram; high values flag boilerplate/spam.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val grams = tokenNgrams(tokens(text), n)
+    when(size(grams) === 0, 0.0).otherwise(
+      round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 6))
+  }
+
   /** Deterministic content fingerprint: md5 over the sorted distinct token
     * set — invariant to token order and duplication, so re-shuffled or
     * re-padded documents collide. SQL-expressible for the oracle.
