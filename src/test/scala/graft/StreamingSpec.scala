@@ -93,6 +93,28 @@ class StreamingSpec extends SparkSpec {
     assert(emitted.subsetOf(batch))
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark removes replayed events") {
+    // duplicate the events file so the stream sees each event twice
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    val src = java.nio.file.Paths.get(s"$sf/events.parquet")
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/a.parquet"))
+    java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/b.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/a.parquet").schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("sdedup_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val n = spark.table("sdedup_test").count()
+    val expected = Tables.events(spark, sf).count()
+    assert(n == expected, s"streamed dedup got $n, expected $expected")
+  }
+
   test("LSH near-dup join recall vs exact cosine join") {
     val e = Tables.embeddings(spark, sf)
     val exact = Dedup.embeddingNearDup(e, "embedding", "vec_id", 0.35)
