@@ -177,11 +177,16 @@ object GraftOracles {
         |SELECT user_id, max(session_id) AS n_sessions, count(*) AS n_events
         |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // equal-ts right rows are deduped to the max event_id BEFORE the ASOF
+    // join — mirrors the engine's rightTieCols=Seq("event_id") tiebreak
+    // (DuckDB's ASOF pick among equal-ts rows is otherwise arbitrary)
     "q11_asof_purchase_click" ->
       """SELECT p.user_id, p.event_id, c.event_id AS matched_event_id,
         |  round(c.value,4) AS matched_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |ORDER BY 1,2""".stripMargin,
 
@@ -196,18 +201,51 @@ object GraftOracles {
         |WHERE lang IN ('en','fr') AND n_chars > 200 AND source <> 'src3'
         |ORDER BY doc_id""".stripMargin,
 
+    // Exact recursive twin of the reference chunker (size=120, overlap=20):
+    // walks each doc's cursor exactly like Chunker.chunkText — window end =
+    // LAST sentence-boundary start in the window's final 20 chars (+2) if
+    // any ('. ','! ','? ','\n\n' — all length 2), else start+120; chunk =
+    // strip(text[start, min(end,n))), empty chunks dropped, next start =
+    // end-20 (unclamped). Equivalence is by construction, not data luck.
     "chunk_docs" ->
-      """WITH b AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        |k AS (SELECT doc_id, text, n,
-        |    CASE WHEN n <= 120 THEN 1 ELSE CAST(ceil(n/100.0) AS INT) END AS total FROM b),
-        |c AS (SELECT doc_id, total, i,
-        |    CASE WHEN total = 1 THEN text
-        |         ELSE trim(substr(text, CAST(i*100+1 AS INT), 120)) END AS chunk
-        |  FROM k, unnest(range(0, total)) AS t(i))
-        |SELECT doc_id, CAST(i AS INT) AS chunk_index,
-        |  doc_id::VARCHAR || '_chunk_' || i::VARCHAR AS chunk_id,
-        |  chunk, CAST(total AS BIGINT) AS total_chunks
-        |FROM c ORDER BY doc_id, chunk_index""".stripMargin,
+      """WITH RECURSIVE
+        |b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |walk AS (
+        |  SELECT doc_id, text, n, CAST(0 AS BIGINT) AS start FROM b WHERE n > 120
+        |  UNION ALL
+        |  SELECT doc_id, text, n, e - 20 AS start FROM (
+        |    SELECT doc_id, text, n,
+        |      CASE WHEN start + 120 < n THEN coalesce(list_max(list_filter(list_transform(
+        |             range(start+100, start+120),
+        |             i -> CASE WHEN substr(text, CAST(i+1 AS INT), 2)
+        |                       IN ('. ', '! ', '? ', chr(10)||chr(10)) THEN i+2 END),
+        |           x -> x IS NOT NULL)), start+120)
+        |        ELSE start + 120 END AS e
+        |    FROM walk WHERE start < n)),
+        |steps AS (
+        |  SELECT doc_id, start, text, n,
+        |    CASE WHEN start + 120 < n THEN coalesce(list_max(list_filter(list_transform(
+        |           range(start+100, start+120),
+        |           i -> CASE WHEN substr(text, CAST(i+1 AS INT), 2)
+        |                     IN ('. ', '! ', '? ', chr(10)||chr(10)) THEN i+2 END),
+        |         x -> x IS NOT NULL)), start+120)
+        |      ELSE start + 120 END AS e
+        |  FROM walk WHERE start < n),
+        |big AS (
+        |  SELECT doc_id, start,
+        |    trim(substr(text, CAST(start+1 AS INT), CAST(least(e, n) - start AS INT)),
+        |         ' ' || chr(10) || chr(13) || chr(9) || chr(12) || chr(11)) AS chunk
+        |  FROM steps),
+        |allc AS (
+        |  SELECT doc_id, CAST(0 AS BIGINT) AS start, text AS chunk FROM b WHERE n <= 120
+        |  UNION ALL
+        |  SELECT doc_id, start, chunk FROM big WHERE length(chunk) > 0)
+        |SELECT doc_id,
+        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INT) AS chunk_index,
+        |  doc_id::VARCHAR || '_chunk_' ||
+        |    (row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1)::VARCHAR AS chunk_id,
+        |  chunk, CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS total_chunks
+        |FROM allc ORDER BY doc_id, chunk_index""".stripMargin,
 
     "vec_knn" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
@@ -329,10 +367,13 @@ object GraftOracles {
          |       ELSE round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) END AS rep2
          |FROM g ORDER BY doc_id""".stripMargin,
 
+    // same equal-ts dedup as q11 (engine tiebreak = max event_id)
     "q17_asof_tolerance" ->
       """SELECT p.user_id, p.event_id, c.event_id AS matched_event_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'click') WHERE rn = 1) c
         |  ON p.user_id = c.user_id AND p.ts >= c.ts
         |WHERE p.ts - c.ts <= INTERVAL 3600 SECOND
         |ORDER BY 1,2""".stripMargin,

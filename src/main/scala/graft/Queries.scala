@@ -237,7 +237,8 @@ object GraftQueries {
     val ev = Tables.events(s, d)
     val purchases = ev.filter(col("event_type") === "purchase")
     val clicks = ev.filter(col("event_type") === "click")
-    AsOf.asofBackward(purchases, clicks, Seq("user_id"), "ts", Seq("event_id", "value"))
+    AsOf.asofBackward(purchases, clicks, Seq("user_id"), "ts", Seq("event_id", "value"),
+        rightTieCols = Seq("event_id"))
       .filter(col("matched_event_id").isNotNull)
       .select(col("user_id"), col("event_id"),
         col("matched_event_id"), round(col("matched_value"), 4).as("matched_value"))
@@ -251,7 +252,7 @@ object GraftQueries {
     val purchases = ev.filter(col("event_type") === "purchase")
     val clicks = ev.filter(col("event_type") === "click")
     AsOf.asofBackward(purchases, clicks, Seq("user_id"), "ts", Seq("event_id"),
-        toleranceSeconds = Some(3600.0))
+        toleranceSeconds = Some(3600.0), rightTieCols = Seq("event_id"))
       .filter(col("matched_event_id").isNotNull)
       .select(col("user_id"), col("event_id"), col("matched_event_id"))
       .orderBy("user_id", "event_id")
@@ -346,23 +347,27 @@ object GraftQueries {
   }
 
   /** kNN through the AnnProbeRule optimizer rewrite: index the collection
-    * (cell_id), register centroids, and run a plain ORDER BY l2sq LIMIT k
-    * — the injected rule turns it into an nprobe-cell scan. Approximate
-    * by construction -> rows-only; exactness-when-probing-all-cells is
-    * asserted in AnnProbeSpec. */
+    * (cell_id), register centroids FOR THIS SESSION, and run a plain
+    * ORDER BY l2sq LIMIT k — the injected rule turns it into an
+    * nprobe-cell scan. The probe query is materialized INSIDE the
+    * `withProbe` scope (the optimizer runs at action time), and the rule +
+    * centroids are unregistered in its finally block, so no later query in
+    * the session can be silently rewritten to an approximate scan.
+    * Approximate by construction -> rows-only; exactness-when-probing-all-
+    * cells is asserted in AnnProbeSpec. */
   val annProbeKnn: Q = (s, d) => {
-    import graft.plans.{AnnCatalog, AnnProbeRule}
-    if (!s.experimental.extraOptimizations.contains(AnnProbeRule))
-      s.experimental.extraOptimizations = s.experimental.extraOptimizations :+ AnnProbeRule
+    import graft.plans.AnnProbe
     val e = Tables.embeddings(s, d)
     val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 16)
-    AnnCatalog.register(cents, nprobe = 4)
     val qv = e.filter(col("vec_id") === 0).select("embedding")
       .collect().head.getSeq[Float](0).toArray
-    Similarity.withCellId(e, "embedding", cents)
-      .orderBy(l2Sq(col("embedding"), vecLit(qv)))
-      .limit(10)
-      .select("vec_id", "label", "cell_id")
+    AnnProbe.withProbe(s, cents, nprobe = 4) {
+      val probed = Similarity.withCellId(e, "embedding", cents)
+        .orderBy(l2Sq(col("embedding"), vecLit(qv)))
+        .limit(10)
+        .select("vec_id", "label", "cell_id")
+      s.createDataFrame(java.util.Arrays.asList(probed.collect(): _*), probed.schema)
+    }
   }
 
   /** Random-hyperplane LSH bucketing (the shuffle key for cosine near-dup

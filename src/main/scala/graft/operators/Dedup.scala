@@ -138,12 +138,20 @@ object Dedup {
           col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // broadcast the slim (id -> shingles) side: candidates keep their
-    // hash-partitioned parallelism and no shuffle of the pair stream
+    // the slim (id -> shingles) verification side: broadcast keeps the
+    // candidate stream's hash-partitioned parallelism with no shuffle, but
+    // the relation grows with the corpus — so the broadcast is SIZE-GATED
+    // (one agg over the already-cached relation estimates bytes; over the
+    // cap the planner falls back to hash joins on the fixed-width id key)
+    val stats = withSh.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("_sh"))), lit(0L)).as("h")).head()
+    val estBytes = stats.getLong(1) * 8L + stats.getLong(0) * 48L
     val sh = withSh.select(col("_id"), col("_sh"))
+    def side(id: String, shc: String) = BroadcastGate.maybeBroadcast(
+      sh.withColumnRenamed("_id", id).withColumnRenamed("_sh", shc), estBytes)
     val pairs = candidates
-      .join(broadcast(sh.withColumnRenamed("_id", "id_a").withColumnRenamed("_sh", "sh_a")), "id_a")
-      .join(broadcast(sh.withColumnRenamed("_id", "id_b").withColumnRenamed("_sh", "sh_b")), "id_b")
+      .join(side("id_a", "sh_a"), "id_a")
+      .join(side("id_b", "sh_b"), "id_b")
     verifyJaccard(pairs, threshold)
   }
 

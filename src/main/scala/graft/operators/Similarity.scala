@@ -39,31 +39,44 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("cosine"), col("rank"))
   }
 
-  /** Deterministic k-means(ish) centroids: seed from the first `ncells`
-    * rows by id order, then `iters` Lloyd rounds as DataFrame aggregations
-    * (group by nearest centroid, average). Returns (cell_id, centroid).
-    */
   /** Deterministic k-means(ish) centroids, returned driver-side (ncells x
     * dim floats is bytes, not data): seed from the first `ncells` rows by
     * id order, then `iters` Lloyd rounds — each round is ONE aggregation
     * job over the collection with literal centroids; nothing in the plan
     * ever re-derives centroid lineage.
+    *
+    * Determinism: the per-cell mean is computed as a fixed-point LONG sum
+    * (x * 2^24 truncated) + count — integer addition is associative, so
+    * the result is bit-identical regardless of Spark's partial-agg merge
+    * order (a float/double avg() is not: its merge order is
+    * nondeterministic and near-tie cell assignments could flip between
+    * runs). Cells that lose all members in a round RETAIN their previous
+    * centroid, so the trained cell count always stays `ncells`.
     */
   def trainCentroidArrays(collection: DataFrame, vecCol: String, idCol: String,
                           ncells: Int, iters: Int = 1): Array[(Int, Array[Float])] = {
     var cents: Array[(Int, Array[Float])] =
       collection.orderBy(col(idCol)).limit(ncells).select(col(vecCol)).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
+    val Scale = 1L << 24 // |x| * 2^24 * rows << 2^63 for any realistic unit-ish embedding
     var it = 0
     while (it < iters) {
-      cents = withCellId(collection, vecCol, cents)
+      val partials = withCellId(collection, vecCol, cents)
         .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("_pos", "_x")))
-        .groupBy("cell_id", "_pos").agg(avg("_x").as("_m"))
-        .groupBy("cell_id")
-        .agg(array_sort(collect_list(struct(col("_pos"), col("_m")))).as("_pairs"))
-        .select(col("cell_id"),
-          transform(col("_pairs"), p => p.getField("_m").cast("float")).as("centroid"))
-        .collect().map(r => (r.getInt(0), r.getSeq[Float](1).toArray))
+        .groupBy("cell_id", "_pos")
+        .agg(sum((col("_x").cast("double") * Scale).cast("long")).as("_s"),
+          count(lit(1)).as("_n"))
+        .collect() // ncells x dim rows — driver-side by design
+      val byCell: Map[Int, Array[Float]] = partials.groupBy(_.getInt(0)).map {
+        case (cid, rows) =>
+          val dim = rows.iterator.map(_.getInt(1)).max + 1
+          val arr = new Array[Float](dim)
+          rows.foreach { r =>
+            arr(r.getInt(1)) = ((r.getLong(2).toDouble / r.getLong(3)) / Scale).toFloat
+          }
+          cid -> arr
+      }
+      cents = cents.map { case (id, old) => (id, byCell.getOrElse(id, old)) }
       it += 1
     }
     cents
@@ -162,7 +175,10 @@ object Similarity {
   def lshNearDupJoin(df: DataFrame, vecCol: String, idCol: String,
                      threshold: Double, nBits: Int = 8, nTables: Int = 8,
                      dim: Int = 64): DataFrame = {
-    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    // cached: consumed by nTables signature scans + both verification
+    // build sides; the count() doubles as the size probe for the gate
+    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v")).cache()
+    val estBytes = base.count() * (dim * 4L + 48L)
     val tables = (0 until nTables).map { t =>
       cosineLshBuckets(base, "_v", nBits, seed = 42L + t, dim = dim)
         .select(col("_id"), lit(t).as("_table"), col("lsh_bucket"))
@@ -174,10 +190,14 @@ object Similarity {
           col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    val v = base
+    // size-gated broadcast of the (id -> vector) verification side: the
+    // relation grows with the corpus, so over the cap the join falls back
+    // to hash joins on the id key instead of OOMing (BroadcastGate)
+    def side(id: String, vc: String) = BroadcastGate.maybeBroadcast(
+      base.withColumnRenamed("_id", id).withColumnRenamed("_v", vc), estBytes)
     candidates
-      .join(broadcast(v.withColumnRenamed("_id", "id_a").withColumnRenamed("_v", "_va")), "id_a")
-      .join(broadcast(v.withColumnRenamed("_id", "id_b").withColumnRenamed("_v", "_vb")), "id_b")
+      .join(side("id_a", "_va"), "id_a")
+      .join(side("id_b", "_vb"), "id_b")
       .withColumn("cosine", round(cosine(col("_va"), col("_vb")), 6))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")

@@ -1,7 +1,7 @@
 package graft.plans
 
 import graft.functions.VectorDistance
-import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, Expression, In, Literal, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -24,20 +24,48 @@ import org.apache.spark.sql.catalyst.util.ArrayData
   * Probe-cell selection runs at optimization time on the driver —
   * centroids are ncells x dim floats.
   *
-  * Registered per session either through
-  * `SparkSession.builder.withExtensions(new GraftExtensions)` or
-  * `spark.experimental.extraOptimizations :+= AnnProbeRule`.
+  * Registration is PER SparkSession (weak-keyed, so a dropped session
+  * cannot pin its centroids) and meant to be scoped: use
+  * [[AnnProbe.withProbe]], which registers the rule + centroids and
+  * removes both in a finally block, so no later query in the session can
+  * be silently rewritten to an approximate scan and concurrent sessions
+  * never see each other's centroids.
   */
 object AnnCatalog {
-  @volatile private var centroids: Option[(Array[(Int, Array[Float])], Int)] = None
+  private val bySession = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, (Array[(Int, Array[Float])], Int)]())
 
-  /** Register the session's IVF centroids (+ nprobe). */
-  def register(cents: Array[(Int, Array[Float])], nprobe: Int): Unit =
-    centroids = Some((cents, nprobe))
+  /** Register a session's IVF centroids (+ nprobe). */
+  def register(spark: SparkSession, cents: Array[(Int, Array[Float])], nprobe: Int): Unit =
+    bySession.put(spark, (cents, nprobe))
 
-  def clear(): Unit = centroids = None
+  def clear(spark: SparkSession): Unit = bySession.remove(spark)
 
-  def get: Option[(Array[(Int, Array[Float])], Int)] = centroids
+  def get(spark: SparkSession): Option[(Array[(Int, Array[Float])], Int)] =
+    Option(bySession.get(spark))
+}
+
+object AnnProbe {
+  /** Run `body` with the probe rule + centroids registered for `spark`,
+    * and deterministically unregister both afterwards. Any DataFrame that
+    * should be rewritten must be EXECUTED inside `body` — the optimizer
+    * runs at action time, not definition time.
+    */
+  def withProbe[T](spark: SparkSession, cents: Array[(Int, Array[Float])],
+                   nprobe: Int)(body: => T): T = {
+    val hadRule = spark.experimental.extraOptimizations.contains(AnnProbeRule)
+    if (!hadRule)
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ AnnProbeRule
+    AnnCatalog.register(spark, cents, nprobe)
+    try body
+    finally {
+      AnnCatalog.clear(spark)
+      if (!hadRule)
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations.filterNot(_ == AnnProbeRule)
+    }
+  }
 }
 
 object AnnProbeRule extends Rule[LogicalPlan] {
@@ -77,19 +105,20 @@ object AnnProbeRule extends Rule[LogicalPlan] {
       case _ => None
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = AnnCatalog.get match {
-    case None => plan
-    case Some((cents, nprobe)) => plan.transformUp {
-      case g @ GlobalLimit(_, l @ LocalLimit(_,
-          s @ Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _)))
-          if cellAttr(child).isDefined && queryVecOf(key, child).isDefined &&
-            !alreadyProbed(child) =>
-        val cells = probeCells(queryVecOf(key, child).get, cents, nprobe)
-        val attr = cellAttr(child).get
-        val filter = Filter(In(attr, cells.map(c => Literal(c))), child)
-        g.copy(child = l.copy(child = s.copy(child = filter)))
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    SparkSession.getActiveSession.flatMap(AnnCatalog.get) match {
+      case None => plan
+      case Some((cents, nprobe)) => plan.transformUp {
+        case g @ GlobalLimit(_, l @ LocalLimit(_,
+            s @ Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _)))
+            if cellAttr(child).isDefined && queryVecOf(key, child).isDefined &&
+              !alreadyProbed(child) =>
+          val cells = probeCells(queryVecOf(key, child).get, cents, nprobe)
+          val attr = cellAttr(child).get
+          val filter = Filter(In(attr, cells.map(c => Literal(c))), child)
+          g.copy(child = l.copy(child = s.copy(child = filter)))
+      }
     }
-  }
 
   // idempotence under the fixed-point batch: don't re-inject when ANY
   // filter in the subtree already probes cell_id (pushdown may have moved
@@ -104,7 +133,8 @@ object AnnProbeRule extends Rule[LogicalPlan] {
 }
 
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` — injects
-  * the ANN probe rewrite as an optimizer rule. */
+  * the ANN probe rewrite as an optimizer rule. The rule is inert unless
+  * the session has centroids registered in [[AnnCatalog]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => AnnProbeRule)

@@ -2,13 +2,13 @@ package graft
 
 import graft.functions.VectorFunctions._
 import graft.operators.Similarity
-import graft.plans.{AnnCatalog, AnnProbeRule}
+import graft.plans.{AnnCatalog, AnnProbe, AnnProbeRule}
 import org.apache.spark.sql.functions._
 
 /** The ANN probe optimizer rule: ORDER BY l2sq LIMIT k over an indexed
   * collection gets a cell_id IN (...) probe filter injected below the
   * sort, turning brute-force kNN into an IVF scan of nprobe/ncells of the
-  * data.
+  * data. Registration is per-session and scope-bounded (AnnProbe.withProbe).
   */
 class AnnProbeSpec extends SparkSpec {
 
@@ -38,7 +38,7 @@ class AnnProbeSpec extends SparkSpec {
 
   test("rule injects probe filter for inline sort key and shrinks the scan") {
     val (idx, cents) = indexed()
-    AnnCatalog.register(cents, nprobe = 2)
+    AnnCatalog.register(spark, cents, nprobe = 2)
     try {
       val q = idx.orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(5)
       val optimized = q.queryExecution.optimizedPlan.toString
@@ -50,12 +50,12 @@ class AnnProbeSpec extends SparkSpec {
       // the query's own vector (distance 0) lives in the nearest cell ->
       // must survive the probe and rank first
       assert(got.contains(0L))
-    } finally AnnCatalog.clear()
+    } finally AnnCatalog.clear(spark)
   }
 
   test("rule matches the withColumn(distance).orderBy shape too") {
     val (idx, cents) = indexed()
-    AnnCatalog.register(cents, nprobe = 2)
+    AnnCatalog.register(spark, cents, nprobe = 2)
     try {
       val q = idx.withColumn("distance", l2Sq(col("embedding"), vecLit(qv)))
         .orderBy("distance").limit(5)
@@ -63,37 +63,74 @@ class AnnProbeSpec extends SparkSpec {
       assert(optimized.contains("cell_id") && optimized.contains("IN ("),
         s"probe filter not injected:\n$optimized")
       assert(q.count() == 5)
-    } finally AnnCatalog.clear()
+    } finally AnnCatalog.clear(spark)
   }
 
   test("no registration -> no rewrite; unindexed plan untouched") {
-    AnnCatalog.clear()
+    AnnCatalog.clear(spark)
     val (idx, _) = indexed()
     val q = idx.orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(5)
     assert(!q.queryExecution.optimizedPlan.toString.contains("IN ("))
     // plain collection without cell_id, with catalog registered
     val (_, cents) = indexed()
-    AnnCatalog.register(cents, nprobe = 2)
+    AnnCatalog.register(spark, cents, nprobe = 2)
     try {
       val plain = Tables.embeddings(spark, sf)
         .orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(5)
       assert(!plain.queryExecution.optimizedPlan.toString.contains("IN ("))
       assert(plain.count() == 5)
-    } finally AnnCatalog.clear()
+    } finally AnnCatalog.clear(spark)
   }
 
   test("probed top-k equals brute force when probes cover the true cells") {
     val (idx, cents) = indexed()
     // nprobe = ncells -> probe everything -> exact result set
-    AnnCatalog.register(cents, nprobe = 8)
+    AnnCatalog.register(spark, cents, nprobe = 8)
     try {
       val s = spark; import s.implicits._
       val probed = idx.orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(10)
         .select("vec_id").as[Long].collect().toSet
-      AnnCatalog.clear()
+      AnnCatalog.clear(spark)
       val exact = idx.orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(10)
         .select("vec_id").as[Long].collect().toSet
       assert(probed == exact)
-    } finally AnnCatalog.clear()
+    } finally AnnCatalog.clear(spark)
+  }
+
+  test("withProbe scope unregisters the rule and catalog on exit") {
+    val base = org.apache.spark.sql.SparkSession.builder()
+      .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
+    // a session with NO manually-registered rule
+    val s2 = base.newSession()
+    val e = Tables.embeddings(s2, sf)
+    val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 8)
+    val idx = Similarity.withCellId(e, "embedding", cents)
+    val inScope = AnnProbe.withProbe(s2, cents, nprobe = 2) {
+      idx.orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(5)
+        .queryExecution.optimizedPlan.toString
+    }
+    assert(inScope.contains("cell_id") && inScope.contains("IN ("))
+    // after the scope: rule gone, catalog empty -> identical query NOT rewritten
+    assert(AnnCatalog.get(s2).isEmpty)
+    assert(!s2.experimental.extraOptimizations.contains(AnnProbeRule))
+    val after = idx.orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(5)
+      .queryExecution.optimizedPlan.toString
+    assert(!after.contains("IN ("))
+  }
+
+  test("sessions are isolated: registering in one does not rewrite another") {
+    val s2 = spark.newSession()
+    s2.experimental.extraOptimizations =
+      s2.experimental.extraOptimizations :+ AnnProbeRule
+    val (idx, cents) = indexed()
+    AnnCatalog.register(spark, cents, nprobe = 2)
+    try {
+      // s2 has the rule but no centroids -> its plans stay exact
+      val e2 = Tables.embeddings(s2, sf)
+      val idx2 = Similarity.withCellId(e2, "embedding", cents)
+      val plan2 = idx2.orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(5)
+        .queryExecution.optimizedPlan.toString
+      assert(!plan2.contains("IN ("))
+    } finally AnnCatalog.clear(spark)
   }
 }
