@@ -441,6 +441,127 @@ object GraftOracles {
         |  event_type, count(*) AS n_events, round(sum(value),4) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
+    "q18_lead_lag" ->
+      """WITH w AS (SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+        |    lag(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_date,
+        |    lead(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey,
+        |  CAST(date_diff('day', prev_date, o_orderdate) AS BIGINT) AS days_since_prev,
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(12,4)) - CAST(coalesce(next_price, 0.0) AS DECIMAL(12,4)), 2) AS DOUBLE) AS price_vs_next
+        |FROM w WHERE prev_date IS NOT NULL ORDER BY 1,2""".stripMargin,
+
+    "q19_setops" ->
+      """WITH a AS (SELECT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'),
+        |b AS (SELECT o_custkey FROM orders
+        |    WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01')
+        |SELECT
+        |  (SELECT count(*) FROM (SELECT o_custkey FROM a INTERSECT SELECT o_custkey FROM b)) AS n_both,
+        |  (SELECT count(*) FROM (SELECT o_custkey FROM a EXCEPT SELECT o_custkey FROM b)) AS n_only_1995,
+        |  (SELECT count(*) FROM (SELECT o_custkey FROM b EXCEPT SELECT o_custkey FROM a)) AS n_only_1996""".stripMargin,
+
+    "q20_json_props" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+        |  count(*) AS n_events,
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q21_pivot" ->
+      """SELECT user_id % 10 AS user_bucket,
+        |  count(*) FILTER (WHERE event_type = 'click') AS click,
+        |  count(*) FILTER (WHERE event_type = 'error') AS error,
+        |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+        |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+        |  count(*) FILTER (WHERE event_type = 'view') AS view
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q22_minmax_by" ->
+      """SELECT n_name,
+        |  arg_max(c_name, CAST(round(c_acctbal*100) AS BIGINT)*10000000 + c_custkey) AS richest,
+        |  arg_min(c_name, CAST(round(c_acctbal*100) AS BIGINT)*10000000 + c_custkey) AS poorest,
+        |  round(max(c_acctbal), 2) AS max_bal,
+        |  round(min(c_acctbal), 2) AS min_bal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q23_array_agg" ->
+      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenumbers,
+        |  count(*) AS n_lines
+        |FROM lineitem GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1""".stripMargin,
+
+    "q24_gapfill" ->
+      """WITH b AS (SELECT min(date_trunc('hour', ts)) AS h0, max(date_trunc('hour', ts)) AS h1 FROM events),
+        |hrs AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM b),
+        |t AS (SELECT DISTINCT event_type FROM events),
+        |c AS (SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n
+        |  FROM events GROUP BY 1,2)
+        |SELECT strftime(h.hour, '%Y-%m-%d %H:%M:%S') AS hour, t.event_type,
+        |  coalesce(c.n, 0) AS n_events
+        |FROM hrs h CROSS JOIN t
+        |LEFT JOIN c ON c.hour = h.hour AND c.event_type = t.event_type
+        |ORDER BY 1,2""".stripMargin,
+
+    "q25_stats_agg" ->
+      """SELECT l_returnflag,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+        |  round(stddev_samp(l_extendedprice), 2) AS std_price,
+        |  round(var_samp(l_quantity), 2) AS var_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q26_ntile" ->
+      """WITH q AS (SELECT c_mktsegment, c_acctbal,
+        |    CAST(ntile(4) OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey) AS BIGINT) AS quartile
+        |  FROM customer)
+        |SELECT c_mktsegment, quartile, count(*) AS n,
+        |  round(min(c_acctbal), 2) AS min_bal, round(max(c_acctbal), 2) AS max_bal
+        |FROM q GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    "q27_levenshtein" ->
+      """WITH w AS (SELECT source, doc_id, text,
+        |    lead(text) OVER (PARTITION BY source ORDER BY doc_id) AS next_text
+        |  FROM documents)
+        |SELECT source, doc_id,
+        |  CAST(levenshtein(substr(text, 1, 40), substr(next_text, 1, 40)) AS BIGINT) AS lev40
+        |FROM w WHERE next_text IS NOT NULL ORDER BY 1,2""".stripMargin,
+
+    "skew_salted_agg" ->
+      """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_l_partkey
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_bpe_tokens" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS tk
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq_bpe,
+        |  round(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)::DOUBLE
+        |        / greatest(len(tk), 1), 6) AS avg_bpe_len
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    // byte-exact frame compare without blob slicing (this DuckDB build has
+    // none): both engines frame the BYTES — Spark slices the binary and
+    // hexes each frame, the oracle hexes the blob and slices 2-char-per-
+    // byte windows; md5 runs over the identical hex text
+    "multimodal_frames" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx FROM documents
+        |    WHERE octet_length(encode(text)) > 0),
+        |f AS (SELECT doc_id, i, substring(hx, CAST(i*128+1 AS INT), 128) AS fh
+        |  FROM h, unnest(range(0, CAST(ceil(length(hx)/128.0) AS INT))) AS t(i))
+        |SELECT doc_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(length(fh) // 2 AS BIGINT) AS frame_bytes,
+        |  md5(fh) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "streaming_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON c.user_id = p.user_id
+        | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+        |ORDER BY 1,2,3""".stripMargin,
+
     "streaming_sessions" ->
       """WITH l AS (SELECT user_id, ts, event_id,
         |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts

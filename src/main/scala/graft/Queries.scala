@@ -551,6 +551,176 @@ object GraftQueries {
         approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
       .orderBy("l_returnflag")
 
+  // ================================================== round-2 depth queries
+
+  /** Lead/lag: per-customer consecutive-order day gaps + price-vs-next. */
+  val q18LeadLag: Q = (s, d) => {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    Tables.orders(s, d)
+      .withColumn("prev_date", lag("o_orderdate", 1).over(w))
+      .withColumn("next_price", lead("o_totalprice", 1).over(w))
+      .filter(col("prev_date").isNotNull)
+      .select(col("o_custkey"), col("o_orderkey"),
+        datediff(col("o_orderdate"), col("prev_date")).cast("long").as("days_since_prev"),
+        round(money(col("o_totalprice")) - money(coalesce(col("next_price"), lit(0.0))), 2)
+          .cast("double").as("price_vs_next"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Set operations (INTERSECT / EXCEPT, set semantics): customers active
+    * in 1995 vs 1996. */
+  val q19SetOps: Q = (s, d) => {
+    val o = Tables.orders(s, d)
+    def yr(from: String, until: String) =
+      o.filter(col("o_orderdate") >= lit(from).cast("timestamp") &&
+        col("o_orderdate") < lit(until).cast("timestamp")).select("o_custkey")
+    val a = yr("1995-01-01", "1996-01-01")
+    val b = yr("1996-01-01", "1997-01-01")
+    a.intersect(b).agg(count(lit(1)).as("n_both"))
+      .crossJoin(a.except(b).agg(count(lit(1)).as("n_only_1995")))
+      .crossJoin(b.except(a).agg(count(lit(1)).as("n_only_1996")))
+  }
+
+  /** Typed JSON extraction (from_json, not regex) over event props. */
+  val q20JsonProps: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("k", from_json(col("props"), "k INT", Map.empty[String, String]).getField("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(money(col("value"))), 2).cast("double").as("sum_value"))
+      .orderBy("k")
+
+  /** Pivot: event-type counts as columns per user bucket. */
+  val q21Pivot: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy((col("user_id") % 10).as("user_bucket"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .select(col("user_bucket"),
+        coalesce(col("click"), lit(0L)).as("click"),
+        coalesce(col("error"), lit(0L)).as("error"),
+        coalesce(col("purchase"), lit(0L)).as("purchase"),
+        coalesce(col("signup"), lit(0L)).as("signup"),
+        coalesce(col("view"), lit(0L)).as("view"))
+      .orderBy("user_bucket")
+
+  /** max_by / min_by (arg_max/arg_min): richest + poorest customer name per
+    * nation, tie-broken deterministically via a composite (bal, custkey)
+    * key encoded as one BIGINT (both engines order it identically). */
+  val q22MinmaxBy: Q = (s, d) => {
+    val key = round(col("c_acctbal") * 100).cast("long") * 10000000L + col("c_custkey")
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(max_by(col("c_name"), key).as("richest"),
+        min_by(col("c_name"), key).as("poorest"),
+        round(max(col("c_acctbal")), 2).as("max_bal"),
+        round(min(col("c_acctbal")), 2).as("min_bal"))
+      .orderBy("n_name")
+  }
+
+  /** Array aggregation: per-order sorted line numbers (orders with >= 5
+    * lines). Array-valued output column round-trips through parquet. */
+  val q23ArrayAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_linenumber"))).as("linenumbers"),
+        count(lit(1)).as("n_lines"))
+      .filter(col("n_lines") >= 5)
+      .orderBy("l_orderkey")
+
+  /** Time-series gap filling: dense hourly grid (sequence + explode) x
+    * event types, left-joined counts, zeros filled. */
+  val q24Gapfill: Q = (s, d) => {
+    val ev = Tables.events(s, d).withColumn("hour", date_trunc("hour", col("ts")))
+    val bounds = ev.agg(min("hour").as("h0"), max("hour").as("h1"))
+    val hours = bounds.select(explode(sequence(col("h0"), col("h1"),
+      expr("interval 1 hour"))).as("hour"))
+    val types = ev.select("event_type").distinct()
+    val counts = ev.groupBy("hour", "event_type").agg(count(lit(1)).as("n"))
+    hours.crossJoin(types)
+      .join(counts, Seq("hour", "event_type"), "left")
+      .select(date_format(col("hour"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        col("event_type"), coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("hour", "event_type")
+  }
+
+  /** Statistical aggregates: corr / covar_samp / stddev / variance.
+    * (Rounded coarsely: co-moment merges are double arithmetic whose last
+    * ulps legitimately differ across engines.) */
+  val q25StatsAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
+        round(stddev_samp(col("l_extendedprice")), 2).as("std_price"),
+        round(var_samp(col("l_quantity")), 2).as("var_qty"))
+      .orderBy("l_returnflag")
+
+  /** ntile quartiles per segment with per-quartile balance ranges. */
+  val q26Ntile: Q = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .groupBy("c_mktsegment", "quartile")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("c_acctbal")), 2).as("min_bal"),
+        round(max(col("c_acctbal")), 2).as("max_bal"))
+      .orderBy("c_mktsegment", "quartile")
+  }
+
+  /** Edit distance between consecutive docs of a source (levenshtein is
+    * codegen'd in Spark; 40-char prefixes bound the O(len^2) cost). */
+  val q27Levenshtein: Q = (s, d) => {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    Tables.documents(s, d)
+      .withColumn("next_text", lead("text", 1).over(w))
+      .filter(col("next_text").isNotNull)
+      .select(col("source"), col("doc_id"),
+        levenshtein(substring(col("text"), 1, 40), substring(col("next_text"), 1, 40))
+          .cast("long").as("lev40"))
+      .orderBy("source", "doc_id")
+  }
+
+  /** Salted two-phase exact distinct (Skew operator surfaced as a query):
+    * the hot-key-safe form of count(DISTINCT) — partials spread over 8
+    * salted reducers, then merged. Oracle = plain count(DISTINCT). */
+  val skewSaltedAgg: Q = (s, d) =>
+    graft.operators.Skew.saltedCountDistinct(Tables.lineitem(s, d),
+        Seq("l_returnflag"), "l_partkey", col("l_orderkey"), salts = 8)
+      .orderBy("l_returnflag")
+
+  /** BPE-ish regex tokenization ([a-z]+ | digits | single punctuation) —
+    * the subword-style token counting a training-data pipeline runs. */
+  val textBpeTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("_t", regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .select(col("doc_id"), size(col("_t")).cast("long").as("n_bpe_tokens"),
+        size(array_distinct(col("_t"))).cast("long").as("n_uniq_bpe"),
+        round(aggregate(transform(col("_t"), t => length(t).cast("double")),
+          lit(0.0), (a, x) => a + x) / greatest(size(col("_t")), lit(1)), 6).as("avg_bpe_len"))
+      .orderBy("doc_id")
+
+  /** Frame sampling over binary payloads: 64-byte frames as rows with
+    * per-frame identity (byte-exact: frames are BINARY slices; the hex
+    * round-trip is only for the cross-engine oracle compare). */
+  val multimodalFrames: Q = (s, d) =>
+    Multimodal.frameSample(
+        Multimodal.withBinaryPayload(Tables.documents(s, d), "text"), "payload", 64)
+      .select(col("doc_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_bytes"),
+        md5(hex(col("frame")).cast("binary")).as("frame_md5"))
+      .orderBy("doc_id", "frame_idx")
+
+  /** Stream-stream interval join (purchases x clicks within 1 hour) through
+    * Structured Streaming with state-bounding watermarks on both sides.
+    * Oracle = the identical time-range join in batch SQL. */
+  val streamingJoin: Q = (s, d) =>
+    EventStream.runStreamingIntervalJoin(s, s"$d/events.parquet",
+        "graft_join_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .orderBy("user_id", "purchase_id", "click_id")
+
   // =============================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -599,6 +769,20 @@ object GraftQueries {
     "q16_percentiles" -> q16Percentiles,
     "q17_asof_tolerance" -> q17AsofTolerance,
     "text_repetition" -> textRepetition,
+    "q18_lead_lag" -> q18LeadLag,
+    "q19_setops" -> q19SetOps,
+    "q20_json_props" -> q20JsonProps,
+    "q21_pivot" -> q21Pivot,
+    "q22_minmax_by" -> q22MinmaxBy,
+    "q23_array_agg" -> q23ArrayAgg,
+    "q24_gapfill" -> q24Gapfill,
+    "q25_stats_agg" -> q25StatsAgg,
+    "q26_ntile" -> q26Ntile,
+    "q27_levenshtein" -> q27Levenshtein,
+    "skew_salted_agg" -> skewSaltedAgg,
+    "text_bpe_tokens" -> textBpeTokens,
+    "multimodal_frames" -> multimodalFrames,
+    "streaming_join" -> streamingJoin,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -45,6 +45,24 @@ object Multimodal {
   def withBinaryPayload(df: DataFrame, srcCol: String, outCol: String = "payload"): DataFrame =
     df.withColumn(outCol, col(srcCol).cast("binary"))
 
+  /** Frame sampling over a binary payload: fixed-size byte frames exploded
+    * to one row each — the video/audio frame-sampling shape (one opaque
+    * blob -> N frame blobs + per-frame index). Pure column ops (`substring`
+    * on BINARY slices bytes), so the whole stage stays in codegen and
+    * distributes trivially: the explode multiplies rows, never bytes per
+    * row, and downstream per-frame decode parallelizes over frames instead
+    * of whole payloads. Zero-byte payloads produce zero frames.
+    */
+  def frameSample(df: DataFrame, binCol: String, frameBytes: Int): DataFrame = {
+    require(frameBytes > 0)
+    val nFrames = ceil(length(col(binCol)).cast("double") / frameBytes).cast("int")
+    df.withColumn("_nf", nFrames)
+      .filter(col("_nf") > 0) // sequence(0, -1) would descend, not be empty
+      .withColumn("frame_idx", explode(sequence(lit(0), col("_nf") - 1)))
+      .withColumn("frame", expr(s"substring($binCol, frame_idx * $frameBytes + 1, $frameBytes)"))
+      .drop("_nf")
+  }
+
   /** Batched feature extraction over the binary column: one decoder
     * "session" per partition, rows processed in batches — the exact shape a
     * real model/codec needs. Output adds a `features` struct column.

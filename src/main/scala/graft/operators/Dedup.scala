@@ -73,10 +73,11 @@ object Dedup {
     val rng = new scala.util.Random(0x5eed)
     val as = Array.fill(perms)(rng.nextLong() | 1L)
     val bs = Array.fill(perms)(rng.nextLong())
-    udf((shingles: Seq[Long]) => {
+    udf((shingles: Array[Long]) => { // Array param: no per-element boxing
       val mins = Array.fill(perms)(Long.MaxValue)
-      shingles.foreach { s =>
-        var h = s
+      var si = 0
+      while (si < shingles.length) {
+        var h = shingles(si)
         h ^= h >>> 33; h *= 0xff51afd7ed558ccdL; h ^= h >>> 33
         var p = 0
         while (p < perms) {
@@ -84,6 +85,7 @@ object Dedup {
           if (v < mins(p)) mins(p) = v
           p += 1
         }
+        si += 1
       }
       val out = new Array[Long](bands)
       var b = 0
@@ -244,28 +246,54 @@ object Dedup {
   def simhash(tokens: Column): Column = simhashUdf(tokens)
 
   /** SimHash near-dup pairs: band the 64-bit signature into 4 x 16-bit
-    * chunks (pigeonhole: hamming <= 3 guarantees one identical chunk), join
-    * on chunks, verify with bit_count(xor).
+    * chunks (pigeonhole: hamming <= 3 guarantees one identical chunk),
+    * group by chunk, enumerate surviving pairs per bucket.
+    *
+    * Why not a banded self-JOIN: the join pays full row machinery per
+    * candidate pair, and low-entropy corpora make some 16-bit chunks very
+    * common — a bucket of m docs is m^2/2 candidate evaluations ON ONE
+    * TASK (the join key pins the bucket to a single partition either way).
+    * Collecting each bucket once and scanning sorted primitive arrays is
+    * ~20x cheaper per pair, so the worst bucket costs milliseconds, not
+    * seconds. Bucket members must fit in task memory (ids+sigs = 16 bytes/
+    * doc); for corpora where a 16-bit bucket could exceed that, widen the
+    * chunks with extra signature bits first (more bands of more bits).
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    val sigs = df.select(col(idCol).as("_id"), simhash(toks).as("_sig"))
+    val sigs = df.select(col(idCol).cast("long").as("_id"), simhash(toks).as("_sig"))
     val banded = sigs.select(col("_id"), col("_sig"),
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("_sig"), b * 16).bitwiseAND(0xFFFFL)
       }: _*)).as(Seq("_band", "_chunk")))
-    // hamming is a single bit_count — evaluate it IN the join so skewed
-    // band buckets (common with low-entropy corpora) emit only surviving
-    // pairs; dropDuplicates then shuffles the small result, not the
-    // candidate stream
-    banded.as("a")
-      .join(banded.as("b"),
-        col("a._band") === col("b._band") && col("a._chunk") === col("b._chunk") &&
-          col("a._id") < col("b._id") &&
-          bit_count(col("a._sig").bitwiseXOR(col("b._sig"))) <= maxHamming)
-      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
-        bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).as("hamming"))
+    val enumeratePairs = udf((members: Seq[org.apache.spark.sql.Row]) => {
+      val n = members.size
+      val ids = new Array[Long](n)
+      val sg = new Array[Long](n)
+      var i = 0
+      members.foreach { r => ids(i) = r.getLong(0); sg(i) = r.getLong(1); i += 1 }
+      val idx = Array.range(0, n).sortBy(ids(_)) // emit (low id, high id)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+      i = 0
+      while (i < n) {
+        val a = idx(i)
+        var j = i + 1
+        while (j < n) {
+          val b = idx(j)
+          val h = java.lang.Long.bitCount(sg(a) ^ sg(b))
+          if (h <= maxHamming) out += ((ids(a), ids(b), h))
+          j += 1
+        }
+        i += 1
+      }
+      out.toSeq
+    })
+    banded.groupBy("_band", "_chunk")
+      .agg(collect_list(struct(col("_id"), col("_sig"))).as("_members"))
+      .filter(size(col("_members")) > 1)
+      .select(explode(enumeratePairs(col("_members"))).as("_p"))
+      .select(col("_p._1").as("id_a"), col("_p._2").as("id_b"), col("_p._3").as("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
 

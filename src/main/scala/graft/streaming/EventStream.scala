@@ -27,6 +27,56 @@ object EventStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** The file-source readStream over an events parquet file, with the same
+    * nanos->micros ts conversion as `Tables.events`. */
+  private def readEventStream(spark: SparkSession, eventsParquet: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsParquet).schema
+    val parent = eventsParquet.substring(0, eventsParquet.lastIndexOf('/'))
+    val fname = eventsParquet.substring(eventsParquet.lastIndexOf('/') + 1)
+    val raw = spark.readStream.schema(schema)
+      .option("basePath", parent)
+      .option("pathGlobFilter", fname)
+      .parquet(parent)
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+  }
+
+  /** Stream-stream interval join through Structured Streaming: purchases
+    * inner-joined to the same user's clicks within the preceding hour.
+    * Both sides carry watermarks + the time-range join condition, which is
+    * exactly what lets the engine BOUND THE JOIN STATE (clicks older than
+    * watermark - 1h are evicted) — the property that makes a stream-stream
+    * join runnable forever at scale, vs. unbounded state growth. Batch
+    * twin (and DuckDB oracle): a plain time-range self-join.
+    */
+  def runStreamingIntervalJoin(spark: SparkSession, eventsParquet: String,
+                               queryName: String = "graft_stream_join"): DataFrame = {
+    val stream = readEventStream(spark, eventsParquet)
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
+      .withWatermark("p_ts", "1 hour")
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"), col("event_id").as("click_id"))
+      .withWatermark("c_ts", "1 hour")
+    val joined = purchases.join(clicks,
+      col("user_id") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("interval 1 hour") &&
+        col("c_ts") <= col("p_ts"))
+      .select("user_id", "purchase_id", "click_id")
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming variant: file-source readStream over the same parquet,
     * 10-minute watermark, complete processing of available data through the
     * streaming engine into an in-memory sink. Returns the sink contents as
@@ -36,22 +86,7 @@ object EventStream {
   def runStreamingWindowedAgg(spark: SparkSession, eventsParquet: String,
                               windowLen: String = "1 hour",
                               queryName: String = "graft_stream_agg"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsParquet).schema
-    // the file-stream source wants a directory basePath; point it at the
-    // parent and glob the single file
-    val parent = eventsParquet.substring(0, eventsParquet.lastIndexOf('/'))
-    val fname = eventsParquet.substring(eventsParquet.lastIndexOf('/') + 1)
-    val raw = spark.readStream.schema(schema)
-      .option("basePath", parent)
-      .option("pathGlobFilter", fname)
-      .parquet(parent)
-    // ns-as-long -> microsecond timestamps (same conversion as Tables.events)
-    val stream = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw
-    }
+    val stream = readEventStream(spark, eventsParquet)
     val agg = windowedAgg(stream.withWatermark("ts", "10 minutes"), windowLen)
     val q = agg.writeStream
       .outputMode("complete")
