@@ -91,6 +91,39 @@ class PipelineSpec extends SparkSpec {
     assert(r1.getInt(3) >= 64)
   }
 
+  test("frame sampling: frames reassemble to the exact payload bytes") {
+    val docs = Tables.documents(spark, sf).limit(50)
+    val framed = graft.multimodal.Multimodal.frameSample(
+      graft.multimodal.Multimodal.withBinaryPayload(docs, "text"), "payload", 64)
+    // per doc: concat of frames in index order == original payload
+    val rows = framed.select("doc_id", "frame_idx", "frame").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).flatMap(_.getAs[Array[Byte]](2)).toSeq
+      }
+    val orig = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8").toSeq).toMap
+    rows.foreach { case (id, bytes) => assert(bytes == orig(id), s"doc $id") }
+    // every non-terminal frame is exactly frameBytes long
+    val lens = framed.select("doc_id", "frame_idx", "frame").collect()
+      .groupBy(_.getLong(0))
+    lens.foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(1))
+      sorted.dropRight(1).foreach(r => assert(r.getAs[Array[Byte]](2).length == 64))
+    }
+  }
+
+  test("salted count-distinct equals plain count-distinct") {
+    val li = Tables.lineitem(spark, sf)
+    val salted = graft.operators.Skew.saltedCountDistinct(
+        li, Seq("l_returnflag"), "l_partkey", col("l_orderkey"), salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val plain = li.groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == plain)
+  }
+
   test("streaming windowed agg equals batch windowed agg") {
     val batch = GraftQueries.q8EventsHourly(spark, sf).collect().toSet
     val streamed = GraftQueries.streamingHourly(spark, sf).collect().toSet

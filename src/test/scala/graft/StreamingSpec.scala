@@ -24,6 +24,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join equals batch time-range join twin") {
+    val streamed = graft.streaming.EventStream
+      .runStreamingIntervalJoin(spark, s"$sf/events.parquet", "join_test_parity")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val ev = Tables.events(spark, sf)
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts".as("p_ts"), $"event_id".as("purchase_id"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"), $"event_id".as("click_id"))
+    val batch = p.join(c, $"user_id" === $"c_user" &&
+        $"c_ts" >= $"p_ts" - expr("interval 1 hour") && $"c_ts" <= $"p_ts")
+      .select("user_id", "purchase_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("sessionizer handles out-of-order events (driven through the engine)") {
     // write an out-of-order event file; state update sorts by (ts, event_id)
     val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
