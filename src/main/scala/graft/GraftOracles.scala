@@ -40,6 +40,49 @@ object GraftOracles {
   private val toks = """string_split_regex(trim(lower(text)), '\s+')"""
   private val enStop = "['the','a','of','and','is','to','in']"
 
+  /** Exact recursive twin of the reference chunker (size=120, overlap=20):
+    * walks each doc's cursor exactly like Chunker.chunkText — window end =
+    * LAST sentence-boundary start in the window's final 20 chars (+2) if
+    * any ('. ','! ','? ','\n\n' — all length 2), else start+120; chunk =
+    * strip(text[start, min(end,n))), empty chunks dropped, next start =
+    * end-20 (unclamped). Produces `allc(doc_id, start, chunk)`; consumers
+    * append their own SELECT. Equivalence is by construction, not data
+    * luck. Shared by chunk_docs and ingest_ids.
+    */
+  private val chunkerWalkCte =
+    """WITH RECURSIVE
+      |b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |walk AS (
+      |  SELECT doc_id, text, n, CAST(0 AS BIGINT) AS start FROM b WHERE n > 120
+      |  UNION ALL
+      |  SELECT doc_id, text, n, e - 20 AS start FROM (
+      |    SELECT doc_id, text, n,
+      |      CASE WHEN start + 120 < n THEN coalesce(list_max(list_filter(list_transform(
+      |             range(start+100, start+120),
+      |             i -> CASE WHEN substr(text, CAST(i+1 AS INT), 2)
+      |                       IN ('. ', '! ', '? ', chr(10)||chr(10)) THEN i+2 END),
+      |           x -> x IS NOT NULL)), start+120)
+      |        ELSE start + 120 END AS e
+      |    FROM walk WHERE start < n)),
+      |steps AS (
+      |  SELECT doc_id, start, text, n,
+      |    CASE WHEN start + 120 < n THEN coalesce(list_max(list_filter(list_transform(
+      |           range(start+100, start+120),
+      |           i -> CASE WHEN substr(text, CAST(i+1 AS INT), 2)
+      |                     IN ('. ', '! ', '? ', chr(10)||chr(10)) THEN i+2 END),
+      |         x -> x IS NOT NULL)), start+120)
+      |      ELSE start + 120 END AS e
+      |  FROM walk WHERE start < n),
+      |big AS (
+      |  SELECT doc_id, start,
+      |    trim(substr(text, CAST(start+1 AS INT), CAST(least(e, n) - start AS INT)),
+      |         ' ' || chr(10) || chr(13) || chr(9) || chr(12) || chr(11)) AS chunk
+      |  FROM steps),
+      |allc AS (
+      |  SELECT doc_id, CAST(0 AS BIGINT) AS start, text AS chunk FROM b WHERE n <= 120
+      |  UNION ALL
+      |  SELECT doc_id, start, chunk FROM big WHERE length(chunk) > 0)""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
@@ -201,51 +244,57 @@ object GraftOracles {
         |WHERE lang IN ('en','fr') AND n_chars > 200 AND source <> 'src3'
         |ORDER BY doc_id""".stripMargin,
 
-    // Exact recursive twin of the reference chunker (size=120, overlap=20):
-    // walks each doc's cursor exactly like Chunker.chunkText — window end =
-    // LAST sentence-boundary start in the window's final 20 chars (+2) if
-    // any ('. ','! ','? ','\n\n' — all length 2), else start+120; chunk =
-    // strip(text[start, min(end,n))), empty chunks dropped, next start =
-    // end-20 (unclamped). Equivalence is by construction, not data luck.
     "chunk_docs" ->
-      """WITH RECURSIVE
-        |b AS (SELECT doc_id, text, length(text) AS n FROM documents),
-        |walk AS (
-        |  SELECT doc_id, text, n, CAST(0 AS BIGINT) AS start FROM b WHERE n > 120
-        |  UNION ALL
-        |  SELECT doc_id, text, n, e - 20 AS start FROM (
-        |    SELECT doc_id, text, n,
-        |      CASE WHEN start + 120 < n THEN coalesce(list_max(list_filter(list_transform(
-        |             range(start+100, start+120),
-        |             i -> CASE WHEN substr(text, CAST(i+1 AS INT), 2)
-        |                       IN ('. ', '! ', '? ', chr(10)||chr(10)) THEN i+2 END),
-        |           x -> x IS NOT NULL)), start+120)
-        |        ELSE start + 120 END AS e
-        |    FROM walk WHERE start < n)),
-        |steps AS (
-        |  SELECT doc_id, start, text, n,
-        |    CASE WHEN start + 120 < n THEN coalesce(list_max(list_filter(list_transform(
-        |           range(start+100, start+120),
-        |           i -> CASE WHEN substr(text, CAST(i+1 AS INT), 2)
-        |                     IN ('. ', '! ', '? ', chr(10)||chr(10)) THEN i+2 END),
-        |         x -> x IS NOT NULL)), start+120)
-        |      ELSE start + 120 END AS e
-        |  FROM walk WHERE start < n),
-        |big AS (
-        |  SELECT doc_id, start,
-        |    trim(substr(text, CAST(start+1 AS INT), CAST(least(e, n) - start AS INT)),
-        |         ' ' || chr(10) || chr(13) || chr(9) || chr(12) || chr(11)) AS chunk
-        |  FROM steps),
-        |allc AS (
-        |  SELECT doc_id, CAST(0 AS BIGINT) AS start, text AS chunk FROM b WHERE n <= 120
-        |  UNION ALL
-        |  SELECT doc_id, start, chunk FROM big WHERE length(chunk) > 0)
-        |SELECT doc_id,
-        |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INT) AS chunk_index,
-        |  doc_id::VARCHAR || '_chunk_' ||
-        |    (row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1)::VARCHAR AS chunk_id,
-        |  chunk, CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS total_chunks
-        |FROM allc ORDER BY doc_id, chunk_index""".stripMargin,
+      s"""$chunkerWalkCte
+         |SELECT doc_id,
+         |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INT) AS chunk_index,
+         |  doc_id::VARCHAR || '_chunk_' ||
+         |    (row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1)::VARCHAR AS chunk_id,
+         |  chunk, CAST(count(*) OVER (PARTITION BY doc_id) AS BIGINT) AS total_chunks
+         |FROM allc ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "ingest_ids" ->
+      s"""$chunkerWalkCte
+         |SELECT doc_id, chunk_index, chunk_id, sha256(chunk_id) AS id FROM (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1 AS INT) AS chunk_index,
+         |    doc_id::VARCHAR || '_chunk_' ||
+         |      (row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1)::VARCHAR AS chunk_id
+         |  FROM allc)
+         |ORDER BY doc_id, chunk_index""".stripMargin,
+
+    "q28_moving_avg" ->
+      """WITH w AS (SELECT event_id, event_type,
+        |    count(*) OVER fr AS cnt_1h,
+        |    sum(CAST(value AS DECIMAL(12,4))) OVER fr AS sum_1h
+        |  FROM events
+        |  WINDOW fr AS (PARTITION BY event_type ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+        |    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW))
+        |SELECT event_id, event_type, cnt_1h,
+        |  floor(CAST(sum_1h AS DOUBLE) / cnt_1h * 1e4 + 0.5) / 1e4 AS avg_1h
+        |FROM w ORDER BY event_id""".stripMargin,
+
+    "text_scrub_pii" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(text,
+        |    '[\w.+-]+@[\w-]+\.[\w.]+', '<EMAIL>', 'g'), '\d{3,}', '<NUM>', 'g')) AS scrubbed_md5,
+        |  CAST(len(regexp_extract_all(text, '\d{3,}')) AS BIGINT) AS n_long_nums
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "text_term_freq" ->
+      """WITH t AS (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, count(*) AS tf FROM t WHERE length(term) > 0
+        |GROUP BY 1 ORDER BY tf DESC, term LIMIT 30""".stripMargin,
+
+    "vec_centroid_per_label" ->
+      """WITH e AS (SELECT label, CAST(i-1 AS INT) AS pos,
+        |    CAST(floor(embedding[CAST(i AS INT)]::DOUBLE * 16777216) AS BIGINT) AS fp
+        |  FROM embeddings, unnest(range(1, 9)) AS t(i))
+        |SELECT label, pos,
+        |  round(CAST(sum(fp) AS DOUBLE) / count(*) / 16777216, 6) AS avg_component,
+        |  count(*) AS n
+        |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
     "vec_knn" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

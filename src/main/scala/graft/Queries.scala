@@ -721,6 +721,70 @@ object GraftQueries {
         "graft_join_" + java.util.UUID.randomUUID().toString.replace("-", ""))
       .orderBy("user_id", "purchase_id", "click_id")
 
+  /** Deterministic chunk ids (reference O6, sha256 mode) — proves the id
+    * derivation cross-engine: id = sha256(chunk_id), chunk_id =
+    * "{doc_id}_chunk_{index}" over the real boundary-scanning chunker. */
+  val ingestIds: Q = (s, d) =>
+    IngestPipeline.chunk(Tables.documents(s, d), "text", "doc_id",
+        chunkSize = 120, overlap = 20)
+      .withColumn("id", sha2(col("chunk_id").cast("binary"), 256))
+      .select(col("doc_id"), col("chunk_index"), col("chunk_id"), col("id"))
+      .orderBy("doc_id", "chunk_index")
+
+  /** Sliding time-RANGE window frame: per-event trailing-1h count and
+    * average value within the event's type. The frame is RANGE over epoch
+    * seconds (peers included), so two engines agree row-for-row; the sum
+    * runs in exact DECIMAL and divides in double once. */
+  val q28MovingAvg: Q = (s, d) => {
+    val w = Window.partitionBy("event_type").orderBy(col("ts").cast("long"))
+      .rangeBetween(-3599, 0)
+    Tables.events(s, d)
+      .withColumn("cnt_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", sum(money(col("value"))).over(w))
+      .select(col("event_id"), col("event_type"), col("cnt_1h"),
+        // floor-based rounding: the avg is an exact rational that CAN land
+        // on a 4-decimal half, where Spark/DuckDB round() tie rules differ
+        (floor(col("sum_1h").cast("double") / col("cnt_1h") * 1e4 + 0.5) / 1e4).as("avg_1h"))
+      .orderBy("event_id")
+  }
+
+  /** PII scrubbing (training-data cleaning op): emails and long digit runs
+    * replaced by placeholder tokens; output is the scrubbed-content hash +
+    * how many long numbers were present. */
+  val textScrubPii: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        md5(regexp_replace(regexp_replace(col("text"),
+          "[\\w.+-]+@[\\w-]+\\.[\\w.]+", "<EMAIL>"), "\\d{3,}", "<NUM>")
+          .cast("binary")).as("scrubbed_md5"),
+        size(regexp_extract_all(col("text"), lit("\\d{3,}"), lit(0)))
+          .cast("long").as("n_long_nums"))
+      .orderBy("doc_id")
+
+  /** Corpus-wide term frequency (vocabulary building): top-30 tokens.
+    * explode -> groupBy is the map-side-combinable shape that scales. */
+  val textTermFreq: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(trim(lower(col("text"))), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy("term").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("term"))
+      .limit(30)
+
+  /** Per-label embedding centroid (first 8 dims, long form): the class-
+    * centroid aggregate behind IVF/classification. Fixed-point long sums
+    * (floor(x*2^24)) make the mean bit-deterministic across engines AND
+    * across Spark's own partial-agg merge orders. */
+  val vecCentroidPerLabel: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .filter(col("pos") < 8)
+      .withColumn("fp", floor(col("x").cast("double") * 16777216).cast("long"))
+      .groupBy("label", "pos")
+      .agg(round(sum("fp").cast("double") / count(lit(1)) / 16777216, 6).as("avg_component"),
+        count(lit(1)).as("n"))
+      .orderBy("label", "pos")
+
   // =============================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -783,6 +847,11 @@ object GraftQueries {
     "text_bpe_tokens" -> textBpeTokens,
     "multimodal_frames" -> multimodalFrames,
     "streaming_join" -> streamingJoin,
+    "ingest_ids" -> ingestIds,
+    "q28_moving_avg" -> q28MovingAvg,
+    "text_scrub_pii" -> textScrubPii,
+    "text_term_freq" -> textTermFreq,
+    "vec_centroid_per_label" -> vecCentroidPerLabel,
   )
 
   // DuckDB oracle SQL — see GraftOracles
