@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.FormattedMode
+
+/** Physical-plan assertions for the headline queries — the shapes that
+  * decide 100 TB viability are pinned here so a refactor that silently
+  * loses pushdown / broadcast / top-k placement fails CI, not the
+  * benchmark.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    GraftQueries.all(name)(spark, sf).queryExecution.explainString(FormattedMode)
+
+  test("q1: filter + column pruning reach the parquet scan; map-side partial agg") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
+      "shipdate filter not pushed to scan")
+    // 11-column table, 7-column query: unused key columns must not be read
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") && !readSchema.contains("l_partkey"),
+      s"scan reads unused columns: $readSchema")
+    assert(p.contains("partial_sum"), "no map-side partial aggregation")
+  }
+
+  test("q4: pure pushdown scan-aggregate (all predicates in PushedFilters)") {
+    val p = plan("q4_forecast_revenue")
+    val pushed = p.linesIterator.find(_.contains("PushedFilters")).getOrElse("")
+    Seq("l_shipdate", "l_discount", "l_quantity").foreach(c =>
+      assert(pushed.contains(c), s"$c not pushed: $pushed"))
+    assert(p.contains("partial_sum"))
+  }
+
+  test("q2: dims broadcast, top-10 is TakeOrderedAndProject (no global sort)") {
+    val p = plan("q2_top_revenue_orders")
+    assert(p.contains("BroadcastHashJoin"), "dim joins must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join expected for broadcast dims")
+    assert(p.contains("TakeOrderedAndProject"), "LIMIT after ORDER BY must be top-k")
+  }
+
+  test("vec_knn: top-k over broadcast of the 1-row query side") {
+    val p = plan("vec_knn")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"))
+    // the query-vector side scan must push the vec_id = 0 filter
+    assert(p.contains("EqualTo(vec_id,0)"), "query-side filter not pushed")
+  }
+
+  test("where_dsl_filter: DSL predicates land in the parquet scan") {
+    val p = plan("where_dsl_filter")
+    val pushed = p.linesIterator.filter(_.contains("PushedFilters")).mkString
+    Seq("lang", "n_chars", "source").foreach(c =>
+      assert(pushed.contains(c), s"where-DSL predicate on $c not pushed: $pushed"))
+  }
+
+  test("q24 gapfill: dense-grid build sides stay broadcast (no shuffled cross)") {
+    val p = plan("q24_gapfill")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") ||
+      p.contains("BroadcastExchange"))
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastExchange"),
+      "tiny grid sides should not force a full shuffle join")
+  }
+}
