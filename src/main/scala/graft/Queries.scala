@@ -785,6 +785,19 @@ object GraftQueries {
         count(lit(1)).as("n"))
       .orderBy("label", "pos")
 
+  /** Streaming exact dedup of a REPLAYED source (every event arrives
+    * twice) via dropDuplicatesWithinWatermark — bounded-state dedup, the
+    * shape that runs forever on an unbounded stream. Aggregated per event
+    * type; oracle = the same aggregate over the single-copy batch table
+    * (so the dedup provably removed exactly the replays). */
+  val streamingDedup: Q = (s, d) =>
+    EventStream.runStreamingDedup(s, s"$d/events.parquet",
+        "graft_dedup_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(money(col("value"))), 2).cast("double").as("sum_value"))
+      .orderBy("event_type")
+
   // =============================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -852,6 +865,7 @@ object GraftQueries {
     "text_scrub_pii" -> textScrubPii,
     "text_term_freq" -> textTermFreq,
     "vec_centroid_per_label" -> vecCentroidPerLabel,
+    "streaming_dedup" -> streamingDedup,
   )
 
   // DuckDB oracle SQL — see GraftOracles

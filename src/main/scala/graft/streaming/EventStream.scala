@@ -77,6 +77,41 @@ object EventStream {
     spark.table(queryName)
   }
 
+  /** Streaming exact dedup: the source is REPLAYED (the events file copied
+    * twice into the stream directory, so every event arrives twice) and
+    * `dropDuplicatesWithinWatermark("event_id")` removes the duplicates
+    * with BOUNDED state — ids older than the 1-hour watermark are evicted,
+    * which is what lets exactly-once dedup run forever on an unbounded
+    * stream instead of accumulating every id ever seen. Returns the
+    * deduped rows; callers aggregate. Oracle twin = the same aggregate
+    * over the single-copy batch table.
+    */
+  def runStreamingDedup(spark: SparkSession, eventsParquet: String,
+                        queryName: String = "graft_stream_dedup"): DataFrame = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup")
+    val src = java.nio.file.Paths.get(eventsParquet)
+    java.nio.file.Files.copy(src, dir.resolve("a.parquet"))
+    java.nio.file.Files.copy(src, dir.resolve("b.parquet"))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(eventsParquet).schema
+    val raw = spark.readStream.schema(schema).parquet(dir.toString)
+    val stream = schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw
+    }
+    val deduped = stream.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
   /** Streaming variant: file-source readStream over the same parquet,
     * 10-minute watermark, complete processing of available data through the
     * streaming engine into an in-memory sink. Returns the sink contents as
