@@ -338,7 +338,9 @@ object GraftQueries {
   /** IVF-flat approximate kNN (rows-only: approximate by construction; its
     * recall against vec_topk_join is asserted in ScalaTest). */
   val annIvf: Q = (s, d) => {
-    val e = Tables.embeddings(s, d)
+    // cached: consumed by centroid seeding, the Lloyd round, and the probe
+    // scan (3 jobs); Bench/Verify clear the cache between queries
+    val e = Tables.embeddings(s, d).cache()
     val q = e.filter(col("vec_id") < 5)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
     Similarity.ivfTopK(e, "embedding", "vec_id", q, "q_id", "q_vec",
@@ -357,7 +359,7 @@ object GraftQueries {
     * cells is asserted in AnnProbeSpec. */
   val annProbeKnn: Q = (s, d) => {
     import graft.plans.AnnProbe
-    val e = Tables.embeddings(s, d)
+    val e = Tables.embeddings(s, d).cache()
     val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 16)
     val qv = e.filter(col("vec_id") === 0).select("embedding")
       .collect().head.getSeq[Float](0).toArray

@@ -27,6 +27,21 @@ object EventStream {
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Child session sized for LOCAL streaming state: the shuffle-partition
+    * count fixes the per-operator state-store count for the lifetime of a
+    * streaming query, and 32 stores x a few KB of state each is pure
+    * commit/snapshot overhead at harness scale (measured: 16s -> 4.4s on
+    * the sf0.1 stream-stream join). On a real cluster this is sized UP to
+    * the executor core count instead — the knob, not the number, is the
+    * design point. The parent session's conf is untouched.
+    */
+  private[streaming] def streamSession(spark: SparkSession,
+                                       statePartitions: Int = 8): SparkSession = {
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    s
+  }
+
   /** The file-source readStream over an events parquet file, with the same
     * nanos->micros ts conversion as `Tables.events`. */
   private def readEventStream(spark: SparkSession, eventsParquet: String): DataFrame = {
@@ -53,8 +68,9 @@ object EventStream {
     * join runnable forever at scale, vs. unbounded state growth. Batch
     * twin (and DuckDB oracle): a plain time-range self-join.
     */
-  def runStreamingIntervalJoin(spark: SparkSession, eventsParquet: String,
+  def runStreamingIntervalJoin(spark0: SparkSession, eventsParquet: String,
                                queryName: String = "graft_stream_join"): DataFrame = {
+    val spark = streamSession(spark0)
     val stream = readEventStream(spark, eventsParquet)
     val purchases = stream.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("purchase_id"))
@@ -86,8 +102,9 @@ object EventStream {
     * deduped rows; callers aggregate. Oracle twin = the same aggregate
     * over the single-copy batch table.
     */
-  def runStreamingDedup(spark: SparkSession, eventsParquet: String,
+  def runStreamingDedup(spark0: SparkSession, eventsParquet: String,
                         queryName: String = "graft_stream_dedup"): DataFrame = {
+    val spark = streamSession(spark0)
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup")
     val src = java.nio.file.Paths.get(eventsParquet)
     java.nio.file.Files.copy(src, dir.resolve("a.parquet"))
@@ -118,9 +135,10 @@ object EventStream {
     * a DataFrame. Used for smoke/tests at harness scale; on a cluster the
     * sink would be a parquet/Kafka writeStream with the same plan.
     */
-  def runStreamingWindowedAgg(spark: SparkSession, eventsParquet: String,
+  def runStreamingWindowedAgg(spark0: SparkSession, eventsParquet: String,
                               windowLen: String = "1 hour",
                               queryName: String = "graft_stream_agg"): DataFrame = {
+    val spark = streamSession(spark0)
     val stream = readEventStream(spark, eventsParquet)
     val agg = windowedAgg(stream.withWatermark("ts", "10 minutes"), windowLen)
     val q = agg.writeStream

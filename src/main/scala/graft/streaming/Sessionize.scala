@@ -66,8 +66,10 @@ object Sessionize {
     * pending timeouts is an engine scheduling detail; use it for real
     * continuous deployments, not for oracle-compared runs.
     */
-  def run(spark: SparkSession, eventsParquet: String,
+  def run(spark0: SparkSession, eventsParquet: String,
           queryName: String, useTimeout: Boolean = false): DataFrame = {
+    // local streaming-state sizing — see EventStream.streamSession
+    val spark = EventStream.streamSession(spark0)
     import spark.implicits._
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsParquet).schema
