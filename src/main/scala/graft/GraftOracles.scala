@@ -611,6 +611,14 @@ object GraftOracles {
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |ORDER BY 1,2,3""".stripMargin,
 
+    "typed_user_gaps" ->
+      """WITH s AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        |g AS (SELECT user_id, sec,
+        |    lag(sec) OVER (PARTITION BY user_id ORDER BY sec) AS prev FROM s)
+        |SELECT user_id, count(*) AS n_events,
+        |  coalesce(max(sec - prev), 0) AS max_gap_s
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "streaming_dedup" ->
       """SELECT event_type, count(*) AS n_events,
         |  CAST(round(sum(CAST(value AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_value

@@ -800,6 +800,29 @@ object GraftQueries {
         round(sum(money(col("value"))), 2).cast("double").as("sum_value"))
       .orderBy("event_type")
 
+  /** Typed Dataset API surfaced in the registry: groupByKey + mapGroups
+    * computing each user's LONGEST gap between consecutive events —
+    * genuinely custom per-group logic (needs an in-group sort), which is
+    * what mapGroups is FOR; algebraic aggregates belong in groupBy().agg()
+    * where they stay map-side combinable. */
+  val typedUserGaps: Q = (s, d) => {
+    import s.implicits._
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts").cast("long")) // epoch seconds
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (uid, it) =>
+        val secs = it.map(_._2).toArray
+        java.util.Arrays.sort(secs)
+        var mx = 0L
+        var i = 1
+        while (i < secs.length) { mx = math.max(mx, secs(i) - secs(i - 1)); i += 1 }
+        (uid, secs.length.toLong, mx)
+      }
+      .toDF("user_id", "n_events", "max_gap_s")
+      .orderBy("user_id")
+  }
+
   // =============================================================== registry
 
   val all: Map[String, Q] = Map(
@@ -868,6 +891,7 @@ object GraftQueries {
     "text_term_freq" -> textTermFreq,
     "vec_centroid_per_label" -> vecCentroidPerLabel,
     "streaming_dedup" -> streamingDedup,
+    "typed_user_gaps" -> typedUserGaps,
   )
 
   // DuckDB oracle SQL — see GraftOracles
