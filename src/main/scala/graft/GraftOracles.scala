@@ -611,6 +611,17 @@ object GraftOracles {
         | AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
         |ORDER BY 1,2,3""".stripMargin,
 
+    "q29_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rflag,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_lstatus,
+        |       count(*) AS n,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY rflag, lstatus, g_rflag, g_lstatus""".stripMargin,
+
     "typed_user_gaps" ->
       """WITH s AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
         |g AS (SELECT user_id, sec,

@@ -800,6 +800,22 @@ object GraftQueries {
         round(sum(money(col("value"))), 2).cast("double").as("sum_value"))
       .orderBy("event_type")
 
+  /** Explicit GROUPING SETS with grouping() markers through the SQL
+    * front-end (rollup/cube's general form; q6/q13 cover those). */
+  val q29GroupingSets: Q = (s, d) => {
+    Tables.lineitem(s, d).createOrReplaceTempView("g_lineitem_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       CAST(grouping(l_returnflag) AS INT) AS g_rflag,
+        |       CAST(grouping(l_linestatus) AS INT) AS g_lstatus,
+        |       count(*) AS n,
+        |       CAST(round(sum(CAST(l_quantity AS DECIMAL(12,4))), 2) AS DOUBLE) AS sum_qty
+        |FROM g_lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY rflag, lstatus, g_rflag, g_lstatus""".stripMargin)
+  }
+
   /** Typed Dataset API surfaced in the registry: groupByKey + mapGroups
     * computing each user's LONGEST gap between consecutive events —
     * genuinely custom per-group logic (needs an in-group sort), which is
@@ -892,6 +908,7 @@ object GraftQueries {
     "vec_centroid_per_label" -> vecCentroidPerLabel,
     "streaming_dedup" -> streamingDedup,
     "typed_user_gaps" -> typedUserGaps,
+    "q29_grouping_sets" -> q29GroupingSets,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -53,6 +53,12 @@ class PlanSpec extends SparkSpec {
       assert(pushed.contains(c), s"where-DSL predicate on $c not pushed: $pushed"))
   }
 
+  test("q5: rank-filter window runs through WindowGroupLimit (map-side top-k)") {
+    val p = plan("q5_top_customers_per_nation")
+    assert(p.contains("WindowGroupLimit"),
+      "rk <= 3 filter should push a group-limit below the window sort")
+  }
+
   test("q24 gapfill: dense-grid build sides stay broadcast (no shuffled cross)") {
     val p = plan("q24_gapfill")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") ||
