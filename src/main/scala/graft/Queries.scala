@@ -278,6 +278,16 @@ object GraftQueries {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** The $or / $nin / $lte arm of the where-DSL (where_dsl_filter covers
+    * $and / $in / $gt / $ne) — disjunctions still reach the scan as one
+    * pushed Or predicate. */
+  val whereDslOr: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(WhereDsl.parse(
+        """{"$or":[{"lang":{"$nin":["en","es","fr"]}},{"n_chars":{"$lte":120}}]}"""))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+
   /** The reference chunker over the documents table (chunk 120 / overlap 20
     * so harness-sized texts produce multi-chunk output). */
   val chunkDocs: Q = (s, d) =>
@@ -909,6 +919,7 @@ object GraftQueries {
     "streaming_dedup" -> streamingDedup,
     "typed_user_gaps" -> typedUserGaps,
     "q29_grouping_sets" -> q29GroupingSets,
+    "where_dsl_or" -> whereDslOr,
   )
 
   // DuckDB oracle SQL — see GraftOracles

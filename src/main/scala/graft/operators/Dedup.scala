@@ -208,8 +208,14 @@ object Dedup {
     // collapses parallelism to #blocks (5 languages -> 5 tasks), while a
     // broadcast build keeps the probe side at full input parallelism. An
     // exact O(n^2)-per-block join only makes sense when one side fits in
-    // memory anyway — at true scale the LSH operators above are the path.
-    val pairs = base.as("a").join(broadcast(base.as("b")), joinCond)
+    // memory anyway — at true scale the LSH operators above are the path —
+    // but the broadcast is still SIZE-GATED so an oversized input degrades
+    // to a shuffle join instead of OOMing.
+    val bstats = base.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("_sh"))), lit(0L)).as("h")).head()
+    val estBytes = bstats.getLong(1) * 8L + bstats.getLong(0) * 48L
+    val pairs = base.as("a")
+      .join(BroadcastGate.maybeBroadcast(base.as("b"), estBytes), joinCond)
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
         col("a._sh").as("sh_a"), col("b._sh").as("sh_b"))
     verifyJaccard(pairs, threshold)
