@@ -244,6 +244,11 @@ object GraftOracles {
         |WHERE lang IN ('en','fr') AND n_chars > 200 AND source <> 'src3'
         |ORDER BY doc_id""".stripMargin,
 
+    "collection_lifecycle" ->
+      """SELECT lang, count(*) AS n_docs, count(DISTINCT source) AS n_sources
+        |FROM documents WHERE lang IN ('en','zh')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "where_dsl_or" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang NOT IN ('en','es','fr') OR n_chars <= 120

@@ -810,6 +810,25 @@ object GraftQueries {
         round(sum(money(col("value"))), 2).cast("double").as("sum_value"))
       .orderBy("event_type")
 
+  /** Collection lifecycle (reference create/add/read, O9+O13+O17) surfaced
+    * in the oracle gate: overwrite-create a lang-PARTITIONED collection,
+    * append a second batch, read back through the store with a filter that
+    * prunes partitions (ScaleSpec asserts the PartitionFilters plan shape).
+    * Oracle = the same counts straight off the source table, proving the
+    * store round-trip is lossless. */
+  val collectionLifecycle: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_collq").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d)
+    store.create("docs", docs.filter(col("lang") =!= "zh"), partitionBy = Seq("lang"))
+    store.append("docs", docs.filter(col("lang") === "zh"), partitionBy = Seq("lang"))
+    store.read(s, "docs")
+      .filter(col("lang").isin("en", "zh"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"))
+      .orderBy("lang")
+  }
+
   /** Explicit GROUPING SETS with grouping() markers through the SQL
     * front-end (rollup/cube's general form; q6/q13 cover those). */
   val q29GroupingSets: Q = (s, d) => {
@@ -920,6 +939,7 @@ object GraftQueries {
     "typed_user_gaps" -> typedUserGaps,
     "q29_grouping_sets" -> q29GroupingSets,
     "where_dsl_or" -> whereDslOr,
+    "collection_lifecycle" -> collectionLifecycle,
   )
 
   // DuckDB oracle SQL — see GraftOracles

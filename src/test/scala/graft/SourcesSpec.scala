@@ -26,6 +26,20 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("orc sink/source round trip (embeddings incl. array column)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    val emb = Tables.embeddings(spark, sf).limit(50).cache()
+    emb.write.mode("overwrite").orc(s"$dir/emb")
+    val back = spark.read.orc(s"$dir/emb")
+    assert(back.schema == emb.schema) // array<float> survives exactly
+    assert(back.count() == emb.count())
+    val a = emb.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id, v.toSeq) }.toSet
+    val b = back.select("vec_id", "embedding").as[(Long, Array[Float])]
+      .collect().map { case (id, v) => (id, v.toSeq) }.toSet
+    assert(a == b)
+  }
+
   test("json sink/source round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json").toString
     docs.write.mode("overwrite").json(s"$dir/docs")
