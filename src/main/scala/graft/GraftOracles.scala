@@ -632,6 +632,29 @@ object GraftOracles {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY rflag, lstatus, g_rflag, g_lstatus""".stripMargin,
 
+    "q30_first_last" ->
+      """WITH w AS (SELECT o_custkey,
+        |    first_value(o_orderdate) OVER fr AS first_date,
+        |    last_value(o_orderdate) OVER fr AS last_date,
+        |    first_value(o_totalprice) OVER fr AS first_price,
+        |    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+        |  FROM orders
+        |  WINDOW fr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |SELECT o_custkey,
+        |  strftime(first_date, '%Y-%m-%d') AS first_date,
+        |  strftime(last_date, '%Y-%m-%d') AS last_date,
+        |  round(first_price, 2) AS first_price
+        |FROM w WHERE rn = 1 ORDER BY o_custkey""".stripMargin,
+
+    "q31_corr_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n_above
+        |FROM customer c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM customer c2
+        |                   WHERE c2.c_mktsegment = c.c_mktsegment)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     "typed_user_gaps" ->
       """WITH s AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
         |g AS (SELECT user_id, sec,

@@ -845,6 +845,38 @@ object GraftQueries {
         |ORDER BY rflag, lstatus, g_rflag, g_lstatus""".stripMargin)
   }
 
+  /** first_value / last_value over an unbounded window frame: each
+    * customer's first and most recent order (one row per customer via
+    * row_number). */
+  val q30FirstLast: Q = (s, d) => {
+    val ord = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    val full = ord.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(s, d)
+      .withColumn("first_date", first(col("o_orderdate")).over(full))
+      .withColumn("last_date", last(col("o_orderdate")).over(full))
+      .withColumn("first_price", first(col("o_totalprice")).over(full))
+      .withColumn("rn", row_number().over(ord))
+      .filter(col("rn") === 1)
+      .select(col("o_custkey"),
+        date_format(col("first_date"), "yyyy-MM-dd").as("first_date"),
+        date_format(col("last_date"), "yyyy-MM-dd").as("last_date"),
+        round(col("first_price"), 2).as("first_price"))
+      .orderBy("o_custkey")
+  }
+
+  /** Correlated scalar subquery through the SQL front-end: customers above
+    * their own segment's average balance. */
+  val q31CorrSubquery: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("g_customer_cs")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_above
+        |FROM g_customer_cs c
+        |WHERE c_acctbal > (SELECT avg(c2.c_acctbal) FROM g_customer_cs c2
+        |                   WHERE c2.c_mktsegment = c.c_mktsegment)
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** Typed Dataset API surfaced in the registry: groupByKey + mapGroups
     * computing each user's LONGEST gap between consecutive events —
     * genuinely custom per-group logic (needs an in-group sort), which is
@@ -940,6 +972,8 @@ object GraftQueries {
     "q29_grouping_sets" -> q29GroupingSets,
     "where_dsl_or" -> whereDslOr,
     "collection_lifecycle" -> collectionLifecycle,
+    "q30_first_last" -> q30FirstLast,
+    "q31_corr_subquery" -> q31CorrSubquery,
   )
 
   // DuckDB oracle SQL — see GraftOracles
