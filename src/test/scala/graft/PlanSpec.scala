@@ -59,6 +59,29 @@ class PlanSpec extends SparkSpec {
       "rk <= 3 filter should push a group-limit below the window sort")
   }
 
+  test("dedup_minhash: no shuffle ever carries the shingle arrays") {
+    // the scale invariant: LSH shuffles fixed-width (id, band, hash) keys;
+    // shingle sets are joined back only for candidate verification
+    val p = plan("dedup_minhash")
+    val lines = p.linesIterator.toArray
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.matches(""".*\(\d+\) Exchange\s*$""") && i + 1 < lines.length) {
+        val input = lines(i + 1)
+        assert(!input.contains("_sh#"),
+          s"shingle array crosses a shuffle boundary: $input")
+      }
+    }
+  }
+
+  test("q11 as-of join: exactly one hash shuffle (union+window, no range join)") {
+    val p = plan("q11_asof_purchase_click")
+    val hashShuffles = p.linesIterator.count(_.contains("hashpartitioning"))
+    assert(hashShuffles == 1,
+      s"as-of should shuffle once on the key, saw $hashShuffles hash exchanges")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "as-of must not fall back to a quadratic join")
+  }
+
   test("q24 gapfill: dense-grid build sides stay broadcast (no shuffled cross)") {
     val p = plan("q24_gapfill")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") ||
