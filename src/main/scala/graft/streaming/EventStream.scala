@@ -39,6 +39,11 @@ object EventStream {
                                        statePartitions: Int = 8): SparkSession = {
     val s = spark.newSession()
     s.conf.set("spark.sql.shuffle.partitions", statePartitions.toString)
+    // newSession() does NOT inherit session-scoped SQL confs — carry the
+    // caller's state-store backend choice (e.g. RocksDB for large state)
+    // into the child so it actually takes effect
+    val k = "spark.sql.streaming.stateStore.providerClass"
+    try s.conf.set(k, spark.conf.get(k)) catch { case _: Throwable => () }
     s
   }
 

@@ -41,6 +41,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("sessionization runs identically on the RocksDB state store backend") {
+    // RocksDB is the backend for state larger than memory (100 TB posture:
+    // keys spill to disk, snapshot/changelog to the checkpoint); results
+    // must be identical to the default HDFS-backed store
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val rocks = Sessionize.run(s2, s"$sf/events.parquet", "sess_rocksdb")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    val default = Sessionize.run(spark, s"$sf/events.parquet", "sess_defaultstore")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3))).toSet
+    assert(rocks.nonEmpty)
+    assert(rocks == default)
+  }
+
   test("sessionizer handles out-of-order events (driven through the engine)") {
     // write an out-of-order event file; state update sorts by (ts, event_id)
     val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
