@@ -632,6 +632,19 @@ object GraftOracles {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY rflag, lstatus, g_rflag, g_lstatus""".stripMargin,
 
+    "text_sample_10pct" ->
+      """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sampled_chars
+        |FROM documents WHERE md5(doc_id::VARCHAR) < '1a'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q32_dense_rank" ->
+      """WITH r AS (SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    CAST(rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS BIGINT) AS rnk,
+        |    CAST(dense_rank() OVER (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC) AS BIGINT) AS drnk
+        |  FROM customer)
+        |SELECT c_mktsegment, c_custkey, rnk, drnk, round(c_acctbal, 2) AS acctbal
+        |FROM r WHERE rnk <= 5 ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
+
     "q30_first_last" ->
       """WITH w AS (SELECT o_custkey,
         |    first_value(o_orderdate) OVER fr AS first_date,

@@ -877,6 +877,32 @@ object GraftQueries {
         |ORDER BY c_mktsegment""".stripMargin)
   }
 
+  /** Deterministic hash sampling (the reproducible way to sample training
+    * data: membership depends only on the key, not on partitioning, seeds,
+    * or cluster size — rand()-based sampling is none of those). ~10% of
+    * docs via an md5-prefix threshold, identical in any engine. */
+  val textSample10pct: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(md5(col("doc_id").cast("string").cast("binary")) < "1a")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_sampled"),
+        sum(col("n_chars")).as("sampled_chars"))
+      .orderBy("lang")
+
+  /** rank / dense_rank with real ties (2-decimal balances collide):
+    * everything at rank <= 5 per segment — tie groups make the row count
+    * per segment data-dependent but fully deterministic. */
+  val q32DenseRank: Q = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal").desc)
+    Tables.customer(s, d)
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("drnk", dense_rank().over(w).cast("long"))
+      .filter(col("rnk") <= 5)
+      .select(col("c_mktsegment"), col("c_custkey"), col("rnk"), col("drnk"),
+        round(col("c_acctbal"), 2).as("acctbal"))
+      .orderBy("c_mktsegment", "rnk", "c_custkey")
+  }
+
   /** Typed Dataset API surfaced in the registry: groupByKey + mapGroups
     * computing each user's LONGEST gap between consecutive events —
     * genuinely custom per-group logic (needs an in-group sort), which is
@@ -974,6 +1000,8 @@ object GraftQueries {
     "collection_lifecycle" -> collectionLifecycle,
     "q30_first_last" -> q30FirstLast,
     "q31_corr_subquery" -> q31CorrSubquery,
+    "text_sample_10pct" -> textSample10pct,
+    "q32_dense_rank" -> q32DenseRank,
   )
 
   // DuckDB oracle SQL — see GraftOracles
