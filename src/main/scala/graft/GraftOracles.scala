@@ -632,6 +632,30 @@ object GraftOracles {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY rflag, lstatus, g_rflag, g_lstatus""".stripMargin,
 
+    "q33_unpivot" ->
+      """WITH w AS (SELECT l_returnflag,
+        |    CAST(round(sum(CAST(l_quantity AS DECIMAL(12,4))),2) AS DOUBLE) AS sum_qty,
+        |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))),2) AS DOUBLE) AS sum_price,
+        |    CAST(count(*) AS DOUBLE) AS n_items
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        |UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM w
+        |UNION ALL SELECT l_returnflag, 'n_items', n_items FROM w
+        |ORDER BY l_returnflag, metric""".stripMargin,
+
+    "q34_rlike" ->
+      """SELECT lang, count(*) AS n_docs_with_numbers
+        |FROM documents WHERE regexp_matches(text, '[0-9]{2,}')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q35_datetime" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS yr,
+        |  CAST(quarter(o_orderdate) AS BIGINT) AS qtr,
+        |  CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        |  count(*) AS n_orders,
+        |  strftime(min(o_orderdate + INTERVAL 30 DAY), '%Y-%m-%d') AS min_due
+        |FROM orders GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
+
     "text_sample_10pct" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sampled_chars
         |FROM documents WHERE md5(doc_id::VARCHAR) < '1a'

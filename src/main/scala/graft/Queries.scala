@@ -903,6 +903,41 @@ object GraftQueries {
       .orderBy("c_mktsegment", "rnk", "c_custkey")
   }
 
+  /** UNPIVOT (wide -> long melt): per-flag aggregates as (metric, value)
+    * rows. The oracle replicates via UNION ALL — the semantics, not the
+    * keyword, are what's checked. */
+  val q33Unpivot: Q = (s, d) => {
+    val wide = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(sum(money(col("l_quantity"))), 2).cast("double").as("sum_qty"),
+        round(sum(money(col("l_extendedprice"))), 2).cast("double").as("sum_price"),
+        count(lit(1)).cast("double").as("n_items"))
+    wide.unpivot(Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("n_items")),
+        "metric", "value")
+      .orderBy("l_returnflag", "metric")
+  }
+
+  /** rlike / regexp filtering pushed through the scan. */
+  val q34Rlike: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(col("text").rlike("[0-9]{2,}"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs_with_numbers"))
+      .orderBy("lang")
+
+  /** Datetime function breadth: year / quarter / day-of-week (Spark
+    * dayofweek is 1=Sunday, DuckDB's is 0=Sunday — the oracle shifts),
+    * plus date arithmetic (ship + 30 days). */
+  val q35Datetime: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(year(col("o_orderdate")).cast("long").as("yr"),
+        quarter(col("o_orderdate")).cast("long").as("qtr"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"))
+      .agg(count(lit(1)).as("n_orders"),
+        date_format(min(date_add(col("o_orderdate"), 30)), "yyyy-MM-dd").as("min_due"))
+      .orderBy("yr", "qtr", "dow")
+
   /** Typed Dataset API surfaced in the registry: groupByKey + mapGroups
     * computing each user's LONGEST gap between consecutive events —
     * genuinely custom per-group logic (needs an in-group sort), which is
@@ -1002,6 +1037,9 @@ object GraftQueries {
     "q31_corr_subquery" -> q31CorrSubquery,
     "text_sample_10pct" -> textSample10pct,
     "q32_dense_rank" -> q32DenseRank,
+    "q33_unpivot" -> q33Unpivot,
+    "q34_rlike" -> q34Rlike,
+    "q35_datetime" -> q35Datetime,
   )
 
   // DuckDB oracle SQL — see GraftOracles
