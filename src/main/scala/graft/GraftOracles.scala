@@ -632,6 +632,25 @@ object GraftOracles {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY rflag, lstatus, g_rflag, g_lstatus""".stripMargin,
 
+    "q36_promo_revenue" ->
+      s"""SELECT p_type,
+         |  CAST(round(sum($revenue),2) AS DOUBLE) AS revenue,
+         |  CAST(round(sum(CASE WHEN p_brand = 'Brand#1' THEN $revenue
+         |                      ELSE CAST(0 AS DECIMAL(12,4)) END),2) AS DOUBLE) AS brand1_revenue,
+         |  count(*) AS n_items
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE p_name LIKE '%a%'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q37_top_suppliers" ->
+      s"""WITH bys AS (SELECT l_suppkey, CAST(round(sum($revenue),2) AS DOUBLE) AS revenue,
+         |    count(*) AS n_items
+         |  FROM lineitem GROUP BY 1)
+         |SELECT s_name, n_name, revenue, n_items
+         |FROM bys JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |ORDER BY revenue DESC, s_name LIMIT 10""".stripMargin,
+
     "q33_unpivot" ->
       """WITH w AS (SELECT l_returnflag,
         |    CAST(round(sum(CAST(l_quantity AS DECIMAL(12,4))),2) AS DOUBLE) AS sum_qty,

@@ -938,6 +938,36 @@ object GraftQueries {
         date_format(min(date_add(col("o_orderdate"), 30)), "yyyy-MM-dd").as("min_due"))
       .orderBy("yr", "qtr", "dow")
 
+  /** TPC-H Q14 shape (promo revenue share): lineitem x part with a
+    * conditional aggregate ratio; part is the broadcast dim. Also covers
+    * LIKE pushdown (p_name) and the previously-unused part table. */
+  val q36PromoRevenue: Q = (s, d) => {
+    val p = Tables.part(s, d).filter(col("p_name").like("%a%"))
+    val rev = money(col("l_extendedprice")) * oneMinus(col("l_discount"))
+    Tables.lineitem(s, d)
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type")
+      .agg(round(sum(rev), 2).cast("double").as("revenue"),
+        round(sum(when(col("p_brand") === "Brand#1", rev)
+          .otherwise(lit(0).cast("decimal(12,4)"))), 2).cast("double").as("brand1_revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("p_type")
+  }
+
+  /** Supplier revenue ranking (TPC-H Q15 shape): lineitem rolled up to
+    * suppliers, joined through nation for the display dims, top-10. */
+  val q37TopSuppliers: Q = (s, d) => {
+    val rev = money(col("l_extendedprice")) * oneMinus(col("l_discount"))
+    val byS = Tables.lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(round(sum(rev), 2).cast("double").as("revenue"), count(lit(1)).as("n_items"))
+    byS.join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_name"), col("n_name"), col("revenue"), col("n_items"))
+      .orderBy(col("revenue").desc, col("s_name"))
+      .limit(10)
+  }
+
   /** Typed Dataset API surfaced in the registry: groupByKey + mapGroups
     * computing each user's LONGEST gap between consecutive events —
     * genuinely custom per-group logic (needs an in-group sort), which is
@@ -1040,6 +1070,8 @@ object GraftQueries {
     "q33_unpivot" -> q33Unpivot,
     "q34_rlike" -> q34Rlike,
     "q35_datetime" -> q35Datetime,
+    "q36_promo_revenue" -> q36PromoRevenue,
+    "q37_top_suppliers" -> q37TopSuppliers,
   )
 
   // DuckDB oracle SQL — see GraftOracles
