@@ -632,6 +632,11 @@ object GraftOracles {
         |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         |ORDER BY rflag, lstatus, g_rflag, g_lstatus""".stripMargin,
 
+    "ingest_incremental" ->
+      """SELECT lang, count(*) AS n_added
+        |FROM documents WHERE doc_id >= 250
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q36_promo_revenue" ->
       s"""SELECT p_type,
          |  CAST(round(sum($revenue),2) AS DOUBLE) AS revenue,

@@ -968,6 +968,24 @@ object GraftQueries {
       .limit(10)
   }
 
+  /** Incremental ingest: only documents NOT already in the collection are
+    * added (left_anti on the id — one shuffle on a fixed-width key). The
+    * reference re-ingests everything on each run (SURVEY §3 EP1/EP3
+    * double-ingest quirk); this is the shape that works when the
+    * collection is 100 TB and the delta is 1 GB. */
+  val ingestIncremental: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d)
+    store.create("docs", docs.filter(col("doc_id") < 250))
+    val existing = store.read(s, "docs").select("doc_id")
+    val newDocs = docs.join(existing, Seq("doc_id"), "left_anti")
+    store.append("docs", newDocs)
+    newDocs.groupBy("lang")
+      .agg(count(lit(1)).as("n_added"))
+      .orderBy("lang")
+  }
+
   /** Typed Dataset API surfaced in the registry: groupByKey + mapGroups
     * computing each user's LONGEST gap between consecutive events —
     * genuinely custom per-group logic (needs an in-group sort), which is
@@ -1072,6 +1090,7 @@ object GraftQueries {
     "q35_datetime" -> q35Datetime,
     "q36_promo_revenue" -> q36PromoRevenue,
     "q37_top_suppliers" -> q37TopSuppliers,
+    "ingest_incremental" -> ingestIncremental,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -124,6 +124,25 @@ class PipelineSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("collection compaction: many small files -> few, content identical") {
+    // the 100 TB ops concern: streaming/incremental appends accumulate
+    // small files; compaction = read + repartition + overwrite-rewrite
+    val root = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(spark, sf)
+    store.create("c", docs.repartition(16)) // fragment: 16 files
+    def files(n: String) = new java.io.File(s"$root/$n").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files("c") > 4)
+    val before = store.read(spark, "c").collect().map(_.getLong(0)).sorted.toSeq
+    // compact in place via a staging collection (never read+overwrite the
+    // same path in one job)
+    store.create("c_compact", store.read(spark, "c").repartition(2))
+    assert(files("c_compact") <= 2)
+    val after = store.read(spark, "c_compact").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == before)
+  }
+
   test("streaming windowed agg equals batch windowed agg") {
     val batch = GraftQueries.q8EventsHourly(spark, sf).collect().toSet
     val streamed = GraftQueries.streamingHourly(spark, sf).collect().toSet

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
 
 /** Physical-plan assertions for the headline queries — the shapes that
   * decide 100 TB viability are pinned here so a refactor that silently
@@ -80,6 +81,20 @@ class PlanSpec extends SparkSpec {
       s"as-of should shuffle once on the key, saw $hashShuffles hash exchanges")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       "as-of must not fall back to a quadratic join")
+  }
+
+  test("join strategy hints are honored (shuffle_hash / merge / broadcast)") {
+    val li = Tables.lineitem(spark, sf)
+    val o = Tables.orders(spark, sf)
+    val shj = li.join(o.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.explainString(FormattedMode)
+    assert(shj.contains("ShuffledHashJoin"), s"shuffle_hash hint ignored")
+    val smj = li.join(o.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.explainString(FormattedMode)
+    assert(smj.contains("SortMergeJoin"), s"merge hint ignored")
+    val bhj = li.join(o.hint("broadcast"), col("l_orderkey") === col("o_orderkey"))
+      .queryExecution.explainString(FormattedMode)
+    assert(bhj.contains("BroadcastHashJoin"), s"broadcast hint ignored")
   }
 
   test("q24 gapfill: dense-grid build sides stay broadcast (no shuffled cross)") {
