@@ -344,6 +344,40 @@ object GraftOracles {
          |  count(*) AS pieces_used, coalesce(max(cum), 0) AS context_chars
          |FROM kept""".stripMargin,
 
+    "rag_rerank" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT e.vec_id, e.label, e.embedding, q.qv,
+         |    $l2sqToQv AS dist
+         |  FROM embeddings e, q ORDER BY dist, vec_id LIMIT 50)
+         |SELECT vec_id, label,
+         |  round(list_sum(list_transform(range(1,65), i -> s.embedding[i]::DOUBLE * s.qv[i]::DOUBLE)) /
+         |        sqrt(list_sum(list_transform(range(1,65), i -> s.embedding[i]::DOUBLE * s.embedding[i]::DOUBLE)) *
+         |             list_sum(list_transform(range(1,65), i -> s.qv[i]::DOUBLE * s.qv[i]::DOUBLE))), 6) AS cos
+         |FROM s ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "rag_hybrid_search" ->
+      """WITH kw AS (SELECT doc_id,
+        |    (CASE WHEN contains(lower(text), 'hash') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'merge') THEN 1 ELSE 0 END +
+        |     CASE WHEN contains(lower(text), 'scan') THEN 1 ELSE 0 END) AS kw_score
+        |  FROM documents),
+        |kwtop AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY kw_score DESC, doc_id) AS BIGINT) AS rank_kw
+        |  FROM kw ORDER BY kw_score DESC, doc_id LIMIT 100),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |vs AS (SELECT e.vec_id AS doc_id,
+        |    list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+        |    sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) *
+        |         list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) AS cos
+        |  FROM embeddings e, q),
+        |vtop AS (SELECT doc_id,
+        |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_vec
+        |  FROM vs ORDER BY cos DESC, doc_id LIMIT 100)
+        |SELECT doc_id, rank_kw, rank_vec,
+        |  floor((coalesce(1.0/(60+rank_kw), 0) + coalesce(1.0/(60+rank_vec), 0))*1e6 + 0.5)/1e6 AS rrf
+        |FROM kwtop FULL OUTER JOIN vtop USING (doc_id)
+        |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
     "dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  count(*) OVER (PARTITION BY md5(text)) AS group_size,

@@ -404,6 +404,60 @@ object GraftQueries {
     Knn.assembleContext(hits, piece, Seq(col("distance"), col("vec_id")), maxLen = 2000)
   }
 
+  /** Two-stage retrieval (the vector-db recall-then-precision pattern):
+    * coarse top-50 by squared-L2 (TakeOrderedAndProject over the full
+    * collection), exact cosine rerank of just those 50 to a top-10. At
+    * scale stage 1 is the ANN/IVF probe; stage 2 never touches more than
+    * the candidate set. */
+  val ragRerank: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val coarse = e.crossJoin(broadcast(q))
+      .withColumn("dist", l2Sq(col("embedding"), col("qv")))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(50)
+    coarse
+      .withColumn("cos", round(cosine(col("embedding"), col("qv")), 6))
+      .orderBy(col("cos").desc, col("vec_id"))
+      .limit(10)
+      .select("vec_id", "label", "cos")
+  }
+
+  /** Hybrid search: keyword candidates (term-hit score) and vector
+    * candidates (cosine) are EACH cut to a top-100 by distributed top-k
+    * first — ranking happens over candidate sets, never the full corpus —
+    * then fused with reciprocal-rank fusion (1/(60+rank), the standard
+    * RRF constant). Full-outer fusion keeps single-modality hits. */
+  val ragHybridSearch: Q = (s, d) => {
+    val terms = Seq("hash", "merge", "scan")
+    val kwScore = terms.map(t => when(lower(col("text")).contains(t), 1).otherwise(0))
+      .reduce(_ + _)
+    val kwTop = Tables.documents(s, d)
+      .select(col("doc_id"), kwScore.as("kw_score"))
+      .orderBy(col("kw_score").desc, col("doc_id"))
+      .limit(100)
+      .withColumn("rank_kw",
+        row_number().over(Window.orderBy(col("kw_score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_kw")
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val vTop = e.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("embedding"), col("qv")))
+      .select(col("vec_id").as("doc_id"), col("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(100)
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_vec")
+    kwTop.join(vTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", floor(
+        (coalesce(lit(1.0) / (lit(60) + col("rank_kw")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0))) * 1e6 + 0.5) / 1e6)
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+      .select("doc_id", "rank_kw", "rank_vec", "rrf")
+  }
+
   // ========================================================== dedup family
 
   /** Exact dedup via content hash. */
@@ -1091,6 +1145,8 @@ object GraftQueries {
     "q36_promo_revenue" -> q36PromoRevenue,
     "q37_top_suppliers" -> q37TopSuppliers,
     "ingest_incremental" -> ingestIncremental,
+    "rag_rerank" -> ragRerank,
+    "rag_hybrid_search" -> ragHybridSearch,
   )
 
   // DuckDB oracle SQL — see GraftOracles
