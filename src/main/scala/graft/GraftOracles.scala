@@ -476,6 +476,20 @@ object GraftOracles {
          |  md5(array_to_string(list_sort(list_distinct($toks)), ' ')) AS fingerprint
          |FROM documents ORDER BY doc_id""".stripMargin,
 
+    "doc_winnow_sql" ->
+      """WITH g AS (SELECT doc_id,
+        |    list_transform(range(1, greatest(length(text)-7, 1)+1),
+        |      i -> md5(substr(text, i::INT, 8))) AS kg
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |    list_distinct(list_transform(range(0, greatest(len(kg)-4, 0)+1),
+        |      i -> list_aggregate(kg[(i+1)::INT:(i+4)::INT], 'min'))) AS fps
+        |  FROM g)
+        |SELECT doc_id, CAST(len(fps) AS BIGINT) AS n_fp,
+        |  list_aggregate(fps, 'min') AS min_fp,
+        |  list_aggregate(fps, 'max') AS max_fp
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "quality_filter" ->
       s"""WITH t AS (SELECT lang,
          |  len($toks) AS n_tokens,

@@ -527,6 +527,27 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** Winnowing with an engine-neutral hash: the MOSS scheme (k-gram hash →
+    * sliding-window minima → distinct fingerprints) needs only a TOTAL
+    * ORDER on hashes, so md5-hex k-grams compared lexicographically make
+    * the whole scheme SQL-expressible and oracle-checkable cross-engine —
+    * the cousin of `doc_winnow`, whose Karp-Rabin JVM kernel is the
+    * performance path. k=8 chars, window=4. */
+  val docWinnowSql: Q = (s, d) => {
+    val kg = transform(
+      sequence(lit(1), greatest(length(col("text")) - 7, lit(1))),
+      i => md5(substr(col("text"), i, lit(8)).cast("binary")))
+    val minima = transform(
+      sequence(lit(0), greatest(size(col("_kg")) - 4, lit(0))),
+      i => array_min(slice(col("_kg"), i + 1, lit(4))))
+    Tables.documents(s, d)
+      .withColumn("_kg", kg)
+      .withColumn("_fps", array_distinct(minima))
+      .select(col("doc_id"), size(col("_fps")).cast("long").as("n_fp"),
+        array_min(col("_fps")).as("min_fp"), array_max(col("_fps")).as("max_fp"))
+      .orderBy("doc_id")
+  }
+
   /** Gopher-style repetition filter: trigram repetition ratio per doc. */
   val textRepetition: Q = (s, d) =>
     Tables.documents(s, d)
@@ -1147,6 +1168,7 @@ object GraftQueries {
     "ingest_incremental" -> ingestIncremental,
     "rag_rerank" -> ragRerank,
     "rag_hybrid_search" -> ragHybridSearch,
+    "doc_winnow_sql" -> docWinnowSql,
   )
 
   // DuckDB oracle SQL — see GraftOracles
