@@ -10,6 +10,31 @@ import org.apache.spark.sql.functions._
 class ScaleSpec extends SparkSpec {
   import spark.implicits._
 
+  test("AQE splits a skewed join partition (skew=true in the adaptive plan)") {
+    // one hot key owning most rows; thresholds lowered so local-mode sizes
+    // qualify — on a cluster the same mechanism splits multi-GB stragglers
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import s2.implicits._
+    val skewed = s2.range(0, 20000)
+      .select((when($"id" % 10 === 0, 7L).otherwise($"id")).as("k"),
+        concat(lit("payload_payload_payload_"), $"id").as("v"))
+    val right = s2.range(0, 2000).select($"id".as("k"), ($"id" * 2).as("w"))
+    val joined = skewed.join(right, "k")
+    // collect() drives THIS QueryExecution, so its AdaptiveSparkPlan holds
+    // the finalized plan (count() would execute a different plan tree)
+    assert(joined.collect().nonEmpty)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"),
+      s"AQE did not mark the skewed join:\n${plan.take(2000)}")
+  }
+
   test("salted equi-join returns exactly the plain join result") {
     val ev = Tables.events(spark, sf).select("event_id", "user_id", "value")
     val dim = Tables.events(spark, sf).select("user_id").distinct()
