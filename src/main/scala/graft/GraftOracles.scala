@@ -661,6 +661,16 @@ object GraftOracles {
         |  md5(fh) AS frame_md5
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
+    "multimodal_resize" ->
+      """WITH h AS (SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS n
+        |  FROM documents WHERE octet_length(encode(text)) > 0),
+        |r AS (SELECT doc_id, array_to_string(list_transform(
+        |    range(0, (n-1)//4 + 1), i -> substr(hx, CAST(i*8+1 AS INT), 2)), '') AS res
+        |  FROM h)
+        |SELECT doc_id, CAST(length(res) // 2 AS BIGINT) AS resized_bytes,
+        |  md5(res) AS resized_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
+
     "streaming_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, c.event_id AS click_id
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p

@@ -800,6 +800,25 @@ object GraftQueries {
         md5(hex(col("frame")).cast("binary")).as("frame_md5"))
       .orderBy("doc_id", "frame_idx")
 
+  /** Multimodal resize plumbing: downsample the binary payload by keeping
+    * every 4th byte — the STUB for an image/audio resample (a codec would
+    * slot into the same column-in/column-out shape). Byte selection and
+    * identity run as pure column ops over the hex view so the oracle
+    * compares byte-exactly without blob slicing. */
+  val multimodalResize: Q = (s, d) => {
+    val k = 4
+    Multimodal.withBinaryPayload(Tables.documents(s, d), "text")
+      .filter(length(col("payload")) > 0)
+      .withColumn("_hx", hex(col("payload")))
+      .withColumn("_res", array_join(transform(
+        sequence(lit(0), ((length(col("payload")) - 1) / lit(k)).cast("int")),
+        i => substr(col("_hx"), i * (2 * k) + 1, lit(2))), ""))
+      .select(col("doc_id"),
+        (length(col("_res")) / 2).cast("long").as("resized_bytes"),
+        md5(col("_res").cast("binary")).as("resized_md5"))
+      .orderBy("doc_id")
+  }
+
   /** Stream-stream interval join (purchases x clicks within 1 hour) through
     * Structured Streaming with state-bounding watermarks on both sides.
     * Oracle = the identical time-range join in batch SQL. */
@@ -1169,6 +1188,7 @@ object GraftQueries {
     "rag_rerank" -> ragRerank,
     "rag_hybrid_search" -> ragHybridSearch,
     "doc_winnow_sql" -> docWinnowSql,
+    "multimodal_resize" -> multimodalResize,
   )
 
   // DuckDB oracle SQL — see GraftOracles
