@@ -47,7 +47,15 @@ object GraftOracles {
     * strip(text[start, min(end,n))), empty chunks dropped, next start =
     * end-20 (unclamped). Produces `allc(doc_id, start, chunk)`; consumers
     * append their own SELECT. Equivalence is by construction, not data
-    * luck. Shared by chunk_docs and ingest_ids.
+    * luck (differentially tested: scripts/test_chunk_oracle.py). Shared by
+    * chunk_docs and ingest_ids.
+    *
+    * Known representable divergences (irrelevant for the harness corpus,
+    * stated for honesty): the SQL trim strips the 6 ASCII whitespace chars
+    * while pyStrip strips full Unicode whitespace (U+00A0/U+2028/...), and
+    * DuckDB substr/length count CODEPOINTS while the JVM chunker counts
+    * UTF-16 units — so astral-plane characters would desynchronize
+    * offsets. Both engines agree for BMP text with ASCII whitespace.
     */
   private val chunkerWalkCte =
     """WITH RECURSIVE
@@ -302,7 +310,7 @@ object GraftOracles {
         |    CAST(floor(embedding[CAST(i AS INT)]::DOUBLE * 16777216) AS BIGINT) AS fp
         |  FROM embeddings, unnest(range(1, 9)) AS t(i))
         |SELECT label, pos,
-        |  round(CAST(sum(fp) AS DOUBLE) / count(*) / 16777216, 6) AS avg_component,
+        |  floor(CAST(sum(fp) AS DOUBLE) / count(*) / 16777216 * 1e6 + 0.5) / 1e6 AS avg_component,
         |  count(*) AS n
         |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
@@ -611,10 +619,10 @@ object GraftOracles {
 
     "q25_stats_agg" ->
       """SELECT l_returnflag,
-        |  round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
-        |  round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
-        |  round(stddev_samp(l_extendedprice), 2) AS std_price,
-        |  round(var_samp(l_quantity), 2) AS var_qty
+        |  floor(corr(l_quantity, l_extendedprice) * 1e6 + 0.5) / 1e6 AS corr_qty_price,
+        |  floor(covar_samp(l_quantity, l_extendedprice) * 1e2 + 0.5) / 1e2 AS covar_qty_price,
+        |  floor(stddev_samp(l_extendedprice) * 1e2 + 0.5) / 1e2 AS std_price,
+        |  floor(var_samp(l_quantity) * 1e2 + 0.5) / 1e2 AS var_qty
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q26_ntile" ->
@@ -643,8 +651,8 @@ object GraftOracles {
         |  FROM documents)
         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_bpe_tokens,
         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq_bpe,
-        |  round(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)::DOUBLE
-        |        / greatest(len(tk), 1), 6) AS avg_bpe_len
+        |  floor(coalesce(list_sum(list_transform(tk, x -> length(x))), 0)::DOUBLE
+        |        / greatest(len(tk), 1) * 1e6 + 0.5) / 1e6 AS avg_bpe_len
         |FROM t ORDER BY doc_id""".stripMargin,
 
     // byte-exact frame compare without blob slicing (this DuckDB build has

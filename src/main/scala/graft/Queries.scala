@@ -733,15 +733,21 @@ object GraftQueries {
   }
 
   /** Statistical aggregates: corr / covar_samp / stddev / variance.
-    * (Rounded coarsely: co-moment merges are double arithmetic whose last
-    * ulps legitimately differ across engines.) */
+    * Floor-form rounding (not round()) removes the cross-engine tie-rule
+    * divergence on deterministic doubles; the residual risk is Spark's own
+    * partial-agg merge order shifting a co-moment by ~1 ulp exactly across
+    * a floor boundary — probability ~1e-6 per value, accepted and
+    * documented (exact-moment reformulation would lose the builtin
+    * corr/covar coverage this query exists to exercise). */
   val q25StatsAgg: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("corr_qty_price"),
-        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2).as("covar_qty_price"),
-        round(stddev_samp(col("l_extendedprice")), 2).as("std_price"),
-        round(var_samp(col("l_quantity")), 2).as("var_qty"))
+      .agg((floor(corr(col("l_quantity"), col("l_extendedprice")) * 1e6 + 0.5) / 1e6)
+        .as("corr_qty_price"),
+        (floor(covar_samp(col("l_quantity"), col("l_extendedprice")) * 1e2 + 0.5) / 1e2)
+          .as("covar_qty_price"),
+        (floor(stddev_samp(col("l_extendedprice")) * 1e2 + 0.5) / 1e2).as("std_price"),
+        (floor(var_samp(col("l_quantity")) * 1e2 + 0.5) / 1e2).as("var_qty"))
       .orderBy("l_returnflag")
 
   /** ntile quartiles per segment with per-quartile balance ranges. */
@@ -785,8 +791,11 @@ object GraftQueries {
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
       .select(col("doc_id"), size(col("_t")).cast("long").as("n_bpe_tokens"),
         size(array_distinct(col("_t"))).cast("long").as("n_uniq_bpe"),
-        round(aggregate(transform(col("_t"), t => length(t).cast("double")),
-          lit(0.0), (a, x) => a + x) / greatest(size(col("_t")), lit(1)), 6).as("avg_bpe_len"))
+        // floor form: the avg is an exact int/int rational (half-boundary
+        // round() divergence class — see the parity rules)
+        (floor(aggregate(transform(col("_t"), t => length(t).cast("double")),
+          lit(0.0), (a, x) => a + x) / greatest(size(col("_t")), lit(1)) * 1e6 + 0.5) / 1e6)
+          .as("avg_bpe_len"))
       .orderBy("doc_id")
 
   /** Frame sampling over binary payloads: 64-byte frames as rows with
@@ -887,7 +896,10 @@ object GraftQueries {
       .filter(col("pos") < 8)
       .withColumn("fp", floor(col("x").cast("double") * 16777216).cast("long"))
       .groupBy("label", "pos")
-      .agg(round(sum("fp").cast("double") / count(lit(1)) / 16777216, 6).as("avg_component"),
+      // floor form, not round(): the mean is an exact rational that can
+      // land on a 6-decimal half where the engines' round() tie rules differ
+      .agg((floor(sum("fp").cast("double") / count(lit(1)) / 16777216 * 1e6 + 0.5) / 1e6)
+        .as("avg_component"),
         count(lit(1)).as("n"))
       .orderBy("label", "pos")
 
@@ -916,11 +928,16 @@ object GraftQueries {
     val docs = Tables.documents(s, d)
     store.create("docs", docs.filter(col("lang") =!= "zh"), partitionBy = Seq("lang"))
     store.append("docs", docs.filter(col("lang") === "zh"), partitionBy = Seq("lang"))
-    store.read(s, "docs")
+    val out = store.read(s, "docs")
       .filter(col("lang").isin("en", "zh"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"))
       .orderBy("lang")
+    // materialize eagerly so the scratch store can be deleted (repeated
+    // Bench/Verify runs must not accumulate /tmp copies of the corpus)
+    val rows = out.collect()
+    store.destroy()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** Explicit GROUPING SETS with grouping() markers through the SQL
@@ -1075,9 +1092,13 @@ object GraftQueries {
     val existing = store.read(s, "docs").select("doc_id")
     val newDocs = docs.join(existing, Seq("doc_id"), "left_anti")
     store.append("docs", newDocs)
-    newDocs.groupBy("lang")
+    val out = newDocs.groupBy("lang")
       .agg(count(lit(1)).as("n_added"))
       .orderBy("lang")
+    // eager + cleanup, same reason as collectionLifecycle
+    val rows = out.collect()
+    store.destroy()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
   /** Typed Dataset API surfaced in the registry: groupByKey + mapGroups

@@ -267,6 +267,17 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    df.schema(idCol).dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
+        simhashPairsLongId(df, textCol, idCol, maxHamming)
+      case _ => simhashPairsJoin(df, textCol, idCol, maxHamming)
+    }
+  }
+
+  /** Fast path: integral ids travel through the per-bucket primitive
+    * kernel. */
+  private def simhashPairsLongId(df: DataFrame, textCol: String, idCol: String,
+                                 maxHamming: Int): DataFrame = {
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val sigs = df.select(col(idCol).cast("long").as("_id"), simhash(toks).as("_sig"))
     val banded = sigs.select(col("_id"), col("_sig"),
@@ -300,6 +311,28 @@ object Dedup {
       .filter(size(col("_members")) > 1)
       .select(explode(enumeratePairs(col("_members"))).as("_p"))
       .select(col("_p._1").as("id_a"), col("_p._2").as("id_b"), col("_p._3").as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Generic-id fallback (string ids etc.): banded self-join with the
+    * hamming predicate evaluated inside the join condition. Same
+    * semantics; pays row machinery per candidate pair, so prefer integral
+    * ids on large skewed corpora. */
+  private def simhashPairsJoin(df: DataFrame, textCol: String, idCol: String,
+                               maxHamming: Int): DataFrame = {
+    val toks = split(trim(lower(col(textCol))), "\\s+")
+    val sigs = df.select(col(idCol).as("_id"), simhash(toks).as("_sig"))
+    val banded = sigs.select(col("_id"), col("_sig"),
+      posexplode(array((0 until 4).map { b =>
+        shiftrightunsigned(col("_sig"), b * 16).bitwiseAND(0xFFFFL)
+      }: _*)).as(Seq("_band", "_chunk")))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a._band") === col("b._band") && col("a._chunk") === col("b._chunk") &&
+          col("a._id") < col("b._id") &&
+          bit_count(col("a._sig").bitwiseXOR(col("b._sig"))) <= maxHamming)
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        bit_count(col("a._sig").bitwiseXOR(col("b._sig"))).as("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
 

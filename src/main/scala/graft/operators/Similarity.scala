@@ -176,7 +176,11 @@ object Similarity {
                      threshold: Double, nBits: Int = 8, nTables: Int = 8,
                      dim: Int = 64): DataFrame = {
     // cached: consumed by nTables signature scans + both verification
-    // build sides; the count() doubles as the size probe for the gate
+    // build sides; the count() doubles as the size probe for the gate.
+    // Lifetime note: the cache cannot be unpersisted here (the returned
+    // plan still references it) — callers owning long-lived sessions
+    // should spark.catalog.clearCache() after consuming the result, as
+    // Verify/Bench do between queries.
     val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v")).cache()
     val estBytes = base.count() * (dim * 4L + 48L)
     val tables = (0 until nTables).map { t =>

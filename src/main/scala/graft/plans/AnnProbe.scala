@@ -57,10 +57,17 @@ object AnnProbe {
     if (!hadRule)
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ AnnProbeRule
+    // reentrancy: a nested scope restores the OUTER scope's centroids on
+    // exit instead of clearing them (and never removes a rule it did not
+    // add — hadRule is true inside a nested scope)
+    val prev = AnnCatalog.get(spark)
     AnnCatalog.register(spark, cents, nprobe)
     try body
     finally {
-      AnnCatalog.clear(spark)
+      prev match {
+        case Some((c, n)) => AnnCatalog.register(spark, c, n)
+        case None => AnnCatalog.clear(spark)
+      }
       if (!hadRule)
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations.filterNot(_ == AnnProbeRule)

@@ -41,12 +41,16 @@ final case class VectorStore(root: String) {
     else d.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
   }
 
-  def drop(name: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
+  def drop(name: String): Unit = rmTree(new java.io.File(path(name)))
+
+  /** Remove the whole store root (scratch stores in tests/queries). */
+  def destroy(): Unit = rmTree(new java.io.File(root))
+
+  private def rmTree(f: java.io.File): Unit = {
+    def rm(g: java.io.File): Unit = {
+      if (g.isDirectory) g.listFiles().foreach(rm)
+      g.delete(): Unit
     }
-    val f = new java.io.File(path(name))
     if (f.exists()) rm(f)
   }
 }

@@ -47,8 +47,20 @@ object EventStream {
     s
   }
 
-  /** The file-source readStream over an events parquet file, with the same
-    * nanos->micros ts conversion as `Tables.events`. */
+  /** The parity-critical nanos->micros ts conversion (same as
+    * `Tables.events`): INT64 TIMESTAMP(NANOS) read as long, floored to
+    * micros with INTEGER division (ns epoch exceeds 2^53 — double division
+    * corrupts). One definition, shared by every streaming entry point. */
+  private[streaming] def convertTs(df: DataFrame,
+                                   schema: org.apache.spark.sql.types.StructType): DataFrame =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => df
+    }
+
+  /** The file-source readStream over an events parquet file, with the
+    * shared ts conversion. */
   private def readEventStream(spark: SparkSession, eventsParquet: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(eventsParquet).schema
@@ -58,11 +70,7 @@ object EventStream {
       .option("basePath", parent)
       .option("pathGlobFilter", fname)
       .parquet(parent)
-    schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw
-    }
+    convertTs(raw, schema)
   }
 
   /** Stream-stream interval join through Structured Streaming: purchases
@@ -111,27 +119,27 @@ object EventStream {
                         queryName: String = "graft_stream_dedup"): DataFrame = {
     val spark = streamSession(spark0)
     val dir = java.nio.file.Files.createTempDirectory("graft_sdedup")
-    val src = java.nio.file.Paths.get(eventsParquet)
-    java.nio.file.Files.copy(src, dir.resolve("a.parquet"))
-    java.nio.file.Files.copy(src, dir.resolve("b.parquet"))
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsParquet).schema
-    val raw = spark.readStream.schema(schema).parquet(dir.toString)
-    val stream = schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw
+    try {
+      val src = java.nio.file.Paths.get(eventsParquet)
+      java.nio.file.Files.copy(src, dir.resolve("a.parquet"))
+      java.nio.file.Files.copy(src, dir.resolve("b.parquet"))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = spark.read.parquet(eventsParquet).schema
+      val raw = spark.readStream.schema(schema).parquet(dir.toString)
+      val deduped = convertTs(raw, schema).withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark("event_id")
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(queryName)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(queryName) // memory sink holds the rows; staging can go
+    } finally {
+      dir.toFile.listFiles().foreach(_.delete())
+      dir.toFile.delete(): Unit
     }
-    val deduped = stream.withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("event_id")
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(queryName)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(queryName)
   }
 
   /** Streaming variant: file-source readStream over the same parquet,

@@ -77,11 +77,8 @@ object Sessionize {
     val fname = eventsParquet.substring(eventsParquet.lastIndexOf('/') + 1)
     val raw = spark.readStream.schema(schema)
       .option("basePath", parent).option("pathGlobFilter", fname).parquet(parent)
-    val events = (schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw
-    }).select($"user_id", $"ts", $"event_id").as[Event]
+    val events = EventStream.convertTs(raw, schema)
+      .select($"user_id", $"ts", $"event_id").as[Event]
       .withWatermark("ts", "10 minutes")
     val timeoutConf =
       if (useTimeout) GroupStateTimeout.EventTimeTimeout else GroupStateTimeout.NoTimeout

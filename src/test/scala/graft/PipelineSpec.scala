@@ -92,7 +92,9 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("frame sampling: frames reassemble to the exact payload bytes") {
-    val docs = Tables.documents(spark, sf).limit(50)
+    // orderBy before limit: bare limit gives no row-selection guarantee
+    // across the two independent actions below
+    val docs = Tables.documents(spark, sf).orderBy("doc_id").limit(50)
     val framed = graft.multimodal.Multimodal.frameSample(
       graft.multimodal.Multimodal.withBinaryPayload(docs, "text"), "payload", 64)
     // per doc: concat of frames in index order == original payload
