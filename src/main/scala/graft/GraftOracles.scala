@@ -468,6 +468,31 @@ object GraftOracles {
          |       ELSE round(1.0 - len(list_distinct(g2))::DOUBLE / len(g2), 6) END AS rep2
          |FROM g ORDER BY doc_id""".stripMargin,
 
+    // forward as-of (ON c.ts <= p.ts); same equal-ts dedup as q11
+    "q38_asof_forward" ->
+      """SELECT c.user_id, c.event_id, p.event_id AS matched_event_id
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+        |    FROM events WHERE event_type = 'purchase') WHERE rn = 1) p
+        |  ON c.user_id = p.user_id AND c.ts <= p.ts
+        |ORDER BY 1,2""".stripMargin,
+
+    "q39_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) FILTER (WHERE event_type = 'view') AS t_view
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT e.user_id, any_value(v.t_view) AS t_view,
+        |    min(e.ts) FILTER (WHERE e.event_type = 'click' AND e.ts >= v.t_view) AS t_click
+        |  FROM events e JOIN v ON e.user_id = v.user_id GROUP BY 1),
+        |p AS (SELECT e.user_id, any_value(c.t_view) AS t_view, any_value(c.t_click) AS t_click,
+        |    min(e.ts) FILTER (WHERE e.event_type = 'purchase' AND e.ts >= c.t_click) AS t_purchase
+        |  FROM events e JOIN c ON e.user_id = c.user_id GROUP BY 1)
+        |SELECT count(*) AS n_users,
+        |  count(t_view) AS n_viewed,
+        |  count(t_click) AS n_clicked_after_view,
+        |  count(t_purchase) AS n_purchased_after_click
+        |FROM p""".stripMargin,
+
     // same equal-ts dedup as q11 (engine tiebreak = max event_id)
     "q17_asof_tolerance" ->
       """SELECT p.user_id, p.event_id, c.event_id AS matched_event_id

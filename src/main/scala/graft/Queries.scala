@@ -258,6 +258,43 @@ object GraftQueries {
       .orderBy("user_id", "event_id")
   }
 
+  /** Forward as-of join: each click matched to the user's NEXT purchase
+    * (at-or-after, deterministic max-event_id tiebreak at equal ts). */
+  val q38AsofForward: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+    val purchases = ev.filter(col("event_type") === "purchase")
+    AsOf.asofForward(clicks, purchases, Seq("user_id"), "ts", Seq("event_id"),
+        rightTieCols = Seq("event_id"))
+      .filter(col("matched_event_id").isNotNull)
+      .select(col("user_id"), col("event_id"), col("matched_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Funnel analysis: per user, first view -> first click at-or-after it ->
+    * first purchase at-or-after that; stage conversion counts. Three
+    * conditional-min aggregations shuffled on user_id — no event-level
+    * joins, so the shape is O(users) after the first aggregate. */
+  val q39Funnel: Q = (s, d) => {
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val v = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+    val c = ev.join(v, "user_id")
+      .groupBy("user_id")
+      .agg(first(col("t_view")).as("t_view"),
+        min(when(col("event_type") === "click" && col("ts") >= col("t_view"),
+          col("ts"))).as("t_click"))
+    val p = ev.join(c, "user_id")
+      .groupBy("user_id")
+      .agg(first(col("t_view")).as("t_view"), first(col("t_click")).as("t_click"),
+        min(when(col("event_type") === "purchase" && col("ts") >= col("t_click"),
+          col("ts"))).as("t_purchase"))
+    p.agg(count(lit(1)).as("n_users"),
+      count(col("t_view")).as("n_viewed"),
+      count(col("t_click")).as("n_clicked_after_view"),
+      count(col("t_purchase")).as("n_purchased_after_click"))
+  }
+
   // ==================================================== reference surface
 
   /** Collection stats (reference get_collection_stats / count). */
@@ -1210,6 +1247,8 @@ object GraftQueries {
     "rag_hybrid_search" -> ragHybridSearch,
     "doc_winnow_sql" -> docWinnowSql,
     "multimodal_resize" -> multimodalResize,
+    "q38_asof_forward" -> q38AsofForward,
+    "q39_funnel" -> q39Funnel,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -36,7 +36,26 @@ object AsOf {
   def asofBackward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
                    tsCol: String, rightValueCols: Seq[String],
                    toleranceSeconds: Option[Double] = None,
-                   rightTieCols: Seq[String] = Seq.empty): DataFrame = {
+                   rightTieCols: Seq[String] = Seq.empty): DataFrame =
+    asofImpl(left, right, keyCols, tsCol, rightValueCols, toleranceSeconds,
+      rightTieCols, forward = false)
+
+  /** Forward as-of: for each left row, the EARLIEST right row with
+    * right.ts >= left.ts per key (inclusive) — the mirror of
+    * [[asofBackward]], same single-shuffle union+window shape, walked in
+    * descending time order. */
+  def asofForward(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                  tsCol: String, rightValueCols: Seq[String],
+                  toleranceSeconds: Option[Double] = None,
+                  rightTieCols: Seq[String] = Seq.empty): DataFrame =
+    asofImpl(left, right, keyCols, tsCol, rightValueCols, toleranceSeconds,
+      rightTieCols, forward = true)
+
+  private def asofImpl(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                       tsCol: String, rightValueCols: Seq[String],
+                       toleranceSeconds: Option[Double],
+                       rightTieCols: Seq[String],
+                       forward: Boolean): DataFrame = {
     val leftCols = left.columns
     val passThrough = leftCols.filterNot(c => keyCols.contains(c) || c == tsCol)
     val matchedType = StructType(
@@ -56,7 +75,11 @@ object AsOf {
         Seq(lit(null).cast(matchedType).as("_m")) ++
         passThrough.map(col): _*)
     val unioned = rTagged.unionByName(lTagged)
-    val ordering = Seq(col("_ts"), col("_side")) ++
+    // forward walks time DESC so "last right row seen" = earliest ts >=
+    // left ts; right rows (side 0) still sort before left at equal ts, so
+    // inclusivity is preserved in both directions
+    val tsOrd = if (forward) col("_ts").desc else col("_ts").asc
+    val ordering = Seq(tsOrd, col("_side")) ++
       rightTieCols.indices.map(i => col(s"_tie$i"))
     val w = Window.partitionBy(keyCols.map(col): _*)
       .orderBy(ordering: _*)
@@ -65,8 +88,10 @@ object AsOf {
     val matched = toleranceSeconds match {
       case None => col("_m")
       case Some(tol) =>
-        val stale = col("_m").isNull ||
-          col("_ts").cast("double") - col("_m.__rts").cast("double") > tol
+        val gap =
+          if (forward) col("_m.__rts").cast("double") - col("_ts").cast("double")
+          else col("_ts").cast("double") - col("_m.__rts").cast("double")
+        val stale = col("_m").isNull || gap > tol
         when(stale, lit(null).cast(matchedType)).otherwise(col("_m"))
     }
     filled.filter(col("_side") === 1)
