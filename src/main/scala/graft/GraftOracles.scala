@@ -771,6 +771,23 @@ object GraftOracles {
         |  strftime(min(o_orderdate + INTERVAL 30 DAY), '%Y-%m-%d') AS min_due
         |FROM orders GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin,
 
+    "q40_rank_dist" ->
+      """WITH r AS (SELECT c_mktsegment, c_custkey,
+        |    floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pr,
+        |    floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cd
+        |  FROM customer
+        |  WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey))
+        |SELECT c_mktsegment, c_custkey, pr, cd FROM r
+        |WHERE c_custkey % 50 = 0 ORDER BY 1,2""".stripMargin,
+
+    "text_hof" ->
+      s"""WITH t AS (SELECT doc_id, $toks AS tk FROM documents)
+         |SELECT doc_id,
+         |  len(list_filter(tk, x -> list_contains($enStop, x))) > 0 AS has_stopword,
+         |  len(list_filter(tk, x -> length(x) >= 20)) = 0 AS all_short,
+         |  CAST(len(list_filter(tk, x -> length(x) >= 8)) AS BIGINT) AS n_long_tokens
+         |FROM t ORDER BY doc_id""".stripMargin,
+
     "text_sample_10pct" ->
       """SELECT lang, count(*) AS n_sampled, CAST(sum(n_chars) AS BIGINT) AS sampled_chars
         |FROM documents WHERE md5(doc_id::VARCHAR) < '1a'

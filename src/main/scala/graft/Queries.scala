@@ -1138,6 +1138,32 @@ object GraftQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** percent_rank / cume_dist (exact int ratios — floor-form rounded per
+    * the parity rules), thinned to every 50th customer. */
+  val q40RankDist: Q = (s, d) => {
+    val w = Window.partitionBy("c_mktsegment").orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .withColumn("pr", floor(percent_rank().over(w) * 1e6 + 0.5) / 1e6)
+      .withColumn("cd", floor(cume_dist().over(w) * 1e6 + 0.5) / 1e6)
+      .filter(col("c_custkey") % 50 === 0)
+      .select("c_mktsegment", "c_custkey", "pr", "cd")
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** Higher-order array functions as first-class surface: exists / forall /
+    * filter over the token array (these run inside whole-stage codegen —
+    * no UDF — which is why they are the preferred form at scale). */
+  val textHof: Q = (s, d) => {
+    val toks = split(trim(lower(col("text"))), "\\s+")
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        exists(toks, t => t.isin("the", "a", "of", "and", "is", "to", "in"))
+          .as("has_stopword"),
+        forall(toks, t => length(t) < 20).as("all_short"),
+        size(filter(toks, t => length(t) >= 8)).cast("long").as("n_long_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Typed Dataset API surfaced in the registry: groupByKey + mapGroups
     * computing each user's LONGEST gap between consecutive events —
     * genuinely custom per-group logic (needs an in-group sort), which is
@@ -1249,6 +1275,8 @@ object GraftQueries {
     "multimodal_resize" -> multimodalResize,
     "q38_asof_forward" -> q38AsofForward,
     "q39_funnel" -> q39Funnel,
+    "q40_rank_dist" -> q40RankDist,
+    "text_hof" -> textHof,
   )
 
   // DuckDB oracle SQL — see GraftOracles
