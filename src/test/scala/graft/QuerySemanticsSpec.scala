@@ -95,6 +95,34 @@ class QuerySemanticsSpec extends SparkSpec {
     ))
   }
 
+  test("forward as-of: earliest right row at-or-after, tolerance, max-id tiebreak") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (1L, 100L, "p3")).toDF("k", "t", "name")
+      .select($"k", timestamp_seconds($"t").as("ts"), $"name")
+    // two right rows share t=12 (ids 7 and 9): tiebreak must pick id 9
+    val right = Seq((1L, 12L, 7L), (1L, 12L, 9L), (1L, 25L, 11L))
+      .toDF("k", "t", "rid")
+      .select($"k", timestamp_seconds($"t").as("ts"), $"rid")
+    val out = AsOf.asofForward(left, right, Seq("k"), "ts", Seq("rid"),
+        rightTieCols = Seq("rid"))
+      .select($"name", $"matched_rid").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(out == Set(
+      ("p1", 9L),   // t=10 -> next right at t=12, max id wins the tie
+      ("p2", 11L),  // t=20 -> next right at t=25
+      ("p3", -1L)   // nothing at or after t=100
+    ))
+    // bounded staleness: a next-event more than 4s ahead is discarded
+    val bounded = AsOf.asofForward(left, right, Seq("k"), "ts", Seq("rid"),
+        toleranceSeconds = Some(4.0), rightTieCols = Seq("rid"))
+      .select($"name", $"matched_rid").collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(bounded == Set(
+      ("p1", 9L),   // gap 2s <= 4s
+      ("p2", -1L),  // gap 5s > 4s -> discarded
+      ("p3", -1L)
+    ))
+  }
+
   test("interval containment join: inclusive bounds, bucket-spanning intervals") {
     import graft.operators.IntervalJoin
     def ts(s: Long) = new java.sql.Timestamp(s * 1000)
