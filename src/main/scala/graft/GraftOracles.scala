@@ -281,6 +281,23 @@ object GraftOracles {
          |  FROM allc)
          |ORDER BY doc_id, chunk_index""".stripMargin,
 
+    // the ingestDocuments prefix: blank docs are filtered BEFORE chunking
+    // (reference :132-138), then chunk/metadata/id derivation as above
+    "ingest_records" ->
+      s"""$chunkerWalkCte
+         |SELECT doc_id, chunk_index, chunk_id, sha256(chunk_id) AS id,
+         |  chunk, source, total_chunks
+         |FROM (
+         |  SELECT a.doc_id,
+         |    CAST(row_number() OVER (PARTITION BY a.doc_id ORDER BY a.start) - 1 AS INT) AS chunk_index,
+         |    a.doc_id::VARCHAR || '_chunk_' ||
+         |      (row_number() OVER (PARTITION BY a.doc_id ORDER BY a.start) - 1)::VARCHAR AS chunk_id,
+         |    a.chunk, d.source,
+         |    CAST(count(*) OVER (PARTITION BY a.doc_id) AS BIGINT) AS total_chunks
+         |  FROM allc a JOIN documents d ON a.doc_id = d.doc_id
+         |  WHERE length(trim(d.text)) > 0)
+         |ORDER BY doc_id, chunk_index""".stripMargin,
+
     "q28_moving_avg" ->
       """WITH w AS (SELECT event_id, event_type,
         |    count(*) OVER fr AS cnt_1h,
@@ -626,7 +643,8 @@ object GraftOracles {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q23_array_agg" ->
-      """SELECT l_orderkey, list_sort(list(l_linenumber)) AS linenumbers,
+      """SELECT l_orderkey,
+        |  array_to_string(list_sort(list(l_linenumber)), ',') AS linenumbers,
         |  count(*) AS n_lines
         |FROM lineitem GROUP BY 1 HAVING count(*) >= 5 ORDER BY 1""".stripMargin,
 

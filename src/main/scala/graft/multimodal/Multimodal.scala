@@ -59,7 +59,10 @@ object Multimodal {
     df.withColumn("_nf", nFrames)
       .filter(col("_nf") > 0) // sequence(0, -1) would descend, not be empty
       .withColumn("frame_idx", explode(sequence(lit(0), col("_nf") - 1)))
-      .withColumn("frame", expr(s"substring($binCol, frame_idx * $frameBytes + 1, $frameBytes)"))
+      // substr with Column operands (not string-interpolated expr SQL):
+      // safe for any caller column name, incl. ones needing backticks
+      .withColumn("frame",
+        substr(col(binCol), col("frame_idx") * frameBytes + 1, lit(frameBytes)))
       .drop("_nf")
   }
 

@@ -275,9 +275,13 @@ object Dedup {
   }
 
   /** Fast path: integral ids travel through the per-bucket primitive
-    * kernel. */
+    * kernel. Output id columns keep the INPUT id type (an INT id comes
+    * back as INT, not silently widened to the kernel's internal LONG),
+    * and duplicate id VALUES never produce an (x, x) self-pair — both
+    * exactly matching the generic-join path's `id_a < id_b` semantics. */
   private def simhashPairsLongId(df: DataFrame, textCol: String, idCol: String,
                                  maxHamming: Int): DataFrame = {
+    val idType = df.schema(idCol).dataType
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val sigs = df.select(col(idCol).cast("long").as("_id"), simhash(toks).as("_sig"))
     val banded = sigs.select(col("_id"), col("_sig"),
@@ -299,7 +303,9 @@ object Dedup {
         while (j < n) {
           val b = idx(j)
           val h = java.lang.Long.bitCount(sg(a) ^ sg(b))
-          if (h <= maxHamming) out += ((ids(a), ids(b), h))
+          // strict < (not just distinct rows): two rows sharing one id
+          // value must not emit a self-pair, mirroring `id_a < id_b`
+          if (h <= maxHamming && ids(a) < ids(b)) out += ((ids(a), ids(b), h))
           j += 1
         }
         i += 1
@@ -310,7 +316,8 @@ object Dedup {
       .agg(collect_list(struct(col("_id"), col("_sig"))).as("_members"))
       .filter(size(col("_members")) > 1)
       .select(explode(enumeratePairs(col("_members"))).as("_p"))
-      .select(col("_p._1").as("id_a"), col("_p._2").as("id_b"), col("_p._3").as("hamming"))
+      .select(col("_p._1").cast(idType).as("id_a"), col("_p._2").cast(idType).as("id_b"),
+        col("_p._3").as("hamming"))
       .dropDuplicates("id_a", "id_b")
   }
 

@@ -46,13 +46,23 @@ object AnnCatalog {
 }
 
 object AnnProbe {
+  // one lock object per session (weak-keyed like AnnCatalog): concurrent
+  // withProbe scopes on the SAME session would otherwise race on the
+  // catalog registration + extraOptimizations mutation. synchronized is
+  // JVM-reentrant, so same-thread nesting still works (and restores the
+  // outer scope's centroids, see below); different threads serialize.
+  private val locks = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, Object]())
+  private def lockFor(spark: SparkSession): Object =
+    locks.computeIfAbsent(spark, _ => new Object)
+
   /** Run `body` with the probe rule + centroids registered for `spark`,
     * and deterministically unregister both afterwards. Any DataFrame that
     * should be rewritten must be EXECUTED inside `body` — the optimizer
     * runs at action time, not definition time.
     */
   def withProbe[T](spark: SparkSession, cents: Array[(Int, Array[Float])],
-                   nprobe: Int)(body: => T): T = {
+                   nprobe: Int)(body: => T): T = lockFor(spark).synchronized {
     val hadRule = spark.experimental.extraOptimizations.contains(AnnProbeRule)
     if (!hadRule)
       spark.experimental.extraOptimizations =

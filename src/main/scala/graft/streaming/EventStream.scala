@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 /** Structured Streaming surface over the `events` table shape
   * (event_id, ts, user_id, event_type, value, props).
@@ -45,6 +45,23 @@ object EventStream {
     val k = "spark.sql.streaming.stateStore.providerClass"
     try s.conf.set(k, spark.conf.get(k)) catch { case _: Throwable => () }
     s
+  }
+
+  /** Drain a finished memory-sink query onto the PARENT session: collect
+    * the sink's rows, stop the query, and DROP the sink's temp view so
+    * repeated Bench/Verify invocations in one JVM do not accumulate a
+    * fully-materialized result table per run (the memory sink pins its
+    * rows in the child session's catalog until dropped). The returned
+    * DataFrame is a local relation on `parent` — independent of the child
+    * session and of the sink. */
+  private[streaming] def drainMemorySink(parent: SparkSession, child: SparkSession,
+                                         q: StreamingQuery, queryName: String): DataFrame = {
+    val sink = child.table(queryName)
+    val rows = sink.collect()
+    val schema = sink.schema
+    q.stop()
+    child.catalog.dropTempView(queryName)
+    parent.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 
   /** The parity-critical nanos->micros ts conversion (same as
@@ -103,7 +120,7 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    drainMemorySink(spark0, spark, q, queryName)
   }
 
   /** Streaming exact dedup: the source is REPLAYED (the events file copied
@@ -135,7 +152,7 @@ object EventStream {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      spark.table(queryName) // memory sink holds the rows; staging can go
+      drainMemorySink(spark0, spark, q, queryName) // rows localized; staging can go
     } finally {
       dir.toFile.listFiles().foreach(_.delete())
       dir.toFile.delete(): Unit
@@ -161,6 +178,6 @@ object EventStream {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    drainMemorySink(spark0, spark, q, queryName)
   }
 }

@@ -92,7 +92,7 @@ object Sessionize {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(queryName)
+    EventStream.drainMemorySink(spark0, spark, q, queryName)
   }
 
   /** Batch twin on CLOSED sessions (a session is closed when a later event

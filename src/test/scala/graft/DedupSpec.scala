@@ -58,6 +58,28 @@ class DedupSpec extends SparkSpec {
     assert(identical.exists(_._3 == 0))
   }
 
+  test("simhash: duplicate id values never self-pair; INT ids keep their type (both paths)") {
+    // 3 rows, 2 sharing id value 1 with identical text: the banded kernel
+    // must NOT emit a (1,1) self-pair, matching the join path's id_a < id_b
+    val dup = Seq(
+      (1, "the quick brown fox jumps over the lazy dog"),
+      (1, "the quick brown fox jumps over the lazy dog"),
+      (2, "the quick brown fox jumps over the lazy cat")
+    ).toDF("doc_id", "text")
+    val kernel = Dedup.simhashPairs(dup, "text", "doc_id", maxHamming = 10)
+    assert(kernel.schema("id_a").dataType == org.apache.spark.sql.types.IntegerType,
+      "INT ids must not silently widen to LONG")
+    val kPairs = kernel.collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    assert(!kPairs.exists(p => p._1 == p._2), s"self-pair emitted: $kPairs")
+    // generic (string-id) path on the same data agrees pair-for-pair
+    val dupS = dup.withColumn("doc_id", concat(lit("d"), col("doc_id")))
+    val jPairs = Dedup.simhashPairs(dupS, "text", "doc_id", maxHamming = 10)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!jPairs.exists(p => p._1 == p._2))
+    assert(kPairs.map { case (a, b) => (s"d$a", s"d$b") } == jPairs,
+      "kernel and join paths diverge")
+  }
+
   test("embedding near-dup with cosine threshold") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)),

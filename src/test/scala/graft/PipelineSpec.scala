@@ -145,6 +145,39 @@ class PipelineSpec extends SparkSpec {
     assert(after == before)
   }
 
+  test("incremental ingest: delta is refresh-proof and idempotent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_incr_spec").toString
+    val store = VectorStore(root)
+    val docs = Tables.documents(spark, sf)
+    store.create("docs", docs.filter($"doc_id" < 250))
+    val existing = store.read(spark, "docs").select("doc_id")
+    // the ingest_incremental contract: materialize the delta BEFORE append
+    val newDocs = docs.join(existing, Seq("doc_id"), "left_anti").cache()
+    val nAdded = newDocs.count()
+    store.append("docs", newDocs)
+    newDocs.unpersist()
+    // force a file-index relisting — the old read-after-append shape
+    // returned a wrong n_added exactly here
+    spark.catalog.refreshByPath(s"$root/docs")
+    assert(nAdded == docs.filter($"doc_id" >= 250).count())
+    // post-append the collection is complete: a fresh delta is empty and
+    // re-running the ingest adds nothing (idempotence)
+    val again = docs.join(store.read(spark, "docs").select("doc_id"), Seq("doc_id"), "left_anti")
+    assert(again.count() == 0)
+    assert(store.count(spark, "docs") == docs.count())
+    store.destroy()
+  }
+
+  test("repeated streaming queries leave no temp views behind in the session") {
+    // memory sinks used to accumulate one fully-materialized table per
+    // invocation; drainMemorySink must drop them
+    GraftQueries.streamingHourly(spark, sf).count()
+    GraftQueries.streamingHourly(spark, sf).count()
+    val leftover = spark.catalog.listTables().collect()
+      .filter(_.name.startsWith("graft_stream_"))
+    assert(leftover.isEmpty, s"leaked sink tables: ${leftover.map(_.name).toSeq}")
+  }
+
   test("streaming windowed agg equals batch windowed agg") {
     val batch = GraftQueries.q8EventsHourly(spark, sf).collect().toSet
     val streamed = GraftQueries.streamingHourly(spark, sf).collect().toSet

@@ -32,11 +32,40 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"))
   }
 
-  test("q2: dims broadcast, top-10 is TakeOrderedAndProject (no global sort)") {
+  test("q2: small sides broadcast BY SIZE ESTIMATION, top-10 is TakeOrderedAndProject") {
+    // no hints in q2 anymore: at test scale the filtered orders/customer
+    // sides are under the auto-broadcast threshold, so the planner still
+    // picks broadcast joins — from statistics, which is the behavior that
+    // degrades correctly at 100x scale (forced hints do not)
     val p = plan("q2_top_revenue_orders")
-    assert(p.contains("BroadcastHashJoin"), "dim joins must broadcast")
-    assert(!p.contains("SortMergeJoin"), "no shuffle join expected for broadcast dims")
+    assert(p.contains("BroadcastHashJoin"), "small sides should auto-broadcast at test scale")
     assert(p.contains("TakeOrderedAndProject"), "LIMIT after ORDER BY must be top-k")
+  }
+
+  test("no scale-proportional table carries a FORCED broadcast hint (100 TB pin)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    // tables whose size grows with scale factor: a broadcast() hint on an
+    // unbounded subset of these is a plan that dies at 100x sf
+    val growing = Seq("orders", "customer", "part", "supplier", "lineitem", "events")
+    val queries = Seq("q1_pricing_summary", "q2_top_revenue_orders", "q3_nation_revenue",
+      "q5_top_customers_per_nation", "q7_segment_orders", "q22_minmax_by",
+      "q36_promo_revenue", "q37_top_suppliers")
+    for (q <- queries) {
+      val analyzed = GraftQueries.all(q)(spark, sf).queryExecution.analyzed
+      analyzed.foreach {
+        case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) =>
+          val files = h.child.collect {
+            case lr: LogicalRelation => lr.relation match {
+              case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toString).mkString(",")
+              case _ => ""
+            }
+          }.mkString(",")
+          growing.foreach(t => assert(!files.contains(s"$t.parquet"),
+            s"$q forces broadcast of scale-proportional table '$t'"))
+        case _ => ()
+      }
+    }
   }
 
   test("vec_knn: top-k over broadcast of the 1-row query side") {

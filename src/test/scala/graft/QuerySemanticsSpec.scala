@@ -11,6 +11,27 @@ import org.apache.spark.sql.functions._
 class QuerySemanticsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("array-valued aggregate round-trips through parquet bitwise") {
+    // the parquet array round-trip that q23_array_agg used to carry before
+    // its gate output was serialized to CSV (the driver's comparator
+    // cannot hash array cells) — pinned here where it belongs
+    val arr = Tables.lineitem(spark, sf)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list($"l_linenumber")).as("linenumbers"),
+        count(lit(1)).as("n_lines"))
+      .filter($"n_lines" >= 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft_arrq").toString
+    arr.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.select("l_orderkey", "linenumbers").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Int](1).toList).toMap
+    val orig = asMap(arr)
+    assert(orig.nonEmpty && orig == asMap(back))
+    assert(orig.values.forall(l => l == l.sorted))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
+  }
+
   test("where-DSL: equality, ops, $in, $and/$or") {
     val df = Seq((1, "en", 100), (2, "fr", 300), (3, "de", 250)).toDF("id", "lang", "n")
     def ids(json: String): Set[Int] =
