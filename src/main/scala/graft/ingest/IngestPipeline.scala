@@ -87,15 +87,22 @@ object IngestPipeline {
       .option("pathGlobFilter", glob)
       .load(dir)
 
-  /** STUB extractor (PDFBox would slot in here on a real deployment; the
-    * image has no PDF library — see builder notes). UTF-8 decode of the
-    * raw bytes, empty string on failure, exactly mirroring the reference's
-    * exception→"" contract (:77-79).
+  /** Extraction chain (reference :130-138): primary = the pure-JVM PDF
+    * extractor [[PdfText]] (real content-stream + ToUnicode decoding);
+    * when it yields blank — non-PDF bytes, encrypted, unsupported filter
+    * — retry with a plain UTF-8 decode (the stand-in for the reference's
+    * second extractor, PyMuPDF, :81-92). Still-blank output flows on as a
+    * failed row (:136-138); exceptions → "" (:77-79).
     */
-  val extractTextUdf = udf((bytes: Array[Byte]) =>
+  val extractTextUdf = udf { (bytes: Array[Byte]) =>
     if (bytes == null) ""
-    else try new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-    catch { case _: Throwable => "" })
+    else {
+      val primary = PdfText.extract(bytes)
+      if (primary.trim.nonEmpty) primary
+      else try new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      catch { case _: Throwable => "" }
+    }
+  }
 
   def ingestBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String,
                       embedder: Embedder = HashEmbedder(dim = 64)): DataFrame = {

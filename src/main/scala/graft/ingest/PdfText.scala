@@ -1,0 +1,421 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.Inflater
+
+/** Pure-JVM PDF text extraction (reference O2/O3,
+  * /root/reference/src/PDFToChromaIngester.py:68-92 — PyPDF2 with a
+  * PyMuPDF fallback). The container has no PDF library, so this is a
+  * minimal from-scratch extractor for the dominant real-world shape:
+  *
+  *  - classic `N G obj ... endobj` objects, FlateDecode streams
+  *    (java.util.zip.Inflater) — plus /ObjStm object streams, expanded
+  *    without xref parsing (scan-all-objects replaces the xref table);
+  *  - page tree walk /Root -> /Pages -> /Kids for page order, falling
+  *    back to document-order /Type /Page objects;
+  *  - content-stream tokenizer for the text-showing operators Tj / TJ /
+  *    ' / " with literal-string escapes (incl. octal) and hex strings;
+  *  - per-font /ToUnicode CMap decoding (beginbfchar / beginbfrange),
+  *    which is what turns Identity-H CID glyph indices into text; fonts
+  *    without a CMap fall back to Latin-1 printables.
+  *
+  * Exceptions anywhere yield "" — the reference's exception→"" contract
+  * (:77-79); blank output then drives the caller's fallback chain
+  * (:130-138). Per-page texts are joined with "\n" (:73-76).
+  *
+  * Not supported (acceptable for the extraction semantics, documented):
+  * encrypted PDFs, LZW/ASCII85 filters, predictor-coded streams, and
+  * glyph-width-based word-gap inference (explicit space glyphs cover the
+  * corpora this engine targets).
+  */
+object PdfText {
+
+  // ------------------------------------------------------------- model
+
+  private final case class Font(twoByte: Boolean, map: Map[Int, String])
+
+  /** One parsed indirect object: dictionary text + raw stream bytes. */
+  private final case class PObj(dict: String, data: Option[Array[Byte]])
+
+  // ------------------------------------------------------------ entry
+
+  /** Extract all page text; "" on any failure or non-PDF input. */
+  def extract(bytes: Array[Byte]): String =
+    try {
+      if (bytes == null || bytes.length < 8) return ""
+      val head = new String(bytes, 0, math.min(bytes.length, 1024), StandardCharsets.ISO_8859_1)
+      if (!head.contains("%PDF-")) return ""
+      val s = new String(bytes, StandardCharsets.ISO_8859_1)
+      val objs = parseObjects(s)
+      val pages = pageOrder(s, objs)
+      val texts = pages.map(p => extractPage(p, objs)).filter(_.nonEmpty)
+      texts.mkString("\n")
+    } catch { case _: Throwable => "" }
+
+  // --------------------------------------------------- object parsing
+
+  private val objHeader = """(\d+)\s+\d+\s+obj""".r
+  private val lengthLit = """/Length\s+(\d+)(?![\d])(?!\s+0\s+R)""".r
+  private val lengthRef = """/Length\s+(\d+)\s+0\s+R""".r
+
+  private def parseObjects(s: String): Map[Int, PObj] = {
+    val out = collection.mutable.HashMap.empty[Int, PObj]
+    // light pass: integer-valued objects (for /Length N 0 R resolution)
+    val intObj = """(\d+)\s+\d+\s+obj\s*(\d+)\s*endobj""".r
+    val ints = intObj.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    val headers = objHeader.findAllMatchIn(s).toArray
+    for (i <- headers.indices) {
+      val m = headers(i)
+      val num = m.group(1).toInt
+      val limit = if (i + 1 < headers.length) headers(i + 1).start else s.length
+      val iEndobj = s.indexOf("endobj", m.end) match {
+        case -1 => limit
+        case x  => math.min(x, limit)
+      }
+      val iStream = s.indexOf("stream", m.end)
+      if (iStream >= 0 && iStream < iEndobj) {
+        val dict = s.substring(m.end, iStream)
+        var dataStart = iStream + "stream".length
+        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+        val len: Option[Long] = lengthLit.findFirstMatchIn(dict).map(_.group(1).toLong)
+          .orElse(lengthRef.findFirstMatchIn(dict).flatMap(r => ints.get(r.group(1).toInt)))
+        val dataEnd = len match {
+          case Some(l) if dataStart + l <= s.length => dataStart + l.toInt
+          case _ => s.indexOf("endstream", dataStart) match {
+            case -1 => dataStart
+            case x  => x
+          }
+        }
+        val raw = new Array[Byte](dataEnd - dataStart)
+        var k = 0
+        while (k < raw.length) { raw(k) = s.charAt(dataStart + k).toByte; k += 1 }
+        out(num) = PObj(dict, Some(raw))
+      } else {
+        out(num) = PObj(s.substring(m.end, iEndobj), None)
+      }
+    }
+    // expand object streams (/Type /ObjStm): header = N pairs of
+    // (objnum, offset) then objects at /First + offset
+    val expanded = collection.mutable.HashMap.empty[Int, PObj]
+    out.foreach { case (_, o) =>
+      if (o.dict.contains("/ObjStm")) decodeStream(o).foreach { dec =>
+        val body = new String(dec, StandardCharsets.ISO_8859_1)
+        val first = """/First\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+        val n = """/N\s+(\d+)""".r.findFirstMatchIn(o.dict).map(_.group(1).toInt)
+        (first, n) match {
+          case (Some(f), Some(cnt)) =>
+            val nums = """\d+""".r.findAllIn(body.substring(0, math.min(f, body.length)))
+              .map(_.toInt).toArray
+            val pairs = nums.grouped(2).filter(_.length == 2).take(cnt).toArray
+            for (j <- pairs.indices) {
+              val Array(onum, off) = pairs(j)
+              val start = f + off
+              val end = if (j + 1 < pairs.length) f + pairs(j + 1)(1) else body.length
+              if (start < body.length)
+                expanded(onum) = PObj(body.substring(start, math.min(end, body.length)), None)
+            }
+          case _ => ()
+        }
+      }
+    }
+    (out ++ expanded).toMap
+  }
+
+  private def decodeStream(o: PObj): Option[Array[Byte]] = o.data.flatMap { raw =>
+    if (!o.dict.contains("/FlateDecode")) Some(raw)
+    else try {
+      val inf = new Inflater()
+      inf.setInput(raw)
+      val buf = new java.io.ByteArrayOutputStream(math.max(1024, raw.length * 4))
+      val chunk = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(chunk)
+        if (n > 0) buf.write(chunk, 0, n)
+        else if (n == 0 && inf.needsDictionary()) throw new IllegalStateException("dict")
+      }
+      inf.end()
+      Some(buf.toByteArray)
+    } catch { case _: Throwable => None }
+  }
+
+  // ------------------------------------------------------- page order
+
+  private val refRe = """(\d+)\s+0\s+R""".r
+
+  private def pageOrder(s: String, objs: Map[Int, PObj]): Seq[Int] = {
+    def isPage(d: String) = d.contains("/Page") && !d.contains("/Pages")
+    val walked = for {
+      rootRef <- """/Root\s+(\d+)\s+0\s+R""".r.findAllMatchIn(s).toSeq.lastOption
+      catalog <- objs.get(rootRef.group(1).toInt)
+      pagesRef <- """/Pages\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(catalog.dict)
+    } yield {
+      val seen = collection.mutable.HashSet.empty[Int]
+      def walk(num: Int): Seq[Int] = objs.get(num) match {
+        case Some(o) if seen.add(num) =>
+          if (o.dict.contains("/Kids"))
+            """(?s)/Kids\s*\[(.*?)\]""".r.findFirstMatchIn(o.dict).toSeq.flatMap { km =>
+              refRe.findAllMatchIn(km.group(1)).toSeq.flatMap(r => walk(r.group(1).toInt))
+            }
+          else if (isPage(o.dict)) Seq(num)
+          else Seq.empty
+        case _ => Seq.empty
+      }
+      walk(pagesRef.group(1).toInt)
+    }
+    walked.filter(_.nonEmpty).getOrElse {
+      objs.toSeq.filter { case (_, o) => """/Type\s*/Page(?!s)""".r
+        .findFirstIn(o.dict).isDefined }.map(_._1).sorted
+    }
+  }
+
+  // ------------------------------------------------------- page text
+
+  private def extractPage(pageNum: Int, objs: Map[Int, PObj]): String = {
+    val page = objs.getOrElse(pageNum, return "")
+    val fonts = pageFonts(page.dict, objs)
+    val contentRefs: Seq[Int] =
+      """(?s)/Contents\s*\[(.*?)\]""".r.findFirstMatchIn(page.dict) match {
+        case Some(arr) => refRe.findAllMatchIn(arr.group(1)).map(_.group(1).toInt).toSeq
+        case None => """/Contents\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(page.dict)
+          .map(_.group(1).toInt).toSeq
+      }
+    val content = contentRefs.flatMap(r => objs.get(r)).flatMap(decodeStream)
+      .map(new String(_, StandardCharsets.ISO_8859_1)).mkString("\n")
+    if (content.isEmpty) "" else runTextOps(content, fonts)
+  }
+
+  /** Resolve /Resources -> /Font -> per-font /ToUnicode CMaps. */
+  private def pageFonts(pageDict: String, objs: Map[Int, PObj]): Map[String, Font] = {
+    val resources: String =
+      """/Resources\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(pageDict) match {
+        case Some(m) => objs.get(m.group(1).toInt).map(_.dict).getOrElse("")
+        case None => pageDict // inline resources: font refs are findable in place
+      }
+    val fontDict: String =
+      """/Font\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(resources) match {
+        case Some(m) => objs.get(m.group(1).toInt).map(_.dict).getOrElse("")
+        case None => """(?s)/Font\s*<<(.*?)>>""".r.findFirstMatchIn(resources)
+          .map(_.group(1)).getOrElse("")
+      }
+    """/(\w+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fontDict).map { m =>
+      val name = m.group(1)
+      val font = objs.get(m.group(2).toInt).map { fo =>
+        val cmap = """/ToUnicode\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(fo.dict)
+          .flatMap(t => objs.get(t.group(1).toInt)).flatMap(decodeStream)
+          .map(new String(_, StandardCharsets.ISO_8859_1))
+        val isCid = fo.dict.contains("/Type0") || fo.dict.contains("Identity")
+        cmap match {
+          case Some(c) =>
+            val (width, map) = parseToUnicode(c)
+            Font(twoByte = if (width > 0) width == 2 else isCid, map)
+          case None => Font(twoByte = isCid, Map.empty)
+        }
+      }.getOrElse(Font(twoByte = false, Map.empty))
+      name -> font
+    }.toMap
+  }
+
+  // ------------------------------------------------- ToUnicode CMaps
+
+  private val hexTok = """<([0-9A-Fa-f\s]*)>""".r
+
+  private def hexToInt(h: String): Int = java.lang.Long.parseLong(h.trim, 16).toInt
+
+  private def hexToString(h: String): String = {
+    val clean = h.replaceAll("\\s", "")
+    // UTF-16BE code units, 4 hex digits each
+    clean.grouped(4).filter(_.length == 4)
+      .map(u => Integer.parseInt(u, 16).toChar).mkString
+  }
+
+  /** Returns (codeByteWidth or 0 if unknown, cid -> unicode string). */
+  private def parseToUnicode(cmap: String): (Int, Map[Int, String]) = {
+    val out = collection.mutable.HashMap.empty[Int, String]
+    val width = """(?s)begincodespacerange\s*<([0-9A-Fa-f]+)>""".r
+      .findFirstMatchIn(cmap).map(_.group(1).length / 2).getOrElse(0)
+    for (sec <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(cmap)) {
+      val toks = hexTok.findAllMatchIn(sec.group(1)).map(_.group(1)).toArray
+      toks.grouped(2).foreach {
+        case Array(src, dst) => out(hexToInt(src)) = hexToString(dst)
+        case _ => ()
+      }
+    }
+    for (sec <- """(?s)beginbfrange(.*?)endbfrange""".r.findAllMatchIn(cmap)) {
+      // entries: <lo> <hi> <dstStart>  OR  <lo> <hi> [<d0> <d1> ...]
+      val body = sec.group(1)
+      val entry = ("""(?s)<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*""" +
+        """(?:<([0-9A-Fa-f\s]*)>|\[((?:\s*<[0-9A-Fa-f\s]*>)*)\s*\])""").r
+      entry.findAllMatchIn(body).foreach { m =>
+        val lo = hexToInt(m.group(1)); val hi = hexToInt(m.group(2))
+        if (m.group(3) != null) {
+          val d0 = m.group(3).replaceAll("\\s", "")
+          val base = Integer.parseInt(d0.takeRight(4), 16)
+          val prefix = d0.dropRight(4)
+          var c = lo
+          while (c <= hi) {
+            out(c) = hexToString(prefix + f"${base + (c - lo)}%04X")
+            c += 1
+          }
+        } else {
+          val dsts = hexTok.findAllMatchIn(m.group(4)).map(_.group(1)).toArray
+          var c = lo
+          var j = 0
+          while (c <= hi && j < dsts.length) {
+            out(c) = hexToString(dsts(j)); c += 1; j += 1
+          }
+        }
+      }
+    }
+    (width, out.toMap)
+  }
+
+  // -------------------------------------- content-stream interpreter
+
+  /** Minimal operand machine over a decoded content stream: collects
+    * string operands, tracks the current font via `/Fx size Tf`, emits
+    * decoded text on Tj/TJ/'/" and newlines on line-moving operators.
+    */
+  private def runTextOps(content: String, fonts: Map[String, Font]): String = {
+    val sb = new StringBuilder
+    val strings = collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var lastName: String = null
+    var curFont: Font = Font(twoByte = false, Map.empty)
+    var i = 0
+    val n = content.length
+
+    def newline(): Unit =
+      if (sb.nonEmpty && sb.charAt(sb.length - 1) != '\n') sb.append('\n')
+
+    def onOperator(op: String): Unit = {
+      op match {
+        case "Tf" =>
+          if (lastName != null) curFont = fonts.getOrElse(lastName, curFont)
+        case "Tj" =>
+          strings.lastOption.foreach(b => sb.append(decodeString(b, curFont)))
+        case "'" | "\"" =>
+          newline()
+          strings.lastOption.foreach(b => sb.append(decodeString(b, curFont)))
+        case "TJ" =>
+          strings.foreach(b => sb.append(decodeString(b, curFont)))
+        case "Td" | "TD" | "T*" | "ET" => newline()
+        case _ => ()
+      }
+      strings.clear()
+    }
+
+    while (i < n) {
+      val c = content.charAt(i)
+      if (c == '(') {
+        val (bytes, next) = parseLiteralString(content, i)
+        strings += bytes
+        i = next
+      } else if (c == '<' && i + 1 < n && content.charAt(i + 1) == '<') {
+        i += 2
+      } else if (c == '<') {
+        val end0 = content.indexOf('>', i + 1)
+        val end = if (end0 < 0) n else end0
+        val hex = content.substring(i + 1, end).replaceAll("\\s", "")
+        val padded = if (hex.length % 2 == 1) hex + "0" else hex
+        strings += padded.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+        i = end + 1
+      } else if (c == '>') {
+        i += 1 // '>>' dict close
+      } else if (c == '/') {
+        var j = i + 1
+        while (j < n && !isDelim(content.charAt(j))) j += 1
+        lastName = content.substring(i + 1, j)
+        i = j
+      } else if (c == '[' || c == ']' || c == '{' || c == '}') {
+        i += 1
+      } else if (c.isWhitespace) {
+        i += 1
+      } else if (c == '%') { // comment to end-of-line
+        while (i < n && content.charAt(i) != '\n' && content.charAt(i) != '\r') i += 1
+      } else if (c.isDigit || c == '+' || c == '-' || c == '.') {
+        var j = i + 1
+        while (j < n && (content.charAt(j).isDigit || content.charAt(j) == '.')) j += 1
+        i = j
+      } else {
+        // operator token: letters plus ' " *
+        var j = i
+        while (j < n && !isDelim(content.charAt(j))) j += 1
+        val op = content.substring(i, math.max(j, i + 1))
+        onOperator(op)
+        i = math.max(j, i + 1)
+      }
+    }
+    sb.toString
+  }
+
+  private def isDelim(c: Char): Boolean =
+    c.isWhitespace || c == '(' || c == ')' || c == '<' || c == '>' ||
+      c == '[' || c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+
+  /** PDF literal string: nested parens, backslash escapes, octal codes. */
+  private def parseLiteralString(s: String, start: Int): (Array[Byte], Int) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var depth = 1
+    var i = start + 1
+    val n = s.length
+    while (i < n && depth > 0) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < n) {
+        val e = s.charAt(i + 1)
+        e match {
+          case 'n' => buf.write('\n'); i += 2
+          case 'r' => buf.write('\r'); i += 2
+          case 't' => buf.write('\t'); i += 2
+          case 'b' => buf.write('\b'); i += 2
+          case 'f' => buf.write('\f'); i += 2
+          case '(' => buf.write('('); i += 2
+          case ')' => buf.write(')'); i += 2
+          case '\\' => buf.write('\\'); i += 2
+          case '\r' => i += 2; if (i < n && s.charAt(i) == '\n') i += 1 // line continuation
+          case '\n' => i += 2
+          case d if d >= '0' && d <= '7' =>
+            var j = i + 1
+            var v = 0
+            while (j < n && j < i + 4 && s.charAt(j) >= '0' && s.charAt(j) <= '7') {
+              v = v * 8 + (s.charAt(j) - '0'); j += 1
+            }
+            buf.write(v & 0xFF); i = j
+          case _ => buf.write(e.toInt); i += 2
+        }
+      } else if (c == '(') { depth += 1; buf.write(c.toInt); i += 1 }
+      else if (c == ')') {
+        depth -= 1
+        if (depth > 0) buf.write(c.toInt)
+        i += 1
+      } else { buf.write(c.toInt); i += 1 }
+    }
+    (buf.toByteArray, i)
+  }
+
+  /** Decode raw string bytes through the current font. */
+  private def decodeString(bytes: Array[Byte], font: Font): String = {
+    val sb = new StringBuilder
+    if (font.twoByte) {
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val code = ((bytes(i) & 0xFF) << 8) | (bytes(i + 1) & 0xFF)
+        font.map.get(code).foreach(sb.append)
+        i += 2
+      }
+    } else {
+      var i = 0
+      while (i < bytes.length) {
+        val code = bytes(i) & 0xFF
+        font.map.get(code) match {
+          case Some(u) => sb.append(u)
+          case None =>
+            // Latin-1 printables as the no-CMap fallback
+            if ((code >= 0x20 && code < 0x7F) || code >= 0xA0) sb.append(code.toChar)
+            else if (code == '\n' || code == '\r' || code == '\t') sb.append(code.toChar)
+        }
+        i += 1
+      }
+    }
+    sb.toString
+  }
+}
