@@ -52,9 +52,14 @@ object Similarity {
     * nondeterministic and near-tie cell assignments could flip between
     * runs). Cells that lose all members in a round RETAIN their previous
     * centroid, so the trained cell count always stays `ncells`.
+    *
+    * Default iters = 3: measured on the harness embeddings, recall@10 at
+    * nprobe=4/16 is 1.00 at sf0.1 (pinned in AnnProbeSpec) and 1 -> 3
+    * rounds lifts the small-corpus (sf0.01) recall 0.88 -> 0.92 at
+    * nprobe=6; additional rounds showed no further gain.
     */
   def trainCentroidArrays(collection: DataFrame, vecCol: String, idCol: String,
-                          ncells: Int, iters: Int = 1): Array[(Int, Array[Float])] = {
+                          ncells: Int, iters: Int = 3): Array[(Int, Array[Float])] = {
     var cents: Array[(Int, Array[Float])] =
       collection.orderBy(col(idCol)).limit(ncells).select(col(vecCol)).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
@@ -113,7 +118,7 @@ object Similarity {
 
   /** DataFrame facade over [[trainCentroidArrays]] (API compat). */
   def trainCentroids(collection: DataFrame, vecCol: String, idCol: String,
-                     ncells: Int, iters: Int = 1): DataFrame = {
+                     ncells: Int, iters: Int = 3): DataFrame = {
     val spark = collection.sparkSession
     import spark.implicits._
     trainCentroidArrays(collection, vecCol, idCol, ncells, iters)
@@ -126,8 +131,9 @@ object Similarity {
     */
   def ivfTopK(collection: DataFrame, vecCol: String, idCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
-              k: Int, ncells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, iters = 1)
+              k: Int, ncells: Int = 16, nprobe: Int = 4,
+              trainIters: Int = 3): DataFrame = {
+    val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters)
     val indexed = withCellId(collection, vecCol, cents)
     val probeUdf = udf((v: Seq[Float]) => {
       val arr = v.toArray

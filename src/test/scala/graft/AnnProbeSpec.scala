@@ -97,6 +97,30 @@ class AnnProbeSpec extends SparkSpec {
     } finally AnnCatalog.clear(spark)
   }
 
+  test("IVF recall@10 >= 0.9 vs brute force at sf0.1, nprobe=4/16") {
+    // the quality bar for the approximate path, at the bench scale factor:
+    // deterministic (seeded centroids + fixed-point training), so this is
+    // a stable pin, not a flaky statistical test (measured: 1.00)
+    val d = "/root/testdata/sf0.1"
+    val e = Tables.embeddings(spark, d).cache()
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").collect().groupBy(_.getLong(0))
+        .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val exact = topSets(
+      Similarity.bruteForceTopK(e, "embedding", "vec_id", q, "q_id", "q_vec", 10))
+    val approx = topSets(
+      Similarity.ivfTopK(e, "embedding", "vec_id", q, "q_id", "q_vec",
+        k = 10, ncells = 16, nprobe = 4))
+    val recalls = exact.map { case (k, ex) =>
+      approx.getOrElse(k, Set.empty).intersect(ex).size.toDouble / ex.size }
+    val avg = recalls.sum / recalls.size
+    info(f"recall@10 per query: ${recalls.map(r => f"$r%.2f").mkString(", ")} (avg $avg%.3f)")
+    assert(avg >= 0.9, f"IVF recall@10 degraded: $avg%.3f")
+    e.unpersist()
+  }
+
   test("withProbe scope unregisters the rule and catalog on exit") {
     val base = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()

@@ -32,6 +32,19 @@ class QuerySemanticsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("get_json_object and typed from_json agree on props extraction") {
+    // q20 runs get_json_object (measured faster for single-field pulls at
+    // sf0.1); the typed from_json path must stay interchangeable
+    val ev = Tables.events(spark, sf)
+    val a = ev.select($"event_id",
+        get_json_object($"props", "$.k").cast("int").as("k"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val b = ev.select($"event_id",
+        from_json($"props", "k INT", Map.empty[String, String]).getField("k").as("k"))
+      .collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(a.nonEmpty && a == b)
+  }
+
   test("where-DSL: equality, ops, $in, $and/$or") {
     val df = Seq((1, "en", 100), (2, "fr", 300), (3, "de", 250)).toDF("id", "lang", "n")
     def ids(json: String): Set[Int] =
