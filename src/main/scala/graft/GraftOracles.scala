@@ -875,5 +875,58 @@ object GraftOracles {
         |  strftime(session_end, '%Y-%m-%d %H:%M:%S') AS session_end,
         |  n_events
         |FROM f WHERE session_id < max_sid ORDER BY user_id, session_start""".stripMargin,
+
+    // BM25 (Lucene +1-idf form), k1=1.2 b=0.75, terms hash/merge/window/
+    // stream. The arithmetic mirrors TextAnalysis.bm25TopK expression-for-
+    // expression (same association order) so the double math agrees;
+    // floor-form rounding per the parity rules.
+    "text_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'hash')) AS BIGINT) AS tf0,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'merge')) AS BIGINT) AS tf1,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'window')) AS BIGINT) AS tf2,
+        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'stream')) AS BIGINT) AS tf3
+        |  FROM documents),
+        |s AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+        |    CAST(count(*) FILTER (WHERE tf0 > 0) AS BIGINT) AS df0,
+        |    CAST(count(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
+        |    CAST(count(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2,
+        |    CAST(count(*) FILTER (WHERE tf3 > 0) AS BIGINT) AS df3
+        |  FROM d)
+        |SELECT doc_id, dl, bm25 FROM (
+        |  SELECT doc_id, dl, floor((
+        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+        |    + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (CAST(tf3 AS DOUBLE) * 2.2) / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+        |    ) * 1e4 + 0.5) / 1e4 AS bm25
+        |  FROM d, s)
+        |WHERE bm25 > 0
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q41_cohort_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)
+        |SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+        |  CAST(datediff('day', cohort, day) AS BIGINT) AS day_offset,
+        |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+        |FROM e JOIN c ON e.user_id = c.user_id
+        |WHERE datediff('day', cohort, day) IN (0, 1, 3, 7, 14, 30)
+        |GROUP BY cohort, 2 ORDER BY 1, 2""".stripMargin,
+
+    "pipeline_mix_report" ->
+      """WITH d AS (SELECT source, lang,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ntok
+        |  FROM documents),
+        |cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(ntok) AS BIGINT) AS n_tokens
+        |  FROM d GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(ntok) AS BIGINT) AS total FROM d)
+        |SELECT source, lang, n_docs, n_tokens,
+        |  floor(CAST(n_tokens AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS token_share
+        |FROM cells, t ORDER BY source, lang""".stripMargin,
   )
 }

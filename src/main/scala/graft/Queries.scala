@@ -1206,6 +1206,50 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** BM25 keyword retrieval over the documents corpus (the principled
+    * form of rag_hybrid_search's keyword arm): corpus-stats pass +
+    * codegen'd scoring pass + distributed top-k. Fully oracle-checked —
+    * including the ln()-based idf — because the arithmetic is written
+    * expression-for-expression like the DuckDB SQL. */
+  val textBm25: Q = (s, d) =>
+    TextAnalysis.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+      terms = Seq("hash", "merge", "window", "stream"), k = 20)
+
+  /** Cohort retention over the event stream: users bucketed by first-seen
+    * day, activity counted at fixed day offsets — the standard retention
+    * matrix, built from two shuffles (per-user min, then per-cell
+    * distinct). */
+  val q41CohortRetention: Q = (s, d) => {
+    val ev = Tables.events(s, d).select(col("user_id"), to_date(col("ts")).as("day"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort"))
+    // day_offset, not "offset": the gate re-selects output columns by bare
+    // name in DuckDB, where OFFSET is a reserved word
+    ev.join(cohorts, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("long"))
+      .filter(col("day_offset").isin(0L, 1L, 3L, 7L, 14L, 30L))
+      .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort"), col("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort", "day_offset")
+  }
+
+  /** Corpus mix report (the domain-weighting input of a training-data
+    * run): per (source, lang) document and token counts plus each cell's
+    * share of all corpus tokens. One scan + one partial-agg shuffle; the
+    * corpus total is a broadcast 1-row crossJoin, not a global window. */
+  val pipelineMixReport: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("source"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
+    val cells = docs.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("_ntok")).as("n_tokens"))
+    val total = docs.agg(sum(col("_ntok")).as("_total"))
+    cells.crossJoin(broadcast(total))
+      .withColumn("token_share",
+        floor(col("n_tokens").cast("double") / col("_total") * 1e6 + 0.5) / 1e6)
+      .select("source", "lang", "n_docs", "n_tokens", "token_share")
+      .orderBy("source", "lang")
+  }
+
   /** Typed Dataset API surfaced in the registry: groupByKey + mapGroups
     * computing each user's LONGEST gap between consecutive events —
     * genuinely custom per-group logic (needs an in-group sort), which is
@@ -1320,6 +1364,9 @@ object GraftQueries {
     "q39_funnel" -> q39Funnel,
     "q40_rank_dist" -> q40RankDist,
     "text_hof" -> textHof,
+    "text_bm25" -> textBm25,
+    "q41_cohort_retention" -> q41CohortRetention,
+    "pipeline_mix_report" -> pipelineMixReport,
   )
 
   // DuckDB oracle SQL — see GraftOracles

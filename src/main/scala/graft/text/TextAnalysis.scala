@@ -161,4 +161,46 @@ object TextAnalysis {
     }
     out.toArray
   }
+
+  /** BM25 ranking (Robertson / Lucene +1 idf form) of the corpus against a
+    * small literal query-term set — the keyword half of hybrid retrieval
+    * (rag_hybrid_search's term-hit score is the cruder cousin).
+    *
+    * Two scans, both codegen'd, zero UDFs:
+    *  1. one aggregation for the corpus statistics — N, total token count,
+    *     per-term document frequencies — a SINGLE row, broadcast back;
+    *  2. one scoring pass over per-doc term frequencies (higher-order
+    *     `filter` on the token array) + distributed top-k
+    *     (TakeOrderedAndProject).
+    * At 100 TB: stats are O(1) state, scoring is map-only, and only k rows
+    * per partition cross the network. The arithmetic is written
+    * expression-for-expression like the DuckDB oracle so the double math
+    * is bit-identical cross-engine (floor-form rounding per parity rules).
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], k: Int,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+      .withColumn("_dl", size(col("_toks")).cast("long"))
+    val withTf = terms.indices.foldLeft(base) { case (df, i) =>
+      df.withColumn(s"_tf$i",
+        size(filter(col("_toks"), x => x === lit(terms(i)))).cast("long"))
+    }.drop("_toks")
+    val statCols = Seq(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl")) ++
+      terms.indices.map(i => sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
+    val stats = withTf.agg(statCols.head, statCols.tail: _*)
+    val avgdl = col("_sumdl").cast("double") / col("_n")
+    val score = terms.indices.map { i =>
+      val tf = col(s"_tf$i").cast("double")
+      val idf = log((col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5) + 1.0)
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("bm25", floor(score * 1e4 + 0.5) / 1e4)
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("_dl").as("dl"), col("bm25"))
+  }
 }

@@ -4,6 +4,27 @@ import graft.text.{Chunker, TextAnalysis}
 import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
+
+  test("bm25: term hits rank above misses; rarer terms weigh more; absent query terms score 0") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark shuffle join merge"),          // has 'merge' (rare)
+      (2L, "hash hash hash table lookup"),       // has 'hash' (common), high tf
+      (3L, "hash table"),                        // has 'hash', short doc
+      (4L, "completely unrelated words here"),   // no query terms
+      (5L, "hash join plan")                     // has 'hash'
+    ).toDF("doc_id", "text")
+    val out = graft.text.TextAnalysis
+      .bm25TopK(docs, "text", "doc_id", Seq("hash", "merge"), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(!out.contains(4L), "doc without query terms must score 0 and be filtered")
+    assert(out.keySet == Set(1L, 2L, 3L, 5L))
+    // 'merge' appears in 1/5 docs, 'hash' in 3/5 -> merge idf > hash idf;
+    // doc 1's single rare term beats doc 5's single common term
+    assert(out(1L) > out(5L), s"rare-term doc should outrank common-term doc: $out")
+    // higher tf of the same term in a comparable doc -> higher score
+    assert(out(2L) > out(5L), s"tf saturation should still order 2 above 5: $out")
+  }
   import spark.implicits._
 
   test("pyStrip matches python str.strip semantics incl. nbsp") {
