@@ -122,6 +122,11 @@ object PdfText {
     (out ++ expanded).toMap
   }
 
+  /** Decompression cap: a crafted/corrupt stream must not OOM an executor
+    * running the extraction UDF over an untrusted corpus. 256 MB decoded
+    * is far beyond any real content/CMap stream. */
+  private val MaxInflatedBytes = 256 << 20
+
   private def decodeStream(o: PObj): Option[Array[Byte]] = o.data.flatMap { raw =>
     if (!o.dict.contains("/FlateDecode")) Some(raw)
     else try {
@@ -131,8 +136,11 @@ object PdfText {
       val chunk = new Array[Byte](8192)
       while (!inf.finished() && !inf.needsInput()) {
         val n = inf.inflate(chunk)
-        if (n > 0) buf.write(chunk, 0, n)
-        else if (n == 0 && inf.needsDictionary()) throw new IllegalStateException("dict")
+        if (n > 0) {
+          buf.write(chunk, 0, n)
+          if (buf.size() > MaxInflatedBytes)
+            throw new IllegalStateException("inflate cap exceeded")
+        } else if (n == 0 && inf.needsDictionary()) throw new IllegalStateException("dict")
       }
       inf.end()
       Some(buf.toByteArray)

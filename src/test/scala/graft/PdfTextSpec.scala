@@ -41,6 +41,30 @@ class PdfTextSpec extends SparkSpec {
     PdfText.extract(broken) // must not throw; any output acceptable
   }
 
+  test("fuzz: truncations and random mutations never throw") {
+    val base = pdf("Skyline_Airways_policy_doc.pdf")
+    // truncation at structural boundaries and arbitrary points
+    Seq(16, 1024, base.length / 4, base.length / 2, base.length - 37).foreach { cut =>
+      PdfText.extract(base.take(cut).toArray)
+    }
+    // seeded random byte flips (keeps the %PDF- header so parsing engages)
+    val rng = new scala.util.Random(20260812L)
+    (1 to 10).foreach { _ =>
+      val mutated = base.clone()
+      (1 to 200).foreach { _ =>
+        mutated(8 + rng.nextInt(mutated.length - 8)) = rng.nextInt(256).toByte
+      }
+      PdfText.extract(mutated) // exception->"" contract: must never throw
+    }
+    // pure random garbage with a PDF header
+    (1 to 5).foreach { _ =>
+      val junk = new Array[Byte](50000)
+      rng.nextBytes(junk)
+      System.arraycopy("%PDF-1.7\n".getBytes, 0, junk, 0, 9)
+      PdfText.extract(junk)
+    }
+  }
+
   test("end-to-end: real PDFs -> binaryFile scan -> extract -> chunk -> embed") {
     val out = IngestPipeline.ingestBinaryDir(spark, corpus, HashEmbedder(dim = 16))
     val perFile = out.groupBy("filename").count().collect()
