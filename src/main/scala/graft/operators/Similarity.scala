@@ -57,16 +57,28 @@ object Similarity {
     * nprobe=4/16 is 1.00 at sf0.1 (pinned in AnnProbeSpec) and 1 -> 3
     * rounds lifts the small-corpus (sf0.01) recall 0.88 -> 0.92 at
     * nprobe=6; additional rounds showed no further gain.
+    *
+    * Training runs on a BOUNDED deterministic sample (`sampleCap` rows by
+    * md5-of-id order — partitioning/cluster-size independent): a coarse
+    * quantizer needs thousands of points per cell, not the corpus, so at
+    * 100 TB each Lloyd round aggregates a ~100k-row cached sample instead
+    * of rescanning everything. Corpora at/below the cap train on every
+    * row, so harness results are unchanged.
     */
   def trainCentroidArrays(collection: DataFrame, vecCol: String, idCol: String,
-                          ncells: Int, iters: Int = 3): Array[(Int, Array[Float])] = {
+                          ncells: Int, iters: Int = 3,
+                          sampleCap: Int = 100000): Array[(Int, Array[Float])] = {
+    val sample = collection.select(col(idCol), col(vecCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(sampleCap) // TakeOrdered: per-partition heaps, no global sort
+      .cache()
     var cents: Array[(Int, Array[Float])] =
-      collection.orderBy(col(idCol)).limit(ncells).select(col(vecCol)).collect()
+      sample.orderBy(col(idCol)).limit(ncells).select(col(vecCol)).collect()
         .zipWithIndex.map { case (r, i) => (i, r.getSeq[Float](0).toArray) }
     val Scale = 1L << 24 // |x| * 2^24 * rows << 2^63 for any realistic unit-ish embedding
     var it = 0
     while (it < iters) {
-      val partials = withCellId(collection, vecCol, cents)
+      val partials = withCellId(sample, vecCol, cents)
         .select(col("cell_id"), posexplode(col(vecCol)).as(Seq("_pos", "_x")))
         .groupBy("cell_id", "_pos")
         .agg(sum((col("_x").cast("double") * Scale).cast("long")).as("_s"),
@@ -84,6 +96,7 @@ object Similarity {
       cents = cents.map { case (id, old) => (id, byCell.getOrElse(id, old)) }
       it += 1
     }
+    sample.unpersist()
     cents
   }
 
