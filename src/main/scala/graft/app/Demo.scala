@@ -52,6 +52,24 @@ object Demo {
     // double-ingest quirk — append is allowed, demos won't hide it)
     store.append("docs", records)
     println(s"[demo] after re-ingest: ${store.count(spark, "docs")} records (2x, by design)")
+
+    // EP1/EP2 over the reference's ACTUAL input when present: a directory
+    // of real PDFs through binaryFile scan + the pure-JVM extractor, into
+    // the reference's collection name (:20), probed with its smoke query
+    // (:387 "refund policy")
+    val pdfDir = "/root/reference/pdf_datasets"
+    if (new java.io.File(pdfDir).isDirectory) {
+      val pdfRecords = IngestPipeline.ingestBinaryDir(spark, pdfDir, embedder)
+      store.create("airline_travel_docs", pdfRecords)
+      println(s"[demo] PDF ingest: ${store.count(spark, "airline_travel_docs")} chunk records " +
+        s"from ${pdfRecords.select("filename").distinct().count()} PDFs")
+      val pdfHits = RagSearch.searchForRag(store.read(spark, "airline_travel_docs"),
+        "refund policy", embedder.encodeOne,
+        nResults = 4, metadataCols = Seq("chunk_id", "filename"))
+      pdfHits.results.foreach { h =>
+        println(f"[demo]   d=${h.distance}%.4f ${h.metadata("filename")} '${h.content.take(60).replace('\n', ' ')}...'")
+      }
+    }
     spark.stop()
   }
 }
