@@ -917,6 +917,20 @@ object GraftOracles {
         |WHERE datediff('day', cohort, day) IN (0, 1, 3, 7, 14, 30)
         |GROUP BY cohort, 2 ORDER BY 1, 2""".stripMargin,
 
+    "q42_map_metadata" ->
+      """WITH m AS (SELECT doc_id,
+        |    map_concat(
+        |      map(['source','lang','n_chars'], [source, lang, CAST(n_chars AS VARCHAR)]),
+        |      map(['ingestion_date'], ['2025-07-13'])) AS md
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(cardinality(md) AS BIGINT) AS n_keys,
+        |  md['lang'][1] AS lang_val,
+        |  md['ingestion_date'][1] AS ingest_date,
+        |  md['missing'][1] AS missing_val,
+        |  array_to_string(map_keys(md), ',') AS keys_csv
+        |FROM m ORDER BY doc_id""".stripMargin,
+
     "pipeline_mix_report" ->
       """WITH d AS (SELECT source, lang,
         |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS ntok

@@ -1250,6 +1250,25 @@ object GraftQueries {
       .orderBy("source", "lang")
   }
 
+  /** MapType as the dynamic-metadata carrier (SURVEY §1: the reference's
+    * open-ended metadata dict maps to MAP<STRING,STRING> with promoted
+    * typed columns): build the per-doc metadata map, merge caller keys
+    * with map_concat (reference `**(metadata or {})`, :149), and read
+    * scalars back out — size, element_at hit, element_at miss (NULL). */
+  val q42MapMetadata: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("_m", map_concat(
+        map(lit("source"), col("source"), lit("lang"), col("lang"),
+          lit("n_chars"), col("n_chars").cast("string")),
+        map(lit("ingestion_date"), lit("2025-07-13"))))
+      .select(col("doc_id"),
+        size(col("_m")).cast("long").as("n_keys"),
+        element_at(col("_m"), "lang").as("lang_val"),
+        element_at(col("_m"), "ingestion_date").as("ingest_date"),
+        element_at(col("_m"), "missing").as("missing_val"),
+        array_join(map_keys(col("_m")), ",").as("keys_csv"))
+      .orderBy("doc_id")
+
   /** Typed Dataset API surfaced in the registry: groupByKey + mapGroups
     * computing each user's LONGEST gap between consecutive events —
     * genuinely custom per-group logic (needs an in-group sort), which is
@@ -1367,6 +1386,7 @@ object GraftQueries {
     "text_bm25" -> textBm25,
     "q41_cohort_retention" -> q41CohortRetention,
     "pipeline_mix_report" -> pipelineMixReport,
+    "q42_map_metadata" -> q42MapMetadata,
   )
 
   // DuckDB oracle SQL — see GraftOracles
