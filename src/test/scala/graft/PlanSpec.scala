@@ -126,6 +126,24 @@ class PlanSpec extends SparkSpec {
     assert(bhj.contains("BroadcastHashJoin"), s"broadcast hint ignored")
   }
 
+  test("text_bm25: corpus stats broadcast as one row, scoring ends in top-k") {
+    val p = plan("text_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      "BM25 top-k must be distributed top-k, not a global sort")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row stats side must broadcast")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "scoring must not shuffle the corpus against the stats row")
+  }
+
+  test("pipeline_mix_report: per-cell agg is partial (map-side), total broadcasts") {
+    val p = plan("pipeline_mix_report")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "cell aggregation should have a map-side partial phase")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the 1-row corpus total must broadcast")
+  }
+
   test("q24 gapfill: dense-grid build sides stay broadcast (no shuffled cross)") {
     val p = plan("q24_gapfill")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") ||
