@@ -917,6 +917,28 @@ object GraftOracles {
         |WHERE datediff('day', cohort, day) IN (0, 1, 3, 7, 14, 30)
         |GROUP BY cohort, 2 ORDER BY 1, 2""".stripMargin,
 
+    "text_unigram_lm" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |    FROM documents),
+        |v AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tk
+        |    GROUP BY 1 ORDER BY c DESC, token LIMIT 50000),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tk),
+        |vc AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM v),
+        |sc AS (SELECT tk.doc_id,
+        |    CAST(floor(ln((coalesce(v.c, 0) + 1.0) / (total + nv)) * 1048576) AS BIGINT) AS lp
+        |  FROM tk LEFT JOIN v USING (token), t, vc)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |  floor(CAST(sum(lp) AS DOUBLE) / count(*) / 1048576 * 1e6 + 0.5) / 1e6 AS avg_logp
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q43_not_in" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive
+        |FROM customer
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+        |                        WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+
     "q42_map_metadata" ->
       """WITH m AS (SELECT doc_id,
         |    map_concat(

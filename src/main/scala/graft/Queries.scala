@@ -1250,6 +1250,57 @@ object GraftQueries {
       .orderBy("source", "lang")
   }
 
+  /** Unigram language-model scoring (the perplexity-style quality filter
+    * a training-data pipeline runs to drop gibberish): corpus vocabulary
+    * with add-one smoothing, per-doc mean token log-probability.
+    *
+    * Shapes: vocab = one shuffle capped at `vocabCap` rows (bounded
+    * broadcast at any corpus size); scoring = explode -> broadcast-join ->
+    * re-group by doc (tokens of a doc never leave their partition, so the
+    * partial agg collapses to ~1 row/doc before the shuffle). Per-token
+    * log-probs go through floor(x * 2^20) fixed-point BIGINT sums —
+    * integer addition is order-independent, so the per-doc mean is
+    * bit-deterministic across engines AND Spark merge orders (the
+    * vec_centroid trick). */
+  val textUnigramLm: Q = (s, d) => {
+    val vocabCap = 50000
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
+    val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("token")).limit(vocabCap)
+    val total = toks.agg(count(lit(1)).as("total"))
+    val nv = vocab.agg(count(lit(1)).as("nv"))
+    toks.join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(total)).crossJoin(broadcast(nv))
+      .withColumn("lp",
+        floor(log((coalesce(col("c"), lit(0L)) + 1.0) / (col("total") + col("nv")))
+          * 1048576).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (floor(sum(col("lp")).cast("double") / count(lit(1)) / 1048576 * 1e6 + 0.5) / 1e6)
+          .as("avg_logp"))
+      .orderBy("doc_id")
+  }
+
+  /** NOT IN through the SQL front-end — the null-aware anti-join
+    * semantics trap (one NULL in the subquery empties the result). Here
+    * the key is non-null, so it equals NOT EXISTS; the query exists to
+    * pin the SEMANTICS cross-engine. Scale note: null-aware anti joins
+    * must broadcast the subquery side, so at 100 TB the scale-safe form
+    * of this intent is NOT EXISTS / left_anti (q14, q7) — equivalent for
+    * non-null keys and free of the broadcast requirement. */
+  val q43NotIn: Q = (s, d) => {
+    Tables.customer(s, d).createOrReplaceTempView("g_customer_ni")
+    Tables.orders(s, d).createOrReplaceTempView("g_orders_ni")
+    s.sql(
+      """SELECT c_mktsegment, count(*) AS n_inactive
+        |FROM g_customer_ni
+        |WHERE c_custkey NOT IN (SELECT o_custkey FROM g_orders_ni
+        |                        WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   /** MapType as the dynamic-metadata carrier (SURVEY §1: the reference's
     * open-ended metadata dict maps to MAP<STRING,STRING> with promoted
     * typed columns): build the per-doc metadata map, merge caller keys
@@ -1387,6 +1438,8 @@ object GraftQueries {
     "q41_cohort_retention" -> q41CohortRetention,
     "pipeline_mix_report" -> pipelineMixReport,
     "q42_map_metadata" -> q42MapMetadata,
+    "text_unigram_lm" -> textUnigramLm,
+    "q43_not_in" -> q43NotIn,
   )
 
   // DuckDB oracle SQL — see GraftOracles
