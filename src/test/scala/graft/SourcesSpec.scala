@@ -50,6 +50,29 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("text source: wholetext file-per-row feeds the ingest pipeline") {
+    // the raw-.txt-corpus ingest shape (the non-PDF sibling of
+    // ingestBinaryDir): one row per FILE via wholetext, filename from
+    // the reserved metadata column, straight into ingestDocuments
+    val dir = java.nio.file.Files.createTempDirectory("graft_txt").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"),
+      "alpha beta gamma. " * 50)
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.txt"),
+      "delta epsilon zeta. " * 50)
+    val files = spark.read.option("wholetext", "true").text(dir)
+      .select(col("value").as("text"),
+        element_at(split(input_file_name(), "/"), -1).as("doc_id"))
+      .withColumn("source", col("doc_id"))
+    val out = graft.ingest.IngestPipeline.ingestDocuments(
+      files, graft.embed.HashEmbedder(dim = 16), chunkSize = 120, overlap = 20)
+    val perDoc = out.groupBy("doc_id").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(perDoc.keySet == Set("a.txt", "b.txt"))
+    assert(perDoc.values.forall(_ > 3)) // ~900 chars / 100-char stride
+    // line-mode (default) reads the same dir as one row per line
+    assert(spark.read.text(dir).count() == 2) // each file is one line here
+  }
+
   test("embeddings (nested array column) survive a json round trip") {
     val dir = java.nio.file.Files.createTempDirectory("graft_json_vec").toString
     val e = Tables.embeddings(spark, sf).limit(20)
