@@ -41,6 +41,81 @@ class PdfTextSpec extends SparkSpec {
     PdfText.extract(broken) // must not throw; any output acceptable
   }
 
+  /** Minimal single-page PDF with an UNCOMPRESSED content stream — lets
+    * the spec target the object parser / operand machine in isolation. */
+  private def syntheticPdf(contentStream: String, extraObjs: String = "",
+                           fontDictEntry: String = "/F1 5 0 R"): Array[Byte] = {
+    val content = s"BT /F1 12 Tf $contentStream ET"
+    (s"""%PDF-1.4
+        |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+        |2 0 obj << /Type /Pages /Kids [ 3 0 R ] /Count 1 >> endobj
+        |3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R
+        |  /Resources << /Font << $fontDictEntry >> >> >> endobj
+        |4 0 obj << /Length ${content.length} >> stream
+        |$content
+        |endstream endobj
+        |5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj
+        |$extraObjs
+        |trailer << /Root 1 0 R >>
+        |%%EOF""".stripMargin).getBytes("ISO-8859-1")
+  }
+
+  test("synthetic PDF: literal strings round-trip incl. escapes, octal, nested parens") {
+    val txt = PdfText.extract(syntheticPdf(
+      """(Hello World) Tj (paren \( inside \) ok) Tj (tab\there) Tj (octal:\101\102\103) Tj (nested (deep) parens) Tj"""))
+    assert(txt.contains("Hello World"))
+    assert(txt.contains("paren ( inside ) ok"))
+    assert(txt.contains("tab\there"))
+    assert(txt.contains("octal:ABC"))
+    assert(txt.contains("nested (deep) parens"))
+  }
+
+  test("synthetic PDF: TJ arrays concatenate; Td emits line breaks") {
+    val txt = PdfText.extract(syntheticPdf(
+      """[(Hel) -120 (lo)] TJ 0 -14 Td (next line) Tj"""))
+    assert(txt.contains("Hello"))
+    assert(txt.replaceAll("\\s+", " ").contains("Hello next line"))
+    assert(txt.contains("\n"), "Td must break the line")
+  }
+
+  test("synthetic PDF: 2-byte CID hex strings decode through a bfrange CMap") {
+    // font 5 = Type0 with ToUnicode 6; CMap maps <0041>-<005A> -> A-Z via
+    // bfrange (the range arm is untested by the reference corpus, which
+    // uses bfchar) plus one bfchar for space
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |1 beginbfchar <0003> <0020> endbfchar
+        |1 beginbfrange <0041> <005A> <0041> endbfrange
+        |endcmap""".stripMargin
+    val extra =
+      s"""5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H
+         |  /ToUnicode 6 0 R >> endobj
+         |6 0 obj << /Length ${cmap.length} >> stream
+         |$cmap
+         |endstream endobj""".stripMargin
+    // "HI" = <0048><0049>, space = <0003>, "OK" = <004F><004B>
+    val pdf = new String(syntheticPdf("<00480049> Tj <0003> Tj <004F004B> Tj"), "ISO-8859-1")
+      .replace("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj", extra)
+      .getBytes("ISO-8859-1")
+    val txt = PdfText.extract(pdf)
+    assert(txt.contains("HI OK"), s"CID decode failed: '$txt'")
+  }
+
+  test("synthetic PDF property sweep: random printable strings survive extraction") {
+    val rng = new scala.util.Random(0x9dF4L)
+    (1 to 50).foreach { _ =>
+      val s = (1 to (1 + rng.nextInt(60))).map { _ =>
+        val c = (0x20 + rng.nextInt(0x5F)).toChar // printable ASCII
+        c
+      }.mkString
+      val escaped = s.replace("\\", "\\\\").replace("(", "\\(").replace(")", "\\)")
+      val txt = PdfText.extract(syntheticPdf(s"($escaped) Tj"))
+      assert(txt.contains(s), s"lost [$s] -> [$txt]")
+    }
+  }
+
   test("fuzz: truncations and random mutations never throw") {
     val base = pdf("Skyline_Airways_policy_doc.pdf")
     // truncation at structural boundaries and arbitrary points
