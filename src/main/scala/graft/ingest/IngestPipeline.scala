@@ -75,11 +75,10 @@ object IngestPipeline {
   }
 
   /** binaryFile-source variant (the real PDF-dir shape, reference O1): scan
-    * a directory, keep `.pdf` paths, extract text via a pluggable extractor
-    * UDF. The container has no PDF decode lib, so the default extractor is
-    * a clearly-marked stand-in that treats the bytes as UTF-8 — the Spark
-    * plumbing (binaryFile scan, path filter, per-file rows, blank-text
-    * fallback semantics) is the real thing.
+    * a directory, keep `.pdf` paths, extract text with [[PdfText]] — the
+    * pure-JVM PDF extractor (Flate decode, page tree, Tj/TJ content
+    * streams, /ToUnicode CID decoding) — falling back to a UTF-8 decode
+    * for non-PDF bytes, then to the blank-text failed-row semantics.
     */
   def readBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String,
                     glob: String = "*.pdf"): DataFrame =
