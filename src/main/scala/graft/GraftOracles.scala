@@ -91,6 +91,34 @@ object GraftOracles {
       |  UNION ALL
       |  SELECT doc_id, start, chunk FROM big WHERE length(chunk) > 0)""".stripMargin
 
+  /** Shared BM25 corpus CTE (terms hash/merge/window/stream, k1=1.2,
+    * b=0.75): per-doc tf/dl, one stats row, floor-rounded score — used by
+    * text_bm25 and rag_bm25_fusion. */
+  private val bm25Cte =
+    """WITH d AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS dl,
+      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'hash')) AS BIGINT) AS tf0,
+      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'merge')) AS BIGINT) AS tf1,
+      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'window')) AS BIGINT) AS tf2,
+      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'stream')) AS BIGINT) AS tf3
+      |  FROM documents),
+      |s AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+      |    CAST(count(*) FILTER (WHERE tf0 > 0) AS BIGINT) AS df0,
+      |    CAST(count(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
+      |    CAST(count(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2,
+      |    CAST(count(*) FILTER (WHERE tf3 > 0) AS BIGINT) AS df3
+      |  FROM d),
+      |bm AS (
+      |  SELECT doc_id, dl, floor((
+      |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+      |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+      |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+      |    + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (CAST(tf3 AS DOUBLE) * 2.2) / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
+      |    ) * 1e4 + 0.5) / 1e4 AS bm25
+      |  FROM d, s)""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
@@ -881,31 +909,33 @@ object GraftOracles {
     // expression (same association order) so the double math agrees;
     // floor-form rounding per the parity rules.
     "text_bm25" ->
-      """WITH d AS (
-        |  SELECT doc_id,
-        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS dl,
-        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'hash')) AS BIGINT) AS tf0,
-        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'merge')) AS BIGINT) AS tf1,
-        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'window')) AS BIGINT) AS tf2,
-        |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'stream')) AS BIGINT) AS tf3
-        |  FROM documents),
-        |s AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
-        |    CAST(count(*) FILTER (WHERE tf0 > 0) AS BIGINT) AS df0,
-        |    CAST(count(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
-        |    CAST(count(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2,
-        |    CAST(count(*) FILTER (WHERE tf3 > 0) AS BIGINT) AS df3
-        |  FROM d)
-        |SELECT doc_id, dl, bm25 FROM (
-        |  SELECT doc_id, dl, floor((
-        |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
-        |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
-        |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
-        |    + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (CAST(tf3 AS DOUBLE) * 2.2) / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
-        |    ) * 1e4 + 0.5) / 1e4 AS bm25
-        |  FROM d, s)
-        |WHERE bm25 > 0
-        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+      s"""$bm25Cte
+         |SELECT doc_id, dl, bm25 FROM bm
+         |WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // BM25 arm (top-100 by rounded score) + exact-cosine arm (top-100)
+    // fused with reciprocal-rank fusion — the principled hybrid whose
+    // cruder cousin is rag_hybrid_search's term-hit score
+    "rag_bm25_fusion" ->
+      s"""$bm25Cte,
+         |kwtop AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_kw
+         |  FROM (SELECT doc_id, bm25 FROM bm WHERE bm25 > 0
+         |        ORDER BY bm25 DESC, doc_id LIMIT 100)),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vs AS (SELECT e.vec_id AS doc_id,
+         |    list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+         |    sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) *
+         |         list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))) AS cos
+         |  FROM embeddings e, q),
+         |vtop AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT) AS rank_vec
+         |  FROM vs ORDER BY cos DESC, doc_id LIMIT 100)
+         |SELECT doc_id, rank_kw, rank_vec,
+         |  floor((coalesce(1.0/(60+rank_kw), 0) + coalesce(1.0/(60+rank_vec), 0))*1e6 + 0.5)/1e6 AS rrf
+         |FROM kwtop FULL OUTER JOIN vtop USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     "q41_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -1250,6 +1250,37 @@ object GraftQueries {
       .orderBy("source", "lang")
   }
 
+  /** Hybrid retrieval, principled form: BM25 keyword arm (top-100 by
+    * rounded score) + exact-cosine vector arm (top-100), fused with
+    * reciprocal-rank fusion. Both arms are distributed top-k over their
+    * candidate sets before any ranking window touches them — the same
+    * discipline as rag_hybrid_search, whose term-hit score this
+    * supersedes as the keyword signal. */
+  val ragBm25Fusion: Q = (s, d) => {
+    val kwTop = TextAnalysis.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+        terms = Seq("hash", "merge", "window", "stream"), k = 100)
+      .withColumn("rank_kw",
+        row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_kw")
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val vTop = e.crossJoin(broadcast(q))
+      .withColumn("cos", cosine(col("embedding"), col("qv")))
+      .select(col("vec_id").as("doc_id"), col("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(100)
+      .withColumn("rank_vec",
+        row_number().over(Window.orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_vec")
+    kwTop.join(vTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", floor(
+        (coalesce(lit(1.0) / (lit(60) + col("rank_kw")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0))) * 1e6 + 0.5) / 1e6)
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+      .select("doc_id", "rank_kw", "rank_vec", "rrf")
+  }
+
   /** Unigram language-model scoring (the perplexity-style quality filter
     * a training-data pipeline runs to drop gibberish): corpus vocabulary
     * with add-one smoothing, per-doc mean token log-probability.
@@ -1440,6 +1471,7 @@ object GraftQueries {
     "q42_map_metadata" -> q42MapMetadata,
     "text_unigram_lm" -> textUnigramLm,
     "q43_not_in" -> q43NotIn,
+    "rag_bm25_fusion" -> ragBm25Fusion,
   )
 
   // DuckDB oracle SQL — see GraftOracles
