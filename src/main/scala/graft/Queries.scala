@@ -681,6 +681,22 @@ object GraftQueries {
         approx_count_distinct(col("l_partkey"), 0.02).as("n_approx"))
       .orderBy("l_returnflag")
 
+  /** Mergeable quantile sketch vs exact percentile: approx_percentile is
+    * the shape a 100 TB quantile runs on (bounded-memory partial sketches
+    * merged at the reducer; exact `percentile` buffers every value per
+    * group). Sketch internals are engine-specific -> rows-only, like the
+    * HLL sketch (q12); the exact columns are the in-row ground truth and
+    * the error bound is asserted in QuerySemanticsSpec. Determinism
+    * measured: results bit-identical across 8/32-thread runs. */
+  val q44PercentileSketch: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
+        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4).as("p50_approx"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_exact"),
+        round(expr("approx_percentile(l_extendedprice, 0.99, 1000)"), 4).as("p99_approx"))
+      .orderBy("l_returnflag")
+
   // ================================================== round-2 depth queries
 
   /** Lead/lag: per-customer consecutive-order day gaps + price-vs-next. */
@@ -1472,6 +1488,7 @@ object GraftQueries {
     "text_unigram_lm" -> textUnigramLm,
     "q43_not_in" -> q43NotIn,
     "rag_bm25_fusion" -> ragBm25Fusion,
+    "q44_percentile_sketch" -> q44PercentileSketch,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -32,6 +32,17 @@ class QuerySemanticsSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(dir))
   }
 
+  test("approx_percentile tracks exact percentile within sketch accuracy") {
+    // accuracy=1000 bounds rank error at ~1/1000 of the group size; on
+    // harness groups that keeps the value within a fraction of a percent
+    GraftQueries.q44PercentileSketch(spark, sf).collect().foreach { r =>
+      val (e50, a50) = (r.getDouble(1), r.getDouble(2))
+      val (e99, a99) = (r.getDouble(3), r.getDouble(4))
+      assert(math.abs(a50 - e50) / e50 < 0.05, s"p50 drifted: exact $e50 approx $a50")
+      assert(math.abs(a99 - e99) / e99 < 0.05, s"p99 drifted: exact $e99 approx $a99")
+    }
+  }
+
   test("get_json_object and typed from_json agree on props extraction") {
     // q20 runs get_json_object (measured faster for single-field pulls at
     // sf0.1); the typed from_json path must stay interchangeable

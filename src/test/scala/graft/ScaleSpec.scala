@@ -99,6 +99,34 @@ class ScaleSpec extends SparkSpec {
     assert(joined.count() == spark.table("ev_bucketed").count())
   }
 
+  test("runtime Bloom-filter pruning engages on selective fact-dim shuffle joins") {
+    // at 100 TB a selective dim filter should prune the fact scan at
+    // runtime even when the dim is too big to broadcast; Spark's
+    // bloom-filter join does exactly that. Cluster defaults engage it
+    // automatically (application side >= 10 GB); here the thresholds are
+    // scaled down to harness size to pin that OUR join shapes qualify.
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+    s2.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the shuffle-join case
+    val li = Tables.lineitem(s2, sf)
+    val o = Tables.orders(s2, sf)
+      .filter(col("o_orderdate") < lit("1995-03-01").cast("timestamp"))
+    val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+    assert(j.queryExecution.optimizedPlan.toString.contains("bloom"),
+      "bloom filter not injected into the fact side")
+    // and the filtered plan still returns correct results
+    val expected = Tables.lineitem(spark, sf)
+      .join(Tables.orders(spark, sf)
+        .filter(col("o_orderdate") < lit("1995-03-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).toSet
+    assert(j.collect().map(_.toString).toSet == expected)
+  }
+
   test("partitioned collection write enables partition pruning") {
     val root = java.nio.file.Files.createTempDirectory("graft_part").toString
     val store = VectorStore(root)
