@@ -127,6 +127,37 @@ class ScaleSpec extends SparkSpec {
     assert(j.collect().map(_.toString).toSet == expected)
   }
 
+  test("z-order clustering bounds BOTH dimensions per file; ts-sort bounds only one") {
+    import graft.operators.ZOrder
+    val ev = Tables.events(spark, sf)
+      .select($"user_id", $"ts".cast("double").as("tsec"), $"event_id")
+    val uGlobal = {
+      val r = ev.agg(min("user_id"), max("user_id")).collect()(0)
+      (r.getLong(1) - r.getLong(0)).toDouble
+    }
+    val files = 8
+    // per-range user_id spread under each layout = the parquet min/max
+    // stat width that decides whether a user_id predicate can skip a file
+    def avgUserSpread(df: org.apache.spark.sql.DataFrame): Double = {
+      val spreads = df
+        .withColumn("_part", org.apache.spark.sql.functions.spark_partition_id())
+        .groupBy("_part").agg((max("user_id") - min("user_id")).as("w"))
+        .collect().map(_.getLong(1).toDouble)
+      spreads.sum / spreads.length
+    }
+    val zordered = ZOrder.cluster(ev, "user_id", "tsec", numFiles = files)
+    val tsSorted = ev.repartitionByRange(files, $"tsec").sortWithinPartitions("tsec")
+    val zSpread = avgUserSpread(zordered)
+    val tSpread = avgUserSpread(tsSorted)
+    info(f"avg per-file user_id spread: zorder=$zSpread%.0f ts-sort=$tSpread%.0f global=$uGlobal%.0f")
+    // ts-sorted files see essentially every user; z-ordered files must
+    // cover a distinctly narrower user range (the skipping enabler)
+    assert(tSpread > 0.9 * uGlobal, "ts-sort baseline unexpectedly narrow")
+    assert(zSpread < 0.7 * uGlobal, s"z-order failed to bound user_id: $zSpread vs $uGlobal")
+    // clustering is a permutation: nothing lost
+    assert(zordered.count() == ev.count())
+  }
+
   test("partitioned collection write enables partition pruning") {
     val root = java.nio.file.Files.createTempDirectory("graft_part").toString
     val store = VectorStore(root)
