@@ -1256,9 +1256,14 @@ object GraftQueries {
     val docs = Tables.documents(s, d)
       .select(col("source"), col("lang"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
+    // cached: the few-row cells aggregate feeds both the corpus total and
+    // the report join, so the corpus is scanned ONCE (deriving the total
+    // from a second docs scan — or recomputing cells — would double the
+    // dominant cost at scale); integer sums are identical either way
     val cells = docs.groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("_ntok")).as("n_tokens"))
-    val total = docs.agg(sum(col("_ntok")).as("_total"))
+      .cache()
+    val total = cells.agg(sum(col("n_tokens")).as("_total"))
     cells.crossJoin(broadcast(total))
       .withColumn("token_share",
         floor(col("n_tokens").cast("double") / col("_total") * 1e6 + 0.5) / 1e6)

@@ -61,8 +61,11 @@ object Demo {
     if (new java.io.File(pdfDir).isDirectory) {
       val pdfRecords = IngestPipeline.ingestBinaryDir(spark, pdfDir, embedder)
       store.create("airline_travel_docs", pdfRecords)
-      println(s"[demo] PDF ingest: ${store.count(spark, "airline_travel_docs")} chunk records " +
-        s"from ${pdfRecords.select("filename").distinct().count()} PDFs")
+      // count from the written collection — re-counting pdfRecords would
+      // re-run the whole extraction+embedding pipeline a second time
+      val written = store.read(spark, "airline_travel_docs")
+      println(s"[demo] PDF ingest: ${written.count()} chunk records " +
+        s"from ${written.select("filename").distinct().count()} PDFs")
       val pdfHits = RagSearch.searchForRag(store.read(spark, "airline_travel_docs"),
         "refund policy", embedder.encodeOne,
         nResults = 4, metadataCols = Seq("chunk_id", "filename"))

@@ -87,20 +87,19 @@ object IngestPipeline {
       .load(dir)
 
   /** Extraction chain (reference :130-138): primary = the pure-JVM PDF
-    * extractor [[PdfText]] (real content-stream + ToUnicode decoding);
-    * when it yields blank — non-PDF bytes, encrypted, unsupported filter
-    * — retry with a plain UTF-8 decode (the stand-in for the reference's
-    * second extractor, PyMuPDF, :81-92). Still-blank output flows on as a
-    * failed row (:136-138); exceptions → "" (:77-79).
+    * extractor [[PdfText]] (real content-stream + ToUnicode decoding).
+    * The UTF-8 fallback applies ONLY to non-PDF bytes (plain-text files
+    * arriving through the same dir scan): a GENUINE PDF whose extraction
+    * fails — encrypted, image-only, unsupported filter — must produce
+    * blank text so the blank-text contract records a failed row
+    * (:136-138), not mojibake of the raw PDF bytes masquerading as
+    * success. Exceptions → "" (:77-79).
     */
   val extractTextUdf = udf { (bytes: Array[Byte]) =>
     if (bytes == null) ""
-    else {
-      val primary = PdfText.extract(bytes)
-      if (primary.trim.nonEmpty) primary
-      else try new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
-      catch { case _: Throwable => "" }
-    }
+    else if (PdfText.looksLikePdf(bytes)) PdfText.extract(bytes)
+    else try new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+    catch { case _: Throwable => "" }
   }
 
   def ingestBinaryDir(spark: org.apache.spark.sql.SparkSession, dir: String,

@@ -39,12 +39,18 @@ object PdfText {
 
   // ------------------------------------------------------------ entry
 
+  /** Cheap header sniff — used by callers to decide whether blank
+    * extraction means "failed PDF" (failed-row contract) vs "not a PDF"
+    * (fall back to plain-text decode). */
+  def looksLikePdf(bytes: Array[Byte]): Boolean =
+    bytes != null && bytes.length >= 8 &&
+      new String(bytes, 0, math.min(bytes.length, 1024), StandardCharsets.ISO_8859_1)
+        .contains("%PDF-")
+
   /** Extract all page text; "" on any failure or non-PDF input. */
   def extract(bytes: Array[Byte]): String =
     try {
-      if (bytes == null || bytes.length < 8) return ""
-      val head = new String(bytes, 0, math.min(bytes.length, 1024), StandardCharsets.ISO_8859_1)
-      if (!head.contains("%PDF-")) return ""
+      if (!looksLikePdf(bytes)) return ""
       val s = new String(bytes, StandardCharsets.ISO_8859_1)
       val objs = parseObjects(s)
       val pages = pageOrder(s, objs)
@@ -63,36 +69,47 @@ object PdfText {
     // light pass: integer-valued objects (for /Length N 0 R resolution)
     val intObj = """(\d+)\s+\d+\s+obj\s*(\d+)\s*endobj""".r
     val ints = intObj.findAllMatchIn(s).map(m => m.group(1).toInt -> m.group(2).toLong).toMap
+    // sequential scan: a header match that falls INSIDE a previously
+    // consumed object's extent (e.g. a spurious 'N 0 obj' byte pattern in
+    // compressed stream data) is skipped, so it can never shadow a real
+    // object of the same number
     val headers = objHeader.findAllMatchIn(s).toArray
+    var pos = 0
     for (i <- headers.indices) {
       val m = headers(i)
-      val num = m.group(1).toInt
-      val limit = if (i + 1 < headers.length) headers(i + 1).start else s.length
-      val iEndobj = s.indexOf("endobj", m.end) match {
-        case -1 => limit
-        case x  => math.min(x, limit)
-      }
-      val iStream = s.indexOf("stream", m.end)
-      if (iStream >= 0 && iStream < iEndobj) {
-        val dict = s.substring(m.end, iStream)
-        var dataStart = iStream + "stream".length
-        if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
-        if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
-        val len: Option[Long] = lengthLit.findFirstMatchIn(dict).map(_.group(1).toLong)
-          .orElse(lengthRef.findFirstMatchIn(dict).flatMap(r => ints.get(r.group(1).toInt)))
-        val dataEnd = len match {
-          case Some(l) if dataStart + l <= s.length => dataStart + l.toInt
-          case _ => s.indexOf("endstream", dataStart) match {
-            case -1 => dataStart
-            case x  => x
-          }
+      if (m.start >= pos) {
+        val num = m.group(1).toInt
+        val iEndobj = s.indexOf("endobj", m.end) match {
+          case -1 => s.length
+          case x  => x
         }
-        val raw = new Array[Byte](dataEnd - dataStart)
-        var k = 0
-        while (k < raw.length) { raw(k) = s.charAt(dataStart + k).toByte; k += 1 }
-        out(num) = PObj(dict, Some(raw))
-      } else {
-        out(num) = PObj(s.substring(m.end, iEndobj), None)
+        val iStream = s.indexOf("stream", m.end)
+        if (iStream >= 0 && iStream < iEndobj) {
+          val dict = s.substring(m.end, iStream)
+          var dataStart = iStream + "stream".length
+          if (dataStart < s.length && s.charAt(dataStart) == '\r') dataStart += 1
+          if (dataStart < s.length && s.charAt(dataStart) == '\n') dataStart += 1
+          val len: Option[Long] = lengthLit.findFirstMatchIn(dict).map(_.group(1).toLong)
+            .orElse(lengthRef.findFirstMatchIn(dict).flatMap(r => ints.get(r.group(1).toInt)))
+          val dataEnd = len match {
+            case Some(l) if dataStart + l <= s.length => dataStart + l.toInt
+            case _ => s.indexOf("endstream", dataStart) match {
+              case -1 => dataStart
+              case x  => x
+            }
+          }
+          val raw = new Array[Byte](dataEnd - dataStart)
+          var k = 0
+          while (k < raw.length) { raw(k) = s.charAt(dataStart + k).toByte; k += 1 }
+          out(num) = PObj(dict, Some(raw))
+          pos = s.indexOf("endobj", dataEnd) match {
+            case -1 => dataEnd
+            case x  => x + "endobj".length
+          }
+        } else {
+          out(num) = PObj(s.substring(m.end, iEndobj), None)
+          pos = math.min(iEndobj + "endobj".length, s.length)
+        }
       }
     }
     // expand object streams (/Type /ObjStm): header = N pairs of
@@ -129,22 +146,27 @@ object PdfText {
 
   private def decodeStream(o: PObj): Option[Array[Byte]] = o.data.flatMap { raw =>
     if (!o.dict.contains("/FlateDecode")) Some(raw)
-    else try {
+    else {
       val inf = new Inflater()
-      inf.setInput(raw)
-      val buf = new java.io.ByteArrayOutputStream(math.max(1024, raw.length * 4))
-      val chunk = new Array[Byte](8192)
-      while (!inf.finished() && !inf.needsInput()) {
-        val n = inf.inflate(chunk)
-        if (n > 0) {
-          buf.write(chunk, 0, n)
-          if (buf.size() > MaxInflatedBytes)
-            throw new IllegalStateException("inflate cap exceeded")
-        } else if (n == 0 && inf.needsDictionary()) throw new IllegalStateException("dict")
-      }
-      inf.end()
-      Some(buf.toByteArray)
-    } catch { case _: Throwable => None }
+      try {
+        inf.setInput(raw)
+        val buf = new java.io.ByteArrayOutputStream(math.max(1024, raw.length * 4))
+        val chunk = new Array[Byte](8192)
+        while (!inf.finished() && !inf.needsInput()) {
+          val n = inf.inflate(chunk)
+          if (n > 0) {
+            buf.write(chunk, 0, n)
+            if (buf.size() > MaxInflatedBytes)
+              throw new IllegalStateException("inflate cap exceeded")
+          } else if (n == 0 && inf.needsDictionary()) throw new IllegalStateException("dict")
+        }
+        Some(buf.toByteArray)
+      } catch { case _: Throwable => None }
+      // end() in finally: corrupt/rejected streams must release native
+      // zlib memory immediately, not at GC finalization — the adversarial
+      // corpus is exactly where many streams fail
+      finally inf.end()
+    }
   }
 
   // ------------------------------------------------------- page order

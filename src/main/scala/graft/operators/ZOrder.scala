@@ -38,12 +38,15 @@ object ZOrder {
     val d1 = col(c1).cast("double")
     val d2 = col(c2).cast("double")
     val r = df.agg(min(d1), max(d1), min(d2), max(d2)).collect()(0)
-    val (lo1, hi1, lo2, hi2) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    // empty frame / all-null column -> null stats; degenerate dimensions
+    // collapse to 0 (clustering becomes a no-op instead of an NPE)
+    def stat(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    val (lo1, hi1, lo2, hi2) = (stat(0), stat(1), stat(2), stat(3))
     val scale = (1L << bits) - 1
     def norm(c: Column, lo: Double, hi: Double): Column =
       if (hi <= lo) lit(0L)
-      else least(greatest(((c - lo) / (hi - lo) * scale), lit(0.0)), lit(scale.toDouble))
-        .cast("long")
+      else least(greatest(coalesce((c - lo) / (hi - lo) * scale, lit(0.0)), lit(0.0)),
+        lit(scale.toDouble)).cast("long")
     df.withColumn("_zorder", morton(norm(d1, lo1, hi1), norm(d2, lo2, hi2), bits))
   }
 

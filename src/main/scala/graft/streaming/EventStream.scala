@@ -54,8 +54,8 @@ object EventStream {
     * rows in the child session's catalog until dropped). The returned
     * DataFrame is a local relation on `parent` — independent of the child
     * session and of the sink. */
-  private[streaming] def drainMemorySink(parent: SparkSession, child: SparkSession,
-                                         q: StreamingQuery, queryName: String): DataFrame = {
+  private[graft] def drainMemorySink(parent: SparkSession, child: SparkSession,
+                                     q: StreamingQuery, queryName: String): DataFrame = {
     val sink = child.table(queryName)
     val rows = sink.collect()
     val schema = sink.schema

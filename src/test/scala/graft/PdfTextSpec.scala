@@ -116,6 +116,21 @@ class PdfTextSpec extends SparkSpec {
     }
   }
 
+  test("genuine PDF failing extraction -> blank (failed row); non-PDF -> UTF-8 fallback") {
+    import spark.implicits._
+    // PDF header but unextractable body: must come out blank so the
+    // blank-text contract records a FAILED row — not a UTF-8 mojibake of
+    // the raw bytes masquerading as success
+    val failingPdf = ("%PDF-1.7\nnothing parseable here " * 40).getBytes("ISO-8859-1")
+    val a = Seq(Tuple1(failingPdf)).toDF("content")
+      .select(IngestPipeline.extractTextUdf($"content").as("t")).head().getString(0)
+    assert(a.trim.isEmpty, s"failed PDF must be blank, got: '${a.take(60)}'")
+    // plain-text bytes (no PDF header) still flow through the UTF-8 path
+    val b = Seq(Tuple1("plain text file".getBytes("UTF-8"))).toDF("content")
+      .select(IngestPipeline.extractTextUdf($"content").as("t")).head().getString(0)
+    assert(b == "plain text file")
+  }
+
   test("fuzz: truncations and random mutations never throw") {
     val base = pdf("Skyline_Airways_policy_doc.pdf")
     // truncation at structural boundaries and arbitrary points

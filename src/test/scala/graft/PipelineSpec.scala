@@ -168,14 +168,24 @@ class PipelineSpec extends SparkSpec {
     store.destroy()
   }
 
-  test("repeated streaming queries leave no temp views behind in the session") {
-    // memory sinks used to accumulate one fully-materialized table per
-    // invocation; drainMemorySink must drop them
-    GraftQueries.streamingHourly(spark, sf).count()
-    GraftQueries.streamingHourly(spark, sf).count()
-    val leftover = spark.catalog.listTables().collect()
-      .filter(_.name.startsWith("graft_stream_"))
-    assert(leftover.isEmpty, s"leaked sink tables: ${leftover.map(_.name).toSeq}")
+  test("drainMemorySink drops the child-session sink view and localizes rows") {
+    // memory sinks register their view in the CHILD session's catalog and
+    // pin the materialized result there until dropped; drain must remove
+    // the view and hand back a parent-session local relation
+    import org.apache.spark.sql.functions.window
+    val child = spark.newSession()
+    child.conf.set("spark.sql.shuffle.partitions", "4")
+    val name = "drain_test_sink"
+    val src = child.readStream.format("rate").option("rowsPerSecond", "50").load()
+    val q = src.withWatermark("timestamp", "0 seconds")
+      .groupBy(window(col("timestamp"), "1 second")).count()
+      .writeStream.outputMode("complete").format("memory").queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+    q.awaitTermination()
+    assert(child.catalog.tableExists(name), "sink view should exist before drain")
+    val drained = graft.streaming.EventStream.drainMemorySink(spark, child, q, name)
+    assert(!child.catalog.tableExists(name), "drain must drop the child-session sink view")
+    drained.count() // parent-session local relation stays usable after the drop
   }
 
   test("streaming windowed agg equals batch windowed agg") {
