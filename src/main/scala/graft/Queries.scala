@@ -1256,13 +1256,17 @@ object GraftQueries {
     val docs = Tables.documents(s, d)
       .select(col("source"), col("lang"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
-    // cached: the few-row cells aggregate feeds both the corpus total and
-    // the report join, so the corpus is scanned ONCE (deriving the total
+    // the few-row cells aggregate feeds both the corpus total and the
+    // report join, so the corpus must be scanned ONCE (deriving the total
     // from a second docs scan — or recomputing cells — would double the
-    // dominant cost at scale); integer sums are identical either way
-    val cells = docs.groupBy("source", "lang")
+    // dominant cost at scale). Materialized eagerly as a local relation
+    // (bounded: |sources| x |langs| rows) rather than cache() — a cached
+    // lazy plan returned to a long-lived caller can never be unpersisted
+    // and accumulates in the session's cache manager across bench loops.
+    val cellsAgg = docs.groupBy("source", "lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("_ntok")).as("n_tokens"))
-      .cache()
+    val cellRows = cellsAgg.collect()
+    val cells = s.createDataFrame(java.util.Arrays.asList(cellRows: _*), cellsAgg.schema)
     val total = cells.agg(sum(col("n_tokens")).as("_total"))
     cells.crossJoin(broadcast(total))
       .withColumn("token_share",

@@ -23,10 +23,17 @@ import java.util.zip.Inflater
   * (:77-79); blank output then drives the caller's fallback chain
   * (:130-138). Per-page texts are joined with "\n" (:73-76).
   *
+  * Streams: no filter and FlateDecode are decoded, including TIFF-2 and
+  * PNG (10-15) /DecodeParms predictors (PNG-Up is how most modern PDFs
+  * code their object/xref streams). A stream whose /Filter names anything
+  * else (LZW, ASCII85, RunLength, Crypt, chains, indirect /Filter)
+  * decodes to None — NEVER raw bytes — so an unsupported-filter PDF
+  * extracts blank and the caller's failed-row semantics engage.
+  *
   * Not supported (acceptable for the extraction semantics, documented):
-  * encrypted PDFs, LZW/ASCII85 filters, predictor-coded streams, and
-  * glyph-width-based word-gap inference (explicit space glyphs cover the
-  * corpora this engine targets).
+  * encrypted PDFs, LZW/ASCII85 filters, and glyph-width-based word-gap
+  * inference (explicit space glyphs cover the corpora this engine
+  * targets).
   */
 object PdfText {
 
@@ -144,29 +151,154 @@ object PdfText {
     * is far beyond any real content/CMap stream. */
   private val MaxInflatedBytes = 256 << 20
 
-  private def decodeStream(o: PObj): Option[Array[Byte]] = o.data.flatMap { raw =>
-    if (!o.dict.contains("/FlateDecode")) Some(raw)
-    else {
-      val inf = new Inflater()
-      try {
-        inf.setInput(raw)
-        val buf = new java.io.ByteArrayOutputStream(math.max(1024, raw.length * 4))
-        val chunk = new Array[Byte](8192)
-        while (!inf.finished() && !inf.needsInput()) {
-          val n = inf.inflate(chunk)
-          if (n > 0) {
-            buf.write(chunk, 0, n)
-            if (buf.size() > MaxInflatedBytes)
-              throw new IllegalStateException("inflate cap exceeded")
-          } else if (n == 0 && inf.needsDictionary()) throw new IllegalStateException("dict")
-        }
-        Some(buf.toByteArray)
-      } catch { case _: Throwable => None }
-      // end() in finally: corrupt/rejected streams must release native
-      // zlib memory immediately, not at GC finalization — the adversarial
-      // corpus is exactly where many streams fail
-      finally inf.end()
+  private val filterSpec = """/Filter\s*(?:\[\s*((?:/\w+\s*)*)\]|/(\w+))""".r
+  private val nameTok = """/(\w+)""".r
+
+  /** The stream's filter chain, outermost first. None = the dict names a
+    * /Filter this extractor cannot parse (indirect ref, etc.) — the
+    * caller must treat the stream as undecodable, NOT pass raw bytes on. */
+  private def parseFilters(dict: String): Option[Seq[String]] =
+    if (!dict.contains("/Filter")) Some(Nil)
+    else filterSpec.findFirstMatchIn(dict).map { m =>
+      if (m.group(2) != null) Seq(m.group(2))
+      else nameTok.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq
     }
+
+  /** Decode a stream to its plain bytes, honoring the dict's /Filter and
+    * /DecodeParms. Supported: no filter; FlateDecode, optionally with a
+    * TIFF (2) or PNG (>=10) predictor. Anything else (LZW, ASCII85,
+    * RunLength, Crypt, DCT, filter chains, indirect /Filter) returns
+    * None so a genuinely-unsupported PDF extracts BLANK and the caller's
+    * blank-text failed-row semantics engage (reference :136-138) —
+    * passing raw compressed bytes to the tokenizer would emit mojibake
+    * as "successful" text. */
+  private def decodeStream(o: PObj): Option[Array[Byte]] = o.data.flatMap { raw =>
+    parseFilters(o.dict) match {
+      case Some(Nil)                 => Some(raw)
+      case Some(Seq("FlateDecode"))  => inflate(raw).flatMap(unpredict(o.dict, _))
+      case _                         => None
+    }
+  }
+
+  private def inflate(raw: Array[Byte]): Option[Array[Byte]] = {
+    val inf = new Inflater()
+    try {
+      inf.setInput(raw)
+      val buf = new java.io.ByteArrayOutputStream(math.max(1024, raw.length * 4))
+      val chunk = new Array[Byte](8192)
+      while (!inf.finished() && !inf.needsInput()) {
+        val n = inf.inflate(chunk)
+        if (n > 0) {
+          buf.write(chunk, 0, n)
+          if (buf.size() > MaxInflatedBytes)
+            throw new IllegalStateException("inflate cap exceeded")
+        } else if (n == 0 && inf.needsDictionary()) throw new IllegalStateException("dict")
+      }
+      Some(buf.toByteArray)
+    } catch { case _: Throwable => None }
+    // end() in finally: corrupt/rejected streams must release native
+    // zlib memory immediately, not at GC finalization — the adversarial
+    // corpus is exactly where many streams fail
+    finally inf.end()
+  }
+
+  // ------------------------------------------------------- predictors
+
+  private def parmInt(parms: String, key: String, dflt: Int): Int =
+    (key + """\s+(\d+)""").r.findFirstMatchIn(parms).map(_.group(1).toInt).getOrElse(dflt)
+
+  /** Apply the /DecodeParms predictor, if any, to inflated bytes.
+    * Predictor 1/absent = identity; 2 = TIFF horizontal differencing
+    * (8-bit components only); 10-15 = PNG row filters (None/Sub/Up/
+    * Average/Paeth — the common case: most modern PDFs' object and xref
+    * streams are PNG-Up coded). An unparseable /DecodeParms (indirect
+    * ref) or unsupported predictor value returns None -> blank. */
+  private def unpredict(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
+    val hasParms = """/(?:DecodeParms|DP)(?![0-9A-Za-z])""".r.findFirstIn(dict).isDefined
+    if (!hasParms) return Some(data)
+    val inline = """(?s)/(?:DecodeParms|DP)\s*<<(.*?)>>""".r.findFirstMatchIn(dict)
+      .map(_.group(1))
+    inline match {
+      case None => None // indirect or array /DecodeParms: unsupported
+      case Some(parms) =>
+        val pred = parmInt(parms, "/Predictor", 1)
+        val colors = parmInt(parms, "/Colors", 1)
+        val bpc = parmInt(parms, "/BitsPerComponent", 8)
+        val columns = parmInt(parms, "/Columns", 1)
+        if (pred <= 1) Some(data)
+        else if (pred == 2) {
+          if (bpc != 8) None
+          else Some(tiffUnpredict(data, columns, colors))
+        } else if (pred >= 10 && pred <= 15) {
+          try Some(pngUnpredict(data, columns, colors, bpc))
+          catch { case _: Throwable => None }
+        } else None
+    }
+  }
+
+  /** TIFF predictor 2, 8-bit components: undo left-neighbor differencing. */
+  private def tiffUnpredict(data: Array[Byte], columns: Int, colors: Int): Array[Byte] = {
+    val out = data.clone()
+    val rowLen = math.max(1, columns * colors)
+    var row = 0
+    while (row * rowLen < out.length) {
+      val base = row * rowLen
+      val end = math.min(base + rowLen, out.length)
+      var i = base + colors
+      while (i < end) { out(i) = (out(i) + out(i - colors)).toByte; i += 1 }
+      row += 1
+    }
+    out
+  }
+
+  /** PNG predictors (RFC 2083 filters): each row is prefixed with a
+    * filter-type byte; reconstruct against the previous (decoded) row. */
+  private def pngUnpredict(data: Array[Byte], columns: Int, colors: Int, bpc: Int): Array[Byte] = {
+    val rowLen = math.max(1, (columns * colors * bpc + 7) / 8)
+    val bpp = math.max(1, colors * bpc / 8)
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    val prev = new Array[Byte](rowLen)
+    var pos = 0
+    while (pos < data.length) {
+      val ft = data(pos) & 0xFF
+      pos += 1
+      val avail = math.min(rowLen, data.length - pos)
+      val row = new Array[Byte](rowLen)
+      System.arraycopy(data, pos, row, 0, avail)
+      pos += avail
+      ft match {
+        case 0 => ()
+        case 1 =>
+          var i = bpp
+          while (i < rowLen) { row(i) = (row(i) + row(i - bpp)).toByte; i += 1 }
+        case 2 =>
+          var i = 0
+          while (i < rowLen) { row(i) = (row(i) + prev(i)).toByte; i += 1 }
+        case 3 =>
+          var i = 0
+          while (i < rowLen) {
+            val left = if (i >= bpp) row(i - bpp) & 0xFF else 0
+            row(i) = (row(i) + ((left + (prev(i) & 0xFF)) / 2)).toByte
+            i += 1
+          }
+        case 4 =>
+          var i = 0
+          while (i < rowLen) {
+            val a = if (i >= bpp) row(i - bpp) & 0xFF else 0
+            val b = prev(i) & 0xFF
+            val c0 = if (i >= bpp) prev(i - bpp) & 0xFF else 0
+            val p = a + b - c0
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c0)
+            val pr = if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c0
+            row(i) = (row(i) + pr).toByte
+            i += 1
+          }
+        case _ => throw new IllegalStateException(s"bad png filter $ft")
+      }
+      out.write(row, 0, avail)
+      System.arraycopy(row, 0, prev, 0, rowLen)
+    }
+    out.toByteArray
   }
 
   // ------------------------------------------------------- page order
@@ -250,7 +382,15 @@ object PdfText {
 
   private val hexTok = """<([0-9A-Fa-f\s]*)>""".r
 
-  private def hexToInt(h: String): Int = java.lang.Long.parseLong(h.trim, 16).toInt
+  /** Whitespace is legal INSIDE PDF hex strings (<00 41>) and <> is a
+    * legal empty string — strip fully and guard before parseLong so one
+    * odd token can't throw (a throw here would blank the whole document
+    * via extract()'s top-level catch). */
+  private def hexToInt(h: String): Int = {
+    val clean = h.replaceAll("\\s", "")
+    if (clean.isEmpty) throw new NumberFormatException("empty hex token")
+    java.lang.Long.parseLong(clean, 16).toInt
+  }
 
   private def hexToString(h: String): String = {
     val clean = h.replaceAll("\\s", "")
@@ -266,8 +406,11 @@ object PdfText {
       .findFirstMatchIn(cmap).map(_.group(1).length / 2).getOrElse(0)
     for (sec <- """(?s)beginbfchar(.*?)endbfchar""".r.findAllMatchIn(cmap)) {
       val toks = hexTok.findAllMatchIn(sec.group(1)).map(_.group(1)).toArray
+      // per-entry guard: a malformed pair skips that entry, not the doc
       toks.grouped(2).foreach {
-        case Array(src, dst) => out(hexToInt(src)) = hexToString(dst)
+        case Array(src, dst) =>
+          try out(hexToInt(src)) = hexToString(dst)
+          catch { case _: NumberFormatException => () }
         case _ => ()
       }
     }
@@ -277,6 +420,7 @@ object PdfText {
       val entry = ("""(?s)<([0-9A-Fa-f\s]*)>\s*<([0-9A-Fa-f\s]*)>\s*""" +
         """(?:<([0-9A-Fa-f\s]*)>|\[((?:\s*<[0-9A-Fa-f\s]*>)*)\s*\])""").r
       entry.findAllMatchIn(body).foreach { m =>
+        try {
         val lo = hexToInt(m.group(1)); val hi = hexToInt(m.group(2))
         if (m.group(3) != null) {
           val d0 = m.group(3).replaceAll("\\s", "")
@@ -295,6 +439,7 @@ object PdfText {
             out(c) = hexToString(dsts(j)); c += 1; j += 1
           }
         }
+        } catch { case _: NumberFormatException => () } // skip entry, keep doc
       }
     }
     (width, out.toMap)

@@ -155,6 +155,150 @@ class PdfTextSpec extends SparkSpec {
     }
   }
 
+  // ---- stream filters & predictors (round 5) -----------------------
+
+  /** One-page PDF whose content stream (object 4) is raw binary with the
+    * given dict — lets specs target the filter/predictor decode path. */
+  private def binaryStreamPdf(obj4Dict: String, obj4Data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(str: String): Unit = out.write(str.getBytes("ISO-8859-1"))
+    w("""%PDF-1.4
+        |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+        |2 0 obj << /Type /Pages /Kids [ 3 0 R ] /Count 1 >> endobj
+        |3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R
+        |  /Resources << /Font << /F1 5 0 R >> >> >> endobj
+        |""".stripMargin)
+    w(s"4 0 obj << $obj4Dict /Length ${obj4Data.length} >> stream\n")
+    out.write(obj4Data)
+    w("\nendstream endobj\n")
+    w("""5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj
+        |trailer << /Root 1 0 R >>
+        |%%EOF""".stripMargin)
+    out.toByteArray
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+    d.end()
+    out.toByteArray
+  }
+
+  /** PNG-filter a byte stream (full rows): rowFilter(r) picks the filter
+    * type per row; encodes exactly what pngUnpredict must invert. */
+  private def pngEncode(data: Array[Byte], columns: Int, rowFilter: Int => Int): Array[Byte] = {
+    require(data.length % columns == 0, "pad to full rows")
+    val out = new java.io.ByteArrayOutputStream()
+    val prev = new Array[Byte](columns)
+    var r = 0
+    while (r * columns < data.length) {
+      val base = r * columns
+      val ft = rowFilter(r)
+      out.write(ft)
+      var i = 0
+      while (i < columns) {
+        val raw = data(base + i) & 0xFF
+        val enc = ft match {
+          case 0 => raw
+          case 1 => raw - (if (i >= 1) data(base + i - 1) & 0xFF else 0)
+          case 2 => raw - (prev(i) & 0xFF)
+          case 3 =>
+            val left = if (i >= 1) data(base + i - 1) & 0xFF else 0
+            raw - (left + (prev(i) & 0xFF)) / 2
+          case 4 =>
+            val a = if (i >= 1) data(base + i - 1) & 0xFF else 0
+            val b = prev(i) & 0xFF
+            val c = if (i >= 1) prev(i - 1) & 0xFF else 0
+            val p = a + b - c
+            val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+            raw - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        out.write(enc & 0xFF)
+        i += 1
+      }
+      System.arraycopy(data, base, prev, 0, columns)
+      r += 1
+    }
+    out.toByteArray
+  }
+
+  private def padToRows(content: String, columns: Int): Array[Byte] = {
+    val pad = (columns - content.length % columns) % columns
+    (content + " " * pad).getBytes("ISO-8859-1")
+  }
+
+  test("PNG predictor-coded FlateDecode content streams decode (all 5 row filters)") {
+    val cols = 16
+    val content = padToRows("BT /F1 12 Tf (Predictor coded text survives) Tj ET", cols)
+    // cycle through None/Sub/Up/Average/Paeth row filters
+    val stream = deflate(pngEncode(content, cols, r => r % 5))
+    val pdf = binaryStreamPdf(
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >>", stream)
+    val txt = PdfText.extract(pdf)
+    assert(txt.contains("Predictor coded text survives"), s"got: '$txt'")
+  }
+
+  test("TIFF predictor 2 FlateDecode content streams decode") {
+    val cols = 8
+    val content = padToRows("BT /F1 12 Tf (Tiff two text) Tj ET", cols)
+    val enc = content.clone()
+    // horizontal differencing per row, colors=1
+    var r = 0
+    while (r * cols < enc.length) {
+      var i = r * cols + cols - 1
+      while (i > r * cols) { enc(i) = (content(i) - content(i - 1)).toByte; i -= 1 }
+      r += 1
+    }
+    val pdf = binaryStreamPdf(
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns $cols >>", deflate(enc))
+    val txt = PdfText.extract(pdf)
+    assert(txt.contains("Tiff two text"), s"got: '$txt'")
+  }
+
+  test("unsupported filters yield BLANK text (failed row), never raw-bytes mojibake") {
+    val content = "BT /F1 12 Tf (should never appear) Tj ET".getBytes("ISO-8859-1")
+    // LZW-declared stream carrying readable bytes: the pre-r5 bug passed
+    // these through raw and 'extracted' them as success
+    assert(PdfText.extract(binaryStreamPdf("/Filter /LZWDecode", content)) == "")
+    // filter chains and ASCII85 are likewise undecodable -> blank
+    assert(PdfText.extract(
+      binaryStreamPdf("/Filter [ /ASCII85Decode /FlateDecode ]", deflate(content))) == "")
+    // unparseable /DecodeParms (indirect ref) on a Flate stream -> blank
+    assert(PdfText.extract(binaryStreamPdf(
+      "/Filter /FlateDecode /DecodeParms 9 0 R", deflate(content))) == "")
+    // control: same bytes with plain FlateDecode DO extract
+    val ok = PdfText.extract(binaryStreamPdf("/Filter /FlateDecode", deflate(content)))
+    assert(ok.contains("should never appear"))
+  }
+
+  test("CMap hex tokens tolerate inner whitespace and empty <>; bad entries skip, not blank") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |3 beginbfchar
+        |<> <0058>
+        |<00 03> <00 20>
+        |<0048> <0048>
+        |endbfchar
+        |1 beginbfrange <00 49> <004A> <0049> endbfrange
+        |endcmap""".stripMargin
+    val extra =
+      s"""5 0 obj << /Type /Font /Subtype /Type0 /Encoding /Identity-H
+         |  /ToUnicode 6 0 R >> endobj
+         |6 0 obj << /Length ${cmap.length} >> stream
+         |$cmap
+         |endstream endobj""".stripMargin
+    val pdf = new String(syntheticPdf("<0048 0003 0049 004A> Tj"), "ISO-8859-1")
+      .replace("5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> endobj", extra)
+      .getBytes("ISO-8859-1")
+    val txt = PdfText.extract(pdf)
+    assert(txt.contains("H IJ"), s"whitespace-tolerant CMap decode failed: '$txt'")
+  }
+
   test("end-to-end: real PDFs -> binaryFile scan -> extract -> chunk -> embed") {
     val out = IngestPipeline.ingestBinaryDir(spark, corpus, HashEmbedder(dim = 16))
     val perFile = out.groupBy("filename").count().collect()
