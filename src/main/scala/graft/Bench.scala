@@ -1,6 +1,20 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Headline benchmark main (driver contract): runs every registered query
+  * at SPARK_GRAFT_SF_DIR and prints ONE JSON line.
+  *
+  * Each query is timed over 3 consecutive runs in a fixed (alphabetical)
+  * order in the same JVM and reported as the MEDIAN — single-run timings
+  * on a contended box showed 2-4x swings on untouched code paths in
+  * rounds 3-4, burying real regressions and real wins alike. min/max per
+  * query are kept in `queries_detail` (max-vs-median exposes first-touch
+  * warmup costs; a high min flags a genuinely slow plan).
+  * `value` = sum of medians, comparable across rounds.
+  */
 object Bench {
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -18,19 +32,27 @@ object Bench {
         .foreach(t => Tables.read(spark, sfDir, t).count())
     } catch { case _: Throwable => () }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators that cache intermediates (dedup shingle sets) would
-      // otherwise leak blocks into every later query's JVM
-      try spark.catalog.clearCache() catch { case _: Throwable => () }
-      System.err.println(f"[bench] $name%-28s $dt%8.2fs")
-      name -> dt
+      val times = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators that cache intermediates (dedup shingle sets) would
+        // otherwise leak blocks into every later query's JVM
+        try spark.catalog.clearCache() catch { case _: Throwable => () }
+        dt
+      }.sorted
+      val med = times(Runs / 2)
+      System.err.println(
+        f"[bench] $name%-28s med $med%8.2fs  min ${times.head}%6.2fs  max ${times.last}%6.2fs")
+      (name, med, times.head, times.last)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, m, _, _) => s"\"" + k + "\":" + m }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val detail = results.map { case (k, m, lo, hi) =>
+      s"\"" + k + "\":{\"median\":" + m + ",\"min\":" + lo + ",\"max\":" + hi + "}"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"queries_detail":$detail,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
