@@ -2,8 +2,8 @@ package graft
 
 /** DuckDB oracle SQL twins for [[GraftQueries]]. Keys match `queries` keys;
   * queries absent here get the driver's weaker rows-only check (they are
-  * non-SQL-expressible: hash embeddings, xxhash64 simhash, seeded LSH
-  * planes, approximate IVF).
+  * non-SQL-expressible: hash embeddings, seeded LSH planes, approximate
+  * IVF; the FNV/fmix64 simhash IS expressible — see dedup_simhash).
   *
   * DuckDB dialect notes baked in:
   *  - `count(*) FILTER (WHERE ...)` instead of sum(int) (sum widens to
@@ -463,6 +463,47 @@ object GraftOracles {
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
          |WHERE round($cosineDouble, 6) >= 0.35
          |ORDER BY 1,2""".stripMargin,
+
+    // Bit-exact twin of Dedup.simhashUdf: FNV-1a 64 over UTF-16 units
+    // (= codepoints for the BMP/ASCII corpus) via list_reduce with a
+    // prepended seed, then the murmur fmix64 finalizer. HUGEINT carries
+    // the mod-2^64 arithmetic; the fmix multiply (constant ~2^64) is
+    // split into 32-bit halves (c_hi=0xff51afd7, c_lo=0xed558ccd) since
+    // a full 64x64 product overflows even HUGEINT. The banding in
+    // simhashPairsLongId is recall-lossless by pigeonhole, so the pair
+    // set is stated directly: hamming(sig_a, sig_b) <= 3, id_a < id_b.
+    "dedup_simhash" ->
+      s"""WITH tok0 AS (
+         |  SELECT doc_id, unnest($toks) AS tok FROM documents),
+         |dtok AS (SELECT DISTINCT tok FROM tok0),
+         |fnv AS (
+         |  SELECT tok, list_reduce(
+         |    list_prepend(14695981039346656037::UBIGINT,
+         |      list_transform(range(1, length(tok)+1), i -> unicode(substr(tok, i::INT, 1))::UBIGINT)),
+         |    (h, c) -> ((xor(h, c)::HUGEINT * 1099511628211) % 18446744073709551616::HUGEINT)::UBIGINT) AS h0
+         |  FROM dtok),
+         |fm1 AS (SELECT tok, xor(h0, h0 >> 33) AS h1 FROM fnv),
+         |fm2 AS (SELECT tok,
+         |  ((h1::HUGEINT * 3981806797) +
+         |   (((h1::HUGEINT % 4294967296) * 4283543511) % 4294967296) * 4294967296)
+         |   % 18446744073709551616::HUGEINT AS h2h
+         |  FROM fm1),
+         |hashed AS (SELECT tok, xor(h2h::UBIGINT, h2h::UBIGINT >> 33) AS h FROM fm2),
+         |bits(k) AS (SELECT unnest(range(0, 64))),
+         |votes AS (
+         |  SELECT t.doc_id, b.k,
+         |    count(*) FILTER (WHERE (x.h >> b.k) & 1 = 1) -
+         |    count(*) FILTER (WHERE (x.h >> b.k) & 1 = 0) AS v
+         |  FROM tok0 t JOIN hashed x USING (tok) CROSS JOIN bits b
+         |  GROUP BY 1, 2),
+         |sigs AS (
+         |  SELECT doc_id, sum(CASE WHEN v > 0 THEN (1::HUGEINT << k) ELSE 0::HUGEINT END)::UBIGINT AS sig
+         |  FROM votes GROUP BY doc_id)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+         |ORDER BY 1, 2""".stripMargin,
 
     "text_stats" ->
       s"""SELECT doc_id, length(text)::INT AS n_chars_measured,

@@ -524,9 +524,16 @@ object GraftQueries {
       .orderBy("id_a", "id_b")
 
   /** SimHash near-dup pairs (hamming <= 3 over 64-bit token simhash).
-    * xxhash64 is Spark-specific -> rows-only; semantics unit-tested. */
+    * Fully oracle-checked since round 5: the FNV-1a/fmix64 token hash is
+    * reproduced bit-exactly in DuckDB with HUGEINT mod-2^64 arithmetic,
+    * and the pigeonhole banding is a pure recall optimization (4x16-bit
+    * chunks GUARANTEE a shared chunk at hamming<=3), so the output is by
+    * construction exactly {pairs: hamming(sig_a,sig_b)<=3, id_a<id_b} —
+    * which the oracle states directly. hamming cast to BIGINT for
+    * cross-engine type parity. */
   val dedupSimhash: Q = (s, d) =>
     Dedup.simhashPairs(Tables.documents(s, d), "text", "doc_id", maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("long"))
       .orderBy("id_a", "id_b")
 
   /** Embedding-cosine near-dup pairs (exact all-pairs at harness scale;
