@@ -425,6 +425,36 @@ object GraftQueries {
     }
   }
 
+  /** kNN over the STORED IVF layout: the index build writes the
+    * collection PARTITIONED BY cell_id (Similarity.buildIvfIndex ->
+    * VectorStore.create(partitionBy)), so the probe filter the
+    * AnnProbeRule injects prunes partitions — the scan never lists the
+    * non-probed cells' files (PartitionFilters, pinned in AnnProbeSpec).
+    * At 100 TB this is the storage half of IVF: nprobe/ncells of the
+    * bytes are READ, not just filtered. Approximate by construction ->
+    * rows-only. */
+  val annIvfStore: Q = (s, d) => {
+    import graft.plans.AnnProbe
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    val cents = Similarity.buildIvfIndex(store, "vectors", e, "embedding", "vec_id",
+      ncells = 16)
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    e.unpersist()
+    val out = AnnProbe.withProbe(s, cents, nprobe = 4) {
+      val probed = store.read(s, "vectors")
+        .orderBy(l2Sq(col("embedding"), vecLit(qv)))
+        .limit(10)
+        .select("vec_id", "label", "cell_id")
+      // materialize inside the probe scope AND before store.destroy()
+      s.createDataFrame(java.util.Arrays.asList(probed.collect(): _*), probed.schema)
+    }
+    store.destroy()
+    out
+  }
+
   /** Random-hyperplane LSH bucketing (the shuffle key for cosine near-dup
     * at scale). Deterministic planes, rows-only. */
   val annLshBuckets: Q = (s, d) =>
@@ -1428,6 +1458,7 @@ object GraftQueries {
     "vec_knn_filtered" -> vecKnnFiltered,
     "vec_topk_join" -> vecTopkJoin,
     "ann_ivf" -> annIvf,
+    "ann_ivf_store" -> annIvfStore,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,
     "dedup_exact" -> dedupExact,

@@ -129,6 +129,24 @@ object Similarity {
     collection.withColumn("cell_id", assign(col(vecCol)))
   }
 
+  /** Build an IVF index as a STORED collection: train centroids, assign
+    * cell_id, and write through [[graft.store.VectorStore]] partitioned BY
+    * cell_id. This is what makes the probe a partition-pruning scan at
+    * 100 TB: the injected `cell_id IN (...)` (AnnProbeRule) or an explicit
+    * probe join lands in the scan's PartitionFilters, so non-probed cells'
+    * files are never even LISTED — vs a data filter that still opens every
+    * file. Returns the centroids for AnnCatalog registration / probing.
+    * (SURVEY §10: "cell_id is a partition column in the stored layout".)
+    */
+  def buildIvfIndex(store: graft.store.VectorStore, name: String,
+                    collection: DataFrame, vecCol: String, idCol: String,
+                    ncells: Int = 16, trainIters: Int = 3,
+                    sampleCap: Int = 100000): Array[(Int, Array[Float])] = {
+    val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters, sampleCap)
+    store.create(name, withCellId(collection, vecCol, cents), partitionBy = Seq("cell_id"))
+    cents
+  }
+
   /** DataFrame facade over [[trainCentroidArrays]] (API compat). */
   def trainCentroids(collection: DataFrame, vecCol: String, idCol: String,
                      ncells: Int, iters: Int = 3): DataFrame = {

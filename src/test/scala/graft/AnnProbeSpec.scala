@@ -97,6 +97,40 @@ class AnnProbeSpec extends SparkSpec {
     } finally AnnCatalog.clear(spark)
   }
 
+  test("stored IVF layout: probe filter prunes PARTITIONS, not just rows") {
+    val root = java.nio.file.Files.createTempDirectory("annprobe_store").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      val e = Tables.embeddings(spark, sf)
+      val cents = Similarity.buildIvfIndex(store, "vectors", e, "embedding", "vec_id",
+        ncells = 8)
+      AnnCatalog.register(spark, cents, nprobe = 2)
+      try {
+        val q = store.read(spark, "vectors")
+          .orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(5)
+        // the injected cell_id IN (...) must land in the parquet scan's
+        // PartitionFilters — a DATA filter would still open every file
+        val scans = q.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(scans.nonEmpty, "no FileSourceScanExec found")
+        val scan = scans.head
+        assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell_id")),
+          s"cell_id probe is not a partition filter: ${scan.partitionFilters}")
+        // and it genuinely prunes: 2 probed cells out of 8 on disk
+        assert(scan.selectedPartitions.partitionCount == 2,
+          s"expected 2 probed partitions, scanned ${scan.selectedPartitions.partitionCount}")
+        val cellDirs = new java.io.File(s"$root/vectors").listFiles()
+          .count(_.getName.startsWith("cell_id="))
+        assert(cellDirs == 8, s"expected 8 cell partitions on disk, found $cellDirs")
+        // the query vector's own cell survives the probe -> vec 0 ranks first
+        val s = spark; import s.implicits._
+        val got = q.select("vec_id").as[Long].collect()
+        assert(got.length == 5 && got.head == 0L)
+      } finally AnnCatalog.clear(spark)
+    } finally store.destroy()
+  }
+
   test("IVF recall@10 >= 0.9 vs brute force at sf0.1, nprobe=4/16") {
     // the quality bar for the approximate path, at the bench scale factor:
     // deterministic (seeded centroids + fixed-point training), so this is
