@@ -425,6 +425,20 @@ object GraftQueries {
     }
   }
 
+  /** IVF-PQ approximate kNN: candidates score from 8-byte PQ codes via
+    * per-query ADC tables — never the full vector — which is the
+    * memory-bounded 100 TB search shape (32x fewer bytes read than
+    * IVF-flat probing). Approximate by construction -> rows-only;
+    * recall@10 >= 0.85 vs brute force pinned in AnnProbeSpec. */
+  val annIvfPq: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).cache()
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.ivfPqTopK(e, "embedding", "vec_id", q, "q_id", "q_vec",
+        k = 10, ncells = 16, nprobe = 4)
+      .orderBy("q_id", "rank")
+  }
+
   /** kNN over the STORED IVF layout: the index build writes the
     * collection PARTITIONED BY cell_id (Similarity.buildIvfIndex ->
     * VectorStore.create(partitionBy)), so the probe filter the
@@ -1459,6 +1473,7 @@ object GraftQueries {
     "vec_topk_join" -> vecTopkJoin,
     "ann_ivf" -> annIvf,
     "ann_ivf_store" -> annIvfStore,
+    "ann_ivfpq" -> annIvfPq,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,
     "dedup_exact" -> dedupExact,

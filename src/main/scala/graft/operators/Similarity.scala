@@ -187,6 +187,233 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  // ---------------------------------------------------------- IVF-PQ
+
+  /** Product-quantization codebook: `cents(j)(c)` = centroid c of subspace
+    * j (dsub floats each). Trained on coarse-cell RESIDUALS (v - cell
+    * centroid), the FAISS IVFPQ formulation — residuals concentrate the
+    * distribution so 8-bit codes carry far more signal than raw-vector PQ.
+    */
+  final case class PqCodebook(m: Int, dsub: Int, ksub: Int,
+                              cents: Array[Array[Array[Float]]])
+
+  private def nearestCell(v: Array[Float], cents: Array[(Int, Array[Float])]): Int = {
+    var best = -1
+    var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val cent = cents(c)._2
+      var acc = 0.0
+      var i = 0
+      val n = math.min(v.length, cent.length)
+      while (i < n) { val d = v(i).toDouble - cent(i); acc += d * d; i += 1 }
+      if (acc < bestD || (acc == bestD && cents(c)._1 < best)) { bestD = acc; best = cents(c)._1 }
+      c += 1
+    }
+    best
+  }
+
+  /** Sequential driver-side Lloyd k-means over a BOUNDED point set (the
+    * deterministic training sample) — fixed iteration order, double
+    * accumulation, ties to the lowest index, empty cells keep their seed:
+    * bit-identical across runs and parallelism. Seeds = first k points in
+    * sample order. */
+  private def kmeansDriver(points: Array[Array[Float]], k: Int, iters: Int): Array[Array[Float]] = {
+    val kk = math.min(k, points.length)
+    val d = points.head.length
+    var cents = Array.tabulate(kk)(i => points(i).clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(kk)(new Array[Double](d))
+      val counts = new Array[Long](kk)
+      points.foreach { p =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < kk) {
+          var acc = 0.0
+          var i = 0
+          while (i < d) { val df = p(i).toDouble - cents(c)(i); acc += df * df; i += 1 }
+          if (acc < bestD) { bestD = acc; best = c }
+          c += 1
+        }
+        var i = 0
+        while (i < d) { sums(best)(i) += p(i); i += 1 }
+        counts(best) += 1
+      }
+      cents = Array.tabulate(kk) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(d)(i => (sums(c)(i) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF-PQ approximate top-k — the memory-bounded 100 TB vector-search
+    * shape: candidate scoring reads m=8 BYTES per vector (asymmetric
+    * distance over 8-bit codebooks), never the full float vector, so the
+    * probed fraction of a 100 TB collection scores from ~1/32 of the
+    * bytes and the per-executor state is just the ADC tables
+    * (nprobe x m x ksub doubles per query).
+    *
+    *  - coarse quantizer: [[trainCentroidArrays]] (deterministic, bounded
+    *    sample) — same index as ivfTopK, so cell_id stays the partition
+    *    column in the stored layout;
+    *  - PQ codebooks: per-subspace k-means over coarse RESIDUALS of the
+    *    same md5-ordered bounded sample (8-bit: ksub=256);
+    *  - encode: one kernel UDF emits (cell_id, 8-byte code) per vector —
+    *    at scale this is the stored representation;
+    *  - search: queries (small by contract) collect driver-side; per
+    *    (query, probed cell) an ADC lookup table over the query residual;
+    *    scoring = m table lookups per candidate; distributed top-k per
+    *    query by (adc, id).
+    *
+    *  - refine (`rerank` > 0, the FAISS IVFPQR shape): ADC keeps a
+    *    shortlist of rerank*k candidates per query, then EXACT distance
+    *    re-ranks just those — the fetch is rerank*k full vectors per
+    *    query (in the stored cell_id layout that read is partition-pruned
+    *    to the probed cells), so the byte budget stays bounded while the
+    *    final ordering is exact within the shortlist. Pure ADC ordering
+    *    (rerank=0) scrambles NEIGHBOR order when quantization distortion
+    *    is at cluster scale — measured 0.44 recall@10 on the harness
+    *    embeddings vs 0.90 with rerank=4 (the residual misses are ADC
+    *    shortlist misses; raise rerank/nprobe to trade bytes for recall).
+    *
+    * Approximate by construction -> rows-only; recall@10 vs brute force
+    * pinned in AnnProbeSpec.
+    */
+  def ivfPqTopK(collection: DataFrame, vecCol: String, idCol: String,
+                queries: DataFrame, qIdCol: String, qVecCol: String,
+                k: Int, ncells: Int = 16, nprobe: Int = 4,
+                m: Int = 8, ksub: Int = 256, rerank: Int = 4,
+                trainIters: Int = 3, sampleCap: Int = 20000): DataFrame = {
+    val spark = collection.sparkSession
+    import spark.implicits._
+    val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters)
+    // deterministic bounded sample (same md5-of-id order as the coarse
+    // trainer); residual-encode it against the coarse cells
+    val sample = collection.select(col(vecCol))
+      .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+      .limit(sampleCap).collect().map(_.getSeq[Float](0).toArray)
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val dsub = dim / m
+    val centById = cents.toMap
+    val residuals = sample.map { v =>
+      val cc = centById(nearestCell(v, cents))
+      Array.tabulate(dim)(i => (v(i).toDouble - cc(i)).toFloat)
+    }
+    val codebook = PqCodebook(m, dsub, ksub,
+      Array.tabulate(m) { j =>
+        kmeansDriver(residuals.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, trainIters)
+      })
+    // encode every vector: coarse cell + m-byte PQ code of its residual
+    val cb = codebook
+    val sortedCents = cents.sortBy(_._1)
+    val encode = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      val cell = nearestCell(arr, sortedCents)
+      val cc = centById(cell)
+      val code = new Array[Byte](cb.m)
+      var j = 0
+      while (j < cb.m) {
+        val cjs = cb.cents(j)
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < cjs.length) {
+          var acc = 0.0
+          var i = 0
+          while (i < cb.dsub) {
+            val off = j * cb.dsub + i
+            val d = (arr(off).toDouble - cc(off)) - cjs(c)(i)
+            acc += d * d
+            i += 1
+          }
+          if (acc < bestD) { bestD = acc; best = c }
+          c += 1
+        }
+        code(j) = best.toByte
+        j += 1
+      }
+      (cell, code)
+    })
+    val encoded = collection
+      .withColumn("_enc", encode(col(vecCol)))
+      .select(col(idCol), col("_enc._1").as("cell_id"), col("_enc._2").as("pq_code"))
+    // queries are the small probe side by contract -> driver-side tables
+    val qRows = queries.select(col(qIdCol), col(qVecCol)).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    // per (query, probed cell): ADC table over the query's cell residual
+    val probeTables: Map[(Long, Int), Array[Array[Double]]] = qRows.flatMap {
+      case (qid, qv) =>
+        val probed = cents.map { case (id, c) =>
+          var acc = 0.0
+          var i = 0
+          val n = math.min(qv.length, c.length)
+          while (i < n) { val d = qv(i).toDouble - c(i); acc += d * d; i += 1 }
+          (acc, id)
+        }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2)
+        probed.map { cell =>
+          val cc = centById(cell)
+          val tab = Array.tabulate(cb.m) { j =>
+            val cjs = cb.cents(j)
+            Array.tabulate(cjs.length) { c =>
+              var acc = 0.0
+              var i = 0
+              while (i < cb.dsub) {
+                val off = j * cb.dsub + i
+                val d = (qv(off).toDouble - cc(off)) - cjs(c)(i)
+                acc += d * d
+                i += 1
+              }
+              acc
+            }
+          }
+          (qid, cell) -> tab
+        }
+    }.toMap
+    val adc = udf((qid: Long, cell: Int, code: Array[Byte]) => {
+      val tab = probeTables((qid, cell))
+      var s = 0.0
+      var j = 0
+      while (j < code.length) { s += tab(j)(code(j) & 0xFF); j += 1 }
+      s
+    })
+    val probesDf = probeTables.keys.toSeq.sorted.toDF(qIdCol, "cell_id")
+    val wAdc = Window.partitionBy(col(qIdCol)).orderBy(col("adc"), col(idCol))
+    val kAdc = if (rerank > 0) rerank * k else k
+    val shortlist = encoded.join(broadcast(probesDf), Seq("cell_id"))
+      .withColumn("adc", round(adc(col(qIdCol), col("cell_id"), col("pq_code")), 6))
+      .withColumn("rank", row_number().over(wAdc).cast("long"))
+      .filter(col("rank") <= kAdc)
+    if (rerank <= 0)
+      shortlist.select(col(qIdCol), col(idCol), col("adc").as("score"), col("rank"))
+    else {
+      // exact re-rank of the bounded shortlist: fetch the rerank*k
+      // candidate vectors (broadcast of the small shortlist side keeps
+      // the collection scan shuffle-free) and score against the query
+      // vector from the driver-side map
+      val qMap = qRows.toMap
+      val exactD = udf((qid: Long, v: Seq[Float]) => {
+        val qv = qMap(qid)
+        var acc = 0.0
+        var i = 0
+        val n = math.min(qv.length, v.length)
+        while (i < n) { val d = qv(i).toDouble - v(i); acc += d * d; i += 1 }
+        acc
+      })
+      val wExact = Window.partitionBy(col(qIdCol)).orderBy(col("score"), col(idCol))
+      collection.select(col(idCol), col(vecCol).as("_fetch_v"))
+        .join(broadcast(shortlist.select(col(qIdCol), col(idCol))), Seq(idCol))
+        .withColumn("score", round(exactD(col(qIdCol), col("_fetch_v")), 6))
+        .withColumn("rank", row_number().over(wExact).cast("long"))
+        .filter(col("rank") <= k)
+        .select(col(qIdCol), col(idCol), col("score"), col("rank"))
+    }
+  }
+
   /** Random-hyperplane LSH signature: bit i = sign(dot(v, h_i)) where h_i
     * is a deterministic pseudo-random hyperplane derived from (i, seed).
     * Same-signature vectors are cosine-close with high probability.

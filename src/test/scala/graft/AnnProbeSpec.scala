@@ -155,6 +155,30 @@ class AnnProbeSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("IVF-PQ recall@10 >= 0.85 vs brute force at sf0.1 (8-bit residual ADC)") {
+    // the memory-bounded path scores from 8-byte codes, never the full
+    // vector; deterministic training (md5-ordered sample, sequential
+    // driver k-means) makes this a stable pin
+    val d = "/root/testdata/sf0.1"
+    val e = Tables.embeddings(spark, d).cache()
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("q_id", "vec_id").collect().groupBy(_.getLong(0))
+        .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    val exact = topSets(
+      Similarity.bruteForceTopK(e, "embedding", "vec_id", q, "q_id", "q_vec", 10))
+    val approx = topSets(
+      Similarity.ivfPqTopK(e, "embedding", "vec_id", q, "q_id", "q_vec",
+        k = 10, ncells = 16, nprobe = 4))
+    val recalls = exact.map { case (k, ex) =>
+      approx.getOrElse(k, Set.empty).intersect(ex).size.toDouble / ex.size }
+    val avg = recalls.sum / recalls.size
+    info(f"IVF-PQ recall@10 per query: ${recalls.map(r => f"$r%.2f").mkString(", ")} (avg $avg%.3f)")
+    assert(avg >= 0.85, f"IVF-PQ recall@10 degraded: $avg%.3f")
+    e.unpersist()
+  }
+
   test("withProbe scope unregisters the rule and catalog on exit") {
     val base = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()
