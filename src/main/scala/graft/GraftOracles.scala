@@ -40,6 +40,47 @@ object GraftOracles {
   private val toks = """string_split_regex(trim(lower(text)), '\s+')"""
   private val enStop = "['the','a','of','and','is','to','in']"
 
+  /** CTE chain ending in dec(doc_id, quality, avg_logp, decision) — the
+    * oracle twin of GraftQueries.cleanCorpusDecisions (quality gate ->
+    * unigram-LM gate at -3.43 -> exact dedup -> MinHash near-dup, first
+    * failing reason wins). Shared by pipeline_clean_corpus (per-doc
+    * audit) and pipeline_clean_mix (mix report over kept docs). */
+  private lazy val cleanDecisionCtes =
+    s"""tk AS (SELECT doc_id, unnest($toks) AS token FROM documents),
+       |v AS (SELECT token, CAST(count(*) AS BIGINT) AS c FROM tk
+       |    GROUP BY 1 ORDER BY c DESC, token LIMIT 50000),
+       |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM tk),
+       |vc AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM v),
+       |sc AS (SELECT tk.doc_id,
+       |    CAST(floor(ln((coalesce(v.c, 0) + 1.0) / (total + nv)) * 1048576) AS BIGINT) AS lp
+       |  FROM tk LEFT JOIN v USING (token), t, vc),
+       |lm AS (SELECT doc_id,
+       |    floor(CAST(sum(lp) AS DOUBLE) / count(*) / 1048576 * 1e6 + 0.5) / 1e6 AS avg_logp
+       |  FROM sc GROUP BY 1),
+       |q AS (SELECT doc_id,
+       |    floor(least(1.0,
+       |      0.4 * least(len($toks)::DOUBLE / 50.0, 1.0)
+       |      + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text))
+       |      + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))) * 1e6 + 0.5) / 1e6 AS quality
+       |  FROM documents),
+       |e AS (SELECT doc_id,
+       |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
+       |  FROM documents),
+       |sh AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+       |      i -> substr(text, i::INT, 5))) AS s
+       |  FROM documents),
+       |near AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+       |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8),
+       |dec AS (SELECT d.doc_id, q.quality, lm.avg_logp,
+       |  CASE WHEN q.quality < 0.3 THEN 'low_quality'
+       |       WHEN lm.avg_logp < -3.43 THEN 'lm_gibberish'
+       |       WHEN e.is_duplicate THEN 'exact_duplicate'
+       |       WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_duplicate'
+       |       ELSE 'kept' END AS decision
+       |  FROM documents d JOIN q USING (doc_id) JOIN lm USING (doc_id) JOIN e USING (doc_id))""".stripMargin
+
   /** Exact recursive twin of the reference chunker (size=120, overlap=20):
     * walks each doc's cursor exactly like Chunker.chunkText — window end =
     * LAST sentence-boundary start in the window's final 20 chars (+2) if
@@ -622,33 +663,23 @@ object GraftOracles {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "pipeline_clean_corpus" ->
-      s"""WITH q AS (SELECT doc_id,
-         |    floor(least(1.0,
-         |      0.4 * least(len($toks)::DOUBLE / 50.0, 1.0)
-         |      + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text))
-         |      + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))) * 1e6 + 0.5) / 1e6 AS quality
-         |  FROM documents),
-         |e AS (SELECT doc_id,
-         |    doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
-         |  FROM documents),
-         |sh AS (SELECT doc_id,
-         |    list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
-         |      i -> substr(text, i::INT, 5))) AS s
-         |  FROM documents),
-         |near AS (SELECT DISTINCT b.doc_id FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
-         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8)
-         |SELECT d.doc_id, q.quality,
-         |  CASE WHEN q.quality < 0.3 THEN 'low_quality'
-         |       WHEN e.is_duplicate THEN 'exact_duplicate'
-         |       WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_duplicate'
-         |       ELSE 'kept' END AS decision,
-         |  (CASE WHEN q.quality < 0.3 THEN 'low_quality'
-         |       WHEN e.is_duplicate THEN 'exact_duplicate'
-         |       WHEN d.doc_id IN (SELECT doc_id FROM near) THEN 'near_duplicate'
-         |       ELSE 'kept' END) = 'kept' AS keep
-         |FROM documents d JOIN q USING (doc_id) JOIN e USING (doc_id)
-         |ORDER BY doc_id""".stripMargin,
+      s"""WITH $cleanDecisionCtes
+         |SELECT doc_id, quality, avg_logp, decision, decision = 'kept' AS keep
+         |FROM dec ORDER BY doc_id""".stripMargin,
+
+    "pipeline_clean_mix" ->
+      s"""WITH $cleanDecisionCtes,
+         |kept AS (SELECT doc_id FROM dec WHERE decision = 'kept'),
+         |kd AS (SELECT d.source, d.lang,
+         |    CAST(len(string_split_regex(trim(lower(d.text)), '\\s+')) AS BIGINT) AS ntok
+         |  FROM documents d JOIN kept USING (doc_id)),
+         |cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(ntok) AS BIGINT) AS n_tokens
+         |  FROM kd GROUP BY 1, 2),
+         |tt AS (SELECT CAST(sum(ntok) AS BIGINT) AS total FROM kd)
+         |SELECT source, lang, n_docs, n_tokens,
+         |  floor(CAST(n_tokens AS DOUBLE) / total * 1e6 + 0.5) / 1e6 AS token_share
+         |FROM cells, tt ORDER BY source, lang""".stripMargin,
 
     "ingest_report" ->
       """SELECT source,

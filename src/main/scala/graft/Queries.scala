@@ -658,29 +658,47 @@ object GraftQueries {
       .orderBy("lang")
 
   /** The composed cleaning pipeline a training-data run would ship:
-    * quality gate -> exact dedup (keep canonical) -> near-dup removal
-    * (MinHash-LSH, drop the higher id of each >=0.8 pair). One row per
-    * document with the keep decision and first-failing reason — the
-    * auditable form (filtering to kept docs is a trailing filter).
+    * heuristic quality gate -> unigram-LM gibberish gate (the r4 signal,
+    * threshold at the corpus p05 of avg token log-prob) -> exact dedup
+    * (keep canonical) -> near-dup removal (MinHash-LSH, drop the higher
+    * id of each >=0.8 pair). One row per document with the keep decision
+    * and FIRST-failing reason — the auditable form (filtering to kept
+    * docs is a trailing filter; `pipeline_clean_mix` composes exactly
+    * that).
     */
-  val pipelineCleanCorpus: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  private def cleanCorpusDecisions(docs: DataFrame): DataFrame = {
     val stats = TextAnalysis.textStats(docs).select("doc_id", "quality")
+    val lm = unigramLogProb(docs).select("doc_id", "avg_logp")
     val exact = Dedup.exact(docs, "text", "doc_id").select("doc_id", "is_duplicate")
     val nearLosers = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.8)
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("near_dup", lit(true))
     docs.select("doc_id")
       .join(stats, "doc_id")
+      .join(lm, "doc_id")
       .join(exact, "doc_id")
       .join(nearLosers, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("quality"),
+      .select(col("doc_id"), col("quality"), col("avg_logp"),
         when(col("quality") < 0.3, "low_quality")
+          .when(col("avg_logp") < -3.43, "lm_gibberish")
           .when(col("is_duplicate"), "exact_duplicate")
           .when(coalesce(col("near_dup"), lit(false)), "near_duplicate")
           .otherwise("kept").as("decision"))
       .withColumn("keep", col("decision") === "kept")
-      .orderBy("doc_id")
+  }
+
+  val pipelineCleanCorpus: Q = (s, d) =>
+    cleanCorpusDecisions(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Corpus mix report over the CLEANED corpus — the full training-data
+    * preparation chain composed end-to-end: quality + LM gates + dedup
+    * decide keeps, then the kept docs roll up to the (source, lang)
+    * domain-weighting table. Same shapes as the parts: the decision
+    * frame's joins, then one partial-agg shuffle over kept docs. */
+  val pipelineCleanMix: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val kept = cleanCorpusDecisions(docs).filter(col("keep")).select("doc_id")
+    mixReport(s, docs.join(kept, "doc_id"))
   }
 
   // ==================================================== multimodal + stream
@@ -1303,8 +1321,10 @@ object GraftQueries {
     * run): per (source, lang) document and token counts plus each cell's
     * share of all corpus tokens. One scan + one partial-agg shuffle; the
     * corpus total is a broadcast 1-row crossJoin, not a global window. */
-  val pipelineMixReport: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  val pipelineMixReport: Q = (s, d) => mixReport(s, Tables.documents(s, d))
+
+  private def mixReport(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("source"), col("lang"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
     // the few-row cells aggregate feeds both the corpus total and the
@@ -1369,9 +1389,14 @@ object GraftQueries {
     * integer addition is order-independent, so the per-doc mean is
     * bit-deterministic across engines AND Spark merge orders (the
     * vec_centroid trick). */
-  val textUnigramLm: Q = (s, d) => {
+  val textUnigramLm: Q = (s, d) =>
+    unigramLogProb(Tables.documents(s, d)).orderBy("doc_id")
+
+  /** Per-doc mean token log-prob under the corpus add-one-smoothed
+    * unigram LM (shared by text_unigram_lm and the clean-corpus LM gate). */
+  private def unigramLogProb(docs: DataFrame): DataFrame = {
     val vocabCap = 50000
-    val toks = Tables.documents(s, d)
+    val toks = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("token")).limit(vocabCap)
@@ -1386,7 +1411,6 @@ object GraftQueries {
       .agg(count(lit(1)).as("n_tokens"),
         (floor(sum(col("lp")).cast("double") / count(lit(1)) / 1048576 * 1e6 + 0.5) / 1e6)
           .as("avg_logp"))
-      .orderBy("doc_id")
   }
 
   /** NOT IN through the SQL front-end — the null-aware anti-join
@@ -1495,6 +1519,7 @@ object GraftQueries {
     "q14_sql_exists" -> q14SqlExists,
     "q15_interval_join" -> q15IntervalJoin,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
+    "pipeline_clean_mix" -> pipelineCleanMix,
     "ingest_report" -> ingestReport,
     "ann_probe_knn" -> annProbeKnn,
     "q16_percentiles" -> q16Percentiles,
