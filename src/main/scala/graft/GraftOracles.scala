@@ -40,6 +40,15 @@ object GraftOracles {
   private val toks = """string_split_regex(trim(lower(text)), '\s+')"""
   private val enStop = "['the','a','of','and','is','to','in']"
 
+  /** Oracle side of the source round-trip checksum: the same aggregate
+    * straight off the parquet table — equality with the engine's
+    * write+read-back result proves the interchange format is lossless. */
+  private val roundtripChecksumSql =
+    """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |  min(md5(text)) AS md5_lo, max(md5(text)) AS md5_hi
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** CTE chain ending in dec(doc_id, quality, avg_logp, decision) — the
     * oracle twin of GraftQueries.cleanCorpusDecisions (quality gate ->
     * unigram-LM gate at -3.43 -> exact dedup -> MinHash near-dup, first
@@ -499,6 +508,34 @@ object GraftOracles {
          |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.6
          |ORDER BY 1,2""".stripMargin,
 
+    // Reachability twin of Dedup.clusters: the recursive walk carries
+    // every reachable label to every node; min over the walk = the
+    // component minimum, exactly what min-label propagation converges
+    // to. Pair set = the exact-Jaccard oracle of dedup_minhash (LSH
+    // recall proven there), so the cluster labeling is fully checked.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+         |      i -> substr(text, i::INT, 5))) AS s
+         |  FROM documents),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, w.lbl FROM walk w JOIN edges e ON w.id = e.b),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+         |sized AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+         |  FROM comp GROUP BY 1)
+         |SELECT c.doc_id, c.cluster_id, s.cluster_size,
+         |  c.doc_id = c.cluster_id AS is_canonical
+         |FROM comp c JOIN sized s USING (cluster_id)
+         |ORDER BY doc_id""".stripMargin,
+
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosineDouble, 6) AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
@@ -545,6 +582,18 @@ object GraftOracles {
          |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 3
          |ORDER BY 1, 2""".stripMargin,
+
+    // round-trip checksum: the SAME aggregate the engine computes after
+    // its JSONL/CSV write+read cycle; hash equality proves losslessness
+    "source_jsonl" -> roundtripChecksumSql,
+    "source_csv" -> roundtripChecksumSql,
+
+    "text_bpe_merges" ->
+      s"""WITH tk AS (SELECT $toks AS t FROM documents),
+         |p AS (SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+         |    i -> t[i] || ' ' || t[i+1])) AS pair FROM tk)
+         |SELECT pair, CAST(count(*) AS BIGINT) AS n
+         |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin,
 
     "text_stats" ->
       s"""SELECT doc_id, length(text)::INT AS n_chars_measured,

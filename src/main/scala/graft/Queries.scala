@@ -580,6 +580,16 @@ object GraftQueries {
       .withColumn("hamming", col("hamming").cast("long"))
       .orderBy("id_a", "id_b")
 
+  /** Near-dup clustering: MinHash-LSH pairs -> connected components ->
+    * every doc labeled (cluster_id = component min id, size, canonical
+    * flag) — the keep-one-representative step after pair finding.
+    * Min-label propagation is deterministic (min is merge-order-proof),
+    * so the full 500-row labeling hash-matches a DuckDB WITH RECURSIVE
+    * reachability oracle. */
+  val dedupClusters: Q = (s, d) =>
+    Dedup.clusters(Tables.documents(s, d), "text", "doc_id", threshold = 0.8)
+      .orderBy("doc_id")
+
   /** Embedding-cosine near-dup pairs (exact all-pairs at harness scale;
     * LSH-bucketed variant is the scale path). */
   val dedupEmbedding: Q = (s, d) =>
@@ -649,6 +659,68 @@ object GraftQueries {
         TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"),
         TextAnalysis.repetitionRatio(col("text"), 2).as("rep2"))
       .orderBy("doc_id")
+
+  /** Shared round-trip checksum aggregate: per (source, lang) counts,
+    * char volume, and order-insensitive md5 extremes — hash equality
+    * against the parquet-side oracle proves the interchange format is
+    * LOSSLESS, not just row-count-preserving. */
+  private def roundtripChecksum(back: DataFrame): DataFrame =
+    back.groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        min(md5(col("text").cast("binary"))).as("md5_lo"),
+        max(md5(col("text").cast("binary"))).as("md5_hi"))
+      .orderBy("source", "lang")
+
+  private def rmTreeLocal(root: String): Unit = graft.store.VectorStore(root).destroy()
+
+  /** JSONL round-trip — the interchange format training corpora actually
+    * ship in: write the documents table as JSON lines, read it back with
+    * an EXPLICIT schema (no inference scan — at 100 TB schema inference
+    * is a full extra pass), checksum-aggregate. */
+  val sourceJsonl: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
+    val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
+    docs.write.mode("overwrite").json(tmp)
+    val back = s.read.schema(docs.schema).json(tmp)
+    val out = roundtripChecksum(back)
+    val rows = out.collect() // materialize before deleting the temp dir
+    rmTreeLocal(tmp)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** CSV round-trip (RFC-style doubled-quote escaping, multiLine read so
+    * embedded newlines/quotes survive; explicit schema like sourceJsonl). */
+  val sourceCsv: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
+    docs.write.mode("overwrite")
+      .option("header", "true").option("escape", "\"")
+      .csv(tmp)
+    val back = s.read.schema(docs.schema)
+      .option("header", "true").option("multiLine", "true").option("escape", "\"")
+      .csv(tmp)
+    val out = roundtripChecksum(back)
+    val rows = out.collect()
+    rmTreeLocal(tmp)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** BPE merge-candidate statistics (the first step of tokenizer
+    * training): adjacent token-pair frequencies, top 30. zip_with over
+    * two shifted slices keeps the pairing inside whole-stage codegen —
+    * map-only until one partial-agg shuffle. */
+  val textBpeMerges: Q = (s, d) => {
+    val toks = TextAnalysis.tokens(col("text"))
+    Tables.documents(s, d)
+      .select(explode(zip_with(
+        slice(toks, lit(1), size(toks) - 1),
+        slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(30)
+  }
 
   /** Quality filter composition: docs passing quality gates, per lang. */
   val qualityFilter: Q = (s, d) =>
@@ -1520,6 +1592,10 @@ object GraftQueries {
     "q15_interval_join" -> q15IntervalJoin,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "pipeline_clean_mix" -> pipelineCleanMix,
+    "dedup_clusters" -> dedupClusters,
+    "source_jsonl" -> sourceJsonl,
+    "source_csv" -> sourceCsv,
+    "text_bpe_merges" -> textBpeMerges,
     "ingest_report" -> ingestReport,
     "ann_probe_knn" -> annProbeKnn,
     "q16_percentiles" -> q16Percentiles,

@@ -343,6 +343,71 @@ object Dedup {
       .dropDuplicates("id_a", "id_b")
   }
 
+  // ------------------------------------------------ near-dup clustering
+
+  /** Connected components over an undirected pair graph by min-label
+    * propagation: every node ends with its component's MINIMUM id as
+    * label. Each round is one join + one min-aggregate shuffle on the
+    * edge list; the driver loop stops when no label changed. Rounds =
+    * component diameter — near-dup components are small and dense, so
+    * this converges in 2-3 rounds (for adversarial chain-shaped graphs
+    * swap in star contraction; same output contract). Deterministic by
+    * construction: min is merge-order-independent, so the result is
+    * bit-identical across partitionings — and oracle-able (DuckDB
+    * WITH RECURSIVE reachability twin).
+    *
+    * Returns (id, label) for every node that appears in `pairs`.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxRounds: Int = 50): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .cache()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("label", col("id"))
+      .cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val byDst = labels.select(col("id").as("dst"), col("label"))
+      val neighbor = edges.join(byDst, "dst").select(col("src").as("id"), col("label"))
+      val next = labels.union(neighbor)
+        .groupBy("id").agg(min(col("label")).as("label"))
+        .cache()
+      changed = next.select(col("id"), col("label").as("_new"))
+        .join(labels, "id")
+        .filter(col("_new") < col("label"))
+        .count() // also materializes next's cache
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** Near-duplicate CLUSTERS — the canonical-representative step a real
+    * dedup pipeline runs after pair finding: MinHash-LSH pairs ->
+    * connected components -> every document labeled with its cluster's
+    * min doc id, cluster size, and whether it is the kept canonical.
+    * Docs in no pair are their own singleton cluster. One window shuffle
+    * for sizes on top of the component rounds.
+    */
+  def clusters(df: DataFrame, textCol: String, idCol: String,
+               threshold: Double): DataFrame = {
+    val pairs = minhashLsh(df, textCol, idCol, threshold = threshold).select("id_a", "id_b")
+    val comp = connectedComponents(pairs, "id_a", "id_b")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    df.select(col(idCol).as("doc_id"))
+      .join(comp.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .drop("label")
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
+      .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+  }
+
   // -------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs. Exact all-pairs with id

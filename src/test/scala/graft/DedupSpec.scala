@@ -80,6 +80,23 @@ class DedupSpec extends SparkSpec {
       "kernel and join paths diverge")
   }
 
+  test("connected components: transitive chains merge, singletons stay, min id wins") {
+    import spark.implicits._
+    // chain 10-20-30 (10~20 and 20~30 only), pair 40-50, singleton 60
+    val pairs = Seq((20L, 10L), (20L, 30L), (50L, 40L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L, 50L -> 40L),
+      s"got $comp")
+    val docs = Seq(
+      (10L, "aaaa"), (20L, "bbbb"), (30L, "cccc"), (60L, "solo")
+    ).toDF("doc_id", "text")
+    // clusters() over docs with NO near-dup pairs: everyone is a singleton
+    val solo = Dedup.clusters(docs, "text", "doc_id", threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(solo.forall { case (id, cid, sz, canon) => cid == id && sz == 1L && canon })
+  }
+
   test("embedding near-dup with cosine threshold") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)),
