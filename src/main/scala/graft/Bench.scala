@@ -52,7 +52,16 @@ object Bench {
       s"\"" + k + "\":{\"median\":" + m + ",\"min\":" + lo + ",\"max\":" + hi + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"queries_detail":$detail,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"queries_detail":$detail,"sf":"$sfDir"}"""
+    // durable record: the driver captures stdout with a bounded tail, and
+    // r5's ~60 leading query medians were lost to mid-line truncation.
+    // Write the full JSON to the repo BEFORE printing, so the round's perf
+    // record survives any stdout capture failure.
+    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+      (json + "\n").getBytes("UTF-8"))
+    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    println(json)
     spark.stop()
   }
 }

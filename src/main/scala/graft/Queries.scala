@@ -392,13 +392,17 @@ object GraftQueries {
     * recall against vec_topk_join is asserted in ScalaTest). */
   val annIvf: Q = (s, d) => {
     // cached: consumed by centroid seeding, the Lloyd round, and the probe
-    // scan (3 jobs); Bench/Verify clear the cache between queries
+    // scan (3 jobs); result (k rows per query vector) is eagerized so the
+    // cache never outlives the call, even in long-lived sessions
     val e = Tables.embeddings(s, d).cache()
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    Similarity.ivfTopK(e, "embedding", "vec_id", q, "q_id", "q_vec",
-        k = 10, ncells = 16, nprobe = 4)
-      .orderBy("q_id", "rank")
+    try {
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val out = Similarity.ivfTopK(e, "embedding", "vec_id", q, "q_id", "q_vec",
+          k = 10, ncells = 16, nprobe = 4)
+        .orderBy("q_id", "rank")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally e.unpersist()
   }
 
   /** kNN through the AnnProbeRule optimizer rewrite: index the collection
@@ -413,16 +417,18 @@ object GraftQueries {
   val annProbeKnn: Q = (s, d) => {
     import graft.plans.AnnProbe
     val e = Tables.embeddings(s, d).cache()
-    val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 16)
-    val qv = e.filter(col("vec_id") === 0).select("embedding")
-      .collect().head.getSeq[Float](0).toArray
-    AnnProbe.withProbe(s, cents, nprobe = 4) {
-      val probed = Similarity.withCellId(e, "embedding", cents)
-        .orderBy(l2Sq(col("embedding"), vecLit(qv)))
-        .limit(10)
-        .select("vec_id", "label", "cell_id")
-      s.createDataFrame(java.util.Arrays.asList(probed.collect(): _*), probed.schema)
-    }
+    try {
+      val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 16)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      AnnProbe.withProbe(s, cents, nprobe = 4) {
+        val probed = Similarity.withCellId(e, "embedding", cents)
+          .orderBy(l2Sq(col("embedding"), vecLit(qv)))
+          .limit(10)
+          .select("vec_id", "label", "cell_id")
+        s.createDataFrame(java.util.Arrays.asList(probed.collect(): _*), probed.schema)
+      }
+    } finally e.unpersist()
   }
 
   /** IVF-PQ approximate kNN: candidates score from 8-byte PQ codes via
@@ -432,11 +438,14 @@ object GraftQueries {
     * recall@10 >= 0.85 vs brute force pinned in AnnProbeSpec. */
   val annIvfPq: Q = (s, d) => {
     val e = Tables.embeddings(s, d).cache()
-    val q = e.filter(col("vec_id") < 5)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-    Similarity.ivfPqTopK(e, "embedding", "vec_id", q, "q_id", "q_vec",
-        k = 10, ncells = 16, nprobe = 4)
-      .orderBy("q_id", "rank")
+    try {
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val out = Similarity.ivfPqTopK(e, "embedding", "vec_id", q, "q_id", "q_vec",
+          k = 10, ncells = 16, nprobe = 4)
+        .orderBy("q_id", "rank")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally e.unpersist()
   }
 
   /** kNN over the STORED IVF layout: the index build writes the
@@ -620,8 +629,12 @@ object GraftQueries {
       .orderBy("doc_id")
 
   /** Winnowing fingerprints (Karp-Rabin rolling hash + window minima, the
-    * MOSS scheme) — position-robust near-dup signatures. Pure-JVM kernel
-    * -> rows-only; dup-invariance and shift tolerance unit-tested. */
+    * MOSS scheme) — position-robust near-dup signatures. The pure-JVM
+    * Karp-Rabin kernel is the performance path; it is NOT a registry/gate
+    * query (it would only add a rows-only row) because the scheme itself
+    * is already oracle-proven by `doc_winnow_sql` — the md5-hashed,
+    * SQL-expressible twin below. Dup-invariance and shift tolerance are
+    * unit-tested in TextAnalysisSpec. */
   val docWinnow: Q = (s, d) => {
     val winnowUdf = udf((t: String) => TextAnalysis.winnow(t))
     Tables.documents(s, d)
@@ -1364,9 +1377,10 @@ object GraftQueries {
   }
 
   /** BM25 keyword retrieval over the documents corpus (the principled
-    * form of rag_hybrid_search's keyword arm): corpus-stats pass +
-    * codegen'd scoring pass + distributed top-k. Fully oracle-checked —
-    * including the ln()-based idf — because the arithmetic is written
+    * form of rag_hybrid_search's keyword arm): ONE tokenize scan into a
+    * cached compact tf projection, stats inlined as literals, codegen'd
+    * scoring + distributed top-k. Fully oracle-checked — including the
+    * ln()-based idf — because the arithmetic is written
     * expression-for-expression like the DuckDB SQL. */
   val textBm25: Q = (s, d) =>
     TextAnalysis.bm25TopK(Tables.documents(s, d), "text", "doc_id",
@@ -1586,7 +1600,6 @@ object GraftQueries {
     "streaming_sessions" -> streamingSessions,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "q12_distinct_sketch" -> q12DistinctSketch,
-    "doc_winnow" -> docWinnow,
     "q13_cube" -> q13Cube,
     "q14_sql_exists" -> q14SqlExists,
     "q15_interval_join" -> q15IntervalJoin,

@@ -53,7 +53,19 @@ object EventStream {
     * fully-materialized result table per run (the memory sink pins its
     * rows in the child session's catalog until dropped). The returned
     * DataFrame is a local relation on `parent` — independent of the child
-    * session and of the sink. */
+    * session and of the sink.
+    *
+    * Stopping the query does NOT unload its state-store providers: they
+    * stay registered in the executor-side `StateStore` singleton (waiting
+    * for a next microbatch that never comes), each pinning a checkpoint
+    * file manager with its thread pool — measured +8 providers and +70
+    * threads per stateful run in one JVM. For these one-shot drained
+    * queries the state is dead by construction, so unload it eagerly.
+    * (`unloadAll` would also bounce providers of a concurrently-running
+    * streaming query; that query reloads them from its checkpoint on the
+    * next batch — a hiccup, not a correctness issue — and graft's
+    * streaming helpers are synchronous one-shots, so in-library there is
+    * no concurrent holder.) */
   private[graft] def drainMemorySink(parent: SparkSession, child: SparkSession,
                                      q: StreamingQuery, queryName: String): DataFrame = {
     val sink = child.table(queryName)
@@ -61,6 +73,8 @@ object EventStream {
     val schema = sink.schema
     q.stop()
     child.catalog.dropTempView(queryName)
+    try org.apache.spark.sql.graft.Bridge.unloadAllStateStores()
+    catch { case _: Throwable => () }
     parent.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
   }
 

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for an LLM training-data pipeline:
@@ -166,37 +166,78 @@ object TextAnalysis {
     * small literal query-term set — the keyword half of hybrid retrieval
     * (rag_hybrid_search's term-hit score is the cruder cousin).
     *
-    * Two scans, both codegen'd, zero UDFs:
-    *  1. one aggregation for the corpus statistics — N, total token count,
-    *     per-term document frequencies — a SINGLE row, broadcast back;
-    *  2. one scoring pass over per-doc term frequencies (higher-order
-    *     `filter` on the token array) + distributed top-k
-    *     (TakeOrderedAndProject).
-    * At 100 TB: stats are O(1) state, scoring is map-only, and only k rows
-    * per partition cross the network. The arithmetic is written
-    * expression-for-expression like the DuckDB oracle so the double math
-    * is bit-identical cross-engine (floor-form rounding per parity rules).
+    * ONE corpus scan (r5 had two — the scoring pass recomputed the whole
+    * tokenize+tf lineage under a crossJoin(broadcast(stats))), codegen'd,
+    * zero UDFs:
+    *  1. the scan tokenizes and reduces each doc to the COMPACT per-doc
+    *     projection (id, dl, tf per term) — 2+|terms| longs per doc, tiny
+    *     next to the text — persisted MEMORY_AND_DISK;
+    *  2. corpus statistics (N, total token count, per-term document
+    *     frequencies — a SINGLE row) aggregate off the compact cache and
+    *     are inlined into the scoring expression as literals;
+    *  3. scoring + distributed top-k (TakeOrderedAndProject) also read
+    *     the cache; the ≤k result rows are collected and returned as an
+    *     eager local relation so the cache is unpersisted BEFORE
+    *     returning — no cached relation outlives the call (the
+    *     mix-report discipline).
+    * At 100 TB the text is read once; the cached projection is ~40×
+    * smaller than the corpus at k terms and spills to disk if it must.
+    * The arithmetic is written expression-for-expression like the DuckDB
+    * oracle so the double math is bit-identical cross-engine (floor-form
+    * rounding per parity rules); literal inlining keeps the same
+    * expression tree shape (long literals in place of long columns), so
+    * results are unchanged.
     */
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                terms: Seq[String], k: Int,
                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val withTf = bm25TfProjection(docs, textCol, idCol, terms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val statsRow = bm25Stats(withTf, terms)
+      val topk = bm25ScoreTopK(withTf, statsRow, idCol, terms, k, k1, b)
+      val rows = topk.collect()
+      docs.sparkSession.createDataFrame(
+        java.util.Arrays.asList(rows: _*), topk.schema)
+    } finally withTf.unpersist()
+  }
+
+  /** Stage 1 of bm25TopK: the single tokenize scan, reduced to the compact
+    * (id, dl, tf per term) projection. Exposed for plan tests. */
+  private[graft] def bm25TfProjection(docs: DataFrame, textCol: String,
+                                      idCol: String, terms: Seq[String]): DataFrame = {
     val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("long"))
-    val withTf = terms.indices.foldLeft(base) { case (df, i) =>
+    terms.indices.foldLeft(base) { case (df, i) =>
       df.withColumn(s"_tf$i",
         size(filter(col("_toks"), x => x === lit(terms(i)))).cast("long"))
     }.drop("_toks")
+  }
+
+  /** Stage 2: the 1-row corpus statistics aggregate, collected eagerly. */
+  private[graft] def bm25Stats(withTf: DataFrame, terms: Seq[String]): Row = {
     val statCols = Seq(count(lit(1)).as("_n"), sum(col("_dl")).as("_sumdl")) ++
       terms.indices.map(i => sum(when(col(s"_tf$i") > 0, 1L).otherwise(0L)).as(s"_df$i"))
-    val stats = withTf.agg(statCols.head, statCols.tail: _*)
-    val avgdl = col("_sumdl").cast("double") / col("_n")
+    withTf.agg(statCols.head, statCols.tail: _*).collect()(0)
+  }
+
+  /** Stage 3: scoring with stats inlined as literals + distributed top-k.
+    * No join anywhere — the lazy plan is scan → project → filter →
+    * TakeOrderedAndProject. Exposed for plan tests. */
+  private[graft] def bm25ScoreTopK(withTf: DataFrame, statsRow: Row, idCol: String,
+                                   terms: Seq[String], k: Int,
+                                   k1: Double, b: Double): DataFrame = {
+    val n = lit(statsRow.getAs[Long]("_n"))
+    val sumdl = lit(statsRow.getAs[Long]("_sumdl"))
+    val dfs = terms.indices.map(i => lit(statsRow.getAs[Long](s"_df$i")))
+    val avgdl = sumdl.cast("double") / n
     val score = terms.indices.map { i =>
       val tf = col(s"_tf$i").cast("double")
-      val idf = log((col("_n") - col(s"_df$i") + 0.5) / (col(s"_df$i") + 0.5) + 1.0)
+      val idf = log((n - dfs(i) + 0.5) / (dfs(i) + 0.5) + 1.0)
       idf * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl").cast("double") / avgdl))
     }.reduce(_ + _)
-    withTf.crossJoin(broadcast(stats))
+    withTf
       .withColumn("bm25", floor(score * 1e4 + 0.5) / 1e4)
       .filter(col("bm25") > 0)
       .orderBy(col("bm25").desc, col(idCol))

@@ -12,4 +12,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Unload every state-store provider registered in this JVM's
+    * `StateStore` singleton (a `private[sql]` API). Stopped streaming
+    * queries leave their providers loaded — each pinning a checkpoint
+    * file manager and its threads — so graft's one-shot drained queries
+    * call this after `StreamingQuery.stop()`; see
+    * `EventStream.drainMemorySink` for the measured leak and the
+    * concurrent-query caveat. */
+  def unloadAllStateStores(): Unit =
+    org.apache.spark.sql.execution.streaming.state.StateStore.unloadAll()
 }

@@ -179,6 +179,19 @@ class AnnProbeSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("ANN registry queries leave no cached relation behind (long-lived sessions)") {
+    // r5 ADVICE class: .cache() without unpersist accumulates in the
+    // session cache manager; bench's clearCache masks it, real sessions
+    // don't. All three caching ANN queries now eagerize + unpersist.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    Seq("ann_ivf", "ann_probe_knn", "ann_ivfpq").foreach { name =>
+      val out = SparkEntry.queries(name)(spark, sf)
+      assert(out.count() > 0)
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+      assert(leaked.isEmpty, s"$name left persistent RDDs behind: $leaked")
+    }
+  }
+
   test("withProbe scope unregisters the rule and catalog on exit") {
     val base = org.apache.spark.sql.SparkSession.builder()
       .master("local[4]").config("spark.ui.enabled", "false").getOrCreate()

@@ -24,6 +24,15 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("drained one-shot streaming queries leave no state-store providers loaded") {
+    // r5 bench regression root cause: q.stop() keeps providers registered
+    // in the JVM-wide StateStore singleton (+8 providers, +70 threads per
+    // stateful run); drainMemorySink now unloads them eagerly
+    Sessionize.run(spark, s"$sf/events.parquet", "sess_test_unload")
+    assert(SessRepro.loadedProviderCount() == 0,
+      s"expected 0 loaded state-store providers, got ${SessRepro.loadedProviderCount()}")
+  }
+
   test("stream-stream interval join equals batch time-range join twin") {
     val streamed = graft.streaming.EventStream
       .runStreamingIntervalJoin(spark, s"$sf/events.parquet", "join_test_parity")
