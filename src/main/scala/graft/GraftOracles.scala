@@ -742,6 +742,24 @@ object GraftOracles {
         |  sha256(text) AS content_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // Spark encodes a PNG whose dims/pixels are closed-form in doc_id and
+    // decodes it with javax.imageio; the oracle recomputes the decoded
+    // channel sums WITHOUT a codec, so the real encode->decode round-trip
+    // is bit-checked. (This build lacks lateral table functions, hence the
+    // staged unnest(range(...)) pixel grid.)
+    "multimodal_decode" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 24 AS INT) AS width,
+        |         CAST(8 + (doc_id*7) % 24 AS INT) AS height
+        |  FROM documents),
+        |px1 AS (SELECT doc_id, width, height, unnest(range(width)) AS x FROM dims),
+        |px AS (SELECT doc_id, width, height, x, unnest(range(height)) AS y FROM px1)
+        |SELECT doc_id, width, height,
+        |  CAST(sum((x*31 + y*17 + doc_id) % 256) AS BIGINT) AS red_sum,
+        |  CAST(sum((x*13 + y*29 + doc_id*3) % 256) AS BIGINT) AS green_sum,
+        |  CAST(sum((x*7 + y*11 + doc_id*5) % 256) AS BIGINT) AS blue_sum
+        |FROM px GROUP BY 1,2,3 ORDER BY doc_id""".stripMargin,
+
     "streaming_hourly" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS n_events, round(sum(value),4) AS sum_value

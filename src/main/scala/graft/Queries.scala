@@ -798,6 +798,23 @@ object GraftQueries {
         col("features.content_sha").as("content_sha"))
       .orderBy("doc_id")
 
+  /** REAL image decode through `javax.imageio`: synthesize a deterministic
+    * PNG per doc (dims + every pixel are closed-form in doc_id), push it
+    * through the batched per-partition decode seam, and emit per-channel
+    * pixel sums. The oracle recomputes the same sums in SQL WITHOUT
+    * decoding, so any encode- or decode-side bit error hash-mismatches.
+    * Map-only at scale: encode and decode stay inside one partition. */
+  val multimodalDecode: Q = (s, d) => {
+    val png = udf((id: Long) => Multimodal.synthPng(id))
+    val withPng = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("payload", png(col("doc_id")))
+    Multimodal.decodeImages(withPng, "payload")
+      .select(col("doc_id"), col("img.width").as("width"),
+        col("img.height").as("height"), col("img.red_sum").as("red_sum"),
+        col("img.green_sum").as("green_sum"), col("img.blue_sum").as("blue_sum"))
+      .orderBy("doc_id")
+  }
+
   /** The q8 aggregation through Structured Streaming (readStream ->
     * watermark -> window -> memory sink, AvailableNow). */
   val streamingHourly: Q = (s, d) =>
@@ -1596,6 +1613,7 @@ object GraftQueries {
     "doc_fingerprint" -> docFingerprint,
     "quality_filter" -> qualityFilter,
     "multimodal_meta" -> multimodalMeta,
+    "multimodal_decode" -> multimodalDecode,
     "streaming_hourly" -> streamingHourly,
     "streaming_sessions" -> streamingSessions,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,

@@ -39,6 +39,103 @@ object Multimodal {
     }
   }
 
+  /** REAL image codec — PNG/JPEG through the JDK's `javax.imageio` (no
+    * external dependency; PNG is lossless RGB so decode returns the exact
+    * encoded pixels). This replaces FakeDecoder for images; FakeDecoder
+    * remains the stand-in for audio/video codecs the JDK lacks.
+    */
+  object ImageCodec {
+    // in-memory stream cache: the default disk cache writes a temp file
+    // per image, pure overhead for our small blobs
+    javax.imageio.ImageIO.setUseCache(false)
+
+    /** Encode a width×height RGB image, pixels from `rgb(x, y)` packed
+      * 0xRRGGBB, to PNG bytes. */
+    def encodePng(width: Int, height: Int, rgb: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) { img.setRGB(x, y, rgb(x, y)); x += 1 }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+
+    /** Decode any ImageIO-supported format and reduce to per-channel
+      * pixel sums — (width, height, red_sum, green_sum, blue_sum); None
+      * for bytes no reader claims. The sums are an order-insensitive,
+      * bit-exact pixel feature an oracle can recompute in closed form. */
+    def decodeRgbFeatures(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth; val h = img.getHeight
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val p = img.getRGB(x, y)
+            sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        Some((w, h, sr, sg, sb))
+      }
+    }
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("red_sum", LongType, nullable = false),
+    StructField("green_sum", LongType, nullable = false),
+    StructField("blue_sum", LongType, nullable = false)
+  ))
+
+  /** Batched REAL image decode over a binary column (same per-partition
+    * seam as [[extractFeatures]], ImageIO instead of the stub). Rows whose
+    * bytes decode to no image are dropped — the fallback-chain semantics
+    * (a corrupt blob yields no feature row, not a poisoned one).
+    */
+  def decodeImages(df: DataFrame, binCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("img", imageFeatureSchema))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      // per-partition codec session seam (ImageIO reader pool, GPU codec…)
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          ImageCodec.decodeRgbFeatures(r.getAs[Array[Byte]](idx)).map {
+            case (w, h, sr, sg, sb) =>
+              Row.fromSeq(r.toSeq :+ Row(w, h, sr, sg, sb))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic PNG for a row id: dimensions and every pixel
+    * are closed-form functions of the id, so an oracle can recompute the
+    * decoded features without decoding — which makes the ENCODE→DECODE
+    * round-trip through the real codec byte-exactly checkable in SQL.
+    */
+  def synthPng(id: Long): Array[Byte] = {
+    val w = (8 + Math.floorMod(id, 24L)).toInt
+    val h = (8 + Math.floorMod(id * 7L, 24L)).toInt
+    ImageCodec.encodePng(w, h, (x, y) => {
+      val r = Math.floorMod(x * 31L + y * 17L + id, 256L).toInt
+      val g = Math.floorMod(x * 13L + y * 29L + id * 3L, 256L).toInt
+      val b = Math.floorMod(x * 7L + y * 11L + id * 5L, 256L).toInt
+      (r << 16) | (g << 8) | b
+    })
+  }
+
   /** Attach a binary payload column derived from a string column (the
     * testdata has no real blobs; `encode(text)` makes the plumbing real).
     */

@@ -91,6 +91,29 @@ class PipelineSpec extends SparkSpec {
     assert(r1.getInt(3) >= 64)
   }
 
+  test("multimodal: real javax.imageio PNG round-trip through the batched decode seam") {
+    // encode a known image, decode it distributed, check exact pixels
+    val ids = Seq(0L, 1L, 17L, 255L, 1000L)
+    val df = ids.toDF("doc_id")
+      .withColumn("payload", udf((id: Long) => Multimodal.synthPng(id)).apply($"doc_id"))
+    val out = Multimodal.decodeImages(df, "payload")
+      .select($"doc_id", $"img.width", $"img.height", $"img.red_sum")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet
+    // closed-form expectation, computed independently of the codec
+    val expect = ids.map { id =>
+      val w = (8 + Math.floorMod(id, 24L)).toInt
+      val h = (8 + Math.floorMod(id * 7L, 24L)).toInt
+      val rs = (for { x <- 0 until w; y <- 0 until h }
+        yield Math.floorMod(x * 31L + y * 17L + id, 256L)).sum
+      (id, w, h, rs)
+    }.toSet
+    assert(out == expect)
+    // undecodable bytes drop the row (fallback-chain semantics), not poison it
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, Multimodal.synthPng(2L)))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.decodeImages(junk, "payload").count() == 1)
+  }
+
   test("frame sampling: frames reassemble to the exact payload bytes") {
     // orderBy before limit: bare limit gives no row-selection guarantee
     // across the two independent actions below
