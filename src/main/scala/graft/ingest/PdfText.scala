@@ -23,17 +23,18 @@ import java.util.zip.Inflater
   * (:77-79); blank output then drives the caller's fallback chain
   * (:130-138). Per-page texts are joined with "\n" (:73-76).
   *
-  * Streams: no filter and FlateDecode are decoded, including TIFF-2 and
-  * PNG (10-15) /DecodeParms predictors (PNG-Up is how most modern PDFs
-  * code their object/xref streams). A stream whose /Filter names anything
-  * else (LZW, ASCII85, RunLength, Crypt, chains, indirect /Filter)
-  * decodes to None — NEVER raw bytes — so an unsupported-filter PDF
-  * extracts blank and the caller's failed-row semantics engage.
+  * Streams: no filter, FlateDecode, and LZWDecode (PDF 32000 §7.4.4,
+  * incl. /EarlyChange) are decoded, including TIFF-2 and PNG (10-15)
+  * /DecodeParms predictors (PNG-Up is how most modern PDFs code their
+  * object/xref streams). A stream whose /Filter names anything else
+  * (ASCII85, RunLength, Crypt, chains, indirect /Filter) decodes to
+  * None — NEVER raw bytes — so an unsupported-filter PDF extracts blank
+  * and the caller's failed-row semantics engage.
   *
   * Not supported (acceptable for the extraction semantics, documented):
-  * encrypted PDFs, LZW/ASCII85 filters, and glyph-width-based word-gap
-  * inference (explicit space glyphs cover the corpora this engine
-  * targets).
+  * encrypted PDFs, ASCII85/RunLength filters, and glyph-width-based
+  * word-gap inference (explicit space glyphs cover the corpora this
+  * engine targets).
   */
 object PdfText {
 
@@ -165,19 +166,82 @@ object PdfText {
     }
 
   /** Decode a stream to its plain bytes, honoring the dict's /Filter and
-    * /DecodeParms. Supported: no filter; FlateDecode, optionally with a
-    * TIFF (2) or PNG (>=10) predictor. Anything else (LZW, ASCII85,
-    * RunLength, Crypt, DCT, filter chains, indirect /Filter) returns
-    * None so a genuinely-unsupported PDF extracts BLANK and the caller's
-    * blank-text failed-row semantics engage (reference :136-138) —
-    * passing raw compressed bytes to the tokenizer would emit mojibake
-    * as "successful" text. */
+    * /DecodeParms. Supported: no filter; FlateDecode or LZWDecode,
+    * optionally with a TIFF (2) or PNG (>=10) predictor. Anything else
+    * (ASCII85, RunLength, Crypt, DCT, filter chains, indirect /Filter)
+    * returns None so a genuinely-unsupported PDF extracts BLANK and the
+    * caller's blank-text failed-row semantics engage (reference
+    * :136-138) — passing raw compressed bytes to the tokenizer would
+    * emit mojibake as "successful" text. */
   private def decodeStream(o: PObj): Option[Array[Byte]] = o.data.flatMap { raw =>
     parseFilters(o.dict) match {
       case Some(Nil)                 => Some(raw)
       case Some(Seq("FlateDecode"))  => inflate(raw).flatMap(unpredict(o.dict, _))
+      case Some(Seq("LZWDecode"))    =>
+        lzwDecode(raw, earlyChange(o.dict)).flatMap(unpredict(o.dict, _))
       case _                         => None
     }
+  }
+
+  /** /EarlyChange from the stream's inline /DecodeParms; the PDF default
+    * is 1 (code width grows one code early). An indirect /DecodeParms
+    * can't be read here, but then `unpredict` blanks the stream anyway. */
+  private def earlyChange(dict: String): Int =
+    """(?s)/(?:DecodeParms|DP)\s*<<(.*?)>>""".r.findFirstMatchIn(dict)
+      .map(m => parmInt(m.group(1), "/EarlyChange", 1)).getOrElse(1)
+
+  /** LZWDecode (PDF 32000 §7.4.4 = TIFF LZW): codes packed MSB-first,
+    * width 9→12 bits, 256 = clear table, 257 = EOD, table entries
+    * assigned from 258. Width for the NEXT code is a function of the
+    * current table size + EarlyChange (thresholds 512/1024/2048), so
+    * decoder and encoder stay in lockstep. KwKwK case: a code equal to
+    * the next unassigned entry decodes as prev + prev.head. Any other
+    * out-of-range code, or output past the decompression cap, is corrupt
+    * → None → blank (same contract as inflate). */
+  private def lzwDecode(raw: Array[Byte], earlyChange: Int): Option[Array[Byte]] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.max(1024, raw.length * 3))
+      val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+      def resetTable(): Unit = {
+        table.clear()
+        var i = 0
+        while (i < 256) { table += Array(i.toByte); i += 1 }
+        table += null; table += null // 256 = clear, 257 = EOD
+      }
+      def codeBits: Int = {
+        val n = table.length + earlyChange
+        if (n >= 2048) 12 else if (n >= 1024) 11 else if (n >= 512) 10 else 9
+      }
+      resetTable()
+      var prev: Array[Byte] = null
+      var bitBuf = 0L; var nBits = 0; var pos = 0
+      var done = false
+      while (!done) {
+        val w = codeBits
+        while (nBits < w && pos < raw.length) {
+          bitBuf = (bitBuf << 8) | (raw(pos) & 0xffL); nBits += 8; pos += 1
+        }
+        if (nBits < w) done = true // data exhausted without EOD: accept prefix
+        else {
+          val code = ((bitBuf >>> (nBits - w)) & ((1L << w) - 1)).toInt
+          nBits -= w
+          if (code == 256) { resetTable(); prev = null }
+          else if (code == 257) done = true
+          else {
+            val entry: Array[Byte] =
+              if (code < table.length && table(code) != null) table(code)
+              else if (code == table.length && prev != null) prev :+ prev(0)
+              else throw new IllegalStateException(s"bad LZW code $code")
+            out.write(entry)
+            if (out.size > MaxInflatedBytes)
+              throw new IllegalStateException("lzw cap exceeded")
+            if (prev != null && table.length < 4096) table += (prev :+ entry(0))
+            prev = entry
+          }
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Throwable => None }
   }
 
   private def inflate(raw: Array[Byte]): Option[Array[Byte]] = {

@@ -260,9 +260,9 @@ class PdfTextSpec extends SparkSpec {
 
   test("unsupported filters yield BLANK text (failed row), never raw-bytes mojibake") {
     val content = "BT /F1 12 Tf (should never appear) Tj ET".getBytes("ISO-8859-1")
-    // LZW-declared stream carrying readable bytes: the pre-r5 bug passed
-    // these through raw and 'extracted' them as success
-    assert(PdfText.extract(binaryStreamPdf("/Filter /LZWDecode", content)) == "")
+    // RunLength-declared stream carrying readable bytes: the pre-r5 bug
+    // passed these through raw and 'extracted' them as success
+    assert(PdfText.extract(binaryStreamPdf("/Filter /RunLengthDecode", content)) == "")
     // filter chains and ASCII85 are likewise undecodable -> blank
     assert(PdfText.extract(
       binaryStreamPdf("/Filter [ /ASCII85Decode /FlateDecode ]", deflate(content))) == "")
@@ -272,6 +272,109 @@ class PdfTextSpec extends SparkSpec {
     // control: same bytes with plain FlateDecode DO extract
     val ok = PdfText.extract(binaryStreamPdf("/Filter /FlateDecode", deflate(content)))
     assert(ok.contains("should never appear"))
+  }
+
+  // ----------------------------------------------------------- LZW
+
+  /** Test-scope LZW encoder held in lockstep with the decoder BY
+    * CONSTRUCTION: each code is emitted at the width the decoder will
+    * read it with (computed from a simulated decoder table size — the
+    * decoder's table lags the encoder's by exactly one entry). Emits a
+    * leading clear code, optional mid-stream clears, and EOD. */
+  private def lzwEncode(data: Array[Byte], earlyChange: Int,
+                        clearEvery: Int = Int.MaxValue): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var nBits = 0
+    def width(decTableSize: Int): Int = {
+      val n = decTableSize + earlyChange
+      if (n >= 2048) 12 else if (n >= 1024) 11 else if (n >= 512) 10 else 9
+    }
+    var decSize = 258     // simulated decoder table size
+    var firstAfterClear = true
+    def emit(code: Int): Unit = {
+      val w = width(decSize)
+      bitBuf = (bitBuf << w) | code; nBits += w
+      while (nBits >= 8) { out.write(((bitBuf >>> (nBits - 8)) & 0xff).toInt); nBits -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[collection.immutable.ArraySeq[Byte], Int]
+    var nextCode = 258
+    def reset(): Unit = {
+      dict.clear(); nextCode = 258; decSize = 258; firstAfterClear = true
+      (0 until 256).foreach(i => dict(collection.immutable.ArraySeq(i.toByte)) = i)
+    }
+    def emitData(code: Int): Unit = {
+      emit(code)
+      if (firstAfterClear) firstAfterClear = false
+      else if (decSize < 4096) decSize += 1 // decoder adds an entry per code after the first
+    }
+    emit(256); reset()
+    var emitted = 0
+    var w = collection.immutable.ArraySeq.empty[Byte]
+    var i = 0
+    while (i < data.length) {
+      val wc = w :+ data(i)
+      if (dict.contains(wc)) w = wc
+      else {
+        emitData(dict(w))
+        emitted += 1
+        if (nextCode < 4096) { dict(wc) = nextCode; nextCode += 1 }
+        w = collection.immutable.ArraySeq(data(i))
+        if (emitted % clearEvery == 0) { emitData(dict(w)); emit(256); reset(); w = collection.immutable.ArraySeq.empty }
+      }
+      i += 1
+    }
+    if (w.nonEmpty) emitData(dict(w))
+    emit(257)
+    if (nBits > 0) out.write(((bitBuf << (8 - nBits)) & 0xff).toInt) // pad
+    out.toByteArray
+  }
+
+  test("LZWDecode content streams decode (EarlyChange 0 and 1, default, mid-stream clear)") {
+    val content = "BT /F1 12 Tf (Lzw coded text survives) Tj ET".getBytes("ISO-8859-1")
+    // default EarlyChange (no DecodeParms) = 1
+    assert(PdfText.extract(binaryStreamPdf("/Filter /LZWDecode", lzwEncode(content, 1)))
+      .contains("Lzw coded text survives"))
+    // explicit EarlyChange 0 and 1
+    for (ec <- Seq(0, 1)) {
+      val pdf = binaryStreamPdf(
+        s"/Filter /LZWDecode /DecodeParms << /EarlyChange $ec >>", lzwEncode(content, ec))
+      assert(PdfText.extract(pdf).contains("Lzw coded text survives"), s"EarlyChange $ec")
+    }
+    // mid-stream clear codes reset the table correctly
+    val cleared = binaryStreamPdf("/Filter /LZWDecode", lzwEncode(content, 1, clearEvery = 5))
+    assert(PdfText.extract(cleared).contains("Lzw coded text survives"))
+  }
+
+  test("LZW width growth past 9 bits: long repetitive stream round-trips exactly") {
+    // >512 table entries forces 9->10->11-bit codes; the KwKwK pattern
+    // (aaa...) exercises the code==table.length special case
+    val sb = new StringBuilder("BT /F1 12 Tf (")
+    val rnd = new scala.util.Random(42)
+    (0 until 4000).foreach { i =>
+      sb.append(if (i % 7 == 0) "aaaa" else ('b' + rnd.nextInt(24)).toChar.toString * (1 + i % 3))
+    }
+    sb.append(" wide table end marker) Tj ET")
+    val content = sb.toString.getBytes("ISO-8859-1")
+    for (ec <- Seq(0, 1)) {
+      val pdf = binaryStreamPdf(
+        s"/Filter /LZWDecode /DecodeParms << /EarlyChange $ec >>", lzwEncode(content, ec))
+      val txt = PdfText.extract(pdf)
+      assert(txt.contains("wide table end marker"), s"EarlyChange $ec: got ${txt.take(60)}")
+    }
+  }
+
+  test("corrupt LZW (bad codes) yields blank, never garbage or a throw") {
+    // readable-but-not-LZW bytes: decoding must fail cleanly or produce
+    // no text operators; either way extract() must not emit the content
+    val content = "BT /F1 12 Tf (should never appear) Tj ET".getBytes("ISO-8859-1")
+    val txt = PdfText.extract(binaryStreamPdf("/Filter /LZWDecode", content))
+    assert(!txt.contains("should never appear"))
+    // random bytes under the LZW filter: must not throw
+    val rnd = new scala.util.Random(7)
+    (0 until 50).foreach { _ =>
+      val junk = Array.fill(200)(rnd.nextInt(256).toByte)
+      PdfText.extract(binaryStreamPdf("/Filter /LZWDecode", junk))
+    }
   }
 
   test("CMap hex tokens tolerate inner whitespace and empty <>; bad entries skip, not blank") {
