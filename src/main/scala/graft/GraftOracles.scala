@@ -742,6 +742,35 @@ object GraftOracles {
         |  sha256(text) AS content_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // greedy per-shard sequence packing: seq of a doc = tokens-before div
+    // budget; token count parity = string_split_regex twin of tokens()
+    "pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |  FROM t)
+        |SELECT source, CAST(cum_before // 512 AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+
+    // Spark encodes a 16-bit PCM WAV whose samples are closed-form in
+    // doc_id and decodes it with javax.sound.sampled; the oracle
+    // recomputes the decoded sample sums codec-free (same scheme as
+    // multimodal_decode below)
+    "multimodal_audio" ->
+      """WITH dims AS (SELECT doc_id, CAST(64 + doc_id % 192 AS BIGINT) AS n
+        |  FROM documents),
+        |sm AS (SELECT doc_id, n, unnest(range(n)) AS i FROM dims)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(any_value(n) AS BIGINT) AS n_samples,
+        |  CAST(sum((i*37 + doc_id*13) % 4096 - 2048) AS BIGINT) AS sample_sum
+        |FROM sm GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
     // Spark encodes a PNG whose dims/pixels are closed-form in doc_id and
     // decodes it with javax.imageio; the oracle recomputes the decoded
     // channel sums WITHOUT a codec, so the real encode->decode round-trip

@@ -1393,6 +1393,31 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** REAL audio decode through `javax.sound.sampled`: synthesize a
+    * deterministic 16-bit PCM WAV per doc (sample count + every sample
+    * closed-form in doc_id), decode through the batched seam, emit
+    * (rate, channels, count, sum). Same oracle trick as
+    * multimodal_decode — the SQL twin recomputes the sums codec-free. */
+  val multimodalAudio: Q = (s, d) => {
+    val wav = udf((id: Long) => Multimodal.synthWav(id))
+    val withWav = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("payload", wav(col("doc_id")))
+    Multimodal.decodeAudio(withWav, "payload")
+      .select(col("doc_id"), col("audio.sample_rate").as("sample_rate"),
+        col("audio.channels").as("channels"),
+        col("audio.n_samples").as("n_samples"),
+        col("audio.sample_sum").as("sample_sum"))
+      .orderBy("doc_id")
+  }
+
+  /** Greedy token-budget sequence packing per source shard (the training
+    * batch-prep step after cleaning/dedup): consecutive docs pack into
+    * 512-token sequences; the report row per sequence shows fill. */
+  val packSequences: Q = (s, d) =>
+    TextAnalysis.packSequences(Tables.documents(s, d), "text", "doc_id",
+        "source", budgetTokens = 512)
+      .orderBy("source", "seq_id")
+
   /** BM25 keyword retrieval over the documents corpus (the principled
     * form of rag_hybrid_search's keyword arm): ONE tokenize scan into a
     * cached compact tf projection, stats inlined as literals, codegen'd
@@ -1614,6 +1639,8 @@ object GraftQueries {
     "quality_filter" -> qualityFilter,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
+    "pack_sequences" -> packSequences,
+    "multimodal_audio" -> multimodalAudio,
     "streaming_hourly" -> streamingHourly,
     "streaming_sessions" -> streamingSessions,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,

@@ -8,12 +8,15 @@ import org.apache.spark.sql.types._
 /** Multimodal-column plumbing: opaque `BINARY` payloads + typed metadata,
   * with decode/feature-extract as a batched per-partition stage.
   *
-  * The container has no image/audio codecs, so the decode step is a
+  * Image (PNG/JPEG via `javax.imageio`) and audio (PCM WAV via
+  * `javax.sound.sampled`) decode are REAL — both codecs ship in the JDK,
+  * and both round-trips are oracle-checked bit-exactly. Only formats the
+  * JDK genuinely lacks (video containers, MP3/AAC) keep the
   * clearly-marked STUB (`FakeDecoder`) producing deterministic features
-  * from the bytes; everything around it — the binary column schema, the
-  * partition-batched map (the Scala analog of `mapInPandas` batches), the
-  * feature struct shape — is the real pipeline and is what the tests
-  * exercise.
+  * from the bytes; the surrounding pipeline — the binary column schema,
+  * the partition-batched map (the Scala analog of `mapInPandas`
+  * batches), the feature struct shape — is identical between real and
+  * stubbed decoders.
   */
 object Multimodal {
 
@@ -25,9 +28,11 @@ object Multimodal {
     StructField("n_frames", IntegerType, nullable = false) // stubbed decode
   ))
 
-  /** STUB decoder — stands in for an image/audio codec (??? in a real
-    * deployment this calls e.g. javax.imageio / ffmpeg). Deterministic
-    * pseudo-features derived from the payload so tests are reproducible.
+  /** STUB decoder — stands in ONLY for codecs the JDK lacks (video,
+    * MP3/AAC; a real deployment plugs ffmpeg in here). Images and WAV
+    * audio use the REAL [[ImageCodec]]/[[AudioCodec]] instead.
+    * Deterministic pseudo-features derived from the payload so tests are
+    * reproducible.
     */
   object FakeDecoder {
     def decode(bytes: Array[Byte]): (Int, Int, Int) = {
@@ -118,6 +123,93 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** REAL audio codec — PCM WAV through the JDK's `javax.sound.sampled`
+    * (no external dependency; PCM is lossless so decode returns the exact
+    * encoded samples). With ImageCodec this leaves FakeDecoder standing
+    * in only for formats the JDK genuinely lacks (video, MP3/AAC).
+    */
+  object AudioCodec {
+    /** Encode 16-bit mono PCM samples to a canonical 44-byte-header WAV. */
+    def encodeWav(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1)                       // PCM
+        .putShort(1)                       // mono
+        .putInt(sampleRate)
+        .putInt(sampleRate * 2)            // byte rate
+        .putShort(2)                       // block align
+        .putShort(16)                      // bits per sample
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      samples.foreach(bb.putShort)
+      bb.array()
+    }
+
+    /** Decode any javax.sound-supported container to
+      * (sample_rate, channels, n_samples, sample_sum) over signed 16-bit
+      * samples; None for undecodable bytes. The sum is an
+      * order-insensitive, bit-exact feature an oracle can recompute. */
+    def decodePcmFeatures(bytes: Array[Byte]): Option[(Int, Int, Long, Long)] = {
+      try {
+        val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        try {
+          val fmt = in.getFormat
+          if (fmt.getSampleSizeInBits != 16) return None
+          val le = !fmt.isBigEndian
+          val data = in.readAllBytes()
+          var (n, sum) = (0L, 0L)
+          var i = 0
+          while (i + 1 < data.length) {
+            val s =
+              if (le) ((data(i) & 0xff) | (data(i + 1) << 8)).toShort
+              else ((data(i + 1) & 0xff) | (data(i) << 8)).toShort
+            sum += s; n += 1; i += 2
+          }
+          Some((fmt.getSampleRate.toInt, fmt.getChannels, n, sum))
+        } finally in.close()
+      } catch { case _: Throwable => None }
+    }
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sample_sum", LongType, nullable = false)
+  ))
+
+  /** Batched REAL audio decode over a binary column — same per-partition
+    * seam as [[decodeImages]]; undecodable rows drop. */
+  def decodeAudio(df: DataFrame, binCol: String, batchSize: Int = 32): DataFrame = {
+    val outSchema = StructType(df.schema.fields :+ StructField("audio", audioFeatureSchema))
+    val enc = RowEncoder.encoderFor(outSchema)
+    val idx = df.schema.fieldIndex(binCol)
+    df.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        batch.iterator.flatMap { r =>
+          AudioCodec.decodePcmFeatures(r.getAs[Array[Byte]](idx)).map {
+            case (sr, ch, n, sum) => Row.fromSeq(r.toSeq :+ Row(sr, ch, n, sum))
+          }
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic WAV for a row id: sample count and every
+    * sample are closed-form in the id (same oracle trick as
+    * [[synthPng]]). 16-bit mono PCM at 8 kHz. */
+  def synthWav(id: Long): Array[Byte] = {
+    val n = (64 + Math.floorMod(id, 192L)).toInt
+    val samples = Array.tabulate(n) { i =>
+      (Math.floorMod(i.toLong * 37L + id * 13L, 4096L) - 2048L).toShort
+    }
+    AudioCodec.encodeWav(samples, 8000)
   }
 
   /** Deterministic synthetic PNG for a row id: dimensions and every pixel

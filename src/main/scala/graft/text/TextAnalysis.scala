@@ -202,6 +202,35 @@ object TextAnalysis {
     } finally withTf.unpersist()
   }
 
+  /** Greedy sequence packing for LLM training: assign consecutive docs
+    * (per shard, in id order) to fixed-token-budget training sequences.
+    * A doc whose tokens straddle a boundary goes to the sequence its
+    * FIRST token falls in (seq_id = tokens-before-this-doc div budget) —
+    * the deterministic rule both engines can compute, so the whole
+    * packing is hash-checkable.
+    *
+    * Scale shape: packing is inherently sequential WITHIN a stream, so
+    * the operator packs per shard (`shardCol`) and parallelizes across
+    * shards — exactly how production packers shard by source/file. The
+    * window cum-sum runs one partition per shard with map-side token
+    * counting; no global single-partition bottleneck.
+    */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+                    shardCol: String, budgetTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(shardCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("_n_tokens"))
+      .withColumn("_cum_before", coalesce(sum(col("_n_tokens")).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"_cum_before div $budgetTokens"))
+      .groupBy(col(shardCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_n_tokens")).as("seq_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+
   /** Stage 1 of bm25TopK: the single tokenize scan, reduced to the compact
     * (id, dl, tf per term) projection. Exposed for plan tests. */
   private[graft] def bm25TfProjection(docs: DataFrame, textCol: String,

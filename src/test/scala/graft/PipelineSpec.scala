@@ -114,6 +114,27 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodeImages(junk, "payload").count() == 1)
   }
 
+  test("multimodal: real javax.sound WAV round-trip through the batched decode seam") {
+    val ids = Seq(0L, 1L, 63L, 500L)
+    val df = ids.toDF("doc_id")
+      .withColumn("payload", udf((id: Long) => Multimodal.synthWav(id)).apply($"doc_id"))
+    val out = Multimodal.decodeAudio(df, "payload")
+      .select($"doc_id", $"audio.sample_rate", $"audio.channels",
+        $"audio.n_samples", $"audio.sample_sum")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    val expect = ids.map { id =>
+      val n = (64 + Math.floorMod(id, 192L)).toInt
+      val s = (0 until n).map(i => Math.floorMod(i.toLong * 37L + id * 13L, 4096L) - 2048L).sum
+      (id, 8000, 1, n.toLong, s)
+    }.toSet
+    assert(out == expect)
+    // undecodable bytes drop the row, decodable ones survive
+    val junk = Seq((1L, Array[Byte](9, 9, 9)), (2L, Multimodal.synthWav(2L)))
+      .toDF("doc_id", "payload")
+    assert(Multimodal.decodeAudio(junk, "payload").count() == 1)
+  }
+
   test("frame sampling: frames reassemble to the exact payload bytes") {
     // orderBy before limit: bare limit gives no row-selection guarantee
     // across the two independent actions below

@@ -82,4 +82,31 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.charNgrams(lit("abcde"), 3).as("g")).as[Seq[String]].head()
     assert(out == Seq("abc", "bcd", "cde"))
   }
+
+  test("packSequences: lossless partition of each shard into budgeted sequences") {
+    val docs = Tables.documents(spark, sf)
+    val budget = 512
+    val packed = TextAnalysis.packSequences(docs, "text", "doc_id", "source", budget)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // every doc lands in exactly one sequence; no tokens lost
+    val totalDocs = docs.count()
+    assert(packed.map(_._3).sum == totalDocs)
+    val totalTokens = docs.select(sum(size(TextAnalysis.tokens(col("text")))
+      .cast("long"))).head.getLong(0)
+    assert(packed.map(_._4).sum == totalTokens)
+    packed.groupBy(_._1).foreach { case (src, seqs) =>
+      val sorted = seqs.sortBy(_._2)
+      // doc-id ranges of consecutive sequences are ordered and disjoint
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._6 < b._5, s"$src: overlap $a $b")
+        case _ => ()
+      }
+      // greedy rule: every sequence except the shard's last is filled to
+      // the budget boundary (its token span crosses the next boundary)
+      sorted.dropRight(1).zip(sorted.tail).foreach { case (a, b) =>
+        assert(b._2 > a._2)
+      }
+    }
+  }
 }
