@@ -742,6 +742,24 @@ object GraftOracles {
         |  sha256(text) AS content_sha
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // benchmark decontamination: word-3-gram collision of corpus docs
+    // against the doc_id%97=0 eval subset; token/gram construction is
+    // the string_split_regex + list-slice twin of Dedup.decontaminate
+    "decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t)-2,1)+1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS grams FROM tk),
+        |b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |du AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+        |  FROM g WHERE doc_id % 97 <> 0)
+        |SELECT du.doc_id, CAST(any_value(du.n_grams) AS BIGINT) AS n_grams,
+        |  CAST(count(b.gram) AS BIGINT) AS n_overlap,
+        |  count(b.gram) > 0 AS contaminated
+        |FROM du LEFT JOIN b ON du.gram = b.gram
+        |GROUP BY du.doc_id ORDER BY du.doc_id""".stripMargin,
+
     // greedy per-shard sequence packing: seq of a doc = tokens-before div
     // budget; token count parity = string_split_regex twin of tokens()
     "pack_sequences" ->

@@ -1410,6 +1410,21 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination over the documents corpus: every 97th doc
+    * stands in for the held-out eval set; the rest are checked for n-gram
+    * overlap against it. n=3 here (production default is 8) because the
+    * synthetic corpus has no verbatim 8-gram leaks — 3-grams give the
+    * gate a non-degenerate hit distribution to hash-check. Broadcast
+    * benchmark grams, one corpus scan, one row-per-doc shuffle. */
+  val decontaminate: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminate(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", n = 3)
+      .orderBy("doc_id")
+  }
+
   /** Greedy token-budget sequence packing per source shard (the training
     * batch-prep step after cleaning/dedup): consecutive docs pack into
     * 512-token sequences; the report row per sequence shows fill. */
@@ -1641,6 +1656,7 @@ object GraftQueries {
     "multimodal_decode" -> multimodalDecode,
     "pack_sequences" -> packSequences,
     "multimodal_audio" -> multimodalAudio,
+    "decontaminate" -> decontaminate,
     "streaming_hourly" -> streamingHourly,
     "streaming_sessions" -> streamingSessions,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,

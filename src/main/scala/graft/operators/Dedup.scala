@@ -367,18 +367,28 @@ object Dedup {
       .distinct()
       .withColumn("label", col("id"))
       .cache()
-    var changed = 1L
+    // Convergence detection without a per-round join: labels only DECREASE
+    // under min-propagation and the id set is fixed, so the label sum
+    // strictly decreases iff any label changed. One 1-row aggregate per
+    // round (which also materializes the round's cache) replaces the old
+    // join+filter+count change probe — at scale that join was a full extra
+    // shuffle of the label relation per round. decimal(38,0) keeps the sum
+    // exact for arbitrary 64-bit ids (a wrapped long sum could collide).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty pair set -> null sum
+    var prevSum = labelSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
+    while (changed && rounds < maxRounds) {
       val byDst = labels.select(col("id").as("dst"), col("label"))
       val neighbor = edges.join(byDst, "dst").select(col("src").as("id"), col("label"))
       val next = labels.union(neighbor)
         .groupBy("id").agg(min(col("label")).as("label"))
         .cache()
-      changed = next.select(col("id"), col("label").as("_new"))
-        .join(labels, "id")
-        .filter(col("_new") < col("label"))
-        .count() // also materializes next's cache
+      val curSum = labelSum(next)
+      changed = curSum.compareTo(prevSum) != 0
+      prevSum = curSum
       labels.unpersist()
       labels = next
       rounds += 1
@@ -406,6 +416,42 @@ object Dedup {
       .withColumn("cluster_size", count(lit(1)).over(w))
       .withColumn("is_canonical", col("doc_id") === col("cluster_id"))
       .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
+  }
+
+  // ----------------------------------------------------- decontamination
+
+  /** Benchmark decontamination — the training-data step that flags
+    * documents overlapping an evaluation set (the GPT-2/GPT-3 recipe:
+    * word n-gram collision against the benchmark, n=8 by default).
+    *
+    * Scale shape: the benchmark side is an eval set — thousands of docs,
+    * not billions — so its distinct gram set BROADCASTS; the corpus side
+    * is one tokenize scan, a map-side broadcast join, and a partial
+    * aggregate, so the only shuffle carries one row per document. A doc
+    * shorter than n tokens contributes its whole token sequence as a
+    * single gram (the shingle convention above, mirrored in the oracle).
+    *
+    * Output: (doc_id, n_grams, n_overlap, contaminated) per corpus doc.
+    */
+  def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                    textCol: String, idCol: String, n: Int = 8): DataFrame = {
+    def grams(text: Column): Column = {
+      val toks = graft.text.TextAnalysis.tokens(text)
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    }
+    val bGrams = benchmark.select(explode(grams(col(textCol))).as("gram"))
+      .distinct()
+      .withColumn("_hit", lit(1))
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), grams(col(textCol)).as("_g"))
+      .select(col("doc_id"), size(col("_g")).as("_ng"), explode(col("_g")).as("gram"))
+    exploded.join(broadcast(bGrams), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(max(col("_ng")).cast("long").as("n_grams"),
+        coalesce(sum(col("_hit")), lit(0L)).cast("long").as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
   }
 
   // -------------------------------------------------- embedding near-dup

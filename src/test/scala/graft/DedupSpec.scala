@@ -107,4 +107,24 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out == Set((1L, 2L)))
   }
+
+  test("decontaminate: flags docs sharing n-grams with the benchmark, counts distinct hits") {
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a verbatim copy the quick brown fox jumps high"),
+      (2L, "completely unrelated words with nothing shared here"),
+      (3L, "the quick brown fox appears twice the quick brown fox")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    // doc 1 (9 tokens -> 6 grams): "the quick brown fox" + "quick brown
+    // fox jumps" both in benchmark
+    assert(out(1L) == ((6L, 2L, true)), s"got ${out(1L)}")
+    // doc 2: 7 tokens -> 4 distinct 4-grams, zero hits
+    assert(out(2L) == ((4L, 0L, false)), s"got ${out(2L)}")
+    // doc 3 (10 tokens, "the quick brown fox" twice): the repeat dedups in
+    // n_grams (7 raw -> 6 distinct) and its hit counts ONCE
+    assert(out(3L) == ((6L, 1L, true)), s"got ${out(3L)}")
+  }
 }
