@@ -508,6 +508,39 @@ object GraftOracles {
          |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.6
          |ORDER BY 1,2""".stripMargin,
 
+    // Twin of Dedup.substringSpans (n=8): identical tokenization, window
+    // hashing (md5 of the space-joined 8-token slice — both engines emit
+    // lowercase hex), corpus-wide occurrence count, and the same
+    // gaps-and-islands window merge. dup_ratio mirrors the engine's
+    // floor(x*1e6+0.5)/1e6 pure-IEEE rounding expression-for-expression.
+    "dedup_substring" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, t
+         |  FROM tk WHERE len(t) >= 8),
+         |sp AS (SELECT doc_id, n_tokens, i AS start,
+         |    md5(array_to_string(t[i+1:i+8], ' ')) AS h
+         |  FROM base, unnest(range(0, len(t) - 8 + 1)) AS u(i)),
+         |dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) > 1),
+         |ds AS (SELECT sp.* FROM sp JOIN dup USING (h)),
+         |m AS (SELECT doc_id, n_tokens, start,
+         |    max(start + 7) OVER (PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM ds),
+         |isl AS (SELECT doc_id, n_tokens, start,
+         |    sum(CASE WHEN prev_end IS NULL OR start > prev_end THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start) AS island
+         |  FROM m),
+         |iv AS (SELECT doc_id, n_tokens, island,
+         |    CAST(count(*) AS BIGINT) AS spans_in_island,
+         |    min(start) AS i_start, max(start) + 7 AS i_end
+         |  FROM isl GROUP BY 1, 2, 3)
+         |SELECT doc_id, n_tokens,
+         |  CAST(sum(spans_in_island) AS BIGINT) AS n_dup_spans,
+         |  CAST(count(*) AS BIGINT) AS n_intervals,
+         |  CAST(sum(i_end - i_start + 1) AS BIGINT) AS dup_tokens,
+         |  floor(sum(i_end - i_start + 1)::DOUBLE / n_tokens * 1e6 + 0.5) / 1e6 AS dup_ratio
+         |FROM iv GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
+
     // Reachability twin of Dedup.clusters: the recursive walk carries
     // every reachable label to every node; min over the walk = the
     // component minimum, exactly what min-label propagation converges

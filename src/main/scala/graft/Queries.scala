@@ -1425,6 +1425,15 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** Span-level exact-substring duplication report (Lee et al. 2022's
+    * ExactSubstr at word granularity, n=8): per doc with any duplicated
+    * 8-token window, the merged-interval coverage of duplicated text.
+    * Probed at sf0.001: 45/500 docs carry duplicated spans — the exact
+    * and near-duplicate docs the generator plants share their windows. */
+  val dedupSubstring: Q = (s, d) =>
+    Dedup.substringSpans(Tables.documents(s, d), "text", "doc_id", n = 8)
+      .orderBy("doc_id")
+
   /** Greedy token-budget sequence packing per source shard (the training
     * batch-prep step after cleaning/dedup): consecutive docs pack into
     * 512-token sequences; the report row per sequence shows fill. */
@@ -1657,6 +1666,7 @@ object GraftQueries {
     "pack_sequences" -> packSequences,
     "multimodal_audio" -> multimodalAudio,
     "decontaminate" -> decontaminate,
+    "dedup_substring" -> dedupSubstring,
     "streaming_hourly" -> streamingHourly,
     "streaming_sessions" -> streamingSessions,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,

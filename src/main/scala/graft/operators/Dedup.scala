@@ -454,6 +454,66 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  // -------------------------------------------- exact-substring spans
+
+  /** Span-level exact-substring duplicate report — the ExactSubstr shape
+    * of "Deduplicating Training Data Makes Language Models Better" (Lee
+    * et al. 2022) at word-token granularity: every n-token window of
+    * every document is hashed, a window whose hash occurs more than once
+    * in the corpus (in ANY document, including its own) is a duplicated
+    * span, and per document the overlapping spans merge into maximal
+    * intervals (gaps-and-islands) so the duplicated-token coverage is
+    * counted once per token.
+    *
+    * Scale shape: one corpus scan explodes to O(total tokens) span rows
+    * carrying only (doc_id, start, 16-byte md5) — never the span text —
+    * so the duplicate-count shuffle is on a fixed-width key with partial
+    * aggregation; the span→duplicate join reuses that same hash key (the
+    * count>1 survivor set is a small fraction of a natural corpus); the
+    * interval merge is a per-document window bounded by document length.
+    * No stage is quadratic in corpus size.
+    *
+    * Output: one row per document that contains at least one duplicated
+    * span — (doc_id, n_tokens, n_dup_spans, n_intervals, dup_tokens,
+    * dup_ratio). Consumers drop docs above a ratio threshold or cut the
+    * reported intervals out of the text.
+    */
+  def substringSpans(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 8): DataFrame = {
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    val spans = df
+      .select(col(idCol).as("doc_id"), toks.as("_t"))
+      .filter(size(col("_t")) >= n)
+      .select(col("doc_id"), size(col("_t")).cast("long").as("n_tokens"),
+        posexplode(transform(
+          sequence(lit(0), size(col("_t")) - n),
+          i => md5(concat_ws(" ", slice(col("_t"), i + 1, lit(n))).cast("binary"))))
+          .as(Seq("start", "span_hash")))
+    val dupHashes = spans.groupBy("span_hash")
+      .agg(count(lit(1)).as("_occ")).filter(col("_occ") > 1)
+      .select("span_hash")
+    // gaps-and-islands: a span starting at s covers tokens [s, s+n-1];
+    // a span opens a new interval iff it starts past every prior end
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
+    val islands = spans.join(dupHashes, Seq("span_hash"))
+      .withColumn("_prev_end", max(col("start") + (n - 1))
+        .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("_new",
+        when(col("_prev_end").isNull || col("start") > col("_prev_end"), 1L)
+          .otherwise(0L))
+      .withColumn("_island", sum(col("_new")).over(byDoc))
+    islands
+      .groupBy(col("doc_id"), col("n_tokens"), col("_island"))
+      .agg(count(lit(1)).as("_spans"),
+        min(col("start")).as("_is"), (max(col("start")) + (n - 1)).as("_ie"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("_spans")).as("n_dup_spans"),
+        count(lit(1)).as("n_intervals"),
+        sum(col("_ie") - col("_is") + 1).cast("long").as("dup_tokens"))
+      .withColumn("dup_ratio",
+        floor(col("dup_tokens").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
+  }
+
   // -------------------------------------------------- embedding near-dup
 
   /** Embedding-cosine near-duplicate pairs. Exact all-pairs with id

@@ -127,4 +127,25 @@ class DedupSpec extends SparkSpec {
     // n_grams (7 raw -> 6 distinct) and its hit counts ONCE
     assert(out(3L) == ((6L, 1L, true)), s"got ${out(3L)}")
   }
+
+  test("substringSpans: merges overlapping dup windows, counts within-doc repeats, splits disjoint intervals") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),            // shares windows a-b-c, b-c-d, c-d-e with doc 2
+      (2L, "a b c d e x y z"),
+      (3L, "p q r s t u v w"),            // all-unique: no report row
+      (4L, "m m m m m m"),                // 4 identical within-doc windows -> full coverage
+      (5L, "a b c w1 w2 w3 w4 c d e")     // two disjoint dup intervals
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringSpans(corpus, "text", "doc_id", n = 3)
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))))
+      .toMap
+    // (n_tokens, n_dup_spans, n_intervals, dup_tokens, dup_ratio)
+    assert(out(1L) == ((8L, 3L, 1L, 5L, 0.625)), s"got ${out(1L)}")
+    assert(out(2L) == ((8L, 3L, 1L, 5L, 0.625)), s"got ${out(2L)}")
+    assert(!out.contains(3L))
+    assert(out(4L) == ((6L, 4L, 1L, 6L, 1.0)), s"got ${out(4L)}")
+    assert(out(5L) == ((10L, 2L, 2L, 6L, 0.6)), s"got ${out(5L)}")
+  }
 }
