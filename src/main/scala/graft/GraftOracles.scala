@@ -508,6 +508,29 @@ object GraftOracles {
          |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.6
          |ORDER BY 1,2""".stripMargin,
 
+    // Twin of QualityClassifier.score: the SAME checked-in weight fixture
+    // is loaded here and inlined as a 256-element list literal, the hash
+    // bucket is the identical md5-hex-prefix expression, and the logit is
+    // an integer (fixed-point 2^20) sum — order-independent, so the two
+    // engines agree bit-for-bit; the only float math is the final
+    // floor-form rounding, mirrored expression-for-expression.
+    "quality_classifier" -> {
+      val m = graft.text.QualityClassifier.load()
+      val wl = m.weights.mkString("[", ",", "]")
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |f AS (SELECT doc_id, unnest(t || list_transform(range(1, greatest(len(t), 1)),
+         |    i -> t[i] || ' ' || t[i+1])) AS feat FROM tk),
+         |b AS (SELECT doc_id,
+         |    (('0x' || substr(md5(feat), 1, 6))::BIGINT % 256)::INT AS bkt FROM f),
+         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(($wl)[bkt + 1]) AS BIGINT) + (${m.bias}) AS logit
+         |  FROM b GROUP BY 1)
+         |SELECT doc_id, n_feats,
+         |  floor(logit::DOUBLE / n_feats / 1048576 * 1e6 + 0.5) / 1e6 AS score,
+         |  floor(logit::DOUBLE / n_feats / 1048576 * 1e6 + 0.5) / 1e6 > 0.0 AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    },
+
     // Twin of Dedup.substringSpans (n=8): identical tokenization, window
     // hashing (md5 of the space-joined 8-token slice — both engines emit
     // lowercase hex), corpus-wide occurrence count, and the same

@@ -7,7 +7,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOf, Dedup, Similarity}
 import graft.query.{Knn, WhereDsl}
 import graft.streaming.EventStream
-import graft.text.TextAnalysis
+import graft.text.{QualityClassifier, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -1425,6 +1425,15 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** Fasttext-shaped quality-classifier gate: linear model over hashed
+    * unigram+bigram counts, fixed-point weights from the checked-in
+    * fixture (swap the resource for a trained model — the serving plan
+    * is identical). Fully codegen: the 256-weight array rides in the
+    * plan as a literal; the only shuffle is the per-doc partial agg. */
+  val qualityClassifier: Q = (s, d) =>
+    QualityClassifier.score(Tables.documents(s, d), "text", "doc_id")
+      .orderBy("doc_id")
+
   /** Span-level exact-substring duplication report (Lee et al. 2022's
     * ExactSubstr at word granularity, n=8): per doc with any duplicated
     * 8-token window, the merged-interval coverage of duplicated text.
@@ -1667,6 +1676,7 @@ object GraftQueries {
     "multimodal_audio" -> multimodalAudio,
     "decontaminate" -> decontaminate,
     "dedup_substring" -> dedupSubstring,
+    "quality_classifier" -> qualityClassifier,
     "streaming_hourly" -> streamingHourly,
     "streaming_sessions" -> streamingSessions,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
