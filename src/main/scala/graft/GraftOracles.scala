@@ -644,6 +644,19 @@ object GraftOracles {
     "source_jsonl" -> roundtripChecksumSql,
     "source_csv" -> roundtripChecksumSql,
 
+    // Manifest twin of export_shards, straight off the source table: the
+    // deterministic shard arithmetic (md5-hex-prefix of the id, mod 8)
+    // and checksum aggregates reproduce here, so equality proves the
+    // engine's shuffle+partitioned-write+read-back cycle lost nothing
+    // and assigned every doc to the arithmetic shard.
+    "export_shards" ->
+      """SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 8)::INT AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  CAST(sum(('0x' || substr(md5(text), 1, 12))::BIGINT) AS BIGINT) AS content_sum,
+        |  min(md5(text)) AS md5_lo, max(md5(text)) AS md5_hi
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "text_bpe_merges" ->
       s"""WITH tk AS (SELECT $toks AS t FROM documents),
          |p AS (SELECT unnest(list_transform(range(1, greatest(len(t), 1)),

