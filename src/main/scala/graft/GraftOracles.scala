@@ -644,6 +644,33 @@ object GraftOracles {
     "source_jsonl" -> roundtripChecksumSql,
     "source_csv" -> roundtripChecksumSql,
 
+    // Twin of pipeline_mix_sample: token stats, the 1+(src# mod 3) weight
+    // rule, budget = min(t/share), rate = share*budget/t, and the
+    // id-hash-fraction keep test all recompute here with the identical
+    // IEEE expression order; integer token/weight sums keep every input
+    // to the double arithmetic bit-equal across engines.
+    "pipeline_mix_sample" ->
+      """WITH tk AS (SELECT doc_id, source,
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS ntok
+        |  FROM documents),
+        |st AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS t,
+        |    1 + (substr(source, 4)::INT % 3) AS w
+        |  FROM tk GROUP BY 1),
+        |ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM st),
+        |sh AS (SELECT source, t, w::DOUBLE / wsum AS share FROM st, ws),
+        |bd AS (SELECT min(t::DOUBLE / share) AS budget FROM sh),
+        |rt AS (SELECT source, t, share * budget / t AS rate FROM sh, bd),
+        |kept AS (SELECT tk.source, tk.ntok, rt.rate FROM tk JOIN rt USING (source)
+        |  WHERE ('0x' || substr(md5(tk.doc_id::VARCHAR), 1, 6))::BIGINT::DOUBLE / 16777216.0 < rt.rate),
+        |ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+        |    CAST(sum(ntok) AS BIGINT) AS n_tokens_kept,
+        |    floor(max(rate) * 1e6 + 0.5) / 1e6 AS sample_rate
+        |  FROM kept GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n_tokens_kept) AS BIGINT) AS tot FROM ag)
+        |SELECT source, n_docs_kept, n_tokens_kept, sample_rate,
+        |  floor(n_tokens_kept::DOUBLE / tot * 1e6 + 0.5) / 1e6 AS achieved_share
+        |FROM ag, tt ORDER BY source""".stripMargin,
+
     // Manifest twin of export_shards, straight off the source table: the
     // deterministic shard arithmetic (md5-hex-prefix of the id, mod 8)
     // and checksum aggregates reproduce here, so equality proves the

@@ -1544,6 +1544,49 @@ object GraftQueries {
       .orderBy("source", "lang")
   }
 
+  /** Deterministic mixture sampling — the "data mixing" stage: given
+    * target weights per source, scale the total token budget to the most
+    * constrained source (budget = min over sources of tokens/share, so no
+    * source oversamples) and keep each doc iff its id-hash fraction is
+    * below its source's rate. Hash-threshold sampling is reshuffle- and
+    * retry-stable, unlike rand(); the weight rule here (1 + src# mod 3)
+    * stands in for a curated weight table — production joins one in.
+    *
+    * Two passes by necessity (global per-source stats gate the rates —
+    * the TF-IDF shape): pass 1 is a few-row partial agg COLLECTED and
+    * turned into rates driver-side (bounded by |sources|); pass 2 is one
+    * map-only scan with a broadcast 20-row rate relation and a per-source
+    * partial agg. Integer token sums keep every cross-engine value
+    * bit-deterministic; the rate arithmetic is pure IEEE doubles in an
+    * order the oracle mirrors expression-for-expression. */
+  val pipelineMixSample: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
+    val stats = docs.groupBy("source").agg(sum(col("_ntok")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    // target shares from the weight rule; integer weight sum so the
+    // normalization is order-independent
+    val w = stats.map { case (src, _) => src -> (1 + src.drop(3).toInt % 3) }.toMap
+    val wsum = w.values.sum
+    val share = w.map { case (src, wi) => src -> wi.toDouble / wsum }
+    val budget = stats.map { case (src, t) => t.toDouble / share(src) }.min
+    val rate = stats.map { case (src, t) => (src, share(src) * budget / t) }.toSeq
+    val rateDf = s.createDataFrame(rate).toDF("source", "_rate")
+    val kept = docs.join(broadcast(rateDf), Seq("source"))
+      .filter(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6), 16, 10)
+        .cast("double") / 16777216.0 < col("_rate"))
+    val agg = kept.groupBy("source")
+      .agg(count(lit(1)).as("n_docs_kept"), sum(col("_ntok")).as("n_tokens_kept"),
+        (floor(max(col("_rate")) * 1e6 + 0.5) / 1e6).as("sample_rate"))
+    val total = agg.agg(sum(col("n_tokens_kept")).as("_tt"))
+    agg.crossJoin(broadcast(total))
+      .withColumn("achieved_share",
+        floor(col("n_tokens_kept").cast("double") / col("_tt") * 1e6 + 0.5) / 1e6)
+      .select("source", "n_docs_kept", "n_tokens_kept", "sample_rate", "achieved_share")
+      .orderBy("source")
+  }
+
   /** Hybrid retrieval, principled form: BM25 keyword arm (top-100 by
     * rounded score) + exact-cosine vector arm (top-100), fused with
     * reciprocal-rank fusion. Both arms are distributed top-k over their
@@ -1714,6 +1757,7 @@ object GraftQueries {
     "decontaminate" -> decontaminate,
     "dedup_substring" -> dedupSubstring,
     "quality_classifier" -> qualityClassifier,
+    "pipeline_mix_sample" -> pipelineMixSample,
     "streaming_hourly" -> streamingHourly,
     "streaming_sessions" -> streamingSessions,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,

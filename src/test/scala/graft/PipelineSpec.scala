@@ -237,4 +237,20 @@ class PipelineSpec extends SparkSpec {
     val streamed = GraftQueries.streamingHourly(spark, sf).collect().toSet
     assert(streamed == batch)
   }
+
+  test("mix sampling: rates bounded by 1, binding source saturates, kept volume under target shares") {
+    val rows = GraftQueries.pipelineMixSample(spark, sf).collect()
+    assert(rows.length == 20) // every source keeps at least one doc at these rates
+    val rates = rows.map(r => r.getAs[String]("source") -> r.getAs[Double]("sample_rate")).toMap
+    assert(rates.values.forall(r => r > 0.0 && r <= 1.0 + 1e-9))
+    // the binding source saturates its rate; weight rule 1+(src# mod 3)
+    // orders rates by weight among same-sized sources
+    assert(rates.values.max > 0.999)
+    assert(rates("src0") < rates("src1") && rates("src1") < rates("src2"))
+    val shares = rows.map(_.getAs[Double]("achieved_share"))
+    assert(math.abs(shares.sum - 1.0) < 1e-3)
+    // deterministic: a rerun returns the identical report
+    val again = GraftQueries.pipelineMixSample(spark, sf).collect()
+    assert(rows.map(_.toString).sorted.sameElements(again.map(_.toString).sorted))
+  }
 }
