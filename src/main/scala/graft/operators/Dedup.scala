@@ -465,13 +465,17 @@ object Dedup {
     * intervals (gaps-and-islands) so the duplicated-token coverage is
     * counted once per token.
     *
-    * Scale shape: one corpus scan explodes to O(total tokens) span rows
-    * carrying only (doc_id, start, 16-byte md5) — never the span text —
-    * so the duplicate-count shuffle is on a fixed-width key with partial
-    * aggregation; the span→duplicate join reuses that same hash key (the
-    * count>1 survivor set is a small fraction of a natural corpus); the
-    * interval merge is a per-document window bounded by document length.
-    * No stage is quadratic in corpus size.
+    * Scale shape: ONE corpus scan explodes to O(total tokens) span rows
+    * carrying only (doc_id, start, 16-byte md5) — never the span text.
+    * The occurrence count is a WINDOW over span_hash, not an aggregate
+    * joined back: the join form re-scans and re-tokenizes the whole
+    * corpus for its second side (the bm25 double-scan defect class), and
+    * at scale the duplicate-hash set is too large to assume broadcast —
+    * the sort-merge join would shuffle the spans by hash anyway. The
+    * window form pays that same by-hash shuffle once and skips the
+    * second scan entirely. The interval merge is then a per-document
+    * window bounded by document length. No stage is quadratic in corpus
+    * size.
     *
     * Output: one row per document that contains at least one duplicated
     * span — (doc_id, n_tokens, n_dup_spans, n_intervals, dup_tokens,
@@ -489,13 +493,12 @@ object Dedup {
           sequence(lit(0), size(col("_t")) - n),
           i => md5(concat_ws(" ", slice(col("_t"), i + 1, lit(n))).cast("binary"))))
           .as(Seq("start", "span_hash")))
-    val dupHashes = spans.groupBy("span_hash")
-      .agg(count(lit(1)).as("_occ")).filter(col("_occ") > 1)
-      .select("span_hash")
     // gaps-and-islands: a span starting at s covers tokens [s, s+n-1];
     // a span opens a new interval iff it starts past every prior end
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    val islands = spans.join(dupHashes, Seq("span_hash"))
+    val islands = spans
+      .withColumn("_occ", count(lit(1)).over(Window.partitionBy(col("span_hash"))))
+      .filter(col("_occ") > 1)
       .withColumn("_prev_end", max(col("start") + (n - 1))
         .over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("_new",

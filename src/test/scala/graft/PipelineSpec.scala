@@ -114,6 +114,36 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodeImages(junk, "payload").count() == 1)
   }
 
+  test("multimodal: JPEG decodes through the same ImageIO seam (dims exact, features sane)") {
+    // the decoder is container-agnostic: a JPEG payload rides the same
+    // batched path; dimensions survive the lossy codec exactly
+    val enc = udf { (id: Long) =>
+      val w = (8 + Math.floorMod(id, 24L)).toInt
+      val h = (8 + Math.floorMod(id * 7L, 24L)).toInt
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (x <- 0 until w; y <- 0 until h)
+        img.setRGB(x, y, (Math.floorMod(x * 31L + y * 17L + id, 256L) << 16).toInt)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val ids = Seq(3L, 42L, 99L)
+    val df = ids.toDF("doc_id").withColumn("payload", enc($"doc_id"))
+    val out = Multimodal.decodeImages(df, "payload")
+      .select($"doc_id", $"img.width", $"img.height", $"img.red_sum", $"img.green_sum")
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4)))).toMap
+    ids.foreach { id =>
+      val (w, h, rs, gs) = out(id)
+      assert(w == (8 + Math.floorMod(id, 24L)).toInt)
+      assert(h == (8 + Math.floorMod(id * 7L, 24L)).toInt)
+      // red channel carries signal (lossy, so approximate); green stays near zero
+      val exactRed = (for { x <- 0 until w; y <- 0 until h }
+        yield Math.floorMod(x * 31L + y * 17L + id, 256L)).sum
+      assert(math.abs(rs - exactRed).toDouble / exactRed < 0.25, s"red_sum $rs vs $exactRed")
+      assert(gs < exactRed / 2)
+    }
+  }
+
   test("multimodal: real javax.sound WAV round-trip through the batched decode seam") {
     val ids = Seq(0L, 1L, 63L, 500L)
     val df = ids.toDF("doc_id")

@@ -154,6 +154,24 @@ class PlanSpec extends SparkSpec {
       "the 1-row corpus total must broadcast")
   }
 
+  test("dedup_substring: ONE corpus scan (window count, not agg-and-join-back)") {
+    val p = plan("dedup_substring")
+    val scans = "Location: InMemoryFileIndex".r.findAllIn(p).length
+    assert(scans == 1, s"expected a single parquet scan, saw $scans — " +
+      "the dup-hash side must not re-scan/re-tokenize the corpus")
+    assert(!p.contains("Join"), "no join belongs in the window formulation")
+  }
+
+  test("quality_classifier: model rides as a plan literal; single partial-agg shuffle, no join") {
+    val p = plan("quality_classifier")
+    assert(p.contains("element_at"), "weight lookup should be an array-literal element_at")
+    assert(p.contains("partial_sum"), "logit sum must be map-side partial")
+    assert(!p.contains("Join") && !p.contains("BroadcastExchange"),
+      "the model must not arrive via a join or broadcast table")
+    val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected agg + final sort exchanges only, saw $exchanges")
+  }
+
   test("q24 gapfill: dense-grid build sides stay broadcast (no shuffled cross)") {
     val p = plan("q24_gapfill")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") ||
