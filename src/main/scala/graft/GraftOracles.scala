@@ -671,6 +671,16 @@ object GraftOracles {
         |  floor(n_tokens_kept::DOUBLE / tot * 1e6 + 0.5) / 1e6 AS achieved_share
         |FROM ag, tt ORDER BY source""".stripMargin,
 
+    // Twin of store_compact: the post-rewrite checksum equals the source
+    // table's, and the file counts are deterministic (64 scattered
+    // appends -> 1 byte-budgeted file at gate scale).
+    "store_compact" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  min(md5(text)) AS md5_lo, max(md5(text)) AS md5_hi,
+        |  CAST(64 AS BIGINT) AS n_files_before, CAST(1 AS BIGINT) AS n_files_after
+        |FROM documents""".stripMargin,
+
     // Manifest twin of export_shards, straight off the source table: the
     // deterministic shard arithmetic (md5-hex-prefix of the id, mod 8)
     // and checksum aggregates reproduce here, so equality proves the

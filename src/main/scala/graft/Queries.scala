@@ -756,6 +756,32 @@ object GraftQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Small-file compaction on the collection store — the maintenance op
+    * behind every long-lived ingest surface: 64 scattered appends
+    * compact to byte-budgeted files (here 1) via read+coalesce+atomic
+    * swap, NO shuffle. The emitted manifest is the content checksum of
+    * the store AFTER the rewrite plus the before/after file counts; the
+    * oracle computes the same checksum straight off the source table
+    * (and the counts are deterministic at this scale), so a hash match
+    * proves the rewrite lost nothing. */
+  val storeCompact: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
+    val store = graft.store.VectorStore(tmp)
+    val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
+    store.create("docs", docs.repartition(64))
+    val (nb, na) = store.compact(s, "docs")
+    val out = store.read(s, "docs")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"),
+        min(md5(col("text").cast("binary"))).as("md5_lo"),
+        max(md5(col("text").cast("binary"))).as("md5_hi"))
+      .withColumn("n_files_before", lit(nb.toLong))
+      .withColumn("n_files_after", lit(na.toLong))
+    val rows = out.collect()
+    store.destroy()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** BPE merge-candidate statistics (the first step of tokenizer
     * training): adjacent token-pair frequencies, top 30. zip_with over
     * two shifted slices keeps the pairing inside whole-stage codegen —
@@ -1771,6 +1797,7 @@ object GraftQueries {
     "source_jsonl" -> sourceJsonl,
     "source_csv" -> sourceCsv,
     "export_shards" -> exportShards,
+    "store_compact" -> storeCompact,
     "text_bpe_merges" -> textBpeMerges,
     "ingest_report" -> ingestReport,
     "ann_probe_knn" -> annProbeKnn,

@@ -41,6 +41,54 @@ final case class VectorStore(root: String) {
     else d.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
   }
 
+  /** All data files of a collection (recursive — partitioned layouts
+    * keep files one directory down). */
+  def dataFiles(name: String): Seq[java.io.File] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.startsWith("part-")) Seq(f)
+      else Nil
+    val d = new java.io.File(path(name))
+    if (d.exists()) walk(d) else Nil
+  }
+
+  /** Compact a collection's small files — the maintenance op every
+    * long-lived ingest store needs: streaming/incremental appends leave
+    * thousands of KB-sized files, and at 100 TB the resulting scan-task
+    * and NameNode/listing overhead dominates query latency.
+    *
+    * Reads the collection, coalesces to ceil(bytes/targetBytes) output
+    * files — `coalesce`, NOT `repartition`: compaction is an IO rewrite
+    * and must not pay a full shuffle pass — writes to a swap directory,
+    * then atomically renames into place. On an object store the rename
+    * becomes a manifest/pointer swap (table formats exist for exactly
+    * this); the read+coalesce+write core is unchanged.
+    *
+    * Returns (filesBefore, filesAfter). */
+  def compact(spark: SparkSession, name: String,
+              targetBytes: Long = 128L << 20): (Int, Int) = {
+    val before = dataFiles(name)
+    val totalBytes = before.map(_.length).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    // a hive-partitioned layout is detected from the data-file paths and
+    // PRESERVED — flattening it would silently break every pruned read;
+    // files merge within partition directories
+    val rootPath = new java.io.File(path(name)).toPath
+    val partCols = before.headOption.toSeq.flatMap { f =>
+      rootPath.relativize(f.toPath.getParent).toString
+        .split("/").filter(_.contains("=")).map(_.takeWhile(_ != '='))
+    }
+    val tmpName = name + "__compacting"
+    val w = read(spark, name).coalesce(nOut).write.mode("overwrite")
+    (if (partCols.nonEmpty) w.partitionBy(partCols.toSeq: _*) else w)
+      .parquet(path(tmpName))
+    val dst = new java.io.File(path(name))
+    rmTree(dst)
+    require(new java.io.File(path(tmpName)).renameTo(dst),
+      s"compaction swap failed for $name")
+    (before.size, dataFiles(name).size)
+  }
+
   def drop(name: String): Unit = rmTree(new java.io.File(path(name)))
 
   /** Remove the whole store root (scratch stores in tests/queries). */

@@ -268,6 +268,28 @@ class PipelineSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("store compaction: many small files become few, content identical, store stays readable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_spec").toString
+    val store = graft.store.VectorStore(tmp)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    store.create("c", docs.repartition(32))
+    assert(store.dataFiles("c").size == 32)
+    val beforeRows = store.read(spark, "c").orderBy("doc_id").collect().toSeq
+    val (nb, na) = store.compact(spark, "c")
+    assert(nb == 32 && na == 1, s"got ($nb, $na)")
+    val afterRows = store.read(spark, "c").orderBy("doc_id").collect().toSeq
+    assert(beforeRows == afterRows)
+    // a partitioned store compacts too (files live a directory down)
+    store.create("p", Tables.documents(spark, sf).select(col("doc_id"), col("text"), col("lang"))
+      .repartition(16), partitionBy = Seq("lang"))
+    val nbP = store.dataFiles("p").size
+    assert(nbP > 5) // 16 tasks x |langs| leave plenty of small files
+    val (b2, a2) = store.compact(spark, "p")
+    assert(b2 == nbP && a2 < nbP)
+    assert(store.count(spark, "p") == docs.count())
+    store.destroy()
+  }
+
   test("mix sampling: rates bounded by 1, binding source saturates, kept volume under target shares") {
     val rows = GraftQueries.pipelineMixSample(spark, sf).collect()
     assert(rows.length == 20) // every source keeps at least one doc at these rates
