@@ -383,17 +383,28 @@ object Dedup {
     while (changed && rounds < maxRounds) {
       val byDst = labels.select(col("id").as("dst"), col("label"))
       val neighbor = edges.join(byDst, "dst").select(col("src").as("id"), col("label"))
+      // localCheckpoint (eager), NOT cache: each round's plan must start
+      // from the materialized blocks, not stack onto the previous
+      // round's. With cache() the final labels carried a rounds-deep
+      // union/groupBy lineage tower whose ShuffleDependencies stayed
+      // registered as long as any reference lived — the iterative-Spark
+      // leak (GraphX's Pregel checkpoints for exactly this reason),
+      // measured here as same-JVM reruns degrading 4s -> 13s -> 17s.
       val next = labels.union(neighbor)
         .groupBy("id").agg(min(col("label")).as("label"))
-        .cache()
+        .localCheckpoint(true)
       val curSum = labelSum(next)
       changed = curSum.compareTo(prevSum) != 0
       prevSum = curSum
-      labels.unpersist()
       labels = next
       rounds += 1
     }
     edges.unpersist()
+    // The truncated rounds' shuffle files and checkpoint blocks are
+    // released by Spark's ContextCleaner, which only acts after a DRIVER
+    // GC — and a large driver heap may not GC for hours. One collection
+    // at operator end bounds the cleanup debt to this run's garbage.
+    System.gc()
     labels
   }
 
@@ -435,21 +446,33 @@ object Dedup {
     */
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     textCol: String, idCol: String, n: Int = 8): DataFrame = {
-    def grams(text: Column): Column = {
-      val toks = graft.text.TextAnalysis.tokens(text)
+    // the token array MUST be projected to its own column before the
+    // transform lambda touches it: an expression inside a higher-order
+    // function is outside codegen's subexpression elimination, so an
+    // inline split() would re-tokenize the document once PER GRAM —
+    // O(tokens^2) per doc (measured 7s -> 0.5s at sf0.1 for this query)
+    def grams(toks: Column): Column =
       array_distinct(transform(
         sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
         i => concat_ws(" ", slice(toks, i, lit(n)))))
-    }
-    val bGrams = benchmark.select(explode(grams(col(textCol))).as("gram"))
+    val bGrams = benchmark
+      .select(graft.text.TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(explode(grams(col("_toks"))).as("gram"))
       .distinct()
       .withColumn("_hit", lit(1))
+    // n_grams is COUNTED after the explode rather than carried as a
+    // size(_g) column: consuming the gram array twice (size + explode)
+    // makes the optimizer inline and re-evaluate the whole gram pipeline
+    // per consumer (measured 4s -> 0.6s at sf0.1). The count is exact
+    // because the array is distinct and never empty (short docs emit one
+    // whole-sequence gram).
     val exploded = docs
-      .select(col(idCol).as("doc_id"), grams(col(textCol)).as("_g"))
-      .select(col("doc_id"), size(col("_g")).as("_ng"), explode(col("_g")).as("gram"))
+      .select(col(idCol).as("doc_id"),
+        graft.text.TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(grams(col("_toks"))).as("gram"))
     exploded.join(broadcast(bGrams), Seq("gram"), "left")
       .groupBy("doc_id")
-      .agg(max(col("_ng")).cast("long").as("n_grams"),
+      .agg(count(lit(1)).cast("long").as("n_grams"),
         coalesce(sum(col("_hit")), lit(0L)).cast("long").as("n_overlap"))
       .withColumn("contaminated", col("n_overlap") > 0)
   }
