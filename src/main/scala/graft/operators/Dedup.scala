@@ -360,6 +360,10 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 50): DataFrame = {
+    // start clean as well as end clean: the tight per-round job cadence
+    // is disproportionately sensitive to cleanup debt inherited from
+    // whatever ran before in this JVM (see the operator-end note)
+    System.gc()
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .cache()
