@@ -644,6 +644,73 @@ object GraftOracles {
     "source_jsonl" -> roundtripChecksumSql,
     "source_csv" -> roundtripChecksumSql,
 
+    // Composed twin of pipeline_training_data: the clean-decision chain,
+    // the prefixed substring-duplication and classifier fragments, the
+    // mix-sample rate arithmetic RE-DERIVED over the survivor set, and
+    // the greedy packing window — each fragment identical to its
+    // stand-alone oracle, so a hash match proves the COMPOSITION (gate
+    // interplay, survivor-set stats, per-source packing), not just the
+    // parts.
+    "pipeline_training_data" -> {
+      val m = graft.text.QualityClassifier.load()
+      val wl = m.weights.mkString("[", ",", "]")
+      s"""WITH $cleanDecisionCtes,
+         |k1 AS (SELECT doc_id FROM dec WHERE decision = 'kept'),
+         |ss_tk AS (SELECT doc_id, $toks AS tl FROM documents),
+         |ss_base AS (SELECT doc_id, len(tl)::BIGINT AS n_tokens, tl
+         |  FROM ss_tk WHERE len(tl) >= 8),
+         |ss_sp AS (SELECT doc_id, n_tokens, i AS start,
+         |    md5(array_to_string(tl[i+1:i+8], ' ')) AS h
+         |  FROM ss_base, unnest(range(0, len(tl) - 8 + 1)) AS u(i)),
+         |ss_dup AS (SELECT h FROM ss_sp GROUP BY h HAVING count(*) > 1),
+         |ss_ds AS (SELECT ss_sp.* FROM ss_sp JOIN ss_dup USING (h)),
+         |ss_m AS (SELECT doc_id, n_tokens, start,
+         |    max(start + 7) OVER (PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM ss_ds),
+         |ss_isl AS (SELECT doc_id, n_tokens, start,
+         |    sum(CASE WHEN prev_end IS NULL OR start > prev_end THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start) AS island
+         |  FROM ss_m),
+         |ss_iv AS (SELECT doc_id, n_tokens, island,
+         |    min(start) AS i_start, max(start) + 7 AS i_end
+         |  FROM ss_isl GROUP BY 1, 2, 3),
+         |heavy AS (SELECT doc_id FROM ss_iv GROUP BY doc_id, n_tokens
+         |  HAVING floor(sum(i_end - i_start + 1)::DOUBLE / n_tokens * 1e6 + 0.5) / 1e6 > 0.5),
+         |qc_f AS (SELECT doc_id, unnest(tl || list_transform(range(1, greatest(len(tl), 1)),
+         |    i -> tl[i] || ' ' || tl[i+1])) AS feat FROM ss_tk),
+         |qc_b AS (SELECT doc_id,
+         |    (('0x' || substr(md5(feat), 1, 6))::BIGINT % 256)::INT AS bkt FROM qc_f),
+         |qc_s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         |    CAST(sum(($wl)[bkt + 1]) AS BIGINT) + (${m.bias}) AS logit
+         |  FROM qc_b GROUP BY 1),
+         |qc_k AS (SELECT doc_id FROM qc_s
+         |  WHERE floor(logit::DOUBLE / n_feats / 1048576 * 1e6 + 0.5) / 1e6 > 0.0),
+         |surv AS (SELECT d.doc_id, d.source,
+         |    len(string_split_regex(trim(lower(d.text)), '\\s+'))::BIGINT AS ntok
+         |  FROM documents d
+         |  JOIN k1 USING (doc_id) JOIN qc_k USING (doc_id)
+         |  WHERE d.doc_id NOT IN (SELECT doc_id FROM heavy)),
+         |mx_st AS (SELECT source, CAST(sum(ntok) AS BIGINT) AS tv,
+         |    1 + (substr(source, 4)::INT % 3) AS w FROM surv GROUP BY 1),
+         |mx_ws AS (SELECT CAST(sum(w) AS BIGINT) AS wsum FROM mx_st),
+         |mx_sh AS (SELECT source, tv, w::DOUBLE / wsum AS share FROM mx_st, mx_ws),
+         |mx_bd AS (SELECT min(tv::DOUBLE / share) AS budget FROM mx_sh),
+         |mx_rt AS (SELECT source, tv, share * budget / tv AS rate FROM mx_sh, mx_bd),
+         |samp AS (SELECT surv.source, surv.doc_id, surv.ntok
+         |  FROM surv JOIN mx_rt USING (source)
+         |  WHERE ('0x' || substr(md5(surv.doc_id::VARCHAR), 1, 6))::BIGINT::DOUBLE / 16777216.0 < mx_rt.rate),
+         |pk AS (SELECT source, doc_id, ntok,
+         |    coalesce(sum(ntok) OVER (PARTITION BY source ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+         |  FROM samp)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  CAST(count(DISTINCT cum // 512) AS BIGINT) AS n_sequences,
+         |  floor(sum(ntok)::DOUBLE / (count(DISTINCT cum // 512) * 512) * 1e6 + 0.5) / 1e6 AS fill_ratio
+         |FROM pk GROUP BY source ORDER BY source""".stripMargin
+    },
+
     // Twin of pipeline_mix_sample: token stats, the 1+(src# mod 3) weight
     // rule, budget = min(t/share), rate = share*budget/t, and the
     // id-hash-fraction keep test all recompute here with the identical

@@ -849,6 +849,44 @@ object GraftQueries {
     mixReport(s, docs.join(kept, "doc_id"))
   }
 
+  /** THE composed training-data chain, every stage a proven operator:
+    * quality/LM/dedup gates (cleanCorpusDecisions) -> exact-substring
+    * duplication gate (dup_ratio <= 0.5) -> fasttext-shaped classifier
+    * gate -> deterministic mixture sampling over the SURVIVORS (rates
+    * re-derived from surviving token volume, as a real pipeline would)
+    * -> greedy 512-token packing per source -> per-source manifest.
+    *
+    * Scale shape is the sum of its parts — each gate is one scan + its
+    * own bounded shuffles producing a doc_id-only relation; the gates
+    * join id-to-id (no text crosses a gate boundary); sampling and
+    * packing run over the joined survivor ids. The whole chain is
+    * hash-checked against a single composed DuckDB CTE built from the
+    * same per-stage oracle fragments. */
+  val pipelineTrainingData: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val cleanKeep = cleanCorpusDecisions(docs).filter(col("keep")).select("doc_id")
+    val heavyDup = Dedup.substringSpans(docs, "text", "doc_id", n = 8)
+      .filter(col("dup_ratio") > 0.5).select("doc_id")
+    val clsKeep = QualityClassifier.score(docs, "text", "doc_id")
+      .filter(col("keep")).select("doc_id")
+    val survivors = docs
+      .join(cleanKeep, "doc_id").join(clsKeep, "doc_id")
+      .join(heavyDup, Seq("doc_id"), "left_anti")
+    val sampled = mixSampleDocs(s, survivors)
+    val wPack = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    sampled
+      .withColumn("_cum", coalesce(sum(col("_ntok")).over(wPack), lit(0L)))
+      .withColumn("_seq", expr("_cum div 512"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_ntok")).as("n_tokens"),
+        countDistinct(col("_seq")).as("n_sequences"))
+      .withColumn("fill_ratio",
+        floor(col("n_tokens").cast("double") / (col("n_sequences") * 512) * 1e6 + 0.5) / 1e6)
+      .orderBy("source")
+  }
+
   // ==================================================== multimodal + stream
 
   /** Multimodal plumbing: binary payload column -> batched per-partition
@@ -1585,8 +1623,14 @@ object GraftQueries {
     * partial agg. Integer token sums keep every cross-engine value
     * bit-deterministic; the rate arithmetic is pure IEEE doubles in an
     * order the oracle mirrors expression-for-expression. */
-  val pipelineMixSample: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+  /** The sampled survivor set with per-source rate attached: (source,
+    * doc_id, _ntok, _rate). Stats pass = one few-row collected agg (rate
+    * arithmetic driver-side, bounded by |sources|); sample pass = one
+    * map-only scan with a broadcast rate relation. Shared by
+    * pipeline_mix_sample (report) and pipeline_training_data (the
+    * composed chain). */
+  private def mixSampleDocs(s: SparkSession, docsIn: DataFrame): DataFrame = {
+    val docs = docsIn
       .select(col("doc_id"), col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
     val stats = docs.groupBy("source").agg(sum(col("_ntok")).as("t"))
@@ -1599,9 +1643,13 @@ object GraftQueries {
     val budget = stats.map { case (src, t) => t.toDouble / share(src) }.min
     val rate = stats.map { case (src, t) => (src, share(src) * budget / t) }.toSeq
     val rateDf = s.createDataFrame(rate).toDF("source", "_rate")
-    val kept = docs.join(broadcast(rateDf), Seq("source"))
+    docs.join(broadcast(rateDf), Seq("source"))
       .filter(conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6), 16, 10)
         .cast("double") / 16777216.0 < col("_rate"))
+  }
+
+  val pipelineMixSample: Q = (s, d) => {
+    val kept = mixSampleDocs(s, Tables.documents(s, d))
     val agg = kept.groupBy("source")
       .agg(count(lit(1)).as("n_docs_kept"), sum(col("_ntok")).as("n_tokens_kept"),
         (floor(max(col("_rate")) * 1e6 + 0.5) / 1e6).as("sample_rate"))
@@ -1784,6 +1832,7 @@ object GraftQueries {
     "dedup_substring" -> dedupSubstring,
     "quality_classifier" -> qualityClassifier,
     "pipeline_mix_sample" -> pipelineMixSample,
+    "pipeline_training_data" -> pipelineTrainingData,
     "streaming_hourly" -> streamingHourly,
     "streaming_sessions" -> streamingSessions,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,

@@ -290,6 +290,24 @@ class PipelineSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("composed training-data chain: gates cut volume, packing fills sequences, manifest consistent") {
+    val rows = GraftQueries.pipelineTrainingData(spark, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val fullBySource = Tables.documents(spark, sf).groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val (src, nd, nt, ns, fill) = (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))
+      assert(nd > 0 && nd < fullBySource(src), s"$src: gates+sampling must cut volume ($nd)")
+      assert(ns >= 1 && ns <= nd, s"$src: $ns sequences from $nd docs")
+      // fill exceeds 1 only when a doc spills its sequence boundary, and
+      // a small source may end on one partial sequence — but it is never
+      // pathological in either direction
+      assert(fill > 0.0 && fill < 2.0, s"$src: fill $fill")
+      assert(nt >= (ns - 1) * 512, s"$src: $nt tokens cannot need $ns sequences")
+    }
+  }
+
   test("mix sampling: rates bounded by 1, binding source saturates, kept volume under target shares") {
     val rows = GraftQueries.pipelineMixSample(spark, sf).collect()
     assert(rows.length == 20) // every source keeps at least one doc at these rates

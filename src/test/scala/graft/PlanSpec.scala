@@ -172,6 +172,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"expected agg + final sort exchanges only, saw $exchanges")
   }
 
+  test("dedup_substring: no shuffle carries document text or token arrays") {
+    // the scale invariant: span rows cross shuffles as (doc_id, start,
+    // 16-byte hash) only — text and _t never leave the scan stage
+    val p = plan("dedup_substring")
+    val lines = p.linesIterator.toArray
+    lines.zipWithIndex.foreach { case (l, i) =>
+      if (l.matches(""".*\(\d+\) Exchange\s*$""") && i + 1 < lines.length) {
+        val input = lines(i + 1)
+        assert(!input.contains("text#") && !input.contains("_t#"),
+          s"text/token array crosses a shuffle boundary: $input")
+      }
+    }
+  }
+
   test("q24 gapfill: dense-grid build sides stay broadcast (no shuffled cross)") {
     val p = plan("q24_gapfill")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") ||
