@@ -498,6 +498,20 @@ object GraftOracles {
          |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
          |ORDER BY 1,2""".stripMargin,
 
+    // Twin of dedup_incremental: EXACT Jaccard between the batch and the
+    // standing corpus — equality proves the banded join's recall at
+    // these parameters, exactly as the dedup_minhash oracle does for the
+    // self-join form.
+    "dedup_incremental" ->
+      s"""${shinglesCte()}
+         |SELECT a.doc_id AS new_id, b.doc_id AS existing_id,
+         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+         |FROM sh a JOIN sh b ON a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+         |ORDER BY 1,2""".stripMargin,
+
     "dedup_ngram" ->
       s"""${shinglesCte(", lang")}
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,

@@ -1535,6 +1535,19 @@ object GraftQueries {
     QualityClassifier.score(Tables.documents(s, d), "text", "doc_id")
       .orderBy("doc_id")
 
+  /** Incremental near-dup: docs with id ending in 7 play the nightly
+    * batch; the rest are the standing corpus. LSH recall at these
+    * parameters is proven by the exact-Jaccard oracle (as dedup_minhash
+    * establishes for the self-join form). */
+  val dedupIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.minhashLshIncremental(
+        docs.filter(col("doc_id") % 10 === 7),
+        docs.filter(col("doc_id") % 10 =!= 7),
+        "text", "doc_id", threshold = 0.8)
+      .orderBy("new_id", "existing_id")
+  }
+
   /** Span-level exact-substring duplication report (Lee et al. 2022's
     * ExactSubstr at word granularity, n=8): per doc with any duplicated
     * 8-token window, the merged-interval coverage of duplicated text.
@@ -1830,6 +1843,7 @@ object GraftQueries {
     "multimodal_audio" -> multimodalAudio,
     "decontaminate" -> decontaminate,
     "dedup_substring" -> dedupSubstring,
+    "dedup_incremental" -> dedupIncremental,
     "quality_classifier" -> qualityClassifier,
     "pipeline_mix_sample" -> pipelineMixSample,
     "pipeline_training_data" -> pipelineTrainingData,

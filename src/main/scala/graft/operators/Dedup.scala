@@ -157,6 +157,56 @@ object Dedup {
     verifyJaccard(pairs, threshold)
   }
 
+  /** Incremental near-dup — the nightly-ingest shape: each NEW doc's
+    * near-duplicates in the EXISTING corpus, and only those (never
+    * existing x existing, which a full self-join would redundantly
+    * re-verify on every batch). Both sides band identically and join on
+    * the fixed-width (band, bandhash) key; at 100 TB the existing side's
+    * banded signatures are a PRECOMPUTED stored relation bucketed by that
+    * key (the signature store appends as batches commit), so the daily
+    * cost is O(new batch) + one bucket-join — here both derive inline
+    * from the same operators to keep the oracle exact.
+    *
+    * Output: (new_id, existing_id, jaccard) — callers drop or re-route
+    * new docs with any hit.
+    */
+  def minhashLshIncremental(newDf: DataFrame, existing: DataFrame,
+                            textCol: String, idCol: String,
+                            shingleSize: Int = 5, bands: Int = 32,
+                            rowsPerBand: Int = 4,
+                            threshold: Double = 0.8): DataFrame = {
+    val par = newDf.sparkSession.sparkContext.defaultParallelism
+    def prep(df: DataFrame) = df
+      .select(col(idCol).as("_id"), col(textCol).as("_text"))
+      .repartition(par)
+      .withColumn("_sh", shingleHashes(col("_text"), shingleSize))
+      .drop("_text")
+      .cache()
+    def banded(w: DataFrame) = w.select(col("_id"),
+      posexplode(minhashBandHashes(bands * rowsPerBand, bands)(col("_sh")))
+        .as(Seq("_band", "_bandhash")))
+    val nw = prep(newDf)
+    val ex = prep(existing)
+    val candidates = banded(nw).as("a")
+      .join(banded(ex).as("b"),
+        col("a._band") === col("b._band") &&
+          col("a._bandhash") === col("b._bandhash"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    def estBytes(w: DataFrame) = {
+      val st = w.agg(count(lit(1)).as("n"),
+        coalesce(sum(size(col("_sh"))), lit(0L)).as("h")).head()
+      st.getLong(1) * 8L + st.getLong(0) * 48L
+    }
+    def side(w: DataFrame, id: String, shc: String) = BroadcastGate.maybeBroadcast(
+      w.select(col("_id").as(id), col("_sh").as(shc)), estBytes(w))
+    val pairs = candidates
+      .join(side(nw, "id_a", "sh_a"), "id_a")
+      .join(side(ex, "id_b", "sh_b"), "id_b")
+    verifyJaccard(pairs, threshold)
+      .select(col("id_a").as("new_id"), col("id_b").as("existing_id"), col("jaccard"))
+  }
+
   private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
     val inter = graft.functions.SetFunctions
       .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double")

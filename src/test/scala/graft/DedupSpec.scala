@@ -128,6 +128,21 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((6L, 1L, true)), s"got ${out(3L)}")
   }
 
+  test("minhashLshIncremental: finds new-vs-existing dups only, never existing-vs-existing") {
+    val existing = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight"), // dup pair INSIDE existing
+      (3L, "completely different content about spark engines here")
+    ).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"), // dup of 1 and 2
+      (11L, "fresh unique never before seen writing right here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashLshIncremental(batch, existing, "text", "doc_id", threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((10L, 1L), (10L, 2L)), s"got $out")
+  }
+
   test("substringSpans: merges overlapping dup windows, counts within-doc repeats, splits disjoint intervals") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),            // shares windows a-b-c, b-c-d, c-d-e with doc 2
