@@ -37,8 +37,14 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // operators that cache intermediates (dedup shingle sets) would
-        // otherwise leak blocks into every later query's JVM
+        // otherwise leak blocks into every later query's JVM; the GC
+        // drains the ContextCleaner's reference queue (shuffle files,
+        // broadcasts) the same way a fresh JVM per query would — without
+        // it, cleanup debt from earlier queries lands on whichever
+        // shuffle-heavy query runs next (measured: +3s on the iterative
+        // clustering query). Both run OUTSIDE the timed section.
         try spark.catalog.clearCache() catch { case _: Throwable => () }
+        System.gc()
         dt
       }.sorted
       val med = times(Runs / 2)

@@ -771,7 +771,7 @@ object GraftOracles {
       """SELECT (('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT % 8)::INT AS shard,
         |  CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
-        |  CAST(sum(('0x' || substr(md5(text), 1, 12))::BIGINT) AS BIGINT) AS content_sum,
+        |  bit_xor(('0x' || substr(md5(text), 1, 12))::BIGINT) AS content_xor,
         |  min(md5(text)) AS md5_lo, max(md5(text)) AS md5_hi
         |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
 

@@ -746,8 +746,12 @@ object GraftQueries {
     val out = back.groupBy(col("shard").cast("int").as("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(length(col("text"))).as("n_chars"),
-        sum(conv(substring(md5(col("text").cast("binary")), 1, 12), 16, 10)
-          .cast("long")).as("content_sum"),
+        // bit_xor, not sum: 48-bit prefixes sum past Long.MaxValue at
+        // ~65k docs/shard (Spark would wrap silently, the oracle's
+        // HUGEINT->BIGINT cast would error); xor is order-insensitive
+        // and bounded at any scale
+        expr("bit_xor(CAST(conv(substring(md5(CAST(text AS BINARY)), 1, 12), 16, 10) AS BIGINT))")
+          .as("content_xor"),
         min(md5(col("text").cast("binary"))).as("md5_lo"),
         max(md5(col("text").cast("binary"))).as("md5_hi"))
       .orderBy("shard")
@@ -869,15 +873,20 @@ object GraftQueries {
       .filter(col("dup_ratio") > 0.5).select("doc_id")
     val clsKeep = QualityClassifier.score(docs, "text", "doc_id")
       .filter(col("keep")).select("doc_id")
+    // the slim survivor projection is MATERIALIZED (eager localCheckpoint
+    // — no cache-manager entry to leak) because mix sampling takes two
+    // passes over it: without this, the stats collect and the final
+    // result would each re-execute the whole gate chain above — the
+    // dominant cost of the query, paid twice
     val survivors = docs
       .join(cleanKeep, "doc_id").join(clsKeep, "doc_id")
       .join(heavyDup, Seq("doc_id"), "left_anti")
-    val sampled = mixSampleDocs(s, survivors)
-    val wPack = Window.partitionBy("source").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    sampled
-      .withColumn("_cum", coalesce(sum(col("_ntok")).over(wPack), lit(0L)))
-      .withColumn("_seq", expr("_cum div 512"))
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
+      .localCheckpoint(true)
+    val sampled = mixSampleFromCounts(s, survivors)
+    TextAnalysis.packAssign(sampled, "doc_id", "source", "_ntok", budgetTokens = 512)
+      .withColumnRenamed("seq_id", "_seq")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_ntok")).as("n_tokens"),
@@ -1642,15 +1651,26 @@ object GraftQueries {
     * map-only scan with a broadcast rate relation. Shared by
     * pipeline_mix_sample (report) and pipeline_training_data (the
     * composed chain). */
-  private def mixSampleDocs(s: SparkSession, docsIn: DataFrame): DataFrame = {
-    val docs = docsIn
+  private def mixSampleDocs(s: SparkSession, docsIn: DataFrame): DataFrame =
+    mixSampleFromCounts(s, docsIn
       .select(col("doc_id"), col("source"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok")))
+
+  /** As [[mixSampleDocs]] but over precomputed (doc_id, source, _ntok)
+    * counts — the composed pipeline feeds an already-materialized
+    * survivor projection here so its gate chain is not re-executed by
+    * the stats pass. */
+  private def mixSampleFromCounts(s: SparkSession, docs: DataFrame): DataFrame = {
     val stats = docs.groupBy("source").agg(sum(col("_ntok")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
-    // target shares from the weight rule; integer weight sum so the
-    // normalization is order-independent
-    val w = stats.map { case (src, _) => src -> (1 + src.drop(3).toInt % 3) }.toMap
+    require(stats.nonEmpty, "mix sampling over an empty corpus")
+    // target shares from the weight rule (srcN digits -> 1 + N mod 3;
+    // anything else weights 1 — the rule stands in for a curated weight
+    // table and must degrade, not crash, on foreign labels); integer
+    // weight sum so the normalization is order-independent
+    val w = stats.map { case (src, _) =>
+      src -> (1 + src.drop(3).toIntOption.getOrElse(0) % 3)
+    }.toMap
     val wsum = w.values.sum
     val share = w.map { case (src, wi) => src -> wi.toDouble / wsum }
     val budget = stats.map { case (src, t) => t.toDouble / share(src) }.min

@@ -72,10 +72,16 @@ object Multimodal {
 
     /** Decode any ImageIO-supported format and reduce to per-channel
       * pixel sums — (width, height, red_sum, green_sum, blue_sum); None
-      * for bytes no reader claims. The sums are an order-insensitive,
-      * bit-exact pixel feature an oracle can recompute in closed form. */
+      * for bytes no reader claims OR that a reader claims and then fails
+      * on (valid signature, corrupt body — ImageIO.read THROWS there
+      * rather than returning null, and an escaped exception would fail
+      * the task and poison the whole job instead of dropping the row).
+      * The sums are an order-insensitive, bit-exact pixel feature an
+      * oracle can recompute in closed form. */
     def decodeRgbFeatures(bytes: Array[Byte]): Option[(Int, Int, Long, Long, Long)] = {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        catch { case _: Exception => null }
       if (img == null) None
       else {
         val w = img.getWidth; val h = img.getHeight

@@ -113,26 +113,54 @@ object Dedup {
     *
     * Output: (id_a, id_b, jaccard) pairs with jaccard >= threshold, id_a < id_b.
     */
+  // ---- shared LSH plumbing (self-join and incremental forms): one
+  // implementation of prep / banding / size estimate / broadcast gate so
+  // a fix in one form cannot silently miss the other
+
+  /** (id, sorted shingle hashes), repartitioned — a single-file input is
+    * one partition and would compute every signature on one core. NOT
+    * persisted; each caller picks its persistence discipline. */
+  private def shingleRelation(df: DataFrame, textCol: String, idCol: String,
+                              shingleSize: Int): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    df.select(col(idCol).as("_id"), col(textCol).as("_text"))
+      .repartition(par)
+      .withColumn("_sh", shingleHashes(col("_text"), shingleSize))
+      .drop("_text")
+  }
+
+  /** The banded relation carries ONLY (id, band, bandhash) — never the
+    * shingle arrays — so the LSH shuffle moves fixed-width keys. */
+  private def bandedOf(withSh: DataFrame, perms: Int, bands: Int): DataFrame =
+    withSh.select(col("_id"),
+      posexplode(minhashBandHashes(perms, bands)(col("_sh")))
+        .as(Seq("_band", "_bandhash")))
+
+  /** Estimated in-memory bytes of a shingle relation (one agg over the
+    * already-persisted relation). */
+  private def shingleBytes(withSh: DataFrame): Long = {
+    val st = withSh.agg(count(lit(1)).as("n"),
+      coalesce(sum(size(col("_sh"))), lit(0L)).as("h")).head()
+    st.getLong(1) * 8L + st.getLong(0) * 48L
+  }
+
+  /** The slim (id -> shingles) verification side: broadcast keeps the
+    * candidate stream's hash-partitioned parallelism with no shuffle, but
+    * the relation grows with the corpus — so the broadcast is SIZE-GATED;
+    * over the cap the planner falls back to hash joins on the id key. */
+  private def verifySide(withSh: DataFrame, id: String, shc: String,
+                         estBytes: Long): DataFrame =
+    BroadcastGate.maybeBroadcast(
+      withSh.select(col("_id").as(id), col("_sh").as(shc)), estBytes)
+
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 5, bands: Int = 32, rowsPerBand: Int = 4,
                  threshold: Double = 0.8): DataFrame = {
     // cache the shingle sets: the plan consumes them three times (banding
     // + both sides of the verification join) and recomputing the
-    // hash+sort per consumer triples the dominant cost. Repartition first:
-    // a single-file input is one partition and would compute every
-    // signature on one core.
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val withSh = df.select(col(idCol).as("_id"), col(textCol).as("_text"))
-      .repartition(par)
-      .withColumn("_sh", shingleHashes(col("_text"), shingleSize))
-      .drop("_text")
-      .cache()
-    // the banded relation carries ONLY (id, band, bandhash) — never the
-    // shingle arrays — so the LSH shuffle moves fixed-width keys; shingles
-    // are joined back just for the candidate pairs that need verification
-    val banded = withSh.select(col("_id"),
-      posexplode(minhashBandHashes(bands * rowsPerBand, bands)(col("_sh")))
-        .as(Seq("_band", "_bandhash")))
+    // hash+sort per consumer triples the dominant cost
+    val withSh = shingleRelation(df, textCol, idCol, shingleSize).cache()
+    val banded = bandedOf(withSh, bands * rowsPerBand, bands)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a._band") === col("b._band") &&
@@ -140,20 +168,10 @@ object Dedup {
           col("a._id") < col("b._id"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    // the slim (id -> shingles) verification side: broadcast keeps the
-    // candidate stream's hash-partitioned parallelism with no shuffle, but
-    // the relation grows with the corpus — so the broadcast is SIZE-GATED
-    // (one agg over the already-cached relation estimates bytes; over the
-    // cap the planner falls back to hash joins on the fixed-width id key)
-    val stats = withSh.agg(count(lit(1)).as("n"),
-      coalesce(sum(size(col("_sh"))), lit(0L)).as("h")).head()
-    val estBytes = stats.getLong(1) * 8L + stats.getLong(0) * 48L
-    val sh = withSh.select(col("_id"), col("_sh"))
-    def side(id: String, shc: String) = BroadcastGate.maybeBroadcast(
-      sh.withColumnRenamed("_id", id).withColumnRenamed("_sh", shc), estBytes)
+    val estBytes = shingleBytes(withSh)
     val pairs = candidates
-      .join(side("id_a", "sh_a"), "id_a")
-      .join(side("id_b", "sh_b"), "id_b")
+      .join(verifySide(withSh, "id_a", "sh_a", estBytes), "id_a")
+      .join(verifySide(withSh, "id_b", "sh_b", estBytes), "id_b")
     verifyJaccard(pairs, threshold)
   }
 
@@ -175,34 +193,26 @@ object Dedup {
                             shingleSize: Int = 5, bands: Int = 32,
                             rowsPerBand: Int = 4,
                             threshold: Double = 0.8): DataFrame = {
-    val par = newDf.sparkSession.sparkContext.defaultParallelism
-    def prep(df: DataFrame) = df
-      .select(col(idCol).as("_id"), col(textCol).as("_text"))
-      .repartition(par)
-      .withColumn("_sh", shingleHashes(col("_text"), shingleSize))
-      .drop("_text")
-      .cache()
-    def banded(w: DataFrame) = w.select(col("_id"),
-      posexplode(minhashBandHashes(bands * rowsPerBand, bands)(col("_sh")))
-        .as(Seq("_band", "_bandhash")))
-    val nw = prep(newDf)
-    val ex = prep(existing)
-    val candidates = banded(nw).as("a")
-      .join(banded(ex).as("b"),
+    // eager localCheckpoint, not cache(): the nightly caller is a
+    // LONG-LIVED ingest session, and a cached relation the lazy result
+    // still references can never be unpersisted by this operator —
+    // batches would accumulate in the cache manager forever. Checkpoint
+    // blocks are GC-managed instead; the trade (no lineage recompute if
+    // an executor dies — the batch job just retries) is the right one
+    // for a maintenance operator.
+    val nw = shingleRelation(newDf, textCol, idCol, shingleSize)
+      .localCheckpoint(true)
+    val ex = shingleRelation(existing, textCol, idCol, shingleSize)
+      .localCheckpoint(true)
+    val candidates = bandedOf(nw, bands * rowsPerBand, bands).as("a")
+      .join(bandedOf(ex, bands * rowsPerBand, bands).as("b"),
         col("a._band") === col("b._band") &&
           col("a._bandhash") === col("b._bandhash"))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
-    def estBytes(w: DataFrame) = {
-      val st = w.agg(count(lit(1)).as("n"),
-        coalesce(sum(size(col("_sh"))), lit(0L)).as("h")).head()
-      st.getLong(1) * 8L + st.getLong(0) * 48L
-    }
-    def side(w: DataFrame, id: String, shc: String) = BroadcastGate.maybeBroadcast(
-      w.select(col("_id").as(id), col("_sh").as(shc)), estBytes(w))
     val pairs = candidates
-      .join(side(nw, "id_a", "sh_a"), "id_a")
-      .join(side(ex, "id_b", "sh_b"), "id_b")
+      .join(verifySide(nw, "id_a", "sh_a", shingleBytes(nw)), "id_a")
+      .join(verifySide(ex, "id_b", "sh_b", shingleBytes(ex)), "id_b")
     verifyJaccard(pairs, threshold)
       .select(col("id_a").as("new_id"), col("id_b").as("existing_id"), col("jaccard"))
   }
@@ -410,10 +420,6 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 50): DataFrame = {
-    // start clean as well as end clean: the tight per-round job cadence
-    // is disproportionately sensitive to cleanup debt inherited from
-    // whatever ran before in this JVM (see the operator-end note)
-    System.gc()
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .cache()
@@ -431,7 +437,17 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty pair set -> null sum
-    var prevSum = labelSum(labels)
+    // the sum probe is only sound for numeric ids (a non-numeric label
+    // casts to NULL and every round would sum to zero = instant false
+    // convergence); other id types take a per-round changed-row probe —
+    // one extra join, but correct for any orderable type
+    val numericIds = labels.schema("label").dataType
+      .isInstanceOf[org.apache.spark.sql.types.NumericType]
+    def anyChanged(next: DataFrame, prev: DataFrame): Boolean =
+      next.select(col("id"), col("label").as("_ln"))
+        .join(prev.select(col("id"), col("label").as("_lp")), "id")
+        .filter(col("_ln") =!= col("_lp")).limit(1).count() > 0
+    var prevSum = if (numericIds) labelSum(labels) else null
     var changed = true
     var rounds = 0
     while (changed && rounds < maxRounds) {
@@ -447,9 +463,13 @@ object Dedup {
       val next = labels.union(neighbor)
         .groupBy("id").agg(min(col("label")).as("label"))
         .localCheckpoint(true)
-      val curSum = labelSum(next)
-      changed = curSum.compareTo(prevSum) != 0
-      prevSum = curSum
+      changed =
+        if (numericIds) {
+          val curSum = labelSum(next)
+          val c = curSum.compareTo(prevSum) != 0
+          prevSum = curSum
+          c
+        } else anyChanged(next, labels)
       labels = next
       rounds += 1
     }

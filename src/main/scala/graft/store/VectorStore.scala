@@ -38,7 +38,11 @@ final case class VectorStore(root: String) {
   def list(): Seq[String] = {
     val d = new java.io.File(root)
     if (!d.isDirectory) Nil
-    else d.listFiles().filter(_.isDirectory).map(_.getName).sorted.toSeq
+    else d.listFiles().filter(_.isDirectory).map(_.getName)
+      // in-flight compaction scratch (a crash mid-compact can leave
+      // either behind) is not a collection
+      .filterNot(n => n.endsWith("__compacting") || n.endsWith("__old"))
+      .sorted.toSeq
   }
 
   /** All data files of a collection (recursive — partitioned layouts
@@ -82,10 +86,19 @@ final case class VectorStore(root: String) {
     val w = read(spark, name).coalesce(nOut).write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols.toSeq: _*) else w)
       .parquet(path(tmpName))
+    // swap with a recovery path: stage the original ASIDE first — a
+    // delete-then-rename would strand the collection with no data under
+    // its name if the second rename failed (open handles, NFS quirks)
     val dst = new java.io.File(path(name))
-    rmTree(dst)
-    require(new java.io.File(path(tmpName)).renameTo(dst),
-      s"compaction swap failed for $name")
+    val old = new java.io.File(path(name + "__old"))
+    rmTree(old)
+    require(dst.renameTo(old), s"compaction: cannot stage $name aside")
+    if (!new java.io.File(path(tmpName)).renameTo(dst)) {
+      old.renameTo(dst): Unit // restore the original
+      throw new IllegalStateException(
+        s"compaction swap failed for $name; original restored")
+    }
+    rmTree(old)
     (before.size, dataFiles(name).size)
   }
 

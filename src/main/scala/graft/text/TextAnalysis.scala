@@ -216,19 +216,30 @@ object TextAnalysis {
     * counting; no global single-partition bottleneck.
     */
   def packSequences(docs: DataFrame, textCol: String, idCol: String,
-                    shardCol: String, budgetTokens: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(shardCol).orderBy(idCol)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    docs.select(col(shardCol), col(idCol),
-        size(tokens(col(textCol))).cast("long").as("_n_tokens"))
-      .withColumn("_cum_before", coalesce(sum(col("_n_tokens")).over(w), lit(0L)))
-      .withColumn("seq_id", expr(s"_cum_before div $budgetTokens"))
+                    shardCol: String, budgetTokens: Int): DataFrame =
+    packAssign(
+      docs.select(col(shardCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("_n_tokens")),
+      idCol, shardCol, "_n_tokens", budgetTokens)
       .groupBy(col(shardCol), col("seq_id"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_n_tokens")).as("seq_tokens"),
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
+
+  /** The packing RULE alone — greedy cumulative-sum sequence assignment
+    * over precomputed token counts (one `seq_id` column added). Shared
+    * by [[packSequences]] (per-sequence report) and the composed
+    * training-data pipeline (per-source rollup), so the rule cannot
+    * silently diverge between them. */
+  def packAssign(counts: DataFrame, idCol: String, shardCol: String,
+                 tokCol: String, budgetTokens: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    counts
+      .withColumn("_cum_before", coalesce(sum(col(tokCol)).over(w), lit(0L)))
+      .withColumn("seq_id", expr(s"_cum_before div $budgetTokens"))
   }
 
   /** Stage 1 of bm25TopK: the single tokenize scan, reduced to the compact

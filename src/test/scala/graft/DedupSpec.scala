@@ -128,6 +128,15 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((6L, 1L, true)), s"got ${out(3L)}")
   }
 
+  test("connectedComponents: string-id chain converges fully (non-numeric convergence probe)") {
+    // a 3-hop chain needs multiple propagation rounds: the numeric sum
+    // probe would see NULL casts and stop after one round
+    val pairs = Seq(("b", "a"), ("c", "b"), ("d", "c")).toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"), s"got $out")
+  }
+
   test("minhashLshIncremental: finds new-vs-existing dups only, never existing-vs-existing") {
     val existing = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),

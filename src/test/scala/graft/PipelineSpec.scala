@@ -108,8 +108,12 @@ class PipelineSpec extends SparkSpec {
       (id, w, h, rs)
     }.toSet
     assert(out == expect)
-    // undecodable bytes drop the row (fallback-chain semantics), not poison it
-    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, Multimodal.synthPng(2L)))
+    // undecodable bytes drop the row (fallback-chain semantics), not
+    // poison it — both the no-reader-claims path (junk bytes) and the
+    // reader-throws path (valid PNG signature, truncated body)
+    val truncated = Multimodal.synthPng(9L).take(40)
+    val junk = Seq((1L, Array[Byte](1, 2, 3)), (2L, Multimodal.synthPng(2L)),
+        (3L, truncated))
       .toDF("doc_id", "payload")
     assert(Multimodal.decodeImages(junk, "payload").count() == 1)
   }
