@@ -40,9 +40,10 @@ object Bench {
         // otherwise leak blocks into every later query's JVM; the GC
         // drains the ContextCleaner's reference queue (shuffle files,
         // broadcasts) the same way a fresh JVM per query would — without
-        // it, cleanup debt from earlier queries lands on whichever
-        // shuffle-heavy query runs next (measured: +3s on the iterative
-        // clustering query). Both run OUTSIDE the timed section.
+        // it, cleanup debt lands on whichever shuffle-heavy query runs
+        // next (measured: the iterative clustering query degrades from a
+        // stable ~6.5s median to 8.4 median / 15s max without this).
+        // Both run OUTSIDE the timed section.
         try spark.catalog.clearCache() catch { case _: Throwable => () }
         System.gc()
         dt
