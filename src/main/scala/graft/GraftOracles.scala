@@ -658,6 +658,25 @@ object GraftOracles {
     "source_jsonl" -> roundtripChecksumSql,
     "source_csv" -> roundtripChecksumSql,
 
+    // Twin of corpus_datasheet; quantile_cont mirrors Spark's exact
+    // `percentile` (both sort and linearly interpolate at the midpoint)
+    "corpus_datasheet" ->
+      """WITH b AS (SELECT doc_id, lang, source,
+        |    len(string_split_regex(trim(lower(text)), '\s+'))::BIGINT AS ntok,
+        |    length(text)::BIGINT AS nch, md5(text) AS h
+        |  FROM documents),
+        |w AS (SELECT b.*, count(*) OVER (PARTITION BY h) > 1 AS dup FROM b)
+        |SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(nch) AS BIGINT) AS n_chars,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  quantile_cont(ntok, 0.5)::DOUBLE AS median_tokens,
+        |  max(ntok) AS max_tokens,
+        |  CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_dup_docs,
+        |  floor(count(*) FILTER (WHERE dup)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS dup_ratio
+        |FROM w""".stripMargin,
+
     // Composed twin of pipeline_training_data: the clean-decision chain,
     // the prefixed substring-duplication and classifier fragments, the
     // mix-sample rate arithmetic RE-DERIVED over the survivor set, and

@@ -853,6 +853,33 @@ object GraftQueries {
     mixReport(s, docs.join(kept, "doc_id"))
   }
 
+  /** The corpus datasheet — the one-row release report a training set
+    * ships with: volume, diversity, duplication and length statistics in
+    * a single scan plus the exact-dup window. `percentile` here is the
+    * EXACT median (single sort of a per-doc aggregate); at 100 TB swap
+    * to approx_percentile (q44 demonstrates the mergeable-sketch form)
+    * — the datasheet contract is the same. */
+  val corpusDatasheet: Q = (s, d) => {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"),
+        length(col("text")).cast("long").as("_nch"),
+        md5(col("text").cast("binary")).as("_h"))
+      .withColumn("_dup",
+        count(lit(1)).over(Window.partitionBy("_h")) > 1)
+    base.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("_ntok")).as("n_tokens"),
+        sum(col("_nch")).as("n_chars"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(col("source")).as("n_sources"),
+        expr("percentile(_ntok, 0.5)").as("median_tokens"),
+        max(col("_ntok")).as("max_tokens"),
+        count(when(col("_dup"), 1)).as("n_dup_docs"))
+      .withColumn("dup_ratio",
+        floor(col("n_dup_docs").cast("double") / col("n_docs") * 1e6 + 0.5) / 1e6)
+  }
+
   /** THE composed training-data chain, every stage a proven operator:
     * quality/LM/dedup gates (cleanCorpusDecisions) -> exact-substring
     * duplication gate (dup_ratio <= 0.5) -> fasttext-shaped classifier
@@ -1867,6 +1894,7 @@ object GraftQueries {
     "quality_classifier" -> qualityClassifier,
     "pipeline_mix_sample" -> pipelineMixSample,
     "pipeline_training_data" -> pipelineTrainingData,
+    "corpus_datasheet" -> corpusDatasheet,
     "streaming_hourly" -> streamingHourly,
     "streaming_sessions" -> streamingSessions,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,

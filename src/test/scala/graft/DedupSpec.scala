@@ -128,6 +128,45 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((6L, 1L, true)), s"got ${out(3L)}")
   }
 
+  test("substringSpans matches a brute-force scalar reference on a random small-vocab corpus") {
+    val rnd = new scala.util.Random(0x5eed6)
+    val nGram = 3
+    val corpus = (0 until 120).map { i =>
+      val n = 1 + rnd.nextInt(30)
+      (i.toLong, Seq.fill(n)("w" + rnd.nextInt(6)).mkString(" "))
+    }
+    // independent scalar reference: explicit span lists, global counts,
+    // sorted-interval merge — no Spark expression code shared
+    val toks = corpus.map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }
+    val spans = toks.flatMap { case (id, ts) =>
+      (0 to ts.size - nGram).map(s => (id, s, ts.slice(s, s + nGram).mkString(" ")))
+    }
+    val occ = spans.groupBy(_._3).map { case (k, v) => k -> v.size }
+    val expected = toks.flatMap { case (id, ts) =>
+      val dup = spans.filter(p => p._1 == id && occ(p._3) > 1).map(_._2).sorted
+      if (dup.isEmpty) None
+      else {
+        var intervals = List.empty[(Int, Int)]
+        dup.foreach { s =>
+          val e = s + nGram - 1
+          intervals match {
+            case (a, b) :: rest if s <= b => intervals = (a, math.max(b, e)) :: rest
+            case _ => intervals = (s, e) :: intervals
+          }
+        }
+        val covered = intervals.map { case (a, b) => b - a + 1 }.sum
+        Some(id -> ((ts.size.toLong, dup.size.toLong, intervals.size.toLong,
+          covered.toLong, math.floor(covered.toDouble / ts.size * 1e6 + 0.5) / 1e6)))
+      }
+    }.toMap
+    val got = Dedup.substringSpans(corpus.toDF("doc_id", "text"), "text", "doc_id", n = nGram)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5))))
+      .toMap
+    assert(got == expected)
+  }
+
   test("connectedComponents: string-id chain converges fully (non-numeric convergence probe)") {
     // a 3-hop chain needs multiple propagation rounds: the numeric sum
     // probe would see NULL casts and stop after one round
