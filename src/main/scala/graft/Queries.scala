@@ -1177,6 +1177,19 @@ object GraftQueries {
           .as("avg_bpe_len"))
       .orderBy("doc_id")
 
+  /** Full BPE tokenization: train 50 merges on the corpus's bounded
+    * word-frequency table (one distributed pass + a driver loop over
+    * <=50k words — the standard trainer substrate), then encode every
+    * document with the learned merges. Rows-only at the gate (the
+    * iterative trainer isn't SQL-expressible); BpeSpec pins the classic
+    * worked example, exact invariants, and determinism. */
+  val textBpeApply: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val merges = graft.text.Bpe.train(docs, "text", numMerges = 50)
+    graft.text.Bpe.encodeReport(docs, "text", "doc_id", merges)
+      .orderBy("doc_id")
+  }
+
   /** Frame sampling over binary payloads: 64-byte frames as rows with
     * per-frame identity (byte-exact: frames are BINARY slices; the hex
     * round-trip is only for the cross-engine oracle compare). */
@@ -1910,6 +1923,7 @@ object GraftQueries {
     "export_shards" -> exportShards,
     "store_compact" -> storeCompact,
     "text_bpe_merges" -> textBpeMerges,
+    "text_bpe_apply" -> textBpeApply,
     "ingest_report" -> ingestReport,
     "ann_probe_knn" -> annProbeKnn,
     "q16_percentiles" -> q16Percentiles,
