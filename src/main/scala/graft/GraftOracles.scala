@@ -409,6 +409,18 @@ object GraftOracles {
         |  count(*) AS n
         |FROM e GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
 
+    // Twin of q45_sql_vector_fn — double accumulation mirrors the
+    // VectorDistance kernel (established by vec_knn / dedup_embedding)
+    "q45_sql_vector_fn" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT e.vec_id,
+         |  round(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+         |    sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) *
+         |         list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))), 6) AS cosine,
+         |  round($l2sqToQv, 6) AS l2sq
+         |FROM embeddings e, q WHERE e.vec_id <> 0
+         |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+
     "vec_knn" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, round($l2sqToQv, 6) AS distance

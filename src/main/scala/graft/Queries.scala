@@ -1190,6 +1190,22 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** The custom vector kernels through the SQL FRONT-END: register the
+    * Catalyst expressions as SQL functions and run the retrieval as pure
+    * SQL text — proving spark.sql users get the identical codegen'd
+    * kernels (and the identical plan: TakeOrderedAndProject over the
+    * broadcast 1-row query side, same as vec_knn). */
+  val q45SqlVectorFn: Q = (s, d) => {
+    graft.plans.GraftFunctions.register(s)
+    Tables.embeddings(s, d).createOrReplaceTempView("g_emb_sqlfn")
+    s.sql(
+      """SELECT e.vec_id, round(vec_cosine(e.embedding, q.embedding), 6) AS cosine,
+        |       round(vec_l2sq(e.embedding, q.embedding), 6) AS l2sq
+        |FROM g_emb_sqlfn e CROSS JOIN (SELECT embedding FROM g_emb_sqlfn WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin)
+  }
+
   /** Frame sampling over binary payloads: 64-byte frames as rows with
     * per-frame identity (byte-exact: frames are BINARY slices; the hex
     * round-trip is only for the cross-engine oracle compare). */
@@ -1980,6 +1996,7 @@ object GraftQueries {
     "q43_not_in" -> q43NotIn,
     "rag_bm25_fusion" -> ragBm25Fusion,
     "q44_percentile_sketch" -> q44PercentileSketch,
+    "q45_sql_vector_fn" -> q45SqlVectorFn,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -52,4 +52,19 @@ class VectorFunctionsSpec extends SparkSpec {
     val df = Seq((Some(Array(1f, 2f)), Option.empty[Array[Float]])).toDF("a", "b")
     assert(df.select(l2Sq($"a", $"b")).head().isNullAt(0))
   }
+
+  test("SQL function registry: spark.sql reaches the same kernels as the DataFrame API") {
+    graft.plans.GraftFunctions.register(spark)
+    Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f)))
+      .toDF("a", "b").createOrReplaceTempView("vfr")
+    val r = spark.sql(
+      """SELECT vec_dot(a, b) AS d, vec_cosine(a, b) AS c, vec_l2sq(a, b) AS l,
+        |       set_intersect_size(array(1L, 2L, 5L), array(2L, 3L, 5L)) AS i
+        |FROM vfr""".stripMargin).head()
+    assert(r.getDouble(0) == 32.0)
+    val api = Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f))).toDF("a", "b")
+      .select(cosine($"a", $"b"), l2Sq($"a", $"b")).head()
+    assert(r.getDouble(1) == api.getDouble(0) && r.getDouble(2) == api.getDouble(1))
+    assert(r.getInt(3) == 2)
+  }
 }
