@@ -294,6 +294,22 @@ class PipelineSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("compaction preserves partition pruning: a filtered read scans only the matching partition") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_prune").toString
+    val store = graft.store.VectorStore(tmp)
+    store.create("p", Tables.documents(spark, sf).select(col("doc_id"), col("text"), col("lang"))
+      .repartition(8), partitionBy = Seq("lang"))
+    store.compact(spark, "p")
+    val plan = store.read(spark, "p").filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"pruned read lost after compaction:\n$plan")
+    // and the partition directories really survived the rewrite
+    val langs = new java.io.File(s"$tmp/p").listFiles().filter(_.isDirectory).map(_.getName)
+    assert(langs.forall(_.startsWith("lang=")), s"layout flattened: ${langs.toSeq}")
+    store.destroy()
+  }
+
   test("composed training-data chain: gates cut volume, packing fills sequences, manifest consistent") {
     val rows = GraftQueries.pipelineTrainingData(spark, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
