@@ -1120,9 +1120,12 @@ object GraftOracles {
       """SELECT l_returnflag, CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct_l_partkey
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // word pattern interpolated from the single shared constant
+    // (graft.text.Bpe.WordPattern) — Scala "\\s" is the literal \s DuckDB
+    // expects inside a standard single-quoted string
     "text_bpe_tokens" ->
-      """WITH t AS (SELECT doc_id,
-        |    regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]') AS tk
+      s"""WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(lower(text), '${graft.text.Bpe.WordPattern}') AS tk
         |  FROM documents)
         |SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_bpe_tokens,
         |  CAST(len(list_distinct(tk)) AS BIGINT) AS n_uniq_bpe,

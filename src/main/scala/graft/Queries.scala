@@ -1166,8 +1166,7 @@ object GraftQueries {
     * the subword-style token counting a training-data pipeline runs. */
   val textBpeTokens: Q = (s, d) =>
     Tables.documents(s, d)
-      .withColumn("_t", regexp_extract_all(lower(col("text")),
-        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+      .withColumn("_t", graft.text.Bpe.words(col("text")))
       .select(col("doc_id"), size(col("_t")).cast("long").as("n_bpe_tokens"),
         size(array_distinct(col("_t"))).cast("long").as("n_uniq_bpe"),
         // floor form: the avg is an exact int/int rational (half-boundary
@@ -1196,7 +1195,7 @@ object GraftQueries {
     * kernels (and the identical plan: TakeOrderedAndProject over the
     * broadcast 1-row query side, same as vec_knn). */
   val q45SqlVectorFn: Q = (s, d) => {
-    graft.plans.GraftFunctions.register(s)
+    graft.functions.GraftFunctions.register(s)
     Tables.embeddings(s, d).createOrReplaceTempView("g_emb_sqlfn")
     s.sql(
       """SELECT e.vec_id, round(vec_cosine(e.embedding, q.embedding), 6) AS cosine,

@@ -149,35 +149,14 @@ object AnnProbeRule extends Rule[LogicalPlan] {
   }
 }
 
-/** The library's SQL-callable functions: every custom Catalyst
-  * expression surfaces in the SQL front-end too, so `spark.sql` users
-  * get the same codegen'd kernels as the DataFrame API. */
-object GraftFunctions {
-  import org.apache.spark.sql.catalyst.expressions.Expression
-  import graft.functions.{SortedArrayIntersectSize, VectorDistance}
-
-  val all: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "vec_cosine" -> (a => VectorDistance(a(0), a(1), "cosine")),
-    "vec_l2sq" -> (a => VectorDistance(a(0), a(1), "l2sq")),
-    "vec_dot" -> (a => VectorDistance(a(0), a(1), "dot")),
-    "set_intersect_size" -> (a => SortedArrayIntersectSize(a(0), a(1))))
-
-  /** Register on a LIVE session (getOrCreate reuses existing sessions,
-    * where builder-time extensions never run — this path always works). */
-  def register(spark: SparkSession): Unit = all.foreach { case (n, b) =>
-    spark.sessionState.functionRegistry
-      .createOrReplaceTempFunction(n, b, "built-in")
-  }
-}
-
 /** `SparkSession.builder().withExtensions(new GraftExtensions)` — injects
   * the ANN probe rewrite as an optimizer rule (inert unless the session
   * has centroids registered in [[AnnCatalog]]) and the SQL function
-  * surface of [[GraftFunctions]]. */
+  * surface of [[graft.functions.GraftFunctions]]. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => AnnProbeRule)
-    GraftFunctions.all.foreach { case (n, b) =>
+    graft.functions.GraftFunctions.all.foreach { case (n, b) =>
       e.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(n),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", n),
         b))

@@ -39,7 +39,7 @@ object Bpe {
       .orderBy(col("c").desc, col("w")).limit(vocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     var vocab: Seq[(Array[String], Long)] =
-      wordFreq.map { case (w, c) => (w.map(_.toString).toArray, c) }
+      wordFreq.map { case (w, c) => (codePointSymbols(w), c) }
     val merges = Seq.newBuilder[(String, String)]
     var i = 0
     var done = false
@@ -76,10 +76,18 @@ object Bpe {
     out.result()
   }
 
-  /** Encode one word: start from characters, repeatedly apply the
-    * LOWEST-RANK merge present until none applies. */
+  /** Initial symbols are CODE POINTS, not UTF-16 units — char-level
+    * splitting would shear surrogate pairs into malformed half-surrogate
+    * symbols on astral-plane text (emoji, CJK-B) and break the
+    * n_subwords <= code-point-length invariant (Spark's `length` counts
+    * code points). */
+  private def codePointSymbols(word: String): Array[String] =
+    word.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
+  /** Encode one word: start from code-point symbols, repeatedly apply
+    * the LOWEST-RANK merge present until none applies. */
   def encodeWord(word: String, rank: Map[(String, String), Int]): Array[String] = {
-    var syms = word.map(_.toString).toArray
+    var syms = codePointSymbols(word)
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue

@@ -24,8 +24,16 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.encodeWord("a", rank).toSeq == Seq("a"))
   }
 
+  test("astral-plane characters stay whole code points, never sheared surrogates") {
+    val none = Map.empty[(String, String), Int]
+    assert(Bpe.encodeWord("😀", none).toSeq == Seq("😀"))
+    assert(Bpe.encodeWord("a😀b", none).toSeq == Seq("a", "😀", "b"))
+  }
+
   test("corpus-trained encoding: invariants and determinism") {
-    val docs = Tables.documents(spark, sf).limit(200)
+    // orderBy pins WHICH 200 docs both trainings see — a bare limit on a
+    // multi-partition source is not a deterministic sample
+    val docs = Tables.documents(spark, sf).orderBy("doc_id").limit(200)
     val merges = Bpe.train(docs, "text", numMerges = 30)
     assert(merges.size == 30)
     assert(merges.distinct.size == merges.size, "merges must be unique")

@@ -302,7 +302,10 @@ class PipelineSpec extends SparkSpec {
     store.compact(spark, "p")
     val plan = store.read(spark, "p").filter(col("lang") === "en")
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+    // `lang` must appear INSIDE the PartitionFilters bracket — the scan
+    // prints an (empty) PartitionFilters entry and a data filter would
+    // mention `lang` even if the layout had been flattened
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
       s"pruned read lost after compaction:\n$plan")
     // and the partition directories really survived the rewrite
     val langs = new java.io.File(s"$tmp/p").listFiles().filter(_.isDirectory).map(_.getName)

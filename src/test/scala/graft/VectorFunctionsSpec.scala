@@ -54,7 +54,7 @@ class VectorFunctionsSpec extends SparkSpec {
   }
 
   test("SQL function registry: spark.sql reaches the same kernels as the DataFrame API") {
-    graft.plans.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(spark)
     Seq((Array(1f, 2f, 3f), Array(4f, 5f, 6f)))
       .toDF("a", "b").createOrReplaceTempView("vfr")
     val r = spark.sql(
@@ -66,5 +66,15 @@ class VectorFunctionsSpec extends SparkSpec {
       .select(cosine($"a", $"b"), l2Sq($"a", $"b")).head()
     assert(r.getDouble(1) == api.getDouble(0) && r.getDouble(2) == api.getDouble(1))
     assert(r.getInt(3) == 2)
+    // the input-cast seam: DOUBLE/INT array literals (SQL's defaults)
+    // must coerce, not be misread by the typed kernel slots
+    val cast = spark.sql(
+      """SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
+        |       set_intersect_size(array(1, 2, 5), array(2, 3, 5)) AS i""".stripMargin).head()
+    assert(cast.getDouble(0) == 32.0 && cast.getInt(1) == 2)
+    // arity is validated, not an IndexOutOfBounds crash or silent ignore
+    val e = intercept[Exception](spark.sql("SELECT vec_cosine(array(1.0F))").head())
+    assert(e.getMessage.contains("2 arguments") ||
+      Option(e.getCause).exists(_.getMessage.contains("2 arguments")))
   }
 }
