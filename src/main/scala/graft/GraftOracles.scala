@@ -19,6 +19,23 @@ object GraftOracles {
   private val px = "CAST(l_extendedprice AS DECIMAL(12,4))"
   private val revenue = s"$px * CAST((1 - l_discount) AS DECIMAL(6,4))"
 
+  private lazy val qualityClassifierSql: String = {
+    val m = graft.text.QualityClassifier.load()
+    val wl = m.weights.mkString("[", ",", "]")
+    s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+       |f AS (SELECT doc_id, unnest(t || list_transform(range(1, greatest(len(t), 1)),
+       |    i -> t[i] || ' ' || t[i+1])) AS feat FROM tk),
+       |b AS (SELECT doc_id,
+       |    (('0x' || substr(md5(feat), 1, 6))::BIGINT % 256)::INT AS bkt FROM f),
+       |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+       |    CAST(sum(($wl)[bkt + 1]) AS BIGINT) + (${m.bias}) AS logit
+       |  FROM b GROUP BY 1)
+       |SELECT doc_id, n_feats,
+       |  floor(logit::DOUBLE / n_feats / 1048576 * 1e6 + 0.5) / 1e6 AS score,
+       |  floor(logit::DOUBLE / n_feats / 1048576 * 1e6 + 0.5) / 1e6 > 0.0 AS keep
+       |FROM s ORDER BY doc_id""".stripMargin
+  }
+
   /** shingle-set CTE used by the jaccard oracles */
   private def shinglesCte(extraCols: String = "") =
     s"""WITH sh AS (
@@ -540,22 +557,10 @@ object GraftOracles {
     // an integer (fixed-point 2^20) sum — order-independent, so the two
     // engines agree bit-for-bit; the only float math is the final
     // floor-form rounding, mirrored expression-for-expression.
-    "quality_classifier" -> {
-      val m = graft.text.QualityClassifier.load()
-      val wl = m.weights.mkString("[", ",", "]")
-      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
-         |f AS (SELECT doc_id, unnest(t || list_transform(range(1, greatest(len(t), 1)),
-         |    i -> t[i] || ' ' || t[i+1])) AS feat FROM tk),
-         |b AS (SELECT doc_id,
-         |    (('0x' || substr(md5(feat), 1, 6))::BIGINT % 256)::INT AS bkt FROM f),
-         |s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
-         |    CAST(sum(($wl)[bkt + 1]) AS BIGINT) + (${m.bias}) AS logit
-         |  FROM b GROUP BY 1)
-         |SELECT doc_id, n_feats,
-         |  floor(logit::DOUBLE / n_feats / 1048576 * 1e6 + 0.5) / 1e6 AS score,
-         |  floor(logit::DOUBLE / n_feats / 1048576 * 1e6 + 0.5) / 1e6 > 0.0 AS keep
-         |FROM s ORDER BY doc_id""".stripMargin
-    },
+    "quality_classifier" -> qualityClassifierSql,
+    // the streaming form runs the IDENTICAL expressions with zero state,
+    // so the batch oracle checks it verbatim
+    "streaming_quality" -> qualityClassifierSql,
 
     // Twin of Dedup.substringSpans (n=8): identical tokenization, window
     // hashing (md5 of the space-joined 8-token slice — both engines emit

@@ -971,6 +971,14 @@ object GraftQueries {
         col("n_events"))
       .orderBy("user_id", "session_start")
 
+  /** The quality gate on a STREAM: identical expressions, zero state,
+    * append mode — checked by the very same oracle as the batch query.
+    * Pure row-wise gates are streaming-portable by construction. */
+  val streamingQuality: Q = (s, d) =>
+    graft.streaming.DocStream.runStreamingQuality(s, s"$d/documents.parquet",
+        "graft_squal_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .orderBy("doc_id")
+
   /** LSH-bucketed cosine near-dup (the scale path for dedup_embedding;
     * approximate by construction -> rows-only, recall asserted in tests). */
   val dedupEmbeddingLsh: Q = (s, d) =>
@@ -1925,6 +1933,7 @@ object GraftQueries {
     "corpus_datasheet" -> corpusDatasheet,
     "streaming_hourly" -> streamingHourly,
     "streaming_sessions" -> streamingSessions,
+    "streaming_quality" -> streamingQuality,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "q12_distinct_sketch" -> q12DistinctSketch,
     "q13_cube" -> q13Cube,

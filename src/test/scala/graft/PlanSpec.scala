@@ -162,14 +162,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "no join belongs in the window formulation")
   }
 
-  test("quality_classifier: model rides as a plan literal; single partial-agg shuffle, no join") {
+  test("quality_classifier: model rides as a plan literal; MAP-ONLY scoring (no shuffle but the sort)") {
     val p = plan("quality_classifier")
     assert(p.contains("element_at"), "weight lookup should be an array-literal element_at")
-    assert(p.contains("partial_sum"), "logit sum must be map-side partial")
     assert(!p.contains("Join") && !p.contains("BroadcastExchange"),
       "the model must not arrive via a join or broadcast table")
+    assert(!p.contains("HashAggregate"),
+      "the logit is a per-row fold — no aggregation belongs in this plan")
     val exchanges = "\\(\\d+\\) Exchange".r.findAllIn(p).length
-    assert(exchanges <= 2, s"expected agg + final sort exchanges only, saw $exchanges")
+    assert(exchanges <= 1, s"only the final sort may exchange, saw $exchanges")
   }
 
   test("dedup_substring: no shuffle carries document text or token arrays") {

@@ -194,4 +194,10 @@ class StreamingSpec extends SparkSpec {
     val recall = if (exact.isEmpty) 1.0 else (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.2, s"LSH recall $recall")
   }
+
+  test("stateless quality gate: streamed scores equal batch scores row for row") {
+    val batch = GraftQueries.qualityClassifier(spark, sf).collect().toSet
+    val streamed = GraftQueries.streamingQuality(spark, sf).collect().toSet
+    assert(streamed == batch)
+  }
 }
