@@ -26,5 +26,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // headroom for the 117-query bench (the box has 125 GB): 8g left the
+  // shingle/checkpoint-heavy composed queries near the ceiling, and the
+  // JIT's 240 MB default code cache is tight for a full bench pass's
+  // generated classes (the largest plans deopt-thrash first when it
+  // fills). Neither fully explains the bursty multi-second task stalls
+  // observed late in long sessions — GC logs showed <1.3s total pauses
+  // while wall time swung 5x, pointing at host-level throttling — but
+  // both remove real cliffs.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  "-XX:ReservedCodeCacheSize=512m",
 )
