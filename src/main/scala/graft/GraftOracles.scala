@@ -623,6 +623,24 @@ object GraftOracles {
          |FROM comp c JOIN sized s USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
 
+    // Twin of mine_hard_negatives: exact cosine (double accumulation),
+    // identical band and deterministic (cosine desc, vec_id) tie-break
+    "mine_hard_negatives" ->
+      s"""WITH an AS (SELECT vec_id AS anchor_id, embedding AS av
+         |  FROM embeddings WHERE vec_id % 100 = 0),
+         |sc AS (SELECT an.anchor_id, e.vec_id,
+         |    round(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * an.av[i]::DOUBLE)) /
+         |      sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) *
+         |           list_sum(list_transform(range(1,65), i -> an.av[i]::DOUBLE * an.av[i]::DOUBLE))), 6) AS cosine
+         |  FROM embeddings e JOIN an ON e.vec_id <> an.anchor_id),
+         |bd AS (SELECT * FROM sc WHERE cosine >= 0.30 AND cosine < 0.98),
+         |r AS (SELECT anchor_id, vec_id, cosine,
+         |    CAST(row_number() OVER (PARTITION BY anchor_id
+         |      ORDER BY cosine DESC, vec_id) AS BIGINT) AS rank
+         |  FROM bd)
+         |SELECT anchor_id, vec_id, rank, cosine FROM r WHERE rank <= 5
+         |ORDER BY anchor_id, rank""".stripMargin,
+
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosineDouble, 6) AS cosine
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

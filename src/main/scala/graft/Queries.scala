@@ -388,6 +388,32 @@ object GraftQueries {
       .orderBy("q_id", "rank")
   }
 
+  /** Hard-negative mining — the contrastive-training data-prep step:
+    * for each anchor (a deterministic id sample), the top-5 most
+    * SIMILAR vectors inside the negative band [0.30, 0.98) — similar
+    * enough to be hard, below the near-duplicate ceiling that would
+    * poison training with false negatives.
+    *
+    * Scale shape: anchors are a bounded sample -> broadcast; one corpus
+    * scan scores cosines, the band filter cuts before any window, and
+    * the rank<=5 filter runs through WindowGroupLimit (per-partition
+    * top-k before the shuffle). For anchor sets beyond broadcast size,
+    * the IVF/LSH bucketed paths replace the broadcast join — the band
+    * and rank stages are unchanged. */
+  val mineHardNegatives: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val anchors = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("_av"))
+    val scored = e.join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .withColumn("cosine", round(cosine(col("embedding"), col("_av")), 6))
+      .filter(col("cosine") >= 0.30 && col("cosine") < 0.98)
+    val w = Window.partitionBy("anchor_id").orderBy(col("cosine").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("anchor_id", "vec_id", "rank", "cosine")
+      .orderBy("anchor_id", "rank")
+  }
+
   /** IVF-flat approximate kNN (rows-only: approximate by construction; its
     * recall against vec_topk_join is asserted in ScalaTest). */
   val annIvf: Q = (s, d) => {
@@ -1906,6 +1932,7 @@ object GraftQueries {
     "vec_knn" -> vecKnn,
     "vec_knn_filtered" -> vecKnnFiltered,
     "vec_topk_join" -> vecTopkJoin,
+    "mine_hard_negatives" -> mineHardNegatives,
     "ann_ivf" -> annIvf,
     "ann_ivf_store" -> annIvfStore,
     "ann_ivfpq" -> annIvfPq,

@@ -202,4 +202,21 @@ class QuerySemanticsSpec extends SparkSpec {
     assert(recall >= 0.3, s"IVF recall $recall too low even for nprobe=4/8 cells")
     assert(approx.size == exact.size) // k rows per query either way
   }
+
+  test("hard-negative mining: banded, ranked, never self, never a near-duplicate") {
+    val rows = GraftQueries.mineHardNegatives(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, v, cos) = (r.getLong(0), r.getLong(1), r.getDouble(3))
+      assert(a != v, "anchor mined as its own negative")
+      assert(cos >= 0.30 && cos < 0.98, s"cosine $cos outside the negative band")
+    }
+    rows.groupBy(_.getLong(0)).foreach { case (a, g) =>
+      val byRank = g.sortBy(_.getLong(2))
+      assert(byRank.map(_.getLong(2)).toSeq == (1L to byRank.length).toSeq,
+        s"anchor $a ranks not contiguous")
+      val cs = byRank.map(_.getDouble(3)).toSeq
+      assert(cs == cs.sorted.reverse, s"anchor $a negatives not hardest-first")
+    }
+  }
 }
