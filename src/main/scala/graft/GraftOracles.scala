@@ -1377,6 +1377,27 @@ object GraftOracles {
         |WHERE datediff('day', cohort, day) IN (0, 1, 3, 7, 14, 30)
         |GROUP BY cohort, 2 ORDER BY 1, 2""".stripMargin,
 
+    // Twin of text_bigram_lm: the same deterministic caps (count desc
+    // then lexicographic), add-one smoothing, and fixed-point log sums
+    // as the unigram twin, one n-gram order up
+    "text_bigram_lm" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |pr AS (SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+         |  FROM tk, unnest(range(1, len(t))) AS u(i)),
+         |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS c1
+         |  FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1
+         |  ORDER BY c1 DESC, w LIMIT 50000),
+         |big AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2 FROM pr
+         |  GROUP BY 1, 2 ORDER BY c2 DESC, w1, w2 LIMIT 100000),
+         |nv AS (SELECT CAST(count(*) AS BIGINT) AS nv FROM uni),
+         |sc AS (SELECT pr.doc_id,
+         |    CAST(floor(ln((coalesce(big.c2, 0) + 1.0) / (coalesce(uni.c1, 0) + nv.nv))
+         |      * 1048576) AS BIGINT) AS lp
+         |  FROM pr LEFT JOIN big USING (w1, w2) LEFT JOIN uni ON pr.w1 = uni.w, nv)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  floor(CAST(sum(lp) AS DOUBLE) / count(*) / 1048576 * 1e6 + 0.5) / 1e6 AS avg_logp2
+         |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "text_unigram_lm" ->
       """WITH tk AS (SELECT doc_id, unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
         |    FROM documents),

@@ -1850,6 +1850,45 @@ object GraftQueries {
           .as("avg_logp"))
   }
 
+  /** Per-doc mean BIGRAM log-prob — the perplexity-filter signal one
+    * order up from text_unigram_lm: add-one-smoothed p(w2|w1) with the
+    * bigram table capped at the 100k most frequent pairs and the
+    * unigram context at the 50k LM vocabulary (both caps deterministic:
+    * count desc, then lexicographic). Uncapped pairs fall through to
+    * the smoothed floor — exactly how a production LM filter bounds its
+    * broadcast state at any corpus size. Fixed-point (2^20) log sums
+    * keep the mean bit-deterministic across engines and merge orders. */
+  val textBigramLm: Q = (s, d) =>
+    bigramLogProb(Tables.documents(s, d)).orderBy("doc_id")
+
+  private[graft] def bigramLogProb(docs: DataFrame): DataFrame = {
+    val vocabCap = 50000
+    val pairCap = 100000
+    val toks = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
+    val pairs = toks.select(col("doc_id"), explode(zip_with(
+        slice(col("_t"), lit(1), size(col("_t")) - 1),
+        slice(col("_t"), lit(2), size(col("_t")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
+      .select(col("doc_id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+    val uni = toks.select(explode(col("_t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+      .orderBy(col("c1").desc, col("w")).limit(vocabCap)
+    val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      .orderBy(col("c2").desc, col("w1"), col("w2")).limit(pairCap)
+    val nv = uni.agg(count(lit(1)).as("nv"))
+    pairs.join(broadcast(big), Seq("w1", "w2"), "left")
+      .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"), "left")
+      .crossJoin(broadcast(nv))
+      .withColumn("lp",
+        floor(log((coalesce(col("c2"), lit(0L)) + 1.0) / (coalesce(col("c1"), lit(0L)) + col("nv")))
+          * 1048576).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (floor(sum(col("lp")).cast("double") / count(lit(1)) / 1048576 * 1e6 + 0.5) / 1e6)
+          .as("avg_logp2"))
+  }
+
   /** NOT IN through the SQL front-end — the null-aware anti-join
     * semantics trap (one NULL in the subquery empties the result). Here
     * the key is non-null, so it equals NOT EXISTS; the query exists to
@@ -2028,6 +2067,7 @@ object GraftQueries {
     "pipeline_mix_report" -> pipelineMixReport,
     "q42_map_metadata" -> q42MapMetadata,
     "text_unigram_lm" -> textUnigramLm,
+    "text_bigram_lm" -> textBigramLm,
     "q43_not_in" -> q43NotIn,
     "rag_bm25_fusion" -> ragBm25Fusion,
     "q44_percentile_sketch" -> q44PercentileSketch,

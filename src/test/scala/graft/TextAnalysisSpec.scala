@@ -5,6 +5,23 @@ import org.apache.spark.sql.functions._
 
 class TextAnalysisSpec extends SparkSpec {
 
+  test("bigram LM: predictable sequences score above unpredictable ones; singletons drop") {
+    import spark.implicits._
+    // build a corpus where "a b" dominates: docs repeating the pair are
+    // high-probability, a doc of one-off tokens is low, a 1-token doc
+    // contributes no bigram row
+    val docs = (
+      (1 to 8).map(i => (i.toLong, "a b a b a b a b")) ++
+        Seq((100L, "q w e r t y u i"), (101L, "solo"))
+    ).toDF("doc_id", "text")
+    val res = GraftQueries.bigramLogProb(docs)
+    val byId = res.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(!byId.contains(101L), "single-token doc has no bigram row")
+    assert(byId(1L)._1 == 7L)
+    assert(byId(1L)._2 > byId(100L)._2,
+      s"repetitive ${byId(1L)._2} should outscore one-off ${byId(100L)._2}")
+  }
+
   test("bm25: term hits rank above misses; rarer terms weigh more; absent query terms score 0") {
     import spark.implicits._
     val docs = Seq(
