@@ -1871,15 +1871,25 @@ object GraftQueries {
         slice(col("_t"), lit(2), size(col("_t")) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("_p"))
       .select(col("doc_id"), col("_p.w1").as("w1"), col("_p.w2").as("w2"))
-    val uni = toks.select(explode(col("_t")).as("w"))
+    // the capped vocab is computed ONCE and collected (bounded by the
+    // cap — the BPE-trainer discipline): deriving the vocab-size scalar
+    // from a second uni subplan would re-run the whole tokenize+groupBy
+    // over the corpus just to count <=50k rows
+    val uniRows = toks.select(explode(col("_t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c1"))
       .orderBy(col("c1").desc, col("w")).limit(vocabCap)
+      .collect()
+    val s = docs.sparkSession
+    val uni = s.createDataFrame(java.util.Arrays.asList(uniRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("w1", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("c1", org.apache.spark.sql.types.LongType))))
+    val nvVal = uniRows.length.toLong
     val big = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       .orderBy(col("c2").desc, col("w1"), col("w2")).limit(pairCap)
-    val nv = uni.agg(count(lit(1)).as("nv"))
     pairs.join(broadcast(big), Seq("w1", "w2"), "left")
-      .join(broadcast(uni.withColumnRenamed("w", "w1")), Seq("w1"), "left")
-      .crossJoin(broadcast(nv))
+      .join(broadcast(uni), Seq("w1"), "left")
+      .withColumn("nv", lit(nvVal))
       .withColumn("lp",
         floor(log((coalesce(col("c2"), lit(0L)) + 1.0) / (coalesce(col("c1"), lit(0L)) + col("nv")))
           * 1048576).cast("long"))

@@ -21,15 +21,7 @@ object DocStream {
   def runStreamingQuality(spark0: SparkSession, docsParquet: String,
                           queryName: String): DataFrame = {
     val spark = EventStream.streamSession(spark0)
-    val schema = spark.read.parquet(docsParquet).schema
-    // the file source streams a DIRECTORY; harness tables are single
-    // files, so glob-filter the parent (same shape as readEventStream)
-    val parent = docsParquet.substring(0, docsParquet.lastIndexOf('/'))
-    val fname = docsParquet.substring(docsParquet.lastIndexOf('/') + 1)
-    val stream = spark.readStream.schema(schema)
-      .option("basePath", parent)
-      .option("pathGlobFilter", fname)
-      .parquet(parent)
+    val stream = EventStream.readFileStream(spark, docsParquet)
     val scored = QualityClassifier.score(stream, "text", "doc_id")
     val q = scored.writeStream
       .outputMode("append")

@@ -92,16 +92,23 @@ object EventStream {
 
   /** The file-source readStream over an events parquet file, with the
     * shared ts conversion. */
+  /** File-source stream over a SINGLE parquet file: the source streams a
+    * DIRECTORY, so glob-filter the parent down to the one file. Shared
+    * by the event and document stream surfaces. */
+  private[streaming] def readFileStream(spark: SparkSession, parquetFile: String): DataFrame = {
+    val slash = parquetFile.lastIndexOf('/')
+    require(slash > 0, s"expected a path with a parent directory: $parquetFile")
+    val schema = spark.read.parquet(parquetFile).schema
+    spark.readStream.schema(schema)
+      .option("basePath", parquetFile.substring(0, slash))
+      .option("pathGlobFilter", parquetFile.substring(slash + 1))
+      .parquet(parquetFile.substring(0, slash))
+  }
+
   private def readEventStream(spark: SparkSession, eventsParquet: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(eventsParquet).schema
-    val parent = eventsParquet.substring(0, eventsParquet.lastIndexOf('/'))
-    val fname = eventsParquet.substring(eventsParquet.lastIndexOf('/') + 1)
-    val raw = spark.readStream.schema(schema)
-      .option("basePath", parent)
-      .option("pathGlobFilter", fname)
-      .parquet(parent)
-    convertTs(raw, schema)
+    val raw = readFileStream(spark, eventsParquet)
+    convertTs(raw, spark.read.parquet(eventsParquet).schema)
   }
 
   /** Stream-stream interval join through Structured Streaming: purchases

@@ -52,6 +52,13 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("NULL text yields no row (matches the oracle's unnest semantics)") {
+    val df = Seq((1L, Some("real text here")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val out = QualityClassifier.score(df, "text", "doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("n_feats is 2n-1 for an n-token doc; scoring is deterministic across partitionings") {
     val df = Seq((1L, "one two three four five")).toDF("doc_id", "text")
     val r1 = QualityClassifier.score(df, "text", "doc_id").collect().head

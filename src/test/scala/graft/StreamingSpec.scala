@@ -196,8 +196,10 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stateless quality gate: streamed scores equal batch scores row for row") {
-    val batch = GraftQueries.qualityClassifier(spark, sf).collect().toSet
-    val streamed = GraftQueries.streamingQuality(spark, sf).collect().toSet
+    // sorted-seq compare, not sets: a set would mask duplicate emission
+    // if the source ever reprocessed its input
+    val batch = GraftQueries.qualityClassifier(spark, sf).collect().map(_.toString).sorted.toSeq
+    val streamed = GraftQueries.streamingQuality(spark, sf).collect().map(_.toString).sorted.toSeq
     assert(streamed == batch)
   }
 }
