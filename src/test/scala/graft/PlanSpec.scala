@@ -187,6 +187,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("mine_hard_negatives: anchors broadcast; rank<=5 runs through WindowGroupLimit") {
+    val p = plan("mine_hard_negatives")
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"),
+      "the bounded anchor sample must broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      "the rank filter must cut to k rows per anchor map-side, before the window shuffle")
+    assert(!p.contains("CartesianProduct"), "no unbroadcast cross join")
+  }
+
   test("q24 gapfill: dense-grid build sides stay broadcast (no shuffled cross)") {
     val p = plan("q24_gapfill")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") ||
