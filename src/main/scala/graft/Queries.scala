@@ -643,14 +643,14 @@ object GraftQueries {
 
   /** Heuristic language ID vs the labeled lang column. */
   val langId: Q = (s, d) =>
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), col("lang").as("lang_actual"),
         TextAnalysis.langId(col("text")).as("lang_pred"))
       .orderBy("doc_id")
 
   /** Order/duplication-invariant token-set fingerprint. */
   val docFingerprint: Q = (s, d) =>
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), TextAnalysis.tokenSetFingerprint(col("text")).as("fingerprint"))
       .orderBy("doc_id")
 
@@ -693,7 +693,7 @@ object GraftQueries {
 
   /** Gopher-style repetition filter: trigram repetition ratio per doc. */
   val textRepetition: Q = (s, d) =>
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"),
         TextAnalysis.repetitionRatio(col("text"), 3).as("rep3"),
         TextAnalysis.repetitionRatio(col("text"), 2).as("rep2"))
@@ -818,7 +818,7 @@ object GraftQueries {
     * map-only until one partial-agg shuffle. */
   val textBpeMerges: Q = (s, d) => {
     val toks = TextAnalysis.tokens(col("text"))
-    Tables.documents(s, d)
+    Tables.spread(Tables.documents(s, d))
       .select(explode(zip_with(
         slice(toks, lit(1), size(toks) - 1),
         slice(toks, lit(2), size(toks) - 1),
@@ -844,7 +844,7 @@ object GraftQueries {
     * docs is a trailing filter; `pipeline_clean_mix` composes exactly
     * that).
     */
-  private def cleanCorpusDecisions(docs: DataFrame): DataFrame = {
+  private[graft] def cleanCorpusDecisions(docs: DataFrame): DataFrame = {
     val stats = TextAnalysis.textStats(docs).select("doc_id", "quality")
     val lm = unigramLogProb(docs).select("doc_id", "avg_logp")
     val exact = Dedup.exact(docs, "text", "doc_id").select("doc_id", "is_duplicate")
@@ -886,7 +886,7 @@ object GraftQueries {
     * to approx_percentile (q44 demonstrates the mergeable-sketch form)
     * — the datasheet contract is the same. */
   val corpusDatasheet: Q = (s, d) => {
-    val base = Tables.documents(s, d)
+    val base = Tables.spread(Tables.documents(s, d))
       .select(col("doc_id"), col("lang"), col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"),
         length(col("text")).cast("long").as("_nch"),
@@ -931,7 +931,7 @@ object GraftQueries {
     // passes over it: without this, the stats collect and the final
     // result would each re-execute the whole gate chain above — the
     // dominant cost of the query, paid twice
-    val survivors = docs
+    val survivors = Tables.spread(docs)
       .join(cleanKeep, "doc_id").join(clsKeep, "doc_id")
       .join(heavyDup, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"),
@@ -1697,7 +1697,7 @@ object GraftQueries {
   val pipelineMixReport: Q = (s, d) => mixReport(s, Tables.documents(s, d))
 
   private def mixReport(s: SparkSession, docsIn: DataFrame): DataFrame = {
-    val docs = docsIn
+    val docs = Tables.spread(docsIn)
       .select(col("source"), col("lang"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
     // the few-row cells aggregate feeds both the corpus total and the
@@ -1741,7 +1741,7 @@ object GraftQueries {
     * pipeline_mix_sample (report) and pipeline_training_data (the
     * composed chain). */
   private def mixSampleDocs(s: SparkSession, docsIn: DataFrame): DataFrame =
-    mixSampleFromCounts(s, docsIn
+    mixSampleFromCounts(s, Tables.spread(docsIn)
       .select(col("doc_id"), col("source"),
         size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok")))
 
@@ -1749,7 +1749,7 @@ object GraftQueries {
     * counts — the composed pipeline feeds an already-materialized
     * survivor projection here so its gate chain is not re-executed by
     * the stats pass. */
-  private def mixSampleFromCounts(s: SparkSession, docs: DataFrame): DataFrame = {
+  private[graft] def mixSampleFromCounts(s: SparkSession, docs: DataFrame): DataFrame = {
     val stats = docs.groupBy("source").agg(sum(col("_ntok")).as("t"))
       .collect().map(r => r.getString(0) -> r.getLong(1))
     require(stats.nonEmpty, "mix sampling over an empty corpus")
@@ -1833,7 +1833,7 @@ object GraftQueries {
     * unigram LM (shared by text_unigram_lm and the clean-corpus LM gate). */
   private def unigramLogProb(docs: DataFrame): DataFrame = {
     val vocabCap = 50000
-    val toks = docs
+    val toks = Tables.spread(docs)
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("token"))
     val vocab = toks.groupBy("token").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("token")).limit(vocabCap)
@@ -1864,7 +1864,7 @@ object GraftQueries {
   private[graft] def bigramLogProb(docs: DataFrame): DataFrame = {
     val vocabCap = 50000
     val pairCap = 100000
-    val toks = docs
+    val toks = Tables.spread(docs)
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("_t"))
     val pairs = toks.select(col("doc_id"), explode(zip_with(
         slice(col("_t"), lit(1), size(col("_t")) - 1),

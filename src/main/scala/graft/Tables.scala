@@ -35,4 +35,43 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")
+
+  /** Ensure at least `defaultParallelism` partitions before EXPENSIVE
+    * per-row compute (tokenize / n-gram hash / classifier fold).
+    *
+    * A single-row-group parquet file scans as ONE partition no matter
+    * what `maxPartitionBytes` says (parquet splits at row-group
+    * boundaries), so without this an operator's whole tokenize/hash map
+    * stage runs serially on one core — both a ~P× slowdown and the
+    * one-straggler-task shape whose wall time swings multi-× whenever
+    * the host deschedules that single thread. A real 100 TB scan has
+    * thousands of splits, so the partition-count guard makes this a
+    * no-op at scale; the shuffle is only paid when the scan is narrower
+    * than the cluster, where it is the cheapest possible fix (it moves
+    * raw rows once, before any per-row work).
+    */
+  def spread(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df // micro-batches are already narrow slices
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    val rdd = df.rdd
+    if (rdd.getNumPartitions < par) {
+      // The LogicalRDD leaf makes this a plan BARRIER, not just a
+      // repartition: callers filter on expensive derived columns
+      // (classifier keep, span dup_ratio, token counts), and Catalyst
+      // alias-inlines such predicates and pushes them below a plain
+      // round-robin exchange — re-running the whole per-row compute
+      // serially inside the narrow scan stage, which is exactly what
+      // spread exists to prevent. Blocking pushdown/pruning here is safe
+      // precisely because this branch only fires when the input is
+      // narrower than the cluster (a scan this small has nothing to
+      // gain from pushdown); at scale the `else` branch returns the
+      // plan untouched and parquet pushdown behaves as usual.
+      // barrier ABOVE the exchange (repartition first, then wrap): the
+      // row conversion the LogicalRDD costs then runs in the POST-shuffle
+      // tasks (P-way parallel), and the serial narrow stage stays a pure
+      // columnar scan + shuffle write.
+      val wide = df.repartition(par)
+      df.sparkSession.createDataFrame(wide.rdd, df.schema)
+    } else df
+  }
 }

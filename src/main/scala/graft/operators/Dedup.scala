@@ -121,13 +121,10 @@ object Dedup {
     * one partition and would compute every signature on one core. NOT
     * persisted; each caller picks its persistence discipline. */
   private def shingleRelation(df: DataFrame, textCol: String, idCol: String,
-                              shingleSize: Int): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    df.select(col(idCol).as("_id"), col(textCol).as("_text"))
-      .repartition(par)
+                              shingleSize: Int): DataFrame =
+    graft.Tables.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
       .withColumn("_sh", shingleHashes(col("_text"), shingleSize))
       .drop("_text")
-  }
 
   /** The banded relation carries ONLY (id, band, bandhash) — never the
     * shingle arrays — so the LSH shuffle moves fixed-width keys. */
@@ -343,7 +340,8 @@ object Dedup {
                                  maxHamming: Int): DataFrame = {
     val idType = df.schema(idCol).dataType
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    val sigs = df.select(col(idCol).cast("long").as("_id"), simhash(toks).as("_sig"))
+    val sigs = graft.Tables.spread(df)
+      .select(col(idCol).cast("long").as("_id"), simhash(toks).as("_sig"))
     val banded = sigs.select(col("_id"), col("_sig"),
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("_sig"), b * 16).bitwiseAND(0xFFFFL)
@@ -388,7 +386,8 @@ object Dedup {
   private def simhashPairsJoin(df: DataFrame, textCol: String, idCol: String,
                                maxHamming: Int): DataFrame = {
     val toks = split(trim(lower(col(textCol))), "\\s+")
-    val sigs = df.select(col(idCol).as("_id"), simhash(toks).as("_sig"))
+    val sigs = graft.Tables.spread(df)
+      .select(col(idCol).as("_id"), simhash(toks).as("_sig"))
     val banded = sigs.select(col("_id"), col("_sig"),
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("_sig"), b * 16).bitwiseAND(0xFFFFL)
@@ -405,23 +404,172 @@ object Dedup {
 
   // ------------------------------------------------ near-dup clustering
 
-  /** Connected components over an undirected pair graph by min-label
-    * propagation: every node ends with its component's MINIMUM id as
-    * label. Each round is one join + one min-aggregate shuffle on the
-    * edge list; the driver loop stops when no label changed. Rounds =
-    * component diameter — near-dup components are small and dense, so
-    * this converges in 2-3 rounds (for adversarial chain-shaped graphs
-    * swap in star contraction; same output contract). Deterministic by
-    * construction: min is merge-order-independent, so the result is
+  /** Connected components over an undirected pair graph: every node ends
+    * with its component's MINIMUM id as label. Deterministic by
+    * construction (min is merge-order-independent), so the result is
     * bit-identical across partitionings — and oracle-able (DuckDB
     * WITH RECURSIVE reachability twin).
+    *
+    * Three-tier execution, picked by measured graph size — near-dup pair
+    * graphs are a VANISHING fraction of the corpus (a corpus with 1%
+    * near-dups at 100 TB yields a pair graph in the low billions of
+    * edges, most corpora far less; sf0.1 here yields 256 pairs), so the
+    * operator must not pay iterative-distributed overhead on a graph
+    * that fits in one task:
+    *
+    *  1. pairs are materialized (eager localCheckpoint) and counted —
+    *     one cheap job on checkpointed blocks;
+    *  2. if the edge count is at most `graft.cc.localMaxEdges` (default
+    *     2^21) and the id type is plainly orderable, the edge list is
+    *     collected and solved with a driver-side union-find: ZERO
+    *     shuffles, two jobs, immune to per-job scheduler stalls — the
+    *     variance that dominates an iterative loop on a loaded host;
+    *  3. otherwise each partition union-finds the edges it holds
+    *     (mapPartitions, no shuffle) and emits one (node -> local
+    *     component min) star edge per node — contraction that both
+    *     shrinks the edge set to at most one edge per node-occurrence
+    *     and collapses every intra-partition path to depth 1 — and the
+    *     min-label propagation loop runs on the contracted stars.
+    *     Rounds = contracted diameter, typically 2 even for chain-shaped
+    *     originals that would take O(chain) rounds uncontracted.
+    *
+    * Set `graft.cc.localMaxEdges=0` (spark conf) to force the
+    * distributed path; `graft.cc.explicitGc=true` restores the old
+    * post-loop `System.gc()` (the ContextCleaner only frees truncated
+    * rounds' shuffle/checkpoint blocks after a driver GC, which a large
+    * driver heap may defer for hours — but forcing a global GC inside a
+    * library operator punishes co-tenant jobs, and is a no-op under
+    * -XX:+DisableExplicitGC, so it is opt-in for long-lived sessions
+    * that do not run their own collection discipline).
     *
     * Returns (id, label) for every node that appears in `pairs`.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxRounds: Int = 50): DataFrame = {
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+    val spark = pairs.sparkSession
+    val idType = pairs.schema(aCol).dataType
+    val localMax = spark.conf.getOption("graft.cc.localMaxEdges")
+      .map(_.toLong).getOrElse(1L << 21)
+    val edgesRaw = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+      .localCheckpoint(true)
+    val nEdges = edgesRaw.count()
+    idOrdering(idType) match {
+      case Some(ord) if nEdges <= localMax =>
+        driverUnionFind(spark, edgesRaw.collect(), idType, ord)
+      case Some(ord) =>
+        minLabelLoop(contractEdges(edgesRaw, idType, ord), maxRounds)
+      case None =>
+        // exotic orderable id types (date, binary, ...): no typed
+        // union-find kernel, but Spark's min() still orders them
+        minLabelLoop(edgesRaw, maxRounds)
+    }
+  }
+
+  /** Driver-ordering kernel for the common id types. Exotic types fall
+    * back to the fully-distributed loop (None). */
+  private def idOrdering(dt: org.apache.spark.sql.types.DataType)
+      : Option[Ordering[Any]] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Number].longValue()))
+      case DoubleType | FloatType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[Number].doubleValue()))
+      case _: DecimalType =>
+        Some(Ordering.by((x: Any) => BigDecimal(x.asInstanceOf[java.math.BigDecimal])))
+      case StringType =>
+        Some(Ordering.by((x: Any) => x.asInstanceOf[String]))
+      case _ => None
+    }
+  }
+
+  /** Union-find with path halving; roots chosen by `ord` min so the
+    * final parent IS the component label with no second pass. */
+  private final class UnionFind(ord: Ordering[Any]) {
+    private val parent = new java.util.HashMap[Any, Any]()
+    def find(x0: Any): Any = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (ord.compare(p, x) != 0) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp) // path halving
+        x = p; p = gp
+      }
+      x
+    }
+    def union(a: Any, b: Any): Unit = {
+      val ra = find(a); val rb = find(b)
+      val c = ord.compare(ra, rb)
+      if (c < 0) parent.put(rb, ra)
+      else if (c > 0) parent.put(ra, rb)
+    }
+    def touch(x: Any): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+    def entries(): Iterator[(Any, Any)] = {
+      val keys = new java.util.ArrayList[Any](parent.keySet())
+      import scala.jdk.CollectionConverters._
+      keys.iterator().asScala.map(k => (k, find(k)))
+    }
+  }
+
+  /** Tier-2 finish: solve the whole graph in the driver. The edge list
+    * is bounded by the caller's count gate, so this is a bounded collect
+    * (the same contract as the centroid/top-k collects elsewhere), not a
+    * driver-side loop over corpus data. */
+  private def driverUnionFind(spark: org.apache.spark.sql.SparkSession,
+                              rows: Array[org.apache.spark.sql.Row],
+                              idType: org.apache.spark.sql.types.DataType,
+                              ord: Ordering[Any]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val uf = new UnionFind(ord)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      uf.touch(r.get(0)); uf.touch(r.get(1))
+      uf.union(r.get(0), r.get(1))
+      i += 1
+    }
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](rows.length)
+    uf.entries().foreach { case (id, root) =>
+      out.add(org.apache.spark.sql.Row(id, root))
+    }
+    spark.createDataFrame(out,
+      StructType(Seq(StructField("id", idType), StructField("label", idType))))
+  }
+
+  /** Tier-3 contraction: per-partition union-find over whatever edges the
+    * partition holds — one scan, NO shuffle — emitting one
+    * (id, local component min) star edge per locally-seen node. CC of
+    * the union of the stars equals CC of the original graph (each star
+    * preserves its partition's connectivity; shared nodes stitch stars
+    * across partitions), but paths inside a partition collapse to depth
+    * 1 and the loop below starts from at most one edge per node
+    * occurrence instead of the full pair list. */
+  private def contractEdges(edgesRaw: DataFrame,
+                            idType: org.apache.spark.sql.types.DataType,
+                            ord: Ordering[Any]): DataFrame = {
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val schema = StructType(Seq(
+      StructField("src", idType), StructField("dst", idType)))
+    val star = edgesRaw.rdd.mapPartitions { it =>
+      val uf = new UnionFind(ord)
+      it.foreach { r =>
+        uf.touch(r.get(0)); uf.touch(r.get(1))
+        uf.union(r.get(0), r.get(1))
+      }
+      uf.entries().map { case (id, root) => org.apache.spark.sql.Row(id, root) }
+    }
+    edgesRaw.sparkSession.createDataFrame(star, schema)
+  }
+
+  /** Min-label propagation (the fully-distributed tier): each round is
+    * one join + one min-aggregate shuffle on the edge list; stops when
+    * no label changed. Rounds = graph diameter — 2-3 for contracted
+    * star graphs. */
+  private def minLabelLoop(pairs: DataFrame, maxRounds: Int): DataFrame = {
+    val edges = pairs.select(col("src"), col("dst"))
+      .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
     var labels = edges.select(col("src").as("id"))
       .distinct()
@@ -474,11 +622,12 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
-    // The truncated rounds' shuffle files and checkpoint blocks are
-    // released by Spark's ContextCleaner, which only acts after a DRIVER
-    // GC — and a large driver heap may not GC for hours. One collection
-    // at operator end bounds the cleanup debt to this run's garbage.
-    System.gc()
+    // ContextCleaner frees the truncated rounds' shuffle/checkpoint
+    // blocks only after a driver GC; opt-in (see scaladoc above) because
+    // a forced global GC inside a library operator punishes co-tenants
+    // and silently no-ops under -XX:+DisableExplicitGC.
+    if (pairs.sparkSession.conf.getOption("graft.cc.explicitGc").contains("true"))
+      System.gc()
     labels
   }
 
@@ -582,13 +731,17 @@ object Dedup {
   def substringSpans(df: DataFrame, textCol: String, idCol: String,
                      n: Int = 8): DataFrame = {
     val toks = graft.text.TextAnalysis.tokens(col(textCol))
-    val spans = df
+    // the docs-shorter-than-n guard is a `when` INSIDE the posexplode
+    // argument (empty array -> zero rows), NOT a .filter: a filter on
+    // size(tokens(text)) is pushed below the spread exchange by Catalyst
+    // and re-runs the whole tokenize serially in the narrow scan stage
+    val spans = graft.Tables.spread(df)
       .select(col(idCol).as("doc_id"), toks.as("_t"))
-      .filter(size(col("_t")) >= n)
       .select(col("doc_id"), size(col("_t")).cast("long").as("n_tokens"),
-        posexplode(transform(
-          sequence(lit(0), size(col("_t")) - n),
-          i => md5(concat_ws(" ", slice(col("_t"), i + 1, lit(n))).cast("binary"))))
+        posexplode(when(size(col("_t")) >= n, transform(
+            sequence(lit(0), size(col("_t")) - n),
+            i => md5(concat_ws(" ", slice(col("_t"), i + 1, lit(n))).cast("binary"))))
+          .otherwise(array().cast("array<string>")))
           .as(Seq("start", "span_hash")))
     // gaps-and-islands: a span starting at s covers tokens [s, s+n-1];
     // a span opens a new interval iff it starts past every prior end
@@ -622,10 +775,9 @@ object Dedup {
     */
   def embeddingNearDup(df: DataFrame, vecCol: String, idCol: String,
                        threshold: Double): DataFrame = {
-    // probe side repartitioned: single-file inputs are one partition, and
-    // the broadcast nested-loop join would run all O(n^2) cosines serially
-    val par = df.sparkSession.sparkContext.defaultParallelism
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("_va")).repartition(par)
+    // probe side spread: single-file inputs are one partition, and the
+    // broadcast nested-loop join would run all O(n^2) cosines serially
+    val a = graft.Tables.spread(df.select(col(idCol).as("id_a"), col(vecCol).as("_va")))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("_vb"))
     a.join(b, col("id_a") < col("id_b"))
       .withColumn("cosine", round(VectorFunctions.cosine(col("_va"), col("_vb")), 6))

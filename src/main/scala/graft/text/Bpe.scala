@@ -33,7 +33,7 @@ object Bpe {
     * word) like the LM vocab. */
   def train(docs: DataFrame, textCol: String,
             numMerges: Int = 50, vocabCap: Int = 50000): Seq[(String, String)] = {
-    val wordFreq: Seq[(String, Long)] = docs
+    val wordFreq: Seq[(String, Long)] = graft.Tables.spread(docs)
       .select(explode(words(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(vocabCap)
@@ -116,7 +116,8 @@ object Bpe {
   def encodeReport(docs: DataFrame, textCol: String, idCol: String,
                    merges: Seq[(String, String)]): DataFrame = {
     val enc = encodeUdf(merges)
-    docs.select(col(idCol), words(col(textCol)).as("_w"))
+    graft.Tables.spread(docs)
+      .select(col(idCol), words(col(textCol)).as("_w"))
       .filter(size(col("_w")) > 0)
       .withColumn("_sub", enc(col("_w")))
       .select(col(idCol),

@@ -54,7 +54,8 @@ object TextAnalysis {
     * Columns: n_chars, n_tokens, avg_token_len, punct_ratio, stopword_ratio,
     * uniq_token_ratio, quality.
     */
-  def textStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+  def textStats(df0: DataFrame, textCol: String = "text"): DataFrame = {
+    val df = graft.Tables.spread(df0) // tokenize must not run serially on a narrow scan
     val t = col(textCol)
     val toks = tokens(t)
     val nTok = size(toks)
@@ -246,7 +247,8 @@ object TextAnalysis {
     * (id, dl, tf per term) projection. Exposed for plan tests. */
   private[graft] def bm25TfProjection(docs: DataFrame, textCol: String,
                                       idCol: String, terms: Seq[String]): DataFrame = {
-    val base = docs.select(col(idCol), tokens(col(textCol)).as("_toks"))
+    val base = graft.Tables.spread(docs)
+      .select(col(idCol), tokens(col(textCol)).as("_toks"))
       .withColumn("_dl", size(col("_toks")).cast("long"))
     terms.indices.foldLeft(base) { case (df, i) =>
       df.withColumn(s"_tf$i",

@@ -176,6 +176,33 @@ class DedupSpec extends SparkSpec {
     assert(out == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a"), s"got $out")
   }
 
+  test("connectedComponents: distributed tier (localMaxEdges=0) matches driver union-find") {
+    import spark.implicits._
+    // deterministic pseudo-random graph: ~120 edges over 80 nodes, mixed
+    // components including a long chain (stresses contraction depth)
+    val rnd = new scala.util.Random(42)
+    val chain = (0 until 20).map(i => (i.toLong, (i + 1).toLong))
+    val random = (1 to 100).map { _ =>
+      (30L + rnd.nextInt(50), 30L + rnd.nextInt(50))
+    }.filter { case (a, b) => a != b }
+    val pairs = (chain ++ random).toDF("id_a", "id_b")
+    val viaDriver = Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.conf.set("graft.cc.localMaxEdges", "0")
+    try {
+      val viaDistributed = Dedup.connectedComponents(pairs.repartition(7), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(viaDistributed == viaDriver,
+        s"tier divergence: ${viaDistributed.toSet.diff(viaDriver.toSet)}")
+      // string ids through the distributed path too (no numeric kernel shortcut)
+      val sPairs = Seq(("b", "a"), ("c", "b"), ("d", "c"), ("y", "x")).toDF("id_a", "id_b")
+      val s = Dedup.connectedComponents(sPairs.repartition(3), "id_a", "id_b")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(s == Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "a",
+        "x" -> "x", "y" -> "x"), s"got $s")
+    } finally spark.conf.unset("graft.cc.localMaxEdges")
+  }
+
   test("minhashLshIncremental: finds new-vs-existing dups only, never existing-vs-existing") {
     val existing = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),
