@@ -394,12 +394,16 @@ object GraftQueries {
     * enough to be hard, below the near-duplicate ceiling that would
     * poison training with false negatives.
     *
-    * Scale shape: anchors are a bounded sample -> broadcast; one corpus
-    * scan scores cosines, the band filter cuts before any window, and
-    * the rank<=5 filter runs through WindowGroupLimit (per-partition
-    * top-k before the shuffle). For anchor sets beyond broadcast size,
-    * the IVF/LSH bucketed paths replace the broadcast join — the band
-    * and rank stages are unchanged. */
+    * CONTRACT: this exact form scores corpus x anchors, so anchors must
+    * be a bounded probe set (broadcast-sized) — it is the oracle
+    * baseline. When the anchor set grows with the corpus (the normal
+    * contrastive-training case: every example wants negatives), use
+    * [[mineHardNegativesLsh]] — banded candidates on a fixed-width
+    * (table, bucket) key + exact rerank, no nested loop, nothing
+    * unconditionally broadcast. Here: one corpus scan scores cosines,
+    * the band filter cuts before any window, and the rank<=5 filter
+    * runs through WindowGroupLimit (per-partition top-k before the
+    * shuffle). */
   val mineHardNegatives: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val anchors = e.filter(col("vec_id") % 100 === 0)
@@ -411,6 +415,20 @@ object GraftQueries {
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= 5)
       .select("anchor_id", "vec_id", "rank", "cosine")
+      .orderBy("anchor_id", "rank")
+  }
+
+  /** The banded scale path for hard-negative mining (rows-only:
+    * approximate by construction; recall@5 against the exact form is
+    * pinned in ScalaTest). Same anchors, band, and k as the exact
+    * baseline; candidates come from an equi-join on the (table, bucket)
+    * LSH key instead of a corpus x anchors nested loop. */
+  val mineHardNegativesLsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val anchors = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("_av"))
+    Similarity.hardNegativesLsh(e, "embedding", "vec_id",
+        anchors, "anchor_id", "_av", k = 5, lo = 0.30, hi = 0.98)
       .orderBy("anchor_id", "rank")
   }
 
@@ -1982,6 +2000,7 @@ object GraftQueries {
     "vec_knn_filtered" -> vecKnnFiltered,
     "vec_topk_join" -> vecTopkJoin,
     "mine_hard_negatives" -> mineHardNegatives,
+    "mine_hard_negatives_lsh" -> mineHardNegativesLsh,
     "ann_ivf" -> annIvf,
     "ann_ivf_store" -> annIvfStore,
     "ann_ivfpq" -> annIvfPq,

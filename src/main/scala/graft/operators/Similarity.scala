@@ -419,14 +419,72 @@ object Similarity {
     * Same-signature vectors are cosine-close with high probability.
     */
   def cosineLshBuckets(df: DataFrame, vecCol: String, nBits: Int = 16,
-                       seed: Long = 42L, dim: Int = 64): DataFrame = {
+                       seed: Long = 42L, dim: Int = 64): DataFrame =
+    df.withColumn("lsh_bucket", bucketExpr(col(vecCol), nBits, seed, dim))
+
+  /** The signature expression behind [[cosineLshBuckets]] — exposed so
+    * multi-table operators can compute every table's bucket in ONE scan
+    * (an array + posexplode) instead of re-scanning per table. */
+  private def bucketExpr(vec: Column, nBits: Int, seed: Long, dim: Int): Column = {
     val rng = new scala.util.Random(seed)
     val planes: Array[Array[Float]] =
       Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian().toFloat))
-    val bits = (0 until nBits).map { i =>
-      when(dot(col(vecCol), vecLit(planes(i))) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }
-    df.withColumn("lsh_bucket", bits.reduce((a, b) => a.bitwiseOR(b)))
+    (0 until nBits).map { i =>
+      when(dot(vec, vecLit(planes(i))) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** One-scan multi-table bucketing: (row, _table, lsh_bucket) for
+    * `nTables` independent hyperplane signatures. Map-only — the array of
+    * per-table signatures is computed in one projection and posexploded,
+    * so the corpus is read once no matter how many tables boost recall. */
+  private def lshTabled(df: DataFrame, vecCol: String, nBits: Int,
+                        nTables: Int, dim: Int, seed0: Long = 42L): DataFrame =
+    df.select(col("*"), posexplode(array((0 until nTables).map { t =>
+      bucketExpr(col(vecCol), nBits, seed0 + t, dim)
+    }: _*)).as(Seq("_table", "lsh_bucket")))
+
+  /** Banded hard-negative mining — the scale path for the exact
+    * broadcast-anchors formulation (GraftQueries.mineHardNegatives, which
+    * stays as the oracle baseline under its anchors-are-a-small-probe-set
+    * contract): anchors and corpus both hash into `nTables` independent
+    * hyperplane-signature buckets in one scan each; candidates are pairs
+    * sharing a (table, bucket) key — an equi-join on a fixed-width key,
+    * never a corpus x anchors nested loop — and exact cosine reranks the
+    * candidates, so the anchor set can grow with the corpus (every
+    * training example wants negatives) without any unconditional
+    * broadcast. Recall comes from the table count: a high-cosine pair
+    * collides in at least one of 8 tables with high probability, and hard
+    * negatives are exactly the high-cosine band.
+    *
+    * Output: (anchor_id, vec_id, rank, cosine) — top-`k` per anchor by
+    * cosine inside [lo, hi), rank dense from 1. Approximate by
+    * construction (recall pinned against the exact form in ScalaTest).
+    */
+  def hardNegativesLsh(corpus: DataFrame, vecCol: String, idCol: String,
+                       anchors: DataFrame, anchorIdCol: String, anchorVecCol: String,
+                       k: Int, lo: Double, hi: Double,
+                       nBits: Int = 8, nTables: Int = 8, dim: Int = 64): DataFrame = {
+    val c = corpus.select(col(idCol).as("_cid"), col(vecCol).as("_cv"))
+    val a = anchors.select(col(anchorIdCol).as("anchor_id"), col(anchorVecCol).as("_av"))
+    val ct = lshTabled(c, "_cv", nBits, nTables, dim).select(col("_cid"), col("_table"), col("lsh_bucket"))
+    val at = lshTabled(a, "_av", nBits, nTables, dim).select(col("anchor_id"), col("_table"), col("lsh_bucket"))
+    val candidates = at.join(ct, Seq("_table", "lsh_bucket"))
+      .filter(col("anchor_id") =!= col("_cid"))
+      .select(col("anchor_id"), col("_cid"))
+      .dropDuplicates("anchor_id", "_cid")
+    // rerank sides arrive via EQUI-joins on the id keys (hash or
+    // size-gated broadcast — the planner's call), keeping the quadratic
+    // term confined to per-bucket collision groups
+    val scored = candidates
+      .join(a, "anchor_id")
+      .join(c, "_cid")
+      .withColumn("cosine", round(cosine(col("_av"), col("_cv")), 6))
+      .filter(col("cosine") >= lo && col("cosine") < hi)
+    val w = Window.partitionBy("anchor_id").orderBy(col("cosine").desc, col("_cid"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("anchor_id"), col("_cid").as("vec_id"), col("rank"), col("cosine"))
   }
 
   /** LSH-bucketed cosine near-dup join — the scale path for

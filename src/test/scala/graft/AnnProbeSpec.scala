@@ -155,6 +155,60 @@ class AnnProbeSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("hard-negative LSH recall@5 on planted structure; exact form agrees") {
+    // Real contrastive hard negatives sit just under the near-dup ceiling
+    // (cosine ~0.9), where hyperplane collision probability is high — so
+    // recall is pinned on PLANTED structure: 5 negatives per anchor at
+    // cosine ~0.9 over a random background. (The harness embeddings are
+    // near-random — max non-self cosine ~0.4 — and NO candidate-pruning
+    // scheme can have high recall at cosine 0.4; that degradation is a
+    // property of structureless data, not of the plan.)
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Float] = {
+      val v = Array.fill(64)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    def blend(a: Array[Float], w: Double): Array[Float] = {
+      val noise = unit()
+      val v = a.zip(noise).map { case (x, e) => (w * x + (1 - w) * e).toFloat }
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    // blend weight 0.67: cos(anchor, planted) = w/sqrt(w^2+(1-w)^2) ~ 0.9
+    // — inside the [0.30, 0.98) negative band, below the near-dup ceiling
+    val anchors = (0 until 10).map(i => (i * 1000L, unit()))
+    val planted = anchors.flatMap { case (id, av) =>
+      (1 to 5).map(j => (id + j, blend(av, 0.67)))
+    }
+    val background = (0 until 1000).map(i => (100000L + i, unit()))
+    val s = spark; import s.implicits._
+    val corpus = (anchors ++ planted ++ background).toDF("vec_id", "embedding")
+    val aDf = anchors.toDF("anchor_id", "_av")
+    def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.select("anchor_id", "vec_id").collect().groupBy(_.getLong(0))
+        .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+    // exact baseline with the mining semantics: band filter BEFORE the
+    // rank window (bruteForceTopK ranks first, which would let the
+    // anchor's own self-cosine burn a rank slot)
+    val exactScored = corpus.crossJoin(broadcast(aDf))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .withColumn("cosine", round(cosine(col("embedding"), col("_av")), 6))
+      .filter(col("cosine") >= 0.30 && col("cosine") < 0.98)
+    val wE = org.apache.spark.sql.expressions.Window.partitionBy("anchor_id")
+      .orderBy(col("cosine").desc, col("vec_id"))
+    val exact = topSets(exactScored
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= 5))
+    val approx = topSets(Similarity.hardNegativesLsh(
+      corpus, "embedding", "vec_id", aDf, "anchor_id", "_av",
+      k = 5, lo = 0.30, hi = 0.98))
+    val recalls = exact.map { case (k, ex) =>
+      approx.getOrElse(k, Set.empty).intersect(ex).size.toDouble / ex.size }
+    val avg = recalls.sum / recalls.size
+    info(f"hard-negative recall@5 avg $avg%.3f over ${recalls.size} anchors")
+    assert(avg >= 0.8, f"banded hard-negative recall degraded: $avg%.3f")
+  }
+
   test("IVF-PQ recall@10 >= 0.85 vs brute force at sf0.1 (8-bit residual ADC)") {
     // the memory-bounded path scores from 8-byte codes, never the full
     // vector; deterministic training (md5-ordered sample, sequential

@@ -201,6 +201,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), "no unbroadcast cross join")
   }
 
+  test("mine_hard_negatives_lsh: banded equi-joins only — no corpus x anchors nested loop") {
+    val p = plan("mine_hard_negatives_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "the scale path must generate candidates via the (table, bucket) equi-join, " +
+        "never score corpus x anchors pairwise")
+    assert(p.contains("WindowGroupLimit"),
+      "the rank filter must cut to k rows per anchor map-side, before the window shuffle")
+  }
+
   test("q24 gapfill: dense-grid build sides stay broadcast (no shuffled cross)") {
     val p = plan("q24_gapfill")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") ||
