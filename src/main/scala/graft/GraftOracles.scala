@@ -393,6 +393,24 @@ object GraftOracles {
          |  WHERE length(trim(d.text)) > 0)
          |ORDER BY doc_id, chunk_index""".stripMargin,
 
+    // Twin of ingest_transformer: the relational half (per-source
+    // doc/chunk counts over non-blank docs) recomputes through the same
+    // chunker walk; the model half is pinned by invariants emitted as
+    // constants — dim 64 min and max, and every chunk's vector unit-norm
+    // (n_unit_norm = n_chunks; the instruction prefix guarantees no
+    // empty token list, hence no zero vector)
+    "ingest_transformer" ->
+      s"""$chunkerWalkCte
+         |SELECT d.source,
+         |  CAST(count(DISTINCT a.doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_chunks,
+         |  CAST(64 AS BIGINT) AS dim_min,
+         |  CAST(64 AS BIGINT) AS dim_max,
+         |  CAST(count(*) AS BIGINT) AS n_unit_norm
+         |FROM allc a JOIN documents d ON a.doc_id = d.doc_id
+         |WHERE length(trim(d.text)) > 0
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
+
     "q28_moving_avg" ->
       """WITH w AS (SELECT event_id, event_type,
         |    count(*) OVER fr AS cnt_1h,

@@ -349,6 +349,34 @@ object GraftQueries {
           x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)), 4).as("embedding_norm"))
       .orderBy("doc_id", "chunk_index")
 
+  /** The transformer-backed ingest — REAL attention/LayerNorm/FFN
+    * inference (checked-in weights, "passage: " instruction prefix per
+    * the reference's BGE convention) through the same batched
+    * mapPartitions seam as every other embedder. Oracle-CHECKED, not
+    * rows-only: the relational half (per-source doc/chunk counts) hash-
+    * matches the chunker CTE twin exactly, and the model half is pinned
+    * by invariants the oracle emits as constants — output dim 64 on
+    * every row, every vector unit-norm (the "passage: " prefix
+    * guarantees at least one token, so no zero vector exists). A wrong
+    * dim, an unnormalized vector, or a drifted chunker all
+    * hash-mismatch. */
+  val ingestTransformer: Q = (s, d) => {
+    val (passages, _) = graft.embed.Embedders.asymmetric(
+      p => graft.embed.TransformerEmbedder(prefix = p))
+    IngestPipeline.ingestDocuments(Tables.documents(s, d), passages,
+        chunkSize = 120, overlap = 20) // the chunker CTE twin's parameters
+      .groupBy("source")
+      .agg(
+        countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        min(size(col("embedding"))).cast("long").as("dim_min"),
+        max(size(col("embedding"))).cast("long").as("dim_max"),
+        count(when(abs(sqrt(aggregate(transform(col("embedding"),
+            x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x))
+          - 1.0) < 1e-4, 1)).as("n_unit_norm"))
+      .orderBy("source")
+  }
+
   /** Ingest status report (reference ingest_directory result map + success
     * tally): per-source doc counts with blank-text failures. */
   val ingestReport: Q = (s, d) =>
@@ -1996,6 +2024,7 @@ object GraftQueries {
     "where_dsl_filter" -> whereDslFilter,
     "chunk_docs" -> chunkDocs,
     "ingest_pipeline" -> ingestPipeline,
+    "ingest_transformer" -> ingestTransformer,
     "vec_knn" -> vecKnn,
     "vec_knn_filtered" -> vecKnnFiltered,
     "vec_topk_join" -> vecTopkJoin,

@@ -185,7 +185,271 @@ object MlpEmbedder {
   }
 }
 
+/** BGE/E5-style asymmetric instruction prefixes (reference:
+  * /root/reference/src/ChromaCloudIngester.py:52,181 — passages embed as
+  * "passage: ...", queries as "query: ..."): one weight set, two text
+  * conventions. Build the pair with [[Embedders.asymmetric]]. */
+final case class PrefixConvention(passage: String = "passage: ",
+                                  query: String = "query: ")
+
+/** Single-block transformer encoder with weights from a checked-in binary
+  * — the last step of the production seam before a real pretrained model
+  * (reference: the SentenceTransformer at
+  * /root/reference/src/PDFToChromaIngester.py:41-49): hashed-vocab token
+  * ids (vocab-free hash embeddings), learned token + position embeddings,
+  * multi-head self-attention, residual + LayerNorm, GELU FFN, mean
+  * pooling, L2 norm. Everything a MiniLM/BGE forward pass does per block,
+  * at toy width; an ONNX runtime swaps in behind the same trait with the
+  * weight blob replaced and `forward` delegated — the per-executor lazy
+  * load and per-partition batching (Embedders.embed) are unchanged.
+  *
+  * Weight file format (big-endian): magic "GTRF", ints vocab, d, heads,
+  * dff, maxLen, then float32 arrays tokEmb[vocab*d], posEmb[maxLen*d],
+  * lnE g[d] b[d], Wq[d*d] bq[d], Wk bk, Wv bv, Wo bo, ln1 g b,
+  * W1[d*dff] b1[dff], W2[dff*d] b2[d], ln2 g b.
+  */
+final case class TransformerEmbedder(resource: String = "/graft/toy_transformer.bin",
+                                     prefix: String = "") extends Embedder {
+
+  @transient private lazy val model: TransformerEmbedder.Weights =
+    TransformerEmbedder.load(resource)
+
+  override def dim: Int = model.d
+
+  override def encodeOne(text: String): Array[Float] = {
+    val m = model
+    if (text == null) return new Array[Float](m.d)
+    val toks = (prefix + text).toLowerCase.split("\\s+")
+      .iterator.filter(_.nonEmpty).take(m.maxLen).toArray
+    if (toks.isEmpty) return new Array[Float](m.d)
+    m.forward(toks.map(TransformerEmbedder.tokenId(_, m.vocab)))
+  }
+}
+
+object TransformerEmbedder {
+  /** FNV-1a token id in [0, vocab) — hash embeddings (vocab-free): the
+    * embedding TABLE is learned, the token->row map is a hash. */
+  private[embed] def tokenId(tok: String, vocab: Int): Int = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < tok.length) { h ^= tok.charAt(i); h *= 0x100000001b3L; i += 1 }
+    java.lang.Math.floorMod(h, vocab.toLong).toInt
+  }
+
+  final case class Weights(vocab: Int, d: Int, heads: Int, dff: Int, maxLen: Int,
+                           tokEmb: Array[Float], posEmb: Array[Float],
+                           lnEg: Array[Float], lnEb: Array[Float],
+                           wq: Array[Float], bq: Array[Float],
+                           wk: Array[Float], bk: Array[Float],
+                           wv: Array[Float], bv: Array[Float],
+                           wo: Array[Float], bo: Array[Float],
+                           ln1g: Array[Float], ln1b: Array[Float],
+                           w1: Array[Float], b1: Array[Float],
+                           w2: Array[Float], b2: Array[Float],
+                           ln2g: Array[Float], ln2b: Array[Float]) {
+
+    // x[n*d] row-major throughout; double accumulation everywhere so the
+    // result is bit-deterministic across JVMs and batchings
+    private def layerNorm(x: Array[Double], n: Int,
+                          g: Array[Float], b: Array[Float]): Unit = {
+      var r = 0
+      while (r < n) {
+        val off = r * d
+        var mean = 0.0; var i = 0
+        while (i < d) { mean += x(off + i); i += 1 }
+        mean /= d
+        var v = 0.0; i = 0
+        while (i < d) { val c = x(off + i) - mean; v += c * c; i += 1 }
+        val inv = 1.0 / math.sqrt(v / d + 1e-6)
+        i = 0
+        while (i < d) {
+          x(off + i) = (x(off + i) - mean) * inv * g(i) + b(i); i += 1
+        }
+        r += 1
+      }
+    }
+
+    // y[n*dOut] = x[n*dIn] * w[dIn*dOut] + b
+    private def matmul(x: Array[Double], n: Int, dIn: Int, dOut: Int,
+                       w: Array[Float], b: Array[Float]): Array[Double] = {
+      val y = new Array[Double](n * dOut)
+      var r = 0
+      while (r < n) {
+        var o = 0
+        while (o < dOut) {
+          var acc = b(o).toDouble
+          var i = 0
+          while (i < dIn) { acc += x(r * dIn + i) * w(i * dOut + o); i += 1 }
+          y(r * dOut + o) = acc
+          o += 1
+        }
+        r += 1
+      }
+      y
+    }
+
+    private def gelu(x: Double): Double = // tanh approximation (BERT's)
+      0.5 * x * (1.0 + math.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
+
+    def forward(ids: Array[Int]): Array[Float] = {
+      val n = ids.length
+      // embeddings: LN(tok + pos)
+      val x = new Array[Double](n * d)
+      var r = 0
+      while (r < n) {
+        var i = 0
+        while (i < d) {
+          x(r * d + i) = tokEmb(ids(r) * d + i).toDouble + posEmb(r * d + i)
+          i += 1
+        }
+        r += 1
+      }
+      layerNorm(x, n, lnEg, lnEb)
+      // multi-head self-attention
+      val q = matmul(x, n, d, d, wq, bq)
+      val k = matmul(x, n, d, d, wk, bk)
+      val v = matmul(x, n, d, d, wv, bv)
+      val dh = d / heads
+      val scale = 1.0 / math.sqrt(dh.toDouble)
+      val ctx = new Array[Double](n * d)
+      var h = 0
+      while (h < heads) {
+        val hoff = h * dh
+        var qi = 0
+        while (qi < n) {
+          // scores over all keys, softmax in double
+          val scores = new Array[Double](n)
+          var mx = Double.NegativeInfinity
+          var ki = 0
+          while (ki < n) {
+            var s = 0.0; var i = 0
+            while (i < dh) { s += q(qi * d + hoff + i) * k(ki * d + hoff + i); i += 1 }
+            s *= scale
+            scores(ki) = s
+            if (s > mx) mx = s
+            ki += 1
+          }
+          var z = 0.0; ki = 0
+          while (ki < n) { scores(ki) = math.exp(scores(ki) - mx); z += scores(ki); ki += 1 }
+          ki = 0
+          while (ki < n) {
+            val a = scores(ki) / z
+            var i = 0
+            while (i < dh) { ctx(qi * d + hoff + i) += a * v(ki * d + hoff + i); i += 1 }
+            ki += 1
+          }
+          qi += 1
+        }
+        h += 1
+      }
+      val attn = matmul(ctx, n, d, d, wo, bo)
+      var i = 0
+      while (i < n * d) { attn(i) += x(i); i += 1 } // residual
+      layerNorm(attn, n, ln1g, ln1b)
+      // FFN with residual
+      val hid = matmul(attn, n, d, dff, w1, b1)
+      i = 0
+      while (i < n * dff) { hid(i) = gelu(hid(i)); i += 1 }
+      val ff = matmul(hid, n, dff, d, w2, b2)
+      i = 0
+      while (i < n * d) { ff(i) += attn(i); i += 1 }
+      layerNorm(ff, n, ln2g, ln2b)
+      // mean pool + L2 normalize
+      val out = new Array[Double](d)
+      r = 0
+      while (r < n) {
+        i = 0
+        while (i < d) { out(i) += ff(r * d + i); i += 1 }
+        r += 1
+      }
+      var norm = 0.0
+      i = 0
+      while (i < d) { out(i) /= n; norm += out(i) * out(i); i += 1 }
+      val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
+      val res = new Array[Float](d)
+      i = 0
+      while (i < d) { res(i) = (out(i) * inv).toFloat; i += 1 }
+      res
+    }
+  }
+
+  def load(resource: String): Weights = {
+    val in = Option(getClass.getResourceAsStream(resource))
+      .getOrElse(throw new java.io.FileNotFoundException(
+        s"transformer weights not on classpath: $resource"))
+    val ds = new java.io.DataInputStream(new java.io.BufferedInputStream(in))
+    try {
+      val magic = new Array[Byte](4)
+      ds.readFully(magic)
+      require(new String(magic, "US-ASCII") == "GTRF",
+        s"bad weight-file magic in $resource")
+      val vocab = ds.readInt(); val d = ds.readInt(); val heads = ds.readInt()
+      val dff = ds.readInt(); val maxLen = ds.readInt()
+      require(d % heads == 0, s"d=$d not divisible by heads=$heads")
+      def floats(n: Int): Array[Float] = {
+        val a = new Array[Float](n)
+        var i = 0
+        while (i < n) { a(i) = ds.readFloat(); i += 1 }
+        a
+      }
+      Weights(vocab, d, heads, dff, maxLen,
+        floats(vocab * d), floats(maxLen * d),
+        floats(d), floats(d),
+        floats(d * d), floats(d), floats(d * d), floats(d),
+        floats(d * d), floats(d), floats(d * d), floats(d),
+        floats(d), floats(d),
+        floats(d * dff), floats(dff), floats(dff * d), floats(d),
+        floats(d), floats(d))
+    } finally ds.close()
+  }
+
+  /** Deterministic weight-file writer (the checked-in fixture's recorded
+    * provenance): xorshift64* PRNG from a fixed seed; embeddings and
+    * projections uniform in +-1/sqrt(fanIn), LayerNorm gains 1 / biases 0. */
+  def writeToyWeights(path: java.nio.file.Path, vocab: Int = 512, d: Int = 64,
+                      heads: Int = 4, dff: Int = 128, maxLen: Int = 64,
+                      seed: Long = 0x7a57e0_5eedL): Unit = {
+    var s = seed
+    def nextUniform(): Double = {
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      val u = (s * 0x2545f4914f6cdd1dL >>> 11).toDouble / (1L << 53).toDouble
+      u * 2.0 - 1.0
+    }
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      java.nio.file.Files.newOutputStream(path)))
+    try {
+      out.write("GTRF".getBytes("US-ASCII"))
+      out.writeInt(vocab); out.writeInt(d); out.writeInt(heads)
+      out.writeInt(dff); out.writeInt(maxLen)
+      def rand(n: Int, fanIn: Int): Unit = {
+        val bound = 1.0 / math.sqrt(fanIn.toDouble)
+        var i = 0
+        while (i < n) { out.writeFloat((nextUniform() * bound).toFloat); i += 1 }
+      }
+      def ones(n: Int): Unit = { var i = 0; while (i < n) { out.writeFloat(1f); i += 1 } }
+      def zeros(n: Int): Unit = { var i = 0; while (i < n) { out.writeFloat(0f); i += 1 } }
+      rand(vocab * d, d); rand(maxLen * d, d)   // tokEmb, posEmb
+      ones(d); zeros(d)                          // lnE
+      rand(d * d, d); zeros(d)                   // Wq bq
+      rand(d * d, d); zeros(d)                   // Wk bk
+      rand(d * d, d); zeros(d)                   // Wv bv
+      rand(d * d, d); zeros(d)                   // Wo bo
+      ones(d); zeros(d)                          // ln1
+      rand(d * dff, d); zeros(dff)               // W1 b1
+      rand(dff * d, dff); zeros(d)               // W2 b2
+      ones(d); zeros(d)                          // ln2
+    } finally out.close()
+  }
+}
+
 object Embedders {
+  /** The asymmetric embedder pair — (passages, queries) — sharing one
+    * weight set under a [[PrefixConvention]]: build each side from its
+    * instruction prefix. */
+  def asymmetric(mk: String => Embedder,
+                 conv: PrefixConvention = PrefixConvention()): (Embedder, Embedder) =
+    (mk(conv.passage), mk(conv.query))
+
   /** Column-level embed via UDF (per-row; fine for scalar use). */
   def embedUdf(embedder: Embedder): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf((s: String) => embedder.encodeOne(s))
@@ -194,8 +458,11 @@ object Embedders {
     * [[Embedder.encode]] — the shape a model-backed embedder needs (load
     * the session once per partition, infer in batches).
     */
-  def embed(df: DataFrame, textCol: String, outCol: String,
+  def embed(df0: DataFrame, textCol: String, outCol: String,
             embedder: Embedder, batchSize: Int = 64): DataFrame = {
+    // inference is the heaviest per-row work in the engine — never let a
+    // narrow scan run it serially (Tables.spread is a no-op at scale)
+    val df = graft.Tables.spread(df0)
     val spark = df.sparkSession
     val schema = org.apache.spark.sql.types.StructType(df.schema.fields :+
       org.apache.spark.sql.types.StructField(outCol,
