@@ -1164,6 +1164,25 @@ object GraftOracles {
     // word pattern interpolated from the single shared constant
     // (graft.text.Bpe.WordPattern) — Scala "\\s" is the literal \s DuckDB
     // expects inside a standard single-quoted string
+    // Twin of text_bpe_apply: a checked-in expected-encoding fixture at
+    // the sf0.01 gate scale (the iterative trainer cannot be expressed in
+    // a recursive CTE — aggregation over the recursive reference is not
+    // SQL). The fixture is a REGRESSION pin generated from the encoder
+    // (GenBpeApplyFixture, recorded provenance); independent correctness
+    // evidence is BpeSpec's classic worked example + invariants and the
+    // oracle-checked text_bpe_merges pair statistics. Any drift in
+    // trainer tie-breaks, word splitting, or the encode loop
+    // hash-mismatches here.
+    "text_bpe_apply" ->
+      """SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(n_words AS BIGINT) AS n_words,
+        |  CAST(n_subwords AS BIGINT) AS n_subwords,
+        |  CAST(n_chars_tok AS BIGINT) AS n_chars_tok,
+        |  CAST(compression AS DOUBLE) AS compression
+        |FROM read_csv('/root/repo/src/main/resources/graft/bpe_apply_sf001.csv',
+        |              header=true)
+        |ORDER BY doc_id""".stripMargin,
+
     "text_bpe_tokens" ->
       s"""WITH t AS (SELECT doc_id,
         |    regexp_extract_all(lower(text), '${graft.text.Bpe.WordPattern}') AS tk

@@ -765,30 +765,32 @@ object GraftQueries {
     * is a full extra pass), checksum-aggregate. */
   val sourceJsonl: Q = (s, d) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl").toString
-    val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
-    docs.write.mode("overwrite").json(tmp)
-    val back = s.read.schema(docs.schema).json(tmp)
-    val out = roundtripChecksum(back)
-    val rows = out.collect() // materialize before deleting the temp dir
-    rmTreeLocal(tmp)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    try {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
+      docs.write.mode("overwrite").json(tmp)
+      val back = s.read.schema(docs.schema).json(tmp)
+      val out = roundtripChecksum(back)
+      val rows = out.collect() // materialize before deleting the temp dir
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally rmTreeLocal(tmp) // also on failure — no scratch-dir leak
   }
 
   /** CSV round-trip (RFC-style doubled-quote escaping, multiLine read so
     * embedded newlines/quotes survive; explicit schema like sourceJsonl). */
   val sourceCsv: Q = (s, d) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
-    val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
-    docs.write.mode("overwrite")
-      .option("header", "true").option("escape", "\"")
-      .csv(tmp)
-    val back = s.read.schema(docs.schema)
-      .option("header", "true").option("multiLine", "true").option("escape", "\"")
-      .csv(tmp)
-    val out = roundtripChecksum(back)
-    val rows = out.collect()
-    rmTreeLocal(tmp)
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    try {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
+      docs.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .csv(tmp)
+      val back = s.read.schema(docs.schema)
+        .option("header", "true").option("multiLine", "true").option("escape", "\"")
+        .csv(tmp)
+      val out = roundtripChecksum(back)
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally rmTreeLocal(tmp)
   }
 
   /** Sharded training-data export — the last pipeline stage before the
@@ -808,6 +810,7 @@ object GraftQueries {
   val exportShards: Q = (s, d) => {
     val nShards = 8
     val tmp = java.nio.file.Files.createTempDirectory("graft_shards").toString
+    try {
     val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
       .withColumn("shard",
         (conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6), 16, 10)
@@ -828,8 +831,8 @@ object GraftQueries {
         max(md5(col("text").cast("binary"))).as("md5_hi"))
       .orderBy("shard")
     val rows = out.collect() // materialize before deleting the temp dir
-    rmTreeLocal(tmp)
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally rmTreeLocal(tmp) // also on failure — no scratch-dir leak
   }
 
   /** Small-file compaction on the collection store — the maintenance op
@@ -843,19 +846,20 @@ object GraftQueries {
   val storeCompact: Q = (s, d) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact").toString
     val store = graft.store.VectorStore(tmp)
-    val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
-    store.create("docs", docs.repartition(64))
-    val (nb, na) = store.compact(s, "docs")
-    val out = store.read(s, "docs")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(length(col("text"))).as("n_chars"),
-        min(md5(col("text").cast("binary"))).as("md5_lo"),
-        max(md5(col("text").cast("binary"))).as("md5_hi"))
-      .withColumn("n_files_before", lit(nb.toLong))
-      .withColumn("n_files_after", lit(na.toLong))
-    val rows = out.collect()
-    store.destroy()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    try {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
+      store.create("docs", docs.repartition(64))
+      val (nb, na) = store.compact(s, "docs")
+      val out = store.read(s, "docs")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("n_chars"),
+          min(md5(col("text").cast("binary"))).as("md5_lo"),
+          max(md5(col("text").cast("binary"))).as("md5_hi"))
+        .withColumn("n_files_before", lit(nb.toLong))
+        .withColumn("n_files_after", lit(na.toLong))
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally store.destroy() // also on failure — no scratch-dir leak
   }
 
   /** BPE merge-candidate statistics (the first step of tokenizer
@@ -1259,9 +1263,11 @@ object GraftQueries {
   /** Full BPE tokenization: train 50 merges on the corpus's bounded
     * word-frequency table (one distributed pass + a driver loop over
     * <=50k words — the standard trainer substrate), then encode every
-    * document with the learned merges. Rows-only at the gate (the
-    * iterative trainer isn't SQL-expressible); BpeSpec pins the classic
-    * worked example, exact invariants, and determinism. */
+    * document with the learned merges. Oracle-checked against a
+    * checked-in expected-encoding fixture at the gate scale (the
+    * iterative trainer isn't SQL-expressible — see the oracle comment);
+    * BpeSpec pins the classic worked example, exact invariants, and
+    * determinism independently. */
   val textBpeApply: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val merges = graft.text.Bpe.train(docs, "text", numMerges = 50)

@@ -27,18 +27,39 @@ final case class VectorStore(root: String) {
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
   }
 
-  def read(spark: SparkSession, name: String): DataFrame =
+  def read(spark: SparkSession, name: String): DataFrame = {
+    recoverStranded()
     spark.read.parquet(path(name))
+  }
 
   /** Metadata-only count (Catalyst answers count(*) over parquet from
     * footers without scanning data pages). */
   def count(spark: SparkSession, name: String): Long =
     read(spark, name).count()
 
+  /** Null-safe listing: listFiles() returns null on an unreadable dir or
+    * when racing a concurrent compaction swap deleting it mid-walk. */
+  private def ls(f: java.io.File): Array[java.io.File] =
+    Option(f.listFiles()).getOrElse(Array.empty)
+
+  /** Crash recovery for the compaction swap: a death between the two
+    * renames leaves the data ONLY under `name__old` (which list()
+    * filters out — the collection would silently vanish). Detect the
+    * stranded layout on every open/listing and rename it back. */
+  private def recoverStranded(): Unit =
+    ls(new java.io.File(root)).foreach { f =>
+      val n = f.getName
+      if (n.endsWith("__old")) {
+        val base = new java.io.File(root, n.stripSuffix("__old"))
+        if (!base.exists()) f.renameTo(base): Unit
+      }
+    }
+
   def list(): Seq[String] = {
+    recoverStranded()
     val d = new java.io.File(root)
     if (!d.isDirectory) Nil
-    else d.listFiles().filter(_.isDirectory).map(_.getName)
+    else ls(d).filter(_.isDirectory).map(_.getName)
       // in-flight compaction scratch (a crash mid-compact can leave
       // either behind) is not a collection
       .filterNot(n => n.endsWith("__compacting") || n.endsWith("__old"))
@@ -48,8 +69,9 @@ final case class VectorStore(root: String) {
   /** All data files of a collection (recursive — partitioned layouts
     * keep files one directory down). */
   def dataFiles(name: String): Seq[java.io.File] = {
+    recoverStranded()
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      if (f.isDirectory) ls(f).toSeq.flatMap(walk)
       else if (f.getName.startsWith("part-")) Seq(f)
       else Nil
     val d = new java.io.File(path(name))
@@ -94,9 +116,14 @@ final case class VectorStore(root: String) {
     rmTree(old)
     require(dst.renameTo(old), s"compaction: cannot stage $name aside")
     if (!new java.io.File(path(tmpName)).renameTo(dst)) {
-      old.renameTo(dst): Unit // restore the original
+      // report a failed restore DISTINCTLY — claiming "restored" on a
+      // discarded rename result could send an operator looking at the
+      // wrong directory; recoverStranded() also heals this on next open
+      val restored = old.renameTo(dst)
       throw new IllegalStateException(
-        s"compaction swap failed for $name; original restored")
+        if (restored) s"compaction swap failed for $name; original restored"
+        else s"compaction swap failed for $name AND restore failed — " +
+          s"data is under ${name}__old (auto-recovered on next open)")
     }
     rmTree(old)
     (before.size, dataFiles(name).size)
@@ -109,7 +136,7 @@ final case class VectorStore(root: String) {
 
   private def rmTree(f: java.io.File): Unit = {
     def rm(g: java.io.File): Unit = {
-      if (g.isDirectory) g.listFiles().foreach(rm)
+      if (g.isDirectory) ls(g).foreach(rm)
       g.delete(): Unit
     }
     if (f.exists()) rm(f)

@@ -96,13 +96,17 @@ object EventStream {
     * DIRECTORY, so glob-filter the parent down to the one file. Shared
     * by the event and document stream surfaces. */
   private[streaming] def readFileStream(spark: SparkSession, parquetFile: String): DataFrame = {
-    val slash = parquetFile.lastIndexOf('/')
-    require(slash > 0, s"expected a path with a parent directory: $parquetFile")
-    val schema = spark.read.parquet(parquetFile).schema
+    // resolve to absolute first: a relative single-segment path gets its
+    // real parent, and a root-level file ("/f.parquet", slash index 0)
+    // streams from "/" instead of failing a parent-directory guard
+    val abs = new java.io.File(parquetFile).getAbsolutePath
+    val slash = abs.lastIndexOf('/')
+    val parent = if (slash == 0) "/" else abs.substring(0, slash)
+    val schema = spark.read.parquet(abs).schema
     spark.readStream.schema(schema)
-      .option("basePath", parquetFile.substring(0, slash))
-      .option("pathGlobFilter", parquetFile.substring(slash + 1))
-      .parquet(parquetFile.substring(0, slash))
+      .option("basePath", parent)
+      .option("pathGlobFilter", abs.substring(slash + 1))
+      .parquet(parent)
   }
 
   private def readEventStream(spark: SparkSession, eventsParquet: String): DataFrame = {

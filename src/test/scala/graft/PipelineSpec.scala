@@ -294,6 +294,26 @@ class PipelineSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("compaction crash recovery: a stranded __old collection heals on open") {
+    // simulate dying between the two swap renames: data exists ONLY
+    // under c__old — list()/read() must rename it back, not lose it
+    val tmp = java.nio.file.Files.createTempDirectory("graft_compact_crash").toString
+    val store = graft.store.VectorStore(tmp)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(20)
+    store.create("c", docs)
+    val expect = store.read(spark, "c").orderBy("doc_id").collect().toSeq
+    assert(new java.io.File(s"$tmp/c").renameTo(new java.io.File(s"$tmp/c__old")))
+    assert(store.list() == Seq("c"), "stranded __old must be recovered, not hidden")
+    assert(store.read(spark, "c").orderBy("doc_id").collect().toSeq == expect)
+    // a lone __old NEVER clobbers a live collection of the same name
+    store.create("d", docs.limit(5))
+    val dRows = store.read(spark, "d").orderBy("doc_id").collect().toSeq
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$tmp/d__old"))
+    assert(store.list() == Seq("c", "d"))
+    assert(store.read(spark, "d").orderBy("doc_id").collect().toSeq == dRows)
+    store.destroy()
+  }
+
   test("compaction preserves partition pruning: a filtered read scans only the matching partition") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact_prune").toString
     val store = graft.store.VectorStore(tmp)
