@@ -894,7 +894,12 @@ object GraftQueries {
     * docs is a trailing filter; `pipeline_clean_mix` composes exactly
     * that).
     */
-  private[graft] def cleanCorpusDecisions(docs: DataFrame): DataFrame = {
+  private[graft] def cleanCorpusDecisions(docs0: DataFrame): DataFrame = {
+    // ONE shared spread for every gate: the inner operators' own spread
+    // calls see >= defaultParallelism partitions and no-op, so all four
+    // gates read the same repartition shuffle's files instead of each
+    // building its own scan + barrier + exchange subtree
+    val docs = Tables.spread(docs0)
     val stats = TextAnalysis.textStats(docs).select("doc_id", "quality")
     val lm = unigramLogProb(docs).select("doc_id", "avg_logp")
     val exact = Dedup.exact(docs, "text", "doc_id").select("doc_id", "is_duplicate")
@@ -924,9 +929,17 @@ object GraftQueries {
     * domain-weighting table. Same shapes as the parts: the decision
     * frame's joins, then one partial-agg shuffle over kept docs. */
   val pipelineCleanMix: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    // ONE spread shared by the gate chain (whose inner spreads then
+    // no-op) and the token-count projection — and the keep set joins the
+    // slim (doc_id, source, lang, _ntok) relation. Spreading the
+    // composed join instead would hide the whole gate chain behind the
+    // barrier leaf and execute it non-adaptively (measured 2x).
+    val docs = Tables.spread(Tables.documents(s, d))
     val kept = cleanCorpusDecisions(docs).filter(col("keep")).select("doc_id")
-    mixReport(s, docs.join(kept, "doc_id"))
+    val counts = docs
+      .select(col("doc_id"), col("source"), col("lang"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
+    mixReportFromCounts(s, counts.join(kept, "doc_id"))
   }
 
   /** The corpus datasheet — the one-row release report a training set
@@ -1748,10 +1761,15 @@ object GraftQueries {
     * corpus total is a broadcast 1-row crossJoin, not a global window. */
   val pipelineMixReport: Q = (s, d) => mixReport(s, Tables.documents(s, d))
 
-  private def mixReport(s: SparkSession, docsIn: DataFrame): DataFrame = {
-    val docs = Tables.spread(docsIn)
+  private def mixReport(s: SparkSession, docsIn: DataFrame): DataFrame =
+    mixReportFromCounts(s, Tables.spread(docsIn)
       .select(col("source"), col("lang"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok")))
+
+  /** As [[mixReport]] but over precomputed (source, lang, _ntok) counts
+    * — composed callers project the tokens on the raw scan BEFORE their
+    * keep-join so the barrier never swallows a composite plan. */
+  private def mixReportFromCounts(s: SparkSession, docs: DataFrame): DataFrame = {
     // the few-row cells aggregate feeds both the corpus total and the
     // report join, so the corpus must be scanned ONCE (deriving the total
     // from a second docs scan — or recomputing cells — would double the
