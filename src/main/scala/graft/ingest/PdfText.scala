@@ -26,15 +26,18 @@ import java.util.zip.Inflater
   * Streams: no filter, FlateDecode, and LZWDecode (PDF 32000 §7.4.4,
   * incl. /EarlyChange) are decoded, including TIFF-2 and PNG (10-15)
   * /DecodeParms predictors (PNG-Up is how most modern PDFs code their
-  * object/xref streams). A stream whose /Filter names anything else
-  * (ASCII85, RunLength, Crypt, chains, indirect /Filter) decodes to
-  * None — NEVER raw bytes — so an unsupported-filter PDF extracts blank
-  * and the caller's failed-row semantics engage.
+  * object/xref streams), plus ASCII85Decode, ASCIIHexDecode,
+  * RunLengthDecode, and filter chains applied outermost-first (the
+  * classic pre-binary-transport [/ASCII85Decode /FlateDecode] shape).
+  * A stream whose /Filter names anything else (Crypt, DCT, JPX,
+  * indirect /Filter) decodes to None — NEVER raw bytes — so an
+  * unsupported-filter PDF extracts blank and the caller's failed-row
+  * semantics engage.
   *
   * Not supported (acceptable for the extraction semantics, documented):
-  * encrypted PDFs, ASCII85/RunLength filters, and glyph-width-based
-  * word-gap inference (explicit space glyphs cover the corpora this
-  * engine targets).
+  * encrypted PDFs, image-codec filters, and glyph-width-based word-gap
+  * inference (explicit space glyphs cover the corpora this engine
+  * targets).
   */
 object PdfText {
 
@@ -166,21 +169,119 @@ object PdfText {
     }
 
   /** Decode a stream to its plain bytes, honoring the dict's /Filter and
-    * /DecodeParms. Supported: no filter; FlateDecode or LZWDecode,
-    * optionally with a TIFF (2) or PNG (>=10) predictor. Anything else
-    * (ASCII85, RunLength, Crypt, DCT, filter chains, indirect /Filter)
+    * /DecodeParms. Supported: no filter; any chain (applied outermost
+    * first, PDF 32000 §7.4) of FlateDecode / LZWDecode (optionally with
+    * a TIFF (2) or PNG (>=10) predictor), ASCII85Decode, ASCIIHexDecode,
+    * and RunLengthDecode, including the inline-image abbreviations.
+    * Anything else (Crypt, DCT, JPX, CCITT, JBIG2, indirect /Filter)
     * returns None so a genuinely-unsupported PDF extracts BLANK and the
     * caller's blank-text failed-row semantics engage (reference
     * :136-138) — passing raw compressed bytes to the tokenizer would
     * emit mojibake as "successful" text. */
   private def decodeStream(o: PObj): Option[Array[Byte]] = o.data.flatMap { raw =>
-    parseFilters(o.dict) match {
-      case Some(Nil)                 => Some(raw)
-      case Some(Seq("FlateDecode"))  => inflate(raw).flatMap(unpredict(o.dict, _))
-      case Some(Seq("LZWDecode"))    =>
-        lzwDecode(raw, earlyChange(o.dict)).flatMap(unpredict(o.dict, _))
-      case _                         => None
+    parseFilters(o.dict).flatMap { filters =>
+      filters.foldLeft(Option(raw)) { (acc, f) => acc.flatMap(applyFilter(o.dict, f, _)) }
     }
+  }
+
+  private def applyFilter(dict: String, name: String, data: Array[Byte]): Option[Array[Byte]] =
+    name match {
+      case "FlateDecode" | "Fl"     => inflate(data).flatMap(unpredict(dict, _))
+      case "LZWDecode" | "LZW"      =>
+        lzwDecode(data, earlyChange(dict)).flatMap(unpredict(dict, _))
+      case "ASCII85Decode" | "A85"  => ascii85Decode(data)
+      case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+      case "RunLengthDecode" | "RL" => runLengthDecode(data)
+      case _                        => None
+    }
+
+  /** ASCII85Decode (PDF 32000 §7.4.3): groups of 5 chars '!'..'u' encode
+    * 4 bytes base-85 big-endian; 'z' between groups is 4 zero bytes; a
+    * final partial group of n chars yields n-1 bytes (pad with 'u');
+    * whitespace is ignored, `~>` is EOD, an optional `<~` header is
+    * tolerated. A group decoding past 2^32, a dangling single char, or
+    * any other char is corrupt → None → blank (same contract as
+    * inflate). */
+  private def ascii85Decode(raw: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream(raw.length * 4 / 5 + 4)
+      val grp = new Array[Int](5)
+      var n = 0
+      var i = if (raw.length >= 2 && raw(0) == '<' && raw(1) == '~') 2 else 0
+      var done = false
+      def flush(count: Int): Unit = {
+        var k = count
+        while (k < 5) { grp(k) = 84; k += 1 } // pad with 'u'
+        var v = 0L; k = 0
+        while (k < 5) { v = v * 85 + grp(k); k += 1 }
+        if (v > 0xFFFFFFFFL) throw new IllegalStateException("a85 group overflow")
+        val b = Array[Byte]((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+        out.write(b, 0, count - 1)
+      }
+      while (i < raw.length && !done) {
+        val c = raw(i) & 0xFF
+        if (c == '~') done = true
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0) ()
+        else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+        else if (c >= '!' && c <= 'u') {
+          grp(n) = c - '!'; n += 1
+          if (n == 5) { flush(5); n = 0 }
+          if (out.size > MaxInflatedBytes) throw new IllegalStateException("a85 cap")
+        } else throw new IllegalStateException(s"bad a85 char $c")
+        i += 1
+      }
+      if (n == 1) throw new IllegalStateException("a85 dangling char")
+      if (n > 1) flush(n)
+      Some(out.toByteArray)
+    } catch { case _: Throwable => None }
+  }
+
+  /** ASCIIHexDecode (PDF 32000 §7.4.2): hex digit pairs, whitespace
+    * ignored, '>' is EOD, an odd final digit is padded with 0. */
+  private def asciiHexDecode(raw: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 1)
+      var hi = -1; var i = 0; var done = false
+      while (i < raw.length && !done) {
+        val c = raw(i) & 0xFF
+        if (c == '>') done = true
+        else if (c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0) ()
+        else {
+          val d = Character.digit(c, 16)
+          if (d < 0) throw new IllegalStateException(s"bad hex char $c")
+          if (hi < 0) hi = d else { out.write((hi << 4) | d); hi = -1 }
+        }
+        i += 1
+      }
+      if (hi >= 0) out.write(hi << 4)
+      Some(out.toByteArray)
+    } catch { case _: Throwable => None }
+  }
+
+  /** RunLengthDecode (PDF 32000 §7.4.5): length byte L then either L+1
+    * literal bytes (L <= 127) or one byte repeated 257-L times
+    * (L >= 129); 128 is EOD. A literal/run overrunning the input is
+    * corrupt → None → blank. */
+  private def runLengthDecode(raw: Array[Byte]): Option[Array[Byte]] = {
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.max(1024, raw.length * 2))
+      var i = 0; var done = false
+      while (i < raw.length && !done) {
+        val l = raw(i) & 0xFF; i += 1
+        if (l == 128) done = true
+        else if (l < 128) {
+          if (i + l + 1 > raw.length) throw new IllegalStateException("rl literal overrun")
+          out.write(raw, i, l + 1); i += l + 1
+        } else {
+          if (i >= raw.length) throw new IllegalStateException("rl run overrun")
+          val b = raw(i) & 0xFF; i += 1
+          var k = 257 - l
+          while (k > 0) { out.write(b); k -= 1 }
+        }
+        if (out.size > MaxInflatedBytes) throw new IllegalStateException("rl cap")
+      }
+      Some(out.toByteArray)
+    } catch { case _: Throwable => None }
   }
 
   /** /EarlyChange from the stream's inline /DecodeParms; the PDF default

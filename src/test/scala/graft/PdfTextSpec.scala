@@ -260,18 +260,111 @@ class PdfTextSpec extends SparkSpec {
 
   test("unsupported filters yield BLANK text (failed row), never raw-bytes mojibake") {
     val content = "BT /F1 12 Tf (should never appear) Tj ET".getBytes("ISO-8859-1")
-    // RunLength-declared stream carrying readable bytes: the pre-r5 bug
-    // passed these through raw and 'extracted' them as success
-    assert(PdfText.extract(binaryStreamPdf("/Filter /RunLengthDecode", content)) == "")
-    // filter chains and ASCII85 are likewise undecodable -> blank
+    // image-codec and encryption filters are genuinely undecodable -> blank
+    assert(PdfText.extract(binaryStreamPdf("/Filter /DCTDecode", content)) == "")
     assert(PdfText.extract(
-      binaryStreamPdf("/Filter [ /ASCII85Decode /FlateDecode ]", deflate(content))) == "")
+      binaryStreamPdf("/Filter [ /Crypt /FlateDecode ]", deflate(content))) == "")
+    // a RunLength-declared stream carrying non-RL readable bytes must
+    // fail decode (literal run overruns the input), not pass through raw
+    assert(PdfText.extract(binaryStreamPdf("/Filter /RunLengthDecode", content)) == "")
     // unparseable /DecodeParms (indirect ref) on a Flate stream -> blank
     assert(PdfText.extract(binaryStreamPdf(
       "/Filter /FlateDecode /DecodeParms 9 0 R", deflate(content))) == "")
     // control: same bytes with plain FlateDecode DO extract
     val ok = PdfText.extract(binaryStreamPdf("/Filter /FlateDecode", deflate(content)))
     assert(ok.contains("should never appear"))
+  }
+
+  // ------------------------------------- ASCII85 / ASCIIHex / RunLength
+
+  /** Test-scope ASCII85 encoder (PDF 32000 §7.4.3): independent of the
+    * decoder so round-trips prove both directions. */
+  private def a85Encode(data: Array[Byte], zShorthand: Boolean = true): Array[Byte] = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      var k = 0
+      while (k < 4) { v = (v << 8) | (if (k < n) data(i + k) & 0xffL else 0L); k += 1 }
+      if (v == 0 && n == 4 && zShorthand) out += 'z'
+      else {
+        val cs = new Array[Char](5)
+        var j = 4
+        while (j >= 0) { cs(j) = ('!' + (v % 85).toInt).toChar; v /= 85; j -= 1 }
+        out.appendAll(cs, 0, n + 1)
+      }
+      i += n
+    }
+    out.append("~>")
+    out.toString.getBytes("ISO-8859-1")
+  }
+
+  /** Test-scope RunLength encoder: literal/run segments + EOD. */
+  private def rlEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+      if (run >= 2) { out.write(257 - run); out.write(data(i)); i += run }
+      else {
+        var lit = 1
+        while (i + lit < data.length && lit < 128 &&
+          (i + lit + 1 >= data.length || data(i + lit + 1) != data(i + lit))) lit += 1
+        out.write(lit - 1); out.write(data, i, lit); i += lit
+      }
+    }
+    out.write(128)
+    out.toByteArray
+  }
+
+  test("ASCII85Decode content streams decode (z shorthand, whitespace, partial group)") {
+    val content = "BT /F1 12 Tf (ascii eighty five text) Tj ET".getBytes("ISO-8859-1")
+    val enc = a85Encode(content)
+    // inject whitespace mid-stream: decoders must skip it
+    val spaced = new String(enc, "ISO-8859-1").grouped(20).mkString("\n").getBytes("ISO-8859-1")
+    val txt = PdfText.extract(binaryStreamPdf("/Filter /ASCII85Decode", spaced))
+    assert(txt.contains("ascii eighty five text"), s"got: '$txt'")
+    // z shorthand: "BT /F1 12 Tf (xy" is 16 bytes, so the 4 NULs that
+    // follow land on a 4-byte group boundary and encode as a single 'z'
+    val zeroed = "BT /F1 12 Tf (xy".getBytes("ISO-8859-1") ++
+      Array[Byte](0, 0, 0, 0) ++ "ab) Tj ET".getBytes("ISO-8859-1")
+    val zEnc = a85Encode(zeroed)
+    assert(new String(zEnc, "ISO-8859-1").contains("z"), "encoder must emit z shorthand")
+    val zTxt = PdfText.extract(binaryStreamPdf("/Filter /ASCII85Decode", zEnc))
+    assert(zTxt.contains("xy") && zTxt.contains("ab"), s"got: '$zTxt'")
+    // corrupt: char outside '!'..'u' -> blank, never garbage
+    val bad = "vvvvv~>".getBytes("ISO-8859-1")
+    assert(PdfText.extract(binaryStreamPdf("/Filter /ASCII85Decode", bad)) == "")
+  }
+
+  test("ASCIIHexDecode content streams decode (odd final digit pads zero)") {
+    val content = "BT /F1 12 Tf (hex coded) Tj ET".getBytes("ISO-8859-1")
+    val hex = content.map(b => f"${b & 0xff}%02X").mkString(" ") + ">"
+    val txt = PdfText.extract(binaryStreamPdf("/Filter /ASCIIHexDecode",
+      hex.getBytes("ISO-8859-1")))
+    assert(txt.contains("hex coded"), s"got: '$txt'")
+  }
+
+  test("RunLengthDecode content streams decode (runs + literals round-trip)") {
+    val content = "BT /F1 12 Tf (run   length   text aaaaaa) Tj ET".getBytes("ISO-8859-1")
+    val txt = PdfText.extract(binaryStreamPdf("/Filter /RunLengthDecode", rlEncode(content)))
+    assert(txt.contains("run   length   text aaaaaa"), s"got: '$txt'")
+  }
+
+  test("filter chains decode outermost-first: [/ASCII85Decode /FlateDecode]") {
+    val content = "BT /F1 12 Tf (chained transport text) Tj ET".getBytes("ISO-8859-1")
+    // PDF order: ASCII85 is the OUTER (transport) coat over deflate data
+    val enc = a85Encode(deflate(content))
+    val txt = PdfText.extract(
+      binaryStreamPdf("/Filter [ /ASCII85Decode /FlateDecode ]", enc))
+    assert(txt.contains("chained transport text"), s"got: '$txt'")
+    // triple chain with RunLength innermost
+    val enc3 = a85Encode(deflate(rlEncode(content)))
+    val txt3 = PdfText.extract(binaryStreamPdf(
+      "/Filter [ /ASCII85Decode /FlateDecode /RunLengthDecode ]", enc3))
+    assert(txt3.contains("chained transport text"), s"got: '$txt3'")
   }
 
   // ----------------------------------------------------------- LZW
