@@ -31,7 +31,13 @@ object Bench {
       Seq("lineitem", "orders", "customer", "events", "documents", "embeddings")
         .foreach(t => Tables.read(spark, sfDir, t).count())
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // SPARK_GRAFT_ONLY=a,b,c — iterate on a subset; BENCH_FULL.json is
+    // only written for unfiltered runs so a probe can't clobber the record
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -65,9 +71,11 @@ object Bench {
     // r5's ~60 leading query medians were lost to mid-line truncation.
     // Write the full JSON to the repo BEFORE printing, so the round's perf
     // record survives any stdout capture failure.
-    try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
-      (json + "\n").getBytes("UTF-8"))
-    catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    if (only.isEmpty) {
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_FULL.json"),
+        (json + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] file write failed: $e") }
+    }
     println(json)
     spark.stop()
   }
