@@ -576,6 +576,16 @@ object GraftOracles {
     // engines agree bit-for-bit; the only float math is the final
     // floor-form rounding, mirrored expression-for-expression.
     "quality_classifier" -> qualityClassifierSql,
+
+    // fixed-width binning over the SAME per-doc score query (as a
+    // derived table), so the bin oracle inherits the classifier oracle's
+    // exact integer-logit arithmetic
+    "quality_bins" ->
+      s"""SELECT CAST(least(greatest(floor((score + 1.0) * 10), 0), 19) AS BIGINT) AS bin,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_feats) AS BIGINT) AS n_feats,
+         |  min(score) AS min_score, max(score) AS max_score
+         |FROM ($qualityClassifierSql) GROUP BY 1 ORDER BY 1""".stripMargin,
     // the streaming form runs the IDENTICAL expressions with zero state,
     // so the batch oracle checks it verbatim
     "streaming_quality" -> qualityClassifierSql,
@@ -710,6 +720,29 @@ object GraftOracles {
     // its JSONL/CSV write+read cycle; hash equality proves losslessness
     "source_jsonl" -> roundtripChecksumSql,
     "source_csv" -> roundtripChecksumSql,
+
+    // WARC adds an id sum to the checksum: header parsing (record id out
+    // of the WARC-Record-ID header), not just payload transport, must
+    // survive the write+split+parse cycle
+    "source_warc" ->
+      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |  min(md5(text)) AS md5_lo, max(md5(text)) AS md5_hi
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // same salted-md5 split arithmetic straight off the source table
+    "pipeline_split" ->
+      """WITH s AS (SELECT *,
+        |    ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 8))::BIGINT % 100 AS h
+        |  FROM documents)
+        |SELECT source, lang,
+        |  CASE WHEN h < 80 THEN 'train' WHEN h < 90 THEN 'validation'
+        |       ELSE 'test' END AS split,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
     // Twin of corpus_datasheet; quantile_cont mirrors Spark's exact
     // `percentile` (both sort and linearly interpolate at the midpoint)

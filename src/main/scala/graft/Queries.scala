@@ -793,6 +793,78 @@ object GraftQueries {
     } finally rmTreeLocal(tmp)
   }
 
+  /** WARC round-trip — write the corpus as WARC/1.0 records, read it
+    * back through the splittable record-delimited reader (see
+    * [[graft.ingest.Warc]] for the 100 TB rationale), checksum-compare.
+    * The aggregate includes an id sum, proving header parsing — not
+    * just payload transport — survived the trip. */
+  val sourceWarc: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc").toString
+    try {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
+      graft.ingest.Warc.write(docs, tmp)
+      val parsed = graft.ingest.Warc.read(s, tmp)
+        .withColumn("doc_id", col("doc_id").cast("long"))
+      val out = parsed.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"),
+          sum(length(col("text"))).as("n_chars"),
+          min(md5(col("text").cast("binary"))).as("md5_lo"),
+          max(md5(col("text").cast("binary"))).as("md5_hi"))
+        .orderBy("source", "lang")
+      val rows = out.collect() // materialize before deleting the temp dir
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally rmTreeLocal(tmp) // also on failure — no scratch-dir leak
+  }
+
+  /** Deterministic stratified train/validation/test split — the step
+    * between cleaning and export in every training-data pipeline. The
+    * split key is a salted content-independent hash of the DOCUMENT ID
+    * (never `rand()`, never partition-dependent): assignment survives
+    * reshuffles, retries, engine swaps, and corpus growth — a doc keeps
+    * its split forever, so later crawls can't leak yesterday's test set
+    * into today's train set. The ":split" salt decorrelates this hash
+    * from every other md5-of-id decision in the pipeline (sharding,
+    * sampling) — reusing one hash for two decisions silently couples
+    * them. Map-only + one partial-agg shuffle; the per-(source, lang,
+    * split) manifest is what a release audit reads. */
+  val pipelineSplit: Q = (s, d) => {
+    val h = conv(substring(md5(concat(col("doc_id").cast("string"), lit(":split"))
+        .cast("binary")), 1, 8), 16, 10).cast("long") % 100
+    Tables.documents(s, d)
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "validation").otherwise("test"))
+      .groupBy("source", "lang", "split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("n_chars"),
+        sum(col("doc_id")).as("id_sum"))
+      .orderBy("source", "lang", "split")
+  }
+
+  /** Quality-score binning — the curriculum/data-mixing view of the
+    * classifier: every doc lands in a FIXED-WIDTH score bin (20 bins
+    * over the classifier's bounded [-1, 1] range), with per-bin volume
+    * and score extremes. Fixed thresholds, not ntile: a global quantile
+    * rank needs a total order (one-partition window — the exact shape
+    * that dies at 100 TB), while fixed-width binning is map-only into a
+    * 20-row partial agg at any scale. Quantile EDGES, when needed, come
+    * from the mergeable percentile sketch (q44) and feed these same
+    * fixed thresholds. */
+  val qualityBins: Q = (s, d) => {
+    val scored = graft.text.QualityClassifier.score(
+      Tables.documents(s, d), "text", "doc_id")
+    scored
+      .withColumn("bin",
+        least(greatest(floor((col("score") + 1.0) * 10).cast("long"), lit(0L)),
+          lit(19L)))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_feats")).as("n_feats"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy("bin")
+  }
+
   /** Sharded training-data export — the last pipeline stage before the
     * trainer: assign every doc a DETERMINISTIC shard (md5 of the id, so
     * assignment survives reshuffles, retries, and engine changes — never
@@ -2092,6 +2164,9 @@ object GraftQueries {
     "dedup_clusters" -> dedupClusters,
     "source_jsonl" -> sourceJsonl,
     "source_csv" -> sourceCsv,
+    "source_warc" -> sourceWarc,
+    "pipeline_split" -> pipelineSplit,
+    "quality_bins" -> qualityBins,
     "export_shards" -> exportShards,
     "store_compact" -> storeCompact,
     "text_bpe_merges" -> textBpeMerges,

@@ -87,6 +87,74 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("warc sink/source: records round-trip; payload sliced by Content-Length survives CRLF and header-ish bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_spec").toString
+    // adversarial payloads: embedded CRLFs, a '>' after an id-like
+    // prefix, a fake header line INSIDE the payload, unicode, emptyish
+    val tricky = Seq(
+      (1L, "web", "en", "plain payload"),
+      (2L, "web", "en", "line one\r\nline two\r\n\r\nline after gap"),
+      (3L, "books", "de", "fake header\r\nContent-Length: 9999\r\nstill payload"),
+      (4L, "books", "de", "angle > bracket <urn:graft:77> and éüß"),
+      (5L, "web", "fr", "x")).toDF("doc_id", "source", "lang", "text")
+    graft.ingest.Warc.write(tricky, dir)
+    val back = graft.ingest.Warc.read(spark, dir)
+      .withColumn("doc_id", col("doc_id").cast("long"))
+    val a = tricky.as[(Long, String, String, String)].collect().toSet
+    val b = back.select("doc_id", "source", "lang", "text")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(b == a, s"mismatch:\n got ${b.toSeq.sortBy(_._1)}\n exp ${a.toSeq.sortBy(_._1)}")
+    // multi-part write (many small tasks) still reads back whole: the
+    // reader must tolerate one leading empty chunk PER FILE
+    val dir2 = java.nio.file.Files.createTempDirectory("graft_warc_spec2").toString
+    graft.ingest.Warc.write(docs.repartition(7), dir2)
+    assert(graft.ingest.Warc.read(spark, dir2).count() == docs.count())
+  }
+
+  test("warc query: checksum aggregate matches the source table exactly") {
+    val out = GraftQueries.sourceWarc(spark, sf).collect()
+    val direct = Tables.documents(spark, sf)
+      .groupBy("source", "lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    out.foreach { r =>
+      val k = (r.getAs[String]("source"), r.getAs[String]("lang"))
+      assert((r.getAs[Long]("n_docs"), r.getAs[Long]("id_sum")) == direct(k), s"cell $k")
+    }
+    assert(out.length == direct.size)
+  }
+
+  test("pipeline_split: deterministic, content-independent, decorrelated from the sample hash") {
+    val out = GraftQueries.pipelineSplit(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).count())
+    // rerun = identical assignment (no rand(), no partition dependence)
+    val again = GraftQueries.pipelineSplit(spark, sf).collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    // global ratios near 80/10/10 (hash uniformity at 500 docs)
+    val bySplit = out.groupBy(_.getAs[String]("split"))
+      .view.mapValues(_.map(_.getAs[Long]("n_docs")).sum).toMap
+    assert(bySplit("train") > total * 7 / 10 && bySplit("train") < total * 9 / 10)
+    assert(bySplit.keySet == Set("train", "validation", "test"))
+  }
+
+  test("quality_bins: fixed-width bins partition the corpus; bounds consistent") {
+    val out = GraftQueries.qualityBins(spark, sf).collect()
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sf).filter(col("text").isNotNull).count())
+    out.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val lo = r.getAs[Double]("min_score"); val hi = r.getAs[Double]("max_score")
+      assert(bin >= 0 && bin <= 19)
+      assert(lo <= hi)
+      // scores inside the bin's half-open interval (clamp bins excepted)
+      if (bin > 0 && bin < 19) {
+        assert(lo >= bin / 10.0 - 1.0 - 1e-9 && hi < (bin + 1) / 10.0 - 1.0 + 1e-9)
+      }
+    }
+  }
+
   test("export_shards: every doc lands in its arithmetic shard, nothing lost, roughly balanced") {
     val out = GraftQueries.exportShards(spark, sf).collect()
     assert(out.map(_.getAs[Int]("shard")).toSet == (0 until 8).toSet)
