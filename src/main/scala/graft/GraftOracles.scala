@@ -36,6 +36,19 @@ object GraftOracles {
        |FROM s ORDER BY doc_id""".stripMargin
   }
 
+  /** EXACT new-vs-standing Jaccard (doc_id % 10 = 7 is the arrival
+    * slice), shared by the batch incremental operator and its streamed
+    * foreachBatch form. */
+  private lazy val incrementalNearDupSql: String =
+    s"""${shinglesCte()}
+       |SELECT a.doc_id AS new_id, b.doc_id AS existing_id,
+       |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
+       |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+       |ORDER BY 1,2""".stripMargin
+
   /** shingle-set CTE used by the jaccard oracles */
   private def shinglesCte(extraCols: String = "") =
     s"""WITH sh AS (
@@ -549,15 +562,12 @@ object GraftOracles {
     // standing corpus — equality proves the banded join's recall at
     // these parameters, exactly as the dedup_minhash oracle does for the
     // self-join form.
-    "dedup_incremental" ->
-      s"""${shinglesCte()}
-         |SELECT a.doc_id AS new_id, b.doc_id AS existing_id,
-         |  round(len(list_intersect(a.s, b.s))::DOUBLE /
-         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard
-         |FROM sh a JOIN sh b ON a.doc_id % 10 = 7 AND b.doc_id % 10 <> 7
-         |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
-         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
-         |ORDER BY 1,2""".stripMargin,
+    "dedup_incremental" -> incrementalNearDupSql,
+
+    // the streamed form runs the SAME per-batch incremental check, so
+    // the same batch oracle verifies it verbatim (zero streaming state —
+    // each micro-batch is an independent new-vs-standing band join)
+    "streaming_neardup" -> incrementalNearDupSql,
 
     "dedup_ngram" ->
       s"""${shinglesCte(", lang")}

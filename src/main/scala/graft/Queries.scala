@@ -1140,6 +1140,15 @@ object GraftQueries {
         "graft_squal_" + java.util.UUID.randomUUID().toString.replace("-", ""))
       .orderBy("doc_id")
 
+  /** Near-dup detection AT INGEST TIME: the new-arrivals stream LSH-
+    * checked per micro-batch against the standing corpus (foreachBatch
+    * over the same incremental operator — zero streaming state; see
+    * [[graft.streaming.DocStream.runStreamingNearDup]]). Shares
+    * dedup_incremental's exact-Jaccard oracle verbatim. */
+  val streamingNearDup: Q = (s, d) =>
+    graft.streaming.DocStream.runStreamingNearDup(s, s"$d/documents.parquet")
+      .orderBy("new_id", "existing_id")
+
   /** LSH-bucketed cosine near-dup (the scale path for dedup_embedding;
     * approximate by construction -> rows-only, recall asserted in tests). */
   val dedupEmbeddingLsh: Q = (s, d) =>
@@ -2154,6 +2163,7 @@ object GraftQueries {
     "streaming_hourly" -> streamingHourly,
     "streaming_sessions" -> streamingSessions,
     "streaming_quality" -> streamingQuality,
+    "streaming_neardup" -> streamingNearDup,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "q12_distinct_sketch" -> q12DistinctSketch,
     "q13_cube" -> q13Cube,

@@ -24,6 +24,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("streaming near-dup equals the batch incremental operator row-for-row") {
+    val streamed = graft.streaming.DocStream
+      .runStreamingNearDup(spark, s"$sf/documents.parquet")
+      .collect().map(_.toSeq).toSet
+    val docs = Tables.documents(spark, sf)
+    val batch = graft.operators.Dedup.minhashLshIncremental(
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 === 7),
+        docs.filter(org.apache.spark.sql.functions.col("doc_id") % 10 =!= 7),
+        "text", "doc_id", threshold = 0.8)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty) // the generator plants near-dups across the slice
+  }
+
   test("drained one-shot streaming queries leave no state-store providers loaded") {
     // r5 bench regression root cause: q.stop() keeps providers registered
     // in the JVM-wide StateStore singleton (+8 providers, +70 threads per
