@@ -633,6 +633,45 @@ object GraftOracles {
          |  floor(sum(i_end - i_start + 1)::DOUBLE / n_tokens * 1e6 + 0.5) / 1e6 AS dup_ratio
          |FROM iv GROUP BY 1, 2 ORDER BY doc_id""".stripMargin,
 
+    // Removal twin: the SAME island/interval chain, then positions NOT
+    // covered by any interval rebuild the scrubbed token stream
+    // (string_agg ORDER BY position). Fully-covered and empty/NULL-text
+    // docs coalesce to ('', 0) on both engines.
+    "dedup_substring_scrub" ->
+      s"""WITH tk AS (SELECT doc_id, $toks AS t FROM documents),
+         |base AS (SELECT doc_id, len(t)::BIGINT AS n_tokens, t
+         |  FROM tk WHERE len(t) >= 8),
+         |sp AS (SELECT doc_id, n_tokens, i AS start,
+         |    md5(array_to_string(t[i+1:i+8], ' ')) AS h
+         |  FROM base, unnest(range(0, len(t) - 8 + 1)) AS u(i)),
+         |dup AS (SELECT h FROM sp GROUP BY h HAVING count(*) > 1),
+         |ds AS (SELECT sp.* FROM sp JOIN dup USING (h)),
+         |m AS (SELECT doc_id, start,
+         |    max(start + 7) OVER (PARTITION BY doc_id ORDER BY start
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+         |  FROM ds),
+         |isl AS (SELECT doc_id, start,
+         |    sum(CASE WHEN prev_end IS NULL OR start > prev_end THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY start) AS island
+         |  FROM m),
+         |iv AS (SELECT doc_id, island, min(start) AS i_start,
+         |    max(start) + 7 AS i_end
+         |  FROM isl GROUP BY 1, 2),
+         |pos AS (SELECT doc_id, unnest(range(0, len(t))) AS p FROM tk),
+         |kept AS (SELECT pos.doc_id, pos.p FROM pos
+         |  WHERE NOT EXISTS (SELECT 1 FROM iv
+         |    WHERE iv.doc_id = pos.doc_id AND pos.p BETWEEN iv.i_start AND iv.i_end)),
+         |rebuilt AS (SELECT k.doc_id,
+         |    CAST(count(*) AS BIGINT) AS kept_tokens,
+         |    string_agg(tk.t[k.p + 1], ' ' ORDER BY k.p) AS scrub_text
+         |  FROM kept k JOIN tk USING (doc_id) GROUP BY 1)
+         |SELECT tk.doc_id,
+         |  CAST(coalesce(len(tk.t), 0) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(r.kept_tokens, 0) AS BIGINT) AS kept_tokens,
+         |  coalesce(r.scrub_text, '') AS scrub_text
+         |FROM tk LEFT JOIN rebuilt r USING (doc_id)
+         |ORDER BY doc_id""".stripMargin,
+
     // Reachability twin of Dedup.clusters: the recursive walk carries
     // every reachable label to every node; min over the walk = the
     // component minimum, exactly what min-label propagation converges

@@ -1801,6 +1801,13 @@ object GraftQueries {
     Dedup.substringSpans(Tables.documents(s, d), "text", "doc_id", n = 8)
       .orderBy("doc_id")
 
+  /** The REMOVAL form of dedup_substring: duplicated spans cut from the
+    * token stream (all occurrences, per the released ExactSubstr tool),
+    * one row per doc with the scrubbed text. */
+  val dedupSubstringScrub: Q = (s, d) =>
+    Dedup.substringScrub(Tables.documents(s, d), "text", "doc_id", n = 8)
+      .orderBy("doc_id")
+
   /** Greedy token-budget sequence packing per source shard (the training
     * batch-prep step after cleaning/dedup): consecutive docs pack into
     * 512-token sequences; the report row per sequence shows fill. */
@@ -2155,6 +2162,7 @@ object GraftQueries {
     "multimodal_audio" -> multimodalAudio,
     "decontaminate" -> decontaminate,
     "dedup_substring" -> dedupSubstring,
+    "dedup_substring_scrub" -> dedupSubstringScrub,
     "dedup_incremental" -> dedupIncremental,
     "quality_classifier" -> qualityClassifier,
     "pipeline_mix_sample" -> pipelineMixSample,

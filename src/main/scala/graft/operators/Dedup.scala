@@ -728,8 +728,13 @@ object Dedup {
     * dup_ratio). Consumers drop docs above a ratio threshold or cut the
     * reported intervals out of the text.
     */
-  def substringSpans(df: DataFrame, textCol: String, idCol: String,
-                     n: Int = 8): DataFrame = {
+  /** Per-doc merged intervals of corpus-duplicated n-token spans:
+    * (doc_id, n_tokens, _island, _spans, _is, _ie) with [_is, _ie]
+    * 0-based inclusive token positions. Shared by the duplication
+    * REPORT ([[substringSpans]]) and the REMOVAL form
+    * ([[substringScrub]]). */
+  private def spanIslands(df: DataFrame, textCol: String, idCol: String,
+                          n: Int): DataFrame = {
     val toks = graft.text.TextAnalysis.tokens(col(textCol))
     // the docs-shorter-than-n guard is a `when` INSIDE the posexplode
     // argument (empty array -> zero rows), NOT a .filter: a filter on
@@ -746,7 +751,7 @@ object Dedup {
     // gaps-and-islands: a span starting at s covers tokens [s, s+n-1];
     // a span opens a new interval iff it starts past every prior end
     val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("start"))
-    val islands = spans
+    spans
       .withColumn("_occ", count(lit(1)).over(Window.partitionBy(col("span_hash"))))
       .filter(col("_occ") > 1)
       .withColumn("_prev_end", max(col("start") + (n - 1))
@@ -755,16 +760,54 @@ object Dedup {
         when(col("_prev_end").isNull || col("start") > col("_prev_end"), 1L)
           .otherwise(0L))
       .withColumn("_island", sum(col("_new")).over(byDoc))
-    islands
       .groupBy(col("doc_id"), col("n_tokens"), col("_island"))
       .agg(count(lit(1)).as("_spans"),
         min(col("start")).as("_is"), (max(col("start")) + (n - 1)).as("_ie"))
+  }
+
+  def substringSpans(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 8): DataFrame =
+    spanIslands(df, textCol, idCol, n)
       .groupBy(col("doc_id"), col("n_tokens"))
       .agg(sum(col("_spans")).as("n_dup_spans"),
         count(lit(1)).as("n_intervals"),
         sum(col("_ie") - col("_is") + 1).cast("long").as("dup_tokens"))
       .withColumn("dup_ratio",
         floor(col("dup_tokens").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
+
+  /** Exact-substring REMOVAL (the action to [[substringSpans]]'s
+    * report): every token covered by a corpus-duplicated n-token span is
+    * cut — ALL occurrences, as in the released ExactSubstr tool (keeping
+    * one canonical occurrence needs a global tie-break across docs; cut-
+    * all is deterministic, order-free, and the published behavior). One
+    * row per doc: original/kept token counts and the scrubbed text in
+    * token space (single-space joined — removal operates on the token
+    * stream, so reconstruction does too).
+    *
+    * Scale shape: the interval relation is doc_id-keyed and SMALL (only
+    * docs with duplicated spans, a handful of intervals each), so the
+    * join back to the corpus is a plain equi-join Spark can
+    * broadcast/shuffle as stats dictate; reconstruction is a map-only
+    * indexed-lambda filter over the token array — no second window, no
+    * extra shuffle beyond the interval computation itself. */
+  def substringScrub(df: DataFrame, textCol: String, idCol: String,
+                     n: Int = 8): DataFrame = {
+    val iv = spanIslands(df, textCol, idCol, n)
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("_is"), col("_ie"))).as("_ivs"))
+    val toks = graft.text.TextAnalysis.tokens(col(textCol))
+    graft.Tables.spread(df)
+      .select(col(idCol).as("doc_id"), toks.as("_t"))
+      .join(iv, Seq("doc_id"), "left")
+      .withColumn("_kept",
+        when(col("_ivs").isNull, col("_t")).otherwise(
+          filter(col("_t"), (_, i) =>
+            !exists(col("_ivs"),
+              v => i >= v.getField("_is") && i <= v.getField("_ie")))))
+      .select(col("doc_id"),
+        coalesce(size(col("_t")), lit(0)).cast("long").as("n_tokens"),
+        coalesce(size(col("_kept")), lit(0)).cast("long").as("kept_tokens"),
+        concat_ws(" ", col("_kept")).as("scrub_text"))
   }
 
   // -------------------------------------------------- embedding near-dup

@@ -238,4 +238,30 @@ class DedupSpec extends SparkSpec {
     assert(out(4L) == ((6L, 4L, 1L, 6L, 1.0)), s"got ${out(4L)}")
     assert(out(5L) == ((10L, 2L, 2L, 6L, 0.6)), s"got ${out(5L)}")
   }
+
+  test("substringScrub cuts exactly the covered tokens from ALL occurrences; others untouched") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),            // shares a-b-c..c-d-e with doc 2
+      (2L, "a b c d e x y z"),
+      (3L, "p q r s t u v w"),            // unique: passes through verbatim
+      (4L, "m m m m m m"),                // fully covered: scrubs to empty
+      (5L, "a b c w1 w2 w3 w4 c d e")     // two disjoint intervals cut
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringScrub(corpus, "text", "doc_id", n = 3)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(1L) == ((8L, 3L, "f g h")), s"got ${out(1L)}")
+    assert(out(2L) == ((8L, 3L, "x y z")), s"got ${out(2L)}")
+    assert(out(3L) == ((8L, 8L, "p q r s t u v w")))
+    assert(out(4L) == ((6L, 0L, "")), s"got ${out(4L)}")
+    assert(out(5L) == ((10L, 4L, "w1 w2 w3 w4")), s"got ${out(5L)}")
+    assert(out.size == 5) // one row per doc, scrubbed or not
+    // consistency with the report: kept = n_tokens - dup_tokens
+    val report = Dedup.substringSpans(corpus, "text", "doc_id", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    out.foreach { case (id, (n, kept, _)) =>
+      assert(n - kept == report.getOrElse(id, 0L), s"doc $id")
+    }
+  }
 }
