@@ -79,6 +79,16 @@ object GraftOracles {
       |  min(md5(text)) AS md5_lo, max(md5(text)) AS md5_hi
       |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** WARC variant adds an id sum: header parsing (record id out of the
+    * WARC-Record-ID header), not just payload transport, must survive
+    * the write+split+parse cycle. */
+  private val warcChecksumSql =
+    """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
+      |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
+      |  min(md5(text)) AS md5_lo, max(md5(text)) AS md5_hi
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** CTE chain ending in dec(doc_id, quality, avg_logp, decision) — the
     * oracle twin of GraftQueries.cleanCorpusDecisions (quality gate ->
     * unigram-LM gate at -3.43 -> exact dedup -> MinHash near-dup, first
@@ -773,12 +783,10 @@ object GraftOracles {
     // WARC adds an id sum to the checksum: header parsing (record id out
     // of the WARC-Record-ID header), not just payload transport, must
     // survive the write+split+parse cycle
-    "source_warc" ->
-      """SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |  CAST(sum(doc_id) AS BIGINT) AS id_sum,
-        |  CAST(sum(length(text)) AS BIGINT) AS n_chars,
-        |  min(md5(text)) AS md5_lo, max(md5(text)) AS md5_hi
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "source_warc" -> warcChecksumSql,
+    // identical contract through gzipped segments — codec transparency
+    // must not change a single byte of any payload
+    "source_warc_gz" -> warcChecksumSql,
 
     // same salted-md5 split arithmetic straight off the source table
     "pipeline_split" ->

