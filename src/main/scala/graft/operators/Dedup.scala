@@ -214,6 +214,72 @@ object Dedup {
       .select(col("id_a").as("new_id"), col("id_b").as("existing_id"), col("jaccard"))
   }
 
+  /** Build and persist the banded-signature INDEX of a standing corpus —
+    * the stored relation that makes incremental/streaming near-dup
+    * O(batch) instead of O(corpus) per check. Two collections in the
+    * store (shingles computed ONCE, checkpointed, written to both):
+    *
+    *   `<name>_bands`    (_band, _bandhash, _id)  — the fixed-width join
+    *                     keys; at 100 TB this is the relation to BUCKET
+    *                     by (_band, _bandhash) so each batch's band join
+    *                     is a co-located bucket join with no corpus-side
+    *                     shuffle (Spark bucketed tables need a catalog,
+    *                     so the harness layout is plain parquet and the
+    *                     join shuffles the SMALL batch side only —
+    *                     already the right asymptotic shape).
+    *   `<name>_shingles` (_id, _sh)               — exact-verify side,
+    *                     fetched by id equi-join for candidates only.
+    *
+    * Appending a committed batch's own signatures keeps the index
+    * current (the nightly pattern of [[minhashLshIncremental]]'s doc).
+    */
+  def buildSignatureIndex(store: graft.store.VectorStore, name: String,
+                          docs: DataFrame, textCol: String, idCol: String,
+                          shingleSize: Int = 5, bands: Int = 32,
+                          rowsPerBand: Int = 4): Unit = {
+    val sh = shingleRelation(docs, textCol, idCol, shingleSize)
+      .localCheckpoint(true) // shingle ONCE; both writes read the blocks
+    store.create(s"${name}_shingles", sh)
+    store.create(s"${name}_bands",
+      bandedOf(sh, bands * rowsPerBand, bands)
+        .select(col("_band"), col("_bandhash"), col("_id")))
+  }
+
+  /** Incremental near-dup against a PRECOMPUTED signature index (the
+    * two relations [[buildSignatureIndex]] writes): each new doc is
+    * shingled and banded — the standing corpus is NOT touched; its
+    * banded keys and shingle sets arrive from the stored index — then
+    * candidates band-join the index and exact Jaccard verifies against
+    * the stored shingle sets. Cost per call: O(new batch) compute + a
+    * band equi-join + an id equi-join, which is what lets a streaming
+    * ingest run this every micro-batch forever.
+    *
+    * Result-identical to [[minhashLshIncremental]] (same seeds, same
+    * banding, same exact verify) — pinned in DedupSpec.
+    */
+  def minhashLshIncrementalIndexed(newDf: DataFrame, bandsIdx: DataFrame,
+                                   shinglesIdx: DataFrame,
+                                   textCol: String, idCol: String,
+                                   shingleSize: Int = 5, bands: Int = 32,
+                                   rowsPerBand: Int = 4,
+                                   threshold: Double = 0.8): DataFrame = {
+    val nw = shingleRelation(newDf, textCol, idCol, shingleSize)
+      .localCheckpoint(true)
+    val candidates = bandedOf(nw, bands * rowsPerBand, bands).as("a")
+      .join(bandsIdx.as("b"),
+        col("a._band") === col("b._band") &&
+          col("a._bandhash") === col("b._bandhash"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val pairs = candidates
+      .join(verifySide(nw, "id_a", "sh_a", shingleBytes(nw)), "id_a")
+      .join(shinglesIdx.select(col("_id").as("id_b"), col("_sh").as("sh_b")),
+        "id_b")
+    verifyJaccard(pairs, threshold)
+      .select(col("id_a").as("new_id"), col("id_b").as("existing_id"),
+        col("jaccard"))
+  }
+
   private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
     val inter = graft.functions.SetFunctions
       .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double")

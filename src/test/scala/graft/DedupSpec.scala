@@ -218,6 +218,53 @@ class DedupSpec extends SparkSpec {
     assert(out == Set((10L, 1L), (10L, 2L)), s"got $out")
   }
 
+  test("signature index: indexed incremental check matches the inline form and never scans the corpus") {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_sig_idx").toString
+    try {
+      val docs = Tables.documents(spark, sf)
+      val existing = docs.filter(col("doc_id") % 10 =!= 7)
+      // localize the batch as a micro-batch would arrive (NOT a scan of
+      // the corpus file — so any corpus scan in the indexed plan below
+      // is a real leak, not the batch side)
+      val batchRows = docs.filter(col("doc_id") % 10 === 7)
+        .select("doc_id", "text").collect()
+      val batch = spark.createDataFrame(
+        java.util.Arrays.asList(batchRows.toSeq: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text",
+            org.apache.spark.sql.types.StringType))))
+      val store = graft.store.VectorStore(scratch)
+      Dedup.buildSignatureIndex(store, "nd", existing, "text", "doc_id")
+      val bandsIdx = store.read(spark, "nd_bands")
+      val shinglesIdx = store.read(spark, "nd_shingles")
+      val indexed = Dedup.minhashLshIncrementalIndexed(
+        batch, bandsIdx, shinglesIdx, "text", "doc_id", threshold = 0.8)
+      // per-batch plan reads the STORED index, never the standing corpus:
+      // the only file scans besides the batch's own are under the store
+      // root — this is the "batch N does not re-shingle the corpus" pin
+      val scans = indexed.queryExecution.executedPlan.toString()
+        .linesIterator.filter(_.contains("FileScan")).mkString("\n")
+      assert(scans.contains("nd_bands") && scans.contains("nd_shingles"),
+        s"expected index scans, got:\n$scans")
+      assert(!scans.contains("documents.parquet"),
+        s"standing corpus must not be re-read per batch:\n$scans")
+      val a = indexed.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val b = Dedup.minhashLshIncremental(
+          batch, existing, "text", "doc_id", threshold = 0.8).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(a == b, s"indexed vs inline divergence: ${a.diff(b)} / ${b.diff(a)}")
+      assert(a.nonEmpty, "fixture slice should contain at least one near-dup pair")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(scratch))
+    }
+  }
+
   test("substringSpans: merges overlapping dup windows, counts within-doc repeats, splits disjoint intervals") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),            // shares windows a-b-c, b-c-d, c-d-e with doc 2
