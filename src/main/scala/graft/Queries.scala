@@ -550,6 +550,35 @@ object GraftQueries {
     out
   }
 
+  /** kNN over the STORED IVF-PQ layout — the full 100 TB search posture
+    * in one query: the index build writes (vec_id, embedding, pq_code)
+    * PARTITIONED BY cell_id, and the search scores candidates from the
+    * STORED 8-byte codes behind a literal `cell_id IN (probed)` filter —
+    * so the probe is a partition-pruned scan that reads ~nprobe/ncells of
+    * the files and ~m bytes per candidate (parquet column pruning keeps
+    * the vector column untouched until the bounded exact rerank). No
+    * per-query re-encoding of the collection — the r7 `ann_ivf_store`
+    * argument extended to the PQ payload. Partition pruning pinned in
+    * PlanSpec; recall@10 vs brute force pinned in AnnProbeSpec.
+    * Approximate by construction -> rows-only. */
+  val annIvfPqStore: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val (cents, cb) = Similarity.buildIvfPqIndex(store, "vectors_pq", e,
+        "embedding", "vec_id", ncells = 16)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val out = Similarity.pqSearchEncoded(store.read(s, "vectors_pq"),
+          "embedding", "vec_id", cents, cb, q, "q_id", "q_vec",
+          k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+      // materialize before store.destroy()
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** Random-hyperplane LSH bucketing (the shuffle key for cosine near-dup
     * at scale). Deterministic planes, rows-only. */
   val annLshBuckets: Q = (s, d) =>
@@ -2165,6 +2194,7 @@ object GraftQueries {
     "ann_ivf" -> annIvf,
     "ann_ivf_store" -> annIvfStore,
     "ann_ivfpq" -> annIvfPq,
+    "ann_ivfpq_store" -> annIvfPqStore,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,
     "dedup_exact" -> dedupExact,

@@ -288,8 +288,18 @@ object Similarity {
                 k: Int, ncells: Int = 16, nprobe: Int = 4,
                 m: Int = 8, ksub: Int = 256, rerank: Int = 4,
                 trainIters: Int = 3, sampleCap: Int = 20000): DataFrame = {
-    val spark = collection.sparkSession
-    import spark.implicits._
+    val (cents, cb) = trainIvfPq(collection, vecCol, idCol, ncells, m, ksub,
+      trainIters, sampleCap)
+    pqSearchEncoded(pqEncode(collection, vecCol, idCol, cents, cb),
+      vecCol, idCol, cents, cb, queries, qIdCol, qVecCol, k, nprobe, rerank)
+  }
+
+  /** Coarse quantizer + PQ codebooks trained on the deterministic
+    * md5-of-id bounded sample (residual encoding — see [[ivfPqTopK]]). */
+  def trainIvfPq(collection: DataFrame, vecCol: String, idCol: String,
+                 ncells: Int = 16, m: Int = 8, ksub: Int = 256,
+                 trainIters: Int = 3, sampleCap: Int = 20000)
+      : (Array[(Int, Array[Float])], PqCodebook) = {
     val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters)
     // deterministic bounded sample (same md5-of-id order as the coarse
     // trainer); residual-encode it against the coarse cells
@@ -304,12 +314,21 @@ object Similarity {
       val cc = centById(nearestCell(v, cents))
       Array.tabulate(dim)(i => (v(i).toDouble - cc(i)).toFloat)
     }
-    val codebook = PqCodebook(m, dsub, ksub,
+    (cents, PqCodebook(m, dsub, ksub,
       Array.tabulate(m) { j =>
         kmeansDriver(residuals.map(_.slice(j * dsub, (j + 1) * dsub)), ksub, trainIters)
-      })
-    // encode every vector: coarse cell + m-byte PQ code of its residual
-    val cb = codebook
+      }))
+  }
+
+  /** Encode every vector: (id, vec, coarse cell, m-byte PQ residual
+    * code). This IS the stored representation — `cell_id` the partition
+    * column, `pq_code` the 8-byte scoring payload, the raw vector kept
+    * for the bounded exact rerank fetch (at 100 TB the ADC pass reads
+    * only id+pq_code thanks to parquet column pruning; the vector column
+    * is touched for rerank*k rows per query). */
+  def pqEncode(collection: DataFrame, vecCol: String, idCol: String,
+               cents: Array[(Int, Array[Float])], cb: PqCodebook): DataFrame = {
+    val centById = cents.toMap
     val sortedCents = cents.sortBy(_._1)
     val encode = udf((v: Seq[Float]) => {
       val arr = v.toArray
@@ -339,9 +358,45 @@ object Similarity {
       }
       (cell, code)
     })
-    val encoded = collection
+    collection
       .withColumn("_enc", encode(col(vecCol)))
-      .select(col(idCol), col("_enc._1").as("cell_id"), col("_enc._2").as("pq_code"))
+      .select(col(idCol), col(vecCol),
+        col("_enc._1").as("cell_id"), col("_enc._2").as("pq_code"))
+  }
+
+  /** Build the IVF-PQ index as a STORED collection: train, encode, write
+    * through the VectorStore PARTITIONED BY cell_id. Searches against the
+    * stored relation ([[pqSearchEncoded]]) are then partition-pruned
+    * 8-bytes-per-vector scans — no per-query re-encoding of the
+    * collection, which is what makes the stored form the 100 TB shape
+    * (the r7 `ann_ivf_store` argument, now for the PQ payload too).
+    * Returns (coarse centroids, codebook) for probing. */
+  def buildIvfPqIndex(store: graft.store.VectorStore, name: String,
+                      collection: DataFrame, vecCol: String, idCol: String,
+                      ncells: Int = 16, m: Int = 8, ksub: Int = 256,
+                      trainIters: Int = 3, sampleCap: Int = 20000)
+      : (Array[(Int, Array[Float])], PqCodebook) = {
+    val (cents, cb) = trainIvfPq(collection, vecCol, idCol, ncells, m, ksub,
+      trainIters, sampleCap)
+    store.create(name, pqEncode(collection, vecCol, idCol, cents, cb),
+      partitionBy = Seq("cell_id"))
+    (cents, cb)
+  }
+
+  /** ADC search over an ALREADY-ENCODED relation (inline from
+    * [[pqEncode]] or read back from the store): probed cells become a
+    * LITERAL `cell_id IN (...)` filter — on the stored cell_id-partitioned
+    * layout that is a PartitionFilter, so non-probed cells' files are
+    * never listed — then ADC shortlist + bounded exact rerank exactly as
+    * [[ivfPqTopK]] documents. `encoded` must carry (idCol, cell_id,
+    * pq_code) and, when `rerank > 0`, the `vecCol` column. */
+  def pqSearchEncoded(encoded: DataFrame, vecCol: String, idCol: String,
+                      cents: Array[(Int, Array[Float])], cb: PqCodebook,
+                      queries: DataFrame, qIdCol: String, qVecCol: String,
+                      k: Int, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val centById = cents.toMap
     // queries are the small probe side by contract -> driver-side tables
     val qRows = queries.select(col(qIdCol), col(qVecCol)).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
@@ -382,9 +437,15 @@ object Similarity {
       s
     })
     val probesDf = probeTables.keys.toSeq.sorted.toDF(qIdCol, "cell_id")
+    // the union of probed cells as a LITERAL predicate: redundant with
+    // the probe join below semantically, but on a cell_id-partitioned
+    // stored layout it is what lands in the scan's PartitionFilters —
+    // non-probed cells' files are never listed, let alone read
+    val probedCells = probeTables.keys.map(_._2).toSeq.distinct.sorted
+    val pruned = encoded.filter(col("cell_id").isin(probedCells: _*))
     val wAdc = Window.partitionBy(col(qIdCol)).orderBy(col("adc"), col(idCol))
     val kAdc = if (rerank > 0) rerank * k else k
-    val shortlist = encoded.join(broadcast(probesDf), Seq("cell_id"))
+    val shortlist = pruned.join(broadcast(probesDf), Seq("cell_id"))
       .withColumn("adc", round(adc(col(qIdCol), col("cell_id"), col("pq_code")), 6))
       .withColumn("rank", row_number().over(wAdc).cast("long"))
       .filter(col("rank") <= kAdc)
@@ -392,9 +453,11 @@ object Similarity {
       shortlist.select(col(qIdCol), col(idCol), col("adc").as("score"), col("rank"))
     else {
       // exact re-rank of the bounded shortlist: fetch the rerank*k
-      // candidate vectors (broadcast of the small shortlist side keeps
-      // the collection scan shuffle-free) and score against the query
-      // vector from the driver-side map
+      // candidate vectors from the SAME (pruned) encoded relation —
+      // broadcast of the small shortlist side keeps the scan
+      // shuffle-free, and on the stored layout the fetch stays inside
+      // the probed partitions — and score against the query vector from
+      // the driver-side map
       val qMap = qRows.toMap
       val exactD = udf((qid: Long, v: Seq[Float]) => {
         val qv = qMap(qid)
@@ -405,7 +468,7 @@ object Similarity {
         acc
       })
       val wExact = Window.partitionBy(col(qIdCol)).orderBy(col("score"), col(idCol))
-      collection.select(col(idCol), col(vecCol).as("_fetch_v"))
+      pruned.select(col(idCol), col(vecCol).as("_fetch_v"))
         .join(broadcast(shortlist.select(col(qIdCol), col(idCol))), Seq(idCol))
         .withColumn("score", round(exactD(col(qIdCol), col("_fetch_v")), 6))
         .withColumn("rank", row_number().over(wExact).cast("long"))

@@ -233,6 +233,66 @@ class AnnProbeSpec extends SparkSpec {
     e.unpersist()
   }
 
+  test("stored IVF-PQ: probe prunes partitions, matches the inline form, recall@10 >= 0.9") {
+    val d = "/root/testdata/sf0.1"
+    val root = java.nio.file.Files.createTempDirectory("annpq_store").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(spark, d).cache()
+    try {
+      val (cents, cb) = Similarity.buildIvfPqIndex(store, "vpq", e,
+        "embedding", "vec_id", ncells = 16)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val stored = Similarity.pqSearchEncoded(store.read(spark, "vpq"),
+        "embedding", "vec_id", cents, cb, q, "q_id", "q_vec", k = 10, nprobe = 4)
+      // the literal cell_id IN (probed) must land in PartitionFilters on
+      // the stored layout — the scan lists only the probed cells' dirs.
+      // (this plan has joins/windows, so AQE wraps it: descend through
+      // AdaptiveSparkPlanExec to reach the real scans)
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allScans(a.executedPlan)
+        }.flatten
+      val scans = allScans(stored.queryExecution.executedPlan)
+      assert(scans.nonEmpty, "no FileSourceScanExec over the stored index")
+      scans.foreach { scan =>
+        assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell_id")),
+          s"probe is not a partition filter: ${scan.partitionFilters}")
+        assert(scan.selectedPartitions.partitionCount < 16,
+          s"probe scanned all ${scan.selectedPartitions.partitionCount} cells")
+      }
+      // byte-budget pin: the ADC scan (the one reading pq_code) must NOT
+      // read the vector column — column pruning is the '8 bytes per
+      // candidate' half of the story; the vector column is only touched
+      // by the separate bounded rerank-fetch scan
+      val adcScans = scans.filter(_.schema.fieldNames.contains("pq_code"))
+      assert(adcScans.nonEmpty, s"no scan reads pq_code: ${scans.map(_.schema.fieldNames.mkString("(", ",", ")"))}")
+      adcScans.foreach { sc =>
+        assert(!sc.schema.fieldNames.contains("embedding"),
+          s"ADC scan reads the full vectors: ${sc.schema.fieldNames.mkString(",")}")
+      }
+      def topSets(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+        df.select("q_id", "vec_id").collect().groupBy(_.getLong(0))
+          .map { case (k, v) => k -> v.map(_.getLong(1)).toSet }
+      // stored search == inline search (same training, same scoring)
+      val inline = topSets(Similarity.ivfPqTopK(e, "embedding", "vec_id",
+        q, "q_id", "q_vec", k = 10, ncells = 16, nprobe = 4))
+      val storedSets = topSets(stored)
+      assert(storedSets == inline,
+        s"stored/inline divergence: ${storedSets.toSet.diff(inline.toSet)}")
+      val exact = topSets(
+        Similarity.bruteForceTopK(e, "embedding", "vec_id", q, "q_id", "q_vec", 10))
+      val recalls = exact.map { case (k, ex) =>
+        storedSets.getOrElse(k, Set.empty).intersect(ex).size.toDouble / ex.size }
+      val avg = recalls.sum / recalls.size
+      info(f"stored IVF-PQ recall@10 avg $avg%.3f")
+      assert(avg >= 0.9, f"stored IVF-PQ recall@10 degraded: $avg%.3f")
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   test("ANN registry queries leave no cached relation behind (long-lived sessions)") {
     // r5 ADVICE class: .cache() without unpersist accumulates in the
     // session cache manager; bench's clearCache masks it, real sessions
