@@ -361,9 +361,16 @@ object GraftQueries {
     * dim, an unnormalized vector, or a drifted chunker all
     * hash-mismatch. */
   val ingestTransformer: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    // the CORPUS-TRAINED BPE vocabulary is the tokenizer (subword ids,
+    // the reference pipeline's WordPiece shape) — trained once on the
+    // driver (bounded merge list), shipped to executors inside the
+    // embedder closure; the invariants the oracle pins (chunk counts,
+    // dim, unit norm) are tokenizer-independent by construction
+    val merges = graft.text.Bpe.train(docs, "text", numMerges = 50)
     val (passages, _) = graft.embed.Embedders.asymmetric(
-      p => graft.embed.TransformerEmbedder(prefix = p))
-    IngestPipeline.ingestDocuments(Tables.documents(s, d), passages,
+      p => graft.embed.TransformerEmbedder(prefix = p, bpeMerges = merges))
+    IngestPipeline.ingestDocuments(docs, passages,
         chunkSize = 120, overlap = 20) // the chunker CTE twin's parameters
       .groupBy("source")
       .agg(

@@ -209,18 +209,39 @@ final case class PrefixConvention(passage: String = "passage: ",
   * W1[d*dff] b1[dff], W2[dff*d] b2[d], ln2 g b.
   */
 final case class TransformerEmbedder(resource: String = "/graft/toy_transformer.bin",
-                                     prefix: String = "") extends Embedder {
+                                     prefix: String = "",
+                                     bpeMerges: Seq[(String, String)] = Nil)
+    extends Embedder {
 
   @transient private lazy val model: TransformerEmbedder.Weights =
     TransformerEmbedder.load(resource)
 
+  // rank map built once per (deserialized) embedder instance, not per doc
+  @transient private lazy val bpeRank: Map[(String, String), Int] =
+    bpeMerges.zipWithIndex.toMap
+
   override def dim: Int = model.d
+
+  /** Token stream: whitespace words by default; with a trained merge
+    * list ([[graft.text.Bpe.train]]) each word is SUBWORD-tokenized
+    * before hashing into the embedding table — the reference pipeline's
+    * shape (SentenceTransformer's WordPiece,
+    * /root/reference/src/PDFToChromaIngester.py:43), where morphological
+    * variants share stem tokens instead of hashing to unrelated rows.
+    * The retrieval value of the subword path is pinned in EmbedderSpec
+    * (recall on suffix-varied queries vs the whole-word baseline). */
+  private def tokenize(text: String, maxLen: Int): Array[String] = {
+    val words = text.toLowerCase.split("\\s+").iterator.filter(_.nonEmpty)
+    val toks =
+      if (bpeMerges.isEmpty) words
+      else words.flatMap(w => graft.text.Bpe.encodeWord(w, bpeRank))
+    toks.take(maxLen).toArray
+  }
 
   override def encodeOne(text: String): Array[Float] = {
     val m = model
     if (text == null) return new Array[Float](m.d)
-    val toks = (prefix + text).toLowerCase.split("\\s+")
-      .iterator.filter(_.nonEmpty).take(m.maxLen).toArray
+    val toks = tokenize(prefix + text, m.maxLen)
     if (toks.isEmpty) return new Array[Float](m.d)
     m.forward(toks.map(TransformerEmbedder.tokenId(_, m.vocab)))
   }
