@@ -180,15 +180,44 @@ object PdfText {
     * emit mojibake as "successful" text. */
   private def decodeStream(o: PObj): Option[Array[Byte]] = o.data.flatMap { raw =>
     parseFilters(o.dict).flatMap { filters =>
-      filters.foldLeft(Option(raw)) { (acc, f) => acc.flatMap(applyFilter(o.dict, f, _)) }
+      parseDecodeParms(o.dict, filters.length).flatMap { parms =>
+        filters.zip(parms).foldLeft(Option(raw)) { case (acc, (f, p)) =>
+          acc.flatMap(applyFilter(p, f, _))
+        }
+      }
     }
   }
 
-  private def applyFilter(dict: String, name: String, data: Array[Byte]): Option[Array[Byte]] =
+  /** Per-STAGE /DecodeParms bodies, parallel to the filter chain (PDF
+    * 32000 §7.3.8.2: when /Filter is an array, /DecodeParms is a
+    * parallel array of dicts/nulls). A single inline dict — the legacy
+    * single-filter form — is handed to every stage, which is harmless
+    * because stages that take no parameters ignore it; a chain like
+    * [/ASCII85Decode /FlateDecode] with PNG-predictor parms therefore
+    * decodes instead of blanking. /DecodeParms present but unparseable
+    * inline (indirect reference) still fails the whole stream to blank —
+    * decoding with guessed parameters would emit mojibake as text. */
+  private def parseDecodeParms(dict: String, nFilters: Int): Option[Seq[Option[String]]] = {
+    if ("""/(?:DecodeParms|DP)(?![0-9A-Za-z])""".r.findFirstIn(dict).isEmpty)
+      return Some(Seq.fill(nFilters)(None))
+    """(?s)/(?:DecodeParms|DP)\s*\[(.*?)\]""".r.findFirstMatchIn(dict) match {
+      case Some(m) =>
+        val entries = """(?s)(null)|<<(.*?)>>""".r.findAllMatchIn(m.group(1)).map { em =>
+          if (em.group(1) != null) None else Some(em.group(2))
+        }.toSeq
+        if (entries.length > nFilters) None // not parallel: refuse to guess
+        else Some(entries.padTo(nFilters, Option.empty[String]))
+      case None =>
+        """(?s)/(?:DecodeParms|DP)\s*<<(.*?)>>""".r.findFirstMatchIn(dict)
+          .map(m => Seq.fill(nFilters)(Option(m.group(1))))
+    }
+  }
+
+  private def applyFilter(parms: Option[String], name: String, data: Array[Byte]): Option[Array[Byte]] =
     name match {
-      case "FlateDecode" | "Fl"     => inflate(data).flatMap(unpredict(dict, _))
+      case "FlateDecode" | "Fl"     => inflate(data).flatMap(unpredict(parms, _))
       case "LZWDecode" | "LZW"      =>
-        lzwDecode(data, earlyChange(dict)).flatMap(unpredict(dict, _))
+        lzwDecode(data, earlyChange(parms)).flatMap(unpredict(parms, _))
       case "ASCII85Decode" | "A85"  => ascii85Decode(data)
       case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
       case "RunLengthDecode" | "RL" => runLengthDecode(data)
@@ -284,12 +313,10 @@ object PdfText {
     } catch { case _: Throwable => None }
   }
 
-  /** /EarlyChange from the stream's inline /DecodeParms; the PDF default
-    * is 1 (code width grows one code early). An indirect /DecodeParms
-    * can't be read here, but then `unpredict` blanks the stream anyway. */
-  private def earlyChange(dict: String): Int =
-    """(?s)/(?:DecodeParms|DP)\s*<<(.*?)>>""".r.findFirstMatchIn(dict)
-      .map(m => parmInt(m.group(1), "/EarlyChange", 1)).getOrElse(1)
+  /** /EarlyChange from this stage's /DecodeParms entry; the PDF default
+    * is 1 (code width grows one code early). */
+  private def earlyChange(parms: Option[String]): Int =
+    parms.map(parmInt(_, "/EarlyChange", 1)).getOrElse(1)
 
   /** LZWDecode (PDF 32000 §7.4.4 = TIFF LZW): codes packed MSB-first,
     * width 9→12 bits, 256 = clear table, 257 = EOD, table entries
@@ -372,24 +399,20 @@ object PdfText {
   private def parmInt(parms: String, key: String, dflt: Int): Int =
     (key + """\s+(\d+)""").r.findFirstMatchIn(parms).map(_.group(1).toInt).getOrElse(dflt)
 
-  /** Apply the /DecodeParms predictor, if any, to inflated bytes.
-    * Predictor 1/absent = identity; 2 = TIFF horizontal differencing
-    * (8-bit components only); 10-15 = PNG row filters (None/Sub/Up/
-    * Average/Paeth — the common case: most modern PDFs' object and xref
-    * streams are PNG-Up coded). An unparseable /DecodeParms (indirect
-    * ref) or unsupported predictor value returns None -> blank. */
-  private def unpredict(dict: String, data: Array[Byte]): Option[Array[Byte]] = {
-    val hasParms = """/(?:DecodeParms|DP)(?![0-9A-Za-z])""".r.findFirstIn(dict).isDefined
-    if (!hasParms) return Some(data)
-    val inline = """(?s)/(?:DecodeParms|DP)\s*<<(.*?)>>""".r.findFirstMatchIn(dict)
-      .map(_.group(1))
-    inline match {
-      case None => None // indirect or array /DecodeParms: unsupported
-      case Some(parms) =>
-        val pred = parmInt(parms, "/Predictor", 1)
-        val colors = parmInt(parms, "/Colors", 1)
-        val bpc = parmInt(parms, "/BitsPerComponent", 8)
-        val columns = parmInt(parms, "/Columns", 1)
+  /** Apply this stage's /DecodeParms predictor, if any, to inflated
+    * bytes. Predictor 1/absent = identity; 2 = TIFF horizontal
+    * differencing (8-bit components only); 10-15 = PNG row filters
+    * (None/Sub/Up/Average/Paeth — the common case: most modern PDFs'
+    * object and xref streams are PNG-Up coded). An unsupported
+    * predictor value returns None -> blank. */
+  private def unpredict(parms: Option[String], data: Array[Byte]): Option[Array[Byte]] =
+    parms match {
+      case None => Some(data)
+      case Some(p) =>
+        val pred = parmInt(p, "/Predictor", 1)
+        val colors = parmInt(p, "/Colors", 1)
+        val bpc = parmInt(p, "/BitsPerComponent", 8)
+        val columns = parmInt(p, "/Columns", 1)
         if (pred <= 1) Some(data)
         else if (pred == 2) {
           if (bpc != 8) None
@@ -399,7 +422,6 @@ object PdfText {
           catch { case _: Throwable => None }
         } else None
     }
-  }
 
   /** TIFF predictor 2, 8-bit components: undo left-neighbor differencing. */
   private def tiffUnpredict(data: Array[Byte], columns: Int, colors: Int): Array[Byte] = {

@@ -367,6 +367,37 @@ class PdfTextSpec extends SparkSpec {
     assert(txt3.contains("chained transport text"), s"got: '$txt3'")
   }
 
+  test("array /DecodeParms parallel to a filter chain: predictor stage decodes") {
+    // the r7 ADVICE case: [/ASCII85Decode /FlateDecode] with PNG-Up
+    // parms for the Flate stage — a legitimate chained stream that the
+    // whole-dict parms lookup used to blank
+    val cols = 24
+    val padded = padToRows("BT /F1 12 Tf (parallel parms text) Tj ET", cols)
+    val enc = a85Encode(deflate(pngEncode(padded, cols, _ => 2))) // Up
+    val txt = PdfText.extract(binaryStreamPdf(
+      "/Filter [ /ASCII85Decode /FlateDecode ] " +
+        s"/DecodeParms [ null << /Predictor 12 /Columns $cols >> ]", enc))
+    assert(txt.contains("parallel parms text"), s"got: '$txt'")
+    // legacy single-dict parms with a chain still decodes (dict handed
+    // to every stage; A85 ignores it)
+    val txt2 = PdfText.extract(binaryStreamPdf(
+      "/Filter [ /ASCII85Decode /FlateDecode ] " +
+        s"/DecodeParms << /Predictor 12 /Columns $cols >>", enc))
+    assert(txt2.contains("parallel parms text"), s"got: '$txt2'")
+    // a parms array LONGER than the chain is malformed -> blank, never a
+    // guessed decode
+    val txt3 = PdfText.extract(binaryStreamPdf(
+      "/Filter /FlateDecode " +
+        s"/DecodeParms [ null null << /Predictor 12 /Columns $cols >> ]",
+      deflate(padded)))
+    assert(txt3 == "", s"malformed parms must blank, got: '$txt3'")
+    // indirect /DecodeParms still blanks (cannot be resolved here)
+    val txt4 = PdfText.extract(binaryStreamPdf(
+      "/Filter /FlateDecode /DecodeParms 9 0 R",
+      deflate(pngEncode(padded, cols, _ => 2))))
+    assert(txt4 == "", s"indirect parms must blank, got: '$txt4'")
+  }
+
   // ----------------------------------------------------------- LZW
 
   /** Test-scope LZW encoder held in lockstep with the decoder BY
