@@ -944,6 +944,30 @@ object GraftOracles {
          |SELECT pair, CAST(count(*) AS BIGINT) AS n
          |FROM p GROUP BY 1 ORDER BY n DESC, pair LIMIT 30""".stripMargin,
 
+    // PMI collocations: identical cast order and floor rounding as the
+    // Spark side (double ratio inside ln; totals as scalars). The 50k
+    // vocab cap is not binding at oracle scale (vocab << 50k), so the
+    // uncapped oracle matches the capped engine by construction.
+    "text_pmi" ->
+      s"""WITH tk AS (SELECT $toks AS t FROM documents),
+         |u AS (SELECT w, CAST(count(*) AS BIGINT) AS cw
+         |      FROM (SELECT unnest(t) AS w FROM tk) GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cw) AS BIGINT) AS n_tok FROM u),
+         |p AS (SELECT unnest(list_transform(range(1, greatest(len(t), 1)),
+         |    i -> struct_pack(w1 := t[i], w2 := t[i+1]))) AS pr FROM tk),
+         |pw AS (SELECT pr.w1 AS w1, pr.w2 AS w2 FROM p),
+         |bt AS (SELECT CAST(count(*) AS BIGINT) AS n_big FROM pw),
+         |b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS n FROM pw
+         |      GROUP BY 1, 2 HAVING count(*) >= 10)
+         |SELECT b.w1 || ' ' || b.w2 AS pair, b.n,
+         |  floor(ln(CAST(b.n AS DOUBLE) * tot.n_tok * tot.n_tok
+         |    / (CAST(bt.n_big AS DOUBLE) * u1.cw * u2.cw)) * 1e6 + 0.5) / 1e6 AS pmi
+         |FROM b
+         |JOIN u u1 ON u1.w = b.w1
+         |JOIN u u2 ON u2.w = b.w2
+         |CROSS JOIN tot CROSS JOIN bt
+         |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 30""".stripMargin,
+
     "text_stats" ->
       s"""SELECT doc_id, length(text)::INT AS n_chars_measured,
          |  len($toks)::INT AS n_tokens,

@@ -996,6 +996,45 @@ object GraftQueries {
       .limit(30)
   }
 
+  /** Corpus collocation extraction: top-30 adjacent bigrams by PMI
+    * (pointwise mutual information, ln form) with min support 10 — the
+    * corpus-analysis signal behind multiword-expression mining and
+    * tokenizer-vocabulary curation. Scale shape mirrors the LM ops: one
+    * exploded scan per order with a partial-agg shuffle; the unigram
+    * side broadcasts under the SAME deterministic 50k cap as the LM
+    * vocabulary (count desc, then lexicographic — a bigram whose word
+    * falls outside the cap drops, the documented bounded-state
+    * contract); totals ride as broadcast 1-row relations. PMI
+    * arithmetic is a single double ratio inside ln() with floor
+    * rounding, mirrored cast-for-cast in the oracle. */
+  val textPmi: Q = (s, d) => {
+    val vocabCap = 50000
+    val docs = Tables.spread(Tables.documents(s, d))
+    val toksCol = TextAnalysis.tokens(col("text"))
+    val toks = docs.select(explode(toksCol).as("w"))
+    val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+      .orderBy(col("cw").desc, col("w")).limit(vocabCap)
+    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    val pairs = docs.select(explode(zip_with(
+        slice(toksCol, lit(1), size(toksCol) - 1),
+        slice(toksCol, lit(2), size(toksCol) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val nBig = pairs.agg(count(lit(1)).as("n_big"))
+    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= 10)
+      .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))), "w1")
+      .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))), "w2")
+      .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBig))
+      .withColumn("pmi", floor(
+        log(col("n").cast("double") * col("n_tok") * col("n_tok")
+          / (col("n_big").cast("double") * col("c1") * col("c2"))) * 1e6 + 0.5) / 1e6)
+      .orderBy(col("pmi").desc, col("w1"), col("w2"))
+      .limit(30)
+      .select(concat(col("w1"), lit(" "), col("w2")).as("pair"),
+        col("n"), col("pmi"))
+  }
+
   /** Quality filter composition: docs passing quality gates, per lang. */
   val qualityFilter: Q = (s, d) =>
     TextAnalysis.textStats(Tables.documents(s, d))
@@ -2246,6 +2285,7 @@ object GraftQueries {
     "export_shards" -> exportShards,
     "store_compact" -> storeCompact,
     "text_bpe_merges" -> textBpeMerges,
+    "text_pmi" -> textPmi,
     "text_bpe_apply" -> textBpeApply,
     "ingest_report" -> ingestReport,
     "ann_probe_knn" -> annProbeKnn,

@@ -245,6 +245,24 @@ object Dedup {
         .select(col("_band"), col("_bandhash"), col("_id")))
   }
 
+  /** Append a committed batch's signatures to an existing index — the
+    * other half of the nightly loop [[buildSignatureIndex]] documents:
+    * check the batch against the index, commit the survivors, then
+    * append THEIR signatures so tomorrow's batch sees them. O(batch)
+    * compute, two partitioned appends, no touch of the standing
+    * relations. */
+  def appendToSignatureIndex(store: graft.store.VectorStore, name: String,
+                             batch: DataFrame, textCol: String, idCol: String,
+                             shingleSize: Int = 5, bands: Int = 32,
+                             rowsPerBand: Int = 4): Unit = {
+    val sh = shingleRelation(batch, textCol, idCol, shingleSize)
+      .localCheckpoint(true)
+    store.append(s"${name}_shingles", sh)
+    store.append(s"${name}_bands",
+      bandedOf(sh, bands * rowsPerBand, bands)
+        .select(col("_band"), col("_bandhash"), col("_id")))
+  }
+
   /** Incremental near-dup against a PRECOMPUTED signature index (the
     * two relations [[buildSignatureIndex]] writes): each new doc is
     * shingled and banded — the standing corpus is NOT touched; its

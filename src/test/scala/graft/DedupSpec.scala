@@ -265,6 +265,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("signature index append: the nightly loop — day-2 batch sees day-1 commits through the grown index") {
+    val scratch = java.nio.file.Files.createTempDirectory("graft_sig_app").toString
+    try {
+      val standing = Seq(
+        (1L, "the quick brown fox jumps over the lazy dog tonight"),
+        (2L, "completely different content about spark engines here")
+      ).toDF("doc_id", "text")
+      val day1 = Seq(
+        (10L, "fresh unique never before seen writing right here now")
+      ).toDF("doc_id", "text")
+      val day2 = Seq(
+        (20L, "fresh unique never before seen writing right here now"), // dup of 10
+        (21L, "the quick brown fox jumps over the lazy dog tonight")    // dup of 1
+      ).toDF("doc_id", "text")
+      val store = graft.store.VectorStore(scratch)
+      Dedup.buildSignatureIndex(store, "nd", standing, "text", "doc_id")
+      def check(batch: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        Dedup.minhashLshIncrementalIndexed(batch,
+            store.read(spark, "nd_bands"), store.read(spark, "nd_shingles"),
+            "text", "doc_id", threshold = 0.8)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(check(day1) == Set.empty, "day-1 batch is clean vs the standing corpus")
+      // commit day 1: its signatures join the index
+      Dedup.appendToSignatureIndex(store, "nd", day1, "text", "doc_id")
+      // day 2 finds dups against BOTH the original corpus and day 1
+      assert(check(day2) == Set((20L, 10L), (21L, 1L)))
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(scratch))
+    }
+  }
+
   test("substringSpans: merges overlapping dup windows, counts within-doc repeats, splits disjoint intervals") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),            // shares windows a-b-c, b-c-d, c-d-e with doc 2
