@@ -968,6 +968,25 @@ object GraftOracles {
          |CROSS JOIN tot CROSS JOIN bt
          |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 30""".stripMargin,
 
+    // TF-IDF top terms: df derives from the (doc, term) aggregate, scores
+    // floor-round before ranking (both engines rank identical rounded
+    // values; term breaks ties). The engine's 50k df cap is not binding
+    // at oracle scale, so the uncapped oracle matches by construction.
+    "text_tfidf" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+         |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tk GROUP BY 1, 2),
+         |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+         |       FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+         |    floor(tf.tf * ln(CAST(nd.n_docs AS DOUBLE) / df.df) * 1e6 + 0.5) / 1e6 AS score
+         |  FROM tf JOIN df USING (term) CROSS JOIN nd),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY doc_id ORDER BY score DESC, term) AS rank FROM sc)
+         |SELECT doc_id, term, tf, score, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
     "text_stats" ->
       s"""SELECT doc_id, length(text)::INT AS n_chars_measured,
          |  len($toks)::INT AS n_tokens,

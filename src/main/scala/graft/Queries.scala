@@ -1035,6 +1035,34 @@ object GraftQueries {
         col("n"), col("pmi"))
   }
 
+  /** Per-document top-3 terms by TF-IDF — the keyword-extraction /
+    * domain-tagging primitive of a corpus pipeline. Scale shape: one
+    * exploded scan -> (doc, term) partial-agg shuffle; document
+    * frequency derives from THAT aggregate (no second corpus scan
+    * inside the df branch) and broadcasts under the LM ops' 50k
+    * deterministic vocab cap; ranking is a per-doc window the planner
+    * runs as WindowGroupLimit. Scores floor-round BEFORE ranking so
+    * both engines rank identical values (term breaks ties). */
+  val textTfidf: Q = (s, d) => {
+    val vocabCap = 50000
+    val docs = Tables.spread(Tables.documents(s, d))
+    val tf = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("term")).limit(vocabCap)
+    val nDocs = docs.agg(countDistinct(col("doc_id")).as("n_docs"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.join(broadcast(dfT), "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score", floor(
+        col("tf") * log(col("n_docs").cast("double") / col("df")) * 1e6 + 0.5) / 1e6)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("score"), col("rank"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Quality filter composition: docs passing quality gates, per lang. */
   val qualityFilter: Q = (s, d) =>
     TextAnalysis.textStats(Tables.documents(s, d))
@@ -2286,6 +2314,7 @@ object GraftQueries {
     "store_compact" -> storeCompact,
     "text_bpe_merges" -> textBpeMerges,
     "text_pmi" -> textPmi,
+    "text_tfidf" -> textTfidf,
     "text_bpe_apply" -> textBpeApply,
     "ingest_report" -> ingestReport,
     "ann_probe_knn" -> annProbeKnn,

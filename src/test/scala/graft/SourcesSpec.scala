@@ -140,6 +140,37 @@ class SourcesSpec extends SparkSpec {
     assert(back.select("text").as[String].collect().toSeq == Seq("kept"))
   }
 
+  test("warc property sweep: random unicode payloads (astral chars, CRLFs, header-ish text) round-trip") {
+    // octet framing is byte arithmetic over re-encoded UTF-8 — sweep it
+    // with adversarial generated payloads: multibyte BMP chars, astral
+    // (surrogate-pair) code points, embedded CRLF/blank lines, and
+    // text that LOOKS like WARC headers. Seeded -> deterministic.
+    val rnd = new scala.util.Random(20260813L)
+    val pools = Array(
+      "abc def ghi ", "éüßñ çØå ", "日本語中文 한국어 ", "😀🎉🧪🚀 ",
+      "\r\n", "\r\n\r\n", "Content-Length: 42\r\n", "WARC-Source: fake\r\n",
+      "mixed éA日😀z ")
+    val docs = (0 until 60).map { i =>
+      val n = 1 + rnd.nextInt(12)
+      val text = (0 until n).map(_ => pools(rnd.nextInt(pools.length))).mkString
+      (i.toLong, s"src${i % 3}", "xx", text)
+    }
+    // the reader drops resync fragments when a payload embeds the exact
+    // record delimiter at a parse-breaking spot; none of these pools
+    // contain the full "WARC/1.0\r\n" header line, so the round trip
+    // must be lossless
+    val dir = java.nio.file.Files.createTempDirectory("graft_warc_prop").toString
+    val in = docs.toDF("doc_id", "source", "lang", "text")
+    val dropped = graft.ingest.Warc.write(in.repartition(5), dir)
+    assert(dropped === 0L)
+    val back = graft.ingest.Warc.read(spark, dir)
+      .withColumn("doc_id", col("doc_id").cast("long"))
+      .select("doc_id", "source", "lang", "text")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(back == docs.toSet,
+      s"lost: ${docs.toSet.diff(back).take(2)}; extra: ${back.diff(docs.toSet).take(2)}")
+  }
+
   test("warc: gzipped segments round-trip byte-identically through the same reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft_warc_gz").toString
     graft.ingest.Warc.write(docs, dir, compression = Some("gzip"))
