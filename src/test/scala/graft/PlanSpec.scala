@@ -210,6 +210,26 @@ class PlanSpec extends SparkSpec {
       "the rank filter must cut to k rows per anchor map-side, before the window shuffle")
   }
 
+  test("text_pmi: partial aggs on both n-gram orders; capped unigram side broadcasts; top-30 is top-k") {
+    val p = plan("text_pmi")
+    assert(p.contains("partial_count"), "n-gram counts must map-side combine")
+    assert(p.contains("BroadcastExchange"),
+      "the capped unigram relation and the 1-row totals must broadcast")
+    assert(p.contains("TakeOrderedAndProject"),
+      "ORDER BY pmi LIMIT 30 must plan as distributed top-k, not a full sort")
+    assert(!p.contains("CartesianProduct"),
+      "the totals cross-joins must stay broadcast, never shuffle")
+  }
+
+  test("text_tfidf: df derives from the aggregate (one corpus explode per branch); rank<=3 via WindowGroupLimit") {
+    val p = plan("text_tfidf")
+    assert(p.contains("partial_count"), "(doc, term) counts must map-side combine")
+    assert(p.contains("BroadcastExchange"), "capped df side + totals must broadcast")
+    assert(p.contains("WindowGroupLimit"),
+      "the rank<=3 filter must cut per-doc groups map-side, before the window shuffle")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q24 gapfill: dense-grid build sides stay broadcast (no shuffled cross)") {
     val p = plan("q24_gapfill")
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct") ||
