@@ -66,6 +66,46 @@ object GraftOracles {
     """list_sum(list_transform(range(1,65),
       |  i -> (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE) * (e.embedding[i]::DOUBLE - q.qv[i]::DOUBLE)))""".stripMargin
 
+  /** Unrolled twin of [[graft.operators.Clustering]]'s deterministic
+    * k-means (k=8, 2 Lloyd rounds): residue-class init, left-to-right
+    * double l2² rounded via the floor form BEFORE the row_number argmin
+    * (cid is the tiebreak), Lloyd means through the 2^24 fixed-point
+    * BIGINT sums with a float32 re-quantize — the exact arithmetic the
+    * Spark side performs, so per-vector assignments hash-match. Ends at
+    * `s2f` = (vec_id, embedding, cid) and `a2f` = the final-centroid
+    * distance relation; callers append their SELECT. */
+  private val kmeansCte: String = {
+    def dist(c: String) =
+      s"""floor(list_sum(list_transform(range(1,65),
+         |      i -> (e.embedding[CAST(i AS INT)]::DOUBLE - $c.v[CAST(i AS INT)])
+         |         * (e.embedding[CAST(i AS INT)]::DOUBLE - $c.v[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6""".stripMargin
+    def round(i: Int, prev: String): String =
+      s"""d$i AS (SELECT e.vec_id, e.embedding, c.cid, ${dist("c")} AS dr
+         |  FROM embeddings e CROSS JOIN $prev c),
+         |a$i AS (SELECT vec_id, embedding, cid, dr,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn FROM d$i),
+         |s$i AS (SELECT vec_id, embedding, cid FROM a$i WHERE rn = 1),
+         |m$i AS (SELECT cid, u.p AS pos,
+         |    CAST(sum(CAST(floor(embedding[CAST(u.p + 1 AS INT)]::DOUBLE * 16777216) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 16777216 AS mval
+         |  FROM s$i, unnest(range(0, 64)) AS u(p) GROUP BY 1, 2),
+         |cm$i AS (SELECT cid, list(CAST(CAST(mval AS FLOAT) AS DOUBLE) ORDER BY pos) AS v
+         |  FROM m$i GROUP BY 1),
+         |c$i AS (SELECT * FROM cm$i UNION ALL
+         |  SELECT * FROM $prev p WHERE p.cid NOT IN (SELECT cid FROM cm$i))""".stripMargin
+    s"""seeds AS (SELECT CAST(vec_id % 8 AS INT) AS cid, min(vec_id) AS seed_id
+       |  FROM embeddings GROUP BY 1),
+       |c0 AS (SELECT s.cid, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id),
+       |${round(1, "c0")},
+       |${round(2, "c1")},
+       |d2f AS (SELECT e.vec_id, e.embedding, c.cid, ${dist("c")} AS dr
+       |  FROM embeddings e CROSS JOIN c2 c),
+       |a2f AS (SELECT vec_id, embedding, cid, dr,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn FROM d2f),
+       |s2f AS (SELECT vec_id, embedding, cid FROM a2f WHERE rn = 1)""".stripMargin
+  }
+
   // text-analysis shared fragments
   private val toks = """string_split_regex(trim(lower(text)), '\s+')"""
   private val enStop = "['the','a','of','and','is','to','in']"
@@ -478,6 +518,30 @@ object GraftOracles {
          |  round($l2sqToQv, 6) AS l2sq
          |FROM embeddings e, q WHERE e.vec_id <> 0
          |ORDER BY cosine DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    "cluster_kmeans" ->
+      s"""WITH $kmeansCte
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dr AS dist
+         |FROM a2f WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    // SemDeDup twin: the k-means CTE's final assignment gates the pair
+    // join; the cosine kernel + floor-form rounding match dedup_embedding
+    "dedup_semantic" ->
+      s"""WITH $kmeansCte
+         |SELECT CAST(a.cid AS BIGINT) AS cluster_id, a.vec_id AS id_a, b.vec_id AS id_b,
+         |  floor(($cosineDouble) * 1e6 + 0.5) / 1e6 AS cosine
+         |FROM s2f a JOIN s2f b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |WHERE floor(($cosineDouble) * 1e6 + 0.5) / 1e6 >= 0.35
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "cluster_diverse_sample" ->
+      s"""WITH $kmeansCte,
+         |rk AS (SELECT cid, vec_id,
+         |    row_number() OVER (PARTITION BY cid
+         |      ORDER BY md5(CAST(vec_id AS VARCHAR) || ':div'), vec_id) AS rk
+         |  FROM s2f)
+         |SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id, CAST(rk AS BIGINT) AS rk
+         |FROM rk WHERE rk <= 20 ORDER BY cluster_id, rk""".stripMargin,
 
     "vec_knn" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

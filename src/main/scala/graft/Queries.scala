@@ -4,7 +4,7 @@ import graft.embed.HashEmbedder
 import graft.functions.VectorFunctions._
 import graft.ingest.IngestPipeline
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, Dedup, Similarity}
+import graft.operators.{AsOf, Clustering, Dedup, Similarity}
 import graft.query.{Knn, WhereDsl}
 import graft.streaming.EventStream
 import graft.text.{QualityClassifier, TextAnalysis}
@@ -712,6 +712,39 @@ object GraftQueries {
   val dedupEmbedding: Q = (s, d) =>
     Dedup.embeddingNearDup(Tables.embeddings(s, d), "embedding", "vec_id", threshold = 0.35)
       .orderBy("id_a", "id_b")
+
+  /** Deterministic k-means assignment over the embeddings table (k=8,
+    * 2 Lloyd rounds from the residue-class init): per-vector cluster id
+    * and rounded l2² to the final centroid — map-only argmin over plan-
+    * literal centroids, oracle-checked against an unrolled SQL twin.
+    * See [[graft.operators.Clustering]] for the determinism contract. */
+  val clusterKmeans: Q = (s, d) =>
+    Clustering.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+      .select(col("vec_id"), col("cluster_id"), col("dist"))
+      .orderBy("vec_id")
+
+  /** SemDeDup: embedding near-dup pairs restricted to same-k-means-
+    * cluster candidates — the published web-scale semantic-pruning shape
+    * (O(Σ cluster²) instead of `dedup_embedding`'s all-pairs O(n²)).
+    * Same threshold as `dedup_embedding`, so the oracle also proves
+    * exactly which cross-cluster pairs the gating trades away. */
+  val dedupSemantic: Q = (s, d) =>
+    Clustering.semanticNearDup(Tables.embeddings(s, d), k = 8, iters = 2, threshold = 0.35)
+      .orderBy("cluster_id", "id_a", "id_b")
+
+  /** Cluster-stratified diversity sample: top-20 per k-means cluster by
+    * md5-of-id order (deterministic "random", decorrelated from the
+    * sharding/sampling hashes by the `:div` salt) — the coverage-
+    * preserving subset selection a curriculum/mixture builder runs after
+    * clustering. Rank-filter shape (WindowGroupLimit at scale). */
+  val clusterDiverseSample: Q = (s, d) =>
+    Clustering.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("cluster_id"))
+          .orderBy(md5(concat(col("vec_id").cast("string"), lit(":div")).cast("binary")), col("vec_id"))))
+      .filter(col("rk") <= 20)
+      .select(col("cluster_id"), col("vec_id"), col("rk").cast("long").as("rk"))
+      .orderBy("cluster_id", "rk")
 
   // ========================================================= text analysis
 
@@ -2374,6 +2407,9 @@ object GraftQueries {
     "rag_bm25_fusion" -> ragBm25Fusion,
     "q44_percentile_sketch" -> q44PercentileSketch,
     "q45_sql_vector_fn" -> q45SqlVectorFn,
+    "cluster_kmeans" -> clusterKmeans,
+    "dedup_semantic" -> dedupSemantic,
+    "cluster_diverse_sample" -> clusterDiverseSample,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Deterministic Lloyd k-means over `ARRAY<FLOAT>` embedding columns, and
+  * the SemDeDup-style semantic dedup built on top of it (cluster first,
+  * then pairwise-compare only within a cluster — Abbas et al. 2023,
+  * "SemDeDup: Data-efficient learning at web-scale through semantic
+  * deduplication", arXiv:2303.09540).
+  *
+  * The reference pipeline stops at exact/LSH near-dup over text
+  * (`/root/reference/src/PDFToChromaIngester.py` has no clustering at
+  * all); clustering-gated embedding dedup is the missing member of the
+  * training-data dedup family (SURVEY §2: embedding-cosine near-dup) —
+  * the published algorithm for pruning web-scale corpora where all-pairs
+  * cosine is infeasible.
+  *
+  * Scale shape (the reason this is k-means and not all-pairs):
+  *  - centroids ride in the PLAN as `array<float>` literals (k·dim
+  *    floats; same discipline as the 256-weight quality classifier), so
+  *    assignment is a MAP-ONLY `array_min` over k codegen'd
+  *    [[graft.functions.VectorDistance]] probes — no join, no shuffle,
+  *    whole-stage codegen end to end;
+  *  - a Lloyd update shuffles only the (cluster, dim) partial sums —
+  *    k·dim rows per map partition after partial aggregation, never the
+  *    vectors themselves;
+  *  - the pairwise stage after clustering is O(Σ cluster²) instead of
+  *    O(n²). At 100 TB one runs k ≈ √n (SemDeDup uses k = 11k for
+  *    LAION-440M) so per-cluster candidate sets stay bounded; the
+  *    all-pairs-within-cluster join below shuffles on cluster id. For
+  *    corpora where even a cluster is too big, `Similarity.lshNearDupJoin`
+  *    is the banded alternative — this operator is the published
+  *    semantic-pruning shape, that one is the recall-tunable fallback.
+  *
+  * Determinism (what makes a full DuckDB oracle possible where MLlib
+  * KMeans would be rows-only):
+  *  - init: centroid j = embedding of the SMALLEST id in residue class
+  *    `id % k = j` — no RNG, no data-order dependence;
+  *  - distances accumulate left-to-right in double over float inputs
+  *    (the VectorDistance contract) and are rounded to 6 decimals via
+  *    the repo's `floor(x·1e6 + 0.5)/1e6` form BEFORE the argmin, with
+  *    ties broken by lowest cluster id — so the argmin is stable under
+  *    both engines' summation;
+  *  - Lloyd means use the fixed-point long-sum trick established by
+  *    `vec_centroid_per_label` (`floor(x·2^24)` per component, exact
+  *    BIGINT sums — associative, so partial-agg merge order can't shift
+  *    the mean), then quantize back to float32 so the next round's
+  *    literals are identical bit patterns in both engines;
+  *  - an empty cluster keeps its previous centroid.
+  */
+object Clustering {
+
+  /** 2^24 fixed-point scale — exact for float32 mantissas of unit-scale
+    * embeddings, same constant as `vec_centroid_per_label`. */
+  val Fp = 16777216L
+
+  /** The repo's cross-engine rounding form (round() half-tie rules
+    * differ between engines; floor(x·1e6+0.5) does not). */
+  private def round6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+
+  /** Map-only nearest-centroid assignment: `struct(dist, cid)` argmin by
+    * `array_min`'s lexicographic struct ordering (dist first, then cid —
+    * which IS the deterministic tiebreak). */
+  def assignStruct(vec: Column, cents: Array[Array[Float]]): Column = {
+    val probes = cents.zipWithIndex.map { case (c, j) =>
+      struct(
+        round6(VectorFunctions.l2Sq(vec, typedlit(c))).as("dist"),
+        lit(j).as("cid"))
+    }
+    // array() unifies the struct elements under positional field names;
+    // cast restores (dist, cid) for the callers' getField
+    array_min(array(probes.toIndexedSeq: _*)).cast("struct<dist:double,cid:int>")
+  }
+
+  /** Deterministic init: centroid j = embedding of min(id) where
+    * `id % k = j`. Collect is bounded at k rows. */
+  def initCentroids(emb: DataFrame, k: Int, idCol: String, vecCol: String): Array[Array[Float]] = {
+    val seeds = emb
+      .groupBy((col(idCol) % k).cast("int").as("cid"))
+      .agg(min(col(idCol)).as("seed_id"))
+    val rows = emb
+      .join(seeds, col(idCol) === col("seed_id"))
+      .select(col("cid"), col(vecCol).cast("array<float>").as("v"))
+      .collect()
+    val out = Array.ofDim[Array[Float]](k)
+    rows.foreach { r =>
+      out(r.getInt(0)) = r.getSeq[Float](1).toArray
+    }
+    require(out.forall(_ != null), s"k=$k needs every residue class inhabited")
+    out
+  }
+
+  /** One Lloyd update. Shuffles only (cid, pos) partial sums — k·dim
+    * rows per map partition; the k·dim collect is bounded (512 values at
+    * k=8, dim=64). Empty cluster keeps its previous centroid. */
+  def lloydStep(emb: DataFrame, cents: Array[Array[Float]], idCol: String, vecCol: String): Array[Array[Float]] = {
+    val dim = cents(0).length
+    val sums = emb
+      .select(assignStruct(col(vecCol), cents).getField("cid").as("cid"),
+        posexplode(col(vecCol).cast("array<float>")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(sum(floor(col("x").cast("double") * Fp).cast("long")).as("fp"),
+        count(lit(1)).as("n"))
+      .collect()
+    val next = cents.map(_.clone())
+    sums.foreach { r =>
+      val cid = r.getInt(0); val pos = r.getInt(1)
+      val fp = r.getLong(2); val n = r.getLong(3)
+      // same association order as the oracle: (sum / n) / 2^24, then a
+      // float32 quantize so the next round's plan literal is bit-equal
+      next(cid)(pos) = (fp.toDouble / n / Fp).toFloat
+    }
+    next
+  }
+
+  /** `iters` Lloyd rounds from the deterministic init; returns the input
+    * with `cluster_id` (long) and `dist` (rounded l2²  to the FINAL
+    * centroid set) attached — a map-only projection over the scan. */
+  def kmeansAssign(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    var cents = initCentroids(emb, k, idCol, vecCol)
+    for (_ <- 0 until iters) cents = lloydStep(emb, cents, idCol, vecCol)
+    val a = assignStruct(col(vecCol), cents)
+    emb.withColumn("_a", a)
+      .withColumn("cluster_id", col("_a").getField("cid").cast("long"))
+      .withColumn("dist", col("_a").getField("dist"))
+      .drop("_a")
+  }
+
+  /** SemDeDup: near-duplicate pairs (cosine ≥ threshold) restricted to
+    * same-cluster candidates. One shuffle on cluster id; O(Σ cluster²)
+    * comparisons. Output matches `Dedup.embeddingNearDup`'s shape plus
+    * the cluster column, so the cluster-gating is directly observable
+    * against the all-pairs baseline. */
+  def semanticNearDup(emb: DataFrame, k: Int, iters: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val a = kmeansAssign(emb, k, iters, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("cluster_id"))
+    val l = a.select(col("cluster_id"), col(idCol).as("id_a"), col(vecCol).as("va"))
+    val r = a.select(col("cluster_id"), col(idCol).as("id_b"), col(vecCol).as("vb"))
+    l.join(r, Seq("cluster_id"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine", round6(VectorFunctions.cosine(col("va"), col("vb"))))
+      .filter(col("cosine") >= threshold)
+      .select(col("cluster_id"), col("id_a"), col("id_b"), col("cosine"))
+  }
+}

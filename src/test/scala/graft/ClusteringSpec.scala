@@ -1,0 +1,90 @@
+package graft
+
+import graft.operators.Clustering
+import org.apache.spark.sql.execution.FormattedMode
+import org.apache.spark.sql.functions._
+
+/** Deterministic k-means + SemDeDup invariants (the oracle proves the
+  * arithmetic end-to-end; these pin the semantic and plan contracts). */
+class ClusteringSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, sf)
+
+  test("kmeans assignment is the true argmin with lowest-cid tiebreak") {
+    val assigned = Clustering.kmeansAssign(emb, k = 8, iters = 2)
+      .select(col("vec_id"), col("cluster_id"), col("dist"))
+    // brute-force re-derivation: the final centroid set is reproduced by
+    // re-running the two Lloyd steps, then every vector's (dist, cid) min
+    var cents = Clustering.initCentroids(emb, 8, "vec_id", "embedding")
+    for (_ <- 0 until 2) cents = Clustering.lloydStep(emb, cents, "vec_id", "embedding")
+    val rows = emb.select(col("vec_id"), col("embedding")).collect()
+    val expected = rows.map { r =>
+      val id = r.getLong(0)
+      val v = r.getSeq[Float](1).toArray
+      val dists = cents.map { c =>
+        var acc = 0.0; var i = 0
+        while (i < v.length) { val d = v(i).toDouble - c(i); acc += d * d; i += 1 }
+        math.floor(acc * 1e6 + 0.5) / 1e6
+      }
+      val best = dists.zipWithIndex.minBy { case (d, j) => (d, j) }
+      (id, best._2.toLong, best._1)
+    }.sortBy(_._1)
+    val got = assigned.orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == expected.toSeq)
+  }
+
+  test("every cluster inhabited at harness scale; dist >= 0; ids covered") {
+    val a = Clustering.kmeansAssign(emb, k = 8, iters = 2)
+    assert(a.count() == emb.count())
+    assert(a.filter(col("dist") < 0).isEmpty)
+    assert(a.select("cluster_id").distinct().count() == 8)
+  }
+
+  test("lloydStep: a centroid with no members is carried unchanged") {
+    // a far sentinel centroid attracts nothing; the step must return it
+    // bit-identically (the empty-cluster rule the oracle mirrors)
+    val cents = Clustering.initCentroids(emb, 8, "vec_id", "embedding")
+    val far = Array.fill(cents(0).length)(1e6f)
+    val next = Clustering.lloydStep(emb, cents.init :+ far, "vec_id", "embedding")
+    assert(next.last.toSeq == far.toSeq)
+  }
+
+  test("semantic pairs are a subset of the all-pairs embedding near-dups") {
+    val semantic = Clustering.semanticNearDup(emb, k = 8, iters = 2, threshold = 0.35)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val allPairs = graft.operators.Dedup.embeddingNearDup(emb, "embedding", "vec_id", threshold = 0.35)
+      .select(col("id_a"), col("id_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(semantic.nonEmpty, "gate-scale corpus must produce semantic near-dup pairs")
+    assert(semantic.subsetOf(allPairs),
+      s"cluster gating invented pairs: ${semantic.diff(allPairs)}")
+  }
+
+  test("diverse sample: at most 20 per cluster, ranks contiguous from 1") {
+    val s = GraftQueries.all("cluster_diverse_sample")(spark, sf)
+    val byCluster = s.collect().groupBy(_.getLong(0))
+    assert(byCluster.nonEmpty)
+    byCluster.foreach { case (cid, rows) =>
+      val ranks = rows.map(_.getLong(2)).sorted
+      assert(ranks.length <= 20, s"cluster $cid oversampled")
+      assert(ranks.toSeq == (1L to ranks.length).toSeq, s"cluster $cid ranks not contiguous")
+    }
+  }
+
+  test("plan: assignment is map-only (no join), centroids ride as literals") {
+    val p = GraftQueries.all("cluster_kmeans")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("Join"), s"assignment must not join:\n$p")
+    // one exchange only — the final presentation sort (count the detail
+    // headers; FormattedMode prints each node in tree AND detail)
+    val exchanges = p.linesIterator.count(_.trim.matches("""\(\d+\) Exchange.*"""))
+    assert(exchanges <= 1, s"map-only assignment grew $exchanges exchanges:\n$p")
+  }
+
+  test("plan: semantic dedup shuffles on cluster_id, never all-pairs") {
+    val p = GraftQueries.all("dedup_semantic")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semantic dedup fell back to all-pairs:\n$p")
+  }
+}
