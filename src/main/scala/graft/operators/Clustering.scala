@@ -34,6 +34,17 @@ import graft.functions.VectorFunctions
   *    is the banded alternative — this operator is the published
   *    semantic-pruning shape, that one is the recall-tunable fallback.
   *
+  * Relation to [[Similarity.trainCentroidArrays]] (the IVF coarse
+  * quantizer): same fixed-point Lloyd discipline, different contracts.
+  * The IVF trainer runs on a bounded sample with a closure-UDF argmin —
+  * at ncells ≥ 16 the expression formulation pays ncells·dim of
+  * generated source (seconds of janino) per embedding plan, and IVF
+  * recall doesn't care about cross-engine bit parity. THIS operator is
+  * the oracle-checked tier: k is small (8), every row participates (no
+  * sample), and the argmin compares floor-ROUNDED distances so a DuckDB
+  * twin can reproduce the assignment bit-for-bit — which forces the
+  * whole-stage-codegen expression form over a lambda UDF.
+  *
   * Determinism (what makes a full DuckDB oracle possible where MLlib
   * KMeans would be rows-only):
   *  - init: centroid j = embedding of the SMALLEST id in residue class
