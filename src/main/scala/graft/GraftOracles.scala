@@ -534,6 +534,23 @@ object GraftOracles {
          |WHERE floor(($cosineDouble) * 1e6 + 0.5) / 1e6 >= 0.35
          |ORDER BY 1, 2, 3""".stripMargin,
 
+    // pair CTE's id_b side IS the drop set: survivors = anti-join
+    "dedup_semantic_prune" ->
+      s"""WITH $kmeansCte,
+         |pr AS (SELECT b.vec_id AS id_b
+         |  FROM s2f a JOIN s2f b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE floor(($cosineDouble) * 1e6 + 0.5) / 1e6 >= 0.35)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id FROM s2f
+         |WHERE vec_id NOT IN (SELECT id_b FROM pr) ORDER BY vec_id""".stripMargin,
+
+    "decontaminate_semantic" ->
+      s"""SELECT b.vec_id, a.vec_id AS probe_id,
+         |  floor(($cosineDouble) * 1e6 + 0.5) / 1e6 AS cosine
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.vec_id % 97 = 0 AND b.vec_id % 97 <> 0
+         |WHERE floor(($cosineDouble) * 1e6 + 0.5) / 1e6 >= 0.30
+         |ORDER BY 1, 2""".stripMargin,
+
     "cluster_diverse_sample" ->
       s"""WITH $kmeansCte,
          |rk AS (SELECT cid, vec_id,

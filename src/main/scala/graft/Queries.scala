@@ -732,6 +732,33 @@ object GraftQueries {
     Clustering.semanticNearDup(Tables.embeddings(s, d), k = 8, iters = 2, threshold = 0.35)
       .orderBy("cluster_id", "id_a", "id_b")
 
+  /** SemDeDup end-state: the corpus AFTER semantic pruning (keep-lowest-
+    * id within each cluster's near-dup pairs). One trained centroid set
+    * feeds both the survivor projection and the drop relation. */
+  val dedupSemanticPrune: Q = (s, d) =>
+    Clustering.semanticPrune(Tables.embeddings(s, d), k = 8, iters = 2, threshold = 0.35)
+      .orderBy("vec_id")
+
+  /** Embedding-space decontamination: the semantic twin of the n-gram
+    * `decontaminate` gate — flags corpus vectors whose cosine to ANY
+    * held-out eval probe (same deterministic `% 97` arrival slice as the
+    * n-gram gate) clears the threshold, catching paraphrased
+    * contamination that token overlap misses. The probe side is bounded
+    * by contract (an eval suite, not a corpus), so it broadcasts and the
+    * scan stays map-only — same discipline as `mine_hard_negatives`'
+    * documented bounded-anchor BNLJ. */
+  val decontaminateSemantic: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val probes = broadcast(emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pv")))
+    emb.filter(col("vec_id") % 97 =!= 0)
+      .join(probes)
+      .withColumn("cosine", floor(cosine(col("embedding"), col("pv")) * 1e6 + 0.5) / 1e6)
+      .filter(col("cosine") >= 0.30)
+      .select(col("vec_id"), col("probe_id"), col("cosine"))
+      .orderBy("vec_id", "probe_id")
+  }
+
   /** Cluster-stratified diversity sample: top-20 per k-means cluster by
     * md5-of-id order (deterministic "random", decorrelated from the
     * sharding/sampling hashes by the `:div` salt) — the coverage-
@@ -2410,6 +2437,8 @@ object GraftQueries {
     "cluster_kmeans" -> clusterKmeans,
     "dedup_semantic" -> dedupSemantic,
     "cluster_diverse_sample" -> clusterDiverseSample,
+    "dedup_semantic_prune" -> dedupSemanticPrune,
+    "decontaminate_semantic" -> decontaminateSemantic,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -146,9 +146,14 @@ object Clustering {
     * the cluster column, so the cluster-gating is directly observable
     * against the all-pairs baseline. */
   def semanticNearDup(emb: DataFrame, k: Int, iters: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    semanticNearDupFrom(kmeansAssign(emb, k, iters, idCol, vecCol), threshold, idCol, vecCol)
+
+  /** Pair stage over an existing assignment frame (so composed callers
+    * train the centroids once). */
+  def semanticNearDupFrom(assigned: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val a = kmeansAssign(emb, k, iters, idCol, vecCol)
-      .select(col(idCol), col(vecCol), col("cluster_id"))
+    val a = assigned.select(col(idCol), col(vecCol), col("cluster_id"))
     val l = a.select(col("cluster_id"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val r = a.select(col("cluster_id"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     l.join(r, Seq("cluster_id"))
@@ -156,5 +161,21 @@ object Clustering {
       .withColumn("cosine", round6(VectorFunctions.cosine(col("va"), col("vb"))))
       .filter(col("cosine") >= threshold)
       .select(col("cluster_id"), col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** SemDeDup end-state: the pruned corpus. Keep-lowest-id rule — a
+    * vector is dropped when ANY same-cluster lower id is a near-dup
+    * (the conservative any-match variant of SemDeDup's keep-one-per-
+    * ε-ball; deterministic, and the drop set is exactly the pair
+    * relation's id_b side, so the oracle is the pair CTE + an anti-join).
+    * Left-anti join shuffles on id — at 100 TB the drop side is the
+    * (small) near-dup pair relation, not the corpus. */
+  def semanticPrune(emb: DataFrame, k: Int, iters: Int, threshold: Double,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val assigned = kmeansAssign(emb, k, iters, idCol, vecCol)
+    val dropped = semanticNearDupFrom(assigned, threshold, idCol, vecCol)
+      .select(col("id_b").as(idCol)).distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("cluster_id"))
   }
 }

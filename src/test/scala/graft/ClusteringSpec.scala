@@ -71,6 +71,38 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("semantic prune: survivors + pair id_b side partition the corpus") {
+    val pairs = Clustering.semanticNearDup(emb, k = 8, iters = 2, threshold = 0.35)
+    val droppedIds = pairs.select("id_b").collect().map(_.getLong(0)).toSet
+    val survivors = Clustering.semanticPrune(emb, k = 8, iters = 2, threshold = 0.35)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val all = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(survivors.union(droppedIds) == all)
+    assert(survivors.intersect(droppedIds).isEmpty)
+    // keep-lowest-id: every pair's id_a survives unless itself someone's id_b
+    val ids_a = pairs.select("id_a").collect().map(_.getLong(0)).toSet
+    assert((ids_a -- droppedIds).subsetOf(survivors))
+  }
+
+  test("semantic decontamination flags only corpus rows, all above threshold") {
+    val out = GraftQueries.all("decontaminate_semantic")(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(0) % 97 != 0, "probe leaked into the flagged corpus side")
+      assert(r.getLong(1) % 97 == 0, "non-probe id on the probe side")
+      assert(r.getDouble(2) >= 0.30)
+    }
+  }
+
+  test("plan: decontamination broadcasts the bounded probe side") {
+    val p = GraftQueries.all("decontaminate_semantic")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probe side not broadcast:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      s"probe join must not shuffle the corpus:\n$p")
+  }
+
   test("plan: assignment is map-only (no join), centroids ride as literals") {
     val p = GraftQueries.all("cluster_kmeans")(spark, sf)
       .queryExecution.explainString(FormattedMode)
