@@ -113,6 +113,14 @@ class ClusteringSpec extends SparkSpec {
     assert(exchanges <= 1, s"map-only assignment grew $exchanges exchanges:\n$p")
   }
 
+  test("plan: diverse sample rank-filter runs as WindowGroupLimit") {
+    // k clusters is few keys; without the map-side group-limit pre-prune
+    // each reducer would absorb its whole cluster before ranking
+    val p = GraftQueries.all("cluster_diverse_sample")(spark, sf)
+      .queryExecution.explainString(FormattedMode)
+    assert(p.contains("WindowGroupLimit"), s"rank filter not group-limited:\n$p")
+  }
+
   test("plan: semantic dedup shuffles on cluster_id, never all-pairs") {
     val p = GraftQueries.all("dedup_semantic")(spark, sf)
       .queryExecution.explainString(FormattedMode)
