@@ -74,14 +74,17 @@ object GraftOracles {
     * Spark side performs, so per-vector assignments hash-match. Ends at
     * `s2f` = (vec_id, embedding, cid) and `a2f` = the final-centroid
     * distance relation; callers append their SELECT. */
-  private val kmeansCte: String = {
-    def dist(c: String) =
-      s"""floor(list_sum(list_transform(range(1,65),
-         |      i -> (e.embedding[CAST(i AS INT)]::DOUBLE - $c.v[CAST(i AS INT)])
-         |         * (e.embedding[CAST(i AS INT)]::DOUBLE - $c.v[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6""".stripMargin
+  private def kmDist(c: String) =
+    s"""floor(list_sum(list_transform(range(1,65),
+       |      i -> (e.embedding[CAST(i AS INT)]::DOUBLE - $c.v[CAST(i AS INT)])
+       |         * (e.embedding[CAST(i AS INT)]::DOUBLE - $c.v[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6""".stripMargin
+
+  /** Source-parameterized variant: `srcWhere` restricts the TRAINING
+    * corpus (the streaming twin trains on the standing slice only). */
+  private def kmeansCteOn(srcWhere: String): String = {
     def round(i: Int, prev: String): String =
-      s"""d$i AS (SELECT e.vec_id, e.embedding, c.cid, ${dist("c")} AS dr
-         |  FROM embeddings e CROSS JOIN $prev c),
+      s"""d$i AS (SELECT e.vec_id, e.embedding, c.cid, ${kmDist("c")} AS dr
+         |  FROM ksrc e CROSS JOIN $prev c),
          |a$i AS (SELECT vec_id, embedding, cid, dr,
          |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn FROM d$i),
          |s$i AS (SELECT vec_id, embedding, cid FROM a$i WHERE rn = 1),
@@ -93,18 +96,21 @@ object GraftOracles {
          |  FROM m$i GROUP BY 1),
          |c$i AS (SELECT * FROM cm$i UNION ALL
          |  SELECT * FROM $prev p WHERE p.cid NOT IN (SELECT cid FROM cm$i))""".stripMargin
-    s"""seeds AS (SELECT CAST(vec_id % 8 AS INT) AS cid, min(vec_id) AS seed_id
-       |  FROM embeddings GROUP BY 1),
+    s"""ksrc AS (SELECT vec_id, embedding FROM embeddings WHERE $srcWhere),
+       |seeds AS (SELECT CAST(vec_id % 8 AS INT) AS cid, min(vec_id) AS seed_id
+       |  FROM ksrc GROUP BY 1),
        |c0 AS (SELECT s.cid, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM seeds s JOIN embeddings e ON e.vec_id = s.seed_id),
+       |  FROM seeds s JOIN ksrc e ON e.vec_id = s.seed_id),
        |${round(1, "c0")},
        |${round(2, "c1")},
-       |d2f AS (SELECT e.vec_id, e.embedding, c.cid, ${dist("c")} AS dr
-       |  FROM embeddings e CROSS JOIN c2 c),
+       |d2f AS (SELECT e.vec_id, e.embedding, c.cid, ${kmDist("c")} AS dr
+       |  FROM ksrc e CROSS JOIN c2 c),
        |a2f AS (SELECT vec_id, embedding, cid, dr,
        |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn FROM d2f),
        |s2f AS (SELECT vec_id, embedding, cid FROM a2f WHERE rn = 1)""".stripMargin
   }
+
+  private val kmeansCte: String = kmeansCteOn("TRUE")
 
   // text-analysis shared fragments
   private val toks = """string_split_regex(trim(lower(text)), '\s+')"""
@@ -533,6 +539,26 @@ object GraftOracles {
          |FROM s2f a JOIN s2f b ON a.cid = b.cid AND a.vec_id < b.vec_id
          |WHERE floor(($cosineDouble) * 1e6 + 0.5) / 1e6 >= 0.35
          |ORDER BY 1, 2, 3""".stripMargin,
+
+    "cluster_kmeans_stats" ->
+      s"""WITH $kmeansCte
+         |SELECT CAST(cid AS BIGINT) AS cluster_id, count(*) AS n,
+         |  floor(CAST(sum(CAST(floor(dr * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / count(*) + 0.5) / 1e6 AS mean_dist,
+         |  max(dr) AS max_dist
+         |FROM a2f WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // train on the standing slice, assign the streamed arrivals — the
+    // stateless batch expression IS the streaming plan, so this checks
+    // the streamed output verbatim
+    "streaming_cluster_assign" ->
+      s"""WITH ${kmeansCteOn("vec_id % 10 <> 7")},
+         |arr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 10 = 7),
+         |ad AS (SELECT e.vec_id, c.cid, ${kmDist("c")} AS dr
+         |  FROM arr e CROSS JOIN c2 c),
+         |aa AS (SELECT vec_id, cid, dr,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn FROM ad)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, dr AS dist
+         |FROM aa WHERE rn = 1 ORDER BY vec_id""".stripMargin,
 
     // pair CTE's id_b side IS the drop set: survivors = anti-join
     "dedup_semantic_prune" ->

@@ -759,6 +759,30 @@ object GraftQueries {
       .orderBy("vec_id", "probe_id")
   }
 
+  /** Per-cluster fit statistics (size, mean/max distance-to-centroid):
+    * the convergence/balance observables a clustering job reports. Mean
+    * goes through fixed-point µ-unit long sums (dist is already rounded
+    * to 6 decimals, so `floor(dist·1e6 + 0.5)` is its exact integer
+    * form) — partial-agg merge order cannot shift it. */
+  val clusterKmeansStats: Q = (s, d) =>
+    Clustering.kmeansAssign(Tables.embeddings(s, d), k = 8, iters = 2)
+      .groupBy("cluster_id")
+      .agg(count(lit(1)).as("n"),
+        (floor(sum(floor(col("dist") * 1e6 + 0.5).cast("long")).cast("double")
+          / count(lit(1)) + 0.5) / 1e6).as("mean_dist"),
+        max(col("dist")).as("max_dist"))
+      .orderBy("cluster_id")
+
+  /** Streaming nearest-centroid routing: centroids train on the standing
+    * corpus (vec_id % 10 ≠ 7), arrivals stream in and are assigned by
+    * the UNCHANGED batch expression — stateless append-mode scoring, the
+    * online half of SemDeDup/IVF ingestion. Oracle = batch-trained
+    * assignment of the same arrivals slice. */
+  val streamingClusterAssign: Q = (s, d) =>
+    graft.streaming.DocStream.runStreamingClusterAssign(s, s"$d/embeddings.parquet",
+        "graft_sca_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .orderBy("vec_id")
+
   /** Cluster-stratified diversity sample: top-20 per k-means cluster by
     * md5-of-id order (deterministic "random", decorrelated from the
     * sharding/sampling hashes by the `:div` salt) — the coverage-
@@ -2439,6 +2463,8 @@ object GraftQueries {
     "cluster_diverse_sample" -> clusterDiverseSample,
     "dedup_semantic_prune" -> dedupSemanticPrune,
     "decontaminate_semantic" -> decontaminateSemantic,
+    "cluster_kmeans_stats" -> clusterKmeansStats,
+    "streaming_cluster_assign" -> streamingClusterAssign,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -35,6 +35,44 @@ object DocStream {
     EventStream.drainMemorySink(spark0, spark, q, queryName)
   }
 
+  /** Streaming nearest-centroid assignment: vectors arrive as a stream
+    * and are routed to k-means cells trained ONCE on the standing corpus
+    * — the online half of the SemDeDup/IVF story (route-at-ingest; a
+    * nightly retrain refreshes the centroids the same way the signature
+    * index absorbs nightly batches). Assignment is a STATELESS row-wise
+    * projection (plan-literal centroids, map-only argmin), so the batch
+    * expression runs UNCHANGED on the stream — zero state, append mode,
+    * same discipline as [[runStreamingQuality]] — and the batch-trained
+    * oracle checks the streamed output verbatim. */
+  def runStreamingClusterAssign(spark0: SparkSession, embParquet: String,
+                                queryName: String): DataFrame = {
+    val spark = EventStream.streamSession(spark0)
+    val standing = spark.read.parquet(
+      new java.io.File(embParquet).getAbsolutePath)
+      .filter(col("vec_id") % 10 =!= 7)
+    var cents = graft.operators.Clustering.initCentroids(
+      standing, 8, "vec_id", "embedding")
+    for (_ <- 0 until 2)
+      cents = graft.operators.Clustering.lloydStep(
+        standing, cents, "vec_id", "embedding")
+    val stream = EventStream.readFileStream(spark, embParquet)
+      .filter(col("vec_id") % 10 === 7) // the arrivals slice
+    val assigned = stream
+      .withColumn("_a",
+        graft.operators.Clustering.assignStruct(col("embedding"), cents))
+      .select(col("vec_id"),
+        col("_a").getField("cid").cast("long").as("cluster_id"),
+        col("_a").getField("dist").as("dist"))
+    val q = assigned.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    EventStream.drainMemorySink(spark0, spark, q, queryName)
+  }
+
   /** Streaming near-duplicate detection: new documents ARRIVE AS A
     * STREAM and are LSH-checked per micro-batch — via `foreachBatch` +
     * the INDEXED batch incremental operator — against the standing

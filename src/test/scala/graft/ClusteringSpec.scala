@@ -94,6 +94,31 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("cluster stats: sizes partition the corpus, mean <= max") {
+    val stats = GraftQueries.all("cluster_kmeans_stats")(spark, sf).collect()
+    assert(stats.map(_.getLong(1)).sum == emb.count())
+    stats.foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3) + 1e-9,
+        s"cluster ${r.getLong(0)}: mean ${r.getDouble(2)} > max ${r.getDouble(3)}")
+    }
+  }
+
+  test("streaming assignment equals the batch expression on the arrivals slice") {
+    // centroids train on the standing slice; the streamed plan is the
+    // unchanged batch projection, so outputs must match row-for-row
+    val standing = emb.filter(col("vec_id") % 10 =!= 7)
+    var cents = Clustering.initCentroids(standing, 8, "vec_id", "embedding")
+    for (_ <- 0 until 2) cents = Clustering.lloydStep(standing, cents, "vec_id", "embedding")
+    val batch = emb.filter(col("vec_id") % 10 === 7)
+      .withColumn("_a", Clustering.assignStruct(col("embedding"), cents))
+      .select(col("vec_id"), col("_a").getField("cid").cast("long").as("cluster_id"),
+        col("_a").getField("dist").as("dist"))
+      .orderBy("vec_id").collect().toSeq
+    val streamed = GraftQueries.all("streaming_cluster_assign")(spark, sf)
+      .orderBy("vec_id").collect().toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("plan: decontamination broadcasts the bounded probe side") {
     val p = GraftQueries.all("decontaminate_semantic")(spark, sf)
       .queryExecution.explainString(FormattedMode)
