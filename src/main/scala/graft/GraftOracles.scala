@@ -886,6 +886,7 @@ object GraftOracles {
     // its JSONL/CSV write+read cycle; hash equality proves losslessness
     "source_jsonl" -> roundtripChecksumSql,
     "source_csv" -> roundtripChecksumSql,
+    "source_orc" -> roundtripChecksumSql,
 
     // WARC adds an id sum to the checksum: header parsing (record id out
     // of the WARC-Record-ID header), not just payload transport, must

@@ -897,6 +897,21 @@ object GraftQueries {
 
   /** CSV round-trip (RFC-style doubled-quote escaping, multiLine read so
     * embedded newlines/quotes survive; explicit schema like sourceJsonl). */
+  /** ORC round-trip (the other columnar interchange format Spark ships
+    * a native vectorized reader for): same lossless-checksum contract as
+    * the CSV/JSONL sources. ORC carries the schema, so read-back needs
+    * no re-declaration — types survive the trip by construction. */
+  val sourceOrc: Q = (s, d) => {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    try {
+      val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
+      docs.write.mode("overwrite").orc(tmp)
+      val out = roundtripChecksum(s.read.orc(tmp))
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally rmTreeLocal(tmp)
+  }
+
   val sourceCsv: Q = (s, d) => {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
     try {
@@ -2465,6 +2480,7 @@ object GraftQueries {
     "decontaminate_semantic" -> decontaminateSemantic,
     "cluster_kmeans_stats" -> clusterKmeansStats,
     "streaming_cluster_assign" -> streamingClusterAssign,
+    "source_orc" -> sourceOrc,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -34,6 +34,37 @@ class ClusteringSpec extends SparkSpec {
     assert(got.toSeq == expected.toSeq)
   }
 
+  test("argmin property: 300 random vectors incl. exact ties match a reference loop") {
+    // centroid 7 duplicates centroid 6 — every vector ties between them
+    // exactly, so the lowest-cid rule is exercised on every row; some
+    // vectors sit exactly ON a centroid (dist 0.0)
+    val rnd = new scala.util.Random(0x5eed)
+    val dim = 16
+    val base = Array.fill(7)(Array.fill(dim)(rnd.nextFloat() - 0.5f))
+    val cents = base :+ base(6).clone()
+    val vecs: Seq[(Long, Seq[Float])] = (0 until 300).map { i =>
+      val v = if (i % 7 == 0) cents(i % 8).clone()
+              else Array.fill(dim)(rnd.nextFloat() - 0.5f)
+      (i.toLong, v.toSeq)
+    }
+    import spark.implicits._
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.withColumn("_a", Clustering.assignStruct(col("embedding"), cents))
+      .select(col("vec_id"), col("_a").getField("cid"), col("_a").getField("dist"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1)
+    val expected = vecs.map { case (id, v) =>
+      val dists = cents.map { c =>
+        var acc = 0.0; var i = 0
+        while (i < dim) { val d = v(i).toDouble - c(i); acc += d * d; i += 1 }
+        math.floor(acc * 1e6 + 0.5) / 1e6
+      }
+      val best = dists.zipWithIndex.minBy { case (dd, j) => (dd, j) }
+      (id, best._2, best._1)
+    }.sortBy(_._1)
+    assert(got.toSeq == expected)
+    assert(got.forall(_._2 != 7), "tie against a duplicate centroid must fall to the lower cid")
+  }
+
   test("every cluster inhabited at harness scale; dist >= 0; ids covered") {
     val a = Clustering.kmeansAssign(emb, k = 8, iters = 2)
     assert(a.count() == emb.count())
