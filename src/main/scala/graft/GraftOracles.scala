@@ -586,6 +586,28 @@ object GraftOracles {
          |SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id, CAST(rk AS BIGINT) AS rk
          |FROM rk WHERE rk <= 20 ORDER BY cluster_id, rk""".stripMargin,
 
+    // int8 SQ twin: per-dim min/max quantizer, encode/decode arithmetic
+    // stated in the same operation order as sqEncode/SqAdcDistance
+    "ann_sq_topk" ->
+      s"""WITH mm AS (SELECT u.p AS pos,
+         |    min(embedding[CAST(u.p + 1 AS INT)]::DOUBLE) AS mn,
+         |    max(embedding[CAST(u.p + 1 AS INT)]::DOUBLE) AS mx
+         |  FROM embeddings, unnest(range(0, 64)) AS u(p) GROUP BY 1),
+         |mml AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM mm),
+         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |enc AS (SELECT e.vec_id,
+         |    list_transform(range(1,65), i -> CASE WHEN m.mxs[CAST(i AS INT)] = m.mns[CAST(i AS INT)] THEN 0
+         |      ELSE CAST(floor((e.embedding[CAST(i AS INT)]::DOUBLE - m.mns[CAST(i AS INT)])
+         |        / (m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) * 255 + 0.5) AS INT) END) AS code
+         |  FROM embeddings e CROSS JOIN mml m WHERE e.vec_id <> 0),
+         |dd AS (SELECT enc.vec_id,
+         |    floor(list_sum(list_transform(range(1,65),
+         |      i -> (m.mns[CAST(i AS INT)] + enc.code[CAST(i AS INT)] * ((m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) / 255) - q.qv[CAST(i AS INT)])
+         |         * (m.mns[CAST(i AS INT)] + enc.code[CAST(i AS INT)] * ((m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) / 255) - q.qv[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dist
+         |  FROM enc CROSS JOIN mml m CROSS JOIN q)
+         |SELECT vec_id, dist FROM dd ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
     "vec_knn" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, round($l2sqToQv, 6) AS distance

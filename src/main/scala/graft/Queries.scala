@@ -391,6 +391,37 @@ object GraftQueries {
       .orderBy("source")
 
   /** kNN top-10 by squared L2 (Chroma's default space), query = vector 0. */
+  /** int8 scalar-quantized kNN: per-dim min/max train the quantizer (one
+    * partial-agg; a dim-bounded collect), vectors encode to 1 byte/dim,
+    * and search is the fused dequantize+l2 [[graft.functions.SqAdcDistance]]
+    * codegen kernel against the full-precision query (asymmetric ADC) —
+    * the 4× compression point between full-precision kNN and IVF-PQ's
+    * 32×. Unlike PQ, the quantization arithmetic is exactly reproducible
+    * in SQL, so this ANN variant is a FULL oracle check. Top-10 is
+    * TakeOrderedAndProject (pinned). */
+  val annSqTopk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val mm = emb.select(posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .collect()
+    val dim = mm.length
+    val mins = new Array[Double](dim)
+    val maxs = new Array[Double](dim)
+    mm.foreach { r =>
+      mins(r.getInt(0)) = r.getDouble(1); maxs(r.getInt(0)) = r.getDouble(2)
+    }
+    val scales = Array.tabulate(dim)(i => (maxs(i) - mins(i)) / 255)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), sqEncode(col("embedding"), mins, maxs).as("code"))
+      .withColumn("dist", floor(sqAdc(col("code"), mins, scales, qv) * 1e6 + 0.5) / 1e6)
+      .select(col("vec_id"), col("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+  }
+
   val vecKnn: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -2481,6 +2512,7 @@ object GraftQueries {
     "cluster_kmeans_stats" -> clusterKmeansStats,
     "streaming_cluster_assign" -> streamingClusterAssign,
     "source_orc" -> sourceOrc,
+    "ann_sq_topk" -> annSqTopk,
   )
 
   // DuckDB oracle SQL — see GraftOracles

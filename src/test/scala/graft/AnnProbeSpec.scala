@@ -131,6 +131,26 @@ class AnnProbeSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("SQ top-10 recall vs exact kNN; plan is TakeOrderedAndProject") {
+    // int8 quantization of unit-scale 64-dim vectors is near-exact:
+    // measured overlap with exact l2 top-10 is 0.90 at sf0.001 (the one
+    // miss is a sub-1e-4 distance tie at ranks 10/11); pin >= 0.8 so a
+    // broken quantizer fails while corpus drift does not
+    val q = GraftQueries.all("ann_sq_topk")(spark, sf)
+    val p = q.queryExecution.explainString(org.apache.spark.sql.execution.FormattedMode)
+    assert(p.contains("TakeOrderedAndProject"), s"top-10 not TakeOrdered:\n$p")
+    val sq = q.collect().map(_.getLong(0)).toSet
+    val e = Tables.embeddings(spark, sf)
+    val qv = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+    val exact = e.filter(col("vec_id") =!= 0).crossJoin(qv)
+      .withColumn("d", graft.functions.VectorFunctions.l2Sq(col("embedding"), col("qv")))
+      .orderBy(col("d"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val overlap = sq.intersect(exact).size / 10.0
+    info(f"SQ top-10 overlap with exact: $overlap%.2f")
+    assert(overlap >= 0.8, f"SQ recall degraded: $overlap%.2f")
+  }
+
   test("IVF recall@10 >= 0.9 vs brute force at sf0.1, nprobe=4/16") {
     // the quality bar for the approximate path, at the bench scale factor:
     // deterministic (seeded centroids + fixed-point training), so this is

@@ -102,6 +102,18 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("cluster gating retains a usable share of the all-pairs near-dups") {
+    // SemDeDup's trade: only same-cluster pairs are compared. Measure the
+    // recall of that gate against the exact all-pairs relation and pin a
+    // floor — if a refactor degrades the clustering badly enough to drop
+    // most true pairs, this fails before the oracle (which only checks
+    // that the gated result matches the gated definition).
+    val semantic = Clustering.semanticNearDup(emb, k = 8, iters = 2, threshold = 0.35).count()
+    val allPairs = graft.operators.Dedup.embeddingNearDup(emb, "embedding", "vec_id", 0.35).count()
+    val recall = semantic.toDouble / allPairs
+    assert(recall >= 0.30, f"cluster-gate recall $recall%.2f below floor (k=8 on gate corpus)")
+  }
+
   test("semantic prune: survivors + pair id_b side partition the corpus") {
     val pairs = Clustering.semanticNearDup(emb, k = 8, iters = 2, threshold = 0.35)
     val droppedIds = pairs.select("id_b").collect().map(_.getLong(0)).toSet

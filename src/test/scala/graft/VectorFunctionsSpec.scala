@@ -40,6 +40,48 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(out == 8.0)
   }
 
+  test("SQ encode/ADC: reconstruction error bounded, exact on grid points") {
+    val mins = Array(0.0, -1.0, 2.0)
+    val maxs = Array(1.0, 1.0, 2.0) // dim 2 is degenerate (mx == mn)
+    val scales = Array.tabulate(3)(i => (maxs(i) - mins(i)) / 255)
+    val df = Seq(
+      Tuple1(Array(0f, -1f, 2f)),      // exact lower corner -> codes (0,0,0)
+      Tuple1(Array(1f, 1f, 2f)),       // exact upper corner -> (255,255,0)
+      Tuple1(Array(0.5f, 0.123f, 2f))
+    ).toDF("v")
+    val enc = df.select(sqEncode($"v", mins, maxs).as("code"))
+    val codes = enc.collect().map(_.getSeq[Int](0))
+    assert(codes(0) == Seq(0, 0, 0))
+    assert(codes(1) == Seq(255, 255, 0))
+    // ADC distance of a vector to ITSELF as query = pure quantization
+    // error: bounded by sum of (scale/2)^2 per dim
+    val q = Array(0.5, 0.123, 2.0)
+    val selfDist = enc.select(sqAdc($"code", mins, scales, q).as("d"))
+      .collect()(2).getDouble(0)
+    val bound = scales.map(s => (s / 2) * (s / 2)).sum + 1e-12
+    assert(selfDist <= bound, s"$selfDist > $bound")
+  }
+
+  test("SQ ADC codegen matches an HOF reconstruction") {
+    val mins = Array(-0.5, -0.5, -0.5, -0.5)
+    val maxs = Array(0.5, 0.5, 0.5, 0.5)
+    val scales = Array.tabulate(4)(i => (maxs(i) - mins(i)) / 255)
+    val query = Array(0.1, -0.2, 0.3, -0.4)
+    val rnd = new scala.util.Random(7)
+    val df = Seq.fill(50)(Tuple1(Array.fill(4)(rnd.nextFloat() - 0.5f))).toDF("v")
+      .select(sqEncode($"v", mins, maxs).as("code"))
+    val minsL = typedlit(mins); val qL = typedlit(query)
+    val hof = aggregate(
+      zip_with($"code", sequence(lit(1), lit(4)), (c, i) =>
+        (element_at(minsL, i) + c.cast("double") * element_at(typedlit(scales), i)
+          - element_at(qL, i)) *
+        (element_at(minsL, i) + c.cast("double") * element_at(typedlit(scales), i)
+          - element_at(qL, i))),
+      lit(0.0), (acc, x) => acc + x)
+    df.select(sqAdc($"code", mins, scales, query).as("e"), hof.as("h"))
+      .collect().foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
   test("normalize produces unit vectors") {
     val n = pairs.select(normalize($"a").as("n"))
       .select(sqrt(aggregate(transform($"n", x => x * x), lit(0.0), (a, x) => a + x)))
