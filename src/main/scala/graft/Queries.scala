@@ -1142,16 +1142,20 @@ object GraftQueries {
     val docs = Tables.spread(Tables.documents(s, d))
     val toksCol = TextAnalysis.tokens(col("text"))
     val toks = docs.select(explode(toksCol).as("w"))
-    val uni = toks.groupBy("w").agg(count(lit(1)).as("cw"))
-      .orderBy(col("cw").desc, col("w")).limit(vocabCap)
-    val nTok = toks.agg(count(lit(1)).as("n_tok"))
+    // totals derive from the aggregates themselves (sum of counts), not
+    // from extra corpus explode passes — the shared aggregate subtree is
+    // exchange-reusable, and this is how the oracle states them too
+    val uniFull = toks.groupBy("w").agg(count(lit(1)).as("cw"))
+    val uni = uniFull.orderBy(col("cw").desc, col("w")).limit(vocabCap)
+    val nTok = uniFull.agg(sum("cw").cast("long").as("n_tok"))
     val pairs = docs.select(explode(zip_with(
         slice(toksCol, lit(1), size(toksCol) - 1),
         slice(toksCol, lit(2), size(toksCol) - 1),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val nBig = pairs.agg(count(lit(1)).as("n_big"))
-    pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val pairsAgg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val nBig = pairsAgg.agg(sum("n").cast("long").as("n_big"))
+    pairsAgg
       .filter(col("n") >= 10)
       .join(broadcast(uni.select(col("w").as("w1"), col("cw").as("c1"))), "w1")
       .join(broadcast(uni.select(col("w").as("w2"), col("cw").as("c2"))), "w2")

@@ -99,10 +99,21 @@ object Tables {
     def walk(p: LogicalPlan): Option[Int] = p match {
       case lr: LogicalRDD => Some(lr.rdd.getNumPartitions)
       case lr: LogicalRelation => lr.relation match {
-        case fs: HadoopFsRelation => Some(fileScanPartitions(df.sparkSession, fs))
+        // the split-packing formula below is only valid for SPLITTABLE
+        // formats; a gzipped-text or multiLine json/csv relation reads
+        // one partition per file, so estimating it would let spread()
+        // silently skip the widening it exists for — those (rare at
+        // spread call sites) pay the physical probe
+        case fs: HadoopFsRelation
+            if fs.fileFormat.getClass.getSimpleName.matches("(Parquet|Orc)FileFormat") =>
+          Some(fileScanPartitions(df.sparkSession, fs))
         case _ => None
       }
-      case lr: LocalRelation => Some(if (lr.data.isEmpty) 0 else 1)
+      // LocalRelation: LocalTableScanExec parallelizes to
+      // min(rows, leafNodeDefaultParallelism) — version-sensitive enough
+      // that replicating it is riskier than the (cheap, local-data)
+      // physical probe
+      case _: LocalRelation => None
       case u @ (_: Project | _: Filter | _: Generate | _: SubqueryAlias) =>
         walk(u.asInstanceOf[UnaryNode].child)
       case _ => None

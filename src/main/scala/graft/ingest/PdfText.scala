@@ -210,6 +210,14 @@ object PdfText {
       case None =>
         """(?s)/(?:DecodeParms|DP)\s*<<(.*?)>>""".r.findFirstMatchIn(dict)
           .map(m => Seq.fill(nFilters)(Option(m.group(1))))
+          .orElse {
+            // scalar '/DecodeParms null' is spec-equivalent to absent
+            // (PDF 32000 §7.3.8) — must not blank the stream
+            if ("""/(?:DecodeParms|DP)\s*null(?![0-9A-Za-z])""".r
+                .findFirstIn(dict).isDefined)
+              Some(Seq.fill(nFilters)(Option.empty[String]))
+            else None
+          }
     }
   }
 

@@ -57,7 +57,6 @@ object Warc {
             compression: Option[String] = None): Long = {
     val required = Seq("doc_id", "source", "lang", "text")
     val anyNull = required.map(col(_).isNull).reduce(_ || _)
-    val dropped = docs.filter(anyNull).count()
     val rec = concat(
       lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:graft:"),
       col("doc_id").cast("string"),
@@ -65,10 +64,16 @@ object Warc {
       lit("\r\nWARC-Language: "), col("lang"),
       lit("\r\nContent-Length: "), octet_length(col("text")).cast("string"),
       lit("\r\n\r\n"), col("text"), lit("\r\n"))
-    val w = docs.filter(!anyNull).select(rec.as("value"))
-      .write.mode("overwrite")
+    // the dropped count rides the write job as an observed metric: ONE
+    // scan (a separate pre-count would double ingest read I/O and could
+    // disagree with the write pass on a nondeterministic input)
+    val obs = org.apache.spark.sql.Observation()
+    val observed = docs
+      .observe(obs, sum(anyNull.cast("long")).as("dropped"))
+      .filter(!anyNull)
+    val w = observed.select(rec.as("value")).write.mode("overwrite")
     compression.fold(w)(c => w.option("compression", c)).text(dir)
-    dropped
+    Option(obs.get("dropped")).map(_.asInstanceOf[Long]).getOrElse(0L)
   }
 
   /** Read a WARC directory back as (doc_id string, source, lang, text).

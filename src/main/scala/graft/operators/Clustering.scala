@@ -126,13 +126,23 @@ object Clustering {
     next
   }
 
+  /** Deterministic init + `iters` Lloyd rounds: the ONE training
+    * definition (batch queries and the streaming router both call this,
+    * so iteration count / init changes cannot de-synchronize them from
+    * the oracle's unrolled twin). */
+  def trainCentroids(emb: DataFrame, k: Int, iters: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Float]] = {
+    var cents = initCentroids(emb, k, idCol, vecCol)
+    for (_ <- 0 until iters) cents = lloydStep(emb, cents, idCol, vecCol)
+    cents
+  }
+
   /** `iters` Lloyd rounds from the deterministic init; returns the input
     * with `cluster_id` (long) and `dist` (rounded l2²  to the FINAL
     * centroid set) attached — a map-only projection over the scan. */
   def kmeansAssign(emb: DataFrame, k: Int, iters: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    var cents = initCentroids(emb, k, idCol, vecCol)
-    for (_ <- 0 until iters) cents = lloydStep(emb, cents, idCol, vecCol)
+    val cents = trainCentroids(emb, k, iters, idCol, vecCol)
     val a = assignStruct(col(vecCol), cents)
     emb.withColumn("_a", a)
       .withColumn("cluster_id", col("_a").getField("cid").cast("long"))

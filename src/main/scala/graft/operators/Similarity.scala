@@ -290,8 +290,13 @@ object Similarity {
                 trainIters: Int = 3, sampleCap: Int = 20000): DataFrame = {
     val (cents, cb) = trainIvfPq(collection, vecCol, idCol, ncells, m, ksub,
       trainIters, sampleCap)
+    // rerankFetch = the RAW collection: on this inline path cell_id is
+    // derived by the encode UDF, so fetching from the pruned encoded
+    // relation would re-run the (dominant-cost) encode over the whole
+    // collection a second time just to read vectors back
     pqSearchEncoded(pqEncode(collection, vecCol, idCol, cents, cb),
-      vecCol, idCol, cents, cb, queries, qIdCol, qVecCol, k, nprobe, rerank)
+      vecCol, idCol, cents, cb, queries, qIdCol, qVecCol, k, nprobe, rerank,
+      rerankFetch = Some(collection.select(col(idCol), col(vecCol))))
   }
 
   /** Coarse quantizer + PQ codebooks trained on the deterministic
@@ -393,7 +398,8 @@ object Similarity {
   def pqSearchEncoded(encoded: DataFrame, vecCol: String, idCol: String,
                       cents: Array[(Int, Array[Float])], cb: PqCodebook,
                       queries: DataFrame, qIdCol: String, qVecCol: String,
-                      k: Int, nprobe: Int = 4, rerank: Int = 4): DataFrame = {
+                      k: Int, nprobe: Int = 4, rerank: Int = 4,
+                      rerankFetch: Option[DataFrame] = None): DataFrame = {
     val spark = encoded.sparkSession
     import spark.implicits._
     val centById = cents.toMap
@@ -453,11 +459,13 @@ object Similarity {
       shortlist.select(col(qIdCol), col(idCol), col("adc").as("score"), col("rank"))
     else {
       // exact re-rank of the bounded shortlist: fetch the rerank*k
-      // candidate vectors from the SAME (pruned) encoded relation —
-      // broadcast of the small shortlist side keeps the scan
-      // shuffle-free, and on the stored layout the fetch stays inside
-      // the probed partitions — and score against the query vector from
-      // the driver-side map
+      // candidate vectors — by default from the pruned encoded relation
+      // (on the stored layout the cell filter is pure partition pruning,
+      // so the fetch stays inside the probed partitions for free); the
+      // inline path overrides with the raw collection via `rerankFetch`
+      // because there the cell filter would re-run the encode UDF over
+      // the whole collection. Broadcast of the small shortlist side
+      // keeps the scan shuffle-free either way.
       val qMap = qRows.toMap
       val exactD = udf((qid: Long, v: Seq[Float]) => {
         val qv = qMap(qid)
@@ -468,7 +476,7 @@ object Similarity {
         acc
       })
       val wExact = Window.partitionBy(col(qIdCol)).orderBy(col("score"), col(idCol))
-      pruned.select(col(idCol), col(vecCol).as("_fetch_v"))
+      rerankFetch.getOrElse(pruned).select(col(idCol), col(vecCol).as("_fetch_v"))
         .join(broadcast(shortlist.select(col(qIdCol), col(idCol))), Seq(idCol))
         .withColumn("score", round(exactD(col(qIdCol), col("_fetch_v")), 6))
         .withColumn("rank", row_number().over(wExact).cast("long"))

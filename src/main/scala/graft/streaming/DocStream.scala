@@ -50,11 +50,8 @@ object DocStream {
     val standing = spark.read.parquet(
       new java.io.File(embParquet).getAbsolutePath)
       .filter(col("vec_id") % 10 =!= 7)
-    var cents = graft.operators.Clustering.initCentroids(
-      standing, 8, "vec_id", "embedding")
-    for (_ <- 0 until 2)
-      cents = graft.operators.Clustering.lloydStep(
-        standing, cents, "vec_id", "embedding")
+    val cents = graft.operators.Clustering.trainCentroids(
+      standing, k = 8, iters = 2, "vec_id", "embedding")
     val stream = EventStream.readFileStream(spark, embParquet)
       .filter(col("vec_id") % 10 === 7) // the arrivals slice
     val assigned = stream
@@ -142,10 +139,7 @@ object DocStream {
       spark0.createDataFrame(
         java.util.Arrays.asList(rows.toSeq: _*), schema)
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(scratch))
+      graft.store.VectorStore(scratch).destroy()
     }
   }
 }

@@ -258,10 +258,7 @@ class DedupSpec extends SparkSpec {
       assert(a == b, s"indexed vs inline divergence: ${a.diff(b)} / ${b.diff(a)}")
       assert(a.nonEmpty, "fixture slice should contain at least one near-dup pair")
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(scratch))
+      graft.store.VectorStore(scratch).destroy()
     }
   }
 
@@ -292,10 +289,7 @@ class DedupSpec extends SparkSpec {
       // day 2 finds dups against BOTH the original corpus and day 1
       assert(check(day2) == Set((20L, 10L), (21L, 1L)))
     } finally {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
-      }
-      rm(new java.io.File(scratch))
+      graft.store.VectorStore(scratch).destroy()
     }
   }
 

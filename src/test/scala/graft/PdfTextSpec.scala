@@ -396,6 +396,13 @@ class PdfTextSpec extends SparkSpec {
       "/Filter /FlateDecode /DecodeParms 9 0 R",
       deflate(pngEncode(padded, cols, _ => 2))))
     assert(txt4 == "", s"indirect parms must blank, got: '$txt4'")
+    // scalar '/DecodeParms null' is spec-equivalent to ABSENT (PDF 32000
+    // §7.3.8) — a chain that needs no parameters must still decode
+    val enc5 = a85Encode(deflate(padded))
+    val txt5 = PdfText.extract(binaryStreamPdf(
+      "/Filter [ /ASCII85Decode /FlateDecode ] /DecodeParms null", enc5))
+    assert(txt5.contains("parallel parms text"),
+      s"scalar null parms must not blank, got: '$txt5'")
   }
 
   // ----------------------------------------------------------- LZW

@@ -31,6 +31,26 @@ class TablesSpec extends SparkSpec {
       docs.groupBy("lang").agg(count(lit(1)))).isEmpty)
   }
 
+  test("estimatedPartitions declines non-splittable sources and local relations") {
+    // gzipped text reads one partition per file — the split-packing
+    // formula would overcount and let spread() skip its widening; such
+    // scans must fall back to the physical probe
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gztext").toString
+    try {
+      Tables.documents(spark, sf).select(col("doc_id").cast("string"))
+        .coalesce(1).write.mode("overwrite").option("compression", "gzip").text(tmp)
+      val gz = spark.read.text(tmp)
+      assert(Tables.estimatedPartitions(gz).isEmpty,
+        "non-parquet/orc file source must pay the physical probe")
+    } finally graft.store.VectorStore(tmp).destroy()
+    // LocalTableScanExec parallelizes local data, so a static estimate
+    // of 1 would make spread() insert a needless shuffle+barrier
+    import spark.implicits._
+    val local = Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+    assert(Tables.estimatedPartitions(local).isEmpty,
+      "local relations must pay the physical probe")
+  }
+
   test("spread widens a narrow scan to the session parallelism") {
     val par = spark.sparkContext.defaultParallelism
     val out = Tables.spread(Tables.documents(spark, sf))
