@@ -586,6 +586,24 @@ object GraftOracles {
          |SELECT CAST(cid AS BIGINT) AS cluster_id, vec_id, CAST(rk AS BIGINT) AS rk
          |FROM rk WHERE rk <= 20 ORDER BY cluster_id, rk""".stripMargin,
 
+    // Morton-key twin: min-max 16-bit normalization (trunc mirrors
+    // Spark's double->long cast; clamp + null->0 coalesce identical),
+    // then the 16-term bit interleave spelled out
+    "zorder_key" -> {
+      def norm(c: String, lo: String, hi: String) =
+        s"CAST(trunc(least(greatest(coalesce(($c - $lo) / ($hi - $lo) * 65535, 0.0), 0.0), 65535.0)) AS BIGINT)"
+      val morton = (0 until 16).map(i =>
+        s"((((n1 >> $i) & 1) << ${2 * i + 1}) | (((n2 >> $i) & 1) << ${2 * i}))")
+        .mkString(" | ")
+      s"""WITH st AS (SELECT min(user_id::DOUBLE) AS lo1, max(user_id::DOUBLE) AS hi1,
+         |    min(value) AS lo2, max(value) AS hi2 FROM events),
+         |n AS (SELECT e.event_id,
+         |    ${norm("e.user_id::DOUBLE", "st.lo1", "st.hi1")} AS n1,
+         |    ${norm("e.value", "st.lo2", "st.hi2")} AS n2
+         |  FROM events e CROSS JOIN st)
+         |SELECT event_id, $morton AS zkey FROM n ORDER BY event_id""".stripMargin
+    },
+
     // int8 SQ twin: per-dim min/max quantizer, encode/decode arithmetic
     // stated in the same operation order as sqEncode/SqAdcDistance
     "ann_sq_topk" ->

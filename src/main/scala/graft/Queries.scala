@@ -4,7 +4,7 @@ import graft.embed.HashEmbedder
 import graft.functions.VectorFunctions._
 import graft.ingest.IngestPipeline
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, Clustering, Dedup, Similarity}
+import graft.operators.{AsOf, Clustering, Dedup, Similarity, ZOrder}
 import graft.query.{Knn, WhereDsl}
 import graft.streaming.EventStream
 import graft.text.{QualityClassifier, TextAnalysis}
@@ -829,6 +829,18 @@ object GraftQueries {
       .orderBy("cluster_id", "rk")
 
   // ========================================================= text analysis
+
+  /** Z-order (Morton) clustering key over (user_id, value): the
+    * data-skipping layout primitive (`OPTIMIZE ZORDER BY`), surfaced in
+    * the oracle gate — min-max normalization to 16-bit grids and the
+    * bit interleave are plain integer/double arithmetic, so the full
+    * per-event key hash-matches a SQL twin. The layout effect itself
+    * (tight per-file bounding boxes after range-partitioning on this
+    * key) is pinned in ScaleSpec. */
+  val zorderKey: Q = (s, d) =>
+    ZOrder.withZorderKey(Tables.events(s, d), "user_id", "value", bits = 16)
+      .select(col("event_id"), col("_zorder").as("zkey"))
+      .orderBy("event_id")
 
   /** Per-document statistics + composite quality score. */
   val textStats: Q = (s, d) =>
@@ -2517,6 +2529,7 @@ object GraftQueries {
     "streaming_cluster_assign" -> streamingClusterAssign,
     "source_orc" -> sourceOrc,
     "ann_sq_topk" -> annSqTopk,
+    "zorder_key" -> zorderKey,
   )
 
   // DuckDB oracle SQL — see GraftOracles
