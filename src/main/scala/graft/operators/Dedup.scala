@@ -153,10 +153,18 @@ object Dedup {
   def minhashLsh(df: DataFrame, textCol: String, idCol: String,
                  shingleSize: Int = 5, bands: Int = 32, rowsPerBand: Int = 4,
                  threshold: Double = 0.8): DataFrame = {
-    // cache the shingle sets: the plan consumes them three times (banding
-    // + both sides of the verification join) and recomputing the
-    // hash+sort per consumer triples the dominant cost
-    val withSh = shingleRelation(df, textCol, idCol, shingleSize).cache()
+    // EAGER localCheckpoint, not cache(): the plan consumes the shingle
+    // sets three times (banding + both sides of the verification join)
+    // and recomputing the hash+sort per consumer triples the dominant
+    // cost — but a cache-manager entry the lazy result still references
+    // can never be unpersisted by this operator, and minhashLsh runs
+    // inside cleanCorpusDecisions, so every composed-pipeline execution
+    // in a long-lived session would leak one shingle relation (the bug
+    // class the r6 dedup_clusters and r8 lshNearDupJoin fixes closed).
+    // Checkpoint blocks are GC-managed (ContextCleaner drops them when
+    // the plan is unreferenced).
+    val withSh = shingleRelation(df, textCol, idCol, shingleSize)
+      .localCheckpoint(true)
     val banded = bandedOf(withSh, bands * rowsPerBand, bands)
     val candidates = banded.as("a")
       .join(banded.as("b"),
@@ -328,13 +336,17 @@ object Dedup {
                        blockCol: Option[String] = None): DataFrame = {
     val baseCols = Seq(col(idCol).as("_id"), shingleHashes(col(textCol), shingleSize).as("_sh")) ++
       blockCol.map(c => col(c).as("_blk"))
-    // cached: consumed as probe side AND broadcast build side. The probe
-    // side is repartitioned to the session parallelism — a single-file
-    // parquet input is ONE partition, which would run the whole
-    // pairs x merge-scan workload on one task under a broadcast join.
+    // EAGER localCheckpoint, not cache(): consumed as probe side AND
+    // broadcast build side, so it must be materialized once — but this
+    // operator can never unpersist a cached relation the lazy result
+    // still references (the long-lived-session leak class; see
+    // minhashLsh above). The probe side is repartitioned to the session
+    // parallelism first — a single-file parquet input is ONE partition,
+    // which would run the whole pairs x merge-scan workload on one task
+    // under a broadcast join.
     val par = df.sparkSession.sparkContext.defaultParallelism
     val base = df.select(baseCols: _*).withColumn("_n", size(col("_sh")))
-      .repartition(par).cache()
+      .repartition(par).localCheckpoint(true)
     val joinCond = {
       val idOrd = col("a._id") < col("b._id")
       // lossless: J >= t requires t*max(|A|,|B|) <= min(|A|,|B|)
@@ -655,10 +667,15 @@ object Dedup {
     val edges = pairs.select(col("src"), col("dst"))
       .union(pairs.select(col("dst").as("src"), col("src").as("dst")))
       .cache()
+    // eager localCheckpoint, not cache(): the round-1 reassignment drops
+    // the only operator-held reference, so a cache entry here could
+    // never be unpersisted (edges CAN be, at the bottom — it lives for
+    // the whole loop). Same GC-managed-blocks trade as the per-round
+    // checkpoints below.
     var labels = edges.select(col("src").as("id"))
       .distinct()
       .withColumn("label", col("id"))
-      .cache()
+      .localCheckpoint(true)
     // Convergence detection without a per-round join: labels only DECREASE
     // under min-propagation and the id set is fixed, so the label sum
     // strictly decreases iff any label changed. One 1-row aggregate per

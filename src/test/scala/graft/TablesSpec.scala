@@ -58,13 +58,27 @@ class TablesSpec extends SparkSpec {
     assert(out.count() === Tables.documents(spark, sf).count())
   }
 
-  test("lshNearDupJoin leaves no cached relation in the session") {
-    spark.catalog.clearCache()
+  test("near-dup operators leave no cached relation in the session") {
+    // r6/r8/r9 bug class: an operator that caches a relation its lazy
+    // result still references can never unpersist it — long-lived
+    // sessions (notebooks, services, the composed pipelines that call
+    // minhashLsh per execution) accumulate cache-manager entries forever.
     val emb = Tables.embeddings(spark, sf)
-    val out = graft.operators.Similarity
-      .lshNearDupJoin(emb, "embedding", "vec_id", threshold = 0.95)
-    out.count() // consume the result as a long-lived session would
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "operator must not leak a cache-manager entry past the call")
+    val docs = Tables.documents(spark, sf).limit(200)
+    val ops: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "lshNearDupJoin" -> (() => graft.operators.Similarity
+        .lshNearDupJoin(emb, "embedding", "vec_id", threshold = 0.95)),
+      "minhashLsh" -> (() => graft.operators.Dedup
+        .minhashLsh(docs, "text", "doc_id", threshold = 0.8)),
+      "ngramJaccardJoin" -> (() => graft.operators.Dedup
+        .ngramJaccardJoin(docs, "text", "doc_id", threshold = 0.6)),
+      "clusters" -> (() => graft.operators.Dedup
+        .clusters(docs, "text", "doc_id", threshold = 0.8)))
+    for ((name, op) <- ops) {
+      spark.catalog.clearCache()
+      op().count() // consume the result as a long-lived session would
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"$name must not leak a cache-manager entry past the call")
+    }
   }
 }
