@@ -421,6 +421,21 @@ object GraftOracles {
         |FROM documents WHERE lang IN ('en','zh')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Twin of collection_manifest: DuckDB independently recomputes the
+    // SHA-256 binding fingerprint over the SAME canonical string
+    // CollectionManifest.canonical builds (family hash, resource '',
+    // dim 64, prefixes 'passage: '/'query: ', no merges) and the row
+    // count off the source table — the Spark side must round-trip the
+    // sidecar and resolve the query embedder to hash-match.
+    "collection_manifest" ->
+      """SELECT 'hash' AS family, CAST(64 AS INT) AS dim,
+        |  'passage: ' AS passage_prefix, 'query: ' AS query_prefix,
+        |  CAST(0 AS INT) AS n_merges,
+        |  sha256('graft-embedder|hash||64|passage: |query: |') AS fingerprint,
+        |  true AS resolved_ok,
+        |  count(*) AS n_rows
+        |FROM documents""".stripMargin,
+
     "where_dsl_or" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE lang NOT IN ('en','es','fr') OR n_chars <= 120
@@ -588,10 +603,12 @@ object GraftOracles {
 
     // Morton-key twin: min-max 16-bit normalization (trunc mirrors
     // Spark's double->long cast; clamp + null->0 coalesce identical),
-    // then the 16-term bit interleave spelled out
+    // then the 16-term bit interleave spelled out. The hi<=lo CASE
+    // mirrors ZOrder's degenerate-dimension branch (constant column ->
+    // 0, not NULL/inf) so the twins agree even off the harness data.
     "zorder_key" -> {
       def norm(c: String, lo: String, hi: String) =
-        s"CAST(trunc(least(greatest(coalesce(($c - $lo) / ($hi - $lo) * 65535, 0.0), 0.0), 65535.0)) AS BIGINT)"
+        s"CASE WHEN $hi <= $lo THEN 0 ELSE CAST(trunc(least(greatest(coalesce(($c - $lo) / ($hi - $lo) * 65535, 0.0), 0.0), 65535.0)) AS BIGINT) END"
       val morton = (0 until 16).map(i =>
         s"((((n1 >> $i) & 1) << ${2 * i + 1}) | (((n2 >> $i) & 1) << ${2 * i}))")
         .mkString(" | ")

@@ -1810,6 +1810,39 @@ object GraftQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Collection-bound embedder manifest (Chroma binds the embedding
+    * function at create_collection,
+    * /root/reference/src/PDFToChromaIngester.py:51-54 — the last
+    * reference-API semantic previously unmapped): create an
+    * embedder-bound collection from the documents table with an
+    * asymmetric passage/query HashEmbedder pair, read the manifest back
+    * off disk, RESOLVE the query-side embedder from it alone, and emit
+    * the binding fields plus the SHA-256 fingerprint. The oracle
+    * recomputes the fingerprint with DuckDB's sha256() over the same
+    * canonical string and takes n_rows from the source table — proving
+    * both the fingerprint arithmetic and the sidecar round-trip
+    * cross-engine. Mismatch REJECTION is pinned in RagSearchSpec (an
+    * exception, not a hashable row). */
+  val collectionManifest: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_manifq").toString
+    val store = graft.store.VectorStore(root)
+    val (pe, qe) = graft.embed.Embedders.asymmetric(p => HashEmbedder(64, p))
+    val m = graft.store.CollectionManifest.of(pe, qe)
+    val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+    val embedded = graft.embed.Embedders.embed(docs, "text", "embedding", pe)
+    store.create("docs", embedded, manifest = Some(m))
+    val back = store.manifest("docs").get
+    val resolved = back.resolveQueryEmbedder
+    val n = store.count(s, "docs")
+    store.destroy()
+    import s.implicits._
+    Seq((back.family, back.dim, back.passagePrefix, back.queryPrefix,
+      back.bpeMerges.size, back.fingerprint,
+      resolved.identity == qe.identity, n))
+      .toDF("family", "dim", "passage_prefix", "query_prefix", "n_merges",
+        "fingerprint", "resolved_ok", "n_rows")
+  }
+
   /** Explicit GROUPING SETS with grouping() markers through the SQL
     * front-end (rollup/cube's general form; q6/q13 cover those). */
   val q29GroupingSets: Q = (s, d) => {
@@ -2530,6 +2563,7 @@ object GraftQueries {
     "source_orc" -> sourceOrc,
     "ann_sq_topk" -> annSqTopk,
     "zorder_key" -> zorderKey,
+    "collection_manifest" -> collectionManifest,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -19,6 +19,26 @@ trait Embedder extends Serializable {
     * reference's batched `SentenceTransformer.encode`. */
   def encode(texts: Seq[String]): Seq[Array[Float]] = texts.map(encodeOne)
   def encodeOne(text: String): Array[Float]
+  /** Stable identity of this embedder — the basis of the collection
+    * manifest ([[graft.store.CollectionManifest]]) that binds a collection
+    * to its embedding space, the analog of Chroma binding the embedding
+    * function at create_collection
+    * (/root/reference/src/PDFToChromaIngester.py:51-54). Two embedders
+    * with equal identity produce identical vectors for identical text. */
+  def identity: EmbedderId = EmbedderId(getClass.getSimpleName, "", dim, "", Nil)
+}
+
+/** Value identity of an embedder: `family` + `resource` + `bpeMerges` name
+  * the weight/tokenizer configuration (the embedding SPACE together with
+  * `dim`); `prefix` is the instruction convention applied to this side of
+  * an asymmetric pair (part of the identity, NOT of the space — passage
+  * and query embedders of one pair share a space but differ in prefix). */
+final case class EmbedderId(family: String, resource: String, dim: Int,
+                            prefix: String, bpeMerges: Seq[(String, String)]) {
+  /** The embedding space — what must match between the vectors stored in
+    * a collection and the vectors a query is encoded into. */
+  def space: (String, String, Int, Seq[(String, String)]) =
+    (family, resource, dim, bpeMerges)
 }
 
 /** Feature-hashing embedder: each lowercase whitespace token (and its
@@ -27,6 +47,8 @@ trait Embedder extends Serializable {
   * across JVMs (murmur-free: explicit FNV-1a).
   */
 final case class HashEmbedder(dim: Int = 384, prefix: String = "") extends Embedder {
+  override def identity: EmbedderId = EmbedderId("hash", "", dim, prefix, Nil)
+
   @inline private def fnv1a(s: String, seed: Long): Long = {
     var h = 0xcbf29ce484222325L ^ seed
     var i = 0
@@ -90,6 +112,8 @@ final case class MlpEmbedder(resource: String = "/graft/toy_mlp.bin") extends Em
     MlpEmbedder.load(resource)
 
   override def dim: Int = model.dimOut
+
+  override def identity: EmbedderId = EmbedderId("mlp", resource, dim, "", Nil)
 
   override def encodeOne(text: String): Array[Float] = {
     val m = model
@@ -221,6 +245,9 @@ final case class TransformerEmbedder(resource: String = "/graft/toy_transformer.
     bpeMerges.zipWithIndex.toMap
 
   override def dim: Int = model.d
+
+  override def identity: EmbedderId =
+    EmbedderId("transformer", resource, dim, prefix, bpeMerges)
 
   /** Token stream: whitespace words by default; with a trained merge
     * list ([[graft.text.Bpe.train]]) each word is SUBWORD-tokenized

@@ -213,7 +213,7 @@ object PdfText {
           .orElse {
             // scalar '/DecodeParms null' is spec-equivalent to absent
             // (PDF 32000 §7.3.8) — must not blank the stream
-            if ("""/(?:DecodeParms|DP)\s*null(?![0-9A-Za-z])""".r
+            if ("""/(?:DecodeParms|DP)(?![0-9A-Za-z])\s*null(?![0-9A-Za-z])""".r
                 .findFirstIn(dict).isDefined)
               Some(Seq.fill(nFilters)(Option.empty[String]))
             else None

@@ -73,7 +73,9 @@ object Warc {
       .filter(!anyNull)
     val w = observed.select(rec.as("value")).write.mode("overwrite")
     compression.fold(w)(c => w.option("compression", c)).text(dir)
-    Option(obs.get("dropped")).map(_.asInstanceOf[Long]).getOrElse(0L)
+    // guard the missing-key case too (Map.apply would throw), not just a
+    // null value — brittle otherwise if the metric name or path changes
+    obs.get.get("dropped").collect { case l: Long => l }.getOrElse(0L)
   }
 
   /** Read a WARC directory back as (doc_id string, source, lang, text).

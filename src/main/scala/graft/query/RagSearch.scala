@@ -1,7 +1,9 @@
 package graft.query
 
+import graft.embed.Embedder
 import graft.model.{SearchHit, SearchResult}
-import org.apache.spark.sql.{Column, DataFrame}
+import graft.store.VectorStore
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The reference's `search_for_rag` surface (PDFToChromaIngester.py:250-287
@@ -46,6 +48,41 @@ object RagSearch {
     } catch {
       case e: Exception => SearchResult(query, Seq.empty, 0, Some(e.getMessage))
     }
+  }
+
+  /** Search an embedder-BOUND collection by name — the Chroma-parity
+    * surface (create_collection binds the embedding function,
+    * /root/reference/src/PDFToChromaIngester.py:51-54, and every later
+    * query goes through it): the manifest persisted by
+    * [[graft.store.VectorStore.create]] either VERIFIES a caller-supplied
+    * embedder (a mismatched one throws — never silently garbage
+    * distances) or RESOLVES the query-side embedder so the caller needs
+    * only the store.
+    *
+    * The verify/resolve happens BEFORE the defensive try of
+    * [[searchForRag]]: a wrong-embedder call is a caller bug and must
+    * surface as an exception, not an empty result with an error string.
+    */
+  def searchBound(spark: SparkSession,
+                  store: VectorStore,
+                  name: String,
+                  query: String,
+                  embedder: Option[Embedder] = None,
+                  nResults: Int = 5,
+                  whereJson: Option[String] = None,
+                  contentCol: String = "chunk",
+                  idCol: String = "id",
+                  vecCol: String = "embedding",
+                  metadataCols: Seq[String] = Seq("chunk_id", "doc_id")): SearchResult = {
+    val m = store.manifest(name).getOrElse(throw new IllegalArgumentException(
+      s"collection '$name' has no embedder manifest — create() it with one " +
+        "to enable bound search"))
+    val emb = embedder match {
+      case Some(e) => m.verifyQuery(e); e
+      case None    => m.resolveQueryEmbedder
+    }
+    searchForRag(store.read(spark, name), query, emb.encodeOne, nResults,
+      whereJson, contentCol, idCol, vecCol, metadataCols)
   }
 
   /** `get_context_for_rag` (:289-314): top-10 search then greedy prefix. */

@@ -17,14 +17,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class VectorStore(root: String) {
   private def path(name: String) = s"$root/$name"
 
-  def create(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+  def create(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+             manifest: Option[CollectionManifest] = None): Unit = {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
+    // write AFTER the parquet overwrite (which clears the directory) so
+    // the binding can never outlive the data it describes
+    manifest.foreach(CollectionManifest.write(path(name), _))
   }
 
-  def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+  def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+             manifest: Option[CollectionManifest] = None): Unit = {
+    // the Chroma-bound-embedder contract (PDFToChromaIngester.py:51-54):
+    // an embedder-bound collection rejects appends that do not declare
+    // the SAME embedding space — the silent-mixed-space failure mode is
+    // exactly what the manifest exists to prevent
+    (this.manifest(name), manifest) match {
+      case (Some(have), Some(declared)) =>
+        require(have.fingerprint == declared.fingerprint,
+          s"append to '$name' with a different embedder manifest: collection " +
+            s"is bound to ${have.canonical} but the append declares ${declared.canonical}")
+      case (Some(have), None) =>
+        throw new IllegalArgumentException(
+          s"collection '$name' is bound to embedder ${have.canonical} — " +
+            "append must declare the matching manifest")
+      case _ => // unbound collection, or first binding below
+    }
     val w = df.write.mode("append")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
+    if (this.manifest(name).isEmpty)
+      manifest.foreach(CollectionManifest.write(path(name), _))
+  }
+
+  /** The embedder manifest bound to a collection, if any. */
+  def manifest(name: String): Option[CollectionManifest] = {
+    recoverStranded()
+    CollectionManifest.read(path(name))
   }
 
   def read(spark: SparkSession, name: String): DataFrame = {
@@ -108,6 +136,10 @@ final case class VectorStore(root: String) {
     val w = read(spark, name).coalesce(nOut).write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols.toSeq: _*) else w)
       .parquet(path(tmpName))
+    // the embedder binding survives compaction — the rewrite changes file
+    // layout, never the embedding space
+    CollectionManifest.read(path(name))
+      .foreach(CollectionManifest.write(path(tmpName), _))
     // swap with a recovery path: stage the original ASIDE first — a
     // delete-then-rename would strand the collection with no data under
     // its name if the second rename failed (open handles, NFS quirks)
