@@ -314,6 +314,46 @@ class PipelineSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("embedder binding: append contract enforced, manifest survives compaction, corrupt sidecar rejected") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_manifest_spec").toString
+    val store = graft.store.VectorStore(tmp)
+    val (pe, qe) = graft.embed.Embedders.asymmetric(p => graft.embed.HashEmbedder(16, p))
+    val m = graft.store.CollectionManifest.of(pe, qe)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(20)
+    store.create("c", docs, manifest = Some(m))
+    // an undeclared append to a bound collection is the silent-mixed-space
+    // bug the binding exists to prevent — must throw, not write
+    val undeclared = intercept[IllegalArgumentException] { store.append("c", docs) }
+    assert(undeclared.getMessage.contains("must declare"))
+    // a DIFFERENT space is rejected even when declared
+    val other = graft.store.CollectionManifest.single(graft.embed.HashEmbedder(32))
+    val wrong = intercept[IllegalArgumentException] {
+      store.append("c", docs, manifest = Some(other))
+    }
+    assert(wrong.getMessage.contains("different embedder"))
+    assert(store.count(spark, "c") == 20, "rejected appends must not have written rows")
+    // the matching manifest appends fine
+    store.append("c", docs, manifest = Some(m))
+    assert(store.count(spark, "c") == 40)
+    // compaction rewrites layout but carries the binding across the swap
+    store.compact(spark, "c")
+    assert(store.manifest("c").map(_.fingerprint).contains(m.fingerprint))
+    // round-trip preserves BPE merges exactly (part of the embedding space)
+    val merges = Seq(("t", "h"), ("th", "e"), ("a", "n"))
+    val tm = graft.store.CollectionManifest("transformer", "/graft/toy_transformer.bin",
+      48, "passage: ", "query: ", merges)
+    store.create("t", docs, manifest = Some(tm))
+    val back = store.manifest("t").get
+    assert(back == tm && back.fingerprint == tm.fingerprint)
+    // a hand-edited sidecar must not silently bind the wrong space
+    val f = new java.io.File(s"$tmp/t/${graft.store.CollectionManifest.FileName}")
+    val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+    java.nio.file.Files.write(f.toPath, text.replace("dim=48", "dim=24").getBytes("UTF-8"))
+    val corrupt = intercept[IllegalArgumentException] { store.manifest("t") }
+    assert(corrupt.getMessage.contains("corrupt manifest"))
+    store.destroy()
+  }
+
   test("compaction preserves partition pruning: a filtered read scans only the matching partition") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_compact_prune").toString
     val store = graft.store.VectorStore(tmp)

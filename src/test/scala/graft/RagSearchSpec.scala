@@ -75,4 +75,64 @@ class RagSearchSpec extends SparkSpec {
     val viaBuiltin = df.select(size(array_intersect($"a", $"b"))).as[Int].collect().toSeq
     assert(got == viaBuiltin)
   }
+
+  // --- embedder-bound collections (Chroma binds the embedding function at
+  // create_collection, reference PDFToChromaIngester.py:51-54; the manifest
+  // is our persisted form of that binding) ---
+
+  private def boundStore(): (graft.store.VectorStore, graft.embed.Embedder, graft.embed.Embedder) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_bound_spec").toString
+    val store = graft.store.VectorStore(root)
+    val (pe, qe) = graft.embed.Embedders.asymmetric(p => HashEmbedder(32, p))
+    val coll = IngestPipeline.ingestDocuments(Tables.documents(spark, sf).limit(60), pe)
+    store.create("docs", coll, manifest = Some(graft.store.CollectionManifest.of(pe, qe)))
+    (store, pe, qe)
+  }
+
+  test("bound search resolves the query embedder from the manifest alone") {
+    val (store, _, qe) = boundStore()
+    try {
+      val viaManifest = RagSearch.searchBound(spark, store, "docs", "fast hash join query")
+      assert(viaManifest.error.isEmpty && viaManifest.results.nonEmpty)
+      // identical to a direct search with the true query-side embedder —
+      // the resolve path reconstructs the same embedding space + prefix
+      val direct = RagSearch.searchForRag(store.read(spark, "docs"),
+        "fast hash join query", qe.encodeOne)
+      assert(viaManifest.results.map(h => (h.id, h.distance)) ==
+        direct.results.map(h => (h.id, h.distance)))
+    } finally store.destroy()
+  }
+
+  test("bound search rejects a mismatched embedder instead of returning garbage distances") {
+    val (store, pe, qe) = boundStore()
+    try {
+      // wrong space (different dim)
+      val wrongDim = intercept[IllegalArgumentException] {
+        RagSearch.searchBound(spark, store, "docs", "q", embedder = Some(HashEmbedder(64, "query: ")))
+      }
+      assert(wrongDim.getMessage.contains("embedder mismatch"))
+      // right space, wrong side: the PASSAGE embedder must not run queries
+      // (asymmetric prefix conventions are part of the identity)
+      val wrongSide = intercept[IllegalArgumentException] {
+        RagSearch.searchBound(spark, store, "docs", "q", embedder = Some(pe))
+      }
+      assert(wrongSide.getMessage.contains("embedder mismatch"))
+      // the matching query embedder passes verification
+      val ok = RagSearch.searchBound(spark, store, "docs", "query text", embedder = Some(qe))
+      assert(ok.error.isEmpty && ok.results.nonEmpty)
+    } finally store.destroy()
+  }
+
+  test("bound search on an unbound collection fails loudly, not silently") {
+    val root = java.nio.file.Files.createTempDirectory("graft_unbound_spec").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      store.create("plain", IngestPipeline.ingestDocuments(
+        Tables.documents(spark, sf).limit(10), HashEmbedder(32, "passage: ")))
+      val e = intercept[IllegalArgumentException] {
+        RagSearch.searchBound(spark, store, "plain", "q")
+      }
+      assert(e.getMessage.contains("no embedder manifest"))
+    } finally store.destroy()
+  }
 }
