@@ -160,10 +160,51 @@ object Clustering {
     semanticNearDupFrom(kmeansAssign(emb, k, iters, idCol, vecCol), threshold, idCol, vecCol)
 
   /** Pair stage over an existing assignment frame (so composed callers
-    * train the centroids once). */
+    * train the centroids once).
+    *
+    * Giant-cluster guard: the within-cluster self-join shuffles on
+    * `cluster_id`, so ONE degenerate cluster (boilerplate / near-empty
+    * docs — common in web corpora) would concentrate a quadratic pair
+    * enumeration in a single reduce group. Clusters larger than
+    * `maxClusterSize` are therefore routed through the banded
+    * [[Similarity.lshNearDupJoin]] path — candidates come from
+    * fixed-width (table, bucket) collision groups instead of the whole
+    * cluster, then exact cosine verifies — with a same-cluster
+    * post-filter so SemDeDup's cluster gate is preserved. The size scan
+    * collects at most k rows (one per oversized cluster); clusters at or
+    * under the cap keep the exact all-pairs-within-cluster semantics, so
+    * results are bit-identical to the unguarded form whenever no cluster
+    * exceeds the cap (the oracle-gated case). */
   def semanticNearDupFrom(assigned: DataFrame, threshold: Double,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      maxClusterSize: Int = 8192): DataFrame = {
     val a = assigned.select(col(idCol), col(vecCol), col("cluster_id"))
+    val big = a.groupBy("cluster_id").count()
+      .filter(col("count") > maxClusterSize)
+      .collect().map(_.getLong(0)).sorted
+    if (big.isEmpty) exactPairsWithin(a, threshold, idCol, vecCol)
+    else {
+      val bigRows = a.filter(col("cluster_id").isin(big: _*))
+      val small = a.filter(!col("cluster_id").isin(big: _*))
+      // the LSH join ignores cluster ids, so candidate pairs spanning two
+      // oversized clusters can appear — the assignment join drops them
+      val assign = bigRows.select(col(idCol), col("cluster_id"))
+      val banded = Similarity.lshNearDupJoin(bigRows, vecCol, idCol, threshold)
+        .join(assign.toDF("id_a", "ca"), "id_a")
+        .join(assign.toDF("id_b", "cb"), "id_b")
+        .filter(col("ca") === col("cb"))
+        // lshNearDupJoin emits HALF_UP round(cosine, 6); re-round with the
+        // floor form so both branches carry the repo's cross-engine shape
+        .select(col("ca").as("cluster_id"), col("id_a"), col("id_b"),
+          round6(col("cosine")).as("cosine"))
+      exactPairsWithin(small, threshold, idCol, vecCol).unionByName(banded)
+    }
+  }
+
+  /** The exact within-cluster pair enumeration — O(cluster²) per reduce
+    * group, which is why callers gate it behind `maxClusterSize`. */
+  private def exactPairsWithin(a: DataFrame, threshold: Double,
+      idCol: String, vecCol: String): DataFrame = {
     val l = a.select(col("cluster_id"), col(idCol).as("id_a"), col(vecCol).as("va"))
     val r = a.select(col("cluster_id"), col(idCol).as("id_b"), col(vecCol).as("vb"))
     l.join(r, Seq("cluster_id"))

@@ -195,4 +195,57 @@ class ClusteringSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"semantic dedup fell back to all-pairs:\n$p")
   }
+
+  test("giant-cluster guard: oversized clusters take the banded path") {
+    // Two engineered mega-clusters (160 and 110 rows — a degenerate
+    // boilerplate bucket) plus three small ones. Cap 100 routes both
+    // mega-clusters through lshNearDupJoin; small clusters keep the
+    // exact all-pairs-within-cluster semantics bit-for-bit.
+    import spark.implicits._
+    val rnd = new scala.util.Random(0x9c1d)
+    val dim = 64
+    def rv() = Array.fill(dim)(rnd.nextFloat() - 0.5f)
+    val bases = Array.fill(140)(rv())
+    // planted near-dups are SCALED copies: identical direction => same
+    // hyperplane signs in every LSH table => candidate recall 1.0 there
+    val mega0 = bases.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq, 0L) } ++
+      (0 until 20).map(i => (1000L + i, bases(i).map(x => x * 1.0002f).toSeq, 0L))
+    val mega1 = (0 until 110).map { i =>
+      // row 2000 duplicates base 0's direction but sits in ANOTHER
+      // cluster — the same-cluster gate must drop that candidate pair
+      val v = if (i == 0) bases(0).map(x => x * 1.0003f) else rv()
+      (2000L + i, v.toSeq, 1L)
+    }
+    val small = (2 to 4).flatMap { c =>
+      val vs = Array.fill(7)(rv())
+      vs.zipWithIndex.map { case (v, i) => (3000L + c * 100 + i, v.toSeq, c.toLong) } :+
+        ((3000L + c * 100 + 50, vs(0).map(x => x * 1.0002f).toSeq, c.toLong))
+    }
+    val assigned = (mega0.toSeq ++ mega1 ++ small).toDF("vec_id", "embedding", "cluster_id")
+
+    def keyed(df: org.apache.spark.sql.DataFrame) = df
+      .select("cluster_id", "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exact = keyed(Clustering.semanticNearDupFrom(assigned, 0.95,
+      maxClusterSize = Int.MaxValue))
+    val guarded = keyed(Clustering.semanticNearDupFrom(assigned, 0.95,
+      maxClusterSize = 100))
+
+    // small clusters are untouched by the guard
+    assert(guarded.filter(_._1 >= 2) == exact.filter(_._1 >= 2))
+    // banded candidates never invent pairs, and every planted
+    // same-direction pair is recovered (recall 1.0 on identical signs)
+    assert(guarded.subsetOf(exact), s"invented: ${guarded.diff(exact)}")
+    (0 until 20).foreach(i => assert(guarded.contains((0L, i.toLong, 1000L + i))))
+    // the cross-cluster duplicate candidate (0 vs 2000) must be gated out
+    assert(!guarded.exists(p => p._2 == 0L && p._3 == 2000L))
+    // bounded per-task enumeration: the banded route's collision groups
+    // stay far below the 160-row cluster (the quadratic term the guard
+    // exists to break up)
+    val megaRows = assigned.filter(col("cluster_id") < 2)
+    val maxGroup = graft.operators.Similarity
+      .cosineLshBuckets(megaRows, "embedding", nBits = 8, dim = dim)
+      .groupBy("lsh_bucket").count().agg(max("count")).head.getLong(0)
+    assert(maxGroup <= 60, s"collision group $maxGroup not bounded")
+  }
 }
