@@ -643,6 +643,41 @@ object GraftOracles {
          |  FROM enc CROSS JOIN mml m CROSS JOIN q)
          |SELECT vec_id, dist FROM dd ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
+    // Twin of the STORED int8-SQ search — the first stored-ANN full
+    // oracle: the kmeans CTE reproduces the deterministic coarse
+    // quantizer (c2 = final centroids, s2f = per-vector cells), qc/probe
+    // reproduce the floor-rounded lowest-cid-tie probe-cell selection,
+    // and the encode/ADC arithmetic is the proven ann_sq_topk form
+    // restricted to candidates in probed cells.
+    "ann_ivfsq_store" ->
+      s"""WITH $kmeansCte,
+         |mm AS (SELECT u.p AS pos,
+         |    min(embedding[CAST(u.p + 1 AS INT)]::DOUBLE) AS mn,
+         |    max(embedding[CAST(u.p + 1 AS INT)]::DOUBLE) AS mx
+         |  FROM embeddings, unnest(range(0, 64)) AS u(p) GROUP BY 1),
+         |mml AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM mm),
+         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |qc AS (SELECT c.cid, floor(list_sum(list_transform(range(1,65),
+         |      i -> (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)])
+         |         * (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dr
+         |  FROM c2 c CROSS JOIN q),
+         |probe AS (SELECT cid FROM qc ORDER BY dr, cid LIMIT 4),
+         |cand AS (SELECT s.vec_id, s.cid, s.embedding FROM s2f s
+         |  WHERE s.vec_id <> 0 AND s.cid IN (SELECT cid FROM probe)),
+         |enc AS (SELECT c.vec_id, c.cid,
+         |    list_transform(range(1,65), i -> CASE WHEN m.mxs[CAST(i AS INT)] = m.mns[CAST(i AS INT)] THEN 0
+         |      ELSE CAST(floor((c.embedding[CAST(i AS INT)]::DOUBLE - m.mns[CAST(i AS INT)])
+         |        / (m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) * 255 + 0.5) AS INT) END) AS code
+         |  FROM cand c CROSS JOIN mml m),
+         |dd AS (SELECT enc.vec_id, enc.cid,
+         |    floor(list_sum(list_transform(range(1,65),
+         |      i -> (m.mns[CAST(i AS INT)] + enc.code[CAST(i AS INT)] * ((m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) / 255) - q.qv[CAST(i AS INT)])
+         |         * (m.mns[CAST(i AS INT)] + enc.code[CAST(i AS INT)] * ((m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) / 255) - q.qv[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dist
+         |  FROM enc CROSS JOIN mml m CROSS JOIN q)
+         |SELECT vec_id, CAST(cid AS INT) AS cell_id, dist FROM dd
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
     "vec_knn" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, round($l2sqToQv, 6) AS distance

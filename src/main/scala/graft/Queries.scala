@@ -617,6 +617,34 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** kNN over the STORED int8-SQ layout — the scale posture of
+    * `ann_ivfpq_store` with the full-oracle property of `ann_sq_topk`:
+    * the build writes (vec_id, sq_code) PARTITIONED BY cell_id (the
+    * deterministic-Lloyd coarse quantizer, k=8), so the probe is a
+    * partition-pruned scan reading nprobe/ncells of the files at
+    * 1 byte/dim. Every arithmetic step — centroid training, probe-cell
+    * selection, encode, ADC — is SQL-reproducible, making this the
+    * first STORED ANN with a FULL hash oracle (PQ's subquantizer
+    * k-means is sampled+closure-trained; SQ's min/max quantizer is
+    * comparisons only). Partition pruning pinned in AnnProbeSpec;
+    * recall@10 vs brute force pinned there too. */
+  val annIvfSqStore: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfsq").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val (cents, mins, maxs) = Similarity.buildIvfSqIndex(
+        store, "vectors_sq", e, "embedding", "vec_id")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val out = Similarity.sqSearchStored(
+        store.read(s, "vectors_sq").filter(col("vec_id") =!= 0),
+        "vec_id", cents, mins, maxs, qv, k = 10, nprobe = 4)
+      // materialize before store.destroy()
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** Random-hyperplane LSH bucketing (the shuffle key for cosine near-dup
     * at scale). Deterministic planes, rows-only. */
   val annLshBuckets: Q = (s, d) =>
@@ -2448,6 +2476,7 @@ object GraftQueries {
     "ann_ivf_store" -> annIvfStore,
     "ann_ivfpq" -> annIvfPq,
     "ann_ivfpq_store" -> annIvfPqStore,
+    "ann_ivfsq_store" -> annIvfSqStore,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,
     "dedup_exact" -> dedupExact,

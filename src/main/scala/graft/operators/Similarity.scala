@@ -558,6 +558,64 @@ object Similarity {
       .select(col("anchor_id"), col("_cid").as("vec_id"), col("rank"), col("cosine"))
   }
 
+  /** Build the STORED int8-SQ layout — `ann_sq_topk`'s quantizer given
+    * `ann_ivfpq_store`'s storage posture: (id, sq_code) PARTITIONED BY
+    * cell_id, where the coarse quantizer is the clustering tier's
+    * DETERMINISTIC Lloyd trainer ([[Clustering.trainCentroids]]) rather
+    * than the sampled closure-UDF IVF trainer — every arithmetic step
+    * (residue-class init, fixed-point means, floor-rounded argmin, the
+    * SQ encode) is SQL-reproducible, which is what lets the stored-SQ
+    * search keep ann_sq_topk's FULL hash oracle where PQ is rows-only.
+    * Returns (centroids, per-dim mins, per-dim maxs). */
+  def buildIvfSqIndex(store: graft.store.VectorStore, name: String,
+      collection: DataFrame, vecCol: String, idCol: String,
+      ncells: Int = 8, iters: Int = 2): (Array[Array[Float]], Array[Double], Array[Double]) = {
+    val cents = Clustering.trainCentroids(collection, ncells, iters, idCol, vecCol)
+    val mm = collection.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy("pos")
+      .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
+      .collect()
+    val dim = mm.length
+    val mins = new Array[Double](dim)
+    val maxs = new Array[Double](dim)
+    mm.foreach { r => mins(r.getInt(0)) = r.getDouble(1); maxs(r.getInt(0)) = r.getDouble(2) }
+    val enc = collection
+      .withColumn("_a", Clustering.assignStruct(col(vecCol), cents))
+      .select(col(idCol), sqEncode(col(vecCol), mins, maxs).as("sq_code"),
+        col("_a").getField("cid").as("cell_id"))
+    store.create(name, enc, partitionBy = Seq("cell_id"))
+    (cents, mins, maxs)
+  }
+
+  /** The `nprobe` cells nearest the query, by the SAME arithmetic as the
+    * assignment argmin (float→double subtraction, left-to-right double
+    * accumulation, floor-rounded to 6 decimals, ties to the lower cid) —
+    * so a SQL twin reproduces the probe set bit-for-bit. */
+  def sqProbeCells(cents: Array[Array[Float]], qv: Array[Double], nprobe: Int): Array[Int] =
+    cents.zipWithIndex.map { case (c, j) =>
+      var acc = 0.0
+      var i = 0
+      while (i < c.length) { val dlt = qv(i) - c(i).toDouble; acc += dlt * dlt; i += 1 }
+      (math.floor(acc * 1e6 + 0.5) / 1e6, j)
+    }.sortBy(identity).take(nprobe).map(_._2)
+
+  /** Top-k over the stored SQ layout: the literal `cell_id IN (probed)`
+    * filter lands in PartitionFilters (the scan lists only probed cells'
+    * directories and reads 1 byte/dim codes — never full vectors), then
+    * the fused dequantize+l2 [[graft.functions.SqAdcDistance]] kernel
+    * scores candidates into a TakeOrderedAndProject. */
+  def sqSearchStored(stored: DataFrame, idCol: String,
+      cents: Array[Array[Float]], mins: Array[Double], maxs: Array[Double],
+      qv: Array[Double], k: Int, nprobe: Int): DataFrame = {
+    val scales = Array.tabulate(mins.length)(i => (maxs(i) - mins(i)) / 255)
+    val probed = sqProbeCells(cents, qv, nprobe)
+    stored.filter(col("cell_id").isin(probed.map(Int.box).toIndexedSeq: _*))
+      .withColumn("dist", floor(sqAdc(col("sq_code"), mins, scales, qv) * 1e6 + 0.5) / 1e6)
+      .select(col(idCol), col("cell_id").cast("int").as("cell_id"), col("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+
   /** LSH-bucketed cosine near-dup join — the scale path for
     * [[graft.operators.Dedup.embeddingNearDup]]: `nTables` independent
     * hyperplane signatures; vectors sharing a bucket in ANY table become

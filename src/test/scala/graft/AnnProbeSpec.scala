@@ -151,6 +151,50 @@ class AnnProbeSpec extends SparkSpec {
     assert(overlap >= 0.8, f"SQ recall degraded: $overlap%.2f")
   }
 
+  test("stored SQ: probe prunes partitions, code-only scan, recall@10 >= 0.9") {
+    val d = "/root/testdata/sf0.1"
+    val root = java.nio.file.Files.createTempDirectory("annsq_store").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(spark, d).cache()
+    try {
+      val (cents, mins, maxs) = Similarity.buildIvfSqIndex(
+        store, "vsq", e, "embedding", "vec_id")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val stored = Similarity.sqSearchStored(
+        store.read(spark, "vsq").filter(col("vec_id") =!= 0),
+        "vec_id", cents, mins, maxs, qv, k = 10, nprobe = 4)
+      // the literal cell_id IN (probed) must land in PartitionFilters —
+      // the scan lists only the probed cells' directories
+      val scans = stored.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec over the stored SQ index")
+      scans.foreach { scan =>
+        assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell_id")),
+          s"probe is not a partition filter: ${scan.partitionFilters}")
+        assert(scan.selectedPartitions.partitionCount <= 4,
+          s"probe scanned ${scan.selectedPartitions.partitionCount} of 8 cells")
+        // the byte budget: the ADC scan reads 1-byte/dim codes, never a
+        // full-precision vector column
+        assert(!scan.schema.fieldNames.contains("embedding"),
+          s"stored-SQ scan reads full vectors: ${scan.schema.fieldNames.mkString(",")}")
+      }
+      val cellDirs = new java.io.File(s"$root/vsq").listFiles()
+        .count(_.getName.startsWith("cell_id="))
+      assert(cellDirs == 8, s"expected 8 cell partitions on disk, found $cellDirs")
+      val got = stored.collect().map(_.getLong(0)).toSet
+      val qb = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      val exact = e.filter(col("vec_id") =!= 0).crossJoin(qb)
+        .withColumn("dd", graft.functions.VectorFunctions.l2Sq(col("embedding"), col("qv")))
+        .orderBy(col("dd"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val recall = got.intersect(exact).size / 10.0
+      info(f"stored-SQ recall@10 vs exact: $recall%.2f (nprobe 4/8)")
+      assert(recall >= 0.9, f"stored-SQ recall degraded: $recall%.2f")
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   test("IVF recall@10 >= 0.9 vs brute force at sf0.1, nprobe=4/16") {
     // the quality bar for the approximate path, at the bench scale factor:
     // deterministic (seeded centroids + fixed-point training), so this is
