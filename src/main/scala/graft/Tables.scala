@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 import org.apache.spark.sql.execution.datasources.HadoopFsRelation
 
 /** Readers for the harness test tables (TESTDATA.md).
@@ -10,10 +10,15 @@ import org.apache.spark.sql.execution.datasources.HadoopFsRelation
   * Every query takes `(spark, sfDir)` and reads parquet directly so
   * Catalyst sees the scan and can push filters/prune columns into it.
   *
-  * `events.parquet` carries INT64 TIMESTAMP(NANOS) which Spark's parquet
-  * reader rejects; we read it via `legacy.parquet.nanosAsLong` and floor to
-  * microseconds with integer arithmetic (ns epoch values exceed 2^53, so
-  * double division would corrupt them).
+  * `events.parquet` has shipped as both INT64 TIMESTAMP(NANOS) — which
+  * Spark's parquet reader rejects; read via `legacy.parquet.nanosAsLong`
+  * and floored to micros with integer arithmetic (ns epoch values exceed
+  * 2^53, so double division would corrupt them) — and as timestamp[us]
+  * WITHOUT isAdjustedToUTC, which Spark reads as TIMESTAMP_NTZ. The NTZ
+  * form answers batch queries fine but is rejected by event-time
+  * watermarks, so normalize it to TIMESTAMP (LTZ): every entry point
+  * runs the session in UTC, making the cast value-preserving and the
+  * DuckDB oracle (naive timestamps) unaffected.
   */
 object Tables {
   def read(spark: SparkSession, dir: String, name: String): DataFrame =
@@ -31,6 +36,7 @@ object Tables {
     val df = read(s, d, "events")
     df.schema("ts").dataType match {
       case LongType => df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _ => df
     }
   }

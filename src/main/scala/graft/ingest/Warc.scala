@@ -43,6 +43,22 @@ import org.apache.spark.sql.types.{StringType, StructField, StructType}
   * filtering implements (the orphaned fragment lacks headers and drops;
   * the enclosing record's payload is truncated at the collision — the
   * same failure contract as jwarc/warcio on corrupt length fields).
+  *
+  * DECISION — no per-member gzip splitting. Real crawl `.warc.gz` files
+  * are per-record gzip MEMBERS, so in principle a reader can split a
+  * file at arbitrary byte offsets and resync on the next member header
+  * (1f 8b 08 magic + flag validation + trial inflate — the heuristic a
+  * custom InputFormat would need, with false-positive handling when the
+  * magic appears inside compressed payload bytes). We deliberately stay
+  * with codec-transparent per-FILE parallelism instead: Common Crawl
+  * sizes segments for exactly this consumption model (~1 GB × ~80,000
+  * files per crawl — one-to-two orders of magnitude more files than
+  * executors on any real cluster, so intra-file splitting adds zero
+  * wall-clock at 100 TB), and the member-resync heuristic buys that
+  * nothing at the price of a corrupt-member failure mode the per-file
+  * path cannot hit. A corpus whose gzip files ARE monolithic single
+  * members (the pathological case member-splitting would rescue) is
+  * better re-segmented once at ingest than re-scanned on every read.
   */
 object Warc {
   private val Delim = "WARC/1.0\r\n"

@@ -82,11 +82,17 @@ object EventStream {
     * `Tables.events`): INT64 TIMESTAMP(NANOS) read as long, floored to
     * micros with INTEGER division (ns epoch exceeds 2^53 — double division
     * corrupts). One definition, shared by every streaming entry point. */
-  private[streaming] def convertTs(df: DataFrame,
+  private[graft] def convertTs(df: DataFrame,
                                    schema: org.apache.spark.sql.types.StructType): DataFrame =
     schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // timestamp[us] without isAdjustedToUTC reads as NTZ, which
+        // event-time watermarks reject; every entry point runs UTC, so
+        // the LTZ cast is value-preserving (same rule as Tables.events)
+        df.withColumn("ts",
+          col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => df
     }
 

@@ -86,9 +86,9 @@ class StreamingSpec extends SparkSpec {
     def runOnce(): Unit = {
       val stream = spark.readStream.schema(schema)
         .option("basePath", sf).option("pathGlobFilter", "events.parquet").parquet(sf)
-        .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      val stream2 = graft.streaming.EventStream.convertTs(stream, schema)
       val agg = graft.streaming.EventStream.windowedAgg(
-        stream.withWatermark("ts", "10 minutes"))
+        stream2.withWatermark("ts", "10 minutes"))
       val q = agg.writeStream.outputMode("append")
         .format("parquet").option("path", s"$base/out")
         .option("checkpointLocation", s"$base/ckpt")
@@ -149,8 +149,7 @@ class StreamingSpec extends SparkSpec {
     val schema = spark.read.parquet(s"$sf/events.parquet").schema
     val raw = spark.readStream.schema(schema)
       .option("basePath", sf).option("pathGlobFilter", "events.parquet").parquet(sf)
-    val events = raw.withColumn("ts",
-      timestamp_micros(expr("ts DIV 1000")))
+    val events = graft.streaming.EventStream.convertTs(raw, schema)
     // append mode to files requires watermark-closed windows; AvailableNow
     // emits the windows the final watermark has passed
     val agg = graft.streaming.EventStream.windowedAgg(
@@ -181,8 +180,8 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(src, java.nio.file.Paths.get(s"$dir/b.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$dir/a.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+    val stream = graft.streaming.EventStream
+      .convertTs(spark.readStream.schema(schema).parquet(dir), schema)
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
     val q = stream.writeStream.outputMode("append")
