@@ -1352,7 +1352,12 @@ object GraftQueries {
     * hash-checked against a single composed DuckDB CTE built from the
     * same per-stage oracle fragments. */
   val pipelineTrainingData: Q = (s, d) => {
-    val docs = Tables.documents(s, d)
+    // ONE spread shared by every gate (the same design pipelineCleanMix
+    // documents): cleanCorpusDecisions' inner spread no-ops on the
+    // already-spread input, and the substring/classifier gates and the
+    // survivor projection all hang off the SAME repartition exchange —
+    // one parquet scan + text decompression instead of one per gate
+    val docs = Tables.spread(Tables.documents(s, d))
     val cleanKeep = cleanCorpusDecisions(docs).filter(col("keep")).select("doc_id")
     val heavyDup = Dedup.substringSpans(docs, "text", "doc_id", n = 8)
       .filter(col("dup_ratio") > 0.5).select("doc_id")
@@ -1363,7 +1368,7 @@ object GraftQueries {
     // passes over it: without this, the stats collect and the final
     // result would each re-execute the whole gate chain above — the
     // dominant cost of the query, paid twice
-    val survivors = Tables.spread(docs)
+    val survivors = docs
       .join(cleanKeep, "doc_id").join(clsKeep, "doc_id")
       .join(heavyDup, Seq("doc_id"), "left_anti")
       .select(col("doc_id"), col("source"),
