@@ -4,7 +4,7 @@ import graft.embed.HashEmbedder
 import graft.functions.VectorFunctions._
 import graft.ingest.IngestPipeline
 import graft.multimodal.Multimodal
-import graft.operators.{AsOf, Clustering, Dedup, Similarity, ZOrder}
+import graft.operators.{AsOf, Clustering, Dedup, GraphAnn, Similarity, ZOrder}
 import graft.query.{Knn, WhereDsl}
 import graft.streaming.EventStream
 import graft.text.{QualityClassifier, TextAnalysis}
@@ -643,6 +643,27 @@ object GraftQueries {
       // materialize before store.destroy()
       s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
     } finally { e.unpersist(); store.destroy() }
+  }
+
+  /** Graph ANN (HNSW-class) — the last ANN family member: the
+    * deterministic coarse quantizer routes (HNSW's upper layers), an
+    * insertion-built NSW graph per cell fine-searches (layer 0), and
+    * the beam walk evaluates distances only on touched nodes — the
+    * sub-linear property IVF's scan-the-cell lacks (pinned in
+    * AnnProbeSpec together with recall@10 >= 0.9). Deterministic
+    * end-to-end (ascending-id insertion, (dist, id) orderings, min-id
+    * entry) but a graph walk is not SQL-expressible -> rows-only. */
+  val annGraph: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val (graph, cents) = GraphAnn.buildGraph(
+        e.filter(col("vec_id") =!= 0), "embedding", "vec_id", ncells = 8, m = 8,
+        centroids = Some(Clustering.trainCentroids(e, 8, 2)))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val (hits, _) = GraphAnn.search(graph, cents, qv, k = 10, nprobe = 4, ef = 48)
+      s.createDataFrame(java.util.Arrays.asList(hits.collect(): _*), hits.schema)
+    } finally e.unpersist()
   }
 
   /** Random-hyperplane LSH bucketing (the shuffle key for cosine near-dup
@@ -2482,6 +2503,7 @@ object GraftQueries {
     "ann_ivfpq" -> annIvfPq,
     "ann_ivfpq_store" -> annIvfPqStore,
     "ann_ivfsq_store" -> annIvfSqStore,
+    "ann_graph" -> annGraph,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,
     "dedup_exact" -> dedupExact,

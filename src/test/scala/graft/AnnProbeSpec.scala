@@ -195,6 +195,60 @@ class AnnProbeSpec extends SparkSpec {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  test("graph ANN: recall@10 >= 0.9, beam touches a fraction of probed cells, deterministic") {
+    val d = "/root/testdata/sf0.1"
+    val e = Tables.embeddings(spark, d).cache()
+    try {
+      val (graph0, cents) = graft.operators.GraphAnn.buildGraph(
+        e.filter(col("vec_id") =!= 0), "embedding", "vec_id", ncells = 8, m = 8,
+        centroids = Some(graft.operators.Clustering.trainCentroids(e, 8, 2)))
+      // hits and stats both derive from the walk — materialize the graph
+      // once so the spec's two actions don't rebuild it
+      val graph = graph0.localCheckpoint(true)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val (hits, stats) = graft.operators.GraphAnn.search(
+        graph, cents, qv, k = 10, nprobe = 4, ef = 48)
+      val got = hits.collect().map(_.getLong(0))
+      val qb = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      val exact = e.filter(col("vec_id") =!= 0).crossJoin(qb)
+        .withColumn("dd", graft.functions.VectorFunctions.l2Sq(col("embedding"), col("qv")))
+        .orderBy(col("dd"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      val recall = got.toSet.intersect(exact).size / 10.0
+      // diagnostic: how much of the loss is ROUTING (true neighbors in
+      // non-probed cells) vs the WALK (missed inside a probed cell)?
+      val probedSet = graft.operators.Similarity.sqProbeCells(cents, qv, 4).toSet
+      val cellOf = e.filter(col("vec_id") =!= 0)
+        .withColumn("_a", graft.operators.Clustering.assignStruct(col("embedding"), cents))
+        .select(col("vec_id"), col("_a").getField("cid").as("cid"))
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val inProbed = exact.count(id => probedSet.contains(cellOf(id)))
+      info(s"exact top-10 in probed cells: $inProbed/10 (routing ceiling)")
+      // the property that distinguishes a graph walk from IVF's
+      // scan-the-cell: per-cell distance evaluations are bounded by the
+      // BEAM (ef x avg degree), INDEPENDENT of cell population — at
+      // gate-scale cells (~240 nodes) that still touches a majority,
+      // but the same walk over a million-node cell does the same
+      // absolute work. Pin both forms: strictly fewer than the probed
+      // population, and under the ef x (m+2) work bound per cell.
+      val st = stats.collect().map(r => (r.getInt(1), r.getInt(2)))
+      val nodes = st.map(_._1).sum
+      val evals = st.map(_._2).sum
+      info(f"graph-ANN recall@10 $recall%.2f; evals $evals of $nodes probed nodes " +
+        f"(${evals * 100.0 / nodes}%.0f%%)")
+      assert(recall >= 0.9, f"graph-ANN recall degraded: $recall%.2f")
+      assert(evals < nodes, s"beam walk evaluated the whole probed population ($evals)")
+      st.foreach { case (n, ev) =>
+        assert(ev <= 48 * 10, s"cell of $n nodes: $ev evals exceeds the ef*(m+2) work bound")
+      }
+      // determinism: a second search returns the identical row set
+      val (hits2, _) = graft.operators.GraphAnn.search(
+        graph, cents, qv, k = 10, nprobe = 4, ef = 48)
+      assert(hits2.collect().map(_.getLong(0)).toSeq == got.toSeq)
+    } finally { e.unpersist(): Unit }
+  }
+
   test("IVF recall@10 >= 0.9 vs brute force at sf0.1, nprobe=4/16") {
     // the quality bar for the approximate path, at the bench scale factor:
     // deterministic (seeded centroids + fixed-point training), so this is
