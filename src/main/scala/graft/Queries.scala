@@ -666,6 +666,34 @@ object GraftQueries {
     } finally e.unpersist()
   }
 
+  /** The stored graph-ANN layout — the index-on-disk half of
+    * `ann_graph`, completing the stored tier (IVF / IVF-PQ / SQ /
+    * graph all share it): the build writes (cell_id, id, vec,
+    * neighbors) PARTITIONED BY cell_id, so a query's probe filter
+    * prunes partitions and the beam walk loads only the probed cells'
+    * adjacency — at 100 TB a search reads nprobe cells' files and
+    * touches ef·degree nodes of them, never the corpus. Rows-only
+    * (graph walk), pruning + stored==inline parity pinned in
+    * AnnProbeSpec. */
+  val annGraphStore: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_graph").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val cents = Clustering.trainCentroids(e, 8, 2)
+      val (graph, _) = GraphAnn.buildGraph(
+        e.filter(col("vec_id") =!= 0), "embedding", "vec_id", ncells = 8, m = 8,
+        centroids = Some(cents))
+      store.create("graph", graph.toDF(), partitionBy = Seq("cell_id"))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val (hits, _) = GraphAnn.searchStored(
+        store.read(s, "graph"), cents, qv, k = 10, nprobe = 4, ef = 48)
+      // materialize before store.destroy()
+      s.createDataFrame(java.util.Arrays.asList(hits.collect(): _*), hits.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** Random-hyperplane LSH bucketing (the shuffle key for cosine near-dup
     * at scale). Deterministic planes, rows-only. */
   val annLshBuckets: Q = (s, d) =>
@@ -2504,6 +2532,7 @@ object GraftQueries {
     "ann_ivfpq_store" -> annIvfPqStore,
     "ann_ivfsq_store" -> annIvfSqStore,
     "ann_graph" -> annGraph,
+    "ann_graph_store" -> annGraphStore,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,
     "dedup_exact" -> dedupExact,

@@ -181,6 +181,18 @@ object GraphAnn {
     (graph, cents)
   }
 
+  /** Search a graph read back from a cell-partitioned store: the
+    * column probe filter lands in PartitionFilters, so only probed
+    * cells' files are listed and read — the storage half of the
+    * routing tier, same as `ann_ivfsq_store`. */
+  def searchStored(stored: DataFrame, cents: Array[Array[Float]],
+                   qv: Array[Double], k: Int, nprobe: Int, ef: Int):
+      (DataFrame, DataFrame) = {
+    val sp = stored.sparkSession
+    import sp.implicits._
+    search(stored.as[Node], cents, qv, k, nprobe, ef)
+  }
+
   /** Search: probe the `nprobe` nearest cells (same floor-rounded
     * lowest-cid-tie selection as the stored-SQ probe), beam-walk each
     * probed cell's graph, merge to a global top-k. Returns
@@ -191,10 +203,13 @@ object GraphAnn {
       (DataFrame, DataFrame) = {
     val sp = graph.sparkSession
     import sp.implicits._
-    val probed = Similarity.sqProbeCells(cents, qv, nprobe).toSet
+    val probed = Similarity.sqProbeCells(cents, qv, nprobe)
     val qf = qv.map(_.toFloat)
+    // a COLUMN filter, not a typed closure: over a cell-partitioned
+    // stored graph this is the partition-pruning probe (the scan lists
+    // only probed cells' directories), exactly like the stored-SQ path
     val perCell = graph
-      .filter((n: Node) => probed.contains(n.cell_id))
+      .filter(col("cell_id").isin(probed.map(Int.box).toIndexedSeq: _*))
       .mapPartitions { it =>
         it.toArray.groupBy(_.cell_id).iterator.flatMap { case (cell, ns) =>
           val vecs = mutable.LongMap[Array[Float]]()

@@ -246,6 +246,28 @@ class AnnProbeSpec extends SparkSpec {
       val (hits2, _) = graft.operators.GraphAnn.search(
         graph, cents, qv, k = 10, nprobe = 4, ef = 48)
       assert(hits2.collect().map(_.getLong(0)).toSeq == got.toSeq)
+
+      // stored layout: write cell-partitioned, probe must prune
+      // partitions and return the identical result set
+      val root = java.nio.file.Files.createTempDirectory("anngraph_store").toString
+      val store = graft.store.VectorStore(root)
+      try {
+        store.create("graph", graph.toDF(), partitionBy = Seq("cell_id"))
+        val (sHits, _) = graft.operators.GraphAnn.searchStored(
+          store.read(spark, "graph"), cents, qv, k = 10, nprobe = 4, ef = 48)
+        val scans = sHits.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+        assert(scans.nonEmpty, "no FileSourceScanExec over the stored graph")
+        scans.foreach { scan =>
+          assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell_id")),
+            s"graph probe is not a partition filter: ${scan.partitionFilters}")
+          assert(scan.selectedPartitions.partitionCount <= 4,
+            s"graph probe scanned ${scan.selectedPartitions.partitionCount} of 8 cells")
+        }
+        assert(sHits.collect().map(_.getLong(0)).toSeq == got.toSeq,
+          "stored graph search diverged from the inline graph")
+      } finally store.destroy()
     } finally { e.unpersist(): Unit }
   }
 
