@@ -1187,6 +1187,21 @@ object GraftOracles {
          |SELECT doc_id, term, tf, score, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
 
+    // Twin of sample_domain_cap: the proven quality form, then a
+    // per-source row_number with the same (quality DESC, doc_id) order.
+    "sample_domain_cap" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |    floor(least(1.0,
+         |      0.4 * least(len($toks)::DOUBLE / 50.0, 1.0)
+         |      + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text))
+         |      + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))) * 1e6 + 0.5) / 1e6 AS quality
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, quality,
+         |    row_number() OVER (PARTITION BY source ORDER BY quality DESC, doc_id) AS rank
+         |  FROM q)
+         |SELECT doc_id, source, quality, rank FROM r WHERE rank <= 20
+         |ORDER BY source, rank""".stripMargin,
+
     "text_stats" ->
       s"""SELECT doc_id, length(text)::INT AS n_chars_measured,
          |  len($toks)::INT AS n_tokens,

@@ -1286,6 +1286,21 @@ object GraftQueries {
       .orderBy("doc_id", "rank")
   }
 
+  /** Per-domain cap — the web-pipeline balancing op (CCNet/RefinedWeb
+    * style): at most 20 documents per source, best quality first (ties
+    * by doc_id). One window over a (source)-partitioned shuffle; the
+    * rank<=20 filter runs as WindowGroupLimit, so each map task
+    * pre-prunes to its local top-20 before the shuffle — at 100 TB a
+    * mega-domain ships 20 rows per task, not its whole corpus. */
+  val sampleDomainCap: Q = (s, d) => {
+    val w = Window.partitionBy("source").orderBy(col("quality").desc, col("doc_id"))
+    TextAnalysis.textStats(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("quality"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 20)
+      .orderBy("source", "rank")
+  }
+
   /** Quality filter composition: docs passing quality gates, per lang. */
   val qualityFilter: Q = (s, d) =>
     TextAnalysis.textStats(Tables.documents(s, d))
@@ -2533,6 +2548,7 @@ object GraftQueries {
     "ann_ivfsq_store" -> annIvfSqStore,
     "ann_graph" -> annGraph,
     "ann_graph_store" -> annGraphStore,
+    "sample_domain_cap" -> sampleDomainCap,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,
     "dedup_exact" -> dedupExact,

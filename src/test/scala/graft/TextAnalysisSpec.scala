@@ -126,4 +126,26 @@ class TextAnalysisSpec extends SparkSpec {
       }
     }
   }
+
+  test("domain cap: <= 20 per source, best-quality-first, WindowGroupLimit plan") {
+    val out = GraftQueries.all("sample_domain_cap")(spark, sf)
+    val p = out.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    // the rank filter must pre-prune map-side: a mega-domain ships its
+    // local top-20 per task into the shuffle, never its whole corpus
+    assert(p.contains("WindowGroupLimit"), s"cap filter not group-limited:\n$p")
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(1)).foreach { case (src, grp) =>
+      assert(grp.length <= 20, s"$src over cap")
+      val ranks = grp.map(_.getLong(3)).sorted.toSeq
+      assert(ranks == (1L to grp.length).toSeq, s"$src ranks not contiguous")
+      // quality non-increasing in rank order
+      val byRank = grp.sortBy(_.getLong(3)).map(_.getDouble(2))
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a >= b, s"$src quality not sorted")
+        case _ => ()
+      }
+    }
+  }
 }
