@@ -694,6 +694,36 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** Incremental graph-index maintenance — nightly-batch shape: the
+    * standing corpus (vec_id % 10 != 7, the repo's arrival-slice
+    * convention) builds the stored graph once; the arrival slice then
+    * INSERTS via partition-local rebuild (only touched cells are read
+    * back, re-built, and dynamically overwritten — O(touched cells),
+    * never the collection). The canonical ascending-id build makes the
+    * maintained store bit-identical to a from-scratch full build
+    * (pinned in AnnProbeSpec together with untouched-partition file
+    * immutability); the query returns the search over the maintained
+    * index. Rows-only (graph walk). */
+  val annGraphIncremental: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_graph_inc").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val cents = Clustering.trainCentroids(e, 8, 2)
+      val standing = e.filter(col("vec_id") =!= 0 && col("vec_id") % 10 =!= 7)
+      val arrivals = e.filter(col("vec_id") =!= 0 && col("vec_id") % 10 === 7)
+      val (g0, _) = GraphAnn.buildGraph(standing, "embedding", "vec_id",
+        ncells = 8, m = 8, centroids = Some(cents))
+      store.create("graph", g0.toDF(), partitionBy = Seq("cell_id"))
+      GraphAnn.insertIntoStored(store, "graph", arrivals, "embedding", "vec_id", cents)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val (hits, _) = GraphAnn.searchStored(
+        store.read(s, "graph"), cents, qv, k = 10, nprobe = 4, ef = 48)
+      s.createDataFrame(java.util.Arrays.asList(hits.collect(): _*), hits.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** Random-hyperplane LSH bucketing (the shuffle key for cosine near-dup
     * at scale). Deterministic planes, rows-only. */
   val annLshBuckets: Q = (s, d) =>
@@ -2549,6 +2579,7 @@ object GraftQueries {
     "ann_graph" -> annGraph,
     "ann_graph_store" -> annGraphStore,
     "sample_domain_cap" -> sampleDomainCap,
+    "ann_graph_incremental" -> annGraphIncremental,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,
     "dedup_exact" -> dedupExact,

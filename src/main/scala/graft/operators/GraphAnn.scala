@@ -181,6 +181,49 @@ object GraphAnn {
     (graph, cents)
   }
 
+  /** Incremental maintenance of a STORED graph: assign the arriving
+    * batch to cells, read back ONLY the touched cells
+    * (partition-pruned), union the arrivals, rebuild those cells'
+    * graphs, and dynamically overwrite just those partitions. Because
+    * each cell's graph is a pure function of its membership
+    * (canonical ascending-id insertion), the incrementally-maintained
+    * store is BIT-IDENTICAL to a from-scratch build over the full
+    * corpus (spec-pinned) — while the work is O(touched cells), never
+    * the collection. The incremental-LSH counterpart of
+    * `Dedup.appendToSignatureIndex`, for the index tier. */
+  def insertIntoStored(store: graft.store.VectorStore, name: String,
+                       batch: DataFrame, vecCol: String, idCol: String,
+                       cents: Array[Array[Float]],
+                       m: Int = 8, efConstruction: Int = 32): Seq[Int] = {
+    val sp = batch.sparkSession
+    import sp.implicits._
+    val assigned = batch
+      .withColumn("_a", Clustering.assignStruct(col(vecCol), cents))
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<float>").as("vec"),
+        col("_a").getField("cid").as("cell_id"))
+    // bounded collect: at most ncells rows
+    val touched = assigned.select("cell_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val existing = store.read(sp, name)
+      .filter(col("cell_id").isin(touched.map(Int.box).toIndexedSeq: _*))
+      .select(col("id"), col("vec"), col("cell_id"))
+    val members = existing.unionByName(assigned)
+      .repartition(math.max(touched.length, 1), col("cell_id"))
+      .as[(Long, Array[Float], Int)]
+    val rebuilt = members.mapPartitions { it =>
+      it.toArray.groupBy(_._3).iterator.flatMap { case (cell, rows) =>
+        buildCell(cell, rows.map(r => (r._1, r._2)), m, efConstruction)
+      }
+    }
+      // EAGER: the rebuilt cells read from the same path the write below
+      // overwrites — the checkpoint severs that lineage (and is bounded
+      // by the touched cells, not the collection)
+      .localCheckpoint(true)
+    store.overwritePartitions(name, rebuilt.toDF(), Seq("cell_id"))
+    touched.toSeq
+  }
+
   /** Search a graph read back from a cell-partitioned store: the
     * column probe filter lands in PartitionFilters, so only probed
     * cells' files are listed and read — the storage half of the

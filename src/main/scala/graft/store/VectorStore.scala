@@ -49,6 +49,15 @@ final case class VectorStore(root: String) {
       manifest.foreach(CollectionManifest.write(path(name), _))
   }
 
+  /** Dynamic partition overwrite: replace ONLY the partitions present
+    * in `df`, leaving every other partition's files untouched — the
+    * incremental-index maintenance primitive (a batch that lands in 3
+    * of 1000 cells rewrites 3 directories, not the collection). */
+  def overwritePartitions(name: String, df: DataFrame, partitionBy: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*).parquet(path(name))
+
   /** The embedder manifest bound to a collection, if any. */
   def manifest(name: String): Option[CollectionManifest] = {
     recoverStranded()

@@ -271,6 +271,48 @@ class AnnProbeSpec extends SparkSpec {
     } finally { e.unpersist(): Unit }
   }
 
+  test("incremental graph insert: touched-cells-only rewrite, equals full rebuild") {
+    import graft.operators.{Clustering, GraphAnn}
+    val root = java.nio.file.Files.createTempDirectory("anngraph_inc").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(spark, sf).cache()
+    try {
+      val cents = Clustering.trainCentroids(e, 8, 2)
+      // a SMALL batch (3 vectors) so some cells stay untouched — the
+      // locality claim needs untouched partitions to observe
+      val batchIds = Seq(101L, 202L, 303L)
+      val standing = e.filter(!col("vec_id").isin(batchIds: _*))
+      val batch = e.filter(col("vec_id").isin(batchIds: _*))
+      val (g0, _) = GraphAnn.buildGraph(standing, "embedding", "vec_id",
+        ncells = 8, m = 8, centroids = Some(cents))
+      store.create("graph", g0.toDF(), partitionBy = Seq("cell_id"))
+      val before = store.dataFiles("graph")
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+      val touched = GraphAnn.insertIntoStored(
+        store, "graph", batch, "embedding", "vec_id", cents)
+      assert(touched.nonEmpty && touched.size <= 3, s"batch of 3 touched $touched")
+      // untouched cells' files must be byte-for-byte the ones written at
+      // create time — the rewrite is partition-local
+      val after = store.dataFiles("graph")
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+      val untouchedDirs = (0 until 8).filterNot(touched.contains).map(c => s"cell_id=$c")
+      untouchedDirs.foreach { dir =>
+        val b = before.filter(_._1.contains(dir))
+        val a = after.filter(_._1.contains(dir))
+        assert(b == a, s"untouched $dir was rewritten")
+      }
+      // canonical-build property: the maintained store equals a
+      // from-scratch build over the FULL corpus, node for node
+      val (gFull, _) = GraphAnn.buildGraph(e, "embedding", "vec_id",
+        ncells = 8, m = 8, centroids = Some(cents))
+      def nodeSet(df: org.apache.spark.sql.DataFrame) =
+        df.select("cell_id", "id", "neighbors").collect()
+          .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toList)).toSet
+      assert(nodeSet(store.read(spark, "graph")) == nodeSet(gFull.toDF()),
+        "incrementally-maintained graph diverged from the from-scratch build")
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   test("IVF recall@10 >= 0.9 vs brute force at sf0.1, nprobe=4/16") {
     // the quality bar for the approximate path, at the bench scale factor:
     // deterministic (seeded centroids + fixed-point training), so this is
