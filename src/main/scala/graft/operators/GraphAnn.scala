@@ -190,7 +190,11 @@ object GraphAnn {
     * store is BIT-IDENTICAL to a from-scratch build over the full
     * corpus (spec-pinned) — while the work is O(touched cells), never
     * the collection. The incremental-LSH counterpart of
-    * `Dedup.appendToSignatureIndex`, for the index tier. */
+    * `Dedup.appendToSignatureIndex`, for the index tier.
+    *
+    * CONTRACT: batch ids are NEW (append semantics, like every
+    * incremental operator here); re-inserting an existing id would
+    * leave two nodes with that id in the rebuilt cell. */
   def insertIntoStored(store: graft.store.VectorStore, name: String,
                        batch: DataFrame, vecCol: String, idCol: String,
                        cents: Array[Array[Float]],
@@ -227,20 +231,38 @@ object GraphAnn {
   /** Search a graph read back from a cell-partitioned store: the
     * column probe filter lands in PartitionFilters, so only probed
     * cells' files are listed and read — the storage half of the
-    * routing tier, same as `ann_ivfsq_store`. */
+    * routing tier, same as `ann_ivfsq_store`.
+    *
+    * The re-colocation repartition is CORRECTNESS, not hygiene: a
+    * parquet read partitions by FILE SPLITS, so a cell written as
+    * several files (multi-task build, incremental rewrites) or split
+    * at `maxPartitionBytes` arrives sliced across tasks — and a beam
+    * walk over a PARTIAL cell has dangling adjacency (spec-pinned with
+    * an engineered multi-file cell under a tiny split size). Only the
+    * probed cells' rows shuffle — nprobe cells, never the collection. */
   def searchStored(stored: DataFrame, cents: Array[Array[Float]],
                    qv: Array[Double], k: Int, nprobe: Int, ef: Int):
       (DataFrame, DataFrame) = {
     val sp = stored.sparkSession
     import sp.implicits._
-    search(stored.as[Node], cents, qv, k, nprobe, ef)
+    val probed = Similarity.sqProbeCells(cents, qv, nprobe)
+    val colocated = stored
+      .filter(col("cell_id").isin(probed.map(Int.box).toIndexedSeq: _*))
+      .repartition(math.max(probed.length, 1), col("cell_id"))
+    search(colocated.as[Node], cents, qv, k, nprobe, ef)
   }
 
   /** Search: probe the `nprobe` nearest cells (same floor-rounded
     * lowest-cid-tie selection as the stored-SQ probe), beam-walk each
     * probed cell's graph, merge to a global top-k. Returns
     * (vec_id, cell_id, dist) with the repo's 6-decimal floor rounding,
-    * plus per-cell (n_nodes, n_evals) stats for observability. */
+    * plus per-cell (n_nodes, n_evals) stats for observability.
+    *
+    * PRECONDITION: every cell's rows are whole within one task
+    * partition — true for [[buildGraph]]'s output (repartitioned on
+    * cell) and for [[searchStored]] (which re-colocates); a caller
+    * handing in an arbitrarily-partitioned Dataset must repartition on
+    * cell_id first, or a partial cell walks with dangling adjacency. */
   def search(graph: Dataset[Node], cents: Array[Array[Float]],
              qv: Array[Double], k: Int, nprobe: Int, ef: Int):
       (DataFrame, DataFrame) = {

@@ -255,9 +255,16 @@ class AnnProbeSpec extends SparkSpec {
         store.create("graph", graph.toDF(), partitionBy = Seq("cell_id"))
         val (sHits, _) = graft.operators.GraphAnn.searchStored(
           store.read(spark, "graph"), cents, qv, k = 10, nprobe = 4, ef = 48)
-        val scans = sHits.queryExecution.executedPlan.collectLeaves().collect {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-        }
+        // the colocation repartition makes the plan adaptive — descend
+        // through AdaptiveSparkPlanExec to reach the real scan
+        def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+          p.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              allScans(a.executedPlan)
+          }.flatten
+        val scans = allScans(sHits.queryExecution.executedPlan)
         assert(scans.nonEmpty, "no FileSourceScanExec over the stored graph")
         scans.foreach { scan =>
           assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell_id")),
@@ -269,6 +276,46 @@ class AnnProbeSpec extends SparkSpec {
           "stored graph search diverged from the inline graph")
       } finally store.destroy()
     } finally { e.unpersist(): Unit }
+  }
+
+  test("stored graph search survives cells sliced across read partitions") {
+    // a parquet read partitions by FILE SPLITS: a cell written as many
+    // files and read under a tiny maxPartitionBytes arrives sliced
+    // across tasks. searchStored must re-colocate before walking —
+    // without it, a partial cell walks with dangling adjacency.
+    import graft.operators.{Clustering, GraphAnn}
+    val root = java.nio.file.Files.createTempDirectory("anngraph_split").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(spark, sf).cache()
+    val oldMax = spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    try {
+      val cents = Clustering.trainCentroids(e, 8, 2)
+      val (g, _) = GraphAnn.buildGraph(e.filter(col("vec_id") =!= 0),
+        "embedding", "vec_id", ncells = 8, m = 8, centroids = Some(cents))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val (inlineHits, _) = GraphAnn.search(g.localCheckpoint(true), cents, qv,
+        k = 10, nprobe = 4, ef = 48)
+      val want = inlineHits.collect().map(_.getLong(0)).toSeq
+      // many small files per cell: salt the writer's partitioning
+      // explicit numPartitions: AQE must not coalesce the salt away
+      store.create("graph",
+        g.toDF().repartition(4, col("cell_id"), col("id") % 5),
+        partitionBy = Seq("cell_id"))
+      val filesPerCell = store.dataFiles("graph")
+        .groupBy(_.getParentFile.getName).values.map(_.size)
+      assert(filesPerCell.exists(_ > 1), "engineered layout failed to multi-file a cell")
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "2048")
+      val read = store.read(spark, "graph")
+      assert(read.rdd.getNumPartitions > 8,
+        s"split engineering ineffective: ${read.rdd.getNumPartitions} partitions")
+      val (sHits, _) = GraphAnn.searchStored(read, cents, qv, k = 10, nprobe = 4, ef = 48)
+      assert(sHits.collect().map(_.getLong(0)).toSeq == want,
+        "sliced-cell stored search diverged from the inline graph")
+    } finally {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", oldMax)
+      e.unpersist(); store.destroy()
+    }
   }
 
   test("incremental graph insert: touched-cells-only rewrite, equals full rebuild") {
