@@ -724,6 +724,36 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** Metadata-filtered graph ANN — the reference's `query(where=...)`
+    * over the graph index. Graph walks cannot pre-filter (dropping
+    * nodes breaks the navigable structure), so this is the published
+    * over-fetch shape: the beam emits its FULL ef result set per
+    * probed cell (k = nprobe·ef candidates, bounded), then the where
+    * filter and final top-k run relationally over that bounded
+    * candidate relation — filter selectivity costs recall, never
+    * correctness of the walk. Recall vs the exact filtered kNN pinned
+    * in AnnProbeSpec. Rows-only (graph walk). */
+  val annGraphFiltered: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val cents = Clustering.trainCentroids(e, 8, 2)
+      val (graph, _) = GraphAnn.buildGraph(
+        e.filter(col("vec_id") =!= 0), "embedding", "vec_id", ncells = 8, m = 8,
+        centroids = Some(cents))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val (cands, _) = GraphAnn.search(graph, cents, qv,
+        k = 4 * 48, nprobe = 4, ef = 48) // whole beam: nprobe*ef candidates
+      val out = cands
+        .join(e.select(col("vec_id"), col("label")), "vec_id")
+        .filter(col("label").isin(1, 2, 3))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), col("label"), col("dist"))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally e.unpersist()
+  }
+
   /** Random-hyperplane LSH bucketing (the shuffle key for cosine near-dup
     * at scale). Deterministic planes, rows-only. */
   val annLshBuckets: Q = (s, d) =>
@@ -2580,6 +2610,7 @@ object GraftQueries {
     "ann_graph_store" -> annGraphStore,
     "sample_domain_cap" -> sampleDomainCap,
     "ann_graph_incremental" -> annGraphIncremental,
+    "ann_graph_filtered" -> annGraphFiltered,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,
     "dedup_exact" -> dedupExact,

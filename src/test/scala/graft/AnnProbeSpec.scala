@@ -278,6 +278,29 @@ class AnnProbeSpec extends SparkSpec {
     } finally { e.unpersist(): Unit }
   }
 
+  test("filtered graph ANN: over-fetch + post-filter recall vs exact filtered kNN") {
+    val d = "/root/testdata/sf0.1"
+    val e = Tables.embeddings(spark, d)
+    val got = GraftQueries.all("ann_graph_filtered")(spark, d)
+      .collect().map(_.getLong(0))
+    assert(got.length == 10)
+    val qb = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+    val exact = e.filter(col("vec_id") =!= 0 && col("label").isin(1, 2, 3))
+      .crossJoin(qb)
+      .withColumn("dd", graft.functions.VectorFunctions.l2Sq(col("embedding"), col("qv")))
+      .orderBy(col("dd"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.toSet.intersect(exact).size / 10.0
+    info(f"filtered graph-ANN recall@10 vs exact filtered kNN: $recall%.2f")
+    // post-filtering pays recall twice (routing + beam membership under
+    // selectivity) — pin a floor that catches a broken filter/fetch
+    // without tripping on corpus drift
+    assert(recall >= 0.7, f"filtered graph-ANN recall degraded: $recall%.2f")
+    // semantic guard: every returned row satisfies the filter
+    GraftQueries.all("ann_graph_filtered")(spark, d).collect()
+      .foreach(r => assert(Set(1, 2, 3).contains(r.getAs[Number](1).intValue)))
+  }
+
   test("stored graph search survives cells sliced across read partitions") {
     // a parquet read partitions by FILE SPLITS: a cell written as many
     // files and read under a tiny maxPartitionBytes arrives sliced
