@@ -1487,16 +1487,20 @@ object GraftQueries {
       .filter(col("dup_ratio") > 0.5).select("doc_id")
     val clsKeep = QualityClassifier.score(docs, "text", "doc_id")
       .filter(col("keep")).select("doc_id")
-    // the slim survivor projection is MATERIALIZED (eager localCheckpoint
-    // — no cache-manager entry to leak) because mix sampling takes two
+    // token counts project MAP-SIDE off the shared spread, and the gate
+    // relations intersect as slim id-only joins — so the text column
+    // never crosses a shuffle (the pipelineCleanMix design; the previous
+    // shape joined full-text docs through three exchanges). The slim
+    // survivor projection is then MATERIALIZED (eager localCheckpoint —
+    // no cache-manager entry to leak) because mix sampling takes two
     // passes over it: without this, the stats collect and the final
     // result would each re-execute the whole gate chain above — the
     // dominant cost of the query, paid twice
-    val survivors = docs
-      .join(cleanKeep, "doc_id").join(clsKeep, "doc_id")
+    val counts = docs.select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
+    val keepIds = cleanKeep.join(clsKeep, "doc_id")
       .join(heavyDup, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), col("source"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
+    val survivors = counts.join(keepIds, "doc_id")
       .localCheckpoint(true)
     val sampled = mixSampleFromCounts(s, survivors)
     TextAnalysis.packAssign(sampled, "doc_id", "source", "_ntok", budgetTokens = 512)
