@@ -661,7 +661,7 @@ object GraftQueries {
         centroids = Some(Clustering.trainCentroids(e, 8, 2)))
       val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head.getSeq[Float](0).map(_.toDouble).toArray
-      val (hits, _) = GraphAnn.search(graph, cents, qv, k = 10, nprobe = 4, ef = 48)
+      val hits = GraphAnn.search(graph, cents, qv, k = 10, nprobe = 4, ef = 48)
       s.createDataFrame(java.util.Arrays.asList(hits.collect(): _*), hits.schema)
     } finally e.unpersist()
   }
@@ -687,7 +687,7 @@ object GraftQueries {
       store.create("graph", graph.toDF(), partitionBy = Seq("cell_id"))
       val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head.getSeq[Float](0).map(_.toDouble).toArray
-      val (hits, _) = GraphAnn.searchStored(
+      val hits = GraphAnn.searchStored(
         store.read(s, "graph"), cents, qv, k = 10, nprobe = 4, ef = 48)
       // materialize before store.destroy()
       s.createDataFrame(java.util.Arrays.asList(hits.collect(): _*), hits.schema)
@@ -718,7 +718,7 @@ object GraftQueries {
       GraphAnn.insertIntoStored(store, "graph", arrivals, "embedding", "vec_id", cents)
       val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head.getSeq[Float](0).map(_.toDouble).toArray
-      val (hits, _) = GraphAnn.searchStored(
+      val hits = GraphAnn.searchStored(
         store.read(s, "graph"), cents, qv, k = 10, nprobe = 4, ef = 48)
       s.createDataFrame(java.util.Arrays.asList(hits.collect(): _*), hits.schema)
     } finally { e.unpersist(); store.destroy() }
@@ -742,7 +742,7 @@ object GraftQueries {
         centroids = Some(cents))
       val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head.getSeq[Float](0).map(_.toDouble).toArray
-      val (cands, _) = GraphAnn.search(graph, cents, qv,
+      val cands = GraphAnn.search(graph, cents, qv,
         k = 4 * 48, nprobe = 4, ef = 48) // whole beam: nprobe*ef candidates
       val out = cands
         .join(e.select(col("vec_id"), col("label")), "vec_id")
@@ -751,6 +751,28 @@ object GraftQueries {
         .limit(10)
         .select(col("vec_id"), col("label"), col("dist"))
       s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally e.unpersist()
+  }
+
+  /** Batch-query graph ANN — Chroma's `query(query_texts=[...])` list
+    * form over the graph index: a queries RELATION (the three lowest
+    * vec_ids) fans out through one [[GraphAnn.searchMany]] call, which
+    * loads each probed cell's walk structure ONCE for the whole batch
+    * (a loop of single searches re-loads per query — the amortization
+    * is pinned on GraphAnn.counters in AnnProbeSpec together with
+    * per-query equality to N single runs). Rows-only (graph walk). */
+  val annGraphBatch: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val (graph, cents) = GraphAnn.buildGraph(
+        e.filter(col("vec_id") >= 3), "embedding", "vec_id", ncells = 8, m = 8,
+        centroids = Some(Clustering.trainCentroids(e, 8, 2)))
+      val hits = GraphAnn.searchMany(graph, cents, queries, "qid", "qvec",
+        k = 10, nprobe = 4, ef = 48)
+        .orderBy(col("qid"), col("rank"))
+      s.createDataFrame(java.util.Arrays.asList(hits.collect(): _*), hits.schema)
     } finally e.unpersist()
   }
 
@@ -2611,6 +2633,7 @@ object GraftQueries {
     "ann_ivfpq_store" -> annIvfPqStore,
     "ann_ivfsq_store" -> annIvfSqStore,
     "ann_graph" -> annGraph,
+    "ann_graph_batch" -> annGraphBatch,
     "ann_graph_store" -> annGraphStore,
     "sample_domain_cap" -> sampleDomainCap,
     "ann_graph_incremental" -> annGraphIncremental,

@@ -244,6 +244,21 @@ final case class TransformerEmbedder(resource: String = "/graft/toy_transformer.
   @transient private lazy val bpeRank: Map[(String, String), Int] =
     bpeMerges.zipWithIndex.toMap
 
+  /** A pretrained checkpoint's own tokenizer: a `vocab.txt` beside the
+    * `.safetensors` file switches tokenization to WordPiece over the
+    * checkpoint's vocabulary (row order is part of the model — hashing
+    * would scramble it). The vocab rides WITH the resource, so the
+    * embedder identity (resource path) still names the full
+    * configuration and the collection binding stays sound. */
+  @transient private lazy val wordPiece: Option[WordPiece] =
+    if (!resource.endsWith(".safetensors")) None
+    else {
+      val p = java.nio.file.Paths.get(resource).toAbsolutePath.getParent
+      val v = p.resolve("vocab.txt")
+      if (java.nio.file.Files.isRegularFile(v)) Some(WordPiece.load(v.toString))
+      else None
+    }
+
   override def dim: Int = model.d
 
   override def identity: EmbedderId =
@@ -268,9 +283,13 @@ final case class TransformerEmbedder(resource: String = "/graft/toy_transformer.
   override def encodeOne(text: String): Array[Float] = {
     val m = model
     if (text == null) return new Array[Float](m.d)
-    val toks = tokenize(prefix + text, m.maxLen)
-    if (toks.isEmpty) return new Array[Float](m.d)
-    m.forward(toks.map(TransformerEmbedder.tokenId(_, m.vocab)))
+    val ids = wordPiece match {
+      case Some(wp) => wp.encode(prefix + text, m.maxLen)
+      case None =>
+        tokenize(prefix + text, m.maxLen).map(TransformerEmbedder.tokenId(_, m.vocab))
+    }
+    if (ids.isEmpty) return new Array[Float](m.d)
+    m.forward(ids)
   }
 }
 
@@ -284,17 +303,23 @@ object TransformerEmbedder {
     java.lang.Math.floorMod(h, vocab.toLong).toInt
   }
 
+  /** One encoder block's parameters (attention + FFN + two LayerNorms).
+    * Projection matrices are stored [dIn*dOut] row-major INPUT-major
+    * (`w(i*dOut + o)`) — the transpose of the HF checkpoint layout,
+    * applied at load time ([[loadSafetensors]]). */
+  final case class Block(wq: Array[Float], bq: Array[Float],
+                         wk: Array[Float], bk: Array[Float],
+                         wv: Array[Float], bv: Array[Float],
+                         wo: Array[Float], bo: Array[Float],
+                         ln1g: Array[Float], ln1b: Array[Float],
+                         w1: Array[Float], b1: Array[Float],
+                         w2: Array[Float], b2: Array[Float],
+                         ln2g: Array[Float], ln2b: Array[Float])
+
   final case class Weights(vocab: Int, d: Int, heads: Int, dff: Int, maxLen: Int,
                            tokEmb: Array[Float], posEmb: Array[Float],
                            lnEg: Array[Float], lnEb: Array[Float],
-                           wq: Array[Float], bq: Array[Float],
-                           wk: Array[Float], bk: Array[Float],
-                           wv: Array[Float], bv: Array[Float],
-                           wo: Array[Float], bo: Array[Float],
-                           ln1g: Array[Float], ln1b: Array[Float],
-                           w1: Array[Float], b1: Array[Float],
-                           w2: Array[Float], b2: Array[Float],
-                           ln2g: Array[Float], ln2b: Array[Float]) {
+                           blocks: Seq[Block]) {
 
     // x[n*d] row-major throughout; double accumulation everywhere so the
     // result is bit-deterministic across JVMs and batchings
@@ -339,24 +364,12 @@ object TransformerEmbedder {
     private def gelu(x: Double): Double = // tanh approximation (BERT's)
       0.5 * x * (1.0 + math.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))
 
-    def forward(ids: Array[Int]): Array[Float] = {
-      val n = ids.length
-      // embeddings: LN(tok + pos)
-      val x = new Array[Double](n * d)
-      var r = 0
-      while (r < n) {
-        var i = 0
-        while (i < d) {
-          x(r * d + i) = tokEmb(ids(r) * d + i).toDouble + posEmb(r * d + i)
-          i += 1
-        }
-        r += 1
-      }
-      layerNorm(x, n, lnEg, lnEb)
-      // multi-head self-attention
-      val q = matmul(x, n, d, d, wq, bq)
-      val k = matmul(x, n, d, d, wk, bk)
-      val v = matmul(x, n, d, d, wv, bv)
+    /** One encoder block: multi-head self-attention + residual + LN,
+      * GELU FFN + residual + LN. Returns the block's output rows. */
+    private def applyBlock(x: Array[Double], n: Int, blk: Block): Array[Double] = {
+      val q = matmul(x, n, d, d, blk.wq, blk.bq)
+      val k = matmul(x, n, d, d, blk.wk, blk.bk)
+      val v = matmul(x, n, d, d, blk.wv, blk.bv)
       val dh = d / heads
       val scale = 1.0 / math.sqrt(dh.toDouble)
       val ctx = new Array[Double](n * d)
@@ -390,28 +403,48 @@ object TransformerEmbedder {
         }
         h += 1
       }
-      val attn = matmul(ctx, n, d, d, wo, bo)
+      val attn = matmul(ctx, n, d, d, blk.wo, blk.bo)
       var i = 0
       while (i < n * d) { attn(i) += x(i); i += 1 } // residual
-      layerNorm(attn, n, ln1g, ln1b)
+      layerNorm(attn, n, blk.ln1g, blk.ln1b)
       // FFN with residual
-      val hid = matmul(attn, n, d, dff, w1, b1)
+      val hid = matmul(attn, n, d, dff, blk.w1, blk.b1)
       i = 0
       while (i < n * dff) { hid(i) = gelu(hid(i)); i += 1 }
-      val ff = matmul(hid, n, dff, d, w2, b2)
+      val ff = matmul(hid, n, dff, d, blk.w2, blk.b2)
       i = 0
       while (i < n * d) { ff(i) += attn(i); i += 1 }
-      layerNorm(ff, n, ln2g, ln2b)
+      layerNorm(ff, n, blk.ln2g, blk.ln2b)
+      ff
+    }
+
+    def forward(ids: Array[Int]): Array[Float] = {
+      val n = ids.length
+      // embeddings: LN(tok + pos)
+      var x = new Array[Double](n * d)
+      var r = 0
+      while (r < n) {
+        var i = 0
+        while (i < d) {
+          x(r * d + i) = tokEmb(ids(r) * d + i).toDouble + posEmb(r * d + i)
+          i += 1
+        }
+        r += 1
+      }
+      layerNorm(x, n, lnEg, lnEb)
+      // the encoder stack — N blocks, not one: a real MiniLM (6) or
+      // BGE-small (12) checkpoint runs through the same loop
+      blocks.foreach { blk => x = applyBlock(x, n, blk) }
       // mean pool + L2 normalize
       val out = new Array[Double](d)
       r = 0
       while (r < n) {
-        i = 0
-        while (i < d) { out(i) += ff(r * d + i); i += 1 }
+        var i = 0
+        while (i < d) { out(i) += x(r * d + i); i += 1 }
         r += 1
       }
       var norm = 0.0
-      i = 0
+      var i = 0
       while (i < d) { out(i) /= n; norm += out(i) * out(i); i += 1 }
       val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
       val res = new Array[Float](d)
@@ -421,7 +454,16 @@ object TransformerEmbedder {
     }
   }
 
-  def load(resource: String): Weights = {
+  /** Load weights: a `.safetensors` resource reads a PRETRAINED
+    * checkpoint from the FILESYSTEM through the HF-name mapping
+    * ([[loadSafetensors]]); anything else reads the checked-in GTRF
+    * binary from the classpath — the fallback that keeps the engine
+    * self-contained when no checkpoint is installed. */
+  def load(resource: String): Weights =
+    if (resource.endsWith(".safetensors")) loadSafetensors(resource)
+    else loadGtrf(resource)
+
+  private def loadGtrf(resource: String): Weights = {
     val in = Option(getClass.getResourceAsStream(resource))
       .getOrElse(throw new java.io.FileNotFoundException(
         s"transformer weights not on classpath: $resource"))
@@ -443,12 +485,87 @@ object TransformerEmbedder {
       Weights(vocab, d, heads, dff, maxLen,
         floats(vocab * d), floats(maxLen * d),
         floats(d), floats(d),
-        floats(d * d), floats(d), floats(d * d), floats(d),
-        floats(d * d), floats(d), floats(d * d), floats(d),
-        floats(d), floats(d),
-        floats(d * dff), floats(dff), floats(dff * d), floats(d),
-        floats(d), floats(d))
+        Seq(Block(
+          floats(d * d), floats(d), floats(d * d), floats(d),
+          floats(d * d), floats(d), floats(d * d), floats(d),
+          floats(d), floats(d),
+          floats(d * dff), floats(dff), floats(dff * d), floats(d),
+          floats(d), floats(d))))
     } finally ds.close()
+  }
+
+  /** Map a BERT-family safetensors checkpoint (MiniLM, BGE, E5 — the
+    * models the reference binds, /root/reference/src/PDFToChromaIngester
+    * .py:43-47) onto [[Weights]]:
+    *
+    *  - HF `Linear` weights are stored [out, in] row-major; the forward
+    *    pass here indexes [in, out], so every projection transposes on
+    *    load (one pass, load-time only);
+    *  - BERT adds token-type (segment) embeddings; single-segment
+    *    inference uses type 0 everywhere, so its row folds into the
+    *    position embeddings and the forward pass stays type-free;
+    *  - head count is not recorded in tensor shapes: read
+    *    `__metadata__.num_attention_heads` when present, else 12 (every
+    *    BERT-base/-small family member — BGE-small, MiniLM, E5-small —
+    *    uses 12; a nonstandard checkpoint must carry the metadata key);
+    *  - an optional leading `bert.` on tensor names (full BertModel
+    *    exports) is stripped.
+    */
+  private[embed] def loadSafetensors(path: String): Weights = {
+    val st = Safetensors.read(path)
+    val pfx = if (st.tensors.keys.exists(_.startsWith("bert."))) "bert." else ""
+    def t(name: String): Array[Float] = st.floats(pfx + name)
+    def shapeOf(name: String): Array[Int] = st.shape(pfx + name)
+    def transpose(w: Array[Float], dOut: Int, dIn: Int): Array[Float] = {
+      val o = new Array[Float](w.length)
+      var r = 0
+      while (r < dOut) {
+        var c = 0
+        while (c < dIn) { o(c * dOut + r) = w(r * dIn + c); c += 1 }
+        r += 1
+      }
+      o
+    }
+    val Array(vocab, d) = shapeOf("embeddings.word_embeddings.weight")
+    val maxLen = shapeOf("embeddings.position_embeddings.weight")(0)
+    val heads = st.metadata.get("num_attention_heads").map(_.toInt).getOrElse {
+      require(d % 12 == 0,
+        s"d=$d not divisible by the default 12 heads — add num_attention_heads to __metadata__")
+      12
+    }
+    require(d % heads == 0, s"d=$d not divisible by heads=$heads")
+    val posEmb = t("embeddings.position_embeddings.weight")
+    val typeRow = st.tensors.keys.find(_.endsWith("embeddings.token_type_embeddings.weight"))
+      .map(_ => t("embeddings.token_type_embeddings.weight").take(d))
+    typeRow.foreach { tr =>
+      var p = 0
+      while (p < maxLen) {
+        var i = 0
+        while (i < d) { posEmb(p * d + i) += tr(i); i += 1 }
+        p += 1
+      }
+    }
+    val nLayers = Iterator.from(0)
+      .takeWhile(i => st.tensors.contains(pfx + s"encoder.layer.$i.attention.self.query.weight"))
+      .size
+    require(nLayers > 0, s"no encoder.layer.* tensors in $path")
+    val dff = shapeOf("encoder.layer.0.intermediate.dense.weight")(0)
+    val blocks = (0 until nLayers).map { i =>
+      val L = s"encoder.layer.$i"
+      Block(
+        transpose(t(s"$L.attention.self.query.weight"), d, d), t(s"$L.attention.self.query.bias"),
+        transpose(t(s"$L.attention.self.key.weight"), d, d), t(s"$L.attention.self.key.bias"),
+        transpose(t(s"$L.attention.self.value.weight"), d, d), t(s"$L.attention.self.value.bias"),
+        transpose(t(s"$L.attention.output.dense.weight"), d, d), t(s"$L.attention.output.dense.bias"),
+        t(s"$L.attention.output.LayerNorm.weight"), t(s"$L.attention.output.LayerNorm.bias"),
+        transpose(t(s"$L.intermediate.dense.weight"), dff, d), t(s"$L.intermediate.dense.bias"),
+        transpose(t(s"$L.output.dense.weight"), d, dff), t(s"$L.output.dense.bias"),
+        t(s"$L.output.LayerNorm.weight"), t(s"$L.output.LayerNorm.bias"))
+    }
+    Weights(vocab, d, heads, dff, maxLen,
+      t("embeddings.word_embeddings.weight"), posEmb,
+      t("embeddings.LayerNorm.weight"), t("embeddings.LayerNorm.bias"),
+      blocks)
   }
 
   /** Deterministic weight-file writer (the checked-in fixture's recorded

@@ -1,0 +1,82 @@
+package graft.embed
+
+/** WordPiece tokenizer — the tokenization the reference's
+  * SentenceTransformer models use (uncased BERT vocab,
+  * /root/reference/src/PDFToChromaIngester.py:43): basic tokenization
+  * (lowercase, whitespace split, punctuation split-out) followed by
+  * greedy longest-match subword segmentation with `##` continuation
+  * pieces; a word with any unmatchable remainder becomes `[UNK]`.
+  * Loaded from the standard `vocab.txt` (one token per line, line
+  * number = id) that ships beside every BERT-family checkpoint.
+  *
+  * This is the id-emitting counterpart of the trained-BPE path
+  * ([[graft.text.Bpe]]): BPE hashes learned subword STRINGS into the
+  * embedding table (vocab-free), WordPiece maps them to the
+  * checkpoint's OWN rows — required for pretrained weights, where row
+  * order is part of the model.
+  */
+final case class WordPiece(vocab: Map[String, Int], lowercase: Boolean = true) {
+
+  val unkId: Int = vocab.getOrElse("[UNK]",
+    throw new IllegalArgumentException("vocab has no [UNK]"))
+  val clsId: Int = vocab.getOrElse("[CLS]",
+    throw new IllegalArgumentException("vocab has no [CLS]"))
+  val sepId: Int = vocab.getOrElse("[SEP]",
+    throw new IllegalArgumentException("vocab has no [SEP]"))
+
+  /** `[CLS] pieces… [SEP]`, truncated to `maxLen` total ids. */
+  def encode(text: String, maxLen: Int): Array[Int] = {
+    val pieces = basicTokens(text).iterator.flatMap(wordIds).take(maxLen - 2).toArray
+    (clsId +: pieces.toSeq :+ sepId).toArray
+  }
+
+  /** Basic tokenization: optional lowercase, whitespace split, each
+    * punctuation character its own token (BERT's BasicTokenizer rule). */
+  private[embed] def basicTokens(text: String): Seq[String] = {
+    val t = if (lowercase) text.toLowerCase else text
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    def flush(): Unit = if (cur.nonEmpty) { out += cur.toString(); cur.clear() }
+    t.foreach { c =>
+      if (c.isWhitespace) flush()
+      else if (!c.isLetterOrDigit) { flush(); out += c.toString }
+      else cur += c
+    }
+    flush()
+    out.result()
+  }
+
+  /** Greedy longest-match segmentation of one word. */
+  private[embed] def wordIds(word: String): Seq[Int] = {
+    if (word.length > 100) return Seq(unkId) // HF's max_input_chars_per_word
+    val ids = Seq.newBuilder[Int]
+    var start = 0
+    while (start < word.length) {
+      var end = word.length
+      var hit = -1
+      while (end > start && hit < 0) {
+        val piece = (if (start > 0) "##" else "") + word.substring(start, end)
+        vocab.get(piece) match {
+          case Some(id) => hit = id
+          case None => end -= 1
+        }
+      }
+      if (hit < 0) return Seq(unkId)
+      ids += hit
+      start = end
+    }
+    ids.result()
+  }
+}
+
+object WordPiece {
+  /** Load the standard `vocab.txt`: one token per line, id = line index. */
+  def load(path: String): WordPiece = {
+    val lines = java.nio.file.Files.readAllLines(
+      java.nio.file.Paths.get(path), java.nio.charset.StandardCharsets.UTF_8)
+    val vocab = Map.newBuilder[String, Int]
+    var i = 0
+    lines.forEach { l => vocab += l.trim -> i; i += 1 }
+    WordPiece(vocab.result())
+  }
+}

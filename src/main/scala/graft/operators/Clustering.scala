@@ -178,7 +178,14 @@ object Clustering {
   def semanticNearDupFrom(assigned: DataFrame, threshold: Double,
       idCol: String = "vec_id", vecCol: String = "embedding",
       maxClusterSize: Int = 8192): DataFrame = {
-    val a = assigned.select(col(idCol), col(vecCol), col("cluster_id"))
+    val a0 = assigned.select(col(idCol), col(vecCol), col("cluster_id"))
+    // an unguarded caller pays nothing: no size scan, no materialization
+    if (maxClusterSize == Int.MaxValue)
+      return exactPairsWithin(a0, threshold, idCol, vecCol)
+    // the size scan + pair stage(s) would each re-execute the upstream
+    // assignment scan — materialize it once (eager, same no-leak
+    // discipline as the other near-dup operators)
+    val a = a0.localCheckpoint(true)
     val big = a.groupBy("cluster_id").count()
       .filter(col("count") > maxClusterSize)
       .collect().map(_.getLong(0)).sorted
@@ -187,16 +194,16 @@ object Clustering {
       val bigRows = a.filter(col("cluster_id").isin(big: _*))
       val small = a.filter(!col("cluster_id").isin(big: _*))
       // the LSH join ignores cluster ids, so candidate pairs spanning two
-      // oversized clusters can appear — the assignment join drops them
+      // oversized clusters can appear — the assignment join drops them.
+      // lshNearDupJoin emits the repo's floor-form round6 (one rounding
+      // rule across both branches) and derives the hyperplane dim from
+      // the vector column itself.
       val assign = bigRows.select(col(idCol), col("cluster_id"))
       val banded = Similarity.lshNearDupJoin(bigRows, vecCol, idCol, threshold)
         .join(assign.toDF("id_a", "ca"), "id_a")
         .join(assign.toDF("id_b", "cb"), "id_b")
         .filter(col("ca") === col("cb"))
-        // lshNearDupJoin emits HALF_UP round(cosine, 6); re-round with the
-        // floor form so both branches carry the repo's cross-engine shape
-        .select(col("ca").as("cluster_id"), col("id_a"), col("id_b"),
-          round6(col("cosine")).as("cosine"))
+        .select(col("ca").as("cluster_id"), col("id_a"), col("id_b"), col("cosine"))
       exactPairsWithin(small, threshold, idCol, vecCol).unionByName(banded)
     }
   }

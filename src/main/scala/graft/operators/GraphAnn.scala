@@ -54,6 +54,19 @@ object GraphAnn {
   final case class Node(cell_id: Int, id: Long, vec: Array[Float],
                         neighbors: Array[Long])
 
+  /** Process-local observability counters for the SEARCH paths (never the
+    * build): `cellLoads` counts walk-structure materializations (one per
+    * (cell, search) — the thing [[searchMany]] amortizes across a query
+    * batch), `beamWalks` counts beam searches. Driver-meaningful under
+    * local mode (tests pin single-execution and amortization invariants
+    * on them); on a real cluster they are per-executor JVM counters —
+    * harmless, not aggregated. */
+  object counters {
+    val cellLoads = new java.util.concurrent.atomic.AtomicLong
+    val beamWalks = new java.util.concurrent.atomic.AtomicLong
+    def reset(): Unit = { cellLoads.set(0L); beamWalks.set(0L) }
+  }
+
   /** Left-to-right double accumulation over float inputs — the repo's
     * VectorDistance arithmetic, reproduced for the imperative kernel. */
   private def l2(a: Array[Float], b: Array[Float]): Double = {
@@ -154,24 +167,45 @@ object GraphAnn {
 
   /** Build the cell-partitioned graph: assign cells with the
     * deterministic quantizer, repartition on cell, build each cell's
-    * NSW inside its partition. Returns (graph, centroids). */
+    * NSW inside its partition. Returns (graph, centroids — possibly
+    * EXTENDED past `ncells` by the giant-cell guard; callers must keep
+    * the returned array, not the one they passed in).
+    *
+    * Giant-cell guard (the graph twin of SemDeDup's `maxClusterSize`,
+    * [[Clustering.semanticNearDupFrom]]): `buildCell` materializes a
+    * whole cell in one task and runs the O(n·ef·M) NSW insertion
+    * serially, so ONE degenerate embedding cluster (boilerplate
+    * near-dups) would concentrate unbounded memory and a straggler
+    * build in a single task. Cells whose population exceeds
+    * `maxCellSize` are therefore recursively sub-quantized
+    * ([[refineCells]]): deterministic farthest-point seeds + Lloyd
+    * rounds derive child centroids from the cell's own members, the
+    * parent centroid slot is replaced by child 0 and the rest append
+    * to the centroid array, and the WHOLE collection re-assigns flat
+    * against the extended array (so assignment ≡ argmin over the final
+    * centroids — the invariant the probe side relies on). Results are
+    * bit-identical to the unguarded form whenever no cell exceeds the
+    * cap (spec-pinned), and the guard costs one extra column-pruned
+    * count scan in that common case. */
   def buildGraph(collection: DataFrame, vecCol: String, idCol: String,
                  ncells: Int = 8, iters: Int = 2, m: Int = 8,
                  efConstruction: Int = 32,
-                 centroids: Option[Array[Array[Float]]] = None): (Dataset[Node], Array[Array[Float]]) = {
+                 centroids: Option[Array[Array[Float]]] = None,
+                 maxCellSize: Int = 65536): (Dataset[Node], Array[Array[Float]]) = {
     val sp = collection.sparkSession
     import sp.implicits._
     // pre-trained centroids let the caller train the router on the FULL
     // collection while building the graph over a filtered slice (the
     // query holds its probe vector out of the graph but not the router)
-    val cents = centroids.getOrElse(
+    val cents0 = centroids.getOrElse(
       Clustering.trainCentroids(collection, ncells, iters, idCol, vecCol))
+    val cents = refineCells(collection, vecCol, idCol, cents0, maxCellSize, iters)
     val assigned = collection
       .withColumn("_a", Clustering.assignStruct(col(vecCol), cents))
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"),
         col("_a").getField("cid").as("cell_id"))
-      .repartition(ncells, col("cell_id"))
+      .repartition(cents.length, col("cell_id"))
       .as[(Long, Array[Float], Int)]
     val graph = assigned.mapPartitions { it =>
       it.toArray.groupBy(_._3).iterator.flatMap { case (cell, rows) =>
@@ -179,6 +213,76 @@ object GraphAnn {
       }
     }
     (graph, cents)
+  }
+
+  /** The guard loop: while any cell holds more than `maxCellSize`
+    * members, split each oversized cell (ascending cell id, so child
+    * slot allocation is deterministic) and re-assign flat. Progress is
+    * measured on the MAX oversize (the straggler/memory bound — the
+    * count of oversized cells can transiently rise while one giant
+    * cell splits down); a round that does not strictly shrink it stops
+    * the loop — the all-identical-vectors cell, which no centroid
+    * split can separate, terminates here with the oversized cell
+    * accepted (documented limit: exact duplicates should be deduped
+    * before indexing — the dedup tier's job). Rounds are bounded as a
+    * backstop. */
+  private[graft] def refineCells(collection: DataFrame, vecCol: String,
+      idCol: String, cents0: Array[Array[Float]], maxCellSize: Int,
+      iters: Int): Array[Array[Float]] = {
+    if (maxCellSize == Int.MaxValue) return cents0
+    var cents = cents0
+    var prevMax = Long.MaxValue
+    var rounds = 0
+    while (rounds < 8) {
+      val assigned = collection
+        .withColumn("_c", Clustering.assignStruct(col(vecCol), cents).getField("cid"))
+        .select(col(idCol).cast("long").as("id"),
+          col(vecCol).cast("array<float>").as("vec"), col("_c").as("cell"))
+      val oversized = assigned.groupBy("cell").count()
+        .filter(col("count") > maxCellSize)
+        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+      if (oversized.isEmpty) return cents
+      val curMax = oversized.map(_._2).max
+      if (curMax >= prevMax) return cents
+      prevMax = curMax
+      // the split passes re-read the assignment several times — pin it
+      // (bounded by the collection's (id, vec) projection, and we are on
+      // the rare guard path: something IS oversized)
+      val pinned = assigned.localCheckpoint(true)
+      val next = mutable.ArrayBuffer(cents.toIndexedSeq: _*)
+      oversized.foreach { case (cell, n) =>
+        val members = pinned.filter(col("cell") === cell).select(col("id"), col("vec"))
+        val kChild = math.min(math.max(2, math.ceil(n.toDouble / maxCellSize).toInt), 64)
+        val sub = splitCentroids(members, kChild, iters)
+        next(cell) = sub(0)
+        next ++= sub.drop(1)
+      }
+      cents = next.toArray
+      rounds += 1
+    }
+    cents
+  }
+
+  /** Deterministic k-way split centroids for one cell's members:
+    * farthest-point (maxmin) seeding — seed 0 is the min-id member's
+    * vector, each further seed the member farthest (floor-rounded
+    * distance, ties to the lowest id) from the seeds so far — then
+    * `iters` fixed-point Lloyd rounds ([[Clustering.lloydStep]]). Every
+    * pass is a bounded TakeOrdered / partial-agg over the member slice;
+    * nothing collects more than one row or k·dim sums. */
+  private def splitCentroids(members: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
+    val seeds = mutable.ArrayBuffer(
+      members.orderBy(col("id")).select(col("vec"))
+        .head.getSeq[Float](0).toArray)
+    while (seeds.length < k) {
+      val d = Clustering.assignStruct(col("vec"), seeds.toArray).getField("dist")
+      seeds += members.select(col("vec"), d.as("_d"), col("id"))
+        .orderBy(col("_d").desc, col("id")).select("vec")
+        .head.getSeq[Float](0).toArray
+    }
+    var cs = seeds.toArray
+    for (_ <- 0 until iters) cs = Clustering.lloydStep(members, cs, "id", "vec")
+    cs
   }
 
   /** Incremental maintenance of a STORED graph: assign the arriving
@@ -193,8 +297,16 @@ object GraphAnn {
     * `Dedup.appendToSignatureIndex`, for the index tier.
     *
     * CONTRACT: batch ids are NEW (append semantics, like every
-    * incremental operator here); re-inserting an existing id would
-    * leave two nodes with that id in the rebuilt cell. */
+    * incremental operator here) — ENFORCED: the batch ids are checked
+    * against the touched cells' existing ids (already read back for the
+    * rebuild, so the check is bounded by the touched cells, not the
+    * collection) and a collision throws rather than silently leaving
+    * two nodes with one id in the rebuilt cell.
+    *
+    * Cap note: `maxCellSize` is a BUILD-time guard; appends do not
+    * re-split (a split would change the centroid array the caller
+    * persists). A cell pushed over the cap by appends is restored by
+    * the next full [[buildGraph]] — same policy as compaction. */
   def insertIntoStored(store: graft.store.VectorStore, name: String,
                        batch: DataFrame, vecCol: String, idCol: String,
                        cents: Array[Array[Float]],
@@ -212,6 +324,10 @@ object GraphAnn {
     val existing = store.read(sp, name)
       .filter(col("cell_id").isin(touched.map(Int.box).toIndexedSeq: _*))
       .select(col("id"), col("vec"), col("cell_id"))
+    val dup = existing.select("id").intersect(assigned.select("id")).limit(1).collect()
+    require(dup.isEmpty,
+      s"insertIntoStored: batch re-inserts existing id ${if (dup.nonEmpty) dup(0).getLong(0) else ""} " +
+        s"into '$name' — append semantics require new ids")
     val members = existing.unionByName(assigned)
       .repartition(math.max(touched.length, 1), col("cell_id"))
       .as[(Long, Array[Float], Int)]
@@ -241,8 +357,7 @@ object GraphAnn {
     * an engineered multi-file cell under a tiny split size). Only the
     * probed cells' rows shuffle — nprobe cells, never the collection. */
   def searchStored(stored: DataFrame, cents: Array[Array[Float]],
-                   qv: Array[Double], k: Int, nprobe: Int, ef: Int):
-      (DataFrame, DataFrame) = {
+                   qv: Array[Double], k: Int, nprobe: Int, ef: Int): DataFrame = {
     val sp = stored.sparkSession
     import sp.implicits._
     val probed = Similarity.sqProbeCells(cents, qv, nprobe)
@@ -252,20 +367,11 @@ object GraphAnn {
     search(colocated.as[Node], cents, qv, k, nprobe, ef)
   }
 
-  /** Search: probe the `nprobe` nearest cells (same floor-rounded
-    * lowest-cid-tie selection as the stored-SQ probe), beam-walk each
-    * probed cell's graph, merge to a global top-k. Returns
-    * (vec_id, cell_id, dist) with the repo's 6-decimal floor rounding,
-    * plus per-cell (n_nodes, n_evals) stats for observability.
-    *
-    * PRECONDITION: every cell's rows are whole within one task
-    * partition — true for [[buildGraph]]'s output (repartitioned on
-    * cell) and for [[searchStored]] (which re-colocates); a caller
-    * handing in an arbitrarily-partitioned Dataset must repartition on
-    * cell_id first, or a partial cell walks with dangling adjacency. */
-  def search(graph: Dataset[Node], cents: Array[Array[Float]],
-             qv: Array[Double], k: Int, nprobe: Int, ef: Int):
-      (DataFrame, DataFrame) = {
+  /** The walk kernel shared by [[search]] and [[searchWithStats]]:
+    * probe, beam-walk each probed cell, emit per-cell candidate rows
+    * with observability columns. */
+  private def perCellWalk(graph: Dataset[Node], cents: Array[Array[Float]],
+                          qv: Array[Double], k: Int, nprobe: Int, ef: Int): DataFrame = {
     val sp = graph.sparkSession
     import sp.implicits._
     val probed = Similarity.sqProbeCells(cents, qv, nprobe)
@@ -273,14 +379,16 @@ object GraphAnn {
     // a COLUMN filter, not a typed closure: over a cell-partitioned
     // stored graph this is the partition-pruning probe (the scan lists
     // only probed cells' directories), exactly like the stored-SQ path
-    val perCell = graph
+    graph
       .filter(col("cell_id").isin(probed.map(Int.box).toIndexedSeq: _*))
       .mapPartitions { it =>
         it.toArray.groupBy(_.cell_id).iterator.flatMap { case (cell, ns) =>
+          counters.cellLoads.incrementAndGet()
           val vecs = mutable.LongMap[Array[Float]]()
           val nbs = mutable.LongMap[Array[Long]]()
           ns.foreach { n => vecs(n.id) = n.vec; nbs(n.id) = n.neighbors }
           val entry = ns.iterator.map(_.id).min
+          counters.beamWalks.incrementAndGet()
           val (top, evals) = beamSearch(vecs(_), nbs(_).toSeq, entry, qf, ef)
           top.take(k).iterator.map { case (d, id) =>
             (cell, id, d, ns.length, evals)
@@ -288,12 +396,128 @@ object GraphAnn {
         }
       }
       .toDF("cell_id", "vec_id", "_d", "n_nodes", "n_evals")
-    val hits = perCell
+  }
+
+  private def hitsOf(perCell: DataFrame, k: Int): DataFrame = perCell
+    .withColumn("dist", floor(col("_d") * 1e6 + 0.5) / 1e6)
+    .select(col("vec_id"), col("cell_id"), col("dist"))
+    .orderBy(col("dist"), col("vec_id"))
+    .limit(k)
+
+  /** Search: probe the `nprobe` nearest cells (same floor-rounded
+    * lowest-cid-tie selection as the stored-SQ probe), beam-walk each
+    * probed cell's graph, merge to a global top-k. Returns
+    * (vec_id, cell_id, dist) with the repo's 6-decimal floor rounding.
+    * Single lazy output, plan fully introspectable (the stored-layout
+    * pruning spec reads the FileSourceScanExec off it); callers who
+    * also want the walk stats use [[searchWithStats]], which pays a
+    * lazy checkpoint so both outputs share ONE walk execution.
+    *
+    * PRECONDITION: every cell's rows are whole within one task
+    * partition — true for [[buildGraph]]'s output (repartitioned on
+    * cell) and for [[searchStored]] (which re-colocates); a caller
+    * handing in an arbitrarily-partitioned Dataset must repartition on
+    * cell_id first, or a partial cell walks with dangling adjacency. */
+  def search(graph: Dataset[Node], cents: Array[Array[Float]],
+             qv: Array[Double], k: Int, nprobe: Int, ef: Int): DataFrame =
+    hitsOf(perCellWalk(graph, cents, qv, k, nprobe, ef), k)
+
+  /** [[search]] plus per-cell (n_nodes, n_evals) observability stats.
+    * Both frames derive from ONE lazily-checkpointed walk plan: the
+    * checkpoint materializes on the first action and the second
+    * consumer reads the k·nprobe-row blocks instead of re-executing
+    * the graph build + beam walk (single execution pinned on
+    * [[counters]] in AnnProbeSpec — the silent double-walk was a real
+    * footgun for any caller reading both). */
+  def searchWithStats(graph: Dataset[Node], cents: Array[Array[Float]],
+                      qv: Array[Double], k: Int, nprobe: Int, ef: Int):
+      (DataFrame, DataFrame) = {
+    val perCell = perCellWalk(graph, cents, qv, k, nprobe, ef).localCheckpoint(false)
+    (hitsOf(perCell, k), perCell.select("cell_id", "n_nodes", "n_evals").distinct())
+  }
+
+  /** Batch-query search — Chroma's `query(query_texts=[...])` shape
+    * (/root/reference/src/PDFToChromaIngester.py:229-231) over the graph
+    * index, aligned with the relational ANN batch APIs
+    * ([[Similarity.ivfTopK]], [[graft.query.Knn.searchMany]]): takes a
+    * queries RELATION (qid, qvec) and amortizes one walk-structure load
+    * per (cell, batch) across every query probing that cell — a loop of
+    * single [[search]] calls re-loads the probed cells once PER QUERY.
+    *
+    * Shape: probe assignment is a map-only explode over the queries
+    * (same floor-rounded lowest-cid arithmetic as the single-query
+    * probe); the probed (qid, qvec, cell_id) rows UNION into the node
+    * relation and co-partition with it on cell_id — so each task holds
+    * its cells' nodes AND the queries probing them, with no driver-side
+    * query collect and no broadcast cap on batch size. The only bounded
+    * collect is the distinct probed-cell list (≤ ncells rows) that
+    * keeps the stored-layout scan partition-pruned. Per-query results
+    * equal N single-query runs (spec-pinned), ranked by the same
+    * (dist, vec_id) order.
+    *
+    * Works directly over a stored read ([[searchManyStored]]): the
+    * repartition below IS the re-colocation the stored walk needs. */
+  def searchMany(graph: Dataset[Node], cents: Array[Array[Float]],
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 k: Int, nprobe: Int, ef: Int): DataFrame = {
+    val sp = graph.sparkSession
+    import sp.implicits._
+    val probeUdf = udf((v: Seq[Float]) =>
+      Similarity.sqProbeCells(cents, v.map(_.toDouble).toArray, nprobe))
+    val probes = queries.select(col(qIdCol).cast("long").as("qid"),
+      col(qVecCol).cast("array<float>").as("qvec"),
+      explode(probeUdf(col(qVecCol))).as("cell_id"))
+    // bounded collect: at most ncells distinct cells across the batch —
+    // the literal IN list is what lands in PartitionFilters on a stored
+    // layout (a join-based restriction would not prune partitions)
+    val touched = probes.select("cell_id").distinct()
+      .collect().map(_.getInt(0)).sorted
+    val nodeRows = graph.toDF()
+      .filter(col("cell_id").isin(touched.map(Int.box).toIndexedSeq: _*))
+      .select(col("cell_id"), lit(false).as("is_q"), col("id"),
+        col("vec"), col("neighbors"), lit(0L).as("qid"))
+    val qRows = probes.select(col("cell_id"), lit(true).as("is_q"),
+      lit(0L).as("id"), col("qvec").as("vec"),
+      lit(null).cast("array<bigint>").as("neighbors"), col("qid"))
+    val perCell = nodeRows.unionByName(qRows)
+      .repartition(math.max(touched.length, 1), col("cell_id"))
+      .as[(Int, Boolean, Long, Array[Float], Array[Long], Long)]
+      .mapPartitions { it =>
+        it.toArray.groupBy(_._1).iterator.flatMap { case (cell, rows) =>
+          val (qs, ns) = rows.partition(_._2)
+          if (ns.isEmpty || qs.isEmpty) Iterator.empty // empty cell / no probes
+          else {
+            counters.cellLoads.incrementAndGet()
+            val vecs = mutable.LongMap[Array[Float]]()
+            val nbs = mutable.LongMap[Array[Long]]()
+            ns.foreach { n => vecs(n._3) = n._4; nbs(n._3) = n._5 }
+            val entry = ns.iterator.map(_._3).min
+            qs.sortBy(_._6).iterator.flatMap { q =>
+              counters.beamWalks.incrementAndGet()
+              val (top, _) = beamSearch(vecs(_), nbs(_).toSeq, entry, q._4, ef)
+              top.take(k).iterator.map { case (d, id) => (q._6, cell, id, d) }
+            }
+          }
+        }
+      }
+      .toDF("qid", "cell_id", "vec_id", "_d")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    perCell
       .withColumn("dist", floor(col("_d") * 1e6 + 0.5) / 1e6)
-      .select(col("vec_id"), col("cell_id"), col("dist"))
-      .orderBy(col("dist"), col("vec_id"))
-      .limit(k)
-    val stats = perCell.select("cell_id", "n_nodes", "n_evals").distinct()
-    (hits, stats)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cell_id"), col("dist"), col("rank"))
+  }
+
+  /** [[searchMany]] over a cell-partitioned stored read — the probe IN
+    * filter prunes partitions and the batch repartition re-colocates
+    * sliced cells, exactly as [[searchStored]] does for one query. */
+  def searchManyStored(stored: DataFrame, cents: Array[Array[Float]],
+                       queries: DataFrame, qIdCol: String, qVecCol: String,
+                       k: Int, nprobe: Int, ef: Int): DataFrame = {
+    val sp = stored.sparkSession
+    import sp.implicits._
+    searchMany(stored.as[Node], cents, queries, qIdCol, qVecCol, k, nprobe, ef)
   }
 }

@@ -625,7 +625,7 @@ object Similarity {
     */
   def lshNearDupJoin(df: DataFrame, vecCol: String, idCol: String,
                      threshold: Double, nBits: Int = 8, nTables: Int = 8,
-                     dim: Int = 64): DataFrame = {
+                     dim: Int = -1): DataFrame = {
     // EAGER localCheckpoint, not cache(): consumed by nTables signature
     // scans + both verification build sides, so it must be materialized
     // once — but a cache-manager entry the lazy result still references
@@ -637,9 +637,16 @@ object Similarity {
     // RDD and doubles as the size probe for the broadcast gate.
     val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .localCheckpoint(true)
-    val estBytes = base.count() * (dim * 4L + 48L)
+    // dim <= 0 → derive from the data (one row off the checkpointed
+    // base): the hyperplane dot products silently truncate to
+    // min(dim, len) components, so a mismatched default would degrade
+    // banded recall with no error
+    val dimActual =
+      if (dim > 0) dim
+      else base.select(size(col("_v"))).head.getInt(0)
+    val estBytes = base.count() * (dimActual * 4L + 48L)
     val tables = (0 until nTables).map { t =>
-      cosineLshBuckets(base, "_v", nBits, seed = 42L + t, dim = dim)
+      cosineLshBuckets(base, "_v", nBits, seed = 42L + t, dim = dimActual)
         .select(col("_id"), lit(t).as("_table"), col("lsh_bucket"))
     }.reduce(_ unionByName _)
     val candidates = tables.as("a")
@@ -657,7 +664,10 @@ object Similarity {
     candidates
       .join(side("id_a", "_va"), "id_a")
       .join(side("id_b", "_vb"), "id_b")
-      .withColumn("cosine", round(cosine(col("_va"), col("_vb")), 6))
+      // the repo's cross-engine floor-form rounding, NOT round(x, 6):
+      // HALF_UP disagrees with the exact branches at negative-cosine
+      // boundaries, so one rounding rule must serve every near-dup path
+      .withColumn("cosine", floor(cosine(col("_va"), col("_vb")) * 1e6 + 0.5) / 1e6)
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

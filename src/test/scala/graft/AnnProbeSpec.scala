@@ -207,7 +207,7 @@ class AnnProbeSpec extends SparkSpec {
       val graph = graph0.localCheckpoint(true)
       val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head.getSeq[Float](0).map(_.toDouble).toArray
-      val (hits, stats) = graft.operators.GraphAnn.search(
+      val (hits, stats) = graft.operators.GraphAnn.searchWithStats(
         graph, cents, qv, k = 10, nprobe = 4, ef = 48)
       val got = hits.collect().map(_.getLong(0))
       val qb = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
@@ -243,7 +243,7 @@ class AnnProbeSpec extends SparkSpec {
         assert(ev <= 48 * 10, s"cell of $n nodes: $ev evals exceeds the ef*(m+2) work bound")
       }
       // determinism: a second search returns the identical row set
-      val (hits2, _) = graft.operators.GraphAnn.search(
+      val hits2 = graft.operators.GraphAnn.search(
         graph, cents, qv, k = 10, nprobe = 4, ef = 48)
       assert(hits2.collect().map(_.getLong(0)).toSeq == got.toSeq)
 
@@ -253,7 +253,7 @@ class AnnProbeSpec extends SparkSpec {
       val store = graft.store.VectorStore(root)
       try {
         store.create("graph", graph.toDF(), partitionBy = Seq("cell_id"))
-        val (sHits, _) = graft.operators.GraphAnn.searchStored(
+        val sHits = graft.operators.GraphAnn.searchStored(
           store.read(spark, "graph"), cents, qv, k = 10, nprobe = 4, ef = 48)
         // the colocation repartition makes the plan adaptive — descend
         // through AdaptiveSparkPlanExec to reach the real scan
@@ -317,7 +317,7 @@ class AnnProbeSpec extends SparkSpec {
         "embedding", "vec_id", ncells = 8, m = 8, centroids = Some(cents))
       val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
         .head.getSeq[Float](0).map(_.toDouble).toArray
-      val (inlineHits, _) = GraphAnn.search(g.localCheckpoint(true), cents, qv,
+      val inlineHits = GraphAnn.search(g.localCheckpoint(true), cents, qv,
         k = 10, nprobe = 4, ef = 48)
       val want = inlineHits.collect().map(_.getLong(0)).toSeq
       // many small files per cell: salt the writer's partitioning
@@ -332,7 +332,7 @@ class AnnProbeSpec extends SparkSpec {
       val read = store.read(spark, "graph")
       assert(read.rdd.getNumPartitions > 8,
         s"split engineering ineffective: ${read.rdd.getNumPartitions} partitions")
-      val (sHits, _) = GraphAnn.searchStored(read, cents, qv, k = 10, nprobe = 4, ef = 48)
+      val sHits = GraphAnn.searchStored(read, cents, qv, k = 10, nprobe = 4, ef = 48)
       assert(sHits.collect().map(_.getLong(0)).toSeq == want,
         "sliced-cell stored search diverged from the inline graph")
     } finally {
@@ -577,6 +577,190 @@ class AnnProbeSpec extends SparkSpec {
     val after = idx.orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(5)
       .queryExecution.optimizedPlan.toString
     assert(!after.contains("IN ("))
+  }
+
+  test("giant-cell guard: engineered mega-cell splits to bounded per-task members") {
+    import graft.operators.GraphAnn
+    val s = spark; import s.implicits._
+    // 500 near-dup vectors (boilerplate cluster) + 100 background: with
+    // ncells=4 the cluster concentrates one cell far over the cap — the
+    // exact degenerate case the guard exists for
+    val rnd = new scala.util.Random(42)
+    def unit(dim: Int): Array[Float] = {
+      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      v.map(_ / n)
+    }
+    val base = unit(16)
+    val cluster = (0 until 500).map { i =>
+      val v = base.zip(unit(16)).map { case (b, e) => b + 0.05f * e }
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      (i.toLong, v.map(_ / n))
+    }
+    val background = (0 until 100).map(i => (1000L + i, unit(16)))
+    val corpus = (cluster ++ background).toDF("vec_id", "embedding")
+    val cap = 100
+    val (graph, cents) = GraphAnn.buildGraph(corpus, "embedding", "vec_id",
+      ncells = 4, m = 8, maxCellSize = cap)
+    val g = graph.localCheckpoint(true)
+    // the guard's whole point: no single task materializes an unbounded
+    // cell — every cell's population is at or under the cap
+    val sizes = g.toDF().groupBy("cell_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    info(s"cells after guard: ${sizes.toSeq.sortBy(_._1).mkString(", ")} (cents ${cents.length})")
+    assert(cents.length > 4, "guard did not sub-quantize the mega-cell")
+    assert(sizes.values.max <= cap,
+      s"guard left an oversized cell: ${sizes.values.max} > $cap")
+    assert(sizes.values.sum == 600L, "guard lost/duplicated members")
+    // search quality survives the split: query at the cluster center
+    val qv = base.map(_.toDouble)
+    val hits = GraphAnn.search(g, cents, qv, k = 10, nprobe = 6, ef = 48)
+    val got = hits.collect().map(_.getLong(0)).toSet
+    val exact = corpus
+      .withColumn("dd", graft.functions.VectorFunctions.l2Sq(col("embedding"),
+        graft.functions.VectorFunctions.vecLit(base)))
+      .orderBy(col("dd"), col("vec_id")).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    val recall = got.intersect(exact).size / 10.0
+    info(f"mega-cell recall@10 after split: $recall%.2f")
+    assert(recall >= 0.8, f"guarded graph recall degraded: $recall%.2f")
+    // bit-identity when nothing exceeds the cap: a cap above the biggest
+    // cell leaves the build byte-for-byte the unguarded one
+    def nodeSet(df: org.apache.spark.sql.Dataset[GraphAnn.Node]) =
+      df.toDF().select("cell_id", "id", "neighbors").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Long](2).toList)).toSet
+    val (gCapped, cCapped) = GraphAnn.buildGraph(corpus, "embedding", "vec_id",
+      ncells = 4, m = 8, maxCellSize = 1000)
+    val (gUncapped, cUncapped) = GraphAnn.buildGraph(corpus, "embedding", "vec_id",
+      ncells = 4, m = 8, maxCellSize = Int.MaxValue)
+    assert(cCapped.map(_.toSeq).toSeq == cUncapped.map(_.toSeq).toSeq,
+      "non-triggering cap changed the centroid set")
+    assert(nodeSet(gCapped) == nodeSet(gUncapped),
+      "non-triggering cap changed the graph")
+    // determinism of the guarded build
+    val (g2, c2) = GraphAnn.buildGraph(corpus, "embedding", "vec_id",
+      ncells = 4, m = 8, maxCellSize = cap)
+    assert(c2.map(_.toSeq).toSeq == cents.map(_.toSeq).toSeq && nodeSet(g2) == nodeSet(g),
+      "guarded build is not deterministic")
+  }
+
+  test("batch graph search: equals N single runs, one cell load per (cell, batch)") {
+    import graft.operators.{Clustering, GraphAnn}
+    val e = Tables.embeddings(spark, sf).cache()
+    try {
+      val cents0 = Clustering.trainCentroids(e, 8, 2)
+      val (graph0, cents) = GraphAnn.buildGraph(
+        e.filter(col("vec_id") >= 3), "embedding", "vec_id", ncells = 8, m = 8,
+        centroids = Some(cents0))
+      val graph = graph0.localCheckpoint(true)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      GraphAnn.counters.reset()
+      val batch = GraphAnn.searchMany(graph, cents, queries, "qid", "qvec",
+        k = 10, nprobe = 4, ef = 48)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_.getAs[Int]("rank"))
+            .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+        }
+      val batchLoads = GraphAnn.counters.cellLoads.get()
+      val batchWalks = GraphAnn.counters.beamWalks.get()
+      // amortization: 3 queries x 4 probes = 12 walks, but the walk
+      // structures load once per DISTINCT probed cell (<= 8)
+      val qvs = e.filter(col("vec_id") < 3).orderBy("vec_id")
+        .select("vec_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray)
+      val distinctProbed = qvs.flatMap { case (_, v) =>
+        graft.operators.Similarity.sqProbeCells(cents, v, 4) }.toSet
+      info(s"batch: $batchLoads cell loads / $batchWalks walks " +
+        s"(distinct probed cells: ${distinctProbed.size})")
+      assert(batchWalks == 12, s"expected 12 beam walks, got $batchWalks")
+      assert(batchLoads == distinctProbed.size,
+        s"expected one load per distinct probed cell, got $batchLoads")
+      assert(batchLoads < batchWalks,
+        "batch search did not amortize cell loads across queries")
+      // per-query equality with single-query runs
+      qvs.foreach { case (qid, v) =>
+        val single = GraphAnn.search(graph, cents, v, k = 10, nprobe = 4, ef = 48).collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+        assert(batch(qid) == single, s"batch result for query $qid diverged")
+      }
+    } finally { e.unpersist(): Unit }
+  }
+
+  test("search executes the walk once when both hits and stats are consumed") {
+    import graft.operators.{Clustering, GraphAnn}
+    val e = Tables.embeddings(spark, sf).cache()
+    try {
+      val (graph0, cents) = GraphAnn.buildGraph(
+        e.filter(col("vec_id") =!= 0), "embedding", "vec_id", ncells = 8, m = 8,
+        centroids = Some(Clustering.trainCentroids(e, 8, 2)))
+      val graph = graph0.localCheckpoint(true)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      GraphAnn.counters.reset()
+      val (hits, stats) = GraphAnn.searchWithStats(graph, cents, qv, k = 10, nprobe = 4, ef = 48)
+      assert(hits.collect().length == 10)
+      assert(stats.collect().nonEmpty)
+      val walks = GraphAnn.counters.beamWalks.get()
+      // 4 probed cells -> 4 walks TOTAL across both consumers (the lazy
+      // checkpoint inside search); a recompute would double it to 8
+      assert(walks == 4, s"dual consumption re-executed the walk: $walks walks for 4 probed cells")
+    } finally { e.unpersist(): Unit }
+  }
+
+  test("exhaustive configuration equals exact kNN (walk-kernel oracle anchor)") {
+    // nprobe = all cells and ef >= the corpus size make the beam walk
+    // exhaustive by construction: the result-set never fills, so the
+    // walk never prunes, visits every reachable node (NSW insertion
+    // keeps each cell connected), and the per-cell top-k merge IS exact
+    // kNN. The DuckDB gate cannot express the walk; this identity is
+    // the in-suite oracle for the walk kernel itself.
+    import graft.operators.{Clustering, GraphAnn}
+    val e = Tables.embeddings(spark, sf).cache()
+    try {
+      val (graph0, cents) = GraphAnn.buildGraph(
+        e.filter(col("vec_id") =!= 0), "embedding", "vec_id", ncells = 8, m = 8,
+        centroids = Some(Clustering.trainCentroids(e, 8, 2)))
+      val graph = graph0.localCheckpoint(true)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val hits = GraphAnn.search(graph, cents, qv,
+        k = 10, nprobe = cents.length, ef = 1000)
+      val got = hits.collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      val qb = broadcast(e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      val exact = e.filter(col("vec_id") =!= 0).crossJoin(qb)
+        .withColumn("dist", floor(graft.functions.VectorFunctions
+          .l2Sq(col("embedding"), col("qv")) * 1e6 + 0.5) / 1e6)
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+        .select("vec_id", "dist")
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == exact,
+        s"exhaustive graph walk != exact kNN:\n  walk:  $got\n  exact: $exact")
+    } finally { e.unpersist(): Unit }
+  }
+
+  test("insertIntoStored rejects a batch that re-inserts an existing id") {
+    import graft.operators.{Clustering, GraphAnn}
+    val root = java.nio.file.Files.createTempDirectory("anngraph_dup").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(spark, sf).cache()
+    try {
+      val cents = Clustering.trainCentroids(e, 8, 2)
+      val standing = e.filter(col("vec_id") % 10 =!= 7)
+      val (g0, _) = GraphAnn.buildGraph(standing, "embedding", "vec_id",
+        ncells = 8, m = 8, centroids = Some(cents))
+      store.create("graph", g0.toDF(), partitionBy = Seq("cell_id"))
+      // a batch that contains one EXISTING id (violates append semantics)
+      val bad = e.filter(col("vec_id") % 10 === 7 || col("vec_id") === 2)
+      val ex = intercept[IllegalArgumentException] {
+        GraphAnn.insertIntoStored(store, "graph", bad, "embedding", "vec_id", cents)
+      }
+      assert(ex.getMessage.contains("append semantics"))
+      // and the store is untouched by the rejected insert
+      val clean = e.filter(col("vec_id") % 10 === 7 && col("vec_id") =!= 2)
+      GraphAnn.insertIntoStored(store, "graph", clean, "embedding", "vec_id", cents)
+    } finally { e.unpersist(); store.destroy() }
   }
 
   test("sessions are isolated: registering in one does not rewrite another") {
