@@ -261,4 +261,190 @@ class EmbedderSpec extends SparkSpec {
         .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(run(2) == run(16))
   }
+
+  // ------------------------------------------------- safetensors seam
+
+  /** Deterministic PRNG floats (xorshift64*, the repo's fixture
+    * convention). */
+  private def prng(seed: Long): () => Float = {
+    var s = seed
+    () => {
+      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
+      (((s * 0x2545f4914f6cdd1dL >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0).toFloat * 0.1f
+    }
+  }
+
+  /** Write a tiny HF-BERT-layout checkpoint (vocab 32, d 8, 2 heads,
+    * dff 16, maxLen 16, 2 layers) + its vocab.txt into `dir`; returns
+    * (safetensors path, tensors by name). */
+  private def writeHfFixture(dir: java.nio.file.Path): (String, Map[String, (Array[Int], Array[Float])]) = {
+    val (v, d, dff, maxLen, layers) = (32, 8, 16, 16, 2)
+    val next = prng(0xf1c7_0e5eedL)
+    def arr(n: Int): Array[Float] = Array.fill(n)(next())
+    val tensors = scala.collection.mutable.LinkedHashMap[String, (Array[Int], Array[Float])](
+      "embeddings.word_embeddings.weight" -> (Array(v, d), arr(v * d)),
+      "embeddings.position_embeddings.weight" -> (Array(maxLen, d), arr(maxLen * d)),
+      "embeddings.token_type_embeddings.weight" -> (Array(2, d), arr(2 * d)),
+      "embeddings.LayerNorm.weight" -> (Array(d), arr(d)),
+      "embeddings.LayerNorm.bias" -> (Array(d), arr(d)))
+    (0 until layers).foreach { i =>
+      val L = s"encoder.layer.$i"
+      Seq("query", "key", "value").foreach { p =>
+        tensors += s"$L.attention.self.$p.weight" -> (Array(d, d), arr(d * d))
+        tensors += s"$L.attention.self.$p.bias" -> (Array(d), arr(d))
+      }
+      tensors += s"$L.attention.output.dense.weight" -> (Array(d, d), arr(d * d))
+      tensors += s"$L.attention.output.dense.bias" -> (Array(d), arr(d))
+      tensors += s"$L.attention.output.LayerNorm.weight" -> (Array(d), arr(d))
+      tensors += s"$L.attention.output.LayerNorm.bias" -> (Array(d), arr(d))
+      tensors += s"$L.intermediate.dense.weight" -> (Array(dff, d), arr(dff * d))
+      tensors += s"$L.intermediate.dense.bias" -> (Array(dff), arr(dff))
+      tensors += s"$L.output.dense.weight" -> (Array(d, dff), arr(d * dff))
+      tensors += s"$L.output.dense.bias" -> (Array(d), arr(d))
+      tensors += s"$L.output.LayerNorm.weight" -> (Array(d), arr(d))
+      tensors += s"$L.output.LayerNorm.bias" -> (Array(d), arr(d))
+    }
+    val stPath = dir.resolve("model.safetensors").toString
+    graft.embed.Safetensors.write(stPath, tensors.toSeq,
+      metadata = Map("num_attention_heads" -> "2"))
+    val specials = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]")
+    val words = Seq("the", "dog", "play", "##ing", "spark", "shuffle", "##s",
+      "vector", "data", "##base", ",", ".", "table", "lineitem", "query",
+      "search", "over", "embed", "##ding", "a", "of", "in", "and", "to",
+      "join", "filter", "group", "count")
+    java.nio.file.Files.write(dir.resolve("vocab.txt"),
+      (specials ++ words).mkString("\n").getBytes("UTF-8"))
+    (stPath, tensors.toMap)
+  }
+
+  test("safetensors round-trip: write F32 + metadata, read back identical") {
+    val dir = java.nio.file.Files.createTempDirectory("st_rt")
+    val path = dir.resolve("t.safetensors").toString
+    val next = prng(0x5afe_7e50L)
+    val a = Array.fill(12)(next())
+    val b = Array.fill(5)(next())
+    graft.embed.Safetensors.write(path,
+      Seq("alpha" -> (Array(3, 4), a), "beta" -> (Array(5), b)),
+      metadata = Map("num_attention_heads" -> "2", "note" -> "fixture"))
+    val st = graft.embed.Safetensors.read(path)
+    assert(st.tensors.keySet == Set("alpha", "beta"))
+    assert(st.shape("alpha").toSeq == Seq(3, 4) && st.shape("beta").toSeq == Seq(5))
+    assert(st.floats("alpha").toSeq == a.toSeq && st.floats("beta").toSeq == b.toSeq)
+    assert(st.metadata == Map("num_attention_heads" -> "2", "note" -> "fixture"))
+  }
+
+  test("safetensors F16/BF16 decode (hand-crafted buffers)") {
+    // F16 bit patterns: 1.0=0x3c00, -2.0=0xc000, 0.5=0x3800, max
+    // subnormal-adjacent 2^-24=0x0001, 65504=0x7bff; BF16 = top 16 bits
+    // of the float32 pattern
+    val dir = java.nio.file.Files.createTempDirectory("st_f16")
+    val header =
+      """{"h":{"dtype":"F16","shape":[5],"data_offsets":[0,10]},""" +
+      """"b":{"dtype":"BF16","shape":[2],"data_offsets":[10,14]}}"""
+    val hb = header.getBytes("UTF-8")
+    val f16 = Seq(0x3c00, 0xc000, 0x3800, 0x0001, 0x7bff)
+    val bf16 = Seq(
+      java.lang.Float.floatToIntBits(1.5f) >>> 16,
+      java.lang.Float.floatToIntBits(-0.25f) >>> 16)
+    val buf = java.nio.ByteBuffer.allocate(8 + hb.length + 14)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.putLong(hb.length.toLong).put(hb)
+    (f16 ++ bf16).foreach(v => buf.putShort(v.toShort))
+    val p = dir.resolve("half.safetensors")
+    java.nio.file.Files.write(p, buf.array())
+    val st = graft.embed.Safetensors.read(p.toString)
+    assert(st.floats("h").toSeq == Seq(1.0f, -2.0f, 0.5f, math.pow(2, -24).toFloat, 65504f))
+    assert(st.floats("b").toSeq == Seq(1.5f, -0.25f))
+  }
+
+  test("HF checkpoint mapping: transpose + token-type fold verified against independent transform") {
+    val dir = java.nio.file.Files.createTempDirectory("st_map")
+    val (stPath, tensors) = writeHfFixture(dir)
+    val w = TransformerEmbedder.load(stPath)
+    assert((w.vocab, w.d, w.heads, w.dff, w.maxLen, w.blocks.size) == (32, 8, 2, 16, 16, 2))
+    // independent expected transform (test-side reimplementation)
+    def tr(name: String, dOut: Int, dIn: Int): Seq[Float] = {
+      val src = tensors(name)._2
+      val o = new Array[Float](src.length)
+      for (r <- 0 until dOut; c <- 0 until dIn) o(c * dOut + r) = src(r * dIn + c)
+      o.toSeq
+    }
+    assert(w.tokEmb.toSeq == tensors("embeddings.word_embeddings.weight")._2.toSeq)
+    val typeRow = tensors("embeddings.token_type_embeddings.weight")._2.take(8)
+    val expPos = tensors("embeddings.position_embeddings.weight")._2.zipWithIndex
+      .map { case (x, i) => x + typeRow(i % 8) }
+    assert(w.posEmb.toSeq == expPos.toSeq, "token-type row not folded into positions")
+    assert(w.blocks(1).wq.toSeq == tr("encoder.layer.1.attention.self.query.weight", 8, 8))
+    assert(w.blocks(0).w1.toSeq == tr("encoder.layer.0.intermediate.dense.weight", 16, 8))
+    assert(w.blocks(0).w2.toSeq == tr("encoder.layer.0.output.dense.weight", 8, 16))
+    assert(w.blocks(1).ln2g.toSeq == tensors("encoder.layer.1.output.LayerNorm.weight")._2.toSeq)
+  }
+
+  test("WordPiece: greedy longest-match, punctuation split, [UNK], special ids") {
+    val dir = java.nio.file.Files.createTempDirectory("st_wp")
+    val (_, _) = writeHfFixture(dir)
+    val wp = graft.embed.WordPiece.load(dir.resolve("vocab.txt").toString)
+    def id(t: String) = wp.vocab(t)
+    // "The dog, playing" -> [CLS] the dog , play ##ing [SEP]
+    assert(wp.encode("The dog, playing", 16).toSeq ==
+      Seq(wp.clsId, id("the"), id("dog"), id(","), id("play"), id("##ing"), wp.sepId))
+    // subword continuation: "shuffles" -> shuffle ##s; "databases" is
+    // un-segmentable (no ##s after ##base? it has ##s) -> check embedding
+    assert(wp.encode("shuffles", 16).toSeq ==
+      Seq(wp.clsId, id("shuffle"), id("##s"), wp.sepId))
+    // unknown word -> [UNK]; oversized word -> [UNK]
+    assert(wp.encode("zzzgibberish", 16).toSeq == Seq(wp.clsId, wp.unkId, wp.sepId))
+    assert(wp.encode("a" * 200, 16).toSeq == Seq(wp.clsId, wp.unkId, wp.sepId))
+    // truncation honors maxLen
+    assert(wp.encode("the dog the dog the dog the dog the dog the dog the dog", 8).length == 8)
+  }
+
+  test("pretrained-checkpoint seam end-to-end: file-backed weights + WordPiece through the identical forward pass") {
+    val dir = java.nio.file.Files.createTempDirectory("st_e2e")
+    val (stPath, _) = writeHfFixture(dir)
+    val e = TransformerEmbedder(resource = stPath)
+    val v1 = e.encodeOne("the dog playing in the database")
+    assert(v1.length == 8)
+    assert(v1.toSeq == e.encodeOne("the dog playing in the database").toSeq)
+    val norm = math.sqrt(v1.map(x => x.toDouble * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-5, s"norm $norm")
+    // order sensitivity survives the checkpoint path (position embeddings)
+    assert(e.encodeOne("database the in playing dog the").toSeq != v1.toSeq)
+    // the distributed seam: identical batched pipeline topology, and
+    // partitioning-invariant (weights lazy-load per executor)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(32)
+    def run(parts: Int): Map[Long, Seq[Float]] =
+      Embedders.embed(docs.repartition(parts), "text", "embedding", e)
+        .select("doc_id", "embedding").collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val r2 = run(2)
+    assert(r2 == run(8))
+    assert(r2.values.forall(_.length == 8))
+  }
+
+  test("collection manifest round-trips a safetensors-bound embedder and re-resolves it") {
+    val dir = java.nio.file.Files.createTempDirectory("st_manifest")
+    val (stPath, _) = writeHfFixture(dir)
+    val (passage, query) = Embedders.asymmetric(
+      p => TransformerEmbedder(resource = stPath, prefix = p), PrefixConvention())
+    val m = graft.store.CollectionManifest.of(passage, query)
+    assert(m.family == "transformer" && m.resource == stPath)
+    val store = graft.store.VectorStore(
+      java.nio.file.Files.createTempDirectory("st_coll").toString)
+    val docs = Tables.documents(spark, sf).select("doc_id", "text").limit(8)
+    store.create("bound", Embedders.embed(docs, "text", "embedding", passage),
+      manifest = Some(m))
+    val back = store.manifest("bound")
+      .getOrElse(fail("manifest did not round-trip"))
+    assert(back == m && back.fingerprint == m.fingerprint)
+    // resolve from the manifest ALONE (the search-session contract) and
+    // get the same embedding space: identical vectors for identical text
+    val resolved = back.resolveQueryEmbedder
+    assert(resolved.identity == query.identity)
+    assert(resolved.encodeOne("vector search over the table").toSeq ==
+      query.encodeOne("vector search over the table").toSeq)
+    // and the binding REJECTS the wrong side (passage embedder at query time)
+    val ex = intercept[IllegalArgumentException] { back.verifyQuery(passage) }
+    assert(ex.getMessage.contains("embedder mismatch"))
+  }
 }
