@@ -1507,22 +1507,26 @@ object GraftQueries {
     val cleanKeep = cleanCorpusDecisions(docs).filter(col("keep")).select("doc_id")
     val heavyDup = Dedup.substringSpans(docs, "text", "doc_id", n = 8)
       .filter(col("dup_ratio") > 0.5).select("doc_id")
-    val clsKeep = QualityClassifier.score(docs, "text", "doc_id")
-      .filter(col("keep")).select("doc_id")
     // token counts project MAP-SIDE off the shared spread, and the gate
     // relations intersect as slim id-only joins — so the text column
     // never crosses a shuffle (the pipelineCleanMix design; the previous
-    // shape joined full-text docs through three exchanges). The slim
-    // survivor projection is then MATERIALIZED (eager localCheckpoint —
-    // no cache-manager entry to leak) because mix sampling takes two
-    // passes over it: without this, the stats collect and the final
-    // result would each re-execute the whole gate chain above — the
-    // dominant cost of the query, paid twice
+    // shape joined full-text docs through three exchanges). The
+    // classifier gate is MAP-ONLY, so it doesn't even get a relation:
+    // its keep predicate fuses into the same projection as the token
+    // counts (QualityClassifier.keepCol) — one shuffle join fewer than
+    // the r9 shape, same survivor set (r10 phase profile: the gates job
+    // is >80% of the query). The slim survivor projection is then
+    // MATERIALIZED (eager localCheckpoint — no cache-manager entry to
+    // leak) because mix sampling takes two passes over it: without
+    // this, the stats collect and the final result would each
+    // re-execute the whole gate chain above — the dominant cost of the
+    // query, paid twice
     val counts = docs.select(col("doc_id"), col("source"),
-      size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
-    val keepIds = cleanKeep.join(clsKeep, "doc_id")
-      .join(heavyDup, Seq("doc_id"), "left_anti")
-    val survivors = counts.join(keepIds, "doc_id")
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"),
+      QualityClassifier.keepCol(col("text")).as("_cls_keep"))
+    val keepIds = cleanKeep.join(heavyDup, Seq("doc_id"), "left_anti")
+    val survivors = counts.filter(col("_cls_keep")).drop("_cls_keep")
+      .join(keepIds, "doc_id")
       .localCheckpoint(true)
     val sampled = mixSampleFromCounts(s, survivors)
     TextAnalysis.packAssign(sampled, "doc_id", "source", "_ntok", budgetTokens = 512)
