@@ -316,10 +316,16 @@ object TransformerEmbedder {
                          w2: Array[Float], b2: Array[Float],
                          ln2g: Array[Float], ln2b: Array[Float])
 
+  /** `pooling`: "mean" (sentence-transformers MiniLM convention — mean
+    * over all positions) or "cls" (BGE/E5 convention — the [CLS]
+    * position alone). Carried by the CHECKPOINT (`__metadata__.pooling`
+    * in the safetensors file), not the embedder identity: the resource
+    * path names the file, the file names its pooling — so two
+    * embedders with equal identity still produce equal vectors. */
   final case class Weights(vocab: Int, d: Int, heads: Int, dff: Int, maxLen: Int,
                            tokEmb: Array[Float], posEmb: Array[Float],
                            lnEg: Array[Float], lnEb: Array[Float],
-                           blocks: Seq[Block]) {
+                           blocks: Seq[Block], pooling: String = "mean") {
 
     // x[n*d] row-major throughout; double accumulation everywhere so the
     // result is bit-deterministic across JVMs and batchings
@@ -435,17 +441,24 @@ object TransformerEmbedder {
       // the encoder stack — N blocks, not one: a real MiniLM (6) or
       // BGE-small (12) checkpoint runs through the same loop
       blocks.foreach { blk => x = applyBlock(x, n, blk) }
-      // mean pool + L2 normalize
+      // pool + L2 normalize
       val out = new Array[Double](d)
-      r = 0
-      while (r < n) {
+      if (pooling == "cls") {
         var i = 0
-        while (i < d) { out(i) += x(r * d + i); i += 1 }
-        r += 1
+        while (i < d) { out(i) = x(i); i += 1 } // position 0 = [CLS]
+      } else {
+        r = 0
+        while (r < n) {
+          var i = 0
+          while (i < d) { out(i) += x(r * d + i); i += 1 }
+          r += 1
+        }
+        var i = 0
+        while (i < d) { out(i) /= n; i += 1 }
       }
       var norm = 0.0
       var i = 0
-      while (i < d) { out(i) /= n; norm += out(i) * out(i); i += 1 }
+      while (i < d) { norm += out(i) * out(i); i += 1 }
       val inv = if (norm > 0) 1.0 / math.sqrt(norm) else 0.0
       val res = new Array[Float](d)
       i = 0
@@ -562,10 +575,13 @@ object TransformerEmbedder {
         transpose(t(s"$L.output.dense.weight"), d, dff), t(s"$L.output.dense.bias"),
         t(s"$L.output.LayerNorm.weight"), t(s"$L.output.LayerNorm.bias"))
     }
+    val pooling = st.metadata.getOrElse("pooling", "mean")
+    require(pooling == "mean" || pooling == "cls",
+      s"unsupported pooling '$pooling' in $path (mean|cls)")
     Weights(vocab, d, heads, dff, maxLen,
       t("embeddings.word_embeddings.weight"), posEmb,
       t("embeddings.LayerNorm.weight"), t("embeddings.LayerNorm.bias"),
-      blocks)
+      blocks, pooling)
   }
 
   /** Deterministic weight-file writer (the checked-in fixture's recorded

@@ -422,6 +422,34 @@ class EmbedderSpec extends SparkSpec {
     assert(r2.values.forall(_.length == 8))
   }
 
+  test("pooling follows the checkpoint metadata: cls == position-0 row, mean is the default") {
+    val dirMean = java.nio.file.Files.createTempDirectory("st_pool_mean")
+    val dirCls = java.nio.file.Files.createTempDirectory("st_pool_cls")
+    val (meanPath, tensors) = writeHfFixture(dirMean)
+    // identical tensors, cls-pooling metadata
+    val clsPath = dirCls.resolve("model.safetensors").toString
+    graft.embed.Safetensors.write(clsPath, tensors.toSeq.sortBy(_._1),
+      metadata = Map("num_attention_heads" -> "2", "pooling" -> "cls"))
+    java.nio.file.Files.copy(dirMean.resolve("vocab.txt"), dirCls.resolve("vocab.txt"))
+    val wMean = TransformerEmbedder.load(meanPath)
+    val wCls = TransformerEmbedder.load(clsPath)
+    assert(wMean.pooling == "mean" && wCls.pooling == "cls")
+    val text = "the dog playing in the database"
+    val vMean = TransformerEmbedder(resource = meanPath).encodeOne(text)
+    val vCls = TransformerEmbedder(resource = clsPath).encodeOne(text)
+    assert(vMean.toSeq != vCls.toSeq, "pooling mode must change the embedding")
+    Seq(vMean, vCls).foreach { v =>
+      assert(math.abs(math.sqrt(v.map(x => x.toDouble * x).sum) - 1.0) < 1e-5)
+    }
+    // pin that cls pooling reads EXACTLY position 0: on a one-position
+    // sequence, mean pooling and cls pooling must coincide bit-for-bit
+    assert(wCls.forward(Array(7)).toSeq == wMean.forward(Array(7)).toSeq,
+      "cls pooling must equal mean pooling on a single-position sequence")
+    // and the first position genuinely is [CLS] in the encode path
+    val wp = graft.embed.WordPiece.load(dirCls.resolve("vocab.txt").toString)
+    assert(wp.encode(text, wCls.maxLen).head == wp.clsId)
+  }
+
   test("collection manifest round-trips a safetensors-bound embedder and re-resolves it") {
     val dir = java.nio.file.Files.createTempDirectory("st_manifest")
     val (stPath, _) = writeHfFixture(dir)
