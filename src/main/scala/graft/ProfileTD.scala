@@ -43,16 +43,16 @@ object ProfileTD {
         graft.operators.Dedup.substringSpans(docs, "text", "doc_id", n = 8)
           .filter(col("dup_ratio") > 0.5).select("doc_id")
       }
-      val clsKeep = t("classifier-construct") {
-        QualityClassifier.score(docs, "text", "doc_id")
-          .filter(col("keep")).select("doc_id")
-      }
       val survivors = t("gates-job(checkpoint)") {
+        // mirrors the r10 fused query shape: the classifier gate is a
+        // map-side column on the count projection (keepCol), not a
+        // relation + join
         val counts = docs.select(col("doc_id"), col("source"),
-          size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
-        val keepIds = cleanKeep.join(clsKeep, "doc_id")
-          .join(heavyDup, Seq("doc_id"), "left_anti")
-        counts.join(keepIds, "doc_id").localCheckpoint(true)
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"),
+          QualityClassifier.keepCol(col("text")).as("_cls_keep"))
+        val keepIds = cleanKeep.join(heavyDup, Seq("doc_id"), "left_anti")
+        counts.filter(col("_cls_keep")).drop("_cls_keep")
+          .join(keepIds, "doc_id").localCheckpoint(true)
       }
       val sampled = t("mixSample") {
         GraftQueries.mixSampleFromCounts(s, survivors)

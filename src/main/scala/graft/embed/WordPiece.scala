@@ -31,7 +31,9 @@ final case class WordPiece(vocab: Map[String, Int], lowercase: Boolean = true) {
   }
 
   /** Basic tokenization: optional lowercase, whitespace split, each
-    * punctuation character its own token (BERT's BasicTokenizer rule). */
+    * punctuation character its own token, each CJK ideograph its own
+    * token (BERT's BasicTokenizer rules — CJK text has no whitespace
+    * word boundaries, so the vocab carries per-character pieces). */
   private[embed] def basicTokens(text: String): Seq[String] = {
     val t = if (lowercase) text.toLowerCase else text
     val out = Seq.newBuilder[String]
@@ -39,12 +41,21 @@ final case class WordPiece(vocab: Map[String, Int], lowercase: Boolean = true) {
     def flush(): Unit = if (cur.nonEmpty) { out += cur.toString(); cur.clear() }
     t.foreach { c =>
       if (c.isWhitespace) flush()
-      else if (!c.isLetterOrDigit) { flush(); out += c.toString }
+      else if (!c.isLetterOrDigit || isCjk(c)) { flush(); out += c.toString }
       else cur += c
     }
     flush()
     out.result()
   }
+
+  /** The ideograph ranges BERT's `_is_chinese_char` isolates (BMP
+    * blocks only — kana are NOT split per-char, matching HF; the rare
+    * supplementary-plane ideographs arrive as surrogate pairs and fall
+    * through to the word path, where an out-of-vocab piece maps to
+    * [UNK] as HF does). */
+  private def isCjk(c: Char): Boolean =
+    (c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3400 && c <= 0x4dbf) ||
+    (c >= 0xf900 && c <= 0xfaff)
 
   /** Greedy longest-match segmentation of one word. */
   private[embed] def wordIds(word: String): Seq[Int] = {

@@ -685,6 +685,36 @@ class AnnProbeSpec extends SparkSpec {
           .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
         assert(batch(qid) == single, s"batch result for query $qid diverged")
       }
+      // the stored path: same batch over the cell-partitioned layout
+      // must prune to the probed cells and return the identical rows
+      val root = java.nio.file.Files.createTempDirectory("anngraph_batch_store").toString
+      val store = graft.store.VectorStore(root)
+      try {
+        store.create("graph", graph.toDF(), partitionBy = Seq("cell_id"))
+        val stored = GraphAnn.searchManyStored(store.read(spark, "graph"),
+          cents, queries, "qid", "qvec", k = 10, nprobe = 4, ef = 48)
+        def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+          p.collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+            case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+              allScans(a.executedPlan)
+          }.flatten
+        val scans = allScans(stored.queryExecution.executedPlan)
+        assert(scans.nonEmpty, "no FileSourceScanExec over the stored graph batch")
+        scans.foreach { scan =>
+          assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell_id")),
+            s"batch probe is not a partition filter: ${scan.partitionFilters}")
+          assert(scan.selectedPartitions.partitionCount <= distinctProbed.size,
+            s"batch probe scanned ${scan.selectedPartitions.partitionCount} cells")
+        }
+        val storedRows = stored.collect().groupBy(_.getLong(0))
+          .map { case (q, rows) =>
+            q -> rows.sortBy(_.getAs[Int]("rank"))
+              .map(r => (r.getLong(1), r.getInt(2), r.getDouble(3))).toSeq
+          }
+        assert(storedRows == batch, "stored batch search diverged from the inline batch")
+      } finally store.destroy()
     } finally { e.unpersist(): Unit }
   }
 

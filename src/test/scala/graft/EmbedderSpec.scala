@@ -397,6 +397,9 @@ class EmbedderSpec extends SparkSpec {
     assert(wp.encode("a" * 200, 16).toSeq == Seq(wp.clsId, wp.unkId, wp.sepId))
     // truncation honors maxLen
     assert(wp.encode("the dog the dog the dog the dog the dog the dog the dog", 8).length == 8)
+    // CJK ideographs split per character (BERT BasicTokenizer), so an
+    // unspaced run becomes one [UNK] per char, not one unknown "word"
+    assert(wp.encode("数据", 16).toSeq == Seq(wp.clsId, wp.unkId, wp.unkId, wp.sepId))
   }
 
   test("pretrained-checkpoint seam end-to-end: file-backed weights + WordPiece through the identical forward pass") {
