@@ -254,8 +254,13 @@ object GraphAnn {
         val members = pinned.filter(col("cell") === cell).select(col("id"), col("vec"))
         val kChild = math.min(math.max(2, math.ceil(n.toDouble / maxCellSize).toInt), 64)
         val sub = splitCentroids(members, kChild, iters)
-        next(cell) = sub(0)
-        next ++= sub.drop(1)
+        // a cell of all-identical vectors yields a single seed — no
+        // split possible (and no dead duplicate centroids appended);
+        // the progress guard above then terminates the loop
+        if (sub.length >= 2) {
+          next(cell) = sub(0)
+          next ++= sub.drop(1)
+        }
       }
       cents = next.toArray
       rounds += 1
@@ -266,19 +271,24 @@ object GraphAnn {
   /** Deterministic k-way split centroids for one cell's members:
     * farthest-point (maxmin) seeding — seed 0 is the min-id member's
     * vector, each further seed the member farthest (floor-rounded
-    * distance, ties to the lowest id) from the seeds so far — then
-    * `iters` fixed-point Lloyd rounds ([[Clustering.lloydStep]]). Every
-    * pass is a bounded TakeOrdered / partial-agg over the member slice;
-    * nothing collects more than one row or k·dim sums. */
+    * distance, ties to the lowest id) from the seeds so far, stopping
+    * early when the farthest remaining member is at distance 0 (no
+    * distinct vectors left — seeding further would only mint dead
+    * duplicate centroids) — then `iters` fixed-point Lloyd rounds
+    * ([[Clustering.lloydStep]]). Every pass is a bounded TakeOrdered /
+    * partial-agg over the member slice; nothing collects more than one
+    * row or k·dim sums. */
   private def splitCentroids(members: DataFrame, k: Int, iters: Int): Array[Array[Float]] = {
     val seeds = mutable.ArrayBuffer(
       members.orderBy(col("id")).select(col("vec"))
         .head.getSeq[Float](0).toArray)
-    while (seeds.length < k) {
+    var exhausted = false
+    while (seeds.length < k && !exhausted) {
       val d = Clustering.assignStruct(col("vec"), seeds.toArray).getField("dist")
-      seeds += members.select(col("vec"), d.as("_d"), col("id"))
-        .orderBy(col("_d").desc, col("id")).select("vec")
-        .head.getSeq[Float](0).toArray
+      val far = members.select(col("vec"), d.as("_d"), col("id"))
+        .orderBy(col("_d").desc, col("id")).head
+      if (far.getDouble(1) <= 0.0) exhausted = true
+      else seeds += far.getSeq[Float](0).toArray
     }
     var cs = seeds.toArray
     for (_ <- 0 until iters) cs = Clustering.lloydStep(members, cs, "id", "vec")

@@ -644,6 +644,34 @@ class AnnProbeSpec extends SparkSpec {
       "guarded build is not deterministic")
   }
 
+  test("giant-cell guard terminates on an unsplittable all-identical cell, minting no dead centroids") {
+    import graft.operators.GraphAnn
+    val s = spark; import s.implicits._
+    // 300 EXACT copies of one vector (cap 100): no centroid can separate
+    // them — the guard must terminate via the progress check, append no
+    // duplicate centroids, and keep every member (documented limit:
+    // exact dups are the dedup tier's job, upstream of indexing)
+    val v = Array.tabulate(8)(i => (i + 1) * 0.1f)
+    val dup = (0 until 300).map(i => (i.toLong, v))
+    val rnd = new scala.util.Random(7)
+    val spreadOut = (0 until 60).map { i =>
+      val u = Array.fill(8)(rnd.nextGaussian().toFloat)
+      (1000L + i, u)
+    }
+    val corpus = (dup ++ spreadOut).toDF("vec_id", "embedding")
+    val (graph, cents) = GraphAnn.buildGraph(corpus, "embedding", "vec_id",
+      ncells = 4, m = 8, maxCellSize = 100)
+    val sizes = graph.toDF().groupBy("cell_id").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    info(s"unsplittable: cents ${cents.length}, cells ${sizes.toSeq.sortBy(_._1).mkString(", ")}")
+    assert(sizes.values.sum == 360L, "guard lost/duplicated members")
+    // no centroid appears twice (no dead duplicates minted)
+    assert(cents.map(_.toSeq).distinct.length == cents.length,
+      "duplicate centroids appended for an unsplittable cell")
+    // and the identical-vector cell is intact (over cap, by design)
+    assert(sizes.values.max >= 300L)
+  }
+
   test("batch graph search: equals N single runs, one cell load per (cell, batch)") {
     import graft.operators.{Clustering, GraphAnn}
     val e = Tables.embeddings(spark, sf).cache()
