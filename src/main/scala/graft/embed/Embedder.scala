@@ -284,7 +284,13 @@ final case class TransformerEmbedder(resource: String = "/graft/toy_transformer.
     val m = model
     if (text == null) return new Array[Float](m.d)
     val ids = wordPiece match {
-      case Some(wp) => wp.encode(prefix + text, m.maxLen)
+      case Some(wp) =>
+        // fail fast with the real cause: a mismatched vocab.txt would
+        // otherwise surface as an opaque per-row AIOOBE inside forward
+        require(wp.vocab.size <= m.vocab,
+          s"vocab.txt beside $resource has ${wp.vocab.size} entries but the " +
+            s"checkpoint's embedding table has ${m.vocab} rows — wrong vocab file")
+        wp.encode(prefix + text, m.maxLen)
       case None =>
         tokenize(prefix + text, m.maxLen).map(TransformerEmbedder.tokenId(_, m.vocab))
     }

@@ -30,22 +30,45 @@ final case class WordPiece(vocab: Map[String, Int], lowercase: Boolean = true) {
     (clsId +: pieces.toSeq :+ sepId).toArray
   }
 
-  /** Basic tokenization: optional lowercase, whitespace split, each
-    * punctuation character its own token, each CJK ideograph its own
-    * token (BERT's BasicTokenizer rules — CJK text has no whitespace
-    * word boundaries, so the vocab carries per-character pieces). */
-  private[embed] def basicTokens(text: String): Seq[String] = {
-    val t = if (lowercase) text.toLowerCase else text
+  /** Basic tokenization, faithful to HF's BasicTokenizer for uncased
+    * vocabs: lowercase + accent stripping (NFD, drop combining marks —
+    * "café" must reach the vocab as "cafe", or every accented word
+    * [UNK]s), whitespace split, each PUNCTUATION character its own
+    * token (ASCII symbol ranges + Unicode P* categories — the HF
+    * rule; non-punctuation symbols like '€' stay inside words), each
+    * CJK ideograph its own token (CJK has no whitespace word
+    * boundaries, so the vocab carries per-character pieces). */
+  private[graft] def basicTokens(text: String): Seq[String] = {
+    val t0 = if (lowercase) text.toLowerCase else text
+    val t =
+      if (!lowercase) t0
+      else java.text.Normalizer.normalize(t0, java.text.Normalizer.Form.NFD)
+        .filterNot(c => Character.getType(c) == Character.NON_SPACING_MARK)
     val out = Seq.newBuilder[String]
     val cur = new StringBuilder
     def flush(): Unit = if (cur.nonEmpty) { out += cur.toString(); cur.clear() }
     t.foreach { c =>
       if (c.isWhitespace) flush()
-      else if (!c.isLetterOrDigit || isCjk(c)) { flush(); out += c.toString }
+      else if (isPunct(c) || isCjk(c)) { flush(); out += c.toString }
       else cur += c
     }
     flush()
     out.result()
+  }
+
+  /** HF's `_is_punctuation`: the four ASCII symbol runs (treated as
+    * punctuation "for consistency" even where Unicode classes them as
+    * symbols — `$`, `^`, backtick…) plus every Unicode P* category. */
+  private def isPunct(c: Char): Boolean = {
+    val cp = c.toInt
+    (cp >= 33 && cp <= 47) || (cp >= 58 && cp <= 64) ||
+    (cp >= 91 && cp <= 96) || (cp >= 123 && cp <= 126) || {
+      val t = Character.getType(c)
+      t == Character.DASH_PUNCTUATION || t == Character.START_PUNCTUATION ||
+      t == Character.END_PUNCTUATION || t == Character.CONNECTOR_PUNCTUATION ||
+      t == Character.OTHER_PUNCTUATION || t == Character.INITIAL_QUOTE_PUNCTUATION ||
+      t == Character.FINAL_QUOTE_PUNCTUATION
+    }
   }
 
   /** The ideograph ranges BERT's `_is_chinese_char` isolates (BMP

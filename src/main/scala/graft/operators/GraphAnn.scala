@@ -186,7 +186,14 @@ object GraphAnn {
     * centroids — the invariant the probe side relies on). Results are
     * bit-identical to the unguarded form whenever no cell exceeds the
     * cap (spec-pinned), and the guard costs one extra column-pruned
-    * count scan in that common case. */
+    * count scan in that common case.
+    *
+    * The cap is a SOFT bound: flat re-assignment after a split can
+    * churn boundary members back over the cap by a small fraction
+    * before the round backstop ends the loop (measured envelope ~1.2x
+    * in the engineered mixed-cluster spec) — the guarantee is task
+    * memory bounded by cap x a small constant, not an exact
+    * population ceiling. */
   def buildGraph(collection: DataFrame, vecCol: String, idCol: String,
                  ncells: Int = 8, iters: Int = 2, m: Int = 8,
                  efConstruction: Int = 32,
@@ -218,20 +225,21 @@ object GraphAnn {
   /** The guard loop: while any cell holds more than `maxCellSize`
     * members, split each oversized cell (ascending cell id, so child
     * slot allocation is deterministic) and re-assign flat. Progress is
-    * measured on the MAX oversize (the straggler/memory bound — the
-    * count of oversized cells can transiently rise while one giant
-    * cell splits down); a round that does not strictly shrink it stops
-    * the loop — the all-identical-vectors cell, which no centroid
-    * split can separate, terminates here with the oversized cell
-    * accepted (documented limit: exact duplicates should be deduped
-    * before indexing — the dedup tier's job). Rounds are bounded as a
-    * backstop. */
+    * tracked PER CELL: a cell whose members admit no second distinct
+    * seed (all-identical vectors — no centroid can separate exact
+    * duplicates; the dedup tier's job, upstream of indexing) is marked
+    * unsplittable by SLOT and excluded from further rounds, so one
+    * degenerate cell cannot block the splitting of other oversized,
+    * splittable cells. The loop ends when every remaining oversized
+    * cell is unsplittable, no split occurred in a round, or the round
+    * backstop trips (boundary churn under flat re-assignment could
+    * otherwise oscillate a cell around the cap indefinitely). */
   private[graft] def refineCells(collection: DataFrame, vecCol: String,
       idCol: String, cents0: Array[Array[Float]], maxCellSize: Int,
       iters: Int): Array[Array[Float]] = {
     if (maxCellSize == Int.MaxValue) return cents0
     var cents = cents0
-    var prevMax = Long.MaxValue
+    var unsplittable = Set.empty[Int]
     var rounds = 0
     while (rounds < 8) {
       val assigned = collection
@@ -240,28 +248,27 @@ object GraphAnn {
           col(vecCol).cast("array<float>").as("vec"), col("_c").as("cell"))
       val oversized = assigned.groupBy("cell").count()
         .filter(col("count") > maxCellSize)
-        .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
+        .filterNot { case (c, _) => unsplittable.contains(c) }
+        .sortBy(_._1)
       if (oversized.isEmpty) return cents
-      val curMax = oversized.map(_._2).max
-      if (curMax >= prevMax) return cents
-      prevMax = curMax
       // the split passes re-read the assignment several times — pin it
       // (bounded by the collection's (id, vec) projection, and we are on
       // the rare guard path: something IS oversized)
       val pinned = assigned.localCheckpoint(true)
       val next = mutable.ArrayBuffer(cents.toIndexedSeq: _*)
+      var didSplit = false
       oversized.foreach { case (cell, n) =>
         val members = pinned.filter(col("cell") === cell).select(col("id"), col("vec"))
         val kChild = math.min(math.max(2, math.ceil(n.toDouble / maxCellSize).toInt), 64)
         val sub = splitCentroids(members, kChild, iters)
-        // a cell of all-identical vectors yields a single seed — no
-        // split possible (and no dead duplicate centroids appended);
-        // the progress guard above then terminates the loop
         if (sub.length >= 2) {
           next(cell) = sub(0)
           next ++= sub.drop(1)
-        }
+          didSplit = true
+        } else unsplittable += cell // single seed: exact duplicates only
       }
+      if (!didSplit) return cents
       cents = next.toArray
       rounds += 1
     }
@@ -331,13 +338,24 @@ object GraphAnn {
     // bounded collect: at most ncells rows
     val touched = assigned.select("cell_id").distinct()
       .collect().map(_.getInt(0)).sorted
-    val existing = store.read(sp, name)
-      .filter(col("cell_id").isin(touched.map(Int.box).toIndexedSeq: _*))
-      .select(col("id"), col("vec"), col("cell_id"))
-    val dup = existing.select("id").intersect(assigned.select("id")).limit(1).collect()
+    // enforce the append contract against the WHOLE index, not just the
+    // touched cells: a re-inserted id whose drifted vector assigns to a
+    // DIFFERENT cell would otherwise slip past a touched-cells-only
+    // check and leave two nodes with one id in two cells. The check is
+    // a column-pruned scan of the slim id column — one narrow pass over
+    // the index per (nightly) batch, the price of the invariant.
+    // Batch-internal duplicates fail the same way.
+    val cnts = assigned.agg(count(lit(1)), countDistinct(col("id"))).head
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"insertIntoStored: batch contains duplicate ids — append semantics require new, unique ids")
+    val dup = store.read(sp, name).select("id")
+      .intersect(assigned.select("id")).limit(1).collect()
     require(dup.isEmpty,
       s"insertIntoStored: batch re-inserts existing id ${if (dup.nonEmpty) dup(0).getLong(0) else ""} " +
         s"into '$name' — append semantics require new ids")
+    val existing = store.read(sp, name)
+      .filter(col("cell_id").isin(touched.map(Int.box).toIndexedSeq: _*))
+      .select(col("id"), col("vec"), col("cell_id"))
     val members = existing.unionByName(assigned)
       .repartition(math.max(touched.length, 1), col("cell_id"))
       .as[(Long, Array[Float], Int)]
@@ -474,9 +492,14 @@ object GraphAnn {
     import sp.implicits._
     val probeUdf = udf((v: Seq[Float]) =>
       Similarity.sqProbeCells(cents, v.map(_.toDouble).toArray, nprobe))
+    // EAGER checkpoint: the probe projection is consumed twice (the
+    // touched-cells collect below AND the union into the node relation)
+    // — without it the probe UDF and the whole upstream queries plan
+    // re-execute per consumer. Bounded: Q·nprobe slim rows.
     val probes = queries.select(col(qIdCol).cast("long").as("qid"),
       col(qVecCol).cast("array<float>").as("qvec"),
       explode(probeUdf(col(qVecCol))).as("cell_id"))
+      .localCheckpoint(true)
     // bounded collect: at most ncells distinct cells across the batch —
     // the literal IN list is what lands in PartitionFilters on a stored
     // layout (a join-based restriction would not prune partitions)

@@ -637,13 +637,21 @@ object Similarity {
     // RDD and doubles as the size probe for the broadcast gate.
     val base = df.select(col(idCol).as("_id"), col(vecCol).as("_v"))
       .localCheckpoint(true)
-    // dim <= 0 → derive from the data (one row off the checkpointed
-    // base): the hyperplane dot products silently truncate to
-    // min(dim, len) components, so a mismatched default would degrade
-    // banded recall with no error
+    // dim <= 0 → derive from the data (one agg off the checkpointed
+    // base; max() skips null vectors): the hyperplane dot products
+    // silently truncate to min(dim, len) components, so a mismatched
+    // default would degrade banded recall with no error. An empty (or
+    // all-null) input short-circuits to an empty pair relation — .head
+    // on it would throw where the old fixed default returned no rows.
     val dimActual =
       if (dim > 0) dim
-      else base.select(size(col("_v"))).head.getInt(0)
+      else base.agg(max(size(col("_v")))).head match {
+        case r if r.isNullAt(0) => -1
+        case r => r.getInt(0)
+      }
+    if (dimActual <= 0)
+      return base.select(col("_id").as("id_a"), col("_id").as("id_b"),
+        lit(0.0d).as("cosine")).limit(0)
     val estBytes = base.count() * (dimActual * 4L + 48L)
     val tables = (0 until nTables).map { t =>
       cosineLshBuckets(base, "_v", nBits, seed = 42L + t, dim = dimActual)

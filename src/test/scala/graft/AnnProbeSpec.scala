@@ -654,22 +654,42 @@ class AnnProbeSpec extends SparkSpec {
     val v = Array.tabulate(8)(i => (i + 1) * 0.1f)
     val dup = (0 until 300).map(i => (i.toLong, v))
     val rnd = new scala.util.Random(7)
+    // a SPLITTABLE oversized cluster coexisting with the unsplittable
+    // one: the per-cell progress tracking must keep splitting it after
+    // the identical cell is marked unsplittable (a global progress
+    // measure keyed on the max — the identical cell — would stop early
+    // and leave this one over the cap)
+    val base2 = Array.tabulate(8)(i => -(i + 1) * 0.1f)
+    val jittered = (0 until 250).map { i =>
+      val u = Array.fill(8)(rnd.nextGaussian().toFloat)
+      val w = base2.zip(u).map { case (b, e) => b + 0.05f * e }
+      (500L + i, w)
+    }
     val spreadOut = (0 until 60).map { i =>
       val u = Array.fill(8)(rnd.nextGaussian().toFloat)
       (1000L + i, u)
     }
-    val corpus = (dup ++ spreadOut).toDF("vec_id", "embedding")
+    val corpus = (dup ++ jittered ++ spreadOut).toDF("vec_id", "embedding")
     val (graph, cents) = GraphAnn.buildGraph(corpus, "embedding", "vec_id",
       ncells = 4, m = 8, maxCellSize = 100)
     val sizes = graph.toDF().groupBy("cell_id").count()
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     info(s"unsplittable: cents ${cents.length}, cells ${sizes.toSeq.sortBy(_._1).mkString(", ")}")
-    assert(sizes.values.sum == 360L, "guard lost/duplicated members")
+    assert(sizes.values.sum == 610L, "guard lost/duplicated members")
     // no centroid appears twice (no dead duplicates minted)
     assert(cents.map(_.toSeq).distinct.length == cents.length,
       "duplicate centroids appended for an unsplittable cell")
-    // and the identical-vector cell is intact (over cap, by design)
+    // the identical-vector cell is intact (over cap, by design)...
     assert(sizes.values.max >= 300L)
+    // ...while every OTHER cell — including the splittable jittered
+    // cluster a global-max progress guard would have abandoned at 250 —
+    // is bounded near the cap (SOFT bound: flat re-assignment can churn
+    // boundary members back over by a fraction before the round
+    // backstop; the guard's job is bounding task memory to cap x a
+    // small constant, and 1.2x is the measured envelope here)
+    val others = sizes.values.filter(_ < 300L)
+    assert(others.max <= 120L,
+      s"splittable oversized cell left unbounded: ${others.max}")
   }
 
   test("batch graph search: equals N single runs, one cell load per (cell, batch)") {
@@ -815,6 +835,23 @@ class AnnProbeSpec extends SparkSpec {
         GraphAnn.insertIntoStored(store, "graph", bad, "embedding", "vec_id", cents)
       }
       assert(ex.getMessage.contains("append semantics"))
+      // a re-inserted id whose DRIFTED vector assigns to a different
+      // cell must be caught too (the check is against the whole index,
+      // not just the batch's touched cells)
+      val drifted = e.filter(col("vec_id") === 2)
+        .withColumn("embedding", org.apache.spark.sql.functions.transform(
+          col("embedding"), x => -x))
+      val ex2 = intercept[IllegalArgumentException] {
+        GraphAnn.insertIntoStored(store, "graph", drifted, "embedding", "vec_id", cents)
+      }
+      assert(ex2.getMessage.contains("append semantics"))
+      // batch-internal duplicate ids are rejected before any write
+      val twice = e.filter(col("vec_id") % 10 === 7)
+        .unionByName(e.filter(col("vec_id") === 7))
+      val ex3 = intercept[IllegalArgumentException] {
+        GraphAnn.insertIntoStored(store, "graph", twice, "embedding", "vec_id", cents)
+      }
+      assert(ex3.getMessage.contains("duplicate ids"))
       // and the store is untouched by the rejected insert
       val clean = e.filter(col("vec_id") % 10 === 7 && col("vec_id") =!= 2)
       GraphAnn.insertIntoStored(store, "graph", clean, "embedding", "vec_id", cents)

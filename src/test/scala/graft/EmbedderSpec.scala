@@ -278,7 +278,7 @@ class EmbedderSpec extends SparkSpec {
     * dff 16, maxLen 16, 2 layers) + its vocab.txt into `dir`; returns
     * (safetensors path, tensors by name). */
   private def writeHfFixture(dir: java.nio.file.Path): (String, Map[String, (Array[Int], Array[Float])]) = {
-    val (v, d, dff, maxLen, layers) = (32, 8, 16, 16, 2)
+    val (v, d, dff, maxLen, layers) = (64, 8, 16, 16, 2)
     val next = prng(0xf1c7_0e5eedL)
     def arr(n: Int): Array[Float] = Array.fill(n)(next())
     val tensors = scala.collection.mutable.LinkedHashMap[String, (Array[Int], Array[Float])](
@@ -308,7 +308,7 @@ class EmbedderSpec extends SparkSpec {
     graft.embed.Safetensors.write(stPath, tensors.toSeq,
       metadata = Map("num_attention_heads" -> "2"))
     val specials = Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]")
-    val words = Seq("the", "dog", "play", "##ing", "spark", "shuffle", "##s",
+    val words = Seq("cafe", "the", "dog", "play", "##ing", "spark", "shuffle", "##s",
       "vector", "data", "##base", ",", ".", "table", "lineitem", "query",
       "search", "over", "embed", "##ding", "a", "of", "in", "and", "to",
       "join", "filter", "group", "count")
@@ -361,7 +361,7 @@ class EmbedderSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("st_map")
     val (stPath, tensors) = writeHfFixture(dir)
     val w = TransformerEmbedder.load(stPath)
-    assert((w.vocab, w.d, w.heads, w.dff, w.maxLen, w.blocks.size) == (32, 8, 2, 16, 16, 2))
+    assert((w.vocab, w.d, w.heads, w.dff, w.maxLen, w.blocks.size) == (64, 8, 2, 16, 16, 2))
     // independent expected transform (test-side reimplementation)
     def tr(name: String, dOut: Int, dIn: Int): Seq[Float] = {
       val src = tensors(name)._2
@@ -400,6 +400,25 @@ class EmbedderSpec extends SparkSpec {
     // CJK ideographs split per character (BERT BasicTokenizer), so an
     // unspaced run becomes one [UNK] per char, not one unknown "word"
     assert(wp.encode("数据", 16).toSeq == Seq(wp.clsId, wp.unkId, wp.unkId, wp.sepId))
+    // uncased accent stripping (HF _run_strip_accents): "Café" reaches
+    // the vocab as "cafe", not [UNK]
+    assert(wp.encode("Caf\u00e9", 16).toSeq == Seq(wp.clsId, id("cafe"), wp.sepId))
+    // '$' is HF-punctuation (ASCII symbol run) -> split out; '\u20ac' (Sc)
+    // is NOT -> stays inside the word (which then [UNK]s as one piece)
+    assert(wp.basicTokens("a$b").toSeq == Seq("a", "$", "b"))
+    assert(wp.basicTokens("a\u20acb").toSeq == Seq("a\u20acb"))
+  }
+
+  test("mismatched vocab.txt fails fast at encode, naming the cause") {
+    val dir = java.nio.file.Files.createTempDirectory("st_badvocab")
+    val (stPath, _) = writeHfFixture(dir)
+    // oversize the vocab beyond the checkpoint's embedding-table rows
+    val big = (0 until 200).map(i => s"tok$i")
+    java.nio.file.Files.write(dir.resolve("vocab.txt"),
+      (Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++ big).mkString("\n").getBytes("UTF-8"))
+    val e = TransformerEmbedder(resource = stPath)
+    val ex = intercept[IllegalArgumentException] { e.encodeOne("anything") }
+    assert(ex.getMessage.contains("wrong vocab file"))
   }
 
   test("pretrained-checkpoint seam end-to-end: file-backed weights + WordPiece through the identical forward pass") {
