@@ -100,15 +100,30 @@ object Safetensors {
     val data = java.util.Arrays.copyOfRange(bytes, (8 + headerLen).toInt, bytes.length)
     var tensors = Map.empty[String, TensorMeta]
     var metadata = Map.empty[String, String]
+    val dtypeBytes = Map("F64" -> 8, "F32" -> 4, "F16" -> 2, "BF16" -> 2, "I64" -> 8)
     root.fields().forEachRemaining { e =>
       val (name, node) = (e.getKey, e.getValue)
       if (name == "__metadata__") {
         node.fields().forEachRemaining { m => metadata += m.getKey -> m.getValue.asText }
       } else {
+        // validate up front: a truncated or offset-corrupt checkpoint
+        // must fail HERE with the cause, not as a BufferUnderflow deep
+        // inside a tensor decode on an executor
+        require(node.hasNonNull("dtype") && node.hasNonNull("shape") &&
+          node.hasNonNull("data_offsets") && node.get("data_offsets").size() == 2,
+          s"$path: tensor '$name' header is malformed")
         val shape = (0 until node.get("shape").size()).map(node.get("shape").get(_).asInt).toArray
+        require(shape.forall(_ >= 0), s"$path: tensor '$name' has a negative dimension")
         val off = node.get("data_offsets")
-        tensors += name -> TensorMeta(node.get("dtype").asText, shape,
-          off.get(0).asLong, off.get(1).asLong)
+        val (begin, end) = (off.get(0).asLong, off.get(1).asLong)
+        require(begin >= 0 && begin <= end && end <= data.length,
+          s"$path: tensor '$name' offsets [$begin, $end) exceed the ${data.length}-byte buffer (truncated file?)")
+        val dt = node.get("dtype").asText
+        dtypeBytes.get(dt).foreach { w =>
+          require(end - begin == shape.foldLeft(1L)(_ * _) * w,
+            s"$path: tensor '$name' byte span ${end - begin} != shape ${shape.mkString("x")} * $w")
+        }
+        tensors += name -> TensorMeta(dt, shape, begin, end)
       }
     }
     new File(tensors, metadata, data)

@@ -409,6 +409,42 @@ class EmbedderSpec extends SparkSpec {
     assert(wp.basicTokens("a\u20acb").toSeq == Seq("a\u20acb"))
   }
 
+  test("corrupt safetensors fail at load with the cause, not mid-decode") {
+    import graft.embed.Safetensors
+    val dir = java.nio.file.Files.createTempDirectory("st_corrupt")
+    def writeRaw(name: String, header: String, dataLen: Int): String = {
+      val hb = header.getBytes("UTF-8")
+      val buf = java.nio.ByteBuffer.allocate(8 + hb.length + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.putLong(hb.length.toLong).put(hb).put(new Array[Byte](dataLen))
+      val p = dir.resolve(name)
+      java.nio.file.Files.write(p, buf.array())
+      p.toString
+    }
+    // offsets past the data buffer (truncated file)
+    val trunc = writeRaw("trunc.safetensors",
+      """{"t":{"dtype":"F32","shape":[8],"data_offsets":[0,32]}}""", 16)
+    val e1 = intercept[IllegalArgumentException] { Safetensors.read(trunc) }
+    assert(e1.getMessage.contains("truncated"))
+    // byte span inconsistent with the declared shape
+    val span = writeRaw("span.safetensors",
+      """{"t":{"dtype":"F32","shape":[8],"data_offsets":[0,16]}}""", 16)
+    val e2 = intercept[IllegalArgumentException] { Safetensors.read(span) }
+    assert(e2.getMessage.contains("byte span"))
+    // missing data_offsets
+    val mal = writeRaw("mal.safetensors",
+      """{"t":{"dtype":"F32","shape":[4]}}""", 16)
+    val e3 = intercept[IllegalArgumentException] { Safetensors.read(mal) }
+    assert(e3.getMessage.contains("malformed"))
+    // header length lying past EOF
+    val p = dir.resolve("hdr.safetensors")
+    val b = java.nio.ByteBuffer.allocate(12).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.putLong(1000L).putInt(0)
+    java.nio.file.Files.write(p, b.array())
+    val e4 = intercept[IllegalArgumentException] { Safetensors.read(p.toString) }
+    assert(e4.getMessage.contains("bad header length"))
+  }
+
   test("mismatched vocab.txt fails fast at encode, naming the cause") {
     val dir = java.nio.file.Files.createTempDirectory("st_badvocab")
     val (stPath, _) = writeHfFixture(dir)
