@@ -81,7 +81,7 @@ final case class WordPiece(vocab: Map[String, Int], lowercase: Boolean = true) {
     (c >= 0xf900 && c <= 0xfaff)
 
   /** Greedy longest-match segmentation of one word. */
-  private[embed] def wordIds(word: String): Seq[Int] = {
+  private[graft] def wordIds(word: String): Seq[Int] = {
     if (word.length > 100) return Seq(unkId) // HF's max_input_chars_per_word
     val ids = Seq.newBuilder[Int]
     var start = 0

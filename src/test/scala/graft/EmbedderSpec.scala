@@ -409,6 +409,35 @@ class EmbedderSpec extends SparkSpec {
     assert(wp.basicTokens("a\u20acb").toSeq == Seq("a\u20acb"))
   }
 
+  test("WordPiece property: segmentation reconstructs the word exactly or is [UNK] — never partial") {
+    import graft.embed.WordPiece
+    // vocab: specials + all single chars (head + ## continuation forms)
+    // + some multi-char pieces — every lowercase word is segmentable
+    val chars = ('a' to 'z').map(_.toString)
+    val pieces = Seq("ing", "tion", "pre", "un", "er", "est")
+    val vocab = (Seq("[PAD]", "[UNK]", "[CLS]", "[SEP]") ++
+      chars ++ chars.map("##" + _) ++ pieces ++ pieces.map("##" + _))
+      .zipWithIndex.toMap
+    val wp = WordPiece(vocab)
+    val idToTok = vocab.map(_.swap)
+    val rnd = new scala.util.Random(123)
+    (0 until 300).foreach { _ =>
+      val w = (0 until (1 + rnd.nextInt(12)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val ids = wp.wordIds(w)
+      assert(ids.nonEmpty)
+      // reconstruction: pieces concatenate back to the exact word
+      val rebuilt = ids.map(idToTok).map(_.stripPrefix("##")).mkString
+      assert(rebuilt == w, s"'$w' segmented to '$rebuilt'")
+      // well-formed: first piece bare, continuations ##-prefixed
+      assert(!idToTok(ids.head).startsWith("##"))
+      ids.tail.foreach(id => assert(idToTok(id).startsWith("##"), s"'$w': non-## continuation"))
+    }
+    // any unreachable character collapses the WHOLE word to [UNK] —
+    // greedy segmentation never emits a partial word
+    assert(wp.wordIds("abc7def") == Seq(wp.unkId))
+  }
+
   test("corrupt safetensors fail at load with the cause, not mid-decode") {
     import graft.embed.Safetensors
     val dir = java.nio.file.Files.createTempDirectory("st_corrupt")
