@@ -421,6 +421,29 @@ object GraftOracles {
         |FROM documents WHERE lang IN ('en','zh')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Twin of collection_mutate: the mutation sequence (create <=300,
+    // upsert 250..350 with upper(text), update source='edited' for
+    // <=20, delete doc_id % 7 == 0) restated as plain SQL — the final
+    // live view must hash-match, proving the tombstone merge resolves
+    // write sequences exactly.
+    "collection_mutate" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id <= 300),
+        |ups AS (
+        |  SELECT doc_id, source, upper(text) AS text FROM documents
+        |  WHERE doc_id BETWEEN 250 AND 350),
+        |st1 AS (
+        |  SELECT * FROM ups
+        |  UNION ALL
+        |  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM ups)),
+        |st2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id <= 20 THEN 'edited' ELSE source END AS source,
+        |    text
+        |  FROM st1)
+        |SELECT doc_id, source, text FROM st2
+        |WHERE doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
+
     // Twin of collection_manifest: DuckDB independently recomputes the
     // SHA-256 binding fingerprint over the SAME canonical string
     // CollectionManifest.canonical builds (family hash, resource '',

@@ -1973,6 +1973,32 @@ object GraftQueries {
         round(sum(money(col("value"))), 2).cast("double").as("sum_value"))
       .orderBy("event_type")
 
+  /** Id-level collection mutation (the Chroma collection verbs beyond the
+    * reference's own ingest path — upsert / partial update / delete / live
+    * read), exercised end to end through the sequence-versioned
+    * merge-on-read tombstone store [[graft.store.MutableCollection]]:
+    * create a mutable collection from a documents slice, upsert an
+    * overlapping slice with rewritten text (updates the overlap, inserts
+    * the rest), partially update `source` for the first ids, delete every
+    * 7th id, then read the live view. The oracle restates the exact final
+    * state in plain SQL over the source table — a FULL-hash check that the
+    * tombstone merge resolves versions correctly. */
+  val collectionMutate: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_mutq").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 300), "doc_id")
+    mc.upsert(docs.filter(col("doc_id").between(250, 350))
+      .withColumn("text", upper(col("text"))))
+    mc.update(s, docs.filter(col("doc_id") <= 20)
+      .select(col("doc_id"), lit("edited").as("source")))
+    mc.delete(mc.readLive(s).filter(col("doc_id") % 7 === 0).select("doc_id"))
+    val out = mc.readLive(s).orderBy("doc_id")
+    val rows = out.collect()
+    store.destroy()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Collection lifecycle (reference create/add/read, O9+O13+O17) surfaced
     * in the oracle gate: overwrite-create a lang-PARTITIONED collection,
     * append a second batch, read back through the store with a filter that
@@ -2719,6 +2745,7 @@ object GraftQueries {
     "q29_grouping_sets" -> q29GroupingSets,
     "where_dsl_or" -> whereDslOr,
     "collection_lifecycle" -> collectionLifecycle,
+    "collection_mutate" -> collectionMutate,
     "q30_first_last" -> q30FirstLast,
     "q31_corr_subquery" -> q31CorrSubquery,
     "text_sample_10pct" -> textSample10pct,

@@ -120,22 +120,40 @@ object Dedup {
   /** (id, sorted shingle hashes), repartitioned — a single-file input is
     * one partition and would compute every signature on one core. NOT
     * persisted; each caller picks its persistence discipline. */
-  private def shingleRelation(df: DataFrame, textCol: String, idCol: String,
+  private[graft] def shingleRelation(df: DataFrame, textCol: String, idCol: String,
                               shingleSize: Int): DataFrame =
     graft.Tables.spread(df.select(col(idCol).as("_id"), col(textCol).as("_text")))
       .withColumn("_sh", shingleHashes(col("_text"), shingleSize))
       .drop("_text")
 
-  /** The banded relation carries ONLY (id, band, bandhash) — never the
-    * shingle arrays — so the LSH shuffle moves fixed-width keys. */
-  private def bandedOf(withSh: DataFrame, perms: Int, bands: Int): DataFrame =
-    withSh.select(col("_id"),
+  /** The banded relation carries ONLY (id, shingle-set size, band,
+    * bandhash) — never the shingle arrays — so the LSH shuffle moves
+    * fixed-width keys. `_n` exists for the length filter below. */
+  private[graft] def bandedOf(withSh: DataFrame, perms: Int, bands: Int): DataFrame =
+    withSh.select(col("_id"), size(col("_sh")).as("_n"),
       posexplode(minhashBandHashes(perms, bands)(col("_sh")))
         .as(Seq("_band", "_bandhash")))
 
+  /** Length filter (the classic size-based prune of the similarity-join
+    * literature): J(A,B) = |A∩B|/|A∪B| <= min(|A|,|B|)/max(|A|,|B|), so a
+    * candidate whose size ratio is under the threshold can NEVER verify —
+    * dropping it inside the band join is lossless, and on template-heavy
+    * corpora (where moderate-similarity pairs dominate band collisions)
+    * it removes most of the candidate stream before the dedup shuffle and
+    * the verify join ever see it. Computed divide-round-compare with the
+    * SAME double semantics as [[verifyJaccard]] (round(x, 6) >= t):
+    * correctly-rounded division and HALF_UP rounding are both monotone,
+    * so round6(fl(intersect/union)) <= round6(fl(min/max)) and a pruned
+    * pair is always one verify would reject — never one it would keep
+    * (a plain `min >= t*max` integer form is NOT safe here: at
+    * min == t*max exactly, fp error in t*max can prune a pair whose
+    * rounded jaccard still passes). */
+  private[graft] def lengthFilter(na: Column, nb: Column, threshold: Double): Column =
+    round(least(na, nb).cast("double") / greatest(na, nb), 6) >= lit(threshold)
+
   /** Estimated in-memory bytes of a shingle relation (one agg over the
     * already-persisted relation). */
-  private def shingleBytes(withSh: DataFrame): Long = {
+  private[graft] def shingleBytes(withSh: DataFrame): Long = {
     val st = withSh.agg(count(lit(1)).as("n"),
       coalesce(sum(size(col("_sh"))), lit(0L)).as("h")).head()
     st.getLong(1) * 8L + st.getLong(0) * 48L
@@ -145,7 +163,7 @@ object Dedup {
     * candidate stream's hash-partitioned parallelism with no shuffle, but
     * the relation grows with the corpus — so the broadcast is SIZE-GATED;
     * over the cap the planner falls back to hash joins on the id key. */
-  private def verifySide(withSh: DataFrame, id: String, shc: String,
+  private[graft] def verifySide(withSh: DataFrame, id: String, shc: String,
                          estBytes: Long): DataFrame =
     BroadcastGate.maybeBroadcast(
       withSh.select(col("_id").as(id), col("_sh").as(shc)), estBytes)
@@ -170,7 +188,8 @@ object Dedup {
       .join(banded.as("b"),
         col("a._band") === col("b._band") &&
           col("a._bandhash") === col("b._bandhash") &&
-          col("a._id") < col("b._id"))
+          col("a._id") < col("b._id") &&
+          lengthFilter(col("a._n"), col("b._n"), threshold))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val estBytes = shingleBytes(withSh)
@@ -212,7 +231,8 @@ object Dedup {
     val candidates = bandedOf(nw, bands * rowsPerBand, bands).as("a")
       .join(bandedOf(ex, bands * rowsPerBand, bands).as("b"),
         col("a._band") === col("b._band") &&
-          col("a._bandhash") === col("b._bandhash"))
+          col("a._bandhash") === col("b._bandhash") &&
+          lengthFilter(col("a._n"), col("b._n"), threshold))
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val pairs = candidates
@@ -227,8 +247,10 @@ object Dedup {
     * O(batch) instead of O(corpus) per check. Two collections in the
     * store (shingles computed ONCE, checkpointed, written to both):
     *
-    *   `<name>_bands`    (_band, _bandhash, _id)  — the fixed-width join
-    *                     keys; at 100 TB this is the relation to BUCKET
+    *   `<name>_bands`    (_band, _bandhash, _id, _n)  — the fixed-width
+    *                     join keys plus the shingle-set size feeding the
+    *                     lossless length filter on each batch's band join;
+    *                     at 100 TB this is the relation to BUCKET
     *                     by (_band, _bandhash) so each batch's band join
     *                     is a co-located bucket join with no corpus-side
     *                     shuffle (Spark bucketed tables need a catalog,
@@ -250,7 +272,7 @@ object Dedup {
     store.create(s"${name}_shingles", sh)
     store.create(s"${name}_bands",
       bandedOf(sh, bands * rowsPerBand, bands)
-        .select(col("_band"), col("_bandhash"), col("_id")))
+        .select(col("_band"), col("_bandhash"), col("_id"), col("_n")))
   }
 
   /** Append a committed batch's signatures to an existing index — the
@@ -268,7 +290,7 @@ object Dedup {
     store.append(s"${name}_shingles", sh)
     store.append(s"${name}_bands",
       bandedOf(sh, bands * rowsPerBand, bands)
-        .select(col("_band"), col("_bandhash"), col("_id")))
+        .select(col("_band"), col("_bandhash"), col("_id"), col("_n")))
   }
 
   /** Incremental near-dup against a PRECOMPUTED signature index (the
@@ -291,10 +313,16 @@ object Dedup {
                                    threshold: Double = 0.8): DataFrame = {
     val nw = shingleRelation(newDf, textCol, idCol, shingleSize)
       .localCheckpoint(true)
+    // the length filter needs the stored side's set size; indexes written
+    // before `_n` landed in the `_bands` schema still work, just unpruned
+    val sizeOk =
+      if (bandsIdx.columns.contains("_n"))
+        lengthFilter(col("a._n"), col("b._n"), threshold)
+      else lit(true)
     val candidates = bandedOf(nw, bands * rowsPerBand, bands).as("a")
       .join(bandsIdx.as("b"),
         col("a._band") === col("b._band") &&
-          col("a._bandhash") === col("b._bandhash"))
+          col("a._bandhash") === col("b._bandhash") && sizeOk)
       .select(col("a._id").as("id_a"), col("b._id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val pairs = candidates
@@ -306,7 +334,7 @@ object Dedup {
         col("jaccard"))
   }
 
-  private def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
+  private[graft] def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
     val inter = graft.functions.SetFunctions
       .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double")
     val sizes = (size(col("sh_a")) + size(col("sh_b"))).cast("double")
@@ -349,9 +377,11 @@ object Dedup {
       .repartition(par).localCheckpoint(true)
     val joinCond = {
       val idOrd = col("a._id") < col("b._id")
-      // lossless: J >= t requires t*max(|A|,|B|) <= min(|A|,|B|)
-      val sizeOk = col("a._n") >= col("b._n") * threshold &&
-        col("b._n") >= col("a._n") * threshold
+      // lossless: J >= t requires min/max >= t (see lengthFilter — the
+      // round6 divide form matches verifyJaccard's boundary semantics;
+      // the old t*max multiply form could prune an exactly-at-threshold
+      // pair through fp error in t*max)
+      val sizeOk = lengthFilter(col("a._n"), col("b._n"), threshold)
       blockCol match {
         case Some(_) => idOrd && sizeOk && col("a._blk") === col("b._blk")
         case None => idOrd && sizeOk

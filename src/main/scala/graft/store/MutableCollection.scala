@@ -1,0 +1,258 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Id-level mutation over a parquet-backed collection — the Spark analog
+  * of the Chroma collection mutation surface (`upsert`/`update`/`delete`/
+  * `get`) that a user of the reference relies on beyond the ingest path
+  * the reference code itself exercises
+  * (/root/reference/src/PDFToChromaIngester.py uses add/query/
+  * delete_collection; the bound client API also carries the id-level
+  * verbs).
+  *
+  * Design: sequence-versioned MERGE-ON-READ tombstones — mutations never
+  * rewrite data files (an upsert that touched 0.001% of a 100 TB
+  * collection must not rewrite 100 TB):
+  *
+  *  - every write batch gets a monotonically increasing sequence number
+  *    `S`; data rows carry a hidden `_graft_seq = S` column;
+  *  - `upsert` appends the batch rows at `S` AND appends `(id, S)`
+  *    tombstones: a tombstone kills rows of that id with `_graft_seq < S`,
+  *    so the batch's own rows survive and every older version dies;
+  *  - `delete` appends tombstones only;
+  *  - the live view is base ⟕ broadcast(tombstone max-seq per id) with a
+  *    `_graft_seq >= del_seq` filter — the tombstone side is bounded by
+  *    ids-ever-mutated (small relative to the corpus by construction of
+  *    merge-on-read; when it stops being small, `compact()` folds it to
+  *    zero), so the read stays a map-only broadcast join: no shuffle of
+  *    the data side, ever;
+  *  - `compact()` materializes the live view once, rewrites with the
+  *    store's swap discipline, and truncates the tombstone log.
+  *
+  * Sequence allocation is crash-safe by allocating BEFORE writing: the
+  * marker file is atomically replaced (temp + rename) with `seq = S`
+  * before any data/tombstone bytes land, so a crashed batch's number is
+  * never reused. Failure mode of a crash mid-upsert (data landed,
+  * tombstones did not): the touched ids transiently show BOTH versions
+  * until the upsert is retried at a higher seq — transient duplicate,
+  * never silent loss. Single-writer per collection, like the rest of the
+  * store.
+  *
+  * The `_graft_seq` column, `_tombstones/` directory, and
+  * `_mutable.properties` marker are all `_`-prefixed, so plain
+  * `store.read` / Spark parquet listings never see the bookkeeping — but
+  * plain `read` DOES see dead row versions (and the seq column is
+  * dropped from [[readLive]]'s output). Query mutable collections
+  * through [[readLive]].
+  */
+final case class MutableCollection(store: VectorStore, name: String) {
+  import MutableCollection._
+
+  private def dir = s"${store.root}/$name"
+  private def tombDir = s"$dir/$TombstonesDir"
+
+  private def marker: Marker = Marker.read(dir).getOrElse(
+    throw new IllegalArgumentException(
+      s"collection '$name' is not mutable — create it with " +
+        "VectorStore.createMutable (id-level mutation needs the sequence " +
+        "column immutable collections do not carry)"))
+
+  /** The id column mutations key on (persisted at create). */
+  def idCol: String = marker.idCol
+
+  /** Allocate the next write sequence: marker is replaced BEFORE any
+    * data lands, so a crashed batch never shares a seq with a later one. */
+  private def nextSeq(): Long = {
+    val m = marker
+    val s = m.seq + 1
+    Marker.write(dir, m.copy(seq = s))
+    s
+  }
+
+  private def requireUniqueIds(df: DataFrame, id: String, op: String): Unit = {
+    val r = df.agg(count(lit(1)).as("n"), countDistinct(col(id)).as("d")).head()
+    require(r.getLong(0) == r.getLong(1),
+      s"$op batch carries duplicate ids (${r.getLong(0)} rows, " +
+        s"${r.getLong(1)} distinct '$id') — id-level mutation semantics " +
+        "need one row per id per batch")
+  }
+
+  private def appendTombstones(ids: DataFrame, seq: Long): Unit =
+    ids.select(col(idCol), lit(seq).as(DelSeqCol))
+      .write.mode("append").parquet(tombDir)
+
+  /** Insert-or-replace: rows whose id exists replace the stored version;
+    * new ids insert. One id per batch (enforced — replace order within a
+    * batch would otherwise be undefined). Cost: O(batch) writes + one
+    * bounded agg; zero base-file rewrites. */
+  def upsert(df: DataFrame): Unit = {
+    val id = idCol
+    // column-set check up front: a parquet append with a divergent
+    // schema would land silently and only corrupt reads much later
+    val want = store.read(df.sparkSession, name).columns.toSet - SeqCol
+    require(df.columns.toSet == want,
+      s"upsert schema mismatch: collection has ${want.toSeq.sorted.mkString(", ")} " +
+        s"but the batch has ${df.columns.sorted.mkString(", ")}")
+    requireUniqueIds(df, id, "upsert")
+    val seq = nextSeq()
+    // data first, tombstones second: a crash in between leaves a
+    // transient duplicate (old + new visible), never a lost row
+    df.withColumn(SeqCol, lit(seq))
+      .write.mode("append").parquet(dir)
+    appendTombstones(df.select(col(id)), seq)
+  }
+
+  /** Delete by id relation — distributed end to end (the tombstone write
+    * is a parquet append of the ids frame, no driver collect). */
+  def delete(ids: DataFrame): Unit =
+    appendTombstones(ids.select(col(ids.columns.head).as(idCol)).distinct(), nextSeq())
+
+  /** Delete a bounded explicit id list (the Chroma `delete(ids=[...])`
+    * shape). */
+  def deleteIds(spark: SparkSession, ids: Seq[Any]): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val idType = store.read(spark, name).schema(idCol).dataType
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(ids.map(Row(_)): _*),
+      StructType(Seq(StructField(idCol, idType))))
+    delete(df)
+  }
+
+  /** Partial update (the Chroma `update` shape): `df` carries the id
+    * column plus ANY SUBSET of the collection's other columns; listed
+    * columns replace the stored values for existing ids, unlisted
+    * columns keep their stored values. Ids not in the collection are
+    * ignored (Chroma warns-and-skips on unknown ids). Implemented as
+    * read-merge-upsert: one live read of the touched ids + one upsert. */
+  def update(spark: SparkSession, df: DataFrame): Unit = {
+    val id = idCol
+    requireUniqueIds(df, id, "update")
+    val live = readLive(spark)
+    val newCols = df.columns.filterNot(_ == id).toSet
+    val renamed = newCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + "__new"))
+    val merged = live.join(renamed, Seq(id)) // inner: unknown ids drop out
+      .select(live.columns.map { c =>
+        if (newCols.contains(c)) col(c + "__new").as(c) else col(c)
+      }.toSeq: _*)
+    upsert(merged)
+  }
+
+  /** The live view: every row version not killed by a tombstone, seq
+    * column stripped. Map-only — the tombstone side aggregates to one
+    * (id, max seq) row per ever-mutated id and broadcasts; the data side
+    * is scanned once with no shuffle. With an empty tombstone log the
+    * join is skipped entirely. */
+  def readLive(spark: SparkSession): DataFrame = {
+    marker: Unit // fail fast on non-mutable collections
+    val base = store.read(spark, name)
+    val tomb = readTombstones(spark)
+    val live = tomb match {
+      case Some(t) =>
+        val dels = t.groupBy(idCol).agg(max(col(DelSeqCol)).as(DelSeqCol))
+        base.join(broadcast(dels), Seq(idCol), "left")
+          .filter(col(DelSeqCol).isNull || col(SeqCol) >= col(DelSeqCol))
+          .drop(DelSeqCol)
+      case None => base
+    }
+    live.drop(SeqCol)
+  }
+
+  private def readTombstones(spark: SparkSession): Option[DataFrame] = {
+    val d = new java.io.File(tombDir)
+    val hasData = d.isDirectory &&
+      Option(d.listFiles()).exists(_.exists(_.getName.startsWith("part-")))
+    if (hasData) Some(spark.read.parquet(tombDir)) else None
+  }
+
+  /** Bounded point lookup (the Chroma `get(ids=[...])` shape). */
+  def get(spark: SparkSession, ids: Seq[Any]): DataFrame =
+    readLive(spark).filter(col(idCol).isin(ids: _*))
+
+  /** Live row count (post-tombstone). */
+  def countLive(spark: SparkSession): Long = readLive(spark).count()
+
+  /** Fold the tombstone log into the data: rewrite the live view (seq
+    * column PRESERVED — later tombstones must still order against
+    * surviving rows) with the store's staged-swap discipline, then
+    * truncate the log. Run when the tombstone set grows past broadcast
+    * comfort; afterwards reads skip the join entirely. */
+  def compact(spark: SparkSession): Unit = {
+    val m = marker
+    val base = store.read(spark, name)
+    val live = readTombstones(spark) match {
+      case Some(t) =>
+        val dels = t.groupBy(idCol).agg(max(col(DelSeqCol)).as(DelSeqCol))
+        base.join(broadcast(dels), Seq(idCol), "left")
+          .filter(col(DelSeqCol).isNull || col(SeqCol) >= col(DelSeqCol))
+          .drop(DelSeqCol)
+      case None => base
+    }
+    val tmpName = name + "__compacting"
+    live.write.mode("overwrite").parquet(s"${store.root}/$tmpName")
+    Marker.write(s"${store.root}/$tmpName", m)
+    CollectionManifest.read(dir).foreach(
+      CollectionManifest.write(s"${store.root}/$tmpName", _))
+    val dst = new java.io.File(dir)
+    val old = new java.io.File(s"${dir}__old")
+    rm(old)
+    require(dst.renameTo(old), s"mutable compact: cannot stage $name aside")
+    if (!new java.io.File(s"${store.root}/$tmpName").renameTo(dst)) {
+      val restored = old.renameTo(dst)
+      throw new IllegalStateException(
+        if (restored) s"mutable compact swap failed for $name; original restored"
+        else s"mutable compact swap failed for $name AND restore failed — " +
+          s"data is under ${name}__old (auto-recovered on next open)")
+    }
+    rm(old)
+  }
+
+  private def rm(f: java.io.File): Unit = {
+    def go(g: java.io.File): Unit = {
+      if (g.isDirectory) Option(g.listFiles()).getOrElse(Array.empty).foreach(go)
+      g.delete(): Unit
+    }
+    if (f.exists()) go(f)
+  }
+}
+
+object MutableCollection {
+  /** Hidden per-row write-sequence column. */
+  val SeqCol = "_graft_seq"
+  /** Tombstone max-seq column (tombstone files + transient join column). */
+  val DelSeqCol = "_graft_del_seq"
+  /** Tombstone log directory (underscore-prefixed: invisible to Spark's
+    * parquet listing of the collection directory). */
+  val TombstonesDir = "_tombstones"
+  private val MarkerFile = "_mutable.properties"
+
+  private[graft] final case class Marker(idCol: String, seq: Long)
+
+  private[graft] object Marker {
+    def write(collectionDir: String, m: Marker): Unit = {
+      val props = new java.util.Properties()
+      props.setProperty("idCol", m.idCol)
+      props.setProperty("seq", m.seq.toString)
+      val tmp = new java.io.File(collectionDir, MarkerFile + ".tmp")
+      val out = new java.io.FileOutputStream(tmp)
+      try props.store(out, "graft mutable collection marker")
+      finally out.close()
+      val dst = new java.io.File(collectionDir, MarkerFile)
+      // atomic replace: rename over the existing marker (same directory,
+      // same filesystem) — readers see old-or-new, never a torn file
+      java.nio.file.Files.move(tmp.toPath, dst.toPath,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    }
+
+    def read(collectionDir: String): Option[Marker] = {
+      val f = new java.io.File(collectionDir, MarkerFile)
+      if (!f.isFile) return None
+      val props = new java.util.Properties()
+      val in = new java.io.FileInputStream(f)
+      try props.load(in) finally in.close()
+      Some(Marker(props.getProperty("idCol"), props.getProperty("seq", "0").toLong))
+    }
+  }
+}

@@ -1,6 +1,7 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.lit
 
 /** Parquet-backed collection store — the Spark analog of the reference's
   * ChromaDB collection lifecycle (/root/reference/src/PDFToChromaIngester.py):
@@ -26,8 +27,35 @@ final case class VectorStore(root: String) {
     manifest.foreach(CollectionManifest.write(path(name), _))
   }
 
+  /** Create a collection supporting id-level mutation (upsert / update /
+    * delete / get) — rows gain a hidden write-sequence column and the
+    * collection gains a tombstone log; see [[MutableCollection]] for the
+    * merge-on-read design. Read mutable collections through
+    * [[MutableCollection.readLive]] (plain [[read]] sees dead versions). */
+  def createMutable(name: String, df: DataFrame, idCol: String,
+                    partitionBy: Seq[String] = Nil,
+                    manifest: Option[CollectionManifest] = None): MutableCollection = {
+    require(df.columns.contains(idCol),
+      s"id column '$idCol' is not in the frame (${df.columns.mkString(", ")})")
+    create(name, df.withColumn(MutableCollection.SeqCol, lit(0L)),
+      partitionBy, manifest)
+    MutableCollection.Marker.write(path(name), MutableCollection.Marker(idCol, 0L))
+    MutableCollection(this, name)
+  }
+
+  /** Handle to an existing mutable collection (fails fast otherwise). */
+  def mutable(name: String): MutableCollection = {
+    recoverStranded()
+    val mc = MutableCollection(this, name)
+    mc.idCol: Unit // validates the marker exists
+    mc
+  }
+
   def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
              manifest: Option[CollectionManifest] = None): Unit = {
+    require(MutableCollection.Marker.read(path(name)).isEmpty,
+      s"collection '$name' is mutable — raw append would bypass the " +
+        "sequence column; go through VectorStore.mutable(name).upsert")
     // the Chroma-bound-embedder contract (PDFToChromaIngester.py:51-54):
     // an embedder-bound collection rejects appends that do not declare
     // the SAME embedding space — the silent-mixed-space failure mode is
@@ -130,6 +158,12 @@ final case class VectorStore(root: String) {
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, name: String,
               targetBytes: Long = 128L << 20): (Int, Int) = {
+    // the swap would silently DROP the tombstone log and marker —
+    // resurrecting every deleted row; mutable collections compact
+    // through their own tombstone-folding path
+    require(MutableCollection.Marker.read(path(name)).isEmpty,
+      s"collection '$name' is mutable — use VectorStore.mutable(name).compact " +
+        "(file compaction here would discard the tombstone log)")
     val before = dataFiles(name)
     val totalBytes = before.map(_.length).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)

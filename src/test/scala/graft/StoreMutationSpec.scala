@@ -1,0 +1,157 @@
+package graft
+
+import graft.store.{MutableCollection, VectorStore}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Id-level mutation (upsert / update / delete / get) over the store —
+  * the merge-on-read tombstone contract of
+  * [[graft.store.MutableCollection]]. */
+class StoreMutationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshStore() = VectorStore(
+    java.nio.file.Files.createTempDirectory("graft_mut_spec").toString)
+
+  private def base: DataFrame =
+    Seq((1L, "a", "one"), (2L, "a", "two"), (3L, "b", "three"),
+      (4L, "b", "four"), (5L, "c", "five"))
+      .toDF("id", "src", "text")
+
+  private def liveMap(mc: MutableCollection): Map[Long, (String, String)] =
+    mc.readLive(spark).collect()
+      .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+
+  test("createMutable + readLive round-trips and hides bookkeeping") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    val live = mc.readLive(spark)
+    assert(live.columns.toSeq == Seq("id", "src", "text")) // no _graft_seq
+    assert(live.count() == 5)
+    // raw read sees the seq column (dead-version semantics documented)
+    assert(store.read(spark, "c").columns.contains(MutableCollection.SeqCol))
+    store.destroy()
+  }
+
+  test("upsert replaces existing ids and inserts new ones") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    mc.upsert(Seq((2L, "a", "TWO"), (6L, "d", "six")).toDF("id", "src", "text"))
+    val m = liveMap(mc)
+    assert(m.size == 6)
+    assert(m(2L) == ("a", "TWO")) // replaced
+    assert(m(6L) == ("d", "six")) // inserted
+    assert(m(1L) == ("a", "one")) // untouched
+    store.destroy()
+  }
+
+  test("delete removes ids; later upsert resurrects them") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    mc.deleteIds(spark, Seq(1L, 3L))
+    assert(liveMap(mc).keySet == Set(2L, 4L, 5L))
+    mc.upsert(Seq((3L, "b", "three-again")).toDF("id", "src", "text"))
+    val m = liveMap(mc)
+    assert(m.keySet == Set(2L, 3L, 4L, 5L))
+    assert(m(3L) == ("b", "three-again"))
+    store.destroy()
+  }
+
+  test("update rewrites only the provided columns; unknown ids are skipped") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    mc.update(spark, Seq((2L, "TWO"), (99L, "ninety-nine")).toDF("id", "text"))
+    val m = liveMap(mc)
+    assert(m(2L) == ("a", "TWO")) // src kept, text replaced
+    assert(!m.contains(99L)) // unknown id skipped (Chroma warns-and-skips)
+    assert(m.size == 5)
+    store.destroy()
+  }
+
+  test("get returns live versions only") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    mc.upsert(Seq((2L, "a", "TWO")).toDF("id", "src", "text"))
+    mc.deleteIds(spark, Seq(1L))
+    val got = mc.get(spark, Seq(1L, 2L, 3L)).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(got == Map(2L -> "TWO", 3L -> "three"))
+    store.destroy()
+  }
+
+  test("compact folds tombstones: live view identical, log truncated, raw read shrinks") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    mc.upsert(Seq((2L, "a", "TWO"), (6L, "d", "six")).toDF("id", "src", "text"))
+    mc.deleteIds(spark, Seq(4L))
+    val before = liveMap(mc)
+    val rawBefore = store.read(spark, "c").count() // 5 base + 2 upsert = 7
+    assert(rawBefore == 7)
+    mc.compact(spark)
+    assert(liveMap(mc) == before)
+    assert(store.read(spark, "c").count() == before.size.toLong) // dead gone
+    // post-compact mutation still works (seq survives the swap)
+    mc.deleteIds(spark, Seq(5L))
+    assert(!liveMap(mc).contains(5L))
+    store.destroy()
+  }
+
+  test("readLive plans a broadcast tombstone join and skips it with no tombstones") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    // no tombstones: plan has no join at all
+    val clean = mc.readLive(spark).queryExecution.executedPlan.toString
+    assert(!clean.contains("Join"), s"expected no join, got:\n$clean")
+    mc.deleteIds(spark, Seq(1L))
+    val plan = mc.readLive(spark).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"tombstone merge must be a broadcast join, got:\n$plan")
+    store.destroy()
+  }
+
+  test("duplicate ids within one upsert batch are rejected") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    val ex = intercept[IllegalArgumentException] {
+      mc.upsert(Seq((7L, "x", "s1"), (7L, "x", "s2")).toDF("id", "src", "text"))
+    }
+    assert(ex.getMessage.contains("duplicate ids"))
+    store.destroy()
+  }
+
+  test("upsert schema drift is rejected up front") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    val ex = intercept[IllegalArgumentException] {
+      mc.upsert(Seq((7L, "x")).toDF("id", "src")) // missing text
+    }
+    assert(ex.getMessage.contains("schema mismatch"))
+    store.destroy()
+  }
+
+  test("immutable collections reject mutation; mutable reject raw append and file compact") {
+    val store = freshStore()
+    store.create("plain", base)
+    val ex1 = intercept[IllegalArgumentException] { store.mutable("plain") }
+    assert(ex1.getMessage.contains("not mutable"))
+    store.createMutable("mut", base, "id")
+    val ex2 = intercept[IllegalArgumentException] { store.append("mut", base) }
+    assert(ex2.getMessage.contains("mutable"))
+    val ex3 = intercept[IllegalArgumentException] { store.compact(spark, "mut") }
+    assert(ex3.getMessage.contains("tombstone"))
+    store.destroy()
+  }
+
+  test("sequence allocation is crash-safe: marker advances before data lands") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    mc.upsert(Seq((6L, "d", "six")).toDF("id", "src", "text")) // seq 1
+    mc.deleteIds(spark, Seq(1L)) // seq 2
+    val marker = MutableCollection.Marker.read(s"${store.root}/c").get
+    assert(marker == MutableCollection.Marker("id", 2L))
+    // a reader that opens the collection mid-write never sees a torn
+    // marker (atomic rename) — simulate by re-opening
+    assert(store.mutable("c").idCol == "id")
+    store.destroy()
+  }
+}
