@@ -251,7 +251,8 @@ final case class TransformerEmbedder(resource: String = "/graft/toy_transformer.
     * embedder identity (resource path) still names the full
     * configuration and the collection binding stays sound. */
   @transient private lazy val wordPiece: Option[WordPiece] =
-    if (!resource.endsWith(".safetensors")) None
+    if (!resource.endsWith(".safetensors") &&
+        !resource.endsWith(".safetensors.index.json")) None
     else {
       val p = java.nio.file.Paths.get(resource).toAbsolutePath.getParent
       val v = p.resolve("vocab.txt")
@@ -479,7 +480,8 @@ object TransformerEmbedder {
     * binary from the classpath — the fallback that keeps the engine
     * self-contained when no checkpoint is installed. */
   def load(resource: String): Weights =
-    if (resource.endsWith(".safetensors")) loadSafetensors(resource)
+    if (resource.endsWith(".safetensors") || resource.endsWith(".safetensors.index.json"))
+      loadSafetensors(resource)
     else loadGtrf(resource)
 
   private def loadGtrf(resource: String): Weights = {
@@ -531,7 +533,10 @@ object TransformerEmbedder {
     *    exports) is stripped.
     */
   private[embed] def loadSafetensors(path: String): Weights = {
-    val st = Safetensors.read(path)
+    // sharded checkpoints arrive as their HF-convention index file
+    val st =
+      if (path.endsWith(".index.json")) Safetensors.readSharded(path)
+      else Safetensors.read(path)
     val pfx = if (st.tensors.keys.exists(_.startsWith("bert."))) "bert." else ""
     def t(name: String): Array[Float] = st.floats(pfx + name)
     def shapeOf(name: String): Array[Int] = st.shape(pfx + name)

@@ -28,9 +28,40 @@ object Safetensors {
   final case class TensorMeta(dtype: String, shape: Array[Int],
                               begin: Long, end: Long)
 
+  /** Lazy byte access to a tensor span — the seam that keeps the reader
+    * off the 2 GB JVM array bound: nothing is heap-resident until a
+    * specific tensor is decoded, and only that tensor's span is read. */
+  private[embed] sealed trait Source {
+    def slice(begin: Long, end: Long): ByteBuffer
+  }
+
+  /** Span reads through a FileChannel positioned past the header — the
+    * FILE can be any size; each TENSOR must fit an array (true of every
+    * encoder-family tensor by orders of magnitude). */
+  private[embed] final class ChannelSource(path: String, dataStart: Long) extends Source {
+    def slice(begin: Long, end: Long): ByteBuffer = {
+      require(end - begin <= Int.MaxValue,
+        s"$path: single tensor span ${end - begin} bytes exceeds the 2 GB decode bound")
+      val ch = java.nio.channels.FileChannel.open(
+        Paths.get(path), java.nio.file.StandardOpenOption.READ)
+      try {
+        val bb = ByteBuffer.allocate((end - begin).toInt)
+        ch.position(dataStart + begin)
+        while (bb.hasRemaining && ch.read(bb) >= 0) {}
+        require(!bb.hasRemaining,
+          s"$path: tensor span [$begin, $end) truncated mid-read")
+        bb.flip()
+        bb.order(ByteOrder.LITTLE_ENDIAN)
+        bb
+      } finally ch.close()
+    }
+  }
+
   final class File(val tensors: Map[String, TensorMeta],
                    val metadata: Map[String, String],
-                   data: Array[Byte]) {
+                   sources: Map[String, Source]) {
+
+    private[embed] def sourceOf(name: String): Source = sources(name)
 
     def shape(name: String): Array[Int] = meta(name).shape
 
@@ -41,8 +72,7 @@ object Safetensors {
     /** Decode a tensor to float32, row-major as stored. */
     def floats(name: String): Array[Float] = {
       val m = meta(name)
-      val bb = ByteBuffer.wrap(data, m.begin.toInt, (m.end - m.begin).toInt)
-        .order(ByteOrder.LITTLE_ENDIAN)
+      val bb = sources(name).slice(m.begin, m.end)
       val n = m.shape.foldLeft(1L)(_ * _).toInt
       val out = new Array[Float](n)
       m.dtype match {
@@ -89,15 +119,30 @@ object Safetensors {
     java.lang.Float.intBitsToFloat(f32)
   }
 
+  /** Open a single-file checkpoint. Only the JSON header is read eagerly
+    * — tensor bytes stream per-decode through a channel, so the FILE
+    * size is unbounded (the old whole-file read capped checkpoints at
+    * the 2 GB JVM array bound). */
   def read(path: String): File = {
-    val bytes = Files.readAllBytes(Paths.get(path))
-    require(bytes.length >= 8, s"$path too short for a safetensors header")
-    val headerLen = ByteBuffer.wrap(bytes, 0, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
-    require(headerLen > 0 && 8 + headerLen <= bytes.length,
-      s"$path: bad header length $headerLen")
+    val fileSize = Files.size(Paths.get(path))
+    require(fileSize >= 8, s"$path too short for a safetensors header")
+    val ch = java.nio.channels.FileChannel.open(
+      Paths.get(path), java.nio.file.StandardOpenOption.READ)
+    val (headerBytes, headerLen) =
+      try {
+        val lenBuf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        while (lenBuf.hasRemaining && ch.read(lenBuf) >= 0) {}
+        lenBuf.flip()
+        val hl = lenBuf.getLong
+        require(hl > 0 && 8 + hl <= fileSize, s"$path: bad header length $hl")
+        val hb = ByteBuffer.allocate(hl.toInt)
+        while (hb.hasRemaining && ch.read(hb) >= 0) {}
+        require(!hb.hasRemaining, s"$path: bad header length $hl")
+        (hb.array(), hl)
+      } finally ch.close()
+    val dataLen = fileSize - 8 - headerLen
     val root = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(bytes, 8, headerLen.toInt)
-    val data = java.util.Arrays.copyOfRange(bytes, (8 + headerLen).toInt, bytes.length)
+      .readTree(headerBytes, 0, headerBytes.length)
     var tensors = Map.empty[String, TensorMeta]
     var metadata = Map.empty[String, String]
     val dtypeBytes = Map("F64" -> 8, "F32" -> 4, "F16" -> 2, "BF16" -> 2, "I64" -> 8)
@@ -116,8 +161,8 @@ object Safetensors {
         require(shape.forall(_ >= 0), s"$path: tensor '$name' has a negative dimension")
         val off = node.get("data_offsets")
         val (begin, end) = (off.get(0).asLong, off.get(1).asLong)
-        require(begin >= 0 && begin <= end && end <= data.length,
-          s"$path: tensor '$name' offsets [$begin, $end) exceed the ${data.length}-byte buffer (truncated file?)")
+        require(begin >= 0 && begin <= end && end <= dataLen,
+          s"$path: tensor '$name' offsets [$begin, $end) exceed the $dataLen-byte buffer (truncated file?)")
         val dt = node.get("dtype").asText
         dtypeBytes.get(dt).foreach { w =>
           require(end - begin == shape.foldLeft(1L)(_ * _) * w,
@@ -126,7 +171,50 @@ object Safetensors {
         tensors += name -> TensorMeta(dt, shape, begin, end)
       }
     }
-    new File(tensors, metadata, data)
+    val src = new ChannelSource(path, 8 + headerLen)
+    new File(tensors, metadata, tensors.keys.map(_ -> (src: Source)).toMap)
+  }
+
+  /** Open a SHARDED checkpoint through its HF-convention index
+    * (`model.safetensors.index.json`: `{"metadata": {...}, "weight_map":
+    * {"tensor.name": "model-00001-of-00002.safetensors", ...}}`) — the
+    * layout HF emits for any model too large for one file. Each shard's
+    * header is parsed once; tensor bytes stay lazy per-shard, so total
+    * checkpoint size is unbounded. Exposes exactly the weight_map's
+    * tensors (a shard-local extra stays invisible — the index IS the
+    * manifest); a tensor mapped to a shard that does not carry it fails
+    * here, not at first decode. */
+  def readSharded(indexPath: String): File = {
+    val p = Paths.get(indexPath).toAbsolutePath
+    val dir = p.getParent
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readAllBytes(p))
+    val wm = root.get("weight_map")
+    require(wm != null && wm.isObject,
+      s"$indexPath: no weight_map object — not a safetensors index")
+    var mapping = Map.empty[String, String]
+    wm.fields().forEachRemaining { e => mapping += e.getKey -> e.getValue.asText }
+    require(mapping.nonEmpty, s"$indexPath: empty weight_map")
+    val shardFiles: Map[String, File] =
+      mapping.values.toSeq.distinct.map { shard =>
+        shard -> read(dir.resolve(shard).toString)
+      }.toMap
+    var tensors = Map.empty[String, TensorMeta]
+    var sources = Map.empty[String, Source]
+    mapping.foreach { case (name, shard) =>
+      val sf = shardFiles(shard)
+      val m = sf.tensors.getOrElse(name, throw new IllegalArgumentException(
+        s"$indexPath: weight_map sends tensor '$name' to $shard, " +
+          "which does not carry it"))
+      tensors += name -> m
+      sources += name -> sf.sourceOf(name)
+    }
+    // shard metadata merges first-wins (HF writes identical metadata to
+    // every shard; a disagreement keeps the first shard's value)
+    val metadata = shardFiles.values.foldLeft(Map.empty[String, String]) {
+      (acc, f) => f.metadata ++ acc
+    }
+    new File(tensors, metadata, sources)
   }
 
   /** Write an F32 checkpoint (fixture generation / interchange). Tensor

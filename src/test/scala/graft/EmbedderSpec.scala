@@ -562,4 +562,68 @@ class EmbedderSpec extends SparkSpec {
     val ex = intercept[IllegalArgumentException] { back.verifyQuery(passage) }
     assert(ex.getMessage.contains("embedder mismatch"))
   }
+
+  // ------------------------------------------- sharded checkpoints
+
+  /** Split a written fixture into two HF-convention shards + index. */
+  private def shardFixture(dir: java.nio.file.Path,
+                           tensors: Map[String, (Array[Int], Array[Float])]): String = {
+    val names = tensors.keys.toSeq.sorted
+    val (h1, h2) = names.splitAt(names.length / 2)
+    val meta = Map("num_attention_heads" -> "2")
+    graft.embed.Safetensors.write(
+      dir.resolve("model-00001-of-00002.safetensors").toString,
+      h1.map(n => n -> tensors(n)), metadata = meta)
+    graft.embed.Safetensors.write(
+      dir.resolve("model-00002-of-00002.safetensors").toString,
+      h2.map(n => n -> tensors(n)), metadata = meta)
+    val wm = (h1.map(n => s""""$n": "model-00001-of-00002.safetensors"""") ++
+      h2.map(n => s""""$n": "model-00002-of-00002.safetensors"""")).mkString(",")
+    val idx = dir.resolve("model.safetensors.index.json")
+    java.nio.file.Files.write(idx,
+      s"""{"metadata": {"total_size": 0}, "weight_map": {$wm}}""".getBytes("UTF-8"))
+    idx.toString
+  }
+
+  test("sharded checkpoint (index.json) loads bit-identical to the single file") {
+    val dir1 = java.nio.file.Files.createTempDirectory("st_shard_single")
+    val dir2 = java.nio.file.Files.createTempDirectory("st_shard_split")
+    val (stPath, tensors) = writeHfFixture(dir1)
+    val idxPath = shardFixture(dir2, tensors)
+    java.nio.file.Files.copy(dir1.resolve("vocab.txt"), dir2.resolve("vocab.txt"))
+    // reader level: every tensor identical through the shard indirection
+    val single = graft.embed.Safetensors.read(stPath)
+    val sharded = graft.embed.Safetensors.readSharded(idxPath)
+    assert(sharded.tensors.keySet == single.tensors.keySet)
+    single.tensors.keys.foreach { n =>
+      assert(sharded.floats(n).toSeq == single.floats(n).toSeq, s"tensor $n differs")
+      assert(sharded.shape(n).toSeq == single.shape(n).toSeq)
+    }
+    assert(sharded.metadata("num_attention_heads") == "2")
+    // embedder level: same forward pass, same vectors, WordPiece engaged
+    val text = "the dog playing in the database"
+    val vSingle = TransformerEmbedder(resource = stPath).encodeOne(text)
+    val vSharded = TransformerEmbedder(resource = idxPath).encodeOne(text)
+    assert(vSharded.toSeq == vSingle.toSeq)
+  }
+
+  test("sharded index errors: missing weight_map, tensor sent to the wrong shard") {
+    import graft.embed.Safetensors
+    val dir = java.nio.file.Files.createTempDirectory("st_shard_err")
+    val (_, tensors) = writeHfFixture(dir)
+    val bad1 = dir.resolve("notindex.safetensors.index.json")
+    java.nio.file.Files.write(bad1, """{"metadata": {}}""".getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException] { Safetensors.readSharded(bad1.toString) }
+    assert(e1.getMessage.contains("weight_map"))
+    // one real shard, but the map claims a tensor the shard lacks
+    val someTensor = tensors.keys.head
+    graft.embed.Safetensors.write(
+      dir.resolve("only.safetensors").toString,
+      Seq(someTensor -> tensors(someTensor)))
+    val bad2 = dir.resolve("model.safetensors.index.json")
+    java.nio.file.Files.write(bad2,
+      s"""{"weight_map": {"$someTensor": "only.safetensors", "ghost.weight": "only.safetensors"}}""".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] { Safetensors.readSharded(bad2.toString) }
+    assert(e2.getMessage.contains("does not carry it"))
+  }
 }
