@@ -81,7 +81,9 @@ object RagSearch {
       case Some(e) => m.verifyQuery(e); e
       case None    => m.resolveQueryEmbedder
     }
-    searchForRag(store.read(spark, name), query, emb.encodeOne, nResults,
+    // readCurrent, not read: on a MUTABLE collection the raw files still
+    // carry dead row versions — searching them would return stale chunks
+    searchForRag(store.readCurrent(spark, name), query, emb.encodeOne, nResults,
       whereJson, contentCol, idCol, vecCol, metadataCols)
   }
 

@@ -97,10 +97,23 @@ final case class VectorStore(root: String) {
     spark.read.parquet(path(name))
   }
 
-  /** Metadata-only count (Catalyst answers count(*) over parquet from
-    * footers without scanning data pages). */
+  /** The collection's CURRENT rows: the tombstone-merged live view for
+    * mutable collections, a plain read otherwise — what every QUERY
+    * path should consume (raw [[read]] sees dead row versions on a
+    * mutable collection). */
+  def readCurrent(spark: SparkSession, name: String): DataFrame = {
+    recoverStranded()
+    if (MutableCollection.Marker.read(path(name)).isDefined)
+      MutableCollection(this, name).readLive(spark)
+    else spark.read.parquet(path(name))
+  }
+
+  /** Live count — metadata-only over parquet footers for immutable
+    * collections (no data pages scanned); tombstone-merged for mutable
+    * ones (correct beats fast: a raw footer count would include dead
+    * versions). */
   def count(spark: SparkSession, name: String): Long =
-    read(spark, name).count()
+    readCurrent(spark, name).count()
 
   /** Null-safe listing: listFiles() returns null on an unreadable dir or
     * when racing a concurrent compaction swap deleting it mid-walk. */

@@ -142,6 +142,36 @@ class StoreMutationSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("bound search over a mutable collection sees the live view (upserted text, deleted ids gone)") {
+    import graft.embed.{Embedders, HashEmbedder}
+    val store = freshStore()
+    val (pe, qe) = Embedders.asymmetric(p => HashEmbedder(16, p))
+    val m = graft.store.CollectionManifest.of(pe, qe)
+    val chunks = Seq(
+      (1L, "spark shuffles data across executors"),
+      (2L, "parquet stores columns together"),
+      (3L, "broadcast joins avoid the shuffle"))
+      .toDF("id", "chunk")
+    val mc = store.createMutable("kb",
+      Embedders.embed(chunks, "chunk", "embedding", pe), "id",
+      manifest = Some(m))
+    // replace chunk 2's content and delete chunk 3; the search surface
+    // must track the mutation, not the raw files
+    mc.upsert(Embedders.embed(
+      Seq((2L, "columnar parquet layout prunes reads")).toDF("id", "chunk"),
+      "chunk", "embedding", pe))
+    mc.deleteIds(spark, Seq(3L))
+    val res = graft.query.RagSearch.searchBound(spark, store, "kb",
+      "parquet columns", nResults = 3, metadataCols = Nil)
+    assert(res.error.isEmpty, s"search errored: ${res.error}")
+    val byId = res.results.map(h => h.id -> h.content).toMap
+    assert(byId.keySet == Set("1", "2")) // 3 deleted, nothing stale
+    assert(byId("2") == "columnar parquet layout prunes reads")
+    // count() is the live count
+    assert(store.count(spark, "kb") == 2)
+    store.destroy()
+  }
+
   test("sequence allocation is crash-safe: marker advances before data lands") {
     val store = freshStore()
     val mc = store.createMutable("c", base, "id")
