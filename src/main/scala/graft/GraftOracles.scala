@@ -421,6 +421,16 @@ object GraftOracles {
         |FROM documents WHERE lang IN ('en','zh')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
+    // Twin of streaming_upsert: the converged live view of the CDC
+    // stream — standing slice (doc_id % 10 != 7) + streamed inserts
+    // (== 7) + streamed replacements (== 3, upper(text)), minus the
+    // post-stream delete (% 9 == 0). Every doc_id ends up present
+    // exactly once unless deleted.
+    "streaming_upsert" ->
+      """SELECT doc_id, source,
+        |  CASE WHEN doc_id % 10 = 3 THEN upper(text) ELSE text END AS text
+        |FROM documents WHERE doc_id % 9 <> 0 ORDER BY doc_id""".stripMargin,
+
     // Twin of collection_mutate: the mutation sequence (create <=300,
     // upsert 250..350 with upper(text), update source='edited' for
     // <=20, delete doc_id % 7 == 0) restated as plain SQL — the final

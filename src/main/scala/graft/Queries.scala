@@ -1605,6 +1605,14 @@ object GraftQueries {
     graft.streaming.DocStream.runStreamingNearDup(s, s"$d/documents.parquet")
       .orderBy("new_id", "existing_id")
 
+  /** CDC-style streaming upsert into a mutable collection: micro-batches
+    * insert/replace by id through the merge-on-read tombstone store,
+    * then a delete mutation; the live view hash-matches the batch SQL
+    * restatement (see
+    * [[graft.streaming.DocStream.runStreamingUpsert]]). */
+  val streamingUpsert: Q = (s, d) =>
+    graft.streaming.DocStream.runStreamingUpsert(s, s"$d/documents.parquet")
+
   /** LSH-bucketed cosine near-dup (the scale path for dedup_embedding;
     * approximate by construction -> rows-only, recall asserted in tests). */
   val dedupEmbeddingLsh: Q = (s, d) =>
@@ -2695,6 +2703,7 @@ object GraftQueries {
     "streaming_sessions" -> streamingSessions,
     "streaming_quality" -> streamingQuality,
     "streaming_neardup" -> streamingNearDup,
+    "streaming_upsert" -> streamingUpsert,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "q12_distinct_sketch" -> q12DistinctSketch,
     "q13_cube" -> q13Cube,

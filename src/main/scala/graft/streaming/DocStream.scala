@@ -142,4 +142,53 @@ object DocStream {
       graft.store.VectorStore(scratch).destroy()
     }
   }
+
+  /** CDC-style continuous ingest into a MUTABLE collection: each
+    * micro-batch upserts into the store (inserts new ids, replaces
+    * changed versions of existing ids), so the collection converges to
+    * the stream's latest-version-per-id view without ever rewriting the
+    * standing files — the merge-on-read tombstone design of
+    * [[graft.store.MutableCollection]] applied per batch. Per-batch cost
+    * is O(batch) appends + one bounded agg; the standing corpus is never
+    * read inside the loop. The harness shape: the standing collection is
+    * the non-streamed document slice, the stream carries inserts
+    * (doc_id % 10 == 7) and replacements (doc_id % 10 == 3, text
+    * uppercased), a post-stream delete drops doc_id % 9 == 0, and the
+    * result is the live view — restated exactly by the batch SQL oracle.
+    */
+  def runStreamingUpsert(spark0: SparkSession, docsParquet: String): DataFrame = {
+    import org.apache.spark.sql.functions.{upper, when}
+    val spark = EventStream.streamSession(spark0)
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_upsert_stream").toString
+    try {
+      val docs = spark.read.parquet(
+        new java.io.File(docsParquet).getAbsolutePath)
+        .select("doc_id", "source", "text")
+      val store = graft.store.VectorStore(s"$scratch/store")
+      val mc = store.createMutable("corpus",
+        docs.filter(col("doc_id") % 10 =!= 7), "doc_id")
+      val stream = EventStream.readFileStream(spark, docsParquet)
+        .filter(col("doc_id") % 10 === 7 || col("doc_id") % 10 === 3)
+        .select(col("doc_id"), col("source"),
+          when(col("doc_id") % 10 === 3, upper(col("text")))
+            .otherwise(col("text")).as("text"))
+      val q = stream.writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          mc.upsert(batch)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      q.stop()
+      mc.delete(mc.readLive(spark).filter(col("doc_id") % 9 === 0)
+        .select("doc_id"))
+      val out = mc.readLive(spark).orderBy("doc_id")
+      val rows = out.collect()
+      spark0.createDataFrame(java.util.Arrays.asList(rows.toSeq: _*), out.schema)
+    } finally {
+      graft.store.VectorStore(scratch).destroy()
+    }
+  }
 }

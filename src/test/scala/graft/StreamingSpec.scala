@@ -38,6 +38,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty) // the generator plants near-dups across the slice
   }
 
+  test("streaming upsert converges to the batch latest-version-per-id view") {
+    import org.apache.spark.sql.functions.{col, upper, when}
+    val streamed = graft.streaming.DocStream
+      .runStreamingUpsert(spark, s"$sf/documents.parquet")
+      .collect().map(_.toSeq).toSet
+    val expected = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"),
+        when(col("doc_id") % 10 === 3, upper(col("text")))
+          .otherwise(col("text")).as("text"))
+      .filter(col("doc_id") % 9 =!= 0)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == expected)
+    assert(streamed.nonEmpty)
+  }
+
   test("drained one-shot streaming queries leave no state-store providers loaded") {
     // r5 bench regression root cause: q.stop() keeps providers registered
     // in the JVM-wide StateStore singleton (+8 providers, +70 threads per
