@@ -108,6 +108,16 @@ final case class MutableCollection(store: VectorStore, name: String) {
   def delete(ids: DataFrame): Unit =
     appendTombstones(ids.select(col(ids.columns.head).as(idCol)).distinct(), nextSeq())
 
+  /** Delete every live row matching a where-DSL predicate (the Chroma
+    * `delete(where={...})` shape): one live scan projects the matching
+    * ids, which become tombstones — the predicate is evaluated against
+    * CURRENT versions, so a row whose latest version no longer matches
+    * is untouched. */
+  def deleteWhere(spark: SparkSession, whereJson: String): Unit =
+    delete(readLive(spark)
+      .filter(graft.query.WhereDsl.parse(whereJson))
+      .select(col(idCol)))
+
   /** Delete a bounded explicit id list (the Chroma `delete(ids=[...])`
     * shape). */
   def deleteIds(spark: SparkSession, ids: Seq[Any]): Unit = {
@@ -140,24 +150,39 @@ final case class MutableCollection(store: VectorStore, name: String) {
   }
 
   /** The live view: every row version not killed by a tombstone, seq
-    * column stripped. Map-only — the tombstone side aggregates to one
-    * (id, max seq) row per ever-mutated id and broadcasts; the data side
-    * is scanned once with no shuffle. With an empty tombstone log the
-    * join is skipped entirely. */
+    * column stripped. Map-only in the expected regime — the tombstone
+    * side aggregates to one (id, max seq) row per ever-mutated id and
+    * broadcasts; the data side is scanned once with no shuffle. With an
+    * empty tombstone log the join is skipped entirely.
+    *
+    * The broadcast is SIZE-GATED on the log's on-disk footprint (no
+    * extra job — parquet file lengths, x4 for decode expansion): a
+    * deployment that lets the log grow past broadcast comfort without
+    * compacting degrades to a shuffled join instead of OOMing — and the
+    * degradation is the signal to run [[compact]]. */
   def readLive(spark: SparkSession): DataFrame = {
     marker: Unit // fail fast on non-mutable collections
+    liveWithSeq(spark).drop(SeqCol)
+  }
+
+  /** The merged view WITH the seq column (compact must preserve it —
+    * later tombstones still order against surviving rows). */
+  private def liveWithSeq(spark: SparkSession): DataFrame = {
     val base = store.read(spark, name)
-    val tomb = readTombstones(spark)
-    val live = tomb match {
+    readTombstones(spark) match {
       case Some(t) =>
         val dels = t.groupBy(idCol).agg(max(col(DelSeqCol)).as(DelSeqCol))
-        base.join(broadcast(dels), Seq(idCol), "left")
+        base.join(graft.operators.BroadcastGate.maybeBroadcast(
+            dels, tombstoneBytesOnDisk * 4), Seq(idCol), "left")
           .filter(col(DelSeqCol).isNull || col(SeqCol) >= col(DelSeqCol))
           .drop(DelSeqCol)
       case None => base
     }
-    live.drop(SeqCol)
   }
+
+  private def tombstoneBytesOnDisk: Long =
+    Option(new java.io.File(tombDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("part-")).map(_.length).sum
 
   private def readTombstones(spark: SparkSession): Option[DataFrame] = {
     val d = new java.io.File(tombDir)
@@ -170,6 +195,10 @@ final case class MutableCollection(store: VectorStore, name: String) {
   def get(spark: SparkSession, ids: Seq[Any]): DataFrame =
     readLive(spark).filter(col(idCol).isin(ids: _*))
 
+  /** Predicate lookup (the Chroma `get(where={...})` shape). */
+  def getWhere(spark: SparkSession, whereJson: String): DataFrame =
+    readLive(spark).filter(graft.query.WhereDsl.parse(whereJson))
+
   /** Live row count (post-tombstone). */
   def countLive(spark: SparkSession): Long = readLive(spark).count()
 
@@ -180,15 +209,7 @@ final case class MutableCollection(store: VectorStore, name: String) {
     * comfort; afterwards reads skip the join entirely. */
   def compact(spark: SparkSession): Unit = {
     val m = marker
-    val base = store.read(spark, name)
-    val live = readTombstones(spark) match {
-      case Some(t) =>
-        val dels = t.groupBy(idCol).agg(max(col(DelSeqCol)).as(DelSeqCol))
-        base.join(broadcast(dels), Seq(idCol), "left")
-          .filter(col(DelSeqCol).isNull || col(SeqCol) >= col(DelSeqCol))
-          .drop(DelSeqCol)
-      case None => base
-    }
+    val live = liveWithSeq(spark)
     val tmpName = name + "__compacting"
     live.write.mode("overwrite").parquet(s"${store.root}/$tmpName")
     Marker.write(s"${store.root}/$tmpName", m)

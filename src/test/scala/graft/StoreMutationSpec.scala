@@ -142,6 +142,19 @@ class StoreMutationSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("deleteWhere / getWhere evaluate the where-DSL against CURRENT versions") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    // move id 3 out of src 'b' FIRST — deleteWhere on src=b must not
+    // touch it (current version no longer matches)
+    mc.upsert(Seq((3L, "moved", "three")).toDF("id", "src", "text"))
+    mc.deleteWhere(spark, """{"src": "b"}""")
+    assert(liveMap(mc).keySet == Set(1L, 2L, 3L, 5L)) // only 4 (still b) died
+    assert(mc.getWhere(spark, """{"src": {"$ne": "a"}}""")
+      .collect().map(_.getLong(0)).toSet == Set(3L, 5L))
+    store.destroy()
+  }
+
   test("bound search over a mutable collection sees the live view (upserted text, deleted ids gone)") {
     import graft.embed.{Embedders, HashEmbedder}
     val store = freshStore()
