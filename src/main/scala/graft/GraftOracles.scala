@@ -454,6 +454,53 @@ object GraftOracles {
         |SELECT doc_id, source, text FROM st2
         |WHERE doc_id % 7 <> 0 ORDER BY doc_id""".stripMargin,
 
+    // Twin of collection_snapshot: both retained historical states of
+    // the collection_mutate sequence — the post-upsert snapshot (st1)
+    // and the final live view (post-update, post-delete) — restated in
+    // SQL with no notion of sequences or tombstones. A hash match
+    // proves the seq-bounded merge reconstructs history exactly.
+    "collection_snapshot" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id <= 300),
+        |ups AS (
+        |  SELECT doc_id, source, upper(text) AS text FROM documents
+        |  WHERE doc_id BETWEEN 250 AND 350),
+        |st1 AS (
+        |  SELECT * FROM ups
+        |  UNION ALL
+        |  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM ups)),
+        |st2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id <= 20 THEN 'edited' ELSE source END AS source,
+        |    text
+        |  FROM st1),
+        |fin AS (SELECT doc_id, source, text FROM st2 WHERE doc_id % 7 <> 0)
+        |SELECT 'post_upsert' AS snapshot, doc_id, source, text FROM st1
+        |UNION ALL
+        |SELECT 'final' AS snapshot, doc_id, source, text FROM fin
+        |ORDER BY snapshot, doc_id""".stripMargin,
+
+    // Twin of collection_mutate_compact: the oracle restates the whole
+    // mutation sequence (create <=280, delete %5, upsert 260..330 with
+    // lower(text), update source='patched' for <=15) with NO notion of
+    // the mid-sequence compact — a hash match proves compaction is
+    // invisible to every later mutation and the final view.
+    "collection_mutate_compact" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id <= 280 AND doc_id % 5 <> 0),
+        |ups AS (
+        |  SELECT doc_id, source, lower(text) AS text FROM documents
+        |  WHERE doc_id BETWEEN 260 AND 330),
+        |st1 AS (
+        |  SELECT * FROM ups
+        |  UNION ALL
+        |  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM ups))
+        |SELECT doc_id,
+        |  CASE WHEN doc_id <= 15 THEN 'patched' ELSE source END AS source,
+        |  text
+        |FROM st1 ORDER BY doc_id""".stripMargin,
+
     // Twin of collection_manifest: DuckDB independently recomputes the
     // SHA-256 binding fingerprint over the SAME canonical string
     // CollectionManifest.canonical builds (family hash, resource '',
@@ -710,6 +757,16 @@ object GraftOracles {
          |  FROM enc CROSS JOIN mml m CROSS JOIN q)
          |SELECT vec_id, CAST(cid AS INT) AS cell_id, dist FROM dd
          |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
+    // Twin of ann_graph_exhaustive: exact l2² top-10 — the identity the
+    // exhaustive walk configuration must reproduce bit-for-bit (the
+    // beam never prunes, so the walk kernel degenerates to exact kNN).
+    // The one oracle-checkable point of the graph family's kernel.
+    "ann_graph_exhaustive" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, round($l2sqToQv, 6) AS distance
+         |FROM embeddings e, q WHERE vec_id <> 0
+         |ORDER BY distance, vec_id LIMIT 10""".stripMargin,
 
     "vec_knn" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)

@@ -776,6 +776,34 @@ object GraftQueries {
     } finally e.unpersist()
   }
 
+  /** Exhaustive-configuration graph walk — the walk-kernel ORACLE form.
+    * With nprobe = every cell and ef >= the corpus size the beam never
+    * prunes (the result set cannot fill), visits every reachable node of
+    * every cell (NSW insertion keeps each cell connected), and the
+    * per-cell top-k merge IS exact kNN — so the one ANN family whose
+    * normal operation no SQL oracle can express gets a FULL-HASH gate
+    * anchor for its kernel: probe selection, beam arithmetic, candidate
+    * merge, and rounding all sit on the hash path. AnnProbeSpec pins the
+    * same identity in-suite; this entry puts it in front of the DuckDB
+    * gate. (cell_id is quantizer-internal and dropped — the oracle ranks
+    * by exact l2².) */
+  val annGraphExhaustive: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val (graph0, cents) = GraphAnn.buildGraph(
+        corpus, "embedding", "vec_id", ncells = 8, m = 8,
+        centroids = Some(Clustering.trainCentroids(e, 8, 2)))
+      val graph = graph0.localCheckpoint(true)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val hits = GraphAnn.search(graph, cents, qv,
+          k = 10, nprobe = cents.length, ef = corpus.count().toInt)
+        .select(col("vec_id"), col("dist").as("distance"))
+      s.createDataFrame(java.util.Arrays.asList(hits.collect(): _*), hits.schema)
+    } finally e.unpersist()
+  }
+
   /** Random-hyperplane LSH bucketing (the shuffle key for cosine near-dup
     * at scale). Deterministic planes, rows-only. */
   val annLshBuckets: Q = (s, d) =>
@@ -2007,6 +2035,56 @@ object GraftQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Snapshot (time-travel) reads over the same mutation sequence as
+    * `collection_mutate`: because merge-on-read never destroys row
+    * versions, the post-upsert state AND the final state reconstruct
+    * from one store via [[graft.store.MutableCollection.readLiveAt]] —
+    * both returned here under a tag column, both restated in plain SQL
+    * by the oracle, so the gate hash-proves that seq-bounded merges
+    * resolve every retained historical state exactly. */
+  val collectionSnapshot: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_snapq").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 300), "doc_id")
+    mc.upsert(docs.filter(col("doc_id").between(250, 350))
+      .withColumn("text", upper(col("text"))))
+    val postUpsert = mc.currentSeq
+    mc.update(s, docs.filter(col("doc_id") <= 20)
+      .select(col("doc_id"), lit("edited").as("source")))
+    mc.delete(mc.readLive(s).filter(col("doc_id") % 7 === 0).select("doc_id"))
+    val out = mc.readLiveAt(s, postUpsert).withColumn("snapshot", lit("post_upsert"))
+      .unionByName(mc.readLiveAt(s, mc.currentSeq).withColumn("snapshot", lit("final")))
+      .select("snapshot", "doc_id", "source", "text")
+      .orderBy("snapshot", "doc_id")
+    val rows = out.collect()
+    store.destroy()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** Compaction invisibility at the gate: a mid-sequence [[compact]]
+    * (folding a delete's tombstones into the files) must leave every
+    * LATER mutation and the final live view bit-identical to the
+    * never-compacted execution — the oracle restates the whole sequence
+    * in SQL with no notion of compaction at all. Also covers
+    * delete-then-resurrect across the compaction boundary. */
+  val collectionMutateCompact: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_mcq").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 280), "doc_id")
+    mc.delete(mc.readLive(s).filter(col("doc_id") % 5 === 0).select("doc_id"))
+    mc.compact(s) // folds the delete; later mutations land on the compacted files
+    mc.upsert(docs.filter(col("doc_id").between(260, 330))
+      .withColumn("text", lower(col("text"))))
+    mc.update(s, docs.filter(col("doc_id") <= 15)
+      .select(col("doc_id"), lit("patched").as("source")))
+    val out = mc.readLive(s).orderBy("doc_id")
+    val rows = out.collect()
+    store.destroy()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Collection lifecycle (reference create/add/read, O9+O13+O17) surfaced
     * in the oracle gate: overwrite-create a lang-PARTITIONED collection,
     * append a second batch, read back through the store with a filter that
@@ -2672,6 +2750,7 @@ object GraftQueries {
     "ann_ivfsq_store" -> annIvfSqStore,
     "ann_graph" -> annGraph,
     "ann_graph_batch" -> annGraphBatch,
+    "ann_graph_exhaustive" -> annGraphExhaustive,
     "ann_graph_store" -> annGraphStore,
     "sample_domain_cap" -> sampleDomainCap,
     "ann_graph_incremental" -> annGraphIncremental,
@@ -2755,6 +2834,8 @@ object GraftQueries {
     "where_dsl_or" -> whereDslOr,
     "collection_lifecycle" -> collectionLifecycle,
     "collection_mutate" -> collectionMutate,
+    "collection_mutate_compact" -> collectionMutateCompact,
+    "collection_snapshot" -> collectionSnapshot,
     "q30_first_last" -> q30FirstLast,
     "q31_corr_subquery" -> q31CorrSubquery,
     "text_sample_10pct" -> textSample10pct,

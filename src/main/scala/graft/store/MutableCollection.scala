@@ -28,7 +28,12 @@ import org.apache.spark.sql.functions._
   *    zero), so the read stays a map-only broadcast join: no shuffle of
   *    the data side, ever;
   *  - `compact()` materializes the live view once, rewrites with the
-  *    store's swap discipline, and truncates the tombstone log.
+  *    store's swap discipline, and truncates the tombstone log;
+  *  - because mutations never destroy row versions, every PAST live
+  *    view since the last compact is still on disk: [[readLiveAt]]
+  *    reconstructs the state as of any retained sequence (snapshot /
+  *    time-travel reads) by bounding both merge sides at that seq —
+  *    compaction is the explicit retention boundary ([[floorSeq]]).
   *
   * Sequence allocation is crash-safe by allocating BEFORE writing: the
   * marker file is atomically replaced (temp + rename) with `seq = S`
@@ -60,6 +65,16 @@ final case class MutableCollection(store: VectorStore, name: String) {
 
   /** The id column mutations key on (persisted at create). */
   def idCol: String = marker.idCol
+
+  /** The last allocated write sequence (0 right after create). Capture
+    * it after a mutation to name that state for [[readLiveAt]]. */
+  def currentSeq: Long = marker.seq
+
+  /** The snapshot retention floor: the oldest sequence [[readLiveAt]]
+    * can still reconstruct. 0 until the first [[compact]]; compaction
+    * raises it to the compaction-time sequence because folding the
+    * tombstone log physically drops dead row versions. */
+  def floorSeq: Long = marker.floorSeq
 
   /** Allocate the next write sequence: marker is replaced BEFORE any
     * data lands, so a crashed batch never shares a seq with a later one. */
@@ -165,12 +180,42 @@ final case class MutableCollection(store: VectorStore, name: String) {
     liveWithSeq(spark).drop(SeqCol)
   }
 
+  /** Snapshot (time-travel) read: the live view AS OF sequence
+    * `asOfSeq` — exactly what [[readLive]] returned when the marker
+    * stood at that sequence: row versions written at `seq <= asOfSeq`,
+    * minus tombstones at `seq <= asOfSeq`. Mutations never rewrite
+    * files, so every snapshot since the last [[compact]] reconstructs
+    * from the very files the live read uses — the same map-only merge
+    * with both sides pre-filtered by seq (the data-side bound is a
+    * plain pushed-down predicate on the hidden seq column; nothing
+    * extra is stored, read, or shuffled).
+    *
+    * [[compact]] is the retention boundary: it folds history into the
+    * compaction-time live view (dead versions are physically dropped),
+    * so sequences older than [[floorSeq]] are gone — asking for one
+    * throws rather than returning a silently wrong mixture. */
+  def readLiveAt(spark: SparkSession, asOfSeq: Long): DataFrame = {
+    val m = marker
+    require(asOfSeq <= m.seq,
+      s"snapshot $asOfSeq does not exist yet — '$name' is at sequence ${m.seq}")
+    require(asOfSeq >= m.floorSeq,
+      s"snapshot $asOfSeq predates the last compact of '$name' " +
+        s"(retention floor ${m.floorSeq}) — compaction folds dead row " +
+        "versions away, so older states are no longer reconstructible")
+    liveWithSeq(spark, asOf = Some(asOfSeq)).drop(SeqCol)
+  }
+
   /** The merged view WITH the seq column (compact must preserve it —
-    * later tombstones still order against surviving rows). */
-  private def liveWithSeq(spark: SparkSession): DataFrame = {
-    val base = store.read(spark, name)
+    * later tombstones still order against surviving rows). With `asOf`
+    * set, both sides are bounded at that sequence first (snapshot
+    * semantics). */
+  private def liveWithSeq(spark: SparkSession,
+                          asOf: Option[Long] = None): DataFrame = {
+    val base0 = store.read(spark, name)
+    val base = asOf.fold(base0)(s => base0.filter(col(SeqCol) <= s))
     readTombstones(spark) match {
-      case Some(t) =>
+      case Some(t0) =>
+        val t = asOf.fold(t0)(s => t0.filter(col(DelSeqCol) <= s))
         val dels = t.groupBy(idCol).agg(max(col(DelSeqCol)).as(DelSeqCol))
         base.join(graft.operators.BroadcastGate.maybeBroadcast(
             dels, tombstoneBytesOnDisk * 4), Seq(idCol), "left")
@@ -212,7 +257,9 @@ final case class MutableCollection(store: VectorStore, name: String) {
     val live = liveWithSeq(spark)
     val tmpName = name + "__compacting"
     live.write.mode("overwrite").parquet(s"${store.root}/$tmpName")
-    Marker.write(s"${store.root}/$tmpName", m)
+    // compaction drops dead versions, so states before this sequence
+    // stop being reconstructible — raise the snapshot retention floor
+    Marker.write(s"${store.root}/$tmpName", m.copy(floorSeq = m.seq))
     CollectionManifest.read(dir).foreach(
       CollectionManifest.write(s"${store.root}/$tmpName", _))
     val dst = new java.io.File(dir)
@@ -248,13 +295,15 @@ object MutableCollection {
   val TombstonesDir = "_tombstones"
   private val MarkerFile = "_mutable.properties"
 
-  private[graft] final case class Marker(idCol: String, seq: Long)
+  private[graft] final case class Marker(idCol: String, seq: Long,
+                                         floorSeq: Long = 0L)
 
   private[graft] object Marker {
     def write(collectionDir: String, m: Marker): Unit = {
       val props = new java.util.Properties()
       props.setProperty("idCol", m.idCol)
       props.setProperty("seq", m.seq.toString)
+      props.setProperty("floorSeq", m.floorSeq.toString)
       val tmp = new java.io.File(collectionDir, MarkerFile + ".tmp")
       val out = new java.io.FileOutputStream(tmp)
       try props.store(out, "graft mutable collection marker")
@@ -273,7 +322,9 @@ object MutableCollection {
       val props = new java.util.Properties()
       val in = new java.io.FileInputStream(f)
       try props.load(in) finally in.close()
-      Some(Marker(props.getProperty("idCol"), props.getProperty("seq", "0").toLong))
+      Some(Marker(props.getProperty("idCol"),
+        props.getProperty("seq", "0").toLong,
+        props.getProperty("floorSeq", "0").toLong))
     }
   }
 }

@@ -185,6 +185,55 @@ class StoreMutationSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("snapshot reads reconstruct every retained historical state; compact raises the floor") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    def snapMap(s: Long): Map[Long, (String, String)] =
+      mc.readLiveAt(spark, s).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
+    val s0 = mc.currentSeq // 0: as created
+    val v0 = liveMap(mc)
+    mc.upsert(Seq((2L, "a", "TWO"), (6L, "d", "six")).toDF("id", "src", "text"))
+    val s1 = mc.currentSeq
+    val v1 = liveMap(mc)
+    mc.deleteIds(spark, Seq(4L, 6L))
+    val s2 = mc.currentSeq
+    val v2 = liveMap(mc)
+    mc.upsert(Seq((4L, "b", "four-again")).toDF("id", "src", "text"))
+    val s3 = mc.currentSeq
+    val v3 = liveMap(mc)
+    // every historical live view reconstructs from the same files
+    assert(snapMap(s0) == v0)
+    assert(snapMap(s1) == v1)
+    assert(snapMap(s2) == v2)
+    assert(snapMap(s3) == v3)
+    // a sequence that was never allocated is an error, not an empty frame
+    val exFuture = intercept[IllegalArgumentException] { mc.readLiveAt(spark, s3 + 1) }
+    assert(exFuture.getMessage.contains("does not exist"))
+    // compaction folds history: floor rises, older snapshots throw,
+    // the floor snapshot itself still reads (== the compacted state)
+    mc.compact(spark)
+    assert(mc.floorSeq == s3)
+    assert(snapMap(s3) == v3)
+    val exOld = intercept[IllegalArgumentException] { mc.readLiveAt(spark, s2) }
+    assert(exOld.getMessage.contains("predates the last compact"))
+    // post-compact mutations keep snapshotting forward
+    mc.deleteIds(spark, Seq(5L))
+    assert(snapMap(s3) == v3) // pre-delete state still reconstructible
+    assert(snapMap(mc.currentSeq) == liveMap(mc))
+    store.destroy()
+  }
+
+  test("snapshot seq bound is pushed into the parquet scan") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    mc.upsert(Seq((2L, "a", "TWO")).toDF("id", "src", "text"))
+    val plan = mc.readLiveAt(spark, 1L).queryExecution.executedPlan.toString
+    assert(plan.contains(s"LessThanOrEqual(${MutableCollection.SeqCol},1)"),
+      s"seq bound must reach PushedFilters, got:\n$plan")
+    store.destroy()
+  }
+
   test("sequence allocation is crash-safe: marker advances before data lands") {
     val store = freshStore()
     val mc = store.createMutable("c", base, "id")
