@@ -1457,6 +1457,24 @@ object GraftOracles {
         |FROM du LEFT JOIN b ON du.gram = b.gram
         |GROUP BY du.doc_id ORDER BY du.doc_id""".stripMargin,
 
+    // Twin of decontaminate_bloom — and deliberately the SAME SQL as
+    // decontaminate's: the Bloom gate + exact confirm join must be
+    // bit-invisible in the answer; only the shuffle shape changes.
+    "decontaminate_bloom" ->
+      """WITH tk AS (SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |    range(1, greatest(len(t)-2,1)+1),
+        |    i -> array_to_string(t[i:i+2], ' '))) AS grams FROM tk),
+        |b AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0),
+        |du AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS gram
+        |  FROM g WHERE doc_id % 97 <> 0)
+        |SELECT du.doc_id, CAST(any_value(du.n_grams) AS BIGINT) AS n_grams,
+        |  CAST(count(b.gram) AS BIGINT) AS n_overlap,
+        |  count(b.gram) > 0 AS contaminated
+        |FROM du LEFT JOIN b ON du.gram = b.gram
+        |GROUP BY du.doc_id ORDER BY du.doc_id""".stripMargin,
+
     // greedy per-shard sequence packing: seq of a doc = tokens-before div
     // budget; token count parity = string_split_regex twin of tokens()
     "pack_sequences" ->

@@ -2371,6 +2371,22 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** `decontaminate` for benchmarks too large to broadcast as an exact
+    * gram set: a Bloom filter pre-gates the corpus grams map-side, an
+    * exact confirm join kills the false positives — BIT-IDENTICAL output
+    * (the oracle is the same SQL as `decontaminate`'s, which is the
+    * point), with the shuffle bounded by candidates instead of the
+    * corpus. fpp is raised to 0.05 here so at gate scale the filter
+    * demonstrably passes false positives for the confirm join to kill. */
+  val decontaminateBloom: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "text", "doc_id", n = 3, fpp = 0.05)
+      .orderBy("doc_id")
+  }
+
   /** Fasttext-shaped quality-classifier gate: linear model over hashed
     * unigram+bigram counts, fixed-point weights from the checked-in
     * fixture (swap the resource for a trained model — the serving plan
@@ -2771,6 +2787,7 @@ object GraftQueries {
     "pack_sequences" -> packSequences,
     "multimodal_audio" -> multimodalAudio,
     "decontaminate" -> decontaminate,
+    "decontaminate_bloom" -> decontaminateBloom,
     "dedup_substring" -> dedupSubstring,
     "dedup_substring_scrub" -> dedupSubstringScrub,
     "dedup_incremental" -> dedupIncremental,

@@ -831,6 +831,67 @@ object Dedup {
       .withColumn("contaminated", col("n_overlap") > 0)
   }
 
+  /** [[decontaminate]] for the regime its broadcast assumption breaks:
+    * a benchmark whose distinct gram set is too large to ship to every
+    * executor as an exact set (a full held-out SHARD, not a thousand-doc
+    * eval suite). Same output, bit-identical — the approximation is
+    * confined to a pre-filter that can only ADD work, never change the
+    * answer:
+    *
+    *  1. build a Bloom filter over the benchmark grams (`fpp` at the
+    *     measured cardinality; ~1.2 GB of bits covers 10⁹ grams at 1% —
+    *     broadcastable where the exact set is not);
+    *  2. ONE corpus scan aggregates per doc: the exact gram count, plus
+    *     `collect_set` of only the grams the filter might contain — so
+    *     the shuffle carries one row per doc whose payload is the
+    *     candidate grams (true hits + fpp·grams), not the corpus;
+    *  3. the candidates then join the exact benchmark gram relation
+    *     (shuffled join — the benchmark side is big, that is the
+    *     premise) to kill the false positives.
+    *
+    * The gate is a deliberate Scala UDF: the value it filters is an
+    * exploded STRING gram, the work per row is one xxhash pass — the
+    * same arithmetic a native might_contain expression would do — and
+    * it sits map-side on a column that exists only transiently, so
+    * nothing upstream leaves codegen. Exactness does not depend on the
+    * filter at all (a degenerate all-true filter just shuffles more),
+    * which DedupSpec pins by forcing fpp to saturation. */
+  def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
+                         textCol: String, idCol: String, n: Int = 8,
+                         fpp: Double = 0.01): DataFrame = {
+    def grams(toks: Column): Column =
+      array_distinct(transform(
+        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    // the benchmark gram relation is consumed three times (cardinality
+    // count, bloom build, confirm join) — materialize it once rather
+    // than re-tokenizing the benchmark per consumer
+    val bGrams = benchmark
+      .select(graft.text.TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(explode(grams(col("_toks"))).as("gram"))
+      .distinct()
+      .localCheckpoint(true)
+    val nb = math.max(bGrams.count(), 1L)
+    val bf = bGrams.stat.bloomFilter("gram", nb, fpp)
+    val bfB = docs.sparkSession.sparkContext.broadcast(bf)
+    val mightContain = udf((g: String) => bfB.value.mightContainString(g))
+    val perDoc = docs
+      .select(col(idCol).as("doc_id"),
+        graft.text.TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .select(col("doc_id"), explode(grams(col("_toks"))).as("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_grams"),
+        // collect_set skips nulls: non-candidates vanish map-side
+        collect_set(when(mightContain(col("gram")), col("gram"))).as("_cand"))
+    perDoc
+      .select(col("doc_id"), col("n_grams"), explode_outer(col("_cand")).as("gram"))
+      .join(bGrams.withColumn("_hit", lit(1)), Seq("gram"), "left")
+      .groupBy("doc_id", "n_grams")
+      .agg(coalesce(sum(col("_hit")), lit(0L)).cast("long").as("n_overlap"))
+      .withColumn("contaminated", col("n_overlap") > 0)
+      .select("doc_id", "n_grams", "n_overlap", "contaminated")
+  }
+
   // -------------------------------------------- exact-substring spans
 
   /** Span-level exact-substring duplicate report — the ExactSubstr shape

@@ -128,6 +128,38 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == ((6L, 1L, true)), s"got ${out(3L)}")
   }
 
+  test("decontaminateBloom is bit-identical to decontaminate at sf0.001") {
+    val docs = Tables.documents(spark, sf)
+    val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+    val bench = docs.filter(col("doc_id") % 97 === 0)
+    val exact = Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect().toSeq
+    val bloom = Dedup.decontaminateBloom(corpus, bench, "text", "doc_id", n = 3)
+      .orderBy("doc_id").collect().toSeq
+    assert(bloom == exact)
+    assert(exact.exists(_.getBoolean(3)), "degenerate fixture: nothing contaminated")
+    assert(exact.exists(!_.getBoolean(3)), "degenerate fixture: everything contaminated")
+  }
+
+  test("decontaminateBloom exactness does not depend on the filter: saturated fpp stays exact") {
+    // fpp -> ~0.5 makes the Bloom gate pass a large share of clean grams;
+    // the confirm join must kill every false positive, so the answer is
+    // unchanged — the filter only moves work, never the result
+    val bench = Seq((100L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "a verbatim copy the quick brown fox jumps high"),
+      (2L, "completely unrelated words with nothing shared here"),
+      (3L, "the quick brown fox appears twice the quick brown fox")
+    ).toDF("doc_id", "text")
+    val out = Dedup.decontaminateBloom(corpus, bench, "text", "doc_id",
+        n = 4, fpp = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((6L, 2L, true)), s"got ${out(1L)}")
+    assert(out(2L) == ((4L, 0L, false)), s"got ${out(2L)}")
+    assert(out(3L) == ((6L, 1L, true)), s"got ${out(3L)}")
+  }
+
   test("substringSpans matches a brute-force scalar reference on a random small-vocab corpus") {
     val rnd = new scala.util.Random(0x5eed6)
     val nGram = 3
