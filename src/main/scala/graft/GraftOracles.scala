@@ -1475,6 +1475,29 @@ object GraftOracles {
         |FROM du LEFT JOIN b ON du.gram = b.gram
         |GROUP BY du.doc_id ORDER BY du.doc_id""".stripMargin,
 
+    // Twin of pack_concat_chunks: the fixed-length concat-and-chunk
+    // layout — a doc at stream offset off with n tokens contributes to
+    // sequences off//512 .. (off+n-1)//512, share = window overlap. The
+    // cum-sum is cast to BIGINT up front (DuckDB windowed sum yields
+    // HUGEINT, which range() rejects).
+    "pack_concat_chunks" ->
+      """WITH t AS (SELECT source, doc_id,
+        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT source, doc_id, n,
+        |    CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+        |  FROM t),
+        |e AS (SELECT source, doc_id, n, off,
+        |    unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS seq_id
+        |  FROM c)
+        |SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+        |  count(*) AS n_docs,
+        |  CAST(sum(least(off + n, (seq_id + 1) * 512) -
+        |           greatest(off, seq_id * 512)) AS BIGINT) AS seq_tokens,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     // greedy per-shard sequence packing: seq of a doc = tokens-before div
     // budget; token count parity = string_split_regex twin of tokens()
     "pack_sequences" ->

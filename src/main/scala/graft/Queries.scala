@@ -2433,6 +2433,16 @@ object GraftQueries {
         "source", budgetTokens = 512)
       .orderBy("source", "seq_id")
 
+  /** Concat-and-chunk packing (the GPT-style fixed-length layout, docs
+    * straddling sequence boundaries — no padding, no loss): one report
+    * row per (source, 512-token sequence). Every sequence is exactly
+    * 512 tokens except each shard's last; hash-checked against the
+    * window-arithmetic SQL twin. */
+  val packConcatChunks: Q = (s, d) =>
+    TextAnalysis.packConcatChunks(Tables.documents(s, d), "text", "doc_id",
+        "source", seqLen = 512)
+      .orderBy("source", "seq_id")
+
   /** BM25 keyword retrieval over the documents corpus (the principled
     * form of rag_hybrid_search's keyword arm): ONE tokenize scan into a
     * cached compact tf projection, stats inlined as literals, codegen'd
@@ -2784,6 +2794,7 @@ object GraftQueries {
     "quality_filter" -> qualityFilter,
     "multimodal_meta" -> multimodalMeta,
     "multimodal_decode" -> multimodalDecode,
+    "pack_concat_chunks" -> packConcatChunks,
     "pack_sequences" -> packSequences,
     "multimodal_audio" -> multimodalAudio,
     "decontaminate" -> decontaminate,

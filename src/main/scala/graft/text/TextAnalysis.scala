@@ -228,6 +228,45 @@ object TextAnalysis {
         min(col(idCol)).as("first_doc"),
         max(col(idCol)).as("last_doc"))
 
+  /** Concat-and-chunk packing — the GPT-style pretraining batch layout
+    * (the other standard besides [[packSequences]]'s greedy whole-doc
+    * form): within each shard the token stream is the concatenation of
+    * documents in id order, cut into FIXED `seqLen`-token sequences with
+    * documents straddling cut points (no padding, no document loss; only
+    * the shard's final sequence runs short). A document occupying stream
+    * positions [off, off+n) contributes to every sequence from
+    * `off div L` through `(off+n-1) div L`, with per-sequence token
+    * share = window overlap.
+    *
+    * Scale shape: identical to [[packSequences]] — packing is sequential
+    * within a stream, so the cum-sum window runs per shard and the
+    * operator parallelizes across shards; the boundary explode adds one
+    * row per (doc, straddled sequence), ~totalTokens/seqLen extra rows
+    * corpus-wide. Output one report row per (shard, seq_id): n_docs,
+    * seq_tokens (= seqLen except each shard's last), first/last doc. */
+  def packConcatChunks(docs: DataFrame, textCol: String, idCol: String,
+                       shardCol: String, seqLen: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(shardCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val L = lit(seqLen.toLong)
+    docs
+      .select(col(shardCol), col(idCol),
+        size(tokens(col(textCol))).cast("long").as("_n"))
+      .withColumn("_off", coalesce(sum(col("_n")).over(w), lit(0L)))
+      .withColumn("seq_id",
+        explode(sequence(expr(s"_off div $seqLen"),
+          expr(s"(_off + _n - 1) div $seqLen"))))
+      .withColumn("_share",
+        least(col("_off") + col("_n"), (col("seq_id") + 1) * L) -
+          greatest(col("_off"), col("seq_id") * L))
+      .groupBy(col(shardCol), col("seq_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_share")).as("seq_tokens"),
+        min(col(idCol)).as("first_doc"),
+        max(col(idCol)).as("last_doc"))
+  }
+
   /** The packing RULE alone — greedy cumulative-sum sequence assignment
     * over precomputed token counts (one `seq_id` column added). Shared
     * by [[packSequences]] (per-sequence report) and the composed

@@ -100,6 +100,44 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq("abc", "bcd", "cde"))
   }
 
+  test("packConcatChunks: hand-computed boundary straddle") {
+    // shard a: docs of 3, 4, 2 tokens, L=4 -> stream [0,9):
+    //   seq 0 = doc1(3) + doc2(1), seq 1 = doc2(3) + doc3(1), seq 2 = doc3(1)
+    val docs = Seq(
+      ("a", 1L, "w w w"), ("a", 2L, "x x x x"), ("a", 3L, "y y"),
+      ("b", 4L, "z z z z z")) // [0,5): seq 0 full, seq 1 = 1 token
+      .toDF("source", "doc_id", "text")
+    val out = TextAnalysis.packConcatChunks(docs, "text", "doc_id", "source", 4)
+      .orderBy("source", "seq_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(out.toSeq == Seq(
+      ("a", 0L, 2L, 4L, 1L, 2L),
+      ("a", 1L, 2L, 4L, 2L, 3L),
+      ("a", 2L, 1L, 1L, 3L, 3L),
+      ("b", 0L, 1L, 4L, 4L, 4L),
+      ("b", 1L, 1L, 1L, 4L, 4L)))
+  }
+
+  test("packConcatChunks: every sequence exactly L tokens except each shard's last; lossless") {
+    val docs = Tables.documents(spark, sf)
+    val L = 512
+    val packed = TextAnalysis.packConcatChunks(docs, "text", "doc_id", "source", L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val totalTokens = docs.select(sum(size(TextAnalysis.tokens(col("text")))
+      .cast("long"))).head.getLong(0)
+    assert(packed.map(_._4).sum == totalTokens) // no token lost or doubled
+    packed.groupBy(_._1).foreach { case (src, seqs) =>
+      val sorted = seqs.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (0L until sorted.length.toLong).toSeq,
+        s"$src: seq gap")
+      sorted.dropRight(1).foreach { q =>
+        assert(q._4 == L.toLong, s"$src seq ${q._2}: ${q._4} != $L")
+      }
+      assert(sorted.last._4 <= L.toLong && sorted.last._4 > 0)
+    }
+  }
+
   test("packSequences: lossless partition of each shard into budgeted sequences") {
     val docs = Tables.documents(spark, sf)
     val budget = 512
