@@ -1091,6 +1091,32 @@ object GraftOracles {
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
 
+    // Twin of corpus_audit: every check restated as an independent
+    // scalar count (count(*) FILTER per the HUGEINT gotcha; anti-joins
+    // via NOT EXISTS). check_name, not "check" — CHECK is reserved.
+    "corpus_audit" ->
+      """WITH checks(check_name, n) AS (
+        |  SELECT 'docs_total', count(*) FROM documents
+        |  UNION ALL SELECT 'duplicate_doc_ids',
+        |    count(*) - count(DISTINCT doc_id) FROM documents
+        |  UNION ALL SELECT 'empty_text',
+        |    count(*) FILTER (WHERE len(trim(text)) = 0) FROM documents
+        |  UNION ALL SELECT 'embeddings_total', count(*) FROM embeddings
+        |  UNION ALL SELECT 'dim_mismatch',
+        |    count(*) FILTER (WHERE len(embedding) <> 64) FROM embeddings
+        |  UNION ALL SELECT 'zero_norm_vectors',
+        |    count(*) FILTER (WHERE len(list_filter(embedding, x -> x <> 0)) = 0)
+        |    FROM embeddings
+        |  UNION ALL SELECT 'nan_vectors',
+        |    count(*) FILTER (WHERE len(list_filter(embedding, x -> isnan(x))) > 0)
+        |    FROM embeddings
+        |  UNION ALL SELECT 'docs_without_embedding', count(*) FROM documents d
+        |    WHERE NOT EXISTS (SELECT 1 FROM embeddings e WHERE e.vec_id = d.doc_id)
+        |  UNION ALL SELECT 'embeddings_without_doc', count(*) FROM embeddings e
+        |    WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+        |SELECT check_name, CAST(n AS BIGINT) AS n
+        |FROM checks ORDER BY check_name""".stripMargin,
+
     // Twin of corpus_datasheet; quantile_cont mirrors Spark's exact
     // `percentile` (both sort and linearly interpolate at the midpoint)
     "corpus_datasheet" ->

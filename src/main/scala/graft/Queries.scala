@@ -1512,6 +1512,14 @@ object GraftQueries {
         floor(col("n_dup_docs").cast("double") / col("n_docs") * 1e6 + 0.5) / 1e6)
   }
 
+  /** Corpus integrity audit (see [[graft.operators.Audit.corpusAudit]]):
+    * referential integrity documents<->embeddings both ways plus vector
+    * hygiene, one slim id-only join + one map-side pass per table.
+    * Engineered-corruption counts are pinned in QuerySemanticsSpec (the
+    * gate corpus is clean, so every defect check hashes 0 here). */
+  val corpusAudit: Q = (s, d) =>
+    graft.operators.Audit.corpusAudit(Tables.documents(s, d), Tables.embeddings(s, d))
+
   /** THE composed training-data chain, every stage a proven operator:
     * quality/LM/dedup gates (cleanCorpusDecisions) -> exact-substring
     * duplication gate (dup_ratio <= 0.5) -> fasttext-shaped classifier
@@ -2805,6 +2813,7 @@ object GraftQueries {
     "quality_classifier" -> qualityClassifier,
     "pipeline_mix_sample" -> pipelineMixSample,
     "pipeline_training_data" -> pipelineTrainingData,
+    "corpus_audit" -> corpusAudit,
     "corpus_datasheet" -> corpusDatasheet,
     "streaming_hourly" -> streamingHourly,
     "streaming_sessions" -> streamingSessions,

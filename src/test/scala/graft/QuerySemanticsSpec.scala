@@ -203,6 +203,35 @@ class QuerySemanticsSpec extends SparkSpec {
     assert(approx.size == exact.size) // k rows per query either way
   }
 
+  test("corpus audit counts every engineered defect exactly (the gate corpus is clean)") {
+    // docs: 5 rows, one duplicated id (2), one empty text (3), ids {1,2,2,3,4}
+    val docs = Seq(
+      (1L, "fine text"), (2L, "also fine"), (2L, "dup id"),
+      (3L, "   "), (4L, "orphan-free"))
+      .toDF("doc_id", "text")
+    // embeddings: ids {1,2,3,9}: 9 is an orphan; doc 4 has no vector.
+    // vec 1 wrong dim, vec 2 zero-norm, vec 3 carries a NaN
+    val emb = Seq(
+      (1L, Array(1f, 2f)),
+      (2L, Array.fill(64)(0f)),
+      (3L, Array.fill(63)(0.5f) :+ Float.NaN),
+      (9L, Array.fill(64)(1f)))
+      .toDF("vec_id", "embedding")
+    val out = graft.operators.Audit.corpusAudit(docs, emb)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map(
+      "docs_total" -> 5L,
+      "duplicate_doc_ids" -> 1L,
+      "empty_text" -> 1L,
+      "embeddings_total" -> 4L,
+      "dim_mismatch" -> 1L,
+      "zero_norm_vectors" -> 1L,
+      "nan_vectors" -> 1L,
+      "docs_without_embedding" -> 1L, // doc 4
+      "embeddings_without_doc" -> 1L // vec 9
+    ), s"got $out")
+  }
+
   test("hard-negative mining: banded, ranked, never self, never a near-duplicate") {
     val rows = GraftQueries.mineHardNegatives(spark, sf).collect()
     assert(rows.nonEmpty)
