@@ -480,6 +480,37 @@ object GraftOracles {
         |SELECT 'final' AS snapshot, doc_id, source, text FROM fin
         |ORDER BY snapshot, doc_id""".stripMargin,
 
+    // Twin of collection_diff: the CDC read between the creation state
+    // (st0 = docs <= 300) and the final state (fin) of the
+    // collection_mutate sequence, re-derived purely from the two SQL
+    // states — inserts (in fin only), deletes (in st0 only, OLD
+    // payload), updates (both, any column differs, NEW payload).
+    "collection_diff" ->
+      """WITH st0 AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id <= 300),
+        |ups AS (
+        |  SELECT doc_id, source, upper(text) AS text FROM documents
+        |  WHERE doc_id BETWEEN 250 AND 350),
+        |st1 AS (
+        |  SELECT * FROM ups
+        |  UNION ALL
+        |  SELECT * FROM st0 WHERE doc_id NOT IN (SELECT doc_id FROM ups)),
+        |fin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id <= 20 THEN 'edited' ELSE source END AS source,
+        |    text
+        |  FROM st1 WHERE doc_id % 7 <> 0)
+        |SELECT 'insert' AS change, f.doc_id, f.source, f.text FROM fin f
+        |  WHERE f.doc_id NOT IN (SELECT doc_id FROM st0)
+        |UNION ALL
+        |SELECT 'delete', o.doc_id, o.source, o.text FROM st0 o
+        |  WHERE o.doc_id NOT IN (SELECT doc_id FROM fin)
+        |UNION ALL
+        |SELECT 'update', f.doc_id, f.source, f.text
+        |  FROM fin f JOIN st0 o ON f.doc_id = o.doc_id
+        |  WHERE f.source <> o.source OR f.text <> o.text
+        |ORDER BY change, doc_id""".stripMargin,
+
     // Twin of collection_mutate_compact: the oracle restates the whole
     // mutation sequence (create <=280, delete %5, upsert 260..330 with
     // lower(text), update source='patched' for <=15) with NO notion of

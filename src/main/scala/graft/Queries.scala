@@ -2070,6 +2070,29 @@ object GraftQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Change-data capture between two snapshots of the collection_mutate
+    * sequence (creation -> final): every id classified insert / update /
+    * delete with its payload, against an oracle that re-derives the same
+    * change set from the two SQL-restated states. Proves the CDC read is
+    * exactly the difference of the snapshots it spans. */
+  val collectionDiff: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_diffq").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 300), "doc_id")
+    val s0 = mc.currentSeq
+    mc.upsert(docs.filter(col("doc_id").between(250, 350))
+      .withColumn("text", upper(col("text"))))
+    mc.update(s, docs.filter(col("doc_id") <= 20)
+      .select(col("doc_id"), lit("edited").as("source")))
+    mc.delete(mc.readLive(s).filter(col("doc_id") % 7 === 0).select("doc_id"))
+    val out = mc.changesBetween(s, s0, mc.currentSeq)
+      .orderBy("change", "doc_id")
+    val rows = out.collect()
+    store.destroy()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Compaction invisibility at the gate: a mid-sequence [[compact]]
     * (folding a delete's tombstones into the files) must leave every
     * LATER mutation and the final live view bit-identical to the
@@ -2870,6 +2893,7 @@ object GraftQueries {
     "q29_grouping_sets" -> q29GroupingSets,
     "where_dsl_or" -> whereDslOr,
     "collection_lifecycle" -> collectionLifecycle,
+    "collection_diff" -> collectionDiff,
     "collection_mutate" -> collectionMutate,
     "collection_mutate_compact" -> collectionMutateCompact,
     "collection_snapshot" -> collectionSnapshot,

@@ -205,6 +205,37 @@ final case class MutableCollection(store: VectorStore, name: String) {
     liveWithSeq(spark, asOf = Some(asOfSeq)).drop(SeqCol)
   }
 
+  /** Change-data read between two retained snapshots (the CDC companion
+    * of [[readLiveAt]]): one row per id whose live value differs between
+    * `fromSeq` and `toSeq` — `change` ∈ insert / update / delete, with
+    * the row payload (the NEW values; for a delete, the last values the
+    * row had). Computed as a full outer join of the two snapshot views
+    * on the id with a null-safe struct compare — two bounded scans of
+    * the same files every read uses, one shuffle keyed on the id. (A
+    * seq-range file pruning variant could skip rows outside (from, to]
+    * on the ADDED side, but update/delete detection inherently needs the
+    * `from` state — the symmetric join is the honest general form.)
+    * Both endpoints must be retained ([[floorSeq]]); same-seq endpoints
+    * yield an empty frame. */
+  def changesBetween(spark: SparkSession, fromSeq: Long, toSeq: Long): DataFrame = {
+    require(fromSeq <= toSeq,
+      s"changesBetween: fromSeq $fromSeq > toSeq $toSeq")
+    val a = readLiveAt(spark, fromSeq)
+    val b = readLiveAt(spark, toSeq)
+    val id = idCol
+    val cols = a.columns.filterNot(_ == id)
+    val aS = a.select(col(id), struct(cols.map(col): _*).as("_old"))
+    val bS = b.select(col(id), struct(cols.map(col): _*).as("_new"))
+    val joined = aS.join(bS, Seq(id), "full")
+      .withColumn("change",
+        when(col("_old").isNull, "insert")
+          .when(col("_new").isNull, "delete")
+          .when(!(col("_old") <=> col("_new")), "update"))
+      .filter(col("change").isNotNull)
+      .withColumn("_row", coalesce(col("_new"), col("_old")))
+    joined.select(col("change") +: col(id) +: cols.map(c => col(s"_row.$c").as(c)): _*)
+  }
+
   /** The merged view WITH the seq column (compact must preserve it —
     * later tombstones still order against surviving rows). With `asOf`
     * set, both sides are bounded at that sequence first (snapshot

@@ -224,6 +224,30 @@ class StoreMutationSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("changesBetween classifies insert/update/delete with the right payloads") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    val s0 = mc.currentSeq
+    mc.upsert(Seq((2L, "a", "TWO"), (6L, "d", "six")).toDF("id", "src", "text"))
+    mc.deleteIds(spark, Seq(4L))
+    mc.update(spark, Seq((5L, "edited")).toDF("id", "src"))
+    val diff = mc.changesBetween(spark, s0, mc.currentSeq)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getString(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(diff.toSeq == Seq(
+      ("delete", 4L, "b", "four"), // OLD payload
+      ("insert", 6L, "d", "six"),
+      ("update", 2L, "a", "TWO"), // NEW payload
+      ("update", 5L, "edited", "five")))
+    // identical endpoints -> empty; reversed endpoints -> error
+    assert(mc.changesBetween(spark, mc.currentSeq, mc.currentSeq).isEmpty)
+    val ex = intercept[IllegalArgumentException] {
+      mc.changesBetween(spark, mc.currentSeq, s0)
+    }
+    assert(ex.getMessage.contains("fromSeq"))
+    store.destroy()
+  }
+
   test("snapshot seq bound is pushed into the parquet scan") {
     val store = freshStore()
     val mc = store.createMutable("c", base, "id")
