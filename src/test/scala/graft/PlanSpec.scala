@@ -167,6 +167,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), "no join belongs in the window formulation")
   }
 
+  test("decontaminate_bloom: ONE corpus scan; benchmark grams enter as a checkpoint, never re-tokenized") {
+    val p = plan("decontaminate_bloom")
+    // corpus tokenize+gram+gate+agg is a single parquet scan; the
+    // benchmark gram relation (consumed by count, bloom build AND the
+    // confirm join) must appear as the materialized checkpoint
+    // (Scan ExistingRDD), not as repeated documents scans
+    val parquetScans = "Location: InMemoryFileIndex".r.findAllIn(p).length
+    assert(parquetScans == 1,
+      s"expected ONE corpus parquet scan, saw $parquetScans:\n$p")
+    assert("Scan ExistingRDD".r.findAllIn(p).nonEmpty,
+      "benchmark gram side should be the localCheckpoint relation")
+  }
+
   test("quality_classifier: model rides as a plan literal; MAP-ONLY scoring (no shuffle but the sort)") {
     val p = plan("quality_classifier")
     assert(p.contains("element_at"), "weight lookup should be an array-literal element_at")
