@@ -1605,6 +1605,22 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** Perceptual image near-dup (the LAION-pipeline step, multimodal x
+    * dedup crossover): consecutive doc pairs share a base image — the odd
+    * id carries a byte-level-different near-variant (green-LSB nudges) —
+    * and dHash + the banded hamming kernel must pair them back up through
+    * the REAL PNG codec. Rows-only by nature (DuckDB cannot decode PNG);
+    * banded-vs-brute-force equality is spec'd in DedupSpec. */
+  val dedupImagePhash: Q = (s, d) => {
+    val png = udf((id: Long) =>
+      if (id % 2 == 1) Multimodal.synthPngVariant(id - 1, flips = 4)
+      else Multimodal.synthPng(id))
+    val withPng = Tables.documents(s, d).select(col("doc_id"))
+      .withColumn("payload", png(col("doc_id")))
+    Multimodal.imageNearDup(withPng, "payload", "doc_id", maxHamming = 3)
+      .orderBy("id_a", "id_b")
+  }
+
   /** The q8 aggregation through Structured Streaming (readStream ->
     * watermark -> window -> memory sink, AvailableNow). */
   val streamingHourly: Q = (s, d) =>
@@ -2819,6 +2835,7 @@ object GraftQueries {
     "dedup_ngram" -> dedupNgram,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,
+    "dedup_image_phash" -> dedupImagePhash,
     "text_stats" -> textStats,
     "lang_id" -> langId,
     "doc_fingerprint" -> docFingerprint,

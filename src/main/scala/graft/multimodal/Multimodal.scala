@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -233,6 +233,93 @@ object Multimodal {
       (r << 16) | (g << 8) | b
     })
   }
+
+  /** [[synthPng]] with the green LSB of the first `flips` pixels (row-
+    * major) inverted — a controlled NEAR-duplicate: the perceptual
+    * distance is a handful of sub-quantization luminance nudges, while
+    * the bytes (and any exact hash) differ completely. */
+  def synthPngVariant(id: Long, flips: Int): Array[Byte] = {
+    val w = (8 + Math.floorMod(id, 24L)).toInt
+    val h = (8 + Math.floorMod(id * 7L, 24L)).toInt
+    ImageCodec.encodePng(w, h, (x, y) => {
+      val r = Math.floorMod(x * 31L + y * 17L + id, 256L).toInt
+      val g0 = Math.floorMod(x * 13L + y * 29L + id * 3L, 256L).toInt
+      val b = Math.floorMod(x * 7L + y * 11L + id * 5L, 256L).toInt
+      val g = if (y * w + x < flips) g0 ^ 1 else g0
+      (r << 16) | (g << 8) | b
+    })
+  }
+
+  /** 64-bit difference hash (dHash) of an image — the classic perceptual
+    * fingerprint (LAION-style image near-dup pipelines): decode,
+    * grayscale (integer 299/587/114 weights), AREA-AVERAGE down to a 9x8
+    * grid with pure integer arithmetic (no Graphics2D resampling, whose
+    * filters vary across JVMs — determinism is an API here), one bit per
+    * horizontal neighbor comparison. Images narrower than the grid get
+    * clamped (overlapping) cells rather than failing. None for
+    * undecodable bytes, mirroring [[ImageCodec.decodeRgbFeatures]]. */
+  def dHashBytes(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth; val h = img.getHeight
+      val cells = Array.ofDim[Long](8, 9) // [row][col] mean gray * denom
+      var cy = 0
+      while (cy < 8) {
+        var cx = 0
+        while (cx < 9) {
+          val x0 = cx * w / 9; val x1 = math.max((cx + 1) * w / 9, x0 + 1)
+          val y0 = cy * h / 8; val y1 = math.max((cy + 1) * h / 8, y0 + 1)
+          var sum = 0L
+          var y = y0
+          while (y < h && y < y1) {
+            var x = x0
+            while (x < w && x < x1) {
+              val p = img.getRGB(x, y)
+              sum += ((p >> 16) & 0xff) * 299L + ((p >> 8) & 0xff) * 587L +
+                (p & 0xff) * 114L
+              x += 1
+            }
+            y += 1
+          }
+          val n = (math.min(x1, w) - x0).toLong * (math.min(y1, h) - y0)
+          cells(cy)(cx) = if (n > 0) sum / n else 0L
+          cx += 1
+        }
+        cy += 1
+      }
+      var sig = 0L
+      var k = 0
+      while (k < 64) {
+        val row = k / 8; val colI = k % 8
+        if (cells(row)(colI) > cells(row)(colI + 1)) sig |= (1L << k)
+        k += 1
+      }
+      Some(sig)
+    }
+  }
+
+  private val dHashUdf = udf((bytes: Array[Byte]) =>
+    if (bytes == null) None else dHashBytes(bytes))
+
+  /** dHash column over a binary image column (null for undecodable). */
+  def dHash(bin: Column): Column = dHashUdf(bin)
+
+  /** Perceptual near-duplicate image pairs: dHash per payload (one
+    * decode pass, map-side), then the SAME banded hamming kernel the
+    * text SimHash path uses ([[graft.operators.Dedup.signaturePairs]] —
+    * 4 x 16-bit chunks, EXACT recall at hamming <= 3 by pigeonhole, per-
+    * bucket primitive-array scan). Undecodable payloads drop out rather
+    * than poisoning a bucket. Output (id_a, id_b, hamming), id_a < id_b. */
+  def imageNearDup(df: DataFrame, binCol: String, idCol: String,
+                   maxHamming: Int = 3): DataFrame =
+    graft.operators.Dedup.signaturePairs(
+      graft.Tables.spread(df)
+        .select(col(idCol).cast("long").as("_id"), dHash(col(binCol)).as("_sig"))
+        .filter(col("_sig").isNotNull),
+      "_id", "_sig", maxHamming)
 
   /** Attach a binary payload column derived from a string column (the
     * testdata has no real blobs; `encode(text)` makes the plumbing real).

@@ -468,6 +468,23 @@ object Dedup {
     val toks = split(trim(lower(col(textCol))), "\\s+")
     val sigs = graft.Tables.spread(df)
       .select(col(idCol).cast("long").as("_id"), simhash(toks).as("_sig"))
+    signaturePairs(sigs, "_id", "_sig", maxHamming)
+      .select(col("id_a").cast(idType).as("id_a"),
+        col("id_b").cast(idType).as("id_b"), col("hamming"))
+  }
+
+  /** Near-dup pairs over ANY 64-bit per-row signature — the banding +
+    * per-bucket kernel of [[simhashPairs]] factored out so other
+    * signature families (image dHash, audio fingerprints) reuse it: 4 x
+    * 16-bit chunks (pigeonhole: hamming <= 3 -> one identical chunk, so
+    * recall is EXACT at that radius), bucket members scanned as sorted
+    * primitive arrays (see the simhashPairs scaladoc for why not a
+    * join). Input: an integral id column + a long signature column.
+    * Output: (id_a, id_b, hamming), id_a < id_b, both as LONG. */
+  def signaturePairs(sigs0: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val sigs = sigs0.select(col(idCol).cast("long").as("_id"),
+      col(sigCol).cast("long").as("_sig"))
     val banded = sigs.select(col("_id"), col("_sig"),
       posexplode(array((0 until 4).map { b =>
         shiftrightunsigned(col("_sig"), b * 16).bitwiseAND(0xFFFFL)
@@ -500,7 +517,7 @@ object Dedup {
       .agg(collect_list(struct(col("_id"), col("_sig"))).as("_members"))
       .filter(size(col("_members")) > 1)
       .select(explode(enumeratePairs(col("_members"))).as("_p"))
-      .select(col("_p._1").cast(idType).as("id_a"), col("_p._2").cast(idType).as("id_b"),
+      .select(col("_p._1").as("id_a"), col("_p._2").as("id_b"),
         col("_p._3").as("hamming"))
       .dropDuplicates("id_a", "id_b")
   }

@@ -169,6 +169,35 @@ class PipelineSpec extends SparkSpec {
     assert(Multimodal.decodeAudio(junk, "payload").count() == 1)
   }
 
+  test("image near-dup: banded dHash pairs equal brute force; exact dups, variants, unrelated") {
+    // 60 images: ids 0..19 bases; 20..39 = EXACT byte dup of base id-20;
+    // 40..59 = near variant of base id-40 (4 green-LSB nudges);
+    // brute force over the same dHash is the ground truth — banding is
+    // exact at hamming <= 3 by pigeonhole, so the sets must be EQUAL
+    val payload: Long => Array[Byte] = id =>
+      if (id < 20) Multimodal.synthPng(id)
+      else if (id < 40) Multimodal.synthPng(id - 20)
+      else Multimodal.synthPngVariant(id - 40, 4)
+    val sigs = (0L until 60L).map(id => id -> Multimodal.dHashBytes(payload(id)).get)
+    val brute = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs
+      if a < b && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (a, b)).toSet
+    // exact dups are hamming 0 -> guaranteed present
+    assert((0L until 20L).forall(i => brute.contains((i, i + 20))),
+      "exact duplicate pair missing from ground truth")
+    assert(brute.size < 60 * 59 / 2 / 4, "fixture degenerate: most pairs collide")
+    val df = sigs.indices.map(i => (sigs(i)._1, payload(sigs(i)._1))).toDF("id", "payload")
+    val got = Multimodal.imageNearDup(df, "payload", "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute, s"banded != brute: missing=${brute -- got} extra=${got -- brute}")
+    // undecodable payloads drop out silently
+    val withJunk = df.union(Seq((99L, Array[Byte](1, 2, 3))).toDF("id", "payload"))
+    val got2 = Multimodal.imageNearDup(withJunk, "payload", "id", maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == brute)
+  }
+
   test("frame sampling: frames reassemble to the exact payload bytes") {
     // orderBy before limit: bare limit gives no row-selection guarantee
     // across the two independent actions below
