@@ -224,6 +224,9 @@ final case class MutableCollection(store: VectorStore, name: String) {
     val b = readLiveAt(spark, toSeq)
     val id = idCol
     val cols = a.columns.filterNot(_ == id)
+    require(!a.columns.exists(Set("change", "_old", "_new", "_row")),
+      "changesBetween: collection columns collide with the CDC output " +
+        "(change) / internals (_old/_new/_row) — rename them first")
     val aS = a.select(col(id), struct(cols.map(col): _*).as("_old"))
     val bS = b.select(col(id), struct(cols.map(col): _*).as("_new"))
     val joined = aS.join(bS, Seq(id), "full")

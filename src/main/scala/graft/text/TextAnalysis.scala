@@ -246,6 +246,7 @@ object TextAnalysis {
     * seq_tokens (= seqLen except each shard's last), first/last doc. */
   def packConcatChunks(docs: DataFrame, textCol: String, idCol: String,
                        shardCol: String, seqLen: Int): DataFrame = {
+    require(seqLen > 0, s"seqLen must be positive, got $seqLen")
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(shardCol).orderBy(idCol)
       .rowsBetween(Window.unboundedPreceding, -1)
