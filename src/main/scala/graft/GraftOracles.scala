@@ -1104,6 +1104,28 @@ object GraftOracles {
     // WARC adds an id sum to the checksum: header parsing (record id out
     // of the WARC-Record-ID header), not just payload transport, must
     // survive the write+split+parse cycle
+    // Twin of source_html_strip: the IDENTICAL RE2-subset strip chain —
+    // script/style wholesale, comments, tags -> space, the six entities
+    // (&amp; LAST), whitespace collapse. Rule order is on the hash path.
+    "source_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>Doc ' || doc_id ||
+        |  '</title><style>p { color: red; }</style></head><body><h1>' ||
+        |  source || '</h1><!-- id --><p>' || text ||
+        |  ' &amp; more &lt;tags&gt;</p><script>var x = 1 < 2;</script></body></html>'
+        |  AS html FROM documents)
+        |SELECT doc_id, trim(regexp_replace(
+        |  replace(replace(replace(replace(replace(replace(
+        |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |      '(?is)<style[^>]*>.*?</style>', '', 'g'),
+        |      '(?s)<!--.*?-->', '', 'g'),
+        |      '<[^>]+>', ' ', 'g'),
+        |    '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', ''''),
+        |    '&nbsp;', ' '), '&amp;', '&'),
+        |  '\s+', ' ', 'g')) AS text
+        |FROM h ORDER BY doc_id""".stripMargin,
+
     "source_warc" -> warcChecksumSql,
     // identical contract through gzipped segments — codec transparency
     // must not change a single byte of any payload

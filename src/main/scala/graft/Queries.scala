@@ -1185,6 +1185,25 @@ object GraftQueries {
 
   val sourceWarc: Q = (s, d) => warcRoundtrip(s, d, None)
 
+  /** HTML -> text extraction ([[graft.text.Html.stripHtml]] — the WET
+    * step between a WARC source's HTTP bodies and the documents
+    * pipeline): deterministic HTML is synthesized around each document
+    * (title/style/h1/comment/entities/script-with-a-bare-`<`) and the
+    * RE2-subset strip chain must recover the text — the oracle runs the
+    * IDENTICAL chain in DuckDB, so every rule and their order is on the
+    * hash path. Map-only, fully codegen (regexp_replace/replace). */
+  val sourceHtmlStrip: Q = (s, d) => {
+    val html = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><style>p { color: red; }</style></head><body><h1>"),
+      col("source"), lit("</h1><!-- id --><p>"), col("text"),
+      lit(" &amp; more &lt;tags&gt;</p><script>var x = 1 < 2;" +
+        "</script></body></html>"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), graft.text.Html.stripHtml(html).as("text"))
+      .orderBy("doc_id")
+  }
+
   /** Same checksum contract through GZIPPED segment files — the form
     * real crawls actually ship (`.warc.gz`). Hadoop's codec layer
     * decompresses transparently in the same record-delimited read path;
@@ -2870,6 +2889,7 @@ object GraftQueries {
     "dedup_clusters" -> dedupClusters,
     "source_jsonl" -> sourceJsonl,
     "source_csv" -> sourceCsv,
+    "source_html_strip" -> sourceHtmlStrip,
     "source_warc" -> sourceWarc,
     "source_warc_gz" -> sourceWarcGz,
     "pipeline_split" -> pipelineSplit,

@@ -100,6 +100,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out == Seq("abc", "bcd", "cde"))
   }
 
+  test("stripHtml: scripts/styles/comments dropped wholesale, tags break words, entities decode once") {
+    val cases = Seq(
+      // script content (incl. a bare '<') is NOT text
+      ("<p>a</p><script>if (1 < 2) alert('<div>')</script><p>b</p>", "a b"),
+      ("<style>p { color: red; }</style>hello", "hello"),
+      ("<!-- secret --><b>kept</b>", "kept"),
+      // adjacent block tags must not glue words together
+      ("<p>one</p><p>two</p>", "one two"),
+      // entity decode is single-pass: &amp;lt; is the TEXT "&lt;"
+      ("a &amp; b &lt;c&gt; &quot;d&quot; &#39;e&#39; f&nbsp;g &amp;lt;", """a & b <c> "d" 'e' f g &lt;"""),
+      // attributes and self-closing tags vanish; whitespace collapses
+      ("""<img src="x.png"/>  <a href="/y">link</a>""", "link"),
+      // case-insensitive script/style
+      ("<SCRIPT>x</SCRIPT>ok<STYLE>y</STYLE>", "ok"))
+    val out = cases.zipWithIndex.map { case ((in, _), i) => (i, in) }
+      .toDF("i", "html")
+      .select(col("i"), graft.text.Html.stripHtml(col("html")).as("t"))
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    cases.zipWithIndex.foreach { case ((in, want), i) =>
+      assert(out(i) == want, s"case $i: <<$in>> -> <<${out(i)}>> want <<$want>>")
+    }
+  }
+
   test("packConcatChunks: hand-computed boundary straddle") {
     // shard a: docs of 3, 4, 2 tokens, L=4 -> stream [0,9):
     //   seq 0 = doc1(3) + doc2(1), seq 1 = doc2(3) + doc3(1), seq 2 = doc3(1)
