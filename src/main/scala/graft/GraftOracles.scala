@@ -552,6 +552,14 @@ object GraftOracles {
         |WHERE lang NOT IN ('en','es','fr') OR n_chars <= 120
         |ORDER BY doc_id""".stripMargin,
 
+    // Twin of where_document_filter: Chroma $contains/$not_contains as
+    // plain substring tests, nesting as boolean algebra
+    "where_document_filter" ->
+      """SELECT doc_id, source, lang FROM documents
+        |WHERE contains(text, 'data')
+        |  AND (contains(text, 'stream') OR NOT contains(text, 'hash'))
+        |ORDER BY doc_id""".stripMargin,
+
     "chunk_docs" ->
       s"""$chunkerWalkCte
          |SELECT doc_id,

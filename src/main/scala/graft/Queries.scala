@@ -331,6 +331,19 @@ object GraftQueries {
       .select("doc_id", "lang", "source", "n_chars")
       .orderBy("doc_id")
 
+  /** Chroma's `where_document` content filter ($contains /
+    * $not_contains, nested $and/$or) — the other half of the filter
+    * surface next to `where`, evaluated before ranking like the rest of
+    * the DSL. Substring tests emit Catalyst `Contains` (codegen'd,
+    * pushable). */
+  val whereDocumentFilter: Q = (s, d) =>
+    Tables.documents(s, d)
+      .filter(WhereDsl.parseDocument(
+        """{"$and":[{"$contains":"data"},{"$or":[{"$contains":"stream"},{"$not_contains":"hash"}]}]}""",
+        col("text")))
+      .select("doc_id", "source", "lang")
+      .orderBy("doc_id")
+
   /** The reference chunker over the documents table (chunk 120 / overlap 20
     * so harness-sized texts produce multi-chunk output). */
   val chunkDocs: Q = (s, d) =>
@@ -2929,6 +2942,7 @@ object GraftQueries {
     "typed_user_gaps" -> typedUserGaps,
     "q29_grouping_sets" -> q29GroupingSets,
     "where_dsl_or" -> whereDslOr,
+    "where_document_filter" -> whereDocumentFilter,
     "collection_lifecycle" -> collectionLifecycle,
     "collection_diff" -> collectionDiff,
     "collection_mutate" -> collectionMutate,

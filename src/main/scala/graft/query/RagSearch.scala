@@ -31,11 +31,16 @@ object RagSearch {
                    contentCol: String = "chunk",
                    idCol: String = "id",
                    vecCol: String = "embedding",
-                   metadataCols: Seq[String] = Seq("chunk_id", "doc_id")): SearchResult = {
+                   metadataCols: Seq[String] = Seq("chunk_id", "doc_id"),
+                   whereDocumentJson: Option[String] = None): SearchResult = {
     if (query == null || query.trim.isEmpty)
       return SearchResult(query, Seq.empty, 0, Some("Query text is required"))
     try {
-      val where = whereJson.map(WhereDsl.parse)
+      // where + where_document compose as a conjunction, both evaluated
+      // BEFORE ranking (Chroma's query(where=..., where_document=...))
+      val where = (whereJson.map(WhereDsl.parse) ++
+        whereDocumentJson.map(WhereDsl.parseDocument(_, col(contentCol))))
+        .reduceOption(_ && _)
       val hits = Knn.search(collection, vecCol, embed(query), nResults,
           where = where, tieBreaker = Some(col(idCol)))
         .select(col(contentCol).as("content"),
@@ -73,7 +78,8 @@ object RagSearch {
                   contentCol: String = "chunk",
                   idCol: String = "id",
                   vecCol: String = "embedding",
-                  metadataCols: Seq[String] = Seq("chunk_id", "doc_id")): SearchResult = {
+                  metadataCols: Seq[String] = Seq("chunk_id", "doc_id"),
+                  whereDocumentJson: Option[String] = None): SearchResult = {
     val m = store.manifest(name).getOrElse(throw new IllegalArgumentException(
       s"collection '$name' has no embedder manifest — create() it with one " +
         "to enable bound search"))
@@ -84,7 +90,7 @@ object RagSearch {
     // readCurrent, not read: on a MUTABLE collection the raw files still
     // carry dead row versions — searching them would return stale chunks
     searchForRag(store.readCurrent(spark, name), query, emb.encodeOne, nResults,
-      whereJson, contentCol, idCol, vecCol, metadataCols)
+      whereJson, contentCol, idCol, vecCol, metadataCols, whereDocumentJson)
   }
 
   /** `get_context_for_rag` (:289-314): top-10 search then greedy prefix. */

@@ -47,6 +47,32 @@ object WhereDsl {
     case other => throw new IllegalArgumentException(s"where clause must be an object, got $other")
   }
 
+  /** Chroma's `where_document` content filter -> a predicate over the
+    * given content column (the other half of the filter surface the
+    * bound client API carries alongside `where`):
+    *   {"$contains": "s"} | {"$not_contains": "s"}
+    *   {"$and"|"$or": [clause...]}
+    * `contains` is a plain substring test (Chroma semantics), emitted as
+    * a Catalyst `Contains` — codegen'd, and eligible for the parquet
+    * reader's string-contains row-group skipping. */
+  def parseDocument(json: String, content: Column): Column =
+    toDocPredicate(JsonMethods.parse(json), content)
+
+  private def toDocPredicate(j: JValue, content: Column): Column = j match {
+    case JObject(fields) =>
+      fields.map {
+        case ("$and", JArray(cs)) => cs.map(toDocPredicate(_, content)).reduce(_ && _)
+        case ("$or", JArray(cs)) => cs.map(toDocPredicate(_, content)).reduce(_ || _)
+        case ("$contains", JString(s)) => content.contains(lit(s))
+        case ("$not_contains", JString(s)) => !content.contains(lit(s))
+        case (op, _) => throw new IllegalArgumentException(
+          s"unsupported where_document operator $op (expected $$contains/" +
+            s"$$not_contains/$$and/$$or with string operands)")
+      }.reduce(_ && _)
+    case other => throw new IllegalArgumentException(
+      s"where_document clause must be an object, got $other")
+  }
+
   private def opPredicate(c: Column, op: String, v: JValue): Column = op match {
     case "$eq" => c === litOf(v)
     case "$ne" => c =!= litOf(v)

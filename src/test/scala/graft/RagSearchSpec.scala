@@ -36,6 +36,33 @@ class RagSearchSpec extends SparkSpec {
     assert(res.results.forall(_.metadata("doc_id").toLong < 10))
   }
 
+  test("where_document filter restricts by content; composes with where as a conjunction") {
+    val res = RagSearch.searchForRag(collection, "query", embedder.encodeOne,
+      nResults = 50, whereDocumentJson = Some("""{"$contains": "data"}"""))
+    assert(res.results.nonEmpty)
+    assert(res.results.forall(_.content.contains("data")))
+    val both = RagSearch.searchForRag(collection, "query", embedder.encodeOne,
+      nResults = 50, whereJson = Some("""{"doc_id": {"$lt": 10}}"""),
+      whereDocumentJson = Some("""{"$not_contains": "data"}"""))
+    assert(both.results.forall(h =>
+      h.metadata("doc_id").toLong < 10 && !h.content.contains("data")))
+    // bad operator surfaces through the defensive error contract
+    val bad = RagSearch.searchForRag(collection, "query", embedder.encodeOne,
+      whereDocumentJson = Some("""{"$regex": "x"}"""))
+    assert(bad.error.exists(_.contains("where_document")))
+  }
+
+  test("parseDocument: nested and/or semantics against a literal truth table") {
+    import graft.query.WhereDsl
+    val docs = Seq((1L, "alpha data stream"), (2L, "alpha data hash"),
+      (3L, "alpha data"), (4L, "plain text")).toDF("id", "text")
+    val got = docs.filter(WhereDsl.parseDocument(
+        """{"$and":[{"$contains":"data"},{"$or":[{"$contains":"stream"},{"$not_contains":"hash"}]}]}""",
+        col("text")))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 3L)) // 2 killed by hash-without-stream, 4 by no data
+  }
+
   test("context_for_rag assembles capped context with source headers") {
     val ctx = RagSearch.contextForRag(collection, "vector data", embedder.encodeOne,
       maxContextLength = 2000)
