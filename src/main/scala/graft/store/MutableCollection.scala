@@ -133,6 +133,21 @@ final case class MutableCollection(store: VectorStore, name: String) {
       .filter(graft.query.WhereDsl.parse(whereJson))
       .select(col(idCol)))
 
+  /** Delete every live row whose CONTENT matches a where_document
+    * clause (the Chroma `delete(where_document={"$contains": ...})`
+    * shape); `contentCol` names the text column the clause tests. */
+  def deleteWhereDocument(spark: SparkSession, whereDocumentJson: String,
+                          contentCol: String): Unit =
+    delete(readLive(spark)
+      .filter(graft.query.WhereDsl.parseDocument(whereDocumentJson, col(contentCol)))
+      .select(col(idCol)))
+
+  /** Content lookup (the Chroma `get(where_document={...})` shape). */
+  def getWhereDocument(spark: SparkSession, whereDocumentJson: String,
+                       contentCol: String): DataFrame =
+    readLive(spark)
+      .filter(graft.query.WhereDsl.parseDocument(whereDocumentJson, col(contentCol)))
+
   /** Delete a bounded explicit id list (the Chroma `delete(ids=[...])`
     * shape). */
   def deleteIds(spark: SparkSession, ids: Seq[Any]): Unit = {

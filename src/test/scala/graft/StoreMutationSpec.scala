@@ -224,6 +224,18 @@ class StoreMutationSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("deleteWhereDocument / getWhereDocument test CONTENT of current versions") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    // rewrite id 2's text so the content filter sees the CURRENT version
+    mc.upsert(Seq((2L, "a", "rewritten")).toDF("id", "src", "text"))
+    assert(mc.getWhereDocument(spark, """{"$contains": "ree"}""", "text")
+      .collect().map(_.getLong(0)).toSet == Set(3L)) // "three"; "two" is gone
+    mc.deleteWhereDocument(spark, """{"$or": [{"$contains": "rewritten"}, {"$contains": "five"}]}""", "text")
+    assert(liveMap(mc).keySet == Set(1L, 3L, 4L))
+    store.destroy()
+  }
+
   test("changesBetween classifies insert/update/delete with the right payloads") {
     val store = freshStore()
     val mc = store.createMutable("c", base, "id")
