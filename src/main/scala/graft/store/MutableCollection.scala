@@ -293,6 +293,20 @@ final case class MutableCollection(store: VectorStore, name: String) {
   def getWhere(spark: SparkSession, whereJson: String): DataFrame =
     readLive(spark).filter(graft.query.WhereDsl.parse(whereJson))
 
+  /** Paginated live read in id order (the Chroma `get(limit=, offset=)`
+    * shape). The id-ordered prefix is a TakeOrdered (k rows per
+    * partition cross the network, never the collection); the offset cut
+    * is a window over ONLY those offset+limit rows. Deep offsets cost
+    * O(offset+limit) like every offset pagination — for stable deep
+    * paging, filter `id > lastSeen` instead (keyset pagination). */
+  def getPage(spark: SparkSession, limit: Int, offset: Int = 0): DataFrame = {
+    require(limit > 0 && offset >= 0, s"bad page: limit=$limit offset=$offset")
+    val top = readLive(spark).orderBy(col(idCol)).limit(offset + limit)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
+    top.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") > offset).drop("_rn")
+  }
+
   /** Live row count (post-tombstone). */
   def countLive(spark: SparkSession): Long = readLive(spark).count()
 

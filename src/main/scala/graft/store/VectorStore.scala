@@ -217,6 +217,26 @@ final case class VectorStore(root: String) {
     (before.size, dataFiles(name).size)
   }
 
+  /** Rename a collection (the Chroma `collection.modify(name=...)`
+    * shape): one atomic directory move — every sidecar (manifest,
+    * mutable marker, tombstone log) travels with it; nothing is
+    * rewritten. Fails fast on a missing source or existing target
+    * rather than clobbering. */
+  def rename(from: String, to: String): Unit = {
+    recoverStranded()
+    val src = new java.io.File(path(from))
+    val dst = new java.io.File(path(to))
+    require(src.isDirectory, s"collection '$from' does not exist")
+    require(!dst.exists(), s"collection '$to' already exists")
+    require(src.renameTo(dst), s"rename '$from' -> '$to' failed")
+  }
+
+  /** First `n` current rows by id order (the Chroma `peek(n)` shape) —
+    * a bounded look, not a scan: TakeOrdered, k rows per partition. */
+  def peek(spark: SparkSession, name: String, n: Int = 10,
+           idCol: String = "id"): DataFrame =
+    readCurrent(spark, name).orderBy(idCol).limit(n)
+
   def drop(name: String): Unit = rmTree(new java.io.File(path(name)))
 
   /** Remove the whole store root (scratch stores in tests/queries). */

@@ -224,6 +224,28 @@ class StoreMutationSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("rename moves every sidecar; peek and getPage read the live view in id order") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    mc.upsert(Seq((6L, "d", "six")).toDF("id", "src", "text"))
+    mc.deleteIds(spark, Seq(2L))
+    store.rename("c", "c2")
+    assert(store.list() == Seq("c2"))
+    val mc2 = store.mutable("c2") // marker + tombstones travelled
+    assert(liveMap(mc2).keySet == Set(1L, 3L, 4L, 5L, 6L))
+    assert(store.peek(spark, "c2", 2, idCol = "id")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 3L)) // live order, no dead 2
+    assert(mc2.getPage(spark, limit = 2, offset = 2)
+      .collect().map(_.getLong(0)).toSeq == Seq(4L, 5L))
+    assert(mc2.getPage(spark, limit = 10, offset = 4)
+      .collect().map(_.getLong(0)).toSeq == Seq(6L)) // short last page
+    val ex = intercept[IllegalArgumentException] { store.rename("nope", "x") }
+    assert(ex.getMessage.contains("does not exist"))
+    val ex2 = intercept[IllegalArgumentException] { store.rename("c2", "c2") }
+    assert(ex2.getMessage.contains("already exists"))
+    store.destroy()
+  }
+
   test("deleteWhereDocument / getWhereDocument test CONTENT of current versions") {
     val store = freshStore()
     val mc = store.createMutable("c", base, "id")
