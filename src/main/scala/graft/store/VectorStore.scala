@@ -250,3 +250,23 @@ final case class VectorStore(root: String) {
     if (f.exists()) rm(f)
   }
 }
+
+object VectorStore {
+  /** Tenant/database addressing (the Chroma Cloud client shape —
+    * `CloudClient(tenant=..., database=...)`,
+    * /root/reference/src/ChromaCloudIngester.py:31-32, and
+    * RagWorkflow.py's HttpClient): a database under a tenant is a store
+    * root at `<root>/<tenant>/<database>/` — two filesystem levels, no
+    * extra machinery, and every store verb (create / mutable / rename /
+    * compact / list) works unchanged inside it. Names are validated as
+    * single path segments so a tenant id can never escape the root. */
+  def forTenant(root: String, tenant: String, database: String): VectorStore = {
+    def ok(s: String) = s.nonEmpty && !s.contains('/') && !s.contains('\\') &&
+      s != "." && s != ".."
+    require(ok(tenant) && ok(database),
+      s"tenant/database must be plain path segments, got '$tenant'/'$database'")
+    val dir = new java.io.File(new java.io.File(root, tenant), database)
+    dir.mkdirs()
+    VectorStore(dir.getPath)
+  }
+}

@@ -224,6 +224,20 @@ class StoreMutationSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("tenant/database addressing: isolated roots, verbs unchanged, no path escape") {
+    val root = java.nio.file.Files.createTempDirectory("graft_tenants").toString
+    val s1 = VectorStore.forTenant(root, "acme", "vectors")
+    s1.create("kb", base)
+    assert(s1.list() == Seq("kb"))
+    assert(VectorStore.forTenant(root, "acme", "other").list().isEmpty)
+    assert(VectorStore.forTenant(root, "globex", "vectors").list().isEmpty)
+    val ex = intercept[IllegalArgumentException] {
+      VectorStore.forTenant(root, "../evil", "db")
+    }
+    assert(ex.getMessage.contains("path segments"))
+    VectorStore(root).destroy()
+  }
+
   test("rename moves every sidecar; peek and getPage read the live view in id order") {
     val store = freshStore()
     val mc = store.createMutable("c", base, "id")
