@@ -2075,31 +2075,17 @@ object GraftQueries {
     * 7th id, then read the live view. The oracle restates the exact final
     * state in plain SQL over the source table — a FULL-hash check that the
     * tombstone merge resolves versions correctly. */
-  val collectionMutate: Q = (s, d) => {
+  /** THE mutation sequence collection_mutate / collection_snapshot /
+    * collection_diff all exercise — create (<=300), upsert (250..350,
+    * upper text), update (source='edited' for <=20), delete (%7) — as
+    * ONE definition, because their three oracles each restate this
+    * exact sequence in SQL and would silently stop agreeing if a copy
+    * drifted. Runs against a fresh temp store; returns the mutable
+    * handle and the post-upsert sequence, then hands the caller's
+    * result through collect-and-destroy. */
+  private def withMutateSequence(s: SparkSession, d: String)(
+      out: (graft.store.MutableCollection, Long) => DataFrame): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_mutq").toString
-    val store = graft.store.VectorStore(root)
-    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
-    val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 300), "doc_id")
-    mc.upsert(docs.filter(col("doc_id").between(250, 350))
-      .withColumn("text", upper(col("text"))))
-    mc.update(s, docs.filter(col("doc_id") <= 20)
-      .select(col("doc_id"), lit("edited").as("source")))
-    mc.delete(mc.readLive(s).filter(col("doc_id") % 7 === 0).select("doc_id"))
-    val out = mc.readLive(s).orderBy("doc_id")
-    val rows = out.collect()
-    store.destroy()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-  }
-
-  /** Snapshot (time-travel) reads over the same mutation sequence as
-    * `collection_mutate`: because merge-on-read never destroys row
-    * versions, the post-upsert state AND the final state reconstruct
-    * from one store via [[graft.store.MutableCollection.readLiveAt]] —
-    * both returned here under a tag column, both restated in plain SQL
-    * by the oracle, so the gate hash-proves that seq-bounded merges
-    * resolve every retained historical state exactly. */
-  val collectionSnapshot: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_snapq").toString
     val store = graft.store.VectorStore(root)
     val docs = Tables.documents(s, d).select("doc_id", "source", "text")
     val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 300), "doc_id")
@@ -2109,37 +2095,40 @@ object GraftQueries {
     mc.update(s, docs.filter(col("doc_id") <= 20)
       .select(col("doc_id"), lit("edited").as("source")))
     mc.delete(mc.readLive(s).filter(col("doc_id") % 7 === 0).select("doc_id"))
-    val out = mc.readLiveAt(s, postUpsert).withColumn("snapshot", lit("post_upsert"))
-      .unionByName(mc.readLiveAt(s, mc.currentSeq).withColumn("snapshot", lit("final")))
-      .select("snapshot", "doc_id", "source", "text")
-      .orderBy("snapshot", "doc_id")
-    val rows = out.collect()
+    val res = out(mc, postUpsert)
+    val rows = res.collect()
     store.destroy()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
   }
+
+  val collectionMutate: Q = (s, d) =>
+    withMutateSequence(s, d)((mc, _) => mc.readLive(s).orderBy("doc_id"))
+
+  /** Snapshot (time-travel) reads over the same mutation sequence as
+    * `collection_mutate`: because merge-on-read never destroys row
+    * versions, the post-upsert state AND the final state reconstruct
+    * from one store via [[graft.store.MutableCollection.readLiveAt]] —
+    * both returned here under a tag column, both restated in plain SQL
+    * by the oracle, so the gate hash-proves that seq-bounded merges
+    * resolve every retained historical state exactly. */
+  val collectionSnapshot: Q = (s, d) =>
+    withMutateSequence(s, d) { (mc, postUpsert) =>
+      mc.readLiveAt(s, postUpsert).withColumn("snapshot", lit("post_upsert"))
+        .unionByName(mc.readLiveAt(s, mc.currentSeq).withColumn("snapshot", lit("final")))
+        .select("snapshot", "doc_id", "source", "text")
+        .orderBy("snapshot", "doc_id")
+    }
 
   /** Change-data capture between two snapshots of the collection_mutate
     * sequence (creation -> final): every id classified insert / update /
     * delete with its payload, against an oracle that re-derives the same
     * change set from the two SQL-restated states. Proves the CDC read is
     * exactly the difference of the snapshots it spans. */
-  val collectionDiff: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_diffq").toString
-    val store = graft.store.VectorStore(root)
-    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
-    val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 300), "doc_id")
-    val s0 = mc.currentSeq
-    mc.upsert(docs.filter(col("doc_id").between(250, 350))
-      .withColumn("text", upper(col("text"))))
-    mc.update(s, docs.filter(col("doc_id") <= 20)
-      .select(col("doc_id"), lit("edited").as("source")))
-    mc.delete(mc.readLive(s).filter(col("doc_id") % 7 === 0).select("doc_id"))
-    val out = mc.changesBetween(s, s0, mc.currentSeq)
-      .orderBy("change", "doc_id")
-    val rows = out.collect()
-    store.destroy()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
-  }
+  val collectionDiff: Q = (s, d) =>
+    withMutateSequence(s, d) { (mc, _) =>
+      // creation is always sequence 0 — diff the full span
+      mc.changesBetween(s, 0L, mc.currentSeq).orderBy("change", "doc_id")
+    }
 
   /** Compaction invisibility at the gate: a mid-sequence [[compact]]
     * (folding a delete's tombstones into the files) must leave every

@@ -223,21 +223,15 @@ object Multimodal {
     * decoded features without decoding — which makes the ENCODE→DECODE
     * round-trip through the real codec byte-exactly checkable in SQL.
     */
-  def synthPng(id: Long): Array[Byte] = {
-    val w = (8 + Math.floorMod(id, 24L)).toInt
-    val h = (8 + Math.floorMod(id * 7L, 24L)).toInt
-    ImageCodec.encodePng(w, h, (x, y) => {
-      val r = Math.floorMod(x * 31L + y * 17L + id, 256L).toInt
-      val g = Math.floorMod(x * 13L + y * 29L + id * 3L, 256L).toInt
-      val b = Math.floorMod(x * 7L + y * 11L + id * 5L, 256L).toInt
-      (r << 16) | (g << 8) | b
-    })
-  }
+  def synthPng(id: Long): Array[Byte] = synthPngVariant(id, flips = 0)
 
   /** [[synthPng]] with the green LSB of the first `flips` pixels (row-
     * major) inverted — a controlled NEAR-duplicate: the perceptual
     * distance is a handful of sub-quantization luminance nudges, while
-    * the bytes (and any exact hash) differ completely. */
+    * the bytes (and any exact hash) differ completely. This is THE one
+    * pixel-formula definition — synthPng is the flips = 0 case, so the
+    * near-duplicate fixture property (variant == base except green
+    * LSBs) holds by construction, not by parallel maintenance. */
   def synthPngVariant(id: Long, flips: Int): Array[Byte] = {
     val w = (8 + Math.floorMod(id, 24L)).toInt
     val h = (8 + Math.floorMod(id * 7L, 24L)).toInt
@@ -314,12 +308,20 @@ object Multimodal {
     * bucket primitive-array scan). Undecodable payloads drop out rather
     * than poisoning a bucket. Output (id_a, id_b, hamming), id_a < id_b. */
   def imageNearDup(df: DataFrame, binCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame =
+                   maxHamming: Int = 3): DataFrame = {
+    // validate BEFORE the long cast: a string id would cast to null and
+    // the kernel would silently suppress every pair (same contract as
+    // Dedup.signaturePairs, which this cast would otherwise mask)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = df.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"imageNearDup needs an integral id column; '$idCol' is $idType")
     graft.operators.Dedup.signaturePairs(
       graft.Tables.spread(df)
         .select(col(idCol).cast("long").as("_id"), dHash(col(binCol)).as("_sig"))
         .filter(col("_sig").isNotNull),
       "_id", "_sig", maxHamming)
+  }
 
   /** Attach a binary payload column derived from a string column (the
     * testdata has no real blobs; `encode(text)` makes the plumbing real).

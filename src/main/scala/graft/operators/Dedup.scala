@@ -483,6 +483,15 @@ object Dedup {
     * Output: (id_a, id_b, hamming), id_a < id_b, both as LONG. */
   def signaturePairs(sigs0: DataFrame, idCol: String, sigCol: String,
                      maxHamming: Int = 3): DataFrame = {
+    // a string id would cast to null, getLong(null) would read 0, and
+    // the strict id_a < id_b check would silently suppress EVERY pair —
+    // an empty answer with no error; fail loudly instead (simhashPairs
+    // dispatches non-integral ids to its join form for this reason)
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val idType = sigs0.schema(idCol).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"signaturePairs needs an integral id column; '$idCol' is $idType " +
+        "(map your ids to longs first, or use simhashPairs' generic join form)")
     val sigs = sigs0.select(col(idCol).cast("long").as("_id"),
       col(sigCol).cast("long").as("_sig"))
     val banded = sigs.select(col("_id"), col("_sig"),
@@ -815,17 +824,25 @@ object Dedup {
     *
     * Output: (doc_id, n_grams, n_overlap, contaminated) per corpus doc.
     */
+  /** Distinct word n-grams of a pre-projected token array (short docs
+    * emit their whole token sequence as one gram). ONE definition shared
+    * by [[decontaminate]] and [[decontaminateBloom]] — their
+    * bit-identical-output guarantee depends on the gram rule never
+    * diverging between them.
+    *
+    * The token array MUST be projected to its own column before this
+    * transform lambda touches it: an expression inside a higher-order
+    * function is outside codegen's subexpression elimination, so an
+    * inline split() would re-tokenize the document once PER GRAM —
+    * O(tokens^2) per doc (measured 7s -> 0.5s at sf0.1). */
+  private def wordGrams(toks: Column, n: Int): Column =
+    array_distinct(transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
+      i => concat_ws(" ", slice(toks, i, lit(n)))))
+
   def decontaminate(docs: DataFrame, benchmark: DataFrame,
                     textCol: String, idCol: String, n: Int = 8): DataFrame = {
-    // the token array MUST be projected to its own column before the
-    // transform lambda touches it: an expression inside a higher-order
-    // function is outside codegen's subexpression elimination, so an
-    // inline split() would re-tokenize the document once PER GRAM —
-    // O(tokens^2) per doc (measured 7s -> 0.5s at sf0.1 for this query)
-    def grams(toks: Column): Column =
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    def grams(toks: Column): Column = wordGrams(toks, n)
     val bGrams = benchmark
       .select(graft.text.TextAnalysis.tokens(col(textCol)).as("_toks"))
       .select(explode(grams(col("_toks"))).as("gram"))
@@ -876,10 +893,7 @@ object Dedup {
   def decontaminateBloom(docs: DataFrame, benchmark: DataFrame,
                          textCol: String, idCol: String, n: Int = 8,
                          fpp: Double = 0.01): DataFrame = {
-    def grams(toks: Column): Column =
-      array_distinct(transform(
-        sequence(lit(1), greatest(size(toks) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(toks, i, lit(n)))))
+    def grams(toks: Column): Column = wordGrams(toks, n)
     // the benchmark gram relation is consumed three times (cardinality
     // count, bloom build, confirm join) — materialize it once rather
     // than re-tokenizing the benchmark per consumer

@@ -60,15 +60,24 @@ object WhereDsl {
 
   private def toDocPredicate(j: JValue, content: Column): Column = j match {
     case JObject(fields) =>
-      fields.map {
-        case ("$and", JArray(cs)) => cs.map(toDocPredicate(_, content)).reduce(_ && _)
-        case ("$or", JArray(cs)) => cs.map(toDocPredicate(_, content)).reduce(_ || _)
+      // reduceOption: an empty object or empty $and/$or array gets the
+      // DSL's IllegalArgumentException contract, not a bare empty.reduce
+      def nonEmpty(cs: List[Column], what: String): List[Column] = {
+        if (cs.isEmpty) throw new IllegalArgumentException(
+          s"where_document $what must not be empty")
+        cs
+      }
+      nonEmpty(fields.map {
+        case ("$and", JArray(cs)) =>
+          nonEmpty(cs.map(toDocPredicate(_, content)), "$and array").reduce(_ && _)
+        case ("$or", JArray(cs)) =>
+          nonEmpty(cs.map(toDocPredicate(_, content)), "$or array").reduce(_ || _)
         case ("$contains", JString(s)) => content.contains(lit(s))
         case ("$not_contains", JString(s)) => !content.contains(lit(s))
         case (op, _) => throw new IllegalArgumentException(
           s"unsupported where_document operator $op (expected $$contains/" +
             s"$$not_contains/$$and/$$or with string operands)")
-      }.reduce(_ && _)
+      }, "clause").reduce(_ && _)
     case other => throw new IllegalArgumentException(
       s"where_document clause must be an object, got $other")
   }

@@ -223,8 +223,11 @@ final case class MutableCollection(store: VectorStore, name: String) {
   /** Change-data read between two retained snapshots (the CDC companion
     * of [[readLiveAt]]): one row per id whose live value differs between
     * `fromSeq` and `toSeq` — `change` ∈ insert / update / delete, with
-    * the row payload (the NEW values; for a delete, the last values the
-    * row had). Computed as a full outer join of the two snapshot views
+    * the row payload (the NEW values; for a delete, the values the row
+    * had IN THE `fromSeq` STATE — a row updated and later deleted
+    * within the span reports its `fromSeq` values, because the diff is
+    * between the two endpoint states, not a replay of the intermediate
+    * history). Computed as a full outer join of the two snapshot views
     * on the id with a null-safe struct compare — two bounded scans of
     * the same files every read uses, one shuffle keyed on the id. (A
     * seq-range file pruning variant could skip rows outside (from, to]
@@ -301,6 +304,8 @@ final case class MutableCollection(store: VectorStore, name: String) {
     * paging, filter `id > lastSeen` instead (keyset pagination). */
   def getPage(spark: SparkSession, limit: Int, offset: Int = 0): DataFrame = {
     require(limit > 0 && offset >= 0, s"bad page: limit=$limit offset=$offset")
+    require(offset.toLong + limit <= Int.MaxValue,
+      s"page end ${offset.toLong + limit} overflows Int (limit=$limit offset=$offset)")
     val top = readLive(spark).orderBy(col(idCol)).limit(offset + limit)
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(idCol))
     top.withColumn("_rn", row_number().over(w))

@@ -224,6 +224,17 @@ final case class VectorStore(root: String) {
     * rather than clobbering. */
   def rename(from: String, to: String): Unit = {
     recoverStranded()
+    // the target must be a plain segment and must not collide with the
+    // compaction machinery's reserved suffixes: a collection named
+    // "x__old" would be deleted by a later compact of "x" (rm of the
+    // staging dir) or silently renamed by recoverStranded, and
+    // "x__compacting" is invisible to list() and overwritten by a
+    // compact of "x"
+    require(to.nonEmpty && !to.contains('/') && !to.contains('\\') &&
+      to != "." && to != "..",
+      s"collection name '$to' must be a plain path segment")
+    require(!to.endsWith("__old") && !to.endsWith("__compacting"),
+      s"collection name '$to' collides with the compaction staging suffixes")
     val src = new java.io.File(path(from))
     val dst = new java.io.File(path(to))
     require(src.isDirectory, s"collection '$from' does not exist")

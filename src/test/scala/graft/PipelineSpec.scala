@@ -196,6 +196,13 @@ class PipelineSpec extends SparkSpec {
     val got2 = Multimodal.imageNearDup(withJunk, "payload", "id", maxHamming = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got2 == brute)
+    // a string id column must fail loudly — a silent long-cast would
+    // null every id and suppress every pair
+    val strIds = df.withColumn("id", concat(lit("doc-"), $"id"))
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.imageNearDup(strIds, "payload", "id")
+    }
+    assert(ex.getMessage.contains("integral id column"))
   }
 
   test("frame sampling: frames reassemble to the exact payload bytes") {

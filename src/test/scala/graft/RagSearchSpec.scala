@@ -61,6 +61,13 @@ class RagSearchSpec extends SparkSpec {
         col("text")))
       .select("id").collect().map(_.getLong(0)).toSet
     assert(got == Set(1L, 3L)) // 2 killed by hash-without-stream, 4 by no data
+    // empty clauses get the DSL's error contract, not a bare empty.reduce
+    Seq("{}", """{"$and": []}""", """{"$or": []}""").foreach { bad =>
+      val ex = intercept[IllegalArgumentException] {
+        WhereDsl.parseDocument(bad, col("text"))
+      }
+      assert(ex.getMessage.contains("must not be empty"), s"for $bad: $ex")
+    }
   }
 
   test("context_for_rag assembles capped context with source headers") {

@@ -257,6 +257,19 @@ class StoreMutationSpec extends SparkSpec {
     assert(ex.getMessage.contains("does not exist"))
     val ex2 = intercept[IllegalArgumentException] { store.rename("c2", "c2") }
     assert(ex2.getMessage.contains("already exists"))
+    // reserved compaction suffixes and path separators are rejected —
+    // "x__old" would be deleted by a later compact of "x" or silently
+    // renamed by crash recovery
+    val ex3 = intercept[IllegalArgumentException] { store.rename("c2", "x__old") }
+    assert(ex3.getMessage.contains("staging suffixes"))
+    val ex4 = intercept[IllegalArgumentException] { store.rename("c2", "a/b") }
+    assert(ex4.getMessage.contains("path segment"))
+    // getPage overflow guard: arguments its precondition accepts must
+    // not surface as a negative-limit analysis error
+    val ex5 = intercept[IllegalArgumentException] {
+      mc2.getPage(spark, limit = 2, offset = Int.MaxValue)
+    }
+    assert(ex5.getMessage.contains("overflows"))
     store.destroy()
   }
 
@@ -287,6 +300,14 @@ class StoreMutationSpec extends SparkSpec {
       ("insert", 6L, "d", "six"),
       ("update", 2L, "a", "TWO"), // NEW payload
       ("update", 5L, "edited", "five")))
+    // a row UPDATED then DELETED within the span reports its fromSeq
+    // values (the diff is between endpoint states, not a history replay)
+    mc.update(spark, Seq((3L, "patched")).toDF("id", "src"))
+    mc.deleteIds(spark, Seq(3L))
+    val d3 = mc.changesBetween(spark, s0, mc.currentSeq)
+      .filter(col("id") === 3L).collect().map(r =>
+        (r.getString(0), r.getString(2), r.getString(3))).toSeq
+    assert(d3 == Seq(("delete", "b", "three"))) // seq-0 values, not "patched"
     // identical endpoints -> empty; reversed endpoints -> error
     assert(mc.changesBetween(spark, mc.currentSeq, mc.currentSeq).isEmpty)
     val ex = intercept[IllegalArgumentException] {
