@@ -242,6 +242,50 @@ final case class VectorStore(root: String) {
     require(src.renameTo(dst), s"rename '$from' -> '$to' failed")
   }
 
+  /** Zero-copy writable fork of a collection (the lakehouse SHALLOW
+    * CLONE verb): every data file and sidecar is HARDLINKED into the
+    * new collection directory — O(files) metadata operations, zero
+    * bytes moved, so forking a 100 TB collection for an experiment
+    * costs what an `ls` costs. Parquet files are immutable by the
+    * store's write discipline (appends/compactions create NEW files;
+    * the staged swap replaces directories, never rewrites in place), so
+    * the link-sharing is safe: mutations on either side only ADD files
+    * in their own directory or swap their own directory away — the
+    * shared bytes are never edited through either name — and the same
+    * holds for tombstone-log parquet (appends create new files,
+    * truncation deletes names). Non-parquet sidecars (the mutable
+    * marker, the embedder manifest) are COPIED, not linked: the marker
+    * is atomically REPLACED on every seq allocation, which would sever
+    * a link anyway — copying makes the bookkeeping independence
+    * explicit, so a forked mutable collection versions independently.
+    * Falls back to a byte copy if the filesystem refuses links. */
+  def fork(from: String, to: String): Unit = {
+    recoverStranded()
+    require(to.nonEmpty && !to.contains('/') && !to.contains('\\') &&
+      to != "." && to != ".." &&
+      !to.endsWith("__old") && !to.endsWith("__compacting"),
+      s"collection name '$to' must be a plain, non-reserved path segment")
+    val src = new java.io.File(path(from))
+    val dst = new java.io.File(path(to))
+    require(src.isDirectory, s"collection '$from' does not exist")
+    require(!dst.exists(), s"collection '$to' already exists")
+    def go(s: java.io.File, d: java.io.File): Unit = {
+      if (s.isDirectory) {
+        require(d.mkdirs() || d.isDirectory, s"cannot create ${d.getPath}")
+        ls(s).foreach(c => go(c, new java.io.File(d, c.getName)))
+      } else if (s.getName.startsWith("part-")) {
+        try java.nio.file.Files.createLink(d.toPath, s.toPath)
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          java.nio.file.Files.copy(s.toPath, d.toPath): Unit }
+      } else {
+        // sidecars (marker, manifest, tombstone log, _SUCCESS): copy —
+        // each side must version its bookkeeping independently
+        java.nio.file.Files.copy(s.toPath, d.toPath): Unit
+      }
+    }
+    go(src, dst)
+  }
+
   /** First `n` current rows by id order (the Chroma `peek(n)` shape) —
     * a bounded look, not a scan: TakeOrdered, k rows per partition. */
   def peek(spark: SparkSession, name: String, n: Int = 10,

@@ -224,6 +224,35 @@ class StoreMutationSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("fork: zero-copy writable clone — bytes shared, histories independent") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    mc.upsert(Seq((6L, "d", "six")).toDF("id", "src", "text"))
+    val before = liveMap(mc)
+    store.fork("c", "branch")
+    // data bytes are SHARED (hardlink -> same inode), not duplicated
+    val srcFile = store.dataFiles("c").head.toPath
+    val ino = java.nio.file.Files.getAttribute(srcFile, "unix:ino")
+    val linked = store.dataFiles("branch").map(f =>
+      java.nio.file.Files.getAttribute(f.toPath, "unix:ino")).contains(ino)
+    assert(linked, "expected at least one shared inode between source and fork")
+    // the fork mutates independently; the source never sees it
+    val br = store.mutable("branch")
+    br.upsert(Seq((1L, "a", "FORKED")).toDF("id", "src", "text"))
+    br.deleteIds(spark, Seq(5L))
+    assert(liveMap(mc) == before, "source changed by a fork mutation")
+    val bm = liveMap(br)
+    assert(bm(1L) == ("a", "FORKED") && !bm.contains(5L) && bm(6L) == ("d", "six"))
+    // and the other direction: source mutations invisible to the fork
+    mc.deleteIds(spark, Seq(4L))
+    assert(liveMap(br).contains(4L))
+    // compacting the fork (rewrites+swaps ITS directory) leaves source intact
+    br.compact(spark)
+    assert(liveMap(mc).keySet == before.keySet - 4L)
+    assert(liveMap(br) == bm)
+    store.destroy()
+  }
+
   test("tenant/database addressing: isolated roots, verbs unchanged, no path escape") {
     val root = java.nio.file.Files.createTempDirectory("graft_tenants").toString
     val s1 = VectorStore.forTenant(root, "acme", "vectors")
