@@ -511,6 +511,25 @@ object GraftOracles {
         |  WHERE f.source <> o.source OR f.text <> o.text
         |ORDER BY change, doc_id""".stripMargin,
 
+    // Twin of collection_fork: the source state (untouched create) and
+    // the fork state (upsert 290..330 lower + delete %11) restated
+    // independently — a hash match proves the hardlinked fork's history
+    // is fully isolated from the source's.
+    "collection_fork" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id <= 300),
+        |ups AS (
+        |  SELECT doc_id, source, lower(text) AS text FROM documents
+        |  WHERE doc_id BETWEEN 290 AND 330),
+        |brk AS (
+        |  SELECT * FROM ups
+        |  UNION ALL
+        |  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM ups))
+        |SELECT 'source' AS side, doc_id, source, text FROM base
+        |UNION ALL
+        |SELECT 'fork', doc_id, source, text FROM brk WHERE doc_id % 11 <> 0
+        |ORDER BY side, doc_id""".stripMargin,
+
     // Twin of collection_mutate_compact: the oracle restates the whole
     // mutation sequence (create <=280, delete %5, upsert 260..330 with
     // lower(text), update source='patched' for <=15) with NO notion of

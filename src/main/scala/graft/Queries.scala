@@ -2130,6 +2130,30 @@ object GraftQueries {
       mc.changesBetween(s, 0L, mc.currentSeq).orderBy("change", "doc_id")
     }
 
+  /** Zero-copy fork at the gate: fork a mutable collection (hardlinked
+    * data, copied bookkeeping), mutate ONLY the fork, then read both
+    * sides tagged — the oracle restates the two states independently,
+    * so a hash match proves complete history isolation across shared
+    * bytes. */
+  val collectionFork: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_forkq").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 300), "doc_id")
+    store.fork("docs", "branch")
+    val br = store.mutable("branch")
+    br.upsert(docs.filter(col("doc_id").between(290, 330))
+      .withColumn("text", lower(col("text"))))
+    br.delete(br.readLive(s).filter(col("doc_id") % 11 === 0).select("doc_id"))
+    val out = mc.readLive(s).withColumn("side", lit("source"))
+      .unionByName(br.readLive(s).withColumn("side", lit("fork")))
+      .select("side", "doc_id", "source", "text")
+      .orderBy("side", "doc_id")
+    val rows = out.collect()
+    store.destroy()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Compaction invisibility at the gate: a mid-sequence [[compact]]
     * (folding a delete's tombstones into the files) must leave every
     * LATER mutation and the final live view bit-identical to the
@@ -2934,6 +2958,7 @@ object GraftQueries {
     "where_document_filter" -> whereDocumentFilter,
     "collection_lifecycle" -> collectionLifecycle,
     "collection_diff" -> collectionDiff,
+    "collection_fork" -> collectionFork,
     "collection_mutate" -> collectionMutate,
     "collection_mutate_compact" -> collectionMutateCompact,
     "collection_snapshot" -> collectionSnapshot,
