@@ -112,6 +112,91 @@ object GraftOracles {
 
   private val kmeansCte: String = kmeansCteOn("TRUE")
 
+  /** Shared twin of ann_probe_knn / ann_ivf_store (identical answers by
+    * construction — see the map entries): quantize, probe 4 cells by raw
+    * l2 (dr, cid), top-10 among candidates by raw l2 with vec_id
+    * tiebreak, label joined back. */
+  private lazy val annProbedTop10Sql: String =
+    s"""WITH ${simIvfCte(16, 3)},
+       |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id = 0),
+       |pqd AS (SELECT c.cid, list_sum(list_transform(range(1,65),
+       |    i -> (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)])
+       |       * (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)]))) AS dr
+       |  FROM sc3 c CROSS JOIN q),
+       |probe AS (SELECT cid FROM pqd ORDER BY dr, cid LIMIT 4),
+       |cand AS (SELECT s.vec_id, s.cid, s.embedding FROM scellf s
+       |  WHERE s.cid IN (SELECT cid FROM probe)),
+       |dd AS (SELECT c.vec_id, c.cid, list_sum(list_transform(range(1,65),
+       |    i -> (c.embedding[CAST(i AS INT)]::DOUBLE - q.qv[CAST(i AS INT)])
+       |       * (c.embedding[CAST(i AS INT)]::DOUBLE - q.qv[CAST(i AS INT)]))) AS dr
+       |  FROM cand c CROSS JOIN q)
+       |SELECT d.vec_id, e2.label, CAST(d.cid AS INT) AS cell_id
+       |FROM (SELECT * FROM dd ORDER BY dr, vec_id LIMIT 10) d
+       |JOIN embeddings e2 ON e2.vec_id = d.vec_id
+       |ORDER BY d.vec_id""".stripMargin
+
+  /** Twin of ann_lsh_buckets: the 12 hyperplanes are the deterministic
+    * scala.util.Random(42) Gaussian draw — generated HERE with the same
+    * JVM sequence and inlined as double literals (float->double is
+    * exact; Double.toString round-trips), so the SQL reproduces bit i =
+    * sign(left-to-right dot) without sharing any code with the
+    * operator. */
+  private lazy val lshBucketsSql: String = {
+    val rng = new scala.util.Random(42L)
+    val planes = Array.fill(12)(Array.fill(64)(rng.nextGaussian().toFloat))
+    val bitTerms = planes.zipWithIndex.map { case (p, bit) =>
+      val lits = p.map(f => f.toDouble.toString).mkString("[", ", ", "]")
+      s"""CASE WHEN list_sum(list_transform(range(1,65),
+         |    i -> e.embedding[CAST(i AS INT)]::DOUBLE * ($lits)[CAST(i AS INT)]))
+         |  >= 0 THEN CAST(${1L << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
+    }.mkString("\n + ")
+    s"""WITH b AS (SELECT vec_id, ($bitTerms) AS lsh_bucket FROM embeddings e)
+       |SELECT lsh_bucket, count(*) AS n_vectors FROM b
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Unrolled twin of [[graft.operators.Similarity.trainCentroidArrays]]
+    * + `withCellId` — the OTHER deterministic quantizer (the Similarity
+    * tier's, distinct from Clustering's in three ways the twin must
+    * mirror exactly): seeds are the `k` smallest vec_ids (not residue
+    * classes), the fixed-point Lloyd sum TRUNCATES toward zero (Scala's
+    * double→long cast; `trunc`, not `floor`), and cell assignment
+    * argmins over the UNROUNDED left-to-right double l2 (ties to lowest
+    * cid). The training sampleCap (100k, md5-ordered TakeOrdered) never
+    * binds at gate scale (<=2000 vectors), so the twin trains on every
+    * row. Ends at `scellf` = (vec_id, embedding, cid) under the FINAL
+    * centroids `sc<iters>`. */
+  private def simIvfCte(k: Int, iters: Int): String = {
+    def rawDist(c: String) =
+      s"""list_sum(list_transform(range(1,65),
+         |      i -> (e.embedding[CAST(i AS INT)]::DOUBLE - $c.v[CAST(i AS INT)])
+         |         * (e.embedding[CAST(i AS INT)]::DOUBLE - $c.v[CAST(i AS INT)])))""".stripMargin
+    def round(i: Int, prev: String): String =
+      s"""sd$i AS (SELECT e.vec_id, e.embedding, c.cid, ${rawDist("c")} AS dr
+         |  FROM embeddings e CROSS JOIN $prev c),
+         |sa$i AS (SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn FROM sd$i),
+         |ss$i AS (SELECT vec_id, embedding, cid FROM sa$i WHERE rn = 1),
+         |sm$i AS (SELECT cid, u.p AS pos,
+         |    CAST(sum(CAST(trunc(embedding[CAST(u.p + 1 AS INT)]::DOUBLE * 16777216) AS BIGINT)) AS DOUBLE)
+         |      / count(*) / 16777216 AS mval
+         |  FROM ss$i, unnest(range(0, 64)) AS u(p) GROUP BY 1, 2),
+         |scm$i AS (SELECT cid, list(CAST(CAST(mval AS FLOAT) AS DOUBLE) ORDER BY pos) AS v
+         |  FROM sm$i GROUP BY 1),
+         |sc$i AS (SELECT * FROM scm$i UNION ALL
+         |  SELECT * FROM $prev p WHERE p.cid NOT IN (SELECT cid FROM scm$i))""".stripMargin
+    s"""sseeds AS (SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k)),
+       |sc0 AS (SELECT cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM sseeds),
+       |${(1 to iters).map(i => round(i, s"sc${i - 1}")).mkString(",\n")},
+       |sdf AS (SELECT e.vec_id, e.embedding, c.cid, ${rawDist(s"c")} AS dr
+       |  FROM embeddings e CROSS JOIN sc$iters c),
+       |saf AS (SELECT vec_id, embedding, cid,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn FROM sdf),
+       |scellf AS (SELECT vec_id, embedding, cid FROM saf WHERE rn = 1)""".stripMargin
+  }
+
   // text-analysis shared fragments
   private val toks = """string_split_regex(trim(lower(text)), '\s+')"""
   private val enStop = "['the','a','of','and','is','to','in']"
@@ -780,6 +865,52 @@ object GraftOracles {
          |         * (m.mns[CAST(i AS INT)] + enc.code[CAST(i AS INT)] * ((m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) / 255) - q.qv[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dist
          |  FROM enc CROSS JOIN mml m CROSS JOIN q)
          |SELECT vec_id, dist FROM dd ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
+    // Twin of ann_ivf — IVF-flat moves from rows-only to FULL ORACLE:
+    // the simIvfCte reproduces Similarity's quantizer bit-for-bit
+    // (min-id seeds, trunc fixed-point Lloyd, unrounded argmin), probe
+    // selection is the same raw-l2 sort (dr, cid) take-4, and scoring
+    // is the proven left-to-right cosine restricted to probed cells.
+    // IVF is "approximate" only in WHICH cells are probed — given the
+    // deterministic quantizer, the whole computation is exact and
+    // therefore hash-checkable.
+    "ann_ivf" ->
+      s"""WITH ${simIvfCte(16, 3)},
+         |sq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |sqd AS (SELECT q.q_id, c.cid, list_sum(list_transform(range(1,65),
+         |    i -> (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |       * (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM sq q CROSS JOIN sc3 c),
+         |sprobe AS (SELECT q_id, cid FROM (
+         |    SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY dr, cid) AS rn
+         |    FROM sqd) WHERE rn <= 4),
+         |scand AS (SELECT p.q_id, s.vec_id, s.embedding
+         |  FROM scellf s JOIN sprobe p ON s.cid = p.cid),
+         |sscore AS (SELECT c.q_id, c.vec_id, round(
+         |    list_sum(list_transform(range(1,65), i -> c.embedding[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE)) /
+         |    sqrt(list_sum(list_transform(range(1,65), i -> c.embedding[CAST(i AS INT)]::DOUBLE * c.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |         list_sum(list_transform(range(1,65), i -> q.qe[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+         |  FROM scand c JOIN sq q ON q.q_id = c.q_id),
+         |srank AS (SELECT q_id, vec_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM sscore)
+         |SELECT q_id, vec_id, cosine, rank FROM srank WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
+
+    // Twin of ann_probe_knn AND ann_ivf_store (one SQL, two entries):
+    // both run the SAME computation — Similarity quantizer (simIvfCte),
+    // AnnProbeRule's raw-l2 (dr, cid) take-4 probe, top-10 by the raw
+    // promote-to-double l2 — differing only in WHERE the cells live
+    // (inline projection vs cell-partitioned files), which is invisible
+    // to the answer. Moves two more ANN entries from rows-only to full
+    // oracle.
+    "ann_probe_knn" -> annProbedTop10Sql,
+    "ann_ivf_store" -> annProbedTop10Sql,
+
+    // Twin of ann_lsh_buckets (rows-only no more): deterministic
+    // hyperplane signatures are pure arithmetic once the seeded planes
+    // are inlined — see lshBucketsSql.
+    "ann_lsh_buckets" -> lshBucketsSql,
 
     // Twin of the STORED int8-SQ search — the first stored-ANN full
     // oracle: the kmeans CTE reproduces the deterministic coarse

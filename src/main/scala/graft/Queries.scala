@@ -511,8 +511,11 @@ object GraftQueries {
       .orderBy("anchor_id", "rank")
   }
 
-  /** IVF-flat approximate kNN (rows-only: approximate by construction; its
-    * recall against vec_topk_join is asserted in ScalaTest). */
+  /** IVF-flat approximate kNN — FULL ORACLE since round 10: IVF is
+    * "approximate" only in WHICH cells are probed, and the quantizer,
+    * probe selection, and scoring are all deterministic, so the DuckDB
+    * twin (simIvfCte) reproduces the whole computation bit-for-bit.
+    * Recall against vec_topk_join additionally asserted in ScalaTest. */
   val annIvf: Q = (s, d) => {
     // cached: consumed by centroid seeding, the Lloyd round, and the probe
     // scan (3 jobs); result (k rows per query vector) is eagerized so the
@@ -535,8 +538,12 @@ object GraftQueries {
     * `withProbe` scope (the optimizer runs at action time), and the rule +
     * centroids are unregistered in its finally block, so no later query in
     * the session can be silently rewritten to an approximate scan.
-    * Approximate by construction -> rows-only; exactness-when-probing-all-
-    * cells is asserted in AnnProbeSpec. */
+    * FULL ORACLE since round 10 (deterministic quantizer + probe → the
+    * probed top-10 is exactly computable in SQL); exactness when probing
+    * all cells is asserted in AnnProbeSpec. The round-10 oracle landing
+    * also exposed that THIS query's `.select`-after-`.limit` shape
+    * escaped the rewrite rule entirely (exact scan, silently) — the rule
+    * now matches the Project-interposed plan. */
   val annProbeKnn: Q = (s, d) => {
     import graft.plans.AnnProbe
     val e = Tables.embeddings(s, d).cache()
@@ -577,8 +584,9 @@ object GraftQueries {
     * AnnProbeRule injects prunes partitions — the scan never lists the
     * non-probed cells' files (PartitionFilters, pinned in AnnProbeSpec).
     * At 100 TB this is the storage half of IVF: nprobe/ncells of the
-    * bytes are READ, not just filtered. Approximate by construction ->
-    * rows-only. */
+    * bytes are READ, not just filtered. FULL ORACLE since round 10 —
+    * same SQL twin as ann_probe_knn (stored vs inline cells is invisible
+    * to the answer). */
   val annIvfStore: Q = (s, d) => {
     import graft.plans.AnnProbe
     val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
@@ -818,7 +826,9 @@ object GraftQueries {
   }
 
   /** Random-hyperplane LSH bucketing (the shuffle key for cosine near-dup
-    * at scale). Deterministic planes, rows-only. */
+    * at scale). Deterministic seeded planes — FULL ORACLE since round 10:
+    * the twin regenerates the same Gaussian draw and inlines the planes
+    * as SQL literals. */
   val annLshBuckets: Q = (s, d) =>
     Similarity.cosineLshBuckets(Tables.embeddings(s, d), "embedding", nBits = 12)
       .groupBy("lsh_bucket").agg(count(lit(1)).as("n_vectors"))

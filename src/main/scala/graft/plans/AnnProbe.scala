@@ -134,6 +134,19 @@ object AnnProbeRule extends Rule[LogicalPlan] {
           val attr = cellAttr(child).get
           val filter = Filter(In(attr, cells.map(c => Literal(c))), child)
           g.copy(child = l.copy(child = s.copy(child = filter)))
+        // the `.orderBy(dist).limit(k).select(cols)` shape: column
+        // pruning pushes the SELECT between the limit and the sort, so
+        // the limit's child is Project(Sort(...)) — without this case
+        // the most natural user spelling silently runs UNREWRITTEN
+        // (exact full scan; right answer, none of the probe speedup)
+        case g @ GlobalLimit(_, l @ LocalLimit(_, p @ Project(_,
+            s @ Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _))))
+            if cellAttr(child).isDefined && queryVecOf(key, child).isDefined &&
+              !alreadyProbed(child) =>
+          val cells = probeCells(queryVecOf(key, child).get, cents, nprobe)
+          val attr = cellAttr(child).get
+          val filter = Filter(In(attr, cells.map(c => Literal(c))), child)
+          g.copy(child = l.copy(child = p.copy(child = s.copy(child = filter))))
       }
     }
 

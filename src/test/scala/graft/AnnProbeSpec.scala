@@ -53,6 +53,25 @@ class AnnProbeSpec extends SparkSpec {
     } finally AnnCatalog.clear(spark)
   }
 
+  test("rule matches the orderBy(dist).limit(k).select(cols) shape (Project between limit and sort)") {
+    // column pruning pushes a trailing .select between the limit and
+    // the sort — the most natural user spelling. Until round 10 this
+    // shape silently ran UNREWRITTEN (exact full scan): right answer,
+    // none of the probe pruning — caught when the ann_probe_knn oracle
+    // landed and the gate answer was exact-top-10, not probed-top-10.
+    val (idx, cents) = indexed()
+    AnnCatalog.register(spark, cents, nprobe = 2)
+    try {
+      val q = idx.orderBy(l2Sq(col("embedding"), vecLit(qv))).limit(5)
+        .select("vec_id", "cell_id")
+      val optimized = q.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("cell_id") && optimized.contains("IN ("),
+        s"probe filter not injected through the interposed Project:\n$optimized")
+      val got = q.collect().map(_.getLong(0)).toSet
+      assert(got.size == 5 && got.contains(0L))
+    } finally AnnCatalog.clear(spark)
+  }
+
   test("rule matches the withColumn(distance).orderBy shape too") {
     val (idx, cents) = indexed()
     AnnCatalog.register(spark, cents, nprobe = 2)
