@@ -112,6 +112,115 @@ object GraftOracles {
 
   private val kmeansCte: String = kmeansCteOn("TRUE")
 
+  /** Shared twin of ann_ivfpq / ann_ivfpq_store (identical answers —
+    * stored vs inline encoding is invisible): the COMPLETE IVF-PQ chain
+    * in SQL. Every stage mirrors [[graft.operators.Similarity]]'s
+    * driver/UDF arithmetic bit-for-bit:
+    *  - coarse quantizer = simIvfCte (trunc fixed-point Lloyd);
+    *  - PQ training points = md5-of-id-ordered residuals CAST TO FLOAT
+    *    (trainIvfPq), subspace slices of 8 dims;
+    *  - kmeansDriver = seeds from the first ksub points in sample
+    *    order, then per-iteration: argmin by sequential double l2 (ties
+    *    lowest index), member sums accumulated IN SAMPLE ORDER
+    *    (list(x ORDER BY rn) -> list_sum), empty cells keep their
+    *    centroid, means re-quantized through FLOAT;
+    *  - encode = per-subspace argmin of each corpus vector's residual;
+    *  - search = raw-l2 (dr, cid) 4-cell probe, per-(query, cell)
+    *    DOUBLE residual distance tables, ADC = j-ordered sum of table
+    *    entries rounded HALF-UP 6, shortlist rank <= rerank*k by
+    *    (adc, id), exact raw-l2 rerank rounded 6, top-10 by (score, id).
+    * ksub is 256 in the operator; min(ksub, points) caps it at the
+    * sample size exactly as kmeansDriver does. */
+  private def ivfPqSql(ncells: Int, iters: Int, m: Int, dsub: Int,
+                       ksubMax: Int, nprobe: Int, k: Int, rerank: Int): String = {
+    def pqRound(i: Int, prev: String): String =
+      s"""pqd$i AS (SELECT p.rn, p.j, p.v, c.c, list_sum(list_transform(range(1,${dsub + 1}),
+         |    x -> (p.v[CAST(x AS INT)] - c.v[CAST(x AS INT)])
+         |       * (p.v[CAST(x AS INT)] - c.v[CAST(x AS INT)]))) AS dr
+         |  FROM pqpts p JOIN $prev c ON c.j = p.j),
+         |pqa$i AS (SELECT rn, j, v, c,
+         |    row_number() OVER (PARTITION BY rn, j ORDER BY dr, c) AS arn FROM pqd$i),
+         |pqs$i AS (SELECT rn, j, v, c FROM pqa$i WHERE arn = 1),
+         |pqm$i AS (SELECT j, c, u.p AS pos,
+         |    list_sum(list(v[CAST(u.p + 1 AS INT)] ORDER BY rn)) AS s, count(*) AS n
+         |  FROM pqs$i, unnest(range(0, $dsub)) AS u(p) GROUP BY 1, 2, 3),
+         |pqcm$i AS (SELECT j, c,
+         |    list(CAST(CAST(s / n AS FLOAT) AS DOUBLE) ORDER BY pos) AS v
+         |  FROM pqm$i GROUP BY 1, 2),
+         |pqc$i AS MATERIALIZED (SELECT * FROM pqcm$i UNION ALL
+         |  SELECT * FROM $prev p WHERE NOT EXISTS (
+         |    SELECT 1 FROM pqcm$i n WHERE n.j = p.j AND n.c = p.c))""".stripMargin
+    s"""WITH ${simIvfCte(ncells, iters)},
+       |cellm AS MATERIALIZED (SELECT vec_id, cid FROM scellf),
+       |centm AS MATERIALIZED (SELECT cid, v FROM sc$iters),
+       |smp AS (SELECT vec_id,
+       |    row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rn
+       |  FROM embeddings),
+       |resid AS MATERIALIZED (SELECT s.vec_id, list_transform(range(1,65),
+       |    i -> CAST(CAST(e.embedding[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]
+       |      AS FLOAT) AS DOUBLE)) AS res
+       |  FROM cellm s JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN centm c ON c.cid = s.cid),
+       |pqpts AS MATERIALIZED (SELECT m.rn, u.j, list_slice(r.res, u.j * $dsub + 1, (u.j + 1) * $dsub) AS v
+       |  FROM smp m JOIN resid r ON r.vec_id = m.vec_id,
+       |    unnest(range(0, $m)) AS u(j)),
+       |pqc0 AS MATERIALIZED (SELECT j, CAST(rn - 1 AS BIGINT) AS c, v FROM pqpts
+       |  WHERE rn <= LEAST($ksubMax, (SELECT count(*) FROM smp))),
+       |${(1 to iters).map(i => pqRound(i, s"pqc${i - 1}")).mkString(",\n")},
+       |enc0 AS (SELECT r.vec_id, p.j, list_slice(r.res, p.j * $dsub + 1, (p.j + 1) * $dsub) AS v
+       |  FROM resid r, unnest(range(0, $m)) AS p(j)),
+       |encd AS (SELECT e0.vec_id, e0.j, c.c, list_sum(list_transform(range(1,${dsub + 1}),
+       |    x -> (e0.v[CAST(x AS INT)] - c.v[CAST(x AS INT)])
+       |       * (e0.v[CAST(x AS INT)] - c.v[CAST(x AS INT)]))) AS dr
+       |  FROM enc0 e0 JOIN pqc$iters c ON c.j = e0.j),
+       |enca AS (SELECT vec_id, j, c,
+       |    row_number() OVER (PARTITION BY vec_id, j ORDER BY dr, c) AS arn FROM encd),
+       |code AS MATERIALIZED (SELECT vec_id, j, c FROM enca WHERE arn = 1),
+       |sq AS MATERIALIZED (SELECT vec_id AS q_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+       |  FROM embeddings WHERE vec_id < 5),
+       |sqd AS (SELECT q.q_id, c.cid, list_sum(list_transform(range(1,65),
+       |    i -> (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)])
+       |       * (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)]))) AS dr
+       |  FROM sq q CROSS JOIN centm c),
+       |sprobe AS MATERIALIZED (SELECT q_id, cid FROM (
+       |    SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY dr, cid) AS rn
+       |    FROM sqd) WHERE rn <= $nprobe),
+       |qres AS (SELECT p.q_id, p.cid, list_transform(range(1,65),
+       |    i -> q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)]) AS res
+       |  FROM sprobe p JOIN sq q ON q.q_id = p.q_id JOIN centm c ON c.cid = p.cid),
+       |dt AS MATERIALIZED (SELECT r.q_id, r.cid, u.j, c.c, list_sum(list_transform(range(1,${dsub + 1}),
+       |    x -> (r.res[CAST(u.j * $dsub + x AS INT)] - c.v[CAST(x AS INT)])
+       |       * (r.res[CAST(u.j * $dsub + x AS INT)] - c.v[CAST(x AS INT)]))) AS d
+       |  FROM qres r, unnest(range(0, $m)) AS u(j)
+       |  JOIN pqc$iters c ON c.j = u.j),
+       |adc0 AS (SELECT p.q_id, s.vec_id, s.cid,
+       |    list_sum(list(t.d ORDER BY t.j)) AS adc_raw
+       |  FROM sprobe p
+       |  JOIN cellm s ON s.cid = p.cid
+       |  JOIN code cd ON cd.vec_id = s.vec_id
+       |  JOIN dt t ON t.q_id = p.q_id AND t.cid = s.cid AND t.j = cd.j AND t.c = cd.c
+       |  GROUP BY 1, 2, 3),
+       |short AS (SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id, row_number() OVER (
+       |      PARTITION BY q_id ORDER BY round(adc_raw, 6), vec_id) AS rn
+       |    FROM adc0) WHERE rn <= ${rerank * k}),
+       |ex AS (SELECT h.q_id, h.vec_id, round(list_sum(list_transform(range(1,65),
+       |    i -> (e.embedding[CAST(i AS INT)]::DOUBLE - q.qv[CAST(i AS INT)])
+       |       * (e.embedding[CAST(i AS INT)]::DOUBLE - q.qv[CAST(i AS INT)]))), 6) AS score
+       |  FROM short h JOIN embeddings e ON e.vec_id = h.vec_id
+       |  JOIN sq q ON q.q_id = h.q_id),
+       |fin AS (SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score, vec_id) AS rank
+       |  FROM ex)
+       |SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank
+       |FROM fin WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
+  private lazy val ivfPqTop10Sql: String = ivfPqSql(
+    ncells = 16, iters = 3, m = 8, dsub = 8, ksubMax = 256,
+    nprobe = 4, k = 10, rerank = 4)
+
   /** Shared twin of ann_probe_knn / ann_ivf_store (identical answers by
     * construction — see the map entries): quantize, probe 4 cells by raw
     * l2 (dr, cid), top-10 among candidates by raw l2 with vec_id
@@ -142,19 +251,77 @@ object GraftOracles {
     * exact; Double.toString round-trips), so the SQL reproduces bit i =
     * sign(left-to-right dot) without sharing any code with the
     * operator. */
-  private lazy val lshBucketsSql: String = {
-    val rng = new scala.util.Random(42L)
-    val planes = Array.fill(12)(Array.fill(64)(rng.nextGaussian().toFloat))
-    val bitTerms = planes.zipWithIndex.map { case (p, bit) =>
+  /** The hyperplane-signature expression for one seeded table —
+    * regenerates [[graft.operators.Similarity]]'s scala.util.Random
+    * Gaussian draw and inlines the planes as double literals
+    * (float->double is exact; Double.toString round-trips), so bit i =
+    * sign(left-to-right dot) is reproduced with no shared code. */
+  private def lshBucketExprSql(seed: Long, nBits: Int): String = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(nBits)(Array.fill(64)(rng.nextGaussian().toFloat))
+    planes.zipWithIndex.map { case (p, bit) =>
       val lits = p.map(f => f.toDouble.toString).mkString("[", ", ", "]")
       s"""CASE WHEN list_sum(list_transform(range(1,65),
          |    i -> e.embedding[CAST(i AS INT)]::DOUBLE * ($lits)[CAST(i AS INT)]))
          |  >= 0 THEN CAST(${1L << bit} AS BIGINT) ELSE CAST(0 AS BIGINT) END""".stripMargin
     }.mkString("\n + ")
-    s"""WITH b AS (SELECT vec_id, ($bitTerms) AS lsh_bucket FROM embeddings e)
+  }
+
+  private lazy val lshBucketsSql: String =
+    s"""WITH b AS (SELECT vec_id, (${lshBucketExprSql(42L, 12)}) AS lsh_bucket
+       |  FROM embeddings e)
        |SELECT lsh_bucket, count(*) AS n_vectors FROM b
        |GROUP BY 1 ORDER BY 1""".stripMargin
-  }
+
+  /** Twin of dedup_embedding_lsh: with deterministic seeded planes the
+    * "approximate" banded join is exactly computable — 8 per-table
+    * signatures (seeds 42..49, 8 bits), candidates = any-table bucket
+    * collision, exact cosine verify with the repo's floor-form round6
+    * at threshold 0.35. */
+  /** The 8-table signature relation (seeds 42..49, 8 bits) shared by the
+    * dedup_embedding_lsh and mine_hard_negatives_lsh twins — the same
+    * planes [[graft.operators.Similarity]]'s lshTabled derives. */
+  private lazy val lshSigArms: String = (0 until 8).map { t =>
+    s"""SELECT vec_id, $t AS t, (${lshBucketExprSql(42L + t, 8)}) AS bucket
+       |FROM embeddings e""".stripMargin
+  }.mkString("\nUNION ALL\n")
+
+  private lazy val dedupEmbeddingLshSql: String =
+    s"""WITH sigs AS (
+       |$lshSigArms),
+       |cand AS (SELECT DISTINCT s1.vec_id AS id_a, s2.vec_id AS id_b
+       |  FROM sigs s1 JOIN sigs s2
+       |    ON s1.t = s2.t AND s1.bucket = s2.bucket AND s1.vec_id < s2.vec_id)
+       |SELECT c.id_a, c.id_b,
+       |  floor(($cosineDouble) * 1e6 + 0.5) / 1e6 AS cosine
+       |FROM cand c
+       |JOIN embeddings a ON a.vec_id = c.id_a
+       |JOIN embeddings b ON b.vec_id = c.id_b
+       |WHERE floor(($cosineDouble) * 1e6 + 0.5) / 1e6 >= 0.35
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** Twin of mine_hard_negatives_lsh: same signature relation; anchors
+    * are the %100 slice, candidates any-table collisions (self
+    * excluded), exact-cosine band [0.30, 0.98) with HALF-UP round6 (the
+    * operator's round(); positive band, so floor-form agrees), top-5
+    * per anchor by (cosine desc, id). */
+  private lazy val mineHardNegativesLshSql: String =
+    s"""WITH sigs AS (
+       |$lshSigArms),
+       |asig AS (SELECT vec_id AS anchor_id, t, bucket FROM sigs WHERE vec_id % 100 = 0),
+       |cand AS (SELECT DISTINCT ax.anchor_id, s.vec_id AS cid
+       |  FROM asig ax JOIN sigs s
+       |    ON ax.t = s.t AND ax.bucket = s.bucket AND ax.anchor_id <> s.vec_id),
+       |sc AS (SELECT c.anchor_id, c.cid, round($cosineDouble, 6) AS cosine
+       |  FROM cand c
+       |  JOIN embeddings a ON a.vec_id = c.anchor_id
+       |  JOIN embeddings b ON b.vec_id = c.cid),
+       |bandd AS (SELECT * FROM sc WHERE cosine >= 0.30 AND cosine < 0.98),
+       |r AS (SELECT anchor_id, cid, cosine,
+       |    row_number() OVER (PARTITION BY anchor_id ORDER BY cosine DESC, cid) AS rank
+       |  FROM bandd)
+       |SELECT anchor_id, cid AS vec_id, CAST(rank AS BIGINT) AS rank, cosine
+       |FROM r WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
 
   /** Unrolled twin of [[graft.operators.Similarity.trainCentroidArrays]]
     * + `withCellId` — the OTHER deterministic quantizer (the Similarity
@@ -907,10 +1074,25 @@ object GraftOracles {
     "ann_probe_knn" -> annProbedTop10Sql,
     "ann_ivf_store" -> annProbedTop10Sql,
 
+    // Twin of ann_ivfpq AND ann_ivfpq_store (one SQL, two entries —
+    // stored vs inline encoding is invisible to the answer): the whole
+    // IVF-PQ chain is deterministic, so "approximate" is again only a
+    // statement about WHICH candidates are scored — see ivfPqSql.
+    "ann_ivfpq" -> ivfPqTop10Sql,
+    "ann_ivfpq_store" -> ivfPqTop10Sql,
+
     // Twin of ann_lsh_buckets (rows-only no more): deterministic
     // hyperplane signatures are pure arithmetic once the seeded planes
     // are inlined — see lshBucketsSql.
     "ann_lsh_buckets" -> lshBucketsSql,
+
+    // Twin of dedup_embedding_lsh — the banded near-dup join is exactly
+    // computable for the same reason (see dedupEmbeddingLshSql).
+    "dedup_embedding_lsh" -> dedupEmbeddingLshSql,
+
+    // Twin of mine_hard_negatives_lsh — same signature relation, banded
+    // candidate mining + exact-cosine rerank (mineHardNegativesLshSql).
+    "mine_hard_negatives_lsh" -> mineHardNegativesLshSql,
 
     // Twin of the STORED int8-SQ search — the first stored-ANN full
     // oracle: the kmeans CTE reproduces the deterministic coarse
