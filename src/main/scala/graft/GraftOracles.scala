@@ -118,7 +118,10 @@ object GraftOracles {
     * driver/UDF arithmetic bit-for-bit:
     *  - coarse quantizer = simIvfCte (trunc fixed-point Lloyd);
     *  - PQ training points = md5-of-id-ordered residuals CAST TO FLOAT
-    *    (trainIvfPq), subspace slices of 8 dims;
+    *    (trainIvfPq rounds its sample; `resid`), subspace slices of 8
+    *    dims — while ENCODING argmins over UNROUNDED double residuals
+    *    (pqEncode never rounds; `residd`) — two residual relations
+    *    because the Scala sides genuinely differ;
     *  - kmeansDriver = seeds from the first ksub points in sample
     *    order, then per-iteration: argmin by sequential double l2 (ties
     *    lowest index), member sums accumulated IN SAMPLE ORDER
@@ -161,6 +164,10 @@ object GraftOracles {
        |      AS FLOAT) AS DOUBLE)) AS res
        |  FROM cellm s JOIN embeddings e ON e.vec_id = s.vec_id
        |  JOIN centm c ON c.cid = s.cid),
+       |residd AS MATERIALIZED (SELECT s.vec_id, list_transform(range(1,65),
+       |    i -> e.embedding[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]) AS res
+       |  FROM cellm s JOIN embeddings e ON e.vec_id = s.vec_id
+       |  JOIN centm c ON c.cid = s.cid),
        |pqpts AS MATERIALIZED (SELECT m.rn, u.j, list_slice(r.res, u.j * $dsub + 1, (u.j + 1) * $dsub) AS v
        |  FROM smp m JOIN resid r ON r.vec_id = m.vec_id,
        |    unnest(range(0, $m)) AS u(j)),
@@ -168,7 +175,7 @@ object GraftOracles {
        |  WHERE rn <= LEAST($ksubMax, (SELECT count(*) FROM smp))),
        |${(1 to iters).map(i => pqRound(i, s"pqc${i - 1}")).mkString(",\n")},
        |enc0 AS (SELECT r.vec_id, p.j, list_slice(r.res, p.j * $dsub + 1, (p.j + 1) * $dsub) AS v
-       |  FROM resid r, unnest(range(0, $m)) AS p(j)),
+       |  FROM residd r, unnest(range(0, $m)) AS p(j)),
        |encd AS (SELECT e0.vec_id, e0.j, c.c, list_sum(list_transform(range(1,${dsub + 1}),
        |    x -> (e0.v[CAST(x AS INT)] - c.v[CAST(x AS INT)])
        |       * (e0.v[CAST(x AS INT)] - c.v[CAST(x AS INT)]))) AS dr
@@ -245,12 +252,6 @@ object GraftOracles {
        |JOIN embeddings e2 ON e2.vec_id = d.vec_id
        |ORDER BY d.vec_id""".stripMargin
 
-  /** Twin of ann_lsh_buckets: the 12 hyperplanes are the deterministic
-    * scala.util.Random(42) Gaussian draw — generated HERE with the same
-    * JVM sequence and inlined as double literals (float->double is
-    * exact; Double.toString round-trips), so the SQL reproduces bit i =
-    * sign(left-to-right dot) without sharing any code with the
-    * operator. */
   /** The hyperplane-signature expression for one seeded table —
     * regenerates [[graft.operators.Similarity]]'s scala.util.Random
     * Gaussian draw and inlines the planes as double literals
@@ -273,11 +274,6 @@ object GraftOracles {
        |SELECT lsh_bucket, count(*) AS n_vectors FROM b
        |GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** Twin of dedup_embedding_lsh: with deterministic seeded planes the
-    * "approximate" banded join is exactly computable — 8 per-table
-    * signatures (seeds 42..49, 8 bits), candidates = any-table bucket
-    * collision, exact cosine verify with the repo's floor-form round6
-    * at threshold 0.35. */
   /** The 8-table signature relation (seeds 42..49, 8 bits) shared by the
     * dedup_embedding_lsh and mine_hard_negatives_lsh twins — the same
     * planes [[graft.operators.Similarity]]'s lshTabled derives. */
@@ -286,6 +282,10 @@ object GraftOracles {
        |FROM embeddings e""".stripMargin
   }.mkString("\nUNION ALL\n")
 
+  /** Twin of dedup_embedding_lsh: with deterministic seeded planes the
+    * "approximate" banded join is exactly computable — candidates =
+    * any-table bucket collision, exact cosine verify with the repo's
+    * floor-form round6 at threshold 0.35. */
   private lazy val dedupEmbeddingLshSql: String =
     s"""WITH sigs AS (
        |$lshSigArms),

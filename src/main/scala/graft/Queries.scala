@@ -552,8 +552,12 @@ object GraftQueries {
       val qv = e.filter(col("vec_id") === 0).select("embedding")
         .collect().head.getSeq[Float](0).toArray
       AnnProbe.withProbe(s, cents, nprobe = 4) {
+        // vec_id tiebreak: duplicate embeddings straddling the rank-10
+        // boundary would otherwise rank partition-order-dependently
+        // (the rule matches multi-key sorts whose FIRST key is the
+        // distance, so the tiebreak costs nothing)
         val probed = Similarity.withCellId(e, "embedding", cents)
-          .orderBy(l2Sq(col("embedding"), vecLit(qv)))
+          .orderBy(l2Sq(col("embedding"), vecLit(qv)), col("vec_id"))
           .limit(10)
           .select("vec_id", "label", "cell_id")
         s.createDataFrame(java.util.Arrays.asList(probed.collect(): _*), probed.schema)
@@ -599,7 +603,7 @@ object GraftQueries {
     e.unpersist()
     val out = AnnProbe.withProbe(s, cents, nprobe = 4) {
       val probed = store.read(s, "vectors")
-        .orderBy(l2Sq(col("embedding"), vecLit(qv)))
+        .orderBy(l2Sq(col("embedding"), vecLit(qv)), col("vec_id"))
         .limit(10)
         .select("vec_id", "label", "cell_id")
       // materialize inside the probe scope AND before store.destroy()

@@ -125,29 +125,34 @@ object AnnProbeRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     SparkSession.getActiveSession.flatMap(AnnCatalog.get) match {
       case None => plan
-      case Some((cents, nprobe)) => plan.transformUp {
-        case g @ GlobalLimit(_, l @ LocalLimit(_,
-            s @ Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _)))
-            if cellAttr(child).isDefined && queryVecOf(key, child).isDefined &&
-              !alreadyProbed(child) =>
-          val cells = probeCells(queryVecOf(key, child).get, cents, nprobe)
-          val attr = cellAttr(child).get
-          val filter = Filter(In(attr, cells.map(c => Literal(c))), child)
-          g.copy(child = l.copy(child = s.copy(child = filter)))
-        // the `.orderBy(dist).limit(k).select(cols)` shape: column
-        // pruning pushes the SELECT between the limit and the sort, so
-        // the limit's child is Project(Sort(...)) — without this case
-        // the most natural user spelling silently runs UNREWRITTEN
-        // (exact full scan; right answer, none of the probe speedup)
-        case g @ GlobalLimit(_, l @ LocalLimit(_, p @ Project(_,
-            s @ Sort(Seq(SortOrder(key, Ascending, _, _)), true, child, _))))
-            if cellAttr(child).isDefined && queryVecOf(key, child).isDefined &&
-              !alreadyProbed(child) =>
-          val cells = probeCells(queryVecOf(key, child).get, cents, nprobe)
-          val attr = cellAttr(child).get
-          val filter = Filter(In(attr, cells.map(c => Literal(c))), child)
-          g.copy(child = l.copy(child = p.copy(child = s.copy(child = filter))))
-      }
+      case Some((cents, nprobe)) =>
+        // one probe-filter construction for every matched shape: the
+        // FIRST sort key must be the ascending literal-vector distance;
+        // trailing keys (a deterministic id tiebreak) ride along
+        // untouched — requiring a single-key sort would force callers
+        // to choose between the rewrite and tie determinism
+        def probeFilter(key: Expression, child: LogicalPlan): Option[Filter] =
+          if (cellAttr(child).isEmpty || alreadyProbed(child)) None
+          else queryVecOf(key, child).map { qv =>
+            Filter(In(cellAttr(child).get,
+              probeCells(qv, cents, nprobe).map(c => Literal(c))), child)
+          }
+        plan.transformUp {
+          case g @ GlobalLimit(_, l @ LocalLimit(_,
+              s @ Sort(SortOrder(key, Ascending, _, _) +: _, true, child, _)))
+              if probeFilter(key, child).isDefined =>
+            g.copy(child = l.copy(child = s.copy(child = probeFilter(key, child).get)))
+          // the `.orderBy(dist).limit(k).select(cols)` shape: column
+          // pruning pushes the SELECT between the limit and the sort, so
+          // the limit's child is Project(Sort(...)) — without this case
+          // the most natural user spelling silently runs UNREWRITTEN
+          // (exact full scan; right answer, none of the probe speedup)
+          case g @ GlobalLimit(_, l @ LocalLimit(_, p @ Project(_,
+              s @ Sort(SortOrder(key, Ascending, _, _) +: _, true, child, _))))
+              if probeFilter(key, child).isDefined =>
+            g.copy(child = l.copy(child = p.copy(
+              child = s.copy(child = probeFilter(key, child).get))))
+        }
     }
 
   // idempotence under the fixed-point batch: don't re-inject when ANY

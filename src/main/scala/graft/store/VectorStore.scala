@@ -222,19 +222,23 @@ final case class VectorStore(root: String) {
     * mutable marker, tombstone log) travels with it; nothing is
     * rewritten. Fails fast on a missing source or existing target
     * rather than clobbering. */
-  def rename(from: String, to: String): Unit = {
-    recoverStranded()
-    // the target must be a plain segment and must not collide with the
-    // compaction machinery's reserved suffixes: a collection named
-    // "x__old" would be deleted by a later compact of "x" (rm of the
-    // staging dir) or silently renamed by recoverStranded, and
-    // "x__compacting" is invisible to list() and overwritten by a
-    // compact of "x"
+  /** Shared target-name validation for the verbs that mint a collection
+    * name (rename / fork): plain path segment, and none of the
+    * compaction machinery's reserved suffixes — "x__old" would be
+    * deleted by a later compact of "x" (rm of the staging dir) or
+    * silently renamed by recoverStranded, and "x__compacting" is
+    * invisible to list() and overwritten by a compact of "x". */
+  private def requireMintableName(to: String): Unit = {
     require(to.nonEmpty && !to.contains('/') && !to.contains('\\') &&
       to != "." && to != "..",
       s"collection name '$to' must be a plain path segment")
     require(!to.endsWith("__old") && !to.endsWith("__compacting"),
       s"collection name '$to' collides with the compaction staging suffixes")
+  }
+
+  def rename(from: String, to: String): Unit = {
+    recoverStranded()
+    requireMintableName(to)
     val src = new java.io.File(path(from))
     val dst = new java.io.File(path(to))
     require(src.isDirectory, s"collection '$from' does not exist")
@@ -261,10 +265,7 @@ final case class VectorStore(root: String) {
     * Falls back to a byte copy if the filesystem refuses links. */
   def fork(from: String, to: String): Unit = {
     recoverStranded()
-    require(to.nonEmpty && !to.contains('/') && !to.contains('\\') &&
-      to != "." && to != ".." &&
-      !to.endsWith("__old") && !to.endsWith("__compacting"),
-      s"collection name '$to' must be a plain, non-reserved path segment")
+    requireMintableName(to)
     val src = new java.io.File(path(from))
     val dst = new java.io.File(path(to))
     require(src.isDirectory, s"collection '$from' does not exist")
@@ -274,16 +275,30 @@ final case class VectorStore(root: String) {
         require(d.mkdirs() || d.isDirectory, s"cannot create ${d.getPath}")
         ls(s).foreach(c => go(c, new java.io.File(d, c.getName)))
       } else if (s.getName.startsWith("part-")) {
+        // parquet payloads — data AND tombstone-log files — are
+        // HARDLINKED: both are immutable under the write discipline
+        // (appends create new files, compaction swaps directories, the
+        // log truncates by deleting names), so sharing bytes is safe
         try java.nio.file.Files.createLink(d.toPath, s.toPath)
         catch { case _: UnsupportedOperationException | _: java.io.IOException =>
           java.nio.file.Files.copy(s.toPath, d.toPath): Unit }
       } else {
-        // sidecars (marker, manifest, tombstone log, _SUCCESS): copy —
-        // each side must version its bookkeeping independently
+        // non-parquet sidecars (marker, manifest, _SUCCESS): copied —
+        // the marker is atomically REPLACED on every seq allocation,
+        // which would sever a link anyway; copying makes the
+        // bookkeeping independence explicit
         java.nio.file.Files.copy(s.toPath, d.toPath): Unit
       }
     }
-    go(src, dst)
+    // staged like every other multi-step write in this file: build
+    // under the reserved (list-invisible) suffix, then ONE atomic
+    // rename — a crash mid-walk leaves only an inert staging dir that
+    // the next fork clears, never a half-populated collection that
+    // reads as valid and blocks retry
+    val tmp = new java.io.File(path(to + "__compacting"))
+    rmTree(tmp)
+    go(src, tmp)
+    require(tmp.renameTo(dst), s"fork '$from' -> '$to': final rename failed")
   }
 
   /** First `n` current rows by id order (the Chroma `peek(n)` shape) —
