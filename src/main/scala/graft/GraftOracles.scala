@@ -732,6 +732,45 @@ object GraftOracles {
         |SELECT 'final' AS snapshot, doc_id, source, text FROM fin
         |ORDER BY snapshot, doc_id""".stripMargin,
 
+    // Twin of collection_cdc_batches: each write of the mutation
+    // sequence re-derived as its own change batch. Batch 1 = the upsert
+    // (updates where the value ACTUALLY changed + inserts of new ids),
+    // batch 2 = the partial update's effects (skip rows already
+    // 'edited'), batch 3 = the delete (pre-delete payloads). The
+    // value-changed predicates mirror changesBetween's null-safe struct
+    // compare exactly.
+    "collection_cdc_batches" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id <= 300),
+        |ups AS (
+        |  SELECT doc_id, source, upper(text) AS text FROM documents
+        |  WHERE doc_id BETWEEN 250 AND 350),
+        |st1 AS (
+        |  SELECT * FROM ups
+        |  UNION ALL
+        |  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM ups)),
+        |st2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id <= 20 THEN 'edited' ELSE source END AS source,
+        |    text
+        |  FROM st1),
+        |batches AS (
+        |  SELECT CAST(1 AS BIGINT) AS batch_seq, 'update' AS change,
+        |      u.doc_id, u.source, u.text
+        |    FROM ups u JOIN base b ON b.doc_id = u.doc_id
+        |    WHERE NOT (u.source = b.source AND u.text = b.text)
+        |  UNION ALL
+        |  SELECT 1, 'insert', doc_id, source, text FROM ups
+        |    WHERE doc_id NOT IN (SELECT doc_id FROM base)
+        |  UNION ALL
+        |  SELECT 2, 'update', doc_id, 'edited', text FROM st1
+        |    WHERE doc_id <= 20 AND source <> 'edited'
+        |  UNION ALL
+        |  SELECT 3, 'delete', doc_id, source, text FROM st2
+        |    WHERE doc_id % 7 = 0)
+        |SELECT batch_seq, change, doc_id, source, text
+        |FROM batches ORDER BY batch_seq, change, doc_id""".stripMargin,
+
     // Twin of collection_diff: the CDC read between the creation state
     // (st0 = docs <= 300) and the final state (fin) of the
     // collection_mutate sequence, re-derived purely from the two SQL

@@ -2168,6 +2168,22 @@ object GraftQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** Per-transition CDC: every WRITE of the mutation sequence read back
+    * as its own change batch (changesBetween over each adjacent seq
+    * pair, tagged) — finer than collection_diff's endpoint diff, and
+    * exactly how an incremental CDC consumer polls a store. The oracle
+    * re-derives each batch independently: upsert effects split into
+    * updates (value actually changed) and inserts, the partial update's
+    * effects, the delete's tombstones with their pre-delete payloads. */
+  val collectionCdcBatches: Q = (s, d) =>
+    withMutateSequence(s, d) { (mc, _) =>
+      (1L to mc.currentSeq).map { sq =>
+        mc.changesBetween(s, sq - 1, sq).withColumn("batch_seq", lit(sq))
+      }.reduce(_ unionByName _)
+        .select("batch_seq", "change", "doc_id", "source", "text")
+        .orderBy("batch_seq", "change", "doc_id")
+    }
+
   /** Compaction invisibility at the gate: a mid-sequence [[compact]]
     * (folding a delete's tombstones into the files) must leave every
     * LATER mutation and the final live view bit-identical to the
@@ -2971,6 +2987,7 @@ object GraftQueries {
     "where_dsl_or" -> whereDslOr,
     "where_document_filter" -> whereDocumentFilter,
     "collection_lifecycle" -> collectionLifecycle,
+    "collection_cdc_batches" -> collectionCdcBatches,
     "collection_diff" -> collectionDiff,
     "collection_fork" -> collectionFork,
     "collection_mutate" -> collectionMutate,
