@@ -758,7 +758,8 @@ object GraftOracles {
         |  SELECT CAST(1 AS BIGINT) AS batch_seq, 'update' AS change,
         |      u.doc_id, u.source, u.text
         |    FROM ups u JOIN base b ON b.doc_id = u.doc_id
-        |    WHERE NOT (u.source = b.source AND u.text = b.text)
+        |    WHERE u.source IS DISTINCT FROM b.source
+        |       OR u.text IS DISTINCT FROM b.text
         |  UNION ALL
         |  SELECT 1, 'insert', doc_id, source, text FROM ups
         |    WHERE doc_id NOT IN (SELECT doc_id FROM base)
@@ -799,7 +800,8 @@ object GraftOracles {
         |UNION ALL
         |SELECT 'update', f.doc_id, f.source, f.text
         |  FROM fin f JOIN st0 o ON f.doc_id = o.doc_id
-        |  WHERE f.source <> o.source OR f.text <> o.text
+        |  WHERE f.source IS DISTINCT FROM o.source
+        |     OR f.text IS DISTINCT FROM o.text
         |ORDER BY change, doc_id""".stripMargin,
 
     // Twin of collection_fork: the source state (untouched create) and
@@ -856,6 +858,21 @@ object GraftOracles {
         |  true AS resolved_ok,
         |  count(*) AS n_rows
         |FROM documents""".stripMargin,
+
+    // Twin of collection_modify: the final collection state after the
+    // metadata REPLACEMENT + rename + compact, restated literally (the
+    // first metadata map must have vanished wholesale — 'version' gone).
+    "collection_modify" ->
+      """SELECT 'corpus' AS collections,
+        |  'owner=search-team;purpose=rag' AS metadata,
+        |  true AS survives_compact,
+        |  (SELECT count(*) FROM documents WHERE doc_id <= 100) AS n_rows""".stripMargin,
+
+    // Twin of collection_include: the Chroma get-default projection
+    // (ids + documents + metadatas, NO embeddings) as a plain select.
+    "collection_include" ->
+      """SELECT doc_id, text, source, lang FROM documents
+        |WHERE doc_id <= 50 ORDER BY doc_id""".stripMargin,
 
     "where_dsl_or" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -2264,6 +2264,56 @@ object GraftQueries {
         "fingerprint", "resolved_ok", "n_rows")
   }
 
+  /** The Chroma `collection.modify` verb at the gate: set collection
+    * metadata, then modify BOTH name and metadata in one call (Chroma's
+    * replace-not-merge semantics — the first map must vanish wholesale),
+    * compact, and read everything back — proving the sidecar replaces
+    * atomically, travels with the rename, and survives the compaction
+    * swap. The oracle restates the final state literally. */
+  val collectionModify: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_modq").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    store.create("docs", docs.filter(col("doc_id") <= 100))
+    store.modify("docs",
+      metadata = Some(Map("owner" -> "ingest-team", "version" -> "1")))
+    val newName = store.modify("docs", newName = Some("corpus"),
+      metadata = Some(Map("owner" -> "search-team", "purpose" -> "rag")))
+    val names = store.list().mkString(",")
+    val meta = store.metadata(newName)
+    val n = store.count(s, newName)
+    store.compact(s, newName)
+    val survives = store.metadata(newName) == meta
+    store.destroy()
+    import s.implicits._
+    Seq((names,
+      meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";"),
+      survives, n))
+      .toDF("collections", "metadata", "survives_compact", "n_rows")
+  }
+
+  /** The Chroma `include=[...]` result projection at the gate: a
+    * get-shape read under the get default (documents + metadatas — ids
+    * always, embeddings never unless asked), applied BEFORE the action
+    * so the dropped embedding column is physically pruned from the scan
+    * (ReadSchema pin in PlanSpec). The oracle restates the projection
+    * as a plain column select. */
+  val collectionInclude: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_incq").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
+    val emb = graft.embed.HashEmbedder(32, "")
+    store.create("docs", graft.embed.Embedders.embed(docs, "text", "embedding", emb))
+    val out = graft.query.Include.project(
+      store.read(s, "docs").filter(col("doc_id") <= 50),
+      "doc_id", graft.query.Include.GetDefault,
+      documentCol = Some("text"), embeddingCol = Some("embedding"))
+      .orderBy("doc_id")
+    val rows = out.collect()
+    store.destroy()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Explicit GROUPING SETS with grouping() markers through the SQL
     * front-end (rollup/cube's general form; q6/q13 cover those). */
   val q29GroupingSets: Q = (s, d) => {
@@ -3032,6 +3082,8 @@ object GraftQueries {
     "ann_sq_topk" -> annSqTopk,
     "zorder_key" -> zorderKey,
     "collection_manifest" -> collectionManifest,
+    "collection_modify" -> collectionModify,
+    "collection_include" -> collectionInclude,
   )
 
   // DuckDB oracle SQL — see GraftOracles

@@ -473,13 +473,36 @@ object Dedup {
         col("id_b").cast(idType).as("id_b"), col("hamming"))
   }
 
+  /** Band chunk expressions for exact recall at radius `maxHamming`:
+    * `maxHamming + 1` chunks covering all 64 signature bits (pigeonhole:
+    * at most `maxHamming` differing bits cannot touch every one of
+    * `maxHamming + 1` chunks, so near-dup pairs always share at least
+    * one identical chunk and land in a common bucket). Chunk widths
+    * differ by at most one bit; the default radius 3 yields the 4x16
+    * layout. Wider radii mean narrower chunks and therefore bigger
+    * buckets — recall stays exact, candidate cost grows. */
+  private def bandExprs(sig: org.apache.spark.sql.Column,
+                        maxHamming: Int): Seq[org.apache.spark.sql.Column] = {
+    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
+    val nb = math.min(maxHamming + 1, 64)
+    val base = 64 / nb
+    val rem = 64 % nb
+    val widths = Seq.tabulate(nb)(i => if (i < rem) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _).init
+    widths.zip(offsets).map { case (w, off) =>
+      val mask = if (w == 64) -1L else (1L << w) - 1
+      shiftrightunsigned(sig, off).bitwiseAND(lit(mask))
+    }
+  }
+
   /** Near-dup pairs over ANY 64-bit per-row signature — the banding +
     * per-bucket kernel of [[simhashPairs]] factored out so other
-    * signature families (image dHash, audio fingerprints) reuse it: 4 x
-    * 16-bit chunks (pigeonhole: hamming <= 3 -> one identical chunk, so
-    * recall is EXACT at that radius), bucket members scanned as sorted
-    * primitive arrays (see the simhashPairs scaladoc for why not a
-    * join). Input: an integral id column + a long signature column.
+    * signature families (image dHash, audio fingerprints) reuse it:
+    * `maxHamming + 1` chunks sized by [[bandExprs]] (pigeonhole: recall
+    * is EXACT at the requested radius — 4 x 16-bit at the default 3),
+    * bucket members scanned as sorted primitive arrays (see the
+    * simhashPairs scaladoc for why not a join). Input: an integral id
+    * column + a long signature column.
     * Output: (id_a, id_b, hamming), id_a < id_b, both as LONG. */
   def signaturePairs(sigs0: DataFrame, idCol: String, sigCol: String,
                      maxHamming: Int = 3): DataFrame = {
@@ -495,9 +518,8 @@ object Dedup {
     val sigs = sigs0.select(col(idCol).cast("long").as("_id"),
       col(sigCol).cast("long").as("_sig"))
     val banded = sigs.select(col("_id"), col("_sig"),
-      posexplode(array((0 until 4).map { b =>
-        shiftrightunsigned(col("_sig"), b * 16).bitwiseAND(0xFFFFL)
-      }: _*)).as(Seq("_band", "_chunk")))
+      posexplode(array(bandExprs(col("_sig"), maxHamming): _*))
+        .as(Seq("_band", "_chunk")))
     val enumeratePairs = udf((members: Seq[org.apache.spark.sql.Row]) => {
       val n = members.size
       val ids = new Array[Long](n)
@@ -541,9 +563,8 @@ object Dedup {
     val sigs = graft.Tables.spread(df)
       .select(col(idCol).as("_id"), simhash(toks).as("_sig"))
     val banded = sigs.select(col("_id"), col("_sig"),
-      posexplode(array((0 until 4).map { b =>
-        shiftrightunsigned(col("_sig"), b * 16).bitwiseAND(0xFFFFL)
-      }: _*)).as(Seq("_band", "_chunk")))
+      posexplode(array(bandExprs(col("_sig"), maxHamming): _*))
+        .as(Seq("_band", "_chunk")))
     banded.as("a")
       .join(banded.as("b"),
         col("a._band") === col("b._band") && col("a._chunk") === col("b._chunk") &&

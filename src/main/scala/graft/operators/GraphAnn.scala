@@ -238,6 +238,11 @@ object GraphAnn {
       idCol: String, cents0: Array[Array[Float]], maxCellSize: Int,
       iters: Int): Array[Array[Float]] = {
     if (maxCellSize == Int.MaxValue) return cents0
+    // dominance fast path: if the WHOLE collection fits under the cap, no
+    // cell can possibly be oversized — a plain count() (column-pruned to
+    // nothing, no distance math) replaces the full assignment scan the
+    // guard loop would otherwise pay on every build
+    if (collection.count() <= maxCellSize) return cents0
     var cents = cents0
     var unsplittable = Set.empty[Int]
     var rounds = 0
@@ -348,10 +353,18 @@ object GraphAnn {
     val cnts = assigned.agg(count(lit(1)), countDistinct(col("id"))).head
     require(cnts.getLong(0) == cnts.getLong(1),
       s"insertIntoStored: batch contains duplicate ids — append semantics require new, unique ids")
-    val dup = store.read(sp, name).select("id")
-      .intersect(assigned.select("id")).limit(1).collect()
-    require(dup.isEmpty,
-      s"insertIntoStored: batch re-inserts existing id ${if (dup.nonEmpty) dup(0).getLong(0) else ""} " +
+    // collision check as a size-gated broadcast SEMI-JOIN of the index's
+    // slim id column against the batch ids, reduced to ONE count job: a
+    // single map-only column-pruned pass over the index with no shuffle
+    // (the former `intersect` form distinct-shuffled the FULL index id
+    // space per nightly batch, and a limit(1) probe would cost several
+    // escalating partial jobs in the no-collision common case)
+    val dupCount = store.read(sp, name).select("id")
+      .join(graft.operators.BroadcastGate.maybeBroadcast(
+        assigned.select("id"), cnts.getLong(0) * 64), Seq("id"), "left_semi")
+      .agg(count(lit(1))).head.getLong(0)
+    require(dupCount == 0L,
+      s"insertIntoStored: batch re-inserts $dupCount existing id(s) " +
         s"into '$name' — append semantics require new ids")
     val existing = store.read(sp, name)
       .filter(col("cell_id").isin(touched.map(Int.box).toIndexedSeq: _*))

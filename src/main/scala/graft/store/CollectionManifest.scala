@@ -105,18 +105,18 @@ object CollectionManifest {
     props.setProperty("bpeMerges",
       m.bpeMerges.map(p => p._1 + "\u0000" + p._2).mkString("\u0001"))
     props.setProperty("fingerprint", m.fingerprint)
-    val f = new java.io.File(collectionDir, FileName)
-    val out = new java.io.FileOutputStream(f)
-    try props.store(out, "graft collection embedder manifest")
-    finally out.close()
+    val buf = new java.io.ByteArrayOutputStream()
+    props.store(buf, "graft collection embedder manifest")
+    StoreFs.forPath(collectionDir)
+      .writeBytes(s"$collectionDir/$FileName", buf.toByteArray)
   }
 
   private[store] def read(collectionDir: String): Option[CollectionManifest] = {
-    val f = new java.io.File(collectionDir, FileName)
-    if (!f.isFile) return None
+    val fsm = StoreFs.forPath(collectionDir)
+    val f = s"$collectionDir/$FileName"
+    if (!fsm.isFile(f)) return None
     val props = new java.util.Properties()
-    val in = new java.io.FileInputStream(f)
-    try props.load(in) finally in.close()
+    props.load(new java.io.ByteArrayInputStream(fsm.readBytes(f)))
     val mergesRaw = Option(props.getProperty("bpeMerges")).getOrElse("")
     val merges =
       if (mergesRaw.isEmpty) Nil

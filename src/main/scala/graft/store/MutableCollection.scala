@@ -227,12 +227,43 @@ final case class MutableCollection(store: VectorStore, name: String) {
     * had IN THE `fromSeq` STATE — a row updated and later deleted
     * within the span reports its `fromSeq` values, because the diff is
     * between the two endpoint states, not a replay of the intermediate
-    * history). Computed as a full outer join of the two snapshot views
-    * on the id with a null-safe struct compare — two bounded scans of
-    * the same files every read uses, one shuffle keyed on the id. (A
-    * seq-range file pruning variant could skip rows outside (from, to]
-    * on the ADDED side, but update/delete detection inherently needs the
-    * `from` state — the symmetric join is the honest general form.)
+    * history).
+    *
+    * DELTA-BOUNDED past a cost threshold: an id's live value can differ
+    * between the two endpoint states ONLY if a data row or a tombstone
+    * landed for it in `(fromSeq, toSeq]` — every state transition
+    * writes one or the other. Execution tiers by measured size (the
+    * connected-components precedent: never pay delta-probe job overhead
+    * on a collection that one job diffs outright):
+    *
+    *  - collection on-disk footprint at most
+    *    [[MutableCollection.SmallCollectionBytesConf]] (default 64 MB):
+    *    plain full-outer join of the two snapshot views — ONE job, the
+    *    cheapest possible shape at that size (an unlistable path counts
+    *    as too-big, failing CLOSED into the delta tiers);
+    *  - bigger collections first derive the TOUCHED id set from the
+    *    seq-range-bounded slice of data + tombstones (plain pushed-down
+    *    range predicates on the hidden seq columns; each write batch
+    *    lands as its own files with a constant seq, so parquet min/max
+    *    stats prune the slice scan to O(delta) files), then resolve the
+    *    old/new endpoint state for THOSE ids only:
+    *      - at most [[MutableCollection.IsinMaxIdsConf]] touched ids
+    *        (default 1000 — the overwhelmingly common CDC poll): the id
+    *        set is collected by ONE bounded `take` and pushed as an
+    *        `In` predicate into both snapshot scans — endpoint
+    *        resolution costs no join at all, and parquet column stats
+    *        prune row groups by id;
+    *      - larger deltas: a size-gated broadcast semi-join per side
+    *        keeps the snapshot scans map-only (an enormous delta
+    *        degrades to a shuffled semi-join proportional to the change
+    *        span, never the corpus).
+    *
+    * In the delta tiers the final old-vs-new diff join carries O(delta)
+    * rows — at 100 TB with a 0.001% change span, the naive full-outer
+    * of two complete snapshot views (two full scans + a corpus-keyed
+    * shuffle per poll) becomes a pruned delta scan + two id-pruned
+    * lookups.
+    *
     * Both endpoints must be retained ([[floorSeq]]); same-seq endpoints
     * yield an empty frame. */
   def changesBetween(spark: SparkSession, fromSeq: Long, toSeq: Long): DataFrame = {
@@ -245,16 +276,76 @@ final case class MutableCollection(store: VectorStore, name: String) {
     require(!a.columns.exists(Set("change", "_old", "_new", "_row")),
       "changesBetween: collection columns collide with the CDC output " +
         "(change) / internals (_old/_new/_row) — rename them first")
-    val aS = a.select(col(id), struct(cols.map(col): _*).as("_old"))
-    val bS = b.select(col(id), struct(cols.map(col): _*).as("_new"))
-    val joined = aS.join(bS, Seq(id), "full")
-      .withColumn("change",
-        when(col("_old").isNull, "insert")
-          .when(col("_new").isNull, "delete")
-          .when(!(col("_old") <=> col("_new")), "update"))
-      .filter(col("change").isNotNull)
-      .withColumn("_row", coalesce(col("_new"), col("_old")))
-    joined.select(col("change") +: col(id) +: cols.map(c => col(s"_row.$c").as(c)): _*)
+    def diffJoin(aT: DataFrame, bT: DataFrame): DataFrame = {
+      val aS = aT.select(col(id), struct(cols.map(col): _*).as("_old"))
+      val bS = bT.select(col(id), struct(cols.map(col): _*).as("_new"))
+      val joined = aS.join(bS, Seq(id), "full")
+        .withColumn("change",
+          when(col("_old").isNull, "insert")
+            .when(col("_new").isNull, "delete")
+            .when(!(col("_old") <=> col("_new")), "update"))
+        .filter(col("change").isNotNull)
+        .withColumn("_row", coalesce(col("_new"), col("_old")))
+      joined.select(
+        col("change") +: col(id) +: cols.map(c => col(s"_row.$c").as(c)): _*)
+    }
+    // cost tier: a collection one job diffs outright must not pay the
+    // delta-probe job — the full-outer of the two views IS optimal there
+    val smallBytes = spark.conf.getOption(SmallCollectionBytesConf)
+      .map(_.toLong).getOrElse(64L << 20)
+    if (collectionBytesOnDisk <= smallBytes) return diffJoin(a, b)
+    // touched ids: one seq-pushed bounded scan of the (from, to] write
+    // slice (data rows + tombstones). Bounded by the change span by
+    // construction; probed with a take(maxIn + 1) — ONE bounded job.
+    val maxIn = spark.conf.getOption(IsinMaxIdsConf).map(_.toInt).getOrElse(1000)
+    val spanIds = touchedIdsDelta(spark, fromSeq, toSeq).distinct()
+    val probe = spanIds.take(maxIn + 1)
+    if (probe.isEmpty) {
+      // nothing written in the span — skip the snapshot scans entirely
+      val outSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("change",
+          org.apache.spark.sql.types.StringType) +:
+          (a.schema(id) +: cols.map(a.schema(_))))
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), outSchema)
+    }
+    if (probe.length <= maxIn) {
+      // small delta (the 100 TB CDC regime): the touched id set rides
+      // as an In predicate pushed into BOTH snapshot scans — endpoint
+      // resolution costs no join at all, and parquet stats/dictionary
+      // pages prune row groups by id on the base files
+      val lits = probe.map(_.get(0)).toSeq
+      diffJoin(a.filter(col(id).isInCollection(lits)),
+        b.filter(col(id).isInCollection(lits)))
+    } else {
+      // oversized delta: resolve via semi-joins — pin the span scan
+      // once so the two sides share it; the broadcast is size-gated
+      // (an enormous delta degrades to a shuffled semi-join that is
+      // proportional to the change span, never the corpus)
+      val touched = spanIds.localCheckpoint(true)
+      val touchedKeyed = graft.operators.BroadcastGate
+        .maybeBroadcast(touched, touched.count() * 128)
+      diffJoin(a.join(touchedKeyed, Seq(id), "left_semi"),
+        b.join(touchedKeyed, Seq(id), "left_semi"))
+    }
+  }
+
+  /** The ids a write in `(fromSeq, toSeq]` touched — the delta scan
+    * [[changesBetween]] bounds itself by: data rows and tombstones whose
+    * seq falls in the span, as plain range predicates on the hidden seq
+    * columns (PushedFilters; each batch's files carry a constant seq, so
+    * parquet min/max stats prune untouched files). Exposed to the spec
+    * so the pushdown shape stays pinned. */
+  private[graft] def touchedIdsDelta(spark: SparkSession, fromSeq: Long,
+                                     toSeq: Long): DataFrame = {
+    val touchedData = store.read(spark, name)
+      .filter(col(SeqCol) > fromSeq && col(SeqCol) <= toSeq)
+      .select(col(idCol))
+    readTombstones(spark)
+      .map(t => touchedData.union(
+        t.filter(col(DelSeqCol) > fromSeq && col(DelSeqCol) <= toSeq)
+          .select(col(idCol))))
+      .getOrElse(touchedData)
   }
 
   /** The merged view WITH the seq column (compact must preserve it —
@@ -269,22 +360,39 @@ final case class MutableCollection(store: VectorStore, name: String) {
       case Some(t0) =>
         val t = asOf.fold(t0)(s => t0.filter(col(DelSeqCol) <= s))
         val dels = t.groupBy(idCol).agg(max(col(DelSeqCol)).as(DelSeqCol))
+        // saturating x4 decode-expansion estimate: a FAIL-CLOSED size
+        // probe (Long.MaxValue on an unmeasurable path) must stay
+        // "too big", not overflow into a spurious broadcast
+        val est = tombstoneBytesOnDisk
+        val est4 = if (est > Long.MaxValue / 4) Long.MaxValue else est * 4
         base.join(graft.operators.BroadcastGate.maybeBroadcast(
-            dels, tombstoneBytesOnDisk * 4), Seq(idCol), "left")
+            dels, est4), Seq(idCol), "left")
           .filter(col(DelSeqCol).isNull || col(SeqCol) >= col(DelSeqCol))
           .drop(DelSeqCol)
       case None => base
     }
   }
 
+  /** Tombstone-log footprint for the broadcast gate. FAILS CLOSED: a
+    * missing log is 0, but an I/O error on an existing path reads as
+    * Long.MaxValue — an unmeasurable log must degrade the merge to a
+    * shuffled join, never silently force the broadcast open (the
+    * `File.listFiles == null -> 0` trap this replaces). */
   private def tombstoneBytesOnDisk: Long =
-    Option(new java.io.File(tombDir).listFiles()).getOrElse(Array.empty)
-      .filter(_.getName.startsWith("part-")).map(_.length).sum
+    try store.sfs.list(tombDir)
+      .filter(_.getPath.getName.startsWith("part-")).map(_.getLen).sum
+    catch { case _: java.io.IOException => Long.MaxValue }
+
+  /** Total on-disk footprint of the collection (data + tombstones +
+    * bookkeeping — a metadata walk, no Spark job). FAILS CLOSED: an
+    * unlistable root reads as Long.MaxValue, so the small-collection
+    * CDC fast path never triggers on a path whose size cannot be
+    * measured. */
+  private def collectionBytesOnDisk: Long = store.sfs.treeBytesFailClosed(dir)
 
   private def readTombstones(spark: SparkSession): Option[DataFrame] = {
-    val d = new java.io.File(tombDir)
-    val hasData = d.isDirectory &&
-      Option(d.listFiles()).exists(_.exists(_.getName.startsWith("part-")))
+    val hasData = store.sfs.list(tombDir)
+      .exists(_.getPath.getName.startsWith("part-"))
     if (hasData) Some(spark.read.parquet(tombDir)) else None
   }
 
@@ -299,9 +407,12 @@ final case class MutableCollection(store: VectorStore, name: String) {
   /** Paginated live read in id order (the Chroma `get(limit=, offset=)`
     * shape). The id-ordered prefix is a TakeOrdered (k rows per
     * partition cross the network, never the collection); the offset cut
-    * is a window over ONLY those offset+limit rows. Deep offsets cost
-    * O(offset+limit) like every offset pagination — for stable deep
-    * paging, filter `id > lastSeen` instead (keyset pagination). */
+    * is a window over ONLY those offset+limit rows — an unpartitioned
+    * window, i.e. all offset+limit rows funnel through ONE task (Spark
+    * logs its single-partition warning), which is exactly the
+    * O(offset+limit) cost offset pagination implies anyway. Fine for
+    * shallow pages; for stable deep paging, filter `id > lastSeen`
+    * instead (keyset pagination). */
   def getPage(spark: SparkSession, limit: Int, offset: Int = 0): DataFrame = {
     require(limit > 0 && offset >= 0, s"bad page: limit=$limit offset=$offset")
     require(offset.toLong + limit <= Int.MaxValue,
@@ -330,30 +441,33 @@ final case class MutableCollection(store: VectorStore, name: String) {
     Marker.write(s"${store.root}/$tmpName", m.copy(floorSeq = m.seq))
     CollectionManifest.read(dir).foreach(
       CollectionManifest.write(s"${store.root}/$tmpName", _))
-    val dst = new java.io.File(dir)
-    val old = new java.io.File(s"${dir}__old")
-    rm(old)
-    require(dst.renameTo(old), s"mutable compact: cannot stage $name aside")
-    if (!new java.io.File(s"${store.root}/$tmpName").renameTo(dst)) {
-      val restored = old.renameTo(dst)
+    val meta = CollectionMeta.read(dir)
+    if (meta.nonEmpty) CollectionMeta.write(s"${store.root}/$tmpName", meta)
+    val fsm = store.sfs
+    fsm.deleteTree(s"${dir}__old")
+    require(fsm.rename(dir, s"${dir}__old"),
+      s"mutable compact: cannot stage $name aside")
+    if (!fsm.rename(s"${store.root}/$tmpName", dir)) {
+      val restored = fsm.rename(s"${dir}__old", dir)
       throw new IllegalStateException(
         if (restored) s"mutable compact swap failed for $name; original restored"
         else s"mutable compact swap failed for $name AND restore failed — " +
           s"data is under ${name}__old (auto-recovered on next open)")
     }
-    rm(old)
-  }
-
-  private def rm(f: java.io.File): Unit = {
-    def go(g: java.io.File): Unit = {
-      if (g.isDirectory) Option(g.listFiles()).getOrElse(Array.empty).foreach(go)
-      g.delete(): Unit
-    }
-    if (f.exists()) go(f)
+    fsm.deleteTree(s"${dir}__old")
   }
 }
 
 object MutableCollection {
+  /** Spark conf key: max touched ids [[MutableCollection.changesBetween]]
+    * resolves via an In-predicate pushdown before degrading to the
+    * semi-join tier (default 1000; 0 forces the semi-join path). */
+  val IsinMaxIdsConf = "graft.cdc.isinMaxIds"
+  /** Spark conf key: collection on-disk bytes under which
+    * [[MutableCollection.changesBetween]] diffs the two snapshot views
+    * with one plain full-outer job instead of the delta-probe tiers
+    * (default 64 MB; 0 forces delta-bounding). */
+  val SmallCollectionBytesConf = "graft.cdc.smallCollectionBytes"
   /** Hidden per-row write-sequence column. */
   val SeqCol = "_graft_seq"
   /** Tombstone max-seq column (tombstone files + transient join column). */
@@ -372,24 +486,23 @@ object MutableCollection {
       props.setProperty("idCol", m.idCol)
       props.setProperty("seq", m.seq.toString)
       props.setProperty("floorSeq", m.floorSeq.toString)
-      val tmp = new java.io.File(collectionDir, MarkerFile + ".tmp")
-      val out = new java.io.FileOutputStream(tmp)
-      try props.store(out, "graft mutable collection marker")
-      finally out.close()
-      val dst = new java.io.File(collectionDir, MarkerFile)
-      // atomic replace: rename over the existing marker (same directory,
-      // same filesystem) — readers see old-or-new, never a torn file
-      java.nio.file.Files.move(tmp.toPath, dst.toPath,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+      val buf = new java.io.ByteArrayOutputStream()
+      props.store(buf, "graft mutable collection marker")
+      val fsm = StoreFs.forPath(collectionDir)
+      val tmp = s"$collectionDir/$MarkerFile.tmp"
+      fsm.writeBytes(tmp, buf.toByteArray)
+      // atomic replace: overwrite-rename within the directory (atomic on
+      // HDFS and on POSIX local renames) — readers see old-or-new,
+      // never a torn file
+      fsm.overwriteRename(tmp, s"$collectionDir/$MarkerFile")
     }
 
     def read(collectionDir: String): Option[Marker] = {
-      val f = new java.io.File(collectionDir, MarkerFile)
-      if (!f.isFile) return None
+      val fsm = StoreFs.forPath(collectionDir)
+      val f = s"$collectionDir/$MarkerFile"
+      if (!fsm.isFile(f)) return None
       val props = new java.util.Properties()
-      val in = new java.io.FileInputStream(f)
-      try props.load(in) finally in.close()
+      props.load(new java.io.ByteArrayInputStream(fsm.readBytes(f)))
       Some(Marker(props.getProperty("idCol"),
         props.getProperty("seq", "0").toLong,
         props.getProperty("floorSeq", "0").toLong))

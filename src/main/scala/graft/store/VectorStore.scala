@@ -14,9 +14,20 @@ import org.apache.spark.sql.functions.lit
   * Layout: `<root>/<collectionName>/` parquet, optionally partitioned by a
   * metadata column (e.g. `category`) so equality `where` filters become
   * partition pruning at scale.
+  *
+  * Filesystem: every bookkeeping primitive (listing, staged swaps, atomic
+  * marker replace, fork links) goes through [[StoreFs]] — Hadoop's
+  * `FileSystem` API — so a store root may live on `file:`, `hdfs:`, or any
+  * mounted scheme; the data reads/writes are Spark parquet jobs and were
+  * always scheme-agnostic. [[fork]] degrades from hardlinks to byte copies
+  * off local disks (links are a local-filesystem feature).
   */
 final case class VectorStore(root: String) {
   private def path(name: String) = s"$root/$name"
+
+  /** The filesystem seam every bookkeeping op goes through (resolved from
+    * the root's scheme; transient — never shipped inside a task). */
+  @transient private[store] lazy val sfs: StoreFs = StoreFs.forPath(root)
 
   def create(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
              manifest: Option[CollectionManifest] = None): Unit = {
@@ -115,46 +126,38 @@ final case class VectorStore(root: String) {
   def count(spark: SparkSession, name: String): Long =
     readCurrent(spark, name).count()
 
-  /** Null-safe listing: listFiles() returns null on an unreadable dir or
-    * when racing a concurrent compaction swap deleting it mid-walk. */
-  private def ls(f: java.io.File): Array[java.io.File] =
-    Option(f.listFiles()).getOrElse(Array.empty)
-
   /** Crash recovery for the compaction swap: a death between the two
     * renames leaves the data ONLY under `name__old` (which list()
     * filters out — the collection would silently vanish). Detect the
     * stranded layout on every open/listing and rename it back. */
   private def recoverStranded(): Unit =
-    ls(new java.io.File(root)).foreach { f =>
-      val n = f.getName
-      if (n.endsWith("__old")) {
-        val base = new java.io.File(root, n.stripSuffix("__old"))
-        if (!base.exists()) f.renameTo(base): Unit
-      }
+    sfs.list(root).foreach { st =>
+      val n = st.getPath.getName
+      if (n.endsWith("__old") && !sfs.exists(path(n.stripSuffix("__old"))))
+        sfs.rename(st.getPath.toString, path(n.stripSuffix("__old"))): Unit
     }
 
   def list(): Seq[String] = {
     recoverStranded()
-    val d = new java.io.File(root)
-    if (!d.isDirectory) Nil
-    else ls(d).filter(_.isDirectory).map(_.getName)
+    sfs.list(root).filter(_.isDirectory).map(_.getPath.getName)
       // in-flight compaction scratch (a crash mid-compact can leave
       // either behind) is not a collection
       .filterNot(n => n.endsWith("__compacting") || n.endsWith("__old"))
-      .sorted.toSeq
+      .sorted
   }
 
-  /** All data files of a collection (recursive — partitioned layouts
-    * keep files one directory down). */
-  def dataFiles(name: String): Seq[java.io.File] = {
+  /** All data-file statuses of a collection (recursive — partitioned
+    * layouts keep files one directory down). Scheme-agnostic. */
+  def dataFileStatuses(name: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     recoverStranded()
-    def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) ls(f).toSeq.flatMap(walk)
-      else if (f.getName.startsWith("part-")) Seq(f)
-      else Nil
-    val d = new java.io.File(path(name))
-    if (d.exists()) walk(d) else Nil
+    sfs.walkFiles(path(name)).filter(_.getPath.getName.startsWith("part-"))
   }
+
+  /** All data files of a collection as local `File`s — a LOCAL-SCHEME
+    * convenience (inode checks, split engineering in specs); use
+    * [[dataFileStatuses]] for scheme-agnostic metadata. */
+  def dataFiles(name: String): Seq[java.io.File] =
+    dataFileStatuses(name).map(sfs.toLocalFile)
 
   /** Compact a collection's small files — the maintenance op every
     * long-lived ingest store needs: streaming/incremental appends leave
@@ -164,9 +167,9 @@ final case class VectorStore(root: String) {
     * Reads the collection, coalesces to ceil(bytes/targetBytes) output
     * files — `coalesce`, NOT `repartition`: compaction is an IO rewrite
     * and must not pay a full shuffle pass — writes to a swap directory,
-    * then atomically renames into place. On an object store the rename
-    * becomes a manifest/pointer swap (table formats exist for exactly
-    * this); the read+coalesce+write core is unchanged.
+    * then atomically renames into place (a directory rename is atomic on
+    * HDFS and POSIX; a pure object store would swap a manifest pointer
+    * instead — the read+coalesce+write core is unchanged).
     *
     * Returns (filesBefore, filesAfter). */
   def compact(spark: SparkSession, name: String,
@@ -177,51 +180,47 @@ final case class VectorStore(root: String) {
     require(MutableCollection.Marker.read(path(name)).isEmpty,
       s"collection '$name' is mutable — use VectorStore.mutable(name).compact " +
         "(file compaction here would discard the tombstone log)")
-    val before = dataFiles(name)
-    val totalBytes = before.map(_.length).sum
+    val before = dataFileStatuses(name)
+    val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
     // a hive-partitioned layout is detected from the data-file paths and
     // PRESERVED — flattening it would silently break every pruned read;
     // files merge within partition directories
-    val rootPath = new java.io.File(path(name)).toPath
-    val partCols = before.headOption.toSeq.flatMap { f =>
-      rootPath.relativize(f.toPath.getParent).toString
+    val rootUriPath = new org.apache.hadoop.fs.Path(path(name)).toUri.getPath
+    val partCols = before.headOption.toSeq.flatMap { st =>
+      st.getPath.getParent.toUri.getPath.stripPrefix(rootUriPath)
         .split("/").filter(_.contains("=")).map(_.takeWhile(_ != '='))
     }
     val tmpName = name + "__compacting"
     val w = read(spark, name).coalesce(nOut).write.mode("overwrite")
     (if (partCols.nonEmpty) w.partitionBy(partCols.toSeq: _*) else w)
       .parquet(path(tmpName))
-    // the embedder binding survives compaction — the rewrite changes file
-    // layout, never the embedding space
+    // the embedder binding and user metadata survive compaction — the
+    // rewrite changes file layout, never the collection's identity
     CollectionManifest.read(path(name))
       .foreach(CollectionManifest.write(path(tmpName), _))
+    val meta = CollectionMeta.read(path(name))
+    if (meta.nonEmpty) CollectionMeta.write(path(tmpName), meta)
     // swap with a recovery path: stage the original ASIDE first — a
     // delete-then-rename would strand the collection with no data under
     // its name if the second rename failed (open handles, NFS quirks)
-    val dst = new java.io.File(path(name))
-    val old = new java.io.File(path(name + "__old"))
-    rmTree(old)
-    require(dst.renameTo(old), s"compaction: cannot stage $name aside")
-    if (!new java.io.File(path(tmpName)).renameTo(dst)) {
+    sfs.deleteTree(path(name + "__old"))
+    require(sfs.rename(path(name), path(name + "__old")),
+      s"compaction: cannot stage $name aside")
+    if (!sfs.rename(path(tmpName), path(name))) {
       // report a failed restore DISTINCTLY — claiming "restored" on a
       // discarded rename result could send an operator looking at the
       // wrong directory; recoverStranded() also heals this on next open
-      val restored = old.renameTo(dst)
+      val restored = sfs.rename(path(name + "__old"), path(name))
       throw new IllegalStateException(
         if (restored) s"compaction swap failed for $name; original restored"
         else s"compaction swap failed for $name AND restore failed — " +
           s"data is under ${name}__old (auto-recovered on next open)")
     }
-    rmTree(old)
-    (before.size, dataFiles(name).size)
+    sfs.deleteTree(path(name + "__old"))
+    (before.size, dataFileStatuses(name).size)
   }
 
-  /** Rename a collection (the Chroma `collection.modify(name=...)`
-    * shape): one atomic directory move — every sidecar (manifest,
-    * mutable marker, tombstone log) travels with it; nothing is
-    * rewritten. Fails fast on a missing source or existing target
-    * rather than clobbering. */
   /** Shared target-name validation for the verbs that mint a collection
     * name (rename / fork): plain path segment, and none of the
     * compaction machinery's reserved suffixes — "x__old" would be
@@ -236,14 +235,39 @@ final case class VectorStore(root: String) {
       s"collection name '$to' collides with the compaction staging suffixes")
   }
 
+  /** Rename a collection (the Chroma `collection.modify(name=...)`
+    * shape): one atomic directory move — every sidecar (manifest,
+    * mutable marker, tombstone log) travels with it; nothing is
+    * rewritten. Fails fast on a missing source or existing target
+    * rather than clobbering. */
   def rename(from: String, to: String): Unit = {
     recoverStranded()
     requireMintableName(to)
-    val src = new java.io.File(path(from))
-    val dst = new java.io.File(path(to))
-    require(src.isDirectory, s"collection '$from' does not exist")
-    require(!dst.exists(), s"collection '$to' already exists")
-    require(src.renameTo(dst), s"rename '$from' -> '$to' failed")
+    require(sfs.isDir(path(from)), s"collection '$from' does not exist")
+    require(!sfs.exists(path(to)), s"collection '$to' already exists")
+    require(sfs.rename(path(from), path(to)), s"rename '$from' -> '$to' failed")
+  }
+
+  /** The Chroma `collection.modify(name=..., metadata=...)` verb in one
+    * call: an optional rename (atomic directory move, sidecars travel)
+    * and/or an optional metadata REPLACEMENT (Chroma's documented
+    * semantics — the new map replaces the old wholesale, it does not
+    * merge). Returns the collection's (possibly new) name. Metadata is
+    * written under the CURRENT name first so a failed rename never
+    * leaves the update half-applied on a name that no longer exists. */
+  def modify(name: String, newName: Option[String] = None,
+             metadata: Option[Map[String, String]] = None): String = {
+    recoverStranded()
+    require(sfs.isDir(path(name)), s"collection '$name' does not exist")
+    metadata.foreach(CollectionMeta.write(path(name), _))
+    newName.foreach(rename(name, _))
+    newName.getOrElse(name)
+  }
+
+  /** Collection-level user metadata (empty map when none was ever set). */
+  def metadata(name: String): Map[String, String] = {
+    recoverStranded()
+    CollectionMeta.read(path(name))
   }
 
   /** Zero-copy writable fork of a collection (the lakehouse SHALLOW
@@ -262,32 +286,31 @@ final case class VectorStore(root: String) {
     * is atomically REPLACED on every seq allocation, which would sever
     * a link anyway — copying makes the bookkeeping independence
     * explicit, so a forked mutable collection versions independently.
-    * Falls back to a byte copy if the filesystem refuses links. */
+    * Off local disks (no hardlink primitive) the fork degrades to a
+    * byte copy per file — O(bytes), stated loudly here. */
   def fork(from: String, to: String): Unit = {
     recoverStranded()
     requireMintableName(to)
-    val src = new java.io.File(path(from))
-    val dst = new java.io.File(path(to))
-    require(src.isDirectory, s"collection '$from' does not exist")
-    require(!dst.exists(), s"collection '$to' already exists")
-    def go(s: java.io.File, d: java.io.File): Unit = {
-      if (s.isDirectory) {
-        require(d.mkdirs() || d.isDirectory, s"cannot create ${d.getPath}")
-        ls(s).foreach(c => go(c, new java.io.File(d, c.getName)))
-      } else if (s.getName.startsWith("part-")) {
+    require(sfs.isDir(path(from)), s"collection '$from' does not exist")
+    require(!sfs.exists(path(to)), s"collection '$to' already exists")
+    def go(src: org.apache.hadoop.fs.FileStatus, dst: String): Unit = {
+      if (src.isDirectory) {
+        sfs.mkdirs(dst)
+        sfs.list(src.getPath.toString)
+          .foreach(c => go(c, s"$dst/${c.getPath.getName}"))
+      } else if (src.getPath.getName.startsWith("part-")) {
         // parquet payloads — data AND tombstone-log files — are
-        // HARDLINKED: both are immutable under the write discipline
-        // (appends create new files, compaction swaps directories, the
-        // log truncates by deleting names), so sharing bytes is safe
-        try java.nio.file.Files.createLink(d.toPath, s.toPath)
-        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
-          java.nio.file.Files.copy(s.toPath, d.toPath): Unit }
+        // HARDLINKED where possible: both are immutable under the write
+        // discipline (appends create new files, compaction swaps
+        // directories, the log truncates by deleting names), so sharing
+        // bytes is safe
+        sfs.linkOrCopy(src.getPath.toString, dst)
       } else {
         // non-parquet sidecars (marker, manifest, _SUCCESS): copied —
         // the marker is atomically REPLACED on every seq allocation,
         // which would sever a link anyway; copying makes the
         // bookkeeping independence explicit
-        java.nio.file.Files.copy(s.toPath, d.toPath): Unit
+        sfs.copyFile(src.getPath.toString, dst)
       }
     }
     // staged like every other multi-step write in this file: build
@@ -295,10 +318,11 @@ final case class VectorStore(root: String) {
     // rename — a crash mid-walk leaves only an inert staging dir that
     // the next fork clears, never a half-populated collection that
     // reads as valid and blocks retry
-    val tmp = new java.io.File(path(to + "__compacting"))
-    rmTree(tmp)
-    go(src, tmp)
-    require(tmp.renameTo(dst), s"fork '$from' -> '$to': final rename failed")
+    val tmp = path(to + "__compacting")
+    sfs.deleteTree(tmp)
+    sfs.mkdirs(tmp)
+    sfs.list(path(from)).foreach(c => go(c, s"$tmp/${c.getPath.getName}"))
+    require(sfs.rename(tmp, path(to)), s"fork '$from' -> '$to': final rename failed")
   }
 
   /** First `n` current rows by id order (the Chroma `peek(n)` shape) —
@@ -307,18 +331,10 @@ final case class VectorStore(root: String) {
            idCol: String = "id"): DataFrame =
     readCurrent(spark, name).orderBy(idCol).limit(n)
 
-  def drop(name: String): Unit = rmTree(new java.io.File(path(name)))
+  def drop(name: String): Unit = sfs.deleteTree(path(name))
 
   /** Remove the whole store root (scratch stores in tests/queries). */
-  def destroy(): Unit = rmTree(new java.io.File(root))
-
-  private def rmTree(f: java.io.File): Unit = {
-    def rm(g: java.io.File): Unit = {
-      if (g.isDirectory) ls(g).foreach(rm)
-      g.delete(): Unit
-    }
-    if (f.exists()) rm(f)
-  }
+  def destroy(): Unit = sfs.deleteTree(root)
 }
 
 object VectorStore {
@@ -335,8 +351,8 @@ object VectorStore {
       s != "." && s != ".."
     require(ok(tenant) && ok(database),
       s"tenant/database must be plain path segments, got '$tenant'/'$database'")
-    val dir = new java.io.File(new java.io.File(root, tenant), database)
-    dir.mkdirs()
-    VectorStore(dir.getPath)
+    val dir = s"$root/$tenant/$database"
+    StoreFs.forPath(dir).mkdirs(dir)
+    VectorStore(dir)
   }
 }

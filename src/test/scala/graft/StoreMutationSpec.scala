@@ -346,6 +346,68 @@ class StoreMutationSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("changesBetween is delta-bounded: seq-range pushdown + semi-join resolution, no corpus shuffle") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    val s0 = mc.currentSeq
+    mc.upsert(Seq((2L, "a", "TWO"), (6L, "d", "six")).toDF("id", "src", "text"))
+    mc.deleteIds(spark, Seq(4L))
+    // (1) the touched-id delta scan carries the (from, to] span as
+    // PushedFilters on the hidden seq columns — parquet min/max stats
+    // prune to O(delta) files (each batch writes files of constant seq)
+    val deltaPlan = mc.touchedIdsDelta(spark, s0, mc.currentSeq)
+      .queryExecution.executedPlan.toString
+    assert(deltaPlan.contains(s"GreaterThan(${MutableCollection.SeqCol},$s0)") &&
+      deltaPlan.contains(s"LessThanOrEqual(${MutableCollection.SeqCol},"),
+      s"data-side seq span must reach PushedFilters, got:\n$deltaPlan")
+    assert(deltaPlan.contains(s"GreaterThan(${MutableCollection.DelSeqCol},$s0)"),
+      s"tombstone-side seq span must reach PushedFilters, got:\n$deltaPlan")
+    // baseline: the tiny spec collection takes the small-collection
+    // tier — one plain full-outer job, no probe overhead
+    val cdc = mc.changesBetween(spark, s0, mc.currentSeq)
+    assert(!cdc.queryExecution.executedPlan.toString.contains("LeftSemi"),
+      "small collections must diff with the one-job full-outer shape")
+    val expect = cdc.collect().map(_.toString).sorted.toSeq
+    // (2) small delta on a BIG collection (forced via the size conf):
+    // the touched id set is pushed as an In predicate into BOTH
+    // snapshot scans — endpoint resolution costs no join at all; the
+    // only join left is the O(delta) full-outer diff, never a
+    // corpus-keyed shuffle
+    spark.conf.set(MutableCollection.SmallCollectionBytesConf, "0")
+    try {
+      val small = mc.changesBetween(spark, s0, mc.currentSeq)
+      val cdcPlan = small.queryExecution.executedPlan.toString
+      val inScans = cdcPlan.linesIterator.count(l =>
+        l.contains("PushedFilters") && l.contains("In(id"))
+      assert(inScans >= 2,
+        s"touched ids must reach PushedFilters of both snapshot scans, got $inScans in:\n$cdcPlan")
+      assert(!cdcPlan.contains("LeftSemi"),
+        s"small delta must resolve by In pushdown, not joins:\n$cdcPlan")
+      assert(small.collect().map(_.toString).sorted.toSeq == expect,
+        "In-pushdown tier must produce the identical change set")
+      // (3) an oversized delta degrades to broadcast semi-joins (forced
+      // here with a zero In budget) and produces the identical change set
+      spark.conf.set(MutableCollection.IsinMaxIdsConf, "0")
+      val big = mc.changesBetween(spark, s0, mc.currentSeq)
+      val bigPlan = big.queryExecution.executedPlan.toString
+      val semiJoins = bigPlan.linesIterator.count(l =>
+        l.contains("BroadcastHashJoin") && l.contains("LeftSemi"))
+      assert(semiJoins == 2,
+        s"semi-join tier must gate both snapshot views, got $semiJoins in:\n$bigPlan")
+      assert(big.collect().map(_.toString).sorted.toSeq == expect,
+        "semi-join tier must produce the identical change set")
+      // (4) an untouched span answers empty with no snapshot scan at all
+      val empty = mc.changesBetween(spark, mc.currentSeq, mc.currentSeq)
+      assert(empty.isEmpty && empty.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"),
+        "empty span must short-circuit to a local empty relation")
+    } finally {
+      spark.conf.unset(MutableCollection.IsinMaxIdsConf)
+      spark.conf.unset(MutableCollection.SmallCollectionBytesConf)
+    }
+    store.destroy()
+  }
+
   test("snapshot seq bound is pushed into the parquet scan") {
     val store = freshStore()
     val mc = store.createMutable("c", base, "id")
