@@ -10,10 +10,28 @@ import org.apache.spark.sql.SparkSession
   * rounds 3-4, burying real regressions and real wins alike. min/max per
   * query are kept in `queries_detail` (max-vs-median exposes first-touch
   * warmup costs; a high min flags a genuinely slow plan).
-  * `value` = sum of medians, comparable across rounds.
+  * `value` = sum of the per-query figures, comparable across rounds.
+  *
+  * The HEAVY tier (composed pipelines, streaming, store/index builders —
+  * the queries that run many jobs and checkpoint intermediates) gets 5
+  * runs and reports the TRIMMED MEAN of the middle 3: these queries are
+  * the ones the box's I/O-stall noise mode distorts (round 10's official
+  * record had `pipeline_training_data` at 7.44 s median with a 6.23 s
+  * min on a query whose calm-box median is ~4.7 s), and one stalled run
+  * out of three shifts a median where a 5-run trim absorbs it. Detail
+  * rows carry median, min, max, the trimmed figure, and the run count,
+  * so both estimators stay auditable.
   */
 object Bench {
   private val Runs = 3
+  private val HeavyRuns = 5
+
+  /** The composed/streaming/builder queries whose many-job execution is
+    * exposed to scheduler + I/O stalls — the trimmed-mean tier. */
+  private def isHeavy(name: String): Boolean =
+    name.startsWith("pipeline_") || name.startsWith("streaming_") ||
+      name.startsWith("collection_") || name.startsWith("ingest_") ||
+      name.startsWith("ann_graph") || name == "dedup_clusters"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -45,7 +63,8 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
-      val times = (1 to Runs).map { _ =>
+      val nRuns = if (isHeavy(name)) HeavyRuns else Runs
+      val times = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
@@ -61,19 +80,25 @@ object Bench {
         System.gc()
         dt
       }.sorted
-      val med = times(Runs / 2)
+      val med = times(nRuns / 2)
+      // trimmed mean of the middle n-2 runs — the primary figure for the
+      // heavy tier (equals the median at 3 runs by construction)
+      val trimmed = times.drop(1).dropRight(1).sum / (nRuns - 2)
+      val primary = if (isHeavy(name)) trimmed else med
       System.err.println(
-        f"[bench] $name%-28s med $med%8.2fs  min ${times.head}%6.2fs  max ${times.last}%6.2fs")
-      (name, med, times.head, times.last)
+        f"[bench] $name%-28s med $med%8.2fs  trim $trimmed%6.2fs  " +
+          f"min ${times.head}%6.2fs  max ${times.last}%6.2fs  n=$nRuns")
+      (name, primary, med, trimmed, times.head, times.last, nRuns)
     }
-    val qs = results.map { case (k, m, _, _) => s"\"" + k + "\":" + m }
+    val qs = results.map { case (k, p, _, _, _, _, _) => s"\"" + k + "\":" + p }
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, m, lo, hi) =>
-      s"\"" + k + "\":{\"median\":" + m + ",\"min\":" + lo + ",\"max\":" + hi + "}"
+    val detail = results.map { case (k, _, m, tr, lo, hi, n) =>
+      s"\"" + k + "\":{\"median\":" + m + ",\"trimmed\":" + tr +
+        ",\"min\":" + lo + ",\"max\":" + hi + ",\"runs\":" + n + "}"
     }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"queries":$qs,"queries_detail":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"heavy_runs":$HeavyRuns,"queries":$qs,"queries_detail":$detail,"sf":"$sfDir"}"""
     // durable record: the driver captures stdout with a bounded tail, and
     // r5's ~60 leading query medians were lost to mid-line truncation.
     // Write the full JSON to the repo BEFORE printing, so the round's perf

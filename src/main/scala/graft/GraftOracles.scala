@@ -804,6 +804,39 @@ object GraftOracles {
         |     OR f.text IS DISTINCT FROM o.text
         |ORDER BY change, doc_id""".stripMargin,
 
+    // Twin of collection_cdc_delta: the collection_diff change set
+    // cross-joined with the two tier tags — the oracle has no notion of
+    // tiers because BOTH delta code paths must equal the plain diff.
+    "collection_cdc_delta" ->
+      """WITH st0 AS (
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id <= 300),
+        |ups AS (
+        |  SELECT doc_id, source, upper(text) AS text FROM documents
+        |  WHERE doc_id BETWEEN 250 AND 350),
+        |st1 AS (
+        |  SELECT * FROM ups
+        |  UNION ALL
+        |  SELECT * FROM st0 WHERE doc_id NOT IN (SELECT doc_id FROM ups)),
+        |fin AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id <= 20 THEN 'edited' ELSE source END AS source,
+        |    text
+        |  FROM st1 WHERE doc_id % 7 <> 0),
+        |diff AS (
+        |  SELECT 'insert' AS change, f.doc_id, f.source, f.text FROM fin f
+        |    WHERE f.doc_id NOT IN (SELECT doc_id FROM st0)
+        |  UNION ALL
+        |  SELECT 'delete', o.doc_id, o.source, o.text FROM st0 o
+        |    WHERE o.doc_id NOT IN (SELECT doc_id FROM fin)
+        |  UNION ALL
+        |  SELECT 'update', f.doc_id, f.source, f.text
+        |    FROM fin f JOIN st0 o ON f.doc_id = o.doc_id
+        |    WHERE f.source IS DISTINCT FROM o.source
+        |       OR f.text IS DISTINCT FROM o.text)
+        |SELECT t.tier, d.change, d.doc_id, d.source, d.text
+        |FROM diff d CROSS JOIN (VALUES ('isin'), ('semi')) t(tier)
+        |ORDER BY tier, change, doc_id""".stripMargin,
+
     // Twin of collection_fork: the source state (untouched create) and
     // the fork state (upsert 290..330 lower + delete %11) restated
     // independently — a hash match proves the hardlinked fork's history
@@ -1187,6 +1220,95 @@ object GraftOracles {
 
     // Twin of ann_graph_exhaustive: exact l2² top-10 — the identity the
     // exhaustive walk configuration must reproduce bit-for-bit (the
+    // Twin of ann_graph_walk: the beam-walk KERNEL replayed as a
+    // recursive-CTE state machine — one neighbor OFFER or candidate POP
+    // per recursion step, carrying (visited, cand, res) as list state
+    // with the kernel's exact (dist, id) orderings, adjacency-order
+    // offers, ef=24 bound and stop rule. The M=6 kNN adjacency is
+    // re-derived relationally (the SQL-expressible graph construction);
+    // distances use the established list_transform double-accumulation
+    // kernel. MATERIALIZED pins keep the per-step joins O(1)-ish.
+    "ann_graph_walk" ->
+      """        |WITH RECURSIVE
+        |corpus AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v
+        |  FROM embeddings WHERE vec_id <> 0 AND vec_id < 500),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.id AS src, b.id AS dst,
+        |    list_sum(list_transform(range(1,65),
+        |      i -> (a.v[i]::DOUBLE - b.v[i]::DOUBLE) * (a.v[i]::DOUBLE - b.v[i]::DOUBLE))) AS d
+        |  FROM corpus a JOIN corpus b ON a.id <> b.id),
+        |ranked AS (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+        |  FROM pairs),
+        |adj AS MATERIALIZED (
+        |  SELECT src, list(dst ORDER BY r) AS nbrs
+        |  FROM ranked WHERE r <= 6 GROUP BY src),
+        |qd AS MATERIALIZED (
+        |  SELECT c.id, list_sum(list_transform(range(1,65),
+        |      i -> (c.v[i]::DOUBLE - q.qv[i]::DOUBLE) * (c.v[i]::DOUBLE - q.qv[i]::DOUBLE))) AS d
+        |  FROM corpus c, q),
+        |entry AS (SELECT min(id) AS id FROM corpus),
+        |walk AS (
+        |  SELECT
+        |    [e.id] AS visited,
+        |    [{'d': qd.d, 'id': e.id}] AS cand,
+        |    [{'d': qd.d, 'id': e.id}] AS res,
+        |    CAST(NULL AS BIGINT[]) AS nbrs,
+        |    0 AS ni,
+        |    false AS stopped
+        |  FROM entry e JOIN qd ON qd.id = e.id
+        |  UNION ALL
+        |  SELECT
+        |    CASE WHEN s.popping OR s.seen THEN s.visited
+        |         ELSE list_append(s.visited, s.nb) END AS visited,
+        |    CASE WHEN s.popping THEN s.sc[2:]
+        |         WHEN s.seen OR NOT s.enter THEN s.cand
+        |         ELSE list_append(s.cand, {'d': s.dn, 'id': s.nb}) END AS cand,
+        |    CASE WHEN s.popping OR s.seen OR NOT s.enter THEN s.res
+        |         WHEN len(s.res) >= 24 THEN list_sort(list_append(s.res, {'d': s.dn, 'id': s.nb}))[1:24]
+        |         ELSE list_append(s.res, {'d': s.dn, 'id': s.nb}) END AS res,
+        |    CASE WHEN s.popping AND NOT (len(s.cand) = 0 OR s.stop_now) THEN s.c_nbrs
+        |         WHEN s.popping THEN NULL
+        |         ELSE s.nbrs END AS nbrs,
+        |    CASE WHEN s.popping THEN 0 ELSE s.ni + 1 END AS ni,
+        |    CASE WHEN s.popping AND (len(s.cand) = 0 OR s.stop_now) THEN true
+        |         ELSE false END AS stopped
+        |  FROM (
+        |    SELECT w.visited, w.cand, w.res, w.nbrs, w.ni,
+        |      (w.nbrs IS NULL OR w.ni >= len(w.nbrs)) AS popping,
+        |      list_sort(w.cand) AS sc,
+        |      list_sort(w.res)[-1] AS mr,
+        |      sc[1].id AS c_id,
+        |      aj.nbrs AS c_nbrs,
+        |      (len(w.res) >= 24 AND (sc[1].d > (mr).d OR (sc[1].d = (mr).d AND sc[1].id > (mr).id))) AS stop_now,
+        |      CASE WHEN NOT (w.nbrs IS NULL OR w.ni >= len(w.nbrs))
+        |           THEN w.nbrs[w.ni + 1] END AS nb,
+        |      CASE WHEN NOT (w.nbrs IS NULL OR w.ni >= len(w.nbrs))
+        |             AND list_contains(w.visited, w.nbrs[w.ni + 1]) THEN true
+        |           ELSE false END AS seen,
+        |      qn.d AS dn,
+        |      CASE WHEN NOT (w.nbrs IS NULL OR w.ni >= len(w.nbrs))
+        |             AND NOT list_contains(w.visited, w.nbrs[w.ni + 1])
+        |           THEN (len(w.res) < 24
+        |                 OR qn.d < list_sort(w.res)[-1].d
+        |                 OR (qn.d = list_sort(w.res)[-1].d
+        |                     AND w.nbrs[w.ni + 1] < list_sort(w.res)[-1].id))
+        |           ELSE false END AS enter
+        |    FROM walk w
+        |    LEFT JOIN adj aj ON aj.src = list_sort(w.cand)[1].id
+        |    LEFT JOIN qd qn ON qn.id = (CASE WHEN w.nbrs IS NOT NULL AND w.ni < len(w.nbrs)
+        |                                     THEN w.nbrs[w.ni + 1] END)
+        |    WHERE NOT w.stopped
+        |  ) s
+        |),
+        |final AS (SELECT res FROM walk WHERE stopped),
+        |flat AS (SELECT unnest(res) AS r FROM final),
+        |topk AS (SELECT r.d AS d, r.id AS id FROM flat ORDER BY d, id LIMIT 10)
+        |SELECT id AS vec_id, floor(d * 1e6 + 0.5) / 1e6 AS dist
+        |FROM topk ORDER BY dist, vec_id""".stripMargin,
+
     // beam never prunes, so the walk kernel degenerates to exact kNN).
     // The one oracle-checkable point of the graph family's kernel.
     "ann_graph_exhaustive" ->

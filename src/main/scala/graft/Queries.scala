@@ -719,6 +719,52 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** The graph WALK kernel anchored against an independent SQL
+    * implementation — the anchor the rows-only graph queries hang off.
+    * The NSW insertion BUILD is inherently sequential (a beam search
+    * inside a fold) and stays rows-only in the main graph queries; the
+    * WALK is the kernel they all share, and `ann_graph_exhaustive`
+    * already pins its exhaustive limit (ef >= cell, walk == exact kNN).
+    * This query pins the SELECTIVE regime: the walk runs over an
+    * SQL-DERIVABLE adjacency — each node's M=6 nearest neighbors by
+    * (exact double l2², id), a construction DuckDB can replicate —
+    * so the oracle's recursive-CTE state machine replays the exact beam
+    * (same (dist, id) orderings, same adjacency-order neighbor offers,
+    * same ef bound and stop rule, one offer/pop per recursion step) and
+    * the gate hash-checks every beam decision. Bounded by design: a
+    * 499-node slice (vec_id < 500), ef=24 < n, so the beam genuinely
+    * prunes (the kernel visits a strict subset — the property the
+    * exhaustive anchor cannot see). */
+  val annGraphWalk: Q = (s, d) => {
+    import s.implicits._
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
+    val corpus = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").cast("long").as("id"),
+        col("embedding").cast("array<float>").as("vec"))
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+      .head.getSeq[Float](0).map(_.toDouble).toArray
+    // M-NN adjacency by (exact double l2², id): neighbor lists sorted by
+    // rank so the walk's offer order is data-defined on both engines
+    val pairs = corpus.as("a").join(corpus.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"),
+        graft.functions.VectorFunctions.l2Sq(col("a.vec"), col("b.vec")).as("_d"),
+        col("b.id").as("dst"))
+    val byDist = Window.partitionBy("src").orderBy(col("_d"), col("dst"))
+    val adjacency = pairs.withColumn("_r", row_number().over(byDist))
+      .filter(col("_r") <= 6)
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("_r"), col("dst")))).as("_nb"))
+      .select(col("src").as("id"),
+        transform(col("_nb"), x => x.getField("dst")).as("neighbors"))
+    val nodes = corpus.join(adjacency, Seq("id"))
+      .select(lit(0).as("cell_id"), col("id"), col("vec"), col("neighbors"))
+      .repartition(1) // one cell, whole in one task (the walk precondition)
+      .as[GraphAnn.Node]
+    GraphAnn.search(nodes, Array(Array.fill(64)(0.0f)), qv,
+        k = 10, nprobe = 1, ef = 24)
+      .select(col("vec_id"), col("dist"))
+  }
+
   /** Incremental graph-index maintenance — nightly-batch shape: the
     * standing corpus (vec_id % 10 != 7, the repo's arrival-slice
     * convention) builds the stored graph once; the arrival slice then
@@ -2144,6 +2190,36 @@ object GraftQueries {
       mc.changesBetween(s, 0L, mc.currentSeq).orderBy("change", "doc_id")
     }
 
+  /** The DELTA-BOUNDED CDC tiers under the gate's oracle: the same
+    * endpoint diff as `collection_diff`, but with the small-collection
+    * fast path disabled so the read runs the seq-pruned delta scan —
+    * once through the In-pushdown tier (default id budget) and once
+    * through the semi-join tier (budget forced to 0) — each tagged.
+    * A hash match against the oracle (the diff restated twice in plain
+    * SQL) proves BOTH 100 TB code paths produce exactly the
+    * full-outer-equivalent change set; the gate's tiny store would
+    * otherwise only ever exercise the small-collection tier. */
+  val collectionCdcDelta: Q = (s, d) =>
+    withMutateSequence(s, d) { (mc, _) =>
+      import graft.store.MutableCollection.{IsinMaxIdsConf, SmallCollectionBytesConf}
+      s.conf.set(SmallCollectionBytesConf, "0")
+      try {
+        val isinTier = mc.changesBetween(s, 0L, mc.currentSeq)
+          .withColumn("tier", lit("isin"))
+        s.conf.set(IsinMaxIdsConf, "0")
+        val semiTier =
+          try mc.changesBetween(s, 0L, mc.currentSeq)
+            .withColumn("tier", lit("semi"))
+          finally s.conf.unset(IsinMaxIdsConf)
+        // materialize INSIDE the conf scope — changesBetween picks its
+        // tier at plan-construction time, but the conf must not leak
+        isinTier.unionByName(semiTier)
+          .select("tier", "change", "doc_id", "source", "text")
+          .orderBy("tier", "change", "doc_id")
+          .localCheckpoint(true)
+      } finally s.conf.unset(SmallCollectionBytesConf)
+    }
+
   /** Zero-copy fork at the gate: fork a mutable collection (hardlinked
     * data, copied bookkeeping), mutate ONLY the fork, then read both
     * sides tagged — the oracle restates the two states independently,
@@ -2952,6 +3028,7 @@ object GraftQueries {
     "ann_graph_store" -> annGraphStore,
     "sample_domain_cap" -> sampleDomainCap,
     "ann_graph_incremental" -> annGraphIncremental,
+    "ann_graph_walk" -> annGraphWalk,
     "ann_graph_filtered" -> annGraphFiltered,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,
@@ -3038,6 +3115,7 @@ object GraftQueries {
     "where_document_filter" -> whereDocumentFilter,
     "collection_lifecycle" -> collectionLifecycle,
     "collection_cdc_batches" -> collectionCdcBatches,
+    "collection_cdc_delta" -> collectionCdcDelta,
     "collection_diff" -> collectionDiff,
     "collection_fork" -> collectionFork,
     "collection_mutate" -> collectionMutate,
