@@ -1163,6 +1163,11 @@ object GraftOracles {
     "ann_probe_knn" -> annProbedTop10Sql,
     "ann_ivf_store" -> annProbedTop10Sql,
 
+    // Twin of ann_ivf_incremental (same SQL as ann_ivf_store): IVF
+    // append-maintenance must be INVISIBLE to the answer — the oracle
+    // has no notion of which rows arrived incrementally.
+    "ann_ivf_incremental" -> annProbedTop10Sql,
+
     // Twin of ann_ivfpq AND ann_ivfpq_store (one SQL, two entries —
     // stored vs inline encoding is invisible to the answer): the whole
     // IVF-PQ chain is deterministic, so "approximate" is again only a

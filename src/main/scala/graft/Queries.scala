@@ -591,6 +591,41 @@ object GraftQueries {
     * bytes are READ, not just filtered. FULL ORACLE since round 10 —
     * same SQL twin as ann_probe_knn (stored vs inline cells is invisible
     * to the answer). */
+  /** Incremental stored-IVF maintenance — the append-only twin of
+    * `ann_graph_incremental`: the standing corpus (vec_id % 10 != 7)
+    * builds the cell-partitioned index with centroids trained on the
+    * FULL corpus (the frozen router), the arrival slice APPENDS through
+    * [[Similarity.insertIntoStoredIvf]] (O(batch) new files in touched
+    * cells, nothing read back), and the search over the maintained
+    * store hash-matches the same full-corpus probe oracle as
+    * `ann_ivf_store` — incremental maintenance is INVISIBLE to the
+    * answer, and this one is provable in SQL because IVF needs no
+    * rebuild (cells are unordered lists). */
+  val annIvfIncremental: Q = (s, d) => {
+    import graft.plans.AnnProbe
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 16)
+    val standing = e.filter(col("vec_id") % 10 =!= 7)
+    val arrivals = e.filter(col("vec_id") % 10 === 7)
+    store.create("vectors", Similarity.withCellId(standing, "embedding", cents),
+      partitionBy = Seq("cell_id"))
+    Similarity.insertIntoStoredIvf(store, "vectors", arrivals, "embedding", "vec_id", cents)
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    e.unpersist()
+    val out = AnnProbe.withProbe(s, cents, nprobe = 4) {
+      val probed = store.read(s, "vectors")
+        .orderBy(l2Sq(col("embedding"), vecLit(qv)), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "cell_id")
+      s.createDataFrame(java.util.Arrays.asList(probed.collect(): _*), probed.schema)
+    }
+    store.destroy()
+    out
+  }
+
   val annIvfStore: Q = (s, d) => {
     import graft.plans.AnnProbe
     val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
@@ -3029,6 +3064,7 @@ object GraftQueries {
     "sample_domain_cap" -> sampleDomainCap,
     "ann_graph_incremental" -> annGraphIncremental,
     "ann_graph_walk" -> annGraphWalk,
+    "ann_ivf_incremental" -> annIvfIncremental,
     "ann_graph_filtered" -> annGraphFiltered,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,

@@ -147,6 +147,44 @@ object Similarity {
     cents
   }
 
+  /** Incremental maintenance of a STORED IVF-flat index — the nightly
+    * append: assign the arriving batch to cells with the index's FROZEN
+    * centroids and APPEND into the cell-partitioned layout. IVF cells
+    * are unordered candidate lists, so unlike the graph tier
+    * ([[GraphAnn.insertIntoStored]] — whole-cell rebuild) NO existing
+    * row changes: the write is O(batch) new files under the touched
+    * cell directories, the collection is never read back (only its slim
+    * id column, for the append-contract check), and a search over the
+    * maintained store is row-identical to a from-scratch build with the
+    * same centroids by construction (spec-pinned, together with
+    * untouched-partition file immutability). Quantizer drift (frozen
+    * router while the distribution moves) is the documented trade —
+    * periodic retrain-and-rebuild, the same policy as compaction.
+    *
+    * CONTRACT: batch ids are NEW (append semantics) — enforced with the
+    * same one-pass broadcast semi-join count as the graph tier. Returns
+    * the touched cell ids. */
+  def insertIntoStoredIvf(store: graft.store.VectorStore, name: String,
+                          batch: DataFrame, vecCol: String, idCol: String,
+                          cents: Array[(Int, Array[Float])]): Seq[Int] = {
+    val sp = batch.sparkSession
+    val assigned = withCellId(batch, vecCol, cents)
+    val cnts = assigned.agg(count(lit(1)), countDistinct(col(idCol))).head
+    require(cnts.getLong(0) == cnts.getLong(1),
+      "insertIntoStoredIvf: batch contains duplicate ids — append " +
+        "semantics require new, unique ids")
+    val dupCount = store.read(sp, name).select(idCol)
+      .join(BroadcastGate.maybeBroadcast(
+        assigned.select(idCol), cnts.getLong(0) * 64), Seq(idCol), "left_semi")
+      .agg(count(lit(1))).head.getLong(0)
+    require(dupCount == 0L,
+      s"insertIntoStoredIvf: batch re-inserts $dupCount existing id(s) " +
+        s"into '$name' — append semantics require new ids")
+    store.append(name, assigned, partitionBy = Seq("cell_id"))
+    // bounded collect: at most ncells rows
+    assigned.select("cell_id").distinct().collect().map(_.getInt(0)).sorted.toSeq
+  }
+
   /** DataFrame facade over [[trainCentroidArrays]] (API compat). */
   def trainCentroids(collection: DataFrame, vecCol: String, idCol: String,
                      ncells: Int, iters: Int = 3): DataFrame = {

@@ -165,11 +165,24 @@ final case class MutableCollection(store: VectorStore, name: String) {
     * columns replace the stored values for existing ids, unlisted
     * columns keep their stored values. Ids not in the collection are
     * ignored (Chroma warns-and-skips on unknown ids). Implemented as
-    * read-merge-upsert: one live read of the touched ids + one upsert. */
+    * read-merge-upsert: one live read of the touched ids + one upsert.
+    *
+    * DELTA-BOUNDED like [[changesBetween]]: a batch of at most
+    * [[MutableCollection.IsinMaxIdsConf]] ids (the common point-update
+    * regime) pushes the id set as an `In` predicate into the live scan
+    * — parquet stats prune row groups, so updating 10 ids of a 100 TB
+    * collection reads O(10 row groups), not the corpus. Bigger batches
+    * keep the plain equi-join (bounded by the batch either way). */
   def update(spark: SparkSession, df: DataFrame): Unit = {
     val id = idCol
     requireUniqueIds(df, id, "update")
-    val live = readLive(spark)
+    val maxIn = spark.conf.getOption(IsinMaxIdsConf).map(_.toInt).getOrElse(1000)
+    val batchIds = df.select(col(id)).take(maxIn + 1)
+    val live0 = readLive(spark)
+    val live =
+      if (batchIds.length <= maxIn)
+        live0.filter(col(id).isInCollection(batchIds.map(_.get(0)).toSeq))
+      else live0
     val newCols = df.columns.filterNot(_ == id).toSet
     val renamed = newCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + "__new"))
     val merged = live.join(renamed, Seq(id)) // inner: unknown ids drop out

@@ -878,6 +878,54 @@ class AnnProbeSpec extends SparkSpec {
         "anchor would only re-prove the exhaustive identity")
   }
 
+  test("stored-IVF incremental append: untouched partitions byte-identical, search equals full build, dup ids rejected") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("ivf_inc_spec").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(spark, sf).cache()
+    try {
+      val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 16)
+      val batchIds = Seq(101L, 202L, 303L)
+      val standing = e.filter(!col("vec_id").isin(batchIds: _*))
+      val batch = e.filter(col("vec_id").isin(batchIds: _*))
+      store.create("v", Similarity.withCellId(standing, "embedding", cents),
+        partitionBy = Seq("cell_id"))
+      val before = store.dataFiles("v")
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+      val touched = Similarity.insertIntoStoredIvf(
+        store, "v", batch, "embedding", "vec_id", cents)
+      assert(touched.nonEmpty && touched.size <= 3, s"batch of 3 touched $touched")
+      // APPEND-only: every pre-existing file must survive untouched —
+      // even in touched cells (no rebuild, unlike the graph tier)
+      val after = store.dataFiles("v")
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+      before.foreach { case (p, meta) =>
+        assert(after.get(p).contains(meta), s"pre-existing file changed: $p")
+      }
+      assert(after.size > before.size, "append produced no new files")
+      // the maintained store answers identically to a from-scratch build
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      def top10(name: String) = graft.plans.AnnProbe.withProbe(spark, cents, nprobe = 4) {
+        store.read(spark, name)
+          .orderBy(graft.functions.VectorFunctions.l2Sq(col("embedding"),
+            graft.functions.VectorFunctions.vecLit(qv)), col("vec_id"))
+          .limit(10).select("vec_id", "cell_id")
+          .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+      }
+      store.create("v_full", Similarity.withCellId(e, "embedding", cents),
+        partitionBy = Seq("cell_id"))
+      assert(top10("v") == top10("v_full"),
+        "incrementally-maintained IVF diverged from the full build")
+      // append contract: re-inserting an existing id throws
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.insertIntoStoredIvf(store, "v",
+          e.filter(col("vec_id") === 101L), "embedding", "vec_id", cents)
+      }
+      assert(ex.getMessage.contains("re-inserts"))
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   test("insertIntoStored rejects a batch that re-inserts an existing id") {
     import graft.operators.{Clustering, GraphAnn}
     val root = java.nio.file.Files.createTempDirectory("anngraph_dup").toString

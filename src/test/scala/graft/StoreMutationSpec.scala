@@ -68,6 +68,25 @@ class StoreMutationSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("update is delta-bounded: batch ids reach the live scan as PushedFilters; big-batch join path agrees") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    // small batch: the live read under the merge must carry In(id, ...)
+    // — the scan is row-group-pruned, not a corpus pass
+    mc.update(spark, Seq((2L, "TWO")).toDF("id", "text"))
+    val lastWrite = spark.read.parquet(s"${store.root}/c")
+      .filter(col(MutableCollection.SeqCol) === mc.currentSeq)
+    assert(lastWrite.collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+      == Seq((2L, "TWO")))
+    // forcing the join path (zero In budget) produces the same merge
+    spark.conf.set(MutableCollection.IsinMaxIdsConf, "0")
+    try mc.update(spark, Seq((3L, "THREE"), (99L, "ghost")).toDF("id", "text"))
+    finally spark.conf.unset(MutableCollection.IsinMaxIdsConf)
+    val m = liveMap(mc)
+    assert(m(2L) == ("a", "TWO") && m(3L) == ("b", "THREE") && !m.contains(99L))
+    store.destroy()
+  }
+
   test("get returns live versions only") {
     val store = freshStore()
     val mc = store.createMutable("c", base, "id")
