@@ -483,8 +483,12 @@ object Dedup {
     * buckets — recall stays exact, candidate cost grows. */
   private def bandExprs(sig: org.apache.spark.sql.Column,
                         maxHamming: Int): Seq[org.apache.spark.sql.Column] = {
-    require(maxHamming >= 0, s"maxHamming must be >= 0, got $maxHamming")
-    val nb = math.min(maxHamming + 1, 64)
+    // 64 one-bit bands cover radius 63; radius 64 (every bit differs)
+    // has NO shared band — banding cannot express "all pairs", so
+    // refuse loudly rather than silently dropping the h=64 corner
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming (64-bit signatures)")
+    val nb = maxHamming + 1
     val base = 64 / nb
     val rem = 64 % nb
     val widths = Seq.tabulate(nb)(i => if (i < rem) base + 1 else base)

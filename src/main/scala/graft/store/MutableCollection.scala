@@ -95,7 +95,7 @@ final case class MutableCollection(store: VectorStore, name: String) {
 
   private def appendTombstones(ids: DataFrame, seq: Long): Unit =
     ids.select(col(idCol), lit(seq).as(DelSeqCol))
-      .write.mode("append").parquet(tombDir)
+      .write.mode("append").options(bloomOpts(idCol)).parquet(tombDir)
 
   /** Insert-or-replace: rows whose id exists replace the stored version;
     * new ids insert. One id per batch (enforced — replace order within a
@@ -113,8 +113,9 @@ final case class MutableCollection(store: VectorStore, name: String) {
     val seq = nextSeq()
     // data first, tombstones second: a crash in between leaves a
     // transient duplicate (old + new visible), never a lost row
+    // (id blooms on every appended file — see createMutable)
     df.withColumn(SeqCol, lit(seq))
-      .write.mode("append").parquet(dir)
+      .write.mode("append").options(bloomOpts(id)).parquet(dir)
     appendTombstones(df.select(col(id)), seq)
   }
 
@@ -448,7 +449,10 @@ final case class MutableCollection(store: VectorStore, name: String) {
     val m = marker
     val live = liveWithSeq(spark)
     val tmpName = name + "__compacting"
-    live.write.mode("overwrite").parquet(s"${store.root}/$tmpName")
+    // the rewrite keeps the id blooms — compaction must not silently
+    // strip the row-group pruning the delta-bounded reads rely on
+    live.write.mode("overwrite").options(bloomOpts(idCol))
+      .parquet(s"${store.root}/$tmpName")
     // compaction drops dead versions, so states before this sequence
     // stop being reconstructible — raise the snapshot retention floor
     Marker.write(s"${store.root}/$tmpName", m.copy(floorSeq = m.seq))
@@ -472,6 +476,23 @@ final case class MutableCollection(store: VectorStore, name: String) {
 }
 
 object MutableCollection {
+  /** Parquet writer options minting a BLOOM FILTER on the id column of
+    * every data/tombstone file a mutable collection writes. Why: the
+    * delta-bounded read paths (update / get / the CDC In-pushdown tier)
+    * prune row groups by id, and with randomly-ordered ids the
+    * row-group min/max stats span the whole id domain — they prune
+    * nothing. The bloom is the structure that lets a bounded-id lookup
+    * skip the groups that cannot contain those ids (parquet-mr applies
+    * it to pushed Eq/In predicates at filter time). ADAPTIVE sizing
+    * (parquet 1.14+): the writer keeps candidate blooms and ships the
+    * smallest that fits the row group's OBSERVED distinct count — a
+    * 300-row gate file pays a few hundred bytes while a 1M-row
+    * production row group gets a properly-sized filter, with no
+    * hand-tuned NDV to go stale. */
+  private[store] def bloomOpts(idCol: String): Map[String, String] = Map(
+    s"parquet.bloom.filter.enabled#$idCol" -> "true",
+    "parquet.bloom.filter.adaptive.enabled" -> "true")
+
   /** Spark conf key: max touched ids [[MutableCollection.changesBetween]]
     * resolves via an In-predicate pushdown before degrading to the
     * semi-join tier (default 1000; 0 forces the semi-join path). */

@@ -30,8 +30,9 @@ final case class VectorStore(root: String) {
   @transient private[store] lazy val sfs: StoreFs = StoreFs.forPath(root)
 
   def create(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
-             manifest: Option[CollectionManifest] = None): Unit = {
-    val w = df.write.mode("overwrite")
+             manifest: Option[CollectionManifest] = None,
+             writeOptions: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.mode("overwrite").options(writeOptions)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
     // write AFTER the parquet overwrite (which clears the directory) so
     // the binding can never outlive the data it describes
@@ -48,8 +49,13 @@ final case class VectorStore(root: String) {
                     manifest: Option[CollectionManifest] = None): MutableCollection = {
     require(df.columns.contains(idCol),
       s"id column '$idCol' is not in the frame (${df.columns.mkString(", ")})")
+    // id-column BLOOM FILTERS on every data file: the delta-bounded
+    // read paths (update / get / CDC In-pushdown) prune row groups by
+    // id, and with randomly-ordered ids min/max stats span the whole
+    // domain and prune NOTHING — the bloom is what makes a 10-id lookup
+    // on a 100 TB collection skip the groups that cannot hold them
     create(name, df.withColumn(MutableCollection.SeqCol, lit(0L)),
-      partitionBy, manifest)
+      partitionBy, manifest, writeOptions = MutableCollection.bloomOpts(idCol))
     MutableCollection.Marker.write(path(name), MutableCollection.Marker(idCol, 0L))
     MutableCollection(this, name)
   }

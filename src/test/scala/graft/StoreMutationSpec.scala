@@ -87,6 +87,42 @@ class StoreMutationSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("every mutable-collection file carries an id bloom filter (create, upsert, tombstones, compact)") {
+    // random ids make row-group min/max useless for the delta-bounded
+    // id lookups — the bloom is what prunes; a write path that silently
+    // drops it turns every bounded read back into a corpus scan
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    mc.upsert(Seq((6L, "d", "six")).toDF("id", "src", "text"))
+    mc.deleteIds(spark, Seq(1L))
+    def hasIdBloom(f: java.io.File): Boolean = {
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+        spark.sessionState.newHadoopConf())
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.forall(_.getColumns.asScala
+          .filter(_.getPath.toDotString == "id")
+          .forall(_.getBloomFilterOffset >= 0))
+      } finally r.close()
+    }
+    def parquetFiles(sub: String) =
+      Option(new java.io.File(s"${store.root}/c$sub").listFiles())
+        .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet")).toSeq
+    val dataFiles = parquetFiles("")
+    val tombFiles = parquetFiles("/_tombstones")
+    assert(dataFiles.nonEmpty && tombFiles.nonEmpty)
+    (dataFiles ++ tombFiles).foreach(f =>
+      assert(hasIdBloom(f), s"missing id bloom: ${f.getName}"))
+    mc.compact(spark)
+    val afterCompact = parquetFiles("")
+    assert(afterCompact.nonEmpty)
+    afterCompact.foreach(f =>
+      assert(hasIdBloom(f), s"compaction stripped the id bloom: ${f.getName}"))
+    store.destroy()
+  }
+
   test("get returns live versions only") {
     val store = freshStore()
     val mc = store.createMutable("c", base, "id")
