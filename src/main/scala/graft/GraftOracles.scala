@@ -1223,8 +1223,6 @@ object GraftOracles {
          |SELECT vec_id, CAST(cid AS INT) AS cell_id, dist FROM dd
          |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
-    // Twin of ann_graph_exhaustive: exact l2² top-10 — the identity the
-    // exhaustive walk configuration must reproduce bit-for-bit (the
     // Twin of ann_graph_walk: the beam-walk KERNEL replayed as a
     // recursive-CTE state machine — one neighbor OFFER or candidate POP
     // per recursion step, carrying (visited, cand, res) as list state
@@ -1314,6 +1312,8 @@ object GraftOracles {
         |SELECT id AS vec_id, floor(d * 1e6 + 0.5) / 1e6 AS dist
         |FROM topk ORDER BY dist, vec_id""".stripMargin,
 
+    // Twin of ann_graph_exhaustive: exact l2² top-10 — the identity the
+    // exhaustive walk configuration must reproduce bit-for-bit (the
     // beam never prunes, so the walk kernel degenerates to exact kNN).
     // The one oracle-checkable point of the graph family's kernel.
     "ann_graph_exhaustive" ->

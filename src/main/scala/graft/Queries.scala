@@ -771,30 +771,14 @@ object GraftQueries {
     * prunes (the kernel visits a strict subset — the property the
     * exhaustive anchor cannot see). */
   val annGraphWalk: Q = (s, d) => {
-    import s.implicits._
     val e = Tables.embeddings(s, d).filter(col("vec_id") < 500)
-    val corpus = e.filter(col("vec_id") =!= 0)
-      .select(col("vec_id").cast("long").as("id"),
-        col("embedding").cast("array<float>").as("vec"))
     val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head.getSeq[Float](0).map(_.toDouble).toArray
-    // M-NN adjacency by (exact double l2², id): neighbor lists sorted by
-    // rank so the walk's offer order is data-defined on both engines
-    val pairs = corpus.as("a").join(corpus.as("b"), col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("src"),
-        graft.functions.VectorFunctions.l2Sq(col("a.vec"), col("b.vec")).as("_d"),
-        col("b.id").as("dst"))
-    val byDist = Window.partitionBy("src").orderBy(col("_d"), col("dst"))
-    val adjacency = pairs.withColumn("_r", row_number().over(byDist))
-      .filter(col("_r") <= 6)
-      .groupBy(col("src"))
-      .agg(sort_array(collect_list(struct(col("_r"), col("dst")))).as("_nb"))
-      .select(col("src").as("id"),
-        transform(col("_nb"), x => x.getField("dst")).as("neighbors"))
-    val nodes = corpus.join(adjacency, Seq("id"))
-      .select(lit(0).as("cell_id"), col("id"), col("vec"), col("neighbors"))
-      .repartition(1) // one cell, whole in one task (the walk precondition)
-      .as[GraphAnn.Node]
+    // the SQL-derivable adjacency lives in ONE place (GraphAnn.knnGraph)
+    // shared with the selectivity spec — a drifted copy would pin a
+    // different graph than the oracle checks
+    val nodes = GraphAnn.knnGraph(
+      e.filter(col("vec_id") =!= 0), "embedding", "vec_id", m = 6)
     GraphAnn.search(nodes, Array(Array.fill(64)(0.0f)), qv,
         k = 10, nprobe = 1, ef = 24)
       .select(col("vec_id"), col("dist"))

@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The append-only contract every incremental index-maintenance verb
+  * enforces ([[GraphAnn.insertIntoStored]],
+  * [[Similarity.insertIntoStoredIvf]]): batch ids must be UNIQUE within
+  * the batch and NEW to the stored index. One definition so a fix to
+  * the check (size estimate, error wording, null handling) reaches
+  * every tier.
+  *
+  * Cost shape: one bounded agg over the batch, then ONE map-only
+  * column-pruned pass over the index's slim id column — the batch ids
+  * ride a size-gated broadcast into a left-semi COUNT (a limit(1)
+  * probe would cost several escalating partial jobs in the
+  * no-collision common case; an `intersect` would distinct-shuffle the
+  * FULL index id space). Returns the batch row count (the caller
+  * usually wants it anyway). */
+private[graft] object AppendContract {
+
+  def requireNewUniqueIds(store: graft.store.VectorStore, name: String,
+                          batch: DataFrame, idCol: String,
+                          op: String): Long = {
+    val cnts = batch.agg(count(lit(1)), countDistinct(col(idCol))).head
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"$op: batch contains duplicate ids — append semantics require " +
+        "new, unique ids")
+    val dupCount = store.read(batch.sparkSession, name).select(idCol)
+      .join(BroadcastGate.maybeBroadcast(
+        batch.select(col(idCol)), cnts.getLong(0) * 64), Seq(idCol), "left_semi")
+      .agg(count(lit(1))).head.getLong(0)
+    require(dupCount == 0L,
+      s"$op: batch re-inserts $dupCount existing id(s) into '$name' — " +
+        "append semantics require new ids")
+    cnts.getLong(0)
+  }
+}

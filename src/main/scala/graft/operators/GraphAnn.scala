@@ -350,22 +350,10 @@ object GraphAnn {
     // a column-pruned scan of the slim id column — one narrow pass over
     // the index per (nightly) batch, the price of the invariant.
     // Batch-internal duplicates fail the same way.
-    val cnts = assigned.agg(count(lit(1)), countDistinct(col("id"))).head
-    require(cnts.getLong(0) == cnts.getLong(1),
-      s"insertIntoStored: batch contains duplicate ids — append semantics require new, unique ids")
-    // collision check as a size-gated broadcast SEMI-JOIN of the index's
-    // slim id column against the batch ids, reduced to ONE count job: a
-    // single map-only column-pruned pass over the index with no shuffle
-    // (the former `intersect` form distinct-shuffled the FULL index id
-    // space per nightly batch, and a limit(1) probe would cost several
-    // escalating partial jobs in the no-collision common case)
-    val dupCount = store.read(sp, name).select("id")
-      .join(graft.operators.BroadcastGate.maybeBroadcast(
-        assigned.select("id"), cnts.getLong(0) * 64), Seq("id"), "left_semi")
-      .agg(count(lit(1))).head.getLong(0)
-    require(dupCount == 0L,
-      s"insertIntoStored: batch re-inserts $dupCount existing id(s) " +
-        s"into '$name' — append semantics require new ids")
+    // shared contract check ([[AppendContract]]): batch-internal
+    // uniqueness + ONE map-only pass over the index's slim id column
+    AppendContract.requireNewUniqueIds(store, name, assigned, "id",
+      "insertIntoStored")
     val existing = store.read(sp, name)
       .filter(col("cell_id").isin(touched.map(Int.box).toIndexedSeq: _*))
       .select(col("id"), col("vec"), col("cell_id"))
@@ -383,6 +371,42 @@ object GraphAnn {
       .localCheckpoint(true)
     store.overwritePartitions(name, rebuilt.toDF(), Seq("cell_id"))
     touched.toSeq
+  }
+
+  /** Deterministic M-NN adjacency as a single-cell [[Node]] graph — the
+    * SQL-DERIVABLE graph construction: each node links to its `m`
+    * nearest others by (exact double l2², id), neighbor lists kept in
+    * that same order (the order the walk offers them in), unlike the
+    * inherently sequential NSW insertion build. This is the graph the
+    * gate's `ann_graph_walk` anchor walks — its DuckDB oracle
+    * re-derives the identical adjacency relationally — and the
+    * selectivity spec pins the beam over the SAME construction by
+    * calling this method (a drifted copy would pin a different graph
+    * than the oracle checks). The whole graph lands in ONE task
+    * partition (the walk precondition); intended for bounded slices,
+    * not the corpus — at scale the NSW cells are the real index. */
+  def knnGraph(collection: DataFrame, vecCol: String, idCol: String,
+               m: Int): Dataset[Node] = {
+    val sp = collection.sparkSession
+    import sp.implicits._
+    val corpus = collection.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val pairs = corpus.as("a").join(corpus.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"),
+        graft.functions.VectorFunctions.l2Sq(col("a.vec"), col("b.vec")).as("_d"),
+        col("b.id").as("dst"))
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("_d"), col("dst"))
+    val adjacency = pairs.withColumn("_r", row_number().over(byDist))
+      .filter(col("_r") <= m)
+      .groupBy(col("src"))
+      .agg(sort_array(collect_list(struct(col("_r"), col("dst")))).as("_nb"))
+      .select(col("src").as("id"),
+        transform(col("_nb"), x => x.getField("dst")).as("neighbors"))
+    corpus.join(adjacency, Seq("id"))
+      .select(lit(0).as("cell_id"), col("id"), col("vec"), col("neighbors"))
+      .repartition(1)
+      .as[Node]
   }
 
   /** Search a graph read back from a cell-partitioned store: the

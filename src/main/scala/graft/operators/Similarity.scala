@@ -167,19 +167,9 @@ object Similarity {
   def insertIntoStoredIvf(store: graft.store.VectorStore, name: String,
                           batch: DataFrame, vecCol: String, idCol: String,
                           cents: Array[(Int, Array[Float])]): Seq[Int] = {
-    val sp = batch.sparkSession
     val assigned = withCellId(batch, vecCol, cents)
-    val cnts = assigned.agg(count(lit(1)), countDistinct(col(idCol))).head
-    require(cnts.getLong(0) == cnts.getLong(1),
-      "insertIntoStoredIvf: batch contains duplicate ids — append " +
-        "semantics require new, unique ids")
-    val dupCount = store.read(sp, name).select(idCol)
-      .join(BroadcastGate.maybeBroadcast(
-        assigned.select(idCol), cnts.getLong(0) * 64), Seq(idCol), "left_semi")
-      .agg(count(lit(1))).head.getLong(0)
-    require(dupCount == 0L,
-      s"insertIntoStoredIvf: batch re-inserts $dupCount existing id(s) " +
-        s"into '$name' — append semantics require new ids")
+    AppendContract.requireNewUniqueIds(store, name, assigned, idCol,
+      "insertIntoStoredIvf")
     store.append(name, assigned, partitionBy = Seq("cell_id"))
     // bounded collect: at most ncells rows
     assigned.select("cell_id").distinct().collect().map(_.getInt(0)).sorted.toSeq

@@ -25,8 +25,13 @@ object CollectionMeta {
     meta.foreach { case (k, v) => props.setProperty(k, v) }
     val buf = new java.io.ByteArrayOutputStream()
     props.store(buf, "graft collection metadata")
-    StoreFs.forPath(collectionDir)
-      .writeBytes(s"$collectionDir/$FileName", buf.toByteArray)
+    // tmp + atomic replace, the Marker.write discipline: a direct
+    // in-place overwrite torn by a crash would Properties.load WITHOUT
+    // ERROR as a partial map — silent metadata loss
+    val fsm = StoreFs.forPath(collectionDir)
+    val tmp = s"$collectionDir/$FileName.tmp"
+    fsm.writeBytes(tmp, buf.toByteArray)
+    fsm.overwriteRename(tmp, s"$collectionDir/$FileName")
   }
 
   private[store] def read(collectionDir: String): Map[String, String] = {

@@ -60,9 +60,24 @@ final class StoreFs private (private[store] val fs: FileSystem,
   def rename(src: String, dst: String): Boolean = fs.rename(p(src), p(dst))
 
   /** Atomic replace of `dst` by `src` (marker updates): readers see the
-    * old or the new file, never a torn one. */
+    * old or the new file, never a torn one — and never NO file.
+    *
+    * Scheme split verified against hadoop-client-api 3.4.2 bytecode:
+    * the local AbstractFileSystem stack (RawLocalFs / ChecksumFs /
+    * DelegateToFileSystem) does NOT override the 3-arg
+    * `renameInternal`, whose base implementation is DELETE-then-rename
+    * — a crash between the two leaves no marker at all, which is
+    * exactly the window an atomic replace exists to close. So the
+    * local scheme goes straight to POSIX rename via NIO `ATOMIC_MOVE`;
+    * remote schemes go through `FileContext` with
+    * `Options.Rename.OVERWRITE`, which HDFS's AbstractFileSystem
+    * overrides with a genuinely atomic server-side overwrite rename. */
   def overwriteRename(src: String, dst: String): Unit =
-    fctx.rename(p(src), p(dst), Options.Rename.OVERWRITE)
+    if (isLocal)
+      java.nio.file.Files.move(localPath(src), localPath(dst),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE): Unit
+    else fctx.rename(p(src), p(dst), Options.Rename.OVERWRITE)
 
   private lazy val fctx = FileContext.getFileContext(fs.getUri, conf)
 
@@ -101,10 +116,18 @@ final class StoreFs private (private[store] val fs: FileSystem,
 
   /** Total bytes of all files under `s`, FAILING CLOSED: a missing path
     * is 0, but an I/O error on an existing path reads as Long.MaxValue
-    * so size-gated decisions stay conservative. */
+    * so size-gated decisions stay conservative. Uses
+    * `getContentSummary` — ONE server-side RPC on HDFS (a driver-side
+    * recursive listStatus walk would issue one RPC per directory, which
+    * on a million-file collection could cost more than the work the
+    * size gates it feeds are trying to avoid); the local implementation
+    * walks internally, same cost as before. */
   def treeBytesFailClosed(s: String): Long =
-    try walkFiles(s).map(_.getLen).sum
-    catch { case _: java.io.IOException => Long.MaxValue }
+    try fs.getContentSummary(p(s)).getLength
+    catch {
+      case _: java.io.FileNotFoundException => 0L
+      case _: java.io.IOException => Long.MaxValue
+    }
 
   def isLocal: Boolean = {
     val sch = fs.getUri.getScheme
@@ -130,7 +153,12 @@ object StoreFs {
 
   /** Resolve the filesystem owning `root` with the active Spark session's
     * Hadoop configuration (plain `new Configuration()` off-session).
-    * Instances are cached per scheme+authority. */
+    * Instances are cached per scheme+authority — WITH the Configuration
+    * captured at FIRST resolution of that scheme, the same trade
+    * Hadoop's own `FileSystem.get` cache makes (per scheme+authority+ugi,
+    * first conf wins). A process that reconfigures credentials/fs
+    * settings for an already-resolved scheme mid-flight keeps the first
+    * binding; that is a process-lifecycle boundary, not a per-call one. */
   def forPath(root: String): StoreFs = {
     val uri = new Path(root).toUri
     val key = s"${uri.getScheme}://${uri.getAuthority}"

@@ -844,30 +844,13 @@ class AnnProbeSpec extends SparkSpec {
     // cell population), i.e. the SQL anchor covers what the exhaustive
     // identity cannot: a beam that stops early.
     import graft.operators.GraphAnn
-    import org.apache.spark.sql.expressions.Window
-    val sp = spark
-    import sp.implicits._
     val e = Tables.embeddings(spark, sf).filter(col("vec_id") < 500)
-    val corpus = e.filter(col("vec_id") =!= 0)
-      .select(col("vec_id").cast("long").as("id"),
-        col("embedding").cast("array<float>").as("vec"))
     val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
       .head.getSeq[Float](0).map(_.toDouble).toArray
-    val pairs = corpus.as("a").join(corpus.as("b"), col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("src"),
-        graft.functions.VectorFunctions.l2Sq(col("a.vec"), col("b.vec")).as("_d"),
-        col("b.id").as("dst"))
-    val byDist = Window.partitionBy("src").orderBy(col("_d"), col("dst"))
-    val adjacency = pairs.withColumn("_r", row_number().over(byDist))
-      .filter(col("_r") <= 6)
-      .groupBy(col("src"))
-      .agg(sort_array(collect_list(struct(col("_r"), col("dst")))).as("_nb"))
-      .select(col("src").as("id"),
-        transform(col("_nb"), x => x.getField("dst")).as("neighbors"))
-    val nodes = corpus.join(adjacency, Seq("id"))
-      .select(lit(0).as("cell_id"), col("id"), col("vec"), col("neighbors"))
-      .repartition(1)
-      .as[GraphAnn.Node]
+    // the SAME builder the gate query uses — this spec must pin the
+    // graph the oracle actually checks, not a local copy of it
+    val nodes = GraphAnn.knnGraph(
+      e.filter(col("vec_id") =!= 0), "embedding", "vec_id", m = 6)
     val (hits, stats) = GraphAnn.searchWithStats(
       nodes, Array(Array.fill(64)(0.0f)), qv, k = 10, nprobe = 1, ef = 24)
     assert(hits.count() == 10)
