@@ -877,6 +877,27 @@ object GraftOracles {
         |  text
         |FROM st1 ORDER BY doc_id""".stripMargin,
 
+    // Twin of collection_compact_dirty: the identical mutation sequence
+    // restated with NO notion of the two targeted (dirty-file-only)
+    // compaction passes — a hash match proves the journaled
+    // promote/delete rewrite of threshold-crossing files is invisible
+    // to the live view.
+    "collection_compact_dirty" ->
+      """WITH base AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  WHERE doc_id <= 280 AND doc_id % 5 <> 0),
+        |ups AS (
+        |  SELECT doc_id, source, lower(text) AS text FROM documents
+        |  WHERE doc_id BETWEEN 260 AND 330),
+        |st1 AS (
+        |  SELECT * FROM ups
+        |  UNION ALL
+        |  SELECT * FROM base WHERE doc_id NOT IN (SELECT doc_id FROM ups))
+        |SELECT doc_id,
+        |  CASE WHEN doc_id <= 15 THEN 'patched' ELSE source END AS source,
+        |  text
+        |FROM st1 ORDER BY doc_id""".stripMargin,
+
     // Twin of collection_manifest: DuckDB independently recomputes the
     // SHA-256 binding fingerprint over the SAME canonical string
     // CollectionManifest.canonical builds (family hash, resource '',

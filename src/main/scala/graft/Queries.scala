@@ -2302,6 +2302,36 @@ object GraftQueries {
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }
 
+  /** TARGETED compaction under the gate oracle: the same mutation
+    * sequence as `collection_mutate_compact`, but maintenance runs
+    * through [[graft.store.MutableCollection.compactDirty]] — the
+    * O(dirty-bytes) rewrite of only the files whose dead fraction
+    * crossed the threshold (the 100 TB maintenance shape; a full
+    * [[graft.store.MutableCollection.compact]] rewrites the whole
+    * collection). Two passes, one after the delete wave and one after
+    * the upsert/update wave, with thresholds low enough that both
+    * genuinely rewrite at gate scale. The oracle restates the sequence
+    * with NO notion of either pass — a hash match proves the journaled
+    * promote/delete leaves a live view indistinguishable from never
+    * having compacted. */
+  val collectionCompactDirty: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_cdq").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 280), "doc_id")
+    mc.delete(mc.readLive(s).filter(col("doc_id") % 5 === 0).select("doc_id"))
+    mc.compactDirty(s, minDeadFraction = 0.1) // folds the delete wave only
+    mc.upsert(docs.filter(col("doc_id").between(260, 330))
+      .withColumn("text", lower(col("text"))))
+    mc.update(s, docs.filter(col("doc_id") <= 15)
+      .select(col("doc_id"), lit("patched").as("source")))
+    mc.compactDirty(s, minDeadFraction = 0.1) // folds the upsert/update wave
+    val out = mc.readLive(s).orderBy("doc_id")
+    val rows = out.collect()
+    store.destroy()
+    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Collection lifecycle (reference create/add/read, O9+O13+O17) surfaced
     * in the oracle gate: overwrite-create a lang-PARTITIONED collection,
     * append a second batch, read back through the store with a filter that
@@ -3140,6 +3170,7 @@ object GraftQueries {
     "collection_fork" -> collectionFork,
     "collection_mutate" -> collectionMutate,
     "collection_mutate_compact" -> collectionMutateCompact,
+    "collection_compact_dirty" -> collectionCompactDirty,
     "collection_snapshot" -> collectionSnapshot,
     "q30_first_last" -> q30FirstLast,
     "q31_corr_subquery" -> q31CorrSubquery,

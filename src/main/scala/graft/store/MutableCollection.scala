@@ -29,6 +29,9 @@ import org.apache.spark.sql.functions._
   *    the data side, ever;
   *  - `compact()` materializes the live view once, rewrites with the
   *    store's swap discipline, and truncates the tombstone log;
+  *    [[compactDirty]] is the bounded alternative — it rewrites ONLY
+  *    the files whose dead fraction crossed a threshold (O(dirty), not
+  *    O(collection)) and keeps the log;
   *  - because mutations never destroy row versions, every PAST live
   *    view since the last compact is still on disk: [[readLiveAt]]
   *    reconstructs the state as of any retained sequence (snapshot /
@@ -57,11 +60,16 @@ final case class MutableCollection(store: VectorStore, name: String) {
   private def dir = s"${store.root}/$name"
   private def tombDir = s"$dir/$TombstonesDir"
 
-  private def marker: Marker = Marker.read(dir).getOrElse(
-    throw new IllegalArgumentException(
-      s"collection '$name' is not mutable — create it with " +
-        "VectorStore.createMutable (id-level mutation needs the sequence " +
-        "column immutable collections do not carry)"))
+  private def marker: Marker = {
+    // every verb passes through here, so an interrupted compactDirty
+    // journal is replayed before anything reads or writes
+    recoverDirtyCompaction()
+    Marker.read(dir).getOrElse(
+      throw new IllegalArgumentException(
+        s"collection '$name' is not mutable — create it with " +
+          "VectorStore.createMutable (id-level mutation needs the sequence " +
+          "column immutable collections do not carry)"))
+  }
 
   /** The id column mutations key on (persisted at create). */
   def idCol: String = marker.idCol
@@ -473,6 +481,106 @@ final case class MutableCollection(store: VectorStore, name: String) {
     }
     fsm.deleteTree(s"${dir}__old")
   }
+
+  /** TARGETED compaction: rewrite only the data files whose DEAD-ROW
+    * fraction is at least `minDeadFraction`, reclaiming their space and
+    * unmasking their reads — at O(dirty bytes) rewrite cost instead of
+    * [[compact]]'s O(collection) full rewrite. The 100 TB maintenance
+    * shape: nightly churn concentrates dead versions in the few files
+    * recent batches touched; rewriting those is bounded by the churn,
+    * not the corpus.
+    *
+    * What it does NOT do: the tombstone log is kept whole (a tombstone
+    * may still mask dead versions in files below the threshold), so the
+    * live view is PROVABLY unchanged — rewritten files hold exactly
+    * their live rows (which pass the tombstone filter by definition of
+    * live), untouched files still merge against the full log. Run
+    * [[compact]] when the LOG ITSELF outgrows broadcast comfort; run
+    * this when dead bytes do.
+    *
+    * Retention: physically dropping dead versions makes states before
+    * the current sequence unreconstructible (same consequence as
+    * [[compact]]), so the snapshot floor rises to the current sequence
+    * BEFORE anything is deleted.
+    *
+    * Crash safety — journaled promote/delete: the rewritten files land
+    * in an invisible `_`-prefixed staging dir, then ONE atomic journal
+    * write commits the op; execution (promote staged files, delete
+    * dirty originals, in that order) is the SAME idempotent routine the
+    * next verb replays if this process dies mid-way. Promote-first
+    * means a crash window shows transient duplicates (old + rewritten
+    * rows both visible), never missing rows — the upsert crash-ordering
+    * discipline. Plan cost before the rewrite: one COLUMN-PRUNED
+    * map-only pass over (id, seq, file) to score files — no data
+    * columns read, no shuffle of the data side (the tombstone max-seq
+    * side rides the usual size-gated broadcast).
+    *
+    * Returns the rewritten file names (empty = nothing crossed the
+    * threshold; no marker or file was touched). */
+  def compactDirty(spark: SparkSession, minDeadFraction: Double = 0.3): Seq[String] = {
+    require(minDeadFraction > 0.0 && minDeadFraction <= 1.0,
+      s"minDeadFraction must be in (0, 1], got $minDeadFraction")
+    val m = marker // replays any interrupted journal first
+    val fsm = store.sfs
+    val dels0 = readTombstones(spark) match {
+      case Some(t) => t.groupBy(idCol).agg(max(col(DelSeqCol)).as(DelSeqCol))
+      case None => return Nil // no tombstones — nothing can be dead
+    }
+    val est = tombstoneBytesOnDisk
+    val est4 = if (est > Long.MaxValue / 4) Long.MaxValue else est * 4
+    def withDels(df: DataFrame): DataFrame =
+      df.join(graft.operators.BroadcastGate.maybeBroadcast(dels0, est4),
+        Seq(idCol), "left")
+    // score files by dead fraction: id+seq+file only — column pruning
+    // keeps this a narrow metadata-grade scan even on wide collections
+    val dead = col(DelSeqCol).isNotNull && col(SeqCol) < col(DelSeqCol)
+    val dirtyPaths = withDels(store.read(spark, name)
+        .select(col(idCol), col(SeqCol), col("_metadata.file_path").as("_file")))
+      .groupBy("_file")
+      .agg(count(lit(1)).as("_n"), count(when(dead, lit(1))).as("_dead"))
+      .filter(col("_dead") > 0 &&
+        col("_dead") >= col("_n") * lit(minDeadFraction))
+      .select("_file")
+      .collect().map(r => new org.apache.hadoop.fs.Path(r.getString(0)))
+      .sortBy(_.getName) // bounded by the file count, like any listing
+    if (dirtyPaths.isEmpty) return Nil
+    val dirtyNames = dirtyPaths.map(_.getName).toSeq
+    val stage = s"$dir/$RewriteStageDir"
+    fsm.deleteTree(stage)
+    val dirtyData = spark.read.parquet(dirtyPaths.map(_.toString).toIndexedSeq: _*)
+    withDels(dirtyData)
+      .filter(col(DelSeqCol).isNull || col(SeqCol) >= col(DelSeqCol))
+      .select(dirtyData.columns.map(col).toIndexedSeq: _*) // original column order
+      .write.mode("overwrite").options(bloomOpts(idCol)).parquet(stage)
+    val staged = fsm.list(stage).map(_.getPath.getName)
+      .filter(_.startsWith("part-")).sorted
+    // floor first: once the journal commits, dead versions start
+    // disappearing — a crash right here costs retention, never data
+    Marker.write(dir, m.copy(floorSeq = m.seq))
+    Journal.write(fsm, s"$dir/$JournalFile", RewriteStageDir, dirtyNames, staged)
+    recoverDirtyCompaction() // execution IS the crash-recovery routine
+    dirtyNames
+  }
+
+  /** Replay (or complete) a journaled [[compactDirty]]: promote every
+    * staged file still in the staging dir, then delete every listed
+    * dirty original, then clear journal + staging. Idempotent — every
+    * step skips what a previous attempt already did. */
+  private def recoverDirtyCompaction(): Unit = {
+    val fsm = store.sfs
+    val jPath = s"$dir/$JournalFile"
+    Journal.read(fsm, jPath).foreach { j =>
+      val stage = s"$dir/${j.stageDir}"
+      j.promotes.foreach { n =>
+        if (fsm.exists(s"$stage/$n"))
+          require(fsm.rename(s"$stage/$n", s"$dir/$n"),
+            s"compactDirty recovery: cannot promote $n into '$name'")
+      }
+      j.deletes.foreach(n => fsm.deleteTree(s"$dir/$n"))
+      fsm.deleteTree(jPath)
+      fsm.deleteTree(stage)
+    }
+  }
 }
 
 object MutableCollection {
@@ -510,6 +618,46 @@ object MutableCollection {
     * parquet listing of the collection directory). */
   val TombstonesDir = "_tombstones"
   private val MarkerFile = "_mutable.properties"
+  /** [[MutableCollection.compactDirty]] staging dir (underscore-prefixed:
+    * rewritten files are invisible until the journal promotes them). */
+  private[graft] val RewriteStageDir = "_rewrite_stage"
+  /** The compactDirty commit journal: its atomic write is the point of
+    * no return — before it, nothing destructive has happened; after it,
+    * execution/recovery completes the promote+delete idempotently. */
+  private[graft] val JournalFile = "_compaction.journal"
+
+  private[store] final case class Journal(stageDir: String,
+                                          deletes: Seq[String],
+                                          promotes: Seq[String])
+
+  private[store] object Journal {
+    def write(fsm: StoreFs, path: String, stageDir: String,
+              deletes: Seq[String], promotes: Seq[String]): Unit = {
+      val props = new java.util.Properties()
+      props.setProperty("stage", stageDir)
+      deletes.zipWithIndex.foreach { case (n, i) =>
+        props.setProperty(s"delete.$i", n) }
+      promotes.zipWithIndex.foreach { case (n, i) =>
+        props.setProperty(s"promote.$i", n) }
+      val buf = new java.io.ByteArrayOutputStream()
+      props.store(buf, "graft compactDirty journal")
+      // tmp + atomic replace: the journal either exists whole or not at
+      // all — a torn journal would replay a partial delete list
+      fsm.writeBytes(s"$path.tmp", buf.toByteArray)
+      fsm.overwriteRename(s"$path.tmp", path)
+    }
+
+    def read(fsm: StoreFs, path: String): Option[Journal] = {
+      if (!fsm.isFile(path)) return None
+      val props = new java.util.Properties()
+      props.load(new java.io.ByteArrayInputStream(fsm.readBytes(path)))
+      def entries(prefix: String): Seq[String] =
+        Iterator.from(0).map(i => props.getProperty(s"$prefix.$i"))
+          .takeWhile(_ != null).toSeq
+      Some(Journal(props.getProperty("stage"),
+        entries("delete"), entries("promote")))
+    }
+  }
 
   private[graft] final case class Marker(idCol: String, seq: Long,
                                          floorSeq: Long = 0L)

@@ -49,6 +49,15 @@ final case class VectorStore(root: String) {
                     manifest: Option[CollectionManifest] = None): MutableCollection = {
     require(df.columns.contains(idCol),
       s"id column '$idCol' is not in the frame (${df.columns.mkString(", ")})")
+    // partitioned layout + merge-on-read do not compose: upsert appends
+    // files FLAT, and a parquet directory with files at two depths
+    // breaks Spark's partition discovery on the very next read — refuse
+    // at create instead of corrupting at first mutation (the mutable
+    // tier's bounded-read pruning comes from id blooms, not partitions)
+    require(partitionBy.isEmpty,
+      "createMutable does not support partitionBy: mutations append " +
+        "unpartitioned files, which would corrupt partition discovery — " +
+        "mutable collections prune bounded reads via id bloom filters instead")
     // id-column BLOOM FILTERS on every data file: the delta-bounded
     // read paths (update / get / CDC In-pushdown) prune row groups by
     // id, and with randomly-ordered ids min/max stats span the whole

@@ -22,6 +22,19 @@ class StoreMutationSpec extends SparkSpec {
     mc.readLive(spark).collect()
       .map(r => r.getLong(0) -> (r.getString(1), r.getString(2))).toMap
 
+  private def hasIdBloom(f: java.io.File): Boolean = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(f.getAbsolutePath),
+      spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      import scala.jdk.CollectionConverters._
+      r.getFooter.getBlocks.asScala.forall(_.getColumns.asScala
+        .filter(_.getPath.toDotString == "id")
+        .forall(_.getBloomFilterOffset >= 0))
+    } finally r.close()
+  }
+
   test("createMutable + readLive round-trips and hides bookkeeping") {
     val store = freshStore()
     val mc = store.createMutable("c", base, "id")
@@ -95,18 +108,6 @@ class StoreMutationSpec extends SparkSpec {
     val mc = store.createMutable("c", base, "id")
     mc.upsert(Seq((6L, "d", "six")).toDF("id", "src", "text"))
     mc.deleteIds(spark, Seq(1L))
-    def hasIdBloom(f: java.io.File): Boolean = {
-      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(f.getAbsolutePath),
-        spark.sessionState.newHadoopConf())
-      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
-      try {
-        import scala.jdk.CollectionConverters._
-        r.getFooter.getBlocks.asScala.forall(_.getColumns.asScala
-          .filter(_.getPath.toDotString == "id")
-          .forall(_.getBloomFilterOffset >= 0))
-      } finally r.close()
-    }
     def parquetFiles(sub: String) =
       Option(new java.io.File(s"${store.root}/c$sub").listFiles())
         .getOrElse(Array.empty).filter(_.getName.endsWith(".parquet")).toSeq
@@ -483,6 +484,113 @@ class StoreMutationSpec extends SparkSpec {
     // a reader that opens the collection mid-write never sees a torn
     // marker (atomic rename) — simulate by re-opening
     assert(store.mutable("c").idCol == "id")
+    store.destroy()
+  }
+
+  private def dataFileNames(store: VectorStore, name: String): Set[String] =
+    Option(new java.io.File(s"${store.root}/$name").listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSet
+
+  test("compactDirty rewrites only files past the dead threshold; live view unchanged") {
+    val store = freshStore()
+    // coalesce(1): ONE seq-0 file of 5 rows, so per-file dead fractions
+    // are exact (an uncoalesced local Seq splits across tasks, and a
+    // one-row file holding a killed id would be 100% dead)
+    val mc = store.createMutable("c", base.coalesce(1), "id")
+    mc.upsert(Seq((1L, "a", "ONE"), (2L, "a", "TWO"))
+      .toDF("id", "src", "text").coalesce(1)) // kills 2/5 of the seq-0 file (40% dead)
+    mc.upsert(Seq((6L, "d", "six")).toDF("id", "src", "text").coalesce(1)) // 0% dead file
+    val before = liveMap(mc)
+    val filesBefore = dataFileNames(store, "c")
+    // threshold above the dirtiest file: NOTHING moves — no rewrite, no
+    // floor raise, no file churn
+    assert(mc.compactDirty(spark, minDeadFraction = 0.5).isEmpty)
+    assert(dataFileNames(store, "c") == filesBefore && mc.floorSeq == 0L)
+    // threshold below: exactly the seq-0 files rewrite; the clean
+    // upsert files survive untouched
+    val rewritten = mc.compactDirty(spark, minDeadFraction = 0.3)
+    assert(rewritten.nonEmpty)
+    val filesAfter = dataFileNames(store, "c")
+    assert(rewritten.toSet.subsetOf(filesBefore))
+    assert((filesBefore -- rewritten.toSet).subsetOf(filesAfter),
+      "clean files must survive a targeted compaction untouched")
+    assert((filesAfter & rewritten.toSet).isEmpty, "dirty originals must be gone")
+    assert(liveMap(mc) == before, "the live view is invariant under compactDirty")
+    // rewritten files carry only live rows, keep the seq column, and
+    // keep the id bloom the delta-bounded reads rely on
+    val promoted = filesAfter -- filesBefore
+    assert(promoted.nonEmpty)
+    promoted.foreach { n =>
+      assert(hasIdBloom(new java.io.File(s"${store.root}/c/$n")),
+        s"rewritten file lost the id bloom: $n")
+    }
+    val promotedRows = spark.read.parquet(
+      promoted.map(n => s"${store.root}/c/$n").toSeq: _*)
+    assert(promotedRows.columns.contains(MutableCollection.SeqCol))
+    assert(promotedRows.select("id").as[Long].collect().sorted.toSeq ==
+      Seq(3L, 4L, 5L)) // exactly the seq-0 survivors, nothing dead
+    // dead versions are physically gone -> snapshots below the floor
+    // are refused, exactly like a full compact
+    assert(mc.floorSeq == mc.currentSeq)
+    intercept[IllegalArgumentException](mc.readLiveAt(spark, 0L))
+    // later mutations + a second targeted pass compose
+    mc.deleteIds(spark, Seq(3L))
+    assert(mc.compactDirty(spark, minDeadFraction = 0.2).nonEmpty)
+    assert(liveMap(mc) == before - 3L)
+    store.destroy()
+  }
+
+  test("compactDirty with no tombstones is a no-op") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id")
+    assert(mc.compactDirty(spark).isEmpty)
+    assert(liveMap(mc) == liveMap(mc))
+    store.destroy()
+  }
+
+  test("an interrupted compactDirty journal replays idempotently on the next verb") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base.coalesce(1), "id")
+    val orig = dataFileNames(store, "c")
+    assert(orig.size == 1)
+    val origName = orig.head
+    val dir = s"${store.root}/c"
+    // simulate the crash point RIGHT AFTER the atomic journal commit:
+    // stage a rewritten file (here: a byte-copy standing in for the
+    // rewrite of the original) and journal promote+delete, then die
+    // before executing — the on-disk state compactDirty leaves if the
+    // process is killed at its point of no return
+    val stagedName = "part-replay-test.parquet"
+    val stageDir = new java.io.File(dir, MutableCollection.RewriteStageDir)
+    assert(stageDir.mkdir())
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(dir, origName),
+      java.nio.file.Paths.get(stageDir.getPath, stagedName))
+    val props = new java.util.Properties() // the journal's stable format
+    props.setProperty("stage", MutableCollection.RewriteStageDir)
+    props.setProperty("delete.0", origName)
+    props.setProperty("promote.0", stagedName)
+    val out = new java.io.FileOutputStream(
+      new java.io.File(dir, MutableCollection.JournalFile))
+    try props.store(out, "test journal") finally out.close()
+    // the next verb through the handle replays the journal first
+    assert(mc.countLive(spark) == 5)
+    val after = dataFileNames(store, "c")
+    assert(after == Set(stagedName), s"journal not replayed: $after")
+    assert(!new java.io.File(dir, MutableCollection.JournalFile).exists())
+    assert(!stageDir.exists())
+    // a second pass over the already-replayed state changes nothing
+    assert(mc.countLive(spark) == 5)
+    assert(dataFileNames(store, "c") == Set(stagedName))
+    store.destroy()
+  }
+
+  test("createMutable refuses a partitioned layout") {
+    val store = freshStore()
+    val e = intercept[IllegalArgumentException](
+      store.createMutable("c", base, "id", partitionBy = Seq("src")))
+    assert(e.getMessage.contains("partition"))
     store.destroy()
   }
 }
