@@ -1189,6 +1189,12 @@ object GraftOracles {
     // has no notion of which rows arrived incrementally.
     "ann_ivf_incremental" -> annProbedTop10Sql,
 
+    // Twin of streaming_ann_ingest (same SQL again): rows that arrived
+    // through the exactly-once foreachBatch sink — including the two
+    // deterministically replayed recovery batches — must leave a store
+    // indistinguishable from the batch build.
+    "streaming_ann_ingest" -> annProbedTop10Sql,
+
     // Twin of ann_ivfpq AND ann_ivfpq_store (one SQL, two entries —
     // stored vs inline encoding is invisible to the answer): the whole
     // IVF-PQ chain is deterministic, so "approximate" is again only a

@@ -626,6 +626,42 @@ object GraftQueries {
     out
   }
 
+  /** STREAMING ingest into the stored IVF index — the online twin of
+    * `ann_ivf_incremental`: the standing corpus builds the
+    * cell-partitioned store, the arrivals slice flows through a
+    * Structured Streaming `foreachBatch` sink
+    * ([[graft.streaming.IndexStream.ivfBatchSink]]) with exactly-once
+    * semantics (batchId watermark + collision anti-filter), INCLUDING
+    * deterministic replays of both recovery paths (a skipped
+    * at-watermark batch and an all-duplicate post-crash batch), and the
+    * probe over the maintained store hash-matches the same full-corpus
+    * oracle as `ann_ivf_store` — streaming maintenance and restart
+    * recovery are both invisible to the answer. */
+  val streamingAnnIngest: Q = (s, d) => {
+    import graft.plans.AnnProbe
+    val root = java.nio.file.Files.createTempDirectory("graft_sivf").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 16)
+    val standing = e.filter(col("vec_id") % 10 =!= 7)
+    store.create("vectors", Similarity.withCellId(standing, "embedding", cents),
+      partitionBy = Seq("cell_id"))
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    e.unpersist()
+    graft.streaming.IndexStream.runStreamingIvfIngest(
+      s, s"$d/embeddings.parquet", store, "vectors", cents)
+    val out = AnnProbe.withProbe(s, cents, nprobe = 4) {
+      val probed = store.read(s, "vectors")
+        .orderBy(l2Sq(col("embedding"), vecLit(qv)), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "cell_id")
+      s.createDataFrame(java.util.Arrays.asList(probed.collect(): _*), probed.schema)
+    }
+    store.destroy()
+    out
+  }
+
   val annIvfStore: Q = (s, d) => {
     import graft.plans.AnnProbe
     val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
@@ -3207,6 +3243,7 @@ object GraftQueries {
     "decontaminate_semantic" -> decontaminateSemantic,
     "cluster_kmeans_stats" -> clusterKmeansStats,
     "streaming_cluster_assign" -> streamingClusterAssign,
+    "streaming_ann_ingest" -> streamingAnnIngest,
     "source_orc" -> sourceOrc,
     "ann_sq_topk" -> annSqTopk,
     "zorder_key" -> zorderKey,

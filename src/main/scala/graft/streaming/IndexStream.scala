@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.operators.{BroadcastGate, Similarity}
+import graft.store.{StreamCommits, VectorStore}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Continuous ingest into a STORED ANN index: vectors arrive as a
+  * stream and land in the cell-partitioned IVF layout per micro-batch —
+  * the online half of the stored-index story (the batch half is
+  * [[Similarity.insertIntoStoredIvf]], the nightly append). IVF needs
+  * no rebuild on insert (cells are unordered candidate lists), which is
+  * exactly what makes it the index family that can absorb a stream:
+  * per-batch cost is O(batch) assignment + O(batch) new files under the
+  * touched cell directories, and searches over the store see every
+  * committed batch with no maintenance step in between.
+  *
+  * Exactly-once across restarts, in two layers:
+  *  1. batches at or below the [[StreamCommits]] watermark are skipped
+  *     outright (Structured Streaming replays a restarted batch with
+  *     the SAME batchId — the watermark makes the replay free);
+  *  2. the crash window between the parquet append and the watermark
+  *     commit self-heals: each batch is filtered to ids NOT already in
+  *     the index before appending (one column-pruned map-only pass over
+  *     the index's slim id column — the ids already landed by the
+  *     half-committed attempt drop out, the rest complete it). This is
+  *     the streaming counterpart of the batch tier's append contract
+  *     ([[graft.operators.AppendContract]]): same uniqueness invariant,
+  *     but a replayed collision here is EXPECTED recovery, not an error
+  *     — so it filters instead of refusing.
+  */
+object IndexStream {
+
+  /** The `foreachBatch` body: exactly-once append of one micro-batch
+    * into the stored IVF index `name` under the frozen centroids
+    * `cents`. Public and callable outside a stream on purpose — the
+    * gate query drives the replay paths deterministically by invoking
+    * it with controlled batchIds. */
+  def ivfBatchSink(store: VectorStore, name: String, vecCol: String,
+                   idCol: String, cents: Array[(Int, Array[Float])])(
+                   batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= StreamCommits.lastBatchId(store, name)) return
+    val sp = batch.sparkSession
+    // in-batch duplicate ids are a DATA error (which copy wins would be
+    // undefined), unlike cross-batch collisions (recovery) — refuse
+    val cnts = batch.agg(count(lit(1)), countDistinct(col(idCol))).head
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"ivfBatchSink: micro-batch $batchId carries duplicate ids")
+    val assigned = Similarity.withCellId(batch, vecCol, cents)
+      .localCheckpoint(true) // consumed twice (collision probe + append)
+    // ids this batch shares with the index — bounded by the batch, so
+    // it broadcasts back out for the anti filter; the index side is
+    // only ever the streamed side of a map-only semi-join
+    val colliding = store.read(sp, name).select(idCol)
+      .join(BroadcastGate.maybeBroadcast(assigned.select(idCol),
+        cnts.getLong(0) * 64), Seq(idCol), "left_semi")
+    val fresh = assigned.join(BroadcastGate.maybeBroadcast(colliding,
+      cnts.getLong(0) * 64), Seq(idCol), "left_anti")
+    store.append(name, fresh, partitionBy = Seq("cell_id"))
+    // the commit point: only once the append is durable does the batch
+    // become skippable — a crash above replays into the anti filter
+    StreamCommits.commit(store, name, batchId)
+  }
+
+  /** Harness: stream the arrivals slice (vec_id % 10 == 7) of an
+    * embeddings parquet into a stored IVF index built from the standing
+    * slice, with centroids trained once on the full corpus (the frozen
+    * router), then REPLAY two batches through the sink — one below the
+    * watermark (skipped) and one carrying only already-inserted ids
+    * (anti-filtered to nothing) — and return the maintained store's
+    * collection for probing. The caller searches it exactly like
+    * `ann_ivf_store`; a hash match against the same full-corpus oracle
+    * proves streaming ingest (and both replay paths) invisible to the
+    * answer. */
+  def runStreamingIvfIngest(spark0: SparkSession, embParquet: String,
+                            store: VectorStore, name: String,
+                            cents: Array[(Int, Array[Float])]): Unit = {
+    val spark = EventStream.streamSession(spark0)
+    val arrivals = EventStream.readFileStream(spark, embParquet)
+      .filter(col("vec_id") % 10 === 7)
+    val q = arrivals.writeStream
+      .foreachBatch(ivfBatchSink(store, name, "embedding", "vec_id", cents) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    // replay path 1: a batchId at the watermark is skipped outright —
+    // were it not, every id would collide as a duplicate re-append
+    val replayed = spark.read.parquet(
+        new java.io.File(embParquet).getAbsolutePath)
+      .filter(col("vec_id") % 10 === 7)
+    ivfBatchSink(store, name, "embedding", "vec_id", cents)(
+      replayed, StreamCommits.lastBatchId(store, name))
+    // replay path 2: a NEW batchId whose ids all already landed (the
+    // crash-between-append-and-commit shape) anti-filters to nothing
+    ivfBatchSink(store, name, "embedding", "vec_id", cents)(
+      replayed, StreamCommits.lastBatchId(store, name) + 1)
+  }
+}

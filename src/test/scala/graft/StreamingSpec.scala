@@ -230,4 +230,52 @@ class StreamingSpec extends SparkSpec {
     val streamed = GraftQueries.streamingQuality(spark, sf).collect().map(_.toString).sorted.toSeq
     assert(streamed == batch)
   }
+
+  test("streaming IVF ingest: exactly-once sink, replay paths, store equals batch build") {
+    import graft.store.{StreamCommits, VectorStore}
+    import graft.streaming.IndexStream
+    val root = java.nio.file.Files.createTempDirectory("graft_sivf_spec").toString
+    val store = VectorStore(root)
+    try {
+      val e = Tables.embeddings(spark, sf)
+      val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 8)
+      val standing = e.filter(col("vec_id") % 10 =!= 7)
+      store.create("vectors", Similarity.withCellId(standing, "embedding", cents),
+        partitionBy = Seq("cell_id"))
+      assert(StreamCommits.lastBatchId(store, "vectors") == -1L)
+      IndexStream.runStreamingIvfIngest(spark, s"$sf/embeddings.parquet",
+        store, "vectors", cents)
+      // the harness already drove both replay paths (at-watermark skip
+      // and all-duplicate anti-filter); the store must now equal the
+      // from-scratch batch build row for row
+      val viaStream = store.read(spark, "vectors")
+        .select("vec_id", "cell_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      val batchBuild = Similarity.withCellId(e, "embedding", cents)
+        .select("vec_id", "cell_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(viaStream == batchBuild)
+      assert(viaStream.size == e.count())
+      val committed = StreamCommits.lastBatchId(store, "vectors")
+      assert(committed >= 0L)
+      // a third replay shape, explicitly: a fresh batchId re-sending an
+      // already-landed id plus one genuinely new id completes the new
+      // id only — the self-heal of a crash between append and commit
+      val someId = viaStream.head._1
+      val replay = e.filter(col("vec_id") === someId)
+        .unionByName(e.filter(col("vec_id") === someId).limit(1)
+          .withColumn("vec_id", lit(9999999L)))
+      IndexStream.ivfBatchSink(store, "vectors", "embedding", "vec_id", cents)(
+        replay, committed + 1)
+      assert(store.read(spark, "vectors").count() == viaStream.size + 1)
+      assert(store.read(spark, "vectors")
+        .filter(col("vec_id") === someId).count() == 1)
+      assert(StreamCommits.lastBatchId(store, "vectors") == committed + 1)
+      // in-batch duplicate ids are refused (data error, not recovery)
+      val dup = e.limit(1).unionByName(e.limit(1))
+      intercept[IllegalArgumentException](
+        IndexStream.ivfBatchSink(store, "vectors", "embedding", "vec_id", cents)(
+          dup, committed + 2))
+    } finally store.destroy()
+  }
 }
