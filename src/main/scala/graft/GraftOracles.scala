@@ -232,14 +232,21 @@ object GraftOracles {
     * construction — see the map entries): quantize, probe 4 cells by raw
     * l2 (dr, cid), top-10 among candidates by raw l2 with vec_id
     * tiebreak, label joined back. */
-  private lazy val annProbedTop10Sql: String =
-    s"""WITH ${simIvfCte(16, 3)},
+  private lazy val annProbedTop10Sql: String = annProbedTop10SqlAt(16, 3)
+
+  /** The probed-top-10 twin at ANY router geometry: k-means re-derived
+    * relationally at (`ncells`, `iters`), 4-cell probe, exact distance
+    * inside the probed cells. Parameterized so maintenance verbs that
+    * CHANGE the geometry (`ann_ivf_retrain` rebuilds at 8 cells) get
+    * the same full-hash proof as the build-time queries. */
+  private def annProbedTop10SqlAt(ncells: Int, iters: Int): String =
+    s"""WITH ${simIvfCte(ncells, iters)},
        |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
        |  FROM embeddings WHERE vec_id = 0),
        |pqd AS (SELECT c.cid, list_sum(list_transform(range(1,65),
        |    i -> (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)])
        |       * (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)]))) AS dr
-       |  FROM sc3 c CROSS JOIN q),
+       |  FROM sc$iters c CROSS JOIN q),
        |probe AS (SELECT cid FROM pqd ORDER BY dr, cid LIMIT 4),
        |cand AS (SELECT s.vec_id, s.cid, s.embedding FROM scellf s
        |  WHERE s.cid IN (SELECT cid FROM probe)),
@@ -1194,6 +1201,14 @@ object GraftOracles {
     // deterministically replayed recovery batches — must leave a store
     // indistinguishable from the batch build.
     "streaming_ann_ingest" -> annProbedTop10Sql,
+
+    // Twin of ann_ivf_retrain: the SAME probe at the RETRAINED
+    // geometry (8 cells) — the oracle re-derives the new router from
+    // the corpus relationally with no notion of the old 16-cell build,
+    // the incremental appends, or the swap; a hash match proves the
+    // retrain-and-rebuild verb re-routes every row exactly as a
+    // from-scratch 8-cell build would.
+    "ann_ivf_retrain" -> annProbedTop10SqlAt(8, 3),
 
     // Twin of ann_ivfpq AND ann_ivfpq_store (one SQL, two entries —
     // stored vs inline encoding is invisible to the answer): the whole

@@ -626,6 +626,43 @@ object GraftQueries {
     out
   }
 
+  /** RETRAIN-AND-REBUILD of the stored IVF index — the maintenance verb
+    * that completes the lifecycle (build -> append -> drift -> retrain):
+    * the store is built at 16 cells from the standing slice, absorbs
+    * the arrivals through the frozen-router append, then
+    * [[Similarity.retrainStoredIvf]] retrains on the store's OWN
+    * content at a NEW geometry (8 cells) and atomically swaps the
+    * re-assigned layout into place. The probe with the new router
+    * hash-matches an oracle that derives the 8-cell k-means straight
+    * from the corpus — no notion of the old build, the appends, or the
+    * swap — so the verb provably equals a from-scratch rebuild. */
+  val annIvfRetrain: Q = (s, d) => {
+    import graft.plans.AnnProbe
+    val root = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    val cents0 = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 16)
+    store.create("vectors",
+      Similarity.withCellId(e.filter(col("vec_id") % 10 =!= 7), "embedding", cents0),
+      partitionBy = Seq("cell_id"))
+    Similarity.insertIntoStoredIvf(store, "vectors",
+      e.filter(col("vec_id") % 10 === 7), "embedding", "vec_id", cents0)
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    e.unpersist()
+    val cents = Similarity.retrainStoredIvf(s, store, "vectors",
+      "embedding", "vec_id", ncells = 8)
+    val out = AnnProbe.withProbe(s, cents, nprobe = 4) {
+      val probed = store.read(s, "vectors")
+        .orderBy(l2Sq(col("embedding"), vecLit(qv)), col("vec_id"))
+        .limit(10)
+        .select("vec_id", "label", "cell_id")
+      s.createDataFrame(java.util.Arrays.asList(probed.collect(): _*), probed.schema)
+    }
+    store.destroy()
+    out
+  }
+
   /** STREAMING ingest into the stored IVF index — the online twin of
     * `ann_ivf_incremental`: the standing corpus builds the
     * cell-partitioned store, the arrivals slice flows through a
@@ -3115,6 +3152,7 @@ object GraftQueries {
     "ann_graph_incremental" -> annGraphIncremental,
     "ann_graph_walk" -> annGraphWalk,
     "ann_ivf_incremental" -> annIvfIncremental,
+    "ann_ivf_retrain" -> annIvfRetrain,
     "ann_graph_filtered" -> annGraphFiltered,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,

@@ -175,6 +175,35 @@ object Similarity {
     assigned.select("cell_id").distinct().collect().map(_.getInt(0)).sorted.toSeq
   }
 
+  /** Periodic RETRAIN-AND-REBUILD of a stored IVF index — the documented
+    * maintenance for quantizer drift (the frozen router
+    * [[insertIntoStoredIvf]] and the streaming sink append under stops
+    * matching the distribution as it moves): retrain centroids on the
+    * index's CURRENT content, re-assign every vector, and atomically
+    * swap the rewritten cell-partitioned layout into place
+    * ([[graft.store.VectorStore.replace]] — the compaction swap
+    * discipline, crash-safe either way). O(collection) by nature — a
+    * retrain re-routes every row — which is exactly why it is a
+    * separate, scheduled verb rather than part of the append path; the
+    * nightly appends stay O(batch) and this runs at the cadence drift
+    * warrants. Training is order-insensitive (md5-ordered sample,
+    * id-ordered seeds, fixed-point accumulation), so the new router
+    * depends only on the SET of stored vectors — the gate oracle
+    * re-derives it relationally at the new geometry. Returns the new
+    * centroids; the caller re-registers them (AnnCatalog / probe
+    * scopes) — searches with the OLD router against the new layout
+    * would probe the wrong cells. */
+  def retrainStoredIvf(spark: org.apache.spark.sql.SparkSession,
+                       store: graft.store.VectorStore, name: String,
+                       vecCol: String, idCol: String,
+                       ncells: Int = 16, trainIters: Int = 3,
+                       sampleCap: Int = 100000): Array[(Int, Array[Float])] = {
+    val data = store.read(spark, name).drop("cell_id")
+    val cents = trainCentroidArrays(data, vecCol, idCol, ncells, trainIters, sampleCap)
+    store.replace(name, withCellId(data, vecCol, cents), partitionBy = Seq("cell_id"))
+    cents
+  }
+
   /** DataFrame facade over [[trainCentroidArrays]] (API compat). */
   def trainCentroids(collection: DataFrame, vecCol: String, idCol: String,
                      ncells: Int, iters: Int = 3): DataFrame = {

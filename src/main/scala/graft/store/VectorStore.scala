@@ -206,12 +206,28 @@ final case class VectorStore(root: String) {
       st.getPath.getParent.toUri.getPath.stripPrefix(rootUriPath)
         .split("/").filter(_.contains("=")).map(_.takeWhile(_ != '='))
     }
+    replace(name, read(spark, name).coalesce(nOut), partCols.toSeq)
+    (before.size, dataFileStatuses(name).size)
+  }
+
+  /** Atomically replace collection `name`'s contents with `df` — the
+    * staged-swap discipline shared by every maintenance rewrite
+    * ([[compact]]'s file merge, IVF retrain's cell re-assignment): write
+    * to a scratch directory, carry the embedder binding and user
+    * metadata over (a rewrite changes layout or derived columns, never
+    * the collection's identity), stage the original ASIDE, swap, clean
+    * up. A crash at any point leaves either the original or the
+    * replacement addressable — [[recoverStranded]] heals the
+    * between-renames window on the next open. Mutable collections are
+    * refused (a raw swap would discard the tombstone log). */
+  def replace(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
+    require(MutableCollection.Marker.read(path(name)).isEmpty,
+      s"collection '$name' is mutable — maintenance rewrites go through " +
+        "VectorStore.mutable(name) (a raw swap would discard the tombstone log)")
     val tmpName = name + "__compacting"
-    val w = read(spark, name).coalesce(nOut).write.mode("overwrite")
-    (if (partCols.nonEmpty) w.partitionBy(partCols.toSeq: _*) else w)
+    val w = df.write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(tmpName))
-    // the embedder binding and user metadata survive compaction — the
-    // rewrite changes file layout, never the collection's identity
     CollectionManifest.read(path(name))
       .foreach(CollectionManifest.write(path(tmpName), _))
     val meta = CollectionMeta.read(path(name))
@@ -221,19 +237,18 @@ final case class VectorStore(root: String) {
     // its name if the second rename failed (open handles, NFS quirks)
     sfs.deleteTree(path(name + "__old"))
     require(sfs.rename(path(name), path(name + "__old")),
-      s"compaction: cannot stage $name aside")
+      s"replace: cannot stage $name aside")
     if (!sfs.rename(path(tmpName), path(name))) {
       // report a failed restore DISTINCTLY — claiming "restored" on a
       // discarded rename result could send an operator looking at the
       // wrong directory; recoverStranded() also heals this on next open
       val restored = sfs.rename(path(name + "__old"), path(name))
       throw new IllegalStateException(
-        if (restored) s"compaction swap failed for $name; original restored"
-        else s"compaction swap failed for $name AND restore failed — " +
+        if (restored) s"replace swap failed for $name; original restored"
+        else s"replace swap failed for $name AND restore failed — " +
           s"data is under ${name}__old (auto-recovered on next open)")
     }
     sfs.deleteTree(path(name + "__old"))
-    (before.size, dataFileStatuses(name).size)
   }
 
   /** Shared target-name validation for the verbs that mint a collection

@@ -909,6 +909,49 @@ class AnnProbeSpec extends SparkSpec {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  test("stored-IVF retrain: new geometry equals a from-scratch rebuild; identity survives the swap") {
+    import graft.operators.Similarity
+    val root = java.nio.file.Files.createTempDirectory("ivf_rt_spec").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(spark, sf).cache()
+    try {
+      // build at 16 cells, absorb an append under the frozen router,
+      // attach user metadata (the identity that must survive the swap)
+      val cents0 = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 16)
+      store.create("v",
+        Similarity.withCellId(e.filter(col("vec_id") % 10 =!= 7), "embedding", cents0),
+        partitionBy = Seq("cell_id"))
+      store.modify("v", metadata = Some(Map("purpose" -> "retrain-spec"))): Unit
+      Similarity.insertIntoStoredIvf(store, "v",
+        e.filter(col("vec_id") % 10 === 7), "embedding", "vec_id", cents0)
+      // retrain at a NEW geometry on the store's own content
+      val cents1 = Similarity.retrainStoredIvf(spark, store, "v",
+        "embedding", "vec_id", ncells = 8)
+      assert(cents1.length == 8)
+      // the rewritten layout is row-identical to a from-scratch 8-cell
+      // assignment of the same corpus — drift history is fully erased
+      val viaRetrain = store.read(spark, "v").select("vec_id", "cell_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val fromScratch = Similarity.withCellId(e, "embedding",
+          Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 8))
+        .select("vec_id", "cell_id")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(viaRetrain == fromScratch)
+      // cell_id stays a PARTITION column after the swap (the pruning
+      // the stored probe relies on) and user metadata survived
+      assert(store.dataFileStatuses("v").forall(
+        _.getPath.getParent.getName.startsWith("cell_id=")))
+      assert(store.metadata("v").get("purpose").contains("retrain-spec"))
+      // a mutable collection refuses the raw swap
+      val mc = store.createMutable("m",
+        e.limit(5).select(col("vec_id"), col("embedding")), "vec_id")
+      mc.countLive(spark): Unit
+      val ex = intercept[IllegalArgumentException](
+        store.replace("m", store.read(spark, "m")))
+      assert(ex.getMessage.contains("mutable"))
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   test("insertIntoStored rejects a batch that re-inserts an existing id") {
     import graft.operators.{Clustering, GraphAnn}
     val root = java.nio.file.Files.createTempDirectory("anngraph_dup").toString
