@@ -2383,10 +2383,13 @@ object GraftQueries {
     * [[graft.store.MutableCollection.compact]] rewrites the whole
     * collection). Two passes, one after the delete wave and one after
     * the upsert/update wave, with thresholds low enough that both
-    * genuinely rewrite at gate scale. The oracle restates the sequence
-    * with NO notion of either pass — a hash match proves the journaled
-    * promote/delete leaves a live view indistinguishable from never
-    * having compacted. */
+    * genuinely rewrite at gate scale, plus a final
+    * [[graft.store.MutableCollection.compactTombstones]] — the O(log)
+    * third maintenance axis (fold the tombstone log to max-seq per
+    * id). The oracle restates the sequence with NO notion of any of
+    * the three passes — a hash match proves the journaled
+    * promote/delete AND the log fold leave a live view
+    * indistinguishable from never having compacted. */
   val collectionCompactDirty: Q = (s, d) => {
     val root = java.nio.file.Files.createTempDirectory("graft_cdq").toString
     val store = graft.store.VectorStore(root)
@@ -2399,6 +2402,7 @@ object GraftQueries {
     mc.update(s, docs.filter(col("doc_id") <= 15)
       .select(col("doc_id"), lit("patched").as("source")))
     mc.compactDirty(s, minDeadFraction = 0.1) // folds the upsert/update wave
+    mc.compactTombstones(s) // and the third axis: fold the LOG itself
     val out = mc.readLive(s).orderBy("doc_id")
     val rows = out.collect()
     store.destroy()

@@ -31,7 +31,9 @@ import org.apache.spark.sql.functions._
   *    store's swap discipline, and truncates the tombstone log;
   *    [[compactDirty]] is the bounded alternative — it rewrites ONLY
   *    the files whose dead fraction crossed a threshold (O(dirty), not
-  *    O(collection)) and keeps the log;
+  *    O(collection)) and keeps the log; [[compactTombstones]] folds the
+  *    LOG to one max-seq row per id (O(log)) and keeps the data — the
+  *    three maintenance verbs cover the three growth axes;
   *  - because mutations never destroy row versions, every PAST live
   *    view since the last compact is still on disk: [[readLiveAt]]
   *    reconstructs the state as of any retained sequence (snapshot /
@@ -562,12 +564,58 @@ final case class MutableCollection(store: VectorStore, name: String) {
     dirtyNames
   }
 
+  /** Fold the tombstone LOG to one (id, max seq) row per ever-mutated
+    * id — O(log) maintenance, completing the triad: this shrinks the
+    * LOG (the broadcast side of every live read) without touching data
+    * files, [[compactDirty]] reclaims dead DATA bytes without touching
+    * the log, [[compact]] rewrites everything. The live filter only
+    * ever consults the per-id MAX tombstone seq, so folding is
+    * invisible to the live view by construction; what it destroys is
+    * the log's HISTORY (an id's earlier tombstones), so — like the
+    * other two — it raises the snapshot retention floor before
+    * touching anything. The swap uses the stage-aside discipline with
+    * its own stranded-log recovery: a crash between the two renames
+    * would otherwise leave NO log and silently resurrect every deleted
+    * row. */
+  def compactTombstones(spark: SparkSession): Unit = {
+    val m = marker // replays any interrupted maintenance first
+    val fsm = store.sfs
+    val folded = readTombstones(spark) match {
+      case Some(t) => t.groupBy(idCol).agg(max(col(DelSeqCol)).as(DelSeqCol))
+      case None => return // nothing to fold
+    }
+    val tmp = s"$dir/${TombstonesDir}__folding"
+    val old = s"$dir/${TombstonesDir}__old"
+    fsm.deleteTree(tmp)
+    folded.write.mode("overwrite").options(bloomOpts(idCol)).parquet(tmp)
+    // folding drops an id's non-latest tombstones — states between them
+    // stop resolving correctly, so retention floors at the current seq
+    Marker.write(dir, m.copy(floorSeq = m.seq))
+    fsm.deleteTree(old)
+    require(fsm.rename(tombDir, old),
+      s"compactTombstones: cannot stage the log of '$name' aside")
+    if (!fsm.rename(tmp, tombDir)) {
+      val restored = fsm.rename(old, tombDir)
+      throw new IllegalStateException(
+        if (restored) s"compactTombstones swap failed for $name; log restored"
+        else s"compactTombstones swap failed for $name AND restore failed — " +
+          s"log is under ${TombstonesDir}__old (auto-recovered on next verb)")
+    }
+    fsm.deleteTree(old)
+  }
+
   /** Replay (or complete) a journaled [[compactDirty]]: promote every
     * staged file still in the staging dir, then delete every listed
     * dirty original, then clear journal + staging. Idempotent — every
-    * step skips what a previous attempt already did. */
+    * step skips what a previous attempt already did. Also heals a
+    * [[compactTombstones]] swap stranded between its two renames (the
+    * log exists only under the `__old` stage — without the heal, every
+    * deleted row would silently resurrect). */
   private def recoverDirtyCompaction(): Unit = {
     val fsm = store.sfs
+    val oldLog = s"$dir/${TombstonesDir}__old"
+    if (!fsm.exists(tombDir) && fsm.isDir(oldLog))
+      fsm.rename(oldLog, tombDir): Unit
     val jPath = s"$dir/$JournalFile"
     Journal.read(fsm, jPath).foreach { j =>
       val stage = s"$dir/${j.stageDir}"

@@ -586,6 +586,36 @@ class StoreMutationSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("compactTombstones folds the log to max-seq per id; live view unchanged; stranded swap heals") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base.coalesce(1), "id")
+    // churn one id repeatedly: the log gains one entry per write
+    mc.upsert(Seq((1L, "a", "v1")).toDF("id", "src", "text").coalesce(1))
+    mc.upsert(Seq((1L, "a", "v2")).toDF("id", "src", "text").coalesce(1))
+    mc.deleteIds(spark, Seq(2L))
+    val dir = s"${store.root}/c"
+    val tombDir = s"$dir/${MutableCollection.TombstonesDir}"
+    val logBefore = spark.read.parquet(tombDir)
+    assert(logBefore.count() == 3) // 2 upsert tombstones for id 1 + delete of id 2
+    val before = liveMap(mc)
+    mc.compactTombstones(spark)
+    val logAfter = spark.read.parquet(tombDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(logAfter == Map(1L -> 2L, 2L -> 3L), s"fold wrong: $logAfter")
+    assert(liveMap(mc) == before, "live view changed under a log fold")
+    assert(mc.floorSeq == mc.currentSeq) // history between tombstones is gone
+    // folding an already-folded log is a no-op in content
+    mc.compactTombstones(spark)
+    assert(liveMap(mc) == before)
+    // stranded swap (crash between the two renames): log only under
+    // __old — the next verb must heal it, or deletes silently resurrect
+    assert(new java.io.File(tombDir).renameTo(
+      new java.io.File(s"$dir/${MutableCollection.TombstonesDir}__old")))
+    assert(liveMap(mc) == before, "stranded log not healed — deletes resurrected")
+    assert(new java.io.File(tombDir).isDirectory)
+    store.destroy()
+  }
+
   test("createMutable refuses a partitioned layout") {
     val store = freshStore()
     val e = intercept[IllegalArgumentException](
