@@ -105,18 +105,16 @@ object CollectionManifest {
     props.setProperty("bpeMerges",
       m.bpeMerges.map(p => p._1 + "\u0000" + p._2).mkString("\u0001"))
     props.setProperty("fingerprint", m.fingerprint)
-    val buf = new java.io.ByteArrayOutputStream()
-    props.store(buf, "graft collection embedder manifest")
-    StoreFs.forPath(collectionDir)
-      .writeBytes(s"$collectionDir/$FileName", buf.toByteArray)
+    StoreFs.forPath(collectionDir).writePropsAtomic(
+      s"$collectionDir/$FileName", props,
+      "graft collection embedder manifest")
   }
 
   private[store] def read(collectionDir: String): Option[CollectionManifest] = {
-    val fsm = StoreFs.forPath(collectionDir)
-    val f = s"$collectionDir/$FileName"
-    if (!fsm.isFile(f)) return None
-    val props = new java.util.Properties()
-    props.load(new java.io.ByteArrayInputStream(fsm.readBytes(f)))
+    val propsOpt = StoreFs.forPath(collectionDir)
+      .readProps(s"$collectionDir/$FileName")
+    if (propsOpt.isEmpty) return None
+    val props = propsOpt.get
     val mergesRaw = Option(props.getProperty("bpeMerges")).getOrElse("")
     val merges =
       if (mergesRaw.isEmpty) Nil
@@ -133,7 +131,8 @@ object CollectionManifest {
     // space — the stored fingerprint re-verifies the canonical fields
     val stored = props.getProperty("fingerprint", "")
     require(stored == m.fingerprint,
-      s"corrupt manifest at $f: stored fingerprint $stored != recomputed ${m.fingerprint}")
+      s"corrupt manifest at $collectionDir/$FileName: " +
+        s"stored fingerprint $stored != recomputed ${m.fingerprint}")
     Some(m)
   }
 }

@@ -23,24 +23,18 @@ object CollectionMeta {
                            meta: Map[String, String]): Unit = {
     val props = new java.util.Properties()
     meta.foreach { case (k, v) => props.setProperty(k, v) }
-    val buf = new java.io.ByteArrayOutputStream()
-    props.store(buf, "graft collection metadata")
-    // tmp + atomic replace, the Marker.write discipline: a direct
-    // in-place overwrite torn by a crash would Properties.load WITHOUT
-    // ERROR as a partial map — silent metadata loss
-    val fsm = StoreFs.forPath(collectionDir)
-    val tmp = s"$collectionDir/$FileName.tmp"
-    fsm.writeBytes(tmp, buf.toByteArray)
-    fsm.overwriteRename(tmp, s"$collectionDir/$FileName")
+    // atomic: a direct in-place overwrite torn by a crash would
+    // Properties.load WITHOUT ERROR as a partial map — silent loss
+    StoreFs.forPath(collectionDir).writePropsAtomic(
+      s"$collectionDir/$FileName", props, "graft collection metadata")
   }
 
-  private[store] def read(collectionDir: String): Map[String, String] = {
-    val fsm = StoreFs.forPath(collectionDir)
-    val f = s"$collectionDir/$FileName"
-    if (!fsm.isFile(f)) return Map.empty
-    val props = new java.util.Properties()
-    props.load(new java.io.ByteArrayInputStream(fsm.readBytes(f)))
-    import scala.jdk.CollectionConverters._
-    props.stringPropertyNames().asScala.map(k => k -> props.getProperty(k)).toMap
-  }
+  private[store] def read(collectionDir: String): Map[String, String] =
+    StoreFs.forPath(collectionDir)
+      .readProps(s"$collectionDir/$FileName")
+      .fold(Map.empty[String, String]) { props =>
+        import scala.jdk.CollectionConverters._
+        props.stringPropertyNames().asScala
+          .map(k => k -> props.getProperty(k)).toMap
+      }
 }

@@ -62,10 +62,24 @@ final case class MutableCollection(store: VectorStore, name: String) {
   private def dir = s"${store.root}/$name"
   private def tombDir = s"$dir/$TombstonesDir"
 
+  // recovery ran once through this handle — marker sits on the mutation
+  // hot path and is re-read several times per verb; paying the
+  // journal/stranded-log existence probes (3 metadata RPCs on HDFS) on
+  // every read would multiply namenode traffic for checks that are
+  // no-ops in every non-crash run. A handle is single-writer like the
+  // store itself, so once-per-handle IS once-per-recovery-opportunity:
+  // a crash kills the process, and the next process's fresh handle
+  // re-checks.
+  @transient private var maintenanceRecovered = false
+
   private def marker: Marker = {
     // every verb passes through here, so an interrupted compactDirty
-    // journal is replayed before anything reads or writes
-    recoverDirtyCompaction()
+    // journal / stranded tombstone log is replayed before anything
+    // reads or writes
+    if (!maintenanceRecovered) {
+      recoverDirtyCompaction()
+      maintenanceRecovered = true
+    }
     Marker.read(dir).getOrElse(
       throw new IllegalArgumentException(
         s"collection '$name' is not mutable — create it with " +
@@ -687,24 +701,19 @@ object MutableCollection {
         props.setProperty(s"delete.$i", n) }
       promotes.zipWithIndex.foreach { case (n, i) =>
         props.setProperty(s"promote.$i", n) }
-      val buf = new java.io.ByteArrayOutputStream()
-      props.store(buf, "graft compactDirty journal")
-      // tmp + atomic replace: the journal either exists whole or not at
-      // all — a torn journal would replay a partial delete list
-      fsm.writeBytes(s"$path.tmp", buf.toByteArray)
-      fsm.overwriteRename(s"$path.tmp", path)
+      // atomic: the journal either exists whole or not at all — a torn
+      // journal would replay a partial delete list
+      fsm.writePropsAtomic(path, props, "graft compactDirty journal")
     }
 
-    def read(fsm: StoreFs, path: String): Option[Journal] = {
-      if (!fsm.isFile(path)) return None
-      val props = new java.util.Properties()
-      props.load(new java.io.ByteArrayInputStream(fsm.readBytes(path)))
-      def entries(prefix: String): Seq[String] =
-        Iterator.from(0).map(i => props.getProperty(s"$prefix.$i"))
-          .takeWhile(_ != null).toSeq
-      Some(Journal(props.getProperty("stage"),
-        entries("delete"), entries("promote")))
-    }
+    def read(fsm: StoreFs, path: String): Option[Journal] =
+      fsm.readProps(path).map { props =>
+        def entries(prefix: String): Seq[String] =
+          Iterator.from(0).map(i => props.getProperty(s"$prefix.$i"))
+            .takeWhile(_ != null).toSeq
+        Journal(props.getProperty("stage"),
+          entries("delete"), entries("promote"))
+      }
   }
 
   private[graft] final case class Marker(idCol: String, seq: Long,
@@ -716,26 +725,15 @@ object MutableCollection {
       props.setProperty("idCol", m.idCol)
       props.setProperty("seq", m.seq.toString)
       props.setProperty("floorSeq", m.floorSeq.toString)
-      val buf = new java.io.ByteArrayOutputStream()
-      props.store(buf, "graft mutable collection marker")
-      val fsm = StoreFs.forPath(collectionDir)
-      val tmp = s"$collectionDir/$MarkerFile.tmp"
-      fsm.writeBytes(tmp, buf.toByteArray)
-      // atomic replace: overwrite-rename within the directory (atomic on
-      // HDFS and on POSIX local renames) — readers see old-or-new,
-      // never a torn file
-      fsm.overwriteRename(tmp, s"$collectionDir/$MarkerFile")
+      StoreFs.forPath(collectionDir).writePropsAtomic(
+        s"$collectionDir/$MarkerFile", props, "graft mutable collection marker")
     }
 
-    def read(collectionDir: String): Option[Marker] = {
-      val fsm = StoreFs.forPath(collectionDir)
-      val f = s"$collectionDir/$MarkerFile"
-      if (!fsm.isFile(f)) return None
-      val props = new java.util.Properties()
-      props.load(new java.io.ByteArrayInputStream(fsm.readBytes(f)))
-      Some(Marker(props.getProperty("idCol"),
-        props.getProperty("seq", "0").toLong,
-        props.getProperty("floorSeq", "0").toLong))
-    }
+    def read(collectionDir: String): Option[Marker] =
+      StoreFs.forPath(collectionDir)
+        .readProps(s"$collectionDir/$MarkerFile")
+        .map(props => Marker(props.getProperty("idCol"),
+          props.getProperty("seq", "0").toLong,
+          props.getProperty("floorSeq", "0").toLong))
   }
 }

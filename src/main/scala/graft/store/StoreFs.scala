@@ -101,6 +101,28 @@ final class StoreFs private (private[store] val fs: FileSystem,
     try fs.getFileStatus(p(s)).isFile
     catch { case _: java.io.FileNotFoundException => false }
 
+  /** Atomic Properties-file write — THE sidecar discipline (marker,
+    * collection metadata, compaction journal, streaming watermark):
+    * serialize, write to `.tmp`, atomically replace. One definition so
+    * a fix to the discipline (fsync policy, tmp naming) reaches every
+    * sidecar — four hand-rolled copies predated this. */
+  def writePropsAtomic(path: String, props: java.util.Properties,
+                       comment: String): Unit = {
+    val buf = new java.io.ByteArrayOutputStream()
+    props.store(buf, comment)
+    writeBytes(s"$path.tmp", buf.toByteArray)
+    overwriteRename(s"$path.tmp", path)
+  }
+
+  /** Read-side twin of [[writePropsAtomic]]; None when the file does
+    * not exist. */
+  def readProps(path: String): Option[java.util.Properties] = {
+    if (!isFile(path)) return None
+    val props = new java.util.Properties()
+    props.load(new java.io.ByteArrayInputStream(readBytes(path)))
+    Some(props)
+  }
+
   /** Hardlink `src` as `dst` when the scheme supports it (local disks),
     * byte copy otherwise. */
   def linkOrCopy(src: String, dst: String): Unit =

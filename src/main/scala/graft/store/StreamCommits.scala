@@ -16,25 +16,18 @@ object StreamCommits {
 
   /** The highest batchId whose effects are fully committed for
     * `name`; -1 when no batch ever committed. */
-  def lastBatchId(store: VectorStore, name: String): Long = {
-    val fsm = StoreFs.forPath(store.root)
-    val f = s"${store.root}/$name/$FileName"
-    if (!fsm.isFile(f)) return -1L
-    val props = new java.util.Properties()
-    props.load(new java.io.ByteArrayInputStream(fsm.readBytes(f)))
-    props.getProperty("lastBatchId", "-1").toLong
-  }
+  def lastBatchId(store: VectorStore, name: String): Long =
+    StoreFs.forPath(store.root)
+      .readProps(s"${store.root}/$name/$FileName")
+      .fold(-1L)(_.getProperty("lastBatchId", "-1").toLong)
 
   /** Record `batchId` as fully committed. Call AFTER the batch's
     * writes have committed — never before. */
   def commit(store: VectorStore, name: String, batchId: Long): Unit = {
-    val fsm = StoreFs.forPath(store.root)
-    val dir = s"${store.root}/$name"
     val props = new java.util.Properties()
     props.setProperty("lastBatchId", batchId.toString)
-    val buf = new java.io.ByteArrayOutputStream()
-    props.store(buf, "graft streaming commit watermark")
-    fsm.writeBytes(s"$dir/$FileName.tmp", buf.toByteArray)
-    fsm.overwriteRename(s"$dir/$FileName.tmp", s"$dir/$FileName")
+    StoreFs.forPath(store.root).writePropsAtomic(
+      s"${store.root}/$name/$FileName", props,
+      "graft streaming commit watermark")
   }
 }

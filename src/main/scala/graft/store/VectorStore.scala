@@ -228,10 +228,18 @@ final case class VectorStore(root: String) {
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .parquet(path(tmpName))
-    CollectionManifest.read(path(name))
-      .foreach(CollectionManifest.write(path(tmpName), _))
-    val meta = CollectionMeta.read(path(name))
-    if (meta.nonEmpty) CollectionMeta.write(path(tmpName), meta)
+    // EVERY `_*.properties` sidecar travels with the swap (embedder
+    // binding, user metadata, streaming commit watermark, whatever is
+    // added next) — a whitelist of known sidecars would silently strip
+    // the next one added (the StreamCommits watermark was the first
+    // casualty). The compactDirty journal is `.journal`, not
+    // `.properties`, and must NOT travel: it names files of the old
+    // layout.
+    sfs.list(path(name))
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
+        st.getPath.getName.endsWith(".properties"))
+      .foreach(st => sfs.copyFile(st.getPath.toString,
+        s"${path(tmpName)}/${st.getPath.getName}"))
     // swap with a recovery path: stage the original ASIDE first — a
     // delete-then-rename would strand the collection with no data under
     // its name if the second rename failed (open handles, NFS quirks)

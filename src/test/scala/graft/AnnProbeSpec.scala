@@ -922,6 +922,9 @@ class AnnProbeSpec extends SparkSpec {
         Similarity.withCellId(e.filter(col("vec_id") % 10 =!= 7), "embedding", cents0),
         partitionBy = Seq("cell_id"))
       store.modify("v", metadata = Some(Map("purpose" -> "retrain-spec"))): Unit
+      // a streaming-fed index carries a commit watermark — the swap
+      // must not reset it (every _*.properties sidecar travels)
+      graft.store.StreamCommits.commit(store, "v", 41L)
       Similarity.insertIntoStoredIvf(store, "v",
         e.filter(col("vec_id") % 10 === 7), "embedding", "vec_id", cents0)
       // retrain at a NEW geometry on the store's own content
@@ -942,6 +945,8 @@ class AnnProbeSpec extends SparkSpec {
       assert(store.dataFileStatuses("v").forall(
         _.getPath.getParent.getName.startsWith("cell_id=")))
       assert(store.metadata("v").get("purpose").contains("retrain-spec"))
+      assert(graft.store.StreamCommits.lastBatchId(store, "v") == 41L,
+        "retrain swap reset the streaming commit watermark")
       // a mutable collection refuses the raw swap
       val mc = store.createMutable("m",
         e.limit(5).select(col("vec_id"), col("embedding")), "vec_id")

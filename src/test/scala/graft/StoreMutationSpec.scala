@@ -608,10 +608,13 @@ class StoreMutationSpec extends SparkSpec {
     mc.compactTombstones(spark)
     assert(liveMap(mc) == before)
     // stranded swap (crash between the two renames): log only under
-    // __old — the next verb must heal it, or deletes silently resurrect
+    // __old — the crash killed that process, so recovery happens
+    // through the NEXT process's fresh handle (recovery probes are
+    // memoized per handle to keep them off the marker hot path)
     assert(new java.io.File(tombDir).renameTo(
       new java.io.File(s"$dir/${MutableCollection.TombstonesDir}__old")))
-    assert(liveMap(mc) == before, "stranded log not healed — deletes resurrected")
+    val mc2 = store.mutable("c")
+    assert(liveMap(mc2) == before, "stranded log not healed — deletes resurrected")
     assert(new java.io.File(tombDir).isDirectory)
     store.destroy()
   }

@@ -271,8 +271,11 @@ class StreamingSpec extends SparkSpec {
       assert(store.read(spark, "vectors")
         .filter(col("vec_id") === someId).count() == 1)
       assert(StreamCommits.lastBatchId(store, "vectors") == committed + 1)
-      // in-batch duplicate ids are refused (data error, not recovery)
-      val dup = e.limit(1).unionByName(e.limit(1))
+      // in-batch duplicate ids are refused (data error, not recovery) —
+      // duplicate ONE materialized row (two independent limit(1) scans
+      // are not guaranteed to pick the same row)
+      val row = e.limit(1).collect().head
+      val dup = spark.createDataFrame(java.util.Arrays.asList(row, row), e.schema)
       intercept[IllegalArgumentException](
         IndexStream.ivfBatchSink(store, "vectors", "embedding", "vec_id", cents)(
           dup, committed + 2))
