@@ -1202,6 +1202,46 @@ object GraftOracles {
     // indistinguishable from the batch build.
     "streaming_ann_ingest" -> annProbedTop10Sql,
 
+    // Twin of ann_mutable_ivf: the LIVE-collection ANN — re-derive the
+    // frozen 16-cell router over the ORIGINAL corpus (the attach-time
+    // training set), restate the live state after the mutations
+    // (vec_id%10==3 carries the reversed vector — float-exact on both
+    // engines — and %10==6 is gone), re-assign every live row by the
+    // same (double l2², lowest cid) argmin, probe 4 cells, exact
+    // top-10. A hash match proves the index's version resolution
+    // (tombstone filter over stored versions) equals the relational
+    // restatement of the mutated corpus.
+    "ann_mutable_ivf" ->
+      s"""WITH ${simIvfCte(16, 3)},
+         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |live AS (SELECT vec_id,
+         |    CASE WHEN vec_id % 10 = 3 THEN list_reverse(embedding)
+         |         ELSE embedding END AS lv
+         |  FROM embeddings WHERE vec_id % 10 <> 6),
+         |lad AS (SELECT l.vec_id, l.lv, c.cid, list_sum(list_transform(range(1,65),
+         |    i -> (l.lv[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |       * (l.lv[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM live l CROSS JOIN sc3 c),
+         |laa AS (SELECT vec_id, lv, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn
+         |  FROM lad),
+         |lcell AS (SELECT vec_id, lv, cid FROM laa WHERE rn = 1),
+         |pqd AS (SELECT c.cid, list_sum(list_transform(range(1,65),
+         |    i -> (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)])
+         |       * (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM sc3 c CROSS JOIN q),
+         |probe AS (SELECT cid FROM pqd ORDER BY dr, cid LIMIT 4),
+         |dd AS (SELECT l.vec_id, l.cid, list_sum(list_transform(range(1,65),
+         |    i -> (l.lv[CAST(i AS INT)]::DOUBLE - q.qv[CAST(i AS INT)])
+         |       * (l.lv[CAST(i AS INT)]::DOUBLE - q.qv[CAST(i AS INT)]))) AS dr
+         |  FROM lcell l CROSS JOIN q
+         |  WHERE l.cid IN (SELECT cid FROM probe))
+         |SELECT d.vec_id, CAST(d.cid AS INT) AS cell_id,
+         |  floor(d.dr * 1e6 + 0.5) / 1e6 AS dist
+         |FROM (SELECT * FROM dd ORDER BY dr, vec_id LIMIT 10) d
+         |ORDER BY dist, d.vec_id""".stripMargin,
+
     // Twin of ann_ivf_retrain: the SAME probe at the RETRAINED
     // geometry (8 cells) — the oracle re-derives the new router from
     // the corpus relationally with no notion of the old 16-cell build,

@@ -663,6 +663,43 @@ object GraftQueries {
     out
   }
 
+  /** ANN over a LIVE MUTABLE collection — the Chroma semantic
+    * (upsert/delete + query) at the storage layer
+    * ([[graft.operators.MutableIvf]]): an IVF index attached to a
+    * mutable collection, kept consistent WITHOUT index rewrites — the
+    * index stores row versions and search applies the collection's OWN
+    * tombstone filter (shared code) after the partition-pruned probe;
+    * upserts reach it through an O(delta) seq-pruned refresh. The
+    * sequence: index the corpus, upsert reversed vectors for
+    * vec_id%10==3 (list reversal is float-exact on both engines),
+    * delete vec_id%10==6, refresh, search top-10. The oracle re-derives
+    * the frozen router, re-assigns the LIVE state (reversed vectors
+    * included) by the same argmin, probes, and ranks — a hash match
+    * proves live-version resolution through the index equals the
+    * relational restatement of the mutated corpus. */
+  val annMutableIvf: Q = (s, d) => {
+    import graft.operators.MutableIvf
+    val root = java.nio.file.Files.createTempDirectory("graft_mivf").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    val mc = store.createMutable("vecs", e, "vec_id")
+    MutableIvf.attach(s, store, "vecs", "embedding", "vecs_ivf", ncells = 16)
+    mc.upsert(e.filter(col("vec_id") % 10 === 3)
+      .withColumn("embedding", reverse(col("embedding"))))
+    mc.delete(e.filter(col("vec_id") % 10 === 6).select("vec_id"))
+    MutableIvf.refresh(s, store, "vecs", "vecs_ivf")
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    e.unpersist()
+    val out0 = MutableIvf.search(s, store, "vecs", "vecs_ivf", qv,
+        k = 10, nprobe = 4)
+      .orderBy(col("dist"), col("vec_id"))
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(out0.collect(): _*), out0.schema)
+    store.destroy()
+    out
+  }
+
   /** STREAMING ingest into the stored IVF index — the online twin of
     * `ann_ivf_incremental`: the standing corpus builds the
     * cell-partitioned store, the arrivals slice flows through a
@@ -3157,6 +3194,7 @@ object GraftQueries {
     "ann_graph_walk" -> annGraphWalk,
     "ann_ivf_incremental" -> annIvfIncremental,
     "ann_ivf_retrain" -> annIvfRetrain,
+    "ann_mutable_ivf" -> annMutableIvf,
     "ann_graph_filtered" -> annGraphFiltered,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,

@@ -394,6 +394,18 @@ final case class MutableCollection(store: VectorStore, name: String) {
                           asOf: Option[Long] = None): DataFrame = {
     val base0 = store.read(spark, name)
     val base = asOf.fold(base0)(s => base0.filter(col(SeqCol) <= s))
+    applyTombstoneFilter(spark, base, asOf)
+  }
+
+  /** THE live filter: left-join `rows` (which must carry [[idCol]] and
+    * the hidden seq column) against the per-id max tombstone seq and
+    * keep versions at or above it. Package-visible so index readers
+    * over DERIVED relations (the mutable-IVF candidate set) apply the
+    * exact same rule the collection's own reads use — a reimplemented
+    * copy would drift. With `asOf` set, only tombstones at or below
+    * that sequence count (snapshot semantics). */
+  private[graft] def applyTombstoneFilter(spark: SparkSession, rows: DataFrame,
+                                          asOf: Option[Long] = None): DataFrame =
     readTombstones(spark) match {
       case Some(t0) =>
         val t = asOf.fold(t0)(s => t0.filter(col(DelSeqCol) <= s))
@@ -403,13 +415,12 @@ final case class MutableCollection(store: VectorStore, name: String) {
         // "too big", not overflow into a spurious broadcast
         val est = tombstoneBytesOnDisk
         val est4 = if (est > Long.MaxValue / 4) Long.MaxValue else est * 4
-        base.join(graft.operators.BroadcastGate.maybeBroadcast(
+        rows.join(graft.operators.BroadcastGate.maybeBroadcast(
             dels, est4), Seq(idCol), "left")
           .filter(col(DelSeqCol).isNull || col(SeqCol) >= col(DelSeqCol))
           .drop(DelSeqCol)
-      case None => base
+      case None => rows
     }
-  }
 
   /** Tombstone-log footprint for the broadcast gate. FAILS CLOSED: a
     * missing log is 0, but an I/O error on an existing path reads as

@@ -957,6 +957,72 @@ class AnnProbeSpec extends SparkSpec {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  test("mutable-IVF: O(delta) refresh, partition-pruned probe, watermark consistency, crash-dup dedup") {
+    import graft.operators.MutableIvf
+    val root = java.nio.file.Files.createTempDirectory("mivf_spec").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(spark, sf).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val mc = store.createMutable("vecs", e, "vec_id")
+      MutableIvf.attach(spark, store, "vecs", "embedding", "vecs_ivf", ncells = 8)
+      def top(k: Int) = {
+        val qv = e.filter(col("vec_id") === 0).select("embedding")
+          .head.getSeq[Float](0).toArray
+        MutableIvf.search(spark, store, "vecs", "vecs_ivf", qv, k, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      }
+      val t0 = top(10)
+      assert(t0.head._1 == 0L && t0.head._2 == 0.0) // self at distance 0
+      // the probe is PARTITION-pruned: the index scan carries
+      // `cell_id IN (a,b)` as a PartitionFilter (2 probed cells of the
+      // 8 on disk; the scan sits under AQE because of the tombstone
+      // join, so assert on the plan text rather than collectLeaves)
+      val qv0 = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val planStr = MutableIvf.search(spark, store, "vecs", "vecs_ivf",
+        qv0, 10, nprobe = 2).queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[cell_id#\\d+ IN \\((\\d+),(\\d+)\\)\\]".r
+      assert(pf.findFirstIn(planStr).isDefined,
+        s"probe must land as a 2-cell PartitionFilter:\n${planStr.take(2000)}")
+      val cellDirs = new java.io.File(s"$root/vecs_ivf").listFiles()
+        .count(_.getName.startsWith("cell_id="))
+      assert(cellDirs == 8, s"expected 8 cell partitions on disk, found $cellDirs")
+      // watermark consistency: a delete is INVISIBLE until refresh —
+      // search answers as of the last refresh, never a torn mixture
+      val victim = t0(1)._1
+      mc.deleteIds(spark, Seq(victim))
+      assert(top(10).map(_._1).contains(victim),
+        "un-refreshed delete leaked into the indexed search")
+      // O(delta) refresh: the delta scan carries a pushed seq range and
+      // pre-existing index files survive byte-identical
+      val before = store.dataFiles("vecs_ivf")
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+      MutableIvf.refresh(spark, store, "vecs", "vecs_ivf")
+      store.dataFiles("vecs_ivf").filter(f => before.contains(f.getPath)).foreach(f =>
+        assert(before(f.getPath) == (f.length, f.lastModified),
+          s"refresh rewrote a pre-existing index file: ${f.getPath}"))
+      val t1 = top(10)
+      assert(!t1.map(_._1).contains(victim), "refreshed delete still visible")
+      // crash-duplicate guard: re-append an already-indexed row (the
+      // state a refresh crash leaves after its re-run) — search still
+      // returns one row per id, results unchanged
+      val dupRow = store.read(spark, "vecs_ivf")
+        .filter(col("vec_id") === t1.head._1).limit(1)
+      store.append("vecs_ivf", dupRow, partitionBy = Seq("cell_id"))
+      assert(top(10) == t1, "crash duplicate changed the search answer")
+      // an upsert that MOVES a vector re-routes it on refresh: version
+      // resolution keeps exactly the newest
+      val moved = t1(1)._1
+      mc.upsert(e.filter(col("vec_id") === moved)
+        .withColumn("embedding", reverse(col("embedding"))))
+      MutableIvf.refresh(spark, store, "vecs", "vecs_ivf")
+      val t2 = top(10)
+      assert(t2.count(_._1 == moved) <= 1)
+      assert(t2 != t1 || !t2.map(_._1).contains(moved),
+        "moved vector still ranked by its old embedding")
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   test("insertIntoStored rejects a batch that re-inserts an existing id") {
     import graft.operators.{Clustering, GraphAnn}
     val root = java.nio.file.Files.createTempDirectory("anngraph_dup").toString
