@@ -1242,6 +1242,41 @@ object GraftOracles {
          |FROM (SELECT * FROM dd ORDER BY dr, vec_id LIMIT 10) d
          |ORDER BY dist, d.vec_id""".stripMargin,
 
+    // Twin of ann_mutable_ivf_filtered: same construction, but the
+    // where filter (label < 10, against CURRENT versions) excludes the
+    // upserted ids outright — their new label is >= 10 — so the live
+    // set is the untouched rows only. An engine that resolved a STALE
+    // version (old label < 10) would readmit those ids with their OLD
+    // vector and mismatch.
+    "ann_mutable_ivf_filtered" ->
+      s"""WITH ${simIvfCte(16, 3)},
+         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |live AS (SELECT vec_id, embedding AS lv FROM embeddings
+         |  WHERE vec_id % 10 <> 6 AND vec_id % 10 <> 3),
+         |lad AS (SELECT l.vec_id, l.lv, c.cid, list_sum(list_transform(range(1,65),
+         |    i -> (l.lv[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |       * (l.lv[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM live l CROSS JOIN sc3 c),
+         |laa AS (SELECT vec_id, lv, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn
+         |  FROM lad),
+         |lcell AS (SELECT vec_id, lv, cid FROM laa WHERE rn = 1),
+         |pqd AS (SELECT c.cid, list_sum(list_transform(range(1,65),
+         |    i -> (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)])
+         |       * (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM sc3 c CROSS JOIN q),
+         |probe AS (SELECT cid FROM pqd ORDER BY dr, cid LIMIT 4),
+         |dd AS (SELECT l.vec_id, l.cid, list_sum(list_transform(range(1,65),
+         |    i -> (l.lv[CAST(i AS INT)]::DOUBLE - q.qv[CAST(i AS INT)])
+         |       * (l.lv[CAST(i AS INT)]::DOUBLE - q.qv[CAST(i AS INT)]))) AS dr
+         |  FROM lcell l CROSS JOIN q
+         |  WHERE l.cid IN (SELECT cid FROM probe))
+         |SELECT d.vec_id, CAST(d.cid AS INT) AS cell_id,
+         |  floor(d.dr * 1e6 + 0.5) / 1e6 AS dist
+         |FROM (SELECT * FROM dd ORDER BY dr, vec_id LIMIT 10) d
+         |ORDER BY dist, d.vec_id""".stripMargin,
+
     // Twin of ann_ivf_retrain: the SAME probe at the RETRAINED
     // geometry (8 cells) — the oracle re-derives the new router from
     // the corpus relationally with no notion of the old 16-cell build,

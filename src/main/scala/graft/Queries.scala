@@ -700,6 +700,39 @@ object GraftQueries {
     out
   }
 
+  /** FILTERED ANN over the live mutable collection — the full Chroma
+    * `query(query_embeddings, where={...}, n_results)` surface: the
+    * where-DSL predicate applies to CURRENT versions (after the
+    * tombstone filter, before top-k). The mutation makes the filter
+    * discriminating about versions: upserted ids get label+10 AND a
+    * reversed vector, and the filter `label < 10` must exclude them —
+    * an index that leaked a STALE version (old label, old vector) past
+    * version resolution would wrongly readmit those ids and
+    * hash-mismatch. */
+  val annMutableIvfFiltered: Q = (s, d) => {
+    import graft.operators.MutableIvf
+    val root = java.nio.file.Files.createTempDirectory("graft_mivff").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    val mc = store.createMutable("vecs", e, "vec_id")
+    MutableIvf.attach(s, store, "vecs", "embedding", "vecs_ivf", ncells = 16)
+    mc.upsert(e.filter(col("vec_id") % 10 === 3)
+      .withColumn("embedding", reverse(col("embedding")))
+      .withColumn("label", col("label") + 10))
+    mc.delete(e.filter(col("vec_id") % 10 === 6).select("vec_id"))
+    MutableIvf.refresh(s, store, "vecs", "vecs_ivf")
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    e.unpersist()
+    val out0 = MutableIvf.search(s, store, "vecs", "vecs_ivf", qv,
+        k = 10, nprobe = 4, where = Some("""{"label": {"$lt": 10}}"""))
+      .orderBy(col("dist"), col("vec_id"))
+    val out = s.createDataFrame(
+      java.util.Arrays.asList(out0.collect(): _*), out0.schema)
+    store.destroy()
+    out
+  }
+
   /** STREAMING ingest into the stored IVF index — the online twin of
     * `ann_ivf_incremental`: the standing corpus builds the
     * cell-partitioned store, the arrivals slice flows through a
@@ -3195,6 +3228,7 @@ object GraftQueries {
     "ann_ivf_incremental" -> annIvfIncremental,
     "ann_ivf_retrain" -> annIvfRetrain,
     "ann_mutable_ivf" -> annMutableIvf,
+    "ann_mutable_ivf_filtered" -> annMutableIvfFiltered,
     "ann_graph_filtered" -> annGraphFiltered,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,

@@ -93,9 +93,20 @@ object MutableIvf {
     * partition-pruned probe, shared tombstone filter, crash-duplicate
     * dedup, exact distance. Returns (idCol, cell_id, dist) with the
     * repo's 6-decimal floor rounding (selection happens on the
-    * unrounded double). */
+    * unrounded double).
+    *
+    * `where` is the Chroma `query(where={...})` filter — a where-DSL
+    * predicate over the collection's metadata columns (the index
+    * carries EVERY collection column, so filtered search needs no join
+    * back). It applies AFTER version resolution, so it tests the
+    * CURRENT values — an id whose latest version stopped matching is
+    * excluded even though a stale indexed version would have matched
+    * (the same current-versions rule as `deleteWhere`/`getWhere`) —
+    * and BEFORE top-k, so the k results all match (filtered-ANN
+    * semantics, not post-filtered). */
   def search(spark: SparkSession, store: VectorStore, collection: String,
-             index: String, qv: Array[Float], k: Int, nprobe: Int): DataFrame = {
+             index: String, qv: Array[Float], k: Int, nprobe: Int,
+             where: Option[String] = None): DataFrame = {
     import graft.functions.VectorFunctions.{l2Sq, vecLit}
     val mc = store.mutable(collection)
     val (cents, vecCol, idCol) = readRouter(store, index)
@@ -114,7 +125,7 @@ object MutableIvf {
       .filter(col("cell_id").isin(probed.map(Int.box): _*)) // PartitionFilters
       .filter(col(MutableCollection.SeqCol) <= w) // point-in-time bound
     val live = mc.applyTombstoneFilter(spark, cand, asOf = Some(w))
-    live
+    where.fold(live)(j => live.filter(graft.query.WhereDsl.parse(j)))
       .dropDuplicates(idCol) // crash-duplicate guard (see scaladoc)
       .withColumn("_d", l2Sq(col(vecCol), vecLit(qv)))
       .orderBy(col("_d"), col(idCol))

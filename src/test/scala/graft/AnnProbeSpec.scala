@@ -1023,6 +1023,32 @@ class AnnProbeSpec extends SparkSpec {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  test("mutable-IVF filtered search tests CURRENT versions, not stale indexed ones") {
+    import graft.operators.MutableIvf
+    val root = java.nio.file.Files.createTempDirectory("mivf_fspec").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(spark, sf).cache()
+    try {
+      val mc = store.createMutable("vecs", e, "vec_id")
+      MutableIvf.attach(spark, store, "vecs", "embedding", "vecs_ivf", ncells = 8)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      // vec 0 itself: label moves out of the filter range on upsert,
+      // vector unchanged — so WITHOUT the filter it still ranks first,
+      // WITH the filter it must vanish even though the index holds a
+      // stale version whose OLD label matches
+      mc.upsert(e.filter(col("vec_id") === 0)
+        .withColumn("label", col("label") + 100))
+      MutableIvf.refresh(spark, store, "vecs", "vecs_ivf")
+      def ids(where: Option[String]) =
+        MutableIvf.search(spark, store, "vecs", "vecs_ivf", qv,
+          k = 5, nprobe = 8, where = where).collect().map(_.getLong(0)).toSeq
+      assert(ids(None).head == 0L)
+      assert(!ids(Some("""{"label": {"$lt": 100}}""")).contains(0L),
+        "filter admitted a STALE version's label — version resolution leaked")
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   test("insertIntoStored rejects a batch that re-inserts an existing id") {
     import graft.operators.{Clustering, GraphAnn}
     val root = java.nio.file.Files.createTempDirectory("anngraph_dup").toString
