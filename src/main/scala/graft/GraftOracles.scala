@@ -2602,6 +2602,51 @@ object GraftOracles {
          |FROM kwtop FULL OUTER JOIN vtop USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
+    // Recursive-CTE replay of the greedy MMR trajectory: every similarity
+    // is fixed to integer micro-units (floor(cos*1e6+0.5) BIGINT) before
+    // ANY comparison, so the argmax path is float-noise-free on both
+    // engines; ties break by ascending vec_id via the composite BIGINT
+    // arg_min key (-score6*1e9 + vid). The query vector (vec_id 0, part
+    // of the corpus) is excluded from candidacy — standard MMR setup.
+    // ps holds all ordered candidate pairs, so the inner JOIN in the
+    // recursive term can never drop a candidate (chosen ⊆ cand, and a
+    // correlated subquery into a MATERIALIZED CTE would silently NULL
+    // here — the ann_graph_walk lesson).
+    "rag_mmr" ->
+      s"""WITH RECURSIVE
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cand AS MATERIALIZED (
+         |  SELECT e.vec_id, e.embedding,
+         |    CAST(floor((list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+         |      sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) *
+         |           list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE))))*1e6 + 0.5) AS BIGINT) AS simq6
+         |  FROM embeddings e, q WHERE e.vec_id <> 0
+         |  ORDER BY simq6 DESC, vec_id LIMIT 30),
+         |ps AS MATERIALIZED (
+         |  SELECT a.vec_id AS ia, b.vec_id AS ib,
+         |    CAST(floor(($cosineDouble)*1e6 + 0.5) AS BIGINT) AS sim6
+         |  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+         |sel AS (
+         |  SELECT 1 AS step, [f.vec_id] AS chosen, f.vec_id AS vec_id, f.simq6, f.simq6 AS mmr6
+         |  FROM (SELECT vec_id, simq6 FROM cand ORDER BY simq6 DESC, vec_id LIMIT 1) f
+         |  UNION ALL
+         |  SELECT step+1, list_append(chosen, vid), vid, simq6, score6 FROM (
+         |    SELECT step, chosen,
+         |      arg_min(vid,   -score6*1000000000 + vid) AS vid,
+         |      arg_min(simq6, -score6*1000000000 + vid) AS simq6,
+         |      arg_min(score6,-score6*1000000000 + vid) AS score6
+         |    FROM (
+         |      SELECT s.step, s.chosen, c.vec_id AS vid, c.simq6,
+         |        CAST(floor(0.5*c.simq6 - 0.5*max(p.sim6) + 0.5) AS BIGINT) AS score6
+         |      FROM sel s JOIN cand c ON NOT list_contains(s.chosen, c.vec_id)
+         |        JOIN ps p ON p.ia = c.vec_id AND list_contains(s.chosen, p.ib)
+         |      WHERE s.step < 10
+         |      GROUP BY s.step, s.chosen, c.vec_id, c.simq6
+         |    ) g GROUP BY step, chosen
+         |  ) pick)
+         |SELECT CAST(step AS BIGINT) AS rank, vec_id, simq6/1e6 AS simq, mmr6/1e6 AS mmr
+         |FROM sel ORDER BY rank""".stripMargin,
+
     "q41_cohort_retention" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |c AS (SELECT user_id, min(day) AS cohort FROM e GROUP BY 1)

@@ -5,7 +5,7 @@ import graft.functions.VectorFunctions._
 import graft.ingest.IngestPipeline
 import graft.multimodal.Multimodal
 import graft.operators.{AsOf, Clustering, Dedup, GraphAnn, Similarity, ZOrder}
-import graft.query.{Knn, WhereDsl}
+import graft.query.{Knn, Mmr, WhereDsl}
 import graft.streaming.EventStream
 import graft.text.{QualityClassifier, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -1113,6 +1113,20 @@ object GraftQueries {
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(10)
       .select("doc_id", "rank_kw", "rank_vec", "rrf")
+  }
+
+  /** MMR-diversified retrieval: distributed top-30 candidate cut, greedy
+    * marginal-relevance re-rank to a top-10 (λ=0.5). The query vector
+    * (vec_id 0 — it lives in the corpus) is excluded from candidacy, the
+    * standard MMR setup. All similarity comparisons happen on integer
+    * micro-units, so the DuckDB recursive-CTE twin replays the exact
+    * greedy trajectory. */
+  val ragMmr: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    Mmr.diversify(e.filter(col("vec_id") =!= 0), "embedding", "vec_id", qv,
+      k = 10, lambdaRel = 0.5, fetchN = 30)
   }
 
   // ========================================================== dedup family
@@ -3348,6 +3362,7 @@ object GraftQueries {
     "text_bigram_lm" -> textBigramLm,
     "q43_not_in" -> q43NotIn,
     "rag_bm25_fusion" -> ragBm25Fusion,
+    "rag_mmr" -> ragMmr,
     "q44_percentile_sketch" -> q44PercentileSketch,
     "q45_sql_vector_fn" -> q45SqlVectorFn,
     "cluster_kmeans" -> clusterKmeans,
