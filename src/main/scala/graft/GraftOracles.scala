@@ -1150,6 +1150,63 @@ object GraftOracles {
          |  FROM enc CROSS JOIN mml m CROSS JOIN q)
          |SELECT vec_id, dist FROM dd ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
+    // Twin of ann_bq_topk — 1-bit binary quantization is FULLY
+    // deterministic (sign tests, integer XOR/popcount, (hamming, id) /
+    // (cosine, id) orderings), so the whole pre-rank + rerank pipeline is
+    // plain SQL. Signatures pack into two 32-bit halves carried as
+    // BIGINTs — bit 63 is never touched, so signed-shift semantics can't
+    // diverge between engines. The dedup_simhash precedent proves
+    // bit_count(xor(..)) parity.
+    "ann_bq_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qs AS (SELECT
+        |    CAST(list_sum(list_transform(range(1,33), i ->
+        |      CASE WHEN qv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS qlo,
+        |    CAST(list_sum(list_transform(range(33,65), i ->
+        |      CASE WHEN qv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS qhi
+        |  FROM q),
+        |sig AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1,33), i ->
+        |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(33,65), i ->
+        |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM embeddings WHERE vec_id <> 0),
+        |short AS (SELECT s.vec_id,
+        |    CAST(bit_count(xor(s.lo, t.qlo)) + bit_count(xor(s.hi, t.qhi)) AS INT) AS hamming
+        |  FROM sig s CROSS JOIN qs t
+        |  ORDER BY hamming, vec_id LIMIT 40)
+        |SELECT sh.vec_id, sh.hamming, round(
+        |    list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE)) /
+        |    sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * e.embedding[CAST(i AS INT)]::DOUBLE)) *
+        |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+        |FROM short sh JOIN embeddings e USING (vec_id) CROSS JOIN q
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
+    // Twin of ann_range_search — radius query over the IVF layout:
+    // simIvfCte quantizer, the same raw-l2 (dr, cid) take-4 probe as
+    // ann_ivf, then EVERY vector in the probed cells clearing the rounded
+    // cosine threshold (no top-k). vec_id 0 is the query — part of the
+    // trained index, excluded from the result.
+    "ann_range_search" ->
+      s"""WITH ${simIvfCte(16, 3)},
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pd AS (SELECT c.cid, list_sum(list_transform(range(1,65),
+         |    i -> (q.qv[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |       * (q.qv[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM q CROSS JOIN sc3 c),
+         |probe AS (SELECT cid FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY dr, cid) AS rn FROM pd) WHERE rn <= 4)
+         |SELECT s.vec_id, CAST(s.cid AS INT) AS cell_id, round(
+         |    list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE)) /
+         |    sqrt(list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * s.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+         |FROM scellf s JOIN probe p ON s.cid = p.cid CROSS JOIN q
+         |WHERE s.vec_id <> 0 AND round(
+         |    list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE)) /
+         |    sqrt(list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * s.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) >= 0.20
+         |ORDER BY vec_id""".stripMargin,
+
     // Twin of ann_ivf — IVF-flat moves from rows-only to FULL ORACLE:
     // the simIvfCte reproduces Similarity's quantizer bit-for-bit
     // (min-id seeds, trunc fixed-point Lloyd, unrounded argmin), probe

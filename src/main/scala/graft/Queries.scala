@@ -435,6 +435,37 @@ object GraftQueries {
       .limit(10)
   }
 
+  /** 1-bit binary-quantization kNN: sign-bit signatures (16 bytes/vector),
+    * map-only Hamming pre-rank into a TakeOrdered shortlist, exact-cosine
+    * rerank of the rerank·k survivors. Query = vector 0, excluded from
+    * candidacy. Fully deterministic (integer XOR/popcount + proven
+    * orderings) ⇒ FULL oracle. */
+  val annBqTopk: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    Similarity.bqTopK(e.filter(col("vec_id") =!= 0), "embedding", "vec_id",
+      qv, k = 10, rerank = 4)
+  }
+
+  /** IVF radius query: every vector in the probed cells with rounded
+    * cosine >= 0.20 to query vector 0 — the "all neighbors within a
+    * similarity band" verb top-k cannot express. Deterministic quantizer
+    * + probe ⇒ FULL oracle (the ann_ivf reframing). */
+  val annRangeSearch: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      // trains on the full table (the simIvfCte twin's frame); the query
+      // vector itself is excluded from the RESULT, not the index
+      val out = Similarity.ivfRangeSearch(e, "embedding", "vec_id", qv,
+          minCosine = 0.20, ncells = 16, nprobe = 4)
+        .filter(col("vec_id") =!= 0)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally e.unpersist()
+  }
+
   val vecKnn: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -3228,6 +3259,8 @@ object GraftQueries {
     "mine_hard_negatives" -> mineHardNegatives,
     "mine_hard_negatives_lsh" -> mineHardNegativesLsh,
     "ann_ivf" -> annIvf,
+    "ann_bq_topk" -> annBqTopk,
+    "ann_range_search" -> annRangeSearch,
     "ann_ivf_store" -> annIvfStore,
     "ann_ivfpq" -> annIvfPq,
     "ann_ivfpq_store" -> annIvfPqStore,

@@ -673,6 +673,96 @@ object Similarity {
       .limit(k)
   }
 
+  // ------------------------------------------- binary quantization (BQ)
+
+  /** Sign-bit pack of dims [from, until): bit (i-from) = (v[i] > 0).
+    * A literal per-bit `when` chain folded with bitwiseOR — pure codegen,
+    * no higher-order function, the [[bucketExpr]] discipline. Packed into
+    * 32-bit halves carried as LONGs so neither engine's signed-shift
+    * semantics is ever exercised on bit 63. */
+  private def packSignBits(vec: Column, from: Int, until: Int): Column =
+    (from until until).map { i =>
+      when(element_at(vec, i + 1) > lit(0f), lit(1L << (i - from))).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Driver-side twin of [[packSignBits]] for the query vector. */
+  private def packSignBitsLocal(v: Array[Float], from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until && i < v.length) { if (v(i) > 0f) acc |= 1L << (i - from); i += 1 }
+    acc
+  }
+
+  /** 1-bit binary-quantization top-k — the cheapest point on the ANN
+    * memory/recall curve (the "BQ" tier modern vector stores ship beside
+    * SQ/PQ): each vector collapses to dim/8 bytes of sign bits, the
+    * pre-rank is a map-only Hamming scan over 16 bytes/vector into a
+    * `TakeOrderedAndProject` (per-partition heaps — at 100 TB this scan
+    * reads ~0.4% of the raw float bytes and shuffles only top-N per
+    * partition), and exact cosine reranks the `rerank`·k shortlist
+    * fetched back from the raw collection via a broadcast id semi-join
+    * (the [[ivfPqTopK]] rerankFetch shape). Everything is deterministic —
+    * sign tests, integer XOR/popcount, (hamming, id) and (cosine, id)
+    * orderings — so unlike classic ANN the WHOLE computation is
+    * SQL-expressible and the gate checks it by full hash.
+    *
+    * Output: (idCol, hamming, cosine) — the final top-`k` by
+    * (cosine desc, id), with the pre-rank Hamming distance carried for
+    * observability. */
+  def bqTopK(collection: DataFrame, vecCol: String, idCol: String,
+             queryVec: Array[Float], k: Int = 10, rerank: Int = 4,
+             dim: Int = 64): DataFrame = {
+    require(dim % 2 == 0 && dim <= 128, s"dim must be even and <= 128, got $dim")
+    val half = dim / 2
+    val qlo = packSignBitsLocal(queryVec, 0, half)
+    val qhi = packSignBitsLocal(queryVec, half, dim)
+    val shortlist = collection
+      .select(col(idCol),
+        (bit_count(packSignBits(col(vecCol), 0, half).bitwiseXOR(lit(qlo))) +
+          bit_count(packSignBits(col(vecCol), half, dim).bitwiseXOR(lit(qhi))))
+          .cast("int").as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k * rerank)
+    collection.select(col(idCol), col(vecCol))
+      .join(broadcast(shortlist), Seq(idCol))
+      .withColumn("cosine", round(cosine(col(vecCol), vecLit(queryVec)), 6))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("hamming"), col("cosine"))
+  }
+
+  // ------------------------------------------------------- range search
+
+  /** Radius query over the IVF layout: every vector in the probed cells
+    * whose rounded cosine to the query clears `minCosine` — the "all
+    * neighbors within a similarity band" verb (recommendation dedup,
+    * near-dup audits) that top-k cannot express. Same probe arithmetic as
+    * [[ivfTopK]]; the output is unbounded by design, so the operator
+    * never collects — the result stays a filtered, partition-prunable
+    * scan of nprobe/ncells of the collection. Approximation lives ONLY in
+    * which cells are probed (deterministic quantizer ⇒ full-hash oracle);
+    * neighbors outside the probed cells are the documented recall trade,
+    * identical to every IVF member of the family. */
+  def ivfRangeSearch(collection: DataFrame, vecCol: String, idCol: String,
+                     queryVec: Array[Float], minCosine: Double,
+                     ncells: Int = 16, nprobe: Int = 4,
+                     trainIters: Int = 3): DataFrame = {
+    val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters)
+    val qd = queryVec.map(_.toDouble)
+    val probed = cents.sortBy(_._1).map { case (cid, c) =>
+      var acc = 0.0
+      var i = 0
+      val n = math.min(qd.length, c.length)
+      while (i < n) { val d = qd(i) - c(i).toDouble; acc += d * d; i += 1 }
+      (acc, cid)
+    }.sortBy(identity).take(nprobe).map(_._2)
+    withCellId(collection, vecCol, cents)
+      .filter(col("cell_id").isin(probed.map(Int.box).toIndexedSeq: _*))
+      .withColumn("cosine", round(cosine(col(vecCol), vecLit(queryVec)), 6))
+      .filter(col("cosine") >= minCosine)
+      .select(col(idCol), col("cell_id").cast("int").as("cell_id"), col("cosine"))
+  }
+
   /** LSH-bucketed cosine near-dup join — the scale path for
     * [[graft.operators.Dedup.embeddingNearDup]]: `nTables` independent
     * hyperplane signatures; vectors sharing a bucket in ANY table become

@@ -1,0 +1,90 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+
+/** Binary-quantization top-k and IVF range search (the round-11 ANN tail):
+  * recall pins vs exact, the exhaustive-rerank identity (shortlist =
+  * corpus ⇒ BQ is exact), plan shape (Hamming pre-rank must be a
+  * TakeOrderedAndProject over the signature projection), and the
+  * probed-cells ⊆ / = relationships of the radius query.
+  */
+class BqRangeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emb = Tables.embeddings(spark, sf)
+  private def qv: Array[Float] =
+    emb.filter(col("vec_id") === 0).select("embedding").as[Array[Float]].head()
+  private def corpus = emb.filter(col("vec_id") =!= 0)
+
+  private def exactTop(k: Int): Seq[Long] = corpus
+    .withColumn("cosine", round(cosine(col("embedding"), vecLit(qv)), 6))
+    .orderBy(col("cosine").desc, col("vec_id"))
+    .limit(k).select("vec_id").as[Long].collect().toSeq
+
+  test("exhaustive rerank (shortlist = corpus) equals exact top-k — ids AND cosines") {
+    val n = corpus.count().toInt
+    val bq = Similarity.bqTopK(corpus, "embedding", "vec_id", qv,
+      k = 10, rerank = (n + 9) / 10 + 1).collect()
+    val exact = corpus
+      .withColumn("cosine", round(cosine(col("embedding"), vecLit(qv)), 6))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10).select("vec_id", "cosine").collect()
+    assert(bq.map(_.getLong(0)).toSeq == exact.map(_.getLong(0)).toSeq)
+    assert(bq.map(_.getDouble(2)).toSeq == exact.map(_.getDouble(1)).toSeq)
+  }
+
+  test("BQ recall@10 vs exact at the gate config (rerank=4); deterministic") {
+    val a = Similarity.bqTopK(corpus, "embedding", "vec_id", qv, k = 10, rerank = 4)
+      .collect()
+    val b = Similarity.bqTopK(corpus, "embedding", "vec_id", qv, k = 10, rerank = 4)
+      .collect()
+    assert(a.toSeq == b.toSeq, "BQ rerun must be bit-identical")
+    val recall = a.map(_.getLong(0)).toSet.intersect(exactTop(10).toSet).size / 10.0
+    info(f"BQ recall@10 vs exact (rerank=4, 64-bit signatures): $recall%.2f")
+    assert(recall >= 0.5, f"BQ recall collapsed: $recall%.2f")
+  }
+
+  test("Hamming pre-rank is a TakeOrderedAndProject; hamming values are sane") {
+    val shortlisted = Similarity.bqTopK(corpus, "embedding", "vec_id", qv,
+      k = 10, rerank = 4)
+    val plan = shortlisted.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"no TakeOrdered in:\n$plan")
+    val rows = shortlisted.collect()
+    assert(rows.forall(r => r.getInt(1) >= 0 && r.getInt(1) <= 64))
+    // the top hit by cosine should be Hamming-close to the query: sign
+    // agreement is what the pre-rank banks on
+    assert(rows.head.getInt(1) <= 32,
+      s"top cosine hit unexpectedly Hamming-far: ${rows.head.getInt(1)}")
+  }
+
+  test("range search: probed subset of the exact radius set; nprobe=all equals it") {
+    val exactRadius = emb
+      .withColumn("cosine", round(cosine(col("embedding"), vecLit(qv)), 6))
+      .filter(col("cosine") >= 0.20 && col("vec_id") =!= 0)
+      .select("vec_id").as[Long].collect().toSet
+    val probed = Similarity.ivfRangeSearch(emb, "embedding", "vec_id", qv,
+        minCosine = 0.20, ncells = 16, nprobe = 4)
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(probed.subsetOf(exactRadius),
+      s"probed radius result contains out-of-band ids: ${probed -- exactRadius}")
+    info(f"radius recall at nprobe 4/16: ${probed.size}/${exactRadius.size}")
+    val all = Similarity.ivfRangeSearch(emb, "embedding", "vec_id", qv,
+        minCosine = 0.20, ncells = 16, nprobe = 16)
+      .filter(col("vec_id") =!= 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(all == exactRadius,
+      "probing every cell must recover the exact radius set")
+  }
+
+  test("range search result carries only above-threshold cosines from probed cells") {
+    val out = Similarity.ivfRangeSearch(emb, "embedding", "vec_id", qv,
+      minCosine = 0.20, ncells = 16, nprobe = 4).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getDouble(2) >= 0.20))
+    assert(out.map(r => r.getInt(1)).distinct.length <= 4,
+      "results must come from at most nprobe cells")
+  }
+}
