@@ -1207,6 +1207,41 @@ object GraftOracles {
          |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) >= 0.20
          |ORDER BY vec_id""".stripMargin,
 
+    // Twin of ann_ivf_stats — the stored index's per-cell assignment IS
+    // the simIvfCte quantizer's, so introspection is a GROUP BY over the
+    // relationally-derived cells. n_frac denominator = the full corpus
+    // (the index is built over every row, including vec_id 0).
+    "ann_ivf_stats" ->
+      s"""WITH ${simIvfCte(16, 3)},
+         |per AS (SELECT CAST(cid AS INT) AS cell_id,
+         |    CAST(count(*) AS BIGINT) AS n_vectors,
+         |    min(vec_id) AS min_id, max(vec_id) AS max_id
+         |  FROM scellf GROUP BY 1),
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM embeddings)
+         |SELECT cell_id, n_vectors, min_id, max_id,
+         |  floor(n_vectors::DOUBLE / total * 1e6 + 0.5) / 1e6 AS n_frac
+         |FROM per, t ORDER BY cell_id""".stripMargin,
+
+    // Twin of embedding_drift — per-dim means through the proven 2^24
+    // trunc fixed-point BIGINT sum (the sm$i arithmetic), floor-rounded
+    // once at the edge; the shift subtracts the ROUNDED means, so both
+    // engines difference identical doubles.
+    "embedding_drift" ->
+      """WITH r AS (SELECT u.p AS pos,
+        |    CAST(sum(CAST(trunc(embedding[CAST(u.p + 1 AS INT)]::DOUBLE * 16777216) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 16777216 AS m
+        |  FROM embeddings, unnest(range(0, 64)) AS u(p) WHERE vec_id % 2 = 0 GROUP BY 1),
+        |c AS (SELECT u.p AS pos,
+        |    CAST(sum(CAST(trunc(embedding[CAST(u.p + 1 AS INT)]::DOUBLE * 16777216) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 16777216 AS m
+        |  FROM embeddings, unnest(range(0, 64)) AS u(p) WHERE vec_id % 2 = 1 GROUP BY 1),
+        |j AS (SELECT r.pos, floor(r.m * 1e6 + 0.5) / 1e6 AS mean_ref,
+        |    floor(c.m * 1e6 + 0.5) / 1e6 AS mean_cur
+        |  FROM r JOIN c USING (pos))
+        |SELECT CAST(pos AS BIGINT) AS pos, mean_ref, mean_cur,
+        |  floor(abs(mean_cur - mean_ref) * 1e6 + 0.5) / 1e6 AS shift
+        |FROM j ORDER BY pos""".stripMargin,
+
     // Twin of ann_ivf — IVF-flat moves from rows-only to FULL ORACLE:
     // the simIvfCte reproduces Similarity's quantizer bit-for-bit
     // (min-id seeds, trunc fixed-point Lloyd, unrounded argmin), probe

@@ -466,6 +466,31 @@ object GraftQueries {
     } finally e.unpersist()
   }
 
+  /** Stored-IVF index introspection: per-cell population, id span, and
+    * corpus fraction off the cell-partitioned layout — the router-drift /
+    * hot-cell monitor. Column-pruned to (cell_id, vec_id); FULL oracle
+    * via the simIvfCte quantizer twin. */
+  val annIvfStats: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfstats").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      Similarity.buildIvfIndex(store, "vectors", e, "embedding", "vec_id", ncells = 16)
+      val out = Similarity.ivfIndexStats(store.read(s, "vectors"), "vec_id")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
+  /** Embedding-space drift monitor: per-dim fixed-point means of a
+    * reference slice (even vec_id) vs a current slice (odd vec_id) with
+    * the absolute shift — the check that catches model/preprocessing
+    * changes silently moving the space. One map-side pass per side. */
+  val embeddingDrift: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    graft.operators.Audit.embeddingDrift(
+      e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1))
+  }
+
   val vecKnn: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
     val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -3261,6 +3286,8 @@ object GraftQueries {
     "ann_ivf" -> annIvf,
     "ann_bq_topk" -> annBqTopk,
     "ann_range_search" -> annRangeSearch,
+    "ann_ivf_stats" -> annIvfStats,
+    "embedding_drift" -> embeddingDrift,
     "ann_ivf_store" -> annIvfStore,
     "ann_ivfpq" -> annIvfPq,
     "ann_ivfpq_store" -> annIvfPqStore,

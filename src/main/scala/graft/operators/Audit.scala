@@ -47,4 +47,33 @@ object Audit {
         'zero_norm_vectors', zero_norm_vectors) AS (check_name, n)"""))
       .orderBy("check_name")
   }
+
+  /** Per-dimension distribution drift between a reference embedding slice
+    * and a current one — the monitor a production pipeline runs when a
+    * model upgrade, preprocessing change, or data-mix shift is suspected
+    * of moving the embedding space (stale-centroid IVF routers and
+    * similarity thresholds both silently degrade under drift).
+    *
+    * Scale shape: one map-side partial-agg pass per side, dim-bounded
+    * output; vectors never cross a shuffle. Determinism: per-dim means go
+    * through the 2^24 fixed-point BIGINT sum (trunc-toward-zero, the
+    * trainer's discipline) so partial-agg merge order cannot shift a
+    * mean; rounding to 6 decimals happens once, at the edge, floor-form.
+    * Output: (pos, mean_ref, mean_cur, shift) — tall, one row per dim. */
+  def embeddingDrift(ref: DataFrame, cur: DataFrame,
+                     vecCol: String = "embedding"): DataFrame = {
+    val Scale = 1L << 24
+    def dimMeans(df: DataFrame, tag: String) = df
+      .select(posexplode(col(vecCol)).as(Seq("pos", "_x")))
+      .groupBy(col("pos").cast("long").as("pos"))
+      .agg(sum((col("_x").cast("double") * Scale).cast("long")).as("_s"),
+        count(lit(1)).as("_n"))
+      .select(col("pos"),
+        (floor(col("_s").cast("double") / col("_n") / Scale * 1e6 + lit(0.5)) / 1e6)
+          .as(s"mean_$tag"))
+    dimMeans(ref, "ref").join(dimMeans(cur, "cur"), Seq("pos"))
+      .withColumn("shift",
+        floor(abs(col("mean_cur") - col("mean_ref")) * 1e6 + lit(0.5)) / 1e6)
+      .orderBy("pos")
+  }
 }

@@ -731,6 +731,24 @@ object Similarity {
       .select(col(idCol), col("hamming"), col("cosine"))
   }
 
+  /** Stored-IVF introspection — the ops view a 100 TB deployment watches
+    * for router drift: per-cell population, id span, and corpus fraction.
+    * A hot cell (n_frac ≫ 1/ncells) means probe-time stragglers and is
+    * the signal to [[retrainStoredIvf]]; the scan is column-pruned to
+    * (cell_id, id) — vectors never leave the files — and the window runs
+    * over the ncells-row aggregate, not the data. */
+  def ivfIndexStats(stored: DataFrame, idCol: String): DataFrame = {
+    val per = stored.groupBy(col("cell_id").cast("int").as("cell_id"))
+      .agg(count(lit(1)).as("n_vectors"),
+        min(col(idCol)).as("min_id"), max(col(idCol)).as("max_id"))
+    // whole-frame window over <= ncells aggregated rows — bytes, not data
+    val w = Window.partitionBy(lit(1))
+    per.withColumn("n_frac",
+        floor(col("n_vectors").cast("double") / sum(col("n_vectors")).over(w)
+          * 1e6 + lit(0.5)) / 1e6)
+      .orderBy("cell_id")
+  }
+
   // ------------------------------------------------------- range search
 
   /** Radius query over the IVF layout: every vector in the probed cells
