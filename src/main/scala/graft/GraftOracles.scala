@@ -371,6 +371,39 @@ object GraftOracles {
        |scellf AS (SELECT vec_id, embedding, cid FROM saf WHERE rn = 1)""".stripMargin
   }
 
+  /** Shared twin of ann_bq_topk / ann_bq_store (identical answers — the
+    * stored signature layout is invisible): 1-bit binary quantization is
+    * FULLY deterministic (sign tests, integer XOR/popcount, (hamming, id)
+    * / (cosine, id) orderings), so the whole pre-rank + rerank pipeline
+    * is plain SQL. Signatures pack into two 32-bit halves carried as
+    * BIGINTs — bit 63 is never touched, so signed-shift semantics can't
+    * diverge between engines; the dedup_simhash precedent proves
+    * bit_count(xor(..)) parity. */
+  private lazy val bqTop10Sql: String =
+    """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+      |qs AS (SELECT
+      |    CAST(list_sum(list_transform(range(1,33), i ->
+      |      CASE WHEN qv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS qlo,
+      |    CAST(list_sum(list_transform(range(33,65), i ->
+      |      CASE WHEN qv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS qhi
+      |  FROM q),
+      |sig AS (SELECT vec_id,
+      |    CAST(list_sum(list_transform(range(1,33), i ->
+      |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+      |    CAST(list_sum(list_transform(range(33,65), i ->
+      |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+      |  FROM embeddings WHERE vec_id <> 0),
+      |short AS (SELECT s.vec_id,
+      |    CAST(bit_count(xor(s.lo, t.qlo)) + bit_count(xor(s.hi, t.qhi)) AS INT) AS hamming
+      |  FROM sig s CROSS JOIN qs t
+      |  ORDER BY hamming, vec_id LIMIT 40)
+      |SELECT sh.vec_id, sh.hamming, round(
+      |    list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE)) /
+      |    sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * e.embedding[CAST(i AS INT)]::DOUBLE)) *
+      |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+      |FROM short sh JOIN embeddings e USING (vec_id) CROSS JOIN q
+      |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+
   // text-analysis shared fragments
   private val toks = """string_split_regex(trim(lower(text)), '\s+')"""
   private val enStop = "['the','a','of','and','is','to','in']"
@@ -1157,30 +1190,10 @@ object GraftOracles {
     // BIGINTs — bit 63 is never touched, so signed-shift semantics can't
     // diverge between engines. The dedup_simhash precedent proves
     // bit_count(xor(..)) parity.
-    "ann_bq_topk" ->
-      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-        |qs AS (SELECT
-        |    CAST(list_sum(list_transform(range(1,33), i ->
-        |      CASE WHEN qv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS qlo,
-        |    CAST(list_sum(list_transform(range(33,65), i ->
-        |      CASE WHEN qv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS qhi
-        |  FROM q),
-        |sig AS (SELECT vec_id,
-        |    CAST(list_sum(list_transform(range(1,33), i ->
-        |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
-        |    CAST(list_sum(list_transform(range(33,65), i ->
-        |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS hi
-        |  FROM embeddings WHERE vec_id <> 0),
-        |short AS (SELECT s.vec_id,
-        |    CAST(bit_count(xor(s.lo, t.qlo)) + bit_count(xor(s.hi, t.qhi)) AS INT) AS hamming
-        |  FROM sig s CROSS JOIN qs t
-        |  ORDER BY hamming, vec_id LIMIT 40)
-        |SELECT sh.vec_id, sh.hamming, round(
-        |    list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE)) /
-        |    sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * e.embedding[CAST(i AS INT)]::DOUBLE)) *
-        |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
-        |FROM short sh JOIN embeddings e USING (vec_id) CROSS JOIN q
-        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+    "ann_bq_topk" -> bqTop10Sql,
+    // stored signature index — same computation, the layout is invisible
+    // to the answer (the annProbedTop10Sql one-SQL-two-entries precedent)
+    "ann_bq_store" -> bqTop10Sql,
 
     // Twin of ann_range_search — radius query over the IVF layout:
     // simIvfCte quantizer, the same raw-l2 (dr, cid) take-4 probe as

@@ -448,6 +448,25 @@ object GraftQueries {
       qv, k = 10, rerank = 4)
   }
 
+  /** BQ search over the PERSISTED signature index — same answer as
+    * ann_bq_topk by construction (one oracle SQL, two entries: the
+    * annProbedTop10Sql precedent); the pre-rank scan reads 16
+    * bytes/vector off the stored relation, never the raw floats. */
+  val annBqStore: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_bq").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val corpus = e.filter(col("vec_id") =!= 0)
+      Similarity.buildBqIndex(store, "bq_sigs", corpus, "embedding", "vec_id")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val out = Similarity.bqSearchStored(store.read(s, "bq_sigs"), corpus,
+        "embedding", "vec_id", qv, k = 10, rerank = 4)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** IVF radius query: every vector in the probed cells with rounded
     * cosine >= 0.20 to query vector 0 — the "all neighbors within a
     * similarity band" verb top-k cannot express. Deterministic quantizer
@@ -3286,6 +3305,7 @@ object GraftQueries {
     "ann_ivf" -> annIvf,
     "ann_bq_topk" -> annBqTopk,
     "ann_range_search" -> annRangeSearch,
+    "ann_bq_store" -> annBqStore,
     "ann_ivf_stats" -> annIvfStats,
     "embedding_drift" -> embeddingDrift,
     "ann_ivf_store" -> annIvfStore,

@@ -749,6 +749,49 @@ object Similarity {
       .orderBy("cell_id")
   }
 
+  /** Persist the BQ signature index: (id, bq_lo, bq_hi) — dim/8 bytes of
+    * signature per vector. At 100 TB this relation IS the index: the
+    * Hamming pre-rank scans it instead of re-deriving signatures from the
+    * raw floats every query (a ~16× I/O cut per search), and since the
+    * signatures are append-only values (no train step, no cells) the
+    * nightly maintenance is a plain append — even simpler than
+    * [[insertIntoStoredIvf]]. */
+  def buildBqIndex(store: graft.store.VectorStore, name: String,
+                   collection: DataFrame, vecCol: String, idCol: String,
+                   dim: Int = 64): Unit = {
+    require(dim % 2 == 0 && dim <= 128, s"dim must be even and <= 128, got $dim")
+    val half = dim / 2
+    store.create(name, collection.select(col(idCol),
+      packSignBits(col(vecCol), 0, half).as("bq_lo"),
+      packSignBits(col(vecCol), half, dim).as("bq_hi")))
+  }
+
+  /** Top-k over the STORED signature index: Hamming pre-rank reads ONLY
+    * the 16-byte signature rows (column-pruned, never the vectors), the
+    * rerank·k shortlist joins back to the raw collection for exact
+    * cosine. Row-identical to [[bqTopK]] by construction — the stored
+    * layout is invisible to the answer (gate-checked: same oracle SQL). */
+  def bqSearchStored(stored: DataFrame, collection: DataFrame,
+                     vecCol: String, idCol: String, queryVec: Array[Float],
+                     k: Int = 10, rerank: Int = 4, dim: Int = 64): DataFrame = {
+    val half = dim / 2
+    val qlo = packSignBitsLocal(queryVec, 0, half)
+    val qhi = packSignBitsLocal(queryVec, half, dim)
+    val shortlist = stored
+      .select(col(idCol),
+        (bit_count(col("bq_lo").bitwiseXOR(lit(qlo))) +
+          bit_count(col("bq_hi").bitwiseXOR(lit(qhi))))
+          .cast("int").as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k * rerank)
+    collection.select(col(idCol), col(vecCol))
+      .join(broadcast(shortlist), Seq(idCol))
+      .withColumn("cosine", round(cosine(col(vecCol), vecLit(queryVec)), 6))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("hamming"), col("cosine"))
+  }
+
   // ------------------------------------------------------- range search
 
   /** Radius query over the IVF layout: every vector in the probed cells

@@ -59,6 +59,19 @@ class BqRangeSpec extends SparkSpec {
       s"top cosine hit unexpectedly Hamming-far: ${rows.head.getInt(1)}")
   }
 
+  test("stored BQ search == inline BQ search, row for row") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bqspec").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      Similarity.buildBqIndex(store, "sigs", corpus, "embedding", "vec_id")
+      val stored = Similarity.bqSearchStored(store.read(spark, "sigs"), corpus,
+        "embedding", "vec_id", qv, k = 10, rerank = 4).collect()
+      val inline = Similarity.bqTopK(corpus, "embedding", "vec_id", qv,
+        k = 10, rerank = 4).collect()
+      assert(stored.toSeq == inline.toSeq)
+    } finally store.destroy()
+  }
+
   test("range search: probed subset of the exact radius set; nprobe=all equals it") {
     val exactRadius = emb
       .withColumn("cosine", round(cosine(col("embedding"), vecLit(qv)), 6))
