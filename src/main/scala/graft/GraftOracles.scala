@@ -1255,6 +1255,27 @@ object GraftOracles {
         |  floor(abs(mean_cur - mean_ref) * 1e6 + 0.5) / 1e6 AS shift
         |FROM j ORDER BY pos""".stripMargin,
 
+    // Twin of streaming_drift — the streamed state IS the batch
+    // fixed-point partial agg (associative sums), so the batch drift SQL
+    // over the same standing/arrivals split checks the streamed output
+    // verbatim (the streaming_quality discipline, extended to a
+    // bounded-state aggregate).
+    "streaming_drift" ->
+      """WITH r AS (SELECT u.p AS pos,
+        |    CAST(sum(CAST(trunc(embedding[CAST(u.p + 1 AS INT)]::DOUBLE * 16777216) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 16777216 AS m
+        |  FROM embeddings, unnest(range(0, 64)) AS u(p) WHERE vec_id % 10 <> 7 GROUP BY 1),
+        |c AS (SELECT u.p AS pos,
+        |    CAST(sum(CAST(trunc(embedding[CAST(u.p + 1 AS INT)]::DOUBLE * 16777216) AS BIGINT)) AS DOUBLE)
+        |      / count(*) / 16777216 AS m
+        |  FROM embeddings, unnest(range(0, 64)) AS u(p) WHERE vec_id % 10 = 7 GROUP BY 1),
+        |j AS (SELECT r.pos, floor(r.m * 1e6 + 0.5) / 1e6 AS mean_ref,
+        |    floor(c.m * 1e6 + 0.5) / 1e6 AS mean_cur
+        |  FROM r JOIN c USING (pos))
+        |SELECT CAST(pos AS BIGINT) AS pos, mean_ref, mean_cur,
+        |  floor(abs(mean_cur - mean_ref) * 1e6 + 0.5) / 1e6 AS shift
+        |FROM j ORDER BY pos""".stripMargin,
+
     // Twin of ann_ivf — IVF-flat moves from rows-only to FULL ORACLE:
     // the simIvfCte reproduces Similarity's quantizer bit-for-bit
     // (min-id seeds, trunc fixed-point Lloyd, unrounded argmin), probe

@@ -1325,6 +1325,16 @@ object GraftQueries {
         "graft_sca_" + java.util.UUID.randomUUID().toString.replace("-", ""))
       .orderBy("vec_id")
 
+  /** Streaming drift monitor: the per-dim fixed-point partial agg runs
+    * VERBATIM on the arrivals stream (associative BIGINT sums ⇒
+    * incrementally maintainable, 64 groups of state, complete mode);
+    * rounding + the frozen-reference join happen once after the final
+    * trigger. Oracle = the batch drift SQL over the same split. */
+  val streamingDrift: Q = (s, d) =>
+    graft.streaming.DocStream.runStreamingDrift(s, s"$d/embeddings.parquet",
+        "graft_sdr_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .orderBy("pos")
+
   /** Cluster-stratified diversity sample: top-20 per k-means cluster by
     * md5-of-id order (deterministic "random", decorrelated from the
     * sharding/sampling hashes by the `:div` salt) — the coverage-
@@ -3452,6 +3462,7 @@ object GraftQueries {
     "decontaminate_semantic" -> decontaminateSemantic,
     "cluster_kmeans_stats" -> clusterKmeansStats,
     "streaming_cluster_assign" -> streamingClusterAssign,
+    "streaming_drift" -> streamingDrift,
     "streaming_ann_ingest" -> streamingAnnIngest,
     "source_orc" -> sourceOrc,
     "ann_sq_topk" -> annSqTopk,

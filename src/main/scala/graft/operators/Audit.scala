@@ -61,19 +61,32 @@ object Audit {
     * mean; rounding to 6 decimals happens once, at the edge, floor-form.
     * Output: (pos, mean_ref, mean_cur, shift) — tall, one row per dim. */
   def embeddingDrift(ref: DataFrame, cur: DataFrame,
-                     vecCol: String = "embedding"): DataFrame = {
-    val Scale = 1L << 24
-    def dimMeans(df: DataFrame, tag: String) = df
-      .select(posexplode(col(vecCol)).as(Seq("pos", "_x")))
-      .groupBy(col("pos").cast("long").as("pos"))
-      .agg(sum((col("_x").cast("double") * Scale).cast("long")).as("_s"),
-        count(lit(1)).as("_n"))
-      .select(col("pos"),
-        (floor(col("_s").cast("double") / col("_n") / Scale * 1e6 + lit(0.5)) / 1e6)
-          .as(s"mean_$tag"))
-    dimMeans(ref, "ref").join(dimMeans(cur, "cur"), Seq("pos"))
+                     vecCol: String = "embedding"): DataFrame =
+    driftJoin(meansFromPartials(dimPartials(ref, vecCol), "ref"),
+      meansFromPartials(dimPartials(cur, vecCol), "cur"))
+
+  private val Scale = 1L << 24
+
+  /** The raw per-dim fixed-point partials (pos, _s, _n). Associative
+    * BIGINT sums ⇒ this exact aggregation is also INCREMENTALLY
+    * maintainable by the streaming engine (dim-bounded state) —
+    * [[graft.streaming.DocStream.runStreamingDrift]] runs it verbatim on
+    * a stream and rounds after the final trigger. */
+  private[graft] def dimPartials(df: DataFrame, vecCol: String): DataFrame = df
+    .select(posexplode(col(vecCol)).as(Seq("pos", "_x")))
+    .groupBy(col("pos").cast("long").as("pos"))
+    .agg(sum((col("_x").cast("double") * Scale).cast("long")).as("_s"),
+      count(lit(1)).as("_n"))
+
+  /** Round once, at the edge — floor-form 6 decimals. */
+  private[graft] def meansFromPartials(partials: DataFrame, tag: String): DataFrame =
+    partials.select(col("pos"),
+      (floor(col("_s").cast("double") / col("_n") / Scale * 1e6 + lit(0.5)) / 1e6)
+        .as(s"mean_$tag"))
+
+  private[graft] def driftJoin(ref: DataFrame, cur: DataFrame): DataFrame =
+    ref.join(cur, Seq("pos"))
       .withColumn("shift",
         floor(abs(col("mean_cur") - col("mean_ref")) * 1e6 + lit(0.5)) / 1e6)
       .orderBy("pos")
-  }
 }

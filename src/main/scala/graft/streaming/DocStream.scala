@@ -70,6 +70,43 @@ object DocStream {
     EventStream.drainMemorySink(spark0, spark, q, queryName)
   }
 
+  /** Streaming embedding-drift monitor: arrivals stream through the SAME
+    * per-dim fixed-point partial aggregation the batch monitor uses
+    * ([[graft.operators.Audit.dimPartials]]) — the BIGINT sums are
+    * associative, so the streaming engine maintains them incrementally in
+    * dim-bounded state (64 groups, complete mode); rounding and the join
+    * against the frozen reference means happen ONCE, after the final
+    * trigger, on the drained partials. Because the maintained state IS
+    * the batch aggregation, the batch oracle checks the streamed output
+    * verbatim — the [[runStreamingQuality]] discipline extended from
+    * stateless projections to a bounded-state aggregate. */
+  def runStreamingDrift(spark0: SparkSession, embParquet: String,
+                        queryName: String): DataFrame = {
+    val spark = EventStream.streamSession(spark0)
+    val standing = spark.read.parquet(
+      new java.io.File(embParquet).getAbsolutePath)
+      .filter(col("vec_id") % 10 =!= 7)
+    val refMeans = graft.operators.Audit.meansFromPartials(
+      graft.operators.Audit.dimPartials(standing, "embedding"), "ref")
+    val stream = EventStream.readFileStream(spark, embParquet)
+      .filter(col("vec_id") % 10 === 7) // the arrivals slice
+    val partials = graft.operators.Audit.dimPartials(stream, "embedding")
+    val q = partials.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val drained = EventStream.drainMemorySink(spark0, spark, q, queryName)
+    // the reference means are 64 rows computed on the child session —
+    // materialize them onto the PARENT so the final join lives there
+    val refOnParent = spark0.createDataFrame(
+      java.util.Arrays.asList(refMeans.collect(): _*), refMeans.schema)
+    graft.operators.Audit.driftJoin(refOnParent,
+      graft.operators.Audit.meansFromPartials(drained, "cur"))
+  }
+
   /** Streaming near-duplicate detection: new documents ARRIVE AS A
     * STREAM and are LSH-checked per micro-batch — via `foreachBatch` +
     * the INDEXED batch incremental operator — against the standing

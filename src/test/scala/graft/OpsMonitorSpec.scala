@@ -63,6 +63,18 @@ class OpsMonitorSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("streamed drift == batch drift, row for row (associative state)") {
+    val e = Tables.embeddings(spark, sf)
+    val batch = graft.operators.Audit.embeddingDrift(
+      e.filter(col("vec_id") % 10 =!= 7),
+      e.filter(col("vec_id") % 10 === 7)).collect()
+    val streamed = graft.streaming.DocStream.runStreamingDrift(spark,
+      s"$sf/embeddings.parquet",
+      "sdr_spec_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .orderBy("pos").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("embeddingDrift is partitioning-invariant (fixed-point merge order)") {
     val e = Tables.embeddings(spark, sf)
     val ref = e.filter(col("vec_id") % 2 === 0)
