@@ -1255,6 +1255,41 @@ object GraftOracles {
         |  floor(abs(mean_cur - mean_ref) * 1e6 + 0.5) / 1e6 AS shift
         |FROM j ORDER BY pos""".stripMargin,
 
+    // Twin of ann_bq_batch — bqTop10Sql generalized to a query RELATION:
+    // per-query window ranks replace the single-query LIMITs, everything
+    // else is the same proven integer arithmetic.
+    "ann_bq_batch" ->
+      """WITH qs AS (SELECT vec_id AS q_id, embedding AS qv,
+        |    CAST(list_sum(list_transform(range(1,33), i ->
+        |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS qlo,
+        |    CAST(list_sum(list_transform(range(33,65), i ->
+        |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS qhi
+        |  FROM embeddings WHERE vec_id < 5),
+        |sig AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1,33), i ->
+        |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(33,65), i ->
+        |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM embeddings WHERE vec_id >= 5),
+        |scored AS (SELECT q.q_id, s.vec_id,
+        |    CAST(bit_count(xor(s.lo, q.qlo)) + bit_count(xor(s.hi, q.qhi)) AS INT) AS hamming
+        |  FROM sig s CROSS JOIN qs q),
+        |short AS (SELECT q_id, vec_id, hamming FROM (
+        |    SELECT q_id, vec_id, hamming,
+        |      row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS r
+        |    FROM scored) WHERE r <= 40),
+        |resc AS (SELECT sh.q_id, sh.vec_id, sh.hamming, round(
+        |    list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE)) /
+        |    sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * e.embedding[CAST(i AS INT)]::DOUBLE)) *
+        |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+        |  FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id
+        |  JOIN qs q ON q.q_id = sh.q_id)
+        |SELECT q_id, vec_id, hamming, cosine, rank FROM (
+        |  SELECT q_id, vec_id, hamming, cosine,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+        |  FROM resc) WHERE rank <= 10
+        |ORDER BY q_id, rank""".stripMargin,
+
     // Twin of streaming_drift — the streamed state IS the batch
     // fixed-point partial agg (associative sums), so the batch drift SQL
     // over the same standing/arrivals split checks the streamed output

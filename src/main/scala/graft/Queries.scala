@@ -467,6 +467,18 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** Batch BQ: 5 query vectors against one signature scan (the Chroma
+    * query_texts=[...] list shape on the BQ tier). Per-query results
+    * equal single-query bqTopK; FULL oracle via per-query window ranks. */
+  val annBqBatch: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.bqTopKMany(e.filter(col("vec_id") >= 5), "embedding", "vec_id",
+        q, "q_id", "q_vec", k = 10, rerank = 4)
+      .orderBy("q_id", "rank")
+  }
+
   /** IVF radius query: every vector in the probed cells with rounded
     * cosine >= 0.20 to query vector 0 — the "all neighbors within a
     * similarity band" verb top-k cannot express. Deterministic quantizer
@@ -3316,6 +3328,7 @@ object GraftQueries {
     "ann_bq_topk" -> annBqTopk,
     "ann_range_search" -> annRangeSearch,
     "ann_bq_store" -> annBqStore,
+    "ann_bq_batch" -> annBqBatch,
     "ann_ivf_stats" -> annIvfStats,
     "embedding_drift" -> embeddingDrift,
     "ann_ivf_store" -> annIvfStore,

@@ -792,6 +792,47 @@ object Similarity {
       .select(col(idCol), col("hamming"), col("cosine"))
   }
 
+  /** Batch BQ search — Q queries against ONE signature scan. The query
+    * relation (small by contract — thousands of probes) broadcasts with
+    * its signatures precomputed by the same expression; Hamming scores
+    * map-side; the only shuffle carries slim (q_id, id, hamming) rows
+    * into a per-query window rank (the [[bruteForceTopK]] posture), and
+    * exact cosine reranks the per-query shortlists fetched back via an
+    * id join. Per-query results equal the single-query [[bqTopK]] by
+    * construction. */
+  def bqTopKMany(collection: DataFrame, vecCol: String, idCol: String,
+                 queries: DataFrame, qIdCol: String, qVecCol: String,
+                 k: Int = 10, rerank: Int = 4, dim: Int = 64): DataFrame = {
+    require(dim % 2 == 0 && dim <= 128, s"dim must be even and <= 128, got $dim")
+    val half = dim / 2
+    val qSig = queries.select(col(qIdCol), col(qVecCol),
+      packSignBits(col(qVecCol), 0, half).as("_qlo"),
+      packSignBits(col(qVecCol), half, dim).as("_qhi"))
+    val scored = collection
+      .select(col(idCol),
+        packSignBits(col(vecCol), 0, half).as("_lo"),
+        packSignBits(col(vecCol), half, dim).as("_hi"))
+      .crossJoin(broadcast(qSig))
+      .select(col(qIdCol), col(idCol),
+        (bit_count(col("_lo").bitwiseXOR(col("_qlo"))) +
+          bit_count(col("_hi").bitwiseXOR(col("_qhi"))))
+          .cast("int").as("hamming"))
+    val wPre = Window.partitionBy(col(qIdCol))
+      .orderBy(col("hamming"), col(idCol))
+    val shortlist = scored.withColumn("_r", row_number().over(wPre))
+      .filter(col("_r") <= k * rerank)
+      .select(col(qIdCol), col(idCol), col("hamming"))
+    val wFin = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    shortlist
+      .join(collection.select(col(idCol), col(vecCol)), Seq(idCol))
+      .join(broadcast(qSig.select(col(qIdCol), col(qVecCol))), Seq(qIdCol))
+      .withColumn("cosine", round(cosine(col(vecCol), col(qVecCol)), 6))
+      .withColumn("rank", row_number().over(wFin))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("hamming"), col("cosine"), col("rank"))
+  }
+
   // ------------------------------------------------------- range search
 
   /** Radius query over the IVF layout: every vector in the probed cells

@@ -72,6 +72,32 @@ class BqRangeSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("batch BQ == per-query single BQ, query by query; one scan posture") {
+    val queries = emb.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val coll = emb.filter(col("vec_id") >= 5)
+    val batch = Similarity.bqTopKMany(coll, "embedding", "vec_id",
+        queries, "q_id", "q_vec", k = 10, rerank = 4)
+      .orderBy("q_id", "rank").collect()
+    val singles = (0L until 5L).flatMap { qid =>
+      val v = emb.filter(col("vec_id") === qid)
+        .select("embedding").as[Array[Float]].head()
+      Similarity.bqTopK(coll, "embedding", "vec_id", v, k = 10, rerank = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), r.getInt(1), r.getDouble(2), i + 1) }
+    }
+    assert(batch.map(r => (r.getLong(0), r.getLong(1), r.getInt(2),
+      r.getDouble(3), r.getInt(4))).toSeq == singles,
+      "batch rows must equal the concatenation of single-query bqTopK runs")
+    // the query side must broadcast: no shuffle should carry the corpus
+    // signature scan into the cross join
+    val plan = Similarity.bqTopKMany(coll, "embedding", "vec_id",
+      queries, "q_id", "q_vec", k = 10, rerank = 4)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"query side not broadcast:\n$plan")
+  }
+
   test("range search: probed subset of the exact radius set; nprobe=all equals it") {
     val exactRadius = emb
       .withColumn("cosine", round(cosine(col("embedding"), vecLit(qv)), 6))
