@@ -519,33 +519,40 @@ object GraftOracles {
       |  UNION ALL
       |  SELECT doc_id, start, chunk FROM big WHERE length(chunk) > 0)""".stripMargin
 
-  /** Shared BM25 corpus CTE (terms hash/merge/window/stream, k1=1.2,
-    * b=0.75): per-doc tf/dl, one stats row, floor-rounded score — used by
+  /** BM25 corpus CTE for an arbitrary literal term set (k1=1.2, b=0.75):
+    * per-doc tf/dl, one stats row, floor-rounded score with the term
+    * partials added in fixed term order — the exact expression tree
+    * [[graft.text.TextAnalysis.bm25TopK]] and the stored-index search
+    * ([[graft.text.TextIndex.bm25SearchStored]]) both build. */
+  private def bm25CteFor(terms: Seq[String]): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n")
+    val dfCols = terms.indices.map { i =>
+      s"    CAST(count(*) FILTER (WHERE tf$i > 0) AS BIGINT) AS df$i"
+    }.mkString(",\n")
+    val scoreTerms = terms.indices.map { i =>
+      s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))"
+    }.mkString("\n    + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS dl,
+       |$tfCols
+       |  FROM documents),
+       |s AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+       |$dfCols
+       |  FROM d),
+       |bm AS (
+       |  SELECT doc_id, dl, floor((
+       |      $scoreTerms
+       |    ) * 1e4 + 0.5) / 1e4 AS bm25
+       |  FROM d, s)""".stripMargin
+  }
+
+  /** Shared BM25 corpus CTE (terms hash/merge/window/stream) — used by
     * text_bm25 and rag_bm25_fusion. */
-  private val bm25Cte =
-    """WITH d AS (
-      |  SELECT doc_id,
-      |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS dl,
-      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'hash')) AS BIGINT) AS tf0,
-      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'merge')) AS BIGINT) AS tf1,
-      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'window')) AS BIGINT) AS tf2,
-      |    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x = 'stream')) AS BIGINT) AS tf3
-      |  FROM documents),
-      |s AS (
-      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
-      |    CAST(count(*) FILTER (WHERE tf0 > 0) AS BIGINT) AS df0,
-      |    CAST(count(*) FILTER (WHERE tf1 > 0) AS BIGINT) AS df1,
-      |    CAST(count(*) FILTER (WHERE tf2 > 0) AS BIGINT) AS df2,
-      |    CAST(count(*) FILTER (WHERE tf3 > 0) AS BIGINT) AS df3
-      |  FROM d),
-      |bm AS (
-      |  SELECT doc_id, dl, floor((
-      |      ln((n - df0 + 0.5) / (df0 + 0.5) + 1.0) * (CAST(tf0 AS DOUBLE) * 2.2) / (CAST(tf0 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
-      |    + ln((n - df1 + 0.5) / (df1 + 0.5) + 1.0) * (CAST(tf1 AS DOUBLE) * 2.2) / (CAST(tf1 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
-      |    + ln((n - df2 + 0.5) / (df2 + 0.5) + 1.0) * (CAST(tf2 AS DOUBLE) * 2.2) / (CAST(tf2 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
-      |    + ln((n - df3 + 0.5) / (df3 + 0.5) + 1.0) * (CAST(tf3 AS DOUBLE) * 2.2) / (CAST(tf3 AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))
-      |    ) * 1e4 + 0.5) / 1e4 AS bm25
-      |  FROM d, s)""".stripMargin
+  private val bm25Cte = bm25CteFor(Seq("hash", "merge", "window", "stream"))
 
   val all: Map[String, String] = Map(
 
@@ -2739,6 +2746,23 @@ object GraftOracles {
          |SELECT doc_id, dl, bm25 FROM bm
          |WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    // Twin of text_bm25_store — the oracle computes corpus-level BM25
+    // and knows nothing of the postings layout: bucket pruning, the
+    // stats sidecar, and the pivot re-assembly must all be invisible.
+    "text_bm25_store" ->
+      s"""${bm25CteFor(Seq("filter", "vector", "sort"))}
+         |SELECT doc_id, dl, bm25 FROM bm
+         |WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+
+    // Twin of text_bm25_incremental — same corpus-level form: a 2/3
+    // build + 1/3 append must be indistinguishable from one full build.
+    "text_bm25_incremental" ->
+      s"""${bm25CteFor(Seq("join", "query"))}
+         |SELECT doc_id, dl, bm25 FROM bm
+         |WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 12""".stripMargin,
 
     // BM25 arm (top-100 by rounded score) + exact-cosine arm (top-100)
     // fused with reciprocal-rank fusion — the principled hybrid whose

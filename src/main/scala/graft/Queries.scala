@@ -7,7 +7,7 @@ import graft.multimodal.Multimodal
 import graft.operators.{AsOf, Clustering, Dedup, GraphAnn, Similarity, ZOrder}
 import graft.query.{Knn, Mmr, WhereDsl}
 import graft.streaming.EventStream
-import graft.text.{QualityClassifier, TextAnalysis}
+import graft.text.{QualityClassifier, TextAnalysis, TextIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -3008,6 +3008,39 @@ object GraftQueries {
     TextAnalysis.bm25TopK(Tables.documents(s, d), "text", "doc_id",
       terms = Seq("hash", "merge", "window", "stream"), k = 20)
 
+  /** BM25 over the STORED inverted index — build the bucket-partitioned
+    * postings layout + stats sidecar, then search it. The pruned-scan /
+    * sidecar-stats arithmetic must land bit-identical to the corpus-level
+    * SQL the oracle runs (which knows nothing of the index). */
+  val textBm25Store: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_tidx").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
+        "text", "doc_id", nBuckets = 8)
+      TextIndex.bm25SearchStored(s, store, "docs_text",
+        terms = Seq("filter", "vector", "sort"), k = 15)
+    } finally store.destroy()
+  }
+
+  /** Incremental text-index maintenance under the oracle: build on 2/3 of
+    * the corpus, append the remaining 1/3 (O(batch) postings + additive
+    * sidecar), search — must equal a from-scratch full-corpus build, which
+    * is exactly what the corpus-level oracle computes. */
+  val textBm25Incremental: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_tidx_inc").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d)
+    try {
+      TextIndex.buildTextIndex(store, "docs_text",
+        docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id", nBuckets = 8)
+      TextIndex.insertIntoTextIndex(store, "docs_text",
+        docs.filter(col("doc_id") % 3 === 0), "text", "doc_id")
+      TextIndex.bm25SearchStored(s, store, "docs_text",
+        terms = Seq("join", "query"), k = 12)
+    } finally store.destroy()
+  }
+
   /** Cohort retention over the event stream: users bucketed by first-seen
     * day, activity counted at fixed day offsets — the standard retention
     * matrix, built from two shuffles (per-user min, then per-cell
@@ -3458,6 +3491,8 @@ object GraftQueries {
     "q40_rank_dist" -> q40RankDist,
     "text_hof" -> textHof,
     "text_bm25" -> textBm25,
+    "text_bm25_store" -> textBm25Store,
+    "text_bm25_incremental" -> textBm25Incremental,
     "q41_cohort_retention" -> q41CohortRetention,
     "pipeline_mix_report" -> pipelineMixReport,
     "q42_map_metadata" -> q42MapMetadata,

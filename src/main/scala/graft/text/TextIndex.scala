@@ -1,0 +1,199 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.{StoreFs, VectorStore}
+
+/** STORED inverted text index + BM25 search over the persisted layout —
+  * the keyword-retrieval twin of the stored vector indexes
+  * ([[graft.operators.Similarity.buildIvfIndex]] and friends). The
+  * reference delegates text relevance to its engine's built-in keyword
+  * scoring; here the index is an explicit Spark-native layout:
+  *
+  *   - '''postings''': one row per (term, doc) pair —
+  *     `(term, doc_id, tf, dl)` — PARTITIONED BY `bucket =
+  *     pmod(xxhash64(term), nBuckets)`. A query over t terms prunes to
+  *     at most t buckets (PartitionFilters, pinned in spec) and then
+  *     `term IN (...)` row-group pruning inside them; the scan cost is
+  *     O(postings of the query terms), never O(corpus). Bucketing by
+  *     term hash (not `partitionBy(term)`) keeps the directory count
+  *     fixed at any vocabulary size — a 100 TB corpus has hundreds of
+  *     millions of distinct terms, which would otherwise be hundreds of
+  *     millions of directories.
+  *   - '''corpus statistics''': BM25 needs N (doc count) and avgdl
+  *     (mean doc length) over the WHOLE corpus — O(1) numbers, kept in
+  *     a `_text_index.properties` sidecar (atomic-replace discipline,
+  *     [[graft.store.StoreFs.writePropsAtomic]]) and inlined into the
+  *     scoring expression as literals at query time. Per-term document
+  *     frequencies need NO sidecar: every posting of a term lives in
+  *     that term's bucket, so the pruned scan itself yields exact df.
+  *
+  * Incremental maintenance is O(batch) by construction: new documents
+  * append postings under their terms' bucket directories (dynamic
+  * partition append — untouched buckets' files are immutable, spec-
+  * pinned) and the sidecar advances additively (long adds — exact), so
+  * a search over the maintained index is ROW-IDENTICAL to a from-
+  * scratch build over the same corpus: same posting set, same stats,
+  * same expression. That identity is under the gate oracle
+  * (`text_bm25_incremental` hashes against the same corpus-level SQL
+  * as the full build).
+  *
+  * Scoring parity: [[bm25SearchStored]] reproduces
+  * [[TextAnalysis.bm25TopK]]'s arithmetic EXPRESSION-FOR-EXPRESSION
+  * (Lucene +1 idf, floor-form rounding). Missing (term, doc) pairs
+  * contribute exact 0.0 — same as the inline form's tf=0 branch — and
+  * the per-term partial scores are re-assembled in FIXED term order via
+  * a singleton-max pivot (never a groupBy sum, whose float addition
+  * order is row-order-dependent), so stored results are bit-identical
+  * to the inline operator and to the DuckDB oracle.
+  */
+object TextIndex {
+
+  /** Sidecar file name (`_`-prefixed: invisible to Spark listings). */
+  private[graft] val PropsFile = "_text_index.properties"
+
+  /** The one tokenizer ([[TextAnalysis.tokens]]) — build and the inline
+    * scorer cannot drift. */
+  private def postingsOf(docs: DataFrame, textCol: String, idCol: String,
+                         nBuckets: Int): DataFrame =
+    graft.Tables.spread(docs)
+      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      .withColumn("dl", size(col("_toks")).cast("long"))
+      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).as("tf"))
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .select("term", "doc_id", "tf", "dl", "bucket")
+
+  private def bucketOf(term: Column, nBuckets: Int): Column =
+    pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
+
+  /** Bucket ids of literal query terms — evaluated through the SAME
+    * Spark expression as the build (a |terms|-row local-relation job;
+    * bounded, no scan), so driver and layout can never disagree on the
+    * hash. */
+  private def bucketsOf(spark: SparkSession, terms: Seq[String],
+                        nBuckets: Int): Seq[Int] = {
+    import spark.implicits._
+    terms.toDF("term").select(bucketOf(col("term"), nBuckets))
+      .collect().map(_.getInt(0)).toSeq.distinct
+  }
+
+  private def statsPath(store: VectorStore, name: String) =
+    s"${store.root}/$name/$PropsFile"
+
+  private def writeStats(store: VectorStore, name: String,
+                         nDocs: Long, sumDl: Long, nBuckets: Int): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("n_docs", nDocs.toString)
+    props.setProperty("sum_dl", sumDl.toString)
+    props.setProperty("n_buckets", nBuckets.toString)
+    StoreFs.forPath(store.root).writePropsAtomic(
+      statsPath(store, name), props, "graft text index stats")
+  }
+
+  /** (nDocs, sumDl, nBuckets) from the sidecar; loud when absent. */
+  private[graft] def readStats(store: VectorStore, name: String): (Long, Long, Int) =
+    StoreFs.forPath(store.root).readProps(statsPath(store, name)).map { p =>
+      (p.getProperty("n_docs").toLong, p.getProperty("sum_dl").toLong,
+        p.getProperty("n_buckets").toInt)
+    }.getOrElse(throw new IllegalStateException(
+      s"'$name' has no $PropsFile sidecar — not a text index"))
+
+  /** Build the index: ONE corpus scan (tokenize → explode → per-(term,
+    * doc) partial-agg count), the doc-level stats aggregated off the
+    * same batch, postings written bucket-partitioned. */
+  def buildTextIndex(store: VectorStore, name: String, docs: DataFrame,
+                     textCol: String, idCol: String, nBuckets: Int = 8): Unit = {
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    store.create(name, postingsOf(docs, textCol, idCol, nBuckets),
+      partitionBy = Seq("bucket"))
+    // doc-level stats off the stored postings (distinct (doc, dl) —
+    // one slim column-pruned pass; counting the source again instead
+    // would double-tokenize)
+    val r = store.read(docs.sparkSession, name)
+      .select("doc_id", "dl").distinct()
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+    writeStats(store, name, r.getLong(0), r.getLong(1), nBuckets)
+  }
+
+  /** O(batch) incremental append: new docs' postings land under their
+    * terms' existing bucket directories; the stats sidecar advances
+    * additively (exact long adds), so search-after-append ==
+    * search-after-full-rebuild, row for row. Batch doc ids must be NEW
+    * (same append contract as the vector tiers). */
+  def insertIntoTextIndex(store: VectorStore, name: String, batch: DataFrame,
+                          textCol: String, idCol: String): Unit = {
+    val (n0, dl0, nBuckets) = readStats(store, name)
+    val posts = postingsOf(batch, textCol, idCol, nBuckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      graft.operators.AppendContract.requireNewUniqueIds(
+        store, name, posts.select("doc_id").distinct(), "doc_id",
+        "insertIntoTextIndex")
+      store.append(name, posts, partitionBy = Seq("bucket"))
+      val r = posts.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+      writeStats(store, name, n0 + r.getLong(0), dl0 + r.getLong(1), nBuckets)
+    } finally posts.unpersist()
+  }
+
+  /** The search's scan stage, exposed for plan pins: postings of the
+    * query terms only — `bucket IN (term buckets)` must land as a
+    * PartitionFilter (directory pruning), `term IN (...)` as a data
+    * filter inside the surviving buckets. */
+  private[graft] def prunedPostings(spark: SparkSession, store: VectorStore,
+                                    name: String, terms: Seq[String]): DataFrame = {
+    val (_, _, nBuckets) = readStats(store, name)
+    val buckets = bucketsOf(spark, terms, nBuckets)
+    store.read(spark, name)
+      .filter(col("bucket").isin(buckets.map(Int.box): _*) &&
+        col("term").isin(terms: _*))
+  }
+
+  /** BM25 top-k over the stored layout. The scan is partition-pruned to
+    * the query terms' buckets and term-filtered inside them; df per term
+    * aggregates off that pruned slice (exact — a term's postings are
+    * confined to its bucket); N/avgdl come from the sidecar. Returns an
+    * eager ≤k-row local relation (the [[TextAnalysis.bm25TopK]]
+    * discipline — nothing returned holds the store open). */
+  def bm25SearchStored(spark: SparkSession, store: VectorStore, name: String,
+                       terms: Seq[String], k: Int,
+                       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchStored: empty term set")
+    val (n, sumDl, _) = readStats(store, name)
+    val pruned = prunedPostings(spark, store, name, terms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // |terms| rows — bounded driver collect, inlined as literals
+      // (the bm25TopK stats discipline)
+      val dfByTerm = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val avgdl = lit(sumDl).cast("double") / lit(n)
+      // singleton-max pivot (each (term, doc) appears once) + fixed
+      // term-order re-assembly: float addition order matches the inline
+      // expression tree and the oracle, bit for bit
+      val perTerm = terms.zipWithIndex.map { case (t, i) =>
+        max(when(col("term") === lit(t), col("tf"))).as(s"_tf$i")
+      }
+      val pivoted = pruned.groupBy("doc_id")
+        .agg(max(col("dl")).as("dl"), perTerm: _*)
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val dfT = lit(dfByTerm.getOrElse(t, 0L))
+        val tf = coalesce(col(s"_tf$i"), lit(0L)).cast("double")
+        val idf = log((lit(n) - dfT + 0.5) / (dfT + 0.5) + 1.0)
+        idf * (tf * lit(k1 + 1.0)) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+      }.reduce(_ + _)
+      val topk = pivoted
+        .withColumn("bm25", floor(score * 1e4 + 0.5) / 1e4)
+        .filter(col("bm25") > 0)
+        .orderBy(col("bm25").desc, col("doc_id"))
+        .limit(k)
+        .select(col("doc_id"), col("dl"), col("bm25"))
+      val rows = topk.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), topk.schema)
+    } finally pruned.unpersist()
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import graft.text.{TextAnalysis, TextIndex}
+import org.apache.spark.sql.functions._
+
+/** Stored inverted text index: stored-vs-inline BM25 identity (incl. a
+  * term absent from the corpus), bucket partition pruning, O(batch)
+  * incremental append (pre-existing files byte-identical; search equals
+  * a full rebuild), append-contract refusal, sidecar failure mode. */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+  private def newStore() = {
+    val root = java.nio.file.Files.createTempDirectory("graft_tidxspec").toString
+    graft.store.VectorStore(root)
+  }
+
+  test("stored BM25 == inline bm25TopK row for row, incl. an absent term") {
+    val store = newStore()
+    try {
+      TextIndex.buildTextIndex(store, "ti", docs, "text", "doc_id", nBuckets = 8)
+      for (terms <- Seq(Seq("filter", "vector", "sort"),
+                        Seq("join", "nosuchterm_xyzzy", "query"))) {
+        val stored = TextIndex.bm25SearchStored(spark, store, "ti", terms, k = 15)
+          .collect().toSeq
+        val inline = TextAnalysis.bm25TopK(docs, "text", "doc_id", terms, k = 15)
+          .collect().toSeq
+        assert(stored == inline, s"stored != inline for terms $terms")
+        assert(stored.nonEmpty)
+      }
+    } finally store.destroy()
+  }
+
+  test("search scan prunes to the query terms' buckets (PartitionFilters)") {
+    val store = newStore()
+    try {
+      TextIndex.buildTextIndex(store, "ti", docs, "text", "doc_id", nBuckets = 8)
+      val pruned = TextIndex.prunedPostings(spark, store, "ti", Seq("filter"))
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec over the postings")
+      scans.foreach { scan =>
+        assert(scan.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+          s"bucket probe is not a partition filter: ${scan.partitionFilters}")
+        assert(scan.selectedPartitions.partitionCount <= 1,
+          s"1-term query scanned ${scan.selectedPartitions.partitionCount} buckets")
+        // column pruning: the postings scan never needs more than its
+        // four payload columns (bucket is directory-derived, not file IO)
+        assert(scan.schema.fieldNames.toSet.subsetOf(
+          Set("term", "doc_id", "tf", "dl", "bucket")),
+          s"postings scan reads ${scan.schema.fieldNames.mkString(",")}")
+      }
+    } finally store.destroy()
+  }
+
+  test("incremental append: untouched files byte-identical; search == full rebuild") {
+    val storeInc = newStore()
+    val storeFull = newStore()
+    try {
+      val part = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      TextIndex.buildTextIndex(storeInc, "ti", part, "text", "doc_id", nBuckets = 8)
+      val before = storeInc.dataFileStatuses("ti")
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime)).toMap
+      TextIndex.insertIntoTextIndex(storeInc, "ti", batch, "text", "doc_id")
+      val after = storeInc.dataFileStatuses("ti")
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime)).toMap
+      before.foreach { case (p, sig) =>
+        assert(after.get(p).contains(sig), s"append rewrote pre-existing file $p")
+      }
+      assert(after.size > before.size, "append added no files")
+
+      TextIndex.buildTextIndex(storeFull, "ti", docs, "text", "doc_id", nBuckets = 8)
+      val terms = Seq("join", "query")
+      val inc = TextIndex.bm25SearchStored(spark, storeInc, "ti", terms, k = 12)
+        .collect().toSeq
+      val full = TextIndex.bm25SearchStored(spark, storeFull, "ti", terms, k = 12)
+        .collect().toSeq
+      assert(inc == full, "maintained index diverged from full rebuild")
+    } finally { storeInc.destroy(); storeFull.destroy() }
+  }
+
+  test("append refuses existing doc ids; search refuses a non-index collection") {
+    val store = newStore()
+    try {
+      TextIndex.buildTextIndex(store, "ti", docs, "text", "doc_id", nBuckets = 4)
+      val ex = intercept[IllegalArgumentException] {
+        TextIndex.insertIntoTextIndex(store, "ti", docs.limit(5), "text", "doc_id")
+      }
+      assert(ex.getMessage.contains("append semantics"))
+      store.create("plain", docs.limit(10))
+      val ex2 = intercept[IllegalStateException] {
+        TextIndex.bm25SearchStored(spark, store, "plain", Seq("join"), k = 5)
+      }
+      assert(ex2.getMessage.contains("not a text index"))
+    } finally store.destroy()
+  }
+}
