@@ -1357,6 +1357,33 @@ object GraftOracles {
     // to the answer. Moves two more ANN entries from rows-only to full
     // oracle.
     "ann_probe_knn" -> annProbedTop10Sql,
+
+    // Twin of ann_ivf_store_batch — the ann_ivf batch form with the
+    // candidate's cell carried through: the stored layout's partition
+    // pruning and broadcast cell-pairing must be invisible next to the
+    // purely relational router re-derivation.
+    "ann_ivf_store_batch" ->
+      s"""WITH ${simIvfCte(16, 3)},
+         |sq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |sqd AS (SELECT q.q_id, c.cid, list_sum(list_transform(range(1,65),
+         |    i -> (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |       * (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM sq q CROSS JOIN sc3 c),
+         |sprobe AS (SELECT q_id, cid FROM (
+         |    SELECT q_id, cid, row_number() OVER (PARTITION BY q_id ORDER BY dr, cid) AS rn
+         |    FROM sqd) WHERE rn <= 4),
+         |scand AS (SELECT p.q_id, s.vec_id, s.cid, s.embedding
+         |  FROM scellf s JOIN sprobe p ON s.cid = p.cid),
+         |sscore AS (SELECT c.q_id, c.vec_id, CAST(c.cid AS INT) AS cell_id, round(
+         |    list_sum(list_transform(range(1,65), i -> c.embedding[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE)) /
+         |    sqrt(list_sum(list_transform(range(1,65), i -> c.embedding[CAST(i AS INT)]::DOUBLE * c.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |         list_sum(list_transform(range(1,65), i -> q.qe[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+         |  FROM scand c JOIN sq q ON q.q_id = c.q_id),
+         |srank AS (SELECT q_id, vec_id, cell_id, cosine,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM sscore)
+         |SELECT q_id, vec_id, cell_id, cosine, rank FROM srank WHERE rank <= 10
+         |ORDER BY q_id, rank""".stripMargin,
     "ann_ivf_store" -> annProbedTop10Sql,
 
     // Twin of ann_ivf_incremental (same SQL as ann_ivf_store): IVF

@@ -878,6 +878,26 @@ object GraftQueries {
     out
   }
 
+  /** Batch kNN over the STORED IVF layout: 5 query vectors amortized onto
+    * one partition-pruned scan of the union of probed cells — the bulk
+    * retrieval / evaluation-panel posture. Per-query results must equal
+    * the inline router relationally re-derived by the oracle. */
+  val annIvfStoreBatch: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_ivfb").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val cents = Similarity.buildIvfIndex(store, "vectors", e, "embedding",
+        "vec_id", ncells = 16)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val out = Similarity.ivfSearchStoredMany(store.read(s, "vectors"),
+          "embedding", "vec_id", cents, q, "q_id", "q_vec", k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** kNN over the STORED IVF-PQ layout — the full 100 TB search posture
     * in one query: the index build writes (vec_id, embedding, pq_code)
     * PARTITIONED BY cell_id, and the search scores candidates from the
@@ -3365,6 +3385,7 @@ object GraftQueries {
     "ann_ivf_stats" -> annIvfStats,
     "embedding_drift" -> embeddingDrift,
     "ann_ivf_store" -> annIvfStore,
+    "ann_ivf_store_batch" -> annIvfStoreBatch,
     "ann_ivfpq" -> annIvfPq,
     "ann_ivfpq_store" -> annIvfPqStore,
     "ann_ivfsq_store" -> annIvfSqStore,

@@ -204,6 +204,52 @@ object Similarity {
     cents
   }
 
+  /** Batch kNN over the STORED IVF layout — Q queries amortized onto ONE
+    * partition-pruned scan (the bulk-retrieval posture: embedding-table
+    * joins, evaluation panels, reranker refresh). Routing runs once per
+    * query through the index's frozen router (same (distance, cid) probe
+    * rule as [[graft.plans.AnnProbe]]); the literal union of probed
+    * cells lands as a PartitionFilter so the scan lists only those
+    * directories — per-query candidate pairing then happens INSIDE the
+    * pruned scan via a broadcast join on cell_id (a cell probed by query
+    * A but not B pairs only with A). The only shuffle carries slim
+    * (q_id, id, cosine) rows into the per-query window rank.
+    *
+    * At 100 TB: scan cost is O(union of probed cells) regardless of Q;
+    * the broadcast is Q·nprobe routing rows plus the query vectors —
+    * small by the probe-batch contract (the per-query work is bounded by
+    * nprobe cells exactly as the single-query path). */
+  def ivfSearchStoredMany(stored: DataFrame, vecCol: String, idCol: String,
+                          cents: Array[(Int, Array[Float])],
+                          queries: DataFrame, qIdCol: String, qVecCol: String,
+                          k: Int = 10, nprobe: Int = 4): DataFrame = {
+    val probeUdf = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      cents.map { case (id, c) =>
+        var acc = 0.0
+        var i = 0
+        val n = math.min(arr.length, c.length)
+        while (i < n) { val d = arr(i).toDouble - c(i); acc += d * d; i += 1 }
+        (acc, id)
+      }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2)
+    })
+    val probes = queries.select(col(qIdCol), col(qVecCol),
+      explode(probeUdf(col(qVecCol))).as("cell_id"))
+    // bounded collect (<= ncells rows): the literal cell set the
+    // partition filter needs, derived from the SAME routing relation the
+    // join uses — one code path, no driver-side re-derivation to drift
+    val unionCells = probes.select("cell_id").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq
+    val w = Window.partitionBy(col(qIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    stored.filter(col("cell_id").isin(unionCells.map(Int.box): _*))
+      .join(broadcast(probes), Seq("cell_id"))
+      .withColumn("cosine", round(cosine(col(vecCol), col(qVecCol)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(qIdCol), col(idCol), col("cell_id"), col("cosine"), col("rank"))
+  }
+
   /** DataFrame facade over [[trainCentroidArrays]] (API compat). */
   def trainCentroids(collection: DataFrame, vecCol: String, idCol: String,
                      ncells: Int, iters: Int = 3): DataFrame = {

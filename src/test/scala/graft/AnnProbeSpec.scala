@@ -1104,4 +1104,45 @@ class AnnProbeSpec extends SparkSpec {
       assert(!plan2.contains("IN ("))
     } finally AnnCatalog.clear(spark)
   }
+
+  test("batch stored-IVF search: per-query == inline ivfTopK; union probe prunes") {
+    val root = java.nio.file.Files.createTempDirectory("ivf_batch_spec").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      val e = Tables.embeddings(spark, sf)
+      val cents = Similarity.buildIvfIndex(store, "vectors", e, "embedding",
+        "vec_id", ncells = 8)
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val batch = Similarity.ivfSearchStoredMany(store.read(spark, "vectors"),
+        "embedding", "vec_id", cents, q, "q_id", "q_vec", k = 5, nprobe = 2)
+      // partition pruning: the scan lists at most |union of probes| <= 6
+      // of the 8 cell directories (AQE wraps the join plan — descend)
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allScans(a.executedPlan)
+        }.flatten
+      val scans = allScans(batch.queryExecution.executedPlan)
+        .filter(f => f.schema.fieldNames.contains("embedding") &&
+          f.partitionFilters.nonEmpty)
+      assert(scans.nonEmpty, "no partition-filtered scan over the stored index")
+      scans.foreach { scan =>
+        assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell_id")),
+          s"union probe is not a partition filter: ${scan.partitionFilters}")
+        assert(scan.selectedPartitions.partitionCount <= 6,
+          s"scanned ${scan.selectedPartitions.partitionCount} of 8 cells")
+      }
+      // per-query rows equal the inline operator at the same geometry
+      // (deterministic training on the same input -> same router)
+      val stored = batch.orderBy("q_id", "rank")
+        .select("q_id", "vec_id", "cosine", "rank").collect().toSeq
+      val inline = Similarity.ivfTopK(e, "embedding", "vec_id", q, "q_id",
+          "q_vec", k = 5, ncells = 8, nprobe = 2)
+        .orderBy("q_id", "rank").collect().toSeq
+      assert(stored == inline, "stored batch search diverged from inline ivfTopK")
+    } finally store.destroy()
+  }
 }
