@@ -1358,6 +1358,49 @@ object GraftOracles {
     // oracle.
     "ann_probe_knn" -> annProbedTop10Sql,
 
+    // Twin of ann_recall_report — router re-derived relationally, probe
+    // ranks per (query, cell), exact top-10 ground truth, recall and
+    // candidate volume per (query, nprobe). The operator's cache-and-
+    // filter staging must be invisible next to this direct form.
+    "ann_recall_report" ->
+      s"""WITH ${simIvfCte(16, 3)},
+         |sq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |sqd AS (SELECT q.q_id, c.cid, list_sum(list_transform(range(1,65),
+         |    i -> (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |       * (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM sq q CROSS JOIN sc3 c),
+         |sprn AS (SELECT q_id, cid,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dr, cid) AS rn
+         |  FROM sqd),
+         |cand AS (SELECT p.q_id, p.rn, s.vec_id, round(
+         |    list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE)) /
+         |    sqrt(list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * s.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |         list_sum(list_transform(range(1,65), i -> q.qe[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+         |  FROM scellf s JOIN sprn p ON s.cid = p.cid
+         |  JOIN sq q ON q.q_id = p.q_id
+         |  WHERE p.rn <= 8),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id ORDER BY round(
+         |      list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE)) /
+         |      sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * e.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |           list_sum(list_transform(range(1,65), i -> q.qe[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE))), 6) DESC, e.vec_id) AS xr
+         |    FROM embeddings e CROSS JOIN sq q) WHERE xr <= 10),
+         |ps AS (SELECT unnest([1,2,4,8]) AS nprobe),
+         |ivfk AS (SELECT q_id, nprobe, vec_id FROM (
+         |    SELECT c.q_id, p.nprobe, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.q_id, p.nprobe ORDER BY c.cosine DESC, c.vec_id) AS r
+         |    FROM cand c JOIN ps p ON c.rn <= p.nprobe) WHERE r <= 10),
+         |ncand AS (SELECT c.q_id, p.nprobe, CAST(count(*) AS BIGINT) AS n_candidates
+         |  FROM cand c JOIN ps p ON c.rn <= p.nprobe GROUP BY 1, 2),
+         |hits AS (SELECT i.q_id, i.nprobe, CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM ivfk i JOIN exact x ON x.q_id = i.q_id AND x.vec_id = i.vec_id
+         |  GROUP BY 1, 2)
+         |SELECT n.q_id, CAST(n.nprobe AS INT) AS nprobe, n.n_candidates,
+         |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+         |  floor(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 * 1e6 + 0.5) / 1e6 AS recall
+         |FROM ncand n LEFT JOIN hits h ON h.q_id = n.q_id AND h.nprobe = n.nprobe
+         |ORDER BY n.q_id, n.nprobe""".stripMargin,
+
     // Twin of ann_ivf_store_batch — the ann_ivf batch form with the
     // candidate's cell carried through: the stored layout's partition
     // pruning and broadcast cell-pairing must be invisible next to the

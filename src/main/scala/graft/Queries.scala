@@ -878,6 +878,20 @@ object GraftQueries {
     out
   }
 
+  /** Recall-evaluation report: recall@10 of the IVF probe vs exact top-10
+    * at nprobe in {1,2,4,8} over a 5-query panel, with per-setting
+    * candidate volume — the index-tuning verb. Every number relationally
+    * re-derived by the oracle. */
+  val annRecallReport: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.recallReport(e, "embedding", "vec_id", q, "q_id", "q_vec",
+        k = 10, ncells = 16, nprobes = Seq(1, 2, 4, 8))
+    } finally e.unpersist()
+  }
+
   /** Batch kNN over the STORED IVF layout: 5 query vectors amortized onto
     * one partition-pruned scan of the union of probed cells — the bulk
     * retrieval / evaluation-panel posture. Per-query results must equal
@@ -3386,6 +3400,7 @@ object GraftQueries {
     "embedding_drift" -> embeddingDrift,
     "ann_ivf_store" -> annIvfStore,
     "ann_ivf_store_batch" -> annIvfStoreBatch,
+    "ann_recall_report" -> annRecallReport,
     "ann_ivfpq" -> annIvfPq,
     "ann_ivfpq_store" -> annIvfPqStore,
     "ann_ivfsq_store" -> annIvfSqStore,

@@ -795,6 +795,89 @@ object Similarity {
       .orderBy("cell_id")
   }
 
+  /** Recall-evaluation report — the ops verb that answers "what nprobe do
+    * I run?": for a panel of query vectors, recall@k of the IVF probe vs
+    * exact top-k at EVERY candidate nprobe, plus the candidate volume
+    * each setting pays. One row per (query, nprobe).
+    *
+    * Cost shape: evaluation is inherently O(corpus · panel) — ground
+    * truth needs an exact pass — so the operator is built to pay each
+    * corpus read once, not once per setting: the scored candidate
+    * relation is computed at max(nprobes) with each candidate's probe
+    * rank attached and CACHED (slim: q_id, id, rn, cosine); every
+    * smaller nprobe is a filter over that cache. The exact top-k is one
+    * additional scan, eagerized to its ≤ k·Q rows. Run it on a sampled
+    * panel at 100 TB — that is what the panel argument is for.
+    *
+    * Ranking/rounding matches [[ivfTopK]] exactly (rounded-cosine desc,
+    * id ties, (distance, cid) probe order), so the report's recall is
+    * the recall of the production search path, not an approximation of
+    * it. */
+  def recallReport(collection: DataFrame, vecCol: String, idCol: String,
+                   queries: DataFrame, qIdCol: String, qVecCol: String,
+                   k: Int = 10, ncells: Int = 16,
+                   nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+                   trainIters: Int = 3): DataFrame = {
+    require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= ncells),
+      s"nprobes must be within [1, $ncells], got $nprobes")
+    val spark = collection.sparkSession
+    val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters)
+    val indexed = withCellId(collection, vecCol, cents)
+    val probeOrderUdf = udf((v: Seq[Float]) => {
+      val arr = v.toArray
+      cents.map { case (id, c) =>
+        var acc = 0.0
+        var i = 0
+        val n = math.min(arr.length, c.length)
+        while (i < n) { val d = arr(i).toDouble - c(i); acc += d * d; i += 1 }
+        (acc, id)
+      }.sortBy(p => (p._1, p._2)).map(_._2)
+    })
+    val maxP = nprobes.max
+    val probeRanks = queries.select(col(qIdCol), col(qVecCol),
+        posexplode(probeOrderUdf(col(qVecCol))).as(Seq("_pos", "cell_id")))
+      .withColumn("_rn", (col("_pos") + 1).cast("int")).drop("_pos")
+      .filter(col("_rn") <= maxP)
+    val scoredCand = indexed.join(broadcast(probeRanks), Seq("cell_id"))
+      .withColumn("cosine", round(cosine(col(vecCol), col(qVecCol)), 6))
+      .select(col(qIdCol), col(idCol), col("_rn"), col("cosine"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val wq = Window.partitionBy(col(qIdCol))
+        .orderBy(col("cosine").desc, col(idCol))
+      val exactTop = collection.select(col(idCol), col(vecCol))
+        .crossJoin(broadcast(queries.select(col(qIdCol), col(qVecCol))))
+        .withColumn("cosine", round(cosine(col(vecCol), col(qVecCol)), 6))
+        .withColumn("_xr", row_number().over(wq))
+        .filter(col("_xr") <= k)
+        .select(col(qIdCol), col(idCol))
+      // <= k·Q rows — eagerized so the ground truth is computed once,
+      // not re-scanned per nprobe setting
+      val exact = spark.createDataFrame(
+        java.util.Arrays.asList(exactTop.collect(): _*), exactTop.schema)
+      val perP = nprobes.sorted.map { p =>
+        val cand = scoredCand.filter(col("_rn") <= p)
+        val nCand = cand.groupBy(col(qIdCol))
+          .agg(count(lit(1)).as("n_candidates"))
+        val hits = cand.withColumn("_r", row_number().over(wq))
+          .filter(col("_r") <= k)
+          .join(broadcast(exact), Seq(qIdCol, idCol), "left_semi")
+          .groupBy(col(qIdCol)).agg(count(lit(1)).as("n_hits"))
+        nCand.join(hits, Seq(qIdCol), "left")
+          .withColumn("nprobe", lit(p))
+      }.reduce(_ unionByName _)
+      val out = perP
+        .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+        .withColumn("recall",
+          floor(col("n_hits").cast("double") / lit(k.toDouble) * 1e6 + 0.5) / 1e6)
+        .select(col(qIdCol), col("nprobe"), col("n_candidates"),
+          col("n_hits"), col("recall"))
+        .orderBy(col(qIdCol), col("nprobe"))
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally scoredCand.unpersist()
+  }
+
   /** Persist the BQ signature index: (id, bq_lo, bq_hi) — dim/8 bytes of
     * signature per vector. At 100 TB this relation IS the index: the
     * Hamming pre-rank scans it instead of re-deriving signatures from the

@@ -1145,4 +1145,27 @@ class AnnProbeSpec extends SparkSpec {
       assert(stored == inline, "stored batch search diverged from inline ivfTopK")
     } finally store.destroy()
   }
+
+  test("recall report: monotone in nprobe; probing every cell is exact") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val rep = Similarity.recallReport(e, "embedding", "vec_id", q, "q_id",
+        "q_vec", k = 5, ncells = 8, nprobes = Seq(1, 2, 8))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4)))
+    assert(rep.length == 9, s"expected 3 queries x 3 settings, got ${rep.length}")
+    rep.groupBy(_._1).foreach { case (qid, rows) =>
+      val byP = rows.sortBy(_._2)
+      // recall and candidate volume never shrink as the probe widens
+      assert(byP.map(_._5).sliding(2).forall(s => s.head <= s.last),
+        s"recall not monotone for query $qid: ${byP.toSeq}")
+      assert(byP.map(_._3).sliding(2).forall(s => s.head < s.last),
+        s"candidates not growing for query $qid: ${byP.toSeq}")
+      // nprobe = ncells probes everything -> IVF IS exact -> recall 1.0
+      assert(byP.last._5 == 1.0,
+        s"full probe not exact for query $qid: ${byP.last}")
+      assert(byP.last._4 == 5L)
+    }
+  }
 }
