@@ -232,6 +232,44 @@ object GraftOracles {
     * construction — see the map entries): quantize, probe 4 cells by raw
     * l2 (dr, cid), top-10 among candidates by raw l2 with vec_id
     * tiebreak, label joined back. */
+  /** Twin of [[graft.operators.Similarity.adaptiveFilteredKnn]] at the
+    * gate configuration (k=10, 16 cells, 4-cell probe, 5% pre-filter
+    * threshold): BOTH branches computed, each gated by the relational
+    * replay of the matching-fraction decision — exactly one survives.
+    * `predSql` references the vector row as alias `t`. */
+  private def adaptiveKnnSql(predSql: String): String = {
+    def cos(v: String) =
+      s"""round(
+         |    list_sum(list_transform(range(1,65), i -> $v.embedding[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE)) /
+         |    sqrt(list_sum(list_transform(range(1,65), i -> $v.embedding[CAST(i AS INT)]::DOUBLE * $v.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |         list_sum(list_transform(range(1,65), i -> q.qe[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE))), 6)""".stripMargin
+    s"""WITH ${simIvfCte(16, 3)},
+       |sel AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(count(*) FILTER (WHERE $predSql) AS BIGINT) AS m
+       |  FROM embeddings t),
+       |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+       |pres AS (SELECT t.vec_id, ${cos("t")} AS cosine
+       |  FROM embeddings t CROSS JOIN q WHERE $predSql),
+       |prer AS (SELECT vec_id, cosine,
+       |    row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM pres),
+       |pqd AS (SELECT c.cid, list_sum(list_transform(range(1,65),
+       |    i -> (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+       |       * (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) AS dr
+       |  FROM sc3 c CROSS JOIN q),
+       |probe AS (SELECT cid FROM pqd ORDER BY dr, cid LIMIT 4),
+       |posts AS (SELECT t.vec_id, ${cos("t")} AS cosine
+       |  FROM scellf s JOIN embeddings t ON t.vec_id = s.vec_id CROSS JOIN q
+       |  WHERE s.cid IN (SELECT cid FROM probe) AND ($predSql)),
+       |postr AS (SELECT vec_id, cosine,
+       |    row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM posts)
+       |SELECT vec_id, cosine, rank, 'pre' AS path FROM prer
+       |  WHERE rank <= 10 AND (SELECT m FROM sel) <= (SELECT n FROM sel) * 0.05
+       |UNION ALL
+       |SELECT vec_id, cosine, rank, 'post' AS path FROM postr
+       |  WHERE rank <= 10 AND (SELECT m FROM sel) > (SELECT n FROM sel) * 0.05
+       |ORDER BY rank""".stripMargin
+  }
+
   private lazy val annProbedTop10Sql: String = annProbedTop10SqlAt(16, 3)
 
   /** The probed-top-10 twin at ANY router geometry: k-means re-derived
@@ -1357,6 +1395,15 @@ object GraftOracles {
     // to the answer. Moves two more ANN entries from rows-only to full
     // oracle.
     "ann_probe_knn" -> annProbedTop10Sql,
+
+    // Twins of ann_adaptive_prefilter / ann_adaptive_postfilter — the
+    // oracle contains BOTH plans plus the relational replay of the
+    // cost-based decision (matching-fraction threshold), so the CHOICE
+    // sits under the hash, not just the chosen branch's rows.
+    "ann_adaptive_prefilter" ->
+      adaptiveKnnSql("t.label = 3 AND t.vec_id % 7 = 0"),
+    "ann_adaptive_postfilter" ->
+      adaptiveKnnSql("t.label >= 2"),
 
     // Twin of ann_recall_report — router re-derived relationally, probe
     // ranks per (query, cell), exact top-10 ground truth, recall and

@@ -878,6 +878,29 @@ object GraftQueries {
     out
   }
 
+  private def adaptiveKnnAt(s: SparkSession, d: String,
+                            pred: org.apache.spark.sql.Column): DataFrame = {
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .collect().head.getSeq[Float](0).toArray
+      val out = Similarity.adaptiveFilteredKnn(e, "embedding", "vec_id",
+        pred, qv, k = 10, ncells = 16, nprobe = 4).orderBy("rank")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally e.unpersist()
+  }
+
+  /** Cost-based filtered ANN, selective predicate (~1.4% match): the
+    * decision pass must pick the exact pre-filter plan — path='pre' is
+    * part of the hashed output. */
+  val annAdaptivePrefilter: Q = (s, d) =>
+    adaptiveKnnAt(s, d, col("label") === 3 && col("vec_id") % 7 === 0)
+
+  /** Cost-based filtered ANN, broad predicate (~80% match): the decision
+    * must pick the IVF post-filter plan — path='post' under the hash. */
+  val annAdaptivePostfilter: Q = (s, d) =>
+    adaptiveKnnAt(s, d, col("label") >= 2)
+
   /** Recall-evaluation report: recall@10 of the IVF probe vs exact top-10
     * at nprobe in {1,2,4,8} over a 5-query panel, with per-setting
     * candidate volume — the index-tuning verb. Every number relationally
@@ -3401,6 +3424,8 @@ object GraftQueries {
     "ann_ivf_store" -> annIvfStore,
     "ann_ivf_store_batch" -> annIvfStoreBatch,
     "ann_recall_report" -> annRecallReport,
+    "ann_adaptive_prefilter" -> annAdaptivePrefilter,
+    "ann_adaptive_postfilter" -> annAdaptivePostfilter,
     "ann_ivfpq" -> annIvfPq,
     "ann_ivfpq_store" -> annIvfPqStore,
     "ann_ivfsq_store" -> annIvfSqStore,

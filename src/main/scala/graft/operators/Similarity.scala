@@ -795,6 +795,66 @@ object Similarity {
       .orderBy("cell_id")
   }
 
+  /** Cost-based filtered ANN — the pre-filter / post-filter decision every
+    * vector store with metadata filters has to make, made explicitly and
+    * deterministically:
+    *
+    *  - '''pre-filter''' (selective predicate): scan the survivors and
+    *    rank them exactly — cost O(matching rows), recall 1.0 by
+    *    construction. The right plan when the filter keeps a sliver:
+    *    probing IVF cells would read far more rows than the filter
+    *    leaves, and a post-filter can starve (all k survivors filtered
+    *    out of the probed cells).
+    *  - '''post-filter''' (broad predicate): probe the nprobe nearest
+    *    cells and filter the candidates — cost O(probed cells),
+    *    approximate exactly like the unfiltered IVF path. The right plan
+    *    when most rows survive: the filter barely shrinks the candidate
+    *    set, so exactness isn't worth a full filtered scan.
+    *
+    * The decision reads ONE slim stats pass (total + matching counts in
+    * a single aggregate; at 100 TB this probe is the same count the
+    * filter's own scan would push down, or comes free from catalog
+    * stats) and compares the matching fraction against
+    * `maxPreFraction` — integer counts and one double multiply, so the
+    * gate oracle replays the decision relationally (the CHOICE is under
+    * the hash, not just the chosen branch's output). Output carries a
+    * `path` column pinning which plan ran. */
+  def adaptiveFilteredKnn(collection: DataFrame, vecCol: String, idCol: String,
+                          predicate: Column, qv: Array[Float],
+                          k: Int = 10, ncells: Int = 16, nprobe: Int = 4,
+                          maxPreFraction: Double = 0.05,
+                          trainIters: Int = 3): DataFrame = {
+    val cnt = collection.agg(count(lit(1)).as("n"),
+      count(when(predicate, lit(1))).as("m")).head
+    val n = cnt.getLong(0)
+    val m = cnt.getLong(1)
+    // the k-row rank window below is single-partition by construction —
+    // it runs over the ALREADY-limited TakeOrderedAndProject output
+    val wTop = Window.orderBy(col("cosine").desc, col(idCol))
+    def rankTop(candidates: DataFrame, path: String): DataFrame =
+      candidates
+        .withColumn("cosine", round(cosine(col(vecCol), vecLit(qv)), 6))
+        .select(col(idCol), col("cosine"))
+        .orderBy(col("cosine").desc, col(idCol)).limit(k)
+        .withColumn("rank", row_number().over(wTop))
+        .withColumn("path", lit(path))
+    if (m.toDouble <= n * maxPreFraction) {
+      rankTop(collection.filter(predicate), "pre")
+    } else {
+      val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters)
+      val probed = cents.map { case (id, c) =>
+        var acc = 0.0
+        var i = 0
+        val len = math.min(qv.length, c.length)
+        while (i < len) { val d = qv(i).toDouble - c(i); acc += d * d; i += 1 }
+        (acc, id)
+      }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSeq
+      rankTop(withCellId(collection, vecCol, cents)
+        .filter(col("cell_id").isin(probed.map(Int.box): _*) && predicate),
+        "post")
+    }
+  }
+
   /** Recall-evaluation report — the ops verb that answers "what nprobe do
     * I run?": for a panel of query vectors, recall@k of the IVF probe vs
     * exact top-k at EVERY candidate nprobe, plus the candidate volume

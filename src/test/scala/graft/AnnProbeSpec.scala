@@ -1146,6 +1146,41 @@ class AnnProbeSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("adaptive filtered kNN: decision boundary, pre == exact, post ⊆ probed cells") {
+    val e = Tables.embeddings(spark, sf)
+    val qv0 = e.filter(col("vec_id") === 0).select("embedding")
+      .collect().head.getSeq[Float](0).toArray
+    // selective predicate -> pre path, and pre IS the exact filtered top-k
+    val selPred = col("label") === 3 && col("vec_id") % 7 === 0
+    val pre = Similarity.adaptiveFilteredKnn(e, "embedding", "vec_id",
+      selPred, qv0, k = 5, ncells = 8, nprobe = 2).collect()
+    assert(pre.forall(_.getString(3) == "pre"), "selective predicate chose post")
+    val exact = e.filter(selPred)
+      .withColumn("cosine", round(cosine(col("embedding"), vecLit(qv0)), 6))
+      .orderBy(col("cosine").desc, col("vec_id")).limit(5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(pre.map(_.getLong(0)).toSeq == exact, "pre path is not the exact answer")
+    // broad predicate -> post path; its survivors all sit in probed cells
+    val post = Similarity.adaptiveFilteredKnn(e, "embedding", "vec_id",
+      col("label") >= 2, qv0, k = 5, ncells = 8, nprobe = 2).collect()
+    assert(post.forall(_.getString(3) == "post"), "broad predicate chose pre")
+    val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", 8, 3)
+    val probedIds = Similarity.withCellId(e, "embedding", cents)
+      .filter(col("label") >= 2)
+      .select("vec_id", "cell_id").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val cellsUsed = post.map(r => probedIds(r.getLong(0))).distinct
+    assert(cellsUsed.length <= 2,
+      s"post-path results came from ${cellsUsed.length} cells at nprobe=2")
+    // the decision is a pure threshold: fraction just under/over flips it
+    val n = e.count()
+    val half = col("vec_id") % 2 === 0 // ~50% -> far over any 5% threshold
+    val flipped = Similarity.adaptiveFilteredKnn(e, "embedding", "vec_id",
+      half, qv0, k = 3, ncells = 8, nprobe = 2, maxPreFraction = 0.6).collect()
+    assert(flipped.forall(_.getString(3) == "pre"),
+      s"raising the threshold above the ~50% match fraction (n=$n) must re-select pre")
+  }
+
   test("recall report: monotone in nprobe; probing every cell is exact") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 3)
