@@ -562,7 +562,12 @@ object GraftOracles {
     * partials added in fixed term order — the exact expression tree
     * [[graft.text.TextAnalysis.bm25TopK]] and the stored-index search
     * ([[graft.text.TextIndex.bm25SearchStored]]) both build. */
-  private def bm25CteFor(terms: Seq[String]): String = {
+  private def bm25CteFor(terms: Seq[String]): String =
+    "WITH " + bm25BodyFor(terms)
+
+  /** [[bm25CteFor]] without the leading WITH — for composition with
+    * other CTE bodies (the stored hybrid twin). */
+  private def bm25BodyFor(terms: Seq[String]): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x = '$t')) AS BIGINT) AS tf$i"
     }.mkString(",\n")
@@ -572,7 +577,7 @@ object GraftOracles {
     val scoreTerms = terms.indices.map { i =>
       s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))"
     }.mkString("\n    + ")
-    s"""WITH d AS (
+    s"""d AS (
        |  SELECT doc_id,
        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS dl,
        |$tfCols
@@ -1395,6 +1400,38 @@ object GraftOracles {
     // to the answer. Moves two more ANN entries from rows-only to full
     // oracle.
     "ann_probe_knn" -> annProbedTop10Sql,
+
+    // Twin of rag_hybrid_stored — BM25 corpus form + relational IVF
+    // router, RRF-fused: both stored layouts (bucketed postings,
+    // cell-partitioned vectors) must be invisible next to the direct
+    // corpus computation.
+    "rag_hybrid_stored" ->
+      s"""WITH ${bm25BodyFor(Seq("vector", "scan", "batch"))},
+         |${simIvfCte(16, 3)},
+         |kwtop AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rank_kw
+         |  FROM (SELECT doc_id, bm25 FROM bm WHERE bm25 > 0
+         |        ORDER BY bm25 DESC, doc_id LIMIT 100)),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pqd AS (SELECT c.cid, list_sum(list_transform(range(1,65),
+         |    i -> (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |       * (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM sc3 c CROSS JOIN q),
+         |probe AS (SELECT cid FROM pqd ORDER BY dr, cid LIMIT 4),
+         |vsc AS (SELECT s.vec_id AS doc_id, round(
+         |    list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE)) /
+         |    sqrt(list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * s.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |         list_sum(list_transform(range(1,65), i -> q.qe[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+         |  FROM scellf s CROSS JOIN q
+         |  WHERE s.cid IN (SELECT cid FROM probe)),
+         |vtop AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_vec
+         |  FROM (SELECT doc_id, cosine FROM vsc
+         |        ORDER BY cosine DESC, doc_id LIMIT 100))
+         |SELECT doc_id, rank_kw, rank_vec,
+         |  floor((coalesce(1.0/(60+rank_kw), 0) + coalesce(1.0/(60+rank_vec), 0))*1e6 + 0.5)/1e6 AS rrf
+         |FROM kwtop FULL OUTER JOIN vtop USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // Twins of ann_adaptive_prefilter / ann_adaptive_postfilter — the
     // oracle contains BOTH plans plus the relational replay of the

@@ -3244,6 +3244,42 @@ object GraftQueries {
       .select("doc_id", "rank_kw", "rank_vec", "rrf")
   }
 
+  /** Hybrid retrieval entirely over STORED indexes — the full persisted
+    * search path in one query: BM25 arm from the bucket-partitioned
+    * inverted index, vector arm from the cell-partitioned IVF layout
+    * (both scans pruned), fused with reciprocal-rank fusion. The
+    * rag_bm25_fusion shape, but no arm touches raw corpus data at query
+    * time — this is what serving looks like at 100 TB. */
+  val ragHybridStored: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_hyb").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
+        "text", "doc_id", nBuckets = 8)
+      val cents = Similarity.buildIvfIndex(store, "vectors", e, "embedding",
+        "vec_id", ncells = 16)
+      val kwTop = TextIndex.bm25SearchStored(s, store, "docs_text",
+          terms = Seq("vector", "scan", "batch"), k = 100)
+        .withColumn("rank_kw", row_number()
+          .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_kw")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val vTop = Similarity.ivfSearchStoredMany(store.read(s, "vectors"),
+          "embedding", "vec_id", cents, q, "q_id", "q_vec", k = 100, nprobe = 4)
+        .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("rank_vec"))
+      val out = kwTop.join(vTop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", floor(
+          (coalesce(lit(1.0) / (lit(60) + col("rank_kw")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0))) * 1e6 + 0.5) / 1e6)
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+        .select("doc_id", "rank_kw", "rank_vec", "rrf")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** Unigram language-model scoring (the perplexity-style quality filter
     * a training-data pipeline runs to drop gibberish): corpus vocabulary
     * with add-one smoothing, per-doc mean token log-probability.
@@ -3554,6 +3590,7 @@ object GraftQueries {
     "text_bm25" -> textBm25,
     "text_bm25_store" -> textBm25Store,
     "text_bm25_incremental" -> textBm25Incremental,
+    "rag_hybrid_stored" -> ragHybridStored,
     "q41_cohort_retention" -> q41CohortRetention,
     "pipeline_mix_report" -> pipelineMixReport,
     "q42_map_metadata" -> q42MapMetadata,
