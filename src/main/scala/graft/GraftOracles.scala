@@ -2918,6 +2918,15 @@ object GraftOracles {
          |WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 12""".stripMargin,
 
+    // Twin of streaming_text_ingest — the streamed standing/arrivals
+    // split plus the intent protocol and the replay must all be
+    // indistinguishable from one full-corpus build.
+    "streaming_text_ingest" ->
+      s"""${bm25CteFor(Seq("hash", "stream"))}
+         |SELECT doc_id, dl, bm25 FROM bm
+         |WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
+
     // BM25 arm (top-100 by rounded score) + exact-cosine arm (top-100)
     // fused with reciprocal-rank fusion — the principled hybrid whose
     // cruder cousin is rag_hybrid_search's term-hit score

@@ -3244,6 +3244,26 @@ object GraftQueries {
       .select("doc_id", "rank_kw", "rank_vec", "rrf")
   }
 
+  /** Streaming ingest into the stored TEXT index: arrivals (doc_id % 10
+    * == 7) stream into an index built from the standing slice, with the
+    * write-ahead-intent exactly-once protocol (postings append + BM25
+    * stats delta commit atomically together) and a same-batchId replay
+    * driven through the watermark skip. The search result must hash-match
+    * the full-corpus BM25 oracle — streamed maintenance invisible. */
+  val streamingTextIngest: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_stidx").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      TextIndex.buildTextIndex(store, "docs_text",
+        Tables.documents(s, d).filter(col("doc_id") % 10 =!= 7),
+        "text", "doc_id", nBuckets = 8)
+      graft.streaming.IndexStream.runStreamingTextIngest(
+        s, s"$d/documents.parquet", store, "docs_text")
+      TextIndex.bm25SearchStored(s, store, "docs_text",
+        terms = Seq("hash", "stream"), k = 15)
+    } finally store.destroy()
+  }
+
   /** Hybrid retrieval entirely over STORED indexes — the full persisted
     * search path in one query: BM25 arm from the bucket-partitioned
     * inverted index, vector arm from the cell-partitioned IVF layout
@@ -3591,6 +3611,7 @@ object GraftQueries {
     "text_bm25_store" -> textBm25Store,
     "text_bm25_incremental" -> textBm25Incremental,
     "rag_hybrid_stored" -> ragHybridStored,
+    "streaming_text_ingest" -> streamingTextIngest,
     "q41_cohort_retention" -> q41CohortRetention,
     "pipeline_mix_report" -> pipelineMixReport,
     "q42_map_metadata" -> q42MapMetadata,

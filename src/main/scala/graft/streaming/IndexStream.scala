@@ -97,4 +97,100 @@ object IndexStream {
     ivfBatchSink(store, name, "embedding", "vec_id", cents)(
       replayed, StreamCommits.lastBatchId(store, name) + 1)
   }
+
+  // ------------------------------------------- stored TEXT index sink
+
+  /** `foreachBatch` body for the stored inverted text index
+    * ([[graft.text.TextIndex]]) — exactly-once like [[ivfBatchSink]],
+    * with one extra moving part the vector tier doesn't have: the batch
+    * must commit BOTH its postings (parquet append) and its corpus-stat
+    * delta (sidecar n_docs/sum_dl — BM25's idf inputs), and the two
+    * must never disagree. The protocol is a write-ahead intent, every
+    * transition one atomic sidecar replace:
+    *
+    *  1. skip if batchId <= the sidecar watermark (replay after full
+    *     commit);
+    *  2. record the intent: pending = (batchId, batch doc count, batch
+    *     token count) — computed from the batch BEFORE anything lands;
+    *  3. append postings, anti-filtered per ROW against the stored
+    *     (term, doc_id) pairs of this batch's doc ids — so a crash that
+    *     tore MID-append (a doc's postings span several bucket
+    *     directories, unlike the vector tier's one-row-per-id) is
+    *     completed posting-by-posting on redelivery, never duplicated;
+    *  4. commit: fold pending into the committed stats and advance the
+    *     watermark in the SAME atomic write that clears the intent.
+    *
+    * Crash between 2 and 4 ⇒ the redelivered batch (same batchId, the
+    * Structured Streaming contract) finds its own intent and finishes
+    * steps 3-4 idempotently. A pending intent from a DIFFERENT batch,
+    * or a colliding batch with no intent (redelivery under a new
+    * batchId after commit), is refused loudly — counting its stats
+    * again would silently skew every idf, which is worse than stopping
+    * the stream. Search and the batch verbs refuse a pending index for
+    * the same reason. */
+  def textBatchSink(store: VectorStore, name: String, textCol: String,
+                    idCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    import graft.text.TextIndex
+    val st = TextIndex.readState(store, name)
+    if (batchId <= st.lastBatch) return
+    st.pending.foreach { p =>
+      require(p.batchId == batchId,
+        s"textBatchSink: '$name' holds an intent for batch ${p.batchId} but " +
+          s"batch $batchId arrived — redeliver the pending batch to heal")
+    }
+    val sp = batch.sparkSession
+    val cnts = batch.agg(count(lit(1)), countDistinct(col(idCol))).head
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"textBatchSink: micro-batch $batchId carries duplicate doc ids")
+    val posts = TextIndex.postingsOf(batch, textCol, idCol, st.nBuckets)
+      .localCheckpoint(true) // consumed by stats, collision probe, append
+    // stored (term, doc_id) pairs of this batch's docs: one slim
+    // column-pruned pass; empty in the healthy path, the torn half of a
+    // crashed append in the heal path
+    val existingPairs = store.read(sp, name).select("term", "doc_id")
+      .join(BroadcastGate.maybeBroadcast(posts.select("doc_id").distinct(),
+        cnts.getLong(0) * 64), Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    if (st.pending.isEmpty) {
+      // no intent -> collisions are NOT recovery: refuse (see scaladoc)
+      val n = existingPairs.limit(1).count()
+      require(n == 0L,
+        s"textBatchSink: batch $batchId re-delivers doc ids already in " +
+          s"'$name' with no pending intent — its stats are already counted")
+    }
+    val r = posts.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+    val pend = TextIndex.PendingBatch(batchId, r.getLong(0), r.getLong(1))
+    TextIndex.writeState(store, name, st.copy(pending = Some(pend)))
+    val fresh = posts.join(existingPairs, Seq("term", "doc_id"), "left_anti")
+    store.append(name, fresh, partitionBy = Seq("bucket"))
+    TextIndex.writeState(store, name, st.copy(
+      nDocs = st.nDocs + pend.nDocs, sumDl = st.sumDl + pend.sumDl,
+      lastBatch = batchId, pending = None))
+  }
+
+  /** Harness twin of [[runStreamingIvfIngest]] for the text index:
+    * stream the arrivals slice (doc_id % 10 == 7) into an index built
+    * from the standing slice, then replay the last batch (same batchId
+    * — must skip via the watermark). The caller searches the maintained
+    * index; a hash match against the full-corpus BM25 oracle proves the
+    * streamed maintenance invisible. */
+  def runStreamingTextIngest(spark0: SparkSession, docsParquet: String,
+                             store: VectorStore, name: String): Unit = {
+    val spark = EventStream.streamSession(spark0)
+    val arrivals = EventStream.readFileStream(spark, docsParquet)
+      .filter(col("doc_id") % 10 === 7)
+    val q = arrivals.writeStream
+      .foreachBatch(textBatchSink(store, name, "text", "doc_id") _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    // replay after full commit, same batchId: the watermark skips it
+    val replayed = spark.read.parquet(
+        new java.io.File(docsParquet).getAbsolutePath)
+      .filter(col("doc_id") % 10 === 7)
+    textBatchSink(store, name, "text", "doc_id")(
+      replayed, graft.text.TextIndex.readState(store, name).lastBatch)
+  }
 }

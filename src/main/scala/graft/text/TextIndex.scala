@@ -54,9 +54,10 @@ object TextIndex {
   private[graft] val PropsFile = "_text_index.properties"
 
   /** The one tokenizer ([[TextAnalysis.tokens]]) — build and the inline
-    * scorer cannot drift. */
-  private def postingsOf(docs: DataFrame, textCol: String, idCol: String,
-                         nBuckets: Int): DataFrame =
+    * scorer cannot drift. Exposed to the streaming sink so the postings
+    * a micro-batch appends come from the same expression. */
+  private[graft] def postingsOf(docs: DataFrame, textCol: String, idCol: String,
+                                nBuckets: Int): DataFrame =
     graft.Tables.spread(docs)
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
@@ -83,23 +84,60 @@ object TextIndex {
   private def statsPath(store: VectorStore, name: String) =
     s"${store.root}/$name/$PropsFile"
 
-  private def writeStats(store: VectorStore, name: String,
-                         nDocs: Long, sumDl: Long, nBuckets: Int): Unit = {
+  /** A streaming batch's write-ahead stats intent (see
+    * [[graft.streaming.IndexStream.textBatchSink]]): recorded BEFORE the
+    * postings append so the crash window between append and stats
+    * commit is healable — the redelivered batch finds its own intent
+    * and knows its stats are not yet counted. */
+  private[graft] final case class PendingBatch(batchId: Long, nDocs: Long,
+                                               sumDl: Long)
+
+  /** The whole sidecar: committed corpus stats, layout geometry, the
+    * streaming commit watermark, and an optional in-flight intent. One
+    * file, every transition a single atomic replace — stats and
+    * watermark can never disagree with each other. */
+  private[graft] final case class IndexState(nDocs: Long, sumDl: Long,
+                                             nBuckets: Int, lastBatch: Long,
+                                             pending: Option[PendingBatch])
+
+  private[graft] def writeState(store: VectorStore, name: String,
+                                st: IndexState): Unit = {
     val props = new java.util.Properties()
-    props.setProperty("n_docs", nDocs.toString)
-    props.setProperty("sum_dl", sumDl.toString)
-    props.setProperty("n_buckets", nBuckets.toString)
+    props.setProperty("n_docs", st.nDocs.toString)
+    props.setProperty("sum_dl", st.sumDl.toString)
+    props.setProperty("n_buckets", st.nBuckets.toString)
+    props.setProperty("last_batch", st.lastBatch.toString)
+    st.pending.foreach { p =>
+      props.setProperty("pending_batch", p.batchId.toString)
+      props.setProperty("pending_docs", p.nDocs.toString)
+      props.setProperty("pending_dl", p.sumDl.toString)
+    }
     StoreFs.forPath(store.root).writePropsAtomic(
       statsPath(store, name), props, "graft text index stats")
   }
 
-  /** (nDocs, sumDl, nBuckets) from the sidecar; loud when absent. */
-  private[graft] def readStats(store: VectorStore, name: String): (Long, Long, Int) =
+  private[graft] def readState(store: VectorStore, name: String): IndexState =
     StoreFs.forPath(store.root).readProps(statsPath(store, name)).map { p =>
-      (p.getProperty("n_docs").toLong, p.getProperty("sum_dl").toLong,
-        p.getProperty("n_buckets").toInt)
+      val pending = Option(p.getProperty("pending_batch")).map { b =>
+        PendingBatch(b.toLong, p.getProperty("pending_docs").toLong,
+          p.getProperty("pending_dl").toLong)
+      }
+      IndexState(p.getProperty("n_docs").toLong, p.getProperty("sum_dl").toLong,
+        p.getProperty("n_buckets").toInt,
+        Option(p.getProperty("last_batch")).fold(-1L)(_.toLong), pending)
     }.getOrElse(throw new IllegalStateException(
       s"'$name' has no $PropsFile sidecar — not a text index"))
+
+  /** Committed (nDocs, sumDl, nBuckets) — what search arithmetic reads. */
+  private[graft] def readStats(store: VectorStore, name: String): (Long, Long, Int) = {
+    val st = readState(store, name)
+    (st.nDocs, st.sumDl, st.nBuckets)
+  }
+
+  private def requireQuiescent(st: IndexState, name: String, op: String): Unit =
+    require(st.pending.isEmpty,
+      s"$op: '$name' has an uncommitted streaming intent for batch " +
+        s"${st.pending.get.batchId} — heal it (redeliver that batch) first")
 
   /** Build the index: ONE corpus scan (tokenize → explode → per-(term,
     * doc) partial-agg count), the doc-level stats aggregated off the
@@ -115,7 +153,8 @@ object TextIndex {
     val r = store.read(docs.sparkSession, name)
       .select("doc_id", "dl").distinct()
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
-    writeStats(store, name, r.getLong(0), r.getLong(1), nBuckets)
+    writeState(store, name,
+      IndexState(r.getLong(0), r.getLong(1), nBuckets, -1L, None))
   }
 
   /** O(batch) incremental append: new docs' postings land under their
@@ -125,8 +164,9 @@ object TextIndex {
     * (same append contract as the vector tiers). */
   def insertIntoTextIndex(store: VectorStore, name: String, batch: DataFrame,
                           textCol: String, idCol: String): Unit = {
-    val (n0, dl0, nBuckets) = readStats(store, name)
-    val posts = postingsOf(batch, textCol, idCol, nBuckets)
+    val st = readState(store, name)
+    requireQuiescent(st, name, "insertIntoTextIndex")
+    val posts = postingsOf(batch, textCol, idCol, st.nBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       graft.operators.AppendContract.requireNewUniqueIds(
@@ -135,7 +175,8 @@ object TextIndex {
       store.append(name, posts, partitionBy = Seq("bucket"))
       val r = posts.select("doc_id", "dl").distinct()
         .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
-      writeStats(store, name, n0 + r.getLong(0), dl0 + r.getLong(1), nBuckets)
+      writeState(store, name, st.copy(nDocs = st.nDocs + r.getLong(0),
+        sumDl = st.sumDl + r.getLong(1)))
     } finally posts.unpersist()
   }
 
@@ -162,7 +203,11 @@ object TextIndex {
                        terms: Seq[String], k: Int,
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25SearchStored: empty term set")
-    val (n, sumDl, _) = readStats(store, name)
+    val st0 = readState(store, name)
+    // a pending intent means appended-but-uncounted postings may exist —
+    // scoring against stale stats would be silently wrong, so refuse
+    requireQuiescent(st0, name, "bm25SearchStored")
+    val (n, sumDl) = (st0.nDocs, st0.sumDl)
     val pruned = prunedPostings(spark, store, name, terms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

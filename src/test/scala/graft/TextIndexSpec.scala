@@ -82,6 +82,79 @@ class TextIndexSpec extends SparkSpec {
     } finally { storeInc.destroy(); storeFull.destroy() }
   }
 
+  test("streaming sink: intent-only and torn-append crash windows heal; refusals loud") {
+    import graft.streaming.IndexStream
+    import org.apache.spark.sql.functions.{coalesce, count, lit, sum}
+    val store = newStore()
+    val storeFull = newStore()
+    try {
+      val standing = docs.filter(col("doc_id") % 3 === 0)
+      val batchA = docs.filter(col("doc_id") % 3 === 1)
+      val batchB = docs.filter(col("doc_id") % 3 === 2)
+      TextIndex.buildTextIndex(store, "ti", standing, "text", "doc_id", nBuckets = 8)
+
+      // crash shape A: intent written, NOTHING appended, process died
+      val postsA = TextIndex.postingsOf(batchA, "text", "doc_id", 8)
+      val rA = postsA.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+      val st0 = TextIndex.readState(store, "ti")
+      TextIndex.writeState(store, "ti", st0.copy(pending =
+        Some(TextIndex.PendingBatch(0L, rA.getLong(0), rA.getLong(1)))))
+      // pending index: search and the batch verb both refuse
+      intercept[IllegalArgumentException] {
+        TextIndex.bm25SearchStored(spark, store, "ti", Seq("join"), k = 5)
+      }
+      intercept[IllegalArgumentException] {
+        TextIndex.insertIntoTextIndex(store, "ti", batchB, "text", "doc_id")
+      }
+      // a DIFFERENT batch arriving over the intent refuses
+      intercept[IllegalArgumentException] {
+        IndexStream.textBatchSink(store, "ti", "text", "doc_id")(batchB, 1L)
+      }
+      // redelivery of the SAME batch heals shape A
+      IndexStream.textBatchSink(store, "ti", "text", "doc_id")(batchA, 0L)
+      assert(TextIndex.readState(store, "ti").pending.isEmpty)
+      assert(TextIndex.readState(store, "ti").lastBatch == 0L)
+
+      // crash shape B: intent + TORN append (a doc's postings split
+      // across bucket dirs; only some rows landed), process died
+      val postsB = TextIndex.postingsOf(batchB, "text", "doc_id", 8)
+      val rB = postsB.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+      val st1 = TextIndex.readState(store, "ti")
+      TextIndex.writeState(store, "ti", st1.copy(pending =
+        Some(TextIndex.PendingBatch(1L, rB.getLong(0), rB.getLong(1)))))
+      store.append("ti", postsB.filter(col("tf") % 2 === 0),
+        partitionBy = Seq("bucket"))
+      IndexStream.textBatchSink(store, "ti", "text", "doc_id")(batchB, 1L)
+      val st2 = TextIndex.readState(store, "ti")
+      assert(st2.pending.isEmpty && st2.lastBatch == 1L)
+
+      // replay after commit, same batchId: skipped outright
+      val filesBefore = store.dataFileStatuses("ti").map(_.getPath.toString).toSet
+      IndexStream.textBatchSink(store, "ti", "text", "doc_id")(batchB, 1L)
+      assert(store.dataFileStatuses("ti").map(_.getPath.toString).toSet == filesBefore)
+      // redelivery under a NEW batchId after commit: loud refusal
+      val ex = intercept[IllegalArgumentException] {
+        IndexStream.textBatchSink(store, "ti", "text", "doc_id")(batchB, 2L)
+      }
+      assert(ex.getMessage.contains("already counted"))
+
+      // after both heals the index equals a from-scratch full build:
+      // same search rows, same committed stats, no duplicate postings
+      TextIndex.buildTextIndex(storeFull, "ti", docs, "text", "doc_id", nBuckets = 8)
+      val a = TextIndex.bm25SearchStored(spark, store, "ti",
+        Seq("join", "query"), k = 12).collect().toSeq
+      val b = TextIndex.bm25SearchStored(spark, storeFull, "ti",
+        Seq("join", "query"), k = 12).collect().toSeq
+      assert(a == b, "healed index diverged from full rebuild")
+      val sf2 = TextIndex.readState(storeFull, "ti")
+      assert(st2.nDocs == sf2.nDocs && st2.sumDl == sf2.sumDl)
+      assert(store.read(spark, "ti").count() == storeFull.read(spark, "ti").count(),
+        "healed index carries duplicate or missing postings")
+    } finally { store.destroy(); storeFull.destroy() }
+  }
+
   test("append refuses existing doc ids; search refuses a non-index collection") {
     val store = newStore()
     try {
