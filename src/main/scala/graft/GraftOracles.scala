@@ -2918,6 +2918,26 @@ object GraftOracles {
          |WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 12""".stripMargin,
 
+    // Twin of text_phrase_search — token positions recomputed straight
+    // off the corpus text (multiple unnests in one SELECT zip in
+    // DuckDB), the same slot-shift algebra, 1-based positions (the
+    // shift difference cancels in the start arithmetic).
+    "text_phrase_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+        |    generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |sl AS (
+        |  SELECT doc_id, pos - 0 AS start, 0 AS slot FROM tk WHERE tok = 'hash'
+        |  UNION ALL
+        |  SELECT doc_id, pos - 1 AS start, 1 AS slot FROM tk WHERE tok = 'join'),
+        |m AS (SELECT doc_id, start FROM sl
+        |  GROUP BY doc_id, start HAVING count(DISTINCT slot) = 2)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches FROM m
+        |GROUP BY doc_id
+        |ORDER BY n_matches DESC, doc_id LIMIT 15""".stripMargin,
+
     // Twin of streaming_text_ingest — the streamed standing/arrivals
     // split plus the intent protocol and the replay must all be
     // indistinguishable from one full-corpus build.

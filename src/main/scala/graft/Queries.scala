@@ -3244,6 +3244,22 @@ object GraftQueries {
       .select("doc_id", "rank_kw", "rank_vec", "rrf")
   }
 
+  /** Phrase search over the positional postings of the stored text
+    * index: docs containing "hash join" consecutively, ranked by match
+    * count. The oracle recomputes positions straight off the corpus
+    * text — the positional layout and the slot algebra must be
+    * invisible. */
+  val textPhraseSearch: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_phr").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
+        "text", "doc_id", nBuckets = 8)
+      TextIndex.phraseSearch(s, store, "docs_text",
+        phrase = Seq("hash", "join"), k = 15)
+    } finally store.destroy()
+  }
+
   /** Streaming ingest into the stored TEXT index: arrivals (doc_id % 10
     * == 7) stream into an index built from the standing slice, with the
     * write-ahead-intent exactly-once protocol (postings append + BM25
@@ -3612,6 +3628,7 @@ object GraftQueries {
     "text_bm25_incremental" -> textBm25Incremental,
     "rag_hybrid_stored" -> ragHybridStored,
     "streaming_text_ingest" -> streamingTextIngest,
+    "text_phrase_search" -> textPhraseSearch,
     "q41_cohort_retention" -> q41CohortRetention,
     "pipeline_mix_report" -> pipelineMixReport,
     "q42_map_metadata" -> q42MapMetadata,

@@ -61,11 +61,16 @@ object TextIndex {
     graft.Tables.spread(docs)
       .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
-      .select(col("doc_id"), col("dl"), explode(col("_toks")).as("term"))
+      .select(col("doc_id"), col("dl"),
+        posexplode(col("_toks")).as(Seq("pos", "term")))
       .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).as("tf"))
+      // positions make the layout POSITIONAL (phrase/proximity queries);
+      // BM25 never reads them — parquet column pruning keeps its scan as
+      // slim as a frequency-only index
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
-      .select("term", "doc_id", "tf", "dl", "bucket")
+      .select("term", "doc_id", "tf", "dl", "positions", "bucket")
 
   private def bucketOf(term: Column, nBuckets: Int): Column =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
@@ -191,6 +196,42 @@ object TextIndex {
     store.read(spark, name)
       .filter(col("bucket").isin(buckets.map(Int.box): _*) &&
         col("term").isin(terms: _*))
+  }
+
+  /** Exact phrase search over the positional postings: documents
+    * containing the tokens of `phrase` CONSECUTIVELY, ranked by match
+    * count. Slot algebra, no text access: occurrences of the i-th
+    * phrase term shift to their would-be phrase START (`pos - i`); a
+    * (doc, start) pair with all |phrase| slots present is a match.
+    * Duplicate terms in the phrase are just independent slots.
+    *
+    * Scale shape: the scan is the same bucket-pruned posting fetch as
+    * BM25 (only the phrase's terms' buckets are listed) plus the
+    * `positions` column; the shuffle carries slim (doc, start, slot)
+    * rows — O(occurrences of the phrase terms), never O(corpus). */
+  def phraseSearch(spark: SparkSession, store: VectorStore, name: String,
+                   phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch: empty phrase")
+    requireQuiescent(readState(store, name), name, "phraseSearch")
+    val pruned = prunedPostings(spark, store, name, phrase.distinct)
+      .select("term", "doc_id", "positions")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val slots = phrase.zipWithIndex.map { case (t, i) =>
+        pruned.filter(col("term") === lit(t))
+          .select(col("doc_id"), explode(col("positions")).as("_pos"))
+          .select(col("doc_id"), (col("_pos") - lit(i)).as("start"),
+            lit(i).as("slot"))
+      }.reduce(_ unionByName _)
+      val out = slots.groupBy("doc_id", "start")
+        .agg(countDistinct(col("slot")).as("_nslots"))
+        .filter(col("_nslots") === phrase.length)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
+        .orderBy(col("n_matches").desc, col("doc_id"))
+        .limit(k)
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally pruned.unpersist()
   }
 
   /** BM25 top-k over the stored layout. The scan is partition-pruned to

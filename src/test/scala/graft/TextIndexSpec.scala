@@ -36,7 +36,10 @@ class TextIndexSpec extends SparkSpec {
     val store = newStore()
     try {
       TextIndex.buildTextIndex(store, "ti", docs, "text", "doc_id", nBuckets = 8)
+      // the BM25 consumption shape: frequency columns only — the scan
+      // must prune the positional payload away
       val pruned = TextIndex.prunedPostings(spark, store, "ti", Seq("filter"))
+        .select("term", "doc_id", "tf", "dl")
       val scans = pruned.queryExecution.executedPlan.collect {
         case f: org.apache.spark.sql.execution.FileSourceScanExec => f
       }
@@ -46,8 +49,9 @@ class TextIndexSpec extends SparkSpec {
           s"bucket probe is not a partition filter: ${scan.partitionFilters}")
         assert(scan.selectedPartitions.partitionCount <= 1,
           s"1-term query scanned ${scan.selectedPartitions.partitionCount} buckets")
-        // column pruning: the postings scan never needs more than its
-        // four payload columns (bucket is directory-derived, not file IO)
+        // column pruning: the BM25 path never pays for `positions` —
+        // the positional payload stays on disk (bucket is directory-
+        // derived, not file IO)
         assert(scan.schema.fieldNames.toSet.subsetOf(
           Set("term", "doc_id", "tf", "dl", "bucket")),
           s"postings scan reads ${scan.schema.fieldNames.mkString(",")}")
@@ -80,6 +84,35 @@ class TextIndexSpec extends SparkSpec {
         .collect().toSeq
       assert(inc == full, "maintained index diverged from full rebuild")
     } finally { storeInc.destroy(); storeFull.destroy() }
+  }
+
+  test("phrase search == direct token-window differential, incl. duplicate-term phrase") {
+    import org.apache.spark.sql.functions.{posexplode, lit, count}
+    val store = newStore()
+    try {
+      TextIndex.buildTextIndex(store, "ti", docs, "text", "doc_id", nBuckets = 8)
+      for (phrase <- Seq(Seq("hash", "join"), Seq("table", "table"),
+                         Seq("big", "order", "scan"))) {
+        val got = TextIndex.phraseSearch(spark, store, "ti", phrase, k = 500)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        // differential: slide over the raw token stream, no index
+        val toks = docs
+          .select(col("doc_id"),
+            posexplode(graft.text.TextAnalysis.tokens(col("text")))
+              .as(Seq("pos", "tok")))
+        val slots = phrase.zipWithIndex.map { case (t, i) =>
+          toks.filter(col("tok") === lit(t))
+            .select(col("doc_id"), (col("pos") - lit(i)).as("start"), lit(i).as("slot"))
+        }.reduce(_ unionByName _)
+        val want = slots.groupBy("doc_id", "start")
+          .agg(org.apache.spark.sql.functions.countDistinct(col("slot")).as("ns"))
+          .filter(col("ns") === phrase.length)
+          .groupBy("doc_id").agg(count(lit(1)).as("n"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == want, s"phrase $phrase: index result diverged from direct scan")
+        assert(got.nonEmpty, s"phrase $phrase matched nothing — weak fixture")
+      }
+    } finally store.destroy()
   }
 
   test("streaming sink: intent-only and torn-append crash windows heal; refusals loud") {
