@@ -2918,6 +2918,19 @@ object GraftOracles {
          |WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 12""".stripMargin,
 
+    // Twin of text_index_stats — document and collection frequencies
+    // recomputed from the raw text: the stored postings must hold
+    // exactly one row per (term, doc) with the true tf.
+    "text_index_stats" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents)
+        |SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df,
+        |  CAST(count(*) AS BIGINT) AS cf
+        |FROM tk GROUP BY term
+        |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
     // Twin of text_phrase_search — token positions recomputed straight
     // off the corpus text (multiple unnests in one SELECT zip in
     // DuckDB), the same slot-shift algebra, 1-based positions (the

@@ -3244,6 +3244,20 @@ object GraftQueries {
       .select("doc_id", "rank_kw", "rank_vec", "rrf")
   }
 
+  /** Stored-text-index content audit: top-20 terms by df with cf, read
+    * off the postings layout; the oracle recomputes both frequencies
+    * from the raw corpus text. */
+  val textIndexStats: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_tstat").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
+        "text", "doc_id", nBuckets = 8)
+      val out = TextIndex.indexStats(s, store, "docs_text", topN = 20)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally store.destroy()
+  }
+
   /** Phrase search over the positional postings of the stored text
     * index: docs containing "hash join" consecutively, ranked by match
     * count. The oracle recomputes positions straight off the corpus
@@ -3629,6 +3643,7 @@ object GraftQueries {
     "rag_hybrid_stored" -> ragHybridStored,
     "streaming_text_ingest" -> streamingTextIngest,
     "text_phrase_search" -> textPhraseSearch,
+    "text_index_stats" -> textIndexStats,
     "q41_cohort_retention" -> q41CohortRetention,
     "pipeline_mix_report" -> pipelineMixReport,
     "q42_map_metadata" -> q42MapMetadata,

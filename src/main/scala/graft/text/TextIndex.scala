@@ -198,6 +198,21 @@ object TextIndex {
         col("term").isin(terms: _*))
   }
 
+  /** Ops view of the stored index: the top terms by document frequency
+    * with their collection frequencies, straight off the postings (one
+    * column-pruned scan, partial-agg shuffle on term). The stored
+    * layout's content must reconcile with the corpus — the gate oracle
+    * recomputes these numbers from the raw text. */
+  def indexStats(spark: SparkSession, store: VectorStore, name: String,
+                 topN: Int = 20): DataFrame = {
+    requireQuiescent(readState(store, name), name, "indexStats")
+    store.read(spark, name)
+      .groupBy("term")
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(topN)
+  }
+
   /** Exact phrase search over the positional postings: documents
     * containing the tokens of `phrase` CONSECUTIVELY, ranked by match
     * count. Slot algebra, no text access: occurrences of the i-th
