@@ -1305,6 +1305,42 @@ object GraftOracles {
         |  floor(abs(mean_cur - mean_ref) * 1e6 + 0.5) / 1e6 AS shift
         |FROM j ORDER BY pos""".stripMargin,
 
+    // Twin of ann_federated_search — bqTop10Sql split into two parity-
+    // shard arms: per-arm 40-row Hamming shortlists, tagged union, one
+    // global exact rerank with (cosine DESC, collection, vec_id) ties.
+    "ann_federated_search" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qs AS (SELECT
+        |    CAST(list_sum(list_transform(range(1,33), i ->
+        |      CASE WHEN qv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS qlo,
+        |    CAST(list_sum(list_transform(range(33,65), i ->
+        |      CASE WHEN qv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS qhi
+        |  FROM q),
+        |sig AS (SELECT vec_id, vec_id % 2 AS par,
+        |    CAST(list_sum(list_transform(range(1,33), i ->
+        |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(33,65), i ->
+        |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM embeddings),
+        |ham AS (SELECT s.par, s.vec_id,
+        |    CAST(bit_count(xor(s.lo, t.qlo)) + bit_count(xor(s.hi, t.qhi)) AS INT) AS hamming
+        |  FROM sig s CROSS JOIN qs t),
+        |short AS (SELECT par, vec_id, hamming FROM (
+        |    SELECT par, vec_id, hamming,
+        |      row_number() OVER (PARTITION BY par ORDER BY hamming, vec_id) AS r
+        |    FROM ham) WHERE r <= 40),
+        |resc AS (SELECT CASE WHEN sh.par = 0 THEN 'c0' ELSE 'c1' END AS collection,
+        |    sh.vec_id, sh.hamming, round(
+        |    list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE)) /
+        |    sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * e.embedding[CAST(i AS INT)]::DOUBLE)) *
+        |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+        |  FROM short sh JOIN embeddings e ON e.vec_id = sh.vec_id CROSS JOIN q)
+        |SELECT collection, vec_id, hamming, cosine, rank FROM (
+        |  SELECT collection, vec_id, hamming, cosine,
+        |    row_number() OVER (ORDER BY cosine DESC, collection, vec_id) AS rank
+        |  FROM resc) WHERE rank <= 10
+        |ORDER BY rank""".stripMargin,
+
     // Twin of ann_bq_batch — bqTop10Sql generalized to a query RELATION:
     // per-query window ranks replace the single-query LIMITs, everything
     // else is the same proven integer arithmetic.

@@ -467,6 +467,29 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** Federated BQ search across two collections (the vec_id parity
+    * shards — the time-shard layout in miniature): per-arm stored-
+    * signature shortlists, tagged union, one global exact rerank. Query
+    * vector 0 lives in shard c0 and is NOT excluded — the top hit must
+    * come back from the right arm with cosine 1.0. */
+  val annFederatedSearch: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_fed").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val c0 = e.filter(col("vec_id") % 2 === 0)
+      val c1 = e.filter(col("vec_id") % 2 === 1)
+      Similarity.buildBqIndex(store, "bq_c0", c0, "embedding", "vec_id")
+      Similarity.buildBqIndex(store, "bq_c1", c1, "embedding", "vec_id")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val out = Similarity.bqSearchFederated(s, store,
+        Seq(("c0", "bq_c0", c0), ("c1", "bq_c1", c1)),
+        "embedding", "vec_id", qv, k = 10, rerank = 4)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** Batch BQ: 5 query vectors against one signature scan (the Chroma
     * query_texts=[...] list shape on the BQ tier). Per-query results
     * equal single-query bqTopK; FULL oracle via per-query window ranks. */
@@ -3505,6 +3528,7 @@ object GraftQueries {
     "ann_range_search" -> annRangeSearch,
     "ann_bq_store" -> annBqStore,
     "ann_bq_batch" -> annBqBatch,
+    "ann_federated_search" -> annFederatedSearch,
     "ann_ivf_stats" -> annIvfStats,
     "embedding_drift" -> embeddingDrift,
     "ann_ivf_store" -> annIvfStore,

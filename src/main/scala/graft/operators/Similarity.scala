@@ -981,6 +981,49 @@ object Similarity {
       .select(col(idCol), col("hamming"), col("cosine"))
   }
 
+  /** Federated BQ search across N collections — the time-shard / tenant-
+    * shard layout a 100 TB corpus actually lives in (daily collections,
+    * per-tenant stores): each arm's stored signature index produces its
+    * own k·rerank Hamming shortlist (a per-arm TakeOrderedAndProject
+    * over the slim 16-byte signature scan — no arm reads another arm's
+    * data, arms run as independent stages), the tagged shortlists
+    * union, and ONE global exact-cosine rerank picks the cross-
+    * collection top-k. Per-arm semantics are exactly
+    * [[bqSearchStored]]'s pre-rank, so federation changes WHERE
+    * shortlists come from, never how candidates score; the final rank
+    * window runs over ≤ |arms|·k·rerank rows. Ties order by
+    * (cosine desc, collection, id) — deterministic even when shards
+    * share id ranges. */
+  def bqSearchFederated(spark: org.apache.spark.sql.SparkSession,
+                        store: graft.store.VectorStore,
+                        arms: Seq[(String, String, DataFrame)],
+                        vecCol: String, idCol: String, queryVec: Array[Float],
+                        k: Int = 10, rerank: Int = 4, dim: Int = 64): DataFrame = {
+    require(arms.nonEmpty, "bqSearchFederated: no arms")
+    require(dim % 2 == 0 && dim <= 128, s"dim must be even and <= 128, got $dim")
+    val half = dim / 2
+    val qlo = packSignBitsLocal(queryVec, 0, half)
+    val qhi = packSignBitsLocal(queryVec, half, dim)
+    val fused = arms.map { case (tag, indexName, coll) =>
+      val shortlist = store.read(spark, indexName)
+        .select(col(idCol),
+          (bit_count(col("bq_lo").bitwiseXOR(lit(qlo))) +
+            bit_count(col("bq_hi").bitwiseXOR(lit(qhi))))
+            .cast("int").as("hamming"))
+        .orderBy(col("hamming"), col(idCol))
+        .limit(k * rerank)
+      coll.select(col(idCol), col(vecCol))
+        .join(broadcast(shortlist), Seq(idCol))
+        .withColumn("collection", lit(tag))
+    }.reduce(_ unionByName _)
+    val w = Window.orderBy(col("cosine").desc, col("collection"), col(idCol))
+    fused
+      .withColumn("cosine", round(cosine(col(vecCol), vecLit(queryVec)), 6))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("collection"), col(idCol), col("hamming"), col("cosine"), col("rank"))
+  }
+
   /** Batch BQ search — Q queries against ONE signature scan. The query
     * relation (small by contract — thousands of probes) broadcasts with
     * its signatures precomputed by the same expression; Hamming scores

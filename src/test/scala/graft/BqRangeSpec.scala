@@ -98,6 +98,37 @@ class BqRangeSpec extends SparkSpec {
       s"query side not broadcast:\n$plan")
   }
 
+  test("federated BQ: single arm == bqSearchStored; query's own shard wins rank 1") {
+    val root = java.nio.file.Files.createTempDirectory("graft_fedspec").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      // identity: one arm over the whole corpus == the stored single-
+      // collection search (same shortlist, same rerank)
+      Similarity.buildBqIndex(store, "all", corpus, "embedding", "vec_id")
+      val fed1 = Similarity.bqSearchFederated(spark, store,
+          Seq(("all", "all", corpus)), "embedding", "vec_id", qv,
+          k = 10, rerank = 4)
+        .select("vec_id", "hamming", "cosine").collect().toSeq
+      val single = Similarity.bqSearchStored(store.read(spark, "all"), corpus,
+        "embedding", "vec_id", qv, k = 10, rerank = 4).collect().toSeq
+      assert(fed1 == single, "one-arm federation diverged from bqSearchStored")
+      // two-arm split including the query vector: its own shard must
+      // surface it at rank 1 with cosine 1.0
+      val c0 = emb.filter(col("vec_id") % 2 === 0)
+      val c1 = emb.filter(col("vec_id") % 2 === 1)
+      Similarity.buildBqIndex(store, "c0", c0, "embedding", "vec_id")
+      Similarity.buildBqIndex(store, "c1", c1, "embedding", "vec_id")
+      val fed = Similarity.bqSearchFederated(spark, store,
+        Seq(("c0", "c0", c0), ("c1", "c1", c1)),
+        "embedding", "vec_id", qv, k = 10, rerank = 4).collect()
+      assert(fed.head.getString(0) == "c0" && fed.head.getLong(1) == 0L &&
+        fed.head.getDouble(3) == 1.0,
+        s"query vector not recovered from its shard: ${fed.head}")
+      assert(fed.map(_.getString(0)).distinct.length == 2,
+        "both shards should contribute to the fused top-10 on this corpus")
+    } finally store.destroy()
+  }
+
   test("range search: probed subset of the exact radius set; nprobe=all equals it") {
     val exactRadius = emb
       .withColumn("cosine", round(cosine(col("embedding"), vecLit(qv)), 6))
