@@ -1305,6 +1305,26 @@ object GraftOracles {
         |  floor(abs(mean_cur - mean_ref) * 1e6 + 0.5) / 1e6 AS shift
         |FROM j ORDER BY pos""".stripMargin,
 
+    // Twin of index_catalog — every per-kind row count re-derived from
+    // the base tables: postings = distinct (term, doc), mutable = live
+    // rows after the delete, vector layouts = corpus cardinality.
+    "index_catalog" ->
+      """WITH tk AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'bq_sigs' AS name, 'bq' AS kind,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_rows
+        |  UNION ALL SELECT 'docs_text', 'text',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM tk)
+        |  UNION ALL SELECT 'ivf_vecs', 'ivf',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+        |  UNION ALL SELECT 'mut_vecs', 'mutable',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id >= 10)
+        |  UNION ALL SELECT 'plain', 'collection',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+        |) ORDER BY name""".stripMargin,
+
     // Twin of ann_federated_search — bqTop10Sql split into two parity-
     // shard arms: per-arm 40-row Hamming shortlists, tagged union, one
     // global exact rerank with (cosine DESC, collection, vec_id) ties.
@@ -2953,6 +2973,22 @@ object GraftOracles {
          |SELECT doc_id, dl, bm25 FROM bm
          |WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 12""".stripMargin,
+
+    // Twin of text_near_search — positions recomputed from the text;
+    // closest co-occurrence of the two terms per doc, window <= 3.
+    "text_near_search" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS tok,
+        |    generate_subscripts(string_split_regex(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents),
+        |a AS (SELECT doc_id, pos FROM tk WHERE tok = 'vector'),
+        |b AS (SELECT doc_id, pos FROM tk WHERE tok = 'spark'),
+        |m AS (SELECT a.doc_id, min(abs(a.pos - b.pos)) AS min_dist
+        |  FROM a JOIN b ON b.doc_id = a.doc_id GROUP BY a.doc_id)
+        |SELECT doc_id, CAST(min_dist AS INT) AS min_dist FROM m
+        |WHERE min_dist <= 3
+        |ORDER BY min_dist, doc_id LIMIT 25""".stripMargin,
 
     // Twin of text_index_stats — document and collection frequencies
     // recomputed from the raw text: the stored postings must hold

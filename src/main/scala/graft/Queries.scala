@@ -467,6 +467,29 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** Store-wide index catalog: five layout families (plain, IVF, BQ,
+    * text postings, mutable) detected from footers/sidecars with their
+    * per-kind row counts — the pre-maintenance audit. Every count
+    * re-derived relationally by the oracle. */
+  val indexCatalog: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      store.create("plain", e.select(col("vec_id"), col("label")))
+      Similarity.buildIvfIndex(store, "ivf_vecs", e, "embedding", "vec_id",
+        ncells = 16)
+      Similarity.buildBqIndex(store, "bq_sigs", e, "embedding", "vec_id")
+      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
+        "text", "doc_id", nBuckets = 8)
+      store.createMutable("mut_vecs", e.select(col("vec_id"), col("label")),
+        "vec_id")
+      store.mutable("mut_vecs").deleteIds(s, (0L until 10L))
+      val out = store.indexCatalog(s).orderBy("name")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** Federated BQ search across two collections (the vec_id parity
     * shards — the time-shard layout in miniature): per-arm stored-
     * signature shortlists, tagged union, one global exact rerank. Query
@@ -3267,6 +3290,20 @@ object GraftQueries {
       .select("doc_id", "rank_kw", "rank_vec", "rrf")
   }
 
+  /** Proximity search on the positional index: docs with 'vector' and
+    * 'spark' within 3 tokens, ranked by closest co-occurrence. Oracle
+    * recomputes positions from the raw text. */
+  val textNearSearch: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_near").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
+        "text", "doc_id", nBuckets = 8)
+      TextIndex.proximitySearch(s, store, "docs_text",
+        termA = "vector", termB = "spark", maxDist = 3, k = 25)
+    } finally store.destroy()
+  }
+
   /** Stored-text-index content audit: top-20 terms by df with cf, read
     * off the postings layout; the oracle recomputes both frequencies
     * from the raw corpus text. */
@@ -3529,6 +3566,7 @@ object GraftQueries {
     "ann_bq_store" -> annBqStore,
     "ann_bq_batch" -> annBqBatch,
     "ann_federated_search" -> annFederatedSearch,
+    "index_catalog" -> indexCatalog,
     "ann_ivf_stats" -> annIvfStats,
     "embedding_drift" -> embeddingDrift,
     "ann_ivf_store" -> annIvfStore,
@@ -3668,6 +3706,7 @@ object GraftQueries {
     "streaming_text_ingest" -> streamingTextIngest,
     "text_phrase_search" -> textPhraseSearch,
     "text_index_stats" -> textIndexStats,
+    "text_near_search" -> textNearSearch,
     "q41_cohort_retention" -> q41CohortRetention,
     "pipeline_mix_report" -> pipelineMixReport,
     "q42_map_metadata" -> q42MapMetadata,

@@ -141,6 +141,35 @@ final case class VectorStore(root: String) {
   def count(spark: SparkSession, name: String): Long =
     readCurrent(spark, name).count()
 
+  /** Ops inventory — every collection with its detected layout FAMILY
+    * and current row count (live rows for mutable collections): the
+    * "what indexes do I have" audit a store of hundreds of collections
+    * needs before any maintenance window. Detection reads only schema
+    * footers and `_`-sidecars, never data pages; the count is the
+    * [[count]] semantics per kind. Kinds: `text` (postings sidecar),
+    * `mutable` (version marker), `graph` (adjacency column), `bq`
+    * (signature relation), `ivf_pq`/`ivf_sq`/`ivf` (cell-partitioned
+    * codes/vectors), `collection` (plain relation). */
+  def indexCatalog(spark: SparkSession): DataFrame = {
+    val rows = list().sorted.map { name =>
+      val fields = read(spark, name).schema.fieldNames.toSet
+      val kind =
+        if (sfs.readProps(s"${path(name)}/${VectorStore.TextIndexPropsFile}")
+          .isDefined) "text"
+        else if (MutableCollection.Marker.read(path(name)).isDefined) "mutable"
+        else if (fields.contains("neighbors")) "graph"
+        else if (fields.contains("bq_lo")) "bq"
+        else if (fields.contains("pq_code")) "ivf_pq"
+        else if (fields.contains("sq_code")) "ivf_sq"
+        else if (fields.contains("cell_id")) "ivf"
+        else "collection"
+      (name, kind, count(spark, name))
+    }
+    import spark.implicits._
+    // n_rows, not "rows": the gate's oracle engine reserves ROWS
+    rows.toDF("name", "kind", "n_rows")
+  }
+
   /** Crash recovery for the compaction swap: a death between the two
     * renames leaves the data ONLY under `name__old` (which list()
     * filters out — the collection would silently vanish). Detect the
@@ -376,6 +405,13 @@ final case class VectorStore(root: String) {
 }
 
 object VectorStore {
+  /** The text-index sidecar name — defined HERE (store owns layout
+    * contracts; graft.text depends on graft.store, never the reverse)
+    * and aliased by [[graft.text.TextIndex.PropsFile]]. The catalog
+    * uses it to recognize postings layouts without importing the
+    * text package. */
+  val TextIndexPropsFile = "_text_index.properties"
+
   /** Tenant/database addressing (the Chroma Cloud client shape —
     * `CloudClient(tenant=..., database=...)`,
     * /root/reference/src/ChromaCloudIngester.py:31-32, and

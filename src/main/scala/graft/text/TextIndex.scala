@@ -50,8 +50,9 @@ import graft.store.{StoreFs, VectorStore}
   */
 object TextIndex {
 
-  /** Sidecar file name (`_`-prefixed: invisible to Spark listings). */
-  private[graft] val PropsFile = "_text_index.properties"
+  /** Sidecar file name (`_`-prefixed: invisible to Spark listings);
+    * owned by the store layer so the catalog can detect the layout. */
+  private[graft] val PropsFile = VectorStore.TextIndexPropsFile
 
   /** The one tokenizer ([[TextAnalysis.tokens]]) — build and the inline
     * scorer cannot drift. Exposed to the streaming sink so the postings
@@ -243,6 +244,35 @@ object TextIndex {
         .filter(col("_nslots") === phrase.length)
         .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
         .orderBy(col("n_matches").desc, col("doc_id"))
+        .limit(k)
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally pruned.unpersist()
+  }
+
+  /** Proximity search over the positional postings: documents where
+    * `termA` and `termB` occur within `maxDist` tokens of each other
+    * (either order), ranked by their closest co-occurrence. Same
+    * bucket-pruned posting fetch as [[phraseSearch]]; the per-doc join
+    * of the two position lists is bounded by the terms' occurrence
+    * counts, never the corpus. */
+  def proximitySearch(spark: SparkSession, store: VectorStore, name: String,
+                      termA: String, termB: String, maxDist: Int,
+                      k: Int): DataFrame = {
+    require(termA != termB, "proximitySearch: distinct terms required")
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    requireQuiescent(readState(store, name), name, "proximitySearch")
+    val pruned = prunedPostings(spark, store, name, Seq(termA, termB))
+      .select("term", "doc_id", "positions")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def side(t: String, c: String) = pruned.filter(col("term") === lit(t))
+        .select(col("doc_id"), explode(col("positions")).as(c))
+      val out = side(termA, "_pa").join(side(termB, "_pb"), Seq("doc_id"))
+        .select(col("doc_id"), abs(col("_pa") - col("_pb")).as("_d"))
+        .groupBy("doc_id").agg(min(col("_d")).as("min_dist"))
+        .filter(col("min_dist") <= maxDist)
+        .orderBy(col("min_dist"), col("doc_id"))
         .limit(k)
       val rows = out.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)

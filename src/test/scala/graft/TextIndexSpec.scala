@@ -188,6 +188,53 @@ class TextIndexSpec extends SparkSpec {
     } finally { store.destroy(); storeFull.destroy() }
   }
 
+  test("index catalog detects every layout family") {
+    import graft.operators.{Clustering, GraphAnn, Similarity}
+    val store = newStore()
+    try {
+      val e = Tables.embeddings(spark, sf)
+      store.create("plain", e.select(col("vec_id"), col("label")))
+      Similarity.buildIvfIndex(store, "v_ivf", e, "embedding", "vec_id", ncells = 8)
+      Similarity.buildBqIndex(store, "v_bq", e, "embedding", "vec_id")
+      Similarity.buildIvfPqIndex(store, "v_pq", e, "embedding", "vec_id", ncells = 8)
+      Similarity.buildIvfSqIndex(store, "v_sq", e, "embedding", "vec_id")
+      val cents = Clustering.trainCentroids(e, 8, 2)
+      val (g, _) = GraphAnn.buildGraph(e, "embedding", "vec_id", ncells = 8,
+        m = 8, centroids = Some(cents))
+      store.create("v_graph", g.toDF(), partitionBy = Seq("cell_id"))
+      TextIndex.buildTextIndex(store, "v_text", docs, "text", "doc_id", nBuckets = 4)
+      store.createMutable("v_mut", e.select(col("vec_id"), col("label")), "vec_id")
+      val kinds = store.indexCatalog(spark).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(kinds == Map("plain" -> "collection", "v_ivf" -> "ivf",
+        "v_bq" -> "bq", "v_pq" -> "ivf_pq", "v_sq" -> "ivf_sq",
+        "v_graph" -> "graph", "v_text" -> "text", "v_mut" -> "mutable"),
+        s"misdetected: $kinds")
+    } finally store.destroy()
+  }
+
+  test("proximity search == direct token differential") {
+    import org.apache.spark.sql.functions.{abs, min, posexplode, lit}
+    val store = newStore()
+    try {
+      TextIndex.buildTextIndex(store, "ti", docs, "text", "doc_id", nBuckets = 8)
+      val got = TextIndex.proximitySearch(spark, store, "ti",
+          "vector", "spark", maxDist = 4, k = 500)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val toks = docs.select(col("doc_id"),
+        posexplode(graft.text.TextAnalysis.tokens(col("text"))).as(Seq("pos", "tok")))
+      val want = toks.filter(col("tok") === lit("vector"))
+        .select(col("doc_id"), col("pos").as("pa"))
+        .join(toks.filter(col("tok") === lit("spark"))
+          .select(col("doc_id"), col("pos").as("pb")), Seq("doc_id"))
+        .groupBy("doc_id").agg(min(abs(col("pa") - col("pb"))).as("d"))
+        .filter(col("d") <= 4)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(got == want)
+      assert(got.nonEmpty, "proximity fixture matched nothing")
+    } finally store.destroy()
+  }
+
   test("append refuses existing doc ids; search refuses a non-index collection") {
     val store = newStore()
     try {
