@@ -1305,6 +1305,56 @@ object GraftOracles {
         |  floor(abs(mean_cur - mean_ref) * 1e6 + 0.5) / 1e6 AS shift
         |FROM j ORDER BY pos""".stripMargin,
 
+    // Twins of ann_search_auto / ann_search_auto_bq — the chosen family
+    // is a literal under the hash: picking the wrong index would both
+    // mismatch the tag and (in general) the rows.
+    "ann_search_auto" ->
+      s"""WITH ${simIvfCte(16, 3)},
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pqd AS (SELECT c.cid, list_sum(list_transform(range(1,65),
+         |    i -> (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |       * (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM sc3 c CROSS JOIN q),
+         |probe AS (SELECT cid FROM pqd ORDER BY dr, cid LIMIT 4),
+         |vsc AS (SELECT s.vec_id, round(
+         |    list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE)) /
+         |    sqrt(list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * s.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |         list_sum(list_transform(range(1,65), i -> q.qe[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+         |  FROM scellf s CROSS JOIN q
+         |  WHERE s.cid IN (SELECT cid FROM probe))
+         |SELECT vec_id, cosine, rank, 'ivf' AS index_kind FROM (
+         |  SELECT vec_id, cosine,
+         |    row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM vsc)
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
+    "ann_search_auto_bq" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qs AS (SELECT
+        |    CAST(list_sum(list_transform(range(1,33), i ->
+        |      CASE WHEN qv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS qlo,
+        |    CAST(list_sum(list_transform(range(33,65), i ->
+        |      CASE WHEN qv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS qhi
+        |  FROM q),
+        |sig AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1,33), i ->
+        |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(33,65), i ->
+        |      CASE WHEN embedding[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM embeddings),
+        |short AS (SELECT s.vec_id,
+        |    CAST(bit_count(xor(s.lo, t.qlo)) + bit_count(xor(s.hi, t.qhi)) AS INT) AS hamming
+        |  FROM sig s CROSS JOIN qs t
+        |  ORDER BY hamming, vec_id LIMIT 40),
+        |resc AS (SELECT sh.vec_id, round(
+        |    list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE)) /
+        |    sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * e.embedding[CAST(i AS INT)]::DOUBLE)) *
+        |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+        |  FROM short sh JOIN embeddings e USING (vec_id) CROSS JOIN q)
+        |SELECT vec_id, cosine, rank, 'bq' AS index_kind FROM (
+        |  SELECT vec_id, cosine,
+        |    row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM resc)
+        |WHERE rank <= 10 ORDER BY rank""".stripMargin,
+
     // Twin of index_catalog — every per-kind row count re-derived from
     // the base tables: postings = distinct (term, doc), mutable = live
     // rows after the delete, vector layouts = corpus cardinality.

@@ -467,6 +467,35 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  private def searchAutoAt(s: SparkSession, d: String,
+                           buildIvf: Boolean): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft_auto").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      Similarity.buildBqIndex(store, "bq_sigs", e, "embedding", "vec_id")
+      if (buildIvf)
+        Similarity.buildIvfIndex(store, "ivf_vecs", e, "embedding", "vec_id",
+          ncells = 16)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val out = Similarity.searchAuto(s, store,
+        (if (buildIvf) Seq("bq_sigs", "ivf_vecs") else Seq("bq_sigs")),
+        e, "embedding", "vec_id", qv, k = 10, nprobe = 4, rerank = 4)
+        .orderBy("rank")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
+  /** Auto index selection with a self-describing IVF layout available:
+    * the planner must pick the partition-pruned probe (index_kind='ivf'
+    * under the hash) and read the router from the sidecar alone. */
+  val annSearchAuto: Q = (s, d) => searchAutoAt(s, d, buildIvf = true)
+
+  /** Auto index selection with only a BQ signature layout: the planner
+    * must fall through to the Hamming pre-rank (index_kind='bq'). */
+  val annSearchAutoBq: Q = (s, d) => searchAutoAt(s, d, buildIvf = false)
+
   /** Store-wide index catalog: five layout families (plain, IVF, BQ,
     * text postings, mutable) detected from footers/sidecars with their
     * per-kind row counts — the pre-maintenance audit. Every count
@@ -3567,6 +3596,8 @@ object GraftQueries {
     "ann_bq_batch" -> annBqBatch,
     "ann_federated_search" -> annFederatedSearch,
     "index_catalog" -> indexCatalog,
+    "ann_search_auto" -> annSearchAuto,
+    "ann_search_auto_bq" -> annSearchAutoBq,
     "ann_ivf_stats" -> annIvfStats,
     "embedding_drift" -> embeddingDrift,
     "ann_ivf_store" -> annIvfStore,

@@ -144,7 +144,102 @@ object Similarity {
                     sampleCap: Int = 100000): Array[(Int, Array[Float])] = {
     val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters, sampleCap)
     store.create(name, withCellId(collection, vecCol, cents), partitionBy = Seq("cell_id"))
+    // the index is self-describing: the frozen router travels with it
+    writeStoredRouter(store, name, cents)
     cents
+  }
+
+  // ------------------------------------ self-describing stored router
+
+  /** Router sidecar for the IMMUTABLE stored-IVF tier (the mutable tier
+    * has its own under `operators/MutableIvf` with collection-binding
+    * extras). Persisting the quantizer WITH the index makes the layout
+    * self-describing: any session searches it from the store alone — no
+    * [[graft.plans.AnnCatalog]] registration, no retrain, exactly like
+    * a FAISS index file carries its own coarse quantizer. */
+  private val RouterFile = "_ivf_router.properties"
+
+  private[graft] def writeStoredRouter(store: graft.store.VectorStore,
+                                       name: String,
+                                       cents: Array[(Int, Array[Float])]): Unit = {
+    val props = new java.util.Properties()
+    cents.foreach { case (cid, c) =>
+      // Float.toString round-trips exactly — the persisted router
+      // reproduces build-time assignment bit for bit
+      props.setProperty(s"cell.$cid", c.map(_.toString).mkString(","))
+    }
+    graft.store.StoreFs.forPath(store.root).writePropsAtomic(
+      s"${store.root}/$name/$RouterFile", props, "graft stored-ivf router")
+  }
+
+  /** The persisted router, or None when the layout carries none. */
+  def readStoredRouter(store: graft.store.VectorStore,
+                       name: String): Option[Array[(Int, Array[Float])]] =
+    graft.store.StoreFs.forPath(store.root)
+      .readProps(s"${store.root}/$name/$RouterFile")
+      .map { props =>
+        import scala.jdk.CollectionConverters._
+        props.stringPropertyNames().asScala.toSeq
+          .filter(_.startsWith("cell."))
+          .map(key => (key.stripPrefix("cell.").toInt,
+            props.getProperty(key).split(",").map(_.toFloat)))
+          .sortBy(_._1).toArray
+      }
+
+  /** Index-aware auto search — the planner verb: given candidate stored
+    * layouts, pick the strongest family available for a cosine top-k
+    * and run it, tagging the output with the chosen index. Priority:
+    * self-describing IVF (partition-pruned probe — reads nprobe/ncells
+    * of the files) > BQ signatures (16-byte Hamming pre-rank + bounded
+    * exact rerank — full scan but constant bytes/vector) > exact
+    * broadcast scan. Detection reads footers and sidecars only. All
+    * three paths rank by (rounded cosine desc, id), so the choice
+    * changes cost and recall, never the ranking rule. */
+  def searchAuto(spark: org.apache.spark.sql.SparkSession,
+                 store: graft.store.VectorStore, candidates: Seq[String],
+                 collection: DataFrame, vecCol: String, idCol: String,
+                 qv: Array[Float], k: Int = 10, nprobe: Int = 4,
+                 rerank: Int = 4): DataFrame = {
+    val kinds = candidates.map { n =>
+      val fields = store.read(spark, n).schema.fieldNames.toSet
+      val kind =
+        if (fields.contains("cell_id") && readStoredRouter(store, n).isDefined)
+          "ivf"
+        else if (fields.contains("bq_lo")) "bq"
+        else "other"
+      n -> kind
+    }
+    val w = Window.orderBy(col("cosine").desc, col(idCol))
+    // index_kind, not "index": reserved in the gate's oracle engine
+    def finish(scored: DataFrame, tag: String): DataFrame = scored
+      .orderBy(col("cosine").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("index_kind", lit(tag))
+      .select(col(idCol), col("cosine"), col("rank"), col("index_kind"))
+    kinds.collectFirst { case (n, "ivf") => n } match {
+      case Some(n) =>
+        val cents = readStoredRouter(store, n).get
+        val probed = cents.map { case (id, c) =>
+          var acc = 0.0
+          var i = 0
+          val len = math.min(qv.length, c.length)
+          while (i < len) { val d = qv(i).toDouble - c(i); acc += d * d; i += 1 }
+          (acc, id)
+        }.sortBy(p => (p._1, p._2)).take(nprobe).map(_._2).toSeq
+        finish(store.read(spark, n)
+          .filter(col("cell_id").isin(probed.map(Int.box): _*))
+          .withColumn("cosine", round(cosine(col(vecCol), vecLit(qv)), 6)),
+          "ivf")
+      case None => kinds.collectFirst { case (n, "bq") => n } match {
+        case Some(n) =>
+          finish(bqSearchStored(store.read(spark, n), collection, vecCol,
+            idCol, qv, k = k, rerank = rerank).drop("hamming"), "bq")
+        case None =>
+          finish(collection
+            .withColumn("cosine", round(cosine(col(vecCol), vecLit(qv)), 6)),
+            "exact")
+      }
+    }
   }
 
   /** Incremental maintenance of a STORED IVF-flat index — the nightly
@@ -201,6 +296,8 @@ object Similarity {
     val data = store.read(spark, name).drop("cell_id")
     val cents = trainCentroidArrays(data, vecCol, idCol, ncells, trainIters, sampleCap)
     store.replace(name, withCellId(data, vecCol, cents), partitionBy = Seq("cell_id"))
+    // the router CHANGED — re-persist so the layout stays self-describing
+    writeStoredRouter(store, name, cents)
     cents
   }
 

@@ -1181,6 +1181,41 @@ class AnnProbeSpec extends SparkSpec {
       s"raising the threshold above the ~50% match fraction (n=$n) must re-select pre")
   }
 
+  test("stored router round-trips float-exact; searchAuto picks by family priority") {
+    val root = java.nio.file.Files.createTempDirectory("ivf_router_spec").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      val e = Tables.embeddings(spark, sf)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      // exact fallback: no index at all
+      store.create("plain", e.select(col("vec_id"), col("label")))
+      val exact = Similarity.searchAuto(spark, store, Seq("plain"), e,
+        "embedding", "vec_id", qv, k = 5, nprobe = 2)
+      assert(exact.collect().forall(_.getString(3) == "exact"))
+      // bq only -> bq
+      Similarity.buildBqIndex(store, "bq", e, "embedding", "vec_id")
+      val viaBq = Similarity.searchAuto(spark, store, Seq("plain", "bq"), e,
+        "embedding", "vec_id", qv, k = 5, nprobe = 2)
+      assert(viaBq.collect().forall(_.getString(3) == "bq"))
+      // ivf present -> ivf wins; the persisted router IS the build router
+      val cents = Similarity.buildIvfIndex(store, "ivf", e, "embedding",
+        "vec_id", ncells = 8)
+      val persisted = Similarity.readStoredRouter(store, "ivf").get
+      assert(persisted.length == cents.length &&
+        persisted.zip(cents).forall { case ((i1, c1), (i2, c2)) =>
+          i1 == i2 && c1.sameElements(c2) },
+        "persisted router is not bit-identical to the build router")
+      val viaIvf = Similarity.searchAuto(spark, store,
+        Seq("plain", "bq", "ivf"), e, "embedding", "vec_id", qv,
+        k = 5, nprobe = 2)
+      val rows = viaIvf.collect()
+      assert(rows.forall(_.getString(3) == "ivf"))
+      // query vector's own cell survives the probe -> vec 0 at rank 1
+      assert(rows.head.getLong(0) == 0L && rows.head.getDouble(1) == 1.0)
+    } finally store.destroy()
+  }
+
   test("recall report: monotone in nprobe; probing every cell is exact") {
     val e = Tables.embeddings(spark, sf)
     val q = e.filter(col("vec_id") < 3)
