@@ -159,6 +159,14 @@ object TextIndex {
     val r = store.read(docs.sparkSession, name)
       .select("doc_id", "dl").distinct()
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+    // duplicate doc ids would have written duplicate postings and
+    // inflated every df — refuse rather than serve silently-skewed idf
+    // (every doc yields >= 1 posting — the empty string tokenizes to
+    // one empty token — so distinct-postings-docs == distinct input ids)
+    val inCount = docs.count()
+    require(inCount == r.getLong(0),
+      s"buildTextIndex: corpus has ${inCount - r.getLong(0)} duplicate " +
+        s"'$idCol' value(s) — ids must be unique")
     writeState(store, name,
       IndexState(r.getLong(0), r.getLong(1), nBuckets, -1L, None))
   }
@@ -172,12 +180,15 @@ object TextIndex {
                           textCol: String, idCol: String): Unit = {
     val st = readState(store, name)
     requireQuiescent(st, name, "insertIntoTextIndex")
+    // contract runs on the RAW batch ids: the postings' grouped doc_id
+    // would collapse an in-batch duplicate and slip it past the
+    // uniqueness half of the check
+    graft.operators.AppendContract.requireNewUniqueIds(
+      store, name, batch.select(col(idCol).as("doc_id")), "doc_id",
+      "insertIntoTextIndex")
     val posts = postingsOf(batch, textCol, idCol, st.nBuckets)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      graft.operators.AppendContract.requireNewUniqueIds(
-        store, name, posts.select("doc_id").distinct(), "doc_id",
-        "insertIntoTextIndex")
       store.append(name, posts, partitionBy = Seq("bucket"))
       val r = posts.select("doc_id", "dl").distinct()
         .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head

@@ -243,6 +243,21 @@ class TextIndexSpec extends SparkSpec {
         TextIndex.insertIntoTextIndex(store, "ti", docs.limit(5), "text", "doc_id")
       }
       assert(ex.getMessage.contains("append semantics"))
+      // in-batch duplicate NEW ids refuse too (raw-batch contract — the
+      // grouped postings would have collapsed the duplicate silently)
+      val fresh = docs.limit(1).withColumn("doc_id", lit(999999L))
+      val exDup = intercept[IllegalArgumentException] {
+        TextIndex.insertIntoTextIndex(store, "ti",
+          fresh.unionByName(fresh), "text", "doc_id")
+      }
+      assert(exDup.getMessage.contains("duplicate"))
+      // a build over a corpus with duplicate ids refuses outright
+      val exBuild = intercept[IllegalArgumentException] {
+        TextIndex.buildTextIndex(store, "ti_dup",
+          docs.limit(3).unionByName(docs.limit(3)), "text", "doc_id",
+          nBuckets = 4)
+      }
+      assert(exBuild.getMessage.contains("duplicate"))
       store.create("plain", docs.limit(10))
       val ex2 = intercept[IllegalStateException] {
         TextIndex.bm25SearchStored(spark, store, "plain", Seq("join"), k = 5)
