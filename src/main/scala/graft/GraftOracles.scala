@@ -567,7 +567,7 @@ object GraftOracles {
 
   /** [[bm25CteFor]] without the leading WITH — for composition with
     * other CTE bodies (the stored hybrid twin). */
-  private def bm25BodyFor(terms: Seq[String]): String = {
+  private def bm25BodyFor(terms: Seq[String], p: String = ""): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x = '$t')) AS BIGINT) AS tf$i"
     }.mkString(",\n")
@@ -577,20 +577,20 @@ object GraftOracles {
     val scoreTerms = terms.indices.map { i =>
       s"ln((n - df$i + 0.5) / (df$i + 0.5) + 1.0) * (CAST(tf$i AS DOUBLE) * 2.2) / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / n)))"
     }.mkString("\n    + ")
-    s"""d AS (
+    s"""${p}d AS (
        |  SELECT doc_id,
        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS dl,
        |$tfCols
        |  FROM documents),
-       |s AS (
+       |${p}s AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
        |$dfCols
-       |  FROM d),
-       |bm AS (
+       |  FROM ${p}d),
+       |${p}bm AS (
        |  SELECT doc_id, dl, floor((
        |      $scoreTerms
        |    ) * 1e4 + 0.5) / 1e4 AS bm25
-       |  FROM d, s)""".stripMargin
+       |  FROM ${p}d, ${p}s)""".stripMargin
   }
 
   /** Shared BM25 corpus CTE (terms hash/merge/window/stream) — used by
@@ -3023,6 +3023,38 @@ object GraftOracles {
          |SELECT doc_id, dl, bm25 FROM bm
          |WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 12""".stripMargin,
+
+    // Twin of text_bm25_batch — two prefixed CTE sets (one per query),
+    // top-10 each, union tagged by q_id: the shared-scan batching must
+    // be invisible next to two independent corpus computations.
+    "text_bm25_batch" ->
+      s"""WITH ${bm25BodyFor(Seq("filter", "vector", "sort"), "qa")},
+         |${bm25BodyFor(Seq("join", "query"), "qb")}
+         |SELECT * FROM (
+         |  SELECT 'q0' AS q_id, doc_id, dl, bm25 FROM qabm
+         |  WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10)
+         |UNION ALL
+         |SELECT * FROM (
+         |  SELECT 'q1' AS q_id, doc_id, dl, bm25 FROM qbbm
+         |  WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10)
+         |ORDER BY q_id, bm25 DESC, doc_id""".stripMargin,
+
+    // Twin of text_boolean_search — set algebra on distinct (doc, term)
+    // membership recomputed from the text: INTERSECT the musts, EXCEPT
+    // the must-nots, count should-hits.
+    "text_boolean_search" ->
+      """WITH tk AS (SELECT DISTINCT doc_id,
+        |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS t
+        |  FROM documents),
+        |base AS (
+        |  SELECT doc_id FROM tk WHERE t = 'join'
+        |  INTERSECT SELECT doc_id FROM tk WHERE t = 'filter'
+        |  EXCEPT SELECT doc_id FROM tk WHERE t = 'slow'),
+        |sh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_should FROM tk
+        |  WHERE t IN ('vector', 'spark', 'sort') GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(coalesce(sh.n_should, 0) AS BIGINT) AS n_should
+        |FROM base b LEFT JOIN sh USING (doc_id)
+        |ORDER BY n_should DESC, doc_id LIMIT 20""".stripMargin,
 
     // Twin of text_near_search — positions recomputed from the text;
     // closest co-occurrence of the two terms per doc, window <= 3.

@@ -3333,6 +3333,37 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** Batch BM25 on the stored text index: two independent term-set
+    * queries off one pruned posting fetch; per-query rows must equal
+    * separate single-query searches — which is exactly the two-CTE-set
+    * oracle. */
+  val textBm25Batch: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25b").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
+        "text", "doc_id", nBuckets = 8)
+      TextIndex.bm25SearchStoredMany(s, store, "docs_text",
+        queries = Seq("q0" -> Seq("filter", "vector", "sort"),
+          "q1" -> Seq("join", "query")), k = 10)
+    } finally store.destroy()
+  }
+
+  /** Boolean retrieval on the text index: must-have join+filter, rank
+    * by should-hits over {vector, spark, sort}, exclude docs with
+    * 'slow'. Index-only — absence decidable from pruned buckets. */
+  val textBooleanSearch: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_bool").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
+        "text", "doc_id", nBuckets = 8)
+      TextIndex.booleanSearch(s, store, "docs_text",
+        must = Seq("join", "filter"), should = Seq("vector", "spark", "sort"),
+        mustNot = Seq("slow"), k = 20)
+    } finally store.destroy()
+  }
+
   /** Stored-text-index content audit: top-20 terms by df with cf, read
     * off the postings layout; the oracle recomputes both frequencies
     * from the raw corpus text. */
@@ -3738,6 +3769,8 @@ object GraftQueries {
     "text_phrase_search" -> textPhraseSearch,
     "text_index_stats" -> textIndexStats,
     "text_near_search" -> textNearSearch,
+    "text_boolean_search" -> textBooleanSearch,
+    "text_bm25_batch" -> textBm25Batch,
     "q41_cohort_retention" -> q41CohortRetention,
     "pipeline_mix_report" -> pipelineMixReport,
     "q42_map_metadata" -> q42MapMetadata,

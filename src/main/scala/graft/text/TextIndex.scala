@@ -210,6 +210,53 @@ object TextIndex {
         col("term").isin(terms: _*))
   }
 
+  /** Boolean retrieval over the postings — the must/should/must-not
+    * query form, index-only: a doc qualifies when it holds a posting
+    * for EVERY `must` term and for NO `mustNot` term; qualifying docs
+    * rank by how many `should` terms they also hold (then doc id).
+    * Absence of a mustNot term IS decidable from the pruned scan — all
+    * of a term's postings live in its bucket, so "no posting fetched"
+    * means "term absent". Scan cost: the buckets of the mentioned
+    * terms; the shuffle carries one slim row per (involved term, doc).
+    */
+  def booleanSearch(spark: SparkSession, store: VectorStore, name: String,
+                    must: Seq[String], should: Seq[String] = Nil,
+                    mustNot: Seq[String] = Nil, k: Int = 10): DataFrame = {
+    require(must.nonEmpty, "booleanSearch: at least one must term")
+    val overlap = (must ++ should).toSet.intersect(mustNot.toSet)
+    require(overlap.isEmpty, s"booleanSearch: terms both required and " +
+      s"excluded: ${overlap.mkString(", ")}")
+    requireQuiescent(readState(store, name), name, "booleanSearch")
+    val all = (must ++ should ++ mustNot).distinct
+    val pruned = prunedPostings(spark, store, name, all)
+      .select("term", "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def docsWith(t: String) = pruned.filter(col("term") === lit(t))
+        .select("doc_id")
+      val qualified = must.map(docsWith).reduce(_.join(_, Seq("doc_id")))
+        .distinct()
+      val excluded = mustNot.map(docsWith)
+        .reduceOption(_ unionByName _)
+      val base = excluded.fold(qualified)(ex =>
+        qualified.join(ex.distinct(), Seq("doc_id"), "left_anti"))
+      val out = (if (should.isEmpty)
+        base.withColumn("n_should", lit(0L))
+      else {
+        // distinct terms: a repeated should term must not double-count
+        val hits = should.distinct.map(docsWith).reduce(_ unionByName _)
+        base.join(hits.groupBy("doc_id").agg(count(lit(1)).as("n_should")),
+            Seq("doc_id"), "left")
+          .withColumn("n_should", coalesce(col("n_should"), lit(0L)))
+      })
+        .orderBy(col("n_should").desc, col("doc_id"))
+        .limit(k)
+        .select("doc_id", "n_should")
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally pruned.unpersist()
+  }
+
   /** Ops view of the stored index: the top terms by document frequency
     * with their collection frequencies, straight off the postings (one
     * column-pruned scan, partial-agg shuffle on term). The stored
@@ -312,30 +359,76 @@ object TextIndex {
       // (the bm25TopK stats discipline)
       val dfByTerm = pruned.groupBy("term").agg(count(lit(1)).as("df"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val avgdl = lit(sumDl).cast("double") / lit(n)
-      // singleton-max pivot (each (term, doc) appears once) + fixed
-      // term-order re-assembly: float addition order matches the inline
-      // expression tree and the oracle, bit for bit
-      val perTerm = terms.zipWithIndex.map { case (t, i) =>
-        max(when(col("term") === lit(t), col("tf"))).as(s"_tf$i")
-      }
-      val pivoted = pruned.groupBy("doc_id")
-        .agg(max(col("dl")).as("dl"), perTerm: _*)
-      val score = terms.zipWithIndex.map { case (t, i) =>
-        val dfT = lit(dfByTerm.getOrElse(t, 0L))
-        val tf = coalesce(col(s"_tf$i"), lit(0L)).cast("double")
-        val idf = log((lit(n) - dfT + 0.5) / (dfT + 0.5) + 1.0)
-        idf * (tf * lit(k1 + 1.0)) /
-          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
-      }.reduce(_ + _)
-      val topk = pivoted
-        .withColumn("bm25", floor(score * 1e4 + 0.5) / 1e4)
-        .filter(col("bm25") > 0)
-        .orderBy(col("bm25").desc, col("doc_id"))
-        .limit(k)
-        .select(col("doc_id"), col("dl"), col("bm25"))
+      val topk = bm25TopkOff(pruned, terms, st0.nDocs, st0.sumDl, dfByTerm,
+        k, k1, b)
       val rows = topk.collect()
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), topk.schema)
+    } finally pruned.unpersist()
+  }
+
+  /** The scoring stage shared by the single and batch stored searches:
+    * singleton-max pivot (each (term, doc) appears once) + FIXED
+    * term-order re-assembly so float addition matches the inline
+    * expression tree and the oracle bit for bit; corpus stats and df
+    * inlined as literals. `pruned` may carry postings of OTHER queries'
+    * terms — their docs score exactly 0.0 and fall to the bm25 > 0
+    * filter (the Lucene +1 idf is strictly positive, so any doc with a
+    * real term hit survives). */
+  private def bm25TopkOff(pruned: DataFrame, terms: Seq[String],
+                          n: Long, sumDl: Long, dfByTerm: Map[String, Long],
+                          k: Int, k1: Double, b: Double): DataFrame = {
+    val avgdl = lit(sumDl).cast("double") / lit(n)
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === lit(t), col("tf"))).as(s"_tf$i")
+    }
+    val pivoted = pruned.groupBy("doc_id")
+      .agg(max(col("dl")).as("dl"), perTerm: _*)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val dfT = lit(dfByTerm.getOrElse(t, 0L))
+      val tf = coalesce(col(s"_tf$i"), lit(0L)).cast("double")
+      val idf = log((lit(n) - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduce(_ + _)
+    pivoted
+      .withColumn("bm25", floor(score * 1e4 + 0.5) / 1e4)
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("dl"), col("bm25"))
+  }
+
+  /** Batch BM25: Q independent term-set queries amortized onto ONE
+    * pruned posting fetch (the union of every query's terms' buckets)
+    * and one |allTerms|-row df collect — the per-query scoring jobs all
+    * run off the shared cached slice. Per-query rows are identical to
+    * [[bm25SearchStored]] run separately (spec-pinned): the shared scan
+    * changes cost, never content. */
+  def bm25SearchStoredMany(spark: SparkSession, store: VectorStore,
+                           name: String, queries: Seq[(String, Seq[String])],
+                           k: Int, k1: Double = 1.2,
+                           b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "bm25SearchStoredMany: every query needs a non-empty term set")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "bm25SearchStoredMany: duplicate query ids")
+    val st0 = readState(store, name)
+    requireQuiescent(st0, name, "bm25SearchStoredMany")
+    val allTerms = queries.flatMap(_._2).distinct
+    val pruned = prunedPostings(spark, store, name, allTerms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfByTerm = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val per = queries.map { case (qid, terms) =>
+        bm25TopkOff(pruned, terms, st0.nDocs, st0.sumDl, dfByTerm, k, k1, b)
+          .withColumn("q_id", lit(qid))
+          .select("q_id", "doc_id", "dl", "bm25")
+      }
+      val out = per.reduce(_ unionByName _)
+        .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally pruned.unpersist()
   }
 }

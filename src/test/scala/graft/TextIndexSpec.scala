@@ -188,6 +188,47 @@ class TextIndexSpec extends SparkSpec {
     } finally { store.destroy(); storeFull.destroy() }
   }
 
+  test("boolean search == set-algebra differential; batch BM25 == singles") {
+    import org.apache.spark.sql.functions.{countDistinct, explode}
+    val store = newStore()
+    try {
+      TextIndex.buildTextIndex(store, "ti", docs, "text", "doc_id", nBuckets = 8)
+      // boolean differential straight off the tokens
+      val membership = docs.select(col("doc_id"),
+          explode(graft.text.TextAnalysis.tokens(col("text"))).as("t"))
+        .distinct()
+      def docsOf(t: String) = membership.filter(col("t") === t)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      val want = ((docsOf("join") intersect docsOf("filter")) diff docsOf("slow"))
+        .map { d =>
+          d -> Seq("vector", "spark", "sort").count(t => docsOf(t).contains(d)).toLong
+        }.toMap
+      val got = TextIndex.booleanSearch(spark, store, "ti",
+          must = Seq("join", "filter"), should = Seq("vector", "spark", "sort"),
+          mustNot = Seq("slow"), k = 1000)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, "boolean search diverged from set algebra")
+      assert(got.nonEmpty)
+      // overlapping must/mustNot refuses
+      intercept[IllegalArgumentException] {
+        TextIndex.booleanSearch(spark, store, "ti", must = Seq("join"),
+          mustNot = Seq("join"))
+      }
+      // batch == singles, query by query
+      val batch = TextIndex.bm25SearchStoredMany(spark, store, "ti",
+        Seq("x" -> Seq("filter", "vector"), "y" -> Seq("join", "nosuch")),
+        k = 8).collect()
+      val singles = Seq("x" -> Seq("filter", "vector"), "y" -> Seq("join", "nosuch"))
+        .flatMap { case (qid, terms) =>
+          TextIndex.bm25SearchStored(spark, store, "ti", terms, k = 8)
+            .collect().map(r => (qid, r.getLong(0), r.getLong(1), r.getDouble(2)))
+        }
+      assert(batch.map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSeq == singles,
+        "batched BM25 diverged from single-query searches")
+    } finally store.destroy()
+  }
+
   test("index catalog detects every layout family") {
     import graft.operators.{Clustering, GraphAnn, Similarity}
     val store = newStore()
