@@ -3024,6 +3024,27 @@ object GraftOracles {
          |WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 12""".stripMargin,
 
+    // Twin of text_snippets — BM25 top-10, first term position and the
+    // ±3-token excerpt recomputed from the raw text (1-based inclusive
+    // slicing on both engines).
+    "text_snippets" ->
+      s"""${bm25CteFor(Seq("merge", "stream"))},
+         |top AS (SELECT doc_id, bm25 FROM bm WHERE bm25 > 0
+         |  ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |tk AS (SELECT doc_id,
+         |    string_split_regex(trim(lower(text)), '\\s+') AS arr
+         |  FROM documents),
+         |px AS (SELECT doc_id, unnest(arr) AS tok,
+         |    generate_subscripts(arr, 1) AS i FROM tk),
+         |pos AS (SELECT doc_id, min(i) AS first_pos FROM px
+         |  WHERE tok IN ('merge', 'stream') GROUP BY doc_id)
+         |SELECT t.doc_id, t.bm25, p.first_pos,
+         |  array_to_string(
+         |    a.arr[greatest(p.first_pos - 3, 1):least(p.first_pos + 3, len(a.arr))],
+         |    ' ') AS snippet
+         |FROM top t JOIN pos p USING (doc_id) JOIN tk a USING (doc_id)
+         |ORDER BY t.bm25 DESC, t.doc_id""".stripMargin,
+
     // Twin of text_bm25_batch — two prefixed CTE sets (one per query),
     // top-10 each, union tagged by q_id: the shared-scan batching must
     // be invisible next to two independent corpus computations.

@@ -3333,6 +3333,21 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** Snippets: BM25 top-10 for {merge, stream} with first-hit position
+    * (from the positional index) and a ±3-token excerpt (from the hit
+    * docs' text only). The oracle recomputes position and excerpt from
+    * the raw text with 1-based inclusive slicing. */
+  val textSnippets: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_snip").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
+        "text", "doc_id", nBuckets = 8)
+      TextIndex.snippets(s, store, "docs_text", Tables.documents(s, d),
+        "text", "doc_id", terms = Seq("merge", "stream"), k = 10, window = 3)
+    } finally store.destroy()
+  }
+
   /** Batch BM25 on the stored text index: two independent term-set
     * queries off one pruned posting fetch; per-query rows must equal
     * separate single-query searches — which is exactly the two-CTE-set
@@ -3771,6 +3786,7 @@ object GraftQueries {
     "text_near_search" -> textNearSearch,
     "text_boolean_search" -> textBooleanSearch,
     "text_bm25_batch" -> textBm25Batch,
+    "text_snippets" -> textSnippets,
     "q41_cohort_retention" -> q41CohortRetention,
     "pipeline_mix_report" -> pipelineMixReport,
     "q42_map_metadata" -> q42MapMetadata,

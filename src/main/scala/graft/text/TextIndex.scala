@@ -398,6 +398,37 @@ object TextIndex {
       .select(col("doc_id"), col("dl"), col("bm25"))
   }
 
+  /** Search-result snippets — the user-facing tail of the search path:
+    * BM25 top-k plus, per hit, the first occurrence position of any
+    * query term (1-based) and a ±`window`-token excerpt around it.
+    * Locating reads the INDEX's positional postings (no re-tokenize of
+    * the corpus); only the ≤ k hit docs' text rows are fetched for the
+    * excerpt, through a broadcast id join the scan can push down. */
+  def snippets(spark: SparkSession, store: VectorStore, name: String,
+               docs: DataFrame, textCol: String, idCol: String,
+               terms: Seq[String], k: Int, window: Int = 3): DataFrame = {
+    require(window >= 0, s"window must be >= 0, got $window")
+    val hits = bm25SearchStored(spark, store, name, terms, k) // eager ≤k rows
+    val firstPos = prunedPostings(spark, store, name, terms)
+      .join(broadcast(hits.select("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), explode(col("positions")).as("_p"))
+      .groupBy("doc_id").agg((min(col("_p")) + 1).as("first_pos")) // 1-based
+    val out = hits
+      .join(firstPos, Seq("doc_id"))
+      .join(docs.select(col(idCol).as("doc_id"), col(textCol).as("_text")),
+        Seq("doc_id"))
+      .withColumn("_toks", TextAnalysis.tokens(col("_text")))
+      .withColumn("_start", greatest(col("first_pos") - window, lit(1)))
+      .withColumn("_len",
+        least(col("first_pos") + window, size(col("_toks"))) - col("_start") + 1)
+      .withColumn("snippet",
+        concat_ws(" ", slice(col("_toks"), col("_start"), col("_len"))))
+      .select(col("doc_id"), col("bm25"), col("first_pos"), col("snippet"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Batch BM25: Q independent term-set queries amortized onto ONE
     * pruned posting fetch (the union of every query's terms' buckets)
     * and one |allTerms|-row df collect — the per-query scoring jobs all
