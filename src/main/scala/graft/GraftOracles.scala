@@ -3024,6 +3024,18 @@ object GraftOracles {
          |WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 12""".stripMargin,
 
+    // Twin of text_faceted_search — BM25 top-50 hit set, facet counts
+    // over (lang, source), share of the actual hit count.
+    "text_faceted_search" ->
+      s"""${bm25CteFor(Seq("join", "vector"))},
+         |top AS (SELECT doc_id FROM bm WHERE bm25 > 0
+         |  ORDER BY bm25 DESC, doc_id LIMIT 50)
+         |SELECT d2.lang, d2.source, CAST(count(*) AS BIGINT) AS n_hits,
+         |  floor(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM top) * 1e6 + 0.5) / 1e6 AS share
+         |FROM top t JOIN documents d2 USING (doc_id)
+         |GROUP BY d2.lang, d2.source
+         |ORDER BY n_hits DESC, d2.lang, d2.source""".stripMargin,
+
     // Twin of text_snippets — BM25 top-10, first term position and the
     // ±3-token excerpt recomputed from the raw text (1-based inclusive
     // slicing on both engines).

@@ -3333,6 +3333,30 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** Faceted search: the result-page sidebar — BM25 top-50 for a term
+    * set, then facet counts over the hits' metadata (lang × source),
+    * each facet's share of the hit set. Index-scored, metadata joined
+    * only for the ≤50 hits. */
+  val textFacetedSearch: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_facet").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
+        "text", "doc_id", nBuckets = 8)
+      val hits = TextIndex.bm25SearchStored(s, store, "docs_text",
+        terms = Seq("join", "vector"), k = 50)
+      val total = hits.count() // eager local relation — bounded, free
+      val out = hits.select("doc_id")
+        .join(Tables.documents(s, d).select("doc_id", "lang", "source"), Seq("doc_id"))
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).as("n_hits"))
+        .withColumn("share",
+          floor(col("n_hits").cast("double") / lit(total) * 1e6 + 0.5) / 1e6)
+        .orderBy(col("n_hits").desc, col("lang"), col("source"))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally store.destroy()
+  }
+
   /** Snippets: BM25 top-10 for {merge, stream} with first-hit position
     * (from the positional index) and a ±3-token excerpt (from the hit
     * docs' text only). The oracle recomputes position and excerpt from
@@ -3787,6 +3811,7 @@ object GraftQueries {
     "text_boolean_search" -> textBooleanSearch,
     "text_bm25_batch" -> textBm25Batch,
     "text_snippets" -> textSnippets,
+    "text_faceted_search" -> textFacetedSearch,
     "q41_cohort_retention" -> q41CohortRetention,
     "pipeline_mix_report" -> pipelineMixReport,
     "q42_map_metadata" -> q42MapMetadata,
