@@ -313,6 +313,40 @@ object GraftOracles {
     }.mkString("\n + ")
   }
 
+  /** Twin of [[graft.operators.Similarity.lshMultiProbeTopK]] at the
+    * gate configuration: the probe set (per-bit query dots against the
+    * regenerated plane literals, lowest-|margin| flips, xors) is
+    * derived IN SQL, then signatures filter to the probed buckets and
+    * exact cosine ranks — every stage relational. */
+  private lazy val lshMultiProbeSql: String = {
+    val rng = new scala.util.Random(42L)
+    val planes = Array.fill(6)(Array.fill(64)(rng.nextGaussian().toFloat))
+    val dotArms = planes.zipWithIndex.map { case (h, i) =>
+      val lits = h.map(f => f.toDouble.toString).mkString("[", ", ", "]")
+      s"""SELECT $i AS i, list_sum(list_transform(range(1,65),
+         |    j -> q.qv[CAST(j AS INT)]::DOUBLE * ($lits)[CAST(j AS INT)])) AS dp FROM q""".stripMargin
+    }.mkString("\nUNION ALL ")
+    s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qd AS ($dotArms),
+       |qb AS (SELECT CAST(sum(CASE WHEN dp >= 0 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS base FROM qd),
+       |fl AS (SELECT i FROM qd ORDER BY abs(dp), i LIMIT 3),
+       |probes AS (SELECT base AS b FROM qb
+       |  UNION ALL SELECT CAST(xor(qb.base, CAST(1 AS BIGINT) << fl.i) AS BIGINT) FROM qb CROSS JOIN fl),
+       |sig AS (SELECT vec_id, (${lshBucketExprSql(42L, 6)}) AS lsh_bucket
+       |  FROM embeddings e),
+       |cand AS (SELECT s.vec_id, s.lsh_bucket FROM sig s
+       |  WHERE s.lsh_bucket IN (SELECT b FROM probes)),
+       |resc AS (SELECT c.vec_id, c.lsh_bucket, round(
+       |    list_sum(list_transform(range(1,65), i -> e2.embedding[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE)) /
+       |    sqrt(list_sum(list_transform(range(1,65), i -> e2.embedding[CAST(i AS INT)]::DOUBLE * e2.embedding[CAST(i AS INT)]::DOUBLE)) *
+       |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+       |  FROM cand c JOIN embeddings e2 ON e2.vec_id = c.vec_id CROSS JOIN q)
+       |SELECT vec_id, lsh_bucket, cosine, rank FROM (
+       |  SELECT vec_id, lsh_bucket, cosine,
+       |    row_number() OVER (ORDER BY cosine DESC, vec_id) AS rank FROM resc)
+       |WHERE rank <= 10 ORDER BY rank""".stripMargin
+  }
+
   private lazy val lshBucketsSql: String =
     s"""WITH b AS (SELECT vec_id, (${lshBucketExprSql(42L, 12)}) AS lsh_bucket
        |  FROM embeddings e)
@@ -1374,6 +1408,8 @@ object GraftOracles {
         |  UNION ALL SELECT 'plain', 'collection',
         |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
         |) ORDER BY name""".stripMargin,
+
+    "ann_lsh_multiprobe" -> lshMultiProbeSql,
 
     // Twin of ann_federated_search — bqTop10Sql split into two parity-
     // shard arms: per-arm 40-row Hamming shortlists, tagged union, one

@@ -519,6 +519,21 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** Multi-probe LSH top-10 (6-bit signatures — populated buckets at
+    * gate scale): query bucket + 3 lowest-margin bit flips,
+    * exact cosine over the probed survivors. The probe-set derivation
+    * (margins, flips, xors) is replayed relationally by the oracle. */
+  val annLshMultiprobe: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val out = Similarity.lshMultiProbeTopK(e,
+        "embedding", "vec_id", qv, k = 10, nBits = 6, nflip = 3)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally e.unpersist()
+  }
+
   /** Federated BQ search across two collections (the vec_id parity
     * shards — the time-shard layout in miniature): per-arm stored-
     * signature shortlists, tagged union, one global exact rerank. Query
@@ -3665,6 +3680,7 @@ object GraftQueries {
     "ann_bq_store" -> annBqStore,
     "ann_bq_batch" -> annBqBatch,
     "ann_federated_search" -> annFederatedSearch,
+    "ann_lsh_multiprobe" -> annLshMultiprobe,
     "index_catalog" -> indexCatalog,
     "ann_search_auto" -> annSearchAuto,
     "ann_search_auto_bq" -> annSearchAutoBq,

@@ -705,6 +705,50 @@ object Similarity {
     }.reduce((a, b) => a.bitwiseOR(b))
   }
 
+  /** Multi-probe LSH top-k (Lv et al.): instead of paying more tables
+    * for recall, probe the query's OWN bucket plus the buckets reached
+    * by flipping its `nflip` lowest-|margin| sign bits — the bits whose
+    * hyperplane the query sits closest to, i.e. the flips most likely
+    * to hold near neighbors. One corpus scan computes signatures
+    * (map-only, plane literals in codegen), the bucket filter keeps
+    * ~(nflip+1)/2^nBits of the rows, exact cosine ranks the survivors.
+    * Probe selection is deterministic (margin ties break by bit index)
+    * and — because margins are the same left-to-right double dots as
+    * the signature expression — fully re-derivable relationally by the
+    * gate oracle. */
+  def lshMultiProbeTopK(collection: DataFrame, vecCol: String, idCol: String,
+                        qv: Array[Float], k: Int = 10, nBits: Int = 12,
+                        nflip: Int = 3, seed: Long = 42L,
+                        dim: Int = 64): DataFrame = {
+    require(nflip >= 0 && nflip <= nBits, s"nflip must be in [0, $nBits]")
+    val rng = new scala.util.Random(seed)
+    val planes: Array[Array[Float]] =
+      Array.fill(nBits)(Array.fill(dim)(rng.nextGaussian().toFloat))
+    // ascending-index double accumulation — the same IEEE op sequence
+    // as the signature expression and the oracle's list_sum
+    val dots = planes.map { h =>
+      var acc = 0.0
+      var j = 0
+      val n = math.min(qv.length, h.length)
+      while (j < n) { acc += qv(j).toDouble * h(j); j += 1 }
+      acc
+    }
+    val base = dots.zipWithIndex
+      .map { case (dp, i) => if (dp >= 0) 1L << i else 0L }
+      .foldLeft(0L)(_ | _)
+    val flips = dots.zipWithIndex.map { case (dp, i) => (math.abs(dp), i) }
+      .sortBy(p => (p._1, p._2)).take(nflip).map(_._2)
+    val probes = base +: flips.map(i => base ^ (1L << i))
+    val w = Window.orderBy(col("cosine").desc, col(idCol))
+    collection
+      .withColumn("lsh_bucket", bucketExpr(col(vecCol), nBits, seed, dim))
+      .filter(col("lsh_bucket").isin(probes.map(Long.box): _*))
+      .withColumn("cosine", round(cosine(col(vecCol), vecLit(qv)), 6))
+      .orderBy(col("cosine").desc, col(idCol)).limit(k)
+      .withColumn("rank", row_number().over(w))
+      .select(col(idCol), col("lsh_bucket"), col("cosine"), col("rank"))
+  }
+
   /** One-scan multi-table bucketing: (row, _table, lsh_bucket) for
     * `nTables` independent hyperplane signatures. Map-only — the array of
     * per-table signatures is computed in one projection and posexploded,

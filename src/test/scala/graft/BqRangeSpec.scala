@@ -98,6 +98,31 @@ class BqRangeSpec extends SparkSpec {
       s"query side not broadcast:\n$plan")
   }
 
+  test("multi-probe LSH: bucket budget respected; recall monotone in nflip") {
+    val qv0 = emb.filter(col("vec_id") === 0).select("embedding")
+      .as[Array[Float]].head()
+    val exact10 = emb
+      .withColumn("cosine", round(cosine(col("embedding"), vecLit(qv0)), 6))
+      .orderBy(col("cosine").desc, col("vec_id"))
+      .limit(10).select("vec_id").as[Long].collect().toSet
+    def run(nflip: Int) = Similarity.lshMultiProbeTopK(emb, "embedding",
+      "vec_id", qv0, k = 10, nBits = 6, nflip = nflip).collect()
+    val base = run(0)
+    assert(base.map(_.getLong(1)).distinct.length == 1,
+      "nflip=0 must probe exactly the query's own bucket")
+    val multi = run(3)
+    assert(multi.map(_.getLong(1)).distinct.length <= 4,
+      "nflip=3 probes at most 4 buckets")
+    // candidate set grows monotonically, and exact ranking over a
+    // superset can only gain exact-top-k members — recall is monotone
+    def recall(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(_.getLong(0)).count(exact10.contains)
+    assert(recall(multi) >= recall(base),
+      s"recall regressed: base ${recall(base)}, multi ${recall(multi)}")
+    // the query vector itself (in corpus, in its own bucket) is rank 1
+    assert(multi.head.getLong(0) == 0L && multi.head.getDouble(2) == 1.0)
+  }
+
   test("federated BQ: single arm == bqSearchStored; query's own shard wins rank 1") {
     val root = java.nio.file.Files.createTempDirectory("graft_fedspec").toString
     val store = graft.store.VectorStore(root)
