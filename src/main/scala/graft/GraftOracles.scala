@@ -3060,6 +3060,14 @@ object GraftOracles {
          |WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 12""".stripMargin,
 
+    // Twin of text_index_compact — build + 2 appends + bucket
+    // compaction must be indistinguishable from one full-corpus build.
+    "text_index_compact" ->
+      s"""${bm25CteFor(Seq("order", "group"))}
+         |SELECT doc_id, dl, bm25 FROM bm
+         |WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 12""".stripMargin,
+
     // Twin of text_faceted_search — BM25 top-50 hit set, facet counts
     // over (lang, source), share of the actual hit count.
     "text_faceted_search" ->

@@ -3348,6 +3348,27 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** Text-index lifecycle closed: build on half the corpus, two
+    * fragment-producing appends, bucket-targeted compaction, search —
+    * the result must equal the full-corpus oracle (compaction preserves
+    * content row-for-row). */
+  val textIndexCompact: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_tcomp").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d)
+    try {
+      TextIndex.buildTextIndex(store, "docs_text",
+        docs.filter(col("doc_id") % 4 <= 1), "text", "doc_id", nBuckets = 8)
+      TextIndex.insertIntoTextIndex(store, "docs_text",
+        docs.filter(col("doc_id") % 4 === 2), "text", "doc_id")
+      TextIndex.insertIntoTextIndex(store, "docs_text",
+        docs.filter(col("doc_id") % 4 === 3), "text", "doc_id")
+      TextIndex.compactIndex(s, store, "docs_text", maxFilesPerBucket = 1)
+      TextIndex.bm25SearchStored(s, store, "docs_text",
+        terms = Seq("order", "group"), k = 12)
+    } finally store.destroy()
+  }
+
   /** Faceted search: the result-page sidebar — BM25 top-50 for a term
     * set, then facet counts over the hits' metadata (lang × source),
     * each facet's share of the hit set. Index-scored, metadata joined
@@ -3828,6 +3849,7 @@ object GraftQueries {
     "text_bm25_batch" -> textBm25Batch,
     "text_snippets" -> textSnippets,
     "text_faceted_search" -> textFacetedSearch,
+    "text_index_compact" -> textIndexCompact,
     "q41_cohort_retention" -> q41CohortRetention,
     "pipeline_mix_report" -> pipelineMixReport,
     "q42_map_metadata" -> q42MapMetadata,

@@ -210,6 +210,39 @@ object TextIndex {
         col("term").isin(terms: _*))
   }
 
+  /** Bucket-targeted compaction — the maintenance the streaming sink
+    * makes necessary: every micro-batch appends one small file per
+    * touched bucket, so a long-running ingest leaves each bucket a pile
+    * of file fragments that tax listing and scan startup. Buckets with
+    * more than `maxFilesPerBucket` fragments are rewritten to one file
+    * each through a dynamic-partition overwrite (untouched buckets'
+    * files stay byte-identical — spec-pinned); content is preserved
+    * row-for-row, so search results cannot change (gate-checked against
+    * the corpus oracle). A crash mid-commit leaves each bucket either
+    * old or new fragments — both hold exactly the same rows, so the
+    * index stays correct and a re-run finishes the job. O(dirty
+    * buckets), never O(index). Returns the rewritten bucket ids. */
+  def compactIndex(spark: SparkSession, store: VectorStore, name: String,
+                   maxFilesPerBucket: Int = 4): Seq[Int] = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    requireQuiescent(readState(store, name), name, "compactIndex")
+    val perBucket = store.dataFileStatuses(name)
+      .flatMap { f =>
+        val dir = f.getPath.getParent.getName
+        if (dir.startsWith("bucket=")) Some(dir.stripPrefix("bucket=").toInt)
+        else None
+      }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val dirty = perBucket.filter(_._2 > maxFilesPerBucket).keys.toSeq.sorted
+    if (dirty.nonEmpty) {
+      val rewritten = store.read(spark, name)
+        .filter(col("bucket").isin(dirty.map(Int.box): _*))
+        .repartition(dirty.length, col("bucket"))
+      store.overwritePartitions(name, rewritten, partitionBy = Seq("bucket"))
+    }
+    dirty
+  }
+
   /** Boolean retrieval over the postings — the must/should/must-not
     * query form, index-only: a doc qualifies when it holds a posting
     * for EVERY `must` term and for NO `mustNot` term; qualifying docs

@@ -188,6 +188,43 @@ class TextIndexSpec extends SparkSpec {
     } finally { store.destroy(); storeFull.destroy() }
   }
 
+  test("compaction: dirty buckets rewritten to one file, clean untouched, rows preserved") {
+    val store = newStore()
+    try {
+      TextIndex.buildTextIndex(store, "ti",
+        docs.filter(col("doc_id") % 4 <= 1), "text", "doc_id", nBuckets = 8)
+      TextIndex.insertIntoTextIndex(store, "ti",
+        docs.filter(col("doc_id") % 4 === 2), "text", "doc_id")
+      TextIndex.insertIntoTextIndex(store, "ti",
+        docs.filter(col("doc_id") % 4 === 3), "text", "doc_id")
+      def filesPerBucket() = store.dataFileStatuses("ti")
+        .groupBy(_.getPath.getParent.getName).view.mapValues(_.size).toMap
+      val before = filesPerBucket()
+      assert(before.values.exists(_ > 2), s"appends produced no fragments: $before")
+      val beforeRows = store.read(spark, "ti").count()
+      val cleanBefore = store.dataFileStatuses("ti")
+        .filter(f => before(f.getPath.getParent.getName) <= 2)
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime)).toMap
+      val dirty = TextIndex.compactIndex(spark, store, "ti", maxFilesPerBucket = 2)
+      assert(dirty.nonEmpty)
+      val after = filesPerBucket()
+      dirty.foreach { b =>
+        assert(after(s"bucket=$b") == 1, s"bucket $b still fragmented: $after")
+      }
+      // untouched buckets' files byte-identical
+      cleanBefore.foreach { case (p, sig) =>
+        assert(store.dataFileStatuses("ti")
+          .exists(f => f.getPath.toString == p &&
+            (f.getLen, f.getModificationTime) == sig),
+          s"compaction touched clean-bucket file $p")
+      }
+      assert(store.read(spark, "ti").count() == beforeRows,
+        "compaction changed the posting row count")
+      // idempotent: a second pass finds nothing to do
+      assert(TextIndex.compactIndex(spark, store, "ti", maxFilesPerBucket = 2).isEmpty)
+    } finally store.destroy()
+  }
+
   test("boolean search == set-algebra differential; batch BM25 == singles") {
     import org.apache.spark.sql.functions.{countDistinct, explode}
     val store = newStore()
