@@ -138,35 +138,17 @@ object IndexStream {
         s"textBatchSink: '$name' holds an intent for batch ${p.batchId} but " +
           s"batch $batchId arrived — redeliver the pending batch to heal")
     }
-    val sp = batch.sparkSession
     val cnts = batch.agg(count(lit(1)), countDistinct(col(idCol))).head
     require(cnts.getLong(0) == cnts.getLong(1),
       s"textBatchSink: micro-batch $batchId carries duplicate doc ids")
-    val posts = TextIndex.postingsOf(batch, textCol, idCol, st.nBuckets)
-      .localCheckpoint(true) // consumed by stats, collision probe, append
-    // stored (term, doc_id) pairs of this batch's docs: one slim
-    // column-pruned pass; empty in the healthy path, the torn half of a
-    // crashed append in the heal path
-    val existingPairs = store.read(sp, name).select("term", "doc_id")
-      .join(BroadcastGate.maybeBroadcast(posts.select("doc_id").distinct(),
-        cnts.getLong(0) * 64), Seq("doc_id"), "left_semi")
-      .localCheckpoint(true)
-    if (st.pending.isEmpty) {
-      // no intent -> collisions are NOT recovery: refuse (see scaladoc)
-      val n = existingPairs.limit(1).count()
-      require(n == 0L,
-        s"textBatchSink: batch $batchId re-delivers doc ids already in " +
-          s"'$name' with no pending intent — its stats are already counted")
-    }
-    val r = posts.select("doc_id", "dl").distinct()
-      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
-    val pend = TextIndex.PendingBatch(batchId, r.getLong(0), r.getLong(1))
-    TextIndex.writeState(store, name, st.copy(pending = Some(pend)))
-    val fresh = posts.join(existingPairs, Seq("term", "doc_id"), "left_anti")
-    store.append(name, fresh, partitionBy = Seq("bucket"))
-    TextIndex.writeState(store, name, st.copy(
-      nDocs = st.nDocs + pend.nDocs, sumDl = st.sumDl + pend.sumDl,
-      lastBatch = batchId, pending = None))
+    // the shared protocol core (TextIndex.appendWithIntent) runs steps
+    // 2-4; collisions refuse when there is no intent to heal (a
+    // redelivery under a NEW batchId after commit), and the recorded
+    // intent is matched against the redelivered batch's stats
+    TextIndex.appendWithIntent(store, name, batch, textCol, idCol,
+      st.copy(pending = None), batchId,
+      expect = st.pending, newLastBatch = Some(batchId),
+      refuseCollisions = st.pending.isEmpty): Unit
   }
 
   /** Harness twin of [[runStreamingIvfIngest]] for the text index:

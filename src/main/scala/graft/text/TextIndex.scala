@@ -60,7 +60,12 @@ object TextIndex {
   private[graft] def postingsOf(docs: DataFrame, textCol: String, idCol: String,
                                 nBuckets: Int): DataFrame =
     graft.Tables.spread(docs)
-      .select(col(idCol).as("doc_id"), TextAnalysis.tokens(col(textCol)).as("_toks"))
+      // null text folds to "" (one empty-string token) so EVERY doc
+      // yields >= 1 posting: a null-text doc would otherwise vanish
+      // from postings AND stats, silently breaking the maintained-index
+      // == full-rebuild identity
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.tokens(coalesce(col(textCol), lit(""))).as("_toks"))
       .withColumn("dl", size(col("_toks")).cast("long"))
       .select(col("doc_id"), col("dl"),
         posexplode(col("_toks")).as(Seq("pos", "term")))
@@ -142,8 +147,28 @@ object TextIndex {
 
   private def requireQuiescent(st: IndexState, name: String, op: String): Unit =
     require(st.pending.isEmpty,
-      s"$op: '$name' has an uncommitted streaming intent for batch " +
-        s"${st.pending.get.batchId} — heal it (redeliver that batch) first")
+      s"$op: '$name' has an uncommitted append intent for batch " +
+        s"${st.pending.get.batchId} — heal it (redeliver that batch via the " +
+        "sink, or resumeInsert for the batch verb) first")
+
+  /** Full pre-flight for every read/maintenance verb: sidecar present,
+    * no uncommitted append intent, no half-promoted compaction. */
+  private def requireReady(store: VectorStore, name: String,
+                           op: String): IndexState = {
+    val st = readState(store, name)
+    requireQuiescent(st, name, op)
+    require(!StoreFs.forPath(store.root).exists(journalPath(store, name)),
+      s"$op: '$name' has an unfinished compaction promote — run " +
+        "compactIndex to complete it first")
+    st
+  }
+
+  /** Eager-local-relation epilogue shared by every query verb: nothing
+    * returned holds the store open. */
+  private def eager(spark: SparkSession, out: DataFrame): DataFrame = {
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
 
   /** Build the index: ONE corpus scan (tokenize → explode → per-(term,
     * doc) partial-agg count), the doc-level stats aggregated off the
@@ -151,6 +176,13 @@ object TextIndex {
   def buildTextIndex(store: VectorStore, name: String, docs: DataFrame,
                      textCol: String, idCol: String, nBuckets: Int = 8): Unit = {
     require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    // duplicate doc ids would write duplicate postings and inflate every
+    // df — refuse BEFORE building, on the raw ids (a (doc_id, dl)-level
+    // check would miss duplicates whose texts differ in length)
+    val cnts = docs.agg(count(lit(1)), countDistinct(col(idCol))).head
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"buildTextIndex: corpus has ${cnts.getLong(0) - cnts.getLong(1)} " +
+        s"duplicate '$idCol' value(s) — ids must be unique")
     store.create(name, postingsOf(docs, textCol, idCol, nBuckets),
       partitionBy = Seq("bucket"))
     // doc-level stats off the stored postings (distinct (doc, dl) —
@@ -159,42 +191,111 @@ object TextIndex {
     val r = store.read(docs.sparkSession, name)
       .select("doc_id", "dl").distinct()
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
-    // duplicate doc ids would have written duplicate postings and
-    // inflated every df — refuse rather than serve silently-skewed idf
-    // (every doc yields >= 1 posting — the empty string tokenizes to
-    // one empty token — so distinct-postings-docs == distinct input ids)
-    val inCount = docs.count()
-    require(inCount == r.getLong(0),
-      s"buildTextIndex: corpus has ${inCount - r.getLong(0)} duplicate " +
-        s"'$idCol' value(s) — ids must be unique")
     writeState(store, name,
       IndexState(r.getLong(0), r.getLong(1), nBuckets, -1L, None))
+  }
+
+  /** The reserved intent id of the BATCH verb (streaming batches use
+    * their real non-negative batchId). */
+  private[graft] val BatchVerbIntent = -2L
+
+  /** The one append protocol — shared by the batch verb, its resume,
+    * and the streaming sink ([[graft.streaming.IndexStream.textBatchSink]]):
+    *
+    *  1. write-ahead INTENT: pending = (intentId, batch doc count,
+    *     batch token count) in the same atomic sidecar as the committed
+    *     stats — postings and idf stats can never silently disagree;
+    *  2. append, anti-filtered per ROW against the stored (term,
+    *     doc_id) pairs of this batch's doc ids — a crash that tore
+    *     MID-append (a doc's postings span bucket directories) is
+    *     completed posting-by-posting on redelivery, never duplicated;
+    *  3. commit: fold pending into the stats (and optionally advance
+    *     the streaming watermark) in the SAME atomic write that clears
+    *     the intent.
+    *
+    * `expect`: a resume/heal passes the recorded intent; the recomputed
+    * batch stats must match it — a cheap guard against "resuming" with
+    * a different batch than the one that crashed. Returns the batch's
+    * (docs, tokens) stats. */
+  private[graft] def appendWithIntent(store: VectorStore, name: String,
+                                      batch: DataFrame, textCol: String,
+                                      idCol: String, st: IndexState,
+                                      intentId: Long,
+                                      expect: Option[PendingBatch],
+                                      newLastBatch: Option[Long],
+                                      refuseCollisions: Boolean): PendingBatch = {
+    val sp = batch.sparkSession
+    val posts = postingsOf(batch, textCol, idCol, st.nBuckets)
+      .localCheckpoint(true) // consumed by stats, collision probe, append
+    val r = posts.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+    val pend = PendingBatch(intentId, r.getLong(0), r.getLong(1))
+    expect.foreach { e =>
+      require(e.nDocs == pend.nDocs && e.sumDl == pend.sumDl,
+        s"appendWithIntent: resumed batch does not match the recorded " +
+          s"intent ($e vs $pend) — heal requires redelivering the SAME batch")
+    }
+    // stored (term, doc_id) pairs of this batch's docs: one slim
+    // column-pruned pass; empty in the healthy path, the torn half of a
+    // crashed append in the heal path
+    val existingPairs = store.read(sp, name).select("term", "doc_id")
+      .join(graft.operators.BroadcastGate.maybeBroadcast(
+        posts.select("doc_id").distinct(), pend.nDocs * 64),
+        Seq("doc_id"), "left_semi")
+      .localCheckpoint(true)
+    if (refuseCollisions) {
+      val n = existingPairs.limit(1).count()
+      require(n == 0L,
+        s"appendWithIntent: batch re-delivers doc ids already in '$name' " +
+          "with no pending intent — its stats are already counted")
+    }
+    writeState(store, name, st.copy(pending = Some(pend)))
+    val fresh = posts.join(existingPairs, Seq("term", "doc_id"), "left_anti")
+    store.append(name, fresh, partitionBy = Seq("bucket"))
+    writeState(store, name, st.copy(
+      nDocs = st.nDocs + pend.nDocs, sumDl = st.sumDl + pend.sumDl,
+      lastBatch = newLastBatch.getOrElse(st.lastBatch), pending = None))
+    pend
   }
 
   /** O(batch) incremental append: new docs' postings land under their
     * terms' existing bucket directories; the stats sidecar advances
     * additively (exact long adds), so search-after-append ==
     * search-after-full-rebuild, row for row. Batch doc ids must be NEW
-    * (same append contract as the vector tiers). */
+    * (same append contract as the vector tiers). Runs the write-ahead
+    * intent protocol: a crash between the append and the stats commit
+    * leaves a LOUD pending marker (every verb refuses), healed by
+    * [[resumeInsert]] with the same batch — never a silently-stale
+    * idf. */
   def insertIntoTextIndex(store: VectorStore, name: String, batch: DataFrame,
                           textCol: String, idCol: String): Unit = {
-    val st = readState(store, name)
-    requireQuiescent(st, name, "insertIntoTextIndex")
+    val st = requireReady(store, name, "insertIntoTextIndex")
     // contract runs on the RAW batch ids: the postings' grouped doc_id
     // would collapse an in-batch duplicate and slip it past the
     // uniqueness half of the check
     graft.operators.AppendContract.requireNewUniqueIds(
       store, name, batch.select(col(idCol).as("doc_id")), "doc_id",
       "insertIntoTextIndex")
-    val posts = postingsOf(batch, textCol, idCol, st.nBuckets)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      store.append(name, posts, partitionBy = Seq("bucket"))
-      val r = posts.select("doc_id", "dl").distinct()
-        .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
-      writeState(store, name, st.copy(nDocs = st.nDocs + r.getLong(0),
-        sumDl = st.sumDl + r.getLong(1)))
-    } finally posts.unpersist()
+    appendWithIntent(store, name, batch, textCol, idCol, st,
+      BatchVerbIntent, expect = None, newLastBatch = None,
+      refuseCollisions = false): Unit
+  }
+
+  /** Heal a crashed [[insertIntoTextIndex]]: redeliver the SAME batch.
+    * The recorded intent is verified against the batch's recomputed
+    * stats, already-landed postings anti-filter away row by row, and
+    * the commit applies the stats exactly once. */
+  def resumeInsert(store: VectorStore, name: String, batch: DataFrame,
+                   textCol: String, idCol: String): Unit = {
+    val st = readState(store, name)
+    val pend = st.pending.getOrElse(throw new IllegalStateException(
+      s"resumeInsert: '$name' has no pending intent — nothing to heal"))
+    require(pend.batchId == BatchVerbIntent,
+      s"resumeInsert: pending intent belongs to streaming batch " +
+        s"${pend.batchId} — redeliver it through the sink instead")
+    appendWithIntent(store, name, batch, textCol, idCol,
+      st.copy(pending = None), BatchVerbIntent, expect = Some(pend),
+      newLastBatch = None, refuseCollisions = false): Unit
   }
 
   /** The search's scan stage, exposed for plan pins: postings of the
@@ -210,23 +311,42 @@ object TextIndex {
         col("term").isin(terms: _*))
   }
 
+  private val CompactJournal = "_compact.properties"
+  private val CompactStageDir = "_compact_stage"
+
+  private def journalPath(store: VectorStore, name: String) =
+    s"${store.root}/$name/$CompactJournal"
+
   /** Bucket-targeted compaction — the maintenance the streaming sink
     * makes necessary: every micro-batch appends one small file per
     * touched bucket, so a long-running ingest leaves each bucket a pile
     * of file fragments that tax listing and scan startup. Buckets with
     * more than `maxFilesPerBucket` fragments are rewritten to one file
-    * each through a dynamic-partition overwrite (untouched buckets'
-    * files stay byte-identical — spec-pinned); content is preserved
-    * row-for-row, so search results cannot change (gate-checked against
-    * the corpus oracle). A crash mid-commit leaves each bucket either
-    * old or new fragments — both hold exactly the same rows, so the
-    * index stays correct and a re-run finishes the job. O(dirty
-    * buckets), never O(index). Returns the rewritten bucket ids. */
+    * each (content preserved row-for-row — gate-checked against the
+    * corpus oracle), O(dirty buckets), never O(index).
+    *
+    * Crash-safe via the store's staged-swap discipline, NOT a bare
+    * dynamic-partition overwrite (whose job commit deletes a bucket
+    * directory before renaming the replacement in — a crash there would
+    * silently LOSE the bucket): rewritten buckets stage under an
+    * `_`-prefixed scratch dir (invisible to Spark), ONE atomic journal
+    * write is the commit point, and the promote (live → `_old_bucket=`
+    * shadow, staged → live, shadow deleted) is idempotent per bucket —
+    * any crash replays to completion on the next call, every
+    * intermediate state holding each bucket's full content exactly
+    * once. Read verbs refuse while a journal exists. Returns the
+    * rewritten bucket ids (including any resumed from a crash). */
   def compactIndex(spark: SparkSession, store: VectorStore, name: String,
                    maxFilesPerBucket: Int = 4): Seq[Int] = {
     require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val sfs = StoreFs.forPath(store.root)
+    // finish a crashed promote first: the journal is only ever written
+    // AFTER the stage is complete, so replay is always safe
+    val resumed = promoteStaged(store, name)
     requireQuiescent(readState(store, name), name, "compactIndex")
+    val collDir = s"${store.root}/$name"
     val perBucket = store.dataFileStatuses(name)
+      .filter(_.getPath.getParent.getParent.getName == name) // not scratch
       .flatMap { f =>
         val dir = f.getPath.getParent.getName
         if (dir.startsWith("bucket=")) Some(dir.stripPrefix("bucket=").toInt)
@@ -235,12 +355,49 @@ object TextIndex {
       .groupBy(identity).view.mapValues(_.size).toMap
     val dirty = perBucket.filter(_._2 > maxFilesPerBucket).keys.toSeq.sorted
     if (dirty.nonEmpty) {
-      val rewritten = store.read(spark, name)
+      val stage = s"$collDir/$CompactStageDir"
+      sfs.deleteTree(stage) // a pre-journal crash leaves only dead stage
+      store.read(spark, name)
         .filter(col("bucket").isin(dirty.map(Int.box): _*))
         .repartition(dirty.length, col("bucket"))
-      store.overwritePartitions(name, rewritten, partitionBy = Seq("bucket"))
+        .write.partitionBy("bucket").parquet(stage)
+      // the commit point
+      val props = new java.util.Properties()
+      props.setProperty("buckets", dirty.mkString(","))
+      sfs.writePropsAtomic(journalPath(store, name), props,
+        "graft text-index compaction journal")
+      promoteStaged(store, name): Unit
     }
-    dirty
+    (resumed ++ dirty).distinct.sorted
+  }
+
+  /** Idempotent promote of a journaled compaction stage; no-op without
+    * a journal. Per bucket: live → `_old_bucket=` shadow (skipped if
+    * already moved), staged → live (skipped if already promoted),
+    * shadow deleted — each step re-runnable from any crash point. */
+  private def promoteStaged(store: VectorStore, name: String): Seq[Int] = {
+    val sfs = StoreFs.forPath(store.root)
+    sfs.readProps(journalPath(store, name)).fold(Seq.empty[Int]) { props =>
+      val buckets = props.getProperty("buckets", "").split(",")
+        .filter(_.nonEmpty).map(_.toInt).toSeq
+      val collDir = s"${store.root}/$name"
+      buckets.foreach { b =>
+        val live = s"$collDir/bucket=$b"
+        val old = s"$collDir/_old_bucket=$b"
+        val staged = s"$collDir/$CompactStageDir/bucket=$b"
+        if (sfs.exists(staged)) {
+          if (sfs.exists(live)) {
+            sfs.deleteTree(old)
+            sfs.rename(live, old): Unit
+          }
+          sfs.rename(staged, live): Unit
+        }
+        sfs.deleteTree(old)
+      }
+      sfs.deleteTree(s"$collDir/$CompactStageDir")
+      sfs.deleteTree(journalPath(store, name))
+      buckets
+    }
   }
 
   /** Boolean retrieval over the postings — the must/should/must-not
@@ -259,7 +416,7 @@ object TextIndex {
     val overlap = (must ++ should).toSet.intersect(mustNot.toSet)
     require(overlap.isEmpty, s"booleanSearch: terms both required and " +
       s"excluded: ${overlap.mkString(", ")}")
-    requireQuiescent(readState(store, name), name, "booleanSearch")
+    requireReady(store, name, "booleanSearch"): Unit
     val all = (must ++ should ++ mustNot).distinct
     val pruned = prunedPostings(spark, store, name, all)
       .select("term", "doc_id")
@@ -267,9 +424,10 @@ object TextIndex {
     try {
       def docsWith(t: String) = pruned.filter(col("term") === lit(t))
         .select("doc_id")
-      val qualified = must.map(docsWith).reduce(_.join(_, Seq("doc_id")))
-        .distinct()
-      val excluded = mustNot.map(docsWith)
+      // postings are unique per (term, doc): each docsWith is already
+      // one row per doc, and equi-joins of unique-keyed sets stay unique
+      val qualified = must.distinct.map(docsWith).reduce(_.join(_, Seq("doc_id")))
+      val excluded = mustNot.distinct.map(docsWith)
         .reduceOption(_ unionByName _)
       val base = excluded.fold(qualified)(ex =>
         qualified.join(ex.distinct(), Seq("doc_id"), "left_anti"))
@@ -285,8 +443,7 @@ object TextIndex {
         .orderBy(col("n_should").desc, col("doc_id"))
         .limit(k)
         .select("doc_id", "n_should")
-      val rows = out.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      eager(spark, out)
     } finally pruned.unpersist()
   }
 
@@ -297,12 +454,12 @@ object TextIndex {
     * recomputes these numbers from the raw text. */
   def indexStats(spark: SparkSession, store: VectorStore, name: String,
                  topN: Int = 20): DataFrame = {
-    requireQuiescent(readState(store, name), name, "indexStats")
-    store.read(spark, name)
+    requireReady(store, name, "indexStats"): Unit
+    eager(spark, store.read(spark, name)
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       .orderBy(col("df").desc, col("term"))
-      .limit(topN)
+      .limit(topN))
   }
 
   /** Exact phrase search over the positional postings: documents
@@ -319,7 +476,7 @@ object TextIndex {
   def phraseSearch(spark: SparkSession, store: VectorStore, name: String,
                    phrase: Seq[String], k: Int): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch: empty phrase")
-    requireQuiescent(readState(store, name), name, "phraseSearch")
+    requireReady(store, name, "phraseSearch"): Unit
     val pruned = prunedPostings(spark, store, name, phrase.distinct)
       .select("term", "doc_id", "positions")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -336,8 +493,7 @@ object TextIndex {
         .groupBy("doc_id").agg(count(lit(1)).as("n_matches"))
         .orderBy(col("n_matches").desc, col("doc_id"))
         .limit(k)
-      val rows = out.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      eager(spark, out)
     } finally pruned.unpersist()
   }
 
@@ -352,7 +508,7 @@ object TextIndex {
                       k: Int): DataFrame = {
     require(termA != termB, "proximitySearch: distinct terms required")
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
-    requireQuiescent(readState(store, name), name, "proximitySearch")
+    requireReady(store, name, "proximitySearch"): Unit
     val pruned = prunedPostings(spark, store, name, Seq(termA, termB))
       .select("term", "doc_id", "positions")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -365,8 +521,7 @@ object TextIndex {
         .filter(col("min_dist") <= maxDist)
         .orderBy(col("min_dist"), col("doc_id"))
         .limit(k)
-      val rows = out.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      eager(spark, out)
     } finally pruned.unpersist()
   }
 
@@ -380,11 +535,9 @@ object TextIndex {
                        terms: Seq[String], k: Int,
                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25SearchStored: empty term set")
-    val st0 = readState(store, name)
     // a pending intent means appended-but-uncounted postings may exist —
     // scoring against stale stats would be silently wrong, so refuse
-    requireQuiescent(st0, name, "bm25SearchStored")
-    val (n, sumDl) = (st0.nDocs, st0.sumDl)
+    val st0 = requireReady(store, name, "bm25SearchStored")
     val pruned = prunedPostings(spark, store, name, terms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -392,10 +545,8 @@ object TextIndex {
       // (the bm25TopK stats discipline)
       val dfByTerm = pruned.groupBy("term").agg(count(lit(1)).as("df"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val topk = bm25TopkOff(pruned, terms, st0.nDocs, st0.sumDl, dfByTerm,
-        k, k1, b)
-      val rows = topk.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), topk.schema)
+      eager(spark, bm25TopkOff(pruned, terms, st0.nDocs, st0.sumDl,
+        dfByTerm, k, k1, b))
     } finally pruned.unpersist()
   }
 
@@ -458,8 +609,13 @@ object TextIndex {
         concat_ws(" ", slice(col("_toks"), col("_start"), col("_len"))))
       .select(col("doc_id"), col("bm25"), col("first_pos"), col("snippet"))
       .orderBy(col("bm25").desc, col("doc_id"))
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    val res = eager(spark, out)
+    // the text join is INNER: a docs frame out of sync with the indexed
+    // corpus (missing or duplicated ids) would silently drop or
+    // duplicate hits — make that loud
+    require(res.count() == hits.count(),
+      s"snippets: the docs frame does not cover the hit set 1:1 for '$name'")
+    res
   }
 
   /** Batch BM25: Q independent term-set queries amortized onto ONE
@@ -476,8 +632,7 @@ object TextIndex {
       "bm25SearchStoredMany: every query needs a non-empty term set")
     require(queries.map(_._1).distinct.length == queries.length,
       "bm25SearchStoredMany: duplicate query ids")
-    val st0 = readState(store, name)
-    requireQuiescent(st0, name, "bm25SearchStoredMany")
+    val st0 = requireReady(store, name, "bm25SearchStoredMany")
     val allTerms = queries.flatMap(_._2).distinct
     val pruned = prunedPostings(spark, store, name, allTerms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -491,8 +646,7 @@ object TextIndex {
       }
       val out = per.reduce(_ unionByName _)
         .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
-      val rows = out.collect()
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      eager(spark, out)
     } finally pruned.unpersist()
   }
 }

@@ -313,6 +313,112 @@ class TextIndexSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("batch-verb crash window: loud pending, resumeInsert heals, wrong batch refused") {
+    val store = newStore()
+    val storeFull = newStore()
+    try {
+      val standing = docs.filter(col("doc_id") % 2 === 0)
+      val batch = docs.filter(col("doc_id") % 2 === 1)
+      TextIndex.buildTextIndex(store, "ti", standing, "text", "doc_id", nBuckets = 8)
+      // simulate the crash: intent recorded + HALF the postings landed,
+      // stats never committed
+      val posts = TextIndex.postingsOf(batch, "text", "doc_id", 8)
+      val r = posts.select("doc_id", "dl").distinct()
+        .agg(org.apache.spark.sql.functions.count(lit(1)),
+          org.apache.spark.sql.functions.coalesce(
+            org.apache.spark.sql.functions.sum(col("dl")), lit(0L))).head
+      val st0 = TextIndex.readState(store, "ti")
+      TextIndex.writeState(store, "ti", st0.copy(pending = Some(
+        TextIndex.PendingBatch(TextIndex.BatchVerbIntent, r.getLong(0), r.getLong(1)))))
+      store.append("ti", posts.filter(col("tf") % 2 === 1), partitionBy = Seq("bucket"))
+      // every verb refuses the pending index — no silently-stale idf
+      intercept[IllegalArgumentException] {
+        TextIndex.bm25SearchStored(spark, store, "ti", Seq("join"), k = 5)
+      }
+      intercept[IllegalArgumentException] {
+        TextIndex.insertIntoTextIndex(store, "ti", batch, "text", "doc_id")
+      }
+      // resuming with a DIFFERENT batch is caught by the intent guard
+      intercept[IllegalArgumentException] {
+        TextIndex.resumeInsert(store, "ti", batch.limit(3), "text", "doc_id")
+      }
+      // the same batch heals: torn rows complete, stats apply once
+      TextIndex.resumeInsert(store, "ti", batch, "text", "doc_id")
+      assert(TextIndex.readState(store, "ti").pending.isEmpty)
+      TextIndex.buildTextIndex(storeFull, "ti", docs, "text", "doc_id", nBuckets = 8)
+      val a = TextIndex.bm25SearchStored(spark, store, "ti", Seq("join", "query"), k = 12)
+        .collect().toSeq
+      val b = TextIndex.bm25SearchStored(spark, storeFull, "ti", Seq("join", "query"), k = 12)
+        .collect().toSeq
+      assert(a == b, "healed batch-verb index diverged from full rebuild")
+      // with nothing pending, resumeInsert refuses
+      intercept[IllegalStateException] {
+        TextIndex.resumeInsert(store, "ti", batch, "text", "doc_id")
+      }
+    } finally { store.destroy(); storeFull.destroy() }
+  }
+
+  test("compaction crash states replay: staged+journal, mid-promote; reads refuse") {
+    val store = newStore()
+    try {
+      TextIndex.buildTextIndex(store, "ti",
+        docs.filter(col("doc_id") % 4 <= 1), "text", "doc_id", nBuckets = 8)
+      TextIndex.insertIntoTextIndex(store, "ti",
+        docs.filter(col("doc_id") % 4 === 2), "text", "doc_id")
+      TextIndex.insertIntoTextIndex(store, "ti",
+        docs.filter(col("doc_id") % 4 === 3), "text", "doc_id")
+      val want = TextIndex.bm25SearchStored(spark, store, "ti",
+        Seq("order", "group"), k = 12).collect().toSeq
+      val rowsBefore = store.read(spark, "ti").count()
+      // crash shape: stage fully written + journal committed, promote
+      // never ran — reproduce by hand with the operator's own layout
+      val collDir = s"${store.root}/ti"
+      val sfs = graft.store.StoreFs.forPath(store.root)
+      val dirty = Seq(0, 1)
+      store.read(spark, "ti")
+        .filter(col("bucket").isin(dirty.map(Int.box): _*))
+        .repartition(dirty.length, col("bucket"))
+        .write.partitionBy("bucket").parquet(s"$collDir/_compact_stage")
+      val props = new java.util.Properties()
+      props.setProperty("buckets", dirty.mkString(","))
+      sfs.writePropsAtomic(s"$collDir/_compact.properties", props, "test journal")
+      // deepen the crash on bucket 0: live already shadowed (the state
+      // between the two renames)
+      sfs.deleteTree(s"$collDir/_old_bucket=0")
+      assert(sfs.rename(s"$collDir/bucket=0", s"$collDir/_old_bucket=0"))
+      // reads refuse while the journal exists
+      intercept[IllegalArgumentException] {
+        TextIndex.bm25SearchStored(spark, store, "ti", Seq("join"), k = 5)
+      }
+      // the next compactIndex call replays the promote to completion
+      val resumed = TextIndex.compactIndex(spark, store, "ti", maxFilesPerBucket = 1)
+      assert(resumed.contains(0) && resumed.contains(1), s"resumed: $resumed")
+      assert(!sfs.exists(s"$collDir/_compact.properties"))
+      assert(!sfs.exists(s"$collDir/_compact_stage"))
+      assert(!sfs.exists(s"$collDir/_old_bucket=0"))
+      assert(store.read(spark, "ti").count() == rowsBefore,
+        "replayed compaction lost or duplicated postings")
+      val got = TextIndex.bm25SearchStored(spark, store, "ti",
+        Seq("order", "group"), k = 12).collect().toSeq
+      assert(got == want, "search changed across the crash-replayed compaction")
+    } finally store.destroy()
+  }
+
+  test("build refuses duplicate ids even when the duplicate texts differ in length") {
+    val store = newStore()
+    try {
+      val dup = docs.limit(1).withColumn("doc_id", lit(888888L))
+        .unionByName(docs.limit(2).filter(col("doc_id") =!= docs.limit(1)
+          .collect().head.getLong(0))
+          .limit(1).withColumn("doc_id", lit(888888L)))
+      val ex = intercept[IllegalArgumentException] {
+        TextIndex.buildTextIndex(store, "ti_dup2",
+          docs.unionByName(dup), "text", "doc_id", nBuckets = 4)
+      }
+      assert(ex.getMessage.contains("duplicate"))
+    } finally store.destroy()
+  }
+
   test("append refuses existing doc ids; search refuses a non-index collection") {
     val store = newStore()
     try {
