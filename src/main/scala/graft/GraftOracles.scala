@@ -1914,6 +1914,37 @@ object GraftOracles {
          |FROM embeddings e, q WHERE label IN (1,2,3)
          |ORDER BY distance, vec_id LIMIT 10""".stripMargin,
 
+    // Twin of knn_classify — brute-force cosine top-15 per probe over the
+    // labeled 99%, then the majority vote with the count-desc/label-asc
+    // tiebreak the Spark verb declares.
+    "knn_classify" ->
+      s"""WITH probes AS (SELECT vec_id AS probe_id, embedding
+         |    FROM embeddings WHERE vec_id % 100 = 0),
+         |s AS (SELECT b.probe_id, a.vec_id, a.label, round($cosineDouble, 6) AS cosine
+         |      FROM embeddings a, probes b WHERE a.vec_id % 100 <> 0),
+         |r AS (SELECT probe_id, label,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY cosine DESC, vec_id) AS rank
+         |  FROM s),
+         |votes AS (SELECT probe_id, label, CAST(count(*) AS BIGINT) AS n_votes
+         |  FROM r WHERE rank <= 15 GROUP BY probe_id, label),
+         |best AS (SELECT probe_id, label, n_votes,
+         |    row_number() OVER (PARTITION BY probe_id ORDER BY n_votes DESC, label) AS vr
+         |  FROM votes)
+         |SELECT probe_id, label AS pred_label, n_votes FROM best
+         |WHERE vr = 1 ORDER BY probe_id""".stripMargin,
+
+    // Twin of ann_grouped_topk — per-label l2² top-2 for the vec_id=0
+    // query (diversified serving results).
+    "ann_grouped_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |s AS (SELECT vec_id, label, round($l2sqToQv, 6) AS distance
+         |      FROM embeddings e, q),
+         |r AS (SELECT label, vec_id, distance,
+         |    CAST(row_number() OVER (PARTITION BY label ORDER BY distance, vec_id) AS BIGINT) AS rank
+         |  FROM s)
+         |SELECT label, vec_id, distance, rank FROM r WHERE rank <= 2
+         |ORDER BY label, rank""".stripMargin,
+
     "vec_topk_join" ->
       s"""WITH qs AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
          |s AS (SELECT b.q_id, a.vec_id, round($cosineDouble, 6) AS cosine

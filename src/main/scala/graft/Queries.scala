@@ -688,6 +688,32 @@ object GraftQueries {
       .orderBy("anchor_id", "rank")
   }
 
+  /** kNN label propagation (the label-transfer stage of a training-data
+    * pipeline: a small annotated seed set labels the rest of the corpus
+    * by majority vote of the k nearest labeled neighbors). Probes = the
+    * vec_id % 100 residue class with labels hidden; neighbors = the other
+    * 99%. One labeled-side scan, WindowGroupLimit partial top-k, bounded
+    * vote agg — fully oracle-checked including the vote tiebreaks. */
+  val knnClassifyQ: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val probes = e.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("_pv"))
+    Similarity.knnClassify(e.filter(col("vec_id") % 100 =!= 0),
+        "embedding", "vec_id", "label", probes, "probe_id", "_pv", k = 15)
+      .orderBy("probe_id")
+  }
+
+  /** Diversified kNN: best 2 hits per class for one query — the
+    * "spread results across sources" serving verb ([[Similarity.topKPerGroup]]);
+    * grouped rank through WindowGroupLimit, shuffle O(groups·k). */
+  val annGroupedTopk: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    Similarity.topKPerGroup(e, "embedding", "vec_id", "label", q, "qv",
+        kPerGroup = 2)
+      .orderBy("label", "rank")
+  }
+
   /** IVF-flat approximate kNN — FULL ORACLE since round 10: IVF is
     * "approximate" only in WHICH cells are probed, and the quantizer,
     * probe selection, and scoring are all deterministic, so the DuckDB
@@ -3695,6 +3721,8 @@ object GraftQueries {
     "vec_topk_join" -> vecTopkJoin,
     "mine_hard_negatives" -> mineHardNegatives,
     "mine_hard_negatives_lsh" -> mineHardNegativesLsh,
+    "knn_classify" -> knnClassifyQ,
+    "ann_grouped_topk" -> annGroupedTopk,
     "ann_ivf" -> annIvf,
     "ann_bq_topk" -> annBqTopk,
     "ann_range_search" -> annRangeSearch,

@@ -39,6 +39,65 @@ object Similarity {
       .select(col(qIdCol), col(idCol), col("cosine"), col("rank"))
   }
 
+  /** kNN label propagation — the training-data label-transfer step
+    * (quality/domain labels annotated on a small seed set, transferred to
+    * the unlabeled corpus by majority vote of the k nearest labeled
+    * neighbors). The probe set is the LABEL-SEEKING side and is bounded
+    * (broadcast): the realistic 100-TB shape is millions of unlabeled
+    * probes against a labeled corpus, scored in one scan of the labeled
+    * side with per-probe top-k through WindowGroupLimit (partial top-k
+    * before the shuffle, so the shuffle carries O(probes · k) rows, never
+    * the corpus). When the probe side outgrows broadcast, route the
+    * candidate generation through [[ivfTopK]]/[[hardNegativesLsh]]-style
+    * bucketing first — this exact form is the oracle baseline.
+    *
+    * Vote determinism: neighbor rank breaks cosine ties by neighbor id;
+    * the vote breaks count ties by label order. Both rules are mirrored
+    * in the SQL twin, so predictions hash-match cross-engine. Returns one
+    * row per probe: (probeIdCol, pred_label, n_votes). */
+  def knnClassify(labeled: DataFrame, vecCol: String, idCol: String,
+                  labelCol: String, probes: DataFrame, probeIdCol: String,
+                  probeVecCol: String, k: Int): DataFrame = {
+    // label rides the scored pass (bruteForceTopK's shape with one extra
+    // carried column) — a join-back for the label would rescan `labeled`
+    val scored = labeled.select(col(idCol), col(vecCol), col(labelCol))
+      .crossJoin(broadcast(probes.select(col(probeIdCol), col(probeVecCol))))
+      .withColumn("cosine", round(cosine(col(vecCol), col(probeVecCol)), 6))
+    val w = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("cosine").desc, col(idCol))
+    val top = scored.withColumn("_rank", row_number().over(w))
+      .filter(col("_rank") <= k)
+      .select(col(probeIdCol), col(labelCol))
+    val vw = Window.partitionBy(col(probeIdCol))
+      .orderBy(col("n_votes").desc, col(labelCol))
+    top.groupBy(col(probeIdCol), col(labelCol))
+      .agg(count(lit(1)).as("n_votes"))
+      .withColumn("_vr", row_number().over(vw))
+      .filter(col("_vr") === 1)
+      .select(col(probeIdCol), col(labelCol).as("pred_label"), col("n_votes"))
+  }
+
+  /** Diversified kNN — exact top-`kPerGroup` nearest rows PER GROUP for
+    * one query vector (the "best hits per source/domain/class" serving
+    * verb; plain top-k lets one dominant group fill the whole result).
+    * One scan of the collection scores the codegen'd distance; the
+    * per-group rank runs through WindowGroupLimit (per-partition partial
+    * top-k before the shuffle), so the shuffle carries O(groups ·
+    * kPerGroup) candidates, never the corpus. Distance is the collection
+    * metric (l2², [[graft.functions.VectorFunctions.l2Sq]]), rounded
+    * floor-free at 6 like every exact-kNN verb, id tiebreak. */
+  def topKPerGroup(collection: DataFrame, vecCol: String, idCol: String,
+                   groupCol: String, query: DataFrame, qVecCol: String,
+                   kPerGroup: Int): DataFrame = {
+    val scored = collection.crossJoin(broadcast(query))
+      .withColumn("distance", round(l2Sq(col(vecCol), col(qVecCol)), 6))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("distance"), col(idCol))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= kPerGroup)
+      .select(col(groupCol), col(idCol), col("distance"), col("rank"))
+  }
+
   /** Deterministic k-means(ish) centroids, returned driver-side (ncells x
     * dim floats is bytes, not data): seed from the first `ncells` rows by
     * id order, then `iters` Lloyd rounds — each round is ONE aggregation

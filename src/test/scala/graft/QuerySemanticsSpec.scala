@@ -232,6 +232,45 @@ class QuerySemanticsSpec extends SparkSpec {
     ), s"got $out")
   }
 
+  test("knnClassify: majority vote with count-desc/label-asc tiebreaks") {
+    import spark.implicits._
+    // labeled plane: label 1 clusters near (1,0), label 2 near (0,1);
+    // probe A sits on (1,0) -> label 1; probe B equidistant from one
+    // vector of each label -> 1-1 vote tie broken by label asc -> 1
+    val labeled = Seq(
+      (10L, Array(1f, 0f), 1), (11L, Array(0.9f, 0.1f), 1),
+      (20L, Array(0f, 1f), 2), (21L, Array(0.1f, 0.9f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val probes = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.70710677f, 0.70710677f)))
+      .toDF("probe_id", "_pv")
+    val out = Similarity.knnClassify(labeled, "embedding", "vec_id", "label",
+        probes, "probe_id", "_pv", k = 2)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getLong(2))).toMap
+    assert(out(1L) == (1, 2L), s"probe on the label-1 axis: $out")
+    // probe 2: nearest two are 11 (label 1) and 21 (label 2) -> tie -> label 1
+    assert(out(2L) == (1, 1L), s"vote tie must break label-asc: $out")
+    assert(out.size == 2)
+  }
+
+  test("topKPerGroup: exact per-group k, a dominant group cannot flood") {
+    import spark.implicits._
+    // group 'a' holds the 5 globally nearest; 'b' holds two distant rows
+    val coll = (0 until 5).map(i => (i.toLong, Array(i * 0.01f, 0f), "a")) ++
+      Seq((10L, Array(5f, 0f), "b"), (11L, Array(6f, 0f), "b"))
+    val collDf = coll.toDF("vec_id", "embedding", "grp")
+    val q = Seq(Tuple1(Array(0f, 0f))).toDF("qv")
+    val out = Similarity.topKPerGroup(collDf, "embedding", "vec_id", "grp",
+        q, "qv", kPerGroup = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3)))
+    assert(out.count(_._1 == "a") == 2 && out.count(_._1 == "b") == 2,
+      s"each group must surface exactly kPerGroup hits: ${out.toSeq}")
+    assert(out.filter(_._1 == "a").map(_._2).toSet == Set(0L, 1L))
+    assert(out.filter(_._1 == "b").map(_._2).toSet == Set(10L, 11L))
+    out.groupBy(_._1).foreach { case (g, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L), s"ranks in $g") }
+  }
+
   test("hard-negative mining: banded, ranked, never self, never a near-duplicate") {
     val rows = GraftQueries.mineHardNegatives(spark, sf).collect()
     assert(rows.nonEmpty)
