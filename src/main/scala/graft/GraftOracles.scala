@@ -3083,6 +3083,16 @@ object GraftOracles {
          |WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 15""".stripMargin,
 
+    // Twin of text_bm25_filtered — corpus-level BM25 (stats unfiltered)
+    // with the metadata filter gating the candidate set: survivors carry
+    // exactly their unfiltered scores.
+    "text_bm25_filtered" ->
+      s"""${bm25CteFor(Seq("table", "scan", "group"))}
+         |SELECT bm.doc_id, bm.dl, bm.bm25 FROM bm
+         |JOIN documents dd ON dd.doc_id = bm.doc_id
+         |WHERE dd.lang IN ('en','de') AND bm.bm25 > 0
+         |ORDER BY bm.bm25 DESC, bm.doc_id LIMIT 12""".stripMargin,
+
     // Twin of text_bm25_incremental — same corpus-level form: a 2/3
     // build + 1/3 append must be indistinguishable from one full build.
     "text_bm25_incremental" ->

@@ -3214,6 +3214,24 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** Metadata-filtered BM25 over the STORED index — the where-DSL filter
+    * composed with keyword retrieval (filter-then-rank; corpus-level
+    * scoring stats, so survivors score exactly their unfiltered BM25 —
+    * the semantic the oracle checks relationally). */
+  val textBm25Filtered: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_tidx_flt").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d)
+    try {
+      TextIndex.buildTextIndex(store, "docs_text", docs, "text", "doc_id",
+        nBuckets = 8)
+      TextIndex.bm25SearchStoredFiltered(s, store, "docs_text",
+        terms = Seq("table", "scan", "group"), k = 12,
+        allowed = docs.filter(WhereDsl.parse("""{"lang":{"$in":["en","de"]}}"""))
+          .select("doc_id"))
+    } finally store.destroy()
+  }
+
   /** Cohort retention over the event stream: users bucketed by first-seen
     * day, activity counted at fixed day offsets — the standard retention
     * matrix, built from two shuffles (per-user min, then per-cell
@@ -3867,6 +3885,7 @@ object GraftQueries {
     "text_hof" -> textHof,
     "text_bm25" -> textBm25,
     "text_bm25_store" -> textBm25Store,
+    "text_bm25_filtered" -> textBm25Filtered,
     "text_bm25_incremental" -> textBm25Incremental,
     "rag_hybrid_stored" -> ragHybridStored,
     "streaming_text_ingest" -> streamingTextIngest,

@@ -550,6 +550,48 @@ object TextIndex {
     } finally pruned.unpersist()
   }
 
+  /** BM25 over the stored layout with a metadata document filter — the
+    * `where`-DSL half of filtered search applied to keyword retrieval
+    * (filter-then-rank, like [[graft.query.Knn]]'s filtered form).
+    * `allowed` is a one-column doc-id relation, typically a pushed-down
+    * metadata scan of the docs table; it gates WHICH docs may surface.
+    * Scoring statistics stay corpus-level (df off the full pruned slice,
+    * N/avgdl from the sidecar): a surviving doc scores exactly what the
+    * unfiltered search gives it — the standard filtered-BM25 semantic,
+    * and the property the gate oracle checks.
+    *
+    * Scale shape: the posting scan is the same bucket-pruned fetch; the
+    * CANDIDATE ids (bounded by the query terms' postings — est. from the
+    * already-collected df sums, size-gated) broadcast INTO the metadata
+    * scan as a map-only semi, and the ≤-candidate survivors broadcast
+    * back onto the postings. The corpus-sized allowed set never crosses
+    * a shuffle; over the gate both joins degrade to hash joins. */
+  def bm25SearchStoredFiltered(spark: SparkSession, store: VectorStore,
+                               name: String, terms: Seq[String], k: Int,
+                               allowed: DataFrame, k1: Double = 1.2,
+                               b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25SearchStoredFiltered: empty term set")
+    val st0 = requireReady(store, name, "bm25SearchStoredFiltered")
+    val pruned = prunedPostings(spark, store, name, terms)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dfByTerm = pruned.groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val estBytes = dfByTerm.values.sum * 16
+      val hitIds = pruned.select("doc_id").distinct()
+      val allowedIds = allowed
+        .select(col(allowed.columns.head).as("doc_id"))
+      val surviving = allowedIds.join(
+        graft.operators.BroadcastGate.maybeBroadcast(hitIds, estBytes),
+        Seq("doc_id"), "left_semi")
+      val gated = pruned.join(
+        graft.operators.BroadcastGate.maybeBroadcast(surviving, estBytes),
+        Seq("doc_id"), "left_semi")
+      eager(spark, bm25TopkOff(gated, terms, st0.nDocs, st0.sumDl,
+        dfByTerm, k, k1, b))
+    } finally pruned.unpersist()
+  }
+
   /** The scoring stage shared by the single and batch stored searches:
     * singleton-max pivot (each (term, doc) appears once) + FIXED
     * term-order re-assembly so float addition matches the inline

@@ -32,6 +32,38 @@ class TextIndexSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("filtered BM25: allow-all == unfiltered; survivors keep their unfiltered scores") {
+    val store = newStore()
+    try {
+      TextIndex.buildTextIndex(store, "ti", docs, "text", "doc_id", nBuckets = 8)
+      val terms = Seq("filter", "vector", "sort")
+      val unfiltered = TextIndex.bm25SearchStored(spark, store, "ti", terms, k = 500)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // allow-all identity
+      val allowAll = TextIndex.bm25SearchStoredFiltered(spark, store, "ti",
+          terms, k = 15, allowed = docs.select("doc_id")).collect().toSeq
+      val plain = TextIndex.bm25SearchStored(spark, store, "ti", terms, k = 15)
+        .collect().toSeq
+      assert(allowAll == plain, "allow-all filter must be the identity")
+      // a real filter: survivors are exactly the allowed ∩ scoring docs,
+      // each with its unfiltered score
+      val allowed = docs.filter(col("lang") === "en").select("doc_id")
+      val allowedIds = allowed.collect().map(_.getLong(0)).toSet
+      val filtered = TextIndex.bm25SearchStoredFiltered(spark, store, "ti",
+        terms, k = 500, allowed = allowed).collect()
+      assert(filtered.nonEmpty)
+      filtered.foreach { r =>
+        val id = r.getLong(0)
+        assert(allowedIds.contains(id), s"doc $id not in the allowed set")
+        assert(unfiltered(id) == (r.getLong(1), r.getDouble(2)),
+          s"doc $id score drifted under the filter")
+      }
+      assert(filtered.map(_.getLong(0)).toSet ==
+        unfiltered.keySet.intersect(allowedIds),
+        "filtered hit set must be allowed ∩ unfiltered-scoring docs")
+    } finally store.destroy()
+  }
+
   test("search scan prunes to the query terms' buckets (PartitionFilters)") {
     val store = newStore()
     try {
