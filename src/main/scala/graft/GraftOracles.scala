@@ -3093,6 +3093,25 @@ object GraftOracles {
          |WHERE dd.lang IN ('en','de') AND bm.bm25 > 0
          |ORDER BY bm.bm25 DESC, bm.doc_id LIMIT 12""".stripMargin,
 
+    // Twin of text_percolate — reverse search: the registered query
+    // relation as VALUES, docs' distinct tokens unnested, a query
+    // matches when every one of its terms hits.
+    "text_percolate" ->
+      s"""WITH q(q_id, term) AS (VALUES
+         |  ('q_joins','join'), ('q_joins','merge'),
+         |  ('q_vector','vector'), ('q_vector','scan'),
+         |  ('q_stream','stream'), ('q_stream','window'), ('q_stream','batch'),
+         |  ('q_agg','customer'), ('q_agg','agg')),
+         |qn AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_terms
+         |  FROM q GROUP BY q_id),
+         |dt AS (SELECT doc_id,
+         |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS term
+         |  FROM documents),
+         |m AS (SELECT q.q_id, dt.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+         |  FROM dt JOIN q USING (term) GROUP BY 1, 2)
+         |SELECT m.q_id, m.doc_id, qn.n_terms FROM m JOIN qn USING (q_id)
+         |WHERE m.n_hit = qn.n_terms ORDER BY m.q_id, m.doc_id""".stripMargin,
+
     // Twin of text_bm25_incremental — same corpus-level form: a 2/3
     // build + 1/3 append must be indistinguishable from one full build.
     "text_bm25_incremental" ->

@@ -3232,6 +3232,18 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** Percolation over the documents corpus: four standing term queries
+    * matched in one broadcast map-side pass ([[TextAnalysis.percolate]]
+    * — the alert-at-ingest reverse-search verb). */
+  val textPercolate: Q = (s, d) =>
+    TextAnalysis.percolate(Tables.documents(s, d), "text", "doc_id",
+        queries = Seq(
+          "q_joins" -> Seq("join", "merge"),
+          "q_vector" -> Seq("vector", "scan"),
+          "q_stream" -> Seq("stream", "window", "batch"),
+          "q_agg" -> Seq("customer", "agg")))
+      .orderBy("q_id", "doc_id")
+
   /** Cohort retention over the event stream: users bucketed by first-seen
     * day, activity counted at fixed day offsets — the standard retention
     * matrix, built from two shuffles (per-user min, then per-cell
@@ -3886,6 +3898,7 @@ object GraftQueries {
     "text_bm25" -> textBm25,
     "text_bm25_store" -> textBm25Store,
     "text_bm25_filtered" -> textBm25Filtered,
+    "text_percolate" -> textPercolate,
     "text_bm25_incremental" -> textBm25Incremental,
     "rag_hybrid_stored" -> ragHybridStored,
     "streaming_text_ingest" -> streamingTextIngest,

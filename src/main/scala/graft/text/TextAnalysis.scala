@@ -203,6 +203,38 @@ object TextAnalysis {
     } finally withTf.unpersist()
   }
 
+  /** Percolation — REVERSE search (the standing-query/alerting half of
+    * an ingest pipeline): a registered set of term queries is matched
+    * against an incoming document batch; a query matches a document when
+    * the document contains EVERY one of the query's terms. Registered
+    * queries are few and fixed while documents stream through, so the
+    * (q_id, term) relation broadcasts and matching is ONE map-side pass
+    * over the tokenized batch: distinct doc terms explode, hash against
+    * the broadcast query terms, and a per-(query, doc) distinct-hit
+    * count equal to the query's term count is a match. The shuffle
+    * carries only (q_id, doc_id) hit rows — O(hits), never the corpus
+    * text. Returns (q_id, doc_id, n_terms), one row per match. */
+  def percolate(docs: DataFrame, textCol: String, idCol: String,
+                queries: Seq[(String, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "percolate: every registered query needs a non-empty term set")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "percolate: duplicate query ids")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val qRel = queries.flatMap { case (q, ts) =>
+      val d = ts.distinct
+      d.map(t => (q, t, d.length.toLong))
+    }.toDF("q_id", "term", "n_terms")
+    val docTerms = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(tokens(col(textCol)))).as("term"))
+    docTerms.join(broadcast(qRel), Seq("term"))
+      .groupBy("q_id", "doc_id")
+      .agg(count(lit(1)).as("_n_hit"), max(col("n_terms")).as("n_terms"))
+      .filter(col("_n_hit") === col("n_terms"))
+      .select("q_id", "doc_id", "n_terms")
+  }
+
   /** Greedy sequence packing for LLM training: assign consecutive docs
     * (per shard, in id order) to fixed-token-budget training sequences.
     * A doc whose tokens straddle a boundary goes to the sequence its

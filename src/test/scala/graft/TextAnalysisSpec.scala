@@ -44,6 +44,29 @@ class TextAnalysisSpec extends SparkSpec {
   }
   import spark.implicits._
 
+  test("percolate: all-terms match, repeated tokens count once, loud refusals") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma"),
+      (2L, "alpha alpha alpha"),      // repeats must not fake a 2-term hit
+      (3L, "beta gamma delta"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.percolate(docs, "text", "doc_id", Seq(
+        "q_ab" -> Seq("alpha", "beta"),
+        "q_a_dup" -> Seq("alpha", "alpha"), // dup in the QUERY folds to 1 term
+        "q_none" -> Seq("zeta")))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == Set(("q_ab", 1L), ("q_a_dup", 1L), ("q_a_dup", 2L)),
+      s"got $out")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.percolate(docs, "text", "doc_id",
+        Seq("q" -> Seq("a"), "q" -> Seq("b")))
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.percolate(docs, "text", "doc_id", Seq("q" -> Nil))
+    }
+  }
+
   test("pyStrip matches python str.strip semantics incl. nbsp") {
     assert(Chunker.pyStrip("  ab c  ") == "ab c")
     assert(Chunker.pyStrip("\t\nx\r\n") == "x")
