@@ -1945,6 +1945,25 @@ object GraftOracles {
          |SELECT label, vec_id, distance, rank FROM r WHERE rank <= 2
          |ORDER BY label, rank""".stripMargin,
 
+    // Twin of rag_maxsim — late-interaction MaxSim over 4×16-dim slices:
+    // per (doc, d_slot, q_slot) double dot, max over d_slot, the four
+    // per-q-slot maxes added in fixed slot order (CASE pivot), floor 1e-6.
+    "rag_maxsim" ->
+      s"""WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+         |slots(sl) AS (VALUES (0), (1), (2), (3)),
+         |sub AS (SELECT e.vec_id, dsl.sl AS ds, qsl.sl AS qs,
+         |    list_sum(list_transform(range(1, 17),
+         |      i -> e.embedding[(i + 16*dsl.sl)::INT]::DOUBLE * q.embedding[(i + 16*qsl.sl)::INT]::DOUBLE)) AS dt
+         |  FROM embeddings e, q, slots dsl, slots qsl),
+         |m AS (SELECT vec_id, qs, max(dt) AS m FROM sub GROUP BY 1, 2),
+         |sc AS (SELECT vec_id, floor((
+         |      max(CASE WHEN qs = 0 THEN m END) + max(CASE WHEN qs = 1 THEN m END)
+         |    + max(CASE WHEN qs = 2 THEN m END) + max(CASE WHEN qs = 3 THEN m END)
+         |  ) * 1e6 + 0.5) / 1e6 AS maxsim
+         |  FROM m GROUP BY vec_id)
+         |SELECT vec_id, maxsim FROM sc
+         |ORDER BY maxsim DESC, vec_id LIMIT 20""".stripMargin,
+
     "vec_topk_join" ->
       s"""WITH qs AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 5),
          |s AS (SELECT b.q_id, a.vec_id, round($cosineDouble, 6) AS cosine

@@ -714,6 +714,22 @@ object GraftQueries {
       .orderBy("label", "rank")
   }
 
+  /** Late-interaction MaxSim retrieval ([[Similarity.maxSimTopK]]) over
+    * a 4×16-dim multi-vector layout sliced from the 64-dim embeddings
+    * (the per-token sub-embedding stand-in): Σ over query sub-vectors of
+    * the best-matching doc sub-vector dot. One exploded scan, literal
+    * query side, per-doc partial-agg reduce — fully oracle-checked. */
+  val ragMaxsim: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val multi = e.select(col("vec_id"),
+      array((0 until 4).map(i => slice(col("embedding"), 1 + 16 * i, 16)): _*).as("mv"))
+    val qRow = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    val qSubs = (0 until 4).map(i => qRow.slice(16 * i, 16 * i + 16)).toSeq
+    Similarity.maxSimTopK(multi, "mv", "vec_id", qSubs, k = 20)
+      .orderBy(col("maxsim").desc, col("vec_id"))
+  }
+
   /** IVF-flat approximate kNN — FULL ORACLE since round 10: IVF is
     * "approximate" only in WHICH cells are probed, and the quantizer,
     * probe selection, and scoring are all deterministic, so the DuckDB
@@ -3753,6 +3769,7 @@ object GraftQueries {
     "mine_hard_negatives_lsh" -> mineHardNegativesLsh,
     "knn_classify" -> knnClassifyQ,
     "ann_grouped_topk" -> annGroupedTopk,
+    "rag_maxsim" -> ragMaxsim,
     "ann_ivf" -> annIvf,
     "ann_bq_topk" -> annBqTopk,
     "ann_range_search" -> annRangeSearch,

@@ -77,6 +77,40 @@ object Similarity {
       .select(col(probeIdCol), col(labelCol).as("pred_label"), col("n_votes"))
   }
 
+  /** Late-interaction (ColBERT-style) MaxSim retrieval: documents carry
+    * MULTIPLE vectors (`multiVecCol`: ARRAY<ARRAY<FLOAT>> — per-token /
+    * per-chunk sub-embeddings) and score against a multi-vector query as
+    * `Σ_q max_d dot(q, d)` — each query vector claims its best-matching
+    * document vector. The standard retrieval quality step between
+    * single-vector ANN and full cross-encoder rerank.
+    *
+    * Scale shape: ONE corpus scan explodes doc sub-vectors; every query
+    * sub-vector is a LITERAL (bounded query side — no join), so each
+    * exploded row computes its |q| dots map-side; the per-doc max/sum
+    * reduce is a partial-aggregated shuffle on the id — O(corpus ·
+    * slots) work, O(docs) shuffle rows. Determinism: dots are the
+    * codegen'd double kernel; per-query-slot maxes re-assemble in FIXED
+    * slot order (max is order-safe, the final add is a literal
+    * expression chain), floor-rounded at 1e-6. In production the corpus
+    * side is an ANN shortlist (IVF/graph), not the full corpus — this
+    * exact form is the oracle baseline. */
+  def maxSimTopK(coll: DataFrame, multiVecCol: String, idCol: String,
+                 queryVecs: Seq[Array[Float]], k: Int): DataFrame = {
+    require(queryVecs.nonEmpty, "maxSimTopK: empty query vector set")
+    val dsub = coll.select(col(idCol),
+      explode(col(multiVecCol)).as("_dsub"))
+    val maxCols = queryVecs.zipWithIndex.map { case (qv, qs) =>
+      max(dot(col("_dsub"), vecLit(qv))).as(s"_m$qs")
+    }
+    val score = queryVecs.indices.map(i => col(s"_m$i")).reduce(_ + _)
+    dsub.groupBy(col(idCol))
+      .agg(maxCols.head, maxCols.tail: _*)
+      .withColumn("maxsim", floor(score * 1e6 + 0.5) / 1e6)
+      .orderBy(col("maxsim").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("maxsim"))
+  }
+
   /** Diversified kNN — exact top-`kPerGroup` nearest rows PER GROUP for
     * one query vector (the "best hits per source/domain/class" serving
     * verb; plain top-k lets one dominant group fill the whole result).

@@ -271,6 +271,19 @@ class QuerySemanticsSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L), s"ranks in $g") }
   }
 
+  test("maxSimTopK: each query slot claims its best doc slot; sum ranks") {
+    import spark.implicits._
+    val coll = Seq(
+      (1L, Array(Array(1f, 0f), Array(0f, 1f))),   // matches both slots: 2.0
+      (2L, Array(Array(1f, 0f), Array(1f, 0f))),   // only q0 matches: 1.0
+      (3L, Array(Array(0.5f, 0f), Array(0f, 2f)))) // 0.5 + 2.0 = 2.5 → top
+      .toDF("vec_id", "mv")
+    val q = Seq(Array(1f, 0f), Array(0f, 1f))
+    val out = Similarity.maxSimTopK(coll, "mv", "vec_id", q, k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.toSeq == Seq((3L, 2.5), (1L, 2.0), (2L, 1.0)), s"got ${out.toSeq}")
+  }
+
   test("hard-negative mining: banded, ranked, never self, never a near-duplicate") {
     val rows = GraftQueries.mineHardNegatives(spark, sf).collect()
     assert(rows.nonEmpty)
