@@ -601,7 +601,8 @@ object GraftOracles {
 
   /** [[bm25CteFor]] without the leading WITH — for composition with
     * other CTE bodies (the stored hybrid twin). */
-  private def bm25BodyFor(terms: Seq[String], p: String = ""): String = {
+  private def bm25BodyFor(terms: Seq[String], p: String = "",
+                          src: String = "documents"): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"    CAST(len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x = '$t')) AS BIGINT) AS tf$i"
     }.mkString(",\n")
@@ -615,7 +616,7 @@ object GraftOracles {
        |  SELECT doc_id,
        |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS dl,
        |$tfCols
-       |  FROM documents),
+       |  FROM $src),
        |${p}s AS (
        |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
        |$dfCols
@@ -3130,6 +3131,15 @@ object GraftOracles {
          |  FROM dt JOIN q USING (term) GROUP BY 1, 2)
          |SELECT m.q_id, m.doc_id, qn.n_terms FROM m JOIN qn USING (q_id)
          |WHERE m.n_hit = qn.n_terms ORDER BY m.q_id, m.doc_id""".stripMargin,
+
+    // Twin of text_bm25_deleted — corpus-level BM25 over the LIVE set
+    // only: the tombstoned rows must vanish from N, avgdl, and df.
+    "text_bm25_deleted" ->
+      s"""WITH ${bm25BodyFor(Seq("row", "column", "value"),
+             src = "(SELECT * FROM documents WHERE doc_id % 7 <> 0)")}
+         |SELECT doc_id, dl, bm25 FROM bm
+         |WHERE bm25 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 12""".stripMargin,
 
     // Twin of text_bm25_incremental — same corpus-level form: a 2/3
     // build + 1/3 append must be indistinguishable from one full build.

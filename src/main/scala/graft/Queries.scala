@@ -3248,6 +3248,25 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** DELETE on the stored text index: build on the full corpus, tombstone
+    * every 7th doc (O(batch) — doc-id tombstones + sidecar decrement,
+    * never a postings rewrite), search. The oracle recomputes BM25 over
+    * the corpus MINUS the deleted rows — N, avgdl, and every per-term df
+    * must reflect exactly the live set. */
+  val textBm25Deleted: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_tidx_del").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d)
+    try {
+      TextIndex.buildTextIndex(store, "docs_text", docs, "text", "doc_id",
+        nBuckets = 8)
+      TextIndex.deleteFromTextIndex(store, "docs_text",
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
+      TextIndex.bm25SearchStored(s, store, "docs_text",
+        terms = Seq("row", "column", "value"), k = 12)
+    } finally store.destroy()
+  }
+
   /** Percolation over the documents corpus: four standing term queries
     * matched in one broadcast map-side pass ([[TextAnalysis.percolate]]
     * — the alert-at-ingest reverse-search verb). */
@@ -3916,6 +3935,7 @@ object GraftQueries {
     "text_bm25_store" -> textBm25Store,
     "text_bm25_filtered" -> textBm25Filtered,
     "text_percolate" -> textPercolate,
+    "text_bm25_deleted" -> textBm25Deleted,
     "text_bm25_incremental" -> textBm25Incremental,
     "rag_hybrid_stored" -> ragHybridStored,
     "streaming_text_ingest" -> streamingTextIngest,

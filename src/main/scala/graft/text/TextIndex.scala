@@ -95,6 +95,45 @@ object TextIndex {
   private def statsPath(store: VectorStore, name: String) =
     s"${store.root}/$name/$PropsFile"
 
+  /** Doc-level (doc_id, dl) companion — written at build, appended on
+    * insert; makes DELETE stats O(companion scan ∩ batch) instead of a
+    * full postings scan (a doc's postings spread across every bucket,
+    * its companion row is one slim record). `_`-prefixed: invisible to
+    * Spark scans of the collection. */
+  private def docsPath(store: VectorStore, name: String) =
+    s"${store.root}/$name/_docs"
+
+  /** Doc-id tombstone log — the delete side of the index. Append-only
+    * parquet of deleted ids, read `distinct` (re-appended ids are
+    * harmless); every read verb anti-joins it. */
+  private def deletedPath(store: VectorStore, name: String) =
+    s"${store.root}/$name/_deleted"
+
+  /** The tombstone set as a distinct one-column relation, or None when
+    * nothing was ever deleted. */
+  private[graft] def tombstoneIds(spark: SparkSession, store: VectorStore,
+                                  name: String): Option[DataFrame] = {
+    val path = deletedPath(store, name)
+    if (!StoreFs.forPath(store.root).exists(path)) None
+    else Some(spark.read.parquet(path).select("doc_id").distinct())
+  }
+
+  /** Anti-join a postings-shaped relation against the tombstones. The
+    * broadcast is size-gated off the tombstone log's on-disk bytes and
+    * FAILS CLOSED (unmeasurable = too-big = shuffle join), the
+    * MutableCollection discipline. */
+  private def liveOnly(spark: SparkSession, store: VectorStore, name: String,
+                       df: DataFrame): DataFrame =
+    tombstoneIds(spark, store, name) match {
+      case None => df
+      case Some(ts) =>
+        val raw = StoreFs.forPath(store.root)
+          .treeBytesFailClosed(deletedPath(store, name))
+        val est = if (raw > Long.MaxValue / 8) Long.MaxValue else raw * 8
+        df.join(graft.operators.BroadcastGate.maybeBroadcast(ts, est),
+          Seq("doc_id"), "left_anti")
+    }
+
   /** A streaming batch's write-ahead stats intent (see
     * [[graft.streaming.IndexStream.textBatchSink]]): recorded BEFORE the
     * postings append so the crash window between append and stats
@@ -185,11 +224,14 @@ object TextIndex {
         s"duplicate '$idCol' value(s) — ids must be unique")
     store.create(name, postingsOf(docs, textCol, idCol, nBuckets),
       partitionBy = Seq("bucket"))
-    // doc-level stats off the stored postings (distinct (doc, dl) —
-    // one slim column-pruned pass; counting the source again instead
-    // would double-tokenize)
-    val r = store.read(docs.sparkSession, name)
-      .select("doc_id", "dl").distinct()
+    // doc-level (doc_id, dl) companion off the stored postings (distinct
+    // — one slim column-pruned pass; counting the source again instead
+    // would double-tokenize); corpus stats aggregate off the companion,
+    // so the sidecar and `_docs` can never disagree
+    val sp = docs.sparkSession
+    store.read(sp, name).select("doc_id", "dl").distinct()
+      .write.mode("overwrite").parquet(docsPath(store, name))
+    val r = sp.read.parquet(docsPath(store, name))
       .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
     writeState(store, name,
       IndexState(r.getLong(0), r.getLong(1), nBuckets, -1L, None))
@@ -252,6 +294,16 @@ object TextIndex {
     writeState(store, name, st.copy(pending = Some(pend)))
     val fresh = posts.join(existingPairs, Seq("term", "doc_id"), "left_anti")
     store.append(name, fresh, partitionBy = Seq("bucket"))
+    // `_docs` companion rides the same intent: a heal anti-filters the
+    // batch's ids against already-landed companion rows (whole-doc rows
+    // — doc_id granularity suffices, unlike the per-(term,doc) postings)
+    val existingDocs = sp.read.parquet(docsPath(store, name)).select("doc_id")
+      .join(graft.operators.BroadcastGate.maybeBroadcast(
+        posts.select("doc_id").distinct(), pend.nDocs * 64),
+        Seq("doc_id"), "left_semi")
+    posts.select("doc_id", "dl").distinct()
+      .join(existingDocs, Seq("doc_id"), "left_anti")
+      .write.mode("append").parquet(docsPath(store, name))
     writeState(store, name, st.copy(
       nDocs = st.nDocs + pend.nDocs, sumDl = st.sumDl + pend.sumDl,
       lastBatch = newLastBatch.getOrElse(st.lastBatch), pending = None))
@@ -291,11 +343,87 @@ object TextIndex {
     val pend = st.pending.getOrElse(throw new IllegalStateException(
       s"resumeInsert: '$name' has no pending intent — nothing to heal"))
     require(pend.batchId == BatchVerbIntent,
-      s"resumeInsert: pending intent belongs to streaming batch " +
-        s"${pend.batchId} — redeliver it through the sink instead")
+      s"resumeInsert: pending intent ${pend.batchId} belongs to " +
+        (if (pend.batchId == DeleteVerbIntent) "the delete verb — heal via resumeDelete"
+         else "a streaming batch — redeliver it through the sink instead"))
     appendWithIntent(store, name, batch, textCol, idCol,
       st.copy(pending = None), BatchVerbIntent, expect = Some(pend),
       newLastBatch = None, refuseCollisions = false): Unit
+  }
+
+  /** The reserved intent id of the DELETE verb. */
+  private[graft] val DeleteVerbIntent = -3L
+
+  /** Delete documents from the index — doc-id TOMBSTONES, never a
+    * postings rewrite: a doc's postings spread across every bucket, so a
+    * physical delete would be O(index); the tombstone append + sidecar
+    * decrement is O(batch), and every read verb anti-joins the tombstone
+    * set (shared [[liveOnly]] in the pruned-scan stage, so BM25 scores —
+    * N, avgdl, AND per-term df — reflect exactly the live corpus; the
+    * gate oracle recomputes them from the raw text minus the deleted
+    * rows). Stats come from the `_docs` companion for the batch's ids
+    * (slim semi-joined scan), not a postings pass.
+    *
+    * Crash-safe via the append protocol's intent slot: intent (negative
+    * delta) → tombstone append → commit-and-clear. A crash in between
+    * leaves a loud pending marker; [[resumeDelete]] with the SAME ids
+    * heals (tombstone re-appends are additionally harmless — the set is
+    * read distinct). Deleted ids can NOT be re-inserted (their raw
+    * postings remain and the append contract refuses); reclaim space
+    * and ids by rebuilding the index from the live corpus. */
+  def deleteFromTextIndex(store: VectorStore, name: String,
+                          ids: DataFrame): Unit = {
+    val st = requireReady(store, name, "deleteFromTextIndex")
+    deleteImpl(store, name, ids, st, expect = None)
+  }
+
+  /** Heal a crashed [[deleteFromTextIndex]]: redeliver the SAME ids. */
+  def resumeDelete(store: VectorStore, name: String, ids: DataFrame): Unit = {
+    val st = readState(store, name)
+    val pend = st.pending.getOrElse(throw new IllegalStateException(
+      s"resumeDelete: '$name' has no pending intent — nothing to heal"))
+    require(pend.batchId == DeleteVerbIntent,
+      s"resumeDelete: pending intent ${pend.batchId} does not belong to " +
+        "the delete verb")
+    deleteImpl(store, name, ids, st.copy(pending = None), expect = Some(pend))
+  }
+
+  private def deleteImpl(store: VectorStore, name: String, ids: DataFrame,
+                         st: IndexState, expect: Option[PendingBatch]): Unit = {
+    val sp = ids.sparkSession
+    val batch = ids.select(col(ids.columns.head).as("doc_id")).distinct()
+      .localCheckpoint(true) // consumed by count, victims, tombstone probe, append
+    val nBatch = batch.count()
+    require(nBatch > 0, "deleteFromTextIndex: empty id batch")
+    val victims = sp.read.parquet(docsPath(store, name))
+      .join(graft.operators.BroadcastGate.maybeBroadcast(batch, nBatch * 16),
+        Seq("doc_id"), "left_semi")
+    val r = victims.agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head
+    require(r.getLong(0) == nBatch,
+      s"deleteFromTextIndex: ${nBatch - r.getLong(0)} id(s) not present in '$name'")
+    val pend = PendingBatch(DeleteVerbIntent, r.getLong(0), r.getLong(1))
+    expect match {
+      case Some(e) =>
+        require(e.nDocs == pend.nDocs && e.sumDl == pend.sumDl,
+          s"resumeDelete: redelivered ids do not match the recorded intent " +
+            s"($e vs $pend) — heal requires the SAME batch")
+      case None =>
+        // a fresh delete must not target already-deleted ids (its stats
+        // would double-decrement); the heal path skips this — its batch
+        // ids MAY already be tombstoned by the crashed attempt
+        tombstoneIds(sp, store, name).foreach { ts =>
+          val dup = batch.join(ts, Seq("doc_id"), "left_semi").limit(1).count()
+          require(dup == 0L,
+            s"deleteFromTextIndex: batch contains already-deleted id(s) in '$name'")
+        }
+    }
+    writeState(store, name, st.copy(pending = Some(pend)))
+    val fresh = tombstoneIds(sp, store, name)
+      .fold(batch)(ts => batch.join(ts, Seq("doc_id"), "left_anti"))
+    fresh.write.mode("append").parquet(deletedPath(store, name))
+    writeState(store, name, st.copy(
+      nDocs = st.nDocs - pend.nDocs, sumDl = st.sumDl - pend.sumDl,
+      pending = None))
   }
 
   /** The search's scan stage, exposed for plan pins: postings of the
@@ -306,9 +434,12 @@ object TextIndex {
                                     name: String, terms: Seq[String]): DataFrame = {
     val (_, _, nBuckets) = readStats(store, name)
     val buckets = bucketsOf(spark, terms, nBuckets)
-    store.read(spark, name)
+    // tombstone anti-join HERE covers every search verb at once (BM25,
+    // boolean, phrase, proximity, snippets, batch) — deleted docs can
+    // never surface nor count toward a pruned-scan df
+    liveOnly(spark, store, name, store.read(spark, name)
       .filter(col("bucket").isin(buckets.map(Int.box): _*) &&
-        col("term").isin(terms: _*))
+        col("term").isin(terms: _*)))
   }
 
   private val CompactJournal = "_compact.properties"
@@ -455,7 +586,7 @@ object TextIndex {
   def indexStats(spark: SparkSession, store: VectorStore, name: String,
                  topN: Int = 20): DataFrame = {
     requireReady(store, name, "indexStats"): Unit
-    eager(spark, store.read(spark, name)
+    eager(spark, liveOnly(spark, store, name, store.read(spark, name))
       .groupBy("term")
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"))
       .orderBy(col("df").desc, col("term"))

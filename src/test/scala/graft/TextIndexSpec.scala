@@ -345,6 +345,138 @@ class TextIndexSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("delete: every verb reflects the live set; refusals loud; re-add refused") {
+    val store = newStore()
+    val storeLive = newStore()
+    try {
+      TextIndex.buildTextIndex(store, "ti", docs, "text", "doc_id", nBuckets = 8)
+      val deadIds = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+      TextIndex.deleteFromTextIndex(store, "ti", deadIds)
+      // ground truth: an index built over only the live corpus
+      val live = docs.filter(col("doc_id") % 5 =!= 0)
+      TextIndex.buildTextIndex(storeLive, "ti", live, "text", "doc_id", nBuckets = 8)
+      def rows(st: graft.store.VectorStore, f: => org.apache.spark.sql.DataFrame) = f.collect().toSeq
+      assert(
+        TextIndex.bm25SearchStored(spark, store, "ti", Seq("join", "query"), 12).collect().toSeq ==
+        TextIndex.bm25SearchStored(spark, storeLive, "ti", Seq("join", "query"), 12).collect().toSeq,
+        "BM25 after delete != live-only rebuild")
+      assert(
+        TextIndex.booleanSearch(spark, store, "ti", Seq("join"), Seq("query"), Seq("vector"), 10).collect().toSeq ==
+        TextIndex.booleanSearch(spark, storeLive, "ti", Seq("join"), Seq("query"), Seq("vector"), 10).collect().toSeq,
+        "boolean after delete != live-only rebuild")
+      assert(
+        TextIndex.phraseSearch(spark, store, "ti", Seq("the", "batch"), 10).collect().toSeq ==
+        TextIndex.phraseSearch(spark, storeLive, "ti", Seq("the", "batch"), 10).collect().toSeq,
+        "phrase after delete != live-only rebuild")
+      assert(
+        TextIndex.indexStats(spark, store, "ti", 10).collect().toSeq ==
+        TextIndex.indexStats(spark, storeLive, "ti", 10).collect().toSeq,
+        "indexStats after delete != live-only rebuild")
+      // a deleted id cannot come back (its raw postings remain)
+      intercept[IllegalArgumentException] {
+        TextIndex.insertIntoTextIndex(store, "ti",
+          docs.filter(col("doc_id") === 0), "text", "doc_id")
+      }
+      // double-delete and unknown-id deletes refuse
+      intercept[IllegalArgumentException] {
+        TextIndex.deleteFromTextIndex(store, "ti", deadIds.limit(1))
+      }
+      intercept[IllegalArgumentException] {
+        import spark.implicits._
+        TextIndex.deleteFromTextIndex(store, "ti",
+          Seq(-999L).toDF("doc_id"))
+      }
+      // but INSERT of genuinely new docs still works after deletes, and
+      // search stays consistent with the live-only twin
+      val extra = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(100000L, "join query join vector"))),
+        new org.apache.spark.sql.types.StructType()
+          .add("doc_id", "long").add("text", "string"))
+      TextIndex.insertIntoTextIndex(store, "ti", extra, "text", "doc_id")
+      TextIndex.insertIntoTextIndex(storeLive, "ti", extra, "text", "doc_id")
+      assert(
+        TextIndex.bm25SearchStored(spark, store, "ti", Seq("join", "query"), 12).collect().toSeq ==
+        TextIndex.bm25SearchStored(spark, storeLive, "ti", Seq("join", "query"), 12).collect().toSeq,
+        "post-delete insert diverged from live-only twin")
+    } finally { store.destroy(); storeLive.destroy() }
+  }
+
+  test("delete crash windows: intent-only and tombstone-landed both heal exactly once") {
+    val store = newStore()
+    val storeLive = newStore()
+    try {
+      TextIndex.buildTextIndex(store, "ti", docs, "text", "doc_id", nBuckets = 8)
+      val deadIds = docs.filter(col("doc_id") % 5 === 0).select("doc_id")
+        .localCheckpoint(true)
+      val nDead = deadIds.count()
+      val dlDead = TextIndex.postingsOf(docs.filter(col("doc_id") % 5 === 0),
+          "text", "doc_id", 8)
+        .select("doc_id", "dl").distinct()
+        .agg(org.apache.spark.sql.functions.sum(col("dl"))).head.getLong(0)
+      // window 1: intent recorded, NO tombstones landed
+      val st0 = TextIndex.readState(store, "ti")
+      TextIndex.writeState(store, "ti", st0.copy(pending = Some(
+        TextIndex.PendingBatch(TextIndex.DeleteVerbIntent, nDead, dlDead))))
+      intercept[IllegalArgumentException] { // verbs refuse the pending index
+        TextIndex.bm25SearchStored(spark, store, "ti", Seq("join"), k = 5)
+      }
+      intercept[IllegalArgumentException] { // wrong-verb heal refused
+        TextIndex.resumeInsert(store, "ti", docs.limit(1), "text", "doc_id")
+      }
+      intercept[IllegalArgumentException] { // wrong-batch heal refused
+        TextIndex.resumeDelete(store, "ti", deadIds.limit(1))
+      }
+      TextIndex.resumeDelete(store, "ti", deadIds)
+      assert(TextIndex.readState(store, "ti").pending.isEmpty)
+      // a fresh delete refuses while ANY intent is pending
+      val st1 = TextIndex.readState(store, "ti")
+      TextIndex.writeState(store, "ti", st1.copy(pending = Some(
+        TextIndex.PendingBatch(TextIndex.DeleteVerbIntent, 1L, 37L))))
+      intercept[IllegalArgumentException] {
+        TextIndex.deleteFromTextIndex(store, "ti", deadIds)
+      }
+      TextIndex.writeState(store, "ti", st1) // clear the synthetic intent
+      // window 1 healed == live-only rebuild
+      TextIndex.buildTextIndex(storeLive, "ti",
+        docs.filter(col("doc_id") % 5 =!= 0), "text", "doc_id", nBuckets = 8)
+      assert(
+        TextIndex.bm25SearchStored(spark, store, "ti", Seq("join", "query"), 12).collect().toSeq ==
+        TextIndex.bm25SearchStored(spark, storeLive, "ti", Seq("join", "query"), 12).collect().toSeq,
+        "healed delete diverged from live-only rebuild")
+      // window 2 on a fresh index: intent AND tombstones landed, stats
+      // never committed — resume must not double-append or double-decrement
+      val store2 = newStore()
+      val storeLive2 = newStore()
+      try {
+        TextIndex.buildTextIndex(store2, "ti", docs, "text", "doc_id", nBuckets = 8)
+        val dead2 = docs.filter(col("doc_id") % 3 === 0).select("doc_id")
+          .localCheckpoint(true)
+        val n2 = dead2.count()
+        val dl2 = TextIndex.postingsOf(docs.filter(col("doc_id") % 3 === 0),
+            "text", "doc_id", 8)
+          .select("doc_id", "dl").distinct()
+          .agg(org.apache.spark.sql.functions.sum(col("dl"))).head.getLong(0)
+        val s2 = TextIndex.readState(store2, "ti")
+        TextIndex.writeState(store2, "ti", s2.copy(pending = Some(
+          TextIndex.PendingBatch(TextIndex.DeleteVerbIntent, n2, dl2))))
+        dead2.write.mode("append").parquet(s"${store2.root}/ti/_deleted")
+        TextIndex.resumeDelete(store2, "ti", dead2)
+        assert(TextIndex.readState(store2, "ti").pending.isEmpty)
+        TextIndex.buildTextIndex(storeLive2, "ti",
+          docs.filter(col("doc_id") % 3 =!= 0), "text", "doc_id", nBuckets = 8)
+        assert(
+          TextIndex.bm25SearchStored(spark, store2, "ti", Seq("join", "query"), 12).collect().toSeq ==
+          TextIndex.bm25SearchStored(spark, storeLive2, "ti", Seq("join", "query"), 12).collect().toSeq,
+          "tombstone-landed heal diverged from live-only rebuild")
+        // stats decremented exactly once
+        val healed = TextIndex.readState(store2, "ti")
+        val liveSt = TextIndex.readState(storeLive2, "ti")
+        assert(healed.nDocs == liveSt.nDocs && healed.sumDl == liveSt.sumDl,
+          s"stats double-applied: $healed vs $liveSt")
+      } finally { store2.destroy(); storeLive2.destroy() }
+    } finally { store.destroy(); storeLive.destroy() }
+  }
+
   test("batch-verb crash window: loud pending, resumeInsert heals, wrong batch refused") {
     val store = newStore()
     val storeFull = newStore()
