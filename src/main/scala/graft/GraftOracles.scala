@@ -1628,6 +1628,54 @@ object GraftOracles {
          |FROM ncand n LEFT JOIN hits h ON h.q_id = n.q_id AND h.nprobe = n.nprobe
          |ORDER BY n.q_id, n.nprobe""".stripMargin,
 
+    // Twin of ann_autotune — the recall-report relational replay PLUS
+    // the decision: min nprobe with total panel hits >= ceil(0.9·10·5)
+    // = 45 (integer rule, fallback 8), then the served IVF top-10 at
+    // that setting with the decision columns on every row.
+    "ann_autotune" ->
+      s"""WITH ${simIvfCte(16, 3)},
+         |sq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |sqd AS (SELECT q.q_id, c.cid, list_sum(list_transform(range(1,65),
+         |    i -> (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |       * (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM sq q CROSS JOIN sc3 c),
+         |sprn AS (SELECT q_id, cid,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dr, cid) AS rn
+         |  FROM sqd),
+         |cand AS (SELECT p.q_id, p.rn, s.vec_id, round(
+         |    list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE)) /
+         |    sqrt(list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * s.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |         list_sum(list_transform(range(1,65), i -> q.qe[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+         |  FROM scellf s JOIN sprn p ON s.cid = p.cid
+         |  JOIN sq q ON q.q_id = p.q_id
+         |  WHERE p.rn <= 8),
+         |exact AS (SELECT q_id, vec_id FROM (
+         |    SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id ORDER BY round(
+         |      list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE)) /
+         |      sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * e.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |           list_sum(list_transform(range(1,65), i -> q.qe[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE))), 6) DESC, e.vec_id) AS xr
+         |    FROM embeddings e CROSS JOIN sq q) WHERE xr <= 10),
+         |ps AS (SELECT unnest([1,2,4,8]) AS nprobe),
+         |ivfk AS (SELECT q_id, nprobe, vec_id FROM (
+         |    SELECT c.q_id, p.nprobe, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.q_id, p.nprobe ORDER BY c.cosine DESC, c.vec_id) AS r
+         |    FROM cand c JOIN ps p ON c.rn <= p.nprobe) WHERE r <= 10),
+         |tot AS (SELECT i.nprobe, CAST(count(*) AS BIGINT) AS hits
+         |  FROM ivfk i JOIN exact x ON x.q_id = i.q_id AND x.vec_id = i.vec_id
+         |  GROUP BY i.nprobe),
+         |chx AS (SELECT CAST(coalesce(min(nprobe) FILTER (WHERE hits >= 45), 8) AS INT) AS np
+         |  FROM tot),
+         |chits AS (SELECT chx.np,
+         |    CAST(coalesce((SELECT hits FROM tot WHERE tot.nprobe = chx.np), 0) AS BIGINT) AS h
+         |  FROM chx),
+         |res AS (SELECT c.q_id, c.vec_id, c.cosine,
+         |    CAST(row_number() OVER (PARTITION BY c.q_id ORDER BY c.cosine DESC, c.vec_id) AS BIGINT) AS rank
+         |  FROM cand c, chx WHERE c.rn <= chx.np)
+         |SELECT r.q_id, r.vec_id, r.cosine, r.rank, ch.np AS nprobe,
+         |  floor(CAST(ch.h AS DOUBLE) / 50.0 * 1e6 + 0.5) / 1e6 AS mean_recall
+         |FROM res r, chits ch WHERE r.rank <= 10
+         |ORDER BY r.q_id, r.rank""".stripMargin,
+
     // Twin of ann_ivf_store_batch — the ann_ivf batch form with the
     // candidate's cell carried through: the stored layout's partition
     // pruning and broadcast cell-pairing must be invisible next to the

@@ -1047,6 +1047,21 @@ object GraftQueries {
     } finally e.unpersist()
   }
 
+  /** Recall-targeted autotune: evaluate nprobe ∈ {1,2,4,8} on the 5-query
+    * panel, choose the cheapest meeting recall@10 ≥ 0.9 (integer-exact
+    * hit-count rule), serve at that setting — the DECISION and the
+    * served results both sit under the oracle hash. */
+  val annAutotune: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.autotuneNprobe(e, "embedding", "vec_id", q, "q_id", "q_vec",
+          k = 10, ncells = 16, nprobes = Seq(1, 2, 4, 8), targetRecall = 0.9)
+        .orderBy("q_id", "rank")
+    } finally e.unpersist()
+  }
+
   /** Batch kNN over the STORED IVF layout: 5 query vectors amortized onto
     * one partition-pruned scan of the union of probed cells — the bulk
     * retrieval / evaluation-panel posture. Per-query results must equal
@@ -3804,6 +3819,7 @@ object GraftQueries {
     "ann_ivf_store" -> annIvfStore,
     "ann_ivf_store_batch" -> annIvfStoreBatch,
     "ann_recall_report" -> annRecallReport,
+    "ann_autotune" -> annAutotune,
     "ann_adaptive_prefilter" -> annAdaptivePrefilter,
     "ann_adaptive_postfilter" -> annAdaptivePostfilter,
     "ann_ivfpq" -> annIvfPq,

@@ -1172,6 +1172,50 @@ object Similarity {
     } finally scoredCand.unpersist()
   }
 
+  /** Recall-targeted nprobe AUTOTUNE — closes the loop [[recallReport]]
+    * opens: evaluate the candidate nprobes on the panel, pick the
+    * CHEAPEST one meeting `targetRecall`, and run the production search
+    * at that setting. The decision rule is integer-exact (total panel
+    * hits >= ceil(target · k · panelSize) — no float mean compare), so
+    * the chosen setting is bit-deterministic and sits UNDER the gate
+    * oracle, which replays the whole tuning relationally. Falls back to
+    * max(nprobes) when no candidate meets the target (serve the best
+    * you have — refusing to answer is not a serving option). Output:
+    * the panel's search results at the chosen setting, with the chosen
+    * `nprobe` and its floor-rounded panel `mean_recall` on every row.
+    *
+    * Cost shape: the evaluation is [[recallReport]] (each corpus read
+    * paid once across settings); the final search re-trains the same
+    * deterministic quantizer (bit-identical centroids) rather than
+    * threading index state through — at 100 TB run the tune on a
+    * sampled panel, then hand the chosen nprobe to the STORED index
+    * search. */
+  def autotuneNprobe(collection: DataFrame, vecCol: String, idCol: String,
+                     queries: DataFrame, qIdCol: String, qVecCol: String,
+                     k: Int = 10, ncells: Int = 16,
+                     nprobes: Seq[Int] = Seq(1, 2, 4, 8),
+                     targetRecall: Double = 0.9,
+                     trainIters: Int = 3): DataFrame = {
+    require(targetRecall > 0.0 && targetRecall <= 1.0,
+      s"targetRecall must be in (0, 1], got $targetRecall")
+    val report = recallReport(collection, vecCol, idCol, queries, qIdCol,
+      qVecCol, k, ncells, nprobes, trainIters) // eager local relation
+    val panelSize = report.select(col(qIdCol)).distinct().count()
+    val need = math.ceil(targetRecall * k * panelSize).toLong
+    val totals = report.groupBy("nprobe")
+      .agg(sum(col("n_hits")).as("_hits"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val chosen = nprobes.sorted.find(p => totals(p) >= need)
+      .getOrElse(nprobes.max)
+    val meanRecall =
+      math.floor(totals(chosen).toDouble / (k * panelSize) * 1e6 + 0.5) / 1e6
+    ivfTopK(collection, vecCol, idCol, queries, qIdCol, qVecCol, k,
+        ncells, chosen, trainIters)
+      .withColumn("rank", col("rank").cast("long"))
+      .withColumn("nprobe", lit(chosen))
+      .withColumn("mean_recall", lit(meanRecall))
+  }
+
   /** Persist the BQ signature index: (id, bq_lo, bq_hi) — dim/8 bytes of
     * signature per vector. At 100 TB this relation IS the index: the
     * Hamming pre-rank scans it instead of re-deriving signatures from the

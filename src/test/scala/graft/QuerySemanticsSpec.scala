@@ -271,6 +271,29 @@ class QuerySemanticsSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L), s"ranks in $g") }
   }
 
+  test("autotuneNprobe: low target picks the cheapest setting and serves ivfTopK at it; target raises monotonically") {
+    val e = Tables.embeddings(spark, sf).cache()
+    try {
+      val q = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val low = Similarity.autotuneNprobe(e, "embedding", "vec_id", q,
+        "q_id", "q_vec", k = 10, ncells = 8, nprobes = Seq(1, 2, 4),
+        targetRecall = 0.01).collect()
+      assert(low.forall(_.getInt(4) == 1), "a trivial target must pick nprobe=1")
+      val served = Similarity.ivfTopK(e, "embedding", "vec_id", q,
+          "q_id", "q_vec", k = 10, ncells = 8, nprobe = 1)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+      assert(low.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3).toInt)).toSet == served,
+        "autotune output must be exactly the ivfTopK results at the chosen setting")
+      val high = Similarity.autotuneNprobe(e, "embedding", "vec_id", q,
+        "q_id", "q_vec", k = 10, ncells = 8, nprobes = Seq(1, 2, 4),
+        targetRecall = 1.0).collect()
+      assert(high.head.getInt(4) >= low.head.getInt(4),
+        "a stricter target cannot choose a cheaper setting")
+    } finally { e.unpersist(): Unit }
+  }
+
   test("maxSimTopK: each query slot claims its best doc slot; sum ranks") {
     import spark.implicits._
     val coll = Seq(
