@@ -632,6 +632,25 @@ object GraftOracles {
     * text_bm25 and rag_bm25_fusion. */
   private val bm25Cte = bm25CteFor(Seq("hash", "merge", "window", "stream"))
 
+  /** Percolation twin shared by the batch and streaming forms: the
+    * registered query relation as VALUES, docs' distinct tokens
+    * unnested, a query matches when every one of its terms hits. */
+  private val percolateSql =
+    s"""WITH q(q_id, term) AS (VALUES
+       |  ('q_joins','join'), ('q_joins','merge'),
+       |  ('q_vector','vector'), ('q_vector','scan'),
+       |  ('q_stream','stream'), ('q_stream','window'), ('q_stream','batch'),
+       |  ('q_agg','customer'), ('q_agg','agg')),
+       |qn AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_terms
+       |  FROM q GROUP BY q_id),
+       |dt AS (SELECT doc_id,
+       |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS term
+       |  FROM documents),
+       |m AS (SELECT q.q_id, dt.doc_id, CAST(count(*) AS BIGINT) AS n_hit
+       |  FROM dt JOIN q USING (term) GROUP BY 1, 2)
+       |SELECT m.q_id, m.doc_id, qn.n_terms FROM m JOIN qn USING (q_id)
+       |WHERE m.n_hit = qn.n_terms ORDER BY m.q_id, m.doc_id""".stripMargin
+
   val all: Map[String, String] = Map(
 
     "q1_pricing_summary" ->
@@ -3164,21 +3183,11 @@ object GraftOracles {
     // Twin of text_percolate — reverse search: the registered query
     // relation as VALUES, docs' distinct tokens unnested, a query
     // matches when every one of its terms hits.
-    "text_percolate" ->
-      s"""WITH q(q_id, term) AS (VALUES
-         |  ('q_joins','join'), ('q_joins','merge'),
-         |  ('q_vector','vector'), ('q_vector','scan'),
-         |  ('q_stream','stream'), ('q_stream','window'), ('q_stream','batch'),
-         |  ('q_agg','customer'), ('q_agg','agg')),
-         |qn AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_terms
-         |  FROM q GROUP BY q_id),
-         |dt AS (SELECT doc_id,
-         |    unnest(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS term
-         |  FROM documents),
-         |m AS (SELECT q.q_id, dt.doc_id, CAST(count(*) AS BIGINT) AS n_hit
-         |  FROM dt JOIN q USING (term) GROUP BY 1, 2)
-         |SELECT m.q_id, m.doc_id, qn.n_terms FROM m JOIN qn USING (q_id)
-         |WHERE m.n_hit = qn.n_terms ORDER BY m.q_id, m.doc_id""".stripMargin,
+    "text_percolate" -> percolateSql,
+
+    // Twin of streaming_percolate (same SQL): the stateless expression
+    // form over the stream must land the identical match set.
+    "streaming_percolate" -> percolateSql,
 
     // Twin of text_bm25_deleted — corpus-level BM25 over the LIVE set
     // only: the tombstoned rows must vanish from N, avgdl, and df.

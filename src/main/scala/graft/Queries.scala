@@ -2226,6 +2226,19 @@ object GraftQueries {
     graft.streaming.DocStream.runStreamingNearDup(s, s"$d/documents.parquet")
       .orderBy("new_id", "existing_id")
 
+  /** Percolation at ingest: the same four standing queries as
+    * text_percolate matched per arriving document through the stateless
+    * expression form — the batch oracle checks the stream verbatim. */
+  val streamingPercolate: Q = (s, d) =>
+    graft.streaming.DocStream.runStreamingPercolate(s, s"$d/documents.parquet",
+        queries = Seq(
+          "q_joins" -> Seq("join", "merge"),
+          "q_vector" -> Seq("vector", "scan"),
+          "q_stream" -> Seq("stream", "window", "batch"),
+          "q_agg" -> Seq("customer", "agg")),
+        "graft_sperc_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .orderBy("q_id", "doc_id")
+
   /** CDC-style streaming upsert into a mutable collection: micro-batches
     * insert/replace by id through the merge-on-read tombstone store,
     * then a delete mutation; the live view hash-matches the batch SQL
@@ -3869,6 +3882,7 @@ object GraftQueries {
     "streaming_quality" -> streamingQuality,
     "streaming_neardup" -> streamingNearDup,
     "streaming_upsert" -> streamingUpsert,
+    "streaming_percolate" -> streamingPercolate,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "q12_distinct_sketch" -> q12DistinctSketch,
     "q13_cube" -> q13Cube,

@@ -35,6 +35,30 @@ object DocStream {
     EventStream.drainMemorySink(spark0, spark, q, queryName)
   }
 
+  /** Percolation AT INGEST — the alerting shape the reverse-search verb
+    * exists for: standing queries match each document the moment it
+    * lands. Uses the STATELESS expression form
+    * ([[graft.text.TextAnalysis.percolateExpr]] — per-row
+    * `array_contains` conjunctions, matches exploded map-side), so the
+    * stream needs no watermark and no aggregation state and the batch
+    * oracle checks the streamed output verbatim. */
+  def runStreamingPercolate(spark0: SparkSession, docsParquet: String,
+                            queries: Seq[(String, Seq[String])],
+                            queryName: String): DataFrame = {
+    val spark = EventStream.streamSession(spark0)
+    val stream = EventStream.readFileStream(spark, docsParquet)
+    val matched = graft.text.TextAnalysis.percolateExpr(
+      stream, "text", "doc_id", queries)
+    val q = matched.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    EventStream.drainMemorySink(spark0, spark, q, queryName)
+  }
+
   /** Streaming nearest-centroid assignment: vectors arrive as a stream
     * and are routed to k-means cells trained ONCE on the standing corpus
     * — the online half of the SemDeDup/IVF story (route-at-ingest; a

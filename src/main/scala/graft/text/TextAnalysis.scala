@@ -235,6 +235,32 @@ object TextAnalysis {
       .select("q_id", "doc_id", "n_terms")
   }
 
+  /** Stateless expression form of [[percolate]]: matching as a pure
+    * per-row projection — one `array_contains` conjunction per
+    * registered query over the row's token set, matched ids exploded
+    * out. No join, no shuffle, NO STATE — the form a streaming ingest
+    * runs (append mode, zero watermark), and the fastest batch form
+    * while the query set is small. The join form stays the scale path
+    * for LARGE registered-query sets (this one's codegen width grows
+    * with Σ query terms). Same output contract as [[percolate]];
+    * equality of the two forms is spec-pinned. */
+  def percolateExpr(docs: DataFrame, textCol: String, idCol: String,
+                    queries: Seq[(String, Seq[String])]): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "percolateExpr: every registered query needs a non-empty term set")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "percolateExpr: duplicate query ids")
+    val toks = tokens(col(textCol))
+    val matched = array(queries.map { case (q, ts) =>
+      val d = ts.distinct
+      when(d.map(t => array_contains(toks, lit(t))).reduce(_ && _),
+        struct(lit(q).as("q_id"), lit(d.length.toLong).as("n_terms")))
+    }: _*)
+    docs.select(col(idCol).as("doc_id"),
+        explode(filter(matched, x => x.isNotNull)).as("_m"))
+      .select(col("_m.q_id"), col("doc_id"), col("_m.n_terms"))
+  }
+
   /** Greedy sequence packing for LLM training: assign consecutive docs
     * (per shard, in id order) to fixed-token-budget training sequences.
     * A doc whose tokens straddle a boundary goes to the sequence its

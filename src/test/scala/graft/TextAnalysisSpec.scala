@@ -67,6 +67,20 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("percolate join form == stateless expression form on the corpus") {
+    val docs = Tables.documents(spark, sf)
+    val qs = Seq(
+      "q_joins" -> Seq("join", "merge"),
+      "q_vector" -> Seq("vector", "scan"),
+      "q_dup" -> Seq("batch", "batch"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val joined = rows(TextAnalysis.percolate(docs, "text", "doc_id", qs))
+    val expr = rows(TextAnalysis.percolateExpr(docs, "text", "doc_id", qs))
+    assert(joined == expr, "the two percolate forms diverged")
+    assert(joined.nonEmpty, "percolate fixture matched nothing")
+  }
+
   test("pyStrip matches python str.strip semantics incl. nbsp") {
     assert(Chunker.pyStrip("  ab c  ") == "ab c")
     assert(Chunker.pyStrip("\t\nx\r\n") == "x")
