@@ -3198,6 +3198,48 @@ object GraftOracles {
          |WHERE bm25 > 0
          |ORDER BY bm25 DESC, doc_id LIMIT 12""".stripMargin,
 
+    // Twin of text_prf_search — the whole PRF chain in one statement:
+    // seed BM25 (literal-pivot CTE), expansion harvest off the top-10
+    // hits (df-desc/term-asc, seed terms excluded), then the
+    // dynamic-term BM25 with fixed-point BIGINT partials (floor 1e-6 per
+    // (doc, term), integer sum — the associative formulation the Spark
+    // side uses for runtime term sets).
+    "text_prf_search" ->
+      s"""WITH ${bm25BodyFor(Seq("vector", "query"), "pf")},
+         |seed AS (SELECT doc_id FROM pfbm WHERE bm25 > 0
+         |  ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |hterm AS (SELECT term, CAST(count(*) AS BIGINT) AS dfh FROM (
+         |    SELECT d.doc_id,
+         |      unnest(list_distinct(string_split_regex(trim(lower(d.text)), '\\s+'))) AS term
+         |    FROM documents d JOIN seed s ON s.doc_id = d.doc_id)
+         |  WHERE term NOT IN ('vector', 'query') GROUP BY term),
+         |expd AS (SELECT term FROM (
+         |    SELECT term, row_number() OVER (ORDER BY dfh DESC, term) AS r
+         |    FROM hterm) WHERE r <= 3),
+         |terms AS (SELECT term FROM expd
+         |  UNION SELECT unnest(['vector', 'query']) AS term),
+         |toks AS (SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(lower(text)), '\\s+')) AS BIGINT) AS dl,
+         |    unnest(string_split_regex(trim(lower(text)), '\\s+')) AS term
+         |  FROM documents),
+         |stt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(len(string_split_regex(trim(lower(text)), '\\s+'))) AS BIGINT) AS sumdl
+         |  FROM documents),
+         |tfr AS (SELECT t.doc_id, t.dl, t.term, CAST(count(*) AS BIGINT) AS tf
+         |  FROM toks t JOIN terms USING (term) GROUP BY 1, 2, 3),
+         |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfr GROUP BY term),
+         |prt AS (SELECT tfr.doc_id, tfr.dl,
+         |    CAST(floor((ln((stt.n - dfr.df + 0.5) / (dfr.df + 0.5) + 1.0)
+         |      * (CAST(tfr.tf AS DOUBLE) * 2.2)
+         |      / (CAST(tfr.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(tfr.dl AS DOUBLE)
+         |          / (CAST(stt.sumdl AS DOUBLE) / stt.n)))) * 1e6 + 0.5) AS BIGINT) AS fp
+         |  FROM tfr JOIN dfr USING (term) CROSS JOIN stt),
+         |scd AS (SELECT doc_id, max(dl) AS dl, CAST(sum(fp) AS BIGINT) AS sfp
+         |  FROM prt GROUP BY doc_id)
+         |SELECT doc_id, dl, CAST(sfp AS DOUBLE) / 1e6 AS bm25 FROM scd
+         |WHERE CAST(sfp AS DOUBLE) / 1e6 > 0
+         |ORDER BY bm25 DESC, doc_id LIMIT 12""".stripMargin,
+
     // Twin of text_bm25_incremental — same corpus-level form: a 2/3
     // build + 1/3 append must be indistinguishable from one full build.
     "text_bm25_incremental" ->

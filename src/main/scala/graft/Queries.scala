@@ -3295,6 +3295,17 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** Pseudo-relevance-feedback search: seed BM25 → harvest the 3 most
+    * document-frequent NEW terms from the top-10 hits → re-search with
+    * the expanded set through the dynamic-term BM25 (fixed-point long
+    * partials — deterministic under any agg merge order). The entire
+    * chain, including the data-derived expansion terms, is one static
+    * SQL statement for the oracle. */
+  val textPrfSearch: Q = (s, d) =>
+    TextAnalysis.prfSearch(Tables.documents(s, d), "text", "doc_id",
+        seedTerms = Seq("vector", "query"), k = 12, nSeed = 10, mExpand = 3)
+      .orderBy(col("bm25").desc, col("doc_id"))
+
   /** Percolation over the documents corpus: four standing term queries
     * matched in one broadcast map-side pass ([[TextAnalysis.percolate]]
     * — the alert-at-ingest reverse-search verb). */
@@ -3966,6 +3977,7 @@ object GraftQueries {
     "text_bm25_filtered" -> textBm25Filtered,
     "text_percolate" -> textPercolate,
     "text_bm25_deleted" -> textBm25Deleted,
+    "text_prf_search" -> textPrfSearch,
     "text_bm25_incremental" -> textBm25Incremental,
     "rag_hybrid_stored" -> ragHybridStored,
     "streaming_text_ingest" -> streamingTextIngest,

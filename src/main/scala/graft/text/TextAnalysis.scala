@@ -235,6 +235,87 @@ object TextAnalysis {
       .select("q_id", "doc_id", "n_terms")
   }
 
+  /** BM25 over a DYNAMIC term set — terms known only at runtime (query
+    * expansion, user queries, data-derived term lists), where
+    * [[bm25TopK]]'s literal per-term expression pivot cannot be built at
+    * plan-author time. Determinism needs care: a per-doc float sum via
+    * groupBy would depend on Spark's partial-agg merge order, so each
+    * (doc, term) partial is floor-rounded to a 1e-6 FIXED-POINT LONG and
+    * the per-doc reduce sums integers (associative — any merge order,
+    * any engine, same bits). Scores differ from [[bm25TopK]] only below
+    * 1e-6 per term; the arithmetic inside the partial is the same
+    * expression chain, and the whole formulation is mirrored
+    * relationally by the gate oracle.
+    *
+    * Scale shape: one corpus-stats scan (two O(1) numbers), one
+    * tokenize scan joined map-side against the (bounded, broadcast)
+    * term relation; the shuffle carries (doc, term, tf) hit rows only.
+    * df is relational (term-keyed broadcast join) — no driver collect
+    * grows with the term set. */
+  def bm25DynamicTopK(docs: DataFrame, textCol: String, idCol: String,
+                      terms: Seq[String], k: Int,
+                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25DynamicTopK: empty term set")
+    val sp = docs.sparkSession
+    import sp.implicits._
+    val spread = graft.Tables.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        tokens(coalesce(col(textCol), lit(""))).as("_toks"))
+    val statsRow = spread
+      .agg(count(lit(1)), coalesce(sum(size(col("_toks")).cast("long")), lit(0L)))
+      .head
+    val (nDocs, sumDl) = (statsRow.getLong(0), statsRow.getLong(1))
+    require(nDocs > 0, "bm25DynamicTopK: empty corpus")
+    val termRel = terms.distinct.toDF("term")
+    val tf = spread
+      .select(col("doc_id"), size(col("_toks")).cast("long").as("dl"),
+        explode(col("_toks")).as("term"))
+      .join(broadcast(termRel), Seq("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val dfRel = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val avgdl = lit(sumDl).cast("double") / lit(nDocs)
+    val tfD = col("tf").cast("double")
+    val idf = log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0))
+    val partial = idf * (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    tf.join(broadcast(dfRel), Seq("term"))
+      .withColumn("_fp", floor(partial * 1e6 + 0.5).cast("long"))
+      .groupBy("doc_id")
+      .agg(max(col("dl")).as("dl"), sum(col("_fp")).as("_sfp"))
+      .withColumn("bm25", col("_sfp").cast("double") / 1e6)
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+      .select("doc_id", "dl", "bm25")
+  }
+
+  /** Pseudo-relevance-feedback search (Rocchio-style expansion): run the
+    * seed query, harvest the `mExpand` most document-frequent NEW terms
+    * from the top-`nSeed` hits (tiebreak term-ascending), and re-search
+    * with the expanded term set through [[bm25DynamicTopK]] (the terms
+    * are data-derived — exactly the dynamic-term case). The expansion
+    * harvest touches only the ≤ nSeed hit documents (broadcast id join,
+    * bounded term relation); the whole chain — seed ranking, harvest,
+    * expanded scoring — is one static SQL statement for the oracle. */
+  def prfSearch(docs: DataFrame, textCol: String, idCol: String,
+                seedTerms: Seq[String], k: Int, nSeed: Int = 10,
+                mExpand: Int = 3): DataFrame = {
+    require(seedTerms.nonEmpty, "prfSearch: empty seed term set")
+    require(nSeed >= 1 && mExpand >= 0, "prfSearch: nSeed >= 1, mExpand >= 0")
+    val seed = bm25TopK(docs, textCol, idCol, seedTerms.distinct, nSeed)
+      .select(col(idCol).as("_hit_id"))
+    val expansion = docs
+      .join(broadcast(seed), col(idCol) === col("_hit_id"))
+      .select(explode(array_distinct(tokens(coalesce(col(textCol), lit(""))))).as("term"))
+      .filter(!col("term").isin(seedTerms.distinct: _*))
+      .groupBy("term").agg(count(lit(1)).as("_dfh"))
+      .orderBy(col("_dfh").desc, col("term"))
+      .limit(mExpand)
+      .collect().map(_.getString(0)).toSeq // bounded: mExpand rows
+    bm25DynamicTopK(docs, textCol, idCol, seedTerms.distinct ++ expansion, k)
+  }
+
   /** Stateless expression form of [[percolate]]: matching as a pure
     * per-row projection — one `array_contains` conjunction per
     * registered query over the row's token set, matched ids exploded

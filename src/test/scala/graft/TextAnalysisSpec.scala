@@ -67,6 +67,40 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("bm25DynamicTopK tracks the literal-pivot form: same ranking, <=1e-6/term score drift") {
+    val docs = Tables.documents(spark, sf)
+    val terms = Seq("filter", "vector", "sort")
+    val lit = TextAnalysis.bm25TopK(docs, "text", "doc_id", terms, k = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    val dyn = TextAnalysis.bm25DynamicTopK(docs, "text", "doc_id", terms, k = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(lit.nonEmpty && lit.length == dyn.length)
+    // the fixed-point formulation rounds each term partial at 1e-6 (the
+    // literal form rounds once at 1e-4) — scores may drift below that,
+    // rankings should agree except at sub-rounding near-ties
+    val drift = lit.map(_._1).zip(dyn.map(_._1)).count { case (a, b) => a != b }
+    assert(drift <= 2, s"rankings diverged at $drift positions")
+    val litById = lit.toMap
+    dyn.foreach { case (id, s) =>
+      litById.get(id).foreach(ls =>
+        assert(math.abs(ls - s) <= 1e-4 + terms.length * 1e-6,
+          s"doc $id score drifted: $ls vs $s"))
+    }
+  }
+
+  test("prfSearch: mExpand=0 degenerates to the dynamic seed search; expansion changes the answer") {
+    val docs = Tables.documents(spark, sf)
+    val seeds = Seq("vector", "query")
+    val noExp = TextAnalysis.prfSearch(docs, "text", "doc_id", seeds,
+      k = 12, nSeed = 10, mExpand = 0).collect().toSeq
+    val direct = TextAnalysis.bm25DynamicTopK(docs, "text", "doc_id", seeds,
+      k = 12).collect().toSeq
+    assert(noExp == direct, "mExpand=0 must be exactly the seed search")
+    val expanded = TextAnalysis.prfSearch(docs, "text", "doc_id", seeds,
+      k = 12, nSeed = 10, mExpand = 3).collect().toSeq
+    assert(expanded != direct, "3 expansion terms changed nothing — fixture too weak")
+  }
+
   test("percolate join form == stateless expression form on the corpus") {
     val docs = Tables.documents(spark, sf)
     val qs = Seq(
