@@ -1324,6 +1324,49 @@ object GraftOracles {
          |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) >= 0.20
          |ORDER BY vec_id""".stripMargin,
 
+    // Twin of ann_recommend — the Rocchio average-vector query is
+    // rebuilt with the IDENTICAL arithmetic: per-dim 2^24 fixed-point
+    // BIGINT sums over the example rows (order-free integer addition),
+    // the same double op sequence (sum→/n→/2^24, then 2·ap − an), a
+    // float32 re-quantize (the Lloyd-oracle CAST(... AS FLOAT) trick),
+    // then the one-scan cosine ranking with the floor-form round and
+    // the example ids excluded.
+    "ann_recommend" ->
+      """WITH ex AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding,
+        |    vec_id IN (1,2,3) AS is_pos
+        |  FROM embeddings WHERE vec_id IN (1,2,3,4,5)),
+        |comp AS (SELECT CAST(i AS INT) AS pos,
+        |    CAST(sum(CASE WHEN is_pos THEN CAST(floor(embedding[CAST(i AS INT)]::DOUBLE * 16777216) AS BIGINT) END) AS DOUBLE) / 3 / 16777216 AS ap,
+        |    CAST(sum(CASE WHEN NOT is_pos THEN CAST(floor(embedding[CAST(i AS INT)]::DOUBLE * 16777216) AS BIGINT) END) AS DOUBLE) / 2 / 16777216 AS an
+        |  FROM ex, unnest(range(1, 65)) AS t(i) GROUP BY 1),
+        |qc AS (SELECT list(CAST(CAST(2.0 * ap - an AS FLOAT) AS DOUBLE) ORDER BY pos) AS qv FROM comp)
+        |SELECT e.vec_id,
+        |  floor((list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * q.qv[i])) /
+        |    sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) *
+        |         list_sum(list_transform(range(1,65), i -> q.qv[i] * q.qv[i])))) * 1e6 + 0.5) / 1e6 AS score
+        |FROM embeddings e CROSS JOIN qc q
+        |WHERE e.vec_id NOT IN (1,2,3,4,5)
+        |ORDER BY score DESC, e.vec_id LIMIT 10""".stripMargin,
+
+    // Twin of ann_recommend_best — per-candidate max-of-ROUNDED cosine
+    // against each example side (round-before-max mirrors the Spark
+    // greatest-of-rounded), then the same CASE: sPos wins ties, else
+    // the nearest negative claims the candidate at −sNeg.
+    "ann_recommend_best" ->
+      s"""WITH ex AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding,
+         |    vec_id IN (1,2,3) AS is_pos
+         |  FROM embeddings WHERE vec_id IN (1,2,3,4,5)),
+         |sim AS (SELECT a.vec_id AS vid, b.is_pos AS is_pos,
+         |    floor(($cosineDouble) * 1e6 + 0.5) / 1e6 AS c
+         |  FROM embeddings a CROSS JOIN ex b
+         |  WHERE a.vec_id NOT IN (1,2,3,4,5)),
+         |agg AS (SELECT vid,
+         |    max(CASE WHEN is_pos THEN c END) AS sp,
+         |    max(CASE WHEN NOT is_pos THEN c END) AS sn
+         |  FROM sim GROUP BY vid)
+         |SELECT vid AS vec_id, CASE WHEN sp >= sn THEN sp ELSE -sn END AS score
+         |FROM agg ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
     // Twin of ann_ivf_stats — the stored index's per-cell assignment IS
     // the simIvfCte quantizer's, so introspection is a GROUP BY over the
     // relationally-derived cells. n_frac denominator = the full corpus

@@ -587,6 +587,30 @@ object GraftQueries {
     } finally e.unpersist()
   }
 
+  /** Recommend-by-examples, average-vector strategy: positives {1,2,3},
+    * negatives {4,5} — the Rocchio query `2·mean(pos) − mean(neg)` is
+    * synthesized from STORED vectors with the fixed-point mean
+    * discipline, float32-quantized, and ranked by one exact cosine scan
+    * with the examples excluded. FULL oracle: the SQL twin rebuilds the
+    * identical query literal (long-sum means, same double op order,
+    * CAST to FLOAT) and restates the ranking. */
+  val annRecommend: Q = (s, d) =>
+    Similarity.recommendByExamples(Tables.embeddings(s, d), "embedding",
+        "vec_id", positiveIds = Seq(1L, 2L, 3L), negativeIds = Seq(4L, 5L),
+        k = 10)
+      .orderBy(col("score").desc, col("vec_id"))
+
+  /** Recommend-by-examples, best-score strategy over the same example
+    * sets: per-candidate max-cosine against every positive and every
+    * negative (rounded before the max), score = sPos when it beats
+    * sNeg else −sNeg. FULL oracle: a join against the 5 example rows,
+    * max-of-rounded per side, the same CASE. */
+  val annRecommendBest: Q = (s, d) =>
+    Similarity.recommendBestScore(Tables.embeddings(s, d), "embedding",
+        "vec_id", positiveIds = Seq(1L, 2L, 3L), negativeIds = Seq(4L, 5L),
+        k = 10)
+      .orderBy(col("score").desc, col("vec_id"))
+
   /** Stored-IVF index introspection: per-cell population, id span, and
     * corpus fraction off the cell-partitioned layout — the router-drift /
     * hot-cell monitor. Column-pruned to (cell_id, vec_id); FULL oracle
@@ -3831,6 +3855,8 @@ object GraftQueries {
     "ann_ivf" -> annIvf,
     "ann_bq_topk" -> annBqTopk,
     "ann_range_search" -> annRangeSearch,
+    "ann_recommend" -> annRecommend,
+    "ann_recommend_best" -> annRecommendBest,
     "ann_bq_store" -> annBqStore,
     "ann_bq_batch" -> annBqBatch,
     "ann_federated_search" -> annFederatedSearch,

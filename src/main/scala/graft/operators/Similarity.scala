@@ -1438,4 +1438,119 @@ object Similarity {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Recommend-by-examples, average-vector strategy (the classic
+    * Rocchio relevance-feedback query form, the shape vector stores
+    * expose as `recommend(positive=[ids], negative=[ids])`): the query
+    * vector is synthesized FROM STORED POINTS — mean(positives) pushed
+    * away from mean(negatives), `q = 2·mean(pos) − mean(neg)` (equals
+    * `mean(pos) + (mean(pos) − mean(neg))`, positives-only degenerates
+    * to the plain centroid) — then one exact cosine top-k over the
+    * collection with the example ids excluded.
+    *
+    * Scale shape: the example fetch is an id-IN pushdown collect of a
+    * handful of rows (never a scan the driver holds), the synthesized
+    * query is a LITERAL in the plan, and the ranking is the
+    * one-scan broadcast-free codegen'd cosine + TakeOrdered of every
+    * exact-kNN verb — no shuffle wider than the top-k heap merge.
+    *
+    * Determinism: the means use the repo's fixed-point long-sum
+    * discipline ([[graft.operators.Clustering.Fp]] — integer addition
+    * commutes, so the mean is independent of row arrival order), the
+    * double arithmetic deriving `q` is the same op sequence the oracle
+    * states, and the result is quantized to float32 so both engines
+    * rank against bit-identical query literals (the Lloyd-oracle
+    * precedent). Cosine rounds at 6 with the floor form; id tiebreak. */
+  def recommendByExamples(collection: DataFrame, vecCol: String, idCol: String,
+                          positiveIds: Seq[Long], negativeIds: Seq[Long],
+                          k: Int): DataFrame = {
+    require(positiveIds.nonEmpty, "recommend needs at least one positive example")
+    require(positiveIds.intersect(negativeIds).isEmpty,
+      "positive and negative example sets must be disjoint")
+    val fp = graft.operators.Clustering.Fp
+    val exampleIds = positiveIds ++ negativeIds
+    val rows = collection
+      .filter(col(idCol).isin(exampleIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+    require(rows.length == exampleIds.distinct.length,
+      s"expected ${exampleIds.distinct.length} example rows, found ${rows.length}")
+    val vecs = rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val dim = vecs.head._2.length
+    def fpMean(ids: Seq[Long]): Array[Double] = {
+      val sums = new Array[Long](dim)
+      ids.foreach { id =>
+        val v = vecs(id)
+        var i = 0
+        while (i < dim) { sums(i) += math.floor(v(i).toDouble * fp).toLong; i += 1 }
+      }
+      sums.map(s => s.toDouble / ids.length / fp)
+    }
+    val ap = fpMean(positiveIds)
+    val qv: Array[Float] =
+      if (negativeIds.isEmpty) ap.map(_.toFloat)
+      else {
+        val an = fpMean(negativeIds)
+        Array.tabulate(dim)(i => (2.0 * ap(i) - an(i)).toFloat)
+      }
+    collection
+      .filter(!col(idCol).isin(exampleIds: _*))
+      .withColumn("score", floor(cosine(col(vecCol), vecLit(qv)) * 1e6 + 0.5) / 1e6)
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
+  /** Recommend-by-examples, best-score strategy: instead of collapsing
+    * the examples into one query point (which averages away multi-modal
+    * preference sets), each candidate is scored against EVERY example —
+    * `sPos = max cosine over positives`, `sNeg = max over negatives` —
+    * and ranked by `if (sPos >= sNeg) sPos else −sNeg`: a candidate
+    * closer to any negative than to every positive is pushed to the
+    * bottom, ordered by how strongly the nearest negative claims it.
+    *
+    * Scale shape: ONE scan of the collection against a LITERAL example
+    * matrix — the per-row max-over-examples folds inside the projection
+    * (`greatest` over codegen'd cosines, no explode, no join, no
+    * shuffle before the top-k heap merge), so cost is O(rows · examples)
+    * map-side with examples bounded to a handful.
+    *
+    * Determinism: each pairwise cosine rounds at 6 BEFORE the max
+    * (mirroring the oracle's max-of-rounded), `greatest` is exact on
+    * the rounded micro-units, id tiebreak on the final order. */
+  def recommendBestScore(collection: DataFrame, vecCol: String, idCol: String,
+                         positiveIds: Seq[Long], negativeIds: Seq[Long],
+                         k: Int): DataFrame = {
+    require(positiveIds.nonEmpty, "recommend needs at least one positive example")
+    require(positiveIds.intersect(negativeIds).isEmpty,
+      "positive and negative example sets must be disjoint")
+    val exampleIds = positiveIds ++ negativeIds
+    val rows = collection
+      .filter(col(idCol).isin(exampleIds: _*))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+    require(rows.length == exampleIds.distinct.length,
+      s"expected ${exampleIds.distinct.length} example rows, found ${rows.length}")
+    val vecs = rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def simTo(id: Long): Column =
+      floor(cosine(col(vecCol), vecLit(vecs(id))) * 1e6 + 0.5) / 1e6
+    val sPos = positiveIds.map(simTo) match {
+      case Seq(one) => one
+      case many     => greatest(many: _*)
+    }
+    val base = collection.filter(!col(idCol).isin(exampleIds: _*))
+    val scored =
+      if (negativeIds.isEmpty) base.withColumn("score", sPos)
+      else {
+        val sNeg = negativeIds.map(simTo) match {
+          case Seq(one) => one
+          case many     => greatest(many: _*)
+        }
+        base.withColumn("score", when(sPos >= sNeg, sPos).otherwise(-sNeg))
+      }
+    scored
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
 }

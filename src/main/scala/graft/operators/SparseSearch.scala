@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.store.{StoreFs, VectorStore}
+
+/** Sparse-vector retrieval — the learned-sparse ("SPLADE-class") arm a
+  * vector store serves next to its dense index: every document is a
+  * sparse map `term -> weight`, a query is a handful of weighted terms,
+  * and the score is the sparse dot product `Σ_t q_t · d_t`. The
+  * reference's stack exposes exactly this surface through Chroma's
+  * sparse-embedding collections; here the moving parts are re-expressed
+  * as relational plans:
+  *
+  *  - the "encoder" is a deterministic tf·idf ([[encode]]): real sparse
+  *    embedders are per-document model outputs; a tf·idf fit on the
+  *    build corpus has the same shape (bounded terms per doc, one
+  *    weight per (doc, term)) while staying SQL-twinnable for the gate.
+  *  - weights are EXACT fixed-point micro-units (`w_mu: BIGINT`), so
+  *    the dot product is pure integer arithmetic — order-free, hence
+  *    bit-identical at any parallelism and in the DuckDB oracle.
+  *  - the stored layout is a bucket-partitioned inverted index
+  *    ([[buildIndex]]): postings `(term, doc_id, w_mu)` partitioned by
+  *    `bucket = pmod(xxhash64(term), nBuckets)` — a q-term query reads
+  *    at most |q| buckets (PartitionFilters, spec-pinned), the
+  *    TextIndex discipline.
+  *
+  * 100 TB shape: queries are bounded (tens of terms), so the query side
+  * is always a broadcast literal; the corpus side is one pruned scan of
+  * the touched buckets followed by a partial-aggregated sum keyed on
+  * doc_id — candidates shuffle (docs sharing a query term), never the
+  * corpus. There is no all-pairs anywhere: scoring work is
+  * O(postings of query terms), the inverted-index contract.
+  */
+object SparseSearch {
+
+  /** Fixed-point scale for weights: 1e6 micro-units per 1.0. Scores are
+    * micro² (1e12) after the product — still comfortably inside Long
+    * for realistic magnitudes (w ≤ ~1e4 ⇒ w_mu ≤ 1e10; q ≤ ~1e2 ⇒
+    * q_mu ≤ 1e8; a 50-term overlap stays < 2^63). */
+  val Scale = 1000000L
+
+  /** Deterministic sparse "encoder": tf·idf over whitespace tokens,
+    * `w = tf · ln(N / df)` quantized to micro-units with the repo's
+    * floor-form round (`floor(x·1e6 + 0.5)`). Emits one posting row per
+    * (doc, distinct term): `(doc_id, term, w_mu)`. Terms appearing in
+    * every document get weight 0 (ln 1) and are kept — dropping them is
+    * the caller's policy, and the oracle twin keeps them too.
+    *
+    * Corpus stats (N, df) are the "model": like any trained encoder
+    * they are FROZEN artifacts of the corpus they were fit on —
+    * [[buildIndex]] persists the fitted N so incremental encode against
+    * a stored index reuses the build-time statistics rather than
+    * silently re-fitting (see [[insertInto]]).
+    */
+  def encode(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    encodeWithN(docs, textCol, idCol, nDocs)
+  }
+
+  /** [[encode]] with the document count supplied — the frozen-stats
+    * seam used by [[insertInto]]. df is still computed over the GIVEN
+    * frame; for incremental appends the realistic contract is
+    * "the encoder is the build corpus' model", so [[insertInto]] passes
+    * the stored stats through here via [[encodeAgainst]] instead. */
+  private def encodeWithN(docs: DataFrame, textCol: String, idCol: String,
+                          nDocs: Long): DataFrame = {
+    val tf = graft.Tables.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(coalesce(col(textCol), lit("")))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df_ = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+    tf.join(df_, Seq("term"))
+      .select(col("doc_id"), col("term"),
+        floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e6 + 0.5)
+          .cast("long").as("w_mu"))
+  }
+
+  /** Encode NEW documents against a FROZEN vocabulary model `(term ->
+    * df, N)` — the incremental-append path: out-of-vocabulary terms get
+    * no posting (an unseen term has no fitted weight, exactly like a
+    * sparse embedder's fixed vocab), in-vocab terms score with the
+    * build-time df. The model side is a small relation (capped vocab),
+    * broadcast by the optimizer's own size estimate. */
+  def encodeAgainst(docs: DataFrame, textCol: String, idCol: String,
+                    model: DataFrame, nDocs: Long): DataFrame = {
+    val tf = graft.Tables.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(coalesce(col(textCol), lit("")))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    tf.join(model.select(col("term"), col("df")), Seq("term"))
+      .select(col("doc_id"), col("term"),
+        floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e6 + 0.5)
+          .cast("long").as("w_mu"))
+  }
+
+  /** Quantize user query weights to micro-units with the same floor
+    * form the encoder uses (negatives round symmetrically via the
+    * sign-split so -0.5 doesn't bias upward; sparse query weights are
+    * non-negative in practice, but the quantizer shouldn't care). */
+  private def quantize(w: Double): Long =
+    if (w >= 0) math.floor(w * Scale + 0.5).toLong
+    else -math.floor(-w * Scale + 0.5).toLong
+
+  /** Sparse dot-product top-k over encoded postings: join the postings
+    * against the BROADCAST query literal on term, integer-sum the
+    * products per doc, rank by `(score DESC, doc_id)`. Exact — every
+    * arithmetic step is on longs. `score` is the dot product in real
+    * units (`s_mu2 / 1e12`, one deterministic long→double conversion).
+    */
+  def topK(postings: DataFrame, query: Seq[(String, Double)], k: Int): DataFrame = {
+    require(query.nonEmpty, "sparse query needs at least one term")
+    val sp = postings.sparkSession
+    import sp.implicits._
+    val q = broadcast(
+      query.map { case (t, w) => (t, quantize(w)) }.toDF("term", "q_mu"))
+    postings.join(q, Seq("term"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_mu") * col("q_mu")).cast("long").as("s_mu2"))
+      .orderBy(col("s_mu2").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), (col("s_mu2").cast("double") / 1e12).as("score"))
+  }
+
+  // ---------------------------------------------------------------- store
+
+  private val PropsFile = "_sparse_index.properties"
+  private def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
+
+  /** Persist the inverted layout: postings `(term, doc_id, w_mu)`
+    * PARTITIONED BY `bucket` so a query's scan lists only its terms'
+    * buckets, plus a `_model` vocabulary sidecar (term → df; the frozen
+    * encoder) and a props sidecar carrying `n_buckets` / `n_docs`. */
+  def buildIndex(store: VectorStore, name: String, docs: DataFrame,
+                 textCol: String, idCol: String, nBuckets: Int): Unit = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val nDocs = docs.select(col(idCol)).distinct().count()
+    val postings = encodeWithN(docs, textCol, idCol, nDocs)
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+    store.create(name, postings.select("term", "doc_id", "w_mu", "bucket"),
+      partitionBy = Seq("bucket"))
+    // vocabulary model AFTER the data (create clears the directory)
+    postings.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"${store.root}/$name/_model")
+    val props = new java.util.Properties()
+    props.setProperty("n_buckets", nBuckets.toString)
+    props.setProperty("n_docs", nDocs.toString)
+    StoreFs.forPath(store.root)
+      .writePropsAtomic(s"${store.root}/$name/$PropsFile", props,
+        "graft sparse inverted index")
+  }
+
+  private def readProps(store: VectorStore, name: String): (Int, Long) = {
+    val p = StoreFs.forPath(store.root)
+      .readProps(s"${store.root}/$name/$PropsFile")
+      .getOrElse(sys.error(s"'$name' is not a sparse index (no $PropsFile)"))
+    (p.getProperty("n_buckets").toInt, p.getProperty("n_docs").toLong)
+  }
+
+  /** Append new documents to a stored sparse index with the FROZEN
+    * encoder (build-time df/N — OOV terms drop, the fixed-vocab
+    * contract): postings written as a dynamic-partition append, so only
+    * the batch's terms' buckets gain files — O(batch), untouched
+    * buckets' files immutable. The append contract refuses doc ids the
+    * index already holds. */
+  def insertInto(store: VectorStore, name: String, docs: DataFrame,
+                 textCol: String, idCol: String): Unit = {
+    val sp = docs.sparkSession
+    val (nBuckets, nDocs) = readProps(store, name)
+    val model = sp.read.parquet(s"${store.root}/$name/_model")
+    AppendContract.requireNewUniqueIds(store, name,
+      docs.select(col(idCol).as("doc_id")), "doc_id",
+      "SparseSearch.insertInto")
+    val postings = encodeAgainst(docs, textCol, idCol, model, nDocs)
+      .withColumn("bucket", bucketOf(col("term"), nBuckets))
+      .select("term", "doc_id", "w_mu", "bucket")
+    store.append(name, postings, partitionBy = Seq("bucket"))
+  }
+
+  /** Search the stored layout: bucket ids of the query terms are
+    * computed through the SAME Spark expression as the build (a
+    * |terms|-row local job — driver and layout can never disagree on
+    * the hash), the scan filters to those buckets (PartitionFilters;
+    * only touched directories are listed/read), then the identical
+    * integer dot-product ranking as [[topK]]. */
+  def searchStored(spark: SparkSession, store: VectorStore, name: String,
+                   query: Seq[(String, Double)], k: Int): DataFrame = {
+    require(query.nonEmpty, "sparse query needs at least one term")
+    import spark.implicits._
+    val (nBuckets, _) = readProps(store, name)
+    val buckets = query.map(_._1).toDF("term")
+      .select(bucketOf(col("term"), nBuckets))
+      .collect().map(_.getInt(0)).toSeq.distinct
+    val postings = spark.read.parquet(s"${store.root}/$name")
+      .filter(col("bucket").isin(buckets.map(Int.box): _*))
+    topK(postings.select("term", "doc_id", "w_mu"), query, k)
+  }
+}

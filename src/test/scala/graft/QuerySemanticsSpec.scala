@@ -271,6 +271,52 @@ class QuerySemanticsSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L), s"ranks in $g") }
   }
 
+  test("recommendByExamples: negatives push the query away; positives-only is the plain centroid; examples excluded") {
+    import spark.implicits._
+    // axis-separated plane: positives on +x, a negative on +y, candidates
+    // 100 (on +x) and 200 (on +y). Rocchio q = 2·mean(pos) − mean(neg)
+    // lands at (1, -0.5)-ish → candidate 100 must dominate 200.
+    val coll = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(1f, 0.05f)),
+      (4L, Array(0f, 1f)), (5L, Array(0.1f, 0.9f)),
+      (100L, Array(1f, -0.2f)), (200L, Array(0.1f, 1f)), (300L, Array(0.7f, 0.1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.recommendByExamples(coll, "embedding", "vec_id",
+        positiveIds = Seq(1L, 2L, 3L), negativeIds = Seq(4L, 5L), k = 3)
+      .orderBy(col("score").desc, col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSet.intersect(Set(1L, 2L, 3L, 4L, 5L)).isEmpty,
+      s"example ids must never surface: ${out.toSeq}")
+    assert(out.head._1 == 100L, s"negative-repelled ranking: ${out.toSeq}")
+    assert(out.last._1 == 200L, s"near-negative candidate must rank last: ${out.toSeq}")
+    // positives-only degenerates to the centroid query: candidate on the
+    // positive axis wins and ranking is by plain cosine to mean(pos)
+    val solo = Similarity.recommendByExamples(coll, "embedding", "vec_id",
+        positiveIds = Seq(1L, 2L, 3L), negativeIds = Nil, k = 5)
+      .orderBy(col("score").desc, col("vec_id"))
+      .collect().map(_.getLong(0))
+    assert(solo.head == 300L || solo.head == 100L, s"centroid-near first: ${solo.toSeq}")
+    assert(!solo.contains(1L) && !solo.contains(2L) && !solo.contains(3L))
+  }
+
+  test("recommendBestScore: a candidate owned by a negative is pushed below every positive-claimed one") {
+    import spark.implicits._
+    val coll = Seq(
+      (1L, Array(1f, 0f)), (4L, Array(0f, 1f)),
+      (100L, Array(1f, 0f)),     // identical to the positive → sPos = 1
+      (200L, Array(0f, 1f)),     // identical to the negative → score = −1
+      (300L, Array(0.7f, 0.7f))) // equidistant → sPos == sNeg, ties to positive
+      .toDF("vec_id", "embedding")
+    val out = Similarity.recommendBestScore(coll, "embedding", "vec_id",
+        positiveIds = Seq(1L), negativeIds = Seq(4L), k = 3)
+      .orderBy(col("score").desc, col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq == Seq(100L, 300L, 200L), s"got ${out.toSeq}")
+    assert(out.head._2 == 1.0, s"exact positive match scores 1: ${out.toSeq}")
+    assert(out.last._2 == -1.0, s"exact negative match scores −1: ${out.toSeq}")
+    assert(out(1)._2 > 0, s"sPos >= sNeg ties keep the positive score: ${out.toSeq}")
+  }
+
   test("autotuneNprobe: low target picks the cheapest setting and serves ivfTopK at it; target raises monotonically") {
     val e = Tables.embeddings(spark, sf).cache()
     try {
