@@ -57,6 +57,26 @@ object GraftOracles {
        |      i -> substr(text, i::INT, 5))) AS s
        |  FROM documents)""".stripMargin
 
+  /** The sparse-retrieval twin shared by the inline and stored forms:
+    * exact fixed-point tf·idf postings and a pure-BIGINT dot product. */
+  private lazy val sparseDotOracle =
+    s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       |       FROM tk GROUP BY 1, 2),
+       |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM documents),
+       |w AS (SELECT doc_id, term,
+       |    CAST(floor(tf * ln(CAST(nd.n AS DOUBLE) / dfv.df) * 1e6 + 0.5) AS BIGINT) AS w_mu
+       |  FROM tf JOIN dfv USING (term) CROSS JOIN nd),
+       |q AS (SELECT * FROM (VALUES
+       |    ('vector', CAST(1000000 AS BIGINT)), ('query', CAST(800000 AS BIGINT)),
+       |    ('join', CAST(500000 AS BIGINT)), ('spark', CAST(250000 AS BIGINT)))
+       |  AS t(term, q_mu)),
+       |sc AS (SELECT doc_id, CAST(sum(w.w_mu * q.q_mu) AS BIGINT) AS s_mu2
+       |       FROM w JOIN q USING (term) GROUP BY 1)
+       |SELECT doc_id, CAST(s_mu2 AS DOUBLE) / 1e12 AS score
+       |FROM sc ORDER BY s_mu2 DESC, doc_id LIMIT 10""".stripMargin
+
   private val cosineDouble =
     """list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
       |sqrt(list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)) *
@@ -2601,6 +2621,46 @@ object GraftOracles {
          |JOIN u u2 ON u2.w = b.w2
          |CROSS JOIN tot CROSS JOIN bt
          |ORDER BY pmi DESC, b.w1, b.w2 LIMIT 30""".stripMargin,
+
+    // Twin of sparse_topk AND sparse_store (the stored tier's contract
+    // is exact identity with the inline form): the tf·idf encoder in
+    // exact micro-units — floor-form quantize to BIGINT — then the dot
+    // product as pure integer arithmetic (order-free in both engines),
+    // score surfaced via one deterministic BIGINT→DOUBLE conversion.
+    // The query literal's micro-unit weights are the same floor(w·1e6
+    // + 0.5) the engine's quantizer computes.
+    "sparse_topk" -> sparseDotOracle,
+    "sparse_store" -> sparseDotOracle,
+
+    // Twin of sparse_incremental — the FROZEN-encoder semantics stated
+    // relationally: df and N come from the STANDING slice only
+    // (doc_id % 10 <> 7, the model the build fitted), the arrival
+    // slice's term frequencies inner-join that vocabulary (OOV terms
+    // drop — the fixed-vocab contract), and every posting scores with
+    // the frozen stats.
+    "sparse_incremental" ->
+      s"""WITH standing AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+         |tks AS (SELECT doc_id, unnest($toks) AS term FROM standing),
+         |tfs AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tks GROUP BY 1, 2),
+         |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY 1),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM standing),
+         |tka AS (SELECT doc_id, unnest($toks) AS term FROM documents
+         |        WHERE doc_id % 10 = 7),
+         |tfa AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tka GROUP BY 1, 2),
+         |tfall AS (SELECT * FROM tfs UNION ALL SELECT * FROM tfa),
+         |w AS (SELECT doc_id, term,
+         |    CAST(floor(tf * ln(CAST(nd.n AS DOUBLE) / dfv.df) * 1e6 + 0.5) AS BIGINT) AS w_mu
+         |  FROM tfall JOIN dfv USING (term) CROSS JOIN nd),
+         |q AS (SELECT * FROM (VALUES
+         |    ('vector', CAST(1000000 AS BIGINT)), ('query', CAST(800000 AS BIGINT)),
+         |    ('join', CAST(500000 AS BIGINT)), ('spark', CAST(250000 AS BIGINT)))
+         |  AS t(term, q_mu)),
+         |sc AS (SELECT doc_id, CAST(sum(w.w_mu * q.q_mu) AS BIGINT) AS s_mu2
+         |       FROM w JOIN q USING (term) GROUP BY 1)
+         |SELECT doc_id, CAST(s_mu2 AS DOUBLE) / 1e12 AS score
+         |FROM sc ORDER BY s_mu2 DESC, doc_id LIMIT 10""".stripMargin,
 
     // TF-IDF top terms: df derives from the (doc, term) aggregate, scores
     // floor-round before ranking (both engines rank identical rounded

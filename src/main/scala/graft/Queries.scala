@@ -3319,6 +3319,61 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** The shared sparse query literal: weighted terms over the corpus
+    * vocabulary, quantized to micro-units identically in Spark and the
+    * oracle's VALUES list. */
+  private val sparseQueryTerms = Seq(
+    "vector" -> 1.0, "query" -> 0.8, "join" -> 0.5, "spark" -> 0.25)
+
+  /** Sparse-vector (SPLADE-class) retrieval, inline form: documents are
+    * encoded to exact fixed-point tf·idf postings, the weighted-term
+    * query joins broadcast against them, and the dot product is pure
+    * long arithmetic — order-free, so FULL oracle despite floating
+    * inputs. */
+  val sparseTopkQ: Q = (s, d) =>
+    graft.operators.SparseSearch.topK(
+        graft.operators.SparseSearch.encode(Tables.documents(s, d), "text", "doc_id"),
+        sparseQueryTerms, k = 10)
+      .orderBy(col("score").desc, col("doc_id"))
+
+  /** Sparse retrieval over the PERSISTED inverted layout: postings
+    * bucket-partitioned by term hash, the query reads at most |terms|
+    * buckets (PartitionFilters, spec-pinned), identical integer scoring
+    * — same oracle as the inline form, which is the identity the stored
+    * tier must preserve. */
+  val sparseStoreQ: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_sparse").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      graft.operators.SparseSearch.buildIndex(store, "docs_sparse",
+        Tables.documents(s, d), "text", "doc_id", nBuckets = 8)
+      graft.operators.SparseSearch.searchStored(s, store, "docs_sparse",
+        sparseQueryTerms, k = 10)
+    } finally store.destroy()
+  }
+
+  /** Incremental sparse-index maintenance with a FROZEN encoder: the
+    * standing corpus (doc_id % 10 != 7) fits the model (N, per-term df)
+    * and builds the index; the arrival slice encodes against those
+    * frozen stats (OOV terms drop — the fixed-vocab contract of a real
+    * sparse embedder) and appends O(batch) postings into its terms'
+    * buckets. The oracle restates the frozen-stats semantics
+    * relationally: df/N from the standing slice only, arrival postings
+    * inner-joined to the standing vocabulary. */
+  val sparseIncrementalQ: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_sparse_inc").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d)
+    try {
+      graft.operators.SparseSearch.buildIndex(store, "docs_sparse",
+        docs.filter(col("doc_id") % 10 =!= 7), "text", "doc_id", nBuckets = 8)
+      graft.operators.SparseSearch.insertInto(store, "docs_sparse",
+        docs.filter(col("doc_id") % 10 === 7), "text", "doc_id")
+      graft.operators.SparseSearch.searchStored(s, store, "docs_sparse",
+        sparseQueryTerms, k = 10)
+    } finally store.destroy()
+  }
+
   /** Pseudo-relevance-feedback search: seed BM25 → harvest the 3 most
     * document-frequent NEW terms from the top-10 hits → re-search with
     * the expanded set through the dynamic-term BM25 (fixed-point long
@@ -4000,6 +4055,9 @@ object GraftQueries {
     "text_hof" -> textHof,
     "text_bm25" -> textBm25,
     "text_bm25_store" -> textBm25Store,
+    "sparse_topk" -> sparseTopkQ,
+    "sparse_store" -> sparseStoreQ,
+    "sparse_incremental" -> sparseIncrementalQ,
     "text_bm25_filtered" -> textBm25Filtered,
     "text_percolate" -> textPercolate,
     "text_bm25_deleted" -> textBm25Deleted,

@@ -191,13 +191,25 @@ object SparseSearch {
   def searchStored(spark: SparkSession, store: VectorStore, name: String,
                    query: Seq[(String, Double)], k: Int): DataFrame = {
     require(query.nonEmpty, "sparse query needs at least one term")
+    // eager: top-k is bounded, and callers destroy throwaway stores in
+    // a finally — a lazy frame would read a deleted directory
+    val out = topK(prunedPostings(spark, store, name, query.map(_._1)),
+      query, k)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** The bucket-pruned postings fetch [[searchStored]] scores over —
+    * exposed so the pruning spec pins the exact scan the search runs. */
+  private[graft] def prunedPostings(spark: SparkSession, store: VectorStore,
+                                    name: String, terms: Seq[String]): DataFrame = {
     import spark.implicits._
     val (nBuckets, _) = readProps(store, name)
-    val buckets = query.map(_._1).toDF("term")
+    val buckets = terms.toDF("term")
       .select(bucketOf(col("term"), nBuckets))
       .collect().map(_.getInt(0)).toSeq.distinct
-    val postings = spark.read.parquet(s"${store.root}/$name")
+    spark.read.parquet(s"${store.root}/$name")
       .filter(col("bucket").isin(buckets.map(Int.box): _*))
-    topK(postings.select("term", "doc_id", "w_mu"), query, k)
+      .select("term", "doc_id", "w_mu")
   }
 }

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SparseSearch
+
+class SparseSearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Tables.documents(spark, sf)
+  private def newStore() = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sparsespec").toString
+    graft.store.VectorStore(root)
+  }
+  private val q = Seq("vector" -> 1.0, "query" -> 0.8, "join" -> 0.5)
+
+  test("stored sparse search == inline topK row for row") {
+    val store = newStore()
+    try {
+      SparseSearch.buildIndex(store, "sp", docs, "text", "doc_id", nBuckets = 8)
+      val stored = SparseSearch.searchStored(spark, store, "sp", q, k = 12)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val inline = SparseSearch.topK(
+          SparseSearch.encode(docs, "text", "doc_id"), q, k = 12)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(stored == inline, "the stored tier must preserve the inline identity")
+      assert(stored.nonEmpty)
+    } finally store.destroy()
+  }
+
+  test("search scan prunes to the query terms' buckets (PartitionFilters)") {
+    val store = newStore()
+    try {
+      SparseSearch.buildIndex(store, "sp", docs, "text", "doc_id", nBuckets = 8)
+      val pruned = SparseSearch.prunedPostings(spark, store, "sp", Seq("vector"))
+      val scans = pruned.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty, "no FileSourceScanExec over the postings")
+      scans.foreach { scan =>
+        assert(scan.partitionFilters.exists(_.references.exists(_.name == "bucket")),
+          s"bucket probe is not a partition filter: ${scan.partitionFilters}")
+        assert(scan.selectedPartitions.partitionCount <= 1,
+          s"1-term query scanned ${scan.selectedPartitions.partitionCount} buckets")
+      }
+    } finally store.destroy()
+  }
+
+  test("exact integer dot product: hand-checked corpus, zero-idf term kept, absent term contributes nothing") {
+    // 4 docs; "common" appears in all (idf = ln 1 = 0 → w_mu = 0, KEPT);
+    // "rare" in doc 1 only (idf = ln 4); "pair" in docs 1,2 (idf = ln 2)
+    val tiny = Seq(
+      (1L, "rare pair common"),
+      (2L, "pair common"),
+      (3L, "common"),
+      (4L, "common common")).toDF("doc_id", "text")
+    val enc = SparseSearch.encode(tiny, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    def mu(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    assert(enc((1L, "rare")) == mu(math.log(4.0)), s"got $enc")
+    assert(enc((1L, "pair")) == mu(math.log(2.0)))
+    assert(enc((3L, "common")) == 0L, "all-docs term carries zero weight but stays")
+    assert(enc((4L, "common")) == 0L, "tf=2 × ln(1)=0 is still 0")
+    // query hits rare + pair + an absent term; doc1 = rare + pair, doc2 = pair
+    val out = SparseSearch.topK(SparseSearch.encode(tiny, "text", "doc_id"),
+        Seq("rare" -> 1.0, "pair" -> 0.5, "nosuchterm" -> 9.9), k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val expect1 = (mu(math.log(4.0)) * 1000000L + mu(math.log(2.0)) * 500000L).toDouble / 1e12
+    val expect2 = (mu(math.log(2.0)) * 500000L).toDouble / 1e12
+    assert(out(1L) == expect1, s"got $out")
+    assert(out(2L) == expect2)
+    assert(!out.contains(3L) && !out.contains(4L),
+      "docs sharing no query term must not surface")
+  }
+
+  test("incremental insert: frozen encoder (build-time df/N), OOV drops, O(batch) bucket append, dup id refused") {
+    val store = newStore()
+    try {
+      val standing = docs.filter($"doc_id" % 10 =!= 7)
+      val arriving = docs.filter($"doc_id" % 10 === 7)
+      SparseSearch.buildIndex(store, "sp", standing, "text", "doc_id", nBuckets = 8)
+      val before = store.dataFileStatuses("sp")
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime)).toMap
+      SparseSearch.insertInto(store, "sp", arriving, "text", "doc_id")
+      // untouched files immutable (appends only ADD files)
+      val after = store.dataFileStatuses("sp")
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime)).toMap
+      before.foreach { case (p, sig) =>
+        assert(after.get(p).contains(sig), s"pre-existing file changed: $p") }
+      assert(after.size > before.size, "append added no files")
+      // frozen stats: every arrival posting's w_mu must equal
+      // tf_arrival × ln(N_standing / df_standing)
+      val nStanding = standing.select("doc_id").distinct().count()
+      val expected = SparseSearch.encodeAgainst(arriving, "text", "doc_id",
+          SparseSearch.encode(standing, "text", "doc_id")
+            .groupBy("term").agg(count(lit(1)).cast("long").as("df")),
+          nStanding)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+      val arrivingIds = arriving.select("doc_id").as[Long].collect().toSet
+      val stored = spark.read.parquet(s"${store.root}/sp")
+        .filter($"doc_id".isin(arrivingIds.toSeq.map(Long.box): _*))
+        .collect().map(r => (r.getLong(r.fieldIndex("doc_id")),
+          r.getString(r.fieldIndex("term"))) -> r.getLong(r.fieldIndex("w_mu"))).toMap
+      assert(stored == expected, "arrival postings must carry frozen-stats weights")
+      // append contract refuses a re-insert
+      val err = intercept[IllegalArgumentException] {
+        SparseSearch.insertInto(store, "sp", arriving.limit(1), "text", "doc_id")
+      }
+      assert(err.getMessage.contains("existing id"), err.getMessage)
+    } finally store.destroy()
+  }
+
+  test("OOV-only batch appends nothing and empty query refused") {
+    val store = newStore()
+    try {
+      val tiny = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+      SparseSearch.buildIndex(store, "sp", tiny, "text", "doc_id", nBuckets = 4)
+      SparseSearch.insertInto(store, "sp",
+        Seq((9L, "zzz qqq")).toDF("doc_id", "text"), "text", "doc_id")
+      assert(spark.read.parquet(s"${store.root}/sp")
+        .filter($"doc_id" === 9L).count() == 0,
+        "out-of-vocabulary terms have no fitted weight — no postings")
+      intercept[IllegalArgumentException] {
+        SparseSearch.topK(SparseSearch.encode(tiny, "text", "doc_id"), Nil, 5)
+      }
+    } finally store.destroy()
+  }
+}
