@@ -1086,6 +1086,21 @@ object GraftOracles {
         |  true AS survives_compact,
         |  (SELECT count(*) FROM documents WHERE doc_id <= 100) AS n_rows""".stripMargin,
 
+    // Twin of collection_alias: phase v1 reads the even-id slice, phase
+    // v2 (post-swap) the full corpus — both through the alias; a
+    // resolution or torn-cutover bug diverges from this restatement.
+    "collection_alias" ->
+      """SELECT 'v1' AS phase, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents WHERE doc_id % 2 = 0 GROUP BY source
+        |UNION ALL
+        |SELECT 'v2' AS phase, source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY source
+        |ORDER BY phase, source""".stripMargin,
+
     // Twin of collection_include: the Chroma get-default projection
     // (ids + documents + metadatas, NO embeddings) as a plain select.
     "collection_include" ->

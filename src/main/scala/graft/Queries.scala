@@ -2916,6 +2916,39 @@ object GraftQueries {
       .toDF("collections", "metadata", "survives_compact", "n_rows")
   }
 
+  /** Collection aliases at the gate — the zero-downtime reindex drill:
+    * v1 (even doc ids) serves under alias `serving`; a richer v2 (the
+    * full corpus) is built BESIDE it and cut over with one atomic
+    * [[graft.store.VectorStore.swapAlias]]. Both phases read THROUGH
+    * the alias, and the per-source aggregate of each phase lands in the
+    * output tagged v1/v2 — the oracle restates both derivations, so a
+    * torn cutover (reading half old / half new) or a resolution bug
+    * (reading the concrete name past the swap) breaks the hash. */
+  val collectionAlias: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_aliasq").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), length(col("text")).as("n_chars"))
+    def served(phase: String): DataFrame =
+      store.read(s, "serving").groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .withColumn("phase", lit(phase))
+        .select("phase", "source", "n_docs", "sum_chars")
+    try {
+      store.create("idx_v1", docs.filter(col("doc_id") % 2 === 0))
+      store.createAlias("serving", "idx_v1")
+      val before = served("v1")
+      val out1 = s.createDataFrame(
+        java.util.Arrays.asList(before.collect(): _*), before.schema)
+      store.create("idx_v2", docs)
+      store.swapAlias("serving", "idx_v2")
+      val after = served("v2")
+      val out2 = s.createDataFrame(
+        java.util.Arrays.asList(after.collect(): _*), after.schema)
+      out1.unionAll(out2)
+    } finally store.destroy()
+  }
+
   /** The Chroma `include=[...]` result projection at the gate: a
     * get-shape read under the get default (documents + metadatas — ids
     * always, embeddings never unless asked), applied BEFORE the action
@@ -4097,6 +4130,7 @@ object GraftQueries {
     "zorder_key" -> zorderKey,
     "collection_manifest" -> collectionManifest,
     "collection_modify" -> collectionModify,
+    "collection_alias" -> collectionAlias,
     "collection_include" -> collectionInclude,
   )
 

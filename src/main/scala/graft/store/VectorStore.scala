@@ -120,7 +120,7 @@ final case class VectorStore(root: String) {
 
   def read(spark: SparkSession, name: String): DataFrame = {
     recoverStranded()
-    spark.read.parquet(path(name))
+    spark.read.parquet(path(resolve(name)))
   }
 
   /** The collection's CURRENT rows: the tombstone-merged live view for
@@ -129,9 +129,10 @@ final case class VectorStore(root: String) {
     * mutable collection). */
   def readCurrent(spark: SparkSession, name: String): DataFrame = {
     recoverStranded()
-    if (MutableCollection.Marker.read(path(name)).isDefined)
-      MutableCollection(this, name).readLive(spark)
-    else spark.read.parquet(path(name))
+    val concrete = resolve(name)
+    if (MutableCollection.Marker.read(path(concrete)).isDefined)
+      MutableCollection(this, concrete).readLive(spark)
+    else spark.read.parquet(path(concrete))
   }
 
   /** Live count — metadata-only over parquet footers for immutable
@@ -185,8 +186,10 @@ final case class VectorStore(root: String) {
     recoverStranded()
     sfs.list(root).filter(_.isDirectory).map(_.getPath.getName)
       // in-flight compaction scratch (a crash mid-compact can leave
-      // either behind) is not a collection
-      .filterNot(n => n.endsWith("__compacting") || n.endsWith("__old"))
+      // either behind) is not a collection, and neither is the alias
+      // registry directory
+      .filterNot(n => n.endsWith("__compacting") || n.endsWith("__old") ||
+        n == VectorStore.AliasDirName)
       .sorted
   }
 
@@ -300,6 +303,8 @@ final case class VectorStore(root: String) {
       s"collection name '$to' must be a plain path segment")
     require(!to.endsWith("__old") && !to.endsWith("__compacting"),
       s"collection name '$to' collides with the compaction staging suffixes")
+    require(!sfs.isFile(aliasPath(to)),
+      s"collection name '$to' collides with a live alias")
   }
 
   /** Rename a collection (the Chroma `collection.modify(name=...)`
@@ -400,11 +405,88 @@ final case class VectorStore(root: String) {
 
   def drop(name: String): Unit = sfs.deleteTree(path(name))
 
+  // -------------------------------------------------------------- aliases
+
+  /** Collection aliases — the blue/green serving verb (the Elasticsearch
+    * alias / Qdrant `update_collection_aliases` shape): an alias is a
+    * one-property sidecar under `<root>/_aliases/<alias>.properties`
+    * naming its target collection. [[swapAlias]] is ONE atomic props
+    * replace, so a reindex cutover ("build idx_v2, point `serving` at
+    * it") is all-or-nothing: a reader resolves either the old target or
+    * the new one, never a torn state — the property the staged-swap
+    * machinery guarantees for data is delivered here for NAMES, which
+    * is what makes zero-downtime reindex possible at any collection
+    * size (the cutover cost is one tiny file, not a data move).
+    *
+    * Contract (the Elasticsearch one): READ verbs accept an alias
+    * (resolve-then-read); lifecycle verbs (create / rename / fork /
+    * drop) operate on concrete names only — [[requireMintableName]]
+    * refuses to mint a collection over a live alias, and alias creation
+    * refuses a name an existing collection holds, so the namespace
+    * stays unambiguous in both directions. [[rename]] does NOT retarget
+    * aliases pointing at the renamed collection: a dangling alias
+    * resolves to its (now missing) target and the read fails loudly —
+    * retargeting is an explicit [[swapAlias]], never a side effect. */
+  private def aliasPath(alias: String) = s"$root/${VectorStore.AliasDirName}/$alias.properties"
+
+  def createAlias(alias: String, target: String): Unit = {
+    recoverStranded()
+    requireMintableName(alias)
+    require(!sfs.exists(path(alias)),
+      s"alias '$alias' collides with an existing collection")
+    require(sfs.isDir(path(target)), s"alias target '$target' does not exist")
+    require(!sfs.isFile(aliasPath(alias)),
+      s"alias '$alias' already exists — retarget with swapAlias")
+    writeAlias(alias, target)
+  }
+
+  /** Atomically retarget a live alias — the blue/green cutover. */
+  def swapAlias(alias: String, newTarget: String): Unit = {
+    recoverStranded()
+    require(sfs.isFile(aliasPath(alias)), s"alias '$alias' does not exist")
+    require(sfs.isDir(path(newTarget)),
+      s"alias target '$newTarget' does not exist")
+    writeAlias(alias, newTarget)
+  }
+
+  private def writeAlias(alias: String, target: String): Unit = {
+    val p = new java.util.Properties()
+    p.setProperty("target", target)
+    sfs.writePropsAtomic(aliasPath(alias), p, "graft collection alias")
+  }
+
+  def dropAlias(alias: String): Unit = {
+    require(sfs.isFile(aliasPath(alias)), s"alias '$alias' does not exist")
+    sfs.deleteTree(aliasPath(alias))
+  }
+
+  /** (alias, target) pairs, alias-sorted. */
+  def aliases(): Seq[(String, String)] = {
+    val dir = s"$root/${VectorStore.AliasDirName}"
+    if (!sfs.exists(dir)) Nil
+    else sfs.list(dir).filter(st => !st.isDirectory &&
+        st.getPath.getName.endsWith(".properties"))
+      .flatMap { st =>
+        val a = st.getPath.getName.stripSuffix(".properties")
+        sfs.readProps(st.getPath.toString).map(p => a -> p.getProperty("target"))
+      }.sortBy(_._1)
+  }
+
+  /** Alias resolution: the target when `name` is an alias, else `name`
+    * itself. One sidecar probe — resolution cost is independent of
+    * store size. */
+  def resolve(name: String): String =
+    sfs.readProps(aliasPath(name)).map(_.getProperty("target")).getOrElse(name)
+
   /** Remove the whole store root (scratch stores in tests/queries). */
   def destroy(): Unit = sfs.deleteTree(root)
 }
 
 object VectorStore {
+  /** The alias registry directory under a store root — `_`-prefixed so
+    * Spark scans never mistake it for data, excluded from [[VectorStore.list]]. */
+  val AliasDirName = "_aliases"
+
   /** The text-index sidecar name — defined HERE (store owns layout
     * contracts; graft.text depends on graft.store, never the reverse)
     * and aliased by [[graft.text.TextIndex.PropsFile]]. The catalog
