@@ -1359,6 +1359,28 @@ object GraftOracles {
          |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) >= 0.20
          |ORDER BY vec_id""".stripMargin,
 
+    // Twin of ann_matryoshka — the two-stage cascade restated: the
+    // coarse score is the cosine over dims 1..16 only (floor-round 6),
+    // the survivor set is the top-50 by (coarse DESC, id), and the
+    // final ranking rescores exactly those rows on all 64 dims. The
+    // survivor CUT is inside the hash: a coarse-stage divergence
+    // changes which rows exist downstream.
+    "ann_matryoshka" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |c AS (SELECT e.vec_id, e.embedding,
+        |    floor((list_sum(list_transform(range(1,17), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+        |      sqrt(list_sum(list_transform(range(1,17), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) *
+        |           list_sum(list_transform(range(1,17), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) * 1e6 + 0.5) / 1e6 AS coarse
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |r AS (SELECT *, row_number() OVER (ORDER BY coarse DESC, vec_id) AS rn FROM c),
+        |f AS (SELECT r.vec_id, r.coarse,
+        |    floor((list_sum(list_transform(range(1,65), i -> r.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+        |      sqrt(list_sum(list_transform(range(1,65), i -> r.embedding[i]::DOUBLE * r.embedding[i]::DOUBLE)) *
+        |           list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) * 1e6 + 0.5) / 1e6 AS score
+        |  FROM r CROSS JOIN q WHERE rn <= 50)
+        |SELECT vec_id, coarse, score FROM f
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
     // Twin of ann_recommend — the Rocchio average-vector query is
     // rebuilt with the IDENTICAL arithmetic: per-dim 2^24 fixed-point
     // BIGINT sums over the example rows (order-free integer addition),

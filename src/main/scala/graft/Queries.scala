@@ -587,6 +587,20 @@ object GraftQueries {
     } finally e.unpersist()
   }
 
+  /** Matryoshka two-stage retrieval: coarse rank on the 16-dim prefix,
+    * exact rescore of the 50 survivors on all 64 dims. FULL oracle —
+    * both stages' rounded scores and tie orders are restated, so the
+    * coarse survivor set itself is hash-checked, not just the final
+    * top-10. */
+  val annMatryoshka: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    Similarity.matryoshkaTopK(e.filter(col("vec_id") =!= 0), "embedding",
+        "vec_id", qv, k = 10, coarseDim = 16, coarseK = 50)
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
   /** Recommend-by-examples, average-vector strategy: positives {1,2,3},
     * negatives {4,5} — the Rocchio query `2·mean(pos) − mean(neg)` is
     * synthesized from STORED vectors with the fixed-point mean
@@ -3944,6 +3958,7 @@ object GraftQueries {
     "ann_bq_topk" -> annBqTopk,
     "ann_range_search" -> annRangeSearch,
     "ann_recommend" -> annRecommend,
+    "ann_matryoshka" -> annMatryoshka,
     "ann_recommend_best" -> annRecommendBest,
     "ann_bq_store" -> annBqStore,
     "ann_bq_batch" -> annBqBatch,

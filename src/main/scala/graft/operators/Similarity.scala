@@ -1439,6 +1439,41 @@ object Similarity {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Matryoshka (MRL) two-stage retrieval: embeddings trained with
+    * matryoshka representation learning rank usefully under a PREFIX of
+    * their dimensions, so the coarse pass scores only the first
+    * `coarseDim` dims (a cheap scan — in a production layout the prefix
+    * is stored as its own column so the coarse scan READS only
+    * coarseDim/dim of the vector bytes; here the slice happens in-plan,
+    * which still cuts the arithmetic 4× at coarseDim=16/64), keeps the
+    * best `coarseK` candidates, and rescores ONLY those with the full
+    * vector. Cost: one prefix-cosine scan + TakeOrdered(coarseK), then
+    * O(coarseK) full-dim work — never a second corpus pass.
+    *
+    * Determinism: both stages round with the floor form at 6 BEFORE
+    * ranking and break ties by id, so the coarse survivor SET is exact
+    * — the property that lets the gate oracle restate the whole
+    * cascade. Output carries both scores (the recall diagnostic: a
+    * coarse-vs-full rank flip is visible per row). */
+  def matryoshkaTopK(collection: DataFrame, vecCol: String, idCol: String,
+                     qv: Array[Float], k: Int, coarseDim: Int,
+                     coarseK: Int): DataFrame = {
+    require(coarseDim > 0 && coarseDim < qv.length,
+      s"coarseDim must be a strict prefix: got $coarseDim of ${qv.length}")
+    require(coarseK >= k, "coarseK must be at least k")
+    val rounded = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val coarse = collection
+      .withColumn("coarse",
+        rounded(cosine(slice(col(vecCol), 1, coarseDim), vecLit(qv.take(coarseDim)))))
+      .orderBy(col("coarse").desc, col(idCol))
+      .limit(coarseK)
+    coarse
+      .withColumn("score", rounded(cosine(col(vecCol), vecLit(qv))))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("coarse"), col("score"))
+  }
+
   /** Recommend-by-examples, average-vector strategy (the classic
     * Rocchio relevance-feedback query form, the shape vector stores
     * expose as `recommend(positive=[ids], negative=[ids])`): the query

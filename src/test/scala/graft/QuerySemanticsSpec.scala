@@ -271,6 +271,50 @@ class QuerySemanticsSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L), s"ranks in $g") }
   }
 
+  test("matryoshkaTopK: coarseK=n degenerates to exact full ranking; a tight coarseK can drop a prefix-poor vector; guards") {
+    import spark.implicits._
+    val e = Tables.embeddings(spark, sf).filter($"vec_id" < 200).cache()
+    try {
+      val qv = e.filter($"vec_id" === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val corpus = e.filter($"vec_id" =!= 0)
+      val n = corpus.count().toInt
+      // no-cut cascade == exact: with every candidate surviving coarse,
+      // the rescore stage IS brute force
+      val cascade = Similarity.matryoshkaTopK(corpus, "embedding", "vec_id",
+          qv, k = 10, coarseDim = 16, coarseK = n)
+        .select("vec_id").as[Long].collect().toSeq
+      val exact = corpus
+        .withColumn("s", floor(graft.functions.VectorFunctions.cosine($"embedding", graft.functions.VectorFunctions.vecLit(qv)) * 1e6 + 0.5) / 1e6)
+        .orderBy($"s".desc, $"vec_id").limit(10)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(cascade == exact, "coarseK=n must equal exact ranking")
+      // engineered prefix-poor vector: full-dim near-duplicate of the
+      // query except its first 16 dims are NEGATED — top-1 under full
+      // cosine, bottom under the prefix, so a coarseK=1 cascade must
+      // miss it while coarseK=n finds it
+      val trap = qv.zipWithIndex.map { case (x, i) => if (i < 16) -x else x }
+      val withTrap = corpus.select("vec_id", "embedding").unionAll(
+        Seq((99999L, trap)).toDF("vec_id", "embedding")
+          .select($"vec_id", $"embedding".cast("array<float>").as("embedding")))
+      val wide = Similarity.matryoshkaTopK(withTrap, "embedding", "vec_id",
+          qv, k = 5, coarseDim = 16, coarseK = n + 1)
+        .select("vec_id").as[Long].collect().toSeq
+      val tight = Similarity.matryoshkaTopK(withTrap, "embedding", "vec_id",
+          qv, k = 5, coarseDim = 16, coarseK = 5)
+        .select("vec_id").as[Long].collect().toSeq
+      assert(wide.contains(99999L), s"full rescore must surface the trap: $wide")
+      assert(!tight.contains(99999L),
+        s"prefix-negated vector cannot survive a tight coarse cut: $tight")
+      intercept[IllegalArgumentException](
+        Similarity.matryoshkaTopK(corpus, "embedding", "vec_id", qv,
+          k = 10, coarseDim = 64, coarseK = 50))
+      intercept[IllegalArgumentException](
+        Similarity.matryoshkaTopK(corpus, "embedding", "vec_id", qv,
+          k = 10, coarseDim = 16, coarseK = 5))
+    } finally e.unpersist()
+  }
+
   test("recommendByExamples: negatives push the query away; positives-only is the plain centroid; examples excluded") {
     import spark.implicits._
     // axis-separated plane: positives on +x, a negative on +y, candidates
