@@ -57,6 +57,42 @@ object GraftOracles {
        |      i -> substr(text, i::INT, 5))) AS s
        |  FROM documents)""".stripMargin
 
+  /** Twin of graph_pagerank: the walk anchor's M=6 adjacency CTE plus
+    * `iters` UNROLLED iteration CTEs (standard SQL forbids aggregation
+    * in a recursive term, and unrolling keeps each step a plain
+    * join-group-by). Arithmetic is the engine's exactly: BIGINT
+    * micro-unit ranks, per-edge `rank // outdeg` (positive operands, so
+    * DuckDB's floor `//` == Spark's truncating DIV), damping as
+    * `(85 · Σ) // 100`, dangling-in nodes kept by the LEFT JOIN. */
+  private def pagerankOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""r$k AS (SELECT c.id,
+         |    CAST(150000 + (85 * COALESCE(s.s, 0)) // 100 AS BIGINT) AS rank_mu
+         |  FROM corpus c LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(r.rank_mu // od.od) AS BIGINT) AS s
+         |    FROM edges e JOIN od ON od.src = e.src
+         |    JOIN r${k - 1} r ON r.id = e.src GROUP BY 1) s USING (id))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v
+       |  FROM embeddings WHERE vec_id < 300),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS src, b.id AS dst,
+       |    list_sum(list_transform(range(1,65),
+       |      i -> (a.v[i]::DOUBLE - b.v[i]::DOUBLE) * (a.v[i]::DOUBLE - b.v[i]::DOUBLE))) AS d
+       |  FROM corpus a JOIN corpus b ON a.id <> b.id),
+       |ranked AS (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+       |  FROM pairs),
+       |edges AS MATERIALIZED (SELECT src, dst FROM ranked WHERE r <= 6),
+       |od AS (SELECT src, CAST(count(*) AS BIGINT) AS od FROM edges GROUP BY 1),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_mu FROM corpus),
+       |$steps
+       |SELECT id AS vec_id, rank_mu FROM r$iters
+       |ORDER BY rank_mu DESC, vec_id""".stripMargin
+  }
+
   /** The sparse-retrieval twin shared by the inline and stored forms:
     * exact fixed-point tf·idf postings and a pure-BIGINT dot product. */
   private lazy val sparseDotOracle =
@@ -1358,6 +1394,8 @@ object GraftOracles {
          |    sqrt(list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * s.embedding[CAST(i AS INT)]::DOUBLE)) *
          |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) >= 0.20
          |ORDER BY vec_id""".stripMargin,
+
+    "graph_pagerank" -> pagerankOracle(iters = 5),
 
     // Twin of ann_matryoshka — the two-stage cascade restated: the
     // coarse score is the cosine over dims 1..16 only (floor-round 6),

@@ -1256,6 +1256,15 @@ object GraftQueries {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** PageRank centrality over the M=6 NN graph on a 300-node slice —
+    * exact integer fixed point (micro-unit ranks, integer division,
+    * order-free long sums), 5 iterations, damping 85/100. FULL oracle:
+    * the same adjacency CTE as the walk anchor plus five unrolled
+    * iteration CTEs replaying the identical integer arithmetic. */
+  val graphPagerank: Q = (s, d) =>
+    GraphAnn.pageRank(Tables.embeddings(s, d).filter(col("vec_id") < 300),
+      "embedding", "vec_id", m = 6, iters = 5)
+
   /** Incremental graph-index maintenance — nightly-batch shape: the
     * standing corpus (vec_id % 10 != 7, the repo's arrival-slice
     * convention) builds the stored graph once; the arrival slice then
@@ -3985,6 +3994,7 @@ object GraftQueries {
     "sample_domain_cap" -> sampleDomainCap,
     "ann_graph_incremental" -> annGraphIncremental,
     "ann_graph_walk" -> annGraphWalk,
+    "graph_pagerank" -> graphPagerank,
     "ann_ivf_incremental" -> annIvfIncremental,
     "ann_ivf_retrain" -> annIvfRetrain,
     "ann_mutable_ivf" -> annMutableIvf,

@@ -391,14 +391,7 @@ object GraphAnn {
     import sp.implicits._
     val corpus = collection.select(col(idCol).cast("long").as("id"),
       col(vecCol).cast("array<float>").as("vec"))
-    val pairs = corpus.as("a").join(corpus.as("b"), col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("src"),
-        graft.functions.VectorFunctions.l2Sq(col("a.vec"), col("b.vec")).as("_d"),
-        col("b.id").as("dst"))
-    val byDist = org.apache.spark.sql.expressions.Window
-      .partitionBy("src").orderBy(col("_d"), col("dst"))
-    val adjacency = pairs.withColumn("_r", row_number().over(byDist))
-      .filter(col("_r") <= m)
+    val adjacency = knnEdges(collection, vecCol, idCol, m)
       .groupBy(col("src"))
       .agg(sort_array(collect_list(struct(col("_r"), col("dst")))).as("_nb"))
       .select(col("src").as("id"),
@@ -407,6 +400,76 @@ object GraphAnn {
       .select(lit(0).as("cell_id"), col("id"), col("vec"), col("neighbors"))
       .repartition(1)
       .as[Node]
+  }
+
+  /** The M-NN edge relation `(src, dst, _r)` both [[knnGraph]] and
+    * [[pageRank]] derive from — ONE definition so the walk oracle, the
+    * selectivity spec, and the centrality tier all pin the same graph.
+    * All-pairs by construction: bounded slices only (at scale the graph
+    * comes from the ANN tiers, not this builder). */
+  private[graft] def knnEdges(collection: DataFrame, vecCol: String,
+                              idCol: String, m: Int): DataFrame = {
+    val corpus = collection.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<float>").as("vec"))
+    val pairs = corpus.as("a").join(corpus.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("src"),
+        graft.functions.VectorFunctions.l2Sq(col("a.vec"), col("b.vec")).as("_d"),
+        col("b.id").as("dst"))
+    val byDist = org.apache.spark.sql.expressions.Window
+      .partitionBy("src").orderBy(col("_d"), col("dst"))
+    pairs.withColumn("_r", row_number().over(byDist))
+      .filter(col("_r") <= m)
+      .select("src", "dst", "_r")
+  }
+
+  /** PageRank centrality over the M-NN graph — the corpus-analytics
+    * verb a vector store grows once it holds a graph (hub detection,
+    * crawl prioritization, influence-weighted sampling of training
+    * data). EXACT integer fixed point so the gate can hash it: ranks
+    * live in micro-units (`rank_mu: BIGINT`, 1.0 = 1e6), one iteration
+    * is `rank' = (100−d)·1e4 + (d · Σ_in (rank_u div outdeg_u)) div 100`
+    * — every step integer division and order-free integer sums, so the
+    * result is bit-identical at any parallelism AND in the oracle's
+    * unrolled-CTE twin (float PageRank would drift under agg order).
+    *
+    * Scale shape: per iteration, the slender `(id, rank_mu)` relation
+    * joins the edge list on src (ranks are always the small side —
+    * 16 bytes/node — so AQE broadcasts them under any realistic node
+    * count vs edge count) and partial-aggregates contributions map-side
+    * before one shuffle keyed on dst. Lineage is truncated per round
+    * (localCheckpoint — the dedup_clusters discipline) so `iters` stays
+    * a constant factor, not a plan-depth explosion. */
+  def pageRank(collection: DataFrame, vecCol: String, idCol: String,
+               m: Int, iters: Int, dampingPct: Int = 85): DataFrame = {
+    require(dampingPct > 0 && dampingPct < 100, "dampingPct in (0, 100)")
+    require(iters >= 1, "at least one iteration")
+    val nodes = collection.select(col(idCol).cast("long").as("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val edges = knnEdges(collection, vecCol, idCol, m)
+      .select("src", "dst")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val withOd = edges.join(outdeg, Seq("src"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val base = (100L - dampingPct) * 10000L // (1−d)·1e6, exact for Scale=1e6
+      var ranks = nodes.withColumn("rank_mu", lit(1000000L))
+      (1 to iters).foreach { _ =>
+        val contrib = withOd
+          .join(ranks.withColumnRenamed("id", "src"), Seq("src"))
+          .select(col("dst").as("id"),
+            expr("rank_mu DIV od").as("c"))
+          .groupBy(col("id")).agg(sum(col("c")).as("s"))
+        ranks = nodes.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (lit(base) + expr(s"($dampingPct * coalesce(s, 0L)) DIV 100"))
+              .as("rank_mu"))
+          .localCheckpoint()
+      }
+      withOd.unpersist()
+      ranks.select(col("id").as(idCol), col("rank_mu"))
+        .orderBy(col("rank_mu").desc, col(idCol))
+    } finally { nodes.unpersist(); edges.unpersist() }
   }
 
   /** Search a graph read back from a cell-partitioned store: the

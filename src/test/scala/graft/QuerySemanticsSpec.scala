@@ -271,6 +271,30 @@ class QuerySemanticsSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L), s"ranks in $g") }
   }
 
+  test("pageRank: hand-computed integer fixed point on a 4-node line graph; floor invariant") {
+    import spark.implicits._
+    // 1-NN on x = 0,1,3,7: 0→1, 1→0, 3→1, 7→3 (all outdeg 1).
+    // Hand-rolled two iterations of r' = 150000 + (85·Σ rank_in) DIV 100:
+    //   r1 = {0:1000000, 1:1850000, 3:1000000, 7:150000}
+    //   r2 = {0:1722500, 1:1850000, 3:277500,  7:150000}
+    val pts = Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+        (3L, Array(3f, 0f)), (7L, Array(7f, 0f)))
+      .toDF("vec_id", "embedding")
+    def ranksAt(iters: Int): Map[Long, Long] =
+      graft.operators.GraphAnn.pageRank(pts, "embedding", "vec_id",
+          m = 1, iters = iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranksAt(1) == Map(0L -> 1000000L, 1L -> 1850000L,
+      3L -> 1000000L, 7L -> 150000L))
+    val r2 = ranksAt(2)
+    assert(r2 == Map(0L -> 1722500L, 1L -> 1850000L,
+      3L -> 277500L, 7L -> 150000L), s"got $r2")
+    // every node keeps at least the teleport base; truncation can only
+    // lose mass, never mint it
+    assert(r2.values.forall(_ >= 150000L))
+    assert(r2.values.sum <= 4L * 1000000L)
+  }
+
   test("matryoshkaTopK: coarseK=n degenerates to exact full ranking; a tight coarseK can drop a prefix-poor vector; guards") {
     import spark.implicits._
     val e = Tables.embeddings(spark, sf).filter($"vec_id" < 200).cache()
