@@ -93,10 +93,13 @@ object GraftOracles {
        |ORDER BY rank_mu DESC, vec_id""".stripMargin
   }
 
-  /** The sparse-retrieval twin shared by the inline and stored forms:
-    * exact fixed-point tf·idf postings and a pure-BIGINT dot product. */
-  private lazy val sparseDotOracle =
-    s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+  /** The sparse-retrieval CTE body shared by the inline, stored, and
+    * hybrid-fusion twins: exact fixed-point tf·idf postings, a
+    * pure-BIGINT dot product, and the one monotone BIGINT→DOUBLE score
+    * conversion the engine ranks on. Terminal relation: `spsc(doc_id,
+    * score)`. */
+  private lazy val sparseBody =
+    s"""tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        |       FROM tk GROUP BY 1, 2),
        |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
@@ -104,14 +107,19 @@ object GraftOracles {
        |w AS (SELECT doc_id, term,
        |    CAST(floor(tf * ln(CAST(nd.n AS DOUBLE) / dfv.df) * 1e6 + 0.5) AS BIGINT) AS w_mu
        |  FROM tf JOIN dfv USING (term) CROSS JOIN nd),
-       |q AS (SELECT * FROM (VALUES
+       |spq AS (SELECT * FROM (VALUES
        |    ('vector', CAST(1000000 AS BIGINT)), ('query', CAST(800000 AS BIGINT)),
        |    ('join', CAST(500000 AS BIGINT)), ('spark', CAST(250000 AS BIGINT)))
        |  AS t(term, q_mu)),
-       |sc AS (SELECT doc_id, CAST(sum(w.w_mu * q.q_mu) AS BIGINT) AS s_mu2
-       |       FROM w JOIN q USING (term) GROUP BY 1)
-       |SELECT doc_id, CAST(s_mu2 AS DOUBLE) / 1e12 AS score
-       |FROM sc ORDER BY s_mu2 DESC, doc_id LIMIT 10""".stripMargin
+       |spsc AS (SELECT doc_id,
+       |    CAST(CAST(sum(w.w_mu * spq.q_mu) AS BIGINT) AS DOUBLE) / 1e12 AS score
+       |  FROM w JOIN spq USING (term) GROUP BY doc_id)""".stripMargin
+
+  /** The sparse-retrieval twin shared by the inline and stored forms. */
+  private lazy val sparseDotOracle =
+    s"""WITH $sparseBody
+       |SELECT doc_id, score FROM spsc
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
   private val cosineDouble =
     """list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
@@ -1731,6 +1739,38 @@ object GraftOracles {
          |SELECT doc_id, rank_kw, rank_vec,
          |  floor((coalesce(1.0/(60+rank_kw), 0) + coalesce(1.0/(60+rank_vec), 0))*1e6 + 0.5)/1e6 AS rrf
          |FROM kwtop FULL OUTER JOIN vtop USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+
+    // Twin of rag_hybrid_sparse — the sparse CTE body (exact integer
+    // dot product, monotone double conversion) feeds one arm, the IVF
+    // quantizer CTE the other; both rank at k=100 with id tiebreaks and
+    // fuse with the same RRF arithmetic as rag_hybrid_stored.
+    "rag_hybrid_sparse" ->
+      s"""WITH $sparseBody,
+         |${simIvfCte(16, 3)},
+         |sptop AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank_sp
+         |  FROM (SELECT doc_id, score FROM spsc
+         |        ORDER BY score DESC, doc_id LIMIT 100)),
+         |q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+         |pqd AS (SELECT c.cid, list_sum(list_transform(range(1,65),
+         |    i -> (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |       * (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM sc3 c CROSS JOIN q),
+         |probe AS (SELECT cid FROM pqd ORDER BY dr, cid LIMIT 4),
+         |vsc AS (SELECT s.vec_id AS doc_id, round(
+         |    list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE)) /
+         |    sqrt(list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * s.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |         list_sum(list_transform(range(1,65), i -> q.qe[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+         |  FROM scellf s CROSS JOIN q
+         |  WHERE s.cid IN (SELECT cid FROM probe)),
+         |vtop AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT) AS rank_vec
+         |  FROM (SELECT doc_id, cosine FROM vsc
+         |        ORDER BY cosine DESC, doc_id LIMIT 100))
+         |SELECT doc_id, rank_sp, rank_vec,
+         |  floor((coalesce(1.0/(60+rank_sp), 0) + coalesce(1.0/(60+rank_vec), 0))*1e6 + 0.5)/1e6 AS rrf
+         |FROM sptop FULL OUTER JOIN vtop USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
 
     // Twins of ann_adaptive_prefilter / ann_adaptive_postfilter — the

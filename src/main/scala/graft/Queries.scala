@@ -3790,6 +3790,43 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** Hybrid sparse+dense retrieval over PERSISTED indexes — the
+    * two-tower serving path (learned-sparse arm + dense-vector arm,
+    * RRF-fused), both arms reading pruned layouts: the sparse arm scans
+    * only its query terms' buckets, the dense arm only its probed
+    * cells. Arms rank at k=100, fuse with the standard 1/(60+rank) RRF,
+    * top-10 out. FULL oracle: sparse CTE body + the IVF quantizer CTE +
+    * the same fusion arithmetic. */
+  val ragHybridSparse: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_hybsp").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      graft.operators.SparseSearch.buildIndex(store, "docs_sparse",
+        Tables.documents(s, d), "text", "doc_id", nBuckets = 8)
+      val cents = Similarity.buildIvfIndex(store, "vectors", e, "embedding",
+        "vec_id", ncells = 16)
+      val spTop = graft.operators.SparseSearch.searchStored(s, store,
+          "docs_sparse", sparseQueryTerms, k = 100)
+        .withColumn("rank_sp", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+        .select("doc_id", "rank_sp")
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val vTop = Similarity.ivfSearchStoredMany(store.read(s, "vectors"),
+          "embedding", "vec_id", cents, q, "q_id", "q_vec", k = 100, nprobe = 4)
+        .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("rank_vec"))
+      val out = spTop.join(vTop, Seq("doc_id"), "full_outer")
+        .withColumn("rrf", floor(
+          (coalesce(lit(1.0) / (lit(60) + col("rank_sp")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0))) * 1e6 + 0.5) / 1e6)
+        .orderBy(col("rrf").desc, col("doc_id"))
+        .limit(10)
+        .select("doc_id", "rank_sp", "rank_vec", "rrf")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** Unigram language-model scoring (the perplexity-style quality filter
     * a training-data pipeline runs to drop gibberish): corpus vocabulary
     * with add-one smoothing, per-doc mean token log-probability.
@@ -4122,6 +4159,7 @@ object GraftQueries {
     "text_prf_search" -> textPrfSearch,
     "text_bm25_incremental" -> textBm25Incremental,
     "rag_hybrid_stored" -> ragHybridStored,
+    "rag_hybrid_sparse" -> ragHybridSparse,
     "streaming_text_ingest" -> streamingTextIngest,
     "text_phrase_search" -> textPhraseSearch,
     "text_index_stats" -> textIndexStats,

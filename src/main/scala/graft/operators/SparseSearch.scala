@@ -120,9 +120,12 @@ object SparseSearch {
     postings.join(q, Seq("term"))
       .groupBy(col("doc_id"))
       .agg(sum(col("w_mu") * col("q_mu")).cast("long").as("s_mu2"))
-      .orderBy(col("s_mu2").desc, col("doc_id"))
-      .limit(k)
+      // rank on the CONVERTED double (one monotone long→double cast both
+      // engines perform identically), id tiebreak — so a downstream
+      // row_number over (score, doc_id) composes exactly with the oracle
       .select(col("doc_id"), (col("s_mu2").cast("double") / 1e12).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
   }
 
   // ---------------------------------------------------------------- store
