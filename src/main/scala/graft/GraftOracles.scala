@@ -1427,6 +1427,30 @@ object GraftOracles {
         |SELECT vec_id, coarse, score FROM f
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
+    // Twin of ann_discover — per-(candidate, example) rounded cosines,
+    // the pair gate as a HAVING on count of strictly-passed pairs, the
+    // survivor ranking by the same rounded target similarity. Example
+    // ids (target + both sides of each pair) are excluded everywhere.
+    "ann_discover" ->
+      s"""WITH ex AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding
+         |  FROM embeddings WHERE vec_id IN (0,1,2,4,5)),
+         |sim AS (SELECT a.vec_id AS vid, b.id AS eid,
+         |    floor(($cosineDouble) * 1e6 + 0.5) / 1e6 AS c
+         |  FROM embeddings a CROSS JOIN ex b
+         |  WHERE a.vec_id NOT IN (0,1,2,4,5)),
+         |px AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(4 AS BIGINT)),
+         |    (CAST(2 AS BIGINT), CAST(5 AS BIGINT))) AS t(pos, neg)),
+         |gate AS (SELECT sp.vid
+         |  FROM px
+         |  JOIN sim sp ON sp.eid = px.pos
+         |  JOIN sim sn ON sn.eid = px.neg AND sn.vid = sp.vid
+         |  GROUP BY sp.vid
+         |  HAVING count(*) FILTER (WHERE sp.c > sn.c) = (SELECT count(*) FROM px))
+         |SELECT s.vid AS vec_id, s.c AS score
+         |FROM sim s JOIN gate g ON g.vid = s.vid
+         |WHERE s.eid = 0
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
     // Twin of ann_recommend — the Rocchio average-vector query is
     // rebuilt with the IDENTICAL arithmetic: per-dim 2^24 fixed-point
     // BIGINT sums over the example rows (order-free integer addition),

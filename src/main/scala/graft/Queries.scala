@@ -601,6 +601,16 @@ object GraftQueries {
       .orderBy(col("score").desc, col("vec_id"))
   }
 
+  /** Discovery search: target vec 0, context pairs (1,4) and (2,5) —
+    * candidates must sit strictly closer (rounded cosine) to each
+    * pair's positive than its negative, survivors rank by target
+    * similarity. FULL oracle: the pair gate is a count-of-passed-pairs
+    * HAVING over the same rounded sims, the ranking the same cosine. */
+  val annDiscover: Q = (s, d) =>
+    Similarity.discoverTopK(Tables.embeddings(s, d), "embedding", "vec_id",
+        targetId = 0L, pairs = Seq((1L, 4L), (2L, 5L)), k = 10)
+      .orderBy(col("score").desc, col("vec_id"))
+
   /** Recommend-by-examples, average-vector strategy: positives {1,2,3},
     * negatives {4,5} — the Rocchio query `2·mean(pos) − mean(neg)` is
     * synthesized from STORED vectors with the fixed-point mean
@@ -4005,6 +4015,7 @@ object GraftQueries {
     "ann_range_search" -> annRangeSearch,
     "ann_recommend" -> annRecommend,
     "ann_matryoshka" -> annMatryoshka,
+    "ann_discover" -> annDiscover,
     "ann_recommend_best" -> annRecommendBest,
     "ann_bq_store" -> annBqStore,
     "ann_bq_batch" -> annBqBatch,

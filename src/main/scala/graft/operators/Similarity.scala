@@ -1536,6 +1536,51 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** Discovery search (the vector-store `discover` verb): rank by
+    * similarity to a TARGET point, but only among candidates that every
+    * context pair places on its positive side — for each `(pos, neg)`
+    * pair the candidate must be strictly closer (rounded cosine) to
+    * `pos` than to `neg`. Context pairs carve the search space
+    * ("things like the target, but in the region my feedback approves
+    * of"); with no pairs this degenerates to exact kNN from a stored
+    * point.
+    *
+    * Scale shape: examples are an id-IN pushdown fetch of a handful of
+    * rows; every pair sim and the target sim fold into ONE projection
+    * over ONE scan (2·|pairs|+1 codegen'd cosines per row, no joins, no
+    * shuffle before the top-k heap merge).
+    *
+    * Determinism: every cosine rounds at 6 with the floor form BEFORE
+    * the strict comparison — so the pass/fail cut is on identical
+    * rounded micro-units in both engines (a tie fails the pair, a
+    * deterministic rule rather than a float knife-edge); id tiebreak on
+    * the final order. */
+  def discoverTopK(collection: DataFrame, vecCol: String, idCol: String,
+                   targetId: Long, pairs: Seq[(Long, Long)], k: Int): DataFrame = {
+    require(pairs.forall(p => p._1 != p._2),
+      "a context pair must have distinct positive and negative ids")
+    val exampleIds = (targetId +: pairs.flatMap(p => Seq(p._1, p._2))).distinct
+    val rows = collection
+      .filter(col(idCol).isin(exampleIds.map(Long.box): _*))
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<float>"))
+      .collect()
+    require(rows.length == exampleIds.length,
+      s"expected ${exampleIds.length} example rows, found ${rows.length}")
+    val vecs = rows.map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def simTo(id: Long): Column =
+      floor(cosine(col(vecCol), vecLit(vecs(id))) * 1e6 + 0.5) / 1e6
+    val inContext = pairs
+      .map { case (p, n) => simTo(p) > simTo(n) }
+      .foldLeft(lit(true))(_ && _)
+    collection
+      .filter(!col(idCol).isin(exampleIds.map(Long.box): _*))
+      .filter(inContext)
+      .withColumn("score", simTo(targetId))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** Recommend-by-examples, best-score strategy: instead of collapsing
     * the examples into one query point (which averages away multi-modal
     * preference sets), each candidate is scored against EVERY example —

@@ -367,6 +367,33 @@ class QuerySemanticsSpec extends SparkSpec {
     assert(!solo.contains(1L) && !solo.contains(2L) && !solo.contains(3L))
   }
 
+  test("discoverTopK: context pairs gate candidates; ties fail the pair; no pairs degenerates to kNN-from-point") {
+    import spark.implicits._
+    // target on +x; pair (pos on +x, neg on +y). Candidate 100 passes
+    // (closer to pos), candidate 200 fails (closer to neg), candidate
+    // 300 sits EXACTLY on the diagonal — rounded tie must FAIL the pair
+    val coll = Seq(
+      (0L, Array(1f, 0f)),       // target
+      (1L, Array(1f, 0.1f)),     // pos
+      (4L, Array(0.1f, 1f)),     // neg
+      (100L, Array(0.9f, 0.2f)),
+      (200L, Array(0.2f, 0.9f)),
+      (300L, Array(0.55f, 0.55f))) // equidistant from pos and neg by symmetry
+      .toDF("vec_id", "embedding")
+    val out = Similarity.discoverTopK(coll, "embedding", "vec_id",
+        targetId = 0L, pairs = Seq((1L, 4L)), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(100L), s"only the pos-side candidate survives: $out")
+    // no pairs: plain kNN from the stored target (only the target is an
+    // example then — 1 and 4 become ordinary candidates)
+    val plain = Similarity.discoverTopK(coll, "embedding", "vec_id",
+        targetId = 0L, pairs = Nil, k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(plain == Seq(1L, 100L), s"got $plain")
+    intercept[IllegalArgumentException](
+      Similarity.discoverTopK(coll, "embedding", "vec_id", 0L, Seq((1L, 1L)), 5))
+  }
+
   test("recommendBestScore: a candidate owned by a negative is pushed below every positive-claimed one") {
     import spark.implicits._
     val coll = Seq(
