@@ -1427,6 +1427,27 @@ object GraftOracles {
         |SELECT vec_id, coarse, score FROM f
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
 
+    // Twin of rag_boosted — the 6-rounded cosine and the 6-rounded
+    // quality mix under the floor form; the join is the id intersection
+    // of the two tables, exactly as the engine's inner join.
+    "rag_boosted" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |cs AS (SELECT e.vec_id AS doc_id,
+         |    floor((list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+         |      sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) *
+         |           list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) * 1e6 + 0.5) / 1e6 AS cosine
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+         |qual AS (SELECT doc_id,
+         |    floor(least(1.0,
+         |      0.4 * least(len($toks)::DOUBLE / 50.0, 1.0)
+         |      + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text))
+         |      + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))) * 1e6 + 0.5) / 1e6 AS quality
+         |  FROM documents)
+         |SELECT cs.doc_id, cosine, quality,
+         |  floor((0.7 * cosine + 0.3 * quality) * 1e6 + 0.5) / 1e6 AS boosted
+         |FROM cs JOIN qual USING (doc_id)
+         |ORDER BY boosted DESC, doc_id LIMIT 10""".stripMargin,
+
     // Twin of ann_discover — per-(candidate, example) rounded cosines,
     // the pair gate as a HAVING on count of strictly-passed pairs, the
     // survivor ranking by the same rounded target similarity. Example

@@ -601,6 +601,31 @@ object GraftQueries {
       .orderBy(col("score").desc, col("vec_id"))
   }
 
+  /** Formula-boosted retrieval — the payload-rescoring verb (Qdrant
+    * formula queries / ES function_score): final rank mixes vector
+    * similarity with a document-level signal, here `0.7·cosine +
+    * 0.3·quality`. Both inputs round at 6 BEFORE the mix and the mix
+    * rounds with the floor form (pure IEEE ops — a round() here can
+    * land on exact decimal halves where engines disagree). Scale shape:
+    * quality is map-only per doc; the join carries (id, two rounded
+    * doubles) — slim either side of the shuffle. FULL oracle. */
+  val ragBoosted: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    val quality = TextAnalysis.textStats(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality"))
+    e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("doc_id"),
+        (floor(cosine(col("embedding"), vecLit(qv)) * 1e6 + 0.5) / 1e6).as("cosine"))
+      .join(quality, Seq("doc_id"))
+      .withColumn("boosted",
+        floor((lit(0.7) * col("cosine") + lit(0.3) * col("quality")) * 1e6 + 0.5) / 1e6)
+      .orderBy(col("boosted").desc, col("doc_id"))
+      .limit(10)
+      .select("doc_id", "cosine", "quality", "boosted")
+  }
+
   /** Discovery search: target vec 0, context pairs (1,4) and (2,5) —
     * candidates must sit strictly closer (rounded cosine) to each
     * pair's positive than its negative, survivors rank by target
@@ -4152,6 +4177,7 @@ object GraftQueries {
     "q37_top_suppliers" -> q37TopSuppliers,
     "ingest_incremental" -> ingestIncremental,
     "rag_rerank" -> ragRerank,
+    "rag_boosted" -> ragBoosted,
     "rag_hybrid_search" -> ragHybridSearch,
     "doc_winnow_sql" -> docWinnowSql,
     "multimodal_resize" -> multimodalResize,
