@@ -93,6 +93,32 @@ object GraftOracles {
        |ORDER BY rank_mu DESC, vec_id""".stripMargin
   }
 
+  /** The frozen-encoder sparse twin shared by the incremental and
+    * streaming maintenance forms. */
+  private lazy val sparseFrozenOracle =
+    s"""WITH standing AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
+         |tks AS (SELECT doc_id, unnest($toks) AS term FROM standing),
+         |tfs AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tks GROUP BY 1, 2),
+         |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY 1),
+         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM standing),
+         |tka AS (SELECT doc_id, unnest($toks) AS term FROM documents
+         |        WHERE doc_id % 10 = 7),
+         |tfa AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+         |        FROM tka GROUP BY 1, 2),
+         |tfall AS (SELECT * FROM tfs UNION ALL SELECT * FROM tfa),
+         |w AS (SELECT doc_id, term,
+         |    CAST(floor(tf * ln(CAST(nd.n AS DOUBLE) / dfv.df) * 1e6 + 0.5) AS BIGINT) AS w_mu
+         |  FROM tfall JOIN dfv USING (term) CROSS JOIN nd),
+         |q AS (SELECT * FROM (VALUES
+         |    ('vector', CAST(1000000 AS BIGINT)), ('query', CAST(800000 AS BIGINT)),
+         |    ('join', CAST(500000 AS BIGINT)), ('spark', CAST(250000 AS BIGINT)))
+         |  AS t(term, q_mu)),
+         |sc AS (SELECT doc_id, CAST(sum(w.w_mu * q.q_mu) AS BIGINT) AS s_mu2
+         |       FROM w JOIN q USING (term) GROUP BY 1)
+         |SELECT doc_id, CAST(s_mu2 AS DOUBLE) / 1e12 AS score
+         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   /** The sparse-retrieval CTE body shared by the inline, stored, and
     * hybrid-fusion twins: exact fixed-point tf·idf postings, a
     * pure-BIGINT dot product, and the one monotone BIGINT→DOUBLE score
@@ -2792,35 +2818,16 @@ object GraftOracles {
     "sparse_topk" -> sparseDotOracle,
     "sparse_store" -> sparseDotOracle,
 
-    // Twin of sparse_incremental — the FROZEN-encoder semantics stated
-    // relationally: df and N come from the STANDING slice only
-    // (doc_id % 10 <> 7, the model the build fitted), the arrival
-    // slice's term frequencies inner-join that vocabulary (OOV terms
-    // drop — the fixed-vocab contract), and every posting scores with
-    // the frozen stats.
-    "sparse_incremental" ->
-      s"""WITH standing AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
-         |tks AS (SELECT doc_id, unnest($toks) AS term FROM standing),
-         |tfs AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |        FROM tks GROUP BY 1, 2),
-         |dfv AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tfs GROUP BY 1),
-         |nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM standing),
-         |tka AS (SELECT doc_id, unnest($toks) AS term FROM documents
-         |        WHERE doc_id % 10 = 7),
-         |tfa AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-         |        FROM tka GROUP BY 1, 2),
-         |tfall AS (SELECT * FROM tfs UNION ALL SELECT * FROM tfa),
-         |w AS (SELECT doc_id, term,
-         |    CAST(floor(tf * ln(CAST(nd.n AS DOUBLE) / dfv.df) * 1e6 + 0.5) AS BIGINT) AS w_mu
-         |  FROM tfall JOIN dfv USING (term) CROSS JOIN nd),
-         |q AS (SELECT * FROM (VALUES
-         |    ('vector', CAST(1000000 AS BIGINT)), ('query', CAST(800000 AS BIGINT)),
-         |    ('join', CAST(500000 AS BIGINT)), ('spark', CAST(250000 AS BIGINT)))
-         |  AS t(term, q_mu)),
-         |sc AS (SELECT doc_id, CAST(sum(w.w_mu * q.q_mu) AS BIGINT) AS s_mu2
-         |       FROM w JOIN q USING (term) GROUP BY 1)
-         |SELECT doc_id, CAST(s_mu2 AS DOUBLE) / 1e12 AS score
-         |FROM sc ORDER BY s_mu2 DESC, doc_id LIMIT 10""".stripMargin,
+    // Twin of sparse_incremental AND streaming_sparse_ingest (stream
+    // and batch maintenance must be indistinguishable in the answer) —
+    // the FROZEN-encoder semantics stated relationally: df and N come
+    // from the STANDING slice only (doc_id % 10 <> 7, the model the
+    // build fitted), the arrival slice's term frequencies inner-join
+    // that vocabulary (OOV terms drop — the fixed-vocab contract), and
+    // every posting scores with the frozen stats.
+    "sparse_incremental" -> sparseFrozenOracle,
+    "streaming_sparse_ingest" -> sparseFrozenOracle,
+
 
     // TF-IDF top terms: df derives from the (doc, term) aggregate, scores
     // floor-round before ranking (both engines rank identical rounded

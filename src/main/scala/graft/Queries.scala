@@ -3465,6 +3465,26 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** Streaming ingest into the stored sparse index: standing corpus
+    * builds (and freezes the encoder), the arrival slice streams in per
+    * micro-batch with torn-append healing and watermark replay, then
+    * one stored search. Oracle: the SAME frozen-stats restatement as
+    * sparse_incremental — stream and batch maintenance must be
+    * indistinguishable in the answer. */
+  val streamingSparseIngest: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_sparse_stream").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d)
+    try {
+      graft.operators.SparseSearch.buildIndex(store, "docs_sparse",
+        docs.filter(col("doc_id") % 10 =!= 7), "text", "doc_id", nBuckets = 8)
+      graft.streaming.IndexStream.runStreamingSparseIngest(
+        s, s"$d/documents.parquet", store, "docs_sparse")
+      graft.operators.SparseSearch.searchStored(s, store, "docs_sparse",
+        sparseQueryTerms, k = 10)
+    } finally store.destroy()
+  }
+
   /** Pseudo-relevance-feedback search: seed BM25 → harvest the 3 most
     * document-frequent NEW terms from the top-10 hits → re-search with
     * the expanded set through the dynamic-term BM25 (fixed-point long
@@ -4190,6 +4210,7 @@ object GraftQueries {
     "sparse_topk" -> sparseTopkQ,
     "sparse_store" -> sparseStoreQ,
     "sparse_incremental" -> sparseIncrementalQ,
+    "streaming_sparse_ingest" -> streamingSparseIngest,
     "text_bm25_filtered" -> textBm25Filtered,
     "text_percolate" -> textPercolate,
     "text_bm25_deleted" -> textBm25Deleted,

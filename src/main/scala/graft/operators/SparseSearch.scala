@@ -173,16 +173,26 @@ object SparseSearch {
     * index already holds. */
   def insertInto(store: VectorStore, name: String, docs: DataFrame,
                  textCol: String, idCol: String): Unit = {
-    val sp = docs.sparkSession
-    val (nBuckets, nDocs) = readProps(store, name)
-    val model = sp.read.parquet(s"${store.root}/$name/_model")
     AppendContract.requireNewUniqueIds(store, name,
       docs.select(col(idCol).as("doc_id")), "doc_id",
       "SparseSearch.insertInto")
-    val postings = encodeAgainst(docs, textCol, idCol, model, nDocs)
+    store.append(name, encodeForIndex(store, name, docs, textCol, idCol),
+      partitionBy = Seq("bucket"))
+  }
+
+  /** Encode a batch with the index's FROZEN on-disk model into
+    * append-ready bucketed postings — the seam [[insertInto]] and the
+    * streaming sink share, so batch and stream can never disagree on
+    * the encoding. */
+  private[graft] def encodeForIndex(store: VectorStore, name: String,
+                                    docs: DataFrame, textCol: String,
+                                    idCol: String): DataFrame = {
+    val sp = docs.sparkSession
+    val (nBuckets, nDocs) = readProps(store, name)
+    val model = sp.read.parquet(s"${store.root}/$name/_model")
+    encodeAgainst(docs, textCol, idCol, model, nDocs)
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
       .select("term", "doc_id", "w_mu", "bucket")
-    store.append(name, postings, partitionBy = Seq("bucket"))
   }
 
   /** Search the stored layout: bucket ids of the query terms are

@@ -175,4 +175,69 @@ object IndexStream {
     textBatchSink(store, name, "text", "doc_id")(
       replayed, graft.text.TextIndex.readState(store, name).lastBatch)
   }
+
+  // ----------------------------------------- stored SPARSE index sink
+
+  /** `foreachBatch` body for the stored sparse inverted index
+    * ([[graft.operators.SparseSearch]]) — exactly-once, and notably
+    * SIMPLER than [[textBatchSink]]'s intent protocol: the sparse
+    * index's encoder is FROZEN at build time (df/N are model artifacts,
+    * not live corpus stats), so a batch commits postings and a
+    * watermark and nothing else — there is no stats delta that could
+    * disagree with the data. What remains is the torn-append hazard the
+    * text tier also has (a doc's postings span several bucket
+    * directories), healed the same way: the batch's postings
+    * anti-filter per ROW against the stored `(term, doc_id)` pairs of
+    * its own doc ids, so a crash mid-append is completed
+    * posting-by-posting on redelivery, never duplicated. */
+  def sparseBatchSink(store: VectorStore, name: String, textCol: String,
+                      idCol: String)(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= StreamCommits.lastBatchId(store, name)) return
+    val sp = batch.sparkSession
+    val cnts = batch.agg(count(lit(1)), countDistinct(col(idCol))).head
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"sparseBatchSink: micro-batch $batchId carries duplicate ids")
+    val postings = graft.operators.SparseSearch
+      .encodeForIndex(store, name, batch, textCol, idCol)
+      .localCheckpoint(true) // consumed twice (heal probe + append)
+    // stored (term, doc_id) rows of THIS batch's doc ids — bounded by
+    // the batch's own posting volume, so it broadcasts into the
+    // per-row anti filter; the index side stays a map-only semi-join
+    val batchIds = batch.select(col(idCol).as("doc_id")).distinct()
+    val estBytes = cnts.getLong(0) * 64
+    val existing = store.read(sp, name).select("term", "doc_id")
+      .join(BroadcastGate.maybeBroadcast(batchIds, estBytes),
+        Seq("doc_id"), "left_semi")
+    val fresh = postings.join(
+      BroadcastGate.maybeBroadcast(existing, estBytes * 32),
+      Seq("term", "doc_id"), "left_anti")
+    store.append(name, fresh, partitionBy = Seq("bucket"))
+    StreamCommits.commit(store, name, batchId)
+  }
+
+  /** Harness mirroring [[runStreamingTextIngest]]: stream the arrival
+    * slice into a sparse index built on the standing corpus (frozen
+    * encoder), then drive both replay regimes through the sink — the
+    * committed batchId (watermark skip) and a redelivery under a new
+    * batchId (anti-filters to nothing; legal here precisely because
+    * there are no live stats to double-count). */
+  def runStreamingSparseIngest(spark0: SparkSession, docsParquet: String,
+                               store: VectorStore, name: String): Unit = {
+    val spark = EventStream.streamSession(spark0)
+    val arrivals = EventStream.readFileStream(spark, docsParquet)
+      .filter(col("doc_id") % 10 === 7)
+    val q = arrivals.writeStream
+      .foreachBatch(sparseBatchSink(store, name, "text", "doc_id") _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    val replayed = spark.read.parquet(
+        new java.io.File(docsParquet).getAbsolutePath)
+      .filter(col("doc_id") % 10 === 7)
+    sparseBatchSink(store, name, "text", "doc_id")(
+      replayed, StreamCommits.lastBatchId(store, name))
+    sparseBatchSink(store, name, "text", "doc_id")(
+      replayed, StreamCommits.lastBatchId(store, name) + 1)
+  }
 }

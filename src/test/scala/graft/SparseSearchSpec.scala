@@ -110,6 +110,44 @@ class SparseSearchSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("streaming sink: torn append healed per row, watermark skips, post-commit redelivery is a no-op") {
+    val store = newStore()
+    try {
+      val standing = docs.filter($"doc_id" % 10 =!= 7)
+      val arriving = docs.filter($"doc_id" % 10 === 7)
+      SparseSearch.buildIndex(store, "sp", standing, "text", "doc_id", nBuckets = 8)
+      // simulate a crash MID-append: half the batch's postings landed,
+      // no commit — then the same batch is redelivered through the sink
+      val full = SparseSearch.encodeForIndex(store, "sp", arriving, "text", "doc_id")
+        .localCheckpoint(true)
+      val torn = full.filter(xxhash64($"term", $"doc_id") % 2 === 0)
+      store.append("sp", torn, partitionBy = Seq("bucket"))
+      graft.streaming.IndexStream.sparseBatchSink(store, "sp", "text", "doc_id")(
+        arriving, 0L)
+      def postings() = spark.read.parquet(s"${store.root}/sp")
+        .select("term", "doc_id", "w_mu")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+      val healed = postings()
+      // reference: a clean batch insert on a fresh store
+      val clean = newStore()
+      SparseSearch.buildIndex(clean, "sp", standing, "text", "doc_id", nBuckets = 8)
+      SparseSearch.insertInto(clean, "sp", arriving, "text", "doc_id")
+      val expect = spark.read.parquet(s"${clean.root}/sp")
+        .select("term", "doc_id", "w_mu")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2)).toSeq
+      clean.destroy()
+      assert(healed == expect,
+        "redelivery must complete the torn append exactly, no dup postings")
+      // watermark: same batchId skipped outright
+      graft.streaming.IndexStream.sparseBatchSink(store, "sp", "text", "doc_id")(
+        arriving, 0L)
+      // post-commit redelivery under a NEW id: anti-filters to nothing
+      graft.streaming.IndexStream.sparseBatchSink(store, "sp", "text", "doc_id")(
+        arriving, 1L)
+      assert(postings() == expect, "replay regimes must not change the index")
+    } finally store.destroy()
+  }
+
   test("OOV-only batch appends nothing and empty query refused") {
     val store = newStore()
     try {
