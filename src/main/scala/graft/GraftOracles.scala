@@ -147,6 +147,15 @@ object GraftOracles {
        |SELECT doc_id, score FROM spsc
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Twin of sparse_deleted: same full-corpus frozen encoder (deleted
+    * docs still count in df/N — they were part of the fitted model),
+    * tombstoned ids excluded from the ranking only. */
+  private lazy val sparseDeletedOracle =
+    s"""WITH $sparseBody
+       |SELECT doc_id, score FROM spsc
+       |WHERE doc_id % 7 <> 0
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
   private val cosineDouble =
     """list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
       |sqrt(list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)) *
@@ -2817,6 +2826,7 @@ object GraftOracles {
     // + 0.5) the engine's quantizer computes.
     "sparse_topk" -> sparseDotOracle,
     "sparse_store" -> sparseDotOracle,
+    "sparse_deleted" -> sparseDeletedOracle,
 
     // Twin of sparse_incremental AND streaming_sparse_ingest (stream
     // and batch maintenance must be indistinguishable in the answer) —

@@ -3465,6 +3465,26 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** DELETE on the stored sparse index: build on the full corpus,
+    * tombstone every 7th doc (O(batch) — the frozen encoder means no
+    * stats to decrement, unlike BM25), search the live set. Oracle: the
+    * full-corpus encoder with tombstoned docs excluded from the RANKING
+    * only — their presence in df/N is exactly the frozen-model
+    * semantic. */
+  val sparseDeletedQ: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_sparse_del").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d)
+    try {
+      graft.operators.SparseSearch.buildIndex(store, "docs_sparse", docs,
+        "text", "doc_id", nBuckets = 8)
+      graft.operators.SparseSearch.deleteFrom(store, "docs_sparse",
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
+      graft.operators.SparseSearch.searchStored(s, store, "docs_sparse",
+        sparseQueryTerms, k = 10)
+    } finally store.destroy()
+  }
+
   /** Streaming ingest into the stored sparse index: standing corpus
     * builds (and freezes the encoder), the arrival slice streams in per
     * micro-batch with torn-append healing and watermark replay, then
@@ -4211,6 +4231,7 @@ object GraftQueries {
     "sparse_store" -> sparseStoreQ,
     "sparse_incremental" -> sparseIncrementalQ,
     "streaming_sparse_ingest" -> streamingSparseIngest,
+    "sparse_deleted" -> sparseDeletedQ,
     "text_bm25_filtered" -> textBm25Filtered,
     "text_percolate" -> textPercolate,
     "text_bm25_deleted" -> textBm25Deleted,

@@ -213,7 +213,9 @@ object SparseSearch {
   }
 
   /** The bucket-pruned postings fetch [[searchStored]] scores over —
-    * exposed so the pruning spec pins the exact scan the search runs. */
+    * exposed so the pruning spec pins the exact scan the search runs.
+    * Tombstoned docs are filtered here, so every read verb sees the
+    * live set. */
   private[graft] def prunedPostings(spark: SparkSession, store: VectorStore,
                                     name: String, terms: Seq[String]): DataFrame = {
     import spark.implicits._
@@ -221,8 +223,41 @@ object SparseSearch {
     val buckets = terms.toDF("term")
       .select(bucketOf(col("term"), nBuckets))
       .collect().map(_.getInt(0)).toSeq.distinct
-    spark.read.parquet(s"${store.root}/$name")
+    val pruned = spark.read.parquet(s"${store.root}/$name")
       .filter(col("bucket").isin(buckets.map(Int.box): _*))
       .select("term", "doc_id", "w_mu")
+    liveOnly(spark, store, name, pruned)
+  }
+
+  private def deletedPath(store: VectorStore, name: String) =
+    s"${store.root}/$name/_deleted"
+
+  /** DELETE docs from the stored sparse index — O(batch): doc-id
+    * tombstones appended to an `_deleted` log, postings stay on disk
+    * and every read verb anti-joins the log (the TextIndex delete
+    * discipline). The frozen encoder makes this the WHOLE story: df/N
+    * are build-time model artifacts, so removing a doc changes no other
+    * doc's weight — no stats decrement, no idf drift, nothing to keep
+    * consistent beyond the tombstone append itself. Re-inserting a
+    * tombstoned id is refused by the append contract (its postings are
+    * still physically present), matching the text tier. */
+  def deleteFrom(store: VectorStore, name: String, ids: DataFrame): Unit = {
+    readProps(store, name): Unit // fail fast on a non-sparse-index path
+    ids.select(col(ids.columns.head).cast("long").as("doc_id"))
+      .write.mode("append").parquet(deletedPath(store, name))
+  }
+
+  /** Anti-join against the tombstone log; size-gated broadcast that
+    * FAILS CLOSED (unmeasurable bytes = too big = shuffle join). */
+  private def liveOnly(spark: SparkSession, store: VectorStore, name: String,
+                       df: DataFrame): DataFrame = {
+    val raw = StoreFs.forPath(store.root)
+    val path = deletedPath(store, name)
+    if (!raw.exists(path)) df
+    else {
+      val ts = spark.read.parquet(path).select("doc_id").distinct()
+      df.join(BroadcastGate.maybeBroadcast(ts, raw.treeBytesFailClosed(path)),
+        Seq("doc_id"), "left_anti")
+    }
   }
 }

@@ -148,6 +148,36 @@ class SparseSearchSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("delete: tombstoned docs vanish from every verb, weights of survivors unchanged (frozen model)") {
+    val store = newStore()
+    try {
+      SparseSearch.buildIndex(store, "sp", docs, "text", "doc_id", nBuckets = 8)
+      val before = SparseSearch.searchStored(spark, store, "sp", q, k = 50)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val victims = before.keys.toSeq.sorted.take(3)
+      SparseSearch.deleteFrom(store, "sp",
+        victims.toDF("doc_id"))
+      val after = SparseSearch.searchStored(spark, store, "sp", q, k = 50)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      victims.foreach(v => assert(!after.contains(v), s"deleted $v still surfaces"))
+      // survivors keep their EXACT pre-delete scores: the frozen encoder
+      // means a delete cannot move anyone else's weight (rows newly
+      // promoted into the top-50 by the freed slots are not comparable)
+      after.foreach { case (id, s) =>
+        before.get(id).foreach(b =>
+          assert(b == s, s"survivor $id score moved: $b -> $s")) }
+      assert(after.keySet.intersect(before.keySet).nonEmpty)
+      // physically still on disk (tombstone, not rewrite) — and a
+      // re-insert of a tombstoned id is refused
+      assert(spark.read.parquet(s"${store.root}/sp")
+        .filter($"doc_id" === victims.head).count() > 0)
+      intercept[IllegalArgumentException] {
+        SparseSearch.insertInto(store, "sp",
+          docs.filter($"doc_id" === victims.head), "text", "doc_id")
+      }
+    } finally store.destroy()
+  }
+
   test("OOV-only batch appends nothing and empty query refused") {
     val store = newStore()
     try {
