@@ -1653,6 +1653,8 @@ object GraftOracles {
         |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id >= 10)
         |  UNION ALL SELECT 'plain', 'collection',
         |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+        |  UNION ALL SELECT 'sparse_docs', 'sparse',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM tk)
         |) ORDER BY name""".stripMargin,
 
     "ann_lsh_multiprobe" -> lshMultiProbeSql,

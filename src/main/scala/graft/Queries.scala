@@ -511,6 +511,8 @@ object GraftQueries {
       Similarity.buildBqIndex(store, "bq_sigs", e, "embedding", "vec_id")
       TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
         "text", "doc_id", nBuckets = 8)
+      graft.operators.SparseSearch.buildIndex(store, "sparse_docs",
+        Tables.documents(s, d), "text", "doc_id", nBuckets = 8)
       store.createMutable("mut_vecs", e.select(col("vec_id"), col("label")),
         "vec_id")
       store.mutable("mut_vecs").deleteIds(s, (0L until 10L))

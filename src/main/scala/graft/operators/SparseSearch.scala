@@ -130,7 +130,7 @@ object SparseSearch {
 
   // ---------------------------------------------------------------- store
 
-  private val PropsFile = "_sparse_index.properties"
+  private val PropsFile = VectorStore.SparseIndexPropsFile
   private def bucketOf(term: org.apache.spark.sql.Column, nBuckets: Int) =
     pmod(xxhash64(term), lit(nBuckets.toLong)).cast("int")
 

@@ -148,15 +148,18 @@ final case class VectorStore(root: String) {
     * needs before any maintenance window. Detection reads only schema
     * footers and `_`-sidecars, never data pages; the count is the
     * [[count]] semantics per kind. Kinds: `text` (postings sidecar),
-    * `mutable` (version marker), `graph` (adjacency column), `bq`
-    * (signature relation), `ivf_pq`/`ivf_sq`/`ivf` (cell-partitioned
-    * codes/vectors), `collection` (plain relation). */
+    * `sparse` (weighted-postings sidecar), `mutable` (version marker),
+    * `graph` (adjacency column), `bq` (signature relation),
+    * `ivf_pq`/`ivf_sq`/`ivf` (cell-partitioned codes/vectors),
+    * `collection` (plain relation). */
   def indexCatalog(spark: SparkSession): DataFrame = {
     val rows = list().sorted.map { name =>
       val fields = read(spark, name).schema.fieldNames.toSet
       val kind =
         if (sfs.readProps(s"${path(name)}/${VectorStore.TextIndexPropsFile}")
           .isDefined) "text"
+        else if (sfs.readProps(s"${path(name)}/${VectorStore.SparseIndexPropsFile}")
+          .isDefined) "sparse"
         else if (MutableCollection.Marker.read(path(name)).isDefined) "mutable"
         else if (fields.contains("neighbors")) "graph"
         else if (fields.contains("bq_lo")) "bq"
@@ -486,6 +489,12 @@ object VectorStore {
   /** The alias registry directory under a store root — `_`-prefixed so
     * Spark scans never mistake it for data, excluded from [[VectorStore.list]]. */
   val AliasDirName = "_aliases"
+
+  /** The sparse-index sidecar name — the catalog's detection key for
+    * the weighted-postings family (aliased by
+    * [[graft.operators.SparseSearch]], same ownership rule as the text
+    * sidecar below). */
+  val SparseIndexPropsFile = "_sparse_index.properties"
 
   /** The text-index sidecar name — defined HERE (store owns layout
     * contracts; graft.text depends on graft.store, never the reverse)
