@@ -93,9 +93,11 @@ object GraftOracles {
        |ORDER BY rank_mu DESC, vec_id""".stripMargin
   }
 
-  /** The frozen-encoder sparse twin shared by the incremental and
-    * streaming maintenance forms. */
-  private lazy val sparseFrozenOracle =
+  /** The frozen-encoder sparse twin shared by the incremental,
+    * streaming, and compaction maintenance forms; `extraWhere` filters
+    * the RANKING only (tombstoned docs stay inside the frozen model's
+    * df/N — they were part of the fitted corpus). */
+  private def sparseFrozenOracleWhere(extraWhere: String) =
     s"""WITH standing AS (SELECT * FROM documents WHERE doc_id % 10 <> 7),
          |tks AS (SELECT doc_id, unnest($toks) AS term FROM standing),
          |tfs AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
@@ -117,7 +119,10 @@ object GraftOracles {
          |sc AS (SELECT doc_id, CAST(sum(w.w_mu * q.q_mu) AS BIGINT) AS s_mu2
          |       FROM w JOIN q USING (term) GROUP BY 1)
          |SELECT doc_id, CAST(s_mu2 AS DOUBLE) / 1e12 AS score
-         |FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+         |FROM sc $extraWhere
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+
+  private lazy val sparseFrozenOracle = sparseFrozenOracleWhere("")
 
   /** The sparse-retrieval CTE body shared by the inline, stored, and
     * hybrid-fusion twins: exact fixed-point tf·idf postings, a
@@ -2839,6 +2844,9 @@ object GraftOracles {
     // every posting scores with the frozen stats.
     "sparse_incremental" -> sparseFrozenOracle,
     "streaming_sparse_ingest" -> sparseFrozenOracle,
+    // Twin of sparse_compact: build + append + delete + compact must be
+    // answer-equivalent to the frozen-encoder view minus tombstones.
+    "sparse_compact" -> sparseFrozenOracleWhere("WHERE doc_id % 7 <> 0"),
 
 
     // TF-IDF top terms: df derives from the (doc, term) aggregate, scores

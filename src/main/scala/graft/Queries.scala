@@ -3487,6 +3487,31 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** The full sparse maintenance triad in one lifecycle: build on the
+    * standing corpus (frozen encoder), append the arrival slice
+    * (fragments every touched bucket), tombstone every 7th doc, then
+    * COMPACT — dirty buckets rewritten live-only to one file each, the
+    * folded tombstone files truncated in the journaled commit — and
+    * search. Oracle: the frozen-encoder view minus tombstoned docs;
+    * compaction must be invisible to the answer. */
+  val sparseCompactQ: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_sparse_cmp").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d)
+    try {
+      graft.operators.SparseSearch.buildIndex(store, "docs_sparse",
+        docs.filter(col("doc_id") % 10 =!= 7), "text", "doc_id", nBuckets = 8)
+      graft.operators.SparseSearch.insertInto(store, "docs_sparse",
+        docs.filter(col("doc_id") % 10 === 7), "text", "doc_id")
+      graft.operators.SparseSearch.deleteFrom(store, "docs_sparse",
+        docs.filter(col("doc_id") % 7 === 0).select("doc_id"))
+      graft.operators.SparseSearch.compactIndex(s, store, "docs_sparse",
+        maxFilesPerBucket = 1)
+      graft.operators.SparseSearch.searchStored(s, store, "docs_sparse",
+        sparseQueryTerms, k = 10)
+    } finally store.destroy()
+  }
+
   /** Streaming ingest into the stored sparse index: standing corpus
     * builds (and freezes the encoder), the arrival slice streams in per
     * micro-batch with torn-append healing and watermark replay, then
@@ -4234,6 +4259,7 @@ object GraftQueries {
     "sparse_incremental" -> sparseIncrementalQ,
     "streaming_sparse_ingest" -> streamingSparseIngest,
     "sparse_deleted" -> sparseDeletedQ,
+    "sparse_compact" -> sparseCompactQ,
     "text_bm25_filtered" -> textBm25Filtered,
     "text_percolate" -> textPercolate,
     "text_bm25_deleted" -> textBm25Deleted,

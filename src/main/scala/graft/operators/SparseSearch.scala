@@ -159,6 +159,12 @@ object SparseSearch {
   }
 
   private def readProps(store: VectorStore, name: String): (Int, Long) = {
+    // every verb resolves props first, so this is the one choke point:
+    // refuse to serve or mutate mid-promote (a bucket is momentarily
+    // absent between its two renames) — compactIndex replays to done
+    require(!StoreFs.forPath(store.root).isFile(journalPath(store, name)),
+      s"sparse index '$name' has an unfinished compaction promote — " +
+        "run compactIndex to complete it first")
     val p = StoreFs.forPath(store.root)
       .readProps(s"${store.root}/$name/$PropsFile")
       .getOrElse(sys.error(s"'$name' is not a sparse index (no $PropsFile)"))
@@ -258,6 +264,125 @@ object SparseSearch {
       val ts = spark.read.parquet(path).select("doc_id").distinct()
       df.join(BroadcastGate.maybeBroadcast(ts, raw.treeBytesFailClosed(path)),
         Seq("doc_id"), "left_anti")
+    }
+  }
+
+  private val CompactJournal = "_sparse_compact.properties"
+  private val CompactStageDir = "_sparse_compact_stage"
+  private def journalPath(store: VectorStore, name: String) =
+    s"${store.root}/$name/$CompactJournal"
+
+  /** Bucket-targeted compaction + tombstone folding — the maintenance
+    * triad's third axis for the sparse tier. Dirty = buckets past
+    * `maxFilesPerBucket` fragments (streaming/insert appends) ∪ buckets
+    * still holding a tombstoned doc's postings (found with ONE
+    * column-pruned scan against the bounded tombstone set). Dirty
+    * buckets are rewritten LIVE-ONLY to one file each — O(dirty
+    * buckets), never O(index) — and the tombstone log is truncated in
+    * the same journaled commit, so the anti-join cost of deletes is
+    * reclaimed, not just the file count.
+    *
+    * Crash-safety is the text tier's staged-promote discipline (a bare
+    * dynamic-partition overwrite deletes a live bucket directory before
+    * its replacement lands): stage under an `_`-scratch dir, ONE atomic
+    * journal write as the commit point, idempotent per-bucket promote
+    * (with the log truncation inside the journaled replay), every
+    * intermediate state serving each live posting exactly once.
+    * Returns the rewritten bucket ids (including any resumed). */
+  def compactIndex(spark: SparkSession, store: VectorStore, name: String,
+                   maxFilesPerBucket: Int = 4): Seq[Int] = {
+    require(maxFilesPerBucket >= 1, "maxFilesPerBucket must be >= 1")
+    val sfs = StoreFs.forPath(store.root)
+    val resumed = promoteStaged(store, name)
+    val collDir = s"${store.root}/$name"
+    val perBucket = store.dataFileStatuses(name)
+      .filter(_.getPath.getParent.getParent.getName == name) // not scratch
+      .flatMap { f =>
+        val dir = f.getPath.getParent.getName
+        if (dir.startsWith("bucket=")) Some(dir.stripPrefix("bucket=").toInt)
+        else None
+      }
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val fragDirty = perBucket.filter(_._2 > maxFilesPerBucket).keys.toSeq
+    val hasTombstones = sfs.exists(deletedPath(store, name))
+    val tombDirty =
+      if (!hasTombstones) Nil
+      else {
+        val ts = spark.read.parquet(deletedPath(store, name))
+          .select("doc_id").distinct()
+        spark.read.parquet(collDir).select("bucket", "doc_id")
+          .join(BroadcastGate.maybeBroadcast(ts,
+            sfs.treeBytesFailClosed(deletedPath(store, name))),
+            Seq("doc_id"), "left_semi")
+          .select("bucket").distinct()
+          .collect().map(_.getInt(0)).toSeq
+      }
+    val dirty = (fragDirty ++ tombDirty).distinct.sorted
+    if (dirty.nonEmpty || hasTombstones) {
+      val stage = s"$collDir/$CompactStageDir"
+      sfs.deleteTree(stage) // a pre-journal crash leaves only dead stage
+      if (dirty.nonEmpty)
+        liveOnly(spark, store, name,
+            spark.read.parquet(collDir)
+              .filter(col("bucket").isin(dirty.map(Int.box): _*))
+              .select("term", "doc_id", "w_mu", "bucket"))
+          .repartition(dirty.length, col("bucket"))
+          .write.partitionBy("bucket").parquet(stage)
+      // the commit point: buckets + the EXACT tombstone files folded —
+      // file-level truncation, because a whole-log delete replayed
+      // after a crash would silently resurrect any doc tombstoned
+      // BETWEEN the journal write and the replay
+      val foldFiles =
+        if (!hasTombstones) Nil
+        else sfs.list(deletedPath(store, name))
+          .map(_.getPath.getName).filter(_.startsWith("part-"))
+      val props = new java.util.Properties()
+      props.setProperty("buckets", dirty.mkString(","))
+      props.setProperty("fold_files", foldFiles.mkString(","))
+      sfs.writePropsAtomic(journalPath(store, name), props,
+        "graft sparse-index compaction journal")
+      promoteStaged(store, name): Unit
+    }
+    (resumed ++ dirty).distinct.sorted
+  }
+
+  /** Idempotent promote of a journaled compaction stage (no-op without
+    * a journal): per bucket live → `_old_bucket=` shadow → staged →
+    * live, shadow deleted; then the journaled tombstone-log truncation;
+    * journal cleared last. Re-runnable from any crash point. */
+  private def promoteStaged(store: VectorStore, name: String): Seq[Int] = {
+    val sfs = StoreFs.forPath(store.root)
+    sfs.readProps(journalPath(store, name)).fold(Seq.empty[Int]) { props =>
+      val buckets = props.getProperty("buckets", "").split(",")
+        .filter(_.nonEmpty).map(_.toInt).toSeq
+      val collDir = s"${store.root}/$name"
+      buckets.foreach { b =>
+        val live = s"$collDir/bucket=$b"
+        val old = s"$collDir/_old_bucket=$b"
+        val staged = s"$collDir/$CompactStageDir/bucket=$b"
+        if (sfs.exists(staged)) {
+          if (sfs.exists(live)) {
+            sfs.deleteTree(old)
+            sfs.rename(live, old): Unit
+          }
+          sfs.rename(staged, live): Unit
+        }
+        sfs.deleteTree(old)
+      }
+      val folded = props.getProperty("fold_files", "").split(",")
+        .filter(_.nonEmpty).toSeq
+      if (folded.nonEmpty) {
+        val dir = deletedPath(store, name)
+        folded.foreach(f => sfs.deleteTree(s"$dir/$f"))
+        // drop the directory only if NO data file remains (a delete
+        // that landed after the journal keeps the log alive)
+        if (sfs.exists(dir) &&
+            !sfs.list(dir).exists(_.getPath.getName.startsWith("part-")))
+          sfs.deleteTree(dir)
+      }
+      sfs.deleteTree(s"$collDir/$CompactStageDir")
+      sfs.deleteTree(journalPath(store, name))
+      buckets
     }
   }
 }

@@ -178,6 +178,51 @@ class SparseSearchSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("compaction: dirty buckets to one file, clean untouched, tombstones folded and log truncated, content preserved") {
+    val store = newStore()
+    try {
+      SparseSearch.buildIndex(store, "sp", docs.filter($"doc_id" % 10 =!= 7),
+        "text", "doc_id", nBuckets = 8)
+      SparseSearch.insertInto(store, "sp", docs.filter($"doc_id" % 10 === 7),
+        "text", "doc_id")
+      SparseSearch.deleteFrom(store, "sp",
+        docs.filter($"doc_id" % 7 === 0).select("doc_id"))
+      val preSearch = SparseSearch.searchStored(spark, store, "sp", q, k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      def filesPerBucket() = store.dataFileStatuses("sp")
+        .groupBy(_.getPath.getParent.getName).view.mapValues(_.size).toMap
+      val before = filesPerBucket()
+      val cleanBuckets = before.filter(_._2 == 1).keySet
+      val cleanSigs = store.dataFileStatuses("sp")
+        .filter(f => cleanBuckets(f.getPath.getParent.getName))
+        .map(f => f.getPath.toString -> (f.getLen, f.getModificationTime)).toMap
+      val rewritten = SparseSearch.compactIndex(spark, store, "sp",
+        maxFilesPerBucket = 1)
+      assert(rewritten.nonEmpty, "appends + deletes must have dirtied buckets")
+      val after = filesPerBucket()
+      rewritten.foreach(b => assert(after(s"bucket=$b") == 1,
+        s"bucket $b not compacted: ${after.get(s"bucket=$b")}"))
+      // clean buckets' files byte-identical (never rewritten)
+      store.dataFileStatuses("sp")
+        .filter(f => cleanSigs.contains(f.getPath.toString))
+        .foreach(f => assert(
+          cleanSigs(f.getPath.toString) == (f.getLen, f.getModificationTime),
+          s"clean bucket file rewritten: ${f.getPath}"))
+      // tombstone log gone, deleted docs physically folded out
+      assert(!graft.store.StoreFs.forPath(store.root)
+        .exists(s"${store.root}/sp/_deleted"), "folded log must be truncated")
+      assert(spark.read.parquet(s"${store.root}/sp")
+        .filter($"doc_id" % 7 === 0).count() == 0,
+        "tombstoned postings must be physically gone")
+      // answers identical, and a second compact is a no-op
+      val postSearch = SparseSearch.searchStored(spark, store, "sp", q, k = 20)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(postSearch == preSearch, "compaction must be answer-invisible")
+      assert(SparseSearch.compactIndex(spark, store, "sp",
+        maxFilesPerBucket = 1).isEmpty, "second compact must find nothing dirty")
+    } finally store.destroy()
+  }
+
   test("OOV-only batch appends nothing and empty query refused") {
     val store = newStore()
     try {
