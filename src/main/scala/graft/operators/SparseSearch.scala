@@ -142,14 +142,19 @@ object SparseSearch {
                  textCol: String, idCol: String, nBuckets: Int): Unit = {
     require(nBuckets > 0, "nBuckets must be positive")
     val nDocs = docs.select(col(idCol)).distinct().count()
+    // ONE tokenize pass feeds both the postings and the vocab model —
+    // without the persist, the model write re-runs the whole encode
     val postings = encodeWithN(docs, textCol, idCol, nDocs)
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
-    store.create(name, postings.select("term", "doc_id", "w_mu", "bucket"),
-      partitionBy = Seq("bucket"))
-    // vocabulary model AFTER the data (create clears the directory)
-    postings.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"${store.root}/$name/_model")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      store.create(name, postings.select("term", "doc_id", "w_mu", "bucket"),
+        partitionBy = Seq("bucket"))
+      // vocabulary model AFTER the data (create clears the directory)
+      postings.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"${store.root}/$name/_model")
+    } finally postings.unpersist()
     val props = new java.util.Properties()
     props.setProperty("n_buckets", nBuckets.toString)
     props.setProperty("n_docs", nDocs.toString)
