@@ -31,7 +31,8 @@ object Bench {
   private def isHeavy(name: String): Boolean =
     name.startsWith("pipeline_") || name.startsWith("streaming_") ||
       name.startsWith("collection_") || name.startsWith("ingest_") ||
-      name.startsWith("ann_graph") || name == "dedup_clusters"
+      name.startsWith("ann_graph") || name.startsWith("sparse_") ||
+      name == "dedup_clusters"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
