@@ -1659,7 +1659,7 @@ object GraftOracles {
         |  UNION ALL SELECT 'plain', 'collection',
         |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
         |  UNION ALL SELECT 'sparse_docs', 'sparse',
-        |    (SELECT CAST(count(*) AS BIGINT) FROM tk)
+        |    (SELECT CAST(count(*) AS BIGINT) FROM tk WHERE doc_id % 5 = 0)
         |) ORDER BY name""".stripMargin,
 
     "ann_lsh_multiprobe" -> lshMultiProbeSql,
@@ -2834,6 +2834,38 @@ object GraftOracles {
     "sparse_topk" -> sparseDotOracle,
     "sparse_store" -> sparseDotOracle,
     "sparse_deleted" -> sparseDeletedOracle,
+
+    // Twin of sparse_filtered — the sparse body's ranking joined to the
+    // metadata predicate; frozen weights mean the filter moves no score.
+    "sparse_filtered" ->
+      s"""WITH $sparseBody
+         |SELECT s.doc_id, s.score
+         |FROM spsc s JOIN documents d USING (doc_id)
+         |WHERE d.lang IN ('en', 'de')
+         |ORDER BY s.score DESC, s.doc_id LIMIT 10""".stripMargin,
+
+    // Twin of sparse_batch — the query table as a VALUES literal,
+    // per-(q_id, doc) integer sums, per-query rank windows.
+    "sparse_batch" ->
+      s"""WITH $sparseBody,
+         |bq AS (SELECT * FROM (VALUES
+         |    ('qa', 'vector', CAST(1000000 AS BIGINT)),
+         |    ('qa', 'query', CAST(800000 AS BIGINT)),
+         |    ('qa', 'join', CAST(500000 AS BIGINT)),
+         |    ('qa', 'spark', CAST(250000 AS BIGINT)),
+         |    ('qb', 'filter', CAST(1000000 AS BIGINT)),
+         |    ('qb', 'scan', CAST(700000 AS BIGINT)),
+         |    ('qb', 'merge', CAST(400000 AS BIGINT)))
+         |  AS t(q_id, term, q_mu)),
+         |bsc AS (SELECT bq.q_id, w.doc_id,
+         |    CAST(CAST(sum(w.w_mu * bq.q_mu) AS BIGINT) AS DOUBLE) / 1e12 AS score
+         |  FROM w JOIN bq USING (term) GROUP BY 1, 2),
+         |br AS (SELECT q_id, doc_id, score,
+         |    CAST(row_number() OVER (PARTITION BY q_id
+         |      ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+         |  FROM bsc)
+         |SELECT q_id, doc_id, score, rank FROM br
+         |WHERE rank <= 8 ORDER BY q_id, rank""".stripMargin,
 
     // Twin of sparse_incremental AND streaming_sparse_ingest (stream
     // and batch maintenance must be indistinguishable in the answer) —

@@ -511,8 +511,11 @@ object GraftQueries {
       Similarity.buildBqIndex(store, "bq_sigs", e, "embedding", "vec_id")
       TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
         "text", "doc_id", nBuckets = 8)
+      // a slice suffices for family detection + count — the full-corpus
+      // sparse build is already benched by its own gate queries
       graft.operators.SparseSearch.buildIndex(store, "sparse_docs",
-        Tables.documents(s, d), "text", "doc_id", nBuckets = 8)
+        Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+        "text", "doc_id", nBuckets = 8)
       store.createMutable("mut_vecs", e.select(col("vec_id"), col("label")),
         "vec_id")
       store.mutable("mut_vecs").deleteIds(s, (0L until 10L))
@@ -3487,6 +3490,41 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** Metadata-filtered sparse search — filter-then-rank over the
+    * stored layout; frozen per-(doc, term) weights mean survivors score
+    * exactly their unfiltered dot product (no stats for the filter to
+    * shift). FULL oracle: the sparse CTE body joined to the metadata
+    * predicate. */
+  val sparseFilteredQ: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_sparse_flt").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d)
+    try {
+      graft.operators.SparseSearch.buildIndex(store, "docs_sparse", docs,
+        "text", "doc_id", nBuckets = 8)
+      graft.operators.SparseSearch.searchStoredFiltered(s, store,
+        "docs_sparse", sparseQueryTerms, k = 10,
+        allowed = docs.filter(WhereDsl.parse("""{"lang":{"$in":["en","de"]}}"""))
+          .select("doc_id"))
+    } finally store.destroy()
+  }
+
+  /** Batch sparse search — two weighted-term queries against ONE
+    * bucket-pruned postings scan, per-query window rank. FULL oracle
+    * with the query table as a VALUES literal. */
+  val sparseBatchQ: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_sparse_bat").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      graft.operators.SparseSearch.buildIndex(store, "docs_sparse",
+        Tables.documents(s, d), "text", "doc_id", nBuckets = 8)
+      graft.operators.SparseSearch.searchStoredMany(s, store, "docs_sparse",
+        Seq("qa" -> sparseQueryTerms,
+          "qb" -> Seq("filter" -> 1.0, "scan" -> 0.7, "merge" -> 0.4)),
+        k = 8)
+    } finally store.destroy()
+  }
+
   /** The full sparse maintenance triad in one lifecycle: build on the
     * standing corpus (frozen encoder), append the arrival slice
     * (fragments every touched bucket), tombstone every 7th doc, then
@@ -4260,6 +4298,8 @@ object GraftQueries {
     "streaming_sparse_ingest" -> streamingSparseIngest,
     "sparse_deleted" -> sparseDeletedQ,
     "sparse_compact" -> sparseCompactQ,
+    "sparse_filtered" -> sparseFilteredQ,
+    "sparse_batch" -> sparseBatchQ,
     "text_bm25_filtered" -> textBm25Filtered,
     "text_percolate" -> textPercolate,
     "text_bm25_deleted" -> textBm25Deleted,

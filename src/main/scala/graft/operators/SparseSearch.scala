@@ -128,6 +128,38 @@ object SparseSearch {
       .limit(k)
   }
 
+  /** Batch sparse search — Q weighted-term queries against ONE postings
+    * relation (the `query(query_texts=[...])` list shape on the sparse
+    * tier): the query table `(q_id, term, q_mu)` is a broadcast
+    * literal, scoring is one join + one (q_id, doc_id)-keyed integer
+    * sum, ranking a per-query window over slim rows. A term shared by
+    * two queries pairs each posting with both through the join — the
+    * postings scan is still paid ONCE. */
+  def topKMany(postings: DataFrame,
+               queries: Seq[(String, Seq[(String, Double)])],
+               k: Int): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "batch sparse search needs at least one term per query")
+    require(queries.map(_._1).distinct.length == queries.length,
+      "duplicate query ids in the batch")
+    val sp = postings.sparkSession
+    import sp.implicits._
+    val q = broadcast(queries
+      .flatMap { case (qid, terms) =>
+        terms.map { case (t, w) => (qid, t, quantize(w)) } }
+      .toDF("q_id", "term", "q_mu"))
+    postings.join(q, Seq("term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("w_mu") * col("q_mu")).cast("long").as("s_mu2"))
+      .select(col("q_id"), col("doc_id"),
+        (col("s_mu2").cast("double") / 1e12).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= k)
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   // ---------------------------------------------------------------- store
 
   private val PropsFile = VectorStore.SparseIndexPropsFile
@@ -219,6 +251,49 @@ object SparseSearch {
     // a finally — a lazy frame would read a deleted directory
     val out = topK(prunedPostings(spark, store, name, query.map(_._1)),
       query, k)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** Metadata-filtered sparse search over the stored index —
+    * filter-then-rank: survivors score exactly their unfiltered dot
+    * product (weights are frozen per (doc, term); there are no corpus
+    * stats a filter could shift — simpler than the BM25 analog by
+    * construction). Scale shape mirrors
+    * [[graft.text.TextIndex.bm25SearchStoredFiltered]]: the CANDIDATE
+    * ids (bounded by the query terms' postings) broadcast INTO the
+    * allowed-set scan as a map-only semi, and the ≤-candidate survivors
+    * broadcast back onto the postings — the corpus-sized allowed set
+    * never crosses a shuffle. */
+  def searchStoredFiltered(spark: SparkSession, store: VectorStore,
+                           name: String, query: Seq[(String, Double)], k: Int,
+                           allowed: DataFrame): DataFrame = {
+    require(query.nonEmpty, "sparse query needs at least one term")
+    val pruned = prunedPostings(spark, store, name, query.map(_._1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val estBytes = pruned.count() * 48
+      val hitIds = pruned.select("doc_id").distinct()
+      val allowedIds = allowed
+        .select(col(allowed.columns.head).as("doc_id"))
+      val surviving = allowedIds.join(
+        BroadcastGate.maybeBroadcast(hitIds, estBytes), Seq("doc_id"), "left_semi")
+      val gated = pruned.join(
+        BroadcastGate.maybeBroadcast(surviving, estBytes), Seq("doc_id"), "left_semi")
+      val out = topK(gated, query, k)
+      val rows = out.collect()
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally { pruned.unpersist(); () }
+  }
+
+  /** Batch search over the stored layout: ONE scan pruned to the union
+    * of every query's terms' buckets, then [[topKMany]]. */
+  def searchStoredMany(spark: SparkSession, store: VectorStore, name: String,
+                       queries: Seq[(String, Seq[(String, Double)])],
+                       k: Int): DataFrame = {
+    require(queries.nonEmpty, "batch sparse search needs at least one query")
+    val terms = queries.flatMap(_._2.map(_._1)).distinct
+    val out = topKMany(prunedPostings(spark, store, name, terms), queries, k)
     val rows = out.collect()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
   }

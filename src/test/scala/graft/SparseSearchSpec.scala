@@ -223,6 +223,38 @@ class SparseSearchSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("batch search == per-query singles; filtered = allowed ∩ unfiltered with unchanged scores") {
+    val store = newStore()
+    try {
+      SparseSearch.buildIndex(store, "sp", docs, "text", "doc_id", nBuckets = 8)
+      val q2 = Seq("filter" -> 1.0, "scan" -> 0.7)
+      val many = SparseSearch.searchStoredMany(spark, store, "sp",
+          Seq("qa" -> q, "qb" -> q2), k = 9)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+        .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3, x._4)).toSeq).toMap
+      def single(qq: Seq[(String, Double)]) =
+        SparseSearch.searchStored(spark, store, "sp", qq, k = 9)
+          .collect().zipWithIndex
+          .map { case (r, i) => (r.getLong(0), r.getDouble(1), (i + 1).toLong) }.toSeq
+      assert(many("qa") == single(q), "batch arm qa must equal the single search")
+      assert(many("qb") == single(q2), "batch arm qb must equal the single search")
+      intercept[IllegalArgumentException](SparseSearch.searchStoredMany(
+        spark, store, "sp", Seq("x" -> q, "x" -> q2), 5))
+      // filtered: survivors are allowed ∩ unfiltered-scoring docs, and
+      // each keeps its EXACT unfiltered score (frozen weights)
+      val unfiltered = SparseSearch.searchStored(spark, store, "sp", q, k = 1000)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val allowed = docs.filter($"doc_id" % 3 === 0).select("doc_id")
+      val filtered = SparseSearch.searchStoredFiltered(spark, store, "sp", q,
+          k = 1000, allowed = allowed)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(filtered.keySet ==
+        unfiltered.keySet.filter(_ % 3 == 0), "filter-then-rank hit set")
+      filtered.foreach { case (id, s) =>
+        assert(unfiltered(id) == s, s"filter moved a score for $id") }
+    } finally store.destroy()
+  }
+
   test("OOV-only batch appends nothing and empty query refused") {
     val store = newStore()
     try {
