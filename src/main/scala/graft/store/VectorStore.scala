@@ -32,6 +32,11 @@ final case class VectorStore(root: String) {
   def create(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
              manifest: Option[CollectionManifest] = None,
              writeOptions: Map[String, String] = Map.empty): Unit = {
+    // the alias namespace is unambiguous in BOTH directions: minting a
+    // collection under a live alias would shadow it (reads resolve the
+    // alias first and would silently miss the new data)
+    require(!sfs.isFile(aliasPath(name)),
+      s"collection name '$name' collides with a live alias")
     val w = df.write.mode("overwrite").options(writeOptions)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
     // write AFTER the parquet overwrite (which clears the directory) so

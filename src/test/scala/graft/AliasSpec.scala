@@ -42,6 +42,7 @@ class AliasSpec extends SparkSpec {
       intercept[IllegalArgumentException](store.createAlias("v1", "v1"))
       intercept[IllegalArgumentException](store.rename("v1", "serving"))
       intercept[IllegalArgumentException](store.fork("v1", "serving"))
+      intercept[IllegalArgumentException](store.create("serving", tiny))
       // re-create refused; retarget is explicit
       intercept[IllegalArgumentException](store.createAlias("serving", "v1"))
       // swap to a missing target refused
