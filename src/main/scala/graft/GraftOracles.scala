@@ -128,8 +128,9 @@ object GraftOracles {
     * hybrid-fusion twins: exact fixed-point tf·idf postings, a
     * pure-BIGINT dot product, and the one monotone BIGINT→DOUBLE score
     * conversion the engine ranks on. Terminal relation: `spsc(doc_id,
-    * score)`. */
-  private lazy val sparseBody =
+    * score)`. `wFilter` is the impact-threshold predicate (`TRUE` for
+    * the exact forms). */
+  private def sparseBodyWhere(wFilter: String) =
     s"""tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
        |       FROM tk GROUP BY 1, 2),
@@ -144,7 +145,9 @@ object GraftOracles {
        |  AS t(term, q_mu)),
        |spsc AS (SELECT doc_id,
        |    CAST(CAST(sum(w.w_mu * spq.q_mu) AS BIGINT) AS DOUBLE) / 1e12 AS score
-       |  FROM w JOIN spq USING (term) GROUP BY doc_id)""".stripMargin
+       |  FROM w JOIN spq USING (term) WHERE $wFilter GROUP BY doc_id)""".stripMargin
+
+  private lazy val sparseBody = sparseBodyWhere("TRUE")
 
   /** The sparse-retrieval twin shared by the inline and stored forms. */
   private lazy val sparseDotOracle =
@@ -2834,6 +2837,15 @@ object GraftOracles {
     "sparse_topk" -> sparseDotOracle,
     "sparse_store" -> sparseDotOracle,
     "sparse_deleted" -> sparseDeletedOracle,
+
+    // Twin of sparse_impact — the impact cutoff restated as the same
+    // pure predicate on the encoded weights: the approximation is
+    // deterministic, so it sits UNDER the hash rather than behind a
+    // recall bound.
+    "sparse_impact" ->
+      s"""WITH ${sparseBodyWhere("w.w_mu >= 400000")}
+         |SELECT doc_id, score FROM spsc
+         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // Twin of sparse_filtered — the sparse body's ranking joined to the
     // metadata predicate; frozen weights mean the filter moves no score.

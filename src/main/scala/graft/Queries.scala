@@ -3509,6 +3509,21 @@ object GraftQueries {
     } finally store.destroy()
   }
 
+  /** Impact-threshold sparse search: postings under 0.4 weight units
+    * are skipped at the scan (PushedFilters against the
+    * impact-clustered layout — spec-pinned). The approximation is a
+    * pure predicate, so the FULL oracle restates it exactly. */
+  val sparseImpactQ: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_sparse_imp").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      graft.operators.SparseSearch.buildIndex(store, "docs_sparse",
+        Tables.documents(s, d), "text", "doc_id", nBuckets = 8)
+      graft.operators.SparseSearch.searchStoredImpact(s, store, "docs_sparse",
+        sparseQueryTerms, k = 10, minImpactMu = 400000L)
+    } finally store.destroy()
+  }
+
   /** Batch sparse search — two weighted-term queries against ONE
     * bucket-pruned postings scan, per-query window rank. FULL oracle
     * with the query table as a VALUES literal. */
@@ -4300,6 +4315,7 @@ object GraftQueries {
     "sparse_compact" -> sparseCompactQ,
     "sparse_filtered" -> sparseFilteredQ,
     "sparse_batch" -> sparseBatchQ,
+    "sparse_impact" -> sparseImpactQ,
     "text_bm25_filtered" -> textBm25Filtered,
     "text_percolate" -> textPercolate,
     "text_bm25_deleted" -> textBm25Deleted,

@@ -180,7 +180,13 @@ object SparseSearch {
       .withColumn("bucket", bucketOf(col("term"), nBuckets))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      store.create(name, postings.select("term", "doc_id", "w_mu", "bucket"),
+      // impact-clustered layout: sorting each write partition by weight
+      // gives parquet row groups tight w_mu min/max stats, so an
+      // impact-threshold search ([[searchStoredImpact]]) skips whole
+      // row groups of low-impact postings instead of filtering rows
+      store.create(name,
+        postings.select("term", "doc_id", "w_mu", "bucket")
+          .sortWithinPartitions(col("bucket"), col("w_mu").desc),
         partitionBy = Seq("bucket"))
       // vocabulary model AFTER the data (create clears the directory)
       postings.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
@@ -250,6 +256,30 @@ object SparseSearch {
     // eager: top-k is bounded, and callers destroy throwaway stores in
     // a finally — a lazy frame would read a deleted directory
     val out = topK(prunedPostings(spark, store, name, query.map(_._1)),
+      query, k)
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
+  /** Impact-threshold sparse search — the classic impact-ordered-index
+    * trade: postings below `minImpactMu` micro-units are SKIPPED, so a
+    * candidate's score keeps only its strong term matches. Approximate
+    * by design (scores are lower bounds of the exact dot product;
+    * `minImpactMu = 0` degenerates to exact) but DETERMINISTICALLY so —
+    * the cutoff is a pure predicate, which is what lets the gate oracle
+    * restate the approximation exactly instead of settling for a recall
+    * bound. At scale the predicate lands in PushedFilters against the
+    * impact-clustered layout [[buildIndex]] writes (row groups sorted
+    * by w_mu carry tight min/max stats), so the skipped postings are
+    * never read, not merely filtered — the I/O win impact ordering
+    * exists for. */
+  def searchStoredImpact(spark: SparkSession, store: VectorStore, name: String,
+                         query: Seq[(String, Double)], k: Int,
+                         minImpactMu: Long): DataFrame = {
+    require(minImpactMu >= 0, "minImpactMu must be non-negative")
+    val out = topK(
+      prunedPostings(spark, store, name, query.map(_._1))
+        .filter(col("w_mu") >= minImpactMu),
       query, k)
     val rows = out.collect()
     spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)

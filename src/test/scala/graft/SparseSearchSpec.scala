@@ -255,6 +255,35 @@ class SparseSearchSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("impact threshold: predicate reaches PushedFilters, scores are lower bounds, zero cutoff is exact") {
+    val store = newStore()
+    try {
+      SparseSearch.buildIndex(store, "sp", docs, "text", "doc_id", nBuckets = 8)
+      // plan pin: the w_mu cutoff must reach the parquet scan
+      val lazyPlan = SparseSearch.prunedPostings(spark, store, "sp", Seq("vector"))
+        .filter($"w_mu" >= 400000L)
+      val scans = lazyPlan.queryExecution.executedPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+      assert(scans.nonEmpty)
+      assert(scans.exists(_.metadata.get("PushedFilters")
+          .exists(_.contains("GreaterThanOrEqual(w_mu,400000)"))),
+        s"impact cutoff not pushed: ${scans.map(_.metadata.get("PushedFilters"))}")
+      val exact = SparseSearch.searchStored(spark, store, "sp", q, k = 1000)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val approx = SparseSearch.searchStoredImpact(spark, store, "sp", q,
+          k = 1000, minImpactMu = 400000L)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(approx.nonEmpty && approx.keySet.subsetOf(exact.keySet))
+      approx.foreach { case (id, s) =>
+        assert(s <= exact(id), s"impact score must lower-bound exact for $id") }
+      val zero = SparseSearch.searchStoredImpact(spark, store, "sp", q,
+          k = 1000, minImpactMu = 0L)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(zero == exact, "minImpactMu=0 must be the exact search")
+    } finally store.destroy()
+  }
+
   test("OOV-only batch appends nothing and empty query refused") {
     val store = newStore()
     try {
