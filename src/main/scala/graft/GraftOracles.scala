@@ -2773,6 +2773,25 @@ object GraftOracles {
         |  floor(n_tokens_kept::DOUBLE / tot * 1e6 + 0.5) / 1e6 AS achieved_share
         |FROM ag, tt ORDER BY source""".stripMargin,
 
+    // Twin of mix_upsample: the 1 + (src# mod 5)·0.45 epoch rule, the
+    // md5-fraction bernoulli for the fractional copy, and the emitted
+    // multiset's per-source aggregates — copy counts under the hash.
+    "mix_upsample" ->
+      s"""WITH tk AS (SELECT doc_id, source, len($toks)::BIGINT AS ntok
+         |  FROM documents),
+         |e AS (SELECT doc_id, source, ntok,
+         |    1.0 + (substr(source, 4)::INT % 5) * 0.45 AS ep,
+         |    ('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT::DOUBLE / 16777216.0 AS frac
+         |  FROM tk),
+         |c AS (SELECT source, doc_id, ntok,
+         |    CAST(floor(ep) + CASE WHEN frac < ep - floor(ep) THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+         |  FROM e)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_copies) AS BIGINT) AS n_emitted,
+         |  CAST(sum(ntok * n_copies) AS BIGINT) AS tokens_emitted,
+         |  floor(sum(n_copies)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS achieved_epochs
+         |FROM c GROUP BY source ORDER BY source""".stripMargin,
+
     // Twin of store_compact: the post-rewrite checksum equals the source
     // table's, and the file counts are deterministic (64 scattered
     // appends -> 1 byte-budgeted file at gate scale).

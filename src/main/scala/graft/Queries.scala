@@ -3723,6 +3723,43 @@ object GraftQueries {
       .orderBy("source")
   }
 
+  /** Epoch upsampling — the other half of mixture control: domains
+    * whose target weight EXCEEDS their natural share get repeated
+    * epochs rather than downsampled peers. Fractional epochs resolve
+    * per doc with the engine's md5-fraction bernoulli (a doc at
+    * e = 2.35 emits 2 copies always, a 3rd iff frac(doc) < 0.35), so
+    * the emitted multiset is deterministic and the oracle restates it
+    * exactly. Rows ARE materialized (explode over the copy sequence —
+    * what a training-data writer consumes), then aggregated per source
+    * for the gate. Scale: map-only until the final few-row aggregate;
+    * the explode multiplies rows by a small constant, never shuffles
+    * text. */
+  val mixUpsample: Q = (s, d) => {
+    val docs = Tables.spread(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("_ntok"))
+    // target epochs from the source label (the weight-table stand-in,
+    // same posture as mix_sample's 1+(N mod 3) rule)
+    val ep = lit(1.0) +
+      (substring(col("source"), 4, 10).cast("int") % 5).cast("double") * lit(0.45)
+    val frac = conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 6), 16, 10).cast("double") / 16777216.0
+    val emitted = docs
+      .withColumn("_ep", ep)
+      .withColumn("n_copies",
+        (floor(col("_ep")) +
+          when(frac < col("_ep") - floor(col("_ep")), 1).otherwise(0)).cast("long"))
+      .withColumn("epoch_copy", explode(sequence(lit(1L), col("n_copies"))))
+    emitted.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_emitted"),
+        sum(col("_ntok")).as("tokens_emitted"))
+      .withColumn("achieved_epochs",
+        floor(col("n_emitted").cast("double") / col("n_docs") * 1e6 + 0.5) / 1e6)
+      .select("source", "n_docs", "n_emitted", "tokens_emitted", "achieved_epochs")
+      .orderBy("source")
+  }
+
   /** Hybrid retrieval, principled form: BM25 keyword arm (top-100 by
     * rounded score) + exact-cosine vector arm (top-100), fused with
     * reciprocal-rank fusion. Both arms are distributed top-k over their
@@ -4217,6 +4254,7 @@ object GraftQueries {
     "dedup_incremental" -> dedupIncremental,
     "quality_classifier" -> qualityClassifier,
     "pipeline_mix_sample" -> pipelineMixSample,
+    "mix_upsample" -> mixUpsample,
     "pipeline_training_data" -> pipelineTrainingData,
     "corpus_audit" -> corpusAudit,
     "corpus_datasheet" -> corpusDatasheet,
