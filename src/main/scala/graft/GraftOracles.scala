@@ -2773,6 +2773,23 @@ object GraftOracles {
         |  floor(n_tokens_kept::DOUBLE / tot * 1e6 + 0.5) / 1e6 AS achieved_share
         |FROM ag, tt ORDER BY source""".stripMargin,
 
+    // Twin of pack_curriculum: the same rounded-quality NTILE phases,
+    // md5 within-phase shuffle, and global emit rank — SQL NTILE
+    // semantics are standard, so the two engines agree row for row.
+    "pack_curriculum" ->
+      s"""WITH q AS (SELECT doc_id,
+         |    floor(least(1.0,
+         |      0.4 * least(len($toks)::DOUBLE / 50.0, 1.0)
+         |      + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text))
+         |      + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))) * 1e6 + 0.5) / 1e6 AS quality
+         |  FROM documents),
+         |p AS (SELECT doc_id, quality,
+         |    CAST(ntile(4) OVER (ORDER BY quality, doc_id) AS BIGINT) AS phase
+         |  FROM q)
+         |SELECT doc_id, quality, phase,
+         |  CAST(row_number() OVER (ORDER BY phase, md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS emit_rank
+         |FROM p ORDER BY emit_rank""".stripMargin,
+
     // Twin of mix_upsample: the 1 + (src# mod 5)·0.45 epoch rule, the
     // md5-fraction bernoulli for the fractional copy, and the emitted
     // multiset's per-source aggregates — copy counts under the hash.

@@ -3723,6 +3723,29 @@ object GraftQueries {
       .orderBy("source")
   }
 
+  /** Curriculum ordering — easy-to-hard phases (quality quartiles via
+    * NTILE over the rounded score, doc-id ties) with a deterministic
+    * md5 shuffle WITHIN each phase: the training-order product of a
+    * curriculum-learning pipeline. The materialized global `emit_rank`
+    * exists for the oracle's benefit; at 100 TB the emit order ships to
+    * the writer as the SORT KEY `(phase, md5(id), id)` — a
+    * range-partitioned distributed sort — rather than a materialized
+    * global row number (the global-rank windows here are the documented
+    * single-partition shape, fine at gate scale, replaced by the sort
+    * key at corpus scale). */
+  val packCurriculum: Q = (s, d) => {
+    val q = TextAnalysis.textStats(Tables.documents(s, d))
+      .select(col("doc_id"), col("quality"))
+    val shuffleKey = md5(col("doc_id").cast("string").cast("binary"))
+    q.withColumn("phase",
+        ntile(4).over(Window.orderBy(col("quality"), col("doc_id"))).cast("long"))
+      .withColumn("emit_rank",
+        row_number().over(Window.orderBy(col("phase"), shuffleKey, col("doc_id")))
+          .cast("long"))
+      .select("doc_id", "quality", "phase", "emit_rank")
+      .orderBy("emit_rank")
+  }
+
   /** Epoch upsampling — the other half of mixture control: domains
     * whose target weight EXCEEDS their natural share get repeated
     * epochs rather than downsampled peers. Fractional epochs resolve
@@ -4255,6 +4278,7 @@ object GraftQueries {
     "quality_classifier" -> qualityClassifier,
     "pipeline_mix_sample" -> pipelineMixSample,
     "mix_upsample" -> mixUpsample,
+    "pack_curriculum" -> packCurriculum,
     "pipeline_training_data" -> pipelineTrainingData,
     "corpus_audit" -> corpusAudit,
     "corpus_datasheet" -> corpusDatasheet,
