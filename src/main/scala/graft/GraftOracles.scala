@@ -1491,6 +1491,22 @@ object GraftOracles {
          |FROM cs JOIN qual USING (doc_id)
          |ORDER BY boosted DESC, doc_id LIMIT 10""".stripMargin,
 
+    // Twin of ann_named_vectors — per-arm slice cosines rounded at 6,
+    // the 0.6/0.4 weighted mix floor-rounded once.
+    "ann_named_vectors" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |sc AS (SELECT e.vec_id,
+        |  floor((list_sum(list_transform(range(1,33), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+        |    sqrt(list_sum(list_transform(range(1,33), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) *
+        |         list_sum(list_transform(range(1,33), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) * 1e6 + 0.5) / 1e6 AS c_title,
+        |  floor((list_sum(list_transform(range(33,65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+        |    sqrt(list_sum(list_transform(range(33,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) *
+        |         list_sum(list_transform(range(33,65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) * 1e6 + 0.5) / 1e6 AS c_body
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+        |SELECT vec_id,
+        |  floor((0.6 * c_title + 0.4 * c_body) * 1e6 + 0.5) / 1e6 AS score
+        |FROM sc ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
     // Twin of ann_discover — per-(candidate, example) rounded cosines,
     // the pair gate as a HAVING on count of strictly-passed pairs, the
     // survivor ranking by the same rounded target similarity. Example
@@ -3752,6 +3768,34 @@ object GraftOracles {
     // BM25 arm (top-100 by rounded score) + exact-cosine arm (top-100)
     // fused with reciprocal-rank fusion — the principled hybrid whose
     // cruder cousin is rag_hybrid_search's term-hit score
+    // Twin of rag_hybrid_relative — min-max normalization per arm over
+    // its own top-100 (all-equal arm → 1.0), 0.5/0.5 weighted sum,
+    // every normalized value floor-rounded at 6 off the same rounded
+    // arm scores the engine divides.
+    "rag_hybrid_relative" ->
+      s"""$bm25Cte,
+         |kwtop AS (SELECT doc_id, bm25 FROM bm WHERE bm25 > 0
+         |          ORDER BY bm25 DESC, doc_id LIMIT 100),
+         |kmm AS (SELECT min(bm25) AS mn, max(bm25) AS mx FROM kwtop),
+         |kwn AS (SELECT doc_id, floor((CASE WHEN mx > mn
+         |      THEN (bm25 - mn) / (mx - mn) ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS norm_kw
+         |  FROM kwtop, kmm),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |vsc AS (SELECT e.vec_id AS doc_id,
+         |    floor((list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * q.qv[i]::DOUBLE)) /
+         |      sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE)) *
+         |           list_sum(list_transform(range(1,65), i -> q.qv[i]::DOUBLE * q.qv[i]::DOUBLE)))) * 1e6 + 0.5) / 1e6 AS c
+         |  FROM embeddings e CROSS JOIN q),
+         |vtop AS (SELECT doc_id, c FROM vsc ORDER BY c DESC, doc_id LIMIT 100),
+         |vmm AS (SELECT min(c) AS vn, max(c) AS vx FROM vtop),
+         |vnr AS (SELECT doc_id, floor((CASE WHEN vx > vn
+         |      THEN (c - vn) / (vx - vn) ELSE 1.0 END) * 1e6 + 0.5) / 1e6 AS norm_vec
+         |  FROM vtop, vmm)
+         |SELECT doc_id, norm_kw, norm_vec,
+         |  floor((0.5 * coalesce(norm_kw, 0) + 0.5 * coalesce(norm_vec, 0)) * 1e6 + 0.5) / 1e6 AS fused
+         |FROM kwn FULL OUTER JOIN vnr USING (doc_id)
+         |ORDER BY fused DESC, doc_id LIMIT 10""".stripMargin,
+
     "rag_bm25_fusion" ->
       s"""$bm25Cte,
          |kwtop AS (SELECT doc_id,

@@ -631,6 +631,26 @@ object GraftQueries {
       .select("doc_id", "cosine", "quality", "boosted")
   }
 
+  /** Named multi-vector search: each point carries a "title" space
+    * (dims 1-32) and a "body" space (dims 33-64) — derived fixture
+    * halves of the embedding column — and the query weights them
+    * 0.6/0.4. FULL oracle: two slice-cosines, rounded per arm, the
+    * same weighted mix. */
+  val annNamedVectors: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    val points = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        slice(col("embedding"), 1, 32).as("title_vec"),
+        slice(col("embedding"), 33, 32).as("body_vec"))
+    Similarity.namedVectorsTopK(points, "vec_id",
+        arms = Seq(("title_vec", qv.take(32), 0.6),
+          ("body_vec", qv.drop(32), 0.4)),
+        k = 10)
+      .orderBy(col("score").desc, col("vec_id"))
+  }
+
   /** Discovery search: target vec 0, context pairs (1,4) and (2,5) —
     * candidates must sit strictly closer (rounded cosine) to each
     * pair's positive than its negative, survivors rank by target
@@ -3814,6 +3834,49 @@ object GraftQueries {
       .select("doc_id", "rank_kw", "rank_vec", "rrf")
   }
 
+  /** Relative-score fusion — the OTHER canonical hybrid-fusion
+    * strategy next to RRF (Weaviate's relativeScoreFusion): each arm's
+    * top-100 scores min-max normalize to [0,1] (an all-equal arm
+    * normalizes to 1.0 — they are all that arm's best), then a 0.5/0.5
+    * weighted sum. Preserves score MAGNITUDE information that rank-only
+    * RRF discards. Every normalized value rounds at 6 with the floor
+    * form; arm scores are rounded before the division so both engines
+    * divide identical doubles. FULL oracle. */
+  val ragHybridRelative: Q = (s, d) => {
+    val rounded6 = (c: org.apache.spark.sql.Column) => floor(c * 1e6 + 0.5) / 1e6
+    val kwTop = TextAnalysis.bm25TopK(Tables.documents(s, d), "text", "doc_id",
+        terms = Seq("hash", "merge", "window", "stream"), k = 100)
+      .select(col("doc_id"), col("bm25"))
+    val kmm = kwTop.agg(min(col("bm25")).as("_mn"), max(col("bm25")).as("_mx"))
+    val kwN = kwTop.crossJoin(broadcast(kmm))
+      .withColumn("norm_kw", rounded6(
+        when(col("_mx") > col("_mn"),
+          (col("bm25") - col("_mn")) / (col("_mx") - col("_mn")))
+          .otherwise(lit(1.0))))
+      .select("doc_id", "norm_kw")
+    val e = Tables.embeddings(s, d)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val vTop = e.crossJoin(broadcast(q))
+      .withColumn("cos", rounded6(cosine(col("embedding"), col("qv"))))
+      .select(col("vec_id").as("doc_id"), col("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(100)
+    val vmm = vTop.agg(min(col("cos")).as("_vn"), max(col("cos")).as("_vx"))
+    val vN = vTop.crossJoin(broadcast(vmm))
+      .withColumn("norm_vec", rounded6(
+        when(col("_vx") > col("_vn"),
+          (col("cos") - col("_vn")) / (col("_vx") - col("_vn")))
+          .otherwise(lit(1.0))))
+      .select("doc_id", "norm_vec")
+    kwN.join(vN, Seq("doc_id"), "full_outer")
+      .withColumn("fused", rounded6(
+        lit(0.5) * coalesce(col("norm_kw"), lit(0.0)) +
+          lit(0.5) * coalesce(col("norm_vec"), lit(0.0))))
+      .orderBy(col("fused").desc, col("doc_id"))
+      .limit(10)
+      .select("doc_id", "norm_kw", "norm_vec", "fused")
+  }
+
   /** Proximity search on the positional index: docs with 'vector' and
     * 'spark' within 3 tokens, ranked by closest co-occurrence. Oracle
     * recomputes positions from the raw text. */
@@ -4221,6 +4284,7 @@ object GraftQueries {
     "ann_recommend" -> annRecommend,
     "ann_matryoshka" -> annMatryoshka,
     "ann_discover" -> annDiscover,
+    "ann_named_vectors" -> annNamedVectors,
     "ann_recommend_best" -> annRecommendBest,
     "ann_bq_store" -> annBqStore,
     "ann_bq_batch" -> annBqBatch,
@@ -4401,6 +4465,7 @@ object GraftQueries {
     "text_bigram_lm" -> textBigramLm,
     "q43_not_in" -> q43NotIn,
     "rag_bm25_fusion" -> ragBm25Fusion,
+    "rag_hybrid_relative" -> ragHybridRelative,
     "rag_mmr" -> ragMmr,
     "q44_percentile_sketch" -> q44PercentileSketch,
     "q45_sql_vector_fn" -> q45SqlVectorFn,

@@ -1536,6 +1536,35 @@ object Similarity {
       .select(col(idCol), col("score"))
   }
 
+  /** Named-vectors search (the Qdrant/Weaviate multi-vector point
+    * shape): a point carries SEVERAL embedding spaces ("title", "body",
+    * an image tower …) and a query addresses a weighted subset of them
+    * — `score = Σ_arm w_arm · cosine(vec_arm, q_arm)`, each arm's
+    * cosine rounded at 6 BEFORE the weighting (floor form), the mix
+    * floor-rounded once more. ONE scan: every arm's distance folds into
+    * the same projection (|arms| codegen'd cosines per row, no joins,
+    * no shuffle before the top-k heap merge), so adding a named vector
+    * costs arithmetic, not passes.
+    *
+    * `arms` = (vector column, query vector, weight). Weights need not
+    * sum to 1 — callers own the calibration. */
+  def namedVectorsTopK(collection: DataFrame, idCol: String,
+                       arms: Seq[(String, Array[Float], Double)],
+                       k: Int): DataFrame = {
+    require(arms.nonEmpty, "named-vector search needs at least one arm")
+    require(arms.map(_._1).distinct.length == arms.length,
+      "duplicate vector columns in the arm list")
+    val rounded = (c: Column) => floor(c * 1e6 + 0.5) / 1e6
+    val score = arms.map { case (vc, qv, w) =>
+      lit(w) * rounded(cosine(col(vc), vecLit(qv)))
+    }.reduce(_ + _)
+    collection
+      .withColumn("score", rounded(score))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("score"))
+  }
+
   /** Discovery search (the vector-store `discover` verb): rank by
     * similarity to a TARGET point, but only among candidates that every
     * context pair places on its positive side — for each `(pos, neg)`
