@@ -448,9 +448,10 @@ object GraphAnn {
     val edges = knnEdges(collection, vecCol, idCol, m)
       .select("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var withOd: DataFrame = null
     try {
       val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-      val withOd = edges.join(outdeg, Seq("src"))
+      withOd = edges.join(outdeg, Seq("src"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val base = (100L - dampingPct) * 10000L // (1−d)·1e6, exact for Scale=1e6
       var ranks = nodes.withColumn("rank_mu", lit(1000000L))
@@ -466,10 +467,12 @@ object GraphAnn {
               .as("rank_mu"))
           .localCheckpoint()
       }
-      withOd.unpersist()
       ranks.select(col("id").as(idCol), col("rank_mu"))
         .orderBy(col("rank_mu").desc, col(idCol))
-    } finally { nodes.unpersist(); edges.unpersist() }
+    } finally {
+      nodes.unpersist(); edges.unpersist()
+      if (withOd != null) { withOd.unpersist(); () }
+    }
   }
 
   /** Search a graph read back from a cell-partitioned store: the

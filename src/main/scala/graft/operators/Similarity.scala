@@ -1500,6 +1500,9 @@ object Similarity {
                           positiveIds: Seq[Long], negativeIds: Seq[Long],
                           k: Int): DataFrame = {
     require(positiveIds.nonEmpty, "recommend needs at least one positive example")
+    require(positiveIds.distinct.length == positiveIds.length &&
+      negativeIds.distinct.length == negativeIds.length,
+      "duplicate ids within an example set would silently weight the mean")
     require(positiveIds.intersect(negativeIds).isEmpty,
       "positive and negative example sets must be disjoint")
     val fp = graft.operators.Clustering.Fp
@@ -1631,6 +1634,9 @@ object Similarity {
                          positiveIds: Seq[Long], negativeIds: Seq[Long],
                          k: Int): DataFrame = {
     require(positiveIds.nonEmpty, "recommend needs at least one positive example")
+    require(positiveIds.distinct.length == positiveIds.length &&
+      negativeIds.distinct.length == negativeIds.length,
+      "duplicate ids within an example set would silently weight the mean")
     require(positiveIds.intersect(negativeIds).isEmpty,
       "positive and negative example sets must be disjoint")
     val exampleIds = positiveIds ++ negativeIds

@@ -41,6 +41,24 @@ object SparseSearch {
     * q_mu ≤ 1e8; a 50-term overlap stays < 2^63). */
   val Scale = 1000000L
 
+  /** Per-(doc, distinct term) frequencies — THE tokenize pass. One
+    * definition so the build encoder and the frozen-stats encoder can
+    * never drift on tokenization or null-text folding. */
+  private def termFreqs(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    graft.Tables.spread(docs)
+      .select(col(idCol).as("doc_id"),
+        explode(graft.text.TextAnalysis.tokens(coalesce(col(textCol), lit("")))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Bounded-result eager materialization: stored-search verbs return
+    * collected frames because callers destroy throwaway stores in a
+    * finally — a lazy frame would read a deleted directory. */
+  private def eager(spark: SparkSession, out: DataFrame): DataFrame = {
+    val rows = out.collect()
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+  }
+
   /** Deterministic sparse "encoder": tf·idf over whitespace tokens,
     * `w = tf · ln(N / df)` quantized to micro-units with the repo's
     * floor-form round (`floor(x·1e6 + 0.5)`). Emits one posting row per
@@ -66,11 +84,7 @@ object SparseSearch {
     * the stored stats through here via [[encodeAgainst]] instead. */
   private def encodeWithN(docs: DataFrame, textCol: String, idCol: String,
                           nDocs: Long): DataFrame = {
-    val tf = graft.Tables.spread(docs)
-      .select(col(idCol).as("doc_id"),
-        explode(graft.text.TextAnalysis.tokens(coalesce(col(textCol), lit("")))).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(docs, textCol, idCol)
     val df_ = tf.groupBy("term").agg(count(lit(1)).cast("long").as("df"))
     tf.join(df_, Seq("term"))
       .select(col("doc_id"), col("term"),
@@ -86,11 +100,7 @@ object SparseSearch {
     * broadcast by the optimizer's own size estimate. */
   def encodeAgainst(docs: DataFrame, textCol: String, idCol: String,
                     model: DataFrame, nDocs: Long): DataFrame = {
-    val tf = graft.Tables.spread(docs)
-      .select(col(idCol).as("doc_id"),
-        explode(graft.text.TextAnalysis.tokens(coalesce(col(textCol), lit("")))).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).as("tf"))
+    val tf = termFreqs(docs, textCol, idCol)
     tf.join(model.select(col("term"), col("df")), Seq("term"))
       .select(col("doc_id"), col("term"),
         floor(col("tf") * log(lit(nDocs.toDouble) / col("df")) * 1e6 + 0.5)
@@ -257,8 +267,7 @@ object SparseSearch {
     // a finally — a lazy frame would read a deleted directory
     val out = topK(prunedPostings(spark, store, name, query.map(_._1)),
       query, k)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    eager(spark, out)
   }
 
   /** Impact-threshold sparse search — the classic impact-ordered-index
@@ -281,8 +290,7 @@ object SparseSearch {
       prunedPostings(spark, store, name, query.map(_._1))
         .filter(col("w_mu") >= minImpactMu),
       query, k)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    eager(spark, out)
   }
 
   /** Metadata-filtered sparse search over the stored index —
@@ -324,8 +332,7 @@ object SparseSearch {
     require(queries.nonEmpty, "batch sparse search needs at least one query")
     val terms = queries.flatMap(_._2.map(_._1)).distinct
     val out = topKMany(prunedPostings(spark, store, name, terms), queries, k)
-    val rows = out.collect()
-    spark.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    eager(spark, out)
   }
 
   /** The bucket-pruned postings fetch [[searchStored]] scores over —
@@ -336,6 +343,11 @@ object SparseSearch {
                                     name: String, terms: Seq[String]): DataFrame = {
     import spark.implicits._
     val (nBuckets, _) = readProps(store, name)
+    // an index whose every bucket compacted away to empty has no data
+    // directories left — a valid (empty) index, not a read error
+    if (!StoreFs.forPath(store.root).list(s"${store.root}/$name")
+        .exists(_.getPath.getName.startsWith("bucket=")))
+      return Seq.empty[(String, Long, Long)].toDF("term", "doc_id", "w_mu")
     val buckets = terms.toDF("term")
       .select(bucketOf(col("term"), nBuckets))
       .collect().map(_.getInt(0)).toSeq.distinct
@@ -415,10 +427,22 @@ object SparseSearch {
       .groupBy(identity).view.mapValues(_.size).toMap
     val fragDirty = perBucket.filter(_._2 > maxFilesPerBucket).keys.toSeq
     val hasTombstones = sfs.exists(deletedPath(store, name))
-    val tombDirty =
+    // SNAPSHOT the tombstone file set FIRST: this exact set drives both
+    // the dirty-bucket derivation and the journaled truncation, so a
+    // delete landing anywhere after this listing is neither folded nor
+    // relied upon — its log file survives the truncation and its
+    // postings (in buckets this pass doesn't rewrite) stay anti-joined
+    // until the next compact. Closes the scan→journal race without a
+    // writer lock.
+    val foldFiles =
       if (!hasTombstones) Nil
+      else sfs.list(deletedPath(store, name))
+        .map(_.getPath.getName).filter(_.startsWith("part-"))
+    val tombDirty =
+      if (foldFiles.isEmpty) Nil
       else {
-        val ts = spark.read.parquet(deletedPath(store, name))
+        val ts = spark.read.parquet(
+            foldFiles.map(f => s"${deletedPath(store, name)}/$f"): _*)
           .select("doc_id").distinct()
         spark.read.parquet(collDir).select("bucket", "doc_id")
           .join(BroadcastGate.maybeBroadcast(ts,
@@ -428,7 +452,7 @@ object SparseSearch {
           .collect().map(_.getInt(0)).toSeq
       }
     val dirty = (fragDirty ++ tombDirty).distinct.sorted
-    if (dirty.nonEmpty || hasTombstones) {
+    if (dirty.nonEmpty || foldFiles.nonEmpty) {
       val stage = s"$collDir/$CompactStageDir"
       sfs.deleteTree(stage) // a pre-journal crash leaves only dead stage
       if (dirty.nonEmpty)
@@ -438,16 +462,25 @@ object SparseSearch {
               .select("term", "doc_id", "w_mu", "bucket"))
           .repartition(dirty.length, col("bucket"))
           .write.partitionBy("bucket").parquet(stage)
+      // a dirty bucket whose LIVE content is empty (every posting
+      // tombstoned) writes no staged directory — record those
+      // explicitly so the promote can distinguish "rewrote to empty:
+      // delete the live dir" from "already promoted in a replay:
+      // leave it alone" (conflating them either resurrects the dead
+      // bucket or deletes a live one)
+      val staged =
+        if (!sfs.exists(stage)) Set.empty[Int]
+        else sfs.list(stage).map(_.getPath.getName)
+          .filter(_.startsWith("bucket="))
+          .map(_.stripPrefix("bucket=").toInt).toSet
+      val emptied = dirty.filterNot(staged)
       // the commit point: buckets + the EXACT tombstone files folded —
       // file-level truncation, because a whole-log delete replayed
       // after a crash would silently resurrect any doc tombstoned
       // BETWEEN the journal write and the replay
-      val foldFiles =
-        if (!hasTombstones) Nil
-        else sfs.list(deletedPath(store, name))
-          .map(_.getPath.getName).filter(_.startsWith("part-"))
       val props = new java.util.Properties()
       props.setProperty("buckets", dirty.mkString(","))
+      props.setProperty("empty_buckets", emptied.mkString(","))
       props.setProperty("fold_files", foldFiles.mkString(","))
       sfs.writePropsAtomic(journalPath(store, name), props,
         "graft sparse-index compaction journal")
@@ -465,8 +498,13 @@ object SparseSearch {
     sfs.readProps(journalPath(store, name)).fold(Seq.empty[Int]) { props =>
       val buckets = props.getProperty("buckets", "").split(",")
         .filter(_.nonEmpty).map(_.toInt).toSeq
+      val emptied = props.getProperty("empty_buckets", "").split(",")
+        .filter(_.nonEmpty).map(_.toInt).toSet
       val collDir = s"${store.root}/$name"
-      buckets.foreach { b =>
+      // journaled-empty buckets: the live rewrite dropped every row, so
+      // the promote IS a delete of the live dir (idempotent)
+      emptied.foreach(b => sfs.deleteTree(s"$collDir/bucket=$b"))
+      buckets.filterNot(emptied).foreach { b =>
         val live = s"$collDir/bucket=$b"
         val old = s"$collDir/_old_bucket=$b"
         val staged = s"$collDir/$CompactStageDir/bucket=$b"

@@ -74,24 +74,31 @@ final case class VectorStore(root: String) {
     MutableCollection(this, name)
   }
 
-  /** Handle to an existing mutable collection (fails fast otherwise). */
+  /** Handle to an existing mutable collection (fails fast otherwise).
+    * Resolves aliases: mutations through a serving alias land on its
+    * target, the write-alias contract. */
   def mutable(name: String): MutableCollection = {
     recoverStranded()
-    val mc = MutableCollection(this, name)
+    val mc = MutableCollection(this, resolve(name))
     mc.idCol: Unit // validates the marker exists
     mc
   }
 
   def append(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
              manifest: Option[CollectionManifest] = None): Unit = {
-    require(MutableCollection.Marker.read(path(name)).isEmpty,
+    // writes resolve through aliases too (the Elasticsearch write-alias
+    // contract — blue/green INGESTION points "live" at the current
+    // build); appending to an alias name directly would otherwise mint
+    // a shadow directory the reads never see
+    val name0 = resolve(name)
+    require(MutableCollection.Marker.read(path(name0)).isEmpty,
       s"collection '$name' is mutable — raw append would bypass the " +
         "sequence column; go through VectorStore.mutable(name).upsert")
     // the Chroma-bound-embedder contract (PDFToChromaIngester.py:51-54):
     // an embedder-bound collection rejects appends that do not declare
     // the SAME embedding space — the silent-mixed-space failure mode is
     // exactly what the manifest exists to prevent
-    (this.manifest(name), manifest) match {
+    (this.manifest(name0), manifest) match {
       case (Some(have), Some(declared)) =>
         require(have.fingerprint == declared.fingerprint,
           s"append to '$name' with a different embedder manifest: collection " +
@@ -103,9 +110,9 @@ final case class VectorStore(root: String) {
       case _ => // unbound collection, or first binding below
     }
     val w = df.write.mode("append")
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name))
-    if (this.manifest(name).isEmpty)
-      manifest.foreach(CollectionManifest.write(path(name), _))
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(path(name0))
+    if (this.manifest(name0).isEmpty)
+      manifest.foreach(CollectionManifest.write(path(name0), _))
   }
 
   /** Dynamic partition overwrite: replace ONLY the partitions present
@@ -117,10 +124,12 @@ final case class VectorStore(root: String) {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionBy: _*).parquet(path(name))
 
-  /** The embedder manifest bound to a collection, if any. */
+  /** The embedder manifest bound to a collection, if any. Resolves
+    * aliases — a manifest probe through a serving alias must report the
+    * target's binding, not a silent None. */
   def manifest(name: String): Option[CollectionManifest] = {
     recoverStranded()
-    CollectionManifest.read(path(name))
+    CollectionManifest.read(path(resolve(name)))
   }
 
   def read(spark: SparkSession, name: String): DataFrame = {
@@ -439,12 +448,14 @@ final case class VectorStore(root: String) {
 
   def createAlias(alias: String, target: String): Unit = {
     recoverStranded()
+    // existence first so the actionable message fires (requireMintableName
+    // also rejects live aliases, but with the name-collision wording)
+    require(!sfs.isFile(aliasPath(alias)),
+      s"alias '$alias' already exists — retarget with swapAlias")
     requireMintableName(alias)
     require(!sfs.exists(path(alias)),
       s"alias '$alias' collides with an existing collection")
     require(sfs.isDir(path(target)), s"alias target '$target' does not exist")
-    require(!sfs.isFile(aliasPath(alias)),
-      s"alias '$alias' already exists — retarget with swapAlias")
     writeAlias(alias, target)
   }
 

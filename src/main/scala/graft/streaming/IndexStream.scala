@@ -200,16 +200,19 @@ object IndexStream {
     val postings = graft.operators.SparseSearch
       .encodeForIndex(store, name, batch, textCol, idCol)
       .localCheckpoint(true) // consumed twice (heal probe + append)
-    // stored (term, doc_id) rows of THIS batch's doc ids — bounded by
-    // the batch's own posting volume, so it broadcasts into the
-    // per-row anti filter; the index side stays a map-only semi-join
+    // stored (term, doc_id) rows of THIS batch's doc ids — on a heal
+    // redelivery that relation is as large as the batch's OWN posting
+    // volume, so the gate estimate must be posting-scaled, not
+    // row-scaled (a doc averages hundreds of distinct terms; an id-row
+    // estimate would force-broadcast gigabytes). The localCheckpoint
+    // makes the count a metadata read, not a recompute.
     val batchIds = batch.select(col(idCol).as("doc_id")).distinct()
-    val estBytes = cnts.getLong(0) * 64
+    val postBytes = postings.count() * 64
     val existing = store.read(sp, name).select("term", "doc_id")
-      .join(BroadcastGate.maybeBroadcast(batchIds, estBytes),
+      .join(BroadcastGate.maybeBroadcast(batchIds, cnts.getLong(0) * 64),
         Seq("doc_id"), "left_semi")
     val fresh = postings.join(
-      BroadcastGate.maybeBroadcast(existing, estBytes * 32),
+      BroadcastGate.maybeBroadcast(existing, postBytes),
       Seq("term", "doc_id"), "left_anti")
     store.append(name, fresh, partitionBy = Seq("bucket"))
     StreamCommits.commit(store, name, batchId)

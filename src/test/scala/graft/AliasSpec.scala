@@ -66,6 +66,26 @@ class AliasSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("write-alias contract: append, mutable mutations, and manifest probes resolve through the alias") {
+    val store = newStore()
+    try {
+      store.create("v1", tiny)
+      store.createAlias("serving", "v1")
+      store.append("serving", Seq((3L, "c")).toDF("id", "v"))
+      assert(store.count(spark, "v1") == 3,
+        "append through the alias must land on the target, not mint a shadow dir")
+      assert(store.list() == Seq("v1"), "no shadow collection")
+      // mutable target: upsert through the alias
+      val mc = store.createMutable("mv", tiny, "id")
+      mc.idCol: Unit
+      store.createAlias("live", "mv")
+      store.mutable("live").delete(Seq(1L).toDF("id"))
+      assert(store.count(spark, "mv") == 1)
+      // manifest probe through an alias reports the target's binding
+      assert(store.manifest("serving").isEmpty == store.manifest("v1").isEmpty)
+    } finally store.destroy()
+  }
+
   test("alias resolves through readCurrent on a mutable target") {
     val store = newStore()
     try {

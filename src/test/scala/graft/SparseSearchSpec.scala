@@ -284,6 +284,30 @@ class SparseSearchSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("compacting a fully-dead bucket deletes it instead of resurrecting it (review regression)") {
+    val store = newStore()
+    try {
+      // nBuckets=1: every posting lands in bucket 0; deleting EVERY doc
+      // makes that bucket's live content empty — the staged rewrite
+      // emits no directory for it, and the promote must treat the
+      // journaled-empty bucket as a delete, never as already-promoted
+      val tiny = Seq((1L, "alpha beta"), (2L, "beta gamma")).toDF("doc_id", "text")
+      SparseSearch.buildIndex(store, "sp", tiny, "text", "doc_id", nBuckets = 1)
+      SparseSearch.deleteFrom(store, "sp", Seq(1L, 2L).toDF("doc_id"))
+      SparseSearch.compactIndex(spark, store, "sp", maxFilesPerBucket = 1)
+      assert(!graft.store.StoreFs.forPath(store.root)
+        .exists(s"${store.root}/sp/_deleted"), "log truncated")
+      val out = SparseSearch.searchStored(spark, store, "sp",
+        Seq("beta" -> 1.0), k = 5)
+      assert(out.collect().isEmpty,
+        "a fully-tombstoned-then-compacted index must serve NOTHING — " +
+          "surviving postings here means the dead bucket was resurrected")
+      // idempotent second pass on the emptied index
+      assert(SparseSearch.compactIndex(spark, store, "sp",
+        maxFilesPerBucket = 1).isEmpty)
+    } finally store.destroy()
+  }
+
   test("OOV-only batch appends nothing and empty query refused") {
     val store = newStore()
     try {
