@@ -124,6 +124,41 @@ object GraftOracles {
 
   private lazy val sparseFrozenOracle = sparseFrozenOracleWhere("")
 
+  /** Twin of graph_components: the M=3 adjacency (walk-oracle CTE
+    * family), symmetrized, then `iters` unrolled min-label rounds —
+    * bounded-hop minima are exact at ANY round count, so no
+    * convergence clause is needed. */
+  private def componentsOracle(iters: Int): String = {
+    val steps = (1 to iters).map { k =>
+      s"""l$k AS (SELECT c.id,
+         |    least(p.label, COALESCE(s.nl, p.label)) AS label
+         |  FROM corpus c
+         |  JOIN l${k - 1} p ON p.id = c.id
+         |  LEFT JOIN (
+         |    SELECT e.dst AS id, min(r.label) AS nl
+         |    FROM edges e JOIN l${k - 1} r ON r.id = e.src GROUP BY 1) s
+         |  ON s.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH corpus AS (
+       |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v
+       |  FROM embeddings WHERE vec_id < 300),
+       |pairs AS MATERIALIZED (
+       |  SELECT a.id AS src, b.id AS dst,
+       |    list_sum(list_transform(range(1,65),
+       |      i -> (a.v[i]::DOUBLE - b.v[i]::DOUBLE) * (a.v[i]::DOUBLE - b.v[i]::DOUBLE))) AS d
+       |  FROM corpus a JOIN corpus b ON a.id <> b.id),
+       |ranked AS (
+       |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+       |  FROM pairs),
+       |dedges AS (SELECT src, dst FROM ranked WHERE r <= 3),
+       |edges AS MATERIALIZED (
+       |  SELECT src, dst FROM dedges
+       |  UNION SELECT dst AS src, src AS dst FROM dedges),
+       |l0 AS (SELECT id, id AS label FROM corpus),
+       |$steps
+       |SELECT id AS vec_id, label FROM l$iters ORDER BY id""".stripMargin
+  }
+
   /** The sparse-retrieval CTE body shared by the inline, stored, and
     * hybrid-fusion twins: exact fixed-point tf·idf postings, a
     * pure-BIGINT dot product, and the one monotone BIGINT→DOUBLE score
@@ -1447,6 +1482,7 @@ object GraftOracles {
          |ORDER BY vec_id""".stripMargin,
 
     "graph_pagerank" -> pagerankOracle(iters = 5),
+    "graph_components" -> componentsOracle(iters = 8),
 
     // Twin of ann_matryoshka — the two-stage cascade restated: the
     // coarse score is the cosine over dims 1..16 only (floor-round 6),

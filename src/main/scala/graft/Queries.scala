@@ -1316,6 +1316,16 @@ object GraftQueries {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** Connected components of the M=3 NN graph on a 300-node slice via
+    * 8 min-label rounds over the undirected closure — labels are exact
+    * bounded-hop minima whether or not propagation has converged, so
+    * the FULL oracle (8 unrolled CTE rounds over the same symmetrized
+    * adjacency) holds unconditionally. */
+  val graphComponents: Q = (s, d) =>
+    GraphAnn.connectedComponents(
+      Tables.embeddings(s, d).filter(col("vec_id") < 300),
+      "embedding", "vec_id", m = 3, iters = 8)
+
   /** PageRank centrality over the M=6 NN graph on a 300-node slice —
     * exact integer fixed point (micro-unit ranks, integer division,
     * order-free long sums), 5 iterations, damping 85/100. FULL oracle:
@@ -4312,6 +4322,7 @@ object GraftQueries {
     "ann_graph_incremental" -> annGraphIncremental,
     "ann_graph_walk" -> annGraphWalk,
     "graph_pagerank" -> graphPagerank,
+    "graph_components" -> graphComponents,
     "ann_ivf_incremental" -> annIvfIncremental,
     "ann_ivf_retrain" -> annIvfRetrain,
     "ann_mutable_ivf" -> annMutableIvf,

@@ -422,6 +422,51 @@ object GraphAnn {
       .select("src", "dst", "_r")
   }
 
+  /** Connected components of the M-NN graph via iterated min-label
+    * propagation over the UNDIRECTED closure (a kNN edge links its
+    * endpoints regardless of direction) — the neighborhood-structure
+    * audit next to [[pageRank]]: distinct components reveal isolated
+    * embedding islands a router or a near-dup pass should know about.
+    *
+    * Exactly `iters` rounds of `label' = min(label, min over neighbors
+    * label)` — after round t every node holds the minimum id within t
+    * hops, so with `iters >= diameter` the labels ARE the connected
+    * components, and for smaller `iters` the result is still a
+    * deterministic, oracle-restatable bounded-hop minimum (no
+    * convergence detection to diverge on). Pure min/long arithmetic:
+    * order-free, bit-identical at any parallelism.
+    *
+    * Scale shape: same as [[pageRank]] — slender `(id, label)` joins
+    * the edge list per round, map-side partial MIN before one dst-keyed
+    * shuffle, lineage truncated per round. (The driver-side union-find
+    * in [[Dedup]] serves the bounded-cluster near-dup shape; this is
+    * the distributed form for graphs too wide to collect.) */
+  def connectedComponents(collection: DataFrame, vecCol: String,
+                          idCol: String, m: Int, iters: Int): DataFrame = {
+    require(iters >= 1, "at least one propagation round")
+    val nodes = collection.select(col(idCol).cast("long").as("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val directed = knnEdges(collection, vecCol, idCol, m).select("src", "dst")
+    val edges = directed
+      .unionAll(directed.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var labels = nodes.withColumn("label", col("id"))
+      (1 to iters).foreach { _ =>
+        val fromNbrs = edges
+          .join(labels.withColumnRenamed("id", "src"), Seq("src"))
+          .groupBy(col("dst").as("id"))
+          .agg(min(col("label")).as("_nl"))
+        labels = labels.join(fromNbrs, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("_nl"), col("label"))).as("label"))
+          .localCheckpoint()
+      }
+      labels.select(col("id").as(idCol), col("label")).orderBy(col(idCol))
+    } finally { nodes.unpersist(); edges.unpersist() }
+  }
+
   /** PageRank centrality over the M-NN graph — the corpus-analytics
     * verb a vector store grows once it holds a graph (hub detection,
     * crawl prioritization, influence-weighted sampling of training

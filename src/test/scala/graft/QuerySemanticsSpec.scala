@@ -271,6 +271,27 @@ class QuerySemanticsSpec extends SparkSpec {
       assert(rows.map(_._3).sorted.toSeq == Seq(1L, 2L), s"ranks in $g") }
   }
 
+  test("connectedComponents: undirected closure bridges one-way kNN edges; two islands get two labels") {
+    import spark.implicits._
+    // two separated clusters on the x-axis; m=1 links chain each cluster.
+    // Within {0,1,2}: 0→1, 1→0 (or 2), 2→1 — the undirected closure makes
+    // the min id 0 reach everyone in 8 rounds. {100,101} likewise.
+    val pts = Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f)), (2L, Array(2f, 0f)),
+        (100L, Array(500f, 0f)), (101L, Array(501f, 0f)))
+      .toDF("vec_id", "embedding")
+    val labels = graft.operators.GraphAnn.connectedComponents(
+        pts, "embedding", "vec_id", m = 1, iters = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 100L -> 100L, 101L -> 100L),
+      s"got $labels")
+    // bounded-hop semantics: with iters=1 node 2 has only seen {1, 2}
+    // (its neighbor's ORIGINAL label), not yet 0
+    val one = graft.operators.GraphAnn.connectedComponents(
+        pts, "embedding", "vec_id", m = 1, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(2L) == 1L && one(1L) == 0L, s"1-hop minima: $one")
+  }
+
   test("pageRank: hand-computed integer fixed point on a 4-node line graph; floor invariant") {
     import spark.implicits._
     // 1-NN on x = 0,1,3,7: 0→1, 1→0, 3→1, 7→3 (all outdeg 1).
