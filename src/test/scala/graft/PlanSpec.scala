@@ -13,6 +13,34 @@ class PlanSpec extends SparkSpec {
   private def plan(name: String): String =
     GraftQueries.all(name)(spark, sf).queryExecution.explainString(FormattedMode)
 
+  test("recommend-family verbs are single-scan TakeOrdered plans (no join, no wide shuffle)") {
+    // the one-scan contract of the example-driven search family: the
+    // synthesized/example query is a plan LITERAL, so the ranking is
+    // one pruned scan feeding TakeOrderedAndProject — a join or an
+    // Exchange before the top-k means the literal regressed to a
+    // relational side
+    Seq("ann_matryoshka", "ann_discover", "ann_named_vectors",
+      "ann_recommend", "ann_recommend_best").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"), s"$q: no TakeOrdered")
+      assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+        s"$q: example fetch leaked into the ranking plan as a join")
+      def allScans(pl: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        pl.collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            allScans(a.executedPlan)
+        }.flatten
+      val scans = allScans(
+        GraftQueries.all(q)(spark, sf).queryExecution.executedPlan)
+      assert(scans.length == 1, s"$q: expected ONE corpus scan, saw ${scans.length}")
+      val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(!readSchema.contains("label"),
+        s"$q: scan reads unused columns: $readSchema")
+    }
+  }
+
   test("q1: filter + column pruning reach the parquet scan; map-side partial agg") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("PushedFilters") && p.contains("l_shipdate"),
