@@ -923,6 +923,7 @@ object GraftQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_inc").toString
     val store = graft.store.VectorStore(root)
     val e = Tables.embeddings(s, d).cache()
+    try {
     val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 16)
     val standing = e.filter(col("vec_id") % 10 =!= 7)
     val arrivals = e.filter(col("vec_id") % 10 === 7)
@@ -931,16 +932,14 @@ object GraftQueries {
     Similarity.insertIntoStoredIvf(store, "vectors", arrivals, "embedding", "vec_id", cents)
     val qv = e.filter(col("vec_id") === 0).select("embedding")
       .collect().head.getSeq[Float](0).toArray
-    e.unpersist()
-    val out = AnnProbe.withProbe(s, cents, nprobe = 4) {
+    AnnProbe.withProbe(s, cents, nprobe = 4) {
       val probed = store.read(s, "vectors")
         .orderBy(l2Sq(col("embedding"), vecLit(qv)), col("vec_id"))
         .limit(10)
         .select("vec_id", "label", "cell_id")
       s.createDataFrame(java.util.Arrays.asList(probed.collect(): _*), probed.schema)
     }
-    store.destroy()
-    out
+    } finally { e.unpersist(); store.destroy() }
   }
 
   /** RETRAIN-AND-REBUILD of the stored IVF index — the maintenance verb
@@ -958,6 +957,7 @@ object GraftQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_ivf_rt").toString
     val store = graft.store.VectorStore(root)
     val e = Tables.embeddings(s, d).cache()
+    try {
     val cents0 = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 16)
     store.create("vectors",
       Similarity.withCellId(e.filter(col("vec_id") % 10 =!= 7), "embedding", cents0),
@@ -966,18 +966,16 @@ object GraftQueries {
       e.filter(col("vec_id") % 10 === 7), "embedding", "vec_id", cents0)
     val qv = e.filter(col("vec_id") === 0).select("embedding")
       .collect().head.getSeq[Float](0).toArray
-    e.unpersist()
     val cents = Similarity.retrainStoredIvf(s, store, "vectors",
       "embedding", "vec_id", ncells = 8)
-    val out = AnnProbe.withProbe(s, cents, nprobe = 4) {
+    AnnProbe.withProbe(s, cents, nprobe = 4) {
       val probed = store.read(s, "vectors")
         .orderBy(l2Sq(col("embedding"), vecLit(qv)), col("vec_id"))
         .limit(10)
         .select("vec_id", "label", "cell_id")
       s.createDataFrame(java.util.Arrays.asList(probed.collect(): _*), probed.schema)
     }
-    store.destroy()
-    out
+    } finally { e.unpersist(); store.destroy() }
   }
 
   /** ANN over a LIVE MUTABLE collection — the Chroma semantic
@@ -999,6 +997,7 @@ object GraftQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_mivf").toString
     val store = graft.store.VectorStore(root)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    try {
     val mc = store.createMutable("vecs", e, "vec_id")
     MutableIvf.attach(s, store, "vecs", "embedding", "vecs_ivf", ncells = 16)
     mc.upsert(e.filter(col("vec_id") % 10 === 3)
@@ -1007,14 +1006,12 @@ object GraftQueries {
     MutableIvf.refresh(s, store, "vecs", "vecs_ivf")
     val qv = e.filter(col("vec_id") === 0).select("embedding")
       .head.getSeq[Float](0).toArray
-    e.unpersist()
     val out0 = MutableIvf.search(s, store, "vecs", "vecs_ivf", qv,
         k = 10, nprobe = 4)
       .orderBy(col("dist"), col("vec_id"))
-    val out = s.createDataFrame(
+    s.createDataFrame(
       java.util.Arrays.asList(out0.collect(): _*), out0.schema)
-    store.destroy()
-    out
+    } finally { e.unpersist(); store.destroy() }
   }
 
   /** FILTERED ANN over the live mutable collection — the full Chroma
@@ -1031,6 +1028,7 @@ object GraftQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_mivff").toString
     val store = graft.store.VectorStore(root)
     val e = Tables.embeddings(s, d).cache()
+    try {
     val mc = store.createMutable("vecs", e, "vec_id")
     MutableIvf.attach(s, store, "vecs", "embedding", "vecs_ivf", ncells = 16)
     mc.upsert(e.filter(col("vec_id") % 10 === 3)
@@ -1040,14 +1038,12 @@ object GraftQueries {
     MutableIvf.refresh(s, store, "vecs", "vecs_ivf")
     val qv = e.filter(col("vec_id") === 0).select("embedding")
       .head.getSeq[Float](0).toArray
-    e.unpersist()
     val out0 = MutableIvf.search(s, store, "vecs", "vecs_ivf", qv,
         k = 10, nprobe = 4, where = Some("""{"label": {"$lt": 10}}"""))
       .orderBy(col("dist"), col("vec_id"))
-    val out = s.createDataFrame(
+    s.createDataFrame(
       java.util.Arrays.asList(out0.collect(): _*), out0.schema)
-    store.destroy()
-    out
+    } finally { e.unpersist(); store.destroy() }
   }
 
   /** STREAMING ingest into the stored IVF index — the online twin of
@@ -1066,24 +1062,23 @@ object GraftQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_sivf").toString
     val store = graft.store.VectorStore(root)
     val e = Tables.embeddings(s, d).cache()
+    try {
     val cents = Similarity.trainCentroidArrays(e, "embedding", "vec_id", ncells = 16)
     val standing = e.filter(col("vec_id") % 10 =!= 7)
     store.create("vectors", Similarity.withCellId(standing, "embedding", cents),
       partitionBy = Seq("cell_id"))
     val qv = e.filter(col("vec_id") === 0).select("embedding")
       .collect().head.getSeq[Float](0).toArray
-    e.unpersist()
     graft.streaming.IndexStream.runStreamingIvfIngest(
       s, s"$d/embeddings.parquet", store, "vectors", cents)
-    val out = AnnProbe.withProbe(s, cents, nprobe = 4) {
+    AnnProbe.withProbe(s, cents, nprobe = 4) {
       val probed = store.read(s, "vectors")
         .orderBy(l2Sq(col("embedding"), vecLit(qv)), col("vec_id"))
         .limit(10)
         .select("vec_id", "label", "cell_id")
       s.createDataFrame(java.util.Arrays.asList(probed.collect(): _*), probed.schema)
     }
-    store.destroy()
-    out
+    } finally { e.unpersist(); store.destroy() }
   }
 
   val annIvfStore: Q = (s, d) => {
@@ -1091,12 +1086,12 @@ object GraftQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
     val store = graft.store.VectorStore(root)
     val e = Tables.embeddings(s, d).cache()
+    try {
     val cents = Similarity.buildIvfIndex(store, "vectors", e, "embedding", "vec_id",
       ncells = 16)
     val qv = e.filter(col("vec_id") === 0).select("embedding")
       .collect().head.getSeq[Float](0).toArray
-    e.unpersist()
-    val out = AnnProbe.withProbe(s, cents, nprobe = 4) {
+    AnnProbe.withProbe(s, cents, nprobe = 4) {
       val probed = store.read(s, "vectors")
         .orderBy(l2Sq(col("embedding"), vecLit(qv)), col("vec_id"))
         .limit(10)
@@ -1104,8 +1099,7 @@ object GraftQueries {
       // materialize inside the probe scope AND before store.destroy()
       s.createDataFrame(java.util.Arrays.asList(probed.collect(): _*), probed.schema)
     }
-    store.destroy()
-    out
+    } finally { e.unpersist(); store.destroy() }
   }
 
   private def adaptiveKnnAt(s: SparkSession, d: String,
@@ -2909,6 +2903,7 @@ object GraftQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_cdq").toString
     val store = graft.store.VectorStore(root)
     val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    try {
     val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 280), "doc_id")
     mc.delete(mc.readLive(s).filter(col("doc_id") % 5 === 0).select("doc_id"))
     mc.compactDirty(s, minDeadFraction = 0.1) // folds the delete wave only
@@ -2920,8 +2915,8 @@ object GraftQueries {
     mc.compactTombstones(s) // and the third axis: fold the LOG itself
     val out = mc.readLive(s).orderBy("doc_id")
     val rows = out.collect()
-    store.destroy()
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally store.destroy()
   }
 
   /** Collection lifecycle (reference create/add/read, O9+O13+O17) surfaced

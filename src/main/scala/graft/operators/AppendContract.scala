@@ -26,10 +26,13 @@ private[graft] object AppendContract {
     require(cnts.getLong(0) == cnts.getLong(1),
       s"$op: batch contains duplicate ids — append semantics require " +
         "new, unique ids")
+    // countDistinct, not count: an index keyed at (term, doc) grain
+    // (text/sparse postings) holds many rows per id — a raw row count
+    // would report one colliding doc as its whole vocabulary
     val dupCount = store.read(batch.sparkSession, name).select(idCol)
       .join(BroadcastGate.maybeBroadcast(
         batch.select(col(idCol)), cnts.getLong(0) * 64), Seq(idCol), "left_semi")
-      .agg(count(lit(1))).head.getLong(0)
+      .agg(countDistinct(col(idCol))).head.getLong(0)
     require(dupCount == 0L,
       s"$op: batch re-inserts $dupCount existing id(s) into '$name' — " +
         "append semantics require new ids")

@@ -1200,15 +1200,20 @@ object Similarity {
       s"targetRecall must be in (0, 1], got $targetRecall")
     val report = recallReport(collection, vecCol, idCol, queries, qIdCol,
       qVecCol, k, ncells, nprobes, trainIters) // eager local relation
-    val panelSize = report.select(col(qIdCol)).distinct().count()
+    // |panel| from the QUERY relation, not the report: a panel query
+    // with zero candidates at every setting must still count in the
+    // documented ceil(target·k·|panel|) bar, and a (query, nprobe)
+    // setting with no hits is 0, not a missing map key
+    val panelSize = queries.select(col(qIdCol)).distinct().count()
     val need = math.ceil(targetRecall * k * panelSize).toLong
     val totals = report.groupBy("nprobe")
       .agg(sum(col("n_hits")).as("_hits"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val chosen = nprobes.sorted.find(p => totals(p) >= need)
+    val chosen = nprobes.sorted.find(p => totals.getOrElse(p, 0L) >= need)
       .getOrElse(nprobes.max)
     val meanRecall =
-      math.floor(totals(chosen).toDouble / (k * panelSize) * 1e6 + 0.5) / 1e6
+      math.floor(totals.getOrElse(chosen, 0L).toDouble /
+        (k * panelSize) * 1e6 + 0.5) / 1e6
     ivfTopK(collection, vecCol, idCol, queries, qIdCol, qVecCol, k,
         ncells, chosen, trainIters)
       .withColumn("rank", col("rank").cast("long"))

@@ -98,9 +98,15 @@ object Mmr {
           val score =
             if (chosen.isEmpty) cand(c)._3
             else math.floor(lambdaRel * cand(c)._3 - (1.0 - lambdaRel) * maxSim6(c) + 0.5).toLong
-          // ties break by ascending id (candidates are simq-desc/id-asc
-          // ordered, so first-strictly-greater keeps the lowest id)
-          if (score > bestScore) { best = c; bestScore = score }
+          // ties break by ascending id EXPLICITLY: the candidate array
+          // is (simq desc, id asc) ordered, so first-strictly-greater
+          // alone would hand an exact score tie to the higher-simq
+          // candidate — while the oracle's arg_min(vid, -score, vid)
+          // hands it to the lowest id. Compare ids on equal scores.
+          if (score > bestScore ||
+              (score == bestScore && best >= 0 && cand(c)._1 < cand(best)._1)) {
+            best = c; bestScore = score
+          }
         }
         c += 1
       }

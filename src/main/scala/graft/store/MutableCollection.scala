@@ -200,16 +200,22 @@ final case class MutableCollection(store: VectorStore, name: String) {
     * keep the plain equi-join (bounded by the batch either way). */
   def update(spark: SparkSession, df: DataFrame): Unit = {
     val id = idCol
-    requireUniqueIds(df, id, "update")
+    // pin the batch ONCE: it is consumed twice (the In-pushdown id
+    // collect and the merge join) — a nondeterministic input frame
+    // (unordered limit, sample, stage retry) could otherwise yield two
+    // different id sets, silently dropping updates whose rows joined
+    // but missed the In-list (the deleteImpl/ivfBatchSink discipline)
+    val batch = df.localCheckpoint(true)
+    requireUniqueIds(batch, id, "update")
     val maxIn = spark.conf.getOption(IsinMaxIdsConf).map(_.toInt).getOrElse(1000)
-    val batchIds = df.select(col(id)).take(maxIn + 1)
+    val batchIds = batch.select(col(id)).take(maxIn + 1)
     val live0 = readLive(spark)
     val live =
       if (batchIds.length <= maxIn)
         live0.filter(col(id).isInCollection(batchIds.map(_.get(0)).toSeq))
       else live0
-    val newCols = df.columns.filterNot(_ == id).toSet
-    val renamed = newCols.foldLeft(df)((d, c) => d.withColumnRenamed(c, c + "__new"))
+    val newCols = batch.columns.filterNot(_ == id).toSet
+    val renamed = newCols.foldLeft(batch)((d, c) => d.withColumnRenamed(c, c + "__new"))
     val merged = live.join(renamed, Seq(id)) // inner: unknown ids drop out
       .select(live.columns.map { c =>
         if (newCols.contains(c)) col(c + "__new").as(c) else col(c)

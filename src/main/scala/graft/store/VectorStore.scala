@@ -244,6 +244,7 @@ final case class VectorStore(root: String) {
     require(MutableCollection.Marker.read(path(name)).isEmpty,
       s"collection '$name' is mutable — use VectorStore.mutable(name).compact " +
         "(file compaction here would discard the tombstone log)")
+    requireNotIndexLayout(name, "compact")
     val before = dataFileStatuses(name)
     val totalBytes = before.map(_.getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
@@ -273,6 +274,7 @@ final case class VectorStore(root: String) {
     require(MutableCollection.Marker.read(path(name)).isEmpty,
       s"collection '$name' is mutable — maintenance rewrites go through " +
         "VectorStore.mutable(name) (a raw swap would discard the tombstone log)")
+    requireNotIndexLayout(name, "replace")
     val tmpName = name + "__compacting"
     val w = df.write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -314,6 +316,21 @@ final case class VectorStore(root: String) {
     * deleted by a later compact of "x" (rm of the staging dir) or
     * silently renamed by recoverStranded, and "x__compacting" is
     * invisible to list() and overwritten by a compact of "x". */
+  /** The generic maintenance rewrites carry only `_*.properties`
+    * sidecars across the swap — the text/sparse index families keep
+    * delete state in `_deleted`/`_docs` parquet DIRECTORIES, which a
+    * raw swap would silently drop (resurrecting every tombstoned doc
+    * with stats that still exclude them). Those families have their own
+    * journaled, tombstone-aware compactIndex verbs — route there. */
+  private def requireNotIndexLayout(name: String, op: String): Unit = {
+    require(!sfs.isFile(s"${path(name)}/${VectorStore.TextIndexPropsFile}"),
+      s"'$name' is a text index — $op would drop its _deleted/_docs state; " +
+        "use TextIndex.compactIndex")
+    require(!sfs.isFile(s"${path(name)}/${VectorStore.SparseIndexPropsFile}"),
+      s"'$name' is a sparse index — $op would drop its _deleted/_model state; " +
+        "use SparseSearch.compactIndex")
+  }
+
   private def requireMintableName(to: String): Unit = {
     require(to.nonEmpty && !to.contains('/') && !to.contains('\\') &&
       to != "." && to != "..",
