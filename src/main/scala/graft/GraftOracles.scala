@@ -1484,6 +1484,29 @@ object GraftOracles {
     "graph_pagerank" -> pagerankOracle(iters = 5),
     "graph_components" -> componentsOracle(iters = 8),
 
+    // Twin of graph_degree_stats — the M=6 adjacency's in-degree
+    // histogram; in-degree-0 nodes kept via the left join.
+    "graph_degree_stats" ->
+      """WITH corpus AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v
+        |  FROM embeddings WHERE vec_id < 300),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.id AS src, b.id AS dst,
+        |    list_sum(list_transform(range(1,65),
+        |      i -> (a.v[i]::DOUBLE - b.v[i]::DOUBLE) * (a.v[i]::DOUBLE - b.v[i]::DOUBLE))) AS d
+        |  FROM corpus a JOIN corpus b ON a.id <> b.id),
+        |ranked AS (
+        |  SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY d, dst) AS r
+        |  FROM pairs),
+        |edges AS (SELECT src, dst FROM ranked WHERE r <= 6),
+        |indeg AS (SELECT c.id,
+        |    COALESCE(e.n, CAST(0 AS BIGINT)) AS in_degree
+        |  FROM corpus c LEFT JOIN (
+        |    SELECT dst AS id, CAST(count(*) AS BIGINT) AS n
+        |    FROM edges GROUP BY 1) e ON e.id = c.id)
+        |SELECT in_degree, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM indeg GROUP BY 1 ORDER BY 1""".stripMargin,
+
     // Twin of ann_matryoshka — the two-stage cascade restated: the
     // coarse score is the cosine over dims 1..16 only (floor-round 6),
     // the survivor set is the top-50 by (coarse DESC, id), and the

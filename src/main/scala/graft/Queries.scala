@@ -1310,6 +1310,14 @@ object GraftQueries {
       .select(col("vec_id"), col("dist"))
   }
 
+  /** In-degree distribution of the M=6 NN graph on the walk anchor's
+    * 300-node slice — the hubness diagnostic. FULL oracle over the same
+    * adjacency CTE: GROUP BY in-degree with zero-in-degree nodes kept
+    * through the left join. */
+  val graphDegreeStats: Q = (s, d) =>
+    GraphAnn.degreeStats(Tables.embeddings(s, d).filter(col("vec_id") < 300),
+      "embedding", "vec_id", m = 6)
+
   /** Connected components of the M=3 NN graph on a 300-node slice via
     * 8 min-label rounds over the undirected closure — labels are exact
     * bounded-hop minima whether or not propagation has converged, so
@@ -4318,6 +4326,7 @@ object GraftQueries {
     "ann_graph_walk" -> annGraphWalk,
     "graph_pagerank" -> graphPagerank,
     "graph_components" -> graphComponents,
+    "graph_degree_stats" -> graphDegreeStats,
     "ann_ivf_incremental" -> annIvfIncremental,
     "ann_ivf_retrain" -> annIvfRetrain,
     "ann_mutable_ivf" -> annMutableIvf,

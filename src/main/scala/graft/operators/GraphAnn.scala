@@ -422,6 +422,24 @@ object GraphAnn {
       .select("src", "dst", "_r")
   }
 
+  /** In-degree distribution of the M-NN graph — the HUBNESS diagnostic
+    * every graph-ANN deployment watches: out-degree is M by
+    * construction, but in-degree is data-driven, and a heavy tail
+    * (hub vectors half the corpus points at) is exactly what degrades
+    * walk recall and concentrates load. One aggregation over the edge
+    * relation: per in-degree value, how many nodes have it (nodes
+    * nothing points at appear as in-degree 0 via the left join). */
+  def degreeStats(collection: DataFrame, vecCol: String, idCol: String,
+                  m: Int): DataFrame = {
+    val nodes = collection.select(col(idCol).cast("long").as("id"))
+    val indeg = knnEdges(collection, vecCol, idCol, m)
+      .groupBy(col("dst").as("id")).agg(count(lit(1)).as("in_degree"))
+    nodes.join(indeg, Seq("id"), "left")
+      .select(coalesce(col("in_degree"), lit(0L)).as("in_degree"))
+      .groupBy("in_degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy(col("in_degree"))
+  }
+
   /** Connected components of the M-NN graph via iterated min-label
     * propagation over the UNDIRECTED closure (a kNN edge links its
     * endpoints regardless of direction) — the neighborhood-structure
