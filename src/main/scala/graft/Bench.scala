@@ -65,9 +65,16 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val results = selected.map { case (name, fn) =>
       val nRuns = if (isHeavy(name)) HeavyRuns else Runs
-      val times = (1 to nRuns).map { _ =>
+      // (wall seconds, succeeded) per run: a crashed run must NOT
+      // contribute its (fast) wall time to the estimators — with the
+      // heavy tier's trimmed mean, folding crash times in would mask a
+      // query that fails on some runs as a healthy fast one
+      val runs = (1 to nRuns).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val ok =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name run FAILED: $e"); false }
         val dt = (System.nanoTime() - t0) / 1e9
         // operators that cache intermediates (dedup shingle sets) would
         // otherwise leak blocks into every later query's JVM; the GC
@@ -79,27 +86,44 @@ object Bench {
         // Both run OUTSIDE the timed section.
         try spark.catalog.clearCache() catch { case _: Throwable => () }
         System.gc()
-        dt
-      }.sorted
-      val med = times(nRuns / 2)
-      // trimmed mean of the middle n-2 runs — the primary figure for the
-      // heavy tier (equals the median at 3 runs by construction)
-      val trimmed = times.drop(1).dropRight(1).sum / (nRuns - 2)
-      val primary = if (isHeavy(name)) trimmed else med
-      System.err.println(
-        f"[bench] $name%-28s med $med%8.2fs  trim $trimmed%6.2fs  " +
-          f"min ${times.head}%6.2fs  max ${times.last}%6.2fs  n=$nRuns")
-      (name, primary, med, trimmed, times.head, times.last, nRuns)
+        (dt, ok)
+      }
+      val errors = runs.count(!_._2)
+      val times = runs.filter(_._2).map(_._1).sorted
+      if (times.isEmpty) {
+        // every run crashed: report a LOUD sentinel, never a timing
+        System.err.println(f"[bench] $name%-28s ALL $nRuns runs FAILED")
+        (name, -1.0, -1.0, -1.0, -1.0, -1.0, nRuns, errors)
+      } else {
+        val n = times.length
+        val med = times(n / 2)
+        // trimmed mean of the middle n-2 successful runs — the primary
+        // figure for the heavy tier (equals the median at 3 runs by
+        // construction; degenerates to the median when <3 runs survive)
+        val trimmed =
+          if (n > 2) times.drop(1).dropRight(1).sum / (n - 2) else med
+        val primary = if (isHeavy(name)) trimmed else med
+        System.err.println(
+          f"[bench] $name%-28s med $med%8.2fs  trim $trimmed%6.2fs  " +
+            f"min ${times.head}%6.2fs  max ${times.last}%6.2fs  n=$n" +
+            (if (errors > 0) s"  ERRORS=$errors" else ""))
+        (name, primary, med, trimmed, times.head, times.last, n, errors)
+      }
     }
-    val qs = results.map { case (k, p, _, _, _, _, _) => s"\"" + k + "\":" + p }
+    val qs = results.map { case (k, p, _, _, _, _, _, _) => s"\"" + k + "\":" + p }
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, _, m, tr, lo, hi, n) =>
+    val detail = results.map { case (k, _, m, tr, lo, hi, n, errs) =>
       s"\"" + k + "\":{\"median\":" + m + ",\"trimmed\":" + tr +
-        ",\"min\":" + lo + ",\"max\":" + hi + ",\"runs\":" + n + "}"
+        ",\"min\":" + lo + ",\"max\":" + hi + ",\"runs\":" + n +
+        ",\"errors\":" + errs + "}"
     }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // all-runs-failed queries carry the -1 sentinel: exclude them from the
+    // total (a negative contribution would misread as speed) and surface
+    // the count at the top level instead
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val failed = results.count(_._2 < 0)
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"heavy_runs":$HeavyRuns,"queries":$qs,"queries_detail":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"heavy_runs":$HeavyRuns,"failed_queries":$failed,"queries":$qs,"queries_detail":$detail,"sf":"$sfDir"}"""
     // durable record: the driver captures stdout with a bounded tail, and
     // r5's ~60 leading query medians were lost to mid-line truncation.
     // Write the full JSON to the repo BEFORE printing, so the round's perf

@@ -2757,17 +2757,18 @@ object GraftQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_mutq").toString
     val store = graft.store.VectorStore(root)
     val docs = Tables.documents(s, d).select("doc_id", "source", "text")
-    val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 300), "doc_id")
-    mc.upsert(docs.filter(col("doc_id").between(250, 350))
-      .withColumn("text", upper(col("text"))))
-    val postUpsert = mc.currentSeq
-    mc.update(s, docs.filter(col("doc_id") <= 20)
-      .select(col("doc_id"), lit("edited").as("source")))
-    mc.delete(mc.readLive(s).filter(col("doc_id") % 7 === 0).select("doc_id"))
-    val res = out(mc, postUpsert)
-    val rows = res.collect()
-    store.destroy()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    try {
+      val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 300), "doc_id")
+      mc.upsert(docs.filter(col("doc_id").between(250, 350))
+        .withColumn("text", upper(col("text"))))
+      val postUpsert = mc.currentSeq
+      mc.update(s, docs.filter(col("doc_id") <= 20)
+        .select(col("doc_id"), lit("edited").as("source")))
+      mc.delete(mc.readLive(s).filter(col("doc_id") % 7 === 0).select("doc_id"))
+      val res = out(mc, postUpsert)
+      val rows = res.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), res.schema)
+    } finally store.destroy()
   }
 
   val collectionMutate: Q = (s, d) =>
@@ -2838,19 +2839,20 @@ object GraftQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_forkq").toString
     val store = graft.store.VectorStore(root)
     val docs = Tables.documents(s, d).select("doc_id", "source", "text")
-    val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 300), "doc_id")
-    store.fork("docs", "branch")
-    val br = store.mutable("branch")
-    br.upsert(docs.filter(col("doc_id").between(290, 330))
-      .withColumn("text", lower(col("text"))))
-    br.delete(br.readLive(s).filter(col("doc_id") % 11 === 0).select("doc_id"))
-    val out = mc.readLive(s).withColumn("side", lit("source"))
-      .unionByName(br.readLive(s).withColumn("side", lit("fork")))
-      .select("side", "doc_id", "source", "text")
-      .orderBy("side", "doc_id")
-    val rows = out.collect()
-    store.destroy()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    try {
+      val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 300), "doc_id")
+      store.fork("docs", "branch")
+      val br = store.mutable("branch")
+      br.upsert(docs.filter(col("doc_id").between(290, 330))
+        .withColumn("text", lower(col("text"))))
+      br.delete(br.readLive(s).filter(col("doc_id") % 11 === 0).select("doc_id"))
+      val out = mc.readLive(s).withColumn("side", lit("source"))
+        .unionByName(br.readLive(s).withColumn("side", lit("fork")))
+        .select("side", "doc_id", "source", "text")
+        .orderBy("side", "doc_id")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally store.destroy()
   }
 
   /** Per-transition CDC: every WRITE of the mutation sequence read back
@@ -2879,17 +2881,18 @@ object GraftQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_mcq").toString
     val store = graft.store.VectorStore(root)
     val docs = Tables.documents(s, d).select("doc_id", "source", "text")
-    val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 280), "doc_id")
-    mc.delete(mc.readLive(s).filter(col("doc_id") % 5 === 0).select("doc_id"))
-    mc.compact(s) // folds the delete; later mutations land on the compacted files
-    mc.upsert(docs.filter(col("doc_id").between(260, 330))
-      .withColumn("text", lower(col("text"))))
-    mc.update(s, docs.filter(col("doc_id") <= 15)
-      .select(col("doc_id"), lit("patched").as("source")))
-    val out = mc.readLive(s).orderBy("doc_id")
-    val rows = out.collect()
-    store.destroy()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    try {
+      val mc = store.createMutable("docs", docs.filter(col("doc_id") <= 280), "doc_id")
+      mc.delete(mc.readLive(s).filter(col("doc_id") % 5 === 0).select("doc_id"))
+      mc.compact(s) // folds the delete; later mutations land on the compacted files
+      mc.upsert(docs.filter(col("doc_id").between(260, 330))
+        .withColumn("text", lower(col("text"))))
+      mc.update(s, docs.filter(col("doc_id") <= 15)
+        .select(col("doc_id"), lit("patched").as("source")))
+      val out = mc.readLive(s).orderBy("doc_id")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally store.destroy()
   }
 
   /** TARGETED compaction under the gate oracle: the same mutation
@@ -2937,18 +2940,19 @@ object GraftQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_collq").toString
     val store = graft.store.VectorStore(root)
     val docs = Tables.documents(s, d)
-    store.create("docs", docs.filter(col("lang") =!= "zh"), partitionBy = Seq("lang"))
-    store.append("docs", docs.filter(col("lang") === "zh"), partitionBy = Seq("lang"))
-    val out = store.read(s, "docs")
-      .filter(col("lang").isin("en", "zh"))
-      .groupBy("lang")
-      .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"))
-      .orderBy("lang")
-    // materialize eagerly so the scratch store can be deleted (repeated
-    // Bench/Verify runs must not accumulate /tmp copies of the corpus)
-    val rows = out.collect()
-    store.destroy()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    try {
+      store.create("docs", docs.filter(col("lang") =!= "zh"), partitionBy = Seq("lang"))
+      store.append("docs", docs.filter(col("lang") === "zh"), partitionBy = Seq("lang"))
+      val out = store.read(s, "docs")
+        .filter(col("lang").isin("en", "zh"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("source")).as("n_sources"))
+        .orderBy("lang")
+      // materialize eagerly so the scratch store can be deleted (repeated
+      // Bench/Verify runs must not accumulate /tmp copies of the corpus)
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally store.destroy()
   }
 
   /** Collection-bound embedder manifest (Chroma binds the embedding
@@ -2971,17 +2975,18 @@ object GraftQueries {
     val m = graft.store.CollectionManifest.of(pe, qe)
     val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
     val embedded = graft.embed.Embedders.embed(docs, "text", "embedding", pe)
-    store.create("docs", embedded, manifest = Some(m))
-    val back = store.manifest("docs").get
-    val resolved = back.resolveQueryEmbedder
-    val n = store.count(s, "docs")
-    store.destroy()
-    import s.implicits._
-    Seq((back.family, back.dim, back.passagePrefix, back.queryPrefix,
-      back.bpeMerges.size, back.fingerprint,
-      resolved.identity == qe.identity, n))
-      .toDF("family", "dim", "passage_prefix", "query_prefix", "n_merges",
-        "fingerprint", "resolved_ok", "n_rows")
+    try {
+      store.create("docs", embedded, manifest = Some(m))
+      val back = store.manifest("docs").get
+      val resolved = back.resolveQueryEmbedder
+      val n = store.count(s, "docs")
+      import s.implicits._
+      Seq((back.family, back.dim, back.passagePrefix, back.queryPrefix,
+        back.bpeMerges.size, back.fingerprint,
+        resolved.identity == qe.identity, n))
+        .toDF("family", "dim", "passage_prefix", "query_prefix", "n_merges",
+          "fingerprint", "resolved_ok", "n_rows")
+    } finally store.destroy()
   }
 
   /** The Chroma `collection.modify` verb at the gate: set collection
@@ -2994,22 +2999,23 @@ object GraftQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_modq").toString
     val store = graft.store.VectorStore(root)
     val docs = Tables.documents(s, d).select("doc_id", "source", "text")
-    store.create("docs", docs.filter(col("doc_id") <= 100))
-    store.modify("docs",
-      metadata = Some(Map("owner" -> "ingest-team", "version" -> "1")))
-    val newName = store.modify("docs", newName = Some("corpus"),
-      metadata = Some(Map("owner" -> "search-team", "purpose" -> "rag")))
-    val names = store.list().mkString(",")
-    val meta = store.metadata(newName)
-    val n = store.count(s, newName)
-    store.compact(s, newName)
-    val survives = store.metadata(newName) == meta
-    store.destroy()
-    import s.implicits._
-    Seq((names,
-      meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";"),
-      survives, n))
-      .toDF("collections", "metadata", "survives_compact", "n_rows")
+    try {
+      store.create("docs", docs.filter(col("doc_id") <= 100))
+      store.modify("docs",
+        metadata = Some(Map("owner" -> "ingest-team", "version" -> "1")))
+      val newName = store.modify("docs", newName = Some("corpus"),
+        metadata = Some(Map("owner" -> "search-team", "purpose" -> "rag")))
+      val names = store.list().mkString(",")
+      val meta = store.metadata(newName)
+      val n = store.count(s, newName)
+      store.compact(s, newName)
+      val survives = store.metadata(newName) == meta
+      import s.implicits._
+      Seq((names,
+        meta.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";"),
+        survives, n))
+        .toDF("collections", "metadata", "survives_compact", "n_rows")
+    } finally store.destroy()
   }
 
   /** Collection aliases at the gate — the zero-downtime reindex drill:
@@ -3056,15 +3062,16 @@ object GraftQueries {
     val store = graft.store.VectorStore(root)
     val docs = Tables.documents(s, d).select("doc_id", "source", "lang", "text")
     val emb = graft.embed.HashEmbedder(32, "")
-    store.create("docs", graft.embed.Embedders.embed(docs, "text", "embedding", emb))
-    val out = graft.query.Include.project(
-      store.read(s, "docs").filter(col("doc_id") <= 50),
-      "doc_id", graft.query.Include.GetDefault,
-      documentCol = Some("text"), embeddingCol = Some("embedding"))
-      .orderBy("doc_id")
-    val rows = out.collect()
-    store.destroy()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    try {
+      store.create("docs", graft.embed.Embedders.embed(docs, "text", "embedding", emb))
+      val out = graft.query.Include.project(
+        store.read(s, "docs").filter(col("doc_id") <= 50),
+        "doc_id", graft.query.Include.GetDefault,
+        documentCol = Some("text"), embeddingCol = Some("embedding"))
+        .orderBy("doc_id")
+      val rows = out.collect()
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally store.destroy()
   }
 
   /** Explicit GROUPING SETS with grouping() markers through the SQL
@@ -3219,23 +3226,25 @@ object GraftQueries {
     val root = java.nio.file.Files.createTempDirectory("graft_incr").toString
     val store = graft.store.VectorStore(root)
     val docs = Tables.documents(s, d)
-    store.create("docs", docs.filter(col("doc_id") < 250))
-    val existing = store.read(s, "docs").select("doc_id")
-    // materialize the delta AND its report BEFORE appending to the path
-    // they are derived from: the anti-join is lazy and re-reads the
-    // collection at action time, so executing it after the append (plus
-    // any file-index refresh) would see the append's own output and
-    // report a wrong/empty n_added. The cache pins the delta rows for the
-    // append; the collect pins the report rows locally.
-    val newDocs = docs.join(existing, Seq("doc_id"), "left_anti").cache()
-    val out = newDocs.groupBy("lang")
-      .agg(count(lit(1)).as("n_added"))
-      .orderBy("lang")
-    val rows = out.collect() // also populates the newDocs cache
-    store.append("docs", newDocs) // served from the cached pre-append snapshot
-    newDocs.unpersist()
-    store.destroy()
-    s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    try {
+      store.create("docs", docs.filter(col("doc_id") < 250))
+      val existing = store.read(s, "docs").select("doc_id")
+      // materialize the delta AND its report BEFORE appending to the path
+      // they are derived from: the anti-join is lazy and re-reads the
+      // collection at action time, so executing it after the append (plus
+      // any file-index refresh) would see the append's own output and
+      // report a wrong/empty n_added. The cache pins the delta rows for the
+      // append; the collect pins the report rows locally.
+      val newDocs = docs.join(existing, Seq("doc_id"), "left_anti").cache()
+      try {
+        val out = newDocs.groupBy("lang")
+          .agg(count(lit(1)).as("n_added"))
+          .orderBy("lang")
+        val rows = out.collect() // also populates the newDocs cache
+        store.append("docs", newDocs) // served from the cached pre-append snapshot
+        s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+      } finally newDocs.unpersist()
+    } finally store.destroy()
   }
 
   /** percent_rank / cume_dist (exact int ratios — floor-form rounded per

@@ -340,6 +340,10 @@ object GraphAnn {
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"),
         col("_a").getField("cid").as("cell_id"))
+      // PIN: consumed three times (touched collect, contract check,
+      // rebuild union) — a nondeterministic batch could pass the
+      // contract on one evaluation and rebuild with a different row set
+      .localCheckpoint(true)
     // bounded collect: at most ncells rows
     val touched = assigned.select("cell_id").distinct()
       .collect().map(_.getInt(0)).sorted

@@ -355,7 +355,13 @@ object Similarity {
   def insertIntoStoredIvf(store: graft.store.VectorStore, name: String,
                           batch: DataFrame, vecCol: String, idCol: String,
                           cents: Array[(Int, Array[Float])]): Seq[Int] = {
-    val assigned = withCellId(batch, vecCol, cents)
+    // PIN the batch once: it is consumed three times (contract check,
+    // append, touched-cell collect) — a nondeterministic input frame
+    // (sample, unordered limit, stage retry) could pass the uniqueness
+    // contract on one evaluation yet append a different row set,
+    // silently inserting duplicates (the MutableCollection.update
+    // hazard, same fix)
+    val assigned = withCellId(batch, vecCol, cents).localCheckpoint(true)
     AppendContract.requireNewUniqueIds(store, name, assigned, idCol,
       "insertIntoStoredIvf")
     store.append(name, assigned, partitionBy = Seq("cell_id"))

@@ -232,10 +232,14 @@ object SparseSearch {
     * index already holds. */
   def insertInto(store: VectorStore, name: String, docs: DataFrame,
                  textCol: String, idCol: String): Unit = {
+    // PIN: the batch is consumed twice (contract check, encode+append) —
+    // a nondeterministic input could pass the uniqueness contract on one
+    // evaluation yet append a different row set
+    val pinned = docs.localCheckpoint(true)
     AppendContract.requireNewUniqueIds(store, name,
-      docs.select(col(idCol).as("doc_id")), "doc_id",
+      pinned.select(col(idCol).as("doc_id")), "doc_id",
       "SparseSearch.insertInto")
-    store.append(name, encodeForIndex(store, name, docs, textCol, idCol),
+    store.append(name, encodeForIndex(store, name, pinned, textCol, idCol),
       partitionBy = Seq("bucket"))
   }
 
@@ -342,19 +346,26 @@ object SparseSearch {
   private[graft] def prunedPostings(spark: SparkSession, store: VectorStore,
                                     name: String, terms: Seq[String]): DataFrame = {
     import spark.implicits._
-    val (nBuckets, _) = readProps(store, name)
+    // resolve once so the props probe, the empty-bucket listing, and the
+    // scan below all read the same concrete collection behind an alias
+    val concrete = store.resolve(name)
+    val (nBuckets, _) = readProps(store, concrete)
     // an index whose every bucket compacted away to empty has no data
     // directories left — a valid (empty) index, not a read error
-    if (!StoreFs.forPath(store.root).list(s"${store.root}/$name")
+    if (!StoreFs.forPath(store.root).list(s"${store.root}/$concrete")
         .exists(_.getPath.getName.startsWith("bucket=")))
       return Seq.empty[(String, Long, Long)].toDF("term", "doc_id", "w_mu")
     val buckets = terms.toDF("term")
       .select(bucketOf(col("term"), nBuckets))
       .collect().map(_.getInt(0)).toSeq.distinct
-    val pruned = spark.read.parquet(s"${store.root}/$name")
+    // through store.read, not a raw parquet path: every stored-index
+    // read gets recoverStranded healing + alias resolution (the
+    // TextIndex.prunedPostings discipline); the bucket filter on top
+    // still lands in PartitionFilters
+    val pruned = store.read(spark, concrete)
       .filter(col("bucket").isin(buckets.map(Int.box): _*))
       .select("term", "doc_id", "w_mu")
-    liveOnly(spark, store, name, pruned)
+    liveOnly(spark, store, concrete, pruned)
   }
 
   private def deletedPath(store: VectorStore, name: String) =

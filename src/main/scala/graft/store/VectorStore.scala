@@ -370,10 +370,13 @@ final case class VectorStore(root: String) {
     newName.getOrElse(name)
   }
 
-  /** Collection-level user metadata (empty map when none was ever set). */
+  /** Collection-level user metadata (empty map when none was ever set).
+    * Resolves aliases — read verbs resolve-then-read, same as
+    * [[manifest]]/[[read]]/[[count]]: metadata through a serving alias
+    * must report the target's map, not a silent empty one. */
   def metadata(name: String): Map[String, String] = {
     recoverStranded()
-    CollectionMeta.read(path(name))
+    CollectionMeta.read(path(resolve(name)))
   }
 
   /** Zero-copy writable fork of a collection (the lakehouse SHALLOW

@@ -322,13 +322,17 @@ object TextIndex {
   def insertIntoTextIndex(store: VectorStore, name: String, batch: DataFrame,
                           textCol: String, idCol: String): Unit = {
     val st = requireReady(store, name, "insertIntoTextIndex")
+    // PIN: the batch feeds the contract check AND the intent protocol's
+    // stats + postings passes — a nondeterministic input could pass the
+    // check on one evaluation and commit stats for a different row set
+    val pinned = batch.localCheckpoint(true)
     // contract runs on the RAW batch ids: the postings' grouped doc_id
     // would collapse an in-batch duplicate and slip it past the
     // uniqueness half of the check
     graft.operators.AppendContract.requireNewUniqueIds(
-      store, name, batch.select(col(idCol).as("doc_id")), "doc_id",
+      store, name, pinned.select(col(idCol).as("doc_id")), "doc_id",
       "insertIntoTextIndex")
-    appendWithIntent(store, name, batch, textCol, idCol, st,
+    appendWithIntent(store, name, pinned, textCol, idCol, st,
       BatchVerbIntent, expect = None, newLastBatch = None,
       refuseCollisions = false): Unit
   }
@@ -793,10 +797,27 @@ object TextIndex {
 
   /** Batch BM25: Q independent term-set queries amortized onto ONE
     * pruned posting fetch (the union of every query's terms' buckets)
-    * and one |allTerms|-row df collect — the per-query scoring jobs all
-    * run off the shared cached slice. Per-query rows are identical to
+    * and one |allTerms|-row df collect. Per-query rows are identical to
     * [[bm25SearchStored]] run separately (spec-pinned): the shared scan
-    * changes cost, never content. */
+    * changes cost, never content.
+    *
+    * ONE-SCAN shape (the [[graft.operators.SparseSearch.topKMany]] /
+    * `ivfSearchStoredMany` discipline): the (q_id, term, term_idx, df)
+    * query table is a broadcast literal, scoring is one join + one
+    * (q_id, doc)-keyed aggregation, ranking a per-query window over
+    * slim rows — plan size, analysis time, and job count are FLAT in
+    * the batch size (a per-query plan-arm union grows linearly and
+    * becomes a driver-side planning bottleneck at a few thousand
+    * queries; pinned in spec: one postings scan, no union).
+    *
+    * Bit-parity with the single-query pivot: each (q_id, doc, term)
+    * row's contribution uses the IDENTICAL expression as
+    * [[bm25TopkOff]]'s per-term summand, and the per-(q_id, doc) sum
+    * re-assembles contributions in FIXED term order (sort_array on the
+    * query-local term index, then a left-to-right double fold). Terms
+    * the doc lacks contribute exactly +0.0 in the single-query
+    * expression tree — an IEEE addition identity — so summing only the
+    * PRESENT terms in term order is bit-identical to the full tree. */
   def bm25SearchStoredMany(spark: SparkSession, store: VectorStore,
                            name: String, queries: Seq[(String, Seq[String])],
                            k: Int, k1: Double = 1.2,
@@ -810,14 +831,43 @@ object TextIndex {
     val pruned = prunedPostings(spark, store, name, allTerms)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
+      // |allTerms| rows — bounded driver collect, inlined into the
+      // broadcast query table (the bm25TopK stats discipline: df is a
+      // per-term constant of the index state, not per-row data)
       val dfByTerm = pruned.groupBy("term").agg(count(lit(1)).as("df"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val per = queries.map { case (qid, terms) =>
-        bm25TopkOff(pruned, terms, st0.nDocs, st0.sumDl, dfByTerm, k, k1, b)
-          .withColumn("q_id", lit(qid))
-          .select("q_id", "doc_id", "dl", "bm25")
-      }
-      val out = per.reduce(_ unionByName _)
+      import spark.implicits._
+      val q = broadcast(queries.flatMap { case (qid, terms) =>
+        terms.zipWithIndex.map { case (t, i) =>
+          (qid, t, i, dfByTerm.getOrElse(t, 0L)) }
+      }.toDF("q_id", "term", "_ti", "_df"))
+      val n = st0.nDocs
+      val avgdl = lit(st0.sumDl).cast("double") / lit(n)
+      // the EXACT per-term summand of bm25TopkOff, df as a joined
+      // column instead of a literal (same value, same op sequence)
+      val tf = col("tf").cast("double")
+      val idf = log((lit(n) - col("_df") + 0.5) / (col("_df") + 0.5) + 1.0)
+      val contrib = idf * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("bm25").desc, col("doc_id"))
+      val out = pruned.join(q, Seq("term"))
+        .select(col("q_id"), col("doc_id"), col("dl"), col("_ti"),
+          contrib.as("_c"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(max(col("dl")).as("dl"),
+          sort_array(collect_list(struct(col("_ti"), col("_c")))).as("_cs"))
+        // left-to-right double fold in term order == the single-query
+        // expression tree (0.0 + first == first; absent terms are +0.0
+        // identities there and absent rows here)
+        .withColumn("_score",
+          aggregate(transform(col("_cs"), x => x.getField("_c")),
+            lit(0.0), (acc, x) => acc + x))
+        .withColumn("bm25", floor(col("_score") * 1e4 + 0.5) / 1e4)
+        .filter(col("bm25") > 0)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") <= k)
+        .select("q_id", "doc_id", "dl", "bm25")
         .orderBy(col("q_id"), col("bm25").desc, col("doc_id"))
       eager(spark, out)
     } finally pruned.unpersist()

@@ -298,6 +298,73 @@ class TextIndexSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("batch BM25 plan: one postings feed, no per-query union, flat in batch size") {
+    val store = newStore()
+    try {
+      TextIndex.buildTextIndex(store, "ti", docs, "text", "doc_id", nBuckets = 8)
+      // capture the scoring plan the eager batch verb executes
+      val captured = new java.util.concurrent.CopyOnWriteArrayList[
+        org.apache.spark.sql.execution.SparkPlan]()
+      val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            ns: Long): Unit = { captured.add(qe.executedPlan); () }
+        override def onFailure(fn: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      }
+      def audit(queries: Seq[(String, Seq[String])]): Int = {
+        captured.clear()
+        import scala.jdk.CollectionConverters._
+        def flat(p: org.apache.spark.sql.execution.SparkPlan)
+            : Seq[org.apache.spark.sql.execution.SparkPlan] = p.collect {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            flat(a.executedPlan)
+          // Spark 4 AQE: materialized stages (incl. the final
+          // ResultQueryStageExec) are leaves whose subtree hangs off .plan
+          case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            s +: flat(s.plan)
+          case n => Seq(n)
+        }.flatten
+        def windowPlans = captured.asScala.toSeq.map(flat).filter(_.exists {
+          case _: org.apache.spark.sql.execution.window.WindowExec => true
+          case _ => false
+        })
+        spark.listenerManager.register(listener)
+        try {
+          TextIndex.bm25SearchStoredMany(spark, store, "ti", queries, k = 5)
+          // the listener bus is async — wait (bounded) for the plan
+          val deadline = System.nanoTime() + 30e9.toLong
+          while (windowPlans.isEmpty && System.nanoTime() < deadline)
+            Thread.sleep(50)
+        } finally spark.listenerManager.unregister(listener)
+        val scoring = windowPlans
+        assert(scoring.nonEmpty, "no scoring (window) plan captured; saw:\n" +
+          captured.asScala.map(p => flat(p).map(_.getClass.getSimpleName)
+            .mkString("[", ",", "]")).mkString("\n"))
+        val ns = scoring.maxBy(_.length) // the batch verb's final plan
+        assert(!ns.exists(_.isInstanceOf[org.apache.spark.sql.execution.UnionExec]),
+          "batch BM25 built a per-query union plan")
+        // ONE postings feed: the persisted pruned slice enters the
+        // scoring plan through a single in-memory scan
+        val feeds = ns.count {
+          case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+            m.schema.fieldNames.contains("tf")
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.schema.fieldNames.contains("tf")
+          case _ => false
+        }
+        assert(feeds == 1, s"batch BM25 scoring plan has $feeds postings feeds")
+        ns.length
+      }
+      val terms = Seq("filter", "vector", "join", "query", "sort")
+      val small = audit(Seq("a" -> terms.take(2), "b" -> terms.drop(2)))
+      val large = audit((0 until 8).map(i => s"q$i" -> Seq(terms(i % 5))))
+      assert(small == large,
+        s"scoring plan grew with the batch: $small nodes at Q=2, $large at Q=8")
+    } finally store.destroy()
+  }
+
   test("index catalog detects every layout family") {
     import graft.operators.{Clustering, GraphAnn, Similarity}
     val store = newStore()
