@@ -3765,25 +3765,20 @@ object GraftQueries {
       .orderBy("source")
   }
 
-  /** Curriculum ordering — easy-to-hard phases (quality quartiles via
-    * NTILE over the rounded score, doc-id ties) with a deterministic
-    * md5 shuffle WITHIN each phase: the training-order product of a
-    * curriculum-learning pipeline. The materialized global `emit_rank`
-    * exists for the oracle's benefit; at 100 TB the emit order ships to
-    * the writer as the SORT KEY `(phase, md5(id), id)` — a
-    * range-partitioned distributed sort — rather than a materialized
-    * global row number (the global-rank windows here are the documented
-    * single-partition shape, fine at gate scale, replaced by the sort
-    * key at corpus scale). */
+  /** Curriculum ordering — easy-to-hard phases (quality quartiles, NTILE
+    * semantics with doc-id ties) with a deterministic md5 shuffle WITHIN
+    * each phase: the training-order product of a curriculum-learning
+    * pipeline. The shipped operator
+    * ([[graft.text.TextAnalysis.curriculumOrder]]) computes BOTH global
+    * orders as distributed range sorts + offset arithmetic
+    * ([[graft.operators.GlobalRank]]) — no partitionless window in the
+    * plan (spec-pinned), so the verb the user calls IS the 100 TB shape;
+    * the oracle twin materializes the same ranks with SQL windows, which
+    * is fine at oracle scale. */
   val packCurriculum: Q = (s, d) => {
     val q = TextAnalysis.textStats(Tables.documents(s, d))
       .select(col("doc_id"), col("quality"))
-    val shuffleKey = md5(col("doc_id").cast("string").cast("binary"))
-    q.withColumn("phase",
-        ntile(4).over(Window.orderBy(col("quality"), col("doc_id"))).cast("long"))
-      .withColumn("emit_rank",
-        row_number().over(Window.orderBy(col("phase"), shuffleKey, col("doc_id")))
-          .cast("long"))
+    TextAnalysis.curriculumOrder(q, "quality", "doc_id", phases = 4)
       .select("doc_id", "quality", "phase", "emit_rank")
       .orderBy("emit_rank")
   }

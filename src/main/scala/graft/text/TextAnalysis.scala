@@ -342,6 +342,34 @@ object TextAnalysis {
       .select(col("_m.q_id"), col("doc_id"), col("_m.n_terms"))
   }
 
+  /** Curriculum ordering — easy-to-hard phases (quality NTILE with
+    * doc-id ties) and a deterministic md5 shuffle WITHIN each phase,
+    * emitted as a materialized 1-based global `emit_rank`: the
+    * training-order product of a curriculum-learning pipeline.
+    *
+    * SCALE-SAFE by construction: both global orders are distributed
+    * range sorts + per-partition offset arithmetic
+    * ([[graft.operators.GlobalRank]]), and the NTILE phase split is
+    * integer arithmetic on the first global rank — no partitionless
+    * window anywhere in the plan (spec-pinned), so no task ever holds
+    * more than its partition. Input should be the slim (id, quality)
+    * projection — the two ranking passes each materialize their frame
+    * once (the GlobalRank checkpoint discipline). */
+  def curriculumOrder(scored: DataFrame, qualityCol: String, idCol: String,
+                      phases: Int = 4): DataFrame = {
+    import graft.operators.GlobalRank
+    val (ranked, n) = GlobalRank.withGlobalRowNumberAndCount(
+      scored.select(col(idCol), col(qualityCol)),
+      Seq(col(qualityCol), col(idCol)), "_qr")
+    val phased = ranked
+      .withColumn("phase",
+        GlobalRank.ntileOfRank(col("_qr"), n, phases).cast("long"))
+      .drop("_qr")
+    val shuffleKey = md5(col(idCol).cast("string").cast("binary"))
+    GlobalRank.withGlobalRowNumber(phased,
+      Seq(col("phase"), shuffleKey, col(idCol)), "emit_rank")
+  }
+
   /** Greedy sequence packing for LLM training: assign consecutive docs
     * (per shard, in id order) to fixed-token-budget training sequences.
     * A doc whose tokens straddle a boundary goes to the sequence its
