@@ -136,7 +136,7 @@ object GraphAnn {
   /** Insertion-build one cell's NSW graph (ascending-id order, so the
     * graph is a pure function of the cell's content — no RNG, no
     * parallelism dependence). */
-  private def buildCell(cell: Int, members: Array[(Long, Array[Float])],
+  private[graft] def buildCell(cell: Int, members: Array[(Long, Array[Float])],
                         m: Int, efConstruction: Int): Iterator[Node] = {
     val sorted = members.sortBy(_._1)
     val vecs = mutable.LongMap[Array[Float]]()
@@ -340,24 +340,33 @@ object GraphAnn {
       .select(col(idCol).cast("long").as("id"),
         col(vecCol).cast("array<float>").as("vec"),
         col("_a").getField("cid").as("cell_id"))
-      // PIN: consumed three times (touched collect, contract check,
-      // rebuild union) — a nondeterministic batch could pass the
-      // contract on one evaluation and rebuild with a different row set
-      .localCheckpoint(true)
-    // bounded collect: at most ncells rows
-    val touched = assigned.select("cell_id").distinct()
-      .collect().map(_.getInt(0)).sorted
+      // PIN (lazy): consumed three times (contract/touched agg, collision
+      // semi-join, rebuild union) — a nondeterministic batch could pass
+      // the contract on one evaluation and rebuild with a different row
+      // set. Lazy, not eager: the first action (the agg below) pays the
+      // materialization, so pinning costs no extra job.
+      .localCheckpoint(false)
+    // ONE bounded job for batch count, batch-distinct ids, AND the
+    // touched-cell list (≤ ncells values) — previously three jobs
+    val head = assigned.agg(count(lit(1)), countDistinct(col("id")),
+      sort_array(collect_set(col("cell_id")))).head
+    AppendContract.requireUnique(head.getLong(0), head.getLong(1),
+      "insertIntoStored")
+    val touched = head.getSeq[Int](2).toArray
     // enforce the append contract against the WHOLE index, not just the
     // touched cells: a re-inserted id whose drifted vector assigns to a
     // DIFFERENT cell would otherwise slip past a touched-cells-only
-    // check and leave two nodes with one id in two cells. The check is
-    // a column-pruned scan of the slim id column — one narrow pass over
-    // the index per (nightly) batch, the price of the invariant.
-    // Batch-internal duplicates fail the same way.
-    // shared contract check ([[AppendContract]]): batch-internal
-    // uniqueness + ONE map-only pass over the index's slim id column
-    AppendContract.requireNewUniqueIds(store, name, assigned, "id",
-      "insertIntoStored")
+    // check and leave two nodes with one id in two cells. ONE map-only
+    // column-pruned pass over the index's slim id column per (nightly)
+    // batch — the price of the invariant. It runs CONCURRENTLY with the
+    // rebuild materialization below: the contract gates the WRITE (the
+    // only store mutation), not the plan — a refusal discards the
+    // side-effect-free checkpoint, so correctness is unchanged and the
+    // two index reads overlap instead of serializing.
+    val contract = scala.concurrent.Future {
+      AppendContract.requireNoExisting(store, name, assigned, "id",
+        head.getLong(0), "insertIntoStored")
+    }(scala.concurrent.ExecutionContext.global)
     val existing = store.read(sp, name)
       .filter(col("cell_id").isin(touched.map(Int.box).toIndexedSeq: _*))
       .select(col("id"), col("vec"), col("cell_id"))
@@ -373,6 +382,7 @@ object GraphAnn {
       // overwrites — the checkpoint severs that lineage (and is bounded
       // by the touched cells, not the collection)
       .localCheckpoint(true)
+    scala.concurrent.Await.result(contract, scala.concurrent.duration.Duration.Inf)
     store.overwritePartitions(name, rebuilt.toDF(), Seq("cell_id"))
     touched.toSeq
   }

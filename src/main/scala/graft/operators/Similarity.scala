@@ -355,18 +355,24 @@ object Similarity {
   def insertIntoStoredIvf(store: graft.store.VectorStore, name: String,
                           batch: DataFrame, vecCol: String, idCol: String,
                           cents: Array[(Int, Array[Float])]): Seq[Int] = {
-    // PIN the batch once: it is consumed three times (contract check,
-    // append, touched-cell collect) — a nondeterministic input frame
-    // (sample, unordered limit, stage retry) could pass the uniqueness
-    // contract on one evaluation yet append a different row set,
-    // silently inserting duplicates (the MutableCollection.update
+    // PIN the batch once (lazy — the agg below pays the
+    // materialization): it is consumed three times (contract/touched
+    // agg, collision semi-join, append) — a nondeterministic input
+    // frame (sample, unordered limit, stage retry) could pass the
+    // uniqueness contract on one evaluation yet append a different row
+    // set, silently inserting duplicates (the MutableCollection.update
     // hazard, same fix)
-    val assigned = withCellId(batch, vecCol, cents).localCheckpoint(true)
-    AppendContract.requireNewUniqueIds(store, name, assigned, idCol,
+    val assigned = withCellId(batch, vecCol, cents).localCheckpoint(false)
+    // ONE bounded job for batch count, batch-distinct ids, AND the
+    // touched-cell list (≤ ncells values)
+    val head = assigned.agg(count(lit(1)), countDistinct(col(idCol)),
+      sort_array(collect_set(col("cell_id")))).head
+    AppendContract.requireUnique(head.getLong(0), head.getLong(1),
       "insertIntoStoredIvf")
+    AppendContract.requireNoExisting(store, name, assigned, idCol,
+      head.getLong(0), "insertIntoStoredIvf")
     store.append(name, assigned, partitionBy = Seq("cell_id"))
-    // bounded collect: at most ncells rows
-    assigned.select("cell_id").distinct().collect().map(_.getInt(0)).sorted.toSeq
+    head.getSeq[Int](2)
   }
 
   /** Periodic RETRAIN-AND-REBUILD of a stored IVF index — the documented

@@ -167,22 +167,37 @@ final case class VectorStore(root: String) {
     * `ivf_pq`/`ivf_sq`/`ivf` (cell-partitioned codes/vectors),
     * `collection` (plain relation). */
   def indexCatalog(spark: SparkSession): DataFrame = {
-    val rows = list().sorted.map { name =>
-      val fields = read(spark, name).schema.fieldNames.toSet
-      val kind =
-        if (sfs.readProps(s"${path(name)}/${VectorStore.TextIndexPropsFile}")
-          .isDefined) "text"
-        else if (sfs.readProps(s"${path(name)}/${VectorStore.SparseIndexPropsFile}")
-          .isDefined) "sparse"
-        else if (MutableCollection.Marker.read(path(name)).isDefined) "mutable"
-        else if (fields.contains("neighbors")) "graph"
-        else if (fields.contains("bq_lo")) "bq"
-        else if (fields.contains("pq_code")) "ivf_pq"
-        else if (fields.contains("sq_code")) "ivf_sq"
-        else if (fields.contains("cell_id")) "ivf"
-        else "collection"
-      (name, kind, count(spark, name))
-    }
+    val names = list().sorted
+    // detection + count per collection run CONCURRENTLY from a bounded
+    // driver pool: each count is its own (cheap, footer-metadata or
+    // tombstone-merged) Spark job, and a store of thousands of
+    // collections must not pay thousands of SERIAL job round-trips —
+    // wall time is max-of, not sum-of (Spark's scheduler is built for
+    // multi-threaded submission; recoverStranded is synchronized so
+    // concurrent healing cannot double-rename). Results keep the
+    // deterministic name order regardless of completion order.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(8, names.length)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val rows =
+      try Await.result(Future.sequence(names.map { name => Future {
+        val fields = read(spark, name).schema.fieldNames.toSet
+        val kind =
+          if (sfs.readProps(s"${path(name)}/${VectorStore.TextIndexPropsFile}")
+            .isDefined) "text"
+          else if (sfs.readProps(s"${path(name)}/${VectorStore.SparseIndexPropsFile}")
+            .isDefined) "sparse"
+          else if (MutableCollection.Marker.read(path(name)).isDefined) "mutable"
+          else if (fields.contains("neighbors")) "graph"
+          else if (fields.contains("bq_lo")) "bq"
+          else if (fields.contains("pq_code")) "ivf_pq"
+          else if (fields.contains("sq_code")) "ivf_sq"
+          else if (fields.contains("cell_id")) "ivf"
+          else "collection"
+        (name, kind, count(spark, name))
+      }}), scala.concurrent.duration.Duration.Inf)
+      finally pool.shutdown()
     import spark.implicits._
     // n_rows, not "rows": the gate's oracle engine reserves ROWS
     rows.toDF("name", "kind", "n_rows")
@@ -191,13 +206,18 @@ final case class VectorStore(root: String) {
   /** Crash recovery for the compaction swap: a death between the two
     * renames leaves the data ONLY under `name__old` (which list()
     * filters out — the collection would silently vanish). Detect the
-    * stranded layout on every open/listing and rename it back. */
-  private def recoverStranded(): Unit =
+    * stranded layout on every open/listing and rename it back.
+    * Synchronized: concurrent read verbs (the [[indexCatalog]] pool)
+    * must not race each other into double-renaming the same stranded
+    * directory — the listing and the conditional rename re-evaluate
+    * under one lock. */
+  private def recoverStranded(): Unit = synchronized {
     sfs.list(root).foreach { st =>
       val n = st.getPath.getName
       if (n.endsWith("__old") && !sfs.exists(path(n.stripSuffix("__old"))))
         sfs.rename(st.getPath.toString, path(n.stripSuffix("__old"))): Unit
     }
+  }
 
   def list(): Seq[String] = {
     recoverStranded()
