@@ -2314,6 +2314,34 @@ object GraftOracles {
          |FROM embeddings e, q WHERE vec_id <> 0
          |ORDER BY distance, vec_id LIMIT 10""".stripMargin,
 
+    // Twin of ann_graph_adaptive: both filter arms' exact top-10 (the
+    // selective arm takes the exact 'pre' branch outright; the broad arm
+    // runs the walk exhaustively, where it provably equals exact kNN),
+    // with the COST DECISION replayed relationally — path = CASE on the
+    // same m-vs-0.05·n comparison the Scala verb makes, so an inverted
+    // or drifted threshold hash-fails.
+    "ann_graph_adaptive" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |n AS (SELECT count(*) AS n FROM embeddings WHERE vec_id <> 0),
+         |msel AS (SELECT count(*) AS m FROM embeddings
+         |  WHERE vec_id <> 0 AND vec_id % 25 = 3),
+         |mbrd AS (SELECT count(*) AS m FROM embeddings
+         |  WHERE vec_id <> 0 AND label IN (1,2,3)),
+         |sel AS (SELECT 'selective' AS qtag, vec_id, round($l2sqToQv, 6) AS dist,
+         |    CASE WHEN (SELECT m FROM msel)::DOUBLE <= (SELECT n FROM n) * 0.05
+         |      THEN 'pre' ELSE 'post' END AS path
+         |  FROM embeddings e, q WHERE vec_id <> 0 AND vec_id % 25 = 3
+         |  ORDER BY dist, vec_id LIMIT 10),
+         |brd AS (SELECT 'broad' AS qtag, vec_id, round($l2sqToQv, 6) AS dist,
+         |    CASE WHEN (SELECT m FROM mbrd)::DOUBLE <= (SELECT n FROM n) * 0.05
+         |      THEN 'pre' ELSE 'post' END AS path
+         |  FROM embeddings e, q WHERE vec_id <> 0 AND label IN (1,2,3)
+         |  ORDER BY dist, vec_id LIMIT 10)
+         |SELECT qtag AS q, vec_id, dist, path FROM sel
+         |UNION ALL
+         |SELECT qtag AS q, vec_id, dist, path FROM brd
+         |ORDER BY q, dist, vec_id""".stripMargin,
+
     "vec_knn" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, round($l2sqToQv, 6) AS distance

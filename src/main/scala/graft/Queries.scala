@@ -1397,6 +1397,49 @@ object GraftQueries {
     } finally e.unpersist()
   }
 
+  /** ADAPTIVE filtered graph ANN under the gate — both branches of
+    * [[graft.operators.GraphAnn.adaptiveFilteredSearch]]'s cost
+    * decision, FULL hash:
+    *  - a SELECTIVE filter (4% of ids) at production config routes to
+    *    the 'pre' branch — exact scoring of the survivors, no walk —
+    *    which is plain SQL;
+    *  - a BROAD filter (3 of 5 labels) routes to the 'post' over-fetch
+    *    branch, run here in the EXHAUSTIVE configuration (nprobe = all
+    *    cells, ef = corpus) where the walk provably equals exact kNN
+    *    (the `ann_graph_exhaustive` identity) — so the branch's output
+    *    is SQL-expressible too.
+    * The oracle re-derives the DECISION from its own counts (m vs
+    * 0.05·n) per arm and tags `path` from that CASE — an inverted or
+    * drifted threshold breaks the hash, not just the spec. Production-
+    * config recall of the post branch stays pinned in AnnProbeSpec. */
+  val annGraphAdaptive: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_gadapt").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val (g0, cents) = GraphAnn.buildGraph(corpus, "embedding", "vec_id",
+        ncells = 8, m = 8, centroids = Some(Clustering.trainCentroids(e, 8, 2)))
+      store.create("graph", g0.toDF(), partitionBy = Seq("cell_id"))
+      val stored = store.read(s, "graph")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val selective = corpus.filter(col("vec_id") % 25 === 3).select("vec_id")
+      val broad = corpus.filter(col("label").isin(1, 2, 3)).select("vec_id")
+      val a = GraphAnn.adaptiveFilteredSearch(stored, cents, qv,
+          k = 10, nprobe = 4, ef = 48, allowed = selective)
+        .withColumn("q", lit("selective"))
+      val b = GraphAnn.adaptiveFilteredSearch(stored, cents, qv,
+          k = 10, nprobe = cents.length, ef = corpus.count().toInt,
+          allowed = broad)
+        .withColumn("q", lit("broad"))
+      val out = a.unionByName(b)
+        .select(col("q"), col("vec_id"), col("dist"), col("path"))
+        .orderBy(col("q"), col("dist"), col("vec_id"))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** Batch-query graph ANN — Chroma's `query(query_texts=[...])` list
     * form over the graph index: a queries RELATION (the three lowest
     * vec_ids) fans out through one [[GraphAnn.searchMany]] call, which
@@ -4336,6 +4379,7 @@ object GraftQueries {
     "ann_mutable_ivf" -> annMutableIvf,
     "ann_mutable_ivf_filtered" -> annMutableIvfFiltered,
     "ann_graph_filtered" -> annGraphFiltered,
+    "ann_graph_adaptive" -> annGraphAdaptive,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,
     "dedup_exact" -> dedupExact,

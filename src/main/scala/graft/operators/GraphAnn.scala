@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.functions.VectorFunctions.{l2Sq, vecLit}
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -573,6 +574,55 @@ object GraphAnn {
       .filter(col("cell_id").isin(probed.map(Int.box).toIndexedSeq: _*))
       .repartition(math.max(probed.length, 1), col("cell_id"))
     search(colocated.as[Node], cents, qv, k, nprobe, ef)
+  }
+
+  /** Cost-based FILTERED search over the stored graph — the graph twin
+    * of [[Similarity.adaptiveFilteredKnn]]. A graph walk cannot
+    * pre-filter (dropping nodes breaks the navigable structure), so the
+    * two real plans are:
+    *
+    *  - '''pre''' (selective filter): skip the walk entirely — score the
+    *    survivors EXACTLY with the codegen'd distance over a semi-joined
+    *    scan. |survivors| distance evaluations beat any walk when the
+    *    filter keeps a sliver of the corpus, and the result is exact
+    *    (the fixed-over-fetch shape would need ef ≫ k/selectivity to
+    *    even see k survivors);
+    *  - '''post''' (broad filter): the published over-fetch shape — the
+    *    beam emits its FULL nprobe·ef candidate set, then the filter
+    *    and final top-k run relationally over that bounded relation
+    *    (selectivity costs recall, never walk correctness).
+    *
+    * Decision: |allowed| ≤ maxPreFraction · |index| → 'pre'. Both counts
+    * are integer jobs the gate oracle replays relationally, so the
+    * CHOICE sits under the hash (the `ann_adaptive_prefilter`
+    * discipline); the output's `path` column pins which plan ran.
+    * `allowed` is a one-column DISTINCT id relation (typically a
+    * pushed-down metadata scan). Ranking is the walk's own
+    * (floor-rounded dist, id) order in both branches, so the branches
+    * compose: on an exhaustive configuration they return identical
+    * rows. */
+  def adaptiveFilteredSearch(stored: DataFrame, cents: Array[Array[Float]],
+                             qv: Array[Double], k: Int, nprobe: Int, ef: Int,
+                             allowed: DataFrame,
+                             maxPreFraction: Double = 0.05): DataFrame = {
+    val ids = allowed.select(col(allowed.columns.head).cast("long").as("_fid"))
+    val n = stored.count() // footer-metadata count, no data pages
+    val m = ids.count()
+    val qf = qv.map(_.toFloat)
+    if (m.toDouble <= n * maxPreFraction) {
+      stored.join(ids, stored("id") === col("_fid"), "left_semi")
+        .select(col("id").as("vec_id"), col("cell_id"),
+          (floor(l2Sq(col("vec"), vecLit(qf)) * 1e6 + 0.5) / 1e6).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(k)
+        .withColumn("path", lit("pre"))
+    } else {
+      searchStored(stored, cents, qv, k = nprobe * ef, nprobe, ef)
+        .join(ids, col("vec_id") === col("_fid"), "left_semi")
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(k)
+        .withColumn("path", lit("post"))
+    }
   }
 
   /** The walk kernel shared by [[search]] and [[searchWithStats]]:

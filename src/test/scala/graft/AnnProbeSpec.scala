@@ -320,6 +320,61 @@ class AnnProbeSpec extends SparkSpec {
       .foreach(r => assert(Set(1, 2, 3).contains(r.getAs[Number](1).intValue)))
   }
 
+  test("adaptive filtered graph ANN: decision boundary, pre == exact, post recall") {
+    import graft.operators.{Clustering, GraphAnn}
+    val d = "/root/testdata/sf0.1"
+    val root = java.nio.file.Files.createTempDirectory("anngraph_adapt").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(spark, d).cache()
+    try {
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val (g, cents) = GraphAnn.buildGraph(corpus, "embedding", "vec_id",
+        ncells = 8, m = 8, centroids = Some(Clustering.trainCentroids(e, 8, 2)))
+      store.create("graph", g.toDF(), partitionBy = Seq("cell_id"))
+      val stored = store.read(spark, "graph")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val qb = broadcast(e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv")))
+      def exactFiltered(pred: org.apache.spark.sql.Column): Set[Long] =
+        corpus.filter(pred).crossJoin(qb)
+          .withColumn("dd",
+            graft.functions.VectorFunctions.l2Sq(col("embedding"), col("qv")))
+          .orderBy(col("dd"), col("vec_id")).limit(10)
+          .collect().map(_.getLong(0)).toSet
+      // SELECTIVE (4% of ids): decision must take 'pre', and the pre
+      // branch is EXACT — identity with exact filtered kNN, not a bound
+      val selPred = col("vec_id") % 25 === 3
+      val pre = GraphAnn.adaptiveFilteredSearch(stored, cents, qv,
+        k = 10, nprobe = 4, ef = 48,
+        allowed = corpus.filter(selPred).select("vec_id")).collect()
+      assert(pre.forall(_.getString(3) == "pre"), "selective filter must pre-filter")
+      assert(pre.map(_.getLong(0)).toSet == exactFiltered(selPred),
+        "pre branch diverged from exact filtered kNN")
+      // BROAD (3 of 5 labels): decision must take 'post' at production
+      // config; recall floor matches the fixed-over-fetch pin (0.90
+      // observed — assert the 0.9 the verdict bar names)
+      val brdPred = col("label").isin(1, 2, 3)
+      val post = GraphAnn.adaptiveFilteredSearch(stored, cents, qv,
+        k = 10, nprobe = 4, ef = 48,
+        allowed = corpus.filter(brdPred).select("vec_id")).collect()
+      assert(post.forall(_.getString(3) == "post"), "broad filter must post-filter")
+      val recall = post.map(_.getLong(0)).toSet
+        .intersect(exactFiltered(brdPred)).size / 10.0
+      info(f"adaptive post-branch recall@10: $recall%.2f")
+      assert(recall >= 0.9, f"post-branch recall degraded: $recall%.2f")
+      // decision boundary: exactly at m == 0.05·n the verb still
+      // pre-filters (<=, not <) — pinned with an engineered allowed set
+      val n = stored.count()
+      val atBoundary = corpus.orderBy("vec_id").limit((n * 0.05).toInt)
+        .select("vec_id")
+      val boundary = GraphAnn.adaptiveFilteredSearch(stored, cents, qv,
+        k = 10, nprobe = 4, ef = 48, allowed = atBoundary).collect()
+      assert(boundary.forall(_.getString(3) == "pre"),
+        "m == 0.05·n must still take the pre branch (<= boundary)")
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   test("stored graph search survives cells sliced across read partitions") {
     // a parquet read partitions by FILE SPLITS: a cell written as many
     // files and read under a tiny maxPartitionBytes arrives sliced
