@@ -199,10 +199,23 @@ object Similarity {
     * over ncells literal-distance structs) generates ncells x dim of
     * source per plan and pays seconds of janino compilation for every
     * distinct plan that embeds it. Ties break to the lowest cell_id.
-    */
+    *
+    * CELL-COUNT GATE: at `twoLevelGate`+ cells the closure-literal +
+    * linear-argmin shape stops scaling (10⁵–10⁶ cells ⇒ 100s of MB
+    * serialized per task, O(ncells) per row) — assignment switches to
+    * the broadcast two-level [[CentroidRouter]] (approximate in the
+    * standard IVF sense, self-consistent with the gated probe path;
+    * answers below the gate are unchanged by construction). */
   def withCellId(collection: DataFrame, vecCol: String,
-                 cents: Array[(Int, Array[Float])]): DataFrame = {
+                 cents: Array[(Int, Array[Float])],
+                 twoLevelGate: Int = CentroidRouter.DefaultGate): DataFrame = {
     val sorted = cents.sortBy(_._1)
+    if (sorted.length >= twoLevelGate) {
+      val bc = collection.sparkSession.sparkContext
+        .broadcast(CentroidRouter.routerFor(sorted))
+      val assign = udf((v: Seq[Float]) => bc.value.assign(v.toArray))
+      return collection.withColumn("cell_id", assign(col(vecCol)))
+    }
     val assign = udf((v: Seq[Float]) => {
       val arr = v.toArray
       var best = -1
@@ -940,13 +953,19 @@ object Similarity {
     * assignment argmin (float→double subtraction, left-to-right double
     * accumulation, floor-rounded to 6 decimals, ties to the lower cid) —
     * so a SQL twin reproduces the probe set bit-for-bit. */
-  def sqProbeCells(cents: Array[Array[Float]], qv: Array[Double], nprobe: Int): Array[Int] =
+  def sqProbeCells(cents: Array[Array[Float]], qv: Array[Double], nprobe: Int,
+                   twoLevelGate: Int = CentroidRouter.DefaultGate): Array[Int] = {
+    // the same cell-count gate as assignment: a driver-side O(ncells)
+    // scan per query is the probe-side half of the large-ncells problem
+    if (cents.length >= twoLevelGate)
+      return CentroidRouter.routerForSlots(cents).probe(qv, nprobe)
     cents.zipWithIndex.map { case (c, j) =>
       var acc = 0.0
       var i = 0
       while (i < c.length) { val dlt = qv(i) - c(i).toDouble; acc += dlt * dlt; i += 1 }
       (math.floor(acc * 1e6 + 0.5) / 1e6, j)
     }.sortBy(identity).take(nprobe).map(_._2)
+  }
 
   /** Top-k over the stored SQ layout: the literal `cell_id IN (probed)`
     * filter lands in PartitionFilters (the scan lists only probed cells'

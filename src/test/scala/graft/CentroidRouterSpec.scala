@@ -1,0 +1,108 @@
+package graft
+
+import graft.operators.{CentroidRouter, Clustering, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Two-level centroid router (the large-ncells scale path): determinism,
+  * bounded per-call work on an engineered 5000-cell build, build/probe
+  * self-consistency, and gate behavior (flat below, broadcast two-level
+  * at the gate, flat answers unchanged by the gate's existence). */
+class CentroidRouterSpec extends SparkSpec {
+
+  // deterministic synthetic centroid set: `n` cells in `g0` well-separated
+  // blobs (the shape a trained quantizer actually has), dim 16
+  private def synthCents(n: Int, blobs: Int): Array[(Int, Array[Float])] =
+    Array.tabulate(n) { i =>
+      val blob = i % blobs
+      val v = Array.tabulate(16) { j =>
+        (blob * 100.0 + math.sin(i * 0.7 + j * 1.3) * 3.0).toFloat
+      }
+      (i, v)
+    }
+
+  test("router build is deterministic; empty groups dropped; groups partition the cells") {
+    val cents = synthCents(5000, 40)
+    val a = CentroidRouter.build(cents, 70)
+    val b = CentroidRouter.build(cents, 70)
+    assert(a.coarse.map(_.toSeq).toSeq == b.coarse.map(_.toSeq).toSeq)
+    assert(a.groups.map(_.toSeq).toSeq == b.groups.map(_.toSeq).toSeq)
+    assert(a.groups.forall(_.nonEmpty), "empty groups must be dropped")
+    assert(a.groups.flatten.sorted.toSeq == cents.indices.toSeq,
+      "groups must partition the cell set")
+  }
+
+  test("bounded work at 5000 cells: per-call comparisons a small fraction of ncells") {
+    val cents = synthCents(5000, 40)
+    val r = CentroidRouter.routerFor(cents)
+    val probeVec = Array.tabulate(16)(j => 300.0 + j)
+    r.comparisons.set(0L)
+    r.assign(probeVec.map(_.toFloat))
+    val perAssign = r.comparisons.get()
+    r.comparisons.set(0L)
+    r.probe(probeVec, nprobe = 8)
+    val perProbe = r.comparisons.get()
+    info(s"per-assign comparisons: $perAssign, per-probe: $perProbe (ncells=5000)")
+    // G ≈ 70 coarse + one group (~70-125 members) ≪ 5000; probe adds the
+    // fanout·nprobe candidate pool
+    assert(perAssign < 500, s"assignment scanned $perAssign of 5000 — not two-level")
+    assert(perProbe < 1000, s"probe scanned $perProbe of 5000 — not two-level")
+  }
+
+  test("self-consistency: a query at a stored vector reaches its assigned cell") {
+    val cents = synthCents(5000, 40)
+    val r = CentroidRouter.routerFor(cents)
+    // synthetic "stored vectors": jittered copies near centroids
+    val hits = (0 until 200).map { s =>
+      val base = cents(s * 25 % 5000)._2
+      val v = base.zipWithIndex.map { case (x, j) =>
+        x + (math.cos(s * 1.1 + j) * 0.05).toFloat }
+      val cell = r.assign(v)
+      r.probe(v.map(_.toDouble), nprobe = 4).contains(cell)
+    }
+    val frac = hits.count(identity) / hits.length.toDouble
+    info(f"probe(v,4) contains assign(v): $frac%.3f")
+    assert(frac >= 0.99,
+      f"build/probe self-consistency broke: $frac%.3f of queries miss their own cell")
+  }
+
+  test("gated paths agree with the router; flat answers unchanged below the gate") {
+    val e = Tables.embeddings(spark, sf).limit(400).cache()
+    try {
+      val trained = Clustering.trainCentroids(e, 8, 2)
+      val cents = trained.zipWithIndex.map { case (c, j) => (j, c) }
+      // forced two-level (gate=1): the broadcast UDF path must equal the
+      // driver router call row for row
+      val r = CentroidRouter.routerFor(cents.sortBy(_._1))
+      val viaDf = Similarity.withCellId(e, "embedding", cents, twoLevelGate = 1)
+        .select("vec_id", "cell_id").collect()
+        .map(row => row.getLong(0) -> row.getInt(1)).toMap
+      val viaRouter = e.select("vec_id", "embedding").collect().map { row =>
+        row.getLong(0) -> r.assign(row.getSeq[Float](1).toArray)
+      }.toMap
+      assert(viaDf == viaRouter, "broadcast UDF path diverged from the router")
+      // default gate at 8 cells: flat path — equal to a hand argmin
+      val flat = Similarity.withCellId(e, "embedding", cents)
+        .select("vec_id", "cell_id").collect()
+        .map(row => row.getLong(0) -> row.getInt(1)).toMap
+      val hand = e.select("vec_id", "embedding").collect().map { row =>
+        val v = row.getSeq[Float](1).toArray
+        val best = cents.map { case (cid, c) =>
+          var acc = 0.0
+          var i = 0
+          val n = math.min(v.length, c.length)
+          while (i < n) { val d = v(i).toDouble - c(i); acc += d * d; i += 1 }
+          (acc, cid)
+        }.minBy(identity)._2
+        row.getLong(0) -> best
+      }.toMap
+      assert(flat == hand, "flat assignment changed")
+      // probe gate: forced two-level probe == router.probe; flat default
+      // == the linear floor-rounded rank
+      val qv = Array.tabulate(trained(0).length)(j => trained(0)(j).toDouble + 0.01)
+      assert(Similarity.sqProbeCells(trained, qv, 4, twoLevelGate = 1).toSeq ==
+        CentroidRouter.routerForSlots(trained).probe(qv, 4).toSeq)
+      val flatProbe = Similarity.sqProbeCells(trained, qv, 4)
+      assert(flatProbe.length == 4 && flatProbe.distinct.length == 4)
+    } finally { e.unpersist(): Unit }
+  }
+}
