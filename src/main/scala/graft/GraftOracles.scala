@@ -1455,6 +1455,10 @@ object GraftOracles {
     // stored signature index — same computation, the layout is invisible
     // to the answer (the annProbedTop10Sql one-SQL-two-entries precedent)
     "ann_bq_store" -> bqTop10Sql,
+    // incremental append to the signature index: maintenance must be
+    // invisible — the maintained index answers with the SAME full-corpus
+    // SQL as the from-scratch build (the ann_ivf_incremental discipline)
+    "ann_bq_incremental" -> bqTop10Sql,
 
     // Twin of ann_range_search — radius query over the IVF layout:
     // simIvfCte quantizer, the same raw-l2 (dr, cid) take-4 probe as
@@ -2622,6 +2626,96 @@ object GraftOracles {
          |  c.doc_id = c.cluster_id AS is_canonical
          |FROM comp c JOIN sized s USING (cluster_id)
          |ORDER BY doc_id""".stripMargin,
+
+    // Twin of dedup_keep_best: the dedup_clusters reachability CTE
+    // composed with the quality score, canonical = per-cluster
+    // (quality DESC, doc_id) rank 1 — the keep-best retention policy
+    // under the same full-labeling hash as the keep-lowest-id form.
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+         |      i -> substr(text, i::INT, 5))) AS s
+         |  FROM documents),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, w.lbl FROM walk w JOIN edges e ON w.id = e.b),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+         |q AS (SELECT doc_id,
+         |    floor(least(1.0,
+         |      0.4 * least(len($toks)::DOUBLE / 50.0, 1.0)
+         |      + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text))
+         |      + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))) * 1e6 + 0.5) / 1e6 AS quality
+         |  FROM documents),
+         |rk AS (SELECT c.doc_id, c.cluster_id, q.quality,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.quality DESC, c.doc_id) AS rn
+         |  FROM comp c JOIN q USING (doc_id))
+         |SELECT doc_id, cluster_id, quality, rn = 1 AS is_kept
+         |FROM rk ORDER BY doc_id""".stripMargin,
+
+    // Twin of export_curriculum_shards: the pack_curriculum rank CTEs
+    // plus the contiguous (rank-1)·S/n shard split and the read-back
+    // manifest aggregates — rank arithmetic, split, and losslessness
+    // under one hash.
+    "export_curriculum_shards" ->
+      s"""WITH q AS (SELECT doc_id,
+         |    floor(least(1.0,
+         |      0.4 * least(len($toks)::DOUBLE / 50.0, 1.0)
+         |      + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text))
+         |      + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))) * 1e6 + 0.5) / 1e6 AS quality
+         |  FROM documents),
+         |p AS (SELECT doc_id, quality,
+         |    CAST(ntile(4) OVER (ORDER BY quality, doc_id) AS BIGINT) AS phase
+         |  FROM q),
+         |r AS (SELECT doc_id, phase,
+         |    CAST(row_number() OVER (ORDER BY phase, md5(doc_id::VARCHAR), doc_id) AS BIGINT) AS emit_rank
+         |  FROM p),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |shd AS (SELECT doc_id, phase, emit_rank,
+         |    CAST(floor((emit_rank - 1) * 8 / (SELECT n FROM n)::DOUBLE) AS INT) AS shard
+         |  FROM r)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  min(emit_rank) AS rank_lo, max(emit_rank) AS rank_hi,
+         |  min(phase) AS phase_lo, max(phase) AS phase_hi,
+         |  bit_xor(doc_id) AS id_xor
+         |FROM shd GROUP BY shard ORDER BY shard""".stripMargin,
+
+    // Twin of rag_late_interaction: the md5-arithmetic token embedder
+    // (8 dims of md5(tok:j) rationals — exactly computable on both
+    // engines), per-(doc, query-token) MaxSim, fixed-q_idx-order sum
+    // via list(ORDER BY)→list_sum mirroring the engine's sort_array →
+    // left-to-right fold.
+    "rag_late_interaction" ->
+      s"""WITH qt(q_idx, qt) AS (VALUES (0, 'hash'), (1, 'merge'), (2, 'stream'), (3, 'vector')),
+         |cand AS (SELECT doc_id, text FROM documents
+         |  WHERE lower(text) LIKE '%hash%' OR lower(text) LIKE '%merge%'
+         |     OR lower(text) LIKE '%stream%' OR lower(text) LIKE '%vector%'),
+         |dt AS (SELECT doc_id, unnest(list_distinct($toks)) AS tok FROM cand),
+         |dv AS (SELECT doc_id, tok,
+         |    list_transform(range(1, 9), j ->
+         |      ('0x' || substr(md5(tok || ':' || j), 1, 6))::BIGINT::DOUBLE / 16777216.0) AS v
+         |  FROM dt),
+         |qv AS (SELECT q_idx,
+         |    list_transform(range(1, 9), j ->
+         |      ('0x' || substr(md5(qt || ':' || j), 1, 6))::BIGINT::DOUBLE / 16777216.0) AS v
+         |  FROM qt),
+         |sims AS (SELECT dv.doc_id, qv.q_idx,
+         |    max(round(
+         |      list_sum(list_transform(range(1, 9), i -> dv.v[i] * qv.v[i])) /
+         |      sqrt(list_sum(list_transform(range(1, 9), i -> dv.v[i] * dv.v[i])) *
+         |           list_sum(list_transform(range(1, 9), i -> qv.v[i] * qv.v[i]))), 6)) AS ms
+         |  FROM dv, qv GROUP BY 1, 2),
+         |sc AS (SELECT doc_id,
+         |    floor(list_sum(list(ms ORDER BY q_idx)) * 1e6 + 0.5) / 1e6 AS score
+         |  FROM sims GROUP BY doc_id)
+         |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     // Twin of mine_hard_negatives: exact cosine (double accumulation),
     // identical band and deterministic (cosine desc, vec_id) tie-break

@@ -467,6 +467,32 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** Incremental BQ-index maintenance — the train-free member of the
+    * nightly-append family: the standing corpus builds the signature
+    * index, the arrival slice appends via
+    * [[graft.operators.Similarity.insertIntoStoredBq]] (encode + write,
+    * O(batch), no router to consult), and the search over the maintained
+    * index must equal a from-scratch full build — the SAME full-corpus
+    * oracle as `ann_bq_store`, so maintenance invisibility sits under
+    * the hash. */
+  val annBqIncremental: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_bqinc").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val corpus = e.filter(col("vec_id") =!= 0)
+      Similarity.buildBqIndex(store, "bq_sigs",
+        corpus.filter(col("vec_id") % 10 =!= 7), "embedding", "vec_id")
+      Similarity.insertIntoStoredBq(store, "bq_sigs",
+        corpus.filter(col("vec_id") % 10 === 7), "embedding", "vec_id"): Unit
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val out = Similarity.bqSearchStored(store.read(s, "bq_sigs"), corpus,
+        "embedding", "vec_id", qv, k = 10, rerank = 4)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   private def searchAutoAt(s: SparkSession, d: String,
                            buildIvf: Boolean): DataFrame = {
     val root = java.nio.file.Files.createTempDirectory("graft_auto").toString
@@ -1627,6 +1653,22 @@ object GraftQueries {
     Dedup.clusters(Tables.documents(s, d), "text", "doc_id", threshold = 0.8)
       .orderBy("doc_id")
 
+  /** Quality-aware canonical selection — [[graft.operators.Dedup.keepBest]]
+    * over the same MinHash-LSH clustering as `dedup_clusters`: each
+    * near-dup cluster keeps its HIGHEST-quality member (doc-id ties
+    * ascending) instead of the lowest id — the retention policy a
+    * training pipeline wants (the best copy survives, not the first).
+    * FULL oracle: the dedup_clusters reachability CTE composed with the
+    * quality CTE and the same per-cluster (quality DESC, id) rank. */
+  val dedupKeepBest: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val clusters = Dedup.clusters(docs, "text", "doc_id", threshold = 0.8)
+      .select("doc_id", "cluster_id")
+    val scores = TextAnalysis.textStats(docs).select(col("doc_id"), col("quality"))
+    Dedup.keepBest(clusters, scores, "doc_id", "quality")
+      .orderBy("doc_id")
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs at harness scale;
     * LSH-bucketed variant is the scale path). */
   val dedupEmbedding: Q = (s, d) =>
@@ -2011,6 +2053,40 @@ object GraftQueries {
     val rows = out.collect() // materialize before deleting the temp dir
     s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
     } finally rmTreeLocal(tmp) // also on failure — no scratch-dir leak
+  }
+
+  /** Curriculum-ordered sharded export — the writer path the curriculum
+    * operator exists for: [[graft.text.TextAnalysis.curriculumOrder]]'s
+    * emit order splits into `nShards` CONTIGUOUS rank ranges
+    * (shard = (rank−1)·S/n — shard 0 is the easiest slice, shard S−1 the
+    * hardest tail), written parquet-partitioned by shard and read BACK
+    * for the per-shard manifest (row count, rank range, phase range,
+    * order-insensitive id checksum). A hash match proves the distributed
+    * rank arithmetic, the contiguous split, and write/read losslessness
+    * in one statement. No partitionless window anywhere (GlobalRank). */
+  val exportCurriculumShards: Q = (s, d) => {
+    val nShards = 8
+    val tmp = java.nio.file.Files.createTempDirectory("graft_currsh").toString
+    try {
+      val q = TextAnalysis.textStats(Tables.documents(s, d))
+        .select(col("doc_id"), col("quality"))
+      val ordered = TextAnalysis.curriculumOrder(q, "quality", "doc_id", phases = 4)
+      val n = ordered.count() // cheap: the GlobalRank checkpoint backs it
+      ordered
+        .withColumn("shard",
+          floor((col("emit_rank") - 1) * nShards / lit(n.toDouble)).cast("int"))
+        .repartition(nShards, col("shard"))
+        .write.mode("overwrite").partitionBy("shard").parquet(tmp)
+      val back = s.read.parquet(tmp)
+      val out = back.groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("emit_rank")).as("rank_lo"), max(col("emit_rank")).as("rank_hi"),
+          min(col("phase")).as("phase_lo"), max(col("phase")).as("phase_hi"),
+          expr("bit_xor(doc_id)").as("id_xor"))
+        .orderBy("shard")
+      val rows = out.collect() // materialize before deleting the temp dir
+      s.createDataFrame(java.util.Arrays.asList(rows: _*), out.schema)
+    } finally rmTreeLocal(tmp)
   }
 
   /** Small-file compaction on the collection store — the maintenance op
@@ -3894,6 +3970,59 @@ object GraftQueries {
       .select("doc_id", "rank_kw", "rank_vec", "rrf")
   }
 
+  /** Late-interaction (ColBERT-style MaxSim) reranking — the third
+    * retrieval paradigm next to the single-vector and sparse tiers:
+    * score(q, d) = Σ_{query token} max_{doc token} cos(qt, dt), summed
+    * in fixed query-token order. Token embeddings here are the
+    * md5-arithmetic embedder (8 dims of `md5(token:j)`-derived
+    * rationals) — deterministic, meaningless as semantics, and exactly
+    * SQL-expressible, which is the point: the MaxSim AGGREGATION
+    * STRUCTURE (per-token max, fixed-order sum, rank) sits under a full
+    * hash where a learned embedder would force rows-only. The candidate
+    * set is a keyword prefilter (the first-stage-retriever stand-in —
+    * late interaction is a RERANKER; at 100 TB candidates come from the
+    * ANN/BM25 tiers and per-candidate work is O(|d|·|q|) map-side).
+    * Fixed-order float parity: per-doc MaxSim terms fold left-to-right
+    * in query-token order (sort_array + aggregate — the batch-BM25
+    * discipline), mirrored by the oracle's `list(... ORDER BY q_idx)`
+    * → list_sum. */
+  val ragLateInteraction: Q = (s, d) => {
+    val sp = s
+    import sp.implicits._
+    val qTerms = Seq("hash", "merge", "stream", "vector")
+    def mdVec(tok: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      transform(sequence(lit(1), lit(8)), j =>
+        conv(substring(md5(concat(tok, lit(":"), j.cast("string")).cast("binary")),
+          1, 6), 16, 10).cast("double") / 16777216.0)
+    val qv = broadcast(qTerms.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("q_idx", "qt").withColumn("qvec", mdVec(col("qt"))))
+    val docs = Tables.spread(Tables.documents(s, d))
+    val cand = docs.filter(
+      qTerms.map(t => lower(col("text")).contains(t)).reduce(_ || _))
+    val dtoks = cand
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("dt"))
+      .withColumn("dvec", mdVec(col("dt")))
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    def nrm(a: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      aggregate(transform(a, x => x * x), lit(0.0), (acc, v) => acc + v)
+    val sims = dtoks.crossJoin(qv)
+      .select(col("doc_id"), col("q_idx"),
+        round(dot(col("dvec"), col("qvec")) /
+          sqrt(nrm(col("dvec")) * nrm(col("qvec"))), 6).as("sim"))
+      .groupBy("doc_id", "q_idx")
+      .agg(max(col("sim")).as("ms"))
+    sims.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("q_idx"), col("ms")))).as("_t"))
+      .withColumn("score", floor(
+        aggregate(transform(col("_t"), x => x.getField("ms")),
+          lit(0.0), (acc, v) => acc + v) * 1e6 + 0.5) / 1e6)
+      .select(col("doc_id"), col("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
   /** Relative-score fusion — the OTHER canonical hybrid-fusion
     * strategy next to RRF (Weaviate's relativeScoreFusion): each arm's
     * top-100 scores min-max normalize to [0,1] (an all-equal arm
@@ -4347,6 +4476,7 @@ object GraftQueries {
     "ann_named_vectors" -> annNamedVectors,
     "ann_recommend_best" -> annRecommendBest,
     "ann_bq_store" -> annBqStore,
+    "ann_bq_incremental" -> annBqIncremental,
     "ann_bq_batch" -> annBqBatch,
     "ann_federated_search" -> annFederatedSearch,
     "ann_lsh_multiprobe" -> annLshMultiprobe,
@@ -4423,6 +4553,7 @@ object GraftQueries {
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
     "pipeline_clean_mix" -> pipelineCleanMix,
     "dedup_clusters" -> dedupClusters,
+    "dedup_keep_best" -> dedupKeepBest,
     "source_jsonl" -> sourceJsonl,
     "source_csv" -> sourceCsv,
     "source_html_strip" -> sourceHtmlStrip,
@@ -4431,6 +4562,7 @@ object GraftQueries {
     "pipeline_split" -> pipelineSplit,
     "quality_bins" -> qualityBins,
     "export_shards" -> exportShards,
+    "export_curriculum_shards" -> exportCurriculumShards,
     "store_compact" -> storeCompact,
     "text_bpe_merges" -> textBpeMerges,
     "text_pmi" -> textPmi,
@@ -4529,6 +4661,7 @@ object GraftQueries {
     "q43_not_in" -> q43NotIn,
     "rag_bm25_fusion" -> ragBm25Fusion,
     "rag_hybrid_relative" -> ragHybridRelative,
+    "rag_late_interaction" -> ragLateInteraction,
     "rag_mmr" -> ragMmr,
     "q44_percentile_sketch" -> q44PercentileSketch,
     "q45_sql_vector_fn" -> q45SqlVectorFn,

@@ -834,6 +834,28 @@ object Dedup {
       .select("doc_id", "cluster_id", "cluster_size", "is_canonical")
   }
 
+  /** Quality-aware canonical selection — the retention policy step after
+    * near-dup clustering: instead of keep-lowest-id, each cluster keeps
+    * its HIGHEST-scoring member (id ascending on ties), the policy a
+    * training-data pipeline actually wants (near-dups differ in
+    * boilerplate, truncation, encoding damage — the best-quality copy
+    * is the one to train on).
+    *
+    * `clusters` is a (id, cluster_id) labeling ([[Dedup.clusters]]'
+    * output shape); `scores` a (id, score) relation. The winner is a
+    * PARTITIONED window per cluster — parallel at any scale (clusters
+    * are bounded by the near-dup guard upstream, and the window key is
+    * the cluster id, never a global order). */
+  def keepBest(clusters: DataFrame, scores: DataFrame,
+               idCol: String, scoreCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    clusters.join(scores, Seq(idCol))
+      .withColumn("is_kept", row_number().over(w) === 1)
+      .select(col(idCol), col("cluster_id"), col(scoreCol), col("is_kept"))
+  }
+
   // ----------------------------------------------------- decontamination
 
   /** Benchmark decontamination — the training-data step that flags

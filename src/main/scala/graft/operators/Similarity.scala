@@ -1269,6 +1269,31 @@ object Similarity {
       packSignBits(col(vecCol), half, dim).as("bq_hi")))
   }
 
+  /** Incremental maintenance of a stored BQ index — the simplest of the
+    * nightly-append family: signatures are train-free values (no cells,
+    * no router, no stats), so the append is encode + write, O(batch)
+    * with zero existing rows read beyond the contract's slim id pass.
+    * Same discipline as the IVF/graph verbs: lazy batch pin, one
+    * contract aggregation, one map-only collision check. Returns the
+    * batch size. */
+  def insertIntoStoredBq(store: graft.store.VectorStore, name: String,
+                         batch: DataFrame, vecCol: String, idCol: String,
+                         dim: Int = 64): Long = {
+    require(dim % 2 == 0 && dim <= 128, s"dim must be even and <= 128, got $dim")
+    val half = dim / 2
+    val encoded = batch.select(col(idCol),
+      packSignBits(col(vecCol), 0, half).as("bq_lo"),
+      packSignBits(col(vecCol), half, dim).as("bq_hi"))
+      .localCheckpoint(false) // pinned: contract + append read one evaluation
+    val cnts = encoded.agg(count(lit(1)), countDistinct(col(idCol))).head
+    AppendContract.requireUnique(cnts.getLong(0), cnts.getLong(1),
+      "insertIntoStoredBq")
+    AppendContract.requireNoExisting(store, name, encoded, idCol,
+      cnts.getLong(0), "insertIntoStoredBq")
+    store.append(name, encoded)
+    cnts.getLong(0)
+  }
+
   /** Top-k over the STORED signature index: Hamming pre-rank reads ONLY
     * the 16-byte signature rows (column-pruned, never the vectors), the
     * rerank·k shortlist joins back to the raw collection for exact

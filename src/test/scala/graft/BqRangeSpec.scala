@@ -59,6 +59,46 @@ class BqRangeSpec extends SparkSpec {
       s"top cosine hit unexpectedly Hamming-far: ${rows.head.getInt(1)}")
   }
 
+  test("BQ incremental append: untouched files byte-identical; search == full rebuild; refusals") {
+    import graft.operators.Similarity
+    val rootInc = java.nio.file.Files.createTempDirectory("bqinc").toString
+    val rootFull = java.nio.file.Files.createTempDirectory("bqfull").toString
+    val storeInc = graft.store.VectorStore(rootInc)
+    val storeFull = graft.store.VectorStore(rootFull)
+    try {
+      val standing = corpus.filter(col("vec_id") % 10 =!= 7)
+      val arrivals = corpus.filter(col("vec_id") % 10 === 7)
+      Similarity.buildBqIndex(storeInc, "bq", standing, "embedding", "vec_id")
+      val before = storeInc.dataFiles("bq")
+        .map(f => f.getName -> f.lastModified()).toMap
+      val n = Similarity.insertIntoStoredBq(storeInc, "bq", arrivals,
+        "embedding", "vec_id")
+      assert(n == arrivals.count())
+      // O(batch): pre-existing signature files untouched by the append
+      storeInc.dataFiles("bq").foreach { f =>
+        before.get(f.getName).foreach(ts => assert(f.lastModified() == ts,
+          s"pre-existing file ${f.getName} rewritten by the append"))
+      }
+      assert(storeInc.dataFiles("bq").size > before.size, "append added no files")
+      // maintained index == from-scratch full build, row for row
+      Similarity.buildBqIndex(storeFull, "bq", corpus, "embedding", "vec_id")
+      val inc = Similarity.bqSearchStored(storeInc.read(spark, "bq"), corpus,
+        "embedding", "vec_id", qv, k = 10, rerank = 4).collect().toSeq
+      val full = Similarity.bqSearchStored(storeFull.read(spark, "bq"), corpus,
+        "embedding", "vec_id", qv, k = 10, rerank = 4).collect().toSeq
+      assert(inc == full, "maintained BQ index diverged from a full rebuild")
+      // contract refusals: batch-internal duplicate, existing id
+      intercept[IllegalArgumentException] {
+        Similarity.insertIntoStoredBq(storeInc, "bq",
+          arrivals.limit(1).unionAll(arrivals.limit(1)), "embedding", "vec_id")
+      }
+      intercept[IllegalArgumentException] {
+        Similarity.insertIntoStoredBq(storeInc, "bq", arrivals.limit(1),
+          "embedding", "vec_id")
+      }
+    } finally { storeInc.destroy(); storeFull.destroy() }
+  }
+
   test("stored BQ search == inline BQ search, row for row") {
     val root = java.nio.file.Files.createTempDirectory("graft_bqspec").toString
     val store = graft.store.VectorStore(root)

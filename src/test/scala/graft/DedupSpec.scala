@@ -97,6 +97,35 @@ class DedupSpec extends SparkSpec {
     assert(solo.forall { case (id, cid, sz, canon) => cid == id && sz == 1L && canon })
   }
 
+  test("keepBest: highest score wins per cluster, id breaks ties, singletons kept") {
+    import spark.implicits._
+    // cluster 1 = {1,2,3} (3 is best), cluster 4 = {4,5} (exact score tie
+    // — lowest id must win), 6 a singleton
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L),
+      (6L, 6L)).toDF("doc_id", "cluster_id")
+    val scores = Seq((1L, 0.5), (2L, 0.7), (3L, 0.9), (4L, 0.8), (5L, 0.8),
+      (6L, 0.1)).toDF("doc_id", "quality")
+    val got = Dedup.keepBest(clusters, scores, "doc_id", "quality")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(1L -> false, 2L -> false, 3L -> true,
+      4L -> true, 5L -> false, 6L -> true), s"got $got")
+    // invariant on real data: exactly one keeper per cluster, and its
+    // quality is the cluster max
+    val docs = Tables.documents(spark, sf)
+    val cl = Dedup.clusters(docs, "text", "doc_id", threshold = 0.8)
+      .select("doc_id", "cluster_id")
+    val q = graft.text.TextAnalysis.textStats(docs).select(col("doc_id"), col("quality"))
+    val out = Dedup.keepBest(cl, q, "doc_id", "quality")
+    val perCluster = out.groupBy("cluster_id")
+      .agg(count(when(col("is_kept"), 1)).as("n_kept"),
+        max(col("quality")).as("qmax"),
+        max(when(col("is_kept"), col("quality"))).as("qkept"))
+      .collect()
+    assert(perCluster.forall(_.getLong(1) == 1L), "not exactly one keeper per cluster")
+    assert(perCluster.forall(r => r.getDouble(2) == r.getDouble(3)),
+      "a keeper is not its cluster's max quality")
+  }
+
   test("embedding near-dup with cosine threshold") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)),
