@@ -2717,6 +2717,47 @@ object GraftOracles {
          |  FROM sims GROUP BY doc_id)
          |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    // Twin of pipeline_split_leakfree: the dedup_clusters reachability
+    // CTE + the cluster-grain md5 fold rule — the no-cluster-spans-folds
+    // invariant holds by construction on both sides.
+    "pipeline_split_leakfree" ->
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+         |      i -> substr(text, i::INT, 5))) AS s
+         |  FROM documents),
+         |prs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+         |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM prs UNION SELECT id_b, id_a FROM prs),
+         |walk(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.a, w.lbl FROM walk w JOIN edges e ON w.id = e.b),
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 6))::BIGINT % 10 < 8
+         |    THEN 'train' ELSE 'val' END AS fold
+         |FROM comp ORDER BY doc_id""".stripMargin,
+
+    // Twin of mix_weighted_sample: the A-ES priority ln(u)/w restated
+    // verbatim — md5 fraction shifted into (0,1], quality floored at
+    // 1e-3, floor-rounded to 9 decimals, (priority DESC, id) top-100.
+    "mix_weighted_sample" ->
+      s"""WITH q AS (SELECT doc_id, source,
+         |    floor(least(1.0,
+         |      0.4 * least(len($toks)::DOUBLE / 50.0, 1.0)
+         |      + 0.3 * (1.0 - (length(text) - length(regexp_replace(text, '[\\.,;:!\\?]', '', 'g')))::DOUBLE / length(text))
+         |      + 0.3 * (len(list_distinct($toks))::DOUBLE / len($toks))) * 1e6 + 0.5) / 1e6 AS quality
+         |  FROM documents),
+         |pr AS (SELECT doc_id, source, quality,
+         |    floor(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 6))::BIGINT::DOUBLE + 1.0) / 16777217.0)
+         |      / greatest(quality, 0.001) * 1e9) / 1e9 AS priority
+         |  FROM q)
+         |SELECT doc_id, source, quality, priority FROM pr
+         |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
+
     // Twin of mine_hard_negatives: exact cosine (double accumulation),
     // identical band and deterministic (cosine desc, vec_id) tie-break
     "mine_hard_negatives" ->

@@ -1669,6 +1669,47 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** Leakage-free train/val split — the dedup-aware fold assignment a
+    * training pipeline needs: folds are assigned at the NEAR-DUP
+    * CLUSTER grain (md5 of the cluster id), so two near-duplicate
+    * documents can never land on opposite sides of the split (the
+    * classic eval-contamination channel that a per-document split
+    * leaves open). 80/20 by the md5-fraction rule; map-only on top of
+    * the cluster labeling, so the split itself adds no shuffle. FULL
+    * hash: the dedup_clusters reachability CTE + the same fold
+    * arithmetic. */
+  val pipelineSplitLeakfree: Q = (s, d) => {
+    val clusters = Dedup.clusters(Tables.documents(s, d), "text", "doc_id",
+      threshold = 0.8).select("doc_id", "cluster_id")
+    clusters.withColumn("fold",
+        when(conv(substring(md5(col("cluster_id").cast("string").cast("binary")),
+          1, 6), 16, 10).cast("long") % 10 < 8, "train").otherwise("val"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic weighted sampling WITHOUT replacement — the
+    * Efraimidis–Spirakis A-ES construction that makes "sample 100 docs
+    * proportional to quality" a single distributed top-k: each doc gets
+    * priority ln(u)/w (u = the repo's md5 fraction, shifted into (0,1];
+    * w = quality floored at 1e-3), and the global top-k by priority IS
+    * an exact weighted sample without replacement. No RNG, no
+    * partition-dependence — the sample is a pure function of the corpus,
+    * so it survives retries and engine changes, and the oracle restates
+    * it verbatim (ln() parity established by text_bm25). Priorities are
+    * floor-rounded to 9 decimals with id tiebreaks, the cross-engine
+    * ranking discipline. */
+  val mixWeightedSample: Q = (s, d) => {
+    val docs = TextAnalysis.textStats(Tables.documents(s, d))
+      .select(col("doc_id"), col("source"), col("quality"))
+    val u = (conv(substring(md5(col("doc_id").cast("string").cast("binary")),
+      1, 6), 16, 10).cast("double") + 1.0) / 16777217.0
+    val w = greatest(col("quality"), lit(0.001))
+    docs.withColumn("priority", floor(log(u) / w * 1e9) / 1e9)
+      .orderBy(col("priority").desc, col("doc_id"))
+      .limit(100)
+      .select("doc_id", "source", "quality", "priority")
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs at harness scale;
     * LSH-bucketed variant is the scale path). */
   val dedupEmbedding: Q = (s, d) =>
@@ -4554,6 +4595,8 @@ object GraftQueries {
     "pipeline_clean_mix" -> pipelineCleanMix,
     "dedup_clusters" -> dedupClusters,
     "dedup_keep_best" -> dedupKeepBest,
+    "pipeline_split_leakfree" -> pipelineSplitLeakfree,
+    "mix_weighted_sample" -> mixWeightedSample,
     "source_jsonl" -> sourceJsonl,
     "source_csv" -> sourceCsv,
     "source_html_strip" -> sourceHtmlStrip,

@@ -126,6 +126,22 @@ class DedupSpec extends SparkSpec {
       "a keeper is not its cluster's max quality")
   }
 
+  test("leak-free split: near-dup pairs never cross folds; both folds populated") {
+    import spark.implicits._
+    val d = "/root/testdata/sf0.01"
+    val docs = Tables.documents(spark, d)
+    val folds = GraftQueries.all("pipeline_split_leakfree")(spark, d)
+      .select("doc_id", "fold").as[(Long, String)].collect().toMap
+    assert(folds.values.toSet == Set("train", "val"), "a fold is empty")
+    // THE invariant: no near-dup pair spans the split (eval contamination)
+    val pairs = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty, "fixture has no near-dup pairs — invariant untested")
+    pairs.foreach { case (a, b) =>
+      assert(folds(a) == folds(b), s"near-dups $a/$b split across folds")
+    }
+  }
+
   test("embedding near-dup with cosine threshold") {
     val vecs = Seq(
       (1L, Array(1f, 0f, 0f)),
