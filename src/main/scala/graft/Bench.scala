@@ -92,8 +92,9 @@ object Bench {
       val times = runs.filter(_._2).map(_._1).sorted
       if (times.isEmpty) {
         // every run crashed: report a LOUD sentinel, never a timing
+        // (runs = successful runs = 0, same semantics as the detail row)
         System.err.println(f"[bench] $name%-28s ALL $nRuns runs FAILED")
-        (name, -1.0, -1.0, -1.0, -1.0, -1.0, nRuns, errors)
+        (name, -1.0, -1.0, -1.0, -1.0, -1.0, 0, errors)
       } else {
         val n = times.length
         val med = times(n / 2)

@@ -2717,6 +2717,21 @@ object GraftOracles {
          |  FROM sims GROUP BY doc_id)
          |SELECT doc_id, score FROM sc ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
+    // Twin of ann_mutual_knn: per-side top-5 ranks over the bounded
+    // slice's pair relation, mutual self-join, one orientation out.
+    "ann_mutual_knn" ->
+      s"""WITH p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |    round($cosineDouble, 6) AS cosine
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 300 AND b.vec_id < 300),
+         |r AS (SELECT id_a, id_b, cosine,
+         |    row_number() OVER (PARTITION BY id_a ORDER BY cosine DESC, id_b) AS rank
+         |  FROM p),
+         |t AS (SELECT id_a, id_b, cosine FROM r WHERE rank <= 5)
+         |SELECT t.id_a, t.id_b, t.cosine
+         |FROM t JOIN t t2 ON t.id_a = t2.id_b AND t.id_b = t2.id_a
+         |WHERE t.id_a < t.id_b ORDER BY 1, 2""".stripMargin,
+
     // Twin of pipeline_split_leakfree: the dedup_clusters reachability
     // CTE + the cluster-grain md5 fold rule — the no-cluster-spans-folds
     // invariant holds by construction on both sides.

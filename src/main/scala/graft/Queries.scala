@@ -1669,6 +1669,33 @@ object GraftQueries {
       .orderBy("doc_id")
   }
 
+  /** Mutual (reciprocal) k-NN pairs — the high-precision near-dup /
+    * retrieval-evaluation diagnostic: (a, b) is emitted iff b is in a's
+    * cosine top-k AND a is in b's (excluding self), the standard
+    * reciprocal-nearest-neighbor criterion (far stricter than one-sided
+    * kNN — hubs collect one-sided edges, mutual edges need agreement).
+    * Ranks are per-vector PARTITIONED windows over the scored pair
+    * relation; the pair relation itself is the documented all-pairs
+    * bounded-slice form — at corpus scale the candidate edges come from
+    * the ANN tiers and this operator is the relational tail. FULL hash:
+    * per-side row_number twins + the mutual self-join. */
+  val annMutualKnn: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+    val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val scored = a.join(b, col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+    val ranked = scored.withColumn("rank", row_number().over(
+      Window.partitionBy(col("id_a")).orderBy(col("cosine").desc, col("id_b"))))
+      .filter(col("rank") <= 5)
+    val fwd = ranked.select(col("id_a"), col("id_b"), col("cosine"))
+    val rev = ranked.select(col("id_b").as("id_a"), col("id_a").as("id_b"))
+    fwd.join(rev, Seq("id_a", "id_b"), "left_semi")
+      .filter(col("id_a") < col("id_b")) // one row per mutual pair
+      .orderBy("id_a", "id_b")
+  }
+
   /** Leakage-free train/val split — the dedup-aware fold assignment a
     * training pipeline needs: folds are assigned at the NEAR-DUP
     * CLUSTER grain (md5 of the cluster id), so two near-duplicate
@@ -4596,6 +4623,7 @@ object GraftQueries {
     "dedup_clusters" -> dedupClusters,
     "dedup_keep_best" -> dedupKeepBest,
     "pipeline_split_leakfree" -> pipelineSplitLeakfree,
+    "ann_mutual_knn" -> annMutualKnn,
     "mix_weighted_sample" -> mixWeightedSample,
     "source_jsonl" -> sourceJsonl,
     "source_csv" -> sourceCsv,
