@@ -412,6 +412,39 @@ object GraftOracles {
        |ORDER BY rank""".stripMargin
   }
 
+  /** Shared twin of ann_ivfsq_store / ann_ivfsq_incremental: the full
+    * SQ chain (kmeans router, full-corpus min/max, probe, encode, ADC)
+    * — the incremental append's frozen quantizer makes the maintained
+    * store equal the full build, so one SQL serves both. */
+  private lazy val ivfSqTop10Sql: String =
+    s"""WITH $kmeansCte,
+         |mm AS (SELECT u.p AS pos,
+         |    min(embedding[CAST(u.p + 1 AS INT)]::DOUBLE) AS mn,
+         |    max(embedding[CAST(u.p + 1 AS INT)]::DOUBLE) AS mx
+         |  FROM embeddings, unnest(range(0, 64)) AS u(p) GROUP BY 1),
+         |mml AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM mm),
+         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |qc AS (SELECT c.cid, floor(list_sum(list_transform(range(1,65),
+         |      i -> (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)])
+         |         * (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dr
+         |  FROM c2 c CROSS JOIN q),
+         |probe AS (SELECT cid FROM qc ORDER BY dr, cid LIMIT 4),
+         |cand AS (SELECT s.vec_id, s.cid, s.embedding FROM s2f s
+         |  WHERE s.vec_id <> 0 AND s.cid IN (SELECT cid FROM probe)),
+         |enc AS (SELECT c.vec_id, c.cid,
+         |    list_transform(range(1,65), i -> CASE WHEN m.mxs[CAST(i AS INT)] = m.mns[CAST(i AS INT)] THEN 0
+         |      ELSE CAST(floor((c.embedding[CAST(i AS INT)]::DOUBLE - m.mns[CAST(i AS INT)])
+         |        / (m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) * 255 + 0.5) AS INT) END) AS code
+         |  FROM cand c CROSS JOIN mml m),
+         |dd AS (SELECT enc.vec_id, enc.cid,
+         |    floor(list_sum(list_transform(range(1,65),
+         |      i -> (m.mns[CAST(i AS INT)] + enc.code[CAST(i AS INT)] * ((m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) / 255) - q.qv[CAST(i AS INT)])
+         |         * (m.mns[CAST(i AS INT)] + enc.code[CAST(i AS INT)] * ((m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) / 255) - q.qv[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dist
+         |  FROM enc CROSS JOIN mml m CROSS JOIN q)
+         |SELECT vec_id, CAST(cid AS INT) AS cell_id, dist FROM dd
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+
   private lazy val annProbedTop10Sql: String = annProbedTop10SqlAt(16, 3)
 
   /** The probed-top-10 twin at ANY router geometry: k-means re-derived
@@ -2170,6 +2203,9 @@ object GraftOracles {
     // statement about WHICH candidates are scored — see ivfPqSql.
     "ann_ivfpq" -> ivfPqTop10Sql,
     "ann_ivfpq_store" -> ivfPqTop10Sql,
+    // incremental PQ append: frozen router + codebooks => the maintained
+    // store equals the full build, same generated oracle
+    "ann_ivfpq_incremental" -> ivfPqTop10Sql,
 
     // Twin of ann_lsh_buckets (rows-only no more): deterministic
     // hyperplane signatures are pure arithmetic once the seeded planes
@@ -2190,34 +2226,11 @@ object GraftOracles {
     // reproduce the floor-rounded lowest-cid-tie probe-cell selection,
     // and the encode/ADC arithmetic is the proven ann_sq_topk form
     // restricted to candidates in probed cells.
-    "ann_ivfsq_store" ->
-      s"""WITH $kmeansCte,
-         |mm AS (SELECT u.p AS pos,
-         |    min(embedding[CAST(u.p + 1 AS INT)]::DOUBLE) AS mn,
-         |    max(embedding[CAST(u.p + 1 AS INT)]::DOUBLE) AS mx
-         |  FROM embeddings, unnest(range(0, 64)) AS u(p) GROUP BY 1),
-         |mml AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM mm),
-         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-         |  FROM embeddings WHERE vec_id = 0),
-         |qc AS (SELECT c.cid, floor(list_sum(list_transform(range(1,65),
-         |      i -> (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)])
-         |         * (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dr
-         |  FROM c2 c CROSS JOIN q),
-         |probe AS (SELECT cid FROM qc ORDER BY dr, cid LIMIT 4),
-         |cand AS (SELECT s.vec_id, s.cid, s.embedding FROM s2f s
-         |  WHERE s.vec_id <> 0 AND s.cid IN (SELECT cid FROM probe)),
-         |enc AS (SELECT c.vec_id, c.cid,
-         |    list_transform(range(1,65), i -> CASE WHEN m.mxs[CAST(i AS INT)] = m.mns[CAST(i AS INT)] THEN 0
-         |      ELSE CAST(floor((c.embedding[CAST(i AS INT)]::DOUBLE - m.mns[CAST(i AS INT)])
-         |        / (m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) * 255 + 0.5) AS INT) END) AS code
-         |  FROM cand c CROSS JOIN mml m),
-         |dd AS (SELECT enc.vec_id, enc.cid,
-         |    floor(list_sum(list_transform(range(1,65),
-         |      i -> (m.mns[CAST(i AS INT)] + enc.code[CAST(i AS INT)] * ((m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) / 255) - q.qv[CAST(i AS INT)])
-         |         * (m.mns[CAST(i AS INT)] + enc.code[CAST(i AS INT)] * ((m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) / 255) - q.qv[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dist
-         |  FROM enc CROSS JOIN mml m CROSS JOIN q)
-         |SELECT vec_id, CAST(cid AS INT) AS cell_id, dist FROM dd
-         |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+    "ann_ivfsq_store" -> ivfSqTop10Sql,
+    // incremental SQ append: frozen quantizer (full-corpus centroids +
+    // min/max) => the maintained store equals the full build, same SQL
+    "ann_ivfsq_incremental" -> ivfSqTop10Sql,
+
 
     // Twin of ann_graph_walk: the beam-walk KERNEL replayed as a
     // recursive-CTE state machine — one neighbor OFFER or candidate POP

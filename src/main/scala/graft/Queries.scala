@@ -1257,6 +1257,65 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** Incremental stored-SQ maintenance — the int8 member of the
+    * nightly-append family: the frozen quantizer (full-corpus centroids
+    * + per-dim min/max, the build-time artifacts) encodes the arrival
+    * slice through [[Similarity.insertIntoStoredSq]] (O(batch)
+    * dynamic-partition append), and the probe over the maintained store
+    * hash-matches the SAME full-corpus oracle as `ann_ivfsq_store` —
+    * maintenance invisibility under the hash, for the family whose
+    * every arithmetic step is SQL-reproducible. */
+  val annIvfSqIncremental: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqinc").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      // frozen quantizer trained on the FULL corpus (the ann_ivf_incremental
+      // posture), layout built from the standing slice only
+      val cents = Clustering.trainCentroids(e, 8, 2, "vec_id", "embedding")
+      val (mins, maxs) = Similarity.sqMinMax(e, "embedding")
+      store.create("vectors_sq", Similarity.sqAssignEncode(
+        e.filter(col("vec_id") % 10 =!= 7), "embedding", "vec_id",
+        cents, mins, maxs), partitionBy = Seq("cell_id"))
+      Similarity.insertIntoStoredSq(store, "vectors_sq",
+        e.filter(col("vec_id") % 10 === 7), "embedding", "vec_id",
+        cents, mins, maxs): Unit
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val out = Similarity.sqSearchStored(
+        store.read(s, "vectors_sq").filter(col("vec_id") =!= 0),
+        "vec_id", cents, mins, maxs, qv, k = 10, nprobe = 4)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
+  /** Incremental stored-IVF-PQ maintenance — the LAST stored family to
+    * gain the nightly-append verb (IVF, graph, BQ, SQ, text, sparse all
+    * have theirs): frozen coarse router + frozen codebooks encode the
+    * arrival slice ([[Similarity.insertIntoStoredPq]], O(batch)), and
+    * the ADC search over the maintained store answers with the SAME
+    * generated full-chain oracle as `ann_ivfpq_store`. */
+  val annIvfPqIncremental: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_pqinc").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val (cents, cb) = Similarity.trainIvfPq(e, "embedding", "vec_id", ncells = 16)
+      store.create("vectors_pq", Similarity.pqEncode(
+        e.filter(col("vec_id") % 10 =!= 7), "embedding", "vec_id", cents, cb),
+        partitionBy = Seq("cell_id"))
+      Similarity.insertIntoStoredPq(store, "vectors_pq",
+        e.filter(col("vec_id") % 10 === 7), "embedding", "vec_id", cents, cb): Unit
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val out = Similarity.pqSearchEncoded(store.read(s, "vectors_pq"),
+          "embedding", "vec_id", cents, cb, q, "q_id", "q_vec",
+          k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** Graph ANN (HNSW-class) — the last ANN family member: the
     * deterministic coarse quantizer routes (HNSW's upper layers), an
     * insertion-built NSW graph per cell fine-searches (layer 0), and
@@ -4573,6 +4632,8 @@ object GraftQueries {
     "graph_components" -> graphComponents,
     "graph_degree_stats" -> graphDegreeStats,
     "ann_ivf_incremental" -> annIvfIncremental,
+    "ann_ivfsq_incremental" -> annIvfSqIncremental,
+    "ann_ivfpq_incremental" -> annIvfPqIncremental,
     "ann_ivf_retrain" -> annIvfRetrain,
     "ann_mutable_ivf" -> annMutableIvf,
     "ann_mutable_ivf_filtered" -> annMutableIvfFiltered,

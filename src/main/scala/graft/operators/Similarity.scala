@@ -706,6 +706,28 @@ object Similarity {
     (cents, cb)
   }
 
+  /** Incremental maintenance of a stored IVF-PQ index — frozen coarse
+    * router AND frozen codebooks (both build-time artifacts), so the
+    * append is [[pqEncode]] + dynamic-partition write, O(batch): the
+    * last stored family to gain the nightly-append verb (IVF, graph,
+    * BQ, SQ, text, sparse all have theirs). Same discipline: lazy pin,
+    * one contract aggregation, one map-only collision pass. Returns
+    * touched cells. Codebook drift is the retrain verb's job. */
+  def insertIntoStoredPq(store: graft.store.VectorStore, name: String,
+      batch: DataFrame, vecCol: String, idCol: String,
+      cents: Array[(Int, Array[Float])], cb: PqCodebook): Seq[Int] = {
+    val encoded = pqEncode(batch, vecCol, idCol, cents, cb)
+      .localCheckpoint(false)
+    val head = encoded.agg(count(lit(1)), countDistinct(col(idCol)),
+      sort_array(collect_set(col("cell_id")))).head
+    AppendContract.requireUnique(head.getLong(0), head.getLong(1),
+      "insertIntoStoredPq")
+    AppendContract.requireNoExisting(store, name, encoded, idCol,
+      head.getLong(0), "insertIntoStoredPq")
+    store.append(name, encoded, partitionBy = Seq("cell_id"))
+    head.getSeq[Int](2)
+  }
+
   /** ADC search over an ALREADY-ENCODED relation (inline from
     * [[pqEncode]] or read back from the store): probed cells become a
     * LITERAL `cell_id IN (...)` filter — on the stored cell_id-partitioned
@@ -933,6 +955,15 @@ object Similarity {
       collection: DataFrame, vecCol: String, idCol: String,
       ncells: Int = 8, iters: Int = 2): (Array[Array[Float]], Array[Double], Array[Double]) = {
     val cents = Clustering.trainCentroids(collection, ncells, iters, idCol, vecCol)
+    val (mins, maxs) = sqMinMax(collection, vecCol)
+    store.create(name, sqAssignEncode(collection, vecCol, idCol, cents, mins, maxs),
+      partitionBy = Seq("cell_id"))
+    (cents, mins, maxs)
+  }
+
+  /** Per-dim corpus min/max — the SQ quantizer's training artifact
+    * (bounded collect: dim rows). */
+  def sqMinMax(collection: DataFrame, vecCol: String): (Array[Double], Array[Double]) = {
     val mm = collection.select(posexplode(col(vecCol)).as(Seq("pos", "x")))
       .groupBy("pos")
       .agg(min(col("x").cast("double")).as("mn"), max(col("x").cast("double")).as("mx"))
@@ -941,12 +972,43 @@ object Similarity {
     val mins = new Array[Double](dim)
     val maxs = new Array[Double](dim)
     mm.foreach { r => mins(r.getInt(0)) = r.getDouble(1); maxs(r.getInt(0)) = r.getDouble(2) }
-    val enc = collection
+    (mins, maxs)
+  }
+
+  /** The SQ encode+assign projection shared by the builder and the
+    * incremental append — one seam so batch and build can never disagree
+    * on the quantizer arithmetic. */
+  def sqAssignEncode(collection: DataFrame, vecCol: String, idCol: String,
+      cents: Array[Array[Float]], mins: Array[Double],
+      maxs: Array[Double]): DataFrame =
+    collection
       .withColumn("_a", Clustering.assignStruct(col(vecCol), cents))
       .select(col(idCol), sqEncode(col(vecCol), mins, maxs).as("sq_code"),
         col("_a").getField("cid").as("cell_id"))
-    store.create(name, enc, partitionBy = Seq("cell_id"))
-    (cents, mins, maxs)
+
+  /** Incremental maintenance of a stored int8-SQ index — frozen
+    * quantizer (centroids + per-dim min/max are build-time artifacts),
+    * so the append is encode + dynamic-partition write, O(batch), same
+    * discipline as [[insertIntoStoredIvf]] (lazy pin, one contract
+    * aggregation, one map-only collision pass). Returns touched cells.
+    * Arrivals outside the frozen ranges still encode deterministically
+    * (the encode is pure arithmetic, codes may leave [0,255]) — retrain
+    * via [[graft.store.VectorStore.replace]] when drift warrants, the
+    * IVF policy. */
+  def insertIntoStoredSq(store: graft.store.VectorStore, name: String,
+      batch: DataFrame, vecCol: String, idCol: String,
+      cents: Array[Array[Float]], mins: Array[Double],
+      maxs: Array[Double]): Seq[Int] = {
+    val encoded = sqAssignEncode(batch, vecCol, idCol, cents, mins, maxs)
+      .localCheckpoint(false)
+    val head = encoded.agg(count(lit(1)), countDistinct(col(idCol)),
+      sort_array(collect_set(col("cell_id")))).head
+    AppendContract.requireUnique(head.getLong(0), head.getLong(1),
+      "insertIntoStoredSq")
+    AppendContract.requireNoExisting(store, name, encoded, idCol,
+      head.getLong(0), "insertIntoStoredSq")
+    store.append(name, encoded, partitionBy = Seq("cell_id"))
+    head.getSeq[Int](2)
   }
 
   /** The `nprobe` cells nearest the query, by the SAME arithmetic as the

@@ -320,6 +320,72 @@ class AnnProbeSpec extends SparkSpec {
       .foreach(r => assert(Set(1, 2, 3).contains(r.getAs[Number](1).intValue)))
   }
 
+  test("SQ/PQ incremental appends: untouched files immutable, search == full build, refusals") {
+    import graft.operators.{Clustering, Similarity}
+    val e = Tables.embeddings(spark, sf).cache()
+    val rootA = java.nio.file.Files.createTempDirectory("sqpq_inc").toString
+    val rootB = java.nio.file.Files.createTempDirectory("sqpq_full").toString
+    val inc = graft.store.VectorStore(rootA)
+    val full = graft.store.VectorStore(rootB)
+    try {
+      val standing = e.filter(col("vec_id") % 10 =!= 7)
+      val arrivals = e.filter(col("vec_id") % 10 === 7)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      // ---- SQ: frozen full-corpus quantizer
+      val cents = Clustering.trainCentroids(e, 8, 2, "vec_id", "embedding")
+      val (mins, maxs) = Similarity.sqMinMax(e, "embedding")
+      inc.create("sq", Similarity.sqAssignEncode(standing, "embedding",
+        "vec_id", cents, mins, maxs), partitionBy = Seq("cell_id"))
+      // key by PATH: dynamic-partition writes reuse one filename across
+      // cell directories (same job uuid), so names collide across dirs
+      val before = inc.dataFiles("sq")
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+      val touched = Similarity.insertIntoStoredSq(inc, "sq", arrivals,
+        "embedding", "vec_id", cents, mins, maxs)
+      assert(touched.nonEmpty)
+      inc.dataFiles("sq").foreach { f =>
+        before.get(f.getPath).foreach(meta =>
+          assert((f.length, f.lastModified) == meta,
+            s"SQ append rewrote pre-existing ${f.getPath}")) }
+      full.create("sq", Similarity.sqAssignEncode(e, "embedding", "vec_id",
+        cents, mins, maxs), partitionBy = Seq("cell_id"))
+      val sInc = Similarity.sqSearchStored(inc.read(spark, "sq"), "vec_id",
+        cents, mins, maxs, qv, 10, 4).collect().toSeq
+      val sFull = Similarity.sqSearchStored(full.read(spark, "sq"), "vec_id",
+        cents, mins, maxs, qv, 10, 4).collect().toSeq
+      assert(sInc == sFull, "maintained SQ store diverged from a full build")
+      intercept[IllegalArgumentException] {
+        Similarity.insertIntoStoredSq(inc, "sq", arrivals.limit(1),
+          "embedding", "vec_id", cents, mins, maxs)
+      }
+      // ---- PQ: frozen router + codebooks
+      val (pc, cb) = Similarity.trainIvfPq(e, "embedding", "vec_id", ncells = 8)
+      inc.create("pq", Similarity.pqEncode(standing, "embedding", "vec_id", pc, cb),
+        partitionBy = Seq("cell_id"))
+      val beforePq = inc.dataFiles("pq")
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
+      Similarity.insertIntoStoredPq(inc, "pq", arrivals, "embedding", "vec_id", pc, cb): Unit
+      inc.dataFiles("pq").foreach { f =>
+        beforePq.get(f.getPath).foreach(meta =>
+          assert((f.length, f.lastModified) == meta,
+            s"PQ append rewrote pre-existing ${f.getPath}")) }
+      full.create("pq", Similarity.pqEncode(e, "embedding", "vec_id", pc, cb),
+        partitionBy = Seq("cell_id"))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val pInc = Similarity.pqSearchEncoded(inc.read(spark, "pq"), "embedding",
+        "vec_id", pc, cb, q, "q_id", "q_vec", 10, 4).collect().toSeq
+      val pFull = Similarity.pqSearchEncoded(full.read(spark, "pq"), "embedding",
+        "vec_id", pc, cb, q, "q_id", "q_vec", 10, 4).collect().toSeq
+      assert(pInc == pFull, "maintained PQ store diverged from a full build")
+      intercept[IllegalArgumentException] {
+        Similarity.insertIntoStoredPq(inc, "pq",
+          arrivals.limit(1).unionAll(arrivals.limit(1)), "embedding", "vec_id", pc, cb)
+      }
+    } finally { e.unpersist(); inc.destroy(); full.destroy() }
+  }
+
   test("adaptive filtered graph ANN: decision boundary, pre == exact, post recall") {
     import graft.operators.{Clustering, GraphAnn}
     val d = "/root/testdata/sf0.1"

@@ -70,14 +70,15 @@ class BqRangeSpec extends SparkSpec {
       val arrivals = corpus.filter(col("vec_id") % 10 === 7)
       Similarity.buildBqIndex(storeInc, "bq", standing, "embedding", "vec_id")
       val before = storeInc.dataFiles("bq")
-        .map(f => f.getName -> f.lastModified()).toMap
+        .map(f => f.getPath -> (f.length, f.lastModified)).toMap
       val n = Similarity.insertIntoStoredBq(storeInc, "bq", arrivals,
         "embedding", "vec_id")
       assert(n == arrivals.count())
       // O(batch): pre-existing signature files untouched by the append
       storeInc.dataFiles("bq").foreach { f =>
-        before.get(f.getName).foreach(ts => assert(f.lastModified() == ts,
-          s"pre-existing file ${f.getName} rewritten by the append"))
+        before.get(f.getPath).foreach(meta =>
+          assert((f.length, f.lastModified) == meta,
+            s"pre-existing file ${f.getPath} rewritten by the append"))
       }
       assert(storeInc.dataFiles("bq").size > before.size, "append added no files")
       // maintained index == from-scratch full build, row for row
