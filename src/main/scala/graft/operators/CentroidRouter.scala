@@ -169,10 +169,18 @@ object CentroidRouter {
     new Router(sortedCents, live.map(coarse(_)), live.map(groups(_)))
   }
 
-  // router memo, weak keys on the frozen centroid array identity
-  private val memo =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[AnyRef, Router]())
+  // Router memo keyed on frozen-array IDENTITY. NOT a WeakHashMap: the
+  // Router holds its centroid array (it must — executors score against
+  // it), so a weak-keyed map's value would strongly reference its own
+  // key and no entry could ever be collected — the classic value→key
+  // leak. A small LRU bounds the footprint instead; eviction just means
+  // a deterministic rebuild on next use.
+  private val MemoCap = 16
+  private val memo = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[AnyRef, Router](MemoCap, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, Router]): Boolean = size() > MemoCap
+    })
 
   /** The memoized router for a (sorted) centroid array. */
   def routerFor(sortedCents: Array[(Int, Array[Float])]): Router = {

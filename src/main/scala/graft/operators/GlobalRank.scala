@@ -45,6 +45,9 @@ object GlobalRank {
   def withGlobalRowNumberAndCount(df: DataFrame, sortCols: Seq[Column],
                                   out: String,
                                   numPartitions: Int = 0): (DataFrame, Long) = {
+    require(!df.columns.exists(_.startsWith("_gr_")),
+      "GlobalRank reserves the _gr_ column prefix — rename the input's " +
+        df.columns.filter(_.startsWith("_gr_")).mkString(", "))
     val sp = df.sparkSession
     val p = if (numPartitions > 0) numPartitions
             else math.max(sp.sparkContext.defaultParallelism, 1)

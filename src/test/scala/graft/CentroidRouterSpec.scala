@@ -65,6 +65,16 @@ class CentroidRouterSpec extends SparkSpec {
       f"build/probe self-consistency broke: $frac%.3f of queries miss their own cell")
   }
 
+  test("memo returns the SAME router per array identity; bounded (LRU)") {
+    val cents = synthCents(200, 10)
+    val a = CentroidRouter.routerFor(cents)
+    val b = CentroidRouter.routerFor(cents)
+    assert(a eq b, "memo must return the cached router for the same array")
+    // a structurally-equal but distinct array builds its own (identity keys)
+    val c = CentroidRouter.routerFor(cents.map { case (i, v) => (i, v.clone()) })
+    assert(!(c eq a))
+  }
+
   test("gated paths agree with the router; flat answers unchanged below the gate") {
     val e = Tables.embeddings(spark, sf).limit(400).cache()
     try {
