@@ -2226,6 +2226,17 @@ object GraftOracles {
     // reproduce the floor-rounded lowest-cid-tie probe-cell selection,
     // and the encode/ADC arithmetic is the proven ann_sq_topk form
     // restricted to candidates in probed cells.
+    // Twin of streaming_graph_ingest: the maintained graph store's
+    // assignment manifest — per-cell count + id checksum off the kmeans
+    // CTE's final assignment, no notion of the stream, the two replays,
+    // or the per-batch rebuilds. A dropped/duplicated/misrouted arrival
+    // breaks the hash; the walk itself is spec territory.
+    "streaming_graph_ingest" ->
+      s"""WITH $kmeansCte
+         |SELECT CAST(cid AS INT) AS cell_id,
+         |  CAST(count(*) AS BIGINT) AS n_nodes, bit_xor(vec_id) AS id_xor
+         |FROM s2f WHERE vec_id <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "ann_ivfsq_store" -> ivfSqTop10Sql,
     // incremental SQ append: frozen quantizer (full-corpus centroids +
     // min/max) => the maintained store equals the full build, same SQL

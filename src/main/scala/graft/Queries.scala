@@ -1107,6 +1107,39 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** Streaming ingest into the stored NSW GRAPH index — the last index
+    * family to gain a streaming path, and the only one whose per-batch
+    * effect is a touched-cell REBUILD: the standing slice builds the
+    * stored graph (frozen full-corpus router), the arrival slice streams
+    * through [[graft.streaming.IndexStream.graphBatchSink]] (exactly-once:
+    * commit watermark + per-id anti-filter heal, both recovery paths
+    * deterministically replayed by the harness), and the gate checks the
+    * maintained store's ASSIGNMENT MANIFEST — per-cell node count and id
+    * checksum — under a FULL hash (cell routing is SQL-derivable via the
+    * kmeans CTE; the adjacency itself is the walk kernel's spec
+    * territory, and stream==batch-incremental search parity is pinned in
+    * AnnProbeSpec). */
+  val streamingGraphIngest: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_sgr").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val cents = Clustering.trainCentroids(e, 8, 2)
+      val standing = e.filter(col("vec_id") =!= 0 && col("vec_id") % 10 =!= 7)
+      val (g0, _) = GraphAnn.buildGraph(standing, "embedding", "vec_id",
+        ncells = 8, m = 8, centroids = Some(cents))
+      store.create("graph", g0.toDF(), partitionBy = Seq("cell_id"))
+      graft.streaming.IndexStream.runStreamingGraphIngest(
+        s, s"$d/embeddings.parquet", store, "graph", cents)
+      val out = store.read(s, "graph")
+        .groupBy(col("cell_id").cast("int").as("cell_id"))
+        .agg(count(lit(1)).as("n_nodes"),
+          expr("bit_xor(id)").as("id_xor"))
+        .orderBy("cell_id")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   val annIvfStore: Q = (s, d) => {
     import graft.plans.AnnProbe
     val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
@@ -4806,6 +4839,7 @@ object GraftQueries {
     "streaming_cluster_assign" -> streamingClusterAssign,
     "streaming_drift" -> streamingDrift,
     "streaming_ann_ingest" -> streamingAnnIngest,
+    "streaming_graph_ingest" -> streamingGraphIngest,
     "source_orc" -> sourceOrc,
     "ann_sq_topk" -> annSqTopk,
     "zorder_key" -> zorderKey,

@@ -98,6 +98,72 @@ object IndexStream {
       replayed, StreamCommits.lastBatchId(store, name) + 1)
   }
 
+  // ------------------------------------------- stored GRAPH index sink
+
+  /** `foreachBatch` body for the stored NSW GRAPH index — the last
+    * index family to gain a streaming ingest path, and the only one
+    * whose per-batch effect is a REBUILD rather than a plain append
+    * ([[graft.operators.GraphAnn.insertIntoStored]] re-links the
+    * touched cells' graphs). Exactly-once with the same two layers as
+    * [[ivfBatchSink]]: the [[StreamCommits]] watermark skips replayed
+    * batchIds, and the append-vs-commit crash window self-heals by
+    * anti-filtering the batch against the index's slim id column —
+    * ids whose rebuild already landed drop out (re-running the insert
+    * verb with them would REFUSE via the append contract, correctly:
+    * there a collision is a data error, here it is expected recovery).
+    * The touched-cell overwrite itself relies on the write job's own
+    * commit protocol, same as the nightly batch verb. */
+  def graphBatchSink(store: VectorStore, name: String, vecCol: String,
+                     idCol: String, cents: Array[Array[Float]],
+                     m: Int = 8, efConstruction: Int = 32)(
+                     batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= StreamCommits.lastBatchId(store, name)) return
+    val sp = batch.sparkSession
+    val cnts = batch.agg(count(lit(1)), countDistinct(col(idCol))).head
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"graphBatchSink: micro-batch $batchId carries duplicate ids")
+    val pinned = batch.localCheckpoint(true) // heal probe + insert read one evaluation
+    val colliding = store.read(sp, name).select(col("id").as(idCol))
+      .join(BroadcastGate.maybeBroadcast(
+        pinned.select(col(idCol).cast("long").as(idCol)),
+        cnts.getLong(0) * 64), Seq(idCol), "left_semi")
+    val collidingB = BroadcastGate.maybeBroadcast(colliding, cnts.getLong(0) * 64)
+    val fresh = pinned.join(collidingB,
+      pinned(idCol).cast("long") === collidingB(idCol), "left_anti")
+    if (!fresh.isEmpty)
+      graft.operators.GraphAnn.insertIntoStored(store, name, fresh,
+        vecCol, idCol, cents, m, efConstruction): Unit
+    StreamCommits.commit(store, name, batchId)
+  }
+
+  /** Harness twin of [[runStreamingIvfIngest]] for the graph index:
+    * stream the arrival slice into a stored NSW graph built from the
+    * standing slice (frozen full-corpus router), then deterministically
+    * replay both recovery paths (below-watermark skip; new-batchId
+    * all-ids-landed anti-filter). The caller checks the maintained
+    * store's ASSIGNMENT MANIFEST under the gate hash (cell routing is
+    * SQL-derivable; the adjacency is the walk kernel's spec territory). */
+  def runStreamingGraphIngest(spark0: SparkSession, embParquet: String,
+                              store: VectorStore, name: String,
+                              cents: Array[Array[Float]]): Unit = {
+    val spark = EventStream.streamSession(spark0)
+    val arrivals = EventStream.readFileStream(spark, embParquet)
+      .filter(col("vec_id") =!= 0 && col("vec_id") % 10 === 7)
+    val q = arrivals.writeStream
+      .foreachBatch(graphBatchSink(store, name, "embedding", "vec_id", cents) _)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    val replayed = spark.read.parquet(
+        new java.io.File(embParquet).getAbsolutePath)
+      .filter(col("vec_id") =!= 0 && col("vec_id") % 10 === 7)
+    graphBatchSink(store, name, "embedding", "vec_id", cents)(
+      replayed, StreamCommits.lastBatchId(store, name))
+    graphBatchSink(store, name, "embedding", "vec_id", cents)(
+      replayed, StreamCommits.lastBatchId(store, name) + 1)
+  }
+
   // ------------------------------------------- stored TEXT index sink
 
   /** `foreachBatch` body for the stored inverted text index

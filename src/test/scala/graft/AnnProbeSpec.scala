@@ -320,6 +320,45 @@ class AnnProbeSpec extends SparkSpec {
       .foreach(r => assert(Set(1, 2, 3).contains(r.getAs[Number](1).intValue)))
   }
 
+  test("streaming graph ingest: walk answers == batch-incremental maintenance") {
+    import graft.operators.{Clustering, GraphAnn}
+    val rootA = java.nio.file.Files.createTempDirectory("sgr_stream").toString
+    val rootB = java.nio.file.Files.createTempDirectory("sgr_batch").toString
+    val sa = graft.store.VectorStore(rootA)
+    val sb = graft.store.VectorStore(rootB)
+    val e = Tables.embeddings(spark, sf).cache()
+    try {
+      val cents = Clustering.trainCentroids(e, 8, 2)
+      val standing = e.filter(col("vec_id") =!= 0 && col("vec_id") % 10 =!= 7)
+      val arrivals = e.filter(col("vec_id") =!= 0 && col("vec_id") % 10 === 7)
+      val (g0, _) = GraphAnn.buildGraph(standing, "embedding", "vec_id",
+        ncells = 8, m = 8, centroids = Some(cents))
+      val gdf = g0.toDF().localCheckpoint(true)
+      sa.create("graph", gdf, partitionBy = Seq("cell_id"))
+      sb.create("graph", gdf, partitionBy = Seq("cell_id"))
+      // A: through the stream (incl. the two deterministic replays)
+      graft.streaming.IndexStream.runStreamingGraphIngest(
+        spark, s"$sf/embeddings.parquet", sa, "graph", cents)
+      // B: the nightly batch verb
+      GraphAnn.insertIntoStored(sb, "graph", arrivals, "embedding", "vec_id", cents)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val wa = GraphAnn.searchStored(sa.read(spark, "graph"), cents, qv,
+        k = 10, nprobe = 4, ef = 48).collect().toSeq
+      val wb = GraphAnn.searchStored(sb.read(spark, "graph"), cents, qv,
+        k = 10, nprobe = 4, ef = 48).collect().toSeq
+      assert(wa == wb, "stream-maintained walk diverged from batch maintenance")
+      assert(wa.nonEmpty)
+      // and the store contents agree node-for-node (adjacency included);
+      // select by NAME — a partitioned read appends cell_id last
+      def nodes(st: graft.store.VectorStore) =
+        st.read(spark, "graph").select("id", "cell_id", "neighbors").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toSeq)).toSet
+      assert(nodes(sa) == nodes(sb),
+        "stream-maintained graph nodes diverged from batch")
+    } finally { e.unpersist(); sa.destroy(); sb.destroy() }
+  }
+
   test("SQ/PQ incremental appends: untouched files immutable, search == full build, refusals") {
     import graft.operators.{Clustering, Similarity}
     val e = Tables.embeddings(spark, sf).cache()
