@@ -221,9 +221,11 @@ object GraftOracles {
        |      i -> (e.embedding[CAST(i AS INT)]::DOUBLE - $c.v[CAST(i AS INT)])
        |         * (e.embedding[CAST(i AS INT)]::DOUBLE - $c.v[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6""".stripMargin
 
-  /** Source-parameterized variant: `srcWhere` restricts the TRAINING
-    * corpus (the streaming twin trains on the standing slice only). */
-  private def kmeansCteOn(srcWhere: String): String = {
+  /** Source- and geometry-parameterized variant: `srcWhere` restricts
+    * the TRAINING corpus (the streaming twin trains on the standing
+    * slice only); `k` is the cell count (retrain twins re-derive the
+    * router at a NEW geometry). */
+  private def kmeansCteOn(srcWhere: String, k: Int = 8): String = {
     def round(i: Int, prev: String): String =
       s"""d$i AS (SELECT e.vec_id, e.embedding, c.cid, ${kmDist("c")} AS dr
          |  FROM ksrc e CROSS JOIN $prev c),
@@ -239,7 +241,7 @@ object GraftOracles {
          |c$i AS (SELECT * FROM cm$i UNION ALL
          |  SELECT * FROM $prev p WHERE p.cid NOT IN (SELECT cid FROM cm$i))""".stripMargin
     s"""ksrc AS (SELECT vec_id, embedding FROM embeddings WHERE $srcWhere),
-       |seeds AS (SELECT CAST(vec_id % 8 AS INT) AS cid, min(vec_id) AS seed_id
+       |seeds AS (SELECT CAST(vec_id % $k AS INT) AS cid, min(vec_id) AS seed_id
        |  FROM ksrc GROUP BY 1),
        |c0 AS (SELECT s.cid, list_transform(e.embedding, x -> CAST(x AS DOUBLE)) AS v
        |  FROM seeds s JOIN ksrc e ON e.vec_id = s.seed_id),
@@ -2236,6 +2238,15 @@ object GraftOracles {
          |SELECT CAST(cid AS INT) AS cell_id,
          |  CAST(count(*) AS BIGINT) AS n_nodes, bit_xor(vec_id) AS id_xor
          |FROM s2f WHERE vec_id <> 0 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // Twin of ann_graph_retrain: the assignment manifest at the NEW
+    // geometry — k=4 kmeans trained on the store's own content (the
+    // vec_id<>0 slice), no notion of the old build or the swap.
+    "ann_graph_retrain" ->
+      s"""WITH ${kmeansCteOn("vec_id <> 0", 4)}
+         |SELECT CAST(cid AS INT) AS cell_id,
+         |  CAST(count(*) AS BIGINT) AS n_nodes, bit_xor(vec_id) AS id_xor
+         |FROM s2f GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "ann_ivfsq_store" -> ivfSqTop10Sql,
     // incremental SQ append: frozen quantizer (full-corpus centroids +

@@ -1140,6 +1140,36 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** Graph-index RETRAIN at a new geometry — the verb that completes the
+    * graph lifecycle (build 8-cell from the standing slice → nightly
+    * append → retrain the whole store at 4 cells → atomic swap). The
+    * gate hashes the retrained store's ASSIGNMENT MANIFEST against the
+    * kmeans oracle AT THE NEW GEOMETRY (k=4, trained on the store's own
+    * content = the vec_id≠0 slice) — no notion of the old build, the
+    * append, or the swap, so the verb provably equals a from-scratch
+    * rebuild; walk parity is spec territory (AnnProbeSpec). */
+  val annGraphRetrain: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_gret").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val cents = Clustering.trainCentroids(e, 8, 2)
+      val standing = e.filter(col("vec_id") =!= 0 && col("vec_id") % 10 =!= 7)
+      val arrivals = e.filter(col("vec_id") =!= 0 && col("vec_id") % 10 === 7)
+      val (g0, _) = GraphAnn.buildGraph(standing, "embedding", "vec_id",
+        ncells = 8, m = 8, centroids = Some(cents))
+      store.create("graph", g0.toDF(), partitionBy = Seq("cell_id"))
+      GraphAnn.insertIntoStored(store, "graph", arrivals, "embedding",
+        "vec_id", cents): Unit
+      GraphAnn.retrainStored(s, store, "graph", ncells = 4): Unit
+      val out = store.read(s, "graph")
+        .groupBy(col("cell_id").cast("int").as("cell_id"))
+        .agg(count(lit(1)).as("n_nodes"), expr("bit_xor(id)").as("id_xor"))
+        .orderBy("cell_id")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   val annIvfStore: Q = (s, d) => {
     import graft.plans.AnnProbe
     val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
@@ -4840,6 +4870,7 @@ object GraftQueries {
     "streaming_drift" -> streamingDrift,
     "streaming_ann_ingest" -> streamingAnnIngest,
     "streaming_graph_ingest" -> streamingGraphIngest,
+    "ann_graph_retrain" -> annGraphRetrain,
     "source_orc" -> sourceOrc,
     "ann_sq_topk" -> annSqTopk,
     "zorder_key" -> zorderKey,

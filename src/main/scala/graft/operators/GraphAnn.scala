@@ -576,6 +576,33 @@ object GraphAnn {
     search(colocated.as[Node], cents, qv, k, nprobe, ef)
   }
 
+  /** RETRAIN-AND-REBUILD of a stored graph index — the graph twin of
+    * [[Similarity.retrainStoredIvf]], completing the family's lifecycle
+    * (build → nightly append → streaming ingest → drift → retrain):
+    * retrain the router on the store's OWN content at a (possibly new)
+    * geometry, rebuild every cell's NSW graph from scratch, and
+    * atomically swap the rewritten layout into place
+    * ([[graft.store.VectorStore.replace]] — the compaction-swap
+    * discipline). O(collection) by nature, which is exactly why it is a
+    * separate scheduled verb: appends stay O(touched cells) and this
+    * runs at the cadence drift warrants. The deterministic build
+    * (ascending-id insertion, data-defined orderings) makes the result
+    * provably equal a from-scratch [[buildGraph]] over the same rows —
+    * spec-pinned, and the cell ASSIGNMENT half sits under the gate hash
+    * via the geometry-parameterized kmeans oracle. Returns the new
+    * centroids — the caller must re-register them (probing with the old
+    * router against the new layout would probe the wrong cells). */
+  def retrainStored(spark: org.apache.spark.sql.SparkSession,
+                    store: graft.store.VectorStore, name: String,
+                    ncells: Int = 8, iters: Int = 2, m: Int = 8,
+                    efConstruction: Int = 32): Array[Array[Float]] = {
+    val data = store.read(spark, name).select(col("id"), col("vec"))
+    val (g, cents) = buildGraph(data, "vec", "id", ncells, iters, m,
+      efConstruction)
+    store.replace(name, g.toDF(), partitionBy = Seq("cell_id"))
+    cents
+  }
+
   /** Cost-based FILTERED search over the stored graph — the graph twin
     * of [[Similarity.adaptiveFilteredKnn]]. A graph walk cannot
     * pre-filter (dropping nodes breaks the navigable structure), so the

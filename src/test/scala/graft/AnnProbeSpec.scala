@@ -320,6 +320,43 @@ class AnnProbeSpec extends SparkSpec {
       .foreach(r => assert(Set(1, 2, 3).contains(r.getAs[Number](1).intValue)))
   }
 
+  test("graph retrain: retrained store == from-scratch build at the new geometry") {
+    import graft.operators.{Clustering, GraphAnn}
+    val root = java.nio.file.Files.createTempDirectory("gret_spec").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(spark, sf).cache()
+    try {
+      val corpus = e.filter(col("vec_id") =!= 0)
+      val cents8 = Clustering.trainCentroids(e, 8, 2)
+      val (g0, _) = GraphAnn.buildGraph(
+        corpus.filter(col("vec_id") % 10 =!= 7), "embedding", "vec_id",
+        ncells = 8, m = 8, centroids = Some(cents8))
+      store.create("graph", g0.toDF(), partitionBy = Seq("cell_id"))
+      GraphAnn.insertIntoStored(store, "graph",
+        corpus.filter(col("vec_id") % 10 === 7), "embedding", "vec_id", cents8): Unit
+      val newCents = GraphAnn.retrainStored(spark, store, "graph", ncells = 4)
+      assert(newCents.length == 4)
+      // from-scratch reference at the new geometry over the same rows
+      val (ref, refCents) = GraphAnn.buildGraph(corpus, "embedding", "vec_id",
+        ncells = 4, m = 8)
+      assert(newCents.map(_.toSeq).toSeq == refCents.map(_.toSeq).toSeq,
+        "retrained router diverged from a from-scratch trainer")
+      def nodes(df: org.apache.spark.sql.DataFrame) =
+        df.select("id", "cell_id", "neighbors").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toSeq)).toSet
+      assert(nodes(store.read(spark, "graph")) == nodes(ref.toDF()),
+        "retrained graph diverged from a from-scratch build")
+      // the walk with the NEW router answers identically too
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val ws = GraphAnn.searchStored(store.read(spark, "graph"), newCents, qv,
+        k = 10, nprobe = 2, ef = 48).collect().toSeq
+      val wr = GraphAnn.search(ref.localCheckpoint(true), refCents, qv,
+        k = 10, nprobe = 2, ef = 48).collect().toSeq
+      assert(ws == wr && ws.nonEmpty)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   test("streaming graph ingest: walk answers == batch-incremental maintenance") {
     import graft.operators.{Clustering, GraphAnn}
     val rootA = java.nio.file.Files.createTempDirectory("sgr_stream").toString
