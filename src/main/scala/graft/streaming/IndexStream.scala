@@ -42,13 +42,15 @@ object IndexStream {
                    batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= StreamCommits.lastBatchId(store, name)) return
     val sp = batch.sparkSession
+    // pin BEFORE the dup require, so the check, the collision probe, and
+    // the append all see ONE evaluation of the batch
+    val assigned = Similarity.withCellId(batch, vecCol, cents)
+      .localCheckpoint(true)
     // in-batch duplicate ids are a DATA error (which copy wins would be
     // undefined), unlike cross-batch collisions (recovery) — refuse
-    val cnts = batch.agg(count(lit(1)), countDistinct(col(idCol))).head
+    val cnts = assigned.agg(count(lit(1)), countDistinct(col(idCol))).head
     require(cnts.getLong(0) == cnts.getLong(1),
       s"ivfBatchSink: micro-batch $batchId carries duplicate ids")
-    val assigned = Similarity.withCellId(batch, vecCol, cents)
-      .localCheckpoint(true) // consumed twice (collision probe + append)
     // ids this batch shares with the index — bounded by the batch, so
     // it broadcasts back out for the anti filter; the index side is
     // only ever the streamed side of a map-only semi-join
@@ -119,10 +121,12 @@ object IndexStream {
                      batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= StreamCommits.lastBatchId(store, name)) return
     val sp = batch.sparkSession
-    val cnts = batch.agg(count(lit(1)), countDistinct(col(idCol))).head
+    // pin BEFORE the dup require: the check, the heal probe, and the
+    // insert must all see one evaluation of the batch
+    val pinned = batch.localCheckpoint(true)
+    val cnts = pinned.agg(count(lit(1)), countDistinct(col(idCol))).head
     require(cnts.getLong(0) == cnts.getLong(1),
       s"graphBatchSink: micro-batch $batchId carries duplicate ids")
-    val pinned = batch.localCheckpoint(true) // heal probe + insert read one evaluation
     val colliding = store.read(sp, name).select(col("id").as(idCol))
       .join(BroadcastGate.maybeBroadcast(
         pinned.select(col(idCol).cast("long").as(idCol)),
