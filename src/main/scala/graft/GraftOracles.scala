@@ -1494,6 +1494,8 @@ object GraftOracles {
     // invisible — the maintained index answers with the SAME full-corpus
     // SQL as the from-scratch build (the ann_ivf_incremental discipline)
     "ann_bq_incremental" -> bqTop10Sql,
+    // streaming ingest (incl. both replays) must be invisible too
+    "streaming_bq_ingest" -> bqTop10Sql,
 
     // Twin of ann_range_search — radius query over the IVF layout:
     // simIvfCte quantizer, the same raw-l2 (dr, cid) take-4 probe as
@@ -2208,6 +2210,7 @@ object GraftOracles {
     // incremental PQ append: frozen router + codebooks => the maintained
     // store equals the full build, same generated oracle
     "ann_ivfpq_incremental" -> ivfPqTop10Sql,
+    "streaming_pq_ingest" -> ivfPqTop10Sql,
 
     // Twin of ann_lsh_buckets (rows-only no more): deterministic
     // hyperplane signatures are pure arithmetic once the seeded planes
@@ -2252,6 +2255,7 @@ object GraftOracles {
     // incremental SQ append: frozen quantizer (full-corpus centroids +
     // min/max) => the maintained store equals the full build, same SQL
     "ann_ivfsq_incremental" -> ivfSqTop10Sql,
+    "streaming_sq_ingest" -> ivfSqTop10Sql,
 
 
     // Twin of ann_graph_walk: the beam-walk KERNEL replayed as a

@@ -1140,6 +1140,83 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** Streaming ingest into the stored BQ / SQ / PQ indexes — the three
+    * encode-and-append families stream through ONE shared exactly-once
+    * sink ([[graft.streaming.IndexStream.encodedBatchSink]]: watermark
+    * skip + per-id anti-filter heal, both replays driven by the
+    * harness), and each maintained store answers with the SAME
+    * full-corpus oracle as its `_store` sibling — streaming ingest
+    * provably invisible to the answer, family by family. */
+  val streamingBqIngest: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_sbq").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val corpus = e.filter(col("vec_id") =!= 0)
+      Similarity.buildBqIndex(store, "bq_sigs",
+        corpus.filter(col("vec_id") % 10 =!= 7), "embedding", "vec_id")
+      graft.streaming.IndexStream.runArrivalStream(s, s"$d/embeddings.parquet",
+        store, "bq_sigs",
+        graft.streaming.IndexStream.bqBatchSink(store, "bq_sigs",
+          "embedding", "vec_id") _)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      // the stream delivers every vec_id%10==7 row incl. vec_id 0's
+      // cohort-mate 7 — the search filters to the corpus like the store
+      // query, so the oracle is shared verbatim
+      val out = Similarity.bqSearchStored(
+        store.read(s, "bq_sigs").filter(col("vec_id") =!= 0), corpus,
+        "embedding", "vec_id", qv, k = 10, rerank = 4)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
+  val streamingSqIngest: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_ssq").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val cents = Clustering.trainCentroids(e, 8, 2, "vec_id", "embedding")
+      val (mins, maxs) = Similarity.sqMinMax(e, "embedding")
+      store.create("vectors_sq", Similarity.sqAssignEncode(
+        e.filter(col("vec_id") % 10 =!= 7), "embedding", "vec_id",
+        cents, mins, maxs), partitionBy = Seq("cell_id"))
+      graft.streaming.IndexStream.runArrivalStream(s, s"$d/embeddings.parquet",
+        store, "vectors_sq",
+        graft.streaming.IndexStream.sqBatchSink(store, "vectors_sq",
+          "embedding", "vec_id", cents, mins, maxs) _)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val out = Similarity.sqSearchStored(
+        store.read(s, "vectors_sq").filter(col("vec_id") =!= 0),
+        "vec_id", cents, mins, maxs, qv, k = 10, nprobe = 4)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
+  val streamingPqIngest: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_spq").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val (cents, cb) = Similarity.trainIvfPq(e, "embedding", "vec_id", ncells = 16)
+      store.create("vectors_pq", Similarity.pqEncode(
+        e.filter(col("vec_id") % 10 =!= 7), "embedding", "vec_id", cents, cb),
+        partitionBy = Seq("cell_id"))
+      graft.streaming.IndexStream.runArrivalStream(s, s"$d/embeddings.parquet",
+        store, "vectors_pq",
+        graft.streaming.IndexStream.pqBatchSink(store, "vectors_pq",
+          "embedding", "vec_id", cents, cb) _)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val out = Similarity.pqSearchEncoded(store.read(s, "vectors_pq"),
+          "embedding", "vec_id", cents, cb, q, "q_id", "q_vec",
+          k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** Graph-index RETRAIN at a new geometry — the verb that completes the
     * graph lifecycle (build 8-cell from the standing slice → nightly
     * append → retrain the whole store at 4 cells → atomic swap). The
@@ -4870,6 +4947,9 @@ object GraftQueries {
     "streaming_drift" -> streamingDrift,
     "streaming_ann_ingest" -> streamingAnnIngest,
     "streaming_graph_ingest" -> streamingGraphIngest,
+    "streaming_bq_ingest" -> streamingBqIngest,
+    "streaming_sq_ingest" -> streamingSqIngest,
+    "streaming_pq_ingest" -> streamingPqIngest,
     "ann_graph_retrain" -> annGraphRetrain,
     "source_orc" -> sourceOrc,
     "ann_sq_topk" -> annSqTopk,

@@ -1323,12 +1323,18 @@ object Similarity {
     * [[insertIntoStoredIvf]]. */
   def buildBqIndex(store: graft.store.VectorStore, name: String,
                    collection: DataFrame, vecCol: String, idCol: String,
-                   dim: Int = 64): Unit = {
+                   dim: Int = 64): Unit =
+    store.create(name, bqEncodeFor(collection, vecCol, idCol, dim))
+
+  /** The BQ signature projection shared by the builder, the incremental
+    * append, and the streaming sink — one encode seam per family. */
+  def bqEncodeFor(collection: DataFrame, vecCol: String, idCol: String,
+                  dim: Int = 64): DataFrame = {
     require(dim % 2 == 0 && dim <= 128, s"dim must be even and <= 128, got $dim")
     val half = dim / 2
-    store.create(name, collection.select(col(idCol),
+    collection.select(col(idCol),
       packSignBits(col(vecCol), 0, half).as("bq_lo"),
-      packSignBits(col(vecCol), half, dim).as("bq_hi")))
+      packSignBits(col(vecCol), half, dim).as("bq_hi"))
   }
 
   /** Incremental maintenance of a stored BQ index — the simplest of the
@@ -1341,11 +1347,7 @@ object Similarity {
   def insertIntoStoredBq(store: graft.store.VectorStore, name: String,
                          batch: DataFrame, vecCol: String, idCol: String,
                          dim: Int = 64): Long = {
-    require(dim % 2 == 0 && dim <= 128, s"dim must be even and <= 128, got $dim")
-    val half = dim / 2
-    val encoded = batch.select(col(idCol),
-      packSignBits(col(vecCol), 0, half).as("bq_lo"),
-      packSignBits(col(vecCol), half, dim).as("bq_hi"))
+    val encoded = bqEncodeFor(batch, vecCol, idCol, dim)
       .localCheckpoint(false) // pinned: contract + append read one evaluation
     val cnts = encoded.agg(count(lit(1)), countDistinct(col(idCol))).head
     AppendContract.requireUnique(cnts.getLong(0), cnts.getLong(1),

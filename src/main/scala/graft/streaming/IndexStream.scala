@@ -32,6 +32,42 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object IndexStream {
 
+  /** The exactly-once APPEND sink every encode-and-append index family
+    * shares (IVF, BQ, SQ, PQ — everything whose per-batch effect is new
+    * files, no rebuild): encode the micro-batch with the family's FROZEN
+    * quantizer, refuse in-batch duplicate ids (a data error — which copy
+    * wins would be undefined; cross-batch collisions are RECOVERY and
+    * filter instead), anti-filter against the index's slim id column
+    * (the append-vs-commit crash window heals per id), append, commit
+    * the watermark. One definition so a fix to the discipline (the
+    * pin-before-require ordering, the broadcast gates) reaches every
+    * family. */
+  def encodedBatchSink(store: VectorStore, name: String, idCol: String,
+                       encode: DataFrame => DataFrame,
+                       partitionBy: Seq[String], sinkTag: String)(
+                       batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= StreamCommits.lastBatchId(store, name)) return
+    val sp = batch.sparkSession
+    // pin BEFORE the dup require, so the check, the collision probe, and
+    // the append all see ONE evaluation of the batch
+    val encoded = encode(batch).localCheckpoint(true)
+    val cnts = encoded.agg(count(lit(1)), countDistinct(col(idCol))).head
+    require(cnts.getLong(0) == cnts.getLong(1),
+      s"$sinkTag: micro-batch $batchId carries duplicate ids")
+    // ids this batch shares with the index — bounded by the batch, so
+    // it broadcasts back out for the anti filter; the index side is
+    // only ever the streamed side of a map-only semi-join
+    val colliding = store.read(sp, name).select(idCol)
+      .join(BroadcastGate.maybeBroadcast(encoded.select(idCol),
+        cnts.getLong(0) * 64), Seq(idCol), "left_semi")
+    val fresh = encoded.join(BroadcastGate.maybeBroadcast(colliding,
+      cnts.getLong(0) * 64), Seq(idCol), "left_anti")
+    store.append(name, fresh, partitionBy = partitionBy)
+    // the commit point: only once the append is durable does the batch
+    // become skippable — a crash above replays into the anti filter
+    StreamCommits.commit(store, name, batchId)
+  }
+
   /** The `foreachBatch` body: exactly-once append of one micro-batch
     * into the stored IVF index `name` under the frozen centroids
     * `cents`. Public and callable outside a stream on purpose — the
@@ -39,30 +75,57 @@ object IndexStream {
     * it with controlled batchIds. */
   def ivfBatchSink(store: VectorStore, name: String, vecCol: String,
                    idCol: String, cents: Array[(Int, Array[Float])])(
-                   batch: DataFrame, batchId: Long): Unit = {
-    if (batchId <= StreamCommits.lastBatchId(store, name)) return
-    val sp = batch.sparkSession
-    // pin BEFORE the dup require, so the check, the collision probe, and
-    // the append all see ONE evaluation of the batch
-    val assigned = Similarity.withCellId(batch, vecCol, cents)
-      .localCheckpoint(true)
-    // in-batch duplicate ids are a DATA error (which copy wins would be
-    // undefined), unlike cross-batch collisions (recovery) — refuse
-    val cnts = assigned.agg(count(lit(1)), countDistinct(col(idCol))).head
-    require(cnts.getLong(0) == cnts.getLong(1),
-      s"ivfBatchSink: micro-batch $batchId carries duplicate ids")
-    // ids this batch shares with the index — bounded by the batch, so
-    // it broadcasts back out for the anti filter; the index side is
-    // only ever the streamed side of a map-only semi-join
-    val colliding = store.read(sp, name).select(idCol)
-      .join(BroadcastGate.maybeBroadcast(assigned.select(idCol),
-        cnts.getLong(0) * 64), Seq(idCol), "left_semi")
-    val fresh = assigned.join(BroadcastGate.maybeBroadcast(colliding,
-      cnts.getLong(0) * 64), Seq(idCol), "left_anti")
-    store.append(name, fresh, partitionBy = Seq("cell_id"))
-    // the commit point: only once the append is durable does the batch
-    // become skippable — a crash above replays into the anti filter
-    StreamCommits.commit(store, name, batchId)
+                   batch: DataFrame, batchId: Long): Unit =
+    encodedBatchSink(store, name, idCol,
+      Similarity.withCellId(_, vecCol, cents), Seq("cell_id"),
+      "ivfBatchSink")(batch, batchId)
+
+  /** BQ / SQ / PQ sinks — the same frozen-quantizer encodes the batch
+    * verbs use ([[Similarity.insertIntoStoredBq]] and siblings), through
+    * the shared exactly-once sink. */
+  def bqBatchSink(store: VectorStore, name: String, vecCol: String,
+                  idCol: String, dim: Int = 64)(
+                  batch: DataFrame, batchId: Long): Unit =
+    encodedBatchSink(store, name, idCol,
+      Similarity.bqEncodeFor(_, vecCol, idCol, dim), Nil,
+      "bqBatchSink")(batch, batchId)
+
+  def sqBatchSink(store: VectorStore, name: String, vecCol: String,
+                  idCol: String, cents: Array[Array[Float]],
+                  mins: Array[Double], maxs: Array[Double])(
+                  batch: DataFrame, batchId: Long): Unit =
+    encodedBatchSink(store, name, idCol,
+      Similarity.sqAssignEncode(_, vecCol, idCol, cents, mins, maxs),
+      Seq("cell_id"), "sqBatchSink")(batch, batchId)
+
+  def pqBatchSink(store: VectorStore, name: String, vecCol: String,
+                  idCol: String, cents: Array[(Int, Array[Float])],
+                  cb: Similarity.PqCodebook)(
+                  batch: DataFrame, batchId: Long): Unit =
+    encodedBatchSink(store, name, idCol,
+      Similarity.pqEncode(_, vecCol, idCol, cents, cb), Seq("cell_id"),
+      "pqBatchSink")(batch, batchId)
+
+  /** Drive `sink` over the arrival slice (vec_id % 10 == 7) of an
+    * embeddings parquet, then deterministically replay both recovery
+    * paths — the harness every streaming-ingest gate query shares. */
+  def runArrivalStream(spark0: SparkSession, embParquet: String,
+                       store: VectorStore, name: String,
+                       sink: (DataFrame, Long) => Unit): Unit = {
+    val spark = EventStream.streamSession(spark0)
+    val arrivals = EventStream.readFileStream(spark, embParquet)
+      .filter(col("vec_id") % 10 === 7)
+    val q = arrivals.writeStream
+      .foreachBatch(sink)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.stop()
+    val replayed = spark.read.parquet(
+        new java.io.File(embParquet).getAbsolutePath)
+      .filter(col("vec_id") % 10 === 7)
+    sink(replayed, StreamCommits.lastBatchId(store, name))
+    sink(replayed, StreamCommits.lastBatchId(store, name) + 1)
   }
 
   /** Harness: stream the arrivals slice (vec_id % 10 == 7) of an
@@ -77,28 +140,9 @@ object IndexStream {
     * answer. */
   def runStreamingIvfIngest(spark0: SparkSession, embParquet: String,
                             store: VectorStore, name: String,
-                            cents: Array[(Int, Array[Float])]): Unit = {
-    val spark = EventStream.streamSession(spark0)
-    val arrivals = EventStream.readFileStream(spark, embParquet)
-      .filter(col("vec_id") % 10 === 7)
-    val q = arrivals.writeStream
-      .foreachBatch(ivfBatchSink(store, name, "embedding", "vec_id", cents) _)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
-    // replay path 1: a batchId at the watermark is skipped outright —
-    // were it not, every id would collide as a duplicate re-append
-    val replayed = spark.read.parquet(
-        new java.io.File(embParquet).getAbsolutePath)
-      .filter(col("vec_id") % 10 === 7)
-    ivfBatchSink(store, name, "embedding", "vec_id", cents)(
-      replayed, StreamCommits.lastBatchId(store, name))
-    // replay path 2: a NEW batchId whose ids all already landed (the
-    // crash-between-append-and-commit shape) anti-filters to nothing
-    ivfBatchSink(store, name, "embedding", "vec_id", cents)(
-      replayed, StreamCommits.lastBatchId(store, name) + 1)
-  }
+                            cents: Array[(Int, Array[Float])]): Unit =
+    runArrivalStream(spark0, embParquet, store, name,
+      ivfBatchSink(store, name, "embedding", "vec_id", cents) _)
 
   // ------------------------------------------- stored GRAPH index sink
 
@@ -149,24 +193,9 @@ object IndexStream {
     * SQL-derivable; the adjacency is the walk kernel's spec territory). */
   def runStreamingGraphIngest(spark0: SparkSession, embParquet: String,
                               store: VectorStore, name: String,
-                              cents: Array[Array[Float]]): Unit = {
-    val spark = EventStream.streamSession(spark0)
-    val arrivals = EventStream.readFileStream(spark, embParquet)
-      .filter(col("vec_id") =!= 0 && col("vec_id") % 10 === 7)
-    val q = arrivals.writeStream
-      .foreachBatch(graphBatchSink(store, name, "embedding", "vec_id", cents) _)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    q.stop()
-    val replayed = spark.read.parquet(
-        new java.io.File(embParquet).getAbsolutePath)
-      .filter(col("vec_id") =!= 0 && col("vec_id") % 10 === 7)
-    graphBatchSink(store, name, "embedding", "vec_id", cents)(
-      replayed, StreamCommits.lastBatchId(store, name))
-    graphBatchSink(store, name, "embedding", "vec_id", cents)(
-      replayed, StreamCommits.lastBatchId(store, name) + 1)
-  }
+                              cents: Array[Array[Float]]): Unit =
+    runArrivalStream(spark0, embParquet, store, name,
+      graphBatchSink(store, name, "embedding", "vec_id", cents) _)
 
   // ------------------------------------------- stored TEXT index sink
 
