@@ -97,7 +97,12 @@ object Bench {
         (name, -1.0, -1.0, -1.0, -1.0, -1.0, 0, errors)
       } else {
         val n = times.length
-        val med = times(n / 2)
+        // conventional median: mean of the two middle values when the
+        // surviving-run count is even (only reachable when some runs
+        // crashed — nRuns itself is odd), upper-middle bias otherwise
+        val med =
+          if (n % 2 == 1) times(n / 2)
+          else (times(n / 2 - 1) + times(n / 2)) / 2
         // trimmed mean of the middle n-2 successful runs — the primary
         // figure for the heavy tier (equals the median at 3 runs by
         // construction; degenerates to the median when <3 runs survive)

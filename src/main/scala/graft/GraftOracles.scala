@@ -417,9 +417,12 @@ object GraftOracles {
   /** Shared twin of ann_ivfsq_store / ann_ivfsq_incremental: the full
     * SQ chain (kmeans router, full-corpus min/max, probe, encode, ADC)
     * — the incremental append's frozen quantizer makes the maintained
-    * store equal the full build, so one SQL serves both. */
-  private lazy val ivfSqTop10Sql: String =
-    s"""WITH $kmeansCte,
+    * store equal the full build, so one SQL serves both. Geometry-
+    * parameterized (`k` cells, `nprobe` probes) so the RETRAIN twin
+    * (`ann_sq_retrain` refits at 4 cells) re-derives the new quantizer
+    * relationally with no notion of the stale build or the swap. */
+  private def ivfSqTop10SqlAt(k: Int, nprobe: Int): String =
+    s"""WITH ${kmeansCteOn("TRUE", k)},
          |mm AS (SELECT u.p AS pos,
          |    min(embedding[CAST(u.p + 1 AS INT)]::DOUBLE) AS mn,
          |    max(embedding[CAST(u.p + 1 AS INT)]::DOUBLE) AS mx
@@ -431,7 +434,7 @@ object GraftOracles {
          |      i -> (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)])
          |         * (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dr
          |  FROM c2 c CROSS JOIN q),
-         |probe AS (SELECT cid FROM qc ORDER BY dr, cid LIMIT 4),
+         |probe AS (SELECT cid FROM qc ORDER BY dr, cid LIMIT $nprobe),
          |cand AS (SELECT s.vec_id, s.cid, s.embedding FROM s2f s
          |  WHERE s.vec_id <> 0 AND s.cid IN (SELECT cid FROM probe)),
          |enc AS (SELECT c.vec_id, c.cid,
@@ -446,6 +449,45 @@ object GraftOracles {
          |  FROM enc CROSS JOIN mml m CROSS JOIN q)
          |SELECT vec_id, CAST(cid AS INT) AS cell_id, dist FROM dd
          |ORDER BY dist, vec_id LIMIT 10""".stripMargin
+
+  private lazy val ivfSqTop10Sql: String = ivfSqTop10SqlAt(8, 4)
+
+  /** Twin of ann_bq_retrain — the CENTERED-BQ chain end to end: per-dim
+    * thresholds as fixed-point means over the corpus (trunc·2²⁴ BIGINT
+    * sums — the exact arithmetic [[graft.operators.Similarity.bqThresholds]]
+    * performs, so both engines derive bit-identical doubles), signatures
+    * and the query packed against the SAME thresholds, integer Hamming
+    * pre-rank, exact-cosine rerank. No notion of the sign-at-zero build,
+    * the append, or the swap. */
+  private lazy val bqCenteredTop10Sql: String = {
+    def pack(v: String, lo: Int, hi: Int, off: Int) =
+      s"""CAST(list_sum(list_transform(range($lo,$hi), i ->
+         |      CASE WHEN $v[CAST(i AS INT)]::DOUBLE > t.tv[CAST(i AS INT)]
+         |        THEN (CAST(1 AS BIGINT) << CAST(i-$off AS INT)) ELSE 0 END)) AS BIGINT)""".stripMargin
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+       |thrm AS (SELECT u.p AS pos,
+       |    CAST(sum(CAST(trunc(embedding[CAST(u.p + 1 AS INT)]::DOUBLE * 16777216) AS BIGINT)) AS DOUBLE)
+       |      / count(*) / 16777216 AS t
+       |  FROM corpus, unnest(range(0, 64)) AS u(p) GROUP BY 1),
+       |thr AS (SELECT list(t ORDER BY pos) AS tv FROM thrm),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+       |qs AS (SELECT ${pack("q.qv", 1, 33, 1)} AS qlo,
+       |    ${pack("q.qv", 33, 65, 33)} AS qhi
+       |  FROM q CROSS JOIN thr t),
+       |sig AS (SELECT c.vec_id, ${pack("c.embedding", 1, 33, 1)} AS lo,
+       |    ${pack("c.embedding", 33, 65, 33)} AS hi
+       |  FROM corpus c CROSS JOIN thr t),
+       |short AS (SELECT s.vec_id,
+       |    CAST(bit_count(xor(s.lo, t.qlo)) + bit_count(xor(s.hi, t.qhi)) AS INT) AS hamming
+       |  FROM sig s CROSS JOIN qs t
+       |  ORDER BY hamming, vec_id LIMIT 40)
+       |SELECT sh.vec_id, sh.hamming, round(
+       |    list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE)) /
+       |    sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * e.embedding[CAST(i AS INT)]::DOUBLE)) *
+       |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+       |FROM short sh JOIN embeddings e USING (vec_id) CROSS JOIN q
+       |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin
+  }
 
   private lazy val annProbedTop10Sql: String = annProbedTop10SqlAt(16, 3)
 
@@ -2193,6 +2235,67 @@ object GraftOracles {
          |FROM (SELECT * FROM dd ORDER BY dr, vec_id LIMIT 10) d
          |ORDER BY dist, d.vec_id""".stripMargin,
 
+    // Twin of ann_mutable_sq: the live-mutable COMPRESSED index — the
+    // frozen quantizer (8-cell deterministic Lloyd + per-dim min/max)
+    // re-derived over the ORIGINAL corpus (the attach-time training
+    // set), the live state restated (reversed %3 vectors, %6 gone),
+    // every live row re-assigned by the floor-rounded argmin and
+    // re-encoded with the frozen ranges, 4-cell probe, ADC rank on the
+    // rounded micro-units. A hash match proves tombstone-merged version
+    // resolution through the CODES-ONLY index equals the relational
+    // restatement of the mutated corpus.
+    "ann_mutable_sq" ->
+      s"""WITH ${kmeansCteOn("TRUE", 8)},
+         |mm AS (SELECT u.p AS pos,
+         |    min(embedding[CAST(u.p + 1 AS INT)]::DOUBLE) AS mn,
+         |    max(embedding[CAST(u.p + 1 AS INT)]::DOUBLE) AS mx
+         |  FROM embeddings, unnest(range(0, 64)) AS u(p) GROUP BY 1),
+         |mml AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs FROM mm),
+         |q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |live AS (SELECT vec_id,
+         |    CASE WHEN vec_id % 10 = 3 THEN list_reverse(embedding)
+         |         ELSE embedding END AS lv
+         |  FROM embeddings WHERE vec_id % 10 <> 6),
+         |lad AS (SELECT l.vec_id, l.lv, c.cid,
+         |    floor(list_sum(list_transform(range(1,65),
+         |      i -> (l.lv[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |         * (l.lv[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dr
+         |  FROM live l CROSS JOIN c2 c),
+         |laa AS (SELECT vec_id, lv, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn
+         |  FROM lad),
+         |lcell AS (SELECT vec_id, lv, cid FROM laa WHERE rn = 1),
+         |qc AS (SELECT c.cid, floor(list_sum(list_transform(range(1,65),
+         |      i -> (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)])
+         |         * (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dr
+         |  FROM c2 c CROSS JOIN q),
+         |probe AS (SELECT cid FROM qc ORDER BY dr, cid LIMIT 4),
+         |enc AS (SELECT l.vec_id, l.cid,
+         |    list_transform(range(1,65), i -> CASE WHEN m.mxs[CAST(i AS INT)] = m.mns[CAST(i AS INT)] THEN 0
+         |      ELSE CAST(floor((l.lv[CAST(i AS INT)]::DOUBLE - m.mns[CAST(i AS INT)])
+         |        / (m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) * 255 + 0.5) AS INT) END) AS code
+         |  FROM lcell l CROSS JOIN mml m
+         |  WHERE l.cid IN (SELECT cid FROM probe)),
+         |dd AS (SELECT enc.vec_id, enc.cid,
+         |    floor(list_sum(list_transform(range(1,65),
+         |      i -> (m.mns[CAST(i AS INT)] + enc.code[CAST(i AS INT)] * ((m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) / 255) - q.qv[CAST(i AS INT)])
+         |         * (m.mns[CAST(i AS INT)] + enc.code[CAST(i AS INT)] * ((m.mxs[CAST(i AS INT)] - m.mns[CAST(i AS INT)]) / 255) - q.qv[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dist
+         |  FROM enc CROSS JOIN mml m CROSS JOIN q)
+         |SELECT vec_id, CAST(cid AS INT) AS cell_id, dist FROM dd
+         |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
+
+    // Twin of page_keyset: the live state restated (current labels for
+    // the upserted %3 ids, %6 ids gone) cut by the same cursor —
+    // id > 100, id order, 25 rows. A stale-version leak (old label) or
+    // a resurrected delete breaks the hash.
+    "page_keyset" ->
+      """SELECT vec_id,
+        |  CASE WHEN vec_id % 10 = 3 THEN label + 10 ELSE label END AS label
+        |FROM embeddings
+        |WHERE vec_id % 10 <> 6 AND vec_id > 100
+        |ORDER BY vec_id LIMIT 25""".stripMargin,
+
     // Twin of ann_ivf_retrain: the SAME probe at the RETRAINED
     // geometry (8 cells) — the oracle re-derives the new router from
     // the corpus relationally with no notion of the old 16-cell build,
@@ -2256,6 +2359,23 @@ object GraftOracles {
     // min/max) => the maintained store equals the full build, same SQL
     "ann_ivfsq_incremental" -> ivfSqTop10Sql,
     "streaming_sq_ingest" -> ivfSqTop10Sql,
+
+    // Twin of ann_sq_retrain: the SAME SQ chain re-derived at the
+    // RETRAINED geometry (4 cells, 2-probe) with full-corpus min/max —
+    // no notion of the stale standing-slice build, the frozen-quantizer
+    // appends, or the swap; a hash match proves the retrain verb equals
+    // a from-scratch 4-cell build.
+    "ann_sq_retrain" -> ivfSqTop10SqlAt(4, 2),
+
+    // Twin of ann_pq_retrain: the full IVF-PQ chain at the retrained
+    // 8-cell geometry (codebooks refitted on the store's own vectors =
+    // the corpus, which is what the generated chain trains on).
+    "ann_pq_retrain" -> ivfPqSql(
+      ncells = 8, iters = 3, m = 8, dsub = 8, ksubMax = 256,
+      nprobe = 4, k = 10, rerank = 4),
+
+    // Twin of ann_bq_retrain: the centered-BQ chain (see the val).
+    "ann_bq_retrain" -> bqCenteredTop10Sql,
 
 
     // Twin of ann_graph_walk: the beam-walk KERNEL replayed as a
@@ -2829,6 +2949,60 @@ object GraftOracles {
          |  FROM bd)
          |SELECT anchor_id, vec_id, rank, cosine FROM r WHERE rank <= 5
          |ORDER BY anchor_id, rank""".stripMargin,
+
+    // Twin of dedup_image_phash — FULL hash where r12 was rows-only:
+    // the fixture pixels are CLOSED-FORM in doc_id (synthPngVariant —
+    // dims and every RGB channel are modular arithmetic; odd ids render
+    // base id-1 with 4 green-LSB flips), so the oracle recomputes the
+    // dHash WITHOUT decoding: per-cell integer area means over the 9x8
+    // clamped grid (integer division throughout, exactly dHashBytes'
+    // arithmetic), horizontal-neighbor sign bits packed into two 32-bit
+    // halves (bit 63 would overflow DuckDB's shift — the BQ precedent),
+    // all-pairs hamming <= 3 (the 4x16 banding is recall-lossless by
+    // pigeonhole, so the pair set is stated directly — the dedup_simhash
+    // argument). Any PNG encode- OR decode-side bit error now breaks the
+    // hash, the multimodal_decode guarantee extended to the perceptual
+    // pipeline.
+    "dedup_image_phash" ->
+      """WITH docs AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 2 = 1 THEN doc_id - 1 ELSE doc_id END AS base,
+        |    CASE WHEN doc_id % 2 = 1 THEN 4 ELSE 0 END AS flips
+        |  FROM documents),
+        |dims AS (SELECT doc_id, base, flips,
+        |    8 + (base % 24) AS w, 8 + ((base * 7) % 24) AS h
+        |  FROM docs),
+        |cells AS (SELECT d.doc_id, d.base, d.flips, d.w, d.h, cy.cy, cx.cx,
+        |    (cx.cx * d.w) // 9 AS x0,
+        |    GREATEST(((cx.cx + 1) * d.w) // 9, (cx.cx * d.w) // 9 + 1) AS x1,
+        |    (cy.cy * d.h) // 8 AS y0,
+        |    GREATEST(((cy.cy + 1) * d.h) // 8, (cy.cy * d.h) // 8 + 1) AS y1
+        |  FROM dims d, unnest(range(0, 8)) AS cy(cy), unnest(range(0, 9)) AS cx(cx)),
+        |px AS (SELECT c.doc_id, c.cy, c.cx,
+        |    ((xs.x * 31 + ys.y * 17 + c.base) % 256) * 299
+        |      + (CASE WHEN ys.y * c.w + xs.x < c.flips
+        |           THEN xor((xs.x * 13 + ys.y * 29 + c.base * 3) % 256, CAST(1 AS BIGINT))
+        |           ELSE (xs.x * 13 + ys.y * 29 + c.base * 3) % 256 END) * 587
+        |      + ((xs.x * 7 + ys.y * 11 + c.base * 5) % 256) * 114 AS gray
+        |  FROM cells c,
+        |    unnest(range(c.x0, LEAST(c.x1, c.w))) AS xs(x),
+        |    unnest(range(c.y0, LEAST(c.y1, c.h))) AS ys(y)),
+        |cm AS (SELECT doc_id, cy, cx, CAST(sum(gray) // count(*) AS BIGINT) AS mg
+        |  FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.doc_id, a.cy * 8 + a.cx AS k,
+        |    CASE WHEN a.mg > b.mg THEN 1 ELSE 0 END AS bit
+        |  FROM cm a JOIN cm b ON b.doc_id = a.doc_id AND b.cy = a.cy AND b.cx = a.cx + 1
+        |  WHERE a.cx < 8),
+        |sigs AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN bit = 1 AND k < 32 THEN (CAST(1 AS BIGINT) << CAST(k AS INT))
+        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS lo,
+        |    CAST(sum(CASE WHEN bit = 1 AND k >= 32 THEN (CAST(1 AS BIGINT) << CAST(k - 32 AS INT))
+        |      ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS hi
+        |  FROM bits GROUP BY 1)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS INT) AS hamming
+        |FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "dedup_embedding" ->
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, round($cosineDouble, 6) AS cosine

@@ -1072,6 +1072,66 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** COMPRESSED ANN over the LIVE mutable collection —
+    * [[graft.operators.MutableSq]], the merge-on-read discipline
+    * generalized beyond IVF so a mutable collection can carry a
+    * compressed (int8-SQ) index: same upsert/delete/refresh/search
+    * sequence as `ann_mutable_ivf`, but candidates score from 1-byte
+    * codes through the fused ADC kernel and the index never stores a
+    * raw vector. The quantizer (deterministic Lloyd router + per-dim
+    * min/max) freezes at attach, so the oracle re-derives it from the
+    * ORIGINAL corpus, restates the live state (reversed %3 vectors, %6
+    * deleted), re-assigns and re-encodes relationally, probes, and
+    * ADC-ranks — a hash match proves live-version resolution through
+    * the COMPRESSED index equals the relational restatement. */
+  val annMutableSq: Q = (s, d) => {
+    import graft.operators.MutableSq
+    val root = java.nio.file.Files.createTempDirectory("graft_msq").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val mc = store.createMutable("vecs", e, "vec_id")
+      MutableSq.attach(s, store, "vecs", "embedding", "vecs_sq",
+        ncells = 8, iters = 2)
+      mc.upsert(e.filter(col("vec_id") % 10 === 3)
+        .withColumn("embedding", reverse(col("embedding"))))
+      mc.delete(e.filter(col("vec_id") % 10 === 6).select("vec_id"))
+      MutableSq.refresh(s, store, "vecs", "vecs_sq")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val out0 = MutableSq.search(s, store, "vecs", "vecs_sq", qv,
+          k = 10, nprobe = 4)
+        .orderBy(col("dist"), col("vec_id"))
+      s.createDataFrame(
+        java.util.Arrays.asList(out0.collect(): _*), out0.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
+  /** KEYSET pagination over the live mutable collection — the scale
+    * path for the Chroma `get(limit=, offset=)` surface
+    * ([[graft.store.MutableCollection.getAfter]]): deep pages cost what
+    * page 1 costs because the cursor is a pushed-down scan predicate +
+    * TakeOrdered, with NO single-partition window (plan-pinned in
+    * MutableSqSpec's sibling; offset `getPage` stays as the shallow
+    * convenience). The page reads the post-mutation LIVE state, so the
+    * oracle restates current versions (upserted labels, deleted ids
+    * gone) and cuts the same (id > cursor, id order, limit) window
+    * relationally. */
+  val pageKeyset: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_pagek").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("label")).cache()
+    try {
+      val mc = store.createMutable("vecs", e, "vec_id")
+      mc.upsert(e.filter(col("vec_id") % 10 === 3)
+        .withColumn("label", col("label") + 10))
+      mc.delete(e.filter(col("vec_id") % 10 === 6).select("vec_id"))
+      val out = mc.getAfter(s, lastId = 100L, limit = 25)
+        .select(col("vec_id"), col("label"))
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** STREAMING ingest into the stored IVF index — the online twin of
     * `ann_ivf_incremental`: the standing corpus builds the
     * cell-partitioned store, the arrivals slice flows through a
@@ -1452,6 +1512,104 @@ object GraftQueries {
           "embedding", "vec_id", cents, cb, q, "q_id", "q_vec",
           k = 10, nprobe = 4)
         .orderBy("q_id", "rank")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
+  /** RETRAIN-AND-REBUILD of the stored int8-SQ index — the first encode
+    * family to complete the lifecycle (build → append → drift →
+    * retrain): the store is built with a quantizer fitted on the
+    * STANDING slice only (deliberately stale — both the centroids and
+    * the min/max ranges miss the arrivals), the arrival slice appends
+    * through the frozen quantizer, then
+    * [[graft.operators.Similarity.retrainStoredSq]] refits the WHOLE
+    * quantizer on the full corpus at a NEW geometry (4 cells) and
+    * atomically swaps the re-encoded layout. The probe with the new
+    * quantizer hash-matches an oracle that derives the 4-cell k-means +
+    * full-corpus min/max straight from the corpus — no notion of the
+    * stale build, the appends, or the swap — so the verb provably
+    * equals a from-scratch rebuild (also spec-pinned byte-for-byte). */
+  val annSqRetrain: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqrt").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val standing = e.filter(col("vec_id") % 10 =!= 7)
+      val cents0 = Clustering.trainCentroids(standing, 8, 2)
+      val (mins0, maxs0) = Similarity.sqMinMax(standing, "embedding")
+      store.create("vectors_sq", Similarity.sqAssignEncode(
+        standing, "embedding", "vec_id", cents0, mins0, maxs0),
+        partitionBy = Seq("cell_id"))
+      Similarity.insertIntoStoredSq(store, "vectors_sq",
+        e.filter(col("vec_id") % 10 === 7), "embedding", "vec_id",
+        cents0, mins0, maxs0): Unit
+      val (cents, mins, maxs) = Similarity.retrainStoredSq(
+        s, store, "vectors_sq", e, "embedding", "vec_id", ncells = 4, iters = 2)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val out = Similarity.sqSearchStored(
+        store.read(s, "vectors_sq").filter(col("vec_id") =!= 0),
+        "vec_id", cents, mins, maxs, qv, k = 10, nprobe = 2)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
+  /** RETRAIN-AND-REBUILD of the stored IVF-PQ index at a NEW geometry
+    * (16 → 8 coarse cells, codebooks refitted on the store's own
+    * vectors): build from the standing slice with full-corpus-trained
+    * artifacts, append the arrivals frozen, then
+    * [[graft.operators.Similarity.retrainStoredPq]] — and the ADC
+    * search over the swapped layout answers under the SAME generated
+    * full-chain oracle as `ann_ivfpq_store`, re-parameterized at 8
+    * cells with no notion of the old build. */
+  val annPqRetrain: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_pqrt").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val (cents0, cb0) = Similarity.trainIvfPq(e, "embedding", "vec_id", ncells = 16)
+      store.create("vectors_pq", Similarity.pqEncode(
+        e.filter(col("vec_id") % 10 =!= 7), "embedding", "vec_id", cents0, cb0),
+        partitionBy = Seq("cell_id"))
+      Similarity.insertIntoStoredPq(store, "vectors_pq",
+        e.filter(col("vec_id") % 10 === 7), "embedding", "vec_id", cents0, cb0): Unit
+      val (cents, cb) = Similarity.retrainStoredPq(
+        s, store, "vectors_pq", "embedding", "vec_id", ncells = 8)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      val out = Similarity.pqSearchEncoded(store.read(s, "vectors_pq"),
+          "embedding", "vec_id", cents, cb, q, "q_id", "q_vec",
+          k = 10, nprobe = 4)
+        .orderBy("q_id", "rank")
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
+  /** RETRAIN of the stored BQ signature index — the binary quantizer's
+    * new geometry is its THRESHOLD VECTOR: the sign-at-zero index is
+    * built and maintained as usual, then
+    * [[graft.operators.Similarity.retrainStoredBq]] refits per-dim
+    * thresholds at the corpus means (fixed-point long sums — the
+    * centered-BQ refit), re-encodes every signature, swaps, and the
+    * centered search must hash-match an oracle that derives thresholds,
+    * signatures, Hamming pre-rank, and exact rerank relationally from
+    * the corpus alone. */
+  val annBqRetrain: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_bqrt").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val corpus = e.filter(col("vec_id") =!= 0)
+      Similarity.buildBqIndex(store, "bq_sigs",
+        corpus.filter(col("vec_id") % 10 =!= 7), "embedding", "vec_id")
+      Similarity.insertIntoStoredBq(store, "bq_sigs",
+        corpus.filter(col("vec_id") % 10 === 7), "embedding", "vec_id"): Unit
+      val thr = Similarity.retrainStoredBq(
+        s, store, "bq_sigs", corpus, "embedding", "vec_id")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val out = Similarity.bqSearchStoredCentered(store.read(s, "bq_sigs"),
+        corpus, "embedding", "vec_id", qv, thr, k = 10, rerank = 4)
       s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
     } finally { e.unpersist(); store.destroy() }
   }
@@ -4775,8 +4933,13 @@ object GraftQueries {
     "ann_ivfsq_incremental" -> annIvfSqIncremental,
     "ann_ivfpq_incremental" -> annIvfPqIncremental,
     "ann_ivf_retrain" -> annIvfRetrain,
+    "ann_sq_retrain" -> annSqRetrain,
+    "ann_pq_retrain" -> annPqRetrain,
+    "ann_bq_retrain" -> annBqRetrain,
     "ann_mutable_ivf" -> annMutableIvf,
     "ann_mutable_ivf_filtered" -> annMutableIvfFiltered,
+    "ann_mutable_sq" -> annMutableSq,
+    "page_keyset" -> pageKeyset,
     "ann_graph_filtered" -> annGraphFiltered,
     "ann_graph_adaptive" -> annGraphAdaptive,
     "ann_lsh_buckets" -> annLshBuckets,

@@ -193,6 +193,24 @@ object CentroidRouter {
     }
   }
 
+  /** Memoized router for a centroid array in ANY slot order: keyed on
+    * the CALLER's array identity (the value is built from the sorted
+    * form, so the router itself is order-independent). This is the
+    * assignment-path entry — [[Similarity.withCellId]] sorts its input
+    * into a FRESH array per call, so keying on the sorted array would
+    * never hit and every build/append/micro-batch above the gate would
+    * repeat the O(ncells·√ncells·iters·dim) driver-side Lloyd build. */
+  def routerForAnyOrder(cents: Array[(Int, Array[Float])]): Router = {
+    val got = memo.get(cents)
+    if (got != null) got
+    else {
+      val sorted = cents.sortBy(_._1)
+      val r = build(sorted, math.max(1, math.sqrt(sorted.length.toDouble).toInt))
+      memo.put(cents, r)
+      r
+    }
+  }
+
   /** Memoized router for the slot-indexed form ([[Similarity.sqProbeCells]]'
     * plain centroid array — slot == cell id): keyed on the RAW array's
     * identity so repeated probes over one frozen router build once. */

@@ -365,8 +365,13 @@ object GraphAnn {
     // side-effect-free checkpoint, so correctness is unchanged and the
     // two index reads overlap instead of serializing.
     val contract = scala.concurrent.Future {
-      AppendContract.requireNoExisting(store, name, assigned, "id",
-        head.getLong(0), "insertIntoStored")
+      // blocking{}: the body waits on a Spark action — without the
+      // marker, many concurrent inserts would pin fork-join workers and
+      // starve the shared global pool
+      scala.concurrent.blocking {
+        AppendContract.requireNoExisting(store, name, assigned, "id",
+          head.getLong(0), "insertIntoStored")
+      }
     }(scala.concurrent.ExecutionContext.global)
     val existing = store.read(sp, name)
       .filter(col("cell_id").isin(touched.map(Int.box).toIndexedSeq: _*))

@@ -209,13 +209,17 @@ object Similarity {
   def withCellId(collection: DataFrame, vecCol: String,
                  cents: Array[(Int, Array[Float])],
                  twoLevelGate: Int = CentroidRouter.DefaultGate): DataFrame = {
-    val sorted = cents.sortBy(_._1)
-    if (sorted.length >= twoLevelGate) {
+    if (cents.length >= twoLevelGate) {
+      // memo keyed on the CALLER's array identity (routerForAnyOrder
+      // sorts internally): an index's frozen centroid array builds its
+      // two-level router once per JVM even though this method used to
+      // mint a fresh sorted copy per call
       val bc = collection.sparkSession.sparkContext
-        .broadcast(CentroidRouter.routerFor(sorted))
+        .broadcast(CentroidRouter.routerForAnyOrder(cents))
       val assign = udf((v: Seq[Float]) => bc.value.assign(v.toArray))
       return collection.withColumn("cell_id", assign(col(vecCol)))
     }
+    val sorted = cents.sortBy(_._1)
     val assign = udf((v: Seq[Float]) => {
       val arr = v.toArray
       var best = -1
@@ -1011,6 +1015,71 @@ object Similarity {
     head.getSeq[Int](2)
   }
 
+  /** Periodic RETRAIN-AND-REBUILD of a stored int8-SQ index — the
+    * [[retrainStoredIvf]] discipline for the first encode family,
+    * completing the lifecycle this file defers to "the retrain verb's
+    * job" ([[insertIntoStoredSq]]'s frozen-quantizer trade): refit the
+    * WHOLE quantizer — coarse centroids at a (possibly new) geometry AND
+    * the per-dim min/max ranges — and atomically swap the re-encoded
+    * cell-partitioned layout into place ([[graft.store.VectorStore.replace]]).
+    *
+    * The SQ layout stores CODES ONLY (1 byte/dim — that is its point),
+    * so unlike the IVF/graph retrains this verb cannot read its training
+    * vectors back from the store: retraining from dequantized codes
+    * would compound quantization error generation over generation
+    * (each retrain re-quantizing the previous retrain's error). The verb
+    * therefore takes the AUTHORITATIVE vector relation — the same
+    * `collection` contract as the builder — and enforces a cardinality
+    * check against the store (the append contract already guarantees id
+    * uniqueness on the way in, so equal counts ⇒ the same id set under
+    * the builder/append flow). O(collection) by nature — a retrain
+    * re-encodes every row — run at the cadence drift warrants; appends
+    * stay O(batch). Returns the new (centroids, mins, maxs); the caller
+    * re-registers them (probing with the old quantizer against the new
+    * layout would probe the wrong cells and decode with the wrong
+    * ranges). */
+  def retrainStoredSq(spark: org.apache.spark.sql.SparkSession,
+      store: graft.store.VectorStore, name: String, collection: DataFrame,
+      vecCol: String, idCol: String, ncells: Int = 8, iters: Int = 2)
+      : (Array[Array[Float]], Array[Double], Array[Double]) = {
+    val nStore = store.read(spark, name).count() // footer-metadata count
+    val nColl = collection.count()
+    require(nStore == nColl,
+      s"retrainStoredSq: store '$name' holds $nStore rows but the " +
+        s"collection has $nColl — the retrain corpus must be exactly the " +
+        "indexed corpus (codes-only layout; see scaladoc)")
+    val cents = Clustering.trainCentroids(collection, ncells, iters, idCol, vecCol)
+    val (mins, maxs) = sqMinMax(collection, vecCol)
+    store.replace(name, sqAssignEncode(collection, vecCol, idCol, cents, mins, maxs),
+      partitionBy = Seq("cell_id"))
+    (cents, mins, maxs)
+  }
+
+  /** Periodic RETRAIN-AND-REBUILD of a stored IVF-PQ index — refit the
+    * coarse router at a (possibly new) geometry AND the residual PQ
+    * codebooks on the store's OWN vectors (the PQ layout keeps the raw
+    * vector column for the exact rerank, so unlike SQ/BQ the training
+    * corpus reads straight off the index), re-encode every row, and
+    * atomically swap ([[graft.store.VectorStore.replace]] — crash-safe
+    * either way). Training is the same deterministic md5-ordered-sample
+    * pipeline as the builder, so the retrained store provably equals a
+    * from-scratch [[buildIvfPqIndex]] over the same rows (spec-pinned;
+    * the search over it answers under the geometry-parameterized full
+    * oracle). O(collection) scheduled verb; appends stay O(batch) via
+    * [[insertIntoStoredPq]]. Returns the new (centroids, codebook). */
+  def retrainStoredPq(spark: org.apache.spark.sql.SparkSession,
+      store: graft.store.VectorStore, name: String,
+      vecCol: String, idCol: String, ncells: Int = 16, m: Int = 8,
+      ksub: Int = 256, trainIters: Int = 3, sampleCap: Int = 20000)
+      : (Array[(Int, Array[Float])], PqCodebook) = {
+    val data = store.read(spark, name).select(col(idCol), col(vecCol))
+    val (cents, cb) = trainIvfPq(data, vecCol, idCol, ncells, m, ksub,
+      trainIters, sampleCap)
+    store.replace(name, pqEncode(data, vecCol, idCol, cents, cb),
+      partitionBy = Seq("cell_id"))
+    (cents, cb)
+  }
+
   /** The `nprobe` cells nearest the query, by the SAME arithmetic as the
     * assignment argmin (float→double subtraction, left-to-right double
     * accumulation, floor-rounded to 6 decimals, ties to the lower cid) —
@@ -1356,6 +1425,149 @@ object Similarity {
       cnts.getLong(0), "insertIntoStoredBq")
     store.append(name, encoded)
     cnts.getLong(0)
+  }
+
+  // ----------------------------------------- centered-BQ retrain tier
+
+  /** Per-dim THRESHOLD pack of dims [from, until): bit (i-from) =
+    * (v[i] > thr(i)) — the centered-BQ quantizer ([[retrainStoredBq]]).
+    * Same literal `when`-chain codegen shape as [[packSignBits]]; the
+    * comparison lifts to double because the learned thresholds are
+    * doubles (thr = 0 everywhere degenerates to the sign quantizer). */
+  private def packThresholdBits(vec: Column, from: Int, until: Int,
+                                thr: Array[Double]): Column =
+    (from until until).map { i =>
+      when(element_at(vec, i + 1).cast("double") > lit(thr(i)),
+        lit(1L << (i - from))).otherwise(lit(0L))
+    }.reduce(_.bitwiseOR(_))
+
+  /** Driver-side twin of [[packThresholdBits]] for the query vector. */
+  private def packThresholdBitsLocal(v: Array[Float], from: Int, until: Int,
+                                     thr: Array[Double]): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until && i < v.length) {
+      if (v(i).toDouble > thr(i)) acc |= 1L << (i - from)
+      i += 1
+    }
+    acc
+  }
+
+  /** Per-dim corpus MEANS via the repo's fixed-point long-sum discipline
+    * ([[Clustering.Fp]] — integer addition commutes, so the mean is
+    * independent of partial-agg merge order and bit-reproducible by the
+    * gate oracle): `thr(i) = (Σ trunc(v_i·2²⁴)) / n / 2²⁴`. ONE
+    * aggregation pass; the collect is dim rows. These are the centered-BQ
+    * quantizer's only learned parameters — sign-at-mean beats
+    * sign-at-zero exactly when dims carry non-zero means (the drift the
+    * retrain verb exists to heal). */
+  def bqThresholds(collection: DataFrame, vecCol: String,
+                   dim: Int = 64): Array[Double] = {
+    val fp = Clustering.Fp
+    val rows = collection
+      .select(posexplode(col(vecCol)).as(Seq("_pos", "_x")))
+      .groupBy("_pos")
+      .agg(sum((col("_x").cast("double") * fp).cast("long")).as("_s"),
+        count(lit(1)).as("_n"))
+      .collect()
+    val thr = new Array[Double](dim)
+    rows.foreach { r =>
+      if (r.getInt(0) < dim)
+        thr(r.getInt(0)) = r.getLong(1).toDouble / r.getLong(2) / fp
+    }
+    thr
+  }
+
+  /** The centered-signature projection — [[bqEncodeFor]] with learned
+    * thresholds (one encode seam per quantizer generation). */
+  def bqEncodeCentered(collection: DataFrame, vecCol: String, idCol: String,
+                       thr: Array[Double], dim: Int = 64): DataFrame = {
+    require(dim % 2 == 0 && dim <= 128, s"dim must be even and <= 128, got $dim")
+    require(thr.length >= dim, s"need $dim thresholds, got ${thr.length}")
+    val half = dim / 2
+    collection.select(col(idCol),
+      packThresholdBits(col(vecCol), 0, half, thr).as("bq_lo"),
+      packThresholdBits(col(vecCol), half, dim, thr).as("bq_hi"))
+  }
+
+  /** Threshold sidecar — persisted WITH the index so the layout stays
+    * self-describing across sessions (the [[writeStoredRouter]]
+    * discipline; Double.toString round-trips exactly). */
+  private val BqThresholdsFile = "_bq_thresholds.properties"
+
+  private[graft] def writeBqThresholds(store: graft.store.VectorStore,
+      name: String, thr: Array[Double]): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("dim", thr.length.toString)
+    thr.zipWithIndex.foreach { case (t, i) =>
+      props.setProperty(s"thr.$i", t.toString)
+    }
+    graft.store.StoreFs.forPath(store.root).writePropsAtomic(
+      s"${store.root}/$name/$BqThresholdsFile", props,
+      "graft centered-bq thresholds")
+  }
+
+  /** The persisted thresholds, or None for a sign-at-zero layout. */
+  def readBqThresholds(store: graft.store.VectorStore,
+                       name: String): Option[Array[Double]] =
+    graft.store.StoreFs.forPath(store.root)
+      .readProps(s"${store.root}/$name/$BqThresholdsFile")
+      .map { props =>
+        val dim = props.getProperty("dim").toInt
+        Array.tabulate(dim)(i => props.getProperty(s"thr.$i").toDouble)
+      }
+
+  /** Periodic RETRAIN of a stored BQ signature index — the binary
+    * quantizer's "new geometry" is its THRESHOLD VECTOR (the only
+    * learned parameter a sign quantizer has): refit per-dim thresholds
+    * at the corpus means ([[bqThresholds]] — centered BQ, the standard
+    * fix when dims drift off zero mean and sign bits stop splitting the
+    * data ~50/50), re-encode every signature, atomically swap, and
+    * persist the thresholds as a sidecar so the layout stays
+    * self-describing. Like [[retrainStoredSq]] the layout is codes-only
+    * (16 bytes/vector), so the verb takes the authoritative vector
+    * relation under the same cardinality contract. Returns the new
+    * thresholds; search the retrained index through
+    * [[bqSearchStoredCentered]] (the query must pack against the SAME
+    * thresholds the signatures used). */
+  def retrainStoredBq(spark: org.apache.spark.sql.SparkSession,
+      store: graft.store.VectorStore, name: String, collection: DataFrame,
+      vecCol: String, idCol: String, dim: Int = 64): Array[Double] = {
+    val nStore = store.read(spark, name).count()
+    val nColl = collection.count()
+    require(nStore == nColl,
+      s"retrainStoredBq: store '$name' holds $nStore rows but the " +
+        s"collection has $nColl — the retrain corpus must be exactly the " +
+        "indexed corpus (codes-only layout; see retrainStoredSq)")
+    val thr = bqThresholds(collection, vecCol, dim)
+    store.replace(name, bqEncodeCentered(collection, vecCol, idCol, thr, dim))
+    writeBqThresholds(store, name, thr)
+    thr
+  }
+
+  /** [[bqSearchStored]] over a CENTERED signature index: identical
+    * Hamming pre-rank + exact-cosine rerank, with the query packed
+    * against the index's learned thresholds. */
+  def bqSearchStoredCentered(stored: DataFrame, collection: DataFrame,
+      vecCol: String, idCol: String, queryVec: Array[Float],
+      thr: Array[Double], k: Int = 10, rerank: Int = 4,
+      dim: Int = 64): DataFrame = {
+    val half = dim / 2
+    val qlo = packThresholdBitsLocal(queryVec, 0, half, thr)
+    val qhi = packThresholdBitsLocal(queryVec, half, dim, thr)
+    val shortlist = stored
+      .select(col(idCol),
+        (bit_count(col("bq_lo").bitwiseXOR(lit(qlo))) +
+          bit_count(col("bq_hi").bitwiseXOR(lit(qhi))))
+          .cast("int").as("hamming"))
+      .orderBy(col("hamming"), col(idCol))
+      .limit(k * rerank)
+    collection.select(col(idCol), col(vecCol))
+      .join(broadcast(shortlist), Seq(idCol))
+      .withColumn("cosine", round(cosine(col(vecCol), vecLit(queryVec)), 6))
+      .orderBy(col("cosine").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("hamming"), col("cosine"))
   }
 
   /** Top-k over the STORED signature index: Hamming pre-rank reads ONLY

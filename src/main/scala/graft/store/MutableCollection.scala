@@ -478,6 +478,25 @@ final case class MutableCollection(store: VectorStore, name: String) {
       .filter(col("_rn") > offset).drop("_rn")
   }
 
+  /** KEYSET pagination — the scale path [[getPage]]'s scaladoc
+    * prescribes, now callable: the live rows with `id > lastId`, id
+    * order, first `limit`. The cursor predicate is a pushed-down scan
+    * filter (parquet min/max + the id bloom prune row groups) and the
+    * prefix is a TakeOrdered — k rows per partition cross the network
+    * and NO single-partition window exists anywhere in the plan
+    * (spec-pinned), so page 1000 costs what page 1 costs. Pages are
+    * stable under concurrent appends in the usual keyset sense: a page
+    * is defined by its cursor, not by a shifting global offset. Page
+    * through with `lastId` = the previous page's max id (start below
+    * the domain for page 1); on an unchanged collection
+    * `getAfter(lastSeen, n)` ≡ `getPage(n, offset-of-lastSeen)`
+    * (gate-checked). */
+  def getAfter(spark: SparkSession, lastId: Any, limit: Int): DataFrame = {
+    require(limit > 0, s"bad page: limit=$limit")
+    readLive(spark).filter(col(idCol) > lit(lastId))
+      .orderBy(col(idCol)).limit(limit)
+  }
+
   /** Live row count (post-tombstone). */
   def countLive(spark: SparkSession): Long = readLive(spark).count()
 

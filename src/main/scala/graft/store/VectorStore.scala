@@ -180,6 +180,11 @@ final case class VectorStore(root: String) {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(1, math.min(8, names.length)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // finite deadline, not Duration.Inf: one hung collection read must
+    // fail the catalog loudly (TimeoutException names the op) instead of
+    // stalling it forever while the pool keeps submitting jobs
+    val deadline = scala.concurrent.duration.Duration(
+      sys.env.getOrElse("GRAFT_CATALOG_TIMEOUT_SEC", "1800").toLong, "s")
     val rows =
       try Await.result(Future.sequence(names.map { name => Future {
         val fields = read(spark, name).schema.fieldNames.toSet
@@ -196,7 +201,7 @@ final case class VectorStore(root: String) {
           else if (fields.contains("cell_id")) "ivf"
           else "collection"
         (name, kind, count(spark, name))
-      }}), scala.concurrent.duration.Duration.Inf)
+      }}), deadline)
       finally pool.shutdown()
     import spark.implicits._
     // n_rows, not "rows": the gate's oracle engine reserves ROWS

@@ -1,0 +1,146 @@
+package graft
+
+import graft.operators.{Clustering, Similarity}
+import org.apache.spark.sql.functions._
+
+/** Retrain-at-new-geometry for the ENCODE families (SQ / PQ / BQ) — the
+  * lifecycle completion the frozen-quantizer appends defer to "the
+  * retrain verb's job": each verb must produce a store byte-identical in
+  * answers to a FROM-SCRATCH build at the retrained geometry, and the
+  * codes-only families (SQ, BQ) must enforce their corpus-cardinality
+  * contract rather than silently retraining on a drifted relation. */
+class RetrainSpec extends SparkSpec {
+
+  private def emb = Tables.embeddings(spark, sf)
+
+  private def freshStore(tag: String) = graft.store.VectorStore(
+    java.nio.file.Files.createTempDirectory(tag).toString)
+
+  test("retrainStoredSq equals a from-scratch build at the new geometry") {
+    val store = freshStore("graft_sqrt_spec")
+    try {
+      val e = emb.cache()
+      val standing = e.filter(col("vec_id") % 10 =!= 7)
+      // stale build: quantizer fitted on the standing slice only
+      val c0 = Clustering.trainCentroids(standing, 8, 2)
+      val (mn0, mx0) = Similarity.sqMinMax(standing, "embedding")
+      store.create("sq", Similarity.sqAssignEncode(
+        standing, "embedding", "vec_id", c0, mn0, mx0),
+        partitionBy = Seq("cell_id"))
+      Similarity.insertIntoStoredSq(store, "sq",
+        e.filter(col("vec_id") % 10 === 7), "embedding", "vec_id",
+        c0, mn0, mx0): Unit
+      val (cents, mins, maxs) = Similarity.retrainStoredSq(
+        spark, store, "sq", e, "embedding", "vec_id", ncells = 4, iters = 2)
+      // from-scratch twin at the same geometry
+      val (centsF, minsF, maxsF) = Similarity.buildIvfSqIndex(
+        store, "sq_fresh", e, "embedding", "vec_id", ncells = 4, iters = 2)
+      assert(cents.map(_.toSeq).toSeq == centsF.map(_.toSeq).toSeq,
+        "retrained centroids must equal from-scratch centroids")
+      assert(mins.toSeq == minsF.toSeq && maxs.toSeq == maxsF.toSeq)
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      def hits(name: String) = Similarity.sqSearchStored(
+        store.read(spark, name).filter(col("vec_id") =!= 0),
+        "vec_id", cents, mins, maxs, qv, k = 10, nprobe = 2)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+      assert(hits("sq") == hits("sq_fresh"))
+      // the stored rows themselves match (codes, cells, ids)
+      val got = store.read(spark, "sq").orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq
+      val want = store.read(spark, "sq_fresh").orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq
+      assert(got == want, "retrained layout must equal a from-scratch build")
+      e.unpersist()
+    } finally store.destroy()
+  }
+
+  test("retrainStoredPq equals a from-scratch build at the new geometry") {
+    val store = freshStore("graft_pqrt_spec")
+    try {
+      val e = emb.cache()
+      val (c0, cb0) = Similarity.trainIvfPq(e, "embedding", "vec_id", ncells = 16)
+      store.create("pq", Similarity.pqEncode(
+        e.filter(col("vec_id") % 10 =!= 7), "embedding", "vec_id", c0, cb0),
+        partitionBy = Seq("cell_id"))
+      Similarity.insertIntoStoredPq(store, "pq",
+        e.filter(col("vec_id") % 10 === 7), "embedding", "vec_id", c0, cb0): Unit
+      val (cents, cb) = Similarity.retrainStoredPq(
+        spark, store, "pq", "embedding", "vec_id", ncells = 8)
+      val (centsF, cbF) = Similarity.buildIvfPqIndex(
+        store, "pq_fresh", e, "embedding", "vec_id", ncells = 8)
+      assert(cents.map { case (i, c) => (i, c.toSeq) }.toSeq ==
+        centsF.map { case (i, c) => (i, c.toSeq) }.toSeq)
+      assert(cb.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+        cbF.cents.map(_.map(_.toSeq).toSeq).toSeq,
+        "retrained codebooks must equal from-scratch codebooks")
+      val got = store.read(spark, "pq")
+        .select(col("vec_id"), col("cell_id"), hex(col("pq_code")))
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+      val want = store.read(spark, "pq_fresh")
+        .select(col("vec_id"), col("cell_id"), hex(col("pq_code")))
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+      assert(got == want, "retrained codes must equal a from-scratch build")
+      e.unpersist()
+    } finally store.destroy()
+  }
+
+  test("retrainStoredBq centers signatures and round-trips its sidecar") {
+    val store = freshStore("graft_bqrt_spec")
+    try {
+      val e = emb.cache()
+      val corpus = e.filter(col("vec_id") =!= 0)
+      Similarity.buildBqIndex(store, "bq",
+        corpus.filter(col("vec_id") % 10 =!= 7), "embedding", "vec_id")
+      Similarity.insertIntoStoredBq(store, "bq",
+        corpus.filter(col("vec_id") % 10 === 7), "embedding", "vec_id"): Unit
+      assert(Similarity.readBqThresholds(store, "bq").isEmpty,
+        "a sign-at-zero layout carries no threshold sidecar")
+      val thr = Similarity.retrainStoredBq(
+        spark, store, "bq", corpus, "embedding", "vec_id")
+      // sidecar round-trips exactly (Double.toString is lossless)
+      assert(Similarity.readBqThresholds(store, "bq").get.toSeq == thr.toSeq)
+      // retrained signatures equal a direct centered encode of the corpus
+      val want = Similarity.bqEncodeCentered(corpus, "embedding", "vec_id", thr)
+        .orderBy("vec_id").collect().map(_.toSeq).toSeq
+      val got = store.read(spark, "bq").orderBy("vec_id")
+        .collect().map(_.toSeq).toSeq
+      assert(got == want)
+      // centered search over the retrained store == search over the
+      // directly-encoded store (maintenance invisible to the answer)
+      store.create("bq_fresh",
+        Similarity.bqEncodeCentered(corpus, "embedding", "vec_id", thr))
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      def hits(name: String) = Similarity.bqSearchStoredCentered(
+        store.read(spark, name), corpus, "embedding", "vec_id", qv, thr)
+        .collect().map(_.toSeq).toSeq
+      assert(hits("bq") == hits("bq_fresh"))
+      e.unpersist()
+    } finally store.destroy()
+  }
+
+  test("codes-only retrains enforce the corpus-cardinality contract") {
+    val store = freshStore("graft_rt_contract")
+    try {
+      val e = emb.cache()
+      val c0 = Clustering.trainCentroids(e, 8, 2)
+      val (mn0, mx0) = Similarity.sqMinMax(e, "embedding")
+      store.create("sq", Similarity.sqAssignEncode(
+        e, "embedding", "vec_id", c0, mn0, mx0), partitionBy = Seq("cell_id"))
+      val drifted = e.filter(col("vec_id") % 2 === 0)
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.retrainStoredSq(spark, store, "sq", drifted,
+          "embedding", "vec_id", ncells = 4)
+      }
+      assert(ex.getMessage.contains("retrainStoredSq"))
+      Similarity.buildBqIndex(store, "bq", e, "embedding", "vec_id")
+      val ex2 = intercept[IllegalArgumentException] {
+        Similarity.retrainStoredBq(spark, store, "bq", drifted,
+          "embedding", "vec_id")
+      }
+      assert(ex2.getMessage.contains("retrainStoredBq"))
+      e.unpersist()
+    } finally store.destroy()
+  }
+}
