@@ -73,8 +73,37 @@ object Clustering {
 
   /** Map-only nearest-centroid assignment: `struct(dist, cid)` argmin by
     * `array_min`'s lexicographic struct ordering (dist first, then cid —
-    * which IS the deterministic tiebreak). */
-  def assignStruct(vec: Column, cents: Array[Array[Float]]): Column = {
+    * which IS the deterministic tiebreak).
+    *
+    * CELL-COUNT GATE (the [[Similarity.withCellId]] discipline, extended
+    * to THIS tier's callers — the graph builds/appends and the SQ encode
+    * paths all assign through here): at `twoLevelGate`+ cells the
+    * literal-probe expression stops scaling — ncells·dim of generated
+    * source per plan (janino pays seconds per distinct centroid set) and
+    * O(ncells) per row — so assignment switches to the broadcast
+    * two-level [[CentroidRouter]] (approximate in the standard IVF
+    * sense, SELF-CONSISTENT with the gated probe side: sqProbeCells
+    * routes through the same memoized router above the same gate). The
+    * emitted struct keeps the contract: `dist` is the round6'd
+    * left-to-right double l2² to the CHOSEN cell. Answers below the
+    * gate are unchanged by construction (flat path). */
+  def assignStruct(vec: Column, cents: Array[Array[Float]],
+                   twoLevelGate: Int = CentroidRouter.DefaultGate): Column = {
+    if (cents.length >= twoLevelGate) {
+      val bc = org.apache.spark.sql.SparkSession.active.sparkContext
+        .broadcast(CentroidRouter.routerForSlots(cents))
+      val assign = udf((v: Seq[Float]) => {
+        val arr = v.toArray
+        val cid = bc.value.assign(arr)
+        val c = bc.value.cents(cid)._2
+        var acc = 0.0
+        var i = 0
+        val n = math.min(arr.length, c.length)
+        while (i < n) { val d = arr(i).toDouble - c(i).toDouble; acc += d * d; i += 1 }
+        (math.floor(acc * 1e6 + 0.5) / 1e6, cid)
+      })
+      return assign(vec).cast("struct<dist:double,cid:int>")
+    }
     val probes = cents.zipWithIndex.map { case (c, j) =>
       struct(
         round6(VectorFunctions.l2Sq(vec, typedlit(c))).as("dist"),
