@@ -278,8 +278,17 @@ object GraftOracles {
     *    (adc, id), exact raw-l2 rerank rounded 6, top-10 by (score, id).
     * ksub is 256 in the operator; min(ksub, points) caps it at the
     * sample size exactly as kmeansDriver does. */
+  /** `srcSql` is the relation the ENCODE/SEARCH side runs over — the
+    * identity (the corpus itself) for the immutable entries, a live
+    * restatement (reversed vectors, deleted ids gone) for the
+    * mutable-PQ twin; TRAINING always reads the original corpus (the
+    * attach-time state). `qWhere` picks the query rows; `emitQid`
+    * drops the q_id column for single-query verbs. */
   private def ivfPqSql(ncells: Int, iters: Int, m: Int, dsub: Int,
-                       ksubMax: Int, nprobe: Int, k: Int, rerank: Int): String = {
+                       ksubMax: Int, nprobe: Int, k: Int, rerank: Int,
+                       srcSql: String = "SELECT vec_id, embedding FROM embeddings",
+                       qWhere: String = "vec_id < 5",
+                       emitQid: Boolean = true): String = {
     def pqRound(i: Int, prev: String): String =
       s"""pqd$i AS (SELECT p.rn, p.j, p.v, c.c, list_sum(list_transform(range(1,${dsub + 1}),
          |    x -> (p.v[CAST(x AS INT)] - c.v[CAST(x AS INT)])
@@ -308,9 +317,17 @@ object GraftOracles {
        |      AS FLOAT) AS DOUBLE)) AS res
        |  FROM cellm s JOIN embeddings e ON e.vec_id = s.vec_id
        |  JOIN centm c ON c.cid = s.cid),
+       |lsrc AS MATERIALIZED ($srcSql),
+       |lad0 AS (SELECT l.vec_id, l.embedding, c.cid, list_sum(list_transform(range(1,65),
+       |    i -> (l.embedding[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+       |       * (l.embedding[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) AS dr
+       |  FROM lsrc l CROSS JOIN centm c),
+       |lcellm AS MATERIALIZED (SELECT vec_id, cid FROM (
+       |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn
+       |    FROM lad0) WHERE rn = 1),
        |residd AS MATERIALIZED (SELECT s.vec_id, list_transform(range(1,65),
        |    i -> e.embedding[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]) AS res
-       |  FROM cellm s JOIN embeddings e ON e.vec_id = s.vec_id
+       |  FROM lcellm s JOIN lsrc e ON e.vec_id = s.vec_id
        |  JOIN centm c ON c.cid = s.cid),
        |pqpts AS MATERIALIZED (SELECT m.rn, u.j, list_slice(r.res, u.j * $dsub + 1, (u.j + 1) * $dsub) AS v
        |  FROM smp m JOIN resid r ON r.vec_id = m.vec_id,
@@ -329,7 +346,7 @@ object GraftOracles {
        |code AS MATERIALIZED (SELECT vec_id, j, c FROM enca WHERE arn = 1),
        |sq AS MATERIALIZED (SELECT vec_id AS q_id,
        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-       |  FROM embeddings WHERE vec_id < 5),
+       |  FROM embeddings WHERE $qWhere),
        |sqd AS (SELECT q.q_id, c.cid, list_sum(list_transform(range(1,65),
        |    i -> (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)])
        |       * (q.qv[CAST(i AS INT)] - c.v[CAST(i AS INT)]))) AS dr
@@ -348,7 +365,7 @@ object GraftOracles {
        |adc0 AS (SELECT p.q_id, s.vec_id, s.cid,
        |    list_sum(list(t.d ORDER BY t.j)) AS adc_raw
        |  FROM sprobe p
-       |  JOIN cellm s ON s.cid = p.cid
+       |  JOIN lcellm s ON s.cid = p.cid
        |  JOIN code cd ON cd.vec_id = s.vec_id
        |  JOIN dt t ON t.q_id = p.q_id AND t.cid = s.cid AND t.j = cd.j AND t.c = cd.c
        |  GROUP BY 1, 2, 3),
@@ -359,13 +376,15 @@ object GraftOracles {
        |ex AS (SELECT h.q_id, h.vec_id, round(list_sum(list_transform(range(1,65),
        |    i -> (e.embedding[CAST(i AS INT)]::DOUBLE - q.qv[CAST(i AS INT)])
        |       * (e.embedding[CAST(i AS INT)]::DOUBLE - q.qv[CAST(i AS INT)]))), 6) AS score
-       |  FROM short h JOIN embeddings e ON e.vec_id = h.vec_id
+       |  FROM short h JOIN lsrc e ON e.vec_id = h.vec_id
        |  JOIN sq q ON q.q_id = h.q_id),
        |fin AS (SELECT q_id, vec_id, score,
        |    row_number() OVER (PARTITION BY q_id ORDER BY score, vec_id) AS rank
        |  FROM ex)
-       |SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank
-       |FROM fin WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+       |${if (emitQid)
+           s"SELECT q_id, vec_id, score, CAST(rank AS BIGINT) AS rank\nFROM fin WHERE rank <= $k ORDER BY q_id, rank"
+         else
+           s"SELECT vec_id, score, CAST(rank AS BIGINT) AS rank\nFROM fin WHERE rank <= $k ORDER BY rank"}""".stripMargin
   }
 
   private lazy val ivfPqTop10Sql: String = ivfPqSql(
@@ -2285,6 +2304,41 @@ object GraftOracles {
          |SELECT vec_id, CAST(cid AS INT) AS cell_id, dist FROM dd
          |ORDER BY dist, vec_id LIMIT 10""".stripMargin,
 
+    // Twin of ann_mutable_bq: the live-mutable signature index — the
+    // mutated corpus restated (reversed %3 vectors, %6 gone), sign
+    // signatures packed into 32-bit halves, integer Hamming pre-rank
+    // over LIVE versions, exact-cosine rerank against CURRENT vectors.
+    // A stale signature (old vector's signs) or a resurrected delete in
+    // the shortlist breaks the hash.
+    "ann_mutable_bq" ->
+      """WITH live AS (SELECT vec_id,
+        |    CASE WHEN vec_id % 10 = 3 THEN list_reverse(embedding)
+        |         ELSE embedding END AS lv
+        |  FROM embeddings WHERE vec_id % 10 <> 6),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |qs AS (SELECT
+        |    CAST(list_sum(list_transform(range(1,33), i ->
+        |      CASE WHEN qv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS qlo,
+        |    CAST(list_sum(list_transform(range(33,65), i ->
+        |      CASE WHEN qv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS qhi
+        |  FROM q),
+        |sig AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1,33), i ->
+        |      CASE WHEN lv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-1 AS INT)) ELSE 0 END)) AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(33,65), i ->
+        |      CASE WHEN lv[CAST(i AS INT)] > 0 THEN (CAST(1 AS BIGINT) << CAST(i-33 AS INT)) ELSE 0 END)) AS BIGINT) AS hi
+        |  FROM live),
+        |short AS (SELECT s.vec_id,
+        |    CAST(bit_count(xor(s.lo, t.qlo)) + bit_count(xor(s.hi, t.qhi)) AS INT) AS hamming
+        |  FROM sig s CROSS JOIN qs t
+        |  ORDER BY hamming, vec_id LIMIT 40)
+        |SELECT sh.vec_id, sh.hamming, round(
+        |    list_sum(list_transform(range(1,65), i -> l.lv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE)) /
+        |    sqrt(list_sum(list_transform(range(1,65), i -> l.lv[CAST(i AS INT)]::DOUBLE * l.lv[CAST(i AS INT)]::DOUBLE)) *
+        |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+        |FROM short sh JOIN live l USING (vec_id) CROSS JOIN q
+        |ORDER BY cosine DESC, vec_id LIMIT 10""".stripMargin,
+
     // Twin of page_keyset: the live state restated (current labels for
     // the upserted %3 ids, %6 ids gone) cut by the same cursor —
     // id > 100, id order, 25 rows. A stale-version leak (old label) or
@@ -2376,6 +2430,20 @@ object GraftOracles {
 
     // Twin of ann_bq_retrain: the centered-BQ chain (see the val).
     "ann_bq_retrain" -> bqCenteredTop10Sql,
+
+    // Twin of ann_mutable_pq: the full generated PQ chain — coarse
+    // router + codebooks trained on the ORIGINAL corpus (the attach
+    // state), the encode/search side restated over the LIVE relation
+    // (reversed %3 vectors, %6 gone), single query vec 0. A stale code,
+    // a resurrected delete, or a drifted codebook all break the hash.
+    "ann_mutable_pq" -> ivfPqSql(
+      ncells = 16, iters = 3, m = 8, dsub = 8, ksubMax = 256,
+      nprobe = 4, k = 10, rerank = 4,
+      srcSql = """SELECT vec_id,
+                 |    CASE WHEN vec_id % 10 = 3 THEN list_reverse(embedding)
+                 |         ELSE embedding END AS embedding
+                 |  FROM embeddings WHERE vec_id % 10 <> 6""".stripMargin,
+      qWhere = "vec_id = 0", emitQid = false),
 
 
     // Twin of ann_graph_walk: the beam-walk KERNEL replayed as a

@@ -1107,6 +1107,95 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** BQ search over the LIVE mutable collection —
+    * [[graft.operators.MutableBq]], the train-free member of the
+    * live-mutable index matrix: signature versions + the shared
+    * tombstone filter resolve the live state, the Hamming pre-rank cuts
+    * the shortlist over LIVE versions only, and the exact rerank reads
+    * CURRENT vectors from the live view. Fully deterministic ⇒ FULL
+    * oracle: the twin restates the mutated corpus (reversed %3, %6
+    * gone), packs signatures, pre-ranks, reranks — all relationally. */
+  val annMutableBq: Q = (s, d) => {
+    import graft.operators.MutableBq
+    val root = java.nio.file.Files.createTempDirectory("graft_mbq").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val mc = store.createMutable("vecs", e, "vec_id")
+      MutableBq.attach(s, store, "vecs", "embedding", "vecs_bq")
+      mc.upsert(e.filter(col("vec_id") % 10 === 3)
+        .withColumn("embedding", reverse(col("embedding"))))
+      mc.delete(e.filter(col("vec_id") % 10 === 6).select("vec_id"))
+      MutableBq.refresh(s, store, "vecs", "vecs_bq")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val out = MutableBq.search(s, store, "vecs", "vecs_bq", qv,
+        k = 10, rerank = 4)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
+  /** IVF-PQ search over the LIVE mutable collection —
+    * [[graft.operators.MutablePq]]: codes-only versions (m bytes each),
+    * per-query ADC tables over LIVE candidates (tombstone filter +
+    * dedup before the shortlist cut), exact rerank against the
+    * watermark live view. The quantizer (coarse router + codebooks)
+    * froze at attach on the ORIGINAL corpus, so the oracle trains the
+    * full generated PQ chain on the corpus and restates only the
+    * encode/search side over the mutated live relation — a hash match
+    * proves live-version resolution through the compressed codes
+    * equals the relational restatement, codebooks and all. */
+  val annMutablePq: Q = (s, d) => {
+    import graft.operators.MutablePq
+    val root = java.nio.file.Files.createTempDirectory("graft_mpq").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val mc = store.createMutable("vecs", e, "vec_id")
+      MutablePq.attach(s, store, "vecs", "embedding", "vecs_pq", ncells = 16)
+      mc.upsert(e.filter(col("vec_id") % 10 === 3)
+        .withColumn("embedding", reverse(col("embedding"))))
+      mc.delete(e.filter(col("vec_id") % 10 === 6).select("vec_id"))
+      MutablePq.refresh(s, store, "vecs", "vecs_pq")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val out = MutablePq.search(s, store, "vecs", "vecs_pq", qv,
+        k = 10, nprobe = 4, rerank = 4)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
+  /** GRAPH (NSW) search over the LIVE mutable collection —
+    * [[graft.operators.MutableGraph]], completing the live-mutable
+    * index matrix (IVF / SQ / BQ / graph): cells hold live-resolved
+    * node versions, deleted and superseded nodes stay as routing
+    * WAYPOINTS (the published HNSW-with-deletions posture) and the
+    * shared tombstone filter drops them from the emitted candidates;
+    * upserts rebuild only their touched cells. Rows-only by nature
+    * (graph walk); exhaustive-config ≡ exact-live-kNN, waypoint
+    * exclusion, and point-in-time reads are pinned in
+    * MutableGraphSpec. */
+  val annMutableGraph: Q = (s, d) => {
+    import graft.operators.MutableGraph
+    val root = java.nio.file.Files.createTempDirectory("graft_mgr").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val mc = store.createMutable("vecs", e, "vec_id")
+      MutableGraph.attach(s, store, "vecs", "embedding", "vecs_graph",
+        ncells = 8, iters = 2, m = 8)
+      mc.upsert(e.filter(col("vec_id") % 10 === 3)
+        .withColumn("embedding", reverse(col("embedding"))))
+      mc.delete(e.filter(col("vec_id") % 10 === 6).select("vec_id"))
+      MutableGraph.refresh(s, store, "vecs", "vecs_graph")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val out = MutableGraph.search(s, store, "vecs", "vecs_graph", qv,
+        k = 10, nprobe = 4, ef = 48)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** KEYSET pagination over the live mutable collection — the scale
     * path for the Chroma `get(limit=, offset=)` surface
     * ([[graft.store.MutableCollection.getAfter]]): deep pages cost what
@@ -4939,6 +5028,9 @@ object GraftQueries {
     "ann_mutable_ivf" -> annMutableIvf,
     "ann_mutable_ivf_filtered" -> annMutableIvfFiltered,
     "ann_mutable_sq" -> annMutableSq,
+    "ann_mutable_bq" -> annMutableBq,
+    "ann_mutable_graph" -> annMutableGraph,
+    "ann_mutable_pq" -> annMutablePq,
     "page_keyset" -> pageKeyset,
     "ann_graph_filtered" -> annGraphFiltered,
     "ann_graph_adaptive" -> annGraphAdaptive,

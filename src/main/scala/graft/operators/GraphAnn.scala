@@ -86,7 +86,7 @@ object GraphAnn {
     * distance evaluations performed. Classic NSW/HNSW layer-0 search:
     * expand the closest unexpanded candidate; stop when the closest
     * candidate is farther than the worst of a full result set. */
-  private def beamSearch(vecOf: Long => Array[Float],
+  private[graft] def beamSearch(vecOf: Long => Array[Float],
                          neighborsOf: Long => collection.Seq[Long],
                          entry: Long, qv: Array[Float], ef: Int):
       (Vector[(Double, Long)], Int) = {

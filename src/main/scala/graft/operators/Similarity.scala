@@ -654,7 +654,18 @@ object Similarity {
     * only id+pq_code thanks to parquet column pruning; the vector column
     * is touched for rerank*k rows per query). */
   def pqEncode(collection: DataFrame, vecCol: String, idCol: String,
-               cents: Array[(Int, Array[Float])], cb: PqCodebook): DataFrame = {
+               cents: Array[(Int, Array[Float])], cb: PqCodebook): DataFrame =
+    collection
+      .withColumn("_enc", pqEncodeExpr(col(vecCol), cents, cb))
+      .select(col(idCol), col(vecCol),
+        col("_enc._1").as("cell_id"), col("_enc._2").as("pq_code"))
+
+  /** The (cell, code) encode expression behind [[pqEncode]] — exposed so
+    * index tiers (the mutable-PQ layout) can encode ALONGSIDE carried
+    * columns in one projection. Struct fields are positional (_1 cell,
+    * _2 code). */
+  private[graft] def pqEncodeExpr(vec: Column,
+      cents: Array[(Int, Array[Float])], cb: PqCodebook): Column = {
     val centById = cents.toMap
     val sortedCents = cents.sortBy(_._1)
     val encode = udf((v: Seq[Float]) => {
@@ -685,10 +696,7 @@ object Similarity {
       }
       (cell, code)
     })
-    collection
-      .withColumn("_enc", encode(col(vecCol)))
-      .select(col(idCol), col(vecCol),
-        col("_enc._1").as("cell_id"), col("_enc._2").as("pq_code"))
+    encode(vec)
   }
 
   /** Build the IVF-PQ index as a STORED collection: train, encode, write
@@ -1405,6 +1413,19 @@ object Similarity {
       packSignBits(col(vecCol), 0, half).as("bq_lo"),
       packSignBits(col(vecCol), half, dim).as("bq_hi"))
   }
+
+  /** The (lo, hi) signature expressions for one vector column — exposed
+    * so index tiers (the mutable-BQ layout) can compute signatures
+    * ALONGSIDE carried columns in a single map-only projection instead
+    * of joining [[bqEncodeFor]]'s three-column output back. */
+  private[graft] def bqEncodeExprs(vec: Column, dim: Int): (Column, Column) = {
+    require(dim % 2 == 0 && dim <= 128, s"dim must be even and <= 128, got $dim")
+    (packSignBits(vec, 0, dim / 2), packSignBits(vec, dim / 2, dim))
+  }
+
+  /** Driver-side (lo, hi) signature pack of a query vector. */
+  private[graft] def bqPackLocal(v: Array[Float], dim: Int): (Long, Long) =
+    (packSignBitsLocal(v, 0, dim / 2), packSignBitsLocal(v, dim / 2, dim))
 
   /** Incremental maintenance of a stored BQ index — the simplest of the
     * nightly-append family: signatures are train-free values (no cells,
