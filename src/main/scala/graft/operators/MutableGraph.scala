@@ -134,10 +134,17 @@ object MutableGraph {
     * set (waypoints included — they route), emit `ef` candidates per
     * cell with their node seq, then resolve liveness with the shared
     * tombstone filter, dedup per id, and cut the exact top-k by the
-    * repo's (floor-rounded dist, id) order. */
+    * repo's (floor-rounded dist, id) order.
+    *
+    * `where` is the Chroma `query(where={...})` filter over CURRENT
+    * metadata: graph nodes carry no metadata (they are walk structure),
+    * so the predicate applies through a bounded join of the emitted
+    * candidates against the watermark live view — the graph family's
+    * published over-fetch shape (filter selectivity costs recall via
+    * the fixed ef budget, never walk correctness). */
   def search(spark: SparkSession, store: VectorStore, collection: String,
              index: String, qv: Array[Double], k: Int, nprobe: Int,
-             ef: Int): DataFrame = {
+             ef: Int, where: Option[String] = None): DataFrame = {
     import spark.implicits._
     val mc = store.mutable(collection)
     val (cents, _, idCol, _, _) = readRouter(store, index)
@@ -167,8 +174,17 @@ object MutableGraph {
     // waypoints (deleted / superseded versions) drop here, on the SAME
     // rule the collection's own reads use; dedup guards the id that
     // surfaces from two probed cells (old-cell waypoint + new home)
-    mc.applyTombstoneFilter(spark, cand, asOf = Some(w))
+    val live = mc.applyTombstoneFilter(spark, cand, asOf = Some(w))
       .dropDuplicates(idCol)
+    // metadata filter: bounded join (<= nprobe·ef candidate rows)
+    // against the watermark live view's CURRENT columns
+    val filtered = where.fold(live) { j =>
+      live.join(
+        mc.readLiveAt(spark, w).filter(graft.query.WhereDsl.parse(j))
+          .select(col(idCol)),
+        Seq(idCol), "left_semi")
+    }
+    filtered
       .withColumn("dist", floor(col("_d") * 1e6 + 0.5) / 1e6)
       .orderBy(col("dist"), col(idCol))
       .limit(k)

@@ -88,6 +88,31 @@ class MutableGraphSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("where-DSL filters CURRENT metadata versions over the walk candidates") {
+    val store = freshStore()
+    try {
+      val e = Tables.embeddings(spark, sf).cache() // carries label
+      val n = e.count().toInt
+      val mc = store.createMutable("vecs", e, "vec_id")
+      MutableGraph.attach(spark, store, "vecs", "embedding", "vecs_graph",
+        ncells = 4, iters = 2, m = 8)
+      // upserts move label out of the filter band AND reverse the vector
+      mc.upsert(e.filter(col("vec_id") % 10 === 3)
+        .withColumn("embedding", reverse(col("embedding")))
+        .withColumn("label", col("label") + 10))
+      MutableGraph.refresh(spark, store, "vecs", "vecs_graph")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val hits = MutableGraph.search(spark, store, "vecs", "vecs_graph", qv,
+        k = 50, nprobe = 4, ef = n + 10,
+        where = Some("""{"label": {"$lt": 10}}""")).collect()
+      // a stale metadata version (old label < 10) would readmit the
+      // upserted ids — their CURRENT label is >= 10
+      assert(hits.nonEmpty && hits.forall(_.getLong(0) % 10 != 3))
+      e.unpersist()
+    } finally store.destroy()
+  }
+
   test("refresh rebuilds only the touched cells") {
     val store = freshStore()
     try {
