@@ -199,6 +199,15 @@ object GraftOracles {
        |WHERE doc_id % 7 <> 0
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Shared twin of vec_percolate / streaming_vec_percolate. */
+  private lazy val vecPercolateSql =
+    s"""WITH b AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 20),
+       |a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20)
+       |SELECT a.vec_id, b.q_id, round($cosineDouble, 6) AS cosine
+       |FROM a CROSS JOIN b
+       |WHERE round($cosineDouble, 6) >= 0.3
+       |ORDER BY a.vec_id, b.q_id""".stripMargin
+
   private val cosineDouble =
     """list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
       |sqrt(list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * a.embedding[i]::DOUBLE)) *
@@ -2092,6 +2101,62 @@ object GraftOracles {
          |FROM ncand n LEFT JOIN hits h ON h.q_id = n.q_id AND h.nprobe = n.nprobe
          |ORDER BY n.q_id, n.nprobe""".stripMargin,
 
+    // Twin of ann_eval_graded — the recall-report replay extended to
+    // graded metrics: exact rank kept as relevance rel = 11 - xr, DCG an
+    // integer sum over the SAME discount-table longs the operator uses
+    // (interpolated from Similarity.ndcgDiscountFixed, never a log2 at
+    // compare time), MRR and NDCG one round-half-up integer division
+    // each. Zero-hit (query, nprobe) cells report (0, 0.0, 0.0).
+    "ann_eval_graded" -> {
+      val w = graft.operators.Similarity.ndcgDiscountFixed(10)
+      val idcg = (1 to 10).map(i => (11 - i).toLong * w(i - 1)).sum
+      val wVals = w.zipWithIndex
+        .map { case (v, i) => s"(${i + 1}, ${v})" }.mkString(", ")
+      s"""WITH ${simIvfCte(16, 3)},
+         |sq AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |sqd AS (SELECT q.q_id, c.cid, list_sum(list_transform(range(1,65),
+         |    i -> (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |       * (q.qe[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM sq q CROSS JOIN sc3 c),
+         |sprn AS (SELECT q_id, cid,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dr, cid) AS rn
+         |  FROM sqd),
+         |cand AS (SELECT p.q_id, p.rn, s.vec_id, round(
+         |    list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE)) /
+         |    sqrt(list_sum(list_transform(range(1,65), i -> s.embedding[CAST(i AS INT)]::DOUBLE * s.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |         list_sum(list_transform(range(1,65), i -> q.qe[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE))), 6) AS cosine
+         |  FROM scellf s JOIN sprn p ON s.cid = p.cid
+         |  JOIN sq q ON q.q_id = p.q_id
+         |  WHERE p.rn <= 8),
+         |exact AS (SELECT q_id, vec_id, xr FROM (
+         |    SELECT q.q_id, e.vec_id, row_number() OVER (PARTITION BY q.q_id ORDER BY round(
+         |      list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE)) /
+         |      sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * e.embedding[CAST(i AS INT)]::DOUBLE)) *
+         |           list_sum(list_transform(range(1,65), i -> q.qe[CAST(i AS INT)]::DOUBLE * q.qe[CAST(i AS INT)]::DOUBLE))), 6) DESC, e.vec_id) AS xr
+         |    FROM embeddings e CROSS JOIN sq q) WHERE xr <= 10),
+         |ps AS (SELECT unnest([1,2,4,8]) AS nprobe),
+         |ivfk AS (SELECT q_id, nprobe, vec_id, r FROM (
+         |    SELECT c.q_id, p.nprobe, c.vec_id,
+         |      row_number() OVER (PARTITION BY c.q_id, p.nprobe ORDER BY c.cosine DESC, c.vec_id) AS r
+         |    FROM cand c JOIN ps p ON c.rn <= p.nprobe) WHERE r <= 10),
+         |w(r, wf) AS (VALUES $wVals),
+         |h AS (SELECT i.q_id, i.nprobe, i.r, CAST(11 - x.xr AS BIGINT) AS rel
+         |  FROM ivfk i JOIN exact x ON x.q_id = i.q_id AND x.vec_id = i.vec_id),
+         |agg AS (SELECT h.q_id, h.nprobe, CAST(count(*) AS BIGINT) AS n_hits,
+         |    min(h.r) AS minr, CAST(sum(h.rel * w.wf) AS BIGINT) AS dcg
+         |  FROM h JOIN w ON w.r = h.r GROUP BY 1, 2),
+         |base AS (SELECT q.q_id, p.nprobe
+         |  FROM (SELECT DISTINCT q_id FROM sq) q CROSS JOIN ps p)
+         |SELECT b.q_id, CAST(b.nprobe AS INT) AS nprobe,
+         |  CAST(coalesce(a.n_hits, 0) AS BIGINT) AS n_hits,
+         |  CASE WHEN a.minr IS NULL THEN 0.0
+         |    ELSE ((2000000 + a.minr) // (2 * a.minr)) / 1e6 END AS mrr,
+         |  CASE WHEN a.dcg IS NULL THEN 0.0
+         |    ELSE ((2 * a.dcg * 1000000 + ${idcg}) // (2 * ${idcg})) / 1e6 END AS ndcg
+         |FROM base b LEFT JOIN agg a ON a.q_id = b.q_id AND a.nprobe = b.nprobe
+         |ORDER BY b.q_id, b.nprobe""".stripMargin
+    },
+
     // Twin of ann_autotune — the recall-report relational replay PLUS
     // the decision: min nprobe with total panel hits >= ceil(0.9·10·5)
     // = 45 (integer rule, fallback 8), then the served IVF top-10 at
@@ -2583,6 +2648,14 @@ object GraftOracles {
          |SELECT vec_id, label, round($l2sqToQv, 6) AS distance
          |FROM embeddings e, q WHERE label IN (1,2,3)
          |ORDER BY distance, vec_id LIMIT 10""".stripMargin,
+
+    // Twin of vec_percolate AND streaming_vec_percolate (the stream is
+    // the stateless broadcast form of the same kernel) — every (doc,
+    // standing subscription) pair at rounded cosine >= 0.3; the
+    // operator's broadcast staging must be invisible next to this
+    // direct cross-join form.
+    "vec_percolate" -> vecPercolateSql,
+    "streaming_vec_percolate" -> vecPercolateSql,
 
     // Twin of knn_classify — brute-force cosine top-15 per probe over the
     // labeled 99%, then the majority vote with the count-desc/label-asc

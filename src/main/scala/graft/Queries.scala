@@ -758,6 +758,18 @@ object GraftQueries {
       .select("vec_id", "label", "distance")
   }
 
+  /** Vector percolate: 20 standing subscription vectors broadcast against
+    * the rest of the corpus; every (doc, subscription) pair at cosine
+    * ≥ 0.3 emits — one map-only broadcast pass, no shuffle. */
+  val vecPercolate: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val standing = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.vectorPercolate(e.filter(col("vec_id") >= 20), "embedding",
+        "vec_id", standing, "q_id", "q_vec", threshold = 0.3)
+      .orderBy("vec_id", "q_id")
+  }
+
   /** Batched kNN join: 5 query vectors, top-10 each, exact cosine. */
   val vecTopkJoin: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
@@ -1450,6 +1462,21 @@ object GraftQueries {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
       Similarity.recallReport(e, "embedding", "vec_id", q, "q_id", "q_vec",
+        k = 10, ncells = 16, nprobes = Seq(1, 2, 4, 8))
+    } finally e.unpersist()
+  }
+
+  /** Graded ranking-quality report: MRR@10 and NDCG@10 of the IVF probe
+    * vs the exact top-10 at nprobe ∈ {1,2,4,8} over the 5-query panel.
+    * All metrics integer/fixed-point (shared discount-table longs,
+    * round-half-up integer divisions), so the oracle re-derives every
+    * number with no IEEE fold-order caveats. */
+  val annEvalGraded: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      Similarity.gradedEvalReport(e, "embedding", "vec_id", q, "q_id", "q_vec",
         k = 10, ncells = 16, nprobes = Seq(1, 2, 4, 8))
     } finally e.unpersist()
   }
@@ -2990,6 +3017,16 @@ object GraftQueries {
           "q_agg" -> Seq("customer", "agg")),
         "graft_sperc_" + java.util.UUID.randomUUID().toString.replace("-", ""))
       .orderBy("q_id", "doc_id")
+
+  /** Vector percolation at ingest: vec_percolate's standing subscription
+    * set matched per arriving embedding through the stateless stream-
+    * static broadcast form — the batch oracle checks the stream
+    * verbatim. */
+  val streamingVecPercolate: Q = (s, d) =>
+    graft.streaming.DocStream.runStreamingVecPercolate(s,
+        s"$d/embeddings.parquet", threshold = 0.3,
+        "graft_svperc_" + java.util.UUID.randomUUID().toString.replace("-", ""))
+      .orderBy("vec_id", "q_id")
 
   /** CDC-style streaming upsert into a mutable collection: micro-batches
     * insert/replace by id through the merge-on-read tombstone store,
@@ -4976,6 +5013,7 @@ object GraftQueries {
     "vec_knn" -> vecKnn,
     "vec_knn_filtered" -> vecKnnFiltered,
     "vec_topk_join" -> vecTopkJoin,
+    "vec_percolate" -> vecPercolate,
     "mine_hard_negatives" -> mineHardNegatives,
     "mine_hard_negatives_lsh" -> mineHardNegativesLsh,
     "knn_classify" -> knnClassifyQ,
@@ -5002,6 +5040,7 @@ object GraftQueries {
     "ann_ivf_store" -> annIvfStore,
     "ann_ivf_store_batch" -> annIvfStoreBatch,
     "ann_recall_report" -> annRecallReport,
+    "ann_eval_graded" -> annEvalGraded,
     "ann_autotune" -> annAutotune,
     "ann_adaptive_prefilter" -> annAdaptivePrefilter,
     "ann_adaptive_postfilter" -> annAdaptivePostfilter,
@@ -5069,6 +5108,7 @@ object GraftQueries {
     "streaming_neardup" -> streamingNearDup,
     "streaming_upsert" -> streamingUpsert,
     "streaming_percolate" -> streamingPercolate,
+    "streaming_vec_percolate" -> streamingVecPercolate,
     "dedup_embedding_lsh" -> dedupEmbeddingLsh,
     "q12_distinct_sketch" -> q12DistinctSketch,
     "q13_cube" -> q13Cube,

@@ -59,6 +59,35 @@ object DocStream {
     EventStream.drainMemorySink(spark0, spark, q, queryName)
   }
 
+  /** VECTOR percolation at ingest — the embedding-space twin of
+    * [[runStreamingPercolate]]: standing subscription VECTORS broadcast
+    * against each arriving embedding, a match row per (document,
+    * subscription) at cosine ≥ threshold. The batch kernel
+    * ([[graft.operators.Similarity.vectorPercolate]]) is a stateless
+    * stream-static broadcast join — no watermark, no state — so the
+    * batch oracle checks the streamed output verbatim. */
+  def runStreamingVecPercolate(spark0: SparkSession, embParquet: String,
+                               threshold: Double,
+                               queryName: String): DataFrame = {
+    val spark = EventStream.streamSession(spark0)
+    val standing = spark.read.parquet(
+        new java.io.File(embParquet).getAbsolutePath)
+      .filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val stream = EventStream.readFileStream(spark, embParquet)
+      .filter(col("vec_id") >= 20) // the arrivals slice
+    val matched = graft.operators.Similarity.vectorPercolate(
+      stream, "embedding", "vec_id", standing, "q_id", "q_vec", threshold)
+    val q = matched.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    EventStream.drainMemorySink(spark0, spark, q, queryName)
+  }
+
   /** Streaming nearest-centroid assignment: vectors arrive as a stream
     * and are routed to k-means cells trained ONCE on the standing corpus
     * — the online half of the SemDeDup/IVF story (route-at-ingest; a

@@ -1435,4 +1435,54 @@ class AnnProbeSpec extends SparkSpec {
       assert(byP.last._4 == 5L)
     }
   }
+
+  test("graded eval: full probe scores perfect MRR/NDCG; metrics bounded and monotone-capped") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val rep = Similarity.gradedEvalReport(e, "embedding", "vec_id", q, "q_id",
+        "q_vec", k = 5, ncells = 8, nprobes = Seq(1, 8))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(rep.length == 6, s"expected 3 queries x 2 settings, got ${rep.length}")
+    rep.foreach { case (qid, p, hits, mrr, ndcg) =>
+      assert(mrr >= 0.0 && mrr <= 1.0 && ndcg >= 0.0 && ndcg <= 1.0,
+        s"metric out of [0,1] for ($qid, $p): mrr=$mrr ndcg=$ndcg")
+      assert((hits == 0) == (ndcg == 0.0),
+        s"ndcg/hits inconsistent for ($qid, $p): hits=$hits ndcg=$ndcg")
+    }
+    // probing every cell makes the IVF ranking THE exact ranking: the
+    // query vector itself is rank 1 (cosine 1.0) and the whole graded
+    // order matches, so both metrics are exactly 1.0
+    rep.filter(_._2 == 8).foreach { case (qid, _, hits, mrr, ndcg) =>
+      assert(hits == 5L && mrr == 1.0 && ndcg == 1.0,
+        s"full probe not perfect for query $qid: hits=$hits mrr=$mrr ndcg=$ndcg")
+    }
+    // NDCG at the narrow probe can never exceed the full-probe 1.0
+    assert(rep.filter(_._2 == 1).forall(_._5 <= 1.0))
+  }
+
+  test("vector percolate: map-only broadcast plan, self-match at cosine 1.0") {
+    val e = Tables.embeddings(spark, sf)
+    val standing = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = Similarity.vectorPercolate(e, "embedding", "vec_id",
+      standing, "q_id", "q_vec", threshold = 0.999)
+    // the document stream percolates without ANY shuffle: the standing
+    // side BroadcastExchanges, and no shuffle Exchange (hash/range/
+    // single-partition) may appear in the physical plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"standing side not broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning") &&
+      !plan.contains("Exchange SinglePartition"),
+      s"percolate plan shuffles — expected map-only broadcast:\n$plan")
+    val rows = out.collect()
+    // each standing vector matches at least itself (cosine exactly 1.0)
+    val selfs = rows.filter(r => r.getLong(0) == r.getLong(1))
+    assert(selfs.length == 5 && selfs.forall(_.getDouble(2) == 1.0),
+      s"missing self-matches: ${selfs.toSeq}")
+    assert(rows.forall(_.getDouble(2) >= 0.999))
+  }
 }
