@@ -2157,6 +2157,60 @@ object GraftOracles {
          |ORDER BY b.q_id, b.nprobe""".stripMargin
     },
 
+    // Twin of ann_index_advisor — the whole decision table re-derived:
+    // each family's search is its existing twin VERBATIM as a subquery
+    // (ivf = annProbedTop10SqlAt(16,3), sq = ivfSqTop10SqlAt(8,4), bq =
+    // bqTop10Sql, pq = ivfPqSql at the store geometry with the single-
+    // query panel), each joined against the exact top-10 under that
+    // family's metric and corpus convention; prices, the ceil(0.7·10)=7
+    // integer bar, and the bytes-asc/name-asc recommendation are plain
+    // relational algebra on the hit counts.
+    "ann_index_advisor" -> {
+      val l2d = (tbl: String) =>
+        s"""list_sum(list_transform(range(1,65),
+           |      i -> ($tbl.embedding[CAST(i AS INT)]::DOUBLE - q.qv[CAST(i AS INT)])
+           |         * ($tbl.embedding[CAST(i AS INT)]::DOUBLE - q.qv[CAST(i AS INT)])))""".stripMargin
+      val cosd =
+        s"""round(
+           |    list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)])) /
+           |    sqrt(list_sum(list_transform(range(1,65), i -> e.embedding[CAST(i AS INT)]::DOUBLE * e.embedding[CAST(i AS INT)]::DOUBLE)) *
+           |         list_sum(list_transform(range(1,65), i -> q.qv[CAST(i AS INT)] * q.qv[CAST(i AS INT)]))), 6)""".stripMargin
+      s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+         |  FROM embeddings WHERE vec_id = 0),
+         |xl2f AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id, round(${l2d("e")}, 6) AS d FROM embeddings e CROSS JOIN q
+         |    ORDER BY d, e.vec_id LIMIT 10)),
+         |xl2x AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id, round(${l2d("e")}, 6) AS d FROM embeddings e CROSS JOIN q
+         |    WHERE e.vec_id <> 0 ORDER BY d, e.vec_id LIMIT 10)),
+         |xcos AS (SELECT vec_id FROM (
+         |    SELECT e.vec_id, $cosd AS c FROM embeddings e CROSS JOIN q
+         |    WHERE e.vec_id <> 0 ORDER BY c DESC, e.vec_id LIMIT 10)),
+         |fivf AS (SELECT vec_id FROM (${annProbedTop10SqlAt(16, 3)})),
+         |fsq AS (SELECT vec_id FROM (${ivfSqTop10SqlAt(8, 4)})),
+         |fbq AS (SELECT vec_id FROM ($bqTop10Sql)),
+         |fpq AS (SELECT vec_id FROM (${ivfPqSql(
+             ncells = 16, iters = 3, m = 8, dsub = 8, ksubMax = 256,
+             nprobe = 4, k = 10, rerank = 4, qWhere = "vec_id = 0",
+             emitQid = false)})),
+         |hits AS (
+         |  SELECT 'flat' AS family, 256 AS bytes, CAST(10 AS BIGINT) AS n_hits
+         |  UNION ALL SELECT 'ivf_flat', 256,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM fivf f JOIN xl2f x USING (vec_id))
+         |  UNION ALL SELECT 'ivf_sq', 64,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM fsq f JOIN xl2x x USING (vec_id))
+         |  UNION ALL SELECT 'bq', 16,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM fbq f JOIN xcos x USING (vec_id))
+         |  UNION ALL SELECT 'ivf_pq', 8,
+         |    (SELECT CAST(count(*) AS BIGINT) FROM fpq f JOIN xl2f x USING (vec_id))),
+         |dec AS (SELECT family, bytes, n_hits, n_hits >= 7 AS meets FROM hits),
+         |rec AS (SELECT family FROM dec WHERE meets ORDER BY bytes, family LIMIT 1)
+         |SELECT family, CAST(bytes AS BIGINT) AS bytes_per_vec, n_hits,
+         |  floor(CAST(n_hits AS DOUBLE) / 10.0 * 1e6 + 0.5) / 1e6 AS recall,
+         |  meets, family = (SELECT family FROM rec) AS recommended
+         |FROM dec ORDER BY family""".stripMargin
+    },
+
     // Twin of ann_autotune — the recall-report relational replay PLUS
     // the decision: min nprobe with total panel hits >= ceil(0.9·10·5)
     // = 45 (integer rule, fallback 8), then the served IVF top-10 at

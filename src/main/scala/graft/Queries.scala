@@ -1481,6 +1481,23 @@ object GraftQueries {
     } finally e.unpersist()
   }
 
+  /** Index advisor: every compressed stored family built at its gate
+    * geometry, probed with vector 0, recall@10 measured against each
+    * family's own exact ranking, priced in bytes/vector, and the
+    * cheapest family meeting recall ≥ 0.7 RECOMMENDED — the whole
+    * decision table (5 rows, booleans included) under the oracle hash,
+    * each family's search restated verbatim by its existing twin. */
+  val annIndexAdvisor: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      Similarity.indexAdvisor(e, "embedding", "vec_id", qv, k = 10,
+          targetRecall = 0.7, ncells = 16, nprobe = 4, selfId = Some(0L))
+        .orderBy("family")
+    } finally e.unpersist()
+  }
+
   /** Recall-targeted autotune: evaluate nprobe ∈ {1,2,4,8} on the 5-query
     * panel, choose the cheapest meeting recall@10 ≥ 0.9 (integer-exact
     * hit-count rule), serve at that setting — the DECISION and the
@@ -5041,6 +5058,7 @@ object GraftQueries {
     "ann_ivf_store_batch" -> annIvfStoreBatch,
     "ann_recall_report" -> annRecallReport,
     "ann_eval_graded" -> annEvalGraded,
+    "ann_index_advisor" -> annIndexAdvisor,
     "ann_autotune" -> annAutotune,
     "ann_adaptive_prefilter" -> annAdaptivePrefilter,
     "ann_adaptive_postfilter" -> annAdaptivePostfilter,

@@ -1519,6 +1519,105 @@ object Similarity {
     } finally scoredCand.unpersist()
   }
 
+  /** INDEX ADVISOR — the capacity-planning verb: "which index family do
+    * I build for this collection?" Evaluates every compressed stored
+    * family the engine ships (ivf_flat, ivf_sq, ivf_pq, bq) at its
+    * production gate geometry against a probe query, measures recall@k
+    * vs the exact ranking under that family's OWN metric and corpus
+    * convention (IVF/PQ rank by raw l2² over the full collection; SQ's
+    * read and BQ's build exclude the probe row when `selfId` is given —
+    * mirroring the stored-search verbs exactly, which is what lets the
+    * oracle restate each family verbatim), prices each family's
+    * bytes-per-vector payload, and RECOMMENDS the cheapest family
+    * meeting `targetRecall`: integer-exact rule n_hits ≥ ceil(target·k),
+    * bytes-asc then name-asc tie-break, `flat` the always-available
+    * fallback at recall 1.0 — a recommendation therefore always exists.
+    * The decision column sits under the gate hash, so drift in any
+    * family's search arithmetic flips a hashed boolean, not just a
+    * float.
+    *
+    * Cost shape: builds each index once in a throwaway store (the
+    * index_catalog posture) and runs ONE probe per family. At 100 TB
+    * run it on a sampled slice — the decision needs the families'
+    * recall ORDERING, not the exact corpus. Output is eager (5 rows);
+    * the store is destroyed on exit. */
+  def indexAdvisor(collection: DataFrame, vecCol: String, idCol: String,
+                   qv: Array[Float], k: Int = 10, targetRecall: Double = 0.7,
+                   ncells: Int = 16, nprobe: Int = 4,
+                   selfId: Option[Long] = None): DataFrame = {
+    val spark = collection.sparkSession
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_advise").toString
+    val store = graft.store.VectorStore(root)
+    try {
+      val dim = qv.length
+      val qvD = qv.map(_.toDouble)
+      def ids(df: DataFrame): Set[Any] =
+        df.select(col(idCol)).collect().map(_.get(0)).toSet
+      val minusSelf = selfId.fold(collection)(i =>
+        collection.filter(col(idCol) =!= lit(i)))
+      // exact ground truths, one per (metric, corpus) convention; the
+      // ordering key is ROUNDED (the vec_knn parity form) so the top-k
+      // boundary cannot flip on cross-engine float noise
+      val gtL2Full = ids(collection
+        .orderBy(round(l2Sq(col(vecCol), vecLit(qv)), 6), col(idCol)).limit(k))
+      val gtL2Ex = ids(minusSelf
+        .orderBy(round(l2Sq(col(vecCol), vecLit(qv)), 6), col(idCol)).limit(k))
+      val gtCosEx = ids(minusSelf
+        .withColumn("_c", round(cosine(col(vecCol), vecLit(qv)), 6))
+        .orderBy(col("_c").desc, col(idCol)).limit(k))
+      // ivf_flat — the ann_ivf_store shape (partition-pruned probe scan).
+      // cell_id MUST survive into the collected output: the AnnProbe
+      // rewrite keys on the child's cell_id attribute, and projecting it
+      // away lets column pruning strip it before the rule runs — the
+      // "silently unrewritten exact scan" hazard AnnProbeRule documents.
+      val cents = buildIvfIndex(store, "adv_ivf", collection, vecCol, idCol,
+        ncells)
+      val hitsIvf = graft.plans.AnnProbe.withProbe(spark, cents, nprobe) {
+        store.read(spark, "adv_ivf")
+          .orderBy(l2Sq(col(vecCol), vecLit(qv)), col(idCol)).limit(k)
+          .select(col(idCol), col("cell_id"))
+          .collect().map(_.get(0)).toSet
+          .count(gtL2Full.contains)
+      }
+      // ivf_sq — the ann_ivfsq_store shape (8-cell router, int8 ADC)
+      val (scents, mins, maxs) =
+        buildIvfSqIndex(store, "adv_sq", collection, vecCol, idCol)
+      val sqRead = selfId.fold(store.read(spark, "adv_sq"))(i =>
+        store.read(spark, "adv_sq").filter(col(idCol) =!= lit(i)))
+      val hitsSq = ids(sqSearchStored(sqRead, idCol, scents, mins, maxs,
+        qvD, k, nprobe)).count(gtL2Ex.contains)
+      // bq — the ann_bq_store shape (sign-at-zero signatures, rerank 4k)
+      buildBqIndex(store, "adv_bq", minusSelf, vecCol, idCol, dim)
+      val hitsBq = ids(bqSearchStored(store.read(spark, "adv_bq"), minusSelf,
+        vecCol, idCol, qv, k, rerank = 4, dim = dim)).count(gtCosEx.contains)
+      // ivf_pq — the ann_ivfpq_store shape (m=8 residual codes, ADC+rerank)
+      val (pcents, cb) =
+        buildIvfPqIndex(store, "adv_pq", collection, vecCol, idCol, ncells)
+      val panel = Seq((0L, qv.toSeq)).toDF("q_id", "q_vec")
+      val hitsPq = ids(pqSearchEncoded(store.read(spark, "adv_pq"), vecCol,
+        idCol, pcents, cb, panel, "q_id", "q_vec", k, nprobe))
+        .count(gtL2Full.contains)
+      // price, gate, recommend — all integer-exact
+      val bqBytes = ((dim + 31) / 32) * 8L // sign bits in 32-bit halves
+      val fams = Seq(
+        ("flat", 4L * dim, k.toLong),
+        ("ivf_flat", 4L * dim, hitsIvf.toLong),
+        ("ivf_sq", dim.toLong, hitsSq.toLong),
+        ("bq", bqBytes, hitsBq.toLong),
+        ("ivf_pq", 8L, hitsPq.toLong))
+      val need = math.ceil(targetRecall * k).toLong
+      val rec = fams.filter(_._3 >= need)
+        .sortBy { case (f, b, _) => (b, f) }.head._1
+      fams.map { case (f, b, h) =>
+        (f, b, h, math.floor(h.toDouble / k * 1e6 + 0.5) / 1e6,
+          h >= need, f == rec)
+      }.sortBy(_._1)
+        .toDF("family", "bytes_per_vec", "n_hits", "recall", "meets",
+          "recommended")
+    } finally store.destroy()
+  }
+
   /** Persist the BQ signature index: (id, bq_lo, bq_hi) — dim/8 bytes of
     * signature per vector. At 100 TB this relation IS the index: the
     * Hamming pre-rank scans it instead of re-deriving signatures from the

@@ -1462,6 +1462,39 @@ class AnnProbeSpec extends SparkSpec {
     assert(rep.filter(_._2 == 1).forall(_._5 <= 1.0))
   }
 
+  test("index advisor: flat is the perfect-recall fallback, exactly one recommendation, cheapest-meeting wins") {
+    val e = Tables.embeddings(spark, sf).cache()
+    try {
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      val out = Similarity.indexAdvisor(e, "embedding", "vec_id", qv,
+          k = 10, targetRecall = 0.7, selfId = Some(0L))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getBoolean(4), r.getBoolean(5)))
+      assert(out.map(_._1).sorted.toSeq ==
+        Seq("bq", "flat", "ivf_flat", "ivf_pq", "ivf_sq"))
+      val flat = out.find(_._1 == "flat").get
+      assert(flat._3 == 10L && flat._4 == 1.0 && flat._5,
+        s"flat must be the perfect-recall fallback: $flat")
+      // exactly one recommendation, it meets the bar, and no MEETING
+      // family is cheaper (the decision rule, restated)
+      val recs = out.filter(_._6)
+      assert(recs.length == 1, s"expected one recommendation: ${out.toSeq}")
+      val rec = recs.head
+      assert(rec._5, s"recommended family does not meet: $rec")
+      assert(out.filter(_._5).forall(f => f._2 > rec._2 ||
+        (f._2 == rec._2 && f._1 >= rec._1)),
+        s"a cheaper meeting family exists: ${out.toSeq} vs $rec")
+      // meets is exactly the integer bar
+      out.foreach { f => assert(f._5 == (f._3 >= 7L), s"meets drifted: $f") }
+      // an unreachable bar still recommends (flat meets at any target <= 1)
+      val strict = Similarity.indexAdvisor(e, "embedding", "vec_id", qv,
+          k = 10, targetRecall = 1.0, selfId = Some(0L))
+        .collect().map(r => (r.getString(0), r.getBoolean(4), r.getBoolean(5)))
+      assert(strict.count(_._3) == 1 && strict.filter(_._3).forall(_._2))
+    } finally e.unpersist()
+  }
+
   test("vector percolate: map-only broadcast plan, self-match at cosine 1.0") {
     val e = Tables.embeddings(spark, sf)
     val standing = e.filter(col("vec_id") < 5)
