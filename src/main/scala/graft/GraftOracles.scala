@@ -199,14 +199,34 @@ object GraftOracles {
        |WHERE doc_id % 7 <> 0
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
-  /** Shared twin of vec_percolate / streaming_vec_percolate. */
+  /** Shared twin of vec_percolate / streaming_vec_percolate (floor-form
+    * rounding — the one rule both percolate paths use). */
   private lazy val vecPercolateSql =
     s"""WITH b AS (SELECT vec_id AS q_id, embedding FROM embeddings WHERE vec_id < 20),
        |a AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 20)
-       |SELECT a.vec_id, b.q_id, round($cosineDouble, 6) AS cosine
+       |SELECT a.vec_id, b.q_id, floor(($cosineDouble) * 1e6 + 0.5) / 1e6 AS cosine
        |FROM a CROSS JOIN b
-       |WHERE round($cosineDouble, 6) >= 0.3
+       |WHERE floor(($cosineDouble) * 1e6 + 0.5) / 1e6 >= 0.3
        |ORDER BY a.vec_id, b.q_id""".stripMargin
+
+  /** Twin of vec_percolate_lsh: the SAME seeded signature arms as
+    * dedup_embedding_lsh, asymmetric — subscriptions (vec_id < 20) join
+    * documents (vec_id >= 20) on any per-table bucket collision, exact
+    * floor-form cosine verify at 0.3. */
+  private lazy val vecPercolateLshSql =
+    s"""WITH sigs AS (
+       |$lshSigArms),
+       |qsig AS (SELECT vec_id AS q_id, t, bucket FROM sigs WHERE vec_id < 20),
+       |dsig AS (SELECT vec_id, t, bucket FROM sigs WHERE vec_id >= 20),
+       |cand AS (SELECT DISTINCT d.vec_id, q.q_id
+       |  FROM dsig d JOIN qsig q ON d.t = q.t AND d.bucket = q.bucket)
+       |SELECT c.vec_id, c.q_id,
+       |  floor(($cosineDouble) * 1e6 + 0.5) / 1e6 AS cosine
+       |FROM cand c
+       |JOIN embeddings a ON a.vec_id = c.vec_id
+       |JOIN embeddings b ON b.vec_id = c.q_id
+       |WHERE floor(($cosineDouble) * 1e6 + 0.5) / 1e6 >= 0.3
+       |ORDER BY c.vec_id, c.q_id""".stripMargin
 
   private val cosineDouble =
     """list_sum(list_transform(range(1,65), i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) /
@@ -2710,6 +2730,7 @@ object GraftOracles {
     // direct cross-join form.
     "vec_percolate" -> vecPercolateSql,
     "streaming_vec_percolate" -> vecPercolateSql,
+    "vec_percolate_lsh" -> vecPercolateLshSql,
 
     // Twin of knn_classify — brute-force cosine top-15 per probe over the
     // labeled 99%, then the majority vote with the count-desc/label-asc

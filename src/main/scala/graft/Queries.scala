@@ -770,6 +770,19 @@ object GraftQueries {
       .orderBy("vec_id", "q_id")
   }
 
+  /** LSH-bucketed percolate — vec_percolate's scale path: 8 seeded
+    * hyperplane tables signature both sides, candidates emit on bucket
+    * collision, exact cosine verifies. Deterministic planes ⇒ FULL
+    * oracle (the dedup_embedding_lsh precedent). */
+  val vecPercolateLsh: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val standing = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.vectorPercolateLsh(e.filter(col("vec_id") >= 20), "embedding",
+        "vec_id", standing, "q_id", "q_vec", threshold = 0.3)
+      .orderBy("vec_id", "q_id")
+  }
+
   /** Batched kNN join: 5 query vectors, top-10 each, exact cosine. */
   val vecTopkJoin: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
@@ -5031,6 +5044,7 @@ object GraftQueries {
     "vec_knn_filtered" -> vecKnnFiltered,
     "vec_topk_join" -> vecTopkJoin,
     "vec_percolate" -> vecPercolate,
+    "vec_percolate_lsh" -> vecPercolateLsh,
     "mine_hard_negatives" -> mineHardNegatives,
     "mine_hard_negatives_lsh" -> mineHardNegativesLsh,
     "knn_classify" -> knnClassifyQ,

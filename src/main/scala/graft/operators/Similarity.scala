@@ -59,9 +59,48 @@ object Similarity {
                       threshold: Double): DataFrame =
     graft.Tables.spread(docs.select(col(idCol), col(vecCol)))
       .crossJoin(broadcast(standing.select(col(qIdCol), col(qVecCol))))
-      .withColumn("cosine", round(cosine(col(vecCol), col(qVecCol)), 6))
+      // floor-form rounding — ONE rule across both percolate forms, so
+      // the broadcast and LSH paths can never disagree at a boundary
+      .withColumn("cosine", floor(cosine(col(vecCol), col(qVecCol)) * 1e6 + 0.5) / 1e6)
       .filter(col("cosine") >= threshold)
       .select(col(idCol), col(qIdCol), col("cosine"))
+
+  /** LSH-bucketed vector percolate — the scale path [[vectorPercolate]]'s
+    * scaladoc prescribes for a standing set too large to broadcast: both
+    * sides signature through the SAME seeded hyperplane tables
+    * ([[cosineLshBuckets]]), a (document, subscription) candidate emits
+    * on any per-table bucket collision (a bucket-keyed equi-join — the
+    * shuffle key replaces the broadcast), and exact cosine verifies
+    * survivors at `threshold` with the repo's floor-form rounding. With
+    * deterministic seeded planes the "approximate" form is exactly
+    * computable (the dedup_embedding_lsh precedent), so it sits under a
+    * FULL oracle; recall vs the broadcast form is the standard LSH
+    * trade — a pair colliding in no table is dropped — spec-pinned on
+    * the gate data. Shuffle shape at 100 TB: nTables slim signature
+    * projections per side, one bucket-keyed join carrying only
+    * colliding rows, and two id-keyed verification joins on the
+    * candidate relation — never docs × subscriptions. */
+  def vectorPercolateLsh(docs: DataFrame, vecCol: String, idCol: String,
+                         standing: DataFrame, qIdCol: String, qVecCol: String,
+                         threshold: Double, nBits: Int = 8, nTables: Int = 8,
+                         dim: Int = 64): DataFrame = {
+    val d = docs.select(col(idCol).as("_id"), col(vecCol).as("_v"))
+    val q = standing.select(col(qIdCol).as("_qid"), col(qVecCol).as("_qv"))
+    val dt = (0 until nTables).map(t =>
+        cosineLshBuckets(d, "_v", nBits, seed = 42L + t, dim = dim)
+          .select(col("_id"), lit(t).as("_t"), col("lsh_bucket")))
+      .reduce(_ unionByName _)
+    val qt = (0 until nTables).map(t =>
+        cosineLshBuckets(q, "_qv", nBits, seed = 42L + t, dim = dim)
+          .select(col("_qid"), lit(t).as("_t"), col("lsh_bucket")))
+      .reduce(_ unionByName _)
+    val cand = dt.join(qt, Seq("_t", "lsh_bucket"))
+      .select(col("_id"), col("_qid")).dropDuplicates("_id", "_qid")
+    cand.join(d, Seq("_id")).join(q, Seq("_qid"))
+      .withColumn("cosine", floor(cosine(col("_v"), col("_qv")) * 1e6 + 0.5) / 1e6)
+      .filter(col("cosine") >= threshold)
+      .select(col("_id").as(idCol), col("_qid").as(qIdCol), col("cosine"))
+  }
 
   /** kNN label propagation — the training-data label-transfer step
     * (quality/domain labels annotated on a small seed set, transferred to

@@ -1495,6 +1495,36 @@ class AnnProbeSpec extends SparkSpec {
     } finally e.unpersist()
   }
 
+  test("LSH percolate: subset of the exact form, bucket-keyed plan (no cartesian), decent recall") {
+    val e = Tables.embeddings(spark, sf)
+    val standing = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val docs = e.filter(col("vec_id") >= 20)
+    val exact = Similarity.vectorPercolate(docs, "embedding", "vec_id",
+        standing, "q_id", "q_vec", threshold = 0.25)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.vectorPercolateLsh(docs, "embedding", "vec_id",
+      standing, "q_id", "q_vec", threshold = 0.25)
+    // the candidate stage must be the bucket-keyed equi-join, never a
+    // docs x subscriptions product
+    val plan = lsh.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"LSH percolate fell back to a cross product:\n$plan")
+    val got = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical verify rule -> every LSH match is an exact match
+    assert(got.subsetOf(exact), s"LSH emitted non-matches: ${got -- exact}")
+    // recall is pinned where LSH operates — identical vectors bucket
+    // identically in EVERY table, so self-subscriptions all surface
+    // (low-threshold recall is the documented LSH trade, not a bug)
+    val n = e.count()
+    val selfs = Similarity.vectorPercolateLsh(e, "embedding", "vec_id",
+        e.select(col("vec_id").as("q_id"), col("embedding").as("q_vec")),
+        "q_id", "q_vec", threshold = 0.999)
+      .filter(col("vec_id") === col("q_id")).count()
+    assert(selfs == n, s"self-matches missing: $selfs of $n")
+  }
+
   test("vector percolate: map-only broadcast plan, self-match at cosine 1.0") {
     val e = Tables.embeddings(spark, sf)
     val standing = e.filter(col("vec_id") < 5)
