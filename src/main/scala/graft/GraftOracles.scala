@@ -1309,6 +1309,29 @@ object GraftOracles {
         |  text
         |FROM st1 ORDER BY doc_id""".stripMargin,
 
+    // Twin of collection_compact_advisor — the version ledger restated:
+    // create(<=300) is seq 1, upsert(250-350) is seq 2, the %7 delete
+    // outranks everything; a version is dead when a later version of
+    // its id exists or its id was deleted. Counts, the floor-rounded
+    // ratio, and the ppm recommendation (dead*1e6 >= n*100000 at the
+    // 0.1 threshold) are integer-exact.
+    "collection_compact_advisor" ->
+      """WITH v AS (
+        |  SELECT doc_id, 1 AS seq FROM documents WHERE doc_id <= 300
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS seq FROM documents WHERE doc_id BETWEEN 250 AND 350),
+        |dels AS (SELECT DISTINCT doc_id FROM v WHERE doc_id % 7 = 0),
+        |flag AS (SELECT v.doc_id, v.seq,
+        |    (EXISTS (SELECT 1 FROM v v2 WHERE v2.doc_id = v.doc_id AND v2.seq > v.seq)
+        |     OR v.doc_id IN (SELECT doc_id FROM dels)) AS dead
+        |  FROM v)
+        |SELECT CAST(count(*) AS BIGINT) AS n_versions,
+        |  CAST(count(*) FILTER (WHERE dead) AS BIGINT) AS n_dead,
+        |  CAST(count(*) FILTER (WHERE NOT dead) AS BIGINT) AS n_live,
+        |  floor(CAST(count(*) FILTER (WHERE dead) AS DOUBLE) / count(*) * 1e6 + 0.5) / 1e6 AS dead_ratio,
+        |  count(*) FILTER (WHERE dead) * 1000000 >= count(*) * 100000 AS recommend_compact
+        |FROM flag""".stripMargin,
+
     // Twin of collection_manifest: DuckDB independently recomputes the
     // SHA-256 binding fingerprint over the SAME canonical string
     // CollectionManifest.canonical builds (family hash, resource '',

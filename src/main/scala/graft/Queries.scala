@@ -3474,6 +3474,26 @@ object GraftQueries {
   val collectionMutate: Q = (s, d) =>
     withMutateSequence(s, d)((mc, _) => mc.readLive(s).orderBy("doc_id"))
 
+  /** Compaction advisor: create ≤300, upsert 250–350, delete live %7 —
+    * then the report-before-action verb. Version/dead/live counts, the
+    * floor-rounded dead ratio, and the ppm-rule recommendation are all
+    * restated relationally from the mutation sequence, so the whole
+    * policy row (boolean included) sits under the hash. */
+  val collectionCompactAdvisor: Q = (s, d) => {
+    val root = java.nio.file.Files.createTempDirectory("graft_cadv").toString
+    val store = graft.store.VectorStore(root)
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    try {
+      val mc = store.createMutable("docs",
+        docs.filter(col("doc_id") <= 300), "doc_id")
+      mc.upsert(docs.filter(col("doc_id").between(250, 350))
+        .withColumn("text", upper(col("text"))))
+      mc.delete(mc.readLive(s).filter(col("doc_id") % 7 === 0).select("doc_id"))
+      val out = mc.compactionReport(s, minDeadFraction = 0.1)
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally store.destroy()
+  }
+
   /** Snapshot (time-travel) reads over the same mutation sequence as
     * `collection_mutate`: because merge-on-read never destroys row
     * versions, the post-upsert state AND the final state reconstruct
@@ -5205,6 +5225,7 @@ object GraftQueries {
     "collection_mutate" -> collectionMutate,
     "collection_mutate_compact" -> collectionMutateCompact,
     "collection_compact_dirty" -> collectionCompactDirty,
+    "collection_compact_advisor" -> collectionCompactAdvisor,
     "collection_snapshot" -> collectionSnapshot,
     "q30_first_last" -> q30FirstLast,
     "q31_corr_subquery" -> q31CorrSubquery,

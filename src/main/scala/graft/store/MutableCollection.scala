@@ -569,6 +569,45 @@ final case class MutableCollection(store: VectorStore, name: String) {
     *
     * Returns the rewritten file names (empty = nothing crossed the
     * threshold; no marker or file was touched). */
+  /** Compaction ADVISOR — the report half of [[compactDirty]]'s
+    * score-then-rewrite: the SAME dead-version predicate (a version is
+    * dead when a per-id max tombstone seq outranks it), aggregated
+    * collection-wide with nothing touched — the policy input for
+    * scheduling maintenance windows before paying any rewrite. One row:
+    * version/dead/live counts, floor-rounded dead ratio, and the
+    * recommendation under an INTEGER-EXACT ppm rule
+    * (dead·1e6 ≥ versions·round(frac·1e6)) so the boolean can sit under
+    * a cross-engine oracle hash with no float-compare boundary. Plan
+    * cost: one column-pruned (id, seq) metadata-grade scan — the same
+    * narrow pass compactDirty scores files with — folded to a single
+    * partial-aggregated row; the tombstone side rides the usual
+    * size-gated broadcast. */
+  def compactionReport(spark: SparkSession,
+                       minDeadFraction: Double = 0.3): DataFrame = {
+    import spark.implicits._
+    marker: Unit // fail fast on non-mutable collections
+    val data = store.read(spark, name).select(col(idCol), col(SeqCol))
+    val withDels = readTombstones(spark) match {
+      case Some(t0) =>
+        val dels = t0.groupBy(idCol).agg(max(col(DelSeqCol)).as(DelSeqCol))
+        val est = tombstoneBytesOnDisk
+        val est4 = if (est > Long.MaxValue / 4) Long.MaxValue else est * 4
+        data.join(graft.operators.BroadcastGate.maybeBroadcast(dels, est4),
+          Seq(idCol), "left")
+      case None => data.withColumn(DelSeqCol, lit(null).cast("long"))
+    }
+    val dead = col(DelSeqCol).isNotNull && col(SeqCol) < col(DelSeqCol)
+    val row = withDels
+      .agg(count(lit(1)).as("n"), count(when(dead, lit(1))).as("d")).head
+    val (n, d) = (row.getLong(0), row.getLong(1))
+    val ppm = math.round(minDeadFraction * 1e6)
+    Seq((n, d, n - d,
+        if (n == 0) 0.0 else math.floor(d.toDouble / n * 1e6 + 0.5) / 1e6,
+        n > 0 && d * 1000000L >= n * ppm))
+      .toDF("n_versions", "n_dead", "n_live", "dead_ratio",
+        "recommend_compact")
+  }
+
   def compactDirty(spark: SparkSession, minDeadFraction: Double = 0.3): Seq[String] = {
     require(minDeadFraction > 0.0 && minDeadFraction <= 1.0,
       s"minDeadFraction must be in (0, 1], got $minDeadFraction")

@@ -58,6 +58,35 @@ class StoreMutationSpec extends SparkSpec {
     store.destroy()
   }
 
+  test("compaction report: exact dead accounting, ppm recommendation, reclaim visible after compactDirty") {
+    val store = freshStore()
+    val mc = store.createMutable("c", base, "id") // 5 rows, seq 1
+    // fresh collection: nothing dead, no recommendation at any threshold
+    val fresh = mc.compactionReport(spark, minDeadFraction = 0.01).head
+    assert(fresh.getLong(0) == 5 && fresh.getLong(1) == 0 &&
+      fresh.getDouble(3) == 0.0 && !fresh.getBoolean(4))
+    mc.upsert(Seq((1L, "a", "ONE"), (2L, "a", "TWO")).toDF("id", "src", "text"))
+    mc.delete(Seq(3L).toDF("id"))
+    // 7 versions: seq-1 rows for ids 1,2 superseded, id 3 deleted -> 3 dead
+    val rep = mc.compactionReport(spark, minDeadFraction = 0.3).head
+    assert(rep.getLong(0) == 7 && rep.getLong(1) == 3 && rep.getLong(2) == 4,
+      s"wrong ledger: $rep")
+    assert(rep.getDouble(3) == 0.428571, s"ratio: $rep")
+    assert(rep.getBoolean(4)) // 3/7 >= 0.3
+    // boundary is integer-exact: at exactly the ratio it still recommends,
+    // one ppm above it does not
+    assert(mc.compactionReport(spark, 3.0 / 7).head.getBoolean(4))
+    assert(!mc.compactionReport(spark, 0.428572).head.getBoolean(4))
+    // act on the recommendation: the rewrite reclaims the dead versions
+    // and the report agrees afterwards (live view untouched)
+    val before = mc.readLive(spark).orderBy("id").collect().toSeq
+    assert(mc.compactDirty(spark, minDeadFraction = 0.3).nonEmpty)
+    val after = mc.compactionReport(spark, minDeadFraction = 0.3).head
+    assert(after.getLong(1) == 0 && !after.getBoolean(4), s"not reclaimed: $after")
+    assert(mc.readLive(spark).orderBy("id").collect().toSeq == before)
+    store.destroy()
+  }
+
   test("delete removes ids; later upsert resurrects them") {
     val store = freshStore()
     val mc = store.createMutable("c", base, "id")
