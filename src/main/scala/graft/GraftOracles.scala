@@ -199,6 +199,42 @@ object GraftOracles {
        |WHERE doc_id % 7 <> 0
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** Twin of pack_concat_chunks, shared with the pack_advisor composite:
+    * window arithmetic over the per-shard running offset. */
+  private lazy val packConcatChunksSql: String =
+    """WITH t AS (SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n,
+      |    CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+      |  FROM t),
+      |e AS (SELECT source, doc_id, n, off,
+      |    unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS seq_id
+      |  FROM c)
+      |SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
+      |  count(*) AS n_docs,
+      |  CAST(sum(least(off + n, (seq_id + 1) * 512) -
+      |           greatest(off, seq_id * 512)) AS BIGINT) AS seq_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Twin of pack_sequences, shared with the pack_advisor composite:
+    * seq of a doc = tokens-before div budget. */
+  private lazy val packSequencesSql: String =
+    """WITH t AS (SELECT source, doc_id,
+      |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |c AS (SELECT source, doc_id, n_tokens,
+      |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM t)
+      |SELECT source, CAST(cum_before // 512 AS BIGINT) AS seq_id,
+      |  count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin
+
   /** Shared twin of vec_percolate / streaming_vec_percolate (floor-form
     * rounding — the one rule both percolate paths use). */
   private lazy val vecPercolateSql =
@@ -3171,6 +3207,26 @@ object GraftOracles {
          |SELECT doc_id, source, quality, priority FROM pr
          |ORDER BY priority DESC, doc_id LIMIT 100""".stripMargin,
 
+    // Twin of mix_temperature — the τ=0.5 apportionment restated: counts
+    // per source, sqrt weights floored to 1e-6 BIGINTs (sqrt is
+    // correctly rounded on both engines), base quota budget·w // Σw,
+    // leftover to the largest (budget·w mod Σw) remainders domain-asc —
+    // integer arithmetic end to end, budget 1000.
+    "mix_temperature" ->
+      """WITH c AS (SELECT source AS domain, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT domain, n,
+        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp FROM c),
+        |s AS (SELECT CAST(sum(w_fp) AS BIGINT) AS sw FROM w),
+        |q AS (SELECT domain, n, w_fp,
+        |    CAST((1000 * w_fp) // sw AS BIGINT) AS q0,
+        |    CAST((1000 * w_fp) % sw AS BIGINT) AS rem FROM w, s),
+        |l AS (SELECT CAST(1000 - sum(q0) AS BIGINT) AS lo FROM q),
+        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, domain) AS rr FROM q)
+        |SELECT domain, n AS n_docs, w_fp,
+        |  CAST(q0 + CASE WHEN rr <= (SELECT lo FROM l) THEN 1 ELSE 0 END AS BIGINT) AS quota
+        |FROM r ORDER BY domain""".stripMargin,
+
     // Twin of mine_hard_negatives: exact cosine (double accumulation),
     // identical band and deterministic (cosine desc, vec_id) tie-break
     "mine_hard_negatives" ->
@@ -3856,39 +3912,41 @@ object GraftOracles {
     // sequences off//512 .. (off+n-1)//512, share = window overlap. The
     // cum-sum is cast to BIGINT up front (DuckDB windowed sum yields
     // HUGEINT, which range() rejects).
-    "pack_concat_chunks" ->
-      """WITH t AS (SELECT source, doc_id,
-        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n
-        |  FROM documents),
-        |c AS (SELECT source, doc_id, n,
-        |    CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
-        |  FROM t),
-        |e AS (SELECT source, doc_id, n, off,
-        |    unnest(range(off // 512, (off + n - 1) // 512 + 1)) AS seq_id
-        |  FROM c)
-        |SELECT source, CAST(seq_id AS BIGINT) AS seq_id,
-        |  count(*) AS n_docs,
-        |  CAST(sum(least(off + n, (seq_id + 1) * 512) -
-        |           greatest(off, seq_id * 512)) AS BIGINT) AS seq_tokens,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "pack_concat_chunks" -> packConcatChunksSql,
 
     // greedy per-shard sequence packing: seq of a doc = tokens-before div
     // budget; token count parity = string_split_regex twin of tokens()
-    "pack_sequences" ->
-      """WITH t AS (SELECT source, doc_id,
-        |    CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS BIGINT) AS n_tokens
-        |  FROM documents),
-        |c AS (SELECT source, doc_id, n_tokens,
-        |    coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-        |  FROM t)
-        |SELECT source, CAST(cum_before // 512 AS BIGINT) AS seq_id,
-        |  count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS seq_tokens,
-        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
-        |FROM c GROUP BY 1,2 ORDER BY 1,2""".stripMargin,
+    "pack_sequences" -> packSequencesSql,
+
+    // Twin of pack_advisor — both packing twins as subqueries, each
+    // folded to (n_seqs, totals, padding, overflow); the ppm decision
+    // (greedy recommended iff its pad+overflow <= capacity·0.1, concat
+    // otherwise) and the floor-rounded waste ratios are integer-exact.
+    "pack_advisor" ->
+      s"""WITH ga AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(seq_tokens) AS BIGINT) AS t,
+         |    CAST(sum(greatest(0, 512 - seq_tokens)) AS BIGINT) AS p,
+         |    CAST(sum(greatest(0, seq_tokens - 512)) AS BIGINT) AS o
+         |  FROM ($packSequencesSql)),
+         |ca AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(seq_tokens) AS BIGINT) AS t,
+         |    CAST(sum(greatest(0, 512 - seq_tokens)) AS BIGINT) AS p,
+         |    CAST(sum(greatest(0, seq_tokens - 512)) AS BIGINT) AS o
+         |  FROM ($packConcatChunksSql)),
+         |aff AS (SELECT n > 0 AND (p + o) * 1000000 <= n * 512 * 100000 AS ok FROM ga)
+         |SELECT 'concat_chunks' AS strategy, n AS n_seqs, t AS total_tokens,
+         |  p AS pad_tokens, o AS overflow_tokens,
+         |  CASE WHEN n = 0 THEN 0.0
+         |    ELSE floor((p + o) / CAST(n * 512 AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS waste_ratio,
+         |  NOT (SELECT ok FROM aff) AS recommended
+         |FROM ca
+         |UNION ALL
+         |SELECT 'greedy_docs', n, t, p, o,
+         |  CASE WHEN n = 0 THEN 0.0
+         |    ELSE floor((p + o) / CAST(n * 512 AS DOUBLE) * 1e6 + 0.5) / 1e6 END,
+         |  (SELECT ok FROM aff)
+         |FROM ga
+         |ORDER BY strategy""".stripMargin,
 
     // Spark encodes a 16-bit PCM WAV whose samples are closed-form in
     // doc_id and decodes it with javax.sound.sampled; the oracle

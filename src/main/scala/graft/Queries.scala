@@ -2240,6 +2240,15 @@ object GraftQueries {
       .select("doc_id", "source", "quality", "priority")
   }
 
+  /** Temperature mixing plan: τ=0.5 quotas over the source domains at a
+    * 1000-doc budget — counts, fixed-point sqrt weights, and the
+    * largest-remainder apportionment, every step integer after the one
+    * correctly-rounded sqrt, the whole plan under the hash. */
+  val mixTemperature: Q = (s, d) =>
+    graft.operators.Mixture.temperatureAllocation(
+        Tables.documents(s, d), "source", budget = 1000L)
+      .orderBy("domain")
+
   /** Embedding-cosine near-dup pairs (exact all-pairs at harness scale;
     * LSH-bucketed variant is the scale path). */
   val dedupEmbedding: Q = (s, d) =>
@@ -4097,6 +4106,15 @@ object GraftQueries {
         "source", seqLen = 512)
       .orderBy("source", "seq_id")
 
+  /** Packing-strategy advisor: greedy doc-preserving vs concat-and-chunk
+    * at seqLen 512 — sequence counts, padding/overflow, waste ratios,
+    * and the ppm-rule recommendation (exactly one strategy), the whole
+    * decision table under the hash via both packers' existing twins. */
+  val packAdvisor: Q = (s, d) =>
+    graft.operators.Mixture.packAdvisor(Tables.documents(s, d), "text",
+        "doc_id", "source", seqLen = 512)
+      .orderBy("strategy")
+
   /** BM25 keyword retrieval over the documents corpus (the principled
     * form of rag_hybrid_search's keyword arm): ONE tokenize scan into a
     * cached compact tf projection, stats inlined as literals, codegen'd
@@ -5173,6 +5191,8 @@ object GraftQueries {
     "pipeline_split_leakfree" -> pipelineSplitLeakfree,
     "ann_mutual_knn" -> annMutualKnn,
     "mix_weighted_sample" -> mixWeightedSample,
+    "mix_temperature" -> mixTemperature,
+    "pack_advisor" -> packAdvisor,
     "source_jsonl" -> sourceJsonl,
     "source_csv" -> sourceCsv,
     "source_html_strip" -> sourceHtmlStrip,

@@ -115,57 +115,121 @@ object Clustering {
   }
 
   /** Deterministic init: centroid j = embedding of min(id) where
-    * `id % k = j`. Collect is bounded at k rows. */
+    * `id % k = j`. ONE narrow job — per-partition (min id, vec) per
+    * residue class, reduced on the driver (min is commutative, so
+    * partition order cannot matter) — replacing the earlier
+    * groupBy-seeds + broadcast-join + collect pair (two jobs plus a
+    * broadcast build) with the same bounded k-row result, bit-equal
+    * seeds included. */
   def initCentroids(emb: DataFrame, k: Int, idCol: String, vecCol: String): Array[Array[Float]] = {
-    val seeds = emb
-      .groupBy((col(idCol) % k).cast("int").as("cid"))
-      .agg(min(col(idCol)).as("seed_id"))
-    val rows = emb
-      // the seed side is k rows by construction — broadcast it so the
-      // fetch is a map-only pass over the corpus scan, not a shuffle
-      // join against 8 rows (every trainCentroids caller pays this once)
-      .join(broadcast(seeds), col(idCol) === col("seed_id"))
-      .select(col("cid"), col(vecCol).cast("array<float>").as("v"))
-      .collect()
-    val out = Array.ofDim[Array[Float]](k)
-    rows.foreach { r =>
-      out(r.getInt(0)) = r.getSeq[Float](1).toArray
-    }
+    val out = emb
+      .select(col(idCol).cast("long").as("_id"),
+        col(vecCol).cast("array<float>").as("_v"))
+      .rdd.mapPartitions { it =>
+        val best = Array.fill[(Long, Array[Float])](k)(null)
+        it.foreach { r =>
+          val id = r.getLong(0)
+          val j = (id % k).toInt
+          if (best(j) == null || id < best(j)._1)
+            best(j) = (id, r.getSeq[Float](1).toArray)
+        }
+        Iterator.single(best)
+      }.reduce { (a, b) =>
+        var j = 0
+        while (j < k) {
+          if (a(j) == null || (b(j) != null && b(j)._1 < a(j)._1)) a(j) = b(j)
+          j += 1
+        }
+        a
+      }
     require(out.forall(_ != null), s"k=$k needs every residue class inhabited")
-    out
+    out.map(_._2)
   }
 
-  /** One Lloyd update. The per-dim fixed-point sums aggregate as dim
-    * COLUMNS over the row stream (one wide partial agg — the shuffle
-    * carries k rows of dim+1 values), not as a posexplode to dim× rows:
-    * the exploded form paid a dim× map-side hash-agg row count for the
-    * same k·dim partials, ~0.3s/step at sf0.1 embeddings. The integer
-    * sums are identical either way (fixed-point addition commutes), so
-    * assignments, the oracle twin, and the determinism pins are
-    * unchanged. The k·dim collect is bounded (512 values at k=8,
-    * dim=64). Empty cluster keeps its previous centroid. */
+  /** One Lloyd update. ONE narrow mapPartitions job accumulating
+    * k×(dim+1) fixed-point LONG partials per partition, integer-reduced
+    * on the driver — replacing the earlier (dim+1)-column codegen
+    * aggregate, whose plan-literal centroids changed every round and
+    * forced a fresh janino compile per step (~0.3–0.4 s/step of pure
+    * compilation at sf0.1; training dominated criterion queries like
+    * ann_graph_incremental). The integer sums are identical either way
+    * (fixed-point addition commutes — partition order cannot matter),
+    * and the assignment arithmetic is the [[assignStruct]] scalar
+    * kernel verbatim: flat argmin over the floor-rounded l2² with the
+    * lowest-cid tie rule below the router gate, the two-level
+    * [[CentroidRouter]] at or above it — so assignments, the oracle
+    * twin, and the determinism pins are all unchanged. Partials are
+    * bounded (k·(dim+1) longs per partition); empty clusters keep
+    * their previous centroid. */
   def lloydStep(emb: DataFrame, cents: Array[Array[Float]], idCol: String, vecCol: String): Array[Array[Float]] = {
     val dim = cents(0).length
-    val sumCols = (0 until dim).map { i =>
-      sum(floor(element_at(col("_v"), i + 1).cast("double") * Fp).cast("long")).as(s"_s$i")
-    } :+ count(lit(1)).as("_n")
-    val rows = emb
-      .select(assignStruct(col(vecCol), cents).getField("cid").as("cid"),
-        col(vecCol).cast("array<float>").as("_v"))
-      .groupBy("cid")
-      .agg(sumCols.head, sumCols.tail: _*)
-      .collect()
+    val k = cents.length
+    val sp = emb.sparkSession
+    val useRouter = k >= CentroidRouter.DefaultGate
+    val bc = sp.sparkContext.broadcast(cents)
+    val partials =
+      try {
+        emb.select(col(vecCol).cast("array<float>").as("_v"))
+          .rdd.mapPartitions { it =>
+            val cs = bc.value
+            val assign: Array[Float] => Int =
+              if (useRouter) CentroidRouter.routerForSlots(cs).assign _
+              else { v =>
+                // assignStruct's flat rule: floor-rounded l2², strict <
+                // so the lowest cid wins ties (array_min struct order)
+                var best = Double.MaxValue
+                var bid = -1
+                var j = 0
+                while (j < cs.length) {
+                  val c = cs(j)
+                  var acc = 0.0
+                  var i = 0
+                  val n = math.min(v.length, c.length)
+                  while (i < n) {
+                    val d = v(i).toDouble - c(i).toDouble; acc += d * d; i += 1
+                  }
+                  val dist = math.floor(acc * 1e6 + 0.5) / 1e6
+                  if (dist < best) { best = dist; bid = j }
+                  j += 1
+                }
+                bid
+              }
+            val sums = Array.ofDim[Long](k, dim + 1)
+            it.foreach { r =>
+              val v = r.getSeq[Float](0).toArray
+              val row = sums(assign(v))
+              var i = 0
+              val n = math.min(v.length, dim)
+              while (i < n) {
+                row(i) += math.floor(v(i).toDouble * Fp).toLong; i += 1
+              }
+              row(dim) += 1L
+            }
+            Iterator.single(sums)
+          }.reduce { (a, b) =>
+            var j = 0
+            while (j < k) {
+              var i = 0
+              while (i <= dim) { a(j)(i) += b(j)(i); i += 1 }
+              j += 1
+            }
+            a
+          }
+      } finally bc.destroy()
     val next = cents.map(_.clone())
-    rows.foreach { r =>
-      val cid = r.getInt(0)
-      val n = r.getLong(dim + 1)
-      var pos = 0
-      while (pos < dim) {
-        // same association order as the oracle: (sum / n) / 2^24, then a
-        // float32 quantize so the next round's plan literal is bit-equal
-        next(cid)(pos) = (r.getLong(pos + 1).toDouble / n / Fp).toFloat
-        pos += 1
+    var cid = 0
+    while (cid < k) {
+      val n = partials(cid)(dim)
+      if (n > 0) {
+        var pos = 0
+        while (pos < dim) {
+          // same association order as the oracle: (sum / n) / 2^24, then a
+          // float32 quantize so the next round's plan literal is bit-equal
+          next(cid)(pos) = (partials(cid)(pos).toDouble / n / Fp).toFloat
+          pos += 1
+        }
       }
+      cid += 1
     }
     next
   }
