@@ -1605,38 +1605,64 @@ object Similarity {
       val gtCosEx = ids(minusSelf
         .withColumn("_c", round(cosine(col(vecCol), vecLit(qv)), 6))
         .orderBy(col("_c").desc, col(idCol)).limit(k))
+      // the four family evaluations are INDEPENDENT (each builds its own
+      // index in its own collection and probes it), so they run
+      // concurrently from a bounded driver pool — the indexCatalog
+      // discipline: wall time is max-of-family, not sum-of, Spark's
+      // scheduler takes multi-threaded submission, and the decision
+      // table assembles in fixed family order regardless of completion
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val deadline = scala.concurrent.duration.Duration(
+        sys.env.getOrElse("GRAFT_ADVISOR_TIMEOUT_SEC", "1800").toLong, "s")
       // ivf_flat — the ann_ivf_store shape (partition-pruned probe scan).
       // cell_id MUST survive into the collected output: the AnnProbe
       // rewrite keys on the child's cell_id attribute, and projecting it
       // away lets column pruning strip it before the rule runs — the
       // "silently unrewritten exact scan" hazard AnnProbeRule documents.
-      val cents = buildIvfIndex(store, "adv_ivf", collection, vecCol, idCol,
-        ncells)
-      val hitsIvf = graft.plans.AnnProbe.withProbe(spark, cents, nprobe) {
-        store.read(spark, "adv_ivf")
-          .orderBy(l2Sq(col(vecCol), vecLit(qv)), col(idCol)).limit(k)
-          .select(col(idCol), col("cell_id"))
-          .collect().map(_.get(0)).toSet
-          .count(gtL2Full.contains)
+      val fIvf = Future {
+        val cents = buildIvfIndex(store, "adv_ivf", collection, vecCol,
+          idCol, ncells)
+        graft.plans.AnnProbe.withProbe(spark, cents, nprobe) {
+          store.read(spark, "adv_ivf")
+            .orderBy(l2Sq(col(vecCol), vecLit(qv)), col(idCol)).limit(k)
+            .select(col(idCol), col("cell_id"))
+            .collect().map(_.get(0)).toSet
+            .count(gtL2Full.contains)
+        }
       }
       // ivf_sq — the ann_ivfsq_store shape (8-cell router, int8 ADC)
-      val (scents, mins, maxs) =
-        buildIvfSqIndex(store, "adv_sq", collection, vecCol, idCol)
-      val sqRead = selfId.fold(store.read(spark, "adv_sq"))(i =>
-        store.read(spark, "adv_sq").filter(col(idCol) =!= lit(i)))
-      val hitsSq = ids(sqSearchStored(sqRead, idCol, scents, mins, maxs,
-        qvD, k, nprobe)).count(gtL2Ex.contains)
+      val fSq = Future {
+        val (scents, mins, maxs) =
+          buildIvfSqIndex(store, "adv_sq", collection, vecCol, idCol)
+        val sqRead = selfId.fold(store.read(spark, "adv_sq"))(i =>
+          store.read(spark, "adv_sq").filter(col(idCol) =!= lit(i)))
+        ids(sqSearchStored(sqRead, idCol, scents, mins, maxs,
+          qvD, k, nprobe)).count(gtL2Ex.contains)
+      }
       // bq — the ann_bq_store shape (sign-at-zero signatures, rerank 4k)
-      buildBqIndex(store, "adv_bq", minusSelf, vecCol, idCol, dim)
-      val hitsBq = ids(bqSearchStored(store.read(spark, "adv_bq"), minusSelf,
-        vecCol, idCol, qv, k, rerank = 4, dim = dim)).count(gtCosEx.contains)
+      val fBq = Future {
+        buildBqIndex(store, "adv_bq", minusSelf, vecCol, idCol, dim)
+        ids(bqSearchStored(store.read(spark, "adv_bq"), minusSelf,
+          vecCol, idCol, qv, k, rerank = 4, dim = dim))
+          .count(gtCosEx.contains)
+      }
       // ivf_pq — the ann_ivfpq_store shape (m=8 residual codes, ADC+rerank)
-      val (pcents, cb) =
-        buildIvfPqIndex(store, "adv_pq", collection, vecCol, idCol, ncells)
-      val panel = Seq((0L, qv.toSeq)).toDF("q_id", "q_vec")
-      val hitsPq = ids(pqSearchEncoded(store.read(spark, "adv_pq"), vecCol,
-        idCol, pcents, cb, panel, "q_id", "q_vec", k, nprobe))
-        .count(gtL2Full.contains)
+      val fPq = Future {
+        val (pcents, cb) =
+          buildIvfPqIndex(store, "adv_pq", collection, vecCol, idCol, ncells)
+        val panel = Seq((0L, qv.toSeq)).toDF("q_id", "q_vec")
+        ids(pqSearchEncoded(store.read(spark, "adv_pq"), vecCol,
+          idCol, pcents, cb, panel, "q_id", "q_vec", k, nprobe))
+          .count(gtL2Full.contains)
+      }
+      val (hitsIvf, hitsSq, hitsBq, hitsPq) =
+        try Await.result(
+          fIvf.zip(fSq).zip(fBq).zip(fPq).map {
+            case (((a, b), c), d) => (a, b, c, d)
+          }, deadline)
+        finally pool.shutdown()
       // price, gate, recommend — all integer-exact
       val bqBytes = ((dim + 31) / 32) * 8L // sign bits in 32-bit halves
       val fams = Seq(
