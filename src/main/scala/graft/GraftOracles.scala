@@ -2776,6 +2776,16 @@ object GraftOracles {
          |SELECT vec_id, label, round($l2sqToQv, 6) AS distance
          |FROM embeddings e, q ORDER BY distance, vec_id LIMIT 10""".stripMargin,
 
+    // Twin of vec_knn_ip — inner-product space: negative dot ranks,
+    // floor-form rounding, id ties, query row excluded.
+    "vec_knn_ip" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+         |SELECT vec_id, label,
+         |  floor(list_sum(list_transform(range(1,65),
+         |    i -> e.embedding[CAST(i AS INT)]::DOUBLE * q.qv[CAST(i AS INT)]::DOUBLE)) * 1e6 + 0.5) / 1e6 AS score
+         |FROM embeddings e, q WHERE vec_id <> 0
+         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin,
+
     "vec_knn_filtered" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
          |SELECT vec_id, label, round($l2sqToQv, 6) AS distance

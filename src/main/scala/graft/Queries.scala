@@ -746,6 +746,23 @@ object GraftQueries {
       .select("vec_id", "label", "distance")
   }
 
+  /** kNN in INNER-PRODUCT space (Chroma `hnsw:space=ip`, the third
+    * metric of the Knn surface beside l2 and cosine): ranked by
+    * negative floor-rounded dot, id ties — same TakeOrdered plan as
+    * vec_knn, different geometry under the same oracle discipline. */
+  val vecKnnIp: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val qv = e.filter(col("vec_id") === 0).select("embedding")
+      .head.getSeq[Float](0).toArray
+    e.filter(col("vec_id") =!= 0)
+      .withColumn("score",
+        floor(graft.functions.VectorFunctions.dot(col("embedding"),
+          graft.functions.VectorFunctions.vecLit(qv)) * 1e6 + 0.5) / 1e6)
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(10)
+      .select("vec_id", "label", "score")
+  }
+
   /** kNN with a metadata where-DSL filter applied BEFORE ranking
     * (filter-then-rank, reference search_for_rag semantics). */
   val vecKnnFiltered: Q = (s, d) => {
@@ -5079,6 +5096,7 @@ object GraftQueries {
     "ingest_pipeline" -> ingestPipeline,
     "ingest_transformer" -> ingestTransformer,
     "vec_knn" -> vecKnn,
+    "vec_knn_ip" -> vecKnnIp,
     "vec_knn_filtered" -> vecKnnFiltered,
     "vec_topk_join" -> vecTopkJoin,
     "vec_percolate" -> vecPercolate,
