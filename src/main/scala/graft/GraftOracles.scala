@@ -199,6 +199,23 @@ object GraftOracles {
        |WHERE doc_id % 7 <> 0
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
 
+  /** The largest-remainder temperature apportionment over any
+    * (domain, n) source CTE — shared by mix_temperature (row counts)
+    * and mix_temperature_tokens (token sums). */
+  private def tempAllocSql(srcSql: String, budget: Long): String =
+    s"""WITH c AS ($srcSql),
+       |w AS (SELECT domain, n,
+       |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp FROM c),
+       |s AS (SELECT CAST(sum(w_fp) AS BIGINT) AS sw FROM w),
+       |q AS (SELECT domain, n, w_fp,
+       |    CAST(($budget * w_fp) // sw AS BIGINT) AS q0,
+       |    CAST(($budget * w_fp) % sw AS BIGINT) AS rem FROM w, s),
+       |l AS (SELECT CAST($budget - sum(q0) AS BIGINT) AS lo FROM q),
+       |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, domain) AS rr FROM q)
+       |SELECT domain, n AS n_docs, w_fp,
+       |  CAST(q0 + CASE WHEN rr <= (SELECT lo FROM l) THEN 1 ELSE 0 END AS BIGINT) AS quota
+       |FROM r ORDER BY domain""".stripMargin
+
   /** Twin of pack_concat_chunks, shared with the pack_advisor composite:
     * window arithmetic over the per-shard running offset. */
   private lazy val packConcatChunksSql: String =
@@ -3222,20 +3239,17 @@ object GraftOracles {
     // correctly rounded on both engines), base quota budget·w // Σw,
     // leftover to the largest (budget·w mod Σw) remainders domain-asc —
     // integer arithmetic end to end, budget 1000.
-    "mix_temperature" ->
-      """WITH c AS (SELECT source AS domain, CAST(count(*) AS BIGINT) AS n
-        |  FROM documents GROUP BY 1),
-        |w AS (SELECT domain, n,
-        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp FROM c),
-        |s AS (SELECT CAST(sum(w_fp) AS BIGINT) AS sw FROM w),
-        |q AS (SELECT domain, n, w_fp,
-        |    CAST((1000 * w_fp) // sw AS BIGINT) AS q0,
-        |    CAST((1000 * w_fp) % sw AS BIGINT) AS rem FROM w, s),
-        |l AS (SELECT CAST(1000 - sum(q0) AS BIGINT) AS lo FROM q),
-        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, domain) AS rr FROM q)
-        |SELECT domain, n AS n_docs, w_fp,
-        |  CAST(q0 + CASE WHEN rr <= (SELECT lo FROM l) THEN 1 ELSE 0 END AS BIGINT) AS quota
-        |FROM r ORDER BY domain""".stripMargin,
+    "mix_temperature" -> tempAllocSql(
+      """SELECT source AS domain, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1""".stripMargin, 1000L),
+
+    // Twin of mix_temperature_tokens — the same apportionment sized by
+    // per-domain TOKEN sums (integer aggregates, so the one sqrt still
+    // sees an exact value), token budget 100000.
+    "mix_temperature_tokens" -> tempAllocSql(
+      """SELECT source AS domain,
+        |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1""".stripMargin, 100000L),
 
     // Twin of mine_hard_negatives: exact cosine (double accumulation),
     // identical band and deterministic (cosine desc, vec_id) tie-break

@@ -2266,6 +2266,17 @@ object GraftQueries {
         Tables.documents(s, d), "source", budget = 1000L)
       .orderBy("domain")
 
+  /** Token-budget temperature plan: the same τ=0.5 apportionment sized
+    * by per-domain TOKEN sums (what a training budget actually
+    * allocates), token budget 100 000 — quotas still sum exactly. */
+  val mixTemperatureTokens: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("ntok"))
+    graft.operators.Mixture.temperatureAllocationBy(docs, "source", "ntok",
+        budget = 100000L)
+      .orderBy("domain")
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs at harness scale;
     * LSH-bucketed variant is the scale path). */
   val dedupEmbedding: Q = (s, d) =>
@@ -5210,6 +5221,7 @@ object GraftQueries {
     "ann_mutual_knn" -> annMutualKnn,
     "mix_weighted_sample" -> mixWeightedSample,
     "mix_temperature" -> mixTemperature,
+    "mix_temperature_tokens" -> mixTemperatureTokens,
     "pack_advisor" -> packAdvisor,
     "source_jsonl" -> sourceJsonl,
     "source_csv" -> sourceCsv,

@@ -31,13 +31,33 @@ object Mixture {
     * shuffle carries a row per domain; apportionment runs on that
     * |domains|-row result (bounded, driver-side). At 100 TB the count
     * pass is the whole cost, and it is the minimal one. */
+  /** As [[temperatureAllocation]], but sized by an integer weight column
+    * (token counts — what a training budget actually allocates) instead
+    * of row counts: n_d = Σ sizeCol over the domain, and the budget is a
+    * TOKEN budget. Same exactness contract — the per-domain sums are
+    * integer aggregates, so the one sqrt still operates on an exact
+    * value. */
+  def temperatureAllocationBy(df: DataFrame, domainCol: String,
+                              sizeCol: String, budget: Long,
+                              tau: Double = 0.5): DataFrame =
+    allocate(df.groupBy(col(domainCol).cast("string").as("domain"))
+        .agg(sum(col(sizeCol).cast("long")).as("n")),
+      budget, tau)
+
   def temperatureAllocation(df: DataFrame, domainCol: String,
-                            budget: Long, tau: Double = 0.5): DataFrame = {
+                            budget: Long, tau: Double = 0.5): DataFrame =
+    allocate(df.groupBy(col(domainCol).cast("string").as("domain"))
+        .agg(count(lit(1)).as("n")),
+      budget, tau)
+
+  /** Shared apportionment core: one (domain, n) row per domain in, the
+    * exact quota plan out. */
+  private def allocate(grouped: DataFrame, budget: Long,
+                       tau: Double): DataFrame = {
     require(budget >= 0, s"budget must be >= 0, got $budget")
-    val spark = df.sparkSession
+    val spark = grouped.sparkSession
     import spark.implicits._
-    val counts = df.groupBy(col(domainCol).cast("string").as("domain"))
-      .agg(count(lit(1)).as("n"))
+    val counts = grouped
       .collect().map(r => (r.getString(0), r.getLong(1)))
       .sortBy(_._1)
     if (counts.isEmpty)

@@ -31,6 +31,24 @@ class MixtureSpec extends SparkSpec {
       Seq("domain", "n_docs", "w_fp", "quota") && empty.count() == 0)
   }
 
+  test("token-weighted allocation: sized by the weight column, quotas sum exactly") {
+    import spark.implicits._
+    // few huge docs vs many tiny ones: by ROWS b dominates, by TOKENS a does
+    val df = (Seq.fill(2)(("a", 1000L)) ++ Seq.fill(50)(("b", 1L)))
+      .toDF("domain", "ntok")
+    val byTokens = Mixture.temperatureAllocationBy(df, "domain", "ntok",
+        budget = 100)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(byTokens.values.map(_._2).sum == 100L)
+    assert(byTokens("a")._1 == 2000L && byTokens("b")._1 == 50L,
+      s"token sums wrong: $byTokens")
+    // sqrt(2000) vs sqrt(50): a gets ~86% of the budget
+    assert(byTokens("a")._2 > byTokens("b")._2, s"token sizing ignored: $byTokens")
+    val byRows = Mixture.temperatureAllocation(df, "domain", budget = 100)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(byRows("b") > byRows("a"), s"row sizing drifted: $byRows")
+  }
+
   test("pack advisor: exactly one recommendation; concat never overflows and wastes only shard tails; threshold flips") {
     val docs = Tables.documents(spark, sf)
     val out = Mixture.packAdvisor(docs, "text", "doc_id", "source",
