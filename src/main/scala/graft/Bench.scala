@@ -21,10 +21,31 @@ import org.apache.spark.sql.SparkSession
   * out of three shifts a median where a 5-run trim absorbs it. Detail
   * rows carry median, min, max, the trimmed figure, and the run count,
   * so both estimators stay auditable.
+  *
+  * CONTAMINATION self-diagnosis: the same code has benched 2-5x apart
+  * on builder vs driver runs of the SAME HEAD (r13), so a record must
+  * carry the evidence of its own measurement conditions. Per query the
+  * detail row records the raw run times and the max/min SPREAD; a
+  * spread > 2 marks the query `contaminated` AND triggers up to
+  * [[MaxExtraRuns]] adaptive re-runs (the estimators recompute over all
+  * successful runs, so one stalled pass is out-voted rather than
+  * shipped). The top level reports the contaminated-query count and the
+  * OS load average sampled before and after the sweep — a driver-side
+  * reader can now tell "slow plan" from "busy box" without a rebuild.
   */
 object Bench {
   private val Runs = 3
   private val HeavyRuns = 5
+  private val MaxExtraRuns = 2
+  private val SpreadFlag = 2.0
+
+  /** 1-minute OS load average (rounded), or -1 where the JMX bean
+    * doesn't supply one — the record's busy-box evidence. */
+  private def loadAvg(): Double = {
+    val la = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    if (la < 0) -1.0 else math.floor(la * 100 + 0.5) / 100
+  }
 
   /** The composed/streaming/builder queries whose many-job execution is
     * exposed to scheduler + I/O stalls — the trimmed-mean tier. */
@@ -63,13 +84,14 @@ object Bench {
     }
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+    val loadStart = loadAvg()
     val results = selected.map { case (name, fn) =>
       val nRuns = if (isHeavy(name)) HeavyRuns else Runs
       // (wall seconds, succeeded) per run: a crashed run must NOT
       // contribute its (fast) wall time to the estimators — with the
       // heavy tier's trimmed mean, folding crash times in would mask a
       // query that fails on some runs as a healthy fast one
-      val runs = (1 to nRuns).map { _ =>
+      def oneRun(): (Double, Boolean) = {
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -88,13 +110,24 @@ object Bench {
         System.gc()
         (dt, ok)
       }
+      var runs = (1 to nRuns).map(_ => oneRun())
+      // ADAPTIVE OUTLIER RE-RUNS: a max/min spread past SpreadFlag means
+      // at least one pass hit a box-noise stall (the plan is the same
+      // object all five times); extra passes let the median/trim out-vote
+      // the stalled one instead of shipping it. Bounded — a genuinely
+      // bimodal query stays flagged rather than re-run forever.
+      var extra = 0
+      while (extra < MaxExtraRuns && {
+        val ok = runs.filter(_._2).map(_._1)
+        ok.nonEmpty && ok.max / math.max(ok.min, 1e-9) > SpreadFlag
+      }) { runs = runs :+ oneRun(); extra += 1 }
       val errors = runs.count(!_._2)
       val times = runs.filter(_._2).map(_._1).sorted
       if (times.isEmpty) {
         // every run crashed: report a LOUD sentinel, never a timing
         // (runs = successful runs = 0, same semantics as the detail row)
-        System.err.println(f"[bench] $name%-28s ALL $nRuns runs FAILED")
-        (name, -1.0, -1.0, -1.0, -1.0, -1.0, 0, errors)
+        System.err.println(f"[bench] $name%-28s ALL ${runs.length} runs FAILED")
+        (name, -1.0, -1.0, -1.0, -1.0, -1.0, 0, errors, Seq.empty[Double])
       } else {
         val n = times.length
         // conventional median: mean of the two middle values when the
@@ -109,27 +142,37 @@ object Bench {
         val trimmed =
           if (n > 2) times.drop(1).dropRight(1).sum / (n - 2) else med
         val primary = if (isHeavy(name)) trimmed else med
+        val spread = times.last / math.max(times.head, 1e-9)
         System.err.println(
           f"[bench] $name%-28s med $med%8.2fs  trim $trimmed%6.2fs  " +
             f"min ${times.head}%6.2fs  max ${times.last}%6.2fs  n=$n" +
+            (if (spread > SpreadFlag) f"  CONTAMINATED spread=$spread%.1fx" else "") +
             (if (errors > 0) s"  ERRORS=$errors" else ""))
-        (name, primary, med, trimmed, times.head, times.last, n, errors)
+        (name, primary, med, trimmed, times.head, times.last, n, errors,
+          runs.filter(_._2).map(_._1))
       }
     }
-    val qs = results.map { case (k, p, _, _, _, _, _, _) => s"\"" + k + "\":" + p }
+    val loadEnd = loadAvg()
+    val qs = results.map { case (k, p, _, _, _, _, _, _, _) => s"\"" + k + "\":" + p }
       .mkString("{", ",", "}")
-    val detail = results.map { case (k, _, m, tr, lo, hi, n, errs) =>
+    def r3(x: Double): Double = math.floor(x * 1000 + 0.5) / 1000
+    val detail = results.map { case (k, _, m, tr, lo, hi, n, errs, raw) =>
+      val spread = if (lo > 0) r3(hi / lo) else -1.0
       s"\"" + k + "\":{\"median\":" + m + ",\"trimmed\":" + tr +
         ",\"min\":" + lo + ",\"max\":" + hi + ",\"runs\":" + n +
-        ",\"errors\":" + errs + "}"
+        ",\"errors\":" + errs + ",\"spread\":" + spread +
+        ",\"contaminated\":" + (spread > SpreadFlag) +
+        ",\"raw\":" + raw.map(r3).mkString("[", ",", "]") + "}"
     }.mkString("{", ",", "}")
     // all-runs-failed queries carry the -1 sentinel: exclude them from the
     // total (a negative contribution would misread as speed) and surface
     // the count at the top level instead
     val total = results.map(_._2).filter(_ >= 0).sum
     val failed = results.count(_._2 < 0)
+    val contaminated = results.count { case (_, p, _, _, lo, hi, _, _, _) =>
+      p >= 0 && lo > 0 && hi / lo > SpreadFlag }
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"heavy_runs":$HeavyRuns,"failed_queries":$failed,"queries":$qs,"queries_detail":$detail,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$Runs,"heavy_runs":$HeavyRuns,"failed_queries":$failed,"contaminated_queries":$contaminated,"load_avg_start":$loadStart,"load_avg_end":$loadEnd,"queries":$qs,"queries_detail":$detail,"sf":"$sfDir"}"""
     // durable record: the driver captures stdout with a bounded tail, and
     // r5's ~60 leading query medians were lost to mid-line truncation.
     // Write the full JSON to the repo BEFORE printing, so the round's perf

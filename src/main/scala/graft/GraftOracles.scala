@@ -860,7 +860,10 @@ object GraftOracles {
        |       ELSE 'kept' END AS decision
        |  FROM documents d JOIN q USING (doc_id) JOIN lm USING (doc_id) JOIN e USING (doc_id))""".stripMargin
 
-  /** Exact recursive twin of the reference chunker (size=120, overlap=20):
+  /** Exact recursive twin of the reference chunker, PARAMETERIZED by
+    * (size, overlap) — the gate tier runs it at 120/20 (`chunkerWalkCte`,
+    * the differential-tested configuration) and the flagship
+    * `ingest_pipeline` twin at the reference defaults 600/50:
     * walks each doc's cursor exactly like Chunker.chunkText — window end =
     * LAST sentence-boundary start in the window's final 20 chars (+2) if
     * any ('. ','! ','? ','\n\n' — all length 2), else start+120; chunk =
@@ -877,39 +880,43 @@ object GraftOracles {
     * UTF-16 units — so astral-plane characters would desynchronize
     * offsets. Both engines agree for BMP text with ASCII whitespace.
     */
-  private val chunkerWalkCte =
-    """WITH RECURSIVE
-      |b AS (SELECT doc_id, text, length(text) AS n FROM documents),
-      |walk AS (
-      |  SELECT doc_id, text, n, CAST(0 AS BIGINT) AS start FROM b WHERE n > 120
-      |  UNION ALL
-      |  SELECT doc_id, text, n, e - 20 AS start FROM (
-      |    SELECT doc_id, text, n,
-      |      CASE WHEN start + 120 < n THEN coalesce(list_max(list_filter(list_transform(
-      |             range(start+100, start+120),
-      |             i -> CASE WHEN substr(text, CAST(i+1 AS INT), 2)
-      |                       IN ('. ', '! ', '? ', chr(10)||chr(10)) THEN i+2 END),
-      |           x -> x IS NOT NULL)), start+120)
-      |        ELSE start + 120 END AS e
-      |    FROM walk WHERE start < n)),
-      |steps AS (
-      |  SELECT doc_id, start, text, n,
-      |    CASE WHEN start + 120 < n THEN coalesce(list_max(list_filter(list_transform(
-      |           range(start+100, start+120),
-      |           i -> CASE WHEN substr(text, CAST(i+1 AS INT), 2)
-      |                     IN ('. ', '! ', '? ', chr(10)||chr(10)) THEN i+2 END),
-      |         x -> x IS NOT NULL)), start+120)
-      |      ELSE start + 120 END AS e
-      |  FROM walk WHERE start < n),
-      |big AS (
-      |  SELECT doc_id, start,
-      |    trim(substr(text, CAST(start+1 AS INT), CAST(least(e, n) - start AS INT)),
-      |         ' ' || chr(10) || chr(13) || chr(9) || chr(12) || chr(11)) AS chunk
-      |  FROM steps),
-      |allc AS (
-      |  SELECT doc_id, CAST(0 AS BIGINT) AS start, text AS chunk FROM b WHERE n <= 120
-      |  UNION ALL
-      |  SELECT doc_id, start, chunk FROM big WHERE length(chunk) > 0)""".stripMargin
+  private def chunkerWalkCteFor(size: Int, overlap: Int): String = {
+    val scanFrom = size - overlap
+    s"""WITH RECURSIVE
+       |b AS (SELECT doc_id, text, length(text) AS n FROM documents),
+       |walk AS (
+       |  SELECT doc_id, text, n, CAST(0 AS BIGINT) AS start FROM b WHERE n > $size
+       |  UNION ALL
+       |  SELECT doc_id, text, n, e - $overlap AS start FROM (
+       |    SELECT doc_id, text, n,
+       |      CASE WHEN start + $size < n THEN coalesce(list_max(list_filter(list_transform(
+       |             range(start+$scanFrom, start+$size),
+       |             i -> CASE WHEN substr(text, CAST(i+1 AS INT), 2)
+       |                       IN ('. ', '! ', '? ', chr(10)||chr(10)) THEN i+2 END),
+       |           x -> x IS NOT NULL)), start+$size)
+       |        ELSE start + $size END AS e
+       |    FROM walk WHERE start < n)),
+       |steps AS (
+       |  SELECT doc_id, start, text, n,
+       |    CASE WHEN start + $size < n THEN coalesce(list_max(list_filter(list_transform(
+       |           range(start+$scanFrom, start+$size),
+       |           i -> CASE WHEN substr(text, CAST(i+1 AS INT), 2)
+       |                     IN ('. ', '! ', '? ', chr(10)||chr(10)) THEN i+2 END),
+       |         x -> x IS NOT NULL)), start+$size)
+       |      ELSE start + $size END AS e
+       |  FROM walk WHERE start < n),
+       |big AS (
+       |  SELECT doc_id, start,
+       |    trim(substr(text, CAST(start+1 AS INT), CAST(least(e, n) - start AS INT)),
+       |         ' ' || chr(10) || chr(13) || chr(9) || chr(12) || chr(11)) AS chunk
+       |  FROM steps),
+       |allc AS (
+       |  SELECT doc_id, CAST(0 AS BIGINT) AS start, text AS chunk FROM b WHERE n <= $size
+       |  UNION ALL
+       |  SELECT doc_id, start, chunk FROM big WHERE length(chunk) > 0)""".stripMargin
+  }
+
+  private val chunkerWalkCte = chunkerWalkCteFor(120, 20)
 
   /** BM25 corpus CTE for an arbitrary literal term set (k1=1.2, b=0.75):
     * per-doc tf/dl, one stats row, floor-rounded score with the term
@@ -1475,6 +1482,30 @@ object GraftOracles {
          |      (row_number() OVER (PARTITION BY a.doc_id ORDER BY a.start) - 1)::VARCHAR AS chunk_id,
          |    a.chunk, d.source,
          |    CAST(count(*) OVER (PARTITION BY a.doc_id) AS BIGINT) AS total_chunks
+         |  FROM allc a JOIN documents d ON a.doc_id = d.doc_id
+         |  WHERE length(trim(d.text)) > 0)
+         |ORDER BY doc_id, chunk_index""".stripMargin,
+
+    // Twin of ingest_pipeline — the FLAGSHIP leaves the rows-only list:
+    // the full deterministic pipeline (blank-filter -> chunk at the
+    // reference defaults 600/50 -> chunk ids -> sha256) restates through
+    // the parameterized chunker walk, and the embedder column is pinned
+    // by its invariant as a constant (the ingest_transformer precedent):
+    // HashEmbedder L2-normalizes every non-empty token bag and a
+    // non-blank chunk always tokenizes to >= 1 token, so
+    // round(norm, 4) = 1.0 on EVERY row — a zero vector, an
+    // unnormalized embedder, or a drifted chunker all hash-mismatch.
+    "ingest_pipeline" ->
+      s"""${chunkerWalkCteFor(600, 50)}
+         |SELECT doc_id, chunk_id, chunk_index,
+         |  CAST(total_chunks AS INT) AS total_chunks,
+         |  sha256(chunk_id) AS id, CAST(1.0 AS DOUBLE) AS embedding_norm
+         |FROM (
+         |  SELECT a.doc_id,
+         |    CAST(row_number() OVER (PARTITION BY a.doc_id ORDER BY a.start) - 1 AS INT) AS chunk_index,
+         |    a.doc_id::VARCHAR || '_chunk_' ||
+         |      (row_number() OVER (PARTITION BY a.doc_id ORDER BY a.start) - 1)::VARCHAR AS chunk_id,
+         |    count(*) OVER (PARTITION BY a.doc_id) AS total_chunks
          |  FROM allc a JOIN documents d ON a.doc_id = d.doc_id
          |  WHERE length(trim(d.text)) > 0)
          |ORDER BY doc_id, chunk_index""".stripMargin,
@@ -2759,6 +2790,93 @@ object GraftOracles {
          |SELECT vec_id, round($l2sqToQv, 6) AS distance
          |FROM embeddings e, q WHERE vec_id <> 0
          |ORDER BY distance, vec_id LIMIT 10""".stripMargin,
+
+    // Twin of ann_graph_probe — the probe-DERIVATION half of a graph
+    // search: probe set + order through the kmeans twin and the
+    // sqProbeCells floor-rounded lowest-cid rule, per-cell population
+    // from the same assignments, emitted count = least(k, population)
+    // (the walk must fill its per-cell top-k whenever the cell holds
+    // k reachable nodes — the connectivity pin). Probed-but-empty cells
+    // appear on neither side (both use inner joins to the population).
+    "ann_graph_probe" ->
+      s"""WITH $kmeansCte,
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |pd AS (SELECT c.cid, floor(list_sum(list_transform(range(1,65),
+         |    i -> (q.qv[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |       * (q.qv[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dr
+         |  FROM c2 c, q),
+         |probe AS (SELECT cid, CAST(rn - 1 AS INT) AS probe_rank FROM (
+         |    SELECT cid, row_number() OVER (ORDER BY dr, cid) AS rn FROM pd)
+         |  WHERE rn <= 4),
+         |pop AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM s2f WHERE vec_id <> 0 GROUP BY cid)
+         |SELECT p.probe_rank, CAST(p.cid AS INT) AS cell_id, o.n_nodes,
+         |  least(CAST(10 AS BIGINT), o.n_nodes) AS n_emitted
+         |FROM probe p JOIN pop o ON o.cid = p.cid
+         |ORDER BY probe_rank""".stripMargin,
+
+    // Twin of ann_graph_vacuum — the waypoint-GC verb under a FULL hash:
+    // the post-vacuum exhaustive walk must equal exact kNN over the live
+    // corpus (deleted %6 gone), the accounting is integer-exact (the
+    // delete-only script makes garbage EXACTLY the deleted ids — deletes
+    // write no data rows, so refresh touches no cells), and the parity
+    // bits assert vacuum rewrote at least one cell without changing
+    // anything a search could see.
+    "ann_graph_vacuum" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(count(*) FILTER (WHERE vec_id % 10 = 6) AS BIGINT) AS n6
+         |  FROM embeddings),
+         |top AS (
+         |  SELECT vec_id, floor($l2sqToQv * 1e6 + 0.5) / 1e6 AS dist
+         |  FROM embeddings e, q WHERE vec_id % 10 <> 6
+         |  ORDER BY dist, vec_id LIMIT 10)
+         |SELECT t.vec_id, t.dist,
+         |  c.n AS n_nodes_before, c.n - c.n6 AS n_live,
+         |  c.n6 AS n_garbage_before,
+         |  c.n - c.n6 AS n_nodes_after, CAST(0 AS BIGINT) AS n_garbage_after,
+         |  true AS vacuumed_any, true AS search_unchanged
+         |FROM top t, c ORDER BY dist, vec_id""".stripMargin,
+
+    // Twin of ann_sq_vacuum — the relational families' stale-version GC:
+    // after the registry's standard mutation script the index holds
+    // n + n3 versions of which n3 (superseded) + n6 (deleted) are
+    // garbage; vacuum keeps exactly the live n - n6, zero pending, and
+    // the probe answers identically before and after.
+    "ann_sq_vacuum" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE vec_id % 10 = 3) AS BIGINT) AS n3,
+        |  CAST(count(*) FILTER (WHERE vec_id % 10 = 6) AS BIGINT) AS n6
+        |  FROM embeddings)
+        |SELECT n + n3 AS n_rows_before, n - n6 AS n_live,
+        |  n3 + n6 AS n_garbage_before,
+        |  n - n6 AS n_rows_after, CAST(0 AS BIGINT) AS n_garbage_after,
+        |  CAST(0 AS BIGINT) AS n_pending_after,
+        |  true AS vacuumed_any, true AS search_unchanged
+        |FROM c""".stripMargin,
+
+    // Twin of ann_vacuum_advisor — the DECISION under the hash (the
+    // compact-advisor discipline): the BQ layout has no cells, so the
+    // worst-cell ppm is the global integer fraction
+    // floor(1e6 * garbage / (live + garbage)) = 1e6*(n3+n6) // (n+n3);
+    // the before row must recommend at the 10% threshold, the flat
+    // vacuum must rewrite, the after row must be clean and quiet.
+    "ann_vacuum_advisor" ->
+      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(*) FILTER (WHERE vec_id % 10 = 3) AS BIGINT) AS n3,
+        |  CAST(count(*) FILTER (WHERE vec_id % 10 = 6) AS BIGINT) AS n6
+        |  FROM embeddings)
+        |SELECT * FROM (
+        |  SELECT 'vecs_bq' AS "index", n + n3 AS n_rows, n - n6 AS n_live,
+        |    CAST(0 AS BIGINT) AS n_pending, n3 + n6 AS n_garbage,
+        |    (1000000 * (n3 + n6)) // (n + n3) AS worst_cell_garbage_ppm,
+        |    true AS vacuum_recommended, 'before' AS phase, true AS rewrote
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 'vecs_bq', n - n6, n - n6, CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), false, 'after', true
+        |  FROM c)
+        |ORDER BY phase""".stripMargin,
 
     // Twin of ann_graph_adaptive: both filter arms' exact top-10 (the
     // selective arm takes the exact 'pre' branch outright; the broad arm
@@ -4110,6 +4228,18 @@ object GraftOracles {
     // oracle-checked text_bpe_merges pair statistics. Any drift in
     // trainer tie-breaks, word splitting, or the encode loop
     // hash-mismatches here.
+    // Twin of ingest_embed_fixture: the checked-in HashEmbedder
+    // expected-value fixture (GenHashEmbedFixture — the text_bpe_apply
+    // regression-pin discipline; see the gate scaladoc for what drift
+    // it catches and where the independent evidence lives).
+    "ingest_embed_fixture" ->
+      """SELECT CAST(text_id AS BIGINT) AS text_id,
+        |  CAST(pos AS INT) AS pos,
+        |  CAST(val_fp AS BIGINT) AS val_fp
+        |FROM read_csv('/root/repo/src/main/resources/graft/hash_embed_fixture.csv',
+        |              header=true)
+        |ORDER BY text_id, pos""".stripMargin,
+
     "text_bpe_apply" ->
       """SELECT CAST(doc_id AS BIGINT) AS doc_id,
         |  CAST(n_words AS BIGINT) AS n_words,

@@ -362,6 +362,28 @@ object GraftQueries {
           x => x.cast("double") * x.cast("double")), lit(0.0), (a, x) => a + x)), 4).as("embedding_norm"))
       .orderBy("doc_id", "chunk_index")
 
+  /** The [[graft.embed.HashEmbedder]] KERNEL's actual output values
+    * under a FULL hash — the piece `ingest_pipeline`'s unit-norm
+    * invariant cannot see. Runs the embedder through the production
+    * batched-mapPartitions seam over the checked-in deterministic
+    * corpus ([[graft.embed.EmbedFixture]] — SF-independent by design)
+    * and emits every embedding component at 2^20 fixed point; the
+    * oracle is the checked-in expected-value fixture
+    * (GenHashEmbedFixture, recorded provenance — the text_bpe_apply
+    * regression-pin discipline: independent correctness evidence is
+    * EmbedderSpec, and the fixture makes any future drift in FNV-1a,
+    * tokenization, 3-gram windows, or normalization hash-fail). */
+  val ingestEmbedFixture: Q = (s, _) => {
+    import s.implicits._
+    val docs = graft.embed.EmbedFixture.texts.toDF("text_id", "text")
+    graft.embed.Embedders.embed(docs, "text", "embedding",
+        graft.embed.HashEmbedder(dim = 64))
+      .select(col("text_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("text_id"), col("pos"),
+        floor(col("x").cast("double") * 1048576).cast("long").as("val_fp"))
+      .orderBy("text_id", "pos")
+  }
+
   /** The transformer-backed ingest — REAL attention/LayerNorm/FFN
     * inference (checked-in weights, "passage: " instruction prefix per
     * the reference's BGE convention) through the same batched
@@ -1238,6 +1260,142 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** GRAPH-index VACUUM — the garbage-collection verb `refresh`
+    * deliberately is not ([[graft.operators.MutableGraph.vacuum]]):
+    * deletes write no data rows, so refresh touches no cells and every
+    * deleted id's node lingers as a routing waypoint; under the
+    * reference's add/delete-forever loop a churn-abandoned cell's walk
+    * cost grows without bound. The gate runs the deterministic worst
+    * case (delete-only mutation — garbage is EXACTLY the deleted ids),
+    * vacuums at threshold 0, and emits the post-vacuum EXHAUSTIVE
+    * search (provably = exact live kNN — the MutableGraphSpec pin)
+    * with the before/after accounting and the search-parity bit as
+    * constant columns. FULL hash: the walk result, both garbage
+    * counts, the node totals, and "vacuum changed nothing a search
+    * could see" are all restated relationally. */
+  val annGraphVacuum: Q = (s, d) => {
+    import graft.operators.{MutableGraph, MutableVacuum}
+    val root = java.nio.file.Files.createTempDirectory("graft_gvac").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val n = e.count()
+      val mc = store.createMutable("vecs", e, "vec_id")
+      MutableGraph.attach(s, store, "vecs", "embedding", "vecs_graph",
+        ncells = 8, iters = 2, m = 8)
+      mc.delete(e.filter(col("vec_id") % 10 === 6).select("vec_id"))
+      MutableGraph.refresh(s, store, "vecs", "vecs_graph")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      // exhaustive configuration: probe all cells, beam the full node
+      // set — the regime where the walk equals exact kNN, so the gate
+      // result is relationally restatable
+      def run() = MutableGraph.search(s, store, "vecs", "vecs_graph", qv,
+          k = 10, nprobe = 8, ef = n.toInt + 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      def stats() = MutableVacuum.report(s, store, "vecs", "vecs_graph")
+        .agg(sum("n_rows"), sum("n_live"), sum("n_garbage")).head()
+      val before = stats()
+      val pre = run()
+      val vacuumed = MutableGraph.vacuum(s, store, "vecs", "vecs_graph",
+        maxGarbagePpm = 0L)
+      val post = run()
+      val after = stats()
+      import s.implicits._
+      post.map { case (id, dist) => (id, dist,
+          before.getLong(0), before.getLong(1), before.getLong(2),
+          after.getLong(0), after.getLong(2),
+          vacuumed.nonEmpty, post == pre) }
+        .toDF("vec_id", "dist", "n_nodes_before", "n_live",
+          "n_garbage_before", "n_nodes_after", "n_garbage_after",
+          "vacuumed_any", "search_unchanged")
+        .orderBy("dist", "vec_id")
+    } finally { e.unpersist(); store.destroy() }
+  }
+
+  /** Relational-family VACUUM ([[graft.operators.MutableVacuum]]) over
+    * the mutable SQ index: upsert + delete accumulate superseded and
+    * deleted VERSIONS in the cell-partitioned code layout (scan-width
+    * garbage, the IVF/SQ/PQ analog of the graph's waypoints);
+    * vacuumCells rewrites only the dirty cells, keeping live + pending
+    * rows. The mutation script is the registry's standard one, so every
+    * count is integer-exact in SQL, and the searches before and after
+    * must be IDENTICAL (vacuum removes only what search already
+    * filters). One accounting row under a FULL hash. */
+  val annSqVacuum: Q = (s, d) => {
+    import graft.operators.{MutableSq, MutableVacuum}
+    val root = java.nio.file.Files.createTempDirectory("graft_svac").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val mc = store.createMutable("vecs", e, "vec_id")
+      MutableSq.attach(s, store, "vecs", "embedding", "vecs_sq",
+        ncells = 8, iters = 2)
+      mc.upsert(e.filter(col("vec_id") % 10 === 3)
+        .withColumn("embedding", reverse(col("embedding"))))
+      mc.delete(e.filter(col("vec_id") % 10 === 6).select("vec_id"))
+      MutableSq.refresh(s, store, "vecs", "vecs_sq")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      def run() = MutableSq.search(s, store, "vecs", "vecs_sq", qv,
+          k = 10, nprobe = 4)
+        .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+      def stats() = MutableVacuum.report(s, store, "vecs", "vecs_sq")
+        .agg(sum("n_rows"), sum("n_live"), sum("n_garbage"), sum("n_pending"))
+        .head()
+      val before = stats()
+      val pre = run()
+      val vacuumed = MutableVacuum.vacuumCells(s, store, "vecs", "vecs_sq",
+        maxGarbagePpm = 0L)
+      val post = run()
+      val after = stats()
+      import s.implicits._
+      Seq((before.getLong(0), before.getLong(1), before.getLong(2),
+          after.getLong(0), after.getLong(2), after.getLong(3),
+          vacuumed.nonEmpty, post == pre))
+        .toDF("n_rows_before", "n_live", "n_garbage_before",
+          "n_rows_after", "n_garbage_after", "n_pending_after",
+          "vacuumed_any", "search_unchanged")
+    } finally { e.unpersist(); store.destroy() }
+  }
+
+  /** VACUUM ADVISOR over the BQ family's flat signature index
+    * ([[graft.operators.MutableVacuum.advisor]] + `vacuumFlat`): the
+    * index-garbage counterpart of `collection_compact_advisor`. The BQ
+    * layout has no cells, so its worst-cell garbage ppm IS the global
+    * fraction — integer-exact in SQL — and the whole decision sits
+    * under the hash: the before row must recommend (2/11 of versions
+    * are garbage > the 10% threshold), the flat vacuum must rewrite,
+    * and the after row must report zero garbage and recommend nothing. */
+  val annVacuumAdvisor: Q = (s, d) => {
+    import graft.operators.{MutableBq, MutableVacuum}
+    val root = java.nio.file.Files.createTempDirectory("graft_avac").toString
+    val store = graft.store.VectorStore(root)
+    val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
+    try {
+      val mc = store.createMutable("vecs", e, "vec_id")
+      MutableBq.attach(s, store, "vecs", "embedding", "vecs_bq")
+      mc.upsert(e.filter(col("vec_id") % 10 === 3)
+        .withColumn("embedding", reverse(col("embedding"))))
+      mc.delete(e.filter(col("vec_id") % 10 === 6).select("vec_id"))
+      MutableBq.refresh(s, store, "vecs", "vecs_bq")
+      def adv(phase: String) = MutableVacuum.advisor(s, store, "vecs",
+          Seq("vecs_bq"), maxGarbagePpm = 100000L)
+        .withColumn("phase", lit(phase))
+      val before = adv("before")
+      val beforeRows = s.createDataFrame(
+        java.util.Arrays.asList(before.collect(): _*), before.schema)
+      val rewrote = MutableVacuum.vacuumFlat(s, store, "vecs", "vecs_bq",
+        maxGarbagePpm = 100000L)
+      val after = adv("after").withColumn("rewrote", lit(rewrote))
+      val afterRows = s.createDataFrame(
+        java.util.Arrays.asList(after.collect(): _*), after.schema)
+      beforeRows.withColumn("rewrote", lit(rewrote))
+        .unionByName(afterRows)
+        .orderBy("phase")
+    } finally { e.unpersist(); store.destroy() }
+  }
+
   /** KEYSET pagination over the live mutable collection — the scale
     * path for the Chroma `get(limit=, offset=)` surface
     * ([[graft.store.MutableCollection.getAfter]]): deep pages cost what
@@ -1795,6 +1953,33 @@ object GraftQueries {
         .head.getSeq[Float](0).map(_.toDouble).toArray
       val hits = GraphAnn.search(graph, cents, qv, k = 10, nprobe = 4, ef = 48)
       s.createDataFrame(java.util.Arrays.asList(hits.collect(): _*), hits.schema)
+    } finally e.unpersist()
+  }
+
+  /** The graph search's PROBE-DERIVATION half under a FULL hash
+    * ([[GraphAnn.probeReport]]): which cells the router probed and in
+    * what order (the sqProbeCells floor-rounded lowest-cid arithmetic,
+    * restated through the kmeans twin), each probed cell's population,
+    * and the per-cell emitted-candidate count (= min(k, reachable) — a
+    * connectivity pin on the NSW build: an unreachable region
+    * under-emits and hash-fails). This anchors everything around the
+    * beam for the rows-only walk gates (`ann_graph`, `_store`,
+    * `_batch`, `_filtered`, `_incremental`, `ann_mutable_graph`);
+    * only the walk's choice of WHICH k and its `n_evals` remain
+    * rows-only — the irreducible approximate part. */
+  val annGraphProbe: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val cents = Clustering.trainCentroids(e, 8, 2)
+      val (graph, _) = GraphAnn.buildGraph(
+        e.filter(col("vec_id") =!= 0), "embedding", "vec_id", ncells = 8, m = 8,
+        centroids = Some(cents))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val out = GraphAnn.probeReport(graph, cents, qv, k = 10, nprobe = 4,
+          ef = 48)
+        .select("probe_rank", "cell_id", "n_nodes", "n_emitted") // n_evals stays rows-only
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
     } finally e.unpersist()
   }
 
@@ -5105,6 +5290,7 @@ object GraftQueries {
     "where_dsl_filter" -> whereDslFilter,
     "chunk_docs" -> chunkDocs,
     "ingest_pipeline" -> ingestPipeline,
+    "ingest_embed_fixture" -> ingestEmbedFixture,
     "ingest_transformer" -> ingestTransformer,
     "vec_knn" -> vecKnn,
     "vec_knn_ip" -> vecKnnIp,
@@ -5147,6 +5333,7 @@ object GraftQueries {
     "ann_ivfpq_store" -> annIvfPqStore,
     "ann_ivfsq_store" -> annIvfSqStore,
     "ann_graph" -> annGraph,
+    "ann_graph_probe" -> annGraphProbe,
     "ann_graph_batch" -> annGraphBatch,
     "ann_graph_exhaustive" -> annGraphExhaustive,
     "ann_graph_store" -> annGraphStore,
@@ -5168,6 +5355,9 @@ object GraftQueries {
     "ann_mutable_sq" -> annMutableSq,
     "ann_mutable_bq" -> annMutableBq,
     "ann_mutable_graph" -> annMutableGraph,
+    "ann_graph_vacuum" -> annGraphVacuum,
+    "ann_sq_vacuum" -> annSqVacuum,
+    "ann_vacuum_advisor" -> annVacuumAdvisor,
     "ann_mutable_pq" -> annMutablePq,
     "page_keyset" -> pageKeyset,
     "ann_graph_filtered" -> annGraphFiltered,

@@ -726,6 +726,34 @@ object GraphAnn {
     (hitsOf(perCell, k), perCell.select("cell_id", "n_nodes", "n_evals").distinct())
   }
 
+  /** PROBE-DERIVATION report — the oracle-able HALF of a graph search,
+    * factored out so the gate tier can hash-pin everything around the
+    * beam: which cells the router probed and in what order (the
+    * [[Similarity.sqProbeCells]] arithmetic — SQL-restatable through
+    * the kmeans twin), each probed cell's population, and how many
+    * candidates the walk EMITTED per cell (= min(k, reachable) — a
+    * de-facto connectivity pin: an NSW cell whose insertion build left
+    * part of the graph unreachable under-emits and hash-fails). Only
+    * the BEAM ORDER itself (which k of the cell surface, `n_evals`)
+    * stays rows-only, exactly the irreducible approximate part.
+    * Returns (probe_rank, cell_id, n_nodes, n_emitted, n_evals). */
+  def probeReport(graph: Dataset[Node], cents: Array[Array[Float]],
+                  qv: Array[Double], k: Int, nprobe: Int, ef: Int): DataFrame = {
+    val sp = graph.sparkSession
+    import sp.implicits._
+    val probed = Similarity.sqProbeCells(cents, qv, nprobe)
+    val ranks = probed.zipWithIndex
+      .map { case (c, r) => (c, r) }.toSeq.toDF("cell_id", "probe_rank")
+    perCellWalk(graph, cents, qv, k, nprobe, ef)
+      .groupBy("cell_id", "n_nodes", "n_evals")
+      .agg(count(lit(1)).as("n_emitted"))
+      .join(broadcast(ranks), Seq("cell_id")) // <= nprobe rows
+      .select(col("probe_rank").cast("int"), col("cell_id").cast("int"),
+        col("n_nodes").cast("long").as("n_nodes"),
+        col("n_emitted"), col("n_evals").cast("long").as("n_evals"))
+      .orderBy("probe_rank")
+  }
+
   /** Batch-query search — Chroma's `query(query_texts=[...])` shape
     * (/root/reference/src/PDFToChromaIngester.py:229-231) over the graph
     * index, aligned with the relational ANN batch APIs

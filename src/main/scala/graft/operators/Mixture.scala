@@ -68,9 +68,16 @@ object Mixture {
         if (tau == 0.5) math.sqrt(n.toDouble) else math.pow(n.toDouble, tau)
       (dom, n, math.floor(w * 1e6).toLong)
     }
-    val sumW = wFp.map(_._3).sum
+    // BigInt arithmetic: budget·w is ~budget·sqrt(n)·1e6 and overflows
+    // Long at training scale (budget 1e12 × w_fp 1e11 ≈ 1e23); Σw itself
+    // can pass Long.Max with enough huge domains. The quotient always
+    // fits a Long (quota <= budget), so only the intermediates widen —
+    // results are bit-identical to the Long path wherever it didn't
+    // overflow, preserving the oracle hash.
+    val sumW = wFp.iterator.map(w => BigInt(w._3)).sum
     val base = wFp.map { case (dom, n, w) =>
-      (dom, n, w, budget * w / sumW, budget * w % sumW)
+      val prod = BigInt(budget) * BigInt(w)
+      (dom, n, w, (prod / sumW).toLong, prod % sumW)
     }
     val leftover = budget - base.map(_._4).sum
     // largest-remainder apportionment: rank by (remainder desc, domain asc)

@@ -28,8 +28,20 @@ import org.apache.spark.sql.functions._
   *    waypoint until that cell is next rebuilt; the search-time seq
   *    filter keeps it out of results (spec-pinned);
   *  - '''consistency is point-in-time at the indexed watermark''', same
-  *    as the whole family; a crash between rebuild and watermark
-  *    advance re-runs an idempotent rebuild (deterministic cell graphs).
+  *    as the whole family: search bounds emitted candidates with an
+  *    explicit `seq <= watermark` filter (the sibling families' rule),
+  *    so nodes indexed PAST the watermark — rows racing [[attach]]'s
+  *    corpus scan, or cells rebuilt by a [[refresh]] that crashed before
+  *    its watermark advance — never surface as future versions. The one
+  *    DOCUMENTED residual after a crashed refresh: rebuilt cells were
+  *    rewritten from the live-as-of-`to` view, so a pre-mutation version
+  *    that was live at the old watermark no longer has a node in a
+  *    REBUILT cell — reads between the crash and the (idempotent) re-run
+  *    may MISS such rows, though they never show anything that was not
+  *    live at the watermark. Re-running `refresh` restores the
+  *    point-in-time contract (deterministic cell graphs). The append
+  *    families (IVF/SQ/PQ/BQ) do not share this window — their crash
+  *    residue is extra rows, removed by seq bound + dedup.
   *
   * Search = partition-pruned probe (frozen router, the family's
   * floor-rounded lowest-cid rule), per-cell beam walk over ALL nodes
@@ -129,6 +141,53 @@ object MutableGraph {
     to
   }
 
+  /** VACUUM the graph's routing-waypoint garbage — the verb [[refresh]]
+    * deliberately is not: refresh rebuilds the cells upserts TOUCH, so a
+    * cell that keeps receiving deletes but stops receiving upserts
+    * accumulates waypoint nodes (deleted / superseded versions that
+    * still route) without bound, and its walk cost grows with its
+    * garbage fraction. Vacuum rebuilds every cell whose waypoint
+    * fraction exceeds `maxGarbagePpm` (per [[MutableVacuum.report]] —
+    * live/garbage/pending accounting at the index's own watermark) from
+    * the live-at-watermark members assigned by the FROZEN router — a
+    * node-level filter would tear adjacency, so the rewrite re-walks the
+    * cell's NSW construction, exactly the refresh rebuild kernel. A cell
+    * whose members were ALL garbage has its partition removed outright.
+    *
+    * Pure physical rewrite: the watermark does not move, search results
+    * before and after are identical (vacuum removes only what search was
+    * already filtering — spec-pinned), a crash mid-rewrite leaves every
+    * in-between state read-correct, and re-running is idempotent. After
+    * `vacuum(0)` the index holds exactly the live-at-watermark node set
+    * (`n_garbage = 0` in the report). O(dirty cells), never the
+    * collection. Returns the vacuumed cell ids. */
+  def vacuum(spark: SparkSession, store: VectorStore, collection: String,
+             index: String, maxGarbagePpm: Long = 200000L): Array[Int] = {
+    val mc = store.mutable(collection)
+    val w = readWatermark(store, index)
+    val (cents, vecCol, _, m, efC) = readRouter(store, index)
+    // bounded collect: the report is one row per cell
+    val dirty = MutableVacuum.report(spark, store, collection, index)
+      .filter(col("n_garbage") > 0L && col("garbage_ppm") > maxGarbagePpm)
+      .select("cell_id").collect().map(_.getInt(0)).sorted
+    if (dirty.isEmpty) return dirty
+    val members = liveRows(spark, store, mc, vecCol, asOf = Some(w))
+      .withColumn("cell_id",
+        Clustering.assignStruct(col("vec"), cents).getField("cid"))
+      .filter(col("cell_id").isin(dirty.map(Int.box).toIndexedSeq: _*))
+    val schema = store.read(spark, index).schema
+    // EAGER pin: the rebuild reads the files the overwrite rewrites
+    val rebuilt = buildCells(members, m, efC).localCheckpoint(true)
+    val nonEmpty = rebuilt.select(col("cell_id").cast("int"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    store.overwritePartitions(index, rebuilt, Seq("cell_id"))
+    val sfs = StoreFs.forPath(store.root)
+    dirty.filterNot(nonEmpty).foreach { cell =>
+      sfs.deleteTree(s"${store.root}/$index/cell_id=$cell") }
+    MutableVacuum.reseatEmptySchema(spark, store, index, schema, dirty.head)
+    dirty
+  }
+
   /** Top-k over the live collection as of the index watermark: probe
     * `nprobe` cells (frozen router), beam-walk each cell's FULL node
     * set (waypoints included — they route), emit `ef` candidates per
@@ -173,8 +232,13 @@ object MutableGraph {
       .toDF("cell_id", idCol, "_d", MutableCollection.SeqCol)
     // waypoints (deleted / superseded versions) drop here, on the SAME
     // rule the collection's own reads use; dedup guards the id that
-    // surfaces from two probed cells (old-cell waypoint + new home)
-    val live = mc.applyTombstoneFilter(spark, cand, asOf = Some(w))
+    // surfaces from two probed cells (old-cell waypoint + new home).
+    // The explicit seq bound (the sibling families' point-in-time rule)
+    // drops nodes indexed PAST the watermark — rows that raced attach's
+    // corpus scan, or cells rebuilt by a refresh that crashed before
+    // its watermark advance — so emitted results never show the future.
+    val live = mc.applyTombstoneFilter(
+        spark, cand.filter(col(MutableCollection.SeqCol) <= w), asOf = Some(w))
       .dropDuplicates(idCol)
     // metadata filter: bounded join (<= nprobe·ef candidate rows)
     // against the watermark live view's CURRENT columns

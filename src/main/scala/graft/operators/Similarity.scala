@@ -1109,16 +1109,29 @@ object Similarity {
     * re-registers them (probing with the old quantizer against the new
     * layout would probe the wrong cells and decode with the wrong
     * ranges). */
+  /** Order-independent corpus digest for the codes-only retrains:
+    * (row count, xor-of-xxhash64 over the string-normalized ids). Count
+    * alone would accept ANY same-cardinality relation and silently swap
+    * in an index inconsistent with the collection it serves; the
+    * commutative id-hash xor rejects a different id set at the cost of
+    * widening the existing count pass to one two-column aggregate. */
+  private def corpusDigest(df: DataFrame, idCol: String): (Long, Long) = {
+    val r = df.agg(count(lit(1)),
+      bit_xor(xxhash64(col(idCol).cast("string")))).head()
+    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+  }
+
   def retrainStoredSq(spark: org.apache.spark.sql.SparkSession,
       store: graft.store.VectorStore, name: String, collection: DataFrame,
       vecCol: String, idCol: String, ncells: Int = 8, iters: Int = 2)
       : (Array[Array[Float]], Array[Double], Array[Double]) = {
-    val nStore = store.read(spark, name).count() // footer-metadata count
-    val nColl = collection.count()
-    require(nStore == nColl,
-      s"retrainStoredSq: store '$name' holds $nStore rows but the " +
-        s"collection has $nColl — the retrain corpus must be exactly the " +
-        "indexed corpus (codes-only layout; see scaladoc)")
+    val (nStore, hStore) = corpusDigest(store.read(spark, name), idCol)
+    val (nColl, hColl) = corpusDigest(collection, idCol)
+    require(nStore == nColl && hStore == hColl,
+      s"retrainStoredSq: store '$name' holds $nStore rows (id digest " +
+        s"$hStore) but the collection has $nColl ($hColl) — the retrain " +
+        "corpus must be exactly the indexed corpus (codes-only layout; " +
+        "see scaladoc)")
     val cents = Clustering.trainCentroids(collection, ncells, iters, idCol, vecCol)
     val (mins, maxs) = sqMinMax(collection, vecCol)
     store.replace(name, sqAssignEncode(collection, vecCol, idCol, cents, mins, maxs),
@@ -1664,7 +1677,11 @@ object Similarity {
           }, deadline)
         finally pool.shutdown()
       // price, gate, recommend — all integer-exact
-      val bqBytes = ((dim + 31) / 32) * 8L // sign bits in 32-bit halves
+      // BQ prices at the layout's PHYSICAL cost: the (bq_lo, bq_hi)
+      // columns are two fixed longs for every supported dim <= 128
+      // (16 bytes), not a dim-scaled packing — a dim-scaled formula
+      // would flip the bytes-ascending tie-break at non-default dims.
+      val bqBytes = 16L
       val fams = Seq(
         ("flat", 4L * dim, k.toLong),
         ("ivf_flat", 4L * dim, hitsIvf.toLong),
@@ -1846,12 +1863,13 @@ object Similarity {
   def retrainStoredBq(spark: org.apache.spark.sql.SparkSession,
       store: graft.store.VectorStore, name: String, collection: DataFrame,
       vecCol: String, idCol: String, dim: Int = 64): Array[Double] = {
-    val nStore = store.read(spark, name).count()
-    val nColl = collection.count()
-    require(nStore == nColl,
-      s"retrainStoredBq: store '$name' holds $nStore rows but the " +
-        s"collection has $nColl — the retrain corpus must be exactly the " +
-        "indexed corpus (codes-only layout; see retrainStoredSq)")
+    val (nStore, hStore) = corpusDigest(store.read(spark, name), idCol)
+    val (nColl, hColl) = corpusDigest(collection, idCol)
+    require(nStore == nColl && hStore == hColl,
+      s"retrainStoredBq: store '$name' holds $nStore rows (id digest " +
+        s"$hStore) but the collection has $nColl ($hColl) — the retrain " +
+        "corpus must be exactly the indexed corpus (codes-only layout; " +
+        "see retrainStoredSq)")
     val thr = bqThresholds(collection, vecCol, dim)
     store.replace(name, bqEncodeCentered(collection, vecCol, idCol, thr, dim))
     writeBqThresholds(store, name, thr)

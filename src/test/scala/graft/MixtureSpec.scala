@@ -49,6 +49,22 @@ class MixtureSpec extends SparkSpec {
     assert(byRows("b") > byRows("a"), s"row sizing drifted: $byRows")
   }
 
+  test("token-budget arithmetic survives training scale (no Long overflow)") {
+    import spark.implicits._
+    // budget 1e12 x w_fp ~1e11: budget*w ~1e23 >> Long.MaxValue — the
+    // BigInt path must produce exact, non-negative quotas that still sum
+    // to the budget (the Long path returned garbage silently)
+    val big = Seq(("web", 9000000000000000000L), ("code", 4000000000000000L),
+        ("wiki", 60000000000L))
+      .toDF("domain", "ntok")
+    val budget = 1000000000000L // 1T tokens
+    val out = Mixture.temperatureAllocationBy(big, "domain", "ntok", budget)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(out.values.forall(_ >= 0L), s"negative quota (overflow): $out")
+    assert(out.values.sum == budget, s"quotas must sum to the budget: $out")
+    assert(out("web") > out("code") && out("code") > out("wiki"), s"order: $out")
+  }
+
   test("pack advisor: exactly one recommendation; concat never overflows and wastes only shard tails; threshold flips") {
     val docs = Tables.documents(spark, sf)
     val out = Mixture.packAdvisor(docs, "text", "doc_id", "source",

@@ -88,6 +88,45 @@ class MutableGraphSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("nodes indexed PAST the watermark never surface (crashed-refresh window)") {
+    // a refresh that rebuilds cells but dies before its watermark
+    // advance leaves the index holding FUTURE node versions; the
+    // search-time `seq <= watermark` bound (the sibling families' rule)
+    // must keep them out of results. Residual (documented): the
+    // pre-mutation versions in REBUILT cells are gone until the re-run,
+    // so rows may be MISSING — but nothing from the future may SHOW.
+    val store = freshStore()
+    try {
+      val e = Tables.embeddings(spark, sf)
+        .select(col("vec_id"), col("embedding")).cache()
+      val n = e.count().toInt
+      val mc = store.createMutable("vecs", e, "vec_id")
+      MutableGraph.attach(spark, store, "vecs", "embedding", "vecs_graph",
+        ncells = 4, iters = 2, m = 8)
+      // pick an id to mutate and aim the query AT its future vector:
+      // if the future version leaked, it would rank #1 at distance 0
+      val target = e.filter(col("vec_id") % 10 === 3)
+        .orderBy("vec_id").limit(1)
+      val targetId = target.head.getLong(0)
+      mc.upsert(target.withColumn("embedding", reverse(col("embedding"))))
+      MutableGraph.refresh(spark, store, "vecs", "vecs_graph")
+      // roll the watermark back: the index now carries seq-1 nodes past it
+      val props = new java.util.Properties()
+      props.setProperty("seq", "0")
+      graft.store.StoreFs.forPath(store.root).writePropsAtomic(
+        s"${store.root}/vecs_graph/_indexed.properties", props, "spec rollback")
+      val qv = target.select(reverse(col("embedding")))
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      val got = MutableGraph.search(spark, store, "vecs", "vecs_graph", qv,
+          k = 5, nprobe = 4, ef = n + 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      assert(!got.exists { case (id, d) => id == targetId && d == 0.0 },
+        s"future version of $targetId surfaced at the old watermark: " +
+          got.mkString(", "))
+      e.unpersist()
+    } finally store.destroy()
+  }
+
   test("where-DSL filters CURRENT metadata versions over the walk candidates") {
     val store = freshStore()
     try {

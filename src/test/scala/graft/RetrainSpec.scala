@@ -140,6 +140,15 @@ class RetrainSpec extends SparkSpec {
           "embedding", "vec_id")
       }
       assert(ex2.getMessage.contains("retrainStoredBq"))
+      // a SAME-CARDINALITY relation with a different id set must also be
+      // rejected (the order-independent id digest, not just the count —
+      // a count-only check would silently swap in an inconsistent index)
+      val shifted = e.withColumn("vec_id", col("vec_id") + 1000000L)
+      val ex3 = intercept[IllegalArgumentException] {
+        Similarity.retrainStoredSq(spark, store, "sq", shifted,
+          "embedding", "vec_id", ncells = 4)
+      }
+      assert(ex3.getMessage.contains("id digest"))
       e.unpersist()
     } finally store.destroy()
   }
