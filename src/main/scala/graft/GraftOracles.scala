@@ -4228,6 +4228,40 @@ object GraftOracles {
     // oracle-checked text_bpe_merges pair statistics. Any drift in
     // trainer tie-breaks, word splitting, or the encode loop
     // hash-mismatches here.
+    // Twins of q12_distinct_sketch / q44_percentile_sketch — the last
+    // two non-graph rows-only entries leave the list: the EXACT columns
+    // recompute relationally (count DISTINCT; quantile_cont — the same
+    // continuous p·(n-1) interpolation Spark's percentile performs, in
+    // the shared floor-form rounding), the APPROX sketch columns pin
+    // against the checked-in fixture (GenSketchFixture — HLL registers
+    // merge by max and quantile summaries compact deterministically, so
+    // fixed input reproduces exactly; generated at 8 AND 32 threads and
+    // required equal before writing).
+    "q12_distinct_sketch" ->
+      """WITH fx AS (SELECT * FROM
+        |  read_csv('/root/repo/src/main/resources/graft/sketch_fixture_sf001.csv',
+        |           header=true))
+        |SELECT l.l_returnflag,
+        |  CAST(count(DISTINCT l.l_partkey) AS BIGINT) AS n_exact,
+        |  CAST(f.n_approx AS BIGINT) AS n_approx
+        |FROM lineitem l JOIN fx f ON f.l_returnflag = l.l_returnflag
+        |GROUP BY l.l_returnflag, f.n_approx
+        |ORDER BY l.l_returnflag""".stripMargin,
+
+    "q44_percentile_sketch" ->
+      """WITH fx AS (SELECT * FROM
+        |  read_csv('/root/repo/src/main/resources/graft/sketch_fixture_sf001.csv',
+        |           header=true)),
+        |ex AS (SELECT l_returnflag,
+        |    floor(quantile_cont(l_extendedprice, 0.5) * 1e4 + 0.5) / 1e4 AS p50_exact,
+        |    floor(quantile_cont(l_extendedprice, 0.99) * 1e4 + 0.5) / 1e4 AS p99_exact
+        |  FROM lineitem GROUP BY 1)
+        |SELECT e.l_returnflag, e.p50_exact,
+        |  CAST(f.p50_approx AS DOUBLE) AS p50_approx,
+        |  e.p99_exact, CAST(f.p99_approx AS DOUBLE) AS p99_approx
+        |FROM ex e JOIN fx f USING (l_returnflag)
+        |ORDER BY l_returnflag""".stripMargin,
+
     // Twin of ingest_embed_fixture: the checked-in HashEmbedder
     // expected-value fixture (GenHashEmbedFixture — the text_bpe_apply
     // regression-pin discipline; see the gate scaladoc for what drift

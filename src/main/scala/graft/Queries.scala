@@ -3297,8 +3297,11 @@ object GraftQueries {
 
   /** HLL++ sketch vs exact distinct: approx_count_distinct is the sketch a
     * 100 TB distinct-count runs on (mergeable, fixed memory). Sketch
-    * estimates are engine-specific -> rows-only; the exact column is the
-    * in-row ground truth (error bound asserted in tests). */
+    * estimates are engine-specific, but DETERMINISTIC on fixed input
+    * (registers merge by max — order-free), so the gate is a FULL hash:
+    * the exact column recomputes relationally, the approx column pins
+    * against the checked-in fixture (GenSketchFixture — generated at two
+    * thread counts and required equal; error bound asserted in tests). */
   val q12DistinctSketch: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
@@ -3309,17 +3312,20 @@ object GraftQueries {
   /** Mergeable quantile sketch vs exact percentile: approx_percentile is
     * the shape a 100 TB quantile runs on (bounded-memory partial sketches
     * merged at the reducer; exact `percentile` buffers every value per
-    * group). Sketch internals are engine-specific -> rows-only, like the
-    * HLL sketch (q12); the exact columns are the in-row ground truth and
-    * the error bound is asserted in QuerySemanticsSpec. Determinism
-    * measured: results bit-identical across 8/32-thread runs. */
+    * group). FULL hash like q12: the exact percentiles recompute through
+    * DuckDB's quantile_cont (same continuous-interpolation definition),
+    * the approx columns pin against the checked-in fixture
+    * (GenSketchFixture; error bound asserted in QuerySemanticsSpec;
+    * bit-identical across 8/32-thread runs — re-asserted at generation). */
   val q44PercentileSketch: Q = (s, d) =>
     Tables.lineitem(s, d)
       .groupBy("l_returnflag")
-      .agg(round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50_exact"),
-        round(expr("approx_percentile(l_extendedprice, 0.5, 1000)"), 4).as("p50_approx"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 4).as("p99_exact"),
-        round(expr("approx_percentile(l_extendedprice, 0.99, 1000)"), 4).as("p99_approx"))
+      // floor-form rounding (not round()): the exact columns now sit
+      // under the cross-engine oracle, where round() tie rules differ
+      .agg((floor(expr("percentile(l_extendedprice, 0.5)") * 1e4 + 0.5) / 1e4).as("p50_exact"),
+        (floor(expr("approx_percentile(l_extendedprice, 0.5, 1000)") * 1e4 + 0.5) / 1e4).as("p50_approx"),
+        (floor(expr("percentile(l_extendedprice, 0.99)") * 1e4 + 0.5) / 1e4).as("p99_exact"),
+        (floor(expr("approx_percentile(l_extendedprice, 0.99, 1000)") * 1e4 + 0.5) / 1e4).as("p99_approx"))
       .orderBy("l_returnflag")
 
   // ================================================== round-2 depth queries

@@ -26,7 +26,10 @@ import org.apache.spark.sql.functions._
   *    [[GraphAnn.insertIntoStored]] rebuild discipline, applied to
   *    versions. A moved vector's OLD node lingers in its old cell as a
   *    waypoint until that cell is next rebuilt; the search-time seq
-  *    filter keeps it out of results (spec-pinned);
+  *    filter keeps it out of results (spec-pinned). A cell that stops
+  *    receiving upserts is never rebuilt by refresh — under sustained
+  *    churn its waypoint fraction grows without bound, which is what
+  *    the threshold-gated [[vacuum]] verb exists to cut;
   *  - '''consistency is point-in-time at the indexed watermark''', same
   *    as the whole family: search bounds emitted candidates with an
   *    explicit `seq <= watermark` filter (the sibling families' rule),

@@ -183,4 +183,81 @@ class CentroidRouterSpec extends SparkSpec {
       assert(flatProbe.length == 4 && flatProbe.distinct.length == 4)
     } finally { e.unpersist(): Unit }
   }
+
+  // ---- third tier: the LSH router at >= LshGate cells ----------------
+
+  /** 100k-cell engineered set (the >= 10^5 regime the two-level build's
+    * O(ncells^1.5) Lloyd cannot serve): 1000 well-separated blobs of
+    * 100 cells, dim 16 — the geometry a trained quantizer over a
+    * clustered corpus actually has. */
+  private def bigCents(n: Int = 100000, blobs: Int = 1000): Array[(Int, Array[Float])] =
+    Array.tabulate(n) { i =>
+      val blob = i % blobs
+      val v = Array.tabulate(16) { j =>
+        // blob center varies PER DIMENSION (sin of blob*dim) so blobs
+        // spread in all directions, not along one diagonal ray
+        (math.sin(blob * 0.37 + j * 1.7) * 500.0 +
+          math.sin(i * 0.7 + j * 1.3) * 3.0).toFloat
+      }
+      (i, v)
+    }
+
+  test("third tier engages at LshGate and builds in linear-ish time") {
+    val cents = bigCents()
+    val t0 = System.nanoTime()
+    val r = CentroidRouter.routerFor(cents)
+    val buildSec = (System.nanoTime() - t0) / 1e9
+    info(f"LSH router build at 100k cells: $buildSec%.2fs")
+    assert(r.isInstanceOf[CentroidRouter.LshRouter],
+      "at >= LshGate cells the memo must hand out the LSH tier")
+    // the two-level Lloyd at this scale is O(ncells^1.5) ~ 10^10 flops;
+    // the linear LSH build must land in single-digit seconds even cold
+    assert(buildSec < 30.0, f"LSH build took $buildSec%.1fs — not linear-time")
+  }
+
+  test("routed == flat probe parity at 100k cells, with sublinear work") {
+    val cents = bigCents()
+    val r = CentroidRouter.routerFor(cents)
+    val trained = cents.map(_._2) // slot == cid here
+    var worstWork = 0L
+    var flatNanos = 0L
+    var lshNanos = 0L
+    (0 until 50).foreach { q =>
+      val base = cents(q * 1999 % cents.length)._2
+      val qv = base.zipWithIndex.map { case (x, j) =>
+        x.toDouble + math.cos(q * 1.1 + j) * 0.5 }
+      val t0 = System.nanoTime()
+      val flat = Similarity.sqProbeCells(trained, qv, 8,
+        twoLevelGate = Int.MaxValue) // forced flat: the exact rank
+      flatNanos += System.nanoTime() - t0
+      r.comparisons.set(0L)
+      val t1 = System.nanoTime()
+      val routed = r.probe(qv, 8)
+      lshNanos += System.nanoTime() - t1
+      worstWork = math.max(worstWork, r.comparisons.get())
+      assert(routed.toSeq == flat.toSeq,
+        s"query $q: routed ${routed.toSeq} != flat ${flat.toSeq}")
+    }
+    info(f"probe wall: flat ${flatNanos / 50 / 1e6}%.2fms vs LSH ${lshNanos / 50 / 1e6}%.2fms per query; worst candidates+lookups $worstWork of 100000 cells")
+    // sublinear: the candidate pool a probe fine-ranks must be a small
+    // fraction of the cell count (the measured speedup follows from it)
+    assert(worstWork < 20000, s"probe examined $worstWork of 100000 — not sublinear")
+    assert(lshNanos < flatNanos,
+      "LSH probe selection must beat the flat O(ncells) scan outright")
+  }
+
+  test("third-tier self-consistency and determinism at 100k cells") {
+    val cents = bigCents()
+    val a = CentroidRouter.routerFor(cents)
+    val b = CentroidRouter.LshRouter.build(cents) // fresh, not memoized
+    (0 until 100).foreach { s =>
+      val base = cents(s * 997 % cents.length)._2
+      val v = base.zipWithIndex.map { case (x, j) =>
+        x + (math.cos(s * 1.1 + j) * 0.05).toFloat }
+      val cell = a.assign(v)
+      assert(cell == b.assign(v), s"assignment not deterministic at $s")
+      assert(a.probe(v.map(_.toDouble), 4).contains(cell),
+        s"query at a stored vector must reach its assigned cell (s=$s)")
+    }
+  }
 }
