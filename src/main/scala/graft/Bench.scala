@@ -53,7 +53,7 @@ object Bench {
     name.startsWith("pipeline_") || name.startsWith("streaming_") ||
       name.startsWith("collection_") || name.startsWith("ingest_") ||
       name.startsWith("ann_graph") || name.startsWith("sparse_") ||
-      name == "dedup_clusters"
+      name.contains("vacuum") || name == "dedup_clusters"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -138,10 +138,16 @@ object Bench {
           else (times(n / 2 - 1) + times(n / 2)) / 2
         // trimmed mean of the middle n-2 successful runs — the primary
         // figure for the heavy tier (equals the median at 3 runs by
-        // construction; degenerates to the median when <3 runs survive)
+        // construction; degenerates to the median when <3 runs survive).
+        // Once contamination has been DETECTED (extra runs fired), the
+        // median of all runs takes over as the heavy primary: the trim
+        // still averages slow passes in when several of them are bad
+        // (3 contaminated of 7 leave 2 inside the middle 5), where the
+        // median resists up to half — the trim is the no-contamination
+        // estimator, the median the contaminated-run one.
         val trimmed =
           if (n > 2) times.drop(1).dropRight(1).sum / (n - 2) else med
-        val primary = if (isHeavy(name)) trimmed else med
+        val primary = if (isHeavy(name) && extra == 0) trimmed else med
         val spread = times.last / math.max(times.head, 1e-9)
         System.err.println(
           f"[bench] $name%-28s med $med%8.2fs  trim $trimmed%6.2fs  " +
