@@ -151,6 +151,43 @@ class MutableVacuumSpec extends SparkSpec {
     } finally store.destroy()
   }
 
+  test("vacuumCells serves the whole cell-partitioned family: IVF and PQ") {
+    val store = freshStore()
+    try {
+      val e = embeddings()
+      val n = e.count()
+      val mc = store.createMutable("vecs", e, "vec_id")
+      graft.operators.MutableIvf.attach(spark, store, "vecs", "embedding",
+        "vecs_ivf", ncells = 4)
+      graft.operators.MutablePq.attach(spark, store, "vecs", "embedding",
+        "vecs_pq", ncells = 4)
+      mc.upsert(e.filter(col("vec_id") % 10 === 3)
+        .withColumn("embedding", reverse(col("embedding"))))
+      mc.delete(e.filter(col("vec_id") % 10 === 6).select("vec_id"))
+      graft.operators.MutableIvf.refresh(spark, store, "vecs", "vecs_ivf")
+      graft.operators.MutablePq.refresh(spark, store, "vecs", "vecs_pq")
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).toArray
+      def runIvf() = graft.operators.MutableIvf.search(spark, store, "vecs",
+          "vecs_ivf", qv, k = 10, nprobe = 4)
+        .collect().map(r => r.getLong(0)).toSeq
+      def runPq() = graft.operators.MutablePq.search(spark, store, "vecs",
+          "vecs_pq", qv, k = 10, nprobe = 4, rerank = 4)
+        .collect().map(r => r.getLong(0)).toSeq
+      val (preIvf, prePq) = (runIvf(), runPq())
+      Seq("vecs_ivf", "vecs_pq").foreach { idx =>
+        assert(MutableVacuum.vacuumCells(spark, store, "vecs", idx, 0L).nonEmpty)
+        val after = MutableVacuum.report(spark, store, "vecs", idx)
+          .agg(sum("n_rows"), sum("n_garbage")).head()
+        assert(after.getLong(1) == 0L, s"$idx garbage must be 0")
+        assert(after.getLong(0) == n - n / 10, s"$idx must hold exactly the live versions")
+      }
+      assert(runIvf() == preIvf, "IVF search changed across vacuum")
+      assert(runPq() == prePq, "PQ search changed across vacuum")
+      e.unpersist()
+    } finally store.destroy()
+  }
+
   test("threshold gates the rewrite; advisor recommends per the worst cell") {
     val store = freshStore()
     try {
