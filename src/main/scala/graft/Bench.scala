@@ -84,6 +84,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // generated-class cache sized for the WHOLE sweep, not Spark's
+      // 100-entry default: 271 queries evict each other's classes, so
+      // without this every run of a big composed plan re-pays janino
+      // compilation (the r13 kmeans finding, suite-wide) — runs 2..n of
+      // a query should measure the PLAN, not the compiler. Static conf:
+      // must be set before the context starts.
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warmup: JIT/codegen infrastructure + scan machinery, so the
