@@ -202,19 +202,26 @@ object GraftOracles {
   /** The largest-remainder temperature apportionment over any
     * (domain, n) source CTE — shared by mix_temperature (row counts)
     * and mix_temperature_tokens (token sums). */
-  private def tempAllocSql(srcSql: String, budget: Long): String =
+  /** `huge = true` runs the quota products in HUGEINT — the twin of the
+    * Scala side's BigInt path for training-scale budgets, where
+    * budget·w_fp overflows 64 bits (BIGINT arithmetic would ERROR in
+    * DuckDB, wrap in a naive engine; both are wrong answers). */
+  private def tempAllocSql(srcSql: String, budget: Long,
+                           huge: Boolean = false): String = {
+    val b = if (huge) s"CAST($budget AS HUGEINT)" else s"$budget"
     s"""WITH c AS ($srcSql),
        |w AS (SELECT domain, n,
        |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS w_fp FROM c),
        |s AS (SELECT CAST(sum(w_fp) AS BIGINT) AS sw FROM w),
        |q AS (SELECT domain, n, w_fp,
-       |    CAST(($budget * w_fp) // sw AS BIGINT) AS q0,
-       |    CAST(($budget * w_fp) % sw AS BIGINT) AS rem FROM w, s),
+       |    CAST(($b * w_fp) // sw AS BIGINT) AS q0,
+       |    CAST(($b * w_fp) % sw AS BIGINT) AS rem FROM w, s),
        |l AS (SELECT CAST($budget - sum(q0) AS BIGINT) AS lo FROM q),
        |r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, domain) AS rr FROM q)
        |SELECT domain, n AS n_docs, w_fp,
        |  CAST(q0 + CASE WHEN rr <= (SELECT lo FROM l) THEN 1 ELSE 0 END AS BIGINT) AS quota
        |FROM r ORDER BY domain""".stripMargin
+  }
 
   /** Twin of pack_concat_chunks, shared with the pack_advisor composite:
     * window arithmetic over the per-shard running offset. */
@@ -3368,6 +3375,16 @@ object GraftOracles {
       """SELECT source AS domain,
         |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT) AS n
         |  FROM documents GROUP BY 1""".stripMargin, 100000L),
+
+    // Twin of mix_temperature_scale — the BigInt path under the hash:
+    // token sums scaled x1e9 and a 1e12 budget make budget*w_fp ~ 1e25,
+    // so the quota products run in HUGEINT (the Scala side's BigInt).
+    "mix_temperature_scale" -> tempAllocSql(
+      """SELECT source AS domain,
+        |  CAST(sum(len(string_split_regex(trim(lower(text)), '\s+'))) AS BIGINT)
+        |    * 1000000000 AS n
+        |  FROM documents GROUP BY 1""".stripMargin, 1000000000000L,
+      huge = true),
 
     // Twin of mine_hard_negatives: exact cosine (double accumulation),
     // identical band and deterministic (cosine desc, vec_id) tie-break

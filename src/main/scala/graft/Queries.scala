@@ -2462,6 +2462,23 @@ object GraftQueries {
       .orderBy("domain")
   }
 
+  /** Temperature allocation at TRAINING scale — the arithmetic regime
+    * the reference pipeline's real successor runs in: per-domain token
+    * sums scaled to ~1e14 and a 1-TRILLION-token budget, where the
+    * quota product budget·w_fp ≈ 1e25 overflows Long outright. The
+    * Spark side goes through [[graft.operators.Mixture]]'s BigInt
+    * apportionment; the oracle re-states the identical integer
+    * arithmetic in DuckDB HUGEINT — so the overflow-safety fix sits
+    * under a cross-engine hash, not just a spec. */
+  val mixTemperatureScale: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("source"),
+      (size(TextAnalysis.tokens(col("text"))).cast("long") * 1000000000L)
+        .as("ntok"))
+    graft.operators.Mixture.temperatureAllocationBy(docs, "source", "ntok",
+        budget = 1000000000000L)
+      .orderBy("domain")
+  }
+
   /** Embedding-cosine near-dup pairs (exact all-pairs at harness scale;
     * LSH-bucketed variant is the scale path). */
   val dedupEmbedding: Q = (s, d) =>
@@ -5418,6 +5435,7 @@ object GraftQueries {
     "mix_weighted_sample" -> mixWeightedSample,
     "mix_temperature" -> mixTemperature,
     "mix_temperature_tokens" -> mixTemperatureTokens,
+    "mix_temperature_scale" -> mixTemperatureScale,
     "pack_advisor" -> packAdvisor,
     "source_jsonl" -> sourceJsonl,
     "source_csv" -> sourceCsv,
