@@ -16,6 +16,11 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // generated-class cache sized for the whole registry (the Bench
+      // rationale): the gate queries share kernels (kmeans, distances,
+      // encoders), and Spark's 100-entry default forces janino re-pays
+      // across 272 plans — same dumps, less wall for the driver's gate
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
