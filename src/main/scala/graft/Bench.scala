@@ -37,7 +37,7 @@ object Bench {
   private val Runs = 3
   private val HeavyRuns = 5
   private val MaxExtraRuns = 4
-  private val SpreadFlag = 2.0
+  private val SpreadFlag = BenchStats.SpreadFlag
 
   /** 1-minute OS load average (rounded), or -1 where the JMX bean
     * doesn't supply one — the record's busy-box evidence. */
@@ -139,59 +139,25 @@ object Bench {
         (dt, ok)
       }
       val cal = calibrate()
-      var runs = (1 to nRuns).map(_ => oneRun())
-      // ADAPTIVE OUTLIER RE-RUNS: a max/min spread past SpreadFlag means
-      // at least one pass hit a box-noise stall (the plan is the same
-      // object all five times); extra passes let the median/trim out-vote
-      // the stalled one instead of shipping it. Bounded — a genuinely
-      // bimodal query stays flagged rather than re-run forever. The
-      // FIRST run is excluded from the spread: cold JIT/first-touch
-      // routinely costs 2-3x warm and is expected, not contamination
-      // (the trim drops it anyway) — counting it fired the re-run
-      // machinery on ~10% of perfectly healthy queries.
-      def warmSpread(rs: Seq[(Double, Boolean)]): Double = {
-        val ok = rs.drop(1).filter(_._2).map(_._1)
-        if (ok.isEmpty) 1.0 else ok.max / math.max(ok.min, 1e-9)
-      }
-      var extra = 0
-      while (extra < MaxExtraRuns && warmSpread(runs) > SpreadFlag) {
-        runs = runs :+ oneRun(); extra += 1
-      }
-      val spr = math.floor(warmSpread(runs) * 1000 + 0.5) / 1000
-      val errors = runs.count(!_._2)
-      val times = runs.filter(_._2).map(_._1).sorted
-      if (times.isEmpty) {
-        // every run crashed: report a LOUD sentinel, never a timing
-        // (runs = successful runs = 0, same semantics as the detail row)
-        System.err.println(f"[bench] $name%-28s ALL ${runs.length} runs FAILED")
-        (name, -1.0, -1.0, -1.0, -1.0, -1.0, 0, errors, Seq.empty[Double], spr, cal)
-      } else {
-        val n = times.length
-        // conventional median: mean of the two middle values when the
-        // surviving-run count is even (only reachable when some runs
-        // crashed — nRuns itself is odd), upper-middle bias otherwise
-        val med =
-          if (n % 2 == 1) times(n / 2)
-          else (times(n / 2 - 1) + times(n / 2)) / 2
-        // trimmed mean of the middle n-2 successful runs — the primary
-        // figure for the heavy tier (equals the median at 3 runs by
-        // construction; degenerates to the median when <3 runs survive).
-        // Once contamination has been DETECTED (extra runs fired), the
-        // median of all runs takes over as the heavy primary: the trim
-        // still averages slow passes in when several of them are bad
-        // (3 contaminated of 7 leave 2 inside the middle 5), where the
-        // median resists up to half — the trim is the no-contamination
-        // estimator, the median the contaminated-run one.
-        val trimmed =
-          if (n > 2) times.drop(1).dropRight(1).sum / (n - 2) else med
-        val primary = if (isHeavy(name) && extra == 0) trimmed else med
-        System.err.println(
-          f"[bench] $name%-28s med $med%8.2fs  trim $trimmed%6.2fs  " +
-            f"min ${times.head}%6.2fs  max ${times.last}%6.2fs  n=$n  cal ${cal}%6.1fms" +
-            (if (spr > SpreadFlag) f"  CONTAMINATED spread=$spr%.1fx" else "") +
-            (if (errors > 0) s"  ERRORS=$errors" else ""))
-        (name, primary, med, trimmed, times.head, times.last, n, errors,
-          runs.filter(_._2).map(_._1), spr, cal)
+      // the measurement POLICY (adaptive re-runs, warm spread, median
+      // takeover under detected contamination) lives in [[BenchStats]]
+      // — pure and unit-tested, because estimator quirks read as perf
+      // regressions and burn rounds (r12-r14 history)
+      val (runs, extra) = BenchStats.collectRuns(nRuns, MaxExtraRuns, oneRun _)
+      BenchStats.summarize(runs, extra, isHeavy(name)) match {
+        case None =>
+          // every run crashed: report a LOUD sentinel, never a timing
+          System.err.println(f"[bench] $name%-28s ALL ${runs.length} runs FAILED")
+          (name, -1.0, -1.0, -1.0, -1.0, -1.0, 0, runs.length,
+            Seq.empty[Double], 1.0, cal)
+        case Some(s) =>
+          System.err.println(
+            f"[bench] $name%-28s med ${s.median}%8.2fs  trim ${s.trimmed}%6.2fs  " +
+              f"min ${s.min}%6.2fs  max ${s.max}%6.2fs  n=${s.n}  cal ${cal}%6.1fms" +
+              (if (s.contaminated) f"  CONTAMINATED spread=${s.spread}%.1fx" else "") +
+              (if (s.errors > 0) s"  ERRORS=${s.errors}" else ""))
+          (name, s.primary, s.median, s.trimmed, s.min, s.max, s.n, s.errors,
+            s.raw, s.spread, cal)
       }
     }
     val loadEnd = loadAvg()
