@@ -237,7 +237,10 @@ object CentroidRouter {
     def probe(qv: Array[Double], nprobe: Int, fanout: Int = 4): Array[Int] = {
       val qf = new Array[Float](dim)
       var i = 0
-      while (i < dim) { qf(i) = qv(i).toFloat; i += 1 }
+      // length-mismatch tolerance matches the flat tier's fine-rank rule
+      // (min-length loop): a short query zero-pads, a long one truncates
+      val nCopy = math.min(qv.length, dim)
+      while (i < nCopy) { qf(i) = qv(i).toFloat; i += 1 }
       val cand = candidates(qf)
       comparisons.addAndGet(Tables.toLong * (1 + 2 * Axes) + cand.length)
       cand.map { slot =>

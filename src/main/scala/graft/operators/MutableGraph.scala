@@ -163,7 +163,24 @@ object MutableGraph {
     * in-between state read-correct, and re-running is idempotent. After
     * `vacuum(0)` the index holds exactly the live-at-watermark node set
     * (`n_garbage = 0` in the report). O(dirty cells), never the
-    * collection. Returns the vacuumed cell ids. */
+    * collection. Returns the vacuumed cell ids.
+    *
+    * PENDING-NODE divergence from [[MutableVacuum.vacuumCells]], by
+    * design: the relational families keep pending (seq > watermark)
+    * rows byte-for-byte, but the graph rebuild DROPS a dirty cell's
+    * pending nodes (a crashed refresh's residue) and the re-run refresh
+    * re-creates them — deliberately. Pending node rows are walk
+    * structure whose adjacency closes over the crashed refresh's
+    * live-at-`to` node set, not the live-at-`w` set this rebuild emits:
+    * carried across verbatim they would dangle edges into dropped
+    * nodes (a walk-time lookup crash), and a re-upsert whose old and
+    * new vectors share a cell would seat two rows under one node id —
+    * a state no refresh ever produces and the per-cell walk maps don't
+    * model. Reads lose nothing either way (search bounds at the
+    * watermark, so pending nodes are invisible until the watermark
+    * advances), and the re-run refresh — which owns pending rows under
+    * the crash contract — rebuilds every cell its delta touches from
+    * scratch. */
   def vacuum(spark: SparkSession, store: VectorStore, collection: String,
              index: String, maxGarbagePpm: Long = 200000L): Array[Int] = {
     val mc = store.mutable(collection)
@@ -184,10 +201,10 @@ object MutableGraph {
     val nonEmpty = rebuilt.select(col("cell_id").cast("int"))
       .distinct().collect().map(_.getInt(0)).toSet
     store.overwritePartitions(index, rebuilt, Seq("cell_id"))
-    val sfs = StoreFs.forPath(store.root)
-    dirty.filterNot(nonEmpty).foreach { cell =>
-      sfs.deleteTree(s"${store.root}/$index/cell_id=$cell") }
-    MutableVacuum.reseatEmptySchema(spark, store, index, schema, dirty.head)
+    // seat-then-delete ordered (see MutableVacuum.removeEmptiedCells):
+    // the index keeps a schema-bearing file at every in-between state
+    MutableVacuum.removeEmptiedCells(spark, store, index, schema,
+      dirty.filterNot(nonEmpty).toIndexedSeq)
     dirty
   }
 

@@ -46,7 +46,11 @@ import org.apache.spark.sql.functions._
   * a waypoint NODE requires re-walking the cell's NSW construction
   * (filtering rows would tear adjacency), so it rebuilds dirty cells
   * with the frozen router instead of filtering them — same accounting,
-  * same threshold contract, different rewrite kernel.
+  * same threshold contract, different rewrite kernel. One deliberate
+  * divergence: the graph rebuild does NOT carry a dirty cell's pending
+  * rows across (they are re-created by the re-run refresh; rationale
+  * in MutableGraph.vacuum's scaladoc) — the keep-pending rule below is
+  * the relational families' contract.
   *
   * 100 TB shape: the report is one (pruned) scan of the index joined
   * against the broadcast-gated tombstone keys, aggregated per cell — no
@@ -123,18 +127,48 @@ object MutableVacuum {
     * file's own schema drops the cell column); reads then resolve to
     * the right shape with zero rows, and the next refresh/rebuild
     * appends partitions beside it normally. */
-  private[operators] def reseatEmptySchema(spark: SparkSession,
+  private def writeEmptySchemaFile(spark: SparkSession,
       store: VectorStore, index: String,
       schema: org.apache.spark.sql.types.StructType, cell: Int): Unit = {
-    if (store.dataFileStatuses(index).isEmpty) {
-      val fileSchema = org.apache.spark.sql.types.StructType(
-        schema.filterNot(_.name == "cell_id"))
-      spark.createDataFrame(
-          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-          fileSchema)
-        .write.mode("overwrite")
-        .parquet(s"${store.root}/$index/cell_id=$cell")
-    }
+    val fileSchema = org.apache.spark.sql.types.StructType(
+      schema.filterNot(_.name == "cell_id"))
+    spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        fileSchema)
+      .write.mode("overwrite")
+      .parquet(s"${store.root}/$index/cell_id=$cell")
+  }
+
+  /** Reserved partition value for the schema seat — outside any real
+    * router's cell-id range, never probed, never rewritten: a 0-row
+    * seat partition is invisible to reads and reports (empty group)
+    * and the next refresh/rebuild appends real partitions beside it. */
+  private[operators] val SchemaSeatCell = Int.MinValue
+
+  /** Remove the partition directories of cells a vacuum emptied to zero
+    * kept rows (dynamic overwrite cannot express an empty partition) —
+    * CRASH-ORDERED: when those deletes would leave the index with no
+    * data files at all, the empty schema-bearing file is installed
+    * FIRST, under the reserved [[SchemaSeatCell]] partition, and only
+    * then are the doomed directories removed. Deleting first and
+    * re-seating after (the r14 order) opened a window where a crash
+    * between the last delete and the re-seat left a zero-data-file
+    * directory that schema inference — and therefore the re-run's own
+    * report() — cannot read. With seat-then-delete every in-between
+    * state keeps at least one schema-bearing file and a re-run
+    * converges. */
+  private[operators] def removeEmptiedCells(spark: SparkSession,
+      store: VectorStore, index: String,
+      schema: org.apache.spark.sql.types.StructType,
+      emptied: Seq[Int]): Unit = {
+    if (emptied.isEmpty) return
+    val doomed = emptied.map(c => s"cell_id=$c").toSet
+    val survivorsRemain = store.dataFileStatuses(index)
+      .exists(f => !doomed.contains(f.getPath.getParent.getName))
+    if (!survivorsRemain)
+      writeEmptySchemaFile(spark, store, index, schema, SchemaSeatCell)
+    val sfs = StoreFs.forPath(store.root)
+    emptied.foreach(cell => sfs.deleteTree(s"${store.root}/$index/cell_id=$cell"))
   }
 
   /** The rows a vacuum keeps: live at the watermark, plus pending. */
@@ -169,10 +203,9 @@ object MutableVacuum {
     store.overwritePartitions(index, kept, Seq("cell_id"))
     // a cell vacuumed down to ZERO kept rows is not expressible as a
     // dynamic-overwrite partition — remove its directory outright
-    val sfs = StoreFs.forPath(store.root)
-    dirty.filterNot(nonEmpty).foreach { cell =>
-      sfs.deleteTree(s"${store.root}/$index/cell_id=$cell") }
-    reseatEmptySchema(spark, store, index, schema, dirty.head)
+    // (seat-then-delete ordered; see removeEmptiedCells)
+    removeEmptiedCells(spark, store, index, schema,
+      dirty.filterNot(nonEmpty).toIndexedSeq)
     dirty
   }
 

@@ -1110,15 +1110,23 @@ object Similarity {
     * layout would probe the wrong cells and decode with the wrong
     * ranges). */
   /** Order-independent corpus digest for the codes-only retrains:
-    * (row count, xor-of-xxhash64 over the string-normalized ids). Count
-    * alone would accept ANY same-cardinality relation and silently swap
-    * in an index inconsistent with the collection it serves; the
-    * commutative id-hash xor rejects a different id set at the cost of
-    * widening the existing count pass to one two-column aggregate. */
+    * (row count, xor of xxhash64(id, per-id count) over the DISTINCT
+    * string-normalized ids). Count alone would accept ANY
+    * same-cardinality relation and silently swap in an index
+    * inconsistent with the collection it serves. A plain xor over raw
+    * id hashes is self-canceling (an id appearing an even number of
+    * times contributes nothing — two same-cardinality relations
+    * differing by even-multiplicity id groups digest equal), so the
+    * multiplicity rides INSIDE each hashed term: duplicated ids hash
+    * differently from distinct ones, and each distinct id contributes
+    * exactly once to the commutative xor. Cost: the count pass widens
+    * to one slender (id, count) aggregate. */
   private def corpusDigest(df: DataFrame, idCol: String): (Long, Long) = {
-    val r = df.agg(count(lit(1)),
-      bit_xor(xxhash64(col(idCol).cast("string")))).head()
-    (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    val r = df.groupBy(col(idCol).cast("string").as("_id"))
+      .agg(count(lit(1)).as("_n"))
+      .agg(sum(col("_n")), bit_xor(xxhash64(col("_id"), col("_n")))).head()
+    (if (r.isNullAt(0)) 0L else r.getLong(0),
+     if (r.isNullAt(1)) 0L else r.getLong(1))
   }
 
   def retrainStoredSq(spark: org.apache.spark.sql.SparkSession,

@@ -149,6 +149,20 @@ class RetrainSpec extends SparkSpec {
           "embedding", "vec_id", ncells = 4)
       }
       assert(ex3.getMessage.contains("id digest"))
+      // EVEN-MULTIPLICITY adversary: {1,1,2,2} vs {3,3,4,4} — same
+      // cardinality, and a plain xor-of-id-hashes digests BOTH to 0
+      // (each id appears an even number of times, self-canceling). The
+      // digest hashes (id, per-id count) so multiplicity groups can't
+      // vanish — this pair must be rejected.
+      store.create("sq_dup", e.filter(col("vec_id") < 4)
+        .withColumn("vec_id", (col("vec_id") % 2) + 1))
+      val counterfeit = e.filter(col("vec_id") < 4)
+        .withColumn("vec_id", (col("vec_id") % 2) + 3)
+      val ex4 = intercept[IllegalArgumentException] {
+        Similarity.retrainStoredSq(spark, store, "sq_dup", counterfeit,
+          "embedding", "vec_id", ncells = 4)
+      }
+      assert(ex4.getMessage.contains("id digest"))
       e.unpersist()
     } finally store.destroy()
   }
