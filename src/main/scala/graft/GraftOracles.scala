@@ -2943,6 +2943,41 @@ object GraftOracles {
     "streaming_vec_percolate" -> vecPercolateSql,
     "vec_percolate_lsh" -> vecPercolateLshSql,
 
+    // Twin of vec_percolate_auto — the percolate crossover DECISION
+    // under the hash (the adaptiveFilteredKnn discipline): both
+    // percolate forms restated over the %5 standing split, the choice a
+    // CASE over the SAME rows·(4·dim+24) <= 40000 broadcast-bytes
+    // arithmetic the Scala advisor computes, so an inverted or drifted
+    // threshold hash-fails — not just the chosen branch's rows.
+    "vec_percolate_auto" ->
+      s"""WITH dec AS (SELECT CASE
+         |    WHEN CAST(count(*) AS BIGINT) * (4 * max(len(embedding)) + 24) <= 40000
+         |    THEN 'broadcast' ELSE 'lsh' END AS path
+         |  FROM embeddings WHERE vec_id % 5 = 0),
+         |sigs AS (
+         |$lshSigArms),
+         |qsig AS (SELECT vec_id AS q_id, t, bucket FROM sigs WHERE vec_id % 5 = 0),
+         |dsig AS (SELECT vec_id, t, bucket FROM sigs WHERE vec_id % 5 <> 0),
+         |cand AS (SELECT DISTINCT d.vec_id, q.q_id
+         |  FROM dsig d JOIN qsig q ON d.t = q.t AND d.bucket = q.bucket)
+         |SELECT a.vec_id, b.vec_id AS q_id,
+         |  floor(($cosineDouble) * 1e6 + 0.5) / 1e6 AS cosine,
+         |  'broadcast' AS path
+         |FROM embeddings a CROSS JOIN embeddings b
+         |WHERE a.vec_id % 5 <> 0 AND b.vec_id % 5 = 0
+         |  AND floor(($cosineDouble) * 1e6 + 0.5) / 1e6 >= 0.3
+         |  AND (SELECT path FROM dec) = 'broadcast'
+         |UNION ALL
+         |SELECT c.vec_id, c.q_id,
+         |  floor(($cosineDouble) * 1e6 + 0.5) / 1e6 AS cosine,
+         |  'lsh' AS path
+         |FROM cand c
+         |JOIN embeddings a ON a.vec_id = c.vec_id
+         |JOIN embeddings b ON b.vec_id = c.q_id
+         |WHERE floor(($cosineDouble) * 1e6 + 0.5) / 1e6 >= 0.3
+         |  AND (SELECT path FROM dec) = 'lsh'
+         |ORDER BY vec_id, q_id""".stripMargin,
+
     // Twin of knn_classify — brute-force cosine top-15 per probe over the
     // labeled 99%, then the majority vote with the count-desc/label-asc
     // tiebreak the Spark verb declares.

@@ -822,6 +822,27 @@ object GraftQueries {
       .orderBy("vec_id", "q_id")
   }
 
+  /** Percolate crossover ADVISOR — the cost-based choice between the
+    * broadcast-exact and LSH-bucketed percolate forms with the DECISION
+    * under the gate hash (the adaptiveFilteredKnn discipline): the
+    * standing set scales with the corpus (every 5th vector — a standing
+    * set that grows with the data is exactly the case where silently
+    * broadcasting forever goes wrong), the broadcast cap is a
+    * demonstrative 40 kB so the crossover actually EXERCISES at test
+    * scales (sf0.01's 100 subscriptions broadcast; sf0.1's 400 cross
+    * over to LSH), and the oracle replays the same
+    * rows·(4·dim+24) ≤ cap arithmetic relationally — both branches
+    * restated in SQL, the choice a CASE over relational counts. */
+  val vecPercolateAuto: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val standing = e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    Similarity.vectorPercolateAuto(e.filter(col("vec_id") % 5 =!= 0),
+        "embedding", "vec_id", standing, "q_id", "q_vec", threshold = 0.3,
+        limitBytes = 40000L)
+      .orderBy("vec_id", "q_id")
+  }
+
   /** Batched kNN join: 5 query vectors, top-10 each, exact cosine. */
   val vecTopkJoin: Q = (s, d) => {
     val e = Tables.embeddings(s, d)
@@ -5321,6 +5342,7 @@ object GraftQueries {
     "vec_topk_join" -> vecTopkJoin,
     "vec_percolate" -> vecPercolate,
     "vec_percolate_lsh" -> vecPercolateLsh,
+    "vec_percolate_auto" -> vecPercolateAuto,
     "mine_hard_negatives" -> mineHardNegatives,
     "mine_hard_negatives_lsh" -> mineHardNegativesLsh,
     "knn_classify" -> knnClassifyQ,

@@ -102,6 +102,51 @@ object Similarity {
       .select(col("_id").as(idCol), col("_qid").as(qIdCol), col("cosine"))
   }
 
+  /** Cost-based percolate — the crossover ADVISOR between the two
+    * percolate forms, decided explicitly and deterministically (the
+    * [[adaptiveFilteredKnn]] discipline): nothing should silently keep
+    * broadcasting a standing set that has outgrown broadcast comfort,
+    * and nothing should pay the LSH machinery's fixed cost (16 slim
+    * signature scans + a bucket join) for twenty subscriptions.
+    *
+    *  - '''broadcast''' (small standing set): [[vectorPercolate]]'s
+    *    map-only broadcast pass — exact, zero shuffle, O(docs · |standing|).
+    *  - '''lsh''' (large standing set): [[vectorPercolateLsh]]'s
+    *    bucket-keyed join — candidates on table collision, exact verify,
+    *    never docs × subscriptions.
+    *
+    * The decision reads ONE slim aggregate over the standing side
+    * (row count + max vector length — at scale this is catalog-stats
+    * cheap, never a corpus scan) and estimates broadcast bytes as
+    * rows · (4·dim + 24) (float payload + id/row overhead), comparing
+    * against `limitBytes` ([[BroadcastGate.DefaultLimitBytes]] by
+    * default — the repo-wide broadcast comfort cap). Integer counts and
+    * one multiply, so a SQL oracle replays the CHOICE relationally —
+    * the decision sits under the gate hash, not just the chosen
+    * branch's rows. Output carries a `path` column pinning which form
+    * ran; both branches emit identical (idCol, qIdCol, cosine) shapes
+    * under the shared floor-form rounding, so the switch never changes
+    * the schema, only the plan. */
+  def vectorPercolateAuto(docs: DataFrame, vecCol: String, idCol: String,
+                          standing: DataFrame, qIdCol: String, qVecCol: String,
+                          threshold: Double,
+                          limitBytes: Long = BroadcastGate.DefaultLimitBytes,
+                          nBits: Int = 8, nTables: Int = 8,
+                          dim: Int = 64): DataFrame = {
+    val st = standing.agg(count(lit(1)), max(size(col(qVecCol)))).head()
+    val rows = st.getLong(0)
+    val vdim = if (st.isNullAt(1)) 0 else st.getInt(1)
+    val estBytes = rows * (4L * vdim + 24L)
+    val (out, path) =
+      if (estBytes <= limitBytes)
+        (vectorPercolate(docs, vecCol, idCol, standing, qIdCol, qVecCol,
+          threshold), "broadcast")
+      else
+        (vectorPercolateLsh(docs, vecCol, idCol, standing, qIdCol, qVecCol,
+          threshold, nBits, nTables, dim), "lsh")
+    out.withColumn("path", lit(path))
+  }
+
   /** kNN label propagation — the training-data label-transfer step
     * (quality/domain labels annotated on a small seed set, transferred to
     * the unlabeled corpus by majority vote of the k nearest labeled

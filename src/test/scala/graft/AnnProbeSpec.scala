@@ -1525,6 +1525,36 @@ class AnnProbeSpec extends SparkSpec {
     assert(selfs == n, s"self-matches missing: $selfs of $n")
   }
 
+  test("percolate crossover advisor: both branches run, boundary arithmetic exact") {
+    val e = Tables.embeddings(spark, sf)
+    val standing = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val docs = e.filter(col("vec_id") >= 20)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // default cap (256 MB): 20 subscriptions broadcast; rows == exact form
+    val auto = Similarity.vectorPercolateAuto(docs, "embedding", "vec_id",
+      standing, "q_id", "q_vec", threshold = 0.3)
+    assert(auto.select("path").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("broadcast"))
+    assert(rows(auto.drop("path")) == rows(Similarity.vectorPercolate(
+      docs, "embedding", "vec_id", standing, "q_id", "q_vec", 0.3)))
+    // starved cap: the SAME call crosses over to LSH; rows == LSH form
+    val autoLsh = Similarity.vectorPercolateAuto(docs, "embedding", "vec_id",
+      standing, "q_id", "q_vec", threshold = 0.3, limitBytes = 100L)
+    assert(autoLsh.select("path").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("lsh"))
+    assert(rows(autoLsh.drop("path")) == rows(Similarity.vectorPercolateLsh(
+      docs, "embedding", "vec_id", standing, "q_id", "q_vec", 0.3)))
+    // the boundary is EXACT: 20 rows x (4*64 + 24) = 5600 bytes —
+    // a cap at the estimate broadcasts, one byte under flips to LSH
+    def pathAt(cap: Long) = Similarity.vectorPercolateAuto(docs, "embedding",
+        "vec_id", standing, "q_id", "q_vec", 0.3, limitBytes = cap)
+      .select("path").head.getString(0)
+    assert(pathAt(5600L) == "broadcast" && pathAt(5599L) == "lsh",
+      "crossover boundary drifted from rows*(4*dim+24)")
+  }
+
   test("vector percolate: map-only broadcast plan, self-match at cosine 1.0") {
     val e = Tables.embeddings(spark, sf)
     val standing = e.filter(col("vec_id") < 5)
