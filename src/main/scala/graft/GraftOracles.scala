@@ -1966,23 +1966,45 @@ object GraftOracles {
     // Twin of index_catalog — every per-kind row count re-derived from
     // the base tables: postings = distinct (term, doc), mutable = live
     // rows after the delete, vector layouts = corpus cardinality.
+    // Twin of index_catalog — detection + live counts, PLUS the vacuum
+    // advisor columns restated from the version ledger: mut_bq indexed
+    // every version before 10 deletes (garbage ppm the global integer
+    // fraction, recommendation the same >10000 threshold comparison the
+    // gate passes), mut_sq indexed an unmutated collection (clean,
+    // quiet). Unbound rows carry NULLs.
     "index_catalog" ->
       """WITH tk AS (SELECT DISTINCT doc_id,
         |    unnest(string_split_regex(trim(lower(text)), '\s+')) AS term
-        |  FROM documents)
+        |  FROM documents),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(count(*) FILTER (WHERE vec_id < 10) AS BIGINT) AS nd,
+        |    CAST(count(*) FILTER (WHERE vec_id < 250) AS BIGINT) AS nh
+        |  FROM embeddings)
         |SELECT * FROM (
         |  SELECT 'bq_sigs' AS name, 'bq' AS kind,
-        |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_rows
+        |    (SELECT n FROM c) AS n_rows,
+        |    CAST(NULL AS BIGINT) AS worst_cell_garbage_ppm,
+        |    CAST(NULL AS BOOLEAN) AS vacuum_recommended
         |  UNION ALL SELECT 'docs_text', 'text',
-        |    (SELECT CAST(count(*) AS BIGINT) FROM tk)
-        |  UNION ALL SELECT 'ivf_vecs', 'ivf',
-        |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+        |    (SELECT CAST(count(*) AS BIGINT) FROM tk),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+        |  UNION ALL SELECT 'ivf_vecs', 'ivf', (SELECT n FROM c),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+        |  UNION ALL SELECT 'mut_bq', 'bq', (SELECT n FROM c),
+        |    (SELECT (1000000 * nd) // n FROM c),
+        |    (SELECT ((1000000 * nd) // n) > 10000 FROM c)
+        |  UNION ALL SELECT 'mut_clean', 'mutable', (SELECT nh FROM c),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+        |  UNION ALL SELECT 'mut_sq', 'ivf_sq', (SELECT nh FROM c),
+        |    CAST(0 AS BIGINT), false
         |  UNION ALL SELECT 'mut_vecs', 'mutable',
-        |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings WHERE vec_id >= 10)
-        |  UNION ALL SELECT 'plain', 'collection',
-        |    (SELECT CAST(count(*) AS BIGINT) FROM embeddings)
+        |    (SELECT n - nd FROM c),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+        |  UNION ALL SELECT 'plain', 'collection', (SELECT n FROM c),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
         |  UNION ALL SELECT 'sparse_docs', 'sparse',
-        |    (SELECT CAST(count(*) AS BIGINT) FROM tk WHERE doc_id % 5 = 0)
+        |    (SELECT CAST(count(*) AS BIGINT) FROM tk WHERE doc_id % 5 = 0),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
         |) ORDER BY name""".stripMargin,
 
     "ann_lsh_multiprobe" -> lshMultiProbeSql,
@@ -2862,28 +2884,80 @@ object GraftOracles {
         |  true AS vacuumed_any, true AS search_unchanged
         |FROM c""".stripMargin,
 
-    // Twin of ann_vacuum_advisor — the DECISION under the hash (the
-    // compact-advisor discipline): the BQ layout has no cells, so the
+    // Twin of ann_vacuum_advisor — BOTH rewrite DECISIONS under the
+    // hash (the compact-advisor discipline). The flat BQ arm's
     // worst-cell ppm is the global integer fraction
-    // floor(1e6 * garbage / (live + garbage)) = 1e6*(n3+n6) // (n+n3);
-    // the before row must recommend at the 10% threshold, the flat
-    // vacuum must rewrite, the after row must be clean and quiet.
+    // floor(1e6 * garbage / (live + garbage)) = 1e6*(n3+n6) // (n+n3).
+    // The cell-partitioned SQ arm re-derives the frozen router (kmeans
+    // CTE at k=4 over the attach-time corpus), assigns the reversed %3
+    // upserts with it, replays each cell's garbage fraction, the
+    // dirty-cell selection (garb > 0 AND ppm > 100000 — vacuumCells'
+    // rule), and the post-vacuum state (dirty cells scrubbed, clean
+    // cells keep their garbage).
     "ann_vacuum_advisor" ->
-      """WITH c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      s"""WITH ${kmeansCteOn("TRUE", 4)},
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(count(*) FILTER (WHERE vec_id % 10 = 3) AS BIGINT) AS n3,
         |  CAST(count(*) FILTER (WHERE vec_id % 10 = 6) AS BIGINT) AS n6
-        |  FROM embeddings)
+        |  FROM embeddings),
+        |revd AS (SELECT e.vec_id, cb.cid,
+        |    floor(list_sum(list_transform(range(1,65),
+        |      i -> (e.embedding[CAST(65 - i AS INT)]::DOUBLE - cb.v[CAST(i AS INT)])
+        |         * (e.embedding[CAST(65 - i AS INT)]::DOUBLE - cb.v[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dr
+        |  FROM embeddings e CROSS JOIN c2 cb WHERE e.vec_id % 10 = 3),
+        |reva AS (SELECT vec_id, cid FROM (SELECT vec_id, cid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn
+        |  FROM revd) WHERE rn = 1),
+        |cells AS (SELECT cid, CAST(sum(live) AS BIGINT) AS live,
+        |    CAST(sum(garb) AS BIGINT) AS garb FROM (
+        |  SELECT cid,
+        |    CASE WHEN vec_id % 10 IN (3, 6) THEN 0 ELSE 1 END AS live,
+        |    CASE WHEN vec_id % 10 IN (3, 6) THEN 1 ELSE 0 END AS garb
+        |  FROM s2f
+        |  UNION ALL SELECT cid, 1, 0 FROM reva) GROUP BY 1),
+        |cppm AS (SELECT cid, live, garb,
+        |    CASE WHEN live + garb = 0 THEN 0
+        |      ELSE (1000000 * garb) // (live + garb) END AS ppm
+        |  FROM cells),
+        |dirty AS (SELECT cid FROM cppm WHERE garb > 0 AND ppm > 100000),
+        |sqb AS (SELECT CAST(sum(live + garb) AS BIGINT) AS n_rows,
+        |    CAST(sum(live) AS BIGINT) AS n_live,
+        |    CAST(sum(garb) AS BIGINT) AS n_garbage,
+        |    CAST(max(ppm) AS BIGINT) AS worst FROM cppm),
+        |sqa AS (SELECT
+        |    CAST(sum(live + CASE WHEN cid IN (SELECT cid FROM dirty)
+        |      THEN 0 ELSE garb END) AS BIGINT) AS n_rows,
+        |    CAST(sum(live) AS BIGINT) AS n_live,
+        |    CAST(sum(CASE WHEN cid IN (SELECT cid FROM dirty)
+        |      THEN 0 ELSE garb END) AS BIGINT) AS n_garbage,
+        |    CAST(max(CASE WHEN cid IN (SELECT cid FROM dirty)
+        |      THEN 0 ELSE ppm END) AS BIGINT) AS worst FROM cppm)
         |SELECT * FROM (
         |  SELECT 'vecs_bq' AS "index", n + n3 AS n_rows, n - n6 AS n_live,
         |    CAST(0 AS BIGINT) AS n_pending, n3 + n6 AS n_garbage,
         |    (1000000 * (n3 + n6)) // (n + n3) AS worst_cell_garbage_ppm,
-        |    true AS vacuum_recommended, 'before' AS phase, true AS rewrote
+        |    ((1000000 * (n3 + n6)) // (n + n3)) > 100000 AS vacuum_recommended,
+        |    'before' AS phase,
+        |    ((1000000 * (n3 + n6)) // (n + n3)) > 100000 AS rewrote
         |  FROM c
         |  UNION ALL
+        |  SELECT 'vecs_sq', (SELECT n_rows FROM sqb), (SELECT n_live FROM sqb),
+        |    CAST(0 AS BIGINT), (SELECT n_garbage FROM sqb),
+        |    (SELECT worst FROM sqb),
+        |    (SELECT n_garbage FROM sqb) > 0 AND (SELECT worst FROM sqb) > 100000,
+        |    'before', (SELECT count(*) FROM dirty) > 0
+        |  UNION ALL
         |  SELECT 'vecs_bq', n - n6, n - n6, CAST(0 AS BIGINT),
-        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), false, 'after', true
-        |  FROM c)
-        |ORDER BY phase""".stripMargin,
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT), false, 'after',
+        |    ((1000000 * (n3 + n6)) // (n + n3)) > 100000
+        |  FROM c
+        |  UNION ALL
+        |  SELECT 'vecs_sq', (SELECT n_rows FROM sqa), (SELECT n_live FROM sqa),
+        |    CAST(0 AS BIGINT), (SELECT n_garbage FROM sqa),
+        |    (SELECT worst FROM sqa),
+        |    (SELECT n_garbage FROM sqa) > 0 AND (SELECT worst FROM sqa) > 100000,
+        |    'after', (SELECT count(*) FROM dirty) > 0)
+        |ORDER BY phase, "index"""".stripMargin,
 
     // Twin of ann_graph_adaptive: both filter arms' exact top-10 (the
     // selective arm takes the exact 'pre' branch outright; the broad arm

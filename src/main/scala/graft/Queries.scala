@@ -548,28 +548,67 @@ object GraftQueries {
     * text postings, mutable) detected from footers/sidecars with their
     * per-kind row counts — the pre-maintenance audit. Every count
     * re-derived relationally by the oracle. */
+  /** Per-process catalog FIXTURE (VERDICT r14 #4): the index_catalog
+    * gate rebuilt six index families PER RUN, making it the sweep's
+    * most expensive and most contamination-exposed entry (11-14 s) —
+    * but the builds are scaffolding; the operator under measurement is
+    * the catalog READ. Build the store once per (process, data dir)
+    * and let every run measure the read. Deterministic under re-runs
+    * by construction: the fixture is immutable once built, and every
+    * family's build is itself deterministic (spec-pinned elsewhere).
+    * The temp store is destroyed on JVM exit. */
+  private object CatalogFixture {
+    private val stores = new java.util.concurrent.ConcurrentHashMap[
+      String, graft.store.VectorStore]()
+    def storeFor(s: SparkSession, d: String): graft.store.VectorStore =
+      stores.computeIfAbsent(d, _ => {
+        val root = java.nio.file.Files.createTempDirectory("graft_catfix").toString
+        val store = graft.store.VectorStore(root)
+        val e = Tables.embeddings(s, d).cache()
+        try {
+          store.create("plain", e.select(col("vec_id"), col("label")))
+          Similarity.buildIvfIndex(store, "ivf_vecs", e, "embedding", "vec_id",
+            ncells = 16)
+          Similarity.buildBqIndex(store, "bq_sigs", e, "embedding", "vec_id")
+          TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
+            "text", "doc_id", nBuckets = 8)
+          // a slice suffices for family detection + count — the
+          // full-corpus sparse build is benched by its own gate queries
+          graft.operators.SparseSearch.buildIndex(store, "sparse_docs",
+            Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
+            "text", "doc_id", nBuckets = 8)
+          // versioned-index garbage for the catalog's advisor columns
+          // (r13 #2's unfinished half): a BQ index attached BEFORE the
+          // deletes accumulates dead versions — the catalog must
+          // recommend a vacuum; an SQ index over an unmutated
+          // collection is clean — the catalog must stay quiet.
+          val mc = store.createMutable("mut_vecs",
+            e.select(col("vec_id"), col("label"), col("embedding")), "vec_id")
+          graft.operators.MutableBq.attach(s, store, "mut_vecs", "embedding",
+            "mut_bq")
+          mc.deleteIds(s, (0L until 10L))
+          graft.operators.MutableBq.refresh(s, store, "mut_vecs", "mut_bq")
+          store.createMutable("mut_clean",
+            e.filter(col("vec_id") < 250)
+              .select(col("vec_id"), col("embedding")), "vec_id")
+          graft.operators.MutableSq.attach(s, store, "mut_clean", "embedding",
+            "mut_sq", ncells = 4, iters = 2)
+        } finally e.unpersist()
+        sys.addShutdownHook(store.destroy()): Unit
+        store
+      })
+  }
+
+  /** Catalog read over the per-process fixture: detection + live count
+    * per collection, plus the vacuum advisor columns for every bound
+    * versioned index (worst ppm + recommendation at the demonstrative
+    * 1% threshold — mut_bq's 2% dead versions must flag, mut_sq's clean
+    * build must not). The oracle restates the version ledger and the
+    * threshold comparison relationally. */
   val indexCatalog: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
-    val store = graft.store.VectorStore(root)
-    val e = Tables.embeddings(s, d).cache()
-    try {
-      store.create("plain", e.select(col("vec_id"), col("label")))
-      Similarity.buildIvfIndex(store, "ivf_vecs", e, "embedding", "vec_id",
-        ncells = 16)
-      Similarity.buildBqIndex(store, "bq_sigs", e, "embedding", "vec_id")
-      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
-        "text", "doc_id", nBuckets = 8)
-      // a slice suffices for family detection + count — the full-corpus
-      // sparse build is already benched by its own gate queries
-      graft.operators.SparseSearch.buildIndex(store, "sparse_docs",
-        Tables.documents(s, d).filter(col("doc_id") % 5 === 0),
-        "text", "doc_id", nBuckets = 8)
-      store.createMutable("mut_vecs", e.select(col("vec_id"), col("label")),
-        "vec_id")
-      store.mutable("mut_vecs").deleteIds(s, (0L until 10L))
-      val out = store.indexCatalog(s).orderBy("name")
-      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally { e.unpersist(); store.destroy() }
+    val store = CatalogFixture.storeFor(s, d)
+    val out = store.indexCatalog(s, maxGarbagePpm = 10000L).orderBy("name")
+    s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
   }
 
   /** Multi-probe LSH top-10 (6-bit signatures — populated buckets at
@@ -1388,32 +1427,48 @@ object GraftQueries {
     * under the hash: the before row must recommend (2/11 of versions
     * are garbage > the 10% threshold), the flat vacuum must rewrite,
     * and the after row must report zero garbage and recommend nothing. */
+  /** Vacuum ADVISOR over BOTH versioned layouts (r14 #5 closed the
+    * BQ-flat-only gap): one advisor call covers the flat BQ signature
+    * relation AND the cell-partitioned SQ index, so both vacuumFlat and
+    * vacuumCells recommendations — and the per-cell worst-ppm
+    * arithmetic behind the SQ one — sit under the gate hash. The
+    * oracle re-derives the SQ router relationally (kmeans CTE),
+    * assigns the reversed upserts with the frozen quantizer, replays
+    * the per-cell garbage fractions, the dirty-cell selection, and
+    * both rewrite decisions. */
   val annVacuumAdvisor: Q = (s, d) => {
-    import graft.operators.{MutableBq, MutableVacuum}
+    import graft.operators.{MutableBq, MutableSq, MutableVacuum}
     val root = java.nio.file.Files.createTempDirectory("graft_avac").toString
     val store = graft.store.VectorStore(root)
     val e = Tables.embeddings(s, d).select(col("vec_id"), col("embedding")).cache()
     try {
       val mc = store.createMutable("vecs", e, "vec_id")
       MutableBq.attach(s, store, "vecs", "embedding", "vecs_bq")
+      MutableSq.attach(s, store, "vecs", "embedding", "vecs_sq",
+        ncells = 4, iters = 2)
       mc.upsert(e.filter(col("vec_id") % 10 === 3)
         .withColumn("embedding", reverse(col("embedding"))))
       mc.delete(e.filter(col("vec_id") % 10 === 6).select("vec_id"))
       MutableBq.refresh(s, store, "vecs", "vecs_bq")
+      MutableSq.refresh(s, store, "vecs", "vecs_sq")
       def adv(phase: String) = MutableVacuum.advisor(s, store, "vecs",
-          Seq("vecs_bq"), maxGarbagePpm = 100000L)
+          Seq("vecs_bq", "vecs_sq"), maxGarbagePpm = 100000L)
         .withColumn("phase", lit(phase))
       val before = adv("before")
       val beforeRows = s.createDataFrame(
         java.util.Arrays.asList(before.collect(): _*), before.schema)
-      val rewrote = MutableVacuum.vacuumFlat(s, store, "vecs", "vecs_bq",
+      val rewroteBq = MutableVacuum.vacuumFlat(s, store, "vecs", "vecs_bq",
         maxGarbagePpm = 100000L)
-      val after = adv("after").withColumn("rewrote", lit(rewrote))
+      val rewroteSq = MutableVacuum.vacuumCells(s, store, "vecs", "vecs_sq",
+        maxGarbagePpm = 100000L).nonEmpty
+      def withRewrote(df: DataFrame) = df.withColumn("rewrote",
+        when(col("index") === "vecs_bq", lit(rewroteBq))
+          .otherwise(lit(rewroteSq)))
+      val after = withRewrote(adv("after"))
       val afterRows = s.createDataFrame(
         java.util.Arrays.asList(after.collect(): _*), after.schema)
-      beforeRows.withColumn("rewrote", lit(rewrote))
-        .unionByName(afterRows)
-        .orderBy("phase")
+      withRewrote(beforeRows).unionByName(afterRows)
+        .orderBy("phase", "index")
     } finally { e.unpersist(); store.destroy() }
   }
 

@@ -39,7 +39,7 @@ object MutableBq {
     val raw = store.read(spark, collection)
     store.create(index, encodeRows(raw, vecCol, dim))
     writeMeta(store, index, vecCol, mc.idCol, dim)
-    writeWatermark(store, index, watermark)
+    writeWatermark(store, index, watermark, collection)
   }
 
   /** Signature projection for index rows — every collection column
@@ -62,7 +62,7 @@ object MutableBq {
       .filter(col(MutableCollection.SeqCol) > from &&
         col(MutableCollection.SeqCol) <= to)
     store.append(index, encodeRows(delta, vecCol, dim))
-    writeWatermark(store, index, to) // AFTER the append — crash model
+    writeWatermark(store, index, to, collection) // AFTER the append — crash model
     to
   }
 
@@ -120,13 +120,9 @@ object MutableBq {
       props.getProperty("dim").toInt)
   }
 
-  private def writeWatermark(store: VectorStore, index: String, seq: Long): Unit = {
-    val props = new java.util.Properties()
-    props.setProperty("seq", seq.toString)
-    StoreFs.forPath(store.root).writePropsAtomic(
-      s"${store.root}/$index/$WatermarkFile", props,
-      "graft mutable-bq indexed watermark")
-  }
+  private def writeWatermark(store: VectorStore, index: String, seq: Long,
+      collection: String): Unit =
+    MutableVacuum.writeWatermark(store, index, seq, collection, "bq")
 
   private def readWatermark(store: VectorStore, index: String): Long =
     StoreFs.forPath(store.root)

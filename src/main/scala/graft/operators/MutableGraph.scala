@@ -107,7 +107,7 @@ object MutableGraph {
     store.create(index, buildCells(assigned, m, efConstruction),
       partitionBy = Seq("cell_id"))
     writeRouter(store, index, cents, vecCol, mc.idCol, m, efConstruction)
-    writeWatermark(store, index, watermark)
+    writeWatermark(store, index, watermark, collection)
     cents
   }
 
@@ -140,7 +140,7 @@ object MutableGraph {
       val rebuilt = buildCells(members, m, efC).localCheckpoint(true)
       store.overwritePartitions(index, rebuilt, Seq("cell_id"))
     }
-    writeWatermark(store, index, to) // AFTER the rewrite — crash model
+    writeWatermark(store, index, to, collection) // AFTER the rewrite — crash model
     to
   }
 
@@ -306,13 +306,9 @@ object MutableGraph {
       props.getProperty("m").toInt, props.getProperty("efConstruction").toInt)
   }
 
-  private def writeWatermark(store: VectorStore, index: String, seq: Long): Unit = {
-    val props = new java.util.Properties()
-    props.setProperty("seq", seq.toString)
-    StoreFs.forPath(store.root).writePropsAtomic(
-      s"${store.root}/$index/$WatermarkFile", props,
-      "graft mutable-graph indexed watermark")
-  }
+  private def writeWatermark(store: VectorStore, index: String, seq: Long,
+      collection: String): Unit =
+    MutableVacuum.writeWatermark(store, index, seq, collection, "graph")
 
   private def readWatermark(store: VectorStore, index: String): Long =
     StoreFs.forPath(store.root)

@@ -65,7 +65,7 @@ object MutableIvf {
     store.create(index, Similarity.withCellId(raw, vecCol, cents),
       partitionBy = Seq("cell_id"))
     writeRouter(store, index, cents, vecCol, mc.idCol)
-    writeWatermark(store, index, watermark)
+    writeWatermark(store, index, watermark, collection)
     cents
   }
 
@@ -85,7 +85,7 @@ object MutableIvf {
         col(MutableCollection.SeqCol) <= to)
     store.append(index, Similarity.withCellId(delta, vecCol, cents),
       partitionBy = Seq("cell_id"))
-    writeWatermark(store, index, to) // AFTER the append — see crash model
+    writeWatermark(store, index, to, collection) // AFTER the append — see crash model
     to
   }
 
@@ -165,13 +165,9 @@ object MutableIvf {
     (cents, props.getProperty("vecCol"), props.getProperty("idCol"))
   }
 
-  private def writeWatermark(store: VectorStore, index: String, seq: Long): Unit = {
-    val props = new java.util.Properties()
-    props.setProperty("seq", seq.toString)
-    StoreFs.forPath(store.root).writePropsAtomic(
-      s"${store.root}/$index/$WatermarkFile", props,
-      "graft mutable-ivf indexed watermark")
-  }
+  private def writeWatermark(store: VectorStore, index: String, seq: Long,
+      collection: String): Unit =
+    MutableVacuum.writeWatermark(store, index, seq, collection, "ivf")
 
   private def readWatermark(store: VectorStore, index: String): Long =
     StoreFs.forPath(store.root)

@@ -60,7 +60,7 @@ object MutablePq {
     store.create(index, encodeRows(raw, vecCol, cents, cb),
       partitionBy = Seq("cell_id"))
     writeQuantizer(store, index, cents, cb, vecCol, mc.idCol)
-    writeWatermark(store, index, watermark)
+    writeWatermark(store, index, watermark, collection)
     (cents, cb)
   }
 
@@ -78,7 +78,7 @@ object MutablePq {
         col(MutableCollection.SeqCol) <= to)
     store.append(index, encodeRows(delta, vecCol, cents, cb),
       partitionBy = Seq("cell_id"))
-    writeWatermark(store, index, to) // AFTER the append — crash model
+    writeWatermark(store, index, to, collection) // AFTER the append — crash model
     to
   }
 
@@ -205,13 +205,9 @@ object MutablePq {
     (cents, cb, props.getProperty("vecCol"), props.getProperty("idCol"))
   }
 
-  private def writeWatermark(store: VectorStore, index: String, seq: Long): Unit = {
-    val props = new java.util.Properties()
-    props.setProperty("seq", seq.toString)
-    StoreFs.forPath(store.root).writePropsAtomic(
-      s"${store.root}/$index/$WatermarkFile", props,
-      "graft mutable-pq indexed watermark")
-  }
+  private def writeWatermark(store: VectorStore, index: String, seq: Long,
+      collection: String): Unit =
+    MutableVacuum.writeWatermark(store, index, seq, collection, "pq")
 
   private def readWatermark(store: VectorStore, index: String): Long =
     StoreFs.forPath(store.root)

@@ -77,7 +77,7 @@ object MutableSq {
     store.create(index, encodeRows(raw, vecCol, cents, mins, maxs),
       partitionBy = Seq("cell_id"))
     writeQuantizer(store, index, cents, mins, maxs, vecCol, mc.idCol)
-    writeWatermark(store, index, watermark)
+    writeWatermark(store, index, watermark, collection)
     (cents, mins, maxs)
   }
 
@@ -95,7 +95,7 @@ object MutableSq {
         col(MutableCollection.SeqCol) <= to)
     store.append(index, encodeRows(delta, vecCol, cents, mins, maxs),
       partitionBy = Seq("cell_id"))
-    writeWatermark(store, index, to) // AFTER the append — crash model
+    writeWatermark(store, index, to, collection) // AFTER the append — crash model
     to
   }
 
@@ -169,13 +169,9 @@ object MutableSq {
     (cents, mins, maxs, props.getProperty("vecCol"), props.getProperty("idCol"))
   }
 
-  private def writeWatermark(store: VectorStore, index: String, seq: Long): Unit = {
-    val props = new java.util.Properties()
-    props.setProperty("seq", seq.toString)
-    StoreFs.forPath(store.root).writePropsAtomic(
-      s"${store.root}/$index/$WatermarkFile", props,
-      "graft mutable-sq indexed watermark")
-  }
+  private def writeWatermark(store: VectorStore, index: String, seq: Long,
+      collection: String): Unit =
+    MutableVacuum.writeWatermark(store, index, seq, collection, "sq")
 
   private def readWatermark(store: VectorStore, index: String): Long =
     StoreFs.forPath(store.root)

@@ -71,6 +71,46 @@ object MutableVacuum {
       .readProps(s"${store.root}/$index/$WatermarkFile")
       .fold(0L)(_.getProperty("seq", "0").toLong)
 
+  /** ONE watermark writer for all five families (was five identical
+    * privates): besides the indexed seq, the sidecar records WHICH
+    * collection the index serves — the binding that lets
+    * [[graft.store.VectorStore.indexCatalog]] surface per-index garbage
+    * columns without being handed an explicit index list (the r13/r14
+    * discoverability gap: the advisor existed but a user had to already
+    * know which indexes to ask about). */
+  private[operators] def writeWatermark(store: VectorStore, index: String,
+      seq: Long, collection: String, family: String): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("seq", seq.toString)
+    props.setProperty("collection", collection)
+    StoreFs.forPath(store.root).writePropsAtomic(
+      s"${store.root}/$index/$WatermarkFile", props,
+      s"graft mutable-$family indexed watermark")
+  }
+
+  /** The collection an index's watermark sidecar binds it to, if any. */
+  def boundCollection(store: VectorStore, index: String): Option[String] =
+    StoreFs.forPath(store.root)
+      .readProps(s"${store.root}/$index/$WatermarkFile")
+      .flatMap(p => Option(p.getProperty("collection")))
+
+  /** Catalog hook: for an index whose sidecar binds it to a collection,
+    * the advisor aggregate — (worst-cell garbage ppm, vacuum
+    * recommended at `maxGarbagePpm`); None for everything else (plain
+    * collections, text/sparse indexes, or a binding whose collection
+    * has since been dropped — the catalog lists, it must not throw). */
+  def catalogGarbage(spark: SparkSession, store: VectorStore, index: String,
+                     maxGarbagePpm: Long): Option[(Long, Boolean)] =
+    boundCollection(store, index).flatMap { coll =>
+      scala.util.Try {
+        val agg = report(spark, store, coll, index)
+          .agg(max("garbage_ppm"), sum("n_garbage")).head()
+        val worst = if (agg.isNullAt(0)) 0L else agg.getLong(0)
+        val garbage = if (agg.isNullAt(1)) 0L else agg.getLong(1)
+        (worst, garbage > 0L && worst > maxGarbagePpm)
+      }.toOption
+    }
+
   /** Per-cell garbage report over a versioned index layout carrying
     * (`idCol`, seq [, cell_id]): one row per cell —
     * (cell_id, n_rows, n_live, n_pending, n_garbage, garbage_ppm), with

@@ -166,7 +166,16 @@ final case class VectorStore(root: String) {
     * `graph` (adjacency column), `bq` (signature relation),
     * `ivf_pq`/`ivf_sq`/`ivf` (cell-partitioned codes/vectors),
     * `collection` (plain relation). */
-  def indexCatalog(spark: SparkSession): DataFrame = {
+  /** One row per collection: (name, detected index kind, live row
+    * count) — plus, for every index whose watermark sidecar binds it to
+    * the mutable collection it serves, the vacuum advisor columns
+    * (worst_cell_garbage_ppm, vacuum_recommended at `maxGarbagePpm`;
+    * NULL for plain collections and the text/sparse families) — the r13
+    * discoverability ask: the catalog already detects every family, so
+    * index garbage is surfaced HERE, not behind an advisor call the
+    * user must know to make with an explicit index list. */
+  def indexCatalog(spark: SparkSession,
+                   maxGarbagePpm: Long = 200000L): DataFrame = {
     val names = list().sorted
     // detection + count per collection run CONCURRENTLY from a bounded
     // driver pool: each count is its own (cheap, footer-metadata or
@@ -200,12 +209,15 @@ final case class VectorStore(root: String) {
           else if (fields.contains("sq_code")) "ivf_sq"
           else if (fields.contains("cell_id")) "ivf"
           else "collection"
-        (name, kind, count(spark, name))
+        val garbage = graft.operators.MutableVacuum.catalogGarbage(
+          spark, this, name, maxGarbagePpm)
+        (name, kind, count(spark, name), garbage.map(_._1), garbage.map(_._2))
       }}), deadline)
       finally pool.shutdown()
     import spark.implicits._
     // n_rows, not "rows": the gate's oracle engine reserves ROWS
-    rows.toDF("name", "kind", "n_rows")
+    rows.toDF("name", "kind", "n_rows", "worst_cell_garbage_ppm",
+      "vacuum_recommended")
   }
 
   /** Crash recovery for the compaction swap: a death between the two

@@ -221,4 +221,40 @@ class MutableVacuumSpec extends SparkSpec {
       e.unpersist()
     } finally store.destroy()
   }
+
+  test("indexCatalog surfaces garbage columns via the watermark binding") {
+    val store = freshStore()
+    try {
+      val e = embeddings()
+      val mc = store.createMutable("vecs", e, "vec_id")
+      MutableSq.attach(spark, store, "vecs", "embedding", "vecs_sq",
+        ncells = 4, iters = 2)
+      mc.delete(e.filter(col("vec_id") % 10 === 6).select("vec_id"))
+      MutableSq.refresh(spark, store, "vecs", "vecs_sq")
+      // the sidecar binds the index to its collection — discoverability
+      assert(MutableVacuum.boundCollection(store, "vecs_sq") == Some("vecs"))
+      val cat = store.indexCatalog(spark, maxGarbagePpm = 10000L).collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(3)) None else Some(r.getLong(3)),
+           if (r.isNullAt(4)) None else Some(r.getBoolean(4)))).toMap
+      // the dirty versioned index reports its worst cell and recommends
+      val (ppm, rec) = cat("vecs_sq")
+      assert(ppm.exists(_ > 10000L), s"vecs_sq worst ppm: $ppm")
+      assert(rec.contains(true))
+      // the worst cell the catalog reports IS the report's max
+      val worst = MutableVacuum.report(spark, store, "vecs", "vecs_sq")
+        .agg(max("garbage_ppm")).head().getLong(0)
+      assert(ppm.contains(worst))
+      // plain collections carry NULLs, not zeros
+      assert(cat("vecs") == ((None, None)))
+      // after the vacuum the catalog goes quiet
+      MutableVacuum.vacuumCells(spark, store, "vecs", "vecs_sq", 0L)
+      val cat2 = store.indexCatalog(spark, maxGarbagePpm = 10000L).collect()
+        .map(r => r.getString(0) ->
+          (if (r.isNullAt(3)) -1L else r.getLong(3),
+           if (r.isNullAt(4)) false else r.getBoolean(4))).toMap
+      assert(cat2("vecs_sq") == ((0L, false)))
+      e.unpersist()
+    } finally store.destroy()
+  }
 }
