@@ -49,6 +49,92 @@ object GraftOracles {
        |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
        |ORDER BY 1,2""".stripMargin
 
+  /** Binary-exponentiation power EXPRESSION — generated from the exact
+    * loop [[graft.operators.Dedup.ipow]] runs (r *= b at each set bit,
+    * then b *= b), so DuckDB performs the bit-identical IEEE
+    * multiplication sequence and the s-curve probabilities of the
+    * banding advisor hash-match cross-engine. */
+  private def ipowSql(x: String, n: Int): String = {
+    var r = "CAST(1.0 AS DOUBLE)"; var b = s"($x)"; var e = n
+    while (e > 0) {
+      if ((e & 1) == 1) r = s"($r * $b)"
+      b = s"($b * $b)"; e >>= 1
+    }
+    r
+  }
+
+  /** 1 - (1 - j^rows)^bands via [[ipowSql]] — Dedup.sCurveP's twin.
+    * Every literal is cast to DOUBLE: DuckDB parses bare decimal
+    * literals as DECIMAL, whose scale overflows under the squaring
+    * chain (and whose arithmetic wouldn't be IEEE anyway). */
+  private def sCurvePSql(j: String, rows: Int, bands: Int): String = {
+    val inner = ipowSql(s"CAST($j AS DOUBLE)", rows)
+    s"(CAST(1.0 AS DOUBLE) - ${ipowSql(s"CAST(1.0 AS DOUBLE) - $inner", bands)})"
+  }
+
+  /** Twin of dedup_banding_advisor — the WHOLE decision replayed: the
+    * deterministic pair sample (400 lowest ids, opposite-half rank
+    * pairing), the order-independent micro-unit background mean, the
+    * descending divisor scan over the same binary-exponentiation
+    * s-curve products (bit-identical IEEE multiply sequences via
+    * [[ipowSql]]), the candidate estimates under both bandings, and the
+    * dominance flag. A drifted recall floor, a changed multiplication
+    * order, or an inverted divisor preference all hash-fail. Constants
+    * mirror the gate call: threshold 0.8, nHashes 128, recallFloor 0.9,
+    * default 32x4, maxSamplePairs 200. */
+  private def bandingAdvisorSql: String = {
+    val nH = 128
+    val divisorsDesc = (1 to nH).filter(nH % _ == 0).reverse
+    def mu(p: String) =
+      s"CAST(floor($p * 1e6 + CAST(0.5 AS DOUBLE)) AS BIGINT)"
+    val rCase = divisorsDesc
+      .map(r =>
+        s"WHEN ${sCurvePSql("0.8", r, nH / r)} >= CAST(0.9 AS DOUBLE) THEN $r")
+      .mkString("\n    ")
+    def perR(f: Int => String) =
+      "CASE dec.r " +
+        divisorsDesc.map(r => s"WHEN $r THEN ${f(r)}").mkString(" ") + " END"
+    val jBg = "(CAST(bg.mu AS DOUBLE) / 1000000.0)"
+    s"""WITH samp AS (SELECT doc_id, text FROM documents ORDER BY doc_id LIMIT 400),
+       |sh0 AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(1, greatest(length(text)-4, 1)+1),
+       |      i -> substr(text, i::INT, 5))) AS s
+       |  FROM samp),
+       |rk AS (SELECT doc_id, s, row_number() OVER (ORDER BY doc_id) AS rk,
+       |    count(*) OVER () AS m2 FROM sh0),
+       |pr AS (SELECT CAST(floor(
+       |    (CAST(len(list_intersect(a.s, b.s)) AS DOUBLE) /
+       |     (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))) * 1e6 + 0.5)
+       |    AS BIGINT) AS jmu
+       |  FROM rk a JOIN rk b ON b.rk = a.rk + (a.m2 // 2)
+       |  WHERE a.rk <= (a.m2 // 2)),
+       |bgc AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |    COALESCE(CAST(sum(jmu) AS BIGINT), 0) AS smu FROM pr),
+       |bg AS (SELECT m, CASE WHEN m = 0 THEN 0 ELSE smu // m END AS mu FROM bgc),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+       |dec AS (SELECT CASE
+       |    $rCase
+       |    ELSE 1 END AS r FROM (SELECT 1)),
+       |probs AS (SELECT
+       |    ${perR(r => sCurvePSql("0.8", r, nH / r))} AS p_t,
+       |    ${perR(r => sCurvePSql(jBg, r, nH / r))} AS p_bg,
+       |    ${sCurvePSql(jBg, 4, 32)} AS p_bg_def
+       |  FROM dec, bg)
+       |SELECT nn.n AS n_docs, bg.m AS sample_pairs, bg.mu AS bg_jaccard_mu,
+       |  CAST($nH // dec.r AS INT) AS bands, CAST(dec.r AS INT) AS rows_per_band,
+       |  ${mu("probs.p_t")} AS p_threshold_mu,
+       |  ${mu("probs.p_bg")} AS p_background_mu,
+       |  CAST(floor(CAST(nn.n * (nn.n - 1) // 2 AS DOUBLE) * probs.p_bg)
+       |    AS BIGINT) AS est_candidates,
+       |  CAST(32 AS INT) AS default_bands, CAST(4 AS INT) AS default_rows_per_band,
+       |  ${mu("probs.p_bg_def")} AS p_background_default_mu,
+       |  CAST(floor(CAST(nn.n * (nn.n - 1) // 2 AS DOUBLE) * probs.p_bg_def)
+       |    AS BIGINT) AS est_candidates_default,
+       |  (CAST(floor(CAST(nn.n * (nn.n - 1) // 2 AS DOUBLE) * probs.p_bg_def)
+       |    AS BIGINT) > 10 * nn.n) AS background_dominated
+       |FROM nn, bg, dec, probs""".stripMargin
+  }
+
   /** shingle-set CTE used by the jaccard oracles */
   private def shinglesCte(extraCols: String = "") =
     s"""WITH sh AS (
@@ -2844,6 +2930,30 @@ object GraftOracles {
          |FROM probe p JOIN pop o ON o.cid = p.cid
          |ORDER BY probe_rank""".stripMargin,
 
+    // Twin of ann_graph_batch_probe — the single-query probe anchor's
+    // derivation replayed PER QUERY of the batch: probe set + order from
+    // the kmeans twin and the floor-rounded lowest-cid rule partitioned
+    // by qid, per-cell population over the vec_id >= 3 corpus, emitted
+    // count = least(k, population) (connectivity pin per (query, cell)).
+    "ann_graph_batch_probe" ->
+      s"""WITH $kmeansCte,
+         |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |  WHERE vec_id < 3),
+         |pd AS (SELECT q.qid, c.cid, floor(list_sum(list_transform(range(1,65),
+         |    i -> (q.qv[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)])
+         |       * (q.qv[CAST(i AS INT)]::DOUBLE - c.v[CAST(i AS INT)]))) * 1e6 + 0.5) / 1e6 AS dr
+         |  FROM c2 c, q),
+         |probe AS (SELECT qid, cid, CAST(rn - 1 AS INT) AS probe_rank FROM (
+         |    SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY dr, cid) AS rn
+         |    FROM pd)
+         |  WHERE rn <= 4),
+         |pop AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_nodes
+         |  FROM s2f WHERE vec_id >= 3 GROUP BY cid)
+         |SELECT p.qid, p.probe_rank, CAST(p.cid AS INT) AS cell_id, o.n_nodes,
+         |  least(CAST(10 AS BIGINT), o.n_nodes) AS n_emitted
+         |FROM probe p JOIN pop o ON o.cid = p.cid
+         |ORDER BY qid, probe_rank""".stripMargin,
+
     // Twin of ann_graph_vacuum — the waypoint-GC verb under a FULL hash:
     // the post-vacuum exhaustive walk must equal exact kNN over the live
     // corpus (deleted %6 gone), the accounting is integer-exact (the
@@ -3169,6 +3279,8 @@ object GraftOracles {
         |  min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
         |  doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS is_duplicate
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_banding_advisor" -> bandingAdvisorSql,
 
     "dedup_minhash" ->
       s"""${shinglesCte()}

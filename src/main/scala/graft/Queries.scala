@@ -557,11 +557,52 @@ object GraftQueries {
     * by construction: the fixture is immutable once built, and every
     * family's build is itself deterministic (spec-pinned elsewhere).
     * The temp store is destroyed on JVM exit. */
+  /** Shared plumbing for the per-process fixtures (r15 ADVICE #3): ONE
+    * JVM shutdown hook draining a root registry — not one hook per
+    * (process, dir) — whose delete is plain-JDK recursive file removal,
+    * because at shutdown the Hadoop FileSystem cache
+    * ([[graft.store.StoreFs]]'s transport, closed by Hadoop's own
+    * hook) may already be gone; and a DATASET FINGERPRINT (file sizes
+    * + mtimes of the source tables) folded into every cache key, so a
+    * dataset regenerated in-process gets a fresh fixture instead of
+    * stale state served against a freshly-derived oracle. */
+  private object FixtureFs {
+    private val roots =
+      java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    locally {
+      sys.addShutdownHook(roots.forEach(bestEffortDeleteTree(_))): Unit
+    }
+    def deleteOnExit(root: String): Unit = { roots.add(root): Unit }
+    private def bestEffortDeleteTree(root: String): Unit =
+      try {
+        import java.nio.file.{Files, Path, Paths}
+        val p = Paths.get(root)
+        if (Files.exists(p))
+          Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+            .forEach(f =>
+              try Files.deleteIfExists(f): Unit
+              catch { case _: Exception => () })
+      } catch { case _: Exception => () }
+    /** (name, size, mtime) digest over the fixture-relevant source
+      * tables — cheap local-FS metadata walk, no data read. */
+    def fingerprint(d: String): String = {
+      def walk(f: java.io.File): Seq[String] =
+        if (f.isDirectory)
+          f.listFiles().sortBy(_.getName).toIndexedSeq.flatMap(walk)
+        else Seq(s"${f.getName}:${f.length}:${f.lastModified}")
+      val sig = Seq("documents.parquet", "embeddings.parquet")
+        .map(n => new java.io.File(s"$d/$n")).filter(_.exists).flatMap(walk)
+        .mkString("|")
+      java.lang.Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(sig))
+    }
+  }
+
   private object CatalogFixture {
     private val stores = new java.util.concurrent.ConcurrentHashMap[
       String, graft.store.VectorStore]()
     def storeFor(s: SparkSession, d: String): graft.store.VectorStore =
-      stores.computeIfAbsent(d, _ => {
+      stores.computeIfAbsent(s"$d|${FixtureFs.fingerprint(d)}", _ => {
         val root = java.nio.file.Files.createTempDirectory("graft_catfix").toString
         val store = graft.store.VectorStore(root)
         val e = Tables.embeddings(s, d).cache()
@@ -594,8 +635,41 @@ object GraftQueries {
           graft.operators.MutableSq.attach(s, store, "mut_clean", "embedding",
             "mut_sq", ncells = 4, iters = 2)
         } finally e.unpersist()
-        sys.addShutdownHook(store.destroy()): Unit
+        FixtureFs.deleteOnExit(root)
         store
+      })
+  }
+
+  /** Per-process SERVING fixture (r15 VERDICT #4 — the `index_catalog`
+    * treatment for the serving-path gates): the immutable full-corpus
+    * text index, sparse index, and IVF layout that
+    * `rag_hybrid_stored` / `rag_hybrid_sparse` and the read-only text-
+    * search gates previously rebuilt PER RUN (~3-8 s each of build
+    * scaffolding per measurement). Built once per (process, dataset
+    * fingerprint); every consumer is a READ — the gates measure the
+    * search verb, which is the operator under test. Builds are
+    * deterministic (spec-pinned), so results are hash-identical to the
+    * build-per-run form. Mutating gates (`text_index_compact`,
+    * `streaming_text_ingest`, ...) keep their private stores. */
+  private object ServingFixture {
+    private val stores = new java.util.concurrent.ConcurrentHashMap[
+      String, (graft.store.VectorStore, Array[(Int, Array[Float])])]()
+    def fixtureFor(s: SparkSession, d: String)
+        : (graft.store.VectorStore, Array[(Int, Array[Float])]) =
+      stores.computeIfAbsent(s"$d|${FixtureFs.fingerprint(d)}", _ => {
+        val root = java.nio.file.Files.createTempDirectory("graft_servfix").toString
+        val store = graft.store.VectorStore(root)
+        val e = Tables.embeddings(s, d).cache()
+        try {
+          TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
+            "text", "doc_id", nBuckets = 8)
+          graft.operators.SparseSearch.buildIndex(store, "docs_sparse",
+            Tables.documents(s, d), "text", "doc_id", nBuckets = 8)
+          val cents = Similarity.buildIvfIndex(store, "vectors", e,
+            "embedding", "vec_id", ncells = 16)
+          FixtureFs.deleteOnExit(root)
+          (store, cents)
+        } finally e.unpersist()
       })
   }
 
@@ -777,14 +851,9 @@ object GraftQueries {
     * hot-cell monitor. Column-pruned to (cell_id, vec_id); FULL oracle
     * via the simIvfCte quantizer twin. */
   val annIvfStats: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_ivfstats").toString
-    val store = graft.store.VectorStore(root)
-    val e = Tables.embeddings(s, d).cache()
-    try {
-      Similarity.buildIvfIndex(store, "vectors", e, "embedding", "vec_id", ncells = 16)
-      val out = Similarity.ivfIndexStats(store.read(s, "vectors"), "vec_id")
-      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally { e.unpersist(); store.destroy() }
+    val (store, _) = ServingFixture.fixtureFor(s, d)
+    val out = Similarity.ivfIndexStats(store.read(s, "vectors"), "vec_id")
+    s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
   }
 
   /** Embedding-space drift monitor: per-dim fixed-point means of a
@@ -1674,23 +1743,17 @@ object GraftQueries {
 
   val annIvfStore: Q = (s, d) => {
     import graft.plans.AnnProbe
-    val root = java.nio.file.Files.createTempDirectory("graft_ivf").toString
-    val store = graft.store.VectorStore(root)
-    val e = Tables.embeddings(s, d).cache()
-    try {
-    val cents = Similarity.buildIvfIndex(store, "vectors", e, "embedding", "vec_id",
-      ncells = 16)
-    val qv = e.filter(col("vec_id") === 0).select("embedding")
-      .collect().head.getSeq[Float](0).toArray
+    val (store, cents) = ServingFixture.fixtureFor(s, d)
+    val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select("embedding").collect().head.getSeq[Float](0).toArray
     AnnProbe.withProbe(s, cents, nprobe = 4) {
       val probed = store.read(s, "vectors")
         .orderBy(l2Sq(col("embedding"), vecLit(qv)), col("vec_id"))
         .limit(10)
         .select("vec_id", "label", "cell_id")
-      // materialize inside the probe scope AND before store.destroy()
+      // materialize inside the probe scope
       s.createDataFrame(java.util.Arrays.asList(probed.collect(): _*), probed.schema)
     }
-    } finally { e.unpersist(); store.destroy() }
   }
 
   private def adaptiveKnnAt(s: SparkSession, d: String,
@@ -1782,19 +1845,13 @@ object GraftQueries {
     * retrieval / evaluation-panel posture. Per-query results must equal
     * the inline router relationally re-derived by the oracle. */
   val annIvfStoreBatch: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_ivfb").toString
-    val store = graft.store.VectorStore(root)
-    val e = Tables.embeddings(s, d).cache()
-    try {
-      val cents = Similarity.buildIvfIndex(store, "vectors", e, "embedding",
-        "vec_id", ncells = 16)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val out = Similarity.ivfSearchStoredMany(store.read(s, "vectors"),
-          "embedding", "vec_id", cents, q, "q_id", "q_vec", k = 10, nprobe = 4)
-        .orderBy("q_id", "rank")
-      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally { e.unpersist(); store.destroy() }
+    val (store, cents) = ServingFixture.fixtureFor(s, d)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = Similarity.ivfSearchStoredMany(store.read(s, "vectors"),
+        "embedding", "vec_id", cents, q, "q_id", "q_vec", k = 10, nprobe = 4)
+      .orderBy("q_id", "rank")
+    s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
   }
 
   /** kNN over the STORED IVF-PQ layout — the full 100 TB search posture
@@ -2269,6 +2326,28 @@ object GraftQueries {
     } finally e.unpersist()
   }
 
+  /** Probe-derivation anchor for the BATCH graph walk (r15 VERDICT #2):
+    * `ann_graph_probe`'s discipline over [[GraphAnn.searchMany]]'s
+    * co-partitioned execution — per (query, probed cell): probe rank
+    * (the sqProbeCells floor-rounded lowest-cid rule, per query),
+    * population, and the walk's ACTUAL emitted count (= min(k,
+    * reachable), the connectivity pin). FULL hash; with this, only beam
+    * order + n_evals remain rows-only for the batch family. */
+  val annGraphBatchProbe: Q = (s, d) => {
+    val e = Tables.embeddings(s, d).cache()
+    try {
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val (graph, cents) = GraphAnn.buildGraph(
+        e.filter(col("vec_id") >= 3), "embedding", "vec_id", ncells = 8, m = 8,
+        centroids = Some(Clustering.trainCentroids(e, 8, 2)))
+      val out = GraphAnn.probeReportMany(graph, cents, queries, "qid", "qvec",
+          k = 10, nprobe = 4, ef = 48)
+        .select("qid", "probe_rank", "cell_id", "n_nodes", "n_emitted") // n_evals stays rows-only
+      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+    } finally e.unpersist()
+  }
+
   /** Exhaustive-configuration graph walk — the walk-kernel ORACLE form.
     * With nprobe = every cell and ef >= the corpus size the beam never
     * prunes (the result set cannot fill), visits every reachable node of
@@ -2403,6 +2482,18 @@ object GraftQueries {
     Dedup.minhashLsh(Tables.documents(s, d), "text", "doc_id",
         shingleSize = 5, bands = 32, rowsPerBand = 4, threshold = 0.8)
       .orderBy("id_a", "id_b")
+
+  /** Banding ADVISOR for minhash dedup — the s-curve-correct
+    * (bands, rowsPerBand) for threshold 0.8 plus the background
+    * candidate-pair estimate from the corpus' own sampled Jaccard, the
+    * whole decision under the hash (r15 VERDICT #1: the 10x probe
+    * measured the fixed-32x4 candidate explosion this operator's
+    * recommendation closes — the oracle replays the divisor scan, the
+    * binary-exponentiation s-curve products, the deterministic pair
+    * sample, and the dominance flag term-for-term). */
+  val dedupBandingAdvisor: Q = (s, d) =>
+    Dedup.bandingAdvisor(Tables.documents(s, d), "text", "doc_id",
+      threshold = 0.8, nHashes = 128)
 
   /** Exact n-gram Jaccard similarity join with language blocking and the
     * lossless set-size prune. */
@@ -4442,14 +4533,9 @@ object GraftQueries {
     * sidecar-stats arithmetic must land bit-identical to the corpus-level
     * SQL the oracle runs (which knows nothing of the index). */
   val textBm25Store: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_tidx").toString
-    val store = graft.store.VectorStore(root)
-    try {
-      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
-        "text", "doc_id", nBuckets = 8)
-      TextIndex.bm25SearchStored(s, store, "docs_text",
-        terms = Seq("filter", "vector", "sort"), k = 15)
-    } finally store.destroy()
+    val (store, _) = ServingFixture.fixtureFor(s, d)
+    TextIndex.bm25SearchStored(s, store, "docs_text",
+      terms = Seq("filter", "vector", "sort"), k = 15)
   }
 
   /** Incremental text-index maintenance under the oracle: build on 2/3 of
@@ -4530,14 +4616,9 @@ object GraftQueries {
     * — same oracle as the inline form, which is the identity the stored
     * tier must preserve. */
   val sparseStoreQ: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_sparse").toString
-    val store = graft.store.VectorStore(root)
-    try {
-      graft.operators.SparseSearch.buildIndex(store, "docs_sparse",
-        Tables.documents(s, d), "text", "doc_id", nBuckets = 8)
-      graft.operators.SparseSearch.searchStored(s, store, "docs_sparse",
-        sparseQueryTerms, k = 10)
-    } finally store.destroy()
+    val (store, _) = ServingFixture.fixtureFor(s, d)
+    graft.operators.SparseSearch.searchStored(s, store, "docs_sparse",
+      sparseQueryTerms, k = 10)
   }
 
   /** Incremental sparse-index maintenance with a FROZEN encoder: the
@@ -5037,23 +5118,18 @@ object GraftQueries {
     * each facet's share of the hit set. Index-scored, metadata joined
     * only for the ≤50 hits. */
   val textFacetedSearch: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_facet").toString
-    val store = graft.store.VectorStore(root)
-    try {
-      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
-        "text", "doc_id", nBuckets = 8)
-      val hits = TextIndex.bm25SearchStored(s, store, "docs_text",
-        terms = Seq("join", "vector"), k = 50)
-      val total = hits.count() // eager local relation — bounded, free
-      val out = hits.select("doc_id")
-        .join(Tables.documents(s, d).select("doc_id", "lang", "source"), Seq("doc_id"))
-        .groupBy("lang", "source")
-        .agg(count(lit(1)).as("n_hits"))
-        .withColumn("share",
-          floor(col("n_hits").cast("double") / lit(total) * 1e6 + 0.5) / 1e6)
-        .orderBy(col("n_hits").desc, col("lang"), col("source"))
-      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally store.destroy()
+    val (store, _) = ServingFixture.fixtureFor(s, d)
+    val hits = TextIndex.bm25SearchStored(s, store, "docs_text",
+      terms = Seq("join", "vector"), k = 50)
+    val total = hits.count() // eager local relation — bounded, free
+    val out = hits.select("doc_id")
+      .join(Tables.documents(s, d).select("doc_id", "lang", "source"), Seq("doc_id"))
+      .groupBy("lang", "source")
+      .agg(count(lit(1)).as("n_hits"))
+      .withColumn("share",
+        floor(col("n_hits").cast("double") / lit(total) * 1e6 + 0.5) / 1e6)
+      .orderBy(col("n_hits").desc, col("lang"), col("source"))
+    s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
   }
 
   /** Snippets: BM25 top-10 for {merge, stream} with first-hit position
@@ -5061,14 +5137,9 @@ object GraftQueries {
     * docs' text only). The oracle recomputes position and excerpt from
     * the raw text with 1-based inclusive slicing. */
   val textSnippets: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_snip").toString
-    val store = graft.store.VectorStore(root)
-    try {
-      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
-        "text", "doc_id", nBuckets = 8)
-      TextIndex.snippets(s, store, "docs_text", Tables.documents(s, d),
-        "text", "doc_id", terms = Seq("merge", "stream"), k = 10, window = 3)
-    } finally store.destroy()
+    val (store, _) = ServingFixture.fixtureFor(s, d)
+    TextIndex.snippets(s, store, "docs_text", Tables.documents(s, d),
+      "text", "doc_id", terms = Seq("merge", "stream"), k = 10, window = 3)
   }
 
   /** Batch BM25 on the stored text index: two independent term-set
@@ -5076,44 +5147,29 @@ object GraftQueries {
     * separate single-query searches — which is exactly the two-CTE-set
     * oracle. */
   val textBm25Batch: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_bm25b").toString
-    val store = graft.store.VectorStore(root)
-    try {
-      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
-        "text", "doc_id", nBuckets = 8)
-      TextIndex.bm25SearchStoredMany(s, store, "docs_text",
-        queries = Seq("q0" -> Seq("filter", "vector", "sort"),
-          "q1" -> Seq("join", "query")), k = 10)
-    } finally store.destroy()
+    val (store, _) = ServingFixture.fixtureFor(s, d)
+    TextIndex.bm25SearchStoredMany(s, store, "docs_text",
+      queries = Seq("q0" -> Seq("filter", "vector", "sort"),
+        "q1" -> Seq("join", "query")), k = 10)
   }
 
   /** Boolean retrieval on the text index: must-have join+filter, rank
     * by should-hits over {vector, spark, sort}, exclude docs with
     * 'slow'. Index-only — absence decidable from pruned buckets. */
   val textBooleanSearch: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_bool").toString
-    val store = graft.store.VectorStore(root)
-    try {
-      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
-        "text", "doc_id", nBuckets = 8)
-      TextIndex.booleanSearch(s, store, "docs_text",
-        must = Seq("join", "filter"), should = Seq("vector", "spark", "sort"),
-        mustNot = Seq("slow"), k = 20)
-    } finally store.destroy()
+    val (store, _) = ServingFixture.fixtureFor(s, d)
+    TextIndex.booleanSearch(s, store, "docs_text",
+      must = Seq("join", "filter"), should = Seq("vector", "spark", "sort"),
+      mustNot = Seq("slow"), k = 20)
   }
 
   /** Stored-text-index content audit: top-20 terms by df with cf, read
     * off the postings layout; the oracle recomputes both frequencies
     * from the raw corpus text. */
   val textIndexStats: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_tstat").toString
-    val store = graft.store.VectorStore(root)
-    try {
-      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
-        "text", "doc_id", nBuckets = 8)
-      val out = TextIndex.indexStats(s, store, "docs_text", topN = 20)
-      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally store.destroy()
+    val (store, _) = ServingFixture.fixtureFor(s, d)
+    val out = TextIndex.indexStats(s, store, "docs_text", topN = 20)
+    s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
   }
 
   /** Phrase search over the positional postings of the stored text
@@ -5122,14 +5178,9 @@ object GraftQueries {
     * text — the positional layout and the slot algebra must be
     * invisible. */
   val textPhraseSearch: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_phr").toString
-    val store = graft.store.VectorStore(root)
-    try {
-      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
-        "text", "doc_id", nBuckets = 8)
-      TextIndex.phraseSearch(s, store, "docs_text",
-        phrase = Seq("hash", "join"), k = 15)
-    } finally store.destroy()
+    val (store, _) = ServingFixture.fixtureFor(s, d)
+    TextIndex.phraseSearch(s, store, "docs_text",
+      phrase = Seq("hash", "join"), k = 15)
   }
 
   /** Streaming ingest into the stored TEXT index: arrivals (doc_id % 10
@@ -5159,33 +5210,25 @@ object GraftQueries {
     * rag_bm25_fusion shape, but no arm touches raw corpus data at query
     * time — this is what serving looks like at 100 TB. */
   val ragHybridStored: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_hyb").toString
-    val store = graft.store.VectorStore(root)
-    val e = Tables.embeddings(s, d).cache()
-    try {
-      TextIndex.buildTextIndex(store, "docs_text", Tables.documents(s, d),
-        "text", "doc_id", nBuckets = 8)
-      val cents = Similarity.buildIvfIndex(store, "vectors", e, "embedding",
-        "vec_id", ncells = 16)
-      val kwTop = TextIndex.bm25SearchStored(s, store, "docs_text",
-          terms = Seq("vector", "scan", "batch"), k = 100)
-        .withColumn("rank_kw", row_number()
-          .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
-        .select("doc_id", "rank_kw")
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val vTop = Similarity.ivfSearchStoredMany(store.read(s, "vectors"),
-          "embedding", "vec_id", cents, q, "q_id", "q_vec", k = 100, nprobe = 4)
-        .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("rank_vec"))
-      val out = kwTop.join(vTop, Seq("doc_id"), "full_outer")
-        .withColumn("rrf", floor(
-          (coalesce(lit(1.0) / (lit(60) + col("rank_kw")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0))) * 1e6 + 0.5) / 1e6)
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(10)
-        .select("doc_id", "rank_kw", "rank_vec", "rrf")
-      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally { e.unpersist(); store.destroy() }
+    val (store, cents) = ServingFixture.fixtureFor(s, d)
+    val kwTop = TextIndex.bm25SearchStored(s, store, "docs_text",
+        terms = Seq("vector", "scan", "batch"), k = 100)
+      .withColumn("rank_kw", row_number()
+        .over(Window.orderBy(col("bm25").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_kw")
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val vTop = Similarity.ivfSearchStoredMany(store.read(s, "vectors"),
+        "embedding", "vec_id", cents, q, "q_id", "q_vec", k = 100, nprobe = 4)
+      .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("rank_vec"))
+    val out = kwTop.join(vTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", floor(
+        (coalesce(lit(1.0) / (lit(60) + col("rank_kw")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0))) * 1e6 + 0.5) / 1e6)
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+      .select("doc_id", "rank_kw", "rank_vec", "rrf")
+    s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
   }
 
   /** Hybrid sparse+dense retrieval over PERSISTED indexes — the
@@ -5196,33 +5239,25 @@ object GraftQueries {
     * top-10 out. FULL oracle: sparse CTE body + the IVF quantizer CTE +
     * the same fusion arithmetic. */
   val ragHybridSparse: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_hybsp").toString
-    val store = graft.store.VectorStore(root)
-    val e = Tables.embeddings(s, d).cache()
-    try {
-      graft.operators.SparseSearch.buildIndex(store, "docs_sparse",
-        Tables.documents(s, d), "text", "doc_id", nBuckets = 8)
-      val cents = Similarity.buildIvfIndex(store, "vectors", e, "embedding",
-        "vec_id", ncells = 16)
-      val spTop = graft.operators.SparseSearch.searchStored(s, store,
-          "docs_sparse", sparseQueryTerms, k = 100)
-        .withColumn("rank_sp", row_number()
-          .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
-        .select("doc_id", "rank_sp")
-      val q = e.filter(col("vec_id") === 0)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val vTop = Similarity.ivfSearchStoredMany(store.read(s, "vectors"),
-          "embedding", "vec_id", cents, q, "q_id", "q_vec", k = 100, nprobe = 4)
-        .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("rank_vec"))
-      val out = spTop.join(vTop, Seq("doc_id"), "full_outer")
-        .withColumn("rrf", floor(
-          (coalesce(lit(1.0) / (lit(60) + col("rank_sp")), lit(0.0)) +
-            coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0))) * 1e6 + 0.5) / 1e6)
-        .orderBy(col("rrf").desc, col("doc_id"))
-        .limit(10)
-        .select("doc_id", "rank_sp", "rank_vec", "rrf")
-      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally { e.unpersist(); store.destroy() }
+    val (store, cents) = ServingFixture.fixtureFor(s, d)
+    val spTop = graft.operators.SparseSearch.searchStored(s, store,
+        "docs_sparse", sparseQueryTerms, k = 100)
+      .withColumn("rank_sp", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select("doc_id", "rank_sp")
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val vTop = Similarity.ivfSearchStoredMany(store.read(s, "vectors"),
+        "embedding", "vec_id", cents, q, "q_id", "q_vec", k = 100, nprobe = 4)
+      .select(col("vec_id").as("doc_id"), col("rank").cast("long").as("rank_vec"))
+    val out = spTop.join(vTop, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", floor(
+        (coalesce(lit(1.0) / (lit(60) + col("rank_sp")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rank_vec")), lit(0.0))) * 1e6 + 0.5) / 1e6)
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(10)
+      .select("doc_id", "rank_sp", "rank_vec", "rrf")
+    s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
   }
 
   /** Unigram language-model scoring (the perplexity-style quality filter
@@ -5435,6 +5470,7 @@ object GraftQueries {
     "ann_graph" -> annGraph,
     "ann_graph_probe" -> annGraphProbe,
     "ann_graph_batch" -> annGraphBatch,
+    "ann_graph_batch_probe" -> annGraphBatchProbe,
     "ann_graph_exhaustive" -> annGraphExhaustive,
     "ann_graph_store" -> annGraphStore,
     "sample_domain_cap" -> sampleDomainCap,
@@ -5464,6 +5500,7 @@ object GraftQueries {
     "ann_graph_adaptive" -> annGraphAdaptive,
     "ann_lsh_buckets" -> annLshBuckets,
     "rag_context" -> ragContext,
+    "dedup_banding_advisor" -> dedupBandingAdvisor,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
     "dedup_ngram" -> dedupNgram,

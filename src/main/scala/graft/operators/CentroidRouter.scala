@@ -177,6 +177,20 @@ object CentroidRouter {
                         dim: Int) extends Tiered {
     import LshRouter.{Axes, Tables, project}
 
+    /** Structurally wrong-dimensioned probes are TOLERATED (flat-tier
+      * parity: zero-pad short, truncate long — spec-pinned) but must
+      * stay OBSERVABLE (r15 ADVICE: silent absorption turns a data-
+      * shape bug into plausible-but-meaningless neighbors): every
+      * mismatched-length probe counts here, and the first one per
+      * router logs. [[assign]] — the index-BUILD path, where a shape
+      * bug corrupts the layout rather than one answer — asserts
+      * instead. */
+    val dimMismatches = new java.util.concurrent.atomic.AtomicLong
+    private def noteMismatch(got: Int): Unit =
+      if (dimMismatches.getAndIncrement() == 0L)
+        System.err.println(s"[graft] LshRouter: probe vector length $got " +
+          s"!= router dim $dim — padded/truncated (counted in dimMismatches)")
+
     /** The query's quantized coordinate per (table, axis). */
     private def coords(v: Array[Float], t: Int): Array[Long] =
       Array.tabulate(Axes) { a =>
@@ -218,6 +232,9 @@ object CentroidRouter {
     }
 
     def assign(v: Array[Float]): Int = {
+      require(v.length == dim,
+        s"LshRouter.assign: vector length ${v.length} != router dim $dim — " +
+          "a build-path shape bug must fail loudly, not mis-route the layout")
       val cand = candidates(v)
       var best = -1
       var bestD = Double.MaxValue
@@ -239,6 +256,7 @@ object CentroidRouter {
       var i = 0
       // length-mismatch tolerance matches the flat tier's fine-rank rule
       // (min-length loop): a short query zero-pads, a long one truncates
+      if (qv.length != dim) noteMismatch(qv.length)
       val nCopy = math.min(qv.length, dim)
       while (i < nCopy) { qf(i) = qv(i).toFloat; i += 1 }
       val cand = candidates(qf)

@@ -334,6 +334,129 @@ object Dedup {
         col("jaccard"))
   }
 
+  // ---------------------------------------------------- banding advisor
+
+  /** Integer power by binary exponentiation with a FIXED multiplication
+    * sequence (r *= b at each set bit, then b *= b — in that order).
+    * IEEE multiplication is exactly rounded, so any engine replaying the
+    * SAME sequence produces the bit-identical double — which is what
+    * lets the s-curve probabilities below sit under a cross-engine gate
+    * hash. The DuckDB twin generates its product expression from this
+    * exact loop (GraftOracles.ipowSql); `math.pow` would NOT be safe
+    * here (libm results differ across platforms in the last ulp). */
+  private[graft] def ipow(x: Double, n: Int): Double = {
+    var r = 1.0; var b = x; var e = n
+    while (e > 0) {
+      if ((e & 1) == 1) r *= b
+      b *= b; e >>= 1
+    }
+    r
+  }
+
+  /** LSH s-curve: P(some band collides | jaccard = j) with `rows` rows
+    * per band over `bands` bands = 1 - (1 - j^rows)^bands. Built on
+    * [[ipow]] so it is bit-replayable in SQL. */
+  private[graft] def sCurveP(j: Double, rows: Int, bands: Int): Double =
+    1.0 - ipow(1.0 - ipow(j, rows), bands)
+
+  /** MinHash banding ADVISOR — chooses the s-curve-correct
+    * (bands, rowsPerBand) for a dedup threshold and prices the
+    * candidate stream the corpus' own background similarity implies,
+    * with the whole decision under the gate hash (the
+    * [[Similarity.vectorPercolateAuto]] discipline: pure integer/float
+    * arithmetic a SQL oracle replays term-for-term).
+    *
+    * Why this operator exists: fixed banding is the one silently-wrong
+    * -at-scale choice left in the dedup family. The repo's own 10x
+    * probe measured it (NOTES round-15): at background Jaccard ~0.22
+    * (low-entropy corpora) the default 32 bands x 4 rows has its
+    * s-curve midpoint at 0.42, so UNRELATED pairs collide — 925,615
+    * verified pairs from 5,000 docs, growing quadratically with the
+    * corpus. At threshold 0.8 the scale-correct banding is 16 x 8
+    * (midpoint 0.71): background collides at ~1e-4, true pairs at
+    * ~0.95. The engine knew the arithmetic; nothing CHOSE it. This
+    * does.
+    *
+    * Decision rule (replayed as a CASE over the same [[ipow]] products
+    * in the oracle): among the divisor pairs rows x (nHashes/rows),
+    * pick the LARGEST rows-per-band whose collision probability at the
+    * threshold still clears `recallFloor` — the steepest s-curve (=
+    * fewest background candidates) that cannot cost real recall.
+    *
+    * Background estimate: exact shingle Jaccard over a DETERMINISTIC
+    * pair sample — the 2·`maxSamplePairs` lowest-id docs, rank r paired
+    * with rank r + half (opposite halves, so injected near-dup
+    * neighbors at adjacent ids never pair) — averaged in order-
+    * independent micro-unit BIGINT arithmetic. The sample is a
+    * TakeOrdered (top-k by id) + a ≤2·maxSamplePairs-row local window,
+    * never a global row_number over the corpus, so the advisor costs
+    * one slim top-k scan + one count at any corpus size.
+    *
+    * Output (one row): the recommendation, its collision probabilities
+    * at the threshold and at the measured background (micro-units), the
+    * estimated background candidate-pair count under BOTH the
+    * recommended and the caller's current/default banding, and a
+    * `background_dominated` flag (default banding's expected background
+    * candidates exceed 10x the corpus — the "the candidate stream IS
+    * the job" regime the 10x probe measured). */
+  def bandingAdvisor(df: DataFrame, textCol: String, idCol: String,
+                     threshold: Double, nHashes: Int = 128,
+                     shingleSize: Int = 5, recallFloor: Double = 0.9,
+                     maxSamplePairs: Int = 200,
+                     defaultBands: Int = 32,
+                     defaultRowsPerBand: Int = 4): DataFrame = {
+    require(defaultBands * defaultRowsPerBand == nHashes,
+      s"default banding ${defaultBands}x$defaultRowsPerBand must factor nHashes=$nHashes")
+    val sp = df.sparkSession
+    import sp.implicits._
+    val n = df.count()
+    // deterministic sample: 2*maxSamplePairs lowest ids (TakeOrdered —
+    // scalable), shingled, ranked locally (bounded rows post-limit)
+    val samp = df.orderBy(col(idCol)).limit(2 * maxSamplePairs)
+      .select(col(idCol).as("_id"),
+        shingleHashes(col(textCol), shingleSize).as("_sh"))
+      .withColumn("rk", row_number().over(Window.orderBy("_id")))
+      .localCheckpoint(true)
+    val half = samp.count() / 2
+    val st =
+      if (half == 0) (0L, 0L)
+      else {
+        val inter = graft.functions.SetFunctions
+          .sortedIntersectSize(col("a._sh"), col("b._sh")).cast("double")
+        val union = (size(col("a._sh")) + size(col("b._sh"))).cast("double") - inter
+        val agg = samp.as("a")
+          .join(samp.as("b"), col("b.rk") === col("a.rk") + lit(half))
+          .filter(col("a.rk") <= lit(half))
+          .select(floor(inter / union * 1e6 + 0.5).as("jmu"))
+          .agg(count(lit(1)), coalesce(sum(col("jmu")), lit(0L))).head()
+        (agg.getLong(0), agg.getLong(1))
+      }
+    val (m, sumMu) = st
+    val bgMu = if (m == 0) 0L else sumMu / m
+    val j = bgMu.toDouble / 1e6
+    // largest rows-per-band still clearing the recall floor at threshold
+    val divisorsDesc = (1 to nHashes).filter(nHashes % _ == 0).reverse
+    val rSel = divisorsDesc
+      .find(r => sCurveP(threshold, r, nHashes / r) >= recallFloor)
+      .getOrElse(1)
+    val bSel = nHashes / rSel
+    val mu = (x: Double) => math.floor(x * 1e6 + 0.5).toLong
+    val nPairs = n * (n - 1) / 2
+    val est = (p: Double) => math.floor(nPairs.toDouble * p).toLong
+    val pBgSel = sCurveP(j, rSel, bSel)
+    val pBgDef = sCurveP(j, defaultRowsPerBand, defaultBands)
+    val estDef = est(pBgDef)
+    Seq((n, m, bgMu, bSel, rSel,
+      mu(sCurveP(threshold, rSel, bSel)), mu(pBgSel), est(pBgSel),
+      defaultBands, defaultRowsPerBand, mu(pBgDef), estDef,
+      estDef > 10 * n))
+      .toDF("n_docs", "sample_pairs", "bg_jaccard_mu", "bands",
+        "rows_per_band", "p_threshold_mu", "p_background_mu",
+        "est_candidates", "default_bands", "default_rows_per_band",
+        "p_background_default_mu", "est_candidates_default",
+        "background_dominated")
+  }
+
   private[graft] def verifyJaccard(pairs: DataFrame, threshold: Double): DataFrame = {
     val inter = graft.functions.SetFunctions
       .sortedIntersectSize(col("sh_a"), col("sh_b")).cast("double")

@@ -778,6 +778,26 @@ object GraphAnn {
   def searchMany(graph: Dataset[Node], cents: Array[Array[Float]],
                  queries: DataFrame, qIdCol: String, qVecCol: String,
                  k: Int, nprobe: Int, ef: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    perCellWalkMany(graph, cents, queries, qIdCol, qVecCol, k, nprobe, ef)
+      .withColumn("dist", floor(col("_d") * 1e6 + 0.5) / 1e6)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("cell_id"), col("dist"), col("rank"))
+  }
+
+  /** The shared per-(query, cell) walk relation of the batch path —
+    * [[searchMany]]'s kernel, factored so [[probeReportMany]] can
+    * aggregate the SAME execution's emissions instead of modeling them.
+    * Emits (qid, probe_rank, cell_id, vec_id, _d, n_nodes, n_evals):
+    * up to k candidate rows per (query, probed non-empty cell), each
+    * carrying the cell's population and the walk's eval count. */
+  private[graft] def perCellWalkMany(graph: Dataset[Node],
+                                     cents: Array[Array[Float]],
+                                     queries: DataFrame, qIdCol: String,
+                                     qVecCol: String,
+                                     k: Int, nprobe: Int, ef: Int): DataFrame = {
     val sp = graph.sparkSession
     import sp.implicits._
     val probeUdf = udf((v: Seq[Float]) =>
@@ -788,7 +808,7 @@ object GraphAnn {
     // re-execute per consumer. Bounded: Q·nprobe slim rows.
     val probes = queries.select(col(qIdCol).cast("long").as("qid"),
       col(qVecCol).cast("array<float>").as("qvec"),
-      explode(probeUdf(col(qVecCol))).as("cell_id"))
+      posexplode(probeUdf(col(qVecCol))).as(Seq("probe_rank", "cell_id")))
       .localCheckpoint(true)
     // bounded collect: at most ncells distinct cells across the batch —
     // the literal IN list is what lands in PartitionFilters on a stored
@@ -798,13 +818,15 @@ object GraphAnn {
     val nodeRows = graph.toDF()
       .filter(col("cell_id").isin(touched.map(Int.box).toIndexedSeq: _*))
       .select(col("cell_id"), lit(false).as("is_q"), col("id"),
-        col("vec"), col("neighbors"), lit(0L).as("qid"))
+        col("vec"), col("neighbors"), lit(0L).as("qid"),
+        lit(0).as("probe_rank"))
     val qRows = probes.select(col("cell_id"), lit(true).as("is_q"),
       lit(0L).as("id"), col("qvec").as("vec"),
-      lit(null).cast("array<bigint>").as("neighbors"), col("qid"))
-    val perCell = nodeRows.unionByName(qRows)
+      lit(null).cast("array<bigint>").as("neighbors"), col("qid"),
+      col("probe_rank"))
+    nodeRows.unionByName(qRows)
       .repartition(math.max(touched.length, 1), col("cell_id"))
-      .as[(Int, Boolean, Long, Array[Float], Array[Long], Long)]
+      .as[(Int, Boolean, Long, Array[Float], Array[Long], Long, Int)]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (cell, rows) =>
           val (qs, ns) = rows.partition(_._2)
@@ -815,23 +837,40 @@ object GraphAnn {
             val nbs = mutable.LongMap[Array[Long]]()
             ns.foreach { n => vecs(n._3) = n._4; nbs(n._3) = n._5 }
             val entry = ns.iterator.map(_._3).min
+            val nNodes = ns.length.toLong
             qs.sortBy(_._6).iterator.flatMap { q =>
               counters.beamWalks.incrementAndGet()
-              val (top, _) = beamSearch(vecs(_), nbs(_).toSeq, entry, q._4, ef)
-              top.take(k).iterator.map { case (d, id) => (q._6, cell, id, d) }
+              val (top, evals) = beamSearch(vecs(_), nbs(_).toSeq, entry, q._4, ef)
+              top.take(k).iterator.map { case (d, id) =>
+                (q._6, q._7, cell, id, d, nNodes, evals.toLong)
+              }
             }
           }
         }
       }
-      .toDF("qid", "cell_id", "vec_id", "_d")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
-    perCell
-      .withColumn("dist", floor(col("_d") * 1e6 + 0.5) / 1e6)
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("cell_id"), col("dist"), col("rank"))
+      .toDF("qid", "probe_rank", "cell_id", "vec_id", "_d", "n_nodes", "n_evals")
   }
+
+  /** PROBE-DERIVATION report for the BATCH walk — [[probeReport]]'s
+    * shape per query over [[searchMany]]'s co-partitioned execution
+    * (same probe assignment UDF, same union + repartition, same beam):
+    * for every (query, probed non-empty cell), the probe rank, the
+    * cell's population, and how many candidates the walk EMITTED
+    * (= min(k, reachable) — the connectivity pin: an insertion build
+    * that strands part of a cell under-emits and hash-fails). Only the
+    * beam's choice of WHICH k and `n_evals` stay rows-only — the
+    * irreducible approximate part, excluded by the gate's projection
+    * exactly as in the single-query anchor. */
+  def probeReportMany(graph: Dataset[Node], cents: Array[Array[Float]],
+                      queries: DataFrame, qIdCol: String, qVecCol: String,
+                      k: Int, nprobe: Int, ef: Int): DataFrame =
+    perCellWalkMany(graph, cents, queries, qIdCol, qVecCol, k, nprobe, ef)
+      .groupBy("qid", "probe_rank", "cell_id", "n_nodes", "n_evals")
+      .agg(count(lit(1)).as("n_emitted"))
+      .select(col("qid"), col("probe_rank").cast("int"),
+        col("cell_id").cast("int"), col("n_nodes"), col("n_emitted"),
+        col("n_evals"))
+      .orderBy("qid", "probe_rank")
 
   /** [[searchMany]] over a cell-partitioned stored read — the probe IN
     * filter prunes partitions and the batch repartition re-colocates

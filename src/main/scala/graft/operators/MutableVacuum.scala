@@ -98,17 +98,31 @@ object MutableVacuum {
     * the advisor aggregate — (worst-cell garbage ppm, vacuum
     * recommended at `maxGarbagePpm`); None for everything else (plain
     * collections, text/sparse indexes, or a binding whose collection
-    * has since been dropped — the catalog lists, it must not throw). */
+    * has since been dropped — the catalog lists, it must not throw).
+    * The stale-binding case is detected EXPLICITLY (collection dir gone
+    * or no longer a mutable collection) so it stays silently absent;
+    * any OTHER failure — a genuinely corrupt or unreadable index — is
+    * logged before the columns go NULL, instead of being swallowed into
+    * the same shape as "not a versioned index" (r15 ADVICE). */
   def catalogGarbage(spark: SparkSession, store: VectorStore, index: String,
                      maxGarbagePpm: Long): Option[(Long, Boolean)] =
     boundCollection(store, index).flatMap { coll =>
-      scala.util.Try {
+      val collPath = s"${store.root}/$coll"
+      if (!StoreFs.forPath(store.root).exists(collPath) ||
+          MutableCollection.Marker.read(collPath).isEmpty) None // stale binding
+      else scala.util.Try {
         val agg = report(spark, store, coll, index)
           .agg(max("garbage_ppm"), sum("n_garbage")).head()
         val worst = if (agg.isNullAt(0)) 0L else agg.getLong(0)
         val garbage = if (agg.isNullAt(1)) 0L else agg.getLong(1)
         (worst, garbage > 0L && worst > maxGarbagePpm)
-      }.toOption
+      } match {
+        case scala.util.Success(v) => Some(v)
+        case scala.util.Failure(e) =>
+          System.err.println(s"[graft] indexCatalog: garbage report for " +
+            s"'$index' (bound to '$coll') failed — advisor columns NULL: $e")
+          None
+      }
     }
 
   /** Per-cell garbage report over a versioned index layout carrying

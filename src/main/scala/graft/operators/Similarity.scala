@@ -116,8 +116,14 @@ object Similarity {
     *    never docs × subscriptions.
     *
     * The decision reads ONE slim aggregate over the standing side
-    * (row count + max vector length — at scale this is catalog-stats
-    * cheap, never a corpus scan) and estimates broadcast bytes as
+    * (row count + max vector length). NOTE the honest cost (r15
+    * VERDICT): this IS a scan of the standing RELATION — free when the
+    * standing set is a genuine subscription table (small, or served by
+    * catalog stats), but if a caller derives the standing set from the
+    * corpus (a filter of it, as the gate does for demonstration), the
+    * decision pass costs one pass over that derivation per call; such
+    * callers should cache/checkpoint the standing relation first. The
+    * estimate prices broadcast bytes as
     * rows · (4·dim + 24) (float payload + id/row overhead), comparing
     * against `limitBytes` ([[BroadcastGate.DefaultLimitBytes]] by
     * default — the repo-wide broadcast comfort cap). Integer counts and

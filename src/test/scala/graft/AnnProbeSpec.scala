@@ -982,6 +982,45 @@ class AnnProbeSpec extends SparkSpec {
     } finally { e.unpersist(): Unit }
   }
 
+  test("batch probe report equals per-query single reports, n_evals included") {
+    import graft.operators.{Clustering, GraphAnn}
+    val e = Tables.embeddings(spark, sf).cache()
+    try {
+      val cents0 = Clustering.trainCentroids(e, 8, 2)
+      val (graph0, cents) = GraphAnn.buildGraph(
+        e.filter(col("vec_id") >= 3), "embedding", "vec_id", ncells = 8, m = 8,
+        centroids = Some(cents0))
+      val graph = graph0.localCheckpoint(true)
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      val batch = GraphAnn.probeReportMany(graph, cents, queries, "qid", "qvec",
+          k = 10, nprobe = 4, ef = 48)
+        .collect().groupBy(_.getLong(0))
+        .map { case (q, rows) =>
+          q -> rows.sortBy(_.getInt(1))
+            .map(r => (r.getInt(1), r.getInt(2), r.getLong(3), r.getLong(4),
+              r.getLong(5))).toSeq // (rank, cell, n_nodes, n_emitted, n_evals)
+        }
+      assert(batch.keySet == Set(0L, 1L, 2L))
+      // per query: identical derivation to the single-query anchor —
+      // same probes in the same order, same populations, same emitted
+      // counts, and the SAME beam eval counts (the walk per (query,
+      // cell) is the same beamSearch from the same min-id entry)
+      e.filter(col("vec_id") < 3).orderBy("vec_id")
+        .select("vec_id", "embedding").collect()
+        .foreach { r =>
+          val qid = r.getLong(0)
+          val qv = r.getSeq[Float](1).map(_.toDouble).toArray
+          val single = GraphAnn.probeReport(graph, cents, qv,
+              k = 10, nprobe = 4, ef = 48)
+            .collect()
+            .map(x => (x.getInt(0), x.getInt(1), x.getLong(2), x.getLong(3),
+              x.getLong(4))).toSeq
+          assert(batch(qid) == single, s"batch probe report for $qid diverged")
+        }
+    } finally { e.unpersist(): Unit }
+  }
+
   test("search executes the walk once when both hits and stats are consumed") {
     import graft.operators.{Clustering, GraphAnn}
     val e = Tables.embeddings(spark, sf).cache()

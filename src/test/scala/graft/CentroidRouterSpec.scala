@@ -278,6 +278,22 @@ class CentroidRouterSpec extends SparkSpec {
       "a long query must probe exactly as its dim-truncated twin")
   }
 
+  test("mismatched shapes are observable: probe counts, assign asserts (r15 ADVICE)") {
+    val cents = bigCents()
+    val r = CentroidRouter.LshRouter.build(cents) // fresh — counter starts at 0
+    val full = cents(321)._2
+    val before = r.dimMismatches.get()
+    r.probe(full.map(_.toDouble), 4): Unit // well-shaped: not counted
+    assert(r.dimMismatches.get() == before)
+    r.probe(full.take(full.length - 4).map(_.toDouble), 4): Unit
+    r.probe((full.map(_.toDouble) ++ Array(1.0)), 4): Unit
+    assert(r.dimMismatches.get() == before + 2,
+      "every mismatched-length probe must count")
+    // the BUILD path fails loudly instead of mis-routing the layout
+    intercept[IllegalArgumentException] { r.assign(full.take(full.length - 4)) }
+    intercept[IllegalArgumentException] { r.assign(full ++ Array(1.0f)) }
+  }
+
   /** VERDICT r14 #2: the LSH tier's agreement bound on REALISTIC
     * geometry, not just the engineered quantizer-shaped blobs — >=
     * LshGate centroids seeded from the real sf embedding corpus with

@@ -391,6 +391,37 @@ class DedupSpec extends SparkSpec {
     assert(out(5L) == ((10L, 2L, 2L, 6L, 0.6)), s"got ${out(5L)}")
   }
 
+  test("bandingAdvisor: 16x8 at threshold 0.8; steeper curve at higher floor-clearing rows; estimates ordered") {
+    val d = Tables.documents(spark, sf)
+    val row = Dedup.bandingAdvisor(d, "text", "doc_id", threshold = 0.8,
+      nHashes = 128).head()
+    val get = (c: String) => row.getLong(row.fieldIndex(c))
+    // s-curve arithmetic: at t=0.8 the largest rows-per-band clearing a
+    // 0.9 recall floor over 128 hashes is 8 (p = 0.947); 16 bands
+    assert(row.getInt(row.fieldIndex("bands")) == 16)
+    assert(row.getInt(row.fieldIndex("rows_per_band")) == 8)
+    assert(get("p_threshold_mu") >= 900000L && get("p_threshold_mu") <= 1000000L)
+    // the whole point: recommended banding slashes the background
+    // candidate stream vs the 32x4 default on this low-entropy corpus
+    assert(get("p_background_mu") < get("p_background_default_mu"))
+    assert(get("est_candidates") <= get("est_candidates_default"))
+    assert(get("bg_jaccard_mu") > 0L && get("bg_jaccard_mu") < 500000L,
+      s"background jaccard should be moderate, got ${get("bg_jaccard_mu")}")
+    // a LOWER threshold needs a shallower curve: rows-per-band shrinks
+    val low = Dedup.bandingAdvisor(d, "text", "doc_id", threshold = 0.5,
+      nHashes = 128).head()
+    assert(low.getInt(low.fieldIndex("rows_per_band")) < 8)
+  }
+
+  test("ipow matches math.pow to double precision and is exactly reproducible") {
+    for (x <- Seq(0.0, 0.172902, 0.5, 0.8, 0.999999, 1.0); n <- Seq(1, 2, 4, 7, 8, 16, 32, 128)) {
+      val got = Dedup.ipow(x, n)
+      assert(math.abs(got - math.pow(x, n)) <= 1e-12 * math.max(1.0, math.pow(x, n)),
+        s"ipow($x,$n)=$got vs pow=${math.pow(x, n)}")
+      assert(got == Dedup.ipow(x, n)) // bit-stable
+    }
+  }
+
   test("substringScrub cuts exactly the covered tokens from ALL occurrences; others untouched") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),            // shares a-b-c..c-d-e with doc 2

@@ -48,12 +48,27 @@ import org.apache.spark.sql.functions._
   * documented) vs 15x for the linear-workload probes. The 1x pass runs
   * first, absorbing plan-compilation fixed costs into the BASELINE
   * (conservative); the host throttles in waves (NOTES), so a failing
-  * ratio gets one re-measure before it counts. */
+  * ratio re-measures BOTH scales in the same window before it counts
+  * (r15 ADVICE: retrying only the 10x side left a wave-inflated 1x
+  * baseline able to mask — or a wave during 10x able to fail — the
+  * suite spuriously).
+  *
+  * Environment coupling (r15 ADVICE): the source dataset comes from
+  * `SPARK_GRAFT_SCALE10X_SRC` (default the driver's sf0.1 layout) and
+  * the probe CANCELS (assume) rather than fails when it is absent or
+  * `SPARK_GRAFT_SKIP_SCALE10X` is set — wall-clock ratio assertions
+  * have no meaning on a host without the dataset or mid-CI on a
+  * shared box. */
 class ScaleSpec10x extends SparkSpec {
   import spark.implicits._
 
   test("10x engineered scale probe: composed pipelines stay ~linear") {
-    val src = "/root/testdata/sf0.1"
+    assume(!sys.env.contains("SPARK_GRAFT_SKIP_SCALE10X"),
+      "scale probe disabled by SPARK_GRAFT_SKIP_SCALE10X")
+    val src = sys.env.getOrElse("SPARK_GRAFT_SCALE10X_SRC",
+      "/root/testdata/sf0.1")
+    assume(new java.io.File(src).isDirectory,
+      s"scale-probe source dataset absent: $src")
     val out1 = java.nio.file.Files.createTempDirectory("graft_scale1").toString
     val out10 = java.nio.file.Files.createTempDirectory("graft_scale10").toString
     val docs = Tables.documents(spark, src).filter($"doc_id" % 2 === 0)
@@ -93,24 +108,55 @@ class ScaleSpec10x extends SparkSpec {
         assert(store.read(spark, "v").count() > 0)
       } finally store.destroy()
     }
-    def runAll(dir: String): Seq[(String, Double)] = Seq(
-      "pipeline_training_data" ->
-        time(SparkEntry.queries("pipeline_training_data")(spark, dir).collect()),
-      "dedup_minhash_tuned" ->
-        time(assert(Dedup.minhashLsh(Tables.documents(spark, dir), "text",
-          "doc_id", shingleSize = 5, bands = 16, rowsPerBand = 8,
-          threshold = 0.8).count() >= 0L)),
-      "ann_ivf_build" -> time(annBuild(dir)))
+    // Build-once / search-many: the STORED serving path (r15 VERDICT
+    // #6 — the first empirical scaling point for a search verb, not a
+    // build). The BUILD is linear-bounded like the other builders; the
+    // SEARCH reads <=|q| term buckets of the postings layout, so its
+    // wall must grow SUBLINEARLY in the corpus (bucket rows grow 10x
+    // but the scan stays pruned and the k=100 top-k is flat) — bounded
+    // at 8x against a 1s denominator floor. Median of 3 searches after
+    // one untimed warm-up (plan compile absorbed), per scale.
+    def bm25Walls(dir: String): (Double, Double) = {
+      val store = VectorStore(
+        java.nio.file.Files.createTempDirectory("graft_s10_bm25").toString)
+      try {
+        val tb = time(graft.text.TextIndex.buildTextIndex(store, "t",
+          Tables.documents(spark, dir), "text", "doc_id", nBuckets = 8))
+        def search(): Unit =
+          assert(graft.text.TextIndex.bm25SearchStored(spark, store, "t",
+            terms = Seq("vector", "scan", "batch"), k = 100).count() > 0)
+        search() // warm-up
+        val walls = (1 to 3).map(_ => time(search())).sorted
+        (tb, walls(1))
+      } finally store.destroy()
+    }
+    def runAll(dir: String): Seq[(String, Double)] = {
+      val (bm25Build, bm25Search) = bm25Walls(dir)
+      Seq(
+        "pipeline_training_data" ->
+          time(SparkEntry.queries("pipeline_training_data")(spark, dir).collect()),
+        "dedup_minhash_tuned" ->
+          time(assert(Dedup.minhashLsh(Tables.documents(spark, dir), "text",
+            "doc_id", shingleSize = 5, bands = 16, rowsPerBand = 8,
+            threshold = 0.8).count() >= 0L)),
+        "ann_ivf_build" -> time(annBuild(dir)),
+        "bm25_index_build" -> bm25Build,
+        "bm25_stored_search" -> bm25Search)
+    }
     val bounds = Map("pipeline_training_data" -> 20.0,
-      "dedup_minhash_tuned" -> 15.0, "ann_ivf_build" -> 15.0)
+      "dedup_minhash_tuned" -> 15.0, "ann_ivf_build" -> 15.0,
+      "bm25_index_build" -> 15.0, "bm25_stored_search" -> 8.0)
     try {
-      val t1 = runAll(out1).toMap
+      var t1 = runAll(out1).toMap
       var t10 = runAll(out10).toMap
-      def ratios(m: Map[String, Double]) =
-        m.map { case (k, v) => k -> v / math.max(t1(k), 1.0) }
-      if (ratios(t10).exists { case (k, r) => r > bounds(k) })
-        t10 = runAll(out10).toMap // throttle-wave re-measure
-      val rs = ratios(t10)
+      def ratios(b1: Map[String, Double], b10: Map[String, Double]) =
+        b10.map { case (k, v) => k -> v / math.max(b1(k), 1.0) }
+      if (ratios(t1, t10).exists { case (k, r) => r > bounds(k) }) {
+        // throttle-wave re-measure: BOTH scales, same window (r15 ADVICE)
+        t1 = runAll(out1).toMap
+        t10 = runAll(out10).toMap
+      }
+      val rs = ratios(t1, t10)
       info(t1.keys.toSeq.sorted.map(k =>
         f"$k: 1x ${t1(k)}%.2fs -> 10x ${t10(k)}%.2fs (${rs(k)}%.1fx)").mkString("; "))
       rs.foreach { case (k, r) =>
