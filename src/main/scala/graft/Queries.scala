@@ -2522,7 +2522,13 @@ object GraftQueries {
     * so the full 500-row labeling hash-matches a DuckDB WITH RECURSIVE
     * reachability oracle. */
   val dedupClusters: Q = (s, d) =>
-    Dedup.clusters(Tables.documents(s, d), "text", "doc_id", threshold = 0.8)
+    // 32x8 banding = the bandingAdvisor recommendation at t=0.8 over a
+    // 256-hash budget (see cleanCorpusDecisions — pair set measured
+    // exactly equal to the exact join at every gate scale, so the
+    // components and the full oracle are unchanged; the background-
+    // dominated candidate stream is ~400x smaller)
+    Dedup.clusters(Tables.documents(s, d), "text", "doc_id", threshold = 0.8,
+        bands = 32, rowsPerBand = 8)
       .orderBy("doc_id")
 
   /** Quality-aware canonical selection — [[graft.operators.Dedup.keepBest]]
@@ -2534,7 +2540,8 @@ object GraftQueries {
     * quality CTE and the same per-cluster (quality DESC, id) rank. */
   val dedupKeepBest: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val clusters = Dedup.clusters(docs, "text", "doc_id", threshold = 0.8)
+    val clusters = Dedup.clusters(docs, "text", "doc_id", threshold = 0.8,
+        bands = 32, rowsPerBand = 8)
       .select("doc_id", "cluster_id")
     val scores = TextAnalysis.textStats(docs).select(col("doc_id"), col("quality"))
     Dedup.keepBest(clusters, scores, "doc_id", "quality")
@@ -3220,7 +3227,24 @@ object GraftQueries {
     val stats = TextAnalysis.textStats(docs).select("doc_id", "quality")
     val lm = unigramLogProb(docs).select("doc_id", "avg_logp")
     val exact = Dedup.exact(docs, "text", "doc_id").select("doc_id", "is_duplicate")
-    val nearLosers = Dedup.minhashLsh(docs, "text", "doc_id", threshold = 0.8)
+    // banding per the engine's OWN advisor (Dedup.bandingAdvisor at
+    // threshold 0.8 over 256 hashes recommends 32 bands x 8 rows —
+    // largest rows-per-band clearing the 0.9 recall floor, p(0.8) =
+    // 0.997): on this low-entropy corpus the previous 32x4 default
+    // (s-curve midpoint 0.42) made the candidate stream background-
+    // dominated (925k verified pairs at sf0.1 — the r15 10x probe's
+    // finding), all of it inside THIS composed pipeline's gates job. At
+    // 8-row bands the j~0.22 background collides at ~2e-4 (a ~400x
+    // candidate cut) — and the doubled hash budget buys the recall
+    // headroom the 128-hash 16x8 form lacks: a REAL sf0.1 pair at
+    // j=0.8298 (docs 1568/2466) deterministically misses 16x8 but
+    // collides here; a measured Spark differential (LSH pair set ==
+    // exact ngramJaccardJoin at t=0.8) is clean at every gate scale,
+    // and the exact-Jaccard oracle twins stay full-recall-checked at
+    // the driver's sf0.01. dedup_minhash itself keeps 32x4: its row set
+    // IS the recall proof at those parameters.
+    val nearLosers = Dedup.minhashLsh(docs, "text", "doc_id",
+        bands = 32, rowsPerBand = 8, threshold = 0.8)
       .select(col("id_b").as("doc_id")).distinct()
       .withColumn("near_dup", lit(true))
     docs.select("doc_id")

@@ -944,8 +944,10 @@ object Dedup {
     * for sizes on top of the component rounds.
     */
   def clusters(df: DataFrame, textCol: String, idCol: String,
-               threshold: Double): DataFrame = {
-    val pairs = minhashLsh(df, textCol, idCol, threshold = threshold).select("id_a", "id_b")
+               threshold: Double, bands: Int = 32,
+               rowsPerBand: Int = 4): DataFrame = {
+    val pairs = minhashLsh(df, textCol, idCol, bands = bands,
+      rowsPerBand = rowsPerBand, threshold = threshold).select("id_a", "id_b")
     val comp = connectedComponents(pairs, "id_a", "id_b")
     val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
     df.select(col(idCol).as("doc_id"))

@@ -411,6 +411,14 @@ class DedupSpec extends SparkSpec {
     val low = Dedup.bandingAdvisor(d, "text", "doc_id", threshold = 0.5,
       nHashes = 128).head()
     assert(low.getInt(low.fieldIndex("rows_per_band")) < 8)
+    // a BIGGER hash budget keeps the 8-row curve and doubles the bands —
+    // 32x8 is what cleanCorpusDecisions runs (p(0.8)=0.997 recall
+    // headroom; a real sf0.1 pair at j=0.8298 needs it — see the
+    // cleanCorpusDecisions scaladoc)
+    val big = Dedup.bandingAdvisor(d, "text", "doc_id", threshold = 0.8,
+      nHashes = 256, defaultBands = 64, defaultRowsPerBand = 4).head()
+    assert(big.getInt(big.fieldIndex("bands")) == 32)
+    assert(big.getInt(big.fieldIndex("rows_per_band")) == 8)
   }
 
   test("ipow matches math.pow to double precision and is exactly reproducible") {
