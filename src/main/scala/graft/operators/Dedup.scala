@@ -263,6 +263,50 @@ object Dedup {
     * Appending a committed batch's own signatures keeps the index
     * current (the nightly pattern of [[minhashLshIncremental]]'s doc).
     */
+  /** Sidecar recording a signature index's (shingleSize, bands,
+    * rowsPerBand) — the parameters are part of the LAYOUT's identity: a
+    * batch banded at different parameters joins the stored keys on
+    * garbage and silently returns an empty/wrong candidate set, the
+    * nastiest failure mode a stored index can have. Written by
+    * [[buildSignatureIndex]], VALIDATED by [[appendToSignatureIndex]];
+    * readable via [[signatureIndexParams]] so a caller can band its
+    * query side to match instead of guessing. (Banding became properly
+    * variable the moment [[bandingAdvisor]] started recommending
+    * per-threshold parameters — a fixed-default world never hit this.) */
+  private[graft] val SignatureIndexPropsFile = "_minhash_index.properties"
+
+  private def writeSignatureProps(store: graft.store.VectorStore,
+                                  name: String, shingleSize: Int,
+                                  bands: Int, rowsPerBand: Int): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("shingle_size", shingleSize.toString)
+    props.setProperty("bands", bands.toString)
+    props.setProperty("rows_per_band", rowsPerBand.toString)
+    graft.store.StoreFs.forPath(store.root).writePropsAtomic(
+      s"${store.root}/${name}_bands/$SignatureIndexPropsFile", props,
+      "graft minhash signature-index parameters")
+  }
+
+  /** (shingleSize, bands, rowsPerBand) of a stored signature index, or
+    * None for an index written before the sidecar existed. */
+  def signatureIndexParams(store: graft.store.VectorStore,
+                           name: String): Option[(Int, Int, Int)] =
+    graft.store.StoreFs.forPath(store.root)
+      .readProps(s"${store.root}/${name}_bands/$SignatureIndexPropsFile")
+      .map(p => (p.getProperty("shingle_size").toInt,
+        p.getProperty("bands").toInt, p.getProperty("rows_per_band").toInt))
+
+  private def requireSignatureParams(store: graft.store.VectorStore,
+                                     name: String, shingleSize: Int,
+                                     bands: Int, rowsPerBand: Int): Unit =
+    signatureIndexParams(store, name).foreach { case (ss, b, r) =>
+      require(ss == shingleSize && b == bands && r == rowsPerBand,
+        s"signature index '$name' was built at shingle=$ss ${b}x$r but this " +
+          s"call bands at shingle=$shingleSize ${bands}x$rowsPerBand — " +
+          "mismatched banding joins the stored keys on garbage; read " +
+          "Dedup.signatureIndexParams and band to match")
+    }
+
   def buildSignatureIndex(store: graft.store.VectorStore, name: String,
                           docs: DataFrame, textCol: String, idCol: String,
                           shingleSize: Int = 5, bands: Int = 32,
@@ -273,6 +317,7 @@ object Dedup {
     store.create(s"${name}_bands",
       bandedOf(sh, bands * rowsPerBand, bands)
         .select(col("_band"), col("_bandhash"), col("_id"), col("_n")))
+    writeSignatureProps(store, name, shingleSize, bands, rowsPerBand)
   }
 
   /** Append a committed batch's signatures to an existing index — the
@@ -285,6 +330,9 @@ object Dedup {
                              batch: DataFrame, textCol: String, idCol: String,
                              shingleSize: Int = 5, bands: Int = 32,
                              rowsPerBand: Int = 4): Unit = {
+    // loud failure beats silently appending keys no query will match
+    // (pre-sidecar indexes pass unchecked — the `_n` back-compat rule)
+    requireSignatureParams(store, name, shingleSize, bands, rowsPerBand)
     val sh = shingleRelation(batch, textCol, idCol, shingleSize)
       .localCheckpoint(true)
     store.append(s"${name}_shingles", sh)

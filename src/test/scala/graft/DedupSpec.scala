@@ -365,6 +365,18 @@ class DedupSpec extends SparkSpec {
       Dedup.appendToSignatureIndex(store, "nd", day1, "text", "doc_id")
       // day 2 finds dups against BOTH the original corpus and day 1
       assert(check(day2) == Set((20L, 10L), (21L, 1L)))
+      // the sidecar pins the layout's banding identity: readable back,
+      // and a mismatched-banding append fails LOUDLY instead of writing
+      // keys no query at the build parameters would ever match
+      assert(Dedup.signatureIndexParams(store, "nd").contains((5, 32, 4)))
+      intercept[IllegalArgumentException] {
+        Dedup.appendToSignatureIndex(store, "nd", day2, "text", "doc_id",
+          bands = 16, rowsPerBand = 8)
+      }
+      intercept[IllegalArgumentException] {
+        Dedup.appendToSignatureIndex(store, "nd", day2, "text", "doc_id",
+          shingleSize = 7)
+      }
     } finally {
       graft.store.VectorStore(scratch).destroy()
     }
