@@ -135,6 +135,32 @@ object GraftOracles {
        |FROM nn, bg, dec, probs""".stripMargin
   }
 
+  /** Twin of dedup_minhash_auto — the exact-Jaccard join (recall proof
+    * AT the chosen banding) with the banding DECISION replayed: the same
+    * descending divisor scan over the 256-hash budget as
+    * Dedup.chooseBanding, each probability the identical [[ipowSql]]
+    * multiply chain, the chosen (bands, rows_per_band) on every row. */
+  private def minhashAutoSql: String = {
+    val nH = 256
+    val divisorsDesc = (1 to nH).filter(nH % _ == 0).reverse
+    val rCase = divisorsDesc
+      .map(r =>
+        s"WHEN ${sCurvePSql("0.8", r, nH / r)} >= CAST(0.9 AS DOUBLE) THEN $r")
+      .mkString("\n    ")
+    s"""${shinglesCte()},
+       |dec AS (SELECT CASE
+       |    $rCase
+       |    ELSE 1 END AS r FROM (SELECT 1))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(len(list_intersect(a.s, b.s))::DOUBLE /
+       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) AS jaccard,
+       |  CAST($nH // dec.r AS INT) AS bands, CAST(dec.r AS INT) AS rows_per_band
+       |FROM sh a JOIN sh b ON a.doc_id < b.doc_id, dec
+       |WHERE round(len(list_intersect(a.s, b.s))::DOUBLE /
+       |        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.8
+       |ORDER BY 1,2""".stripMargin
+  }
+
   /** shingle-set CTE used by the jaccard oracles */
   private def shinglesCte(extraCols: String = "") =
     s"""WITH sh AS (
@@ -2088,6 +2114,12 @@ object GraftOracles {
         |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
         |  UNION ALL SELECT 'plain', 'collection', (SELECT n FROM c),
         |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+        |  UNION ALL SELECT 'sig_docs_bands', 'minhash_bands',
+        |    (SELECT 32 * CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 3 = 0),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
+        |  UNION ALL SELECT 'sig_docs_shingles', 'minhash_shingles',
+        |    (SELECT CAST(count(*) AS BIGINT) FROM documents WHERE doc_id % 3 = 0),
+        |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
         |  UNION ALL SELECT 'sparse_docs', 'sparse',
         |    (SELECT CAST(count(*) AS BIGINT) FROM tk WHERE doc_id % 5 = 0),
         |    CAST(NULL AS BIGINT), CAST(NULL AS BOOLEAN)
@@ -3281,6 +3313,8 @@ object GraftOracles {
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "dedup_banding_advisor" -> bandingAdvisorSql,
+
+    "dedup_minhash_auto" -> minhashAutoSql,
 
     "dedup_minhash" ->
       s"""${shinglesCte()}

@@ -634,6 +634,12 @@ object GraftQueries {
               .select(col("vec_id"), col("embedding")), "vec_id")
           graft.operators.MutableSq.attach(s, store, "mut_clean", "embedding",
             "mut_sq", ncells = 4, iters = 2)
+          // the nightly near-dup's stored signature relations (r16):
+          // the catalog must name both halves of the seventh index
+          // family — bands by the parameter sidecar, shingles by shape
+          Dedup.buildSignatureIndex(store, "sig_docs",
+            Tables.documents(s, d).filter(col("doc_id") % 3 === 0),
+            "text", "doc_id")
         } finally e.unpersist()
         FixtureFs.deleteOnExit(root)
         store
@@ -2494,6 +2500,18 @@ object GraftQueries {
   val dedupBandingAdvisor: Q = (s, d) =>
     Dedup.bandingAdvisor(Tables.documents(s, d), "text", "doc_id",
       threshold = 0.8, nHashes = 128)
+
+  /** Self-tuning MinHash near-dup — [[Dedup.minhashLshAuto]]: the
+    * advisor's banding choice EXECUTED, with the chosen
+    * (bands, rows_per_band) riding every row so the decision sits under
+    * the hash and the exact-Jaccard oracle simultaneously proves recall
+    * AT the chosen banding (32x8 from the 256-hash budget at t=0.8 —
+    * the pair set is measured exactly equal to the exact join at every
+    * test scale). */
+  val dedupMinhashAuto: Q = (s, d) =>
+    Dedup.minhashLshAuto(Tables.documents(s, d), "text", "doc_id",
+        threshold = 0.8)
+      .orderBy("id_a", "id_b")
 
   /** Exact n-gram Jaccard similarity join with language blocking and the
     * lossless set-size prune. */
@@ -5527,6 +5545,7 @@ object GraftQueries {
     "dedup_banding_advisor" -> dedupBandingAdvisor,
     "dedup_exact" -> dedupExact,
     "dedup_minhash" -> dedupMinhash,
+    "dedup_minhash_auto" -> dedupMinhashAuto,
     "dedup_ngram" -> dedupNgram,
     "dedup_simhash" -> dedupSimhash,
     "dedup_embedding" -> dedupEmbedding,

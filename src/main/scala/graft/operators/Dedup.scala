@@ -407,6 +407,49 @@ object Dedup {
   private[graft] def sCurveP(j: Double, rows: Int, bands: Int): Double =
     1.0 - ipow(1.0 - ipow(j, rows), bands)
 
+  /** The banding DECISION shared by [[bandingAdvisor]] (reports it) and
+    * [[minhashLshAuto]] (executes it): the LARGEST rows-per-band whose
+    * collision probability at the threshold still clears `recallFloor`
+    * — the steepest s-curve (fewest background candidates) that cannot
+    * cost real recall. Returns (bands, rowsPerBand). Pure arithmetic in
+    * (threshold, nHashes, recallFloor); corpus statistics inform the
+    * advisor's ESTIMATES, never the choice — which is what lets a SQL
+    * oracle replay it from literals. */
+  def chooseBanding(threshold: Double, nHashes: Int,
+                    recallFloor: Double = 0.9): (Int, Int) = {
+    val divisorsDesc = (1 to nHashes).filter(nHashes % _ == 0).reverse
+    val r = divisorsDesc
+      .find(r => sCurveP(threshold, r, nHashes / r) >= recallFloor)
+      .getOrElse(1)
+    (nHashes / r, r)
+  }
+
+  /** Self-tuning MinHash near-dup join — [[minhashLsh]] at the banding
+    * [[chooseBanding]] picks for the threshold (the
+    * [[Similarity.vectorPercolateAuto]] discipline: nothing should
+    * silently run a fixed 32x4 curve for every threshold — the r15 10x
+    * probe measured that default generating a background-dominated
+    * candidate stream, 925k verified pairs from 5k docs). The chosen
+    * (bands, rows_per_band) ride every output row, so the gate hash
+    * covers the DECISION, not just the surviving pairs; the exact
+    * verify step makes precision exact at any banding, and recall sits
+    * at the s-curve value the floor guarantees (>= 0.997 at the default
+    * 256-hash budget and t=0.8 — measured pair-set-EQUAL to the exact
+    * join at every test scale; see cleanCorpusDecisions).
+    *
+    * Default nHashes=256, not 128: recall headroom is cheap (one more
+    * minhash pass per shingle) while a missed true pair is forever — a
+    * real sf0.1 pair at j=0.8298 deterministically misses the 128-hash
+    * 16x8 curve and collides at 32x8. */
+  def minhashLshAuto(df: DataFrame, textCol: String, idCol: String,
+                     threshold: Double, nHashes: Int = 256,
+                     shingleSize: Int = 5,
+                     recallFloor: Double = 0.9): DataFrame = {
+    val (b, r) = chooseBanding(threshold, nHashes, recallFloor)
+    minhashLsh(df, textCol, idCol, shingleSize, b, r, threshold)
+      .withColumn("bands", lit(b)).withColumn("rows_per_band", lit(r))
+  }
+
   /** MinHash banding ADVISOR — chooses the s-curve-correct
     * (bands, rowsPerBand) for a dedup threshold and prices the
     * candidate stream the corpus' own background similarity implies,
@@ -482,12 +525,7 @@ object Dedup {
     val (m, sumMu) = st
     val bgMu = if (m == 0) 0L else sumMu / m
     val j = bgMu.toDouble / 1e6
-    // largest rows-per-band still clearing the recall floor at threshold
-    val divisorsDesc = (1 to nHashes).filter(nHashes % _ == 0).reverse
-    val rSel = divisorsDesc
-      .find(r => sCurveP(threshold, r, nHashes / r) >= recallFloor)
-      .getOrElse(1)
-    val bSel = nHashes / rSel
+    val (bSel, rSel) = chooseBanding(threshold, nHashes, recallFloor)
     val mu = (x: Double) => math.floor(x * 1e6 + 0.5).toLong
     val nPairs = n * (n - 1) / 2
     val est = (p: Double) => math.floor(nPairs.toDouble * p).toLong

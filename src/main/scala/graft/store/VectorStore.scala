@@ -202,6 +202,10 @@ final case class VectorStore(root: String) {
             .isDefined) "text"
           else if (sfs.readProps(s"${path(name)}/${VectorStore.SparseIndexPropsFile}")
             .isDefined) "sparse"
+          else if (sfs.readProps(
+            s"${path(name)}/${graft.operators.Dedup.SignatureIndexPropsFile}")
+            .isDefined) "minhash_bands"
+          else if (fields.contains("_sh")) "minhash_shingles"
           else if (MutableCollection.Marker.read(path(name)).isDefined) "mutable"
           else if (fields.contains("neighbors")) "graph"
           else if (fields.contains("bq_lo")) "bq"

@@ -433,6 +433,28 @@ class DedupSpec extends SparkSpec {
     assert(big.getInt(big.fieldIndex("rows_per_band")) == 8)
   }
 
+  test("minhashLshAuto executes chooseBanding's pick; pairs equal the explicit form") {
+    val d = Tables.documents(spark, sf)
+    assert(Dedup.chooseBanding(0.8, 256) == ((32, 8)))
+    assert(Dedup.chooseBanding(0.8, 128) == ((16, 8)))
+    // at t=0.5 even 4-row bands miss the floor (p=0.873) -> 64x2
+    assert(Dedup.chooseBanding(0.5, 128) == ((64, 2)))
+    // higher threshold -> steeper curve (rows-per-band monotone up)
+    val rows = Seq(0.3, 0.5, 0.7, 0.9).map(t => Dedup.chooseBanding(t, 256)._2)
+    assert(rows == rows.sorted, s"rows-per-band not monotone in threshold: $rows")
+    val auto = Dedup.minhashLshAuto(d, "text", "doc_id", threshold = 0.8)
+    val row = auto.head()
+    assert(row.getInt(row.fieldIndex("bands")) == 32)
+    assert(row.getInt(row.fieldIndex("rows_per_band")) == 8)
+    val a = auto.select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val explicit = Dedup.minhashLsh(d, "text", "doc_id",
+        bands = 32, rowsPerBand = 8, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == explicit)
+    assert(a.nonEmpty)
+  }
+
   test("ipow matches math.pow to double precision and is exactly reproducible") {
     for (x <- Seq(0.0, 0.172902, 0.5, 0.8, 0.999999, 1.0); n <- Seq(1, 2, 4, 7, 8, 16, 32, 128)) {
       val got = Dedup.ipow(x, n)
