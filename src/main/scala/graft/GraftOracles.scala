@@ -852,34 +852,36 @@ object GraftOracles {
     * binds at gate scale (<=2000 vectors), so the twin trains on every
     * row. Ends at `scellf` = (vec_id, embedding, cid) under the FINAL
     * centroids `sc<iters>`. */
-  private def simIvfCte(k: Int, iters: Int): String = {
+  private def simIvfCte(k: Int, iters: Int, srcWhere: String = "TRUE",
+                        pfx: String = "s"): String = {
     def rawDist(c: String) =
       s"""list_sum(list_transform(range(1,65),
          |      i -> (e.embedding[CAST(i AS INT)]::DOUBLE - $c.v[CAST(i AS INT)])
          |         * (e.embedding[CAST(i AS INT)]::DOUBLE - $c.v[CAST(i AS INT)])))""".stripMargin
     def round(i: Int, prev: String): String =
-      s"""sd$i AS (SELECT e.vec_id, e.embedding, c.cid, ${rawDist("c")} AS dr
-         |  FROM embeddings e CROSS JOIN $prev c),
-         |sa$i AS (SELECT vec_id, embedding, cid,
-         |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn FROM sd$i),
-         |ss$i AS (SELECT vec_id, embedding, cid FROM sa$i WHERE rn = 1),
-         |sm$i AS (SELECT cid, u.p AS pos,
+      s"""${pfx}d$i AS (SELECT e.vec_id, e.embedding, c.cid, ${rawDist("c")} AS dr
+         |  FROM ${pfx}src e CROSS JOIN $prev c),
+         |${pfx}a$i AS (SELECT vec_id, embedding, cid,
+         |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn FROM ${pfx}d$i),
+         |${pfx}s$i AS (SELECT vec_id, embedding, cid FROM ${pfx}a$i WHERE rn = 1),
+         |${pfx}m$i AS (SELECT cid, u.p AS pos,
          |    CAST(sum(CAST(trunc(embedding[CAST(u.p + 1 AS INT)]::DOUBLE * 16777216) AS BIGINT)) AS DOUBLE)
          |      / count(*) / 16777216 AS mval
-         |  FROM ss$i, unnest(range(0, 64)) AS u(p) GROUP BY 1, 2),
-         |scm$i AS (SELECT cid, list(CAST(CAST(mval AS FLOAT) AS DOUBLE) ORDER BY pos) AS v
-         |  FROM sm$i GROUP BY 1),
-         |sc$i AS (SELECT * FROM scm$i UNION ALL
-         |  SELECT * FROM $prev p WHERE p.cid NOT IN (SELECT cid FROM scm$i))""".stripMargin
-    s"""sseeds AS (SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cid
-       |  FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $k)),
-       |sc0 AS (SELECT cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM sseeds),
-       |${(1 to iters).map(i => round(i, s"sc${i - 1}")).mkString(",\n")},
-       |sdf AS (SELECT e.vec_id, e.embedding, c.cid, ${rawDist(s"c")} AS dr
-       |  FROM embeddings e CROSS JOIN sc$iters c),
-       |saf AS (SELECT vec_id, embedding, cid,
-       |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn FROM sdf),
-       |scellf AS (SELECT vec_id, embedding, cid FROM saf WHERE rn = 1)""".stripMargin
+         |  FROM ${pfx}s$i, unnest(range(0, 64)) AS u(p) GROUP BY 1, 2),
+         |${pfx}cm$i AS (SELECT cid, list(CAST(CAST(mval AS FLOAT) AS DOUBLE) ORDER BY pos) AS v
+         |  FROM ${pfx}m$i GROUP BY 1),
+         |${pfx}c$i AS (SELECT * FROM ${pfx}cm$i UNION ALL
+         |  SELECT * FROM $prev p WHERE p.cid NOT IN (SELECT cid FROM ${pfx}cm$i))""".stripMargin
+    s"""${pfx}src AS (SELECT vec_id, embedding FROM embeddings WHERE $srcWhere),
+       |${pfx}seeds AS (SELECT embedding, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+       |  FROM (SELECT * FROM ${pfx}src ORDER BY vec_id LIMIT $k)),
+       |${pfx}c0 AS (SELECT cid, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM ${pfx}seeds),
+       |${(1 to iters).map(i => round(i, s"${pfx}c${i - 1}")).mkString(",\n")},
+       |${pfx}df AS (SELECT e.vec_id, e.embedding, c.cid, ${rawDist(s"c")} AS dr
+       |  FROM embeddings e CROSS JOIN ${pfx}c$iters c),
+       |${pfx}af AS (SELECT vec_id, embedding, cid, dr,
+       |    row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn FROM ${pfx}df),
+       |${pfx}cellf AS (SELECT vec_id, embedding, cid FROM ${pfx}af WHERE rn = 1)""".stripMargin
   }
 
   /** Shared twin of ann_bq_topk / ann_bq_store (identical answers — the
@@ -3100,6 +3102,64 @@ object GraftOracles {
         |    (SELECT n_garbage FROM sqa) > 0 AND (SELECT worst FROM sqa) > 100000,
         |    'after', (SELECT count(*) FROM dirty) > 0)
         |ORDER BY phase, "index"""".stripMargin,
+
+    // Twin of ann_retrain_advisor — the retrain DECISION under the
+    // hash: both arms' routers re-derived relationally (simIvf CTE at
+    // each arm's training source — full corpus for the clean arm,
+    // standing slice for the stale one), the stale arm's 2x-scaled
+    // arrivals assigned by the frozen router (x*2 is exact in float32,
+    // so embedding[i]::DOUBLE * 2 is the identical vector), every
+    // per-row error
+    // floor-rounded to LONG micro-units BEFORE summing (order-free
+    // integer aggregation — the exact Scala discipline), and the two
+    // ppm ratios + threshold comparisons replayed as integer CASE
+    // arithmetic. The clean arm's growth is exactly 1_000_000 by
+    // construction (baseline == current), so a drifted baseline
+    // sidecar, a wrong rounding, or an inverted threshold hash-fails.
+    "ann_retrain_advisor" ->
+      s"""WITH ${simIvfCte(8, 2, "TRUE", "cl")},
+         |${simIvfCte(8, 2, "vec_id % 10 <> 7", "st")},
+         |clrows AS (SELECT cid, CAST(floor(dr * 1e6 + 0.5) AS BIGINT) AS mu
+         |  FROM claf WHERE rn = 1),
+         |clagg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT cid) AS BIGINT) AS ncells,
+         |    CAST(sum(mu) AS BIGINT) AS se FROM clrows),
+         |clmx AS (SELECT CAST(max(c) AS BIGINT) AS mx FROM (
+         |    SELECT count(*) AS c FROM clrows GROUP BY cid)),
+         |strows0 AS (SELECT cid, CAST(floor(dr * 1e6 + 0.5) AS BIGINT) AS mu
+         |  FROM staf WHERE rn = 1 AND vec_id % 10 <> 7),
+         |strev AS (SELECT e.vec_id, c.cid, list_sum(list_transform(range(1,65),
+         |      i -> (e.embedding[CAST(i AS INT)]::DOUBLE * 2 - c.v[CAST(i AS INT)])
+         |         * (e.embedding[CAST(i AS INT)]::DOUBLE * 2 - c.v[CAST(i AS INT)]))) AS dr
+         |  FROM embeddings e CROSS JOIN stc2 c WHERE e.vec_id % 10 = 7),
+         |streva AS (SELECT cid, CAST(floor(dr * 1e6 + 0.5) AS BIGINT) AS mu
+         |  FROM (SELECT cid, dr,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY dr, cid) AS rn
+         |    FROM strev) WHERE rn = 1),
+         |strows AS (SELECT * FROM strows0 UNION ALL SELECT * FROM streva),
+         |stagg AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT cid) AS BIGINT) AS ncells,
+         |    CAST(sum(mu) AS BIGINT) AS se FROM strows),
+         |stmx AS (SELECT CAST(max(c) AS BIGINT) AS mx FROM (
+         |    SELECT count(*) AS c FROM strows GROUP BY cid)),
+         |stbase AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(mu) AS BIGINT) AS se FROM strows0)
+         |SELECT * FROM (
+         |  SELECT 'clean' AS arm, n AS n_rows, CAST(ncells AS INT) AS n_cells,
+         |    se // n AS build_mean_err_mu, se // n AS mean_err_mu,
+         |    CAST(1000000 AS BIGINT) AS err_growth_ppm,
+         |    (SELECT mx FROM clmx) * 1000000 // n AS max_cell_share_ppm,
+         |    (SELECT mx FROM clmx) * 1000000 // n > 500000 AS retrain_recommended
+         |  FROM clagg
+         |  UNION ALL
+         |  SELECT 'stale', a.n, CAST(a.ncells AS INT),
+         |    b.se // b.n, a.se // a.n,
+         |    (a.se // a.n) * 1000000 // (b.se // b.n),
+         |    (SELECT mx FROM stmx) * 1000000 // a.n,
+         |    (a.se // a.n) * 1000000 // (b.se // b.n) > 1200000
+         |      OR (SELECT mx FROM stmx) * 1000000 // a.n > 500000
+         |  FROM stagg a, stbase b)
+         |ORDER BY arm""".stripMargin,
 
     // Twin of ann_graph_adaptive: both filter arms' exact top-10 (the
     // selective arm takes the exact 'pre' branch outright; the broad arm

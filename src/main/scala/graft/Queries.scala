@@ -1283,6 +1283,48 @@ object GraftQueries {
     } finally { e.unpersist(); store.destroy() }
   }
 
+  /** RETRAIN ADVISOR under the gate hash
+    * ([[graft.operators.Similarity.ivfRetrainAdvisor]]) — the decision
+    * operator that completes the retrain lifecycle: the verbs existed
+    * for all five families but nothing DECIDED when drift warrants the
+    * O(collection) rebuild. Two self-describing layouts, one advisor
+    * call each, both rows under one FULL hash: the CLEAN arm's router
+    * trained on everything it serves (err growth exactly 1.0 — must not
+    * recommend), the STALE arm's router trained on the standing slice
+    * with a drifted nightly append (reversed vectors, the registry's
+    * standard distribution shift) through the frozen router — its
+    * quantization error growth must cross the threshold and recommend.
+    * The drift is a 2x magnitude scale on the arrivals — the classic
+    * embedder-version-change failure, and EXACT in float32 (exponent
+    * increment), so both engines derive identical scaled vectors. The
+    * oracle re-derives both routers relationally (simIvf CTE at each
+    * arm's training source), replays the micro-unit error sums, the
+    * ppm ratios, and both decisions. */
+  val annRetrainAdvisor: Q = (s, d) => {
+    // both arms are pure READS of self-describing layouts — the
+    // pristine fixture serves them directly (no clone, no destroy)
+    val (store, _) = MutationFixture.pristineFor(s, d, "retrain_adv") { st =>
+      val e = Tables.embeddings(s, d)
+      Similarity.buildIvfIndex(st, "vectors_clean", e, "embedding", "vec_id",
+        ncells = 8, trainIters = 2)
+      val cents = Similarity.buildIvfIndex(st, "vectors_stale",
+        e.filter(col("vec_id") % 10 =!= 7), "embedding", "vec_id",
+        ncells = 8, trainIters = 2)
+      Similarity.insertIntoStoredIvf(st, "vectors_stale",
+        e.filter(col("vec_id") % 10 === 7)
+          .withColumn("embedding",
+            transform(col("embedding"), x => x * lit(2.0f))),
+        "embedding", "vec_id", cents): Unit
+    }
+    def adv(arm: String, name: String) =
+      Similarity.ivfRetrainAdvisor(s, store, name, "embedding")
+        .withColumn("arm", lit(arm))
+    val out = adv("clean", "vectors_clean")
+      .unionByName(adv("stale", "vectors_stale"))
+      .orderBy("arm")
+    s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
+  }
+
   /** ANN over a LIVE MUTABLE collection — the Chroma semantic
     * (upsert/delete + query) at the storage layer
     * ([[graft.operators.MutableIvf]]): an IVF index attached to a
@@ -5687,6 +5729,7 @@ object GraftQueries {
     "ann_ivfsq_incremental" -> annIvfSqIncremental,
     "ann_ivfpq_incremental" -> annIvfPqIncremental,
     "ann_ivf_retrain" -> annIvfRetrain,
+    "ann_retrain_advisor" -> annRetrainAdvisor,
     "ann_sq_retrain" -> annSqRetrain,
     "ann_pq_retrain" -> annPqRetrain,
     "ann_bq_retrain" -> annBqRetrain,

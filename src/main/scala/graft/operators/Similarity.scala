@@ -368,8 +368,12 @@ object Similarity {
                     sampleCap: Int = 100000): Array[(Int, Array[Float])] = {
     val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters, sampleCap)
     store.create(name, withCellId(collection, vecCol, cents), partitionBy = Seq("cell_id"))
-    // the index is self-describing: the frozen router travels with it
+    // the index is self-describing: the frozen router travels with it,
+    // and so does its build-time quality snapshot — the retrain
+    // advisor's baseline (one extra assignment pass, build-time only)
     writeStoredRouter(store, name, cents)
+    writeRouterStats(store, name,
+      routerStats(withCellId(collection, vecCol, cents), vecCol, cents))
     cents
   }
 
@@ -409,6 +413,113 @@ object Similarity {
             props.getProperty(key).split(",").map(_.toFloat)))
           .sortBy(_._1).toArray
       }
+
+  // ----------------------------------- retrain advisor (router drift)
+
+  /** Router-quality snapshot in EXACT fixed point. `meanErrMu` is the
+    * mean squared-L2 of each stored vector to its ASSIGNED cell's
+    * centroid, each row floor-rounded to integer micro-units BEFORE the
+    * sum — all-LONG aggregation is order-free, so the value is
+    * bit-reproducible on any engine (the cross-engine discipline every
+    * gate ratio uses). `maxCellSharePpm` is the occupancy skew:
+    * largest cell / total, in ppm. */
+  final case class RouterStats(nRows: Long, nCells: Int,
+                               maxCellSharePpm: Long, meanErrMu: Long)
+
+  /** Measure [[RouterStats]] for a cell-assigned layout against its
+    * router. One full layout scan (O(index) by nature — like
+    * `compactionReport`, this is a scheduled-maintenance read, not a
+    * query-path one) with a broadcast ncells-row centroid join; the
+    * per-cell partials are a bounded (≤ ncells) driver fold. */
+  def routerStats(layout: DataFrame, vecCol: String,
+                  cents: Array[(Int, Array[Float])]): RouterStats = {
+    val s = layout.sparkSession
+    import s.implicits._
+    val centDf = cents.toSeq.toDF("cell_id", "cent")
+    val perCell = layout
+      .select(col("cell_id").cast("int").as("cell_id"),
+        col(vecCol).cast("array<float>").as("_v"))
+      .join(broadcast(centDf), Seq("cell_id"))
+      .select(col("cell_id"),
+        floor(l2Sq(col("_v"), col("cent")) * 1e6 + 0.5).cast("long").as("err_mu"))
+      .groupBy("cell_id")
+      .agg(count(lit(1)).as("n"), sum("err_mu").as("s"))
+      .collect() // bounded: ≤ ncells rows
+    val n = perCell.map(_.getLong(1)).sum
+    val errSum = perCell.map(_.getLong(2)).sum
+    RouterStats(n, perCell.length,
+      if (n == 0) 0L else perCell.map(_.getLong(1)).max * 1000000L / n,
+      if (n == 0) 0L else errSum / n)
+  }
+
+  /** Build-time router-quality sidecar — the retrain advisor's
+    * BASELINE. [[buildIvfIndex]] records it next to the router, so the
+    * layout is self-describing for the drift question too: any later
+    * session can ask "has quantization error grown since this router
+    * was fitted?" from the store alone. */
+  private val RouterStatsFile = "_router_stats.properties"
+
+  private[graft] def writeRouterStats(store: graft.store.VectorStore,
+                                      name: String, st: RouterStats): Unit = {
+    val props = new java.util.Properties()
+    props.setProperty("n_rows", st.nRows.toString)
+    props.setProperty("n_cells", st.nCells.toString)
+    props.setProperty("max_cell_share_ppm", st.maxCellSharePpm.toString)
+    props.setProperty("mean_err_mu", st.meanErrMu.toString)
+    graft.store.StoreFs.forPath(store.root).writePropsAtomic(
+      s"${store.root}/$name/$RouterStatsFile", props,
+      "graft stored-ivf build-time router stats")
+  }
+
+  def readRouterStats(store: graft.store.VectorStore,
+                      name: String): Option[RouterStats] =
+    graft.store.StoreFs.forPath(store.root)
+      .readProps(s"${store.root}/$name/$RouterStatsFile")
+      .map(p => RouterStats(p.getProperty("n_rows").toLong,
+        p.getProperty("n_cells").toInt,
+        p.getProperty("max_cell_share_ppm").toLong,
+        p.getProperty("mean_err_mu").toLong))
+
+  /** RETRAIN ADVISOR for a stored-IVF layout — the decision operator the
+    * retrain verbs were missing: [[retrainStoredIvf]] is O(collection)
+    * and scheduled, so something has to DECIDE when drift warrants
+    * paying it (the [[vectorPercolateAuto]] / banding-advisor /
+    * vacuum-advisor discipline, applied to quantizer drift). Reads the
+    * frozen router and the build-time baseline off the self-describing
+    * layout, re-measures [[routerStats]] over the CURRENT content
+    * (frozen-router appends accumulate rows the router never saw), and
+    * recommends when either signal crosses its threshold:
+    *  - `err_growth_ppm` = mean_err_now / mean_err_build in ppm —
+    *    quantization error growing means appends stopped matching the
+    *    training distribution;
+    *  - `max_cell_share_ppm` — occupancy skew; a cell absorbing the
+    *    corpus defeats partition pruning no matter how small the error.
+    * All arithmetic is integer (micro-unit means, ppm ratios), so the
+    * whole decision row replays relationally under the gate hash. */
+  def ivfRetrainAdvisor(spark: org.apache.spark.sql.SparkSession,
+                        store: graft.store.VectorStore, name: String,
+                        vecCol: String,
+                        maxErrGrowthPpm: Long = 200000L,
+                        maxCellSharePpm: Long = 500000L): DataFrame = {
+    val cents = readStoredRouter(store, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$name' carries no router sidecar — not a stored-IVF layout"))
+    val base = readRouterStats(store, name).getOrElse(
+      throw new IllegalArgumentException(
+        s"'$name' carries no build-time router stats — pre-advisor build; " +
+          "rebuild through buildIvfIndex to record the baseline"))
+    val now = routerStats(store.read(spark, name), vecCol, cents)
+    val growthPpm =
+      if (base.meanErrMu == 0L) 1000000L
+      else now.meanErrMu * 1000000L / base.meanErrMu
+    val recommend = growthPpm > 1000000L + maxErrGrowthPpm ||
+      now.maxCellSharePpm > maxCellSharePpm
+    import spark.implicits._
+    Seq((now.nRows, now.nCells, base.meanErrMu, now.meanErrMu, growthPpm,
+        now.maxCellSharePpm, recommend))
+      .toDF("n_rows", "n_cells", "build_mean_err_mu", "mean_err_mu",
+        "err_growth_ppm", "max_cell_share_ppm", "retrain_recommended")
+  }
 
   /** Index-aware auto search — the planner verb: given candidate stored
     * layouts, pick the strongest family available for a cosine top-k
@@ -532,8 +643,13 @@ object Similarity {
     val data = store.read(spark, name).drop("cell_id")
     val cents = trainCentroidArrays(data, vecCol, idCol, ncells, trainIters, sampleCap)
     store.replace(name, withCellId(data, vecCol, cents), partitionBy = Seq("cell_id"))
-    // the router CHANGED — re-persist so the layout stays self-describing
+    // the router CHANGED — re-persist so the layout stays self-describing,
+    // and RESET the advisor's baseline to the retrained geometry: the
+    // advisor -> retrain -> advisor loop must read growth 1.0 after the
+    // rebuild it recommended (a stale baseline would re-recommend forever)
     writeStoredRouter(store, name, cents)
+    writeRouterStats(store, name,
+      routerStats(store.read(spark, name), vecCol, cents))
     cents
   }
 

@@ -166,4 +166,57 @@ class RetrainSpec extends SparkSpec {
       e.unpersist()
     } finally store.destroy()
   }
+
+  test("ivfRetrainAdvisor: clean growth exactly 1.0, drifted append recommends") {
+    val store = freshStore("graft_radv_spec")
+    try {
+      val e = emb.cache()
+      // clean: router trained on everything it serves
+      Similarity.buildIvfIndex(store, "clean", e, "embedding", "vec_id",
+        ncells = 8, trainIters = 2)
+      val clean = Similarity.ivfRetrainAdvisor(spark, store, "clean",
+        "embedding").head()
+      assert(clean.getAs[Long]("err_growth_ppm") == 1000000L,
+        "an unmutated layout's growth must be EXACTLY 1.0 — baseline " +
+          "sidecar and live measurement share one fixed-point kernel")
+      assert(!clean.getAs[Boolean]("retrain_recommended"))
+      // stale: standing-trained router + 2x-scaled arrivals (the
+      // embedder-version-change drift; exact in float32)
+      val cents = Similarity.buildIvfIndex(store, "stale",
+        e.filter(col("vec_id") % 10 =!= 7), "embedding", "vec_id",
+        ncells = 8, trainIters = 2)
+      Similarity.insertIntoStoredIvf(store, "stale",
+        e.filter(col("vec_id") % 10 === 7)
+          .withColumn("embedding",
+            transform(col("embedding"), x => x * lit(2.0f))),
+        "embedding", "vec_id", cents): Unit
+      val stale = Similarity.ivfRetrainAdvisor(spark, store, "stale",
+        "embedding").head()
+      assert(stale.getAs[Long]("err_growth_ppm") > 1200000L,
+        s"2x-scaled arrivals must push error growth past the threshold " +
+          s"(got ${stale.getAs[Long]("err_growth_ppm")} ppm)")
+      assert(stale.getAs[Boolean]("retrain_recommended"))
+      // the baseline sidecar is the STANDING stats — untouched by the
+      // frozen-router append (that is what makes it a baseline)
+      val base = Similarity.readRouterStats(store, "stale").get
+      assert(base.nRows == e.filter(col("vec_id") % 10 =!= 7).count())
+      // self-description contract: no router sidecar -> loud failure
+      store.create("bare", e.limit(10))
+      val ex = intercept[IllegalArgumentException] {
+        Similarity.ivfRetrainAdvisor(spark, store, "bare", "embedding")
+      }
+      assert(ex.getMessage.contains("router"))
+      // the loop CLOSES: running the retrain the advisor recommended
+      // resets the baseline — the advisor must read growth exactly 1.0
+      // again and recommend nothing
+      Similarity.retrainStoredIvf(spark, store, "stale", "embedding",
+        "vec_id", ncells = 8): Unit
+      val after = Similarity.ivfRetrainAdvisor(spark, store, "stale",
+        "embedding").head()
+      assert(after.getAs[Long]("err_growth_ppm") == 1000000L,
+        "retrain must reset the advisor baseline")
+      assert(!after.getAs[Boolean]("retrain_recommended"))
+      e.unpersist()
+    } finally store.destroy()
+  }
 }
