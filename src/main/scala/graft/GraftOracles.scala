@@ -3103,6 +3103,33 @@ object GraftOracles {
         |    'after', (SELECT count(*) FROM dirty) > 0)
         |ORDER BY phase, "index"""".stripMargin,
 
+    // Twin of mine_triplets — label-aware triplet mining under the
+    // hash: the anchor-batch cross join scored in integer micro-units
+    // (the double-accumulated cosine, floor-rounded BEFORE any
+    // comparison), the per-anchor nearest-positive max, the
+    // (cos desc, id) top-10 other-class window, and the
+    // hard/semi_hard/easy tier CASE — per-pair decisions included.
+    "mine_triplets" ->
+      s"""WITH a AS (SELECT vec_id AS a_id, embedding, label AS a_label
+         |  FROM embeddings WHERE vec_id < 6),
+         |scored AS (SELECT a.a_id, a.a_label, b.vec_id AS neg_id,
+         |    b.label AS neg_label,
+         |    CAST(floor(($cosineDouble) * 1e6 + 0.5) AS BIGINT) AS cos_mu
+         |  FROM embeddings b CROSS JOIN a WHERE b.vec_id <> a.a_id),
+         |pos AS (SELECT a_id, CAST(max(cos_mu) AS BIGINT) AS pos_cos_mu
+         |  FROM scored WHERE neg_label = a_label GROUP BY 1),
+         |negs AS (SELECT *, row_number() OVER (PARTITION BY a_id
+         |      ORDER BY cos_mu DESC, neg_id) AS rank
+         |  FROM scored WHERE neg_label <> a_label)
+         |SELECT n.a_id, n.neg_id, n.neg_label, n.cos_mu,
+         |  CAST(n.rank AS INT) AS rank, p.pos_cos_mu,
+         |  CASE WHEN n.cos_mu >= p.pos_cos_mu THEN 'hard'
+         |    WHEN n.cos_mu + 50000 >= p.pos_cos_mu THEN 'semi_hard'
+         |    ELSE 'easy' END AS tier
+         |FROM negs n JOIN pos p USING (a_id)
+         |WHERE n.rank <= 10
+         |ORDER BY a_id, rank""".stripMargin,
+
     // Twin of ann_retrain_advisor — the retrain DECISION under the
     // hash: both arms' routers re-derived relationally (simIvf CTE at
     // each arm's training source — full corpus for the clean arm,

@@ -2004,6 +2004,26 @@ object GraftQueries {
     } finally e.unpersist()
   }
 
+  /** Triplet-tier mining ([[graft.operators.Mining.hardNegatives]]) —
+    * the LABEL-AWARE half of contrastive data prep that
+    * `mine_hard_negatives`'s band heuristic cannot express: six
+    * anchors, each paired with its 10 nearest OTHER-class vectors,
+    * every pair classified hard / semi_hard / easy against the
+    * anchor's nearest same-class POSITIVE (the FaceNet/SBERT triplet
+    * rule) in pure integer micro-units. FULL hash: the oracle restates
+    * the scored cross join, the per-anchor positive max, the
+    * (cos desc, id) top-k window, and the tier CASE — the mining
+    * decision per pair sits under the hash. */
+  val mineTriplets: Q = (s, d) => {
+    val e = Tables.embeddings(s, d)
+    val anchors = e.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("a_id"), col("embedding").as("a_vec"),
+        col("label").as("a_label"))
+    graft.operators.Mining.hardNegatives(e, "embedding", "vec_id", "label",
+        anchors, "a_id", "a_vec", "a_label", k = 10, marginMu = 50000L)
+      .orderBy("a_id", "rank")
+  }
+
   /** Batch kNN over the STORED IVF layout: 5 query vectors amortized onto
     * one partition-pruned scan of the union of probed cells — the bulk
     * retrieval / evaluation-panel posture. Per-query results must equal
@@ -5730,6 +5750,7 @@ object GraftQueries {
     "ann_ivfpq_incremental" -> annIvfPqIncremental,
     "ann_ivf_retrain" -> annIvfRetrain,
     "ann_retrain_advisor" -> annRetrainAdvisor,
+    "mine_triplets" -> mineTriplets,
     "ann_sq_retrain" -> annSqRetrain,
     "ann_pq_retrain" -> annPqRetrain,
     "ann_bq_retrain" -> annBqRetrain,
