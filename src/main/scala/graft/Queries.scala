@@ -2050,21 +2050,21 @@ object GraftQueries {
     * PlanSpec; recall@10 vs brute force pinned in AnnProbeSpec.
     * Approximate by construction -> rows-only. */
   val annIvfPqStore: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
-    val store = graft.store.VectorStore(root)
-    val e = Tables.embeddings(s, d).cache()
-    try {
-      val (cents, cb) = Similarity.buildIvfPqIndex(store, "vectors_pq", e,
-        "embedding", "vec_id", ncells = 16)
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      val out = Similarity.pqSearchEncoded(store.read(s, "vectors_pq"),
-          "embedding", "vec_id", cents, cb, q, "q_id", "q_vec",
-          k = 10, nprobe = 4)
-        .orderBy("q_id", "rank")
-      // materialize before store.destroy()
-      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally { e.unpersist(); store.destroy() }
+    // layout from the pristine fixture, router AND codebooks from the
+    // SIDECAR — the search proves the stored PQ tier is
+    // self-describing (no in-memory artifact survives from the build)
+    val (store, _) = MutationFixture.pristineFor(s, d, "pq_store") { st =>
+      Similarity.buildIvfPqIndex(st, "vectors_pq", Tables.embeddings(s, d),
+        "embedding", "vec_id", ncells = 16): Unit
+    }
+    val (cents, cb) = Similarity.readPqCodebook(store, "vectors_pq").get
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = Similarity.pqSearchEncoded(store.read(s, "vectors_pq"),
+        "embedding", "vec_id", cents, cb, q, "q_id", "q_vec",
+        k = 10, nprobe = 4)
+      .orderBy("q_id", "rank")
+    s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
   }
 
   /** kNN over the STORED int8-SQ layout — the scale posture of
@@ -2079,20 +2079,20 @@ object GraftQueries {
     * comparisons only). Partition pruning pinned in AnnProbeSpec;
     * recall@10 vs brute force pinned there too. */
   val annIvfSqStore: Q = (s, d) => {
-    val root = java.nio.file.Files.createTempDirectory("graft_ivfsq").toString
-    val store = graft.store.VectorStore(root)
-    val e = Tables.embeddings(s, d).cache()
-    try {
-      val (cents, mins, maxs) = Similarity.buildIvfSqIndex(
-        store, "vectors_sq", e, "embedding", "vec_id")
-      val qv = e.filter(col("vec_id") === 0).select(col("embedding"))
-        .head.getSeq[Float](0).map(_.toDouble).toArray
-      val out = Similarity.sqSearchStored(
-        store.read(s, "vectors_sq").filter(col("vec_id") =!= 0),
-        "vec_id", cents, mins, maxs, qv, k = 10, nprobe = 4)
-      // materialize before store.destroy()
-      s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
-    } finally { e.unpersist(); store.destroy() }
+    // layout from the pristine fixture, quantizer from the SIDECAR —
+    // the search proves the stored SQ tier is self-describing
+    val (store, _) = MutationFixture.pristineFor(s, d, "sq_store") { st =>
+      Similarity.buildIvfSqIndex(st, "vectors_sq", Tables.embeddings(s, d),
+        "embedding", "vec_id"): Unit
+    }
+    val (cents, mins, maxs) =
+      Similarity.readSqQuantizer(store, "vectors_sq").get
+    val qv = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toArray
+    val out = Similarity.sqSearchStored(
+      store.read(s, "vectors_sq").filter(col("vec_id") =!= 0),
+      "vec_id", cents, mins, maxs, qv, k = 10, nprobe = 4)
+    s.createDataFrame(java.util.Arrays.asList(out.collect(): _*), out.schema)
   }
 
   /** Incremental stored-SQ maintenance — the int8 member of the

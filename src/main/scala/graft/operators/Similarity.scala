@@ -480,6 +480,83 @@ object Similarity {
         p.getProperty("max_cell_share_ppm").toLong,
         p.getProperty("mean_err_mu").toLong))
 
+  // ------------------- self-describing stored SQ / PQ quantizers
+
+  /** Quantizer sidecars for the ENCODE families — the [[RouterFile]]
+    * discipline extended to the artifacts SQ and PQ searches need
+    * beyond the router: per-dim min/max (SQ) and the residual
+    * codebooks (PQ). With these, every stored family is
+    * self-describing: any session searches the layout from the store
+    * alone, exactly like a FAISS index file carries its quantizers.
+    * Float.toString / Double.toString round-trip exactly, so the
+    * persisted artifacts reproduce build-time encode and probe
+    * arithmetic bit for bit. */
+  private val SqQuantFile = "_sq_quantizer.properties"
+  private val PqCodebookFile = "_pq_codebook.properties"
+
+  private[graft] def writeSqQuantizer(store: graft.store.VectorStore,
+      name: String, cents: Array[Array[Float]],
+      mins: Array[Double], maxs: Array[Double]): Unit = {
+    val props = new java.util.Properties()
+    cents.zipWithIndex.foreach { case (c, i) =>
+      props.setProperty(s"cell.$i", c.map(_.toString).mkString(","))
+    }
+    props.setProperty("mins", mins.map(_.toString).mkString(","))
+    props.setProperty("maxs", maxs.map(_.toString).mkString(","))
+    graft.store.StoreFs.forPath(store.root).writePropsAtomic(
+      s"${store.root}/$name/$SqQuantFile", props, "graft stored-sq quantizer")
+  }
+
+  def readSqQuantizer(store: graft.store.VectorStore, name: String)
+      : Option[(Array[Array[Float]], Array[Double], Array[Double])] =
+    graft.store.StoreFs.forPath(store.root)
+      .readProps(s"${store.root}/$name/$SqQuantFile")
+      .map { props =>
+        import scala.jdk.CollectionConverters._
+        val cents = props.stringPropertyNames().asScala.toSeq
+          .filter(_.startsWith("cell."))
+          .map(k => (k.stripPrefix("cell.").toInt,
+            props.getProperty(k).split(",").map(_.toFloat)))
+          .sortBy(_._1).map(_._2).toArray
+        (cents, props.getProperty("mins").split(",").map(_.toDouble),
+          props.getProperty("maxs").split(",").map(_.toDouble))
+      }
+
+  private[graft] def writePqCodebook(store: graft.store.VectorStore,
+      name: String, cents: Array[(Int, Array[Float])],
+      cb: PqCodebook): Unit = {
+    val props = new java.util.Properties()
+    cents.foreach { case (cid, c) =>
+      props.setProperty(s"cell.$cid", c.map(_.toString).mkString(","))
+    }
+    props.setProperty("cb.m", cb.m.toString)
+    props.setProperty("cb.dsub", cb.dsub.toString)
+    props.setProperty("cb.ksub", cb.ksub.toString)
+    for (sub <- 0 until cb.m; code <- 0 until cb.ksub)
+      props.setProperty(s"cb.$sub.$code",
+        cb.cents(sub)(code).map(_.toString).mkString(","))
+    graft.store.StoreFs.forPath(store.root).writePropsAtomic(
+      s"${store.root}/$name/$PqCodebookFile", props, "graft stored-pq codebook")
+  }
+
+  def readPqCodebook(store: graft.store.VectorStore, name: String)
+      : Option[(Array[(Int, Array[Float])], PqCodebook)] =
+    graft.store.StoreFs.forPath(store.root)
+      .readProps(s"${store.root}/$name/$PqCodebookFile")
+      .map { props =>
+        import scala.jdk.CollectionConverters._
+        val cents = props.stringPropertyNames().asScala.toSeq
+          .filter(_.startsWith("cell."))
+          .map(k => (k.stripPrefix("cell.").toInt,
+            props.getProperty(k).split(",").map(_.toFloat)))
+          .sortBy(_._1).toArray
+        val (m, dsub, ksub) = (props.getProperty("cb.m").toInt,
+          props.getProperty("cb.dsub").toInt, props.getProperty("cb.ksub").toInt)
+        val cbc = Array.tabulate(m, ksub)((sub, code) =>
+          props.getProperty(s"cb.$sub.$code").split(",").map(_.toFloat))
+        (cents, PqCodebook(m, dsub, ksub, cbc))
+      }
+
   /** RETRAIN ADVISOR for a stored-IVF layout — the decision operator the
     * retrain verbs were missing: [[retrainStoredIvf]] is O(collection)
     * and scheduled, so something has to DECIDE when drift warrants
@@ -945,6 +1022,8 @@ object Similarity {
       trainIters, sampleCap)
     store.create(name, pqEncode(collection, vecCol, idCol, cents, cb),
       partitionBy = Seq("cell_id"))
+    // self-describing: router AND codebooks travel with the codes
+    writePqCodebook(store, name, cents, cb)
     (cents, cb)
   }
 
@@ -1200,6 +1279,8 @@ object Similarity {
     val (mins, maxs) = sqMinMax(collection, vecCol)
     store.create(name, sqAssignEncode(collection, vecCol, idCol, cents, mins, maxs),
       partitionBy = Seq("cell_id"))
+    // self-describing: the quantizer travels with the codes
+    writeSqQuantizer(store, name, cents, mins, maxs)
     (cents, mins, maxs)
   }
 
@@ -1311,6 +1392,8 @@ object Similarity {
     val (mins, maxs) = sqMinMax(collection, vecCol)
     store.replace(name, sqAssignEncode(collection, vecCol, idCol, cents, mins, maxs),
       partitionBy = Seq("cell_id"))
+    // the quantizer CHANGED — re-persist so the layout stays self-describing
+    writeSqQuantizer(store, name, cents, mins, maxs)
     (cents, mins, maxs)
   }
 
@@ -1336,6 +1419,8 @@ object Similarity {
       trainIters, sampleCap)
     store.replace(name, pqEncode(data, vecCol, idCol, cents, cb),
       partitionBy = Seq("cell_id"))
+    // the quantizer CHANGED — re-persist so the layout stays self-describing
+    writePqCodebook(store, name, cents, cb)
     (cents, cb)
   }
 

@@ -219,4 +219,44 @@ class RetrainSpec extends SparkSpec {
       e.unpersist()
     } finally store.destroy()
   }
+
+  test("stored SQ / PQ layouts are self-describing: sidecar artifacts reproduce the search") {
+    val store = freshStore("graft_selfdesc_spec")
+    try {
+      val e = emb.cache()
+      val qv = e.filter(col("vec_id") === 0).select("embedding")
+        .head.getSeq[Float](0).map(_.toDouble).toArray
+      // SQ: build returns in-memory artifacts; a FRESH store handle must
+      // search identically from the sidecar alone
+      val (c0, mn0, mx0) = Similarity.buildIvfSqIndex(
+        store, "sq", e, "embedding", "vec_id")
+      val reopened = graft.store.VectorStore(store.root)
+      val (c1, mn1, mx1) = Similarity.readSqQuantizer(reopened, "sq").get
+      assert(c1.map(_.toSeq).toSeq == c0.map(_.toSeq).toSeq)
+      assert(mn1.toSeq == mn0.toSeq && mx1.toSeq == mx0.toSeq)
+      def sqSearch(c: Array[Array[Float]], mn: Array[Double], mx: Array[Double]) =
+        Similarity.sqSearchStored(
+          reopened.read(spark, "sq").filter(col("vec_id") =!= 0),
+          "vec_id", c, mn, mx, qv, k = 5, nprobe = 4)
+          .collect().map(_.toSeq).toSeq
+      assert(sqSearch(c1, mn1, mx1) == sqSearch(c0, mn0, mx0))
+      // PQ: router + codebooks round-trip through the sidecar
+      val (pc0, cb0) = Similarity.buildIvfPqIndex(
+        store, "pq", e, "embedding", "vec_id", ncells = 8)
+      val (pc1, cb1) = Similarity.readPqCodebook(reopened, "pq").get
+      assert(pc1.map { case (i, v) => (i, v.toSeq) }.toSeq ==
+        pc0.map { case (i, v) => (i, v.toSeq) }.toSeq)
+      assert((cb1.m, cb1.dsub, cb1.ksub) == (cb0.m, cb0.dsub, cb0.ksub))
+      assert(cb1.cents.map(_.map(_.toSeq).toSeq).toSeq ==
+        cb0.cents.map(_.map(_.toSeq).toSeq).toSeq)
+      // retrain re-persists: the sidecar must describe the NEW geometry
+      val (c2, mn2, mx2) = Similarity.retrainStoredSq(
+        spark, store, "sq", e, "embedding", "vec_id", ncells = 4, iters = 2)
+      val (c3, mn3, mx3) = Similarity.readSqQuantizer(reopened, "sq").get
+      assert(c3.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+      assert(mn3.toSeq == mn2.toSeq && mx3.toSeq == mx2.toSeq)
+      assert(c3.length == 4, "sidecar still describes the OLD geometry")
+      e.unpersist()
+    } finally store.destroy()
+  }
 }
