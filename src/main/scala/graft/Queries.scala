@@ -729,16 +729,18 @@ object GraftQueries {
         })
       (graft.store.VectorStore(base), payload.asInstanceOf[A])
     }
-    private def copyTree(src: String, dst: String): Unit = {
-      import java.nio.file.{Files, Paths, StandardCopyOption}
-      val s0 = Paths.get(src)
-      val walk = Files.walk(s0)
-      try walk.forEach { p =>
-        val t = Paths.get(dst, s0.relativize(p).toString)
-        if (Files.isDirectory(p)) Files.createDirectories(t): Unit
-        else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING): Unit
-      } finally walk.close()
-    }
+    /** Clone = [[graft.store.VectorStore.cloneTreeLinked]]: `part-*`
+      * parquet payloads hardlinked (immutable under the store's write
+      * discipline), sidecars byte-copied — O(file count) metadata ops,
+      * zero data bytes moved, and destroying the clone after the verb
+      * frees no shared blocks (no TRIM churn on a discard-mounted local
+      * disk). Replaces the byte-copy clone, whose copy+delete churn
+      * rode INSIDE every mutation gate's timed region.
+      * StoreRelocationSpec pins the contract on this exact helper:
+      * clone answers identically; mutating the clone leaves the
+      * pristine's bytes and answers untouched. */
+    private def copyTree(src: String, dst: String): Unit =
+      graft.store.VectorStore.cloneTreeLinked(src, dst)
   }
 
   /** Catalog read over the per-process fixture: detection + live count
@@ -2808,8 +2810,17 @@ object GraftQueries {
     * hash: the dedup_clusters reachability CTE + the same fold
     * arithmetic. */
   val pipelineSplitLeakfree: Q = (s, d) => {
+    // 32x8 banding = the bandingAdvisor recommendation at t=0.8 (the
+    // dedup_clusters/pipeline-gate discipline): the j~0.22 background
+    // collides at ~2e-4 instead of dominating the candidate stream, and
+    // the pair set after exact-Jaccard verification is measured equal to
+    // the exact join at every gate scale — the clusters, and therefore
+    // the folds, are unchanged (oracle derives pairs banding-free).
+    // This gate was the straggler still paying the 32x4 candidate
+    // explosion (~2x its calm wall) after r16 moved the other pipeline
+    // gates.
     val clusters = Dedup.clusters(Tables.documents(s, d), "text", "doc_id",
-      threshold = 0.8).select("doc_id", "cluster_id")
+      threshold = 0.8, bands = 32, rowsPerBand = 8).select("doc_id", "cluster_id")
     clusters.withColumn("fold",
         when(conv(substring(md5(col("cluster_id").cast("string").cast("binary")),
           1, 6), 16, 10).cast("long") % 10 < 8, "train").otherwise("val"))

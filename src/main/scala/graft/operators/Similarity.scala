@@ -370,10 +370,15 @@ object Similarity {
     store.create(name, withCellId(collection, vecCol, cents), partitionBy = Seq("cell_id"))
     // the index is self-describing: the frozen router travels with it,
     // and so does its build-time quality snapshot — the retrain
-    // advisor's baseline (one extra assignment pass, build-time only)
+    // advisor's baseline. The stats pass reads the JUST-WRITTEN layout
+    // (cell_id already materialized, column-pruned to (cell_id, vec))
+    // instead of re-running the assignment UDF over the source — at
+    // 100 TB that was a second full corpus scan + O(ncells) argmin per
+    // row; the read-back is identical by construction (the layout IS
+    // the assignment's output, retrainStoredIvf's existing pattern).
     writeStoredRouter(store, name, cents)
     writeRouterStats(store, name,
-      routerStats(withCellId(collection, vecCol, cents), vecCol, cents))
+      routerStats(store.read(collection.sparkSession, name), vecCol, cents))
     cents
   }
 
@@ -792,8 +797,12 @@ object Similarity {
   def ivfTopK(collection: DataFrame, vecCol: String, idCol: String,
               queries: DataFrame, qIdCol: String, qVecCol: String,
               k: Int, ncells: Int = 16, nprobe: Int = 4,
-              trainIters: Int = 3): DataFrame = {
-    val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters)
+              trainIters: Int = 3,
+              centsOpt: Option[Array[(Int, Array[Float])]] = None): DataFrame = {
+    // callers that already trained the (deterministic) router pass it
+    // through instead of paying a bit-identical re-train
+    val cents = centsOpt.getOrElse(
+      trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters))
     val indexed = withCellId(collection, vecCol, cents)
     val probeUdf = udf((v: Seq[Float]) => {
       val arr = v.toArray
@@ -934,12 +943,36 @@ object Similarity {
                  ncells: Int = 16, m: Int = 8, ksub: Int = 256,
                  trainIters: Int = 3, sampleCap: Int = 20000)
       : (Array[(Int, Array[Float])], PqCodebook) = {
-    val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters)
-    // deterministic bounded sample (same md5-of-id order as the coarse
-    // trainer); residual-encode it against the coarse cells
-    val sample = collection.select(col(vecCol))
+    // ONE md5-ordered TakeOrdered over the collection feeds BOTH
+    // trainers (coarse router + residual codebooks): the residual
+    // sample is a PREFIX of the coarse sample under the shared (md5,
+    // id) total order, so sampling the cached sample is row-identical
+    // to the two independent full-collection samples this replaces —
+    // at 100 TB one corpus scan for training, not two.
+    val coarseCap = 100000
+    val shared = collection.select(col(idCol), col(vecCol))
       .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
-      .limit(sampleCap).collect().map(_.getSeq[Float](0).toArray)
+      .limit(math.max(coarseCap, sampleCap))
+      .cache()
+    try {
+      val cents =
+        trainCentroidArrays(shared, vecCol, idCol, ncells, trainIters, coarseCap)
+      // deterministic bounded sample (same md5-of-id order as the coarse
+      // trainer); residual-encode it against the coarse cells
+      val sample = shared
+        .orderBy(md5(col(idCol).cast("string").cast("binary")), col(idCol))
+        .limit(sampleCap).select(col(vecCol))
+        .collect().map(_.getSeq[Float](0).toArray)
+      trainPqFromSample(cents, sample, m, ksub, trainIters)
+    } finally shared.unpersist()
+  }
+
+  /** The driver-side half of [[trainIvfPq]]: residual-encode the sample
+    * against the coarse cells and fit per-subspace codebooks. */
+  private def trainPqFromSample(cents: Array[(Int, Array[Float])],
+                                sample: Array[Array[Float]], m: Int,
+                                ksub: Int, trainIters: Int)
+      : (Array[(Int, Array[Float])], PqCodebook) = {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val dsub = dim / m
@@ -1617,11 +1650,15 @@ object Similarity {
                    queries: DataFrame, qIdCol: String, qVecCol: String,
                    k: Int = 10, ncells: Int = 16,
                    nprobes: Seq[Int] = Seq(1, 2, 4, 8),
-                   trainIters: Int = 3): DataFrame = {
+                   trainIters: Int = 3,
+                   centsOpt: Option[Array[(Int, Array[Float])]] = None): DataFrame = {
     require(nprobes.nonEmpty && nprobes.forall(p => p >= 1 && p <= ncells),
       s"nprobes must be within [1, $ncells], got $nprobes")
     val spark = collection.sparkSession
-    val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters)
+    // callers that already hold the (deterministic) trained router pass
+    // it through instead of paying a bit-identical re-train
+    val cents = centsOpt.getOrElse(
+      trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters))
     val indexed = withCellId(collection, vecCol, cents)
     val probeOrderUdf = udf((v: Seq[Float]) => {
       val arr = v.toArray
@@ -1691,11 +1728,10 @@ object Similarity {
     * `nprobe` and its floor-rounded panel `mean_recall` on every row.
     *
     * Cost shape: the evaluation is [[recallReport]] (each corpus read
-    * paid once across settings); the final search re-trains the same
-    * deterministic quantizer (bit-identical centroids) rather than
-    * threading index state through — at 100 TB run the tune on a
-    * sampled panel, then hand the chosen nprobe to the STORED index
-    * search. */
+    * paid once across settings); the quantizer is trained ONCE and
+    * threaded through both the evaluation and the final search — at
+    * 100 TB run the tune on a sampled panel, then hand the chosen
+    * nprobe to the STORED index search. */
   def autotuneNprobe(collection: DataFrame, vecCol: String, idCol: String,
                      queries: DataFrame, qIdCol: String, qVecCol: String,
                      k: Int = 10, ncells: Int = 16,
@@ -1704,8 +1740,16 @@ object Similarity {
                      trainIters: Int = 3): DataFrame = {
     require(targetRecall > 0.0 && targetRecall <= 1.0,
       s"targetRecall must be in (0, 1], got $targetRecall")
+    // ONE training for the whole tune-then-serve verb: the quantizer is
+    // deterministic, so the previous shape (recallReport trains, then
+    // ivfTopK re-trains bit-identical centroids) paid a second md5-
+    // sampled Lloyd pass — at 100 TB a second sample scan + iters
+    // aggregation jobs — for values already in hand. Results unchanged
+    // by construction (same centroid arrays, same plans downstream).
+    val cents = trainCentroidArrays(collection, vecCol, idCol, ncells, trainIters)
     val report = recallReport(collection, vecCol, idCol, queries, qIdCol,
-      qVecCol, k, ncells, nprobes, trainIters) // eager local relation
+      qVecCol, k, ncells, nprobes, trainIters,
+      centsOpt = Some(cents)) // eager local relation
     // |panel| from the QUERY relation, not the report: a panel query
     // with zero candidates at every setting must still count in the
     // documented ceil(target·k·|panel|) bar, and a (query, nprobe)
@@ -1721,7 +1765,7 @@ object Similarity {
       math.floor(totals.getOrElse(chosen, 0L).toDouble /
         (k * panelSize) * 1e6 + 0.5) / 1e6
     ivfTopK(collection, vecCol, idCol, queries, qIdCol, qVecCol, k,
-        ncells, chosen, trainIters)
+        ncells, chosen, trainIters, centsOpt = Some(cents))
       .withColumn("rank", col("rank").cast("long"))
       .withColumn("nprobe", lit(chosen))
       .withColumn("mean_recall", lit(meanRecall))

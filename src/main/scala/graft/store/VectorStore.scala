@@ -563,6 +563,37 @@ final case class VectorStore(root: String) {
 }
 
 object VectorStore {
+  /** Clone a whole local store ROOT — [[VectorStore.fork]]'s
+    * link-or-copy discipline lifted to the store level (fork clones one
+    * collection inside a store; this clones every collection plus the
+    * root-level registries): `part-*` parquet payloads are HARDLINKED
+    * (immutable under the write discipline — appends create new files,
+    * compaction/replace swap directories, tombstone logs truncate by
+    * deleting names, sidecars replace via write-tmp-then-atomic-rename;
+    * no byte is ever edited through either name), everything else is
+    * byte-copied (markers are atomically REPLACED on mutation, which
+    * would sever a link anyway). The clone is O(file count) metadata
+    * ops with zero data bytes moved, and deleting it frees no shared
+    * blocks — the per-invocation clone the mutation fixtures hand each
+    * gate costs milliseconds regardless of index size or disk
+    * writeback state. Local filesystems only (callers: per-process
+    * fixtures, tests); degrades to a byte copy per file where links
+    * are unsupported. */
+  def cloneTreeLinked(src: String, dst: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val s0 = Paths.get(src)
+    val walk = Files.walk(s0)
+    try walk.forEach { p =>
+      val t = Paths.get(dst, s0.relativize(p).toString)
+      if (Files.isDirectory(p)) Files.createDirectories(t): Unit
+      else if (p.getFileName.toString.startsWith("part-")) {
+        try Files.createLink(t, p): Unit
+        catch { case _: UnsupportedOperationException | _: java.io.IOException =>
+          Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING): Unit }
+      } else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING): Unit
+    } finally walk.close()
+  }
+
   /** The alias registry directory under a store root — `_`-prefixed so
     * Spark scans never mistake it for data, excluded from [[VectorStore.list]]. */
   val AliasDirName = "_aliases"

@@ -56,13 +56,21 @@ object IndexStream {
       s"$sinkTag: micro-batch $batchId carries duplicate ids")
     // ids this batch shares with the index — bounded by the batch, so
     // it broadcasts back out for the anti filter; the index side is
-    // only ever the streamed side of a map-only semi-join
+    // only ever the streamed side of a map-only semi-join. Pinned so
+    // the collision COUNT below and the anti filter see one evaluation
+    // (and the semi-join scan is paid once, not once per consumer).
     val colliding = store.read(sp, name).select(idCol)
       .join(BroadcastGate.maybeBroadcast(encoded.select(idCol),
         cnts.getLong(0) * 64), Seq(idCol), "left_semi")
-    val fresh = encoded.join(BroadcastGate.maybeBroadcast(colliding,
-      cnts.getLong(0) * 64), Seq(idCol), "left_anti")
-    store.append(name, fresh, partitionBy = partitionBy)
+      .localCheckpoint(true)
+    // a fully-healed redelivery (every id already landed) must cost a
+    // bounded probe, not a distributed write of zero rows: ids are
+    // unique per batch, so |fresh| = |batch| - |colliding| exactly
+    if (colliding.count() < cnts.getLong(0)) {
+      val fresh = encoded.join(BroadcastGate.maybeBroadcast(colliding,
+        cnts.getLong(0) * 64), Seq(idCol), "left_anti")
+      store.append(name, fresh, partitionBy = partitionBy)
+    }
     // the commit point: only once the append is durable does the batch
     // become skippable — a crash above replays into the anti filter
     StreamCommits.commit(store, name, batchId)
@@ -306,14 +314,23 @@ object IndexStream {
     // estimate would force-broadcast gigabytes). The localCheckpoint
     // makes the count a metadata read, not a recompute.
     val batchIds = batch.select(col(idCol).as("doc_id")).distinct()
-    val postBytes = postings.count() * 64
+    val nPostings = postings.count()
+    val postBytes = nPostings * 64
     val existing = store.read(sp, name).select("term", "doc_id")
       .join(BroadcastGate.maybeBroadcast(batchIds, cnts.getLong(0) * 64),
         Seq("doc_id"), "left_semi")
-    val fresh = postings.join(
-      BroadcastGate.maybeBroadcast(existing, postBytes),
-      Seq("term", "doc_id"), "left_anti")
-    store.append(name, fresh, partitionBy = Seq("bucket"))
+      .localCheckpoint(true) // consumed by the count gate + anti filter
+    // fully-healed redelivery (every posting already landed) costs a
+    // bounded probe, not a distributed write of zero rows: under the
+    // redelivery contract (same batch, frozen deterministic encoder)
+    // the stored pairs of this batch's docs are a SUBSET of the batch's
+    // own postings, so |fresh| = |postings| - |existing| exactly
+    if (existing.count() < nPostings) {
+      val fresh = postings.join(
+        BroadcastGate.maybeBroadcast(existing, postBytes),
+        Seq("term", "doc_id"), "left_anti")
+      store.append(name, fresh, partitionBy = Seq("bucket"))
+    }
     StreamCommits.commit(store, name, batchId)
   }
 

@@ -20,16 +20,10 @@ class StoreRelocationSpec extends SparkSpec {
   private def tmp(prefix: String) =
     java.nio.file.Files.createTempDirectory(prefix).toString
 
-  private def copyTree(src: String, dst: String): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val s0 = Paths.get(src)
-    val walk = Files.walk(s0)
-    try walk.forEach { p =>
-      val t = Paths.get(dst, s0.relativize(p).toString)
-      if (Files.isDirectory(p)) Files.createDirectories(t): Unit
-      else Files.copy(p, t, StandardCopyOption.REPLACE_EXISTING): Unit
-    } finally walk.close()
-  }
+  // the EXACT clone the mutation fixtures use (hardlinked part-* files,
+  // copied sidecars) — the tests pin the fixture's real mechanism
+  private def copyTree(src: String, dst: String): Unit =
+    VectorStore.cloneTreeLinked(src, dst)
 
   private def treeDigest(root: String): Map[String, Long] = {
     def walk(f: java.io.File): Seq[(String, Long)] =
@@ -49,6 +43,15 @@ class StoreRelocationSpec extends SparkSpec {
       copyTree(src.root, cloneRoot)
       val clone = VectorStore(cloneRoot)
       try {
+        // the clone really is LINKED, not copied: parquet payloads share
+        // inodes with the source (the O(metadata) property the fixtures
+        // buy), while sidecars are independent copies
+        val linked = java.nio.file.Files.walk(java.nio.file.Paths.get(cloneRoot))
+          .filter(p => p.getFileName.toString.startsWith("part-"))
+          .filter(p => java.nio.file.Files
+            .getAttribute(p, "unix:nlink").asInstanceOf[Number].intValue() >= 2)
+          .count()
+        assert(linked > 0, "expected hardlinked part-* files in the clone")
         def search(st: VectorStore) =
           TextIndex.bm25SearchStored(spark, st, "docs_text",
             terms = Seq("join", "query"), k = 10)
